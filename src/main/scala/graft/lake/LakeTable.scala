@@ -1,0 +1,283 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Table configuration — mirrors the reference's Hudi write options
+  * (`glue/HudiJarGlueJob.py:80-85`):
+  *   keyCols      ≙ hoodie.datasource.write.recordkey.field
+  *   precombineCol≙ hoodie.datasource.write.precombine.field
+  *   partitionCol ≙ hoodie.datasource.write.partitionpath.field
+  *                  (None ≙ NonpartitionedKeyGenerator, `:82`)
+  */
+final case class LakeTableConfig(
+    root: String,
+    keyCols: Seq[String],
+    precombineCol: String,
+    partitionCol: Option[String] = None,
+    /** false ≙ Hudi's default partition-scoped index: a record key is
+      * unique per partition, and upserting a key under a new partition
+      * value leaves the old partition's row in place (what the reference's
+      * CDC replay actually produces). true ≙ GLOBAL_SIMPLE-style index:
+      * the key is unique table-wide; the winning row decides the
+      * partition, and superseded rows in other partitions are dropped —
+      * found via a column-pruned key+partition scan, not a full read.
+      */
+    globalIndex: Boolean = false)
+
+/** Copy-on-Write lake table: versioned parquet base files + JSON commit
+  * timeline. Re-implements, Spark-first, the Hudi capabilities the
+  * reference exercises (SURVEY.md §2.2 W2-W5, §1.1):
+  *
+  *   - bulkInsert  ≙ `hoodie...operation: bulk_insert` (HudiJarGlueJob.py:84)
+  *   - upsert      ≙ `operation: upsert` + precombine latest-wins (`:80,:83`)
+  *   - delete      ≙ EmptyHoodieRecordPayload delete-by-key (`:85`)
+  *   - read/readAsOf ≙ snapshot / timeline reads (MockCuratedGlueJob.py:23)
+  *   - clean       ≙ KEEP_LATEST_COMMITS cleaner (`:83`)
+  *
+  * 100 TB design:
+  *   - Upsert reads and rewrites ONLY the partitions present in the incoming
+  *     batch (partition pruning happens on commit-log metadata, no file
+  *     listing, no full-snapshot shuffle). The merge shuffle is keyed on the
+  *     record key, sized by `spark.sql.shuffle.partitions` / AQE.
+  *   - Each commit writes to its own directory, so no rename/move of data
+  *     files ever happens (S3-safe); the commit JSON is the only atomically
+  *     renamed object.
+  *   - Metadata columns `_commit_id` and `_record_key` are materialized at
+  *     write time like Hudi's `_hoodie_commit_time`/`_hoodie_record_key`
+  *     (observable in the reference via MockCuratedGlueJob.py:24).
+  */
+final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
+  import LakeTable._
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  val log = new CommitLog(config.root, hconf)
+
+  // unique per attempt: a crashed/retried write never collides with the
+  // orphan directory of a previous attempt (orphans are invisible — only
+  // files named in a commit JSON are live)
+  private def dataDir(commitId: Long): Path =
+    new Path(config.root, f"data/c$commitId%08d-${System.nanoTime()}%x")
+
+  def exists: Boolean = log.exists
+
+  // ---- write paths ----------------------------------------------------
+
+  /** Initial full load: no dedup, no index lookup (reference bulk_insert,
+    * `glue/HudiJarGlueJob.py:118-126`). Refuses on a non-empty table.
+    */
+  def bulkInsert(df: DataFrame): Long = {
+    require(!exists, s"table ${config.root} already exists; use upsert")
+    writeCommit(withMeta(df, 0L), op = "bulk_insert", removes = Seq.empty)
+  }
+
+  /** Merge a batch by record key; on key collision the row with the highest
+    * (precombine, commit id) wins — stale/late batches lose to what the
+    * table already holds (reference precombine, `glue/HudiJarGlueJob.py:80`).
+    * Empty batches are skipped (reference guard `:96` — via cheap isEmpty,
+    * not the reference's full count()).
+    */
+  def upsert(batch: DataFrame): Long = {
+    if (batch.isEmpty) return log.latestId.getOrElse(-1L)
+    if (!exists) return writeCommit(withMeta(batch, 0L), "bulk_insert", Seq.empty)
+    val id = log.nextId
+    // _seq pins a total order for duplicate keys with equal precombine
+    // WITHIN one batch (SURVEY.md §7.4 tie-break risk): later row wins.
+    // persist: the batch is consumed 3× (partition probe, merge, write) —
+    // without it the upstream plan would recompute each time.
+    val incoming = withMeta(batch, id)
+      .withColumn("_seq", monotonically_increasing_id())
+      .persist()
+    try {
+      val (oldFiles, current) = snapshotForUpsert(incoming)
+      // partition-scoped index: key unique per (partition, key);
+      // global index: key unique table-wide (SURVEY.md §1.1 record key)
+      val dedupCols = (config.partitionCol match {
+        case Some(pc) if !config.globalIndex => Seq(pc)
+        case _ => Seq.empty
+      }) ++ config.keyCols
+      val w = Window.partitionBy(dedupCols.map(col): _*)
+        .orderBy(col(config.precombineCol).desc, col("_commit_id").desc,
+          col("_seq").desc_nulls_last)
+      val merged = current
+        .unionByName(incoming, allowMissingColumns = true)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_seq")
+      writeCommit(merged, "upsert", oldFiles.map(_.path), Some(id))
+    } finally incoming.unpersist()
+  }
+
+  /** Delete by key (reference's declared EmptyHoodieRecordPayload path,
+    * `glue/HudiJarGlueJob.py:85`): rows of the snapshot whose record key
+    * appears in `keys` are dropped; touched partitions only are rewritten
+    * when `keys` carries the partition column.
+    */
+  def delete(keys: DataFrame): Long = {
+    if (keys.isEmpty) return log.latestId.getOrElse(-1L)
+    require(exists, s"table ${config.root} does not exist")
+    val id = log.nextId
+    // prune to the partitions that can hold the doomed keys: from the keys
+    // frame itself when it carries the partition column (non-global), or
+    // from the key+partition index scan (global); full scan otherwise
+    val live = log.liveFiles()
+    val touched: Option[Set[String]] = config.partitionCol match {
+      case Some(pc) if config.globalIndex => Some(partitionsHoldingKeys(keys, live))
+      case Some(pc) if keys.columns.contains(pc) => Some(renderedPartitions(keys, pc))
+      case _ => None
+    }
+    val oldFiles = touched.fold(live)(t => live.filter(f => t.contains(f.partition)))
+    val current = readOrEmpty(oldFiles)
+    val remaining = current.join(
+      keys.select(config.keyCols.map(col): _*).distinct(),
+      config.keyCols, "left_anti")
+    writeCommit(remaining, "delete", oldFiles.map(_.path), Some(id))
+  }
+
+  // ---- read paths -----------------------------------------------------
+
+  /** Latest committed snapshot (reference S4, MockCuratedGlueJob.py:23). */
+  def read(): DataFrame = readSnapshot(None)
+
+  /** Time travel: snapshot as of a commit id on the timeline. */
+  def readAsOf(commitId: Long): DataFrame = {
+    require(commitId >= log.cleanedUpTo,
+      s"commit $commitId was cleaned (retained from ${log.cleanedUpTo})")
+    readSnapshot(Some(commitId))
+  }
+
+  /** Retain only the last `retain` commits' history (cleaner, `:83`). */
+  def clean(retain: Int): Unit = log.clean(retain)
+
+  private def readSnapshot(asOf: Option[Long]): DataFrame = {
+    val files = log.liveFiles(asOf)
+    if (files.isEmpty) {
+      val schema = log.schemaJsonAsOf(asOf)
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(new StructType())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readFiles(files)
+  }
+
+  // mergeSchema: commits may widen the schema over time (upsert unions
+  // withName+allowMissing); footer merge is a parallel executor-side job
+  private def readFiles(files: Seq[FileAdd]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
+
+  // ---- internals ------------------------------------------------------
+
+  private def withMeta(df: DataFrame, commitId: Long): DataFrame = {
+    val keyExpr = concat_ws("|", config.keyCols.map(c => col(c).cast("string")): _*)
+    df.withColumn("_commit_id", lit(commitId))
+      .withColumn("_record_key", keyExpr)
+  }
+
+  /** Live files of the partitions an upsert must merge, and their rows.
+    * Partition-scoped index: only the partitions present in the batch —
+    * pruning runs on commit-log metadata only, so at 100 TB this reads
+    * just the partitions being merged, never the table. Global index:
+    * additionally the partitions currently holding any incoming key,
+    * located with a column-pruned key+partition scan (parquet reads two
+    * columns), so a key migrating partitions drops its old row.
+    */
+  private def snapshotForUpsert(incoming: DataFrame): (Seq[FileAdd], DataFrame) = {
+    val live = log.liveFiles()
+    config.partitionCol match {
+      case None => (live, readOrEmpty(live))
+      case Some(pc) =>
+        val touched = renderedPartitions(incoming, pc) ++
+          (if (config.globalIndex) partitionsHoldingKeys(incoming, live)
+           else Set.empty)
+        val files = live.filter(f => touched.contains(f.partition))
+        (files, readOrEmpty(files))
+    }
+  }
+
+  /** Partition values present in `df`, string-rendered the way Spark
+    * renders partition directories (null → __HIVE_DEFAULT_PARTITION__).
+    * Metadata-scale collect: bounded by the touched-partition count.
+    */
+  private def renderedPartitions(df: DataFrame, pc: String): Set[String] =
+    df.select(coalesce(col(pc).cast("string"), lit(NullPartition)).as("p"))
+      .distinct().collect().map(_.getString(0)).toSet
+
+  /** Global-index lookup: which live partitions currently hold any of the
+    * record keys in `df`? A column-pruned key+partition parquet scan
+    * (Hudi GLOBAL_SIMPLE's strategy) — reads 2-3 columns, never payloads.
+    */
+  private def partitionsHoldingKeys(df: DataFrame, live: Seq[FileAdd]): Set[String] = {
+    val pc = config.partitionCol.get
+    if (live.isEmpty) Set.empty
+    else readFiles(live)
+      .join(df.select(config.keyCols.map(col): _*).distinct(),
+        config.keyCols, "left_semi")
+      .select(coalesce(col(pc).cast("string"), lit(NullPartition)).as("p"))
+      .distinct().collect().map(_.getString(0)).toSet
+  }
+
+  private def readOrEmpty(files: Seq[FileAdd]): DataFrame =
+    if (files.nonEmpty) readFiles(files)
+    else {
+      val schema = log.schemaJsonAsOf(None)
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(new StructType())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Write `df` under a fresh commit directory, then append the commit
+    * JSON (files-then-log ordering = crash safety; see CommitLog).
+    */
+  private def writeCommit(
+      df: DataFrame, op: String, removes: Seq[String],
+      fixedId: Option[Long] = None): Long = {
+    val id = fixedId.getOrElse(log.nextId)
+    val dir = dataDir(id)
+    val writer = config.partitionCol match {
+      case Some(pc) =>
+        // keep the real column in the data; duplicate it as `_part` for the
+        // Hive-style directory layout (the reference instead mangled the
+        // column value itself, HudiJarGlueJob.py:102 — deliberate deviation,
+        // SURVEY.md §7.4). repartition by _part clusters each partition's
+        // rows into few files instead of tasks×partitions small files —
+        // the small-file management the reference disabled
+        // (hoodie.parquet.small.file.limit: 0, HudiJarGlueJob.py:77).
+        df.withColumn("_part", coalesce(col(pc).cast("string"), lit(NullPartition)))
+          .repartition(col("_part"))
+          .write.partitionBy("_part")
+      case None => df.write
+    }
+    writer.mode("error").parquet(dir.toString)
+    val fs = dir.getFileSystem(hconf)
+    val adds = listParquet(fs, dir).map { p =>
+      val part = p.getParent.getName match {
+        case seg if seg.startsWith("_part=") => seg.stripPrefix("_part=")
+        case _ => ""
+      }
+      FileAdd(p.toString, part)
+    }
+    val schemaJson = df.drop("_part").schema.json
+    log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds, removes))
+    id
+  }
+
+  private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+    }
+    buf.result()
+  }
+}
+
+object LakeTable {
+  /** Spark's directory name for a null partition value. */
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  def apply(spark: SparkSession, config: LakeTableConfig): LakeTable =
+    new LakeTable(spark, config)
+}

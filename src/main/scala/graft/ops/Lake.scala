@@ -1,0 +1,114 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables => T}
+import graft.lake.{LakeTable, LakeTableConfig}
+
+/** Lake-table queries: the reference's flagship CDC flow (bulk insert →
+  * upsert → stale upsert → delete, SURVEY.md §2.2 W2/W3/W5 and §3.2)
+  * replayed deterministically over the `lineitem` fixture so every stage is
+  * DuckDB-oracle-checkable (the oracle expresses precombine as a
+  * `row_number()` window over the unioned batches — SURVEY.md §5.3).
+  *
+  * Batches (keyed on (l_orderkey, l_linenumber), precombine `update_ts`,
+  * partitioned by l_returnflag — so upserts rewrite ONLY the R partition):
+  *   c0 bulk_insert: full lineitem, update_ts=0
+  *   c1 upsert:      R rows, l_quantity+100, update_ts=1  (wins)
+  *   c2 upsert:      R rows, l_quantity+1000, update_ts=0 (stale — loses)
+  *   c3 delete:      keys of rows with l_returnflag='A' AND l_linenumber<=2
+  */
+object Lake {
+
+  private val dataCols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+  private def batches(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+    // aggregate to one row per key so the CDC replay has a well-defined
+    // record key (mirrored in the oracle's `li` CTE)
+    val li = T.lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(max(col("l_returnflag")).as("l_returnflag"),
+        max(col("l_quantity")).as("l_quantity"))
+    val b0 = li.withColumn("update_ts", lit(0))
+    val b1 = li.filter(col("l_returnflag") === "R")
+      .withColumn("l_quantity", col("l_quantity") + 100)
+      .withColumn("update_ts", lit(1))
+    val b2 = li.filter(col("l_returnflag") === "R")
+      .withColumn("l_quantity", col("l_quantity") + 1000)
+      .withColumn("update_ts", lit(0))
+    val delKeys = li.filter(col("l_returnflag") === "A" && col("l_linenumber") <= 2)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    (b0, b1, b2, delKeys)
+  }
+
+  /** Build the CDC table once per (JVM, sfDir); queries below read views. */
+  private val cache = new ConcurrentHashMap[String, LakeTable]()
+
+  private[graft] def cdcTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(d, _ => {
+      val root = s"/tmp/graft_lake/cdc_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("l_orderkey", "l_linenumber"),
+        precombineCol = "update_ts", partitionCol = Some("l_returnflag")))
+      val (b0, b1, b2, delKeys) = batches(s, d)
+      t.bulkInsert(b0)   // c0
+      t.upsert(b1)       // c1
+      t.upsert(b2)       // c2 (stale)
+      t.delete(delKeys)  // c3
+      t
+    })
+
+  private def proj(df: DataFrame): DataFrame =
+    df.select((dataCols :+ "update_ts").map(col): _*)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val liCte =
+    """li AS (SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+                   max(l_quantity) AS l_quantity
+              FROM lineitem GROUP BY l_orderkey, l_linenumber)"""
+
+  private val mergedCte =
+    s"""WITH $liCte,
+       b0 AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                   0 AS update_ts, 0 AS batch FROM li),
+       b1 AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity+100 AS l_quantity,
+                   1 AS update_ts, 1 AS batch FROM li WHERE l_returnflag='R'),
+       b2 AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity+1000 AS l_quantity,
+                   0 AS update_ts, 2 AS batch FROM li WHERE l_returnflag='R'),
+       u AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+       merged AS (
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, update_ts FROM (
+           SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                       ORDER BY update_ts DESC, batch DESC) AS rn FROM u) t
+         WHERE rn = 1)"""
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery("lake_upsert_snapshot",
+      (s, d) => proj(cdcTable(s, d).readAsOf(2)),
+      Some(s"""$mergedCte
+        SELECT * FROM merged ORDER BY l_orderkey, l_linenumber""")),
+
+    GQuery("lake_delete_snapshot",
+      (s, d) => proj(cdcTable(s, d).read()),
+      Some(s"""$mergedCte
+        SELECT m.* FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM li k
+          WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+            AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
+        ORDER BY m.l_orderkey, m.l_linenumber""")),
+
+    GQuery("lake_time_travel",
+      (s, d) => proj(cdcTable(s, d).readAsOf(0)),
+      Some(s"""WITH $liCte
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+          0 AS update_ts
+        FROM li ORDER BY l_orderkey, l_linenumber"""))
+  )
+}

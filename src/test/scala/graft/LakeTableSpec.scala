@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake.{LakeTable, LakeTableConfig}
+
+/** LakeTable semantics per SURVEY.md §5.1/§5.2: upsert insert/update/mixed,
+  * precombine tie-break, stale batches, delete, empty batch, unpartitioned
+  * variant, snapshot isolation / time travel, cleaner retention, crash
+  * invisibility, and the reference's day-minus/0/1 CDC replay
+  * (glue/NYTaxiDataPrep.py:37-48).
+  */
+class LakeTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("laketest").resolve("tbl").toString
+
+  private def cfg(root: String, part: Option[String] = Some("vendorid")) =
+    LakeTableConfig(root, keyCols = Seq("pk"), precombineCol = "ts", partitionCol = part)
+
+  private def df(rows: (Long, Int, String, Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("pk", "vendorid", "payload", "ts")
+  }
+
+  private def snap(t: LakeTable): Set[(Long, Int, String, Int)] = {
+    import spark.implicits._
+    t.read().select($"pk", $"vendorid", $"payload", $"ts")
+      .as[(Long, Int, String, Int)].collect().toSet
+  }
+
+  test("bulk insert then read returns the data plus metadata columns") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    val out = t.read()
+    assert(out.columns.toSet.contains("_commit_id"))
+    assert(out.columns.toSet.contains("_record_key"))
+    assert(snap(t) == Set((1L, 1, "a", 0), (2L, 2, "b", 0)))
+  }
+
+  test("upsert updates matched keys, inserts new, leaves rest") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    t.upsert(df((1L, 1, "a2", 1), (3L, 1, "c", 1)))
+    assert(snap(t) == Set((1L, 1, "a2", 1), (2L, 2, "b", 0), (3L, 1, "c", 1)))
+  }
+
+  test("stale precombine loses to the row already in the table") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "new", 5)))
+    t.upsert(df((1L, 1, "old", 3)))
+    assert(snap(t) == Set((1L, 1, "new", 5)))
+  }
+
+  test("equal precombine: later commit wins") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "first", 5)))
+    t.upsert(df((1L, 1, "second", 5)))
+    assert(snap(t) == Set((1L, 1, "second", 5)))
+  }
+
+  test("duplicate keys within one batch: highest precombine wins") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((9L, 1, "seed", 0)))
+    t.upsert(df((1L, 1, "v1", 1), (1L, 1, "v2", 2), (1L, 1, "stale", 0)))
+    assert(snap(t) == Set((9L, 1, "seed", 0), (1L, 1, "v2", 2)))
+  }
+
+  test("delete removes keys; other partitions untouched") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0), (3L, 1, "c", 0)))
+    t.delete(df((1L, 1, "ignored", 0)))
+    assert(snap(t) == Set((2L, 2, "b", 0), (3L, 1, "c", 0)))
+  }
+
+  test("empty upsert and empty delete are no-ops (no new commit)") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    val before = t.log.latestId
+    t.upsert(df().limit(0))
+    t.delete(df().limit(0))
+    assert(t.log.latestId == before)
+  }
+
+  test("time travel: each commit's snapshot is reproducible") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    val c0 = t.bulkInsert(df((1L, 1, "a", 0)))
+    val c1 = t.upsert(df((1L, 1, "a2", 1)))
+    val c2 = t.upsert(df((2L, 2, "b", 2)))
+    import spark.implicits._
+    def at(id: Long) = t.readAsOf(id).select($"pk", $"payload")
+      .as[(Long, String)].collect().toSet
+    assert(at(c0) == Set((1L, "a")))
+    assert(at(c1) == Set((1L, "a2")))
+    assert(at(c2) == Set((1L, "a2"), (2L, "b")))
+    intercept[IllegalArgumentException](t.readAsOf(99))
+  }
+
+  test("unpartitioned variant (NonpartitionedKeyGenerator path)") {
+    val t = LakeTable(spark, cfg(freshRoot(), part = None))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    t.upsert(df((2L, 2, "b2", 1)))
+    t.delete(df((1L, 1, "x", 0)))
+    assert(snap(t) == Set((2L, 2, "b2", 1)))
+  }
+
+  test("upsert is idempotent") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    val b = df((1L, 1, "a2", 1), (2L, 1, "b", 1))
+    t.upsert(b)
+    val once = snap(t)
+    t.upsert(b)
+    assert(snap(t) == once)
+  }
+
+  test("orphan data files (crashed write) are invisible to readers") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    val before = snap(t)
+    // simulate a crashed write: parquet lands in the data area, no commit
+    df((666L, 1, "ghost", 9)).write
+      .parquet(t.config.root + "/data/c99999999-dead/_part=1")
+    assert(snap(t) == before)
+  }
+
+  test("cleaner retains last N commits; latest read survives") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.upsert(df((1L, 1, "a2", 1)))
+    t.upsert(df((1L, 1, "a3", 2)))
+    t.clean(retain = 1)
+    assert(snap(t) == Set((1L, 1, "a3", 2)))
+    intercept[IllegalArgumentException](t.readAsOf(0))
+  }
+
+  // glue/NYTaxiDataPrep.py:37-48: day-minus rewrites vendorid==1 rows to
+  // vendorid=0 at ts=now-5d; day0 is the full set at ts=now; day1 rewrites
+  // the same keys to vendorid=9 at ts=now+1d. vendorid is ALSO the
+  // partition path, so the replay exercises keys migrating partitions.
+  private def cdcBatches = {
+    val base = df((1L, 1, "r1", 100), (2L, 1, "r2", 100),
+      (3L, 2, "r3", 100), (4L, 3, "r4", 100))
+    val dayMinus = base.filter(col("vendorid") === 1)
+      .withColumn("vendorid", lit(0)).withColumn("ts", lit(50))
+    val day1 = base.filter(col("vendorid") === 1)
+      .withColumn("vendorid", lit(9)).withColumn("ts", lit(200))
+    (dayMinus, base, day1)
+  }
+
+  test("reference CDC replay, partition-scoped index (Hudi default)") {
+    // non-global index = Hudi's default: a key migrating partitions leaves
+    // its old partition's row behind — exactly what the reference produces
+    val (dayMinus, day0, day1) = cdcBatches
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(dayMinus)
+    t.upsert(day0)
+    t.upsert(day1)
+    assert(snap(t) == Set(
+      (1L, 0, "r1", 50), (2L, 0, "r2", 50),     // day-minus rows, part 0
+      (1L, 1, "r1", 100), (2L, 1, "r2", 100),   // day0 rows, part 1
+      (1L, 9, "r1", 200), (2L, 9, "r2", 200),   // day1 rows, part 9
+      (3L, 2, "r3", 100), (4L, 3, "r4", 100)))
+  }
+
+  test("reference CDC replay, global index: one row per key table-wide") {
+    val (dayMinus, day0, day1) = cdcBatches
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCol = Some("vendorid"), globalIndex = true))
+    t.bulkInsert(dayMinus)
+    t.upsert(day0)
+    t.upsert(day1)
+    assert(snap(t) == Set((1L, 9, "r1", 200), (2L, 9, "r2", 200),
+      (3L, 2, "r3", 100), (4L, 3, "r4", 100)))
+  }
+}
