@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GQuery, Tables => T}
+
+/** Similarity search over the `embeddings` fixture (SURVEY.md §2.6;
+  * BASELINE.json north star: "similarity search").
+  *
+  * Two paths, mirroring how this is done at 100 TB:
+  *  - Brute-force cosine top-k: broadcast the (small) query set against the
+  *    corpus — one scan, no shuffle of the corpus, codegen'd higher-order
+  *    functions for the dot product. The right baseline when |queries| is
+  *    small; cost O(N·|Q|·dim) but embarrassingly parallel.
+  *  - LSH (random hyperplanes) bucketed ANN: corpus is pre-bucketed by a
+  *    deterministic signature; a query probes only its bucket — the scan
+  *    shrinks by ~2^bits. This is the scale path (IVF-style pruning); at
+  *    100 TB the bucketed table would be written partitioned by bucket so
+  *    probes are partition-pruned scans.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val NumQueries = 5
+  private val TopK = 10
+
+  /** embedding as array<double> (both engines compute in double) */
+  private val vd: Column = expr("transform(embedding, x -> cast(x AS double))")
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
+
+  private def norm(a: String): Column =
+    expr(s"sqrt(aggregate(transform($a, x -> x * x), 0D, (s, x) -> s + x))")
+
+  /** Deterministic ±1 hyperplane weights (LCG on (plane, dim) index) —
+    * no RNG state, reproducible across runs and engines.
+    */
+  private def planeWeights(nPlanes: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until Dim).map { i =>
+        val x = (p * Dim + i) * 6364136223846793005L + 1442695040888963407L
+        if (((x >>> 33) & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d).select(col("vec_id"), vd.as("v"))
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+
+  private def rankTopK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val queries: Seq[GQuery] = Seq(
+
+    // ---- brute-force cosine top-k (oracle-checked) --------------------
+    GQuery("emb_cosine_topk",
+      (s, d) => {
+        val scored = corpus(s, d)
+          .crossJoin(broadcast(queriesDf(s, d)))
+          .filter(col("vec_id") =!= col("qid"))
+          // round BEFORE ranking so both engines rank identical values
+          .withColumn("sim", round(
+            dot("v", "qv") / (norm("v") * norm("qv")), 4))
+        rankTopK(scored)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        x AS (SELECT vec_id, unnest(v) AS xv, generate_subscripts(v, 1) AS i FROM e),
+        nrm AS (SELECT vec_id, sqrt(sum(xv * xv)) AS nv FROM x GROUP BY 1),
+        q AS (SELECT vec_id AS qid, i AS qi, xv AS qx FROM x WHERE vec_id < $NumQueries),
+        dots AS (SELECT q.qid, x.vec_id, sum(q.qx * x.xv) AS dt
+                 FROM q JOIN x ON x.i = q.qi AND x.vec_id <> q.qid
+                 GROUP BY 1, 2),
+        scored AS (SELECT d.qid, d.vec_id,
+                     round(d.dt / (na.nv * nb.nv), 4) AS sim
+                   FROM dots d
+                   JOIN nrm na ON na.vec_id = d.qid
+                   JOIN nrm nb ON nb.vec_id = d.vec_id)
+        SELECT qid, vec_id, sim, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, vec_id) AS INT) AS rnk
+          FROM scored) t
+        WHERE rnk <= $TopK ORDER BY qid, rnk""")),
+
+    // ---- LSH-bucketed ANN (scale path; rows-only, AnnSpec checks recall)
+    GQuery("emb_ann_lsh",
+      (s, d) => {
+        val nPlanes = 6
+        val planes = planeWeights(nPlanes)
+        val planesLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+        def bucketOf(vcol: String): Column = expr(
+          s"""aggregate(sequence(0, ${nPlanes - 1}), 0, (acc, p) ->
+                acc + if(aggregate(zip_with($vcol, pl[p], (x, w) -> x * w),
+                         0D, (s, x) -> s + x) > 0D,
+                       shiftleft(1, p), 0))""")
+        val bucketed = corpus(s, d).withColumn("pl", planesLit)
+          .withColumn("bucket", bucketOf("v")).drop("pl")
+        val qb = queriesDf(s, d).withColumn("pl", planesLit)
+          .withColumn("qbucket", bucketOf("qv")).drop("pl")
+        val scored = bucketed
+          .join(broadcast(qb), col("bucket") === col("qbucket") &&
+            col("vec_id") =!= col("qid"))
+          .withColumn("sim", round(
+            dot("v", "qv") / (norm("v") * norm("qv")), 4))
+        rankTopK(scored)
+      },
+      None)
+  )
+
+  /** exposed for AnnSpec recall measurement */
+  private[graft] def bruteForce(s: SparkSession, d: String): DataFrame =
+    queries.head.fn(s, d)
+}

@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GQuery, Tables => T}
+
+/** Text-analysis + deduplication operators over the `documents` fixture
+  * (SURVEY.md §2.6; BASELINE.json north star: "dedup, text analysis").
+  *
+  * 100 TB design notes:
+  *  - Everything is built from codegen'd `functions._`/higher-order
+  *    functions — no Scala UDFs in these paths, so whole-stage codegen
+  *    holds and columns prune to (doc_id, text).
+  *  - Near-dup detection uses the inverted-index shingle join (exact
+  *    Jaccard) and MinHash+LSH banding (candidate generation) — the two
+  *    standard shapes that scale: both shuffle on shingle/band keys, never
+  *    cross-join the corpus.
+  */
+object Text {
+
+  /** whitespace tokens of the lower-cased text */
+  private val toks: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** distinct word-trigram shingles (assumes >= 3 tokens, which the
+    * fixture guarantees; min observed is 10) */
+  private val triExpr =
+    """array_distinct(transform(sequence(0, size(tk)-3),
+         i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))"""
+
+  /** (doc_id, shingle) exploded inverted-index input + per-doc set size */
+  private def shingled(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val tri = T.documents(s, d)
+      .withColumn("tk", toks)
+      .select(col("doc_id"), explode(expr(triExpr)).as("sh"))
+    val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    (tri, sizes)
+  }
+
+  /** exact-Jaccard pairs via inverted-index join, filtered at `minJ` */
+  private def jaccardPairs(s: SparkSession, d: String, minJ: Double): DataFrame = {
+    val (tri, sizes) = shingled(s, d)
+    val a = tri.as("a"); val b = tri.as("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private val langSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans"))
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  // MinHash parameters: 16 permutations in 4 bands of 4 rows →
+  // P(candidate) = 1-(1-J^4)^4 ≈ .99 at J=0.9, ≈ .22 at J=0.5
+  private val NumPerm = 16
+  private val BandSize = 4
+
+  val queries: Seq[GQuery] = Seq(
+
+    // ---- exact dedup ---------------------------------------------------
+    GQuery("doc_exact_dedup",
+      (s, d) => T.documents(s, d)
+        .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("fp"),
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // ---- quality / stats ----------------------------------------------
+    GQuery("doc_text_stats",
+      (s, d) => T.documents(s, d)
+        .withColumn("tk", toks)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(col("tk")).as("n_tokens"),
+          size(array_distinct(col("tk"))).as("n_distinct"),
+          // floor-scaled ints, not round(x/y, k): 189/40 = 4.725 rounds to
+          // 4.73 in Spark (decimal-string HALF_UP) but 4.72 in DuckDB
+          // (binary double) — floor has one rule in both engines
+          floor(size(array_distinct(col("tk"))) * lit(10000.0) / size(col("tk")))
+            .as("vocab_ratio_x10k"),
+          floor(length(regexp_replace(col("text"), "\\s", "")) * lit(100.0)
+            / size(col("tk"))).as("avg_token_len_x100"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(length(text) AS INT) AS n_chars,
+        CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens,
+        CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS INT) AS n_distinct,
+        CAST(floor(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) * 10000.0
+          / len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS vocab_ratio_x10k,
+        CAST(floor(length(regexp_replace(text, '\s', '', 'g')) * 100.0
+          / len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS avg_token_len_x100
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- language id (stopword-hit heuristic) -------------------------
+    GQuery("doc_lang_id",
+      (s, d) => {
+        val hits = langSets.map { case (lang, ws) =>
+          expr(s"""size(filter(tk, t -> t IN (${sqlList(ws)})))""").as(s"${lang}_hits")
+        }
+        val pred = expr(
+          """CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                  WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                  WHEN de_hits >= fr_hits THEN 'de'
+                  ELSE 'fr' END""").as("pred_lang")
+        T.documents(s, d).withColumn("tk", toks)
+          .select(col("doc_id") +: hits :+ pred: _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val hitCols = langSets.map { case (lang, ws) =>
+          s"""CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             t -> t IN (${sqlList(ws)}))) AS INT) AS ${lang}_hits"""
+        }.mkString(",\n        ")
+        s"""WITH h AS (SELECT doc_id, $hitCols FROM documents)
+        SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+          CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+               WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+               WHEN de_hits >= fr_hits THEN 'de'
+               ELSE 'fr' END AS pred_lang
+        FROM h ORDER BY doc_id"""
+      }),
+
+    // ---- BPE-ish regex token counting ---------------------------------
+    GQuery("doc_token_count",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          expr("""size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))""")
+            .as("n_subtokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT)
+          AS n_subtokens
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- near-dup: exact Jaccard on word trigrams (inverted index) ----
+    GQuery("doc_ngram_jaccard_pairs",
+      (s, d) => jaccardPairs(s, d, 0.5).orderBy("doc_a", "doc_b"),
+      Some("""WITH tokform AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM tokform),
+        tri AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS sh
+                FROM tok a
+                JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+        pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+                  FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+        FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- near-dup: MinHash + LSH banding (candidate gen + verify) -----
+    // Not ANSI-SQL-expressible (xxhash64 signatures) → rows-only check;
+    // MinHashSpec asserts it finds the same >=0.9 pairs as the exact query.
+    GQuery("doc_minhash_pairs",
+      (s, d) => {
+        val docs = T.documents(s, d).withColumn("tk", toks)
+          .select(col("doc_id"), expr(triExpr).as("tri"))
+        val sigs = docs.select(
+          col("doc_id"), col("tri"),
+          array((0 until NumPerm).map(i =>
+            array_min(transform(col("tri"), sh => xxhash64(lit(i), sh)))): _*)
+            .as("sig"))
+        val bands = sigs.select(col("doc_id"), col("tri"),
+          posexplode(expr(
+            s"transform(sequence(0, ${NumPerm / BandSize - 1}), " +
+            s"b -> hash(slice(sig, b * $BandSize + 1, $BandSize)))")))
+          .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
+        val a = bands.as("a"); val b = bands.as("b")
+        val cand = a.join(b,
+            col("a.band_id") === col("b.band_id") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.tri").as("tri_a"), col("b.tri").as("tri_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .withColumn("inter", size(array_intersect(col("tri_a"), col("tri_b"))))
+          .withColumn("jaccard", round(col("inter") /
+            (size(col("tri_a")) + size(col("tri_b")) - col("inter")), 4))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // ---- fingerprint: SimHash over token hashes -----------------------
+    // 64-bit SimHash: per-token xxhash64, bit-vote per position. Rows-only
+    // (no portable cross-engine 64-bit hash); SimHashSpec checks stability
+    // and that the planted near-dup pairs land within small Hamming radius.
+    GQuery("doc_simhash",
+      (s, d) => T.documents(s, d)
+        .withColumn("tk", toks)
+        .withColumn("th", expr("transform(array_distinct(tk), t -> xxhash64(t))"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 63), 0L, (acc, b) ->
+               acc + if(
+                 aggregate(th, 0L, (s, h) ->
+                   s + if((shiftright(h, b) & 1L) = 1L, 1L, -1L)) > 0L,
+                 shiftleft(1L, b), 0L))"""))
+        .select(col("doc_id"), col("simhash"))
+        .orderBy("doc_id"),
+      None)
+  )
+
+  /** exposed for specs */
+  private[graft] def exactJaccard(s: SparkSession, d: String, minJ: Double): DataFrame =
+    jaccardPairs(s, d, minJ)
+}

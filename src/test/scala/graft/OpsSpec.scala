@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic checks for the operators whose semantics aren't
+  * SQL-expressible for the DuckDB oracle (SURVEY.md §5.1): MinHash+LSH
+  * candidate recall vs exact Jaccard, SimHash locality, LSH-ANN agreement
+  * with brute force, multimodal feature plumbing, and harness contract
+  * invariants.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("contract: every oracle key has a query; names are unique") {
+    val qs = SparkEntry.all.map(_.name)
+    assert(qs.distinct.size == qs.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("minhash LSH pairs are a subset of exact-Jaccard pairs, high recall") {
+    val exact = ops.Text.exactJaccard(spark, sf, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("doc_minhash_pairs")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH+verify must not invent pairs")
+    val high = ops.Text.exactJaccard(spark, sf, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(high.nonEmpty, "fixture should contain planted near-dups")
+    val recall = (high & lsh).size.toDouble / high.size
+    assert(recall >= 0.8, s"recall@J>=0.9 was $recall")
+  }
+
+  test("simhash: near-dup pairs are closer in Hamming space than random") {
+    val sims = run("doc_simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearPairs = ops.Text.exactJaccard(spark, sf, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearPairs.nonEmpty)
+    val nearAvg = nearPairs.map { case (a, b) => ham(sims(a), sims(b)) }.sum.toDouble / nearPairs.size
+    val ids = sims.keys.toSeq.sorted.take(60)
+    val randPairs = for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    val randAvg = randPairs.map { case (a, b) => ham(sims(a), sims(b)) }.sum.toDouble / randPairs.size
+    assert(nearAvg < randAvg / 2,
+      s"near-dup avg Hamming $nearAvg should be far below random $randAvg")
+  }
+
+  test("ann lsh: scores agree with brute force; positive recall") {
+    val bf = run("emb_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = run("emb_ann_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ann.nonEmpty)
+    // same (query, candidate) pair must score identically in both paths
+    val shared = ann.keySet & bf.keySet
+    shared.foreach(k => assert(ann(k) == bf(k)))
+    assert(shared.nonEmpty, "bucketed search should recover some true top-k")
+  }
+
+  test("multimodal: features/frames/meta plumbing is consistent") {
+    val feat = run("multimodal_features").collect()
+    assert(feat.length == 3) // image / audio / video
+    feat.foreach { r =>
+      val e = r.getDouble(1)
+      assert(e >= 0 && e <= math.log(16) + 1e-9, s"entropy $e out of range")
+    }
+    val meta = run("multimodal_meta")
+    val frames = run("multimodal_frames")
+    // one frame per started chunk, totalled across docs
+    val expected = meta.agg(sum("n_chunks")).collect()(0).getLong(0)
+    assert(frames.count() == expected)
+  }
+}
