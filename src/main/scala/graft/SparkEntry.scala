@@ -11,7 +11,8 @@ object SparkEntry {
   /** Every registered engine query (Spark plan + optional DuckDB oracle). */
   def all: Seq[GQuery] =
     ops.Relational.queries ++ ops.Lake.queries ++
-      ops.Text.queries ++ ops.Similarity.queries ++ ops.Multimodal.queries
+      ops.Text.queries ++ ops.Similarity.queries ++
+      ops.Multimodal.queries ++ ops.Events.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

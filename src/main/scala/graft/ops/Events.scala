@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GQuery, Tables => T}
+
+/** Event-time operators over the `events` fixture (SURVEY.md §2.5
+  * streaming row): tumbling/sliding windows and gap-based sessionization —
+  * the batch expressions of the Structured Streaming queries in
+  * graft.streaming (same `window()` call works on a stream with a
+  * watermark; see StreamingSpec).
+  *
+  * All time outputs are epoch-milliseconds BIGINT: the fixture has
+  * ns-precision timestamps, DuckDB keeps ns while Spark truncates to µs,
+  * so raw timestamp outputs would never hash-match (TESTDATA trap).
+  */
+object Events {
+
+  private val GapMs = 30 * 60 * 1000L // 30-minute session gap
+
+  val queries: Seq[GQuery] = Seq(
+
+    // ---- tumbling event-time window -----------------------------------
+    GQuery("ev_hourly_tumbling",
+      (s, d) => T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(unix_millis(col("window.start")).as("hour_ms"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("hour_ms", "event_type"),
+      Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""")),
+
+    // ---- sliding event-time window (1h width, 30m slide) --------------
+    GQuery("ev_sliding_window",
+      (s, d) => T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_millis(col("window.start")).as("win_start_ms"),
+          col("event_type"), col("n_events"))
+        .orderBy("win_start_ms", "event_type"),
+      Some("""WITH e AS (SELECT epoch_ms(ts) AS tms, event_type FROM events),
+        w AS (SELECT unnest([ (tms // 1800000) * 1800000,
+                              (tms // 1800000) * 1800000 - 1800000 ]) AS win_start_ms,
+                     event_type
+              FROM e)
+        SELECT win_start_ms, event_type, count(*) AS n_events
+        FROM w GROUP BY 1, 2 ORDER BY win_start_ms, event_type""")),
+
+    // ---- gap-based sessionization (30-minute inactivity) --------------
+    GQuery("ev_sessionize",
+      (s, d) => {
+        // order by ms-truncated time on BOTH engines: DuckDB sees ns
+        // precision, Spark µs — ordering on raw ts could disagree
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+        val gap = unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser)
+        T.events(s, d)
+          .withColumn("new_sess",
+            when(gap.isNull || gap > GapMs, lit(1)).otherwise(lit(0)))
+          .withColumn("session_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(unix_millis(col("ts"))).as("start_ms"),
+            (max(unix_millis(col("ts"))) - min(unix_millis(col("ts")))).as("duration_ms"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""WITH g AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS tms,
+            CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > $GapMs
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        s AS (
+          SELECT user_id, tms,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, session_id, count(*) AS n_events,
+          min(tms) AS start_ms, max(tms) - min(tms) AS duration_ms
+        FROM s GROUP BY 1, 2 ORDER BY user_id, session_id"""))
+  )
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.lake.LakeTable
+
+/** Structured Streaming surface (SURVEY.md §2.5 streaming row, §7.2 step 6).
+  *
+  * The reference simulates CDC with static daily batches
+  * (glue/NYTaxiDataPrep.py:25-27) upserted one at a time; the continuous
+  * form of that pipeline is `foreachBatch { b => table.upsert(b) }` — each
+  * micro-batch gets the same record-keyed precombine merge, so late or
+  * out-of-order data is resolved exactly like the reference's day-minus
+  * batch (older precombine loses, whenever it arrives).
+  *
+  * At scale: the upsert stream inherits LakeTable's partition-pruned
+  * rewrite, so a micro-batch shuffles only its own keys and rewrites only
+  * touched partitions; windowed aggs carry watermarks so state is bounded.
+  */
+object Streaming {
+
+  /** Continuous ingest: parquet files landing in `srcDir` are upserted
+    * into `table` micro-batch by micro-batch.
+    */
+  def upsertStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      table: LakeTable,
+      checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        table.upsert(batch.toDF()); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Event-time tumbling-window aggregation with a watermark bounding
+    * state; `complete` output keeps the comparison with the batch
+    * expression (ops.Events "ev_hourly_tumbling") exact.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Convenience trigger for tests: drain everything then stop. */
+  def runAvailableNow(q: => StreamingQuery): Unit = {
+    val query = q
+    try query.awaitTermination() finally if (query.isActive) query.stop()
+  }
+}

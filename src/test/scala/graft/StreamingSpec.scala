@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake.{LakeTable, LakeTableConfig}
+import graft.streaming.Streaming
+
+/** Streaming ingest + event-time windows (SURVEY.md §7.2 step 6):
+  * micro-batch upserts through foreachBatch must equal the same batches
+  * upserted directly; windowed streaming aggregation must equal its batch
+  * expression.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def batchDf(rows: (Long, Int, String, Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("pk", "vendorid", "payload", "ts")
+  }
+
+  test("foreachBatch upsert stream equals direct batch upserts") {
+    val src = tmp("stream-src")
+    val b1 = batchDf((1L, 1, "a", 1), (2L, 2, "b", 1))
+    val b2 = batchDf((1L, 1, "a2", 2), (3L, 1, "c", 2))      // update + insert
+    val b3 = batchDf((1L, 1, "stale", 0))                     // late, must lose
+
+    val streamed = LakeTable(spark, LakeTableConfig(
+      tmp("stream-tbl"), Seq("pk"), "ts", Some("vendorid")))
+    b1.write.parquet(s"$src/b1")
+    val q = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        streamed.upsert(batch.toDF()); ()
+      }
+      .option("checkpointLocation", tmp("stream-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      b2.write.parquet(s"$src/b2")
+      b3.write.parquet(s"$src/b3")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val direct = LakeTable(spark, LakeTableConfig(
+      tmp("direct-tbl"), Seq("pk"), "ts", Some("vendorid")))
+    Seq(b1, b2, b3).foreach(direct.upsert(_))
+
+    import spark.implicits._
+    def snap(t: LakeTable) = t.read()
+      .select($"pk", $"vendorid", $"payload", $"ts")
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(snap(streamed) == snap(direct))
+    assert(snap(streamed) == Set((1L, 1, "a2", 2), (2L, 2, "b", 1), (3L, 1, "c", 2)))
+    // micro-batching actually happened (maxFilesPerTrigger=1 → >= 3 commits)
+    assert(streamed.log.commits.size >= 3)
+  }
+
+  test("streaming windowed aggregation equals the batch expression") {
+    val sf = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, sf)
+    val expected = SparkEntry.queries("ev_hourly_tumbling")(spark, sf).collect().toSet
+
+    // streaming source needs a directory; stage the single-file fixture
+    val srcDir = tmp("stream-events")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Streaming.hourlyCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hourly")
+      .orderBy("hour_ms", "event_type").collect().toSet
+    assert(got == expected)
+  }
+}
