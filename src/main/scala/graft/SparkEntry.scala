@@ -12,11 +12,14 @@ object SparkEntry {
   def all: Seq[GQuery] =
     ops.Relational.queries ++ ops.Lake.queries ++
       ops.Text.queries ++ ops.Similarity.queries ++
-      ops.Multimodal.queries ++ ops.Events.queries
+      ops.Multimodal.queries ++ ops.Events.queries ++ ops.Extended.queries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The flagship is the lake CDC replay (SURVEY.md §7.2 step 2): bulk
+    * insert → upsert → stale upsert, read back as a snapshot.
+    */
   def entry(spark: SparkSession): DataFrame =
-    all.head.fn(spark, "/root/testdata/sf0.001")
+    queries("lake_upsert_snapshot")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -152,6 +152,14 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   def clean(retain: Int): Unit = log.clean(retain)
 
+  /** Catalog sync (reference W7, `glue/HudiJarGlueJob.py:80-81` hive_sync):
+    * register the current snapshot under a name in the session catalog so
+    * SQL resolves it. Re-run after each commit, like Hudi's post-write
+    * sync. (Session catalog here ≙ the reference's Glue metastore.)
+    */
+  def syncToCatalog(name: String): Unit =
+    read().createOrReplaceTempView(name)
+
   private def readSnapshot(asOf: Option[Long]): DataFrame = {
     val files = log.liveFiles(asOf)
     if (files.isEmpty) {
@@ -240,12 +248,14 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         // keep the real column in the data; duplicate it as `_part` for the
         // Hive-style directory layout (the reference instead mangled the
         // column value itself, HudiJarGlueJob.py:102 — deliberate deviation,
-        // SURVEY.md §7.4). repartition by _part clusters each partition's
-        // rows into few files instead of tasks×partitions small files —
-        // the small-file management the reference disabled
-        // (hoodie.parquet.small.file.limit: 0, HudiJarGlueJob.py:77).
+        // SURVEY.md §7.4). repartitionByRange on (_part, key) clusters each
+        // partition's rows into contiguous tasks — few files per partition
+        // (the small-file management the reference disabled,
+        // hoodie.parquet.small.file.limit: 0, HudiJarGlueJob.py:77) while
+        // write parallelism still scales with data volume, unlike hashing
+        // everything for one partition value into a single task.
         df.withColumn("_part", coalesce(col(pc).cast("string"), lit(NullPartition)))
-          .repartition(col("_part"))
+          .repartitionByRange((col("_part") +: config.keyCols.map(col)): _*)
           .write.partitionBy("_part")
       case None => df.write
     }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GQuery, Tables => T}
+
+/** Remaining SURVEY.md §2 surface: CSV source with explicit schema (S1) +
+  * parquet-staging write (W1), session-catalog SQL reads (S5/S7) incl. a
+  * view synced over the lake snapshot (W7 catalog-sync equivalent), the
+  * UDAF extension point, and JSON scalar functions.
+  */
+object Extended {
+
+  /** explicit 6-field schema for the CSV round-trip (reference pattern:
+    * 19-field explicit StructType at glue/NYTaxiDataPrep.py:29)
+    */
+  private val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val queries: Seq[GQuery] = Seq(
+
+    // ---- S1: CSV scan, explicit schema + header; W1: staging write ----
+    GQuery("csv_roundtrip",
+      (s, d) => {
+        val stage = s"/tmp/graft_csv/part_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        T.part(s, d).write.mode("overwrite").option("header", "true").csv(stage)
+        s.read.schema(partSchema).option("header", "true").csv(stage)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_parts"),
+            round(sum(col("p_retailprice")), 2).as("total_price"),
+            max(col("p_size")).as("max_size"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_parts,
+        round(sum(p_retailprice), 2) AS total_price, max(p_size) AS max_size
+        FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- S5: SQL text through the session catalog ---------------------
+    // identical SQL text runs on both engines (TPC-H Q3 shape)
+    GQuery("sql_tpch_q3", {
+      val sql = """WITH r AS (
+          SELECT o_orderkey, o_orderdate,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM customer, orders, lineitem
+          WHERE c_mktsegment = 'BUILDING'
+            AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > TIMESTAMP '1996-01-01'
+          GROUP BY o_orderkey, o_orderdate)
+        SELECT * FROM r ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+      (s: org.apache.spark.sql.SparkSession, d: String) => {
+        Seq("customer", "orders", "lineitem")
+          .foreach(n => T.t(s, d, n).createOrReplaceTempView(n))
+        s.sql(sql)
+      }
+    }, Some("""WITH r AS (
+          SELECT o_orderkey, o_orderdate,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM customer, orders, lineitem
+          WHERE c_mktsegment = 'BUILDING'
+            AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > TIMESTAMP '1996-01-01'
+          GROUP BY o_orderkey, o_orderdate)
+        SELECT * FROM r ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ---- W7: catalog sync — SQL over the lake snapshot view -----------
+    GQuery("lake_catalog_sql",
+      (s, d) => {
+        Lake.cdcTable(s, d).syncToCatalog("cdc_snapshot")
+        s.sql("""SELECT l_returnflag, count(*) AS n_rows,
+            round(sum(l_quantity), 2) AS sum_qty
+          FROM cdc_snapshot GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some(s"""${Lake.mergedCte}
+        SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM li k
+          WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+            AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- custom UDAF --------------------------------------------------
+    GQuery("udaf_weighted_avg",
+      (s, d) => {
+        val wavg = udaf(graft.functions.WeightedAvg)
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(floor(wavg(col("l_extendedprice"), col("l_quantity")) * 100)
+            .as("wavg_price_x100"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        CAST(floor(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT)
+          AS wavg_price_x100
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- JSON scalar functions ----------------------------------------
+    GQuery("ev_json_extract",
+      (s, d) => T.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}

@@ -24,14 +24,7 @@ object Lake {
 
   private val dataCols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
 
-  private def batches(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
-    // aggregate to one row per key so the CDC replay has a well-defined
-    // record key (mirrored in the oracle's `li` CTE)
-    val li = T.lineitem(s, d)
-      .groupBy(col("l_orderkey"), col("l_linenumber"))
-      .agg(max(col("l_returnflag")).as("l_returnflag"),
-        max(col("l_quantity")).as("l_quantity"))
+  private def batches(li: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val b0 = li.withColumn("update_ts", lit(0))
     val b1 = li.filter(col("l_returnflag") === "R")
       .withColumn("l_quantity", col("l_quantity") + 100)
@@ -56,11 +49,22 @@ object Lake {
       val t = LakeTable(s, LakeTableConfig(
         root, keyCols = Seq("l_orderkey", "l_linenumber"),
         precombineCol = "update_ts", partitionCol = Some("l_returnflag")))
-      val (b0, b1, b2, delKeys) = batches(s, d)
-      t.bulkInsert(b0)   // c0
-      t.upsert(b1)       // c1
-      t.upsert(b2)       // c2 (stale)
-      t.delete(delKeys)  // c3
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+      // aggregate to one row per key so the CDC replay has a well-defined
+      // record key (mirrored in the oracle's `li` CTE). Cached: all four
+      // batches derive from it.
+      val li = T.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_returnflag")).as("l_returnflag"),
+          max(col("l_quantity")).as("l_quantity"))
+        .persist()
+      try {
+        val (b0, b1, b2, delKeys) = batches(li)
+        t.bulkInsert(b0)   // c0
+        t.upsert(b1)       // c1
+        t.upsert(b2)       // c2 (stale)
+        t.delete(delKeys)  // c3
+      } finally li.unpersist()
       t
     })
 
@@ -73,7 +77,7 @@ object Lake {
                    max(l_quantity) AS l_quantity
               FROM lineitem GROUP BY l_orderkey, l_linenumber)"""
 
-  private val mergedCte =
+  private[ops] val mergedCte =
     s"""WITH $liCte,
        b0 AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
                    0 AS update_ts, 0 AS batch FROM li),

@@ -135,6 +135,17 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == before)
   }
 
+  test("catalog sync: snapshot resolvable by SQL name after each commit") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.syncToCatalog("synced_tbl")
+    assert(spark.catalog.tableExists("synced_tbl"))
+    assert(spark.sql("SELECT count(*) FROM synced_tbl").collect()(0).getLong(0) == 1L)
+    t.upsert(df((2L, 1, "b", 1)))
+    t.syncToCatalog("synced_tbl")
+    assert(spark.sql("SELECT count(*) FROM synced_tbl").collect()(0).getLong(0) == 2L)
+  }
+
   test("cleaner retains last N commits; latest read survives") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))
