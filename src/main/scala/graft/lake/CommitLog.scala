@@ -27,7 +27,13 @@ final case class Commit(
     adds: Seq[FileAdd],
     removes: Seq[String])
 
-final case class FileAdd(path: String, partition: String)
+/** kind: "base" (fully merged file) or "delta" (MoR append, merged at
+  * read time). Jackson yields null for files written before the field
+  * existed — treat as base via [[FileAdd.isDelta]].
+  */
+final case class FileAdd(path: String, partition: String, kind: String = "base") {
+  def isDelta: Boolean = kind == "delta"
+}
 
 /** JSON commit log under `<root>/_log/`. Single-writer (matches the
   * reference's `MaxConcurrentRuns: 1`, `cloud_formation/HudiGlueJobCFn.yml:35`).
@@ -44,7 +50,12 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
   private val logDir = new Path(root, "_log")
   private def fs: FileSystem = logDir.getFileSystem(hadoopConf)
 
-  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+  // tolerate unknown fields: case-class getters (e.g. FileAdd.isDelta)
+  // serialize as extra properties, and future log versions may add fields
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_UNKNOWN_PROPERTIES, false)
 
   private def commitPath(id: Long) = new Path(logDir, f"$id%08d.json")
 

@@ -26,7 +26,19 @@ final case class LakeTableConfig(
       * partition, and superseded rows in other partitions are dropped —
       * found via a column-pruned key+partition scan, not a full read.
       */
-    globalIndex: Boolean = false)
+    globalIndex: Boolean = false,
+    /** "cow" ≙ COPY_ON_WRITE (the reference's active mode,
+      * HudiJarGlueJob.py:76): upsert merges at write time, reads are plain
+      * scans. "mor" ≙ the declared-but-unused MERGE_ON_READ (`:77`):
+      * upsert/delete append cheap delta files (tombstones for deletes),
+      * snapshot reads merge base+delta on the fly, and `compact()`
+      * rewrites deltas into base files (inline-compaction equivalent).
+      */
+    storageType: String = "cow") {
+  require(storageType == "cow" || storageType == "mor",
+    s"storageType must be cow|mor, got $storageType")
+  def isMor: Boolean = storageType == "mor"
+}
 
 /** Copy-on-Write lake table: versioned parquet base files + JSON commit
   * timeline. Re-implements, Spark-first, the Hudi capabilities the
@@ -82,7 +94,30 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   def upsert(batch: DataFrame): Long = {
     if (batch.isEmpty) return log.latestId.getOrElse(-1L)
-    if (!exists) return writeCommit(withMeta(batch, 0L), "bulk_insert", Seq.empty)
+    if (!exists) {
+      // first write still precombines WITHIN the batch: only the explicit
+      // bulkInsert() API skips dedup (the reference's connector job notes
+      // bulk_insert performs no pre-combining, HudiConnectorGlueJob.py:85-86)
+      val incoming = withMeta(batch, 0L)
+        .withColumn("_seq", monotonically_increasing_id())
+      val w = Window.partitionBy(dedupCols.map(col): _*)
+        .orderBy(col(config.precombineCol).desc, col("_seq").desc)
+      val merged = incoming
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_seq")
+      return writeCommit(merged, "upsert", Seq.empty)
+    }
+    if (config.isMor) {
+      // MoR: append the batch as-is as delta files — no read, no merge,
+      // no rewrite; collisions resolve at read time (morMerge). _seq
+      // still pins intra-batch duplicate order.
+      val id = log.nextId
+      val incoming = withMeta(batch, id)
+        .withColumn("_seq", monotonically_increasing_id())
+        .withColumn("_deleted", lit(false))
+      return writeCommit(incoming, "delta_commit", Seq.empty, Some(id), kind = "delta")
+    }
     val id = log.nextId
     // _seq pins a total order for duplicate keys with equal precombine
     // WITHIN one batch (SURVEY.md §7.4 tie-break risk): later row wins.
@@ -93,12 +128,6 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       .persist()
     try {
       val (oldFiles, current) = snapshotForUpsert(incoming)
-      // partition-scoped index: key unique per (partition, key);
-      // global index: key unique table-wide (SURVEY.md §1.1 record key)
-      val dedupCols = (config.partitionCol match {
-        case Some(pc) if !config.globalIndex => Seq(pc)
-        case _ => Seq.empty
-      }) ++ config.keyCols
       val w = Window.partitionBy(dedupCols.map(col): _*)
         .orderBy(col(config.precombineCol).desc, col("_commit_id").desc,
           col("_seq").desc_nulls_last)
@@ -119,6 +148,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   def delete(keys: DataFrame): Long = {
     if (keys.isEmpty) return log.latestId.getOrElse(-1L)
     require(exists, s"table ${config.root} does not exist")
+    if (config.isMor) return morDelete(keys)
     val id = log.nextId
     // prune to the partitions that can hold the doomed keys: from the keys
     // frame itself when it carries the partition column (non-global), or
@@ -167,8 +197,85 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         .map(j => DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(new StructType())
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readFiles(files)
+    } else if (files.exists(_.isDelta)) morMerge(readFiles(files))
+    else readFiles(files)
   }
+
+  /** MoR read-time merge over base ∪ delta rows. Per dedup key:
+    *  1. rows at or before the latest tombstone commit are gone (delete
+    *     wins over any earlier write regardless of precombine — the CoW
+    *     anti-join semantics, expressed on the timeline);
+    *  2. among survivors, precombine-latest wins (ties: commit, then
+    *     intra-batch _seq).
+    * One shuffle: both windows share the dedup-key partitioning.
+    */
+  private def morMerge(df: DataFrame): DataFrame = {
+    val keyW = Window.partitionBy(dedupCols.map(col): _*)
+    val deleted = coalesce(col("_deleted"), lit(false)) // base files lack the column
+    val withDel = df.withColumn("_del_cid",
+      max(when(deleted, col("_commit_id"))).over(keyW))
+    val w = keyW.orderBy(col(config.precombineCol).desc, col("_commit_id").desc,
+      col("_seq").desc_nulls_last)
+    withDel
+      .filter(!deleted && col("_commit_id") > coalesce(col("_del_cid"), lit(-1L)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_seq", "_deleted", "_del_cid")
+  }
+
+  /** MoR delete: append per-key tombstone rows as a delta commit; the
+    * actual row removal happens in morMerge / compact. The tombstone needs
+    * the partition value so it lands in (and prunes to) the right
+    * directory — attached from the key+partition index when absent.
+    */
+  private def morDelete(keys: DataFrame): Long = {
+    val id = log.nextId
+    val keyed = keys.select(
+      (config.keyCols ++ config.partitionCol.filter(keys.columns.contains))
+        .distinct.map(col): _*).distinct()
+    val placed = config.partitionCol match {
+      case Some(pc) if !keyed.columns.contains(pc) =>
+        // column-pruned index scan: key -> current partition(s)
+        readFiles(log.liveFiles())
+          .select((config.keyCols :+ pc).map(col): _*).distinct()
+          .join(keyed, config.keyCols, "left_semi")
+      case _ => keyed
+    }
+    val tombstones = withMeta(placed, id)
+      .withColumn(config.precombineCol,
+        lit(null).cast(schemaOf(config.precombineCol)))
+      .withColumn("_seq", monotonically_increasing_id())
+      .withColumn("_deleted", lit(true))
+    writeCommit(tombstones, "delete_delta", Seq.empty, Some(id), kind = "delta")
+  }
+
+  /** Compaction (the reference's declared inline-compaction knobs,
+    * `glue/HudiJarGlueJob.py:77`): materialize the merged snapshot and
+    * rewrite it as base files, superseding every live base+delta file.
+    * Reads after compaction are plain scans again.
+    */
+  def compact(): Long = {
+    require(config.isMor, "compact() applies to merge-on-read tables")
+    val live = log.liveFiles()
+    if (!live.exists(_.isDelta)) return log.latestId.getOrElse(-1L)
+    val merged = morMerge(readFiles(live))
+    writeCommit(merged, "compact", live.map(_.path))
+  }
+
+  private def schemaOf(colName: String): DataType =
+    log.schemaJsonAsOf(None)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .flatMap(s => s.fields.find(_.name == colName).map(_.dataType))
+      .getOrElse(org.apache.spark.sql.types.StringType)
+
+  /** partition-scoped index: key unique per (partition, key);
+    * global index: key unique table-wide (SURVEY.md §1.1 record key)
+    */
+  private def dedupCols: Seq[String] =
+    (config.partitionCol match {
+      case Some(pc) if !config.globalIndex => Seq(pc)
+      case _ => Seq.empty
+    }) ++ config.keyCols
 
   // mergeSchema: commits may widen the schema over time (upsert unions
   // withName+allowMissing); footer merge is a parallel executor-side job
@@ -240,7 +347,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   private def writeCommit(
       df: DataFrame, op: String, removes: Seq[String],
-      fixedId: Option[Long] = None): Long = {
+      fixedId: Option[Long] = None, kind: String = "base"): Long = {
     val id = fixedId.getOrElse(log.nextId)
     val dir = dataDir(id)
     val writer = config.partitionCol match {
@@ -266,7 +373,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         case seg if seg.startsWith("_part=") => seg.stripPrefix("_part=")
         case _ => ""
       }
-      FileAdd(p.toString, part)
+      FileAdd(p.toString, part, kind)
     }
     val schemaJson = df.drop("_part").schema.json
     log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds, removes))

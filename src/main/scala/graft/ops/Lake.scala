@@ -37,18 +37,25 @@ object Lake {
     (b0, b1, b2, delKeys)
   }
 
-  /** Build the CDC table once per (JVM, sfDir); queries below read views. */
+  /** Build the CDC table once per (JVM, sfDir, mode); queries read views. */
   private val cache = new ConcurrentHashMap[String, LakeTable]()
 
   private[graft] def cdcTable(s: SparkSession, d: String): LakeTable =
-    cache.computeIfAbsent(d, _ => {
-      val root = s"/tmp/graft_lake/cdc_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    buildCdc(s, d, "cow")
+
+  private[graft] def morCdcTable(s: SparkSession, d: String): LakeTable =
+    buildCdc(s, d, "mor")
+
+  private def buildCdc(s: SparkSession, d: String, mode: String): LakeTable =
+    cache.computeIfAbsent(s"$d:$mode", _ => {
+      val root = s"/tmp/graft_lake/cdc_${mode}_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val t = LakeTable(s, LakeTableConfig(
         root, keyCols = Seq("l_orderkey", "l_linenumber"),
-        precombineCol = "update_ts", partitionCol = Some("l_returnflag")))
+        precombineCol = "update_ts", partitionCol = Some("l_returnflag"),
+        storageType = mode))
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
       // aggregate to one row per key so the CDC replay has a well-defined
       // record key (mirrored in the oracle's `li` CTE). Cached: all four
@@ -113,6 +120,32 @@ object Lake {
       Some(s"""WITH $liCte
         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
           0 AS update_ts
-        FROM li ORDER BY l_orderkey, l_linenumber"""))
+        FROM li ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- merge-on-read: same CDC flow, deltas merged at read time -----
+    // (reference W6, declared MERGE_ON_READ config, HudiJarGlueJob.py:77);
+    // same oracle as lake_delete_snapshot — storage modes must agree
+    GQuery("lake_mor_snapshot",
+      (s, d) => proj(morCdcTable(s, d).read()),
+      Some(s"""$mergedCte
+        SELECT m.* FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM li k
+          WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+            AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
+        ORDER BY m.l_orderkey, m.l_linenumber""")),
+
+    // after compaction the same snapshot must come from base files only
+    GQuery("lake_mor_compacted",
+      (s, d) => {
+        val t = morCdcTable(s, d)
+        t.compact()
+        proj(t.read())
+      },
+      Some(s"""$mergedCte
+        SELECT m.* FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM li k
+          WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+            AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
+        ORDER BY m.l_orderkey, m.l_linenumber"""))
   )
 }

@@ -25,14 +25,13 @@ object Similarity {
   private val NumQueries = 5
   private val TopK = 10
 
-  /** embedding as array<double> (both engines compute in double) */
-  private val vd: Column = expr("transform(embedding, x -> cast(x AS double))")
-
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
-
-  private def norm(a: String): Column =
-    expr(s"sqrt(aggregate(transform($a, x -> x * x), 0D, (s, x) -> s + x))")
+  /** Single-pass codegen'd cosine (graft.functions.CosineSimilarity) —
+    * widens float elements to double per element, so results are
+    * bit-identical to the HOF `aggregate(zip_with(...))` formulation it
+    * replaced, and the float arrays need no cast pass.
+    */
+  private def cosine(a: String, b: String): Column =
+    graft.functions.CosineSimilarity.cosineSim(col(a), col(b))
 
   /** Deterministic ±1 hyperplane weights (LCG on (plane, dim) index) —
     * no RNG state, reproducible across runs and engines.
@@ -46,7 +45,7 @@ object Similarity {
     }
 
   private def corpus(s: SparkSession, d: String): DataFrame =
-    T.embeddings(s, d).select(col("vec_id"), vd.as("v"))
+    T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     corpus(s, d).filter(col("vec_id") < NumQueries)
@@ -69,8 +68,7 @@ object Similarity {
           .crossJoin(broadcast(queriesDf(s, d)))
           .filter(col("vec_id") =!= col("qid"))
           // round BEFORE ranking so both engines rank identical values
-          .withColumn("sim", round(
-            dot("v", "qv") / (norm("v") * norm("qv")), 4))
+          .withColumn("sim", round(cosine("v", "qv"), 4))
         rankTopK(scored)
       },
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -109,8 +107,7 @@ object Similarity {
         val scored = bucketed
           .join(broadcast(qb), col("bucket") === col("qbucket") &&
             col("vec_id") =!= col("qid"))
-          .withColumn("sim", round(
-            dot("v", "qv") / (norm("v") * norm("qv")), 4))
+          .withColumn("sim", round(cosine("v", "qv"), 4))
         rankTopK(scored)
       },
       None)

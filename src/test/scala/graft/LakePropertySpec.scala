@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake.{LakeTable, LakeTableConfig}
+
+/** Property-based upsert laws (SURVEY.md §5.4): idempotence, disjoint-key
+  * commutativity, and latest-wins under random interleavings, checked
+  * against an in-memory model. Small case counts — every case spins real
+  * Spark jobs.
+  */
+class LakePropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private type Rec = (Long, Int, String, Int) // pk, vendorid, payload, ts
+
+  private def table(): LakeTable = LakeTable(spark, LakeTableConfig(
+    Files.createTempDirectory("lakeprop").resolve("t").toString,
+    Seq("pk"), "ts", partitionCol = Some("vendorid")))
+
+  private def toDf(rows: Seq[Rec]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("pk", "vendorid", "payload", "ts")
+  }
+
+  private def snap(t: LakeTable): Set[Rec] = {
+    import spark.implicits._
+    t.read().select($"pk", $"vendorid", $"payload", $"ts")
+      .as[Rec].collect().toSet
+  }
+
+  private val recGen: Gen[Rec] = for {
+    pk <- Gen.choose(1L, 6L)
+    vid <- Gen.choose(1, 2)
+    payload <- Gen.alphaStr.map(_.take(4))
+    ts <- Gen.choose(0, 5)
+  } yield (pk, vid, payload, ts)
+
+  private val batchGen: Gen[List[Rec]] = Gen.listOfN(4, recGen)
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("upsert is idempotent for arbitrary batches") {
+    check("idempotence", Prop.forAll(batchGen) { rows =>
+      val t = table()
+      t.upsert(toDf(rows))
+      val once = snap(t)
+      t.upsert(toDf(rows))
+      snap(t) == once
+    })
+  }
+
+  test("upserts of disjoint-key batches commute") {
+    check("commutativity", Prop.forAll(batchGen, batchGen) { (a0, b0) =>
+      val a = a0.filter(_._1 <= 3)
+      val b = b0.filter(_._1 > 3)
+      val t1 = table(); val t2 = table()
+      if (a.nonEmpty) t1.upsert(toDf(a))
+      if (b.nonEmpty) t1.upsert(toDf(b))
+      if (b.nonEmpty) t2.upsert(toDf(b))
+      if (a.nonEmpty) t2.upsert(toDf(a))
+      snap(t1) == snap(t2)
+    })
+  }
+
+  test("latest (ts, arrival) wins per (partition, key) against a model") {
+    check("latest-wins", Prop.forAll(Gen.listOfN(3, batchGen)) { batches =>
+      val t = table()
+      batches.filter(_.nonEmpty).foreach(b => t.upsert(toDf(b)))
+      // model: per (partition, key), max by (ts, batch index, row index)
+      val model = batches.zipWithIndex
+        .flatMap { case (b, bi) => b.zipWithIndex.map { case (r, ri) => (r, bi, ri) } }
+        .groupBy { case (r, _, _) => (r._1, r._2) } // (pk, vendorid)
+        .values.map(_.maxBy { case (r, bi, ri) => (r._4, bi, ri) }._1)
+        .toSet
+      batches.forall(_.isEmpty) || snap(t) == model
+    })
+  }
+}

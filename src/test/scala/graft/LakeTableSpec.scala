@@ -135,6 +135,58 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == before)
   }
 
+  private def morCfg(root: String) = LakeTableConfig(root, Seq("pk"), "ts",
+    partitionCol = Some("vendorid"), storageType = "mor")
+
+  test("merge-on-read: delta upserts merge at read time") {
+    val t = LakeTable(spark, morCfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    t.upsert(df((1L, 1, "a2", 1), (3L, 1, "c", 1)))
+    t.upsert(df((1L, 1, "stale", 0)))            // must lose to ts=1
+    assert(t.log.liveFiles().count(_.isDelta) > 0, "upserts should be deltas")
+    assert(snap(t) == Set((1L, 1, "a2", 1), (2L, 2, "b", 0), (3L, 1, "c", 1)))
+  }
+
+  test("merge-on-read: tombstone delete wins over earlier writes, loses to later") {
+    val t = LakeTable(spark, morCfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 5), (2L, 1, "b", 5)))
+    t.delete(df((1L, 1, "x", 0)))                 // no partition col needed
+    assert(snap(t) == Set((2L, 1, "b", 5)))
+    t.upsert(df((1L, 1, "reborn", 1)))            // later commit revives key
+    assert(snap(t) == Set((1L, 1, "reborn", 1), (2L, 1, "b", 5)))
+  }
+
+  test("merge-on-read: compact rewrites deltas into base; snapshot unchanged") {
+    val t = LakeTable(spark, morCfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    t.upsert(df((1L, 1, "a2", 1)))
+    t.delete(df((2L, 2, "x", 0)))
+    val before = snap(t)
+    t.compact()
+    assert(t.log.liveFiles().forall(!_.isDelta), "compaction leaves only base")
+    assert(snap(t) == before)
+    assert(snap(t) == Set((1L, 1, "a2", 1)))
+    // compaction is a no-op when nothing to merge
+    val last = t.log.latestId
+    t.compact()
+    assert(t.log.latestId == last)
+  }
+
+  test("merge-on-read equals copy-on-write over the same batch sequence") {
+    val batches = Seq(
+      df((1L, 1, "a", 2), (2L, 2, "b", 2), (3L, 1, "c", 2)),
+      df((1L, 1, "upd", 3), (4L, 3, "d", 1)),
+      df((3L, 1, "stale", 0)))
+    val cow = LakeTable(spark, cfg(freshRoot()))
+    val mor = LakeTable(spark, morCfg(freshRoot()))
+    batches.foreach { b => cow.upsert(b); mor.upsert(b) }
+    cow.delete(df((2L, 2, "x", 0)))
+    mor.delete(df((2L, 2, "x", 0)))
+    assert(snap(cow) == snap(mor))
+    mor.compact()
+    assert(snap(cow) == snap(mor))
+  }
+
   test("catalog sync: snapshot resolvable by SQL name after each commit") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))
