@@ -179,6 +179,16 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     readSnapshot(Some(commitId))
   }
 
+  /** Incremental query (Hudi's third read type, beside snapshot and
+    * read-optimized): current row versions ingested AFTER `fromCommit`.
+    * Row versions keep the `_commit_id` of the commit that ingested them
+    * across CoW rewrites, so this is a metadata-column filter on the
+    * snapshot — at scale the filter prunes via parquet min/max stats on
+    * `_commit_id` since commit directories are written per commit.
+    */
+  def readIncremental(fromCommit: Long): DataFrame =
+    read().filter(col("_commit_id") > fromCommit)
+
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   def clean(retain: Int): Unit = log.clean(retain)
 

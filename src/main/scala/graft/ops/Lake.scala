@@ -134,6 +134,15 @@ object Lake {
             AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
         ORDER BY m.l_orderkey, m.l_linenumber""")),
 
+    // ---- incremental query: current rows ingested after commit 0 ------
+    // in the CDC replay those are exactly the surviving b1 rows
+    // (update_ts=1); b2 never wins and b0 rows predate the cutoff
+    GQuery("lake_incremental",
+      (s, d) => proj(cdcTable(s, d).readIncremental(0)),
+      Some(s"""$mergedCte
+        SELECT m.* FROM merged m WHERE m.update_ts = 1
+        ORDER BY m.l_orderkey, m.l_linenumber""")),
+
     // after compaction the same snapshot must come from base files only
     GQuery("lake_mor_compacted",
       (s, d) => {

@@ -89,6 +89,30 @@ object Similarity {
           FROM scored) t
         WHERE rnk <= $TopK ORDER BY qid, rnk""")),
 
+    // ---- embedding-cosine near-dup dedup (exact all-pairs baseline) ---
+    // the corpus-dedup use of similarity: pairs above a cosine threshold.
+    // Exact O(N²) is the verification baseline; the LSH-bucketed path
+    // below is the scale variant (candidates only within buckets).
+    GQuery("emb_neardup_pairs",
+      (s, d) => {
+        val a = corpus(s, d).select(col("vec_id").as("va"), col("v").as("x"))
+        val b = corpus(s, d).select(col("vec_id").as("vb"), col("v").as("y"))
+        a.crossJoin(b).filter(col("va") < col("vb"))
+          .withColumn("sim", round(cosine("x", "y"), 4))
+          .filter(col("sim") >= 0.5)
+          .select(col("va"), col("vb"), col("sim"))
+          .orderBy("va", "vb")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        x AS (SELECT vec_id, unnest(v) AS xv, generate_subscripts(v, 1) AS i FROM e),
+        nrm AS (SELECT vec_id, sqrt(sum(xv * xv)) AS nv FROM x GROUP BY 1),
+        d AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.xv * b.xv) AS dt
+              FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY 1, 2),
+        s AS (SELECT va, vb, round(dt / (na.nv * nb.nv), 4) AS sim
+              FROM d JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb)
+        SELECT va, vb, sim FROM s WHERE sim >= 0.5 ORDER BY va, vb""")),
+
     // ---- LSH-bucketed ANN (scale path; rows-only, AnnSpec checks recall)
     GQuery("emb_ann_lsh",
       (s, d) => {

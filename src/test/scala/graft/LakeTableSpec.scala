@@ -187,6 +187,17 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(cow) == snap(mor))
   }
 
+  test("incremental read: current row versions ingested after a commit") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    val c0 = t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    t.upsert(df((1L, 1, "a2", 1), (3L, 1, "c", 1)))
+    t.upsert(df((1L, 1, "stale", 0)))  // loses: must NOT appear incremental
+    import spark.implicits._
+    val inc = t.readIncremental(c0)
+      .select($"pk", $"payload").as[(Long, String)].collect().toSet
+    assert(inc == Set((1L, "a2"), (3L, "c")))  // key 2 unchanged since c0
+  }
+
   test("catalog sync: snapshot resolvable by SQL name after each commit") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))
