@@ -288,9 +288,14 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     }) ++ config.keyCols
 
   // mergeSchema: commits may widen the schema over time (upsert unions
-  // withName+allowMissing); footer merge is a parallel executor-side job
-  private def readFiles(files: Seq[FileAdd]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
+  // byName+allowMissing). The footer-merge job is only paid when the
+  // commit log shows more than one distinct schema on the timeline —
+  // the metadata already proves the common case needs no merge.
+  private def readFiles(files: Seq[FileAdd]): DataFrame = {
+    val needsMerge = log.commits.map(_.schemaJson).distinct.size > 1
+    spark.read.option("mergeSchema", needsMerge.toString)
+      .parquet(files.map(_.path): _*)
+  }
 
   // ---- internals ------------------------------------------------------
 

@@ -187,6 +187,16 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(cow) == snap(mor))
   }
 
+  test("schema evolution: upsert with a new column widens the table") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    import spark.implicits._
+    val widened = Seq((2L, 1, "b", 1, "extra")).toDF("pk", "vendorid", "payload", "ts", "note")
+    t.upsert(widened)
+    val out = t.read().select($"pk", $"note").as[(Long, Option[String])].collect().toSet
+    assert(out == Set((1L, None), (2L, Some("extra"))))
+  }
+
   test("incremental read: current row versions ingested after a commit") {
     val t = LakeTable(spark, cfg(freshRoot()))
     val c0 = t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
