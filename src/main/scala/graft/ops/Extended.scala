@@ -100,6 +100,57 @@ object Extended {
           AS wavg_price_x100
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- skew handling: two-phase salted aggregation ------------------
+    // phase 1 spreads each (skewed) group key over 16 salt buckets for
+    // map-side-parallel partials; phase 2 combines partials. Result must
+    // equal the direct aggregation (the oracle). The pattern that keeps
+    // heavy-hitter keys from serializing one reducer at 100 TB.
+    GQuery("salted_twophase_agg",
+      (s, d) => {
+        val salted = T.lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)).as("salt"))
+          .agg(sum(col("l_quantity")).as("part_qty"), count(lit(1)).as("part_n"))
+        salted.groupBy(col("l_returnflag"))
+          .agg(round(sum(col("part_qty")), 2).as("sum_qty"),
+            sum(col("part_n")).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- bucketed co-located join (no shuffle on either side) ---------
+    // both sides pre-bucketed on the join key with equal bucket counts →
+    // SortMergeJoin without Exchange (asserted in OpsSpec). At 100 TB this
+    // is the layout that amortizes one shuffle across every future join.
+    GQuery("bucketed_join",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val liT = s"li_bkt_$tag"; val ordT = s"ord_bkt_$tag"
+        if (!s.catalog.tableExists(liT)) {
+          // overwrite: the external path may survive from a previous JVM
+          // while the in-memory catalog entry does not
+          T.lineitem(s, d).write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"/tmp/graft_bucketed/$liT").saveAsTable(liT)
+          T.orders(s, d).write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"/tmp/graft_bucketed/$ordT").saveAsTable(ordT)
+        }
+        val li = s.table(liT); val ord = s.table(ordT)
+        li.hint("merge")
+          .join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .filter(col("o_totalprice") > 400000 && col("l_quantity") >= 45)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("o_totalprice"), col("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, o_totalprice, l_quantity
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000 AND l_quantity >= 45
+        ORDER BY l_orderkey, l_linenumber""")),
+
     // ---- JSON scalar functions ----------------------------------------
     GQuery("ev_json_extract",
       (s, d) => T.events(s, d)

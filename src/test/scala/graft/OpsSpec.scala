@@ -75,6 +75,15 @@ class OpsSpec extends AnyFunSuite {
     assert(shared.nonEmpty, "bucketed search should recover some true top-k")
   }
 
+  test("bucketed join plans without a hash-shuffle exchange") {
+    val df = run("bucketed_join")
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(600))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed sides must not shuffle: " + plan.take(600))
+  }
+
   test("multimodal: features/frames/meta plumbing is consistent") {
     val feat = run("multimodal_features").collect()
     assert(feat.length == 3) // image / audio / video
