@@ -34,7 +34,13 @@ final case class LakeTableConfig(
       * snapshot reads merge base+delta on the fly, and `compact()`
       * rewrites deltas into base files (inline-compaction equivalent).
       */
-    storageType: String = "cow") {
+    storageType: String = "cow",
+    /** MoR inline compaction: auto-compact once this many delta commits
+      * accumulate since the last base write (reference knob
+      * `hoodie.compact.inline.max.delta.commits: 20`,
+      * HudiJarGlueJob.py:77). 0 disables.
+      */
+    compactEvery: Int = 0) {
   require(storageType == "cow" || storageType == "mor",
     s"storageType must be cow|mor, got $storageType")
   def isMor: Boolean = storageType == "mor"
@@ -116,7 +122,9 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       val incoming = withMeta(batch, id)
         .withColumn("_seq", monotonically_increasing_id())
         .withColumn("_deleted", lit(false))
-      return writeCommit(incoming, "delta_commit", Seq.empty, Some(id), kind = "delta")
+      val cid = writeCommit(incoming, "delta_commit", Seq.empty, Some(id), kind = "delta")
+      maybeInlineCompact()
+      return cid
     }
     val id = log.nextId
     // _seq pins a total order for duplicate keys with equal precombine
@@ -256,7 +264,9 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         lit(null).cast(schemaOf(config.precombineCol)))
       .withColumn("_seq", monotonically_increasing_id())
       .withColumn("_deleted", lit(true))
-    writeCommit(tombstones, "delete_delta", Seq.empty, Some(id), kind = "delta")
+    val cid = writeCommit(tombstones, "delete_delta", Seq.empty, Some(id), kind = "delta")
+    maybeInlineCompact()
+    cid
   }
 
   /** Compaction (the reference's declared inline-compaction knobs,
@@ -271,6 +281,17 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     val merged = morMerge(readFiles(live))
     writeCommit(merged, "compact", live.map(_.path))
   }
+
+  /** Inline compaction trigger (reference's max.delta.commits semantics):
+    * compact when `compactEvery` delta commits have accumulated since the
+    * last non-delta commit.
+    */
+  private def maybeInlineCompact(): Unit =
+    if (config.compactEvery > 0) {
+      val sinceBase = log.commits.reverse
+        .takeWhile(c => c.op == "delta_commit" || c.op == "delete_delta").size
+      if (sinceBase >= config.compactEvery) compact()
+    }
 
   private def schemaOf(colName: String): DataType =
     log.schemaJsonAsOf(None)

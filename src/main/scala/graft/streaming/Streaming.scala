@@ -57,4 +57,31 @@ object Streaming {
     val query = q
     try query.awaitTermination() finally if (query.isActive) query.stop()
   }
+
+  /** Arbitrary stateful processing (SURVEY.md §2.5 stateful-ops row):
+    * per-user running totals via flatMapGroupsWithState — the custom-state
+    * escape hatch when windowed aggs can't express the semantics. State is
+    * one small record per key; with a real stream a timeout would expire
+    * idle users to bound it.
+    */
+  final case class UserTotal(userId: Long, events: Long, total: Double)
+
+  def runningTotals(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.events; var t = prev.total
+          batch.foreach { e => n += 1; t += e.value }
+          val next = UserTotal(uid, n, t)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  final case class UserEvent(user_id: Long, value: Double)
 }

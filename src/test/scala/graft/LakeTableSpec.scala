@@ -172,6 +172,30 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.log.latestId == last)
   }
 
+  test("null partition values route to the hive default directory and back") {
+    import spark.implicits._
+    val t = LakeTable(spark, cfg(freshRoot()))
+    val rows = Seq((1L, Some(1), "a", 0), (2L, Option.empty[Int], "b", 0))
+      .toDF("pk", "vendorid", "payload", "ts")
+    t.bulkInsert(rows)
+    t.upsert(Seq((2L, Option.empty[Int], "b2", 1)).toDF("pk", "vendorid", "payload", "ts"))
+    val out = t.read().select($"pk", $"vendorid", $"payload")
+      .as[(Long, Option[Int], String)].collect().toSet
+    assert(out == Set((1L, Some(1), "a"), (2L, None, "b2")))
+    assert(t.log.liveFiles().exists(_.partition == LakeTable.NullPartition))
+  }
+
+  test("inline compaction triggers after compactEvery delta commits") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCol = Some("vendorid"), storageType = "mor", compactEvery = 2))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.upsert(df((1L, 1, "a2", 1)))                 // delta 1
+    assert(t.log.liveFiles().exists(_.isDelta))
+    t.upsert(df((2L, 1, "b", 1)))                  // delta 2 -> auto compact
+    assert(t.log.liveFiles().forall(!_.isDelta), "inline compaction should have run")
+    assert(snap(t) == Set((1L, 1, "a2", 1), (2L, 1, "b", 1)))
+  }
+
   test("merge-on-read equals copy-on-write over the same batch sequence") {
     val batches = Seq(
       df((1L, 1, "a", 2), (2L, 2, "b", 2), (3L, 1, "c", 2)),

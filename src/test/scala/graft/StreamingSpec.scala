@@ -70,6 +70,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.log.commits.size >= 3)
   }
 
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    import graft.streaming.Streaming.{UserEvent, UserTotal}
+    val src = tmp("state-src")
+    Seq(UserEvent(1L, 10.0), UserEvent(2L, 5.0)).toDS()
+      .write.parquet(s"$src/b1")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[UserEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*").as[UserEvent]
+    val q = graft.streaming.Streaming.runningTotals(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("totals")
+      .start()
+    try {
+      q.processAllAvailable()
+      Seq(UserEvent(1L, 2.5), UserEvent(3L, 1.0)).toDS()
+        .write.parquet(s"$src/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per user reflects accumulated state across micro-batches
+    val last = spark.table("totals").as[UserTotal].collect()
+      .groupBy(_.userId).map { case (u, rows) => u -> rows.maxBy(_.events) }
+    assert(last(1L) == UserTotal(1L, 2, 12.5))
+    assert(last(2L) == UserTotal(2L, 1, 5.0))
+    assert(last(3L) == UserTotal(3L, 1, 1.0))
+  }
+
   test("streaming windowed aggregation equals the batch expression") {
     val sf = "/root/testdata/sf0.001"
     val batchEvents = Tables.events(spark, sf)
