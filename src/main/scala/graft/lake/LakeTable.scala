@@ -106,12 +106,12 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       // bulk_insert performs no pre-combining, HudiConnectorGlueJob.py:85-86)
       val incoming = withMeta(batch, 0L)
         .withColumn("_seq", monotonically_increasing_id())
-      val w = Window.partitionBy(dedupCols.map(col): _*)
-        .orderBy(col(config.precombineCol).desc, col("_seq").desc)
+      val ord = struct(col(config.precombineCol), col("_seq"))
       val merged = incoming
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .drop("_rn", "_seq")
+        .groupBy(dedupCols.map(col): _*)
+        .agg(max_by(struct(incoming.columns.map(col): _*), ord).as("_row"))
+        .select(col("_row.*"))
+        .drop("_seq")
       return writeCommit(merged, "upsert", Seq.empty)
     }
     if (config.isMor) {
@@ -136,14 +136,21 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       .persist()
     try {
       val (oldFiles, current) = snapshotForUpsert(incoming)
-      val w = Window.partitionBy(dedupCols.map(col): _*)
-        .orderBy(col(config.precombineCol).desc, col("_commit_id").desc,
-          col("_seq").desc_nulls_last)
-      val merged = current
-        .unionByName(incoming, allowMissingColumns = true)
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .drop("_rn", "_seq")
+      // winner-per-key via max_by hash aggregation, NOT a ranking window:
+      // an aggregate gets map-side partial combine, so each shuffle
+      // partition receives one candidate row per (task, key) instead of
+      // every version — the difference between shuffling the batch and
+      // shuffling the whole touched-partition union at 100 TB. (MoR's
+      // read-merge keeps the window form: tombstone cutoffs need two
+      // passes over the key group.)
+      val union = current.unionByName(incoming, allowMissingColumns = true)
+      val ord = struct(col(config.precombineCol), col("_commit_id"),
+        coalesce(col("_seq"), lit(Long.MinValue)))
+      val merged = union
+        .groupBy(dedupCols.map(col): _*)
+        .agg(max_by(struct(union.columns.map(col): _*), ord).as("_row"))
+        .select(col("_row.*"))
+        .drop("_seq")
       writeCommit(merged, "upsert", oldFiles.map(_.path), Some(id))
     } finally incoming.unpersist()
   }
