@@ -100,6 +100,44 @@ object Extended {
           AS wavg_price_x100
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- JSON source round-trip (schema-on-read ingest) ---------------
+    GQuery("json_roundtrip",
+      (s, d) => {
+        val stage = s"/tmp/graft_json/nation_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        T.nation(s, d).write.mode("overwrite").json(stage)
+        s.read.json(stage) // schema inferred from the JSON lines
+          // inference widens ints to bigint; normalize back for the oracle
+          .withColumn("n_regionkey", col("n_regionkey").cast("int"))
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n_nations"),
+            min(col("n_name")).as("first_name"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- GROUPING SETS + grouping() indicator -------------------------
+    GQuery("grouping_sets",
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+            CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+            count(*) AS n_orders
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+            o_orderpriority NULLS FIRST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+          o_orderpriority NULLS FIRST""")),
+
     // ---- skew handling: two-phase salted aggregation ------------------
     // phase 1 spreads each (skewed) group key over 16 salt buckets for
     // map-side-parallel partials; phase 2 combines partials. Result must
