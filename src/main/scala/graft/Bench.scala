@@ -34,9 +34,10 @@ object Bench {
     catch { case _: Throwable => () }
 
     val buildSec = timed { ops.Lake.cdcTable(spark, sfDir) }
+    val morBuildSec = timed { ops.Lake.morCdcTable(spark, sfDir) }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
-      "lake_cdc_build" -> buildSec)
+      "lake_cdc_build" -> buildSec, "lake_mor_build" -> morBuildSec)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = timed { fn(spark, sfDir).count() }
     }

@@ -28,5 +28,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    all.collect { case GQuery(n, _, Some(sql)) => n -> sql.stripMargin }.toMap
+    all.collect { case GQuery(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -45,7 +45,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // mismatched dimensionality is a pipeline bug — null, never a
+    // plausible-looking score over the shared prefix
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val aFloat = elemType(left) == FloatType
     val bFloat = elemType(right) == FloatType
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -67,17 +70,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val getB = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)"
                  else s"$b.getDouble(i)"
       s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0, na = 0.0, nb = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double x = $getA;
-        |  double y = $getB;
-        |  dot += x * y; na += x * x; nb += y * y;
-        |}
-        |if (na == 0.0 || nb == 0.0) {
+        |int n = $a.numElements();
+        |if (n != $b.numElements()) {
         |  ${ev.isNull} = true;
         |} else {
-        |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+        |  double dot = 0.0, na = 0.0, nb = 0.0;
+        |  for (int i = 0; i < n; i++) {
+        |    double x = $getA;
+        |    double y = $getB;
+        |    dot += x * y; na += x * x; nb += y * y;
+        |  }
+        |  if (na == 0.0 || nb == 0.0) {
+        |    ${ev.isNull} = true;
+        |  } else {
+        |    ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+        |  }
         |}
       """.stripMargin
     })

@@ -73,10 +73,15 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
 
   def nextId: Long = latestId.map(_ + 1).getOrElse(0L)
 
-  def read(id: Long): Commit = {
+  // commit JSONs are immutable once renamed into place, so parsed commits
+  // memoize forever — snapshot resolution re-lists the directory (cheap)
+  // but never re-parses, keeping read paths O(new commits) in I/O
+  private val parsed = scala.collection.concurrent.TrieMap.empty[Long, Commit]
+
+  def read(id: Long): Commit = parsed.getOrElseUpdate(id, {
     val in: java.io.InputStream = fs.open(commitPath(id))
     try mapper.readValue(in, classOf[Commit]) finally in.close()
-  }
+  })
 
   def commits: Seq[Commit] = listIds.map(read)
 
@@ -127,7 +132,9 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
   def clean(retain: Int): Unit = {
     val ids = listIds
     if (ids.size <= retain) return
-    val cutoff = ids(ids.size - retain - 1) // newest id no longer travelable
+    // oldest id that stays travelable: files superseded at or before it
+    // are unreferenced by every retained snapshot
+    val cutoff = ids(ids.size - retain)
     val removedEarly = commits.filter(_.id <= cutoff).flatMap(_.removes)
     removedEarly.foreach(p => fs.delete(new Path(p), false))
     val out = fs.create(cleanMarker, true)

@@ -176,9 +176,17 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     }
     val oldFiles = touched.fold(live)(t => live.filter(f => t.contains(f.partition)))
     val current = readOrEmpty(oldFiles)
+    // identity for the anti-join: when the keys frame pins the partition
+    // (non-global index), match on (partition, key) so the same key value
+    // in a co-touched partition survives — mirrors MoR tombstone scoping
+    val joinCols = config.partitionCol match {
+      case Some(pc) if !config.globalIndex && keys.columns.contains(pc) =>
+        pc +: config.keyCols
+      case _ => config.keyCols
+    }
     val remaining = current.join(
-      keys.select(config.keyCols.map(col): _*).distinct(),
-      config.keyCols, "left_anti")
+      keys.select(joinCols.map(col): _*).distinct(),
+      joinCols, "left_anti")
     writeCommit(remaining, "delete", oldFiles.map(_.path), Some(id))
   }
 
@@ -412,8 +420,12 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     writer.mode("error").parquet(dir.toString)
     val fs = dir.getFileSystem(hconf)
     val adds = listParquet(fs, dir).map { p =>
+      // directory segments are Hive-escaped by Spark (':' → '%3A' etc.);
+      // store the UNESCAPED value so pruning compares in raw value space
       val part = p.getParent.getName match {
-        case seg if seg.startsWith("_part=") => seg.stripPrefix("_part=")
+        case seg if seg.startsWith("_part=") =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.stripPrefix("_part="))
         case _ => ""
       }
       FileAdd(p.toString, part, kind)

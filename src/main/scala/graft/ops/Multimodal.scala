@@ -79,17 +79,19 @@ object Multimodal {
     GQuery("multimodal_frames",
       (s, d) => media(s, d)
         .select(col("doc_id"),
+          // raw BYTE at each chunk start (hex round-trip), not the decoded
+          // character — byte-true for non-ASCII payloads
           posexplode(expr(
             s"""transform(sequence(0, CAST(ceil(octet_length(payload) / $ChunkBytes.0) AS INT) - 1),
-                  c -> ascii(decode(substring(payload, c * $ChunkBytes + 1, 1), 'UTF-8')))""")))
+                  c -> CAST(conv(hex(substring(payload, c * $ChunkBytes + 1, 1)), 16, 10) AS INT))""")))
         .withColumnRenamed("pos", "frame_id").withColumnRenamed("col", "first_byte")
         .orderBy("doc_id", "frame_id"),
-      Some(s"""WITH f AS (SELECT doc_id, text,
+      Some(s"""WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
             CAST(ceil(octet_length(encode(text)) / $ChunkBytes.0) AS BIGINT) AS nc
           FROM documents),
-        g AS (SELECT doc_id, text, unnest(generate_series(0, nc - 1)) AS fid FROM f)
+        g AS (SELECT doc_id, hx, unnest(generate_series(0, nc - 1)) AS fid FROM f)
         SELECT doc_id, CAST(fid AS INT) AS frame_id,
-          CAST(ord(substring(text, CAST(fid AS INT) * $ChunkBytes + 1, 1)) AS INT) AS first_byte
+          CAST(('0x' || substr(hx, CAST(fid AS INT) * $ChunkBytes * 2 + 1, 2)) AS INT) AS first_byte
         FROM g ORDER BY doc_id, frame_id""")),
 
     // ---- feature extraction via the stubbed decoder (rows-only) -------

@@ -22,11 +22,14 @@ object Text {
   /** whitespace tokens of the lower-cased text */
   private val toks: Column = split(lower(trim(col("text"))), "\\s+")
 
-  /** distinct word-trigram shingles (assumes >= 3 tokens, which the
-    * fixture guarantees; min observed is 10) */
+  /** distinct word-trigram shingles; documents with < 3 tokens shingle to
+    * the empty set (sequence(0, negative) would otherwise count DOWN and
+    * emit bogus null-padded shingles) */
   private val triExpr =
-    """array_distinct(transform(sequence(0, size(tk)-3),
-         i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))"""
+    """CASE WHEN size(tk) >= 3 THEN
+         array_distinct(transform(sequence(0, size(tk)-3),
+           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))
+       ELSE CAST(array() AS array<string>) END"""
 
   /** (doc_id, shingle) exploded inverted-index input + per-doc set size */
   private def shingled(s: SparkSession, d: String): (DataFrame, DataFrame) = {

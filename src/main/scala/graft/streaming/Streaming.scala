@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 import graft.lake.LakeTable
 
@@ -51,12 +51,6 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n_events"), col("total_value"))
-
-  /** Convenience trigger for tests: drain everything then stop. */
-  def runAvailableNow(q: => StreamingQuery): Unit = {
-    val query = q
-    try query.awaitTermination() finally if (query.isActive) query.stop()
-  }
 
   /** Arbitrary stateful processing (SURVEY.md §2.5 stateful-ops row):
     * per-user running totals via flatMapGroupsWithState — the custom-state

@@ -251,6 +251,30 @@ class LakeTableSpec extends AnyFunSuite {
     t.clean(retain = 1)
     assert(snap(t) == Set((1L, 1, "a3", 2)))
     intercept[IllegalArgumentException](t.readAsOf(0))
+    intercept[IllegalArgumentException](t.readAsOf(1)) // exactly 1 retained
+    assert(snap(t) == Set((1L, 1, "a3", 2)))
+  }
+
+  test("delete with partition column only removes the key in that partition") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    // same pk in two partitions (legal under the partition-scoped index)
+    t.bulkInsert(df((1L, 1, "p1", 0), (1L, 2, "p2", 0), (2L, 1, "x", 0)))
+    // touches partitions 1 AND 2, but pins pk=1 to partition 1 only
+    t.delete(df((1L, 1, "del", 0), (2L, 2, "nothere", 0)))
+    assert(snap(t) == Set((1L, 2, "p2", 0), (2L, 1, "x", 0)))
+  }
+
+  test("partition values with hive-escaped characters prune correctly") {
+    import spark.implicits._
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCol = Some("cat")))
+    val rows = Seq((1L, "a:b", "v1", 0), (2L, "plain", "w", 0))
+      .toDF("pk", "cat", "payload", "ts")
+    t.bulkInsert(rows)
+    t.upsert(Seq((1L, "a:b", "v2", 1)).toDF("pk", "cat", "payload", "ts"))
+    val out = t.read().select($"pk", $"cat", $"payload")
+      .as[(Long, String, String)].collect().toSet
+    assert(out == Set((1L, "a:b", "v2"), (2L, "plain", "w")))
   }
 
   // glue/NYTaxiDataPrep.py:37-48: day-minus rewrites vendorid==1 rows to
