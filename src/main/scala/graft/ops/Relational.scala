@@ -375,6 +375,88 @@ object Relational {
         l_orderkey % 7 AS key_mod7
         FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""")),
 
+    // ---- advanced window functions ------------------------------------
+    GQuery("q21_advanced_windows",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus")
+          .orderBy($"o_totalprice", $"o_orderkey")
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.orders(s, d)
+          .select($"o_orderstatus", $"o_orderkey", $"o_totalprice",
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cdist"),
+            first_value($"o_orderkey").over(full).as("cheapest_key"),
+            last_value($"o_orderkey").over(full).as("priciest_key"))
+          .orderBy($"o_orderstatus", $"o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey, o_totalprice,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cdist,
+        first_value(o_orderkey) OVER wf AS cheapest_key,
+        last_value(o_orderkey) OVER wf AS priciest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+          wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderstatus, o_orderkey""")),
+
+    // ---- statistical aggregates ---------------------------------------
+    GQuery("q22_stats_agg",
+      (s, d) => {
+        import s.implicits._
+        T.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(round(stddev_samp($"l_extendedprice"), 2).as("sd_price"),
+            round(corr($"l_quantity", $"l_extendedprice"), 6).as("qty_price_corr"),
+            round(covar_samp($"l_quantity", $"l_discount"), 4).as("qty_disc_cov"),
+            round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 2)
+              .as("median_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_cov,
+        round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- pivot ---------------------------------------------------------
+    GQuery("q23_pivot",
+      (s, d) => {
+        import s.implicits._
+        T.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(round(sum($"l_quantity"), 2))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(F, 2) AS F, round(O, 2) AS O FROM (
+          PIVOT (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+          ON l_linestatus IN ('F', 'O') USING sum(l_quantity))
+        ORDER BY l_returnflag""")),
+
+    // ---- multiset operations (ALL variants) ---------------------------
+    GQuery("q24_setops_all",
+      (s, d) => {
+        import s.implicits._
+        val cust = T.customer(s, d)
+        val a = cust.filter($"c_acctbal" > 0).select($"c_nationkey")
+        val b = cust.filter($"c_mktsegment" === "BUILDING").select($"c_nationkey")
+        a.exceptAll(b).unionByName(a.intersectAll(b)).orderBy($"c_nationkey")
+      },
+      Some("""SELECT * FROM (
+          (SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+           EXCEPT ALL
+           SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          UNION ALL
+          (SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+           INTERSECT ALL
+           SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+        ORDER BY c_nationkey""")),
+
     // ---- outer join + null-safe agg -----------------------------------
     GQuery("q20_outer_join_agg",
       (s, d) => {
