@@ -212,6 +212,15 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   def readIncremental(fromCommit: Long): DataFrame =
     read().filter(col("_commit_id") > fromCommit)
 
+  /** Read-optimized query (Hudi's MoR `_ro` view): base files only, no
+    * delta merge — stale by up to the un-compacted deltas but as cheap as
+    * a CoW scan. For CoW tables this equals read().
+    */
+  def readOptimized(): DataFrame = {
+    val base = log.liveFiles().filter(!_.isDelta)
+    readOrEmpty(base)
+  }
+
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   def clean(retain: Int): Unit = log.clean(retain)
 

@@ -9,6 +9,9 @@ import graft.{GQuery, Tables => T}
   * view synced over the lake snapshot (W7 catalog-sync equivalent), the
   * UDAF extension point, and JSON scalar functions.
   */
+final case class LineSlim(l_returnflag: String, l_quantity: Double, l_extendedprice: Double)
+final case class TypedAgg(flag: String, n: Long, qty: Double)
+
 object Extended {
 
   /** explicit 6-field schema for the CSV round-trip (reference pattern:
@@ -188,6 +191,32 @@ object Extended {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000 AND l_quantity >= 45
         ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- typed Dataset[T] path (case-class Encoders, groupByKey) ------
+    // the compile-time-checked surface from SURVEY.md §1.2: same result
+    // as the untyped groupBy, so the oracle pins the typed plumbing
+    GQuery("typed_dataset_agg",
+      (s, d) => {
+        import s.implicits._
+        val ds = T.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+          .as[LineSlim]
+        ds.groupByKey(_.l_returnflag)
+          .mapGroups { (flag, rows) =>
+            var n = 0L; var qty = 0.0
+            rows.foreach { r => n += 1; qty += r.l_quantity }
+            TypedAgg(flag, n, qty)
+          }
+          .toDF()
+          // qty summed in iterator order (nondeterministic partition merge
+          // order) — integer-valued doubles sum exactly, so round(2) holds
+          .select(col("flag").as("l_returnflag"), col("n").as("n_rows"),
+            round(col("qty"), 2).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+        round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- JSON scalar functions ----------------------------------------
     GQuery("ev_json_extract",

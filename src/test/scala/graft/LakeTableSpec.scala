@@ -156,6 +156,17 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == Set((1L, 1, "reborn", 1), (2L, 1, "b", 5)))
   }
 
+  test("merge-on-read: read-optimized view sees base files only") {
+    val t = LakeTable(spark, morCfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.upsert(df((1L, 1, "a2", 1), (2L, 1, "b", 1)))   // delta, not merged
+    import spark.implicits._
+    def ro = t.readOptimized().select($"pk", $"payload").as[(Long, String)].collect().toSet
+    assert(ro == Set((1L, "a")))                       // stale but cheap
+    t.compact()
+    assert(ro == Set((1L, "a2"), (2L, "b")))           // caught up after compact
+  }
+
   test("merge-on-read: compact rewrites deltas into base; snapshot unchanged") {
     val t = LakeTable(spark, morCfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))

@@ -98,6 +98,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(3L) == UserTotal(3L, 1, 1.0))
   }
 
+  test("watermark: late events beyond the delay are dropped, windows emit once") {
+    import spark.implicits._
+    val src = tmp("wm-src")
+    def ev(hhmm: String, v: Double) =
+      (java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), "click", 0L, 0L, v)
+    def write(name: String, rows: (java.sql.Timestamp, String, Long, Long, Double)*): Unit =
+      rows.toSeq.toDF("ts", "event_type", "event_id", "user_id", "value")
+        .write.parquet(s"$src/$name")
+
+    write("b1", ev("00:10", 1), ev("00:20", 1), ev("01:10", 1))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$src/b1").schema)
+      .parquet(s"$src/*")
+    val q = graft.streaming.Streaming.hourlyCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_hourly")
+      .start()
+    try {
+      q.processAllAvailable()
+      // advances the watermark to 03:00 on the NEXT batch
+      write("b2", ev("05:00", 1))
+      q.processAllAvailable()
+      // 00:30 is behind the 03:00 watermark -> dropped; hour-0/1 emit final
+      write("b3", ev("00:30", 99), ev("05:30", 1))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("wm_hourly")
+      .select($"hour_ms", $"n_events").as[(Long, Long)].collect().toList
+    val hour0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hour1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00").getTime
+    // exactly one emission per finalized window, late row NOT counted
+    assert(rows.count(_._1 == hour0) == 1)
+    assert(rows.find(_._1 == hour0).get._2 == 2L)
+    assert(rows.find(_._1 == hour1).get._2 == 1L)
+  }
+
   test("streaming windowed aggregation equals the batch expression") {
     val sf = "/root/testdata/sf0.001"
     val batchEvents = Tables.events(spark, sf)
