@@ -221,6 +221,16 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     readOrEmpty(base)
   }
 
+  /** Partition-pruned snapshot: only the named partition values' live
+    * files are listed and scanned (pruning on commit-log metadata — the
+    * scan cost is the touched partitions, not the table).
+    */
+  def readPartitions(values: Set[String]): DataFrame = {
+    val files = log.liveFiles().filter(f => values.contains(f.partition))
+    if (files.exists(_.isDelta)) morMerge(readOrEmpty(files))
+    else readOrEmpty(files)
+  }
+
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   def clean(retain: Int): Unit = log.clean(retain)
 

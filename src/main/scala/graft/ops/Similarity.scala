@@ -59,6 +59,28 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Build-once LSH-partitioned embedding index as a LakeTable: the
+    * corpus is written partitioned BY BUCKET, so an ANN probe is a
+    * partition-pruned scan — the physical layout behind the
+    * "bucketed table at 100 TB" claim, and updatable via upsert.
+    */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
+
+  private def annIndex(s: SparkSession, d: String, nPlanes: Int): graft.lake.LakeTable =
+    indexCache.computeIfAbsent(d, _ => {
+      val root = s"/tmp/graft_annidx/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = graft.lake.LakeTable(s, graft.lake.LakeTableConfig(
+        root, keyCols = Seq("vec_id"), precombineCol = "vec_id",
+        partitionCol = Some("bucket")))
+      val planesLit = array(planeWeights(nPlanes).map(p => array(p.map(lit): _*)): _*)
+      t.bulkInsert(corpus(s, d).withColumn("pl", planesLit)
+        .withColumn("bucket", bucketExpr("v", nPlanes)).drop("pl"))
+      t
+    })
+
   val queries: Seq[GQuery] = Seq(
 
     // ---- brute-force cosine top-k (oracle-checked) --------------------
@@ -117,18 +139,31 @@ object Similarity {
     GQuery("emb_ann_lsh",
       (s, d) => {
         val nPlanes = 6
-        val planes = planeWeights(nPlanes)
-        val planesLit = array(planes.map(p => array(p.map(lit): _*)): _*)
-        def bucketOf(vcol: String): Column = expr(
-          s"""aggregate(sequence(0, ${nPlanes - 1}), 0, (acc, p) ->
-                acc + if(aggregate(zip_with($vcol, pl[p], (x, w) -> x * w),
-                         0D, (s, x) -> s + x) > 0D,
-                       shiftleft(1, p), 0))""")
+        val planesLit = array(planeWeights(nPlanes).map(p => array(p.map(lit): _*)): _*)
         val bucketed = corpus(s, d).withColumn("pl", planesLit)
-          .withColumn("bucket", bucketOf("v")).drop("pl")
-        val qb = queriesDf(s, d).withColumn("pl", planesLit)
-          .withColumn("qbucket", bucketOf("qv")).drop("pl")
+          .withColumn("bucket", bucketExpr("v", nPlanes)).drop("pl")
         val scored = bucketed
+          .join(broadcast(queryBuckets(s, d, nPlanes)),
+            col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+          .withColumn("sim", round(cosine("v", "qv"), 4))
+        rankTopK(scored)
+      },
+      None),
+
+    // ---- partition-pruned ANN over the LSH-partitioned lake index -----
+    // same candidates as emb_ann_lsh (AnnSpec asserts equality), but the
+    // corpus is a LakeTable partitioned BY BUCKET: the probe resolves its
+    // buckets, prunes live files on commit-log metadata, and scans only
+    // those partitions — the probe cost is |bucket|, not |corpus|, and
+    // the index stays updatable via upsert
+    GQuery("emb_ann_partitioned",
+      (s, d) => {
+        val nPlanes = 6
+        val idx = annIndex(s, d, nPlanes)
+        val qb = queryBuckets(s, d, nPlanes)
+        val probes = qb.select(col("qbucket").cast("string"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val scored = idx.readPartitions(probes)
           .join(broadcast(qb), col("bucket") === col("qbucket") &&
             col("vec_id") =!= col("qid"))
           .withColumn("sim", round(cosine("v", "qv"), 4))
@@ -136,6 +171,19 @@ object Similarity {
       },
       None)
   )
+
+  /** LSH bucket id: sign bit per hyperplane, packed into an int. */
+  private def bucketExpr(vcol: String, nPlanes: Int): Column = expr(
+    s"""aggregate(sequence(0, ${nPlanes - 1}), 0, (acc, p) ->
+          acc + if(aggregate(zip_with($vcol, pl[p], (x, w) -> x * w),
+                   0D, (s, x) -> s + x) > 0D,
+                 shiftleft(1, p), 0))""")
+
+  private def queryBuckets(s: SparkSession, d: String, nPlanes: Int) = {
+    val planesLit = array(planeWeights(nPlanes).map(p => array(p.map(lit): _*)): _*)
+    queriesDf(s, d).withColumn("pl", planesLit)
+      .withColumn("qbucket", bucketExpr("qv", nPlanes)).drop("pl")
+  }
 
   /** exposed for AnnSpec recall measurement */
   private[graft] def bruteForce(s: SparkSession, d: String): DataFrame =

@@ -63,6 +63,13 @@ class OpsSpec extends AnyFunSuite {
       s"near-dup avg Hamming $nearAvg should be far below random $randAvg")
   }
 
+  test("partition-pruned lake ANN equals the in-memory LSH ANN") {
+    val mem = run("emb_ann_lsh").collect().map(_.toSeq).toSet
+    val idx = run("emb_ann_partitioned").collect().map(_.toSeq).toSet
+    assert(idx == mem)
+    assert(idx.nonEmpty)
+  }
+
   test("ann lsh: scores agree with brute force; positive recall") {
     val bf = run("emb_cosine_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
