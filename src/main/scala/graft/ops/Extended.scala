@@ -192,6 +192,24 @@ object Extended {
         WHERE o_totalprice > 400000 AND l_quantity >= 45
         ORDER BY l_orderkey, l_linenumber""")),
 
+    // ---- timestamp parse/format round-trip ----------------------------
+    // the reference's P2 pattern verbatim: unix_timestamp(str, fmt) parse
+    // (glue/HudiJarGlueJob.py:74) plus to_date; string side produced by
+    // date_format so the round-trip is self-contained
+    GQuery("ts_parse_roundtrip",
+      (s, d) => T.orders(s, d)
+        .select(col("o_orderkey"),
+          unix_timestamp(
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss").as("epoch_s"),
+          to_date(col("o_orderdate")).as("order_day"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+          '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS epoch_s,
+        CAST(o_orderdate AS DATE) AS order_day
+        FROM orders ORDER BY o_orderkey""")),
+
     // ---- typed Dataset[T] path (case-class Encoders, groupByKey) ------
     // the compile-time-checked surface from SURVEY.md §1.2: same result
     // as the untyped groupBy, so the oracle pins the typed plumbing

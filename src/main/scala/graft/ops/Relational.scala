@@ -412,7 +412,11 @@ object Relational {
           .agg(round(stddev_samp($"l_extendedprice"), 2).as("sd_price"),
             round(corr($"l_quantity", $"l_extendedprice"), 6).as("qty_price_corr"),
             round(covar_samp($"l_quantity", $"l_discount"), 4).as("qty_disc_cov"),
-            round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 2)
+            // percentile_DISC, not cont: the interpolated median of
+            // 2-decimal values is exactly x.xx5, where Spark's decimal-
+            // string rounding and DuckDB's binary rounding diverge;
+            // disc returns an actual data value, bit-exact unrounded
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
               .as("median_price"))
           .orderBy($"l_returnflag")
       },
@@ -420,7 +424,7 @@ object Relational {
         round(stddev_samp(l_extendedprice), 2) AS sd_price,
         round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
         round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_cov,
-        round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median_price
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS median_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- pivot ---------------------------------------------------------
