@@ -33,11 +33,13 @@ object Bench {
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    val buildSec = timed { ops.Lake.cdcTable(spark, sfDir) }
-    val morBuildSec = timed { ops.Lake.morCdcTable(spark, sfDir) }
-
+    // one-time fixture/index builds, timed as their own entries so the
+    // queries below measure steady-state reads
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
-      "lake_cdc_build" -> buildSec, "lake_mor_build" -> morBuildSec)
+      "lake_cdc_build" -> timed { ops.Lake.cdcTable(spark, sfDir) },
+      "lake_mor_build" -> timed { ops.Lake.morCdcTable(spark, sfDir) },
+      "bucketed_tables_build" -> timed { ops.Extended.ensureBucketed(spark, sfDir) },
+      "ann_index_build" -> timed { ops.Similarity.ensureAnnIndex(spark, sfDir) })
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = timed { fn(spark, sfDir).count() }
     }

@@ -10,14 +10,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * (`glue/HudiJarGlueJob.py:80-85`):
   *   keyCols      ≙ hoodie.datasource.write.recordkey.field
   *   precombineCol≙ hoodie.datasource.write.precombine.field
-  *   partitionCol ≙ hoodie.datasource.write.partitionpath.field
-  *                  (None ≙ NonpartitionedKeyGenerator, `:82`)
+  *   partitionCols≙ hoodie.datasource.write.partitionpath.field — one or
+  *                  several fields (MultiPartKeysValueExtractor's general
+  *                  form, `:81`); empty ≙ NonpartitionedKeyGenerator (`:82`)
   */
 final case class LakeTableConfig(
     root: String,
     keyCols: Seq[String],
     precombineCol: String,
-    partitionCol: Option[String] = None,
+    partitionCols: Seq[String] = Seq.empty,
     /** false ≙ Hudi's default partition-scoped index: a record key is
       * unique per partition, and upserting a key under a new partition
       * value leaves the old partition's row in place (what the reference's
@@ -40,10 +41,18 @@ final case class LakeTableConfig(
       * `hoodie.compact.inline.max.delta.commits: 20`,
       * HudiJarGlueJob.py:77). 0 disables.
       */
-    compactEvery: Int = 0) {
+    compactEvery: Int = 0,
+    /** >0: a derived bucket `pmod(hash(keyCols), n)` becomes the LAST
+      * partition-path level — a file-group index (Hudi's file-group /
+      * bloom-index role). Any upsert/delete can then prune to the buckets
+      * its keys hash into, so even an otherwise UNPARTITIONED table
+      * rewrites ~|touched buckets|/n of its files instead of everything.
+      */
+    hashBuckets: Int = 0) {
   require(storageType == "cow" || storageType == "mor",
     s"storageType must be cow|mor, got $storageType")
   def isMor: Boolean = storageType == "mor"
+  def partitionCol: Option[String] = partitionCols.headOption
 }
 
 /** Copy-on-Write lake table: versioned parquet base files + JSON commit
@@ -74,6 +83,29 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   private val hconf = spark.sparkContext.hadoopConfiguration
   val log = new CommitLog(config.root, hconf)
 
+  /** physical partition-path levels: the user columns, then the derived
+    * hash bucket when configured */
+  private def effParts: Seq[String] =
+    config.partitionCols ++ (if (config.hashBuckets > 0) Seq(BucketCol) else Nil)
+
+  /** attach derived columns (the key-hash bucket) to a frame about to be
+    * written or used for pruning; no-op when unconfigured */
+  private def withDerived(df: DataFrame): DataFrame =
+    if (config.hashBuckets > 0)
+      df.withColumn(BucketCol,
+        pmod(hash(config.keyCols.map(col): _*), lit(config.hashBuckets)))
+    else df
+
+  private def renderCol(c: String) =
+    coalesce(col(c).cast("string"), lit(NullPartition))
+
+  /** distinct raw (unescaped) partition tuples present in `df`, joined
+    * with PartSep. Metadata-scale collect: bounded by touched partitions.
+    */
+  private def renderedTuples(df: DataFrame): Set[String] =
+    df.select(effParts.map(renderCol): _*).distinct()
+      .collect().map(_.toSeq.map(String.valueOf).mkString(PartSep)).toSet
+
   // unique per attempt: a crashed/retried write never collides with the
   // orphan directory of a previous attempt (orphans are invisible — only
   // files named in a commit JSON are live)
@@ -89,7 +121,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   def bulkInsert(df: DataFrame): Long = {
     require(!exists, s"table ${config.root} already exists; use upsert")
-    writeCommit(withMeta(df, 0L), op = "bulk_insert", removes = Seq.empty)
+    writeCommit(withDerived(withMeta(df, 0L)), op = "bulk_insert", removes = Seq.empty)
   }
 
   /** Merge a batch by record key; on key collision the row with the highest
@@ -104,7 +136,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       // first write still precombines WITHIN the batch: only the explicit
       // bulkInsert() API skips dedup (the reference's connector job notes
       // bulk_insert performs no pre-combining, HudiConnectorGlueJob.py:85-86)
-      val incoming = withMeta(batch, 0L)
+      val incoming = withDerived(withMeta(batch, 0L))
         .withColumn("_seq", monotonically_increasing_id())
       val ord = struct(col(config.precombineCol), col("_seq"))
       val merged = incoming
@@ -119,7 +151,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       // no rewrite; collisions resolve at read time (morMerge). _seq
       // still pins intra-batch duplicate order.
       val id = log.nextId
-      val incoming = withMeta(batch, id)
+      val incoming = withDerived(withMeta(batch, id))
         .withColumn("_seq", monotonically_increasing_id())
         .withColumn("_deleted", lit(false))
       val cid = writeCommit(incoming, "delta_commit", Seq.empty, Some(id), kind = "delta")
@@ -131,7 +163,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     // WITHIN one batch (SURVEY.md §7.4 tie-break risk): later row wins.
     // persist: the batch is consumed 3× (partition probe, merge, write) —
     // without it the upstream plan would recompute each time.
-    val incoming = withMeta(batch, id)
+    val incoming = withDerived(withMeta(batch, id))
       .withColumn("_seq", monotonically_increasing_id())
       .persist()
     try {
@@ -165,25 +197,26 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     require(exists, s"table ${config.root} does not exist")
     if (config.isMor) return morDelete(keys)
     val id = log.nextId
-    // prune to the partitions that can hold the doomed keys: from the keys
-    // frame itself when it carries the partition column (non-global), or
-    // from the key+partition index scan (global); full scan otherwise
+    // prune to the partition tuples that can hold the doomed keys: from
+    // the keys frame itself when it carries every user partition column
+    // (the key-hash bucket level is always derivable), or from the
+    // key+partition index scan (global); full scan otherwise
     val live = log.liveFiles()
-    val touched: Option[Set[String]] = config.partitionCol match {
-      case Some(pc) if config.globalIndex => Some(partitionsHoldingKeys(keys, live))
-      case Some(pc) if keys.columns.contains(pc) => Some(renderedPartitions(keys, pc))
-      case _ => None
-    }
+    val userPartsKnown = config.partitionCols.forall(keys.columns.contains)
+    val touched: Option[Set[String]] =
+      if (effParts.isEmpty) None
+      else if (config.globalIndex) Some(partitionsHoldingKeys(keys, live))
+      else if (userPartsKnown) Some(renderedTuples(withDerived(keys)))
+      else None
     val oldFiles = touched.fold(live)(t => live.filter(f => t.contains(f.partition)))
     val current = readOrEmpty(oldFiles)
     // identity for the anti-join: when the keys frame pins the partition
-    // (non-global index), match on (partition, key) so the same key value
-    // in a co-touched partition survives — mirrors MoR tombstone scoping
-    val joinCols = config.partitionCol match {
-      case Some(pc) if !config.globalIndex && keys.columns.contains(pc) =>
-        pc +: config.keyCols
-      case _ => config.keyCols
-    }
+    // (non-global index), match on (partition..., key) so the same key
+    // value in a co-touched partition survives — mirrors MoR tombstones
+    val joinCols =
+      if (!config.globalIndex && config.partitionCols.nonEmpty && userPartsKnown)
+        config.partitionCols ++ config.keyCols
+      else config.keyCols
     val remaining = current.join(
       keys.select(joinCols.map(col): _*).distinct(),
       joinCols, "left_anti")
@@ -282,17 +315,17 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   private def morDelete(keys: DataFrame): Long = {
     val id = log.nextId
-    val keyed = keys.select(
-      (config.keyCols ++ config.partitionCol.filter(keys.columns.contains))
-        .distinct.map(col): _*).distinct()
-    val placed = config.partitionCol match {
-      case Some(pc) if !keyed.columns.contains(pc) =>
-        // column-pruned index scan: key -> current partition(s)
-        readFiles(log.liveFiles())
-          .select((config.keyCols :+ pc).map(col): _*).distinct()
-          .join(keyed, config.keyCols, "left_semi")
-      case _ => keyed
-    }
+    val present = config.partitionCols.filter(keys.columns.contains)
+    val keyed = keys.select((config.keyCols ++ present).distinct.map(col): _*).distinct()
+    val placed =
+      if (present.size == config.partitionCols.size) withDerived(keyed)
+      else
+        // column-pruned index scan: key -> current partition tuple(s)
+        withDerived(
+          readFiles(log.liveFiles())
+            .select((config.keyCols ++ config.partitionCols).distinct.map(col): _*)
+            .distinct()
+            .join(keyed, config.keyCols, "left_semi"))
     val tombstones = withMeta(placed, id)
       .withColumn(config.precombineCol,
         lit(null).cast(schemaOf(config.precombineCol)))
@@ -333,14 +366,13 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       .flatMap(s => s.fields.find(_.name == colName).map(_.dataType))
       .getOrElse(org.apache.spark.sql.types.StringType)
 
-  /** partition-scoped index: key unique per (partition, key);
-    * global index: key unique table-wide (SURVEY.md §1.1 record key)
+  /** partition-scoped index: key unique per (partition tuple, key);
+    * global index: key unique table-wide (SURVEY.md §1.1 record key).
+    * The derived bucket is a pure function of the key, so it never joins
+    * the dedup identity.
     */
   private def dedupCols: Seq[String] =
-    (config.partitionCol match {
-      case Some(pc) if !config.globalIndex => Seq(pc)
-      case _ => Seq.empty
-    }) ++ config.keyCols
+    (if (config.globalIndex) Seq.empty else config.partitionCols) ++ config.keyCols
 
   // mergeSchema: commits may widen the schema over time (upsert unions
   // byName+allowMissing). The footer-merge job is only paid when the
@@ -370,37 +402,28 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   private def snapshotForUpsert(incoming: DataFrame): (Seq[FileAdd], DataFrame) = {
     val live = log.liveFiles()
-    config.partitionCol match {
-      case None => (live, readOrEmpty(live))
-      case Some(pc) =>
-        val touched = renderedPartitions(incoming, pc) ++
-          (if (config.globalIndex) partitionsHoldingKeys(incoming, live)
-           else Set.empty)
-        val files = live.filter(f => touched.contains(f.partition))
-        (files, readOrEmpty(files))
+    if (effParts.isEmpty) (live, readOrEmpty(live))
+    else {
+      // `incoming` already carries the derived bucket column
+      val touched = renderedTuples(incoming) ++
+        (if (config.globalIndex) partitionsHoldingKeys(incoming, live)
+         else Set.empty)
+      val files = live.filter(f => touched.contains(f.partition))
+      (files, readOrEmpty(files))
     }
   }
 
-  /** Partition values present in `df`, string-rendered the way Spark
-    * renders partition directories (null → __HIVE_DEFAULT_PARTITION__).
-    * Metadata-scale collect: bounded by the touched-partition count.
-    */
-  private def renderedPartitions(df: DataFrame, pc: String): Set[String] =
-    df.select(coalesce(col(pc).cast("string"), lit(NullPartition)).as("p"))
-      .distinct().collect().map(_.getString(0)).toSet
-
-  /** Global-index lookup: which live partitions currently hold any of the
-    * record keys in `df`? A column-pruned key+partition parquet scan
-    * (Hudi GLOBAL_SIMPLE's strategy) — reads 2-3 columns, never payloads.
+  /** Global-index lookup: which live partition tuples currently hold any
+    * of the record keys in `df`? A column-pruned key+partition parquet
+    * scan (Hudi GLOBAL_SIMPLE's strategy) — reads a few columns, never
+    * payloads.
     */
   private def partitionsHoldingKeys(df: DataFrame, live: Seq[FileAdd]): Set[String] = {
-    val pc = config.partitionCol.get
     if (live.isEmpty) Set.empty
-    else readFiles(live)
-      .join(df.select(config.keyCols.map(col): _*).distinct(),
-        config.keyCols, "left_semi")
-      .select(coalesce(col(pc).cast("string"), lit(NullPartition)).as("p"))
-      .distinct().collect().map(_.getString(0)).toSet
+    else renderedTuples(
+      readFiles(live)
+        .join(df.select(config.keyCols.map(col): _*).distinct(),
+          config.keyCols, "left_semi"))
   }
 
   private def readOrEmpty(files: Seq[FileAdd]): DataFrame =
@@ -420,36 +443,43 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       fixedId: Option[Long] = None, kind: String = "base"): Long = {
     val id = fixedId.getOrElse(log.nextId)
     val dir = dataDir(id)
-    val writer = config.partitionCol match {
-      case Some(pc) =>
-        // keep the real column in the data; duplicate it as `_part` for the
-        // Hive-style directory layout (the reference instead mangled the
-        // column value itself, HudiJarGlueJob.py:102 — deliberate deviation,
-        // SURVEY.md §7.4). repartitionByRange on (_part, key) clusters each
-        // partition's rows into contiguous tasks — few files per partition
-        // (the small-file management the reference disabled,
-        // hoodie.parquet.small.file.limit: 0, HudiJarGlueJob.py:77) while
-        // write parallelism still scales with data volume, unlike hashing
-        // everything for one partition value into a single task.
-        df.withColumn("_part", coalesce(col(pc).cast("string"), lit(NullPartition)))
-          .repartitionByRange((col("_part") +: config.keyCols.map(col)): _*)
-          .write.partitionBy("_part")
-      case None => df.write
-    }
+    // keep the real columns in the data; duplicate them as `__gpN` shadow
+    // columns for the nested Hive-style directory layout (the reference
+    // instead mangled the column value itself, HudiJarGlueJob.py:102 —
+    // deliberate deviation, SURVEY.md §7.4). repartitionByRange on
+    // (partition levels, key) clusters each partition's rows into
+    // contiguous tasks — few files per partition (the small-file
+    // management the reference disabled, hoodie.parquet.small.file.limit:
+    // 0, HudiJarGlueJob.py:77) while write parallelism still scales with
+    // data volume, unlike hashing one partition value into a single task.
+    val shadows = effParts.indices.map(i => s"__gp$i")
+    val writer =
+      if (effParts.isEmpty) df.write
+      else {
+        val shadowed = effParts.zip(shadows).foldLeft(df) {
+          case (acc, (pc, sh)) => acc.withColumn(sh, renderCol(pc))
+        }
+        shadowed
+          .repartitionByRange((shadows ++ config.keyCols).map(col): _*)
+          .write.partitionBy(shadows: _*)
+      }
     writer.mode("error").parquet(dir.toString)
     val fs = dir.getFileSystem(hconf)
     val adds = listParquet(fs, dir).map { p =>
       // directory segments are Hive-escaped by Spark (':' → '%3A' etc.);
-      // store the UNESCAPED value so pruning compares in raw value space
-      val part = p.getParent.getName match {
-        case seg if seg.startsWith("_part=") =>
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(seg.stripPrefix("_part="))
-        case _ => ""
-      }
-      FileAdd(p.toString, part, kind)
+      // store the UNESCAPED tuple so pruning compares in raw value space
+      val segs = p.toString.split('/')
+        .filter(_.startsWith("__gp"))
+        .map { seg =>
+          val Array(name, value) = seg.split("=", 2)
+          name.stripPrefix("__gp").toInt ->
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(value)
+        }
+        .sortBy(_._1).map(_._2)
+      FileAdd(p.toString, segs.mkString(PartSep), kind)
     }
-    val schemaJson = df.drop("_part").schema.json
+    val schemaJson = df.schema.json
     log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds, removes))
     id
   }
@@ -468,6 +498,12 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
 object LakeTable {
   /** Spark's directory name for a null partition value. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** derived key-hash bucket column (hashBuckets > 0) */
+  val BucketCol = "_bucket"
+
+  /** separator joining multi-level partition tuples in FileAdd.partition */
+  val PartSep = "\u0001"
 
   def apply(spark: SparkSession, config: LakeTableConfig): LakeTable =
     new LakeTable(spark, config)

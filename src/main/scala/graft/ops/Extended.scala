@@ -25,6 +25,24 @@ object Extended {
     StructField("p_size", IntegerType),
     StructField("p_retailprice", DoubleType)))
 
+  /** Register both fact tables bucketed+sorted on the join key (once per
+    * JVM+sfDir); overwrite because the external path may survive from a
+    * previous JVM while the in-memory catalog entry does not.
+    */
+  private[graft] def ensureBucketed(s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val liT = s"li_bkt_$tag"; val ordT = s"ord_bkt_$tag"
+    if (!s.catalog.tableExists(liT)) {
+      T.lineitem(s, d).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"/tmp/graft_bucketed/$liT").saveAsTable(liT)
+      T.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"/tmp/graft_bucketed/$ordT").saveAsTable(ordT)
+    }
+    (liT, ordT)
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     // ---- S1: CSV scan, explicit schema + header; W1: staging write ----
@@ -167,18 +185,7 @@ object Extended {
     // is the layout that amortizes one shuffle across every future join.
     GQuery("bucketed_join",
       (s, d) => {
-        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-        val liT = s"li_bkt_$tag"; val ordT = s"ord_bkt_$tag"
-        if (!s.catalog.tableExists(liT)) {
-          // overwrite: the external path may survive from a previous JVM
-          // while the in-memory catalog entry does not
-          T.lineitem(s, d).write.mode("overwrite")
-            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .option("path", s"/tmp/graft_bucketed/$liT").saveAsTable(liT)
-          T.orders(s, d).write.mode("overwrite")
-            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .option("path", s"/tmp/graft_bucketed/$ordT").saveAsTable(ordT)
-        }
+        val (liT, ordT) = ensureBucketed(s, d)
         val li = s.table(liT); val ord = s.table(ordT)
         li.hint("merge")
           .join(ord, li("l_orderkey") === ord("o_orderkey"))

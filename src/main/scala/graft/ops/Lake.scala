@@ -54,7 +54,7 @@ object Lake {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val t = LakeTable(s, LakeTableConfig(
         root, keyCols = Seq("l_orderkey", "l_linenumber"),
-        precombineCol = "update_ts", partitionCol = Some("l_returnflag"),
+        precombineCol = "update_ts", partitionCols = Seq("l_returnflag"),
         storageType = mode))
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
       // aggregate to one row per key so the CDC replay has a well-defined

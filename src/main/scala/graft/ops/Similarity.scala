@@ -74,7 +74,7 @@ object Similarity {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val t = graft.lake.LakeTable(s, graft.lake.LakeTableConfig(
         root, keyCols = Seq("vec_id"), precombineCol = "vec_id",
-        partitionCol = Some("bucket")))
+        partitionCols = Seq("bucket")))
       val planesLit = array(planeWeights(nPlanes).map(p => array(p.map(lit): _*)): _*)
       t.bulkInsert(corpus(s, d).withColumn("pl", planesLit)
         .withColumn("bucket", bucketExpr("v", nPlanes)).drop("pl"))
@@ -188,4 +188,8 @@ object Similarity {
   /** exposed for AnnSpec recall measurement */
   private[graft] def bruteForce(s: SparkSession, d: String): DataFrame =
     queries.head.fn(s, d)
+
+  /** exposed so Bench can time the index build separately */
+  private[graft] def ensureAnnIndex(s: SparkSession, d: String): Unit =
+    annIndex(s, d, 6)
 }

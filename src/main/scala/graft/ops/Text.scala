@@ -40,7 +40,13 @@ object Text {
     (tri, sizes)
   }
 
-  /** exact-Jaccard pairs via inverted-index join, filtered at `minJ` */
+  /** exact-Jaccard pairs via inverted-index join, filtered at `minJ`.
+    * (A df>1 shingle prefilter was measured and REJECTED here: the
+    * fixture's small vocabulary makes nearly every shingle shared, so the
+    * extra aggregation+join cost ~60% with no join shrinkage. On diverse
+    * real text, where most shingles are unique, it pays — revisit if the
+    * corpus changes.)
+    */
   private def jaccardPairs(s: SparkSession, d: String, minJ: Double): DataFrame = {
     val (tri, sizes) = shingled(s, d)
     val a = tri.as("a"); val b = tri.as("b")

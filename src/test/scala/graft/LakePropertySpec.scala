@@ -26,7 +26,7 @@ class LakePropertySpec extends AnyFunSuite {
 
   private def table(): LakeTable = LakeTable(spark, LakeTableConfig(
     Files.createTempDirectory("lakeprop").resolve("t").toString,
-    Seq("pk"), "ts", partitionCol = Some("vendorid")))
+    Seq("pk"), "ts", partitionCols = Seq("vendorid")))
 
   private def toDf(rows: Seq[Rec]): DataFrame = {
     import spark.implicits._

@@ -27,7 +27,7 @@ class LakeTableSpec extends AnyFunSuite {
     Files.createTempDirectory("laketest").resolve("tbl").toString
 
   private def cfg(root: String, part: Option[String] = Some("vendorid")) =
-    LakeTableConfig(root, keyCols = Seq("pk"), precombineCol = "ts", partitionCol = part)
+    LakeTableConfig(root, keyCols = Seq("pk"), precombineCol = "ts", partitionCols = part.toSeq)
 
   private def df(rows: (Long, Int, String, Int)*): DataFrame = {
     import spark.implicits._
@@ -135,8 +135,47 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == before)
   }
 
+  test("multi-column partition paths: nested layout, pruned rewrite") {
+    import spark.implicits._
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("region", "vendorid")))
+    val rows = Seq((1L, "eu", 1, "a", 0), (2L, "eu", 2, "b", 0), (3L, "us", 1, "c", 0))
+      .toDF("pk", "region", "vendorid", "payload", "ts")
+    t.bulkInsert(rows)
+    // partition tuples recorded per file, two levels deep
+    assert(t.log.liveFiles().map(_.partition).toSet ==
+      Set(Seq("eu", "1"), Seq("eu", "2"), Seq("us", "1")).map(_.mkString(LakeTable.PartSep)))
+    val before = t.log.liveFiles().map(_.path).toSet
+    t.upsert(Seq((1L, "eu", 1, "a2", 1)).toDF("pk", "region", "vendorid", "payload", "ts"))
+    // only the (eu,1) partition's file was replaced
+    val removed = before -- t.log.liveFiles().map(_.path).toSet
+    assert(removed.forall(_.contains("__gp0=eu")), removed.toString)
+    assert(removed.forall(_.contains("__gp1=1")), removed.toString)
+    val out = t.read().select($"pk", $"region", $"vendorid", $"payload")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(out == Set((1L, "eu", 1, "a2"), (2L, "eu", 2, "b"), (3L, "us", 1, "c")))
+  }
+
+  test("hash buckets: unpartitioned upsert rewrites only touched buckets") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      hashBuckets = 8))
+    t.bulkInsert(df((1L to 32L).map(i => (i, 1, s"p$i", 0)): _*))
+    val filesBefore = t.log.liveFiles().map(_.path).toSet
+    assert(t.log.liveFiles().map(_.partition).toSet.size > 1, "multiple buckets expected")
+    t.upsert(df((5L, 1, "upd", 1)))
+    val filesAfter = t.log.liveFiles().map(_.path).toSet
+    val removed = filesBefore -- filesAfter
+    assert(removed.size < filesBefore.size,
+      s"bucket pruning should rewrite a strict subset (${removed.size}/${filesBefore.size})")
+    assert(snap(t).contains((5L, 1, "upd", 1)))
+    assert(snap(t).size == 32)
+    // delete prunes by bucket too
+    t.delete(df((6L, 1, "x", 0)))
+    assert(snap(t).size == 31 && !snap(t).exists(_._1 == 6L))
+  }
+
   private def morCfg(root: String) = LakeTableConfig(root, Seq("pk"), "ts",
-    partitionCol = Some("vendorid"), storageType = "mor")
+    partitionCols = Seq("vendorid"), storageType = "mor")
 
   test("merge-on-read: delta upserts merge at read time") {
     val t = LakeTable(spark, morCfg(freshRoot()))
@@ -198,7 +237,7 @@ class LakeTableSpec extends AnyFunSuite {
 
   test("inline compaction triggers after compactEvery delta commits") {
     val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
-      partitionCol = Some("vendorid"), storageType = "mor", compactEvery = 2))
+      partitionCols = Seq("vendorid"), storageType = "mor", compactEvery = 2))
     t.bulkInsert(df((1L, 1, "a", 0)))
     t.upsert(df((1L, 1, "a2", 1)))                 // delta 1
     assert(t.log.liveFiles().exists(_.isDelta))
@@ -278,7 +317,7 @@ class LakeTableSpec extends AnyFunSuite {
   test("partition values with hive-escaped characters prune correctly") {
     import spark.implicits._
     val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
-      partitionCol = Some("cat")))
+      partitionCols = Seq("cat")))
     val rows = Seq((1L, "a:b", "v1", 0), (2L, "plain", "w", 0))
       .toDF("pk", "cat", "payload", "ts")
     t.bulkInsert(rows)
@@ -320,7 +359,7 @@ class LakeTableSpec extends AnyFunSuite {
   test("reference CDC replay, global index: one row per key table-wide") {
     val (dayMinus, day0, day1) = cdcBatches
     val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
-      partitionCol = Some("vendorid"), globalIndex = true))
+      partitionCols = Seq("vendorid"), globalIndex = true))
     t.bulkInsert(dayMinus)
     t.upsert(day0)
     t.upsert(day1)

@@ -38,7 +38,7 @@ class StreamingSpec extends AnyFunSuite {
     val b3 = batchDf((1L, 1, "stale", 0))                     // late, must lose
 
     val streamed = LakeTable(spark, LakeTableConfig(
-      tmp("stream-tbl"), Seq("pk"), "ts", Some("vendorid")))
+      tmp("stream-tbl"), Seq("pk"), "ts", Seq("vendorid")))
     b1.write.parquet(s"$src/b1")
     val q = spark.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1")
@@ -57,7 +57,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
 
     val direct = LakeTable(spark, LakeTableConfig(
-      tmp("direct-tbl"), Seq("pk"), "ts", Some("vendorid")))
+      tmp("direct-tbl"), Seq("pk"), "ts", Seq("vendorid")))
     Seq(b1, b2, b3).foreach(direct.upsert(_))
 
     import spark.implicits._
