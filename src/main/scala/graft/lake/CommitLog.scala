@@ -130,6 +130,7 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     * last `retain` commits stay time-travelable. Latest snapshot unaffected.
     */
   def clean(retain: Int): Unit = {
+    require(retain >= 1, s"must retain at least the latest commit, got $retain")
     val ids = listIds
     if (ids.size <= retain) return
     // oldest id that stays travelable: files superseded at or before it

@@ -52,7 +52,6 @@ final case class LakeTableConfig(
   require(storageType == "cow" || storageType == "mor",
     s"storageType must be cow|mor, got $storageType")
   def isMor: Boolean = storageType == "mor"
-  def partitionCol: Option[String] = partitionCols.headOption
 }
 
 /** Copy-on-Write lake table: versioned parquet base files + JSON commit
@@ -96,8 +95,13 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         pmod(hash(config.keyCols.map(col): _*), lit(config.hashBuckets)))
     else df
 
-  private def renderCol(c: String) =
-    coalesce(col(c).cast("string"), lit(NullPartition))
+  // Spark's partition-path rendering sends BOTH null and empty-string
+  // values to the hive default directory — mirror exactly, or pruning
+  // misses those files (empty string found by review, round 1)
+  private def renderCol(c: String) = {
+    val s = col(c).cast("string")
+    when(s.isNull || s === "", lit(NullPartition)).otherwise(s)
+  }
 
   /** distinct raw (unescaped) partition tuples present in `df`, joined
     * with PartSep. Metadata-scale collect: bounded by touched partitions.
@@ -192,7 +196,14 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     * appears in `keys` are dropped; touched partitions only are rewritten
     * when `keys` carries the partition column.
     */
-  def delete(keys: DataFrame): Long = {
+  def delete(keysIn: DataFrame): Long = {
+    // persisted: consumed up to 3× (emptiness probe, partition-tuple
+    // probe, anti-join) — same rationale as upsert's incoming persist
+    val keys = keysIn.persist()
+    try deleteImpl(keys) finally keys.unpersist()
+  }
+
+  private def deleteImpl(keys: DataFrame): Long = {
     if (keys.isEmpty) return log.latestId.getOrElse(-1L)
     require(exists, s"table ${config.root} does not exist")
     if (config.isMor) return morDelete(keys)
@@ -217,9 +228,11 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       if (!config.globalIndex && config.partitionCols.nonEmpty && userPartsKnown)
         config.partitionCols ++ config.keyCols
       else config.keyCols
-    val remaining = current.join(
-      keys.select(joinCols.map(col): _*).distinct(),
-      joinCols, "left_anti")
+    // null-safe equality: a plain column-name join drops no row whose
+    // partition value is null (null = null is null), silently un-deleting
+    val doomed = keys.select(joinCols.map(col): _*).distinct().as("k")
+    val cond = joinCols.map(c => current(c) <=> doomed(c)).reduce(_ && _)
+    val remaining = current.join(doomed, cond, "left_anti")
     writeCommit(remaining, "delete", oldFiles.map(_.path), Some(id))
   }
 
@@ -467,8 +480,11 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     val fs = dir.getFileSystem(hconf)
     val adds = listParquet(fs, dir).map { p =>
       // directory segments are Hive-escaped by Spark (':' → '%3A' etc.);
-      // store the UNESCAPED tuple so pruning compares in raw value space
-      val segs = p.toString.split('/')
+      // store the UNESCAPED tuple so pruning compares in raw value space.
+      // Parse only BELOW the commit dir — a table root containing a
+      // "__gp…" path segment must not inject phantom tuple levels
+      val rel = p.toString.stripPrefix(dir.toString)
+      val segs = rel.split('/')
         .filter(_.startsWith("__gp"))
         .map { seg =>
           val Array(name, value) = seg.split("=", 2)

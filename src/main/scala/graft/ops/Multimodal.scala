@@ -81,9 +81,13 @@ object Multimodal {
         .select(col("doc_id"),
           // raw BYTE at each chunk start (hex round-trip), not the decoded
           // character — byte-true for non-ASCII payloads
+          // empty payloads yield ZERO frames (sequence(0,-1) would count
+          // DOWN and fabricate rows — same trap as Text.triExpr)
           posexplode(expr(
-            s"""transform(sequence(0, CAST(ceil(octet_length(payload) / $ChunkBytes.0) AS INT) - 1),
-                  c -> CAST(conv(hex(substring(payload, c * $ChunkBytes + 1, 1)), 16, 10) AS INT))""")))
+            s"""CASE WHEN octet_length(payload) > 0 THEN
+                  transform(sequence(0, CAST(ceil(octet_length(payload) / $ChunkBytes.0) AS INT) - 1),
+                    c -> CAST(conv(hex(substring(payload, c * $ChunkBytes + 1, 1)), 16, 10) AS INT))
+                ELSE CAST(array() AS array<int>) END""")))
         .withColumnRenamed("pos", "frame_id").withColumnRenamed("col", "first_byte")
         .orderBy("doc_id", "frame_id"),
       Some(s"""WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,

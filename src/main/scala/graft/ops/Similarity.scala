@@ -67,7 +67,7 @@ object Similarity {
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
 
   private def annIndex(s: SparkSession, d: String, nPlanes: Int): graft.lake.LakeTable =
-    indexCache.computeIfAbsent(d, _ => {
+    indexCache.computeIfAbsent(s"$d:$nPlanes", _ => {
       val root = s"/tmp/graft_annidx/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -135,6 +135,31 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == before)
   }
 
+  test("delete removes rows in null and empty-string partitions") {
+    import spark.implicits._
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("cat")))
+    val rows = Seq((1L, Option.empty[String], "a", 0), (2L, Some(""), "b", 0),
+      (3L, Some("x"), "c", 0)).toDF("pk", "cat", "payload", "ts")
+    t.bulkInsert(rows)
+    // keys carry the partition column (null / empty values included)
+    t.delete(Seq((1L, Option.empty[String]), (2L, Some("")))
+      .toDF("pk", "cat"))
+    val out = t.read().select($"pk", $"payload").as[(Long, String)].collect().toSet
+    assert(out == Set((3L, "c")))
+    // upsert into the empty-string partition also prunes correctly
+    t.upsert(Seq((3L, Some("x"), "c2", 1), (4L, Some(""), "d", 1))
+      .toDF("pk", "cat", "payload", "ts"))
+    val out2 = t.read().select($"pk", $"payload").as[(Long, String)].collect().toSet
+    assert(out2 == Set((3L, "c2"), (4L, "d")))
+  }
+
+  test("clean(0) is rejected; retain >= 1 enforced") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    intercept[IllegalArgumentException](t.clean(0))
+  }
+
   test("multi-column partition paths: nested layout, pruned rewrite") {
     import spark.implicits._
     val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
