@@ -280,13 +280,100 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   def clean(retain: Int): Unit = log.clean(retain)
 
-  /** Catalog sync (reference W7, `glue/HudiJarGlueJob.py:80-81` hive_sync):
-    * register the current snapshot under a name in the session catalog so
-    * SQL resolves it. Re-run after each commit, like Hudi's post-write
-    * sync. (Session catalog here ≙ the reference's Glue metastore.)
+  /** Catalog sync (reference W7, `glue/HudiJarGlueJob.py:80-81` hive_sync
+    * database/table + partition_fields/MultiPartKeysValueExtractor):
+    * register the snapshot as a REAL session-catalog table — an external
+    * parquet table whose partitions are registered with per-partition
+    * LOCATIONs pointing at the live commit directories — so any SQL
+    * consumer resolves `db.tbl` with partition pruning, independent of
+    * this object or any temp-view state. (Session catalog here ≙ the
+    * reference's Glue metastore.)
+    *
+    * No data is copied: a CoW commit rewrites each touched partition
+    * wholly into its own commit directory, so every partition's live
+    * files sit under exactly one directory — that directory IS the
+    * registered partition location. For MoR tables this syncs the
+    * read-optimized view (base files only — Hudi's `_ro` table, the
+    * form hive_sync exposes to plain-parquet engines): base files are
+    * only written by the initial load or a full compaction, so the
+    * single-directory property holds there too.
+    *
+    * After the first sync, every subsequent commit re-syncs
+    * automatically (Hudi's post-write sync loop).
     */
-  def syncToCatalog(name: String): Unit =
-    read().createOrReplaceTempView(name)
+  def syncToCatalog(table: String, database: String = "default"): Unit = {
+    synced = Some((database, table))
+    resync()
+  }
+
+  @volatile private var synced: Option[(String, String)] = None
+
+  private def sqlEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  private def resync(): Unit = synced.foreach { case (db, tbl) =>
+    val fq = s"`$db`.`$tbl`"
+    // base files only: the plain-parquet-readable view (≡ snapshot on CoW)
+    val files = log.liveFiles().filter(!_.isDelta)
+    val schema = baseSchema
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS $fq")
+    def colDdl(f: org.apache.spark.sql.types.StructField) =
+      s"`${f.name}` ${f.dataType.sql}"
+    if (effParts.isEmpty) {
+      // unpartitioned: every live file sits in the latest rewriting
+      // commit's directory (full-table rewrite semantics)
+      val loc = files.headOption
+        .map(f => new Path(f.path).getParent)
+        .getOrElse {
+          val d = new Path(config.root, "data/_empty")
+          d.getFileSystem(hconf).mkdirs(d); d
+        }
+      spark.sql(s"CREATE TABLE $fq (${schema.fields.map(colDdl).mkString(", ")}) " +
+        s"USING parquet LOCATION '${sqlEsc(loc.toString)}'")
+    } else {
+      // table root is a dedicated empty dir; real data is attached
+      // per-partition below (partition locations outside the table root
+      // are legal, and this keeps CREATE from scanning commit dirs)
+      val stub = new Path(config.root, s"_catalog/$tbl")
+      stub.getFileSystem(hconf).mkdirs(stub)
+      val partSet = effParts.toSet
+      val dataCols = schema.fields.filterNot(f => partSet.contains(f.name))
+      val partCols = effParts.map(p =>
+        schema.fields.find(_.name == p)
+          .getOrElse(org.apache.spark.sql.types.StructField(p,
+            org.apache.spark.sql.types.StringType)))
+      spark.sql(s"CREATE TABLE $fq (${(dataCols ++ partCols).map(colDdl).mkString(", ")}) " +
+        s"USING parquet PARTITIONED BY (${effParts.map(p => s"`$p`").mkString(", ")}) " +
+        s"LOCATION '${sqlEsc(stub.toString)}'")
+      val clauses = files.groupBy(_.partition).toSeq.sortBy(_._1).map {
+        case (tuple, fAdds) =>
+          val values = tuple.split(PartSep(0))
+          require(values.length == effParts.length,
+            s"partition tuple '$tuple' does not match ${effParts.mkString(",")}")
+          val dirs = fAdds.map(f => new Path(f.path).getParent.toString).distinct
+          require(dirs.size == 1,
+            s"live files of partition $tuple span ${dirs.size} directories — " +
+              "single-directory invariant broken")
+          val spec = effParts.zip(values)
+            .map { case (p, v) => s"`$p`='${sqlEsc(v)}'" }.mkString(", ")
+          s"PARTITION ($spec) LOCATION '${sqlEsc(dirs.head)}'"
+      }
+      if (clauses.nonEmpty)
+        spark.sql(s"ALTER TABLE $fq ADD ${clauses.mkString(" ")}")
+    }
+  }
+
+  /** schema of the base (plain-parquet-readable) files: the last commit
+    * that wrote base files; falls back to the latest schema on an
+    * all-delta timeline (cannot happen — the first commit is a base one).
+    */
+  private def baseSchema: StructType =
+    log.commits.reverse
+      .find(c => c.op != "delta_commit" && c.op != "delete_delta")
+      .map(_.schemaJson).orElse(log.schemaJsonAsOf(None))
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(new StructType())
 
   private def readSnapshot(asOf: Option[Long]): DataFrame = {
     val files = log.liveFiles(asOf)
@@ -497,6 +584,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     }
     val schemaJson = df.schema.json
     log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds, removes))
+    resync() // keep a registered catalog table in step with the timeline
     id
   }
 

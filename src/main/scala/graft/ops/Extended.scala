@@ -90,13 +90,16 @@ object Extended {
           GROUP BY o_orderkey, o_orderdate)
         SELECT * FROM r ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
 
-    // ---- W7: catalog sync — SQL over the lake snapshot view -----------
+    // ---- W7: catalog sync — SQL over the PERSISTENT catalog table -----
+    // (hive_sync equivalent: external parquet table + registered
+    // partition locations, ref HudiJarGlueJob.py:80-81; resolving
+    // `graft.cdc_snapshot` needs no temp-view/session-DataFrame state)
     GQuery("lake_catalog_sql",
       (s, d) => {
-        Lake.cdcTable(s, d).syncToCatalog("cdc_snapshot")
+        Lake.cdcTable(s, d).syncToCatalog("cdc_snapshot", "graft")
         s.sql("""SELECT l_returnflag, count(*) AS n_rows,
             round(sum(l_quantity), 2) AS sum_qty
-          FROM cdc_snapshot GROUP BY l_returnflag ORDER BY l_returnflag""")
+          FROM graft.cdc_snapshot GROUP BY l_returnflag ORDER BY l_returnflag""")
       },
       Some(s"""${Lake.mergedCte}
         SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
@@ -105,6 +108,34 @@ object Extended {
           WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
             AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- S2: recursive-directory parquet ingest -----------------------
+    // the reference's main ingest is a recursive scan of a nested input
+    // tree (`recurse: True`, glue/HudiJarGlueJob.py:73). Stage lineitem
+    // as a two-level shard=* tree (partitionBy on a DERIVED column so
+    // every real column stays inside the data files), then read it back
+    // with recursiveFileLookup — no partition inference, just every
+    // parquet file under the root — and oracle-check the aggregate.
+    GQuery("recursive_ingest",
+      (s, d) => {
+        val stage = s"/tmp/graft_recursive/li_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val done = new org.apache.hadoop.fs.Path(s"$stage/_SUCCESS")
+        val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(done))
+          T.lineitem(s, d)
+            .withColumn("shard", pmod(col("l_orderkey"), lit(7)))
+            .write.mode("overwrite").partitionBy("shard").parquet(stage)
+        s.read.option("recursiveFileLookup", "true").parquet(stage)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- custom UDAF --------------------------------------------------
     GQuery("udaf_weighted_avg",

@@ -79,6 +79,79 @@ object Lake {
     df.select((dataCols :+ "update_ts").map(col): _*)
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Streaming form of the CDC flow (reference's continuous equivalent of
+    * `glue/NYTaxiDataPrep.py:25-27` replayed): the three upsert batches are
+    * staged as parquet FILES, a file-source stream feeds them through
+    * `foreachBatch { upsert }` one file per micro-batch, and the snapshot
+    * must equal the batch CDC result — precombine makes the outcome
+    * independent of micro-batch arrival order (older update_ts loses
+    * whenever it arrives), which is exactly what the oracle's window
+    * asserts.
+    */
+  private[graft] def streamTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:stream", _ => {
+      val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"/tmp/graft_lake/stream_$tag"
+      val srcDir = s"/tmp/graft_lake/stream_src_$tag"
+      val ckpt = s"/tmp/graft_lake/stream_ckpt_$tag"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(root, srcDir, ckpt).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val li = T.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_returnflag")).as("l_returnflag"),
+          max(col("l_quantity")).as("l_quantity"))
+        .persist()
+      try {
+        val (b0, b1, b2, _) = batches(li)
+        // stage each batch's part files flat into srcDir (named so batch
+        // order is stable for the file source's listing)
+        Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+          val stagePath = new org.apache.hadoop.fs.Path(s"$srcDir/_stage$i")
+          b.write.parquet(stagePath.toString)
+          fs.listStatus(stagePath).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName).zipWithIndex
+            .foreach { case (f, j) =>
+              fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(srcDir, f"b$i-p$j%04d.parquet"))
+            }
+          fs.delete(stagePath, true)
+        }
+        val t = LakeTable(s, LakeTableConfig(
+          root, keyCols = Seq("l_orderkey", "l_linenumber"),
+          precombineCol = "update_ts", partitionCols = Seq("l_returnflag")))
+        val q = graft.streaming.Streaming.upsertStream(
+          s, srcDir, b0.schema, t, ckpt,
+          readOptions = Map("maxFilesPerTrigger" -> "1"))
+        try q.processAllAvailable() finally q.stop()
+        t
+      } finally li.unpersist()
+    })
+
+  /** Schema evolution (mergeSchema read path, SURVEY.md §2.3): a later
+    * upsert carries a NEW column; the snapshot shows the widened schema
+    * with nulls backfilled on untouched rows.
+    */
+  private[graft] def evoTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:evo", _ => {
+      val root = s"/tmp/graft_lake/evo_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("n_nationkey"), precombineCol = "update_ts",
+        partitionCols = Seq("n_regionkey")))
+      val nation = T.nation(s, d)
+      t.bulkInsert(nation.withColumn("update_ts", lit(0)))
+      t.upsert(nation.filter(col("n_regionkey") === 1)
+        .withColumn("update_ts", lit(1))
+        .withColumn("extra_score", col("n_nationkey") * 10))
+      t
+    })
+
   private val liCte =
     """li AS (SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
                    max(l_quantity) AS l_quantity
@@ -142,6 +215,27 @@ object Lake {
       Some(s"""$mergedCte
         SELECT m.* FROM merged m WHERE m.update_ts = 1
         ORDER BY m.l_orderkey, m.l_linenumber""")),
+
+    // ---- streaming CDC ingest, end-to-end against the oracle ----------
+    // file-source stream → foreachBatch upsert → snapshot; one staged
+    // batch file per micro-batch. Same oracle as lake_upsert_snapshot:
+    // the continuous and batch forms of the reference's CDC loop must
+    // converge to the identical table.
+    GQuery("stream_upsert_snapshot",
+      (s, d) => proj(streamTable(s, d).read()),
+      Some(s"""$mergedCte
+        SELECT * FROM merged ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- schema evolution: upsert with a new column, null backfill ----
+    GQuery("lake_schema_evolution",
+      (s, d) => evoTable(s, d).read()
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("update_ts"), col("extra_score"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name, n_regionkey,
+        CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END AS update_ts,
+        CASE WHEN n_regionkey = 1 THEN n_nationkey * 10 END AS extra_score
+        FROM nation ORDER BY n_nationkey""")),
 
     // after compaction the same snapshot must come from base files only
     GQuery("lake_mor_compacted",

@@ -22,16 +22,19 @@ import graft.lake.LakeTable
 object Streaming {
 
   /** Continuous ingest: parquet files landing in `srcDir` are upserted
-    * into `table` micro-batch by micro-batch.
+    * into `table` micro-batch by micro-batch. `readOptions` tune the file
+    * source (e.g. maxFilesPerTrigger=1 to cap per-micro-batch work).
     */
   def upsertStream(
       spark: SparkSession,
       srcDir: String,
       schema: StructType,
       table: LakeTable,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      readOptions: Map[String, String] = Map.empty): StreamingQuery =
     spark.readStream
       .schema(schema)
+      .options(readOptions)
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>

@@ -307,15 +307,44 @@ class LakeTableSpec extends AnyFunSuite {
     assert(inc == Set((1L, "a2"), (3L, "c")))  // key 2 unchanged since c0
   }
 
-  test("catalog sync: snapshot resolvable by SQL name after each commit") {
+  test("catalog sync: persistent table with partitions, auto-resynced") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))
-    t.syncToCatalog("synced_tbl")
-    assert(spark.catalog.tableExists("synced_tbl"))
-    assert(spark.sql("SELECT count(*) FROM synced_tbl").collect()(0).getLong(0) == 1L)
-    t.upsert(df((2L, 1, "b", 1)))
-    t.syncToCatalog("synced_tbl")
-    assert(spark.sql("SELECT count(*) FROM synced_tbl").collect()(0).getLong(0) == 2L)
+    t.syncToCatalog("synced_tbl", "graftdb")
+    assert(spark.catalog.tableExists("graftdb.synced_tbl"))
+    // a real external table, not a temp view
+    assert(spark.catalog.getTable("graftdb", "synced_tbl").tableType == "EXTERNAL")
+    assert(spark.sql("SELECT count(*) FROM graftdb.synced_tbl")
+      .collect()(0).getLong(0) == 1L)
+    def parts(): Set[String] =
+      spark.sql("SHOW PARTITIONS graftdb.synced_tbl")
+        .collect().map(_.getString(0)).toSet
+    assert(parts() == Set("vendorid=1"))
+    // a later commit re-syncs WITHOUT another syncToCatalog call and
+    // registers the new partition
+    t.upsert(df((2L, 2, "b", 1)))
+    assert(parts() == Set("vendorid=1", "vendorid=2"))
+    assert(spark.sql("SELECT count(*) FROM graftdb.synced_tbl")
+      .collect()(0).getLong(0) == 2L)
+    // partition pruning happens against the catalog: values come back right
+    import spark.implicits._
+    val row = spark.sql(
+      "SELECT pk, payload FROM graftdb.synced_tbl WHERE vendorid = 2")
+      .as[(Long, String)].collect().toSet
+    assert(row == Set((2L, "b")))
+  }
+
+  test("catalog sync: unpartitioned table tracks the latest rewrite") {
+    val t = LakeTable(spark, cfg(freshRoot(), part = None))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.syncToCatalog("synced_flat", "graftdb")
+    assert(spark.sql("SELECT count(*) FROM graftdb.synced_flat")
+      .collect()(0).getLong(0) == 1L)
+    t.upsert(df((1L, 1, "a2", 1), (2L, 1, "b", 1)))
+    import spark.implicits._
+    val out = spark.sql("SELECT pk, payload FROM graftdb.synced_flat")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a2"), (2L, "b")))
   }
 
   test("cleaner retains last N commits; latest read survives") {
