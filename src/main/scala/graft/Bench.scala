@@ -38,9 +38,16 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "lake_cdc_build" -> timed { ops.Lake.cdcTable(spark, sfDir) },
       "lake_mor_build" -> timed { ops.Lake.morCdcTable(spark, sfDir) },
+      "stream_ingest_build" -> timed { ops.Lake.streamTable(spark, sfDir) },
+      "schema_evo_build" -> timed { ops.Lake.evoTable(spark, sfDir) },
       "bucketed_tables_build" -> timed { ops.Extended.ensureBucketed(spark, sfDir) },
       "ann_index_build" -> timed { ops.Similarity.ensureAnnIndex(spark, sfDir) })
+    // each query runs twice; the SECOND (steady-state) run is reported, so
+    // per-query numbers compare round-over-round without first-touch
+    // page-cache/JIT noise (the r1 doc_exact_dedup 11s outlier was exactly
+    // that: first scan of documents.parquet charged to one query)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      timed { fn(spark, sfDir).count() } // cold: warm caches, discard
       results(name) = timed { fn(spark, sfDir).count() }
     }
 

@@ -85,13 +85,34 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
 
   def commits: Seq[Commit] = listIds.map(read)
 
-  /** Append a commit atomically: write temp, then rename into place. */
+  /** Append a commit atomically: write temp, then publish into place
+    * with an atomic CREATE-OR-FAIL. Two writers racing on the same id
+    * produce exactly one winner and one clean failure (the optimistic-
+    * concurrency guard behind the single-writer contract — reference
+    * `MaxConcurrentRuns: 1`, cloud_formation/HudiGlueJobCFn.yml:35).
+    *
+    * On file:// the publish is a POSIX hard link — link(2) fails with
+    * EEXIST where rename(2) would silently OVERWRITE the winner. On
+    * HDFS-like filesystems rename is already no-overwrite.
+    */
   def append(c: Commit): Unit = {
     fs.mkdirs(logDir)
     val tmp = new Path(logDir, s".tmp-${c.id}-${System.nanoTime()}")
     val out = fs.create(tmp, false)
     try out.write(mapper.writeValueAsBytes(c)) finally out.close()
-    if (!fs.rename(tmp, commitPath(c.id)))
+    val dst = commitPath(c.id)
+    val published =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally fs.delete(tmp, false)
+      else fs.rename(tmp, dst)
+    if (!published)
       throw new IllegalStateException(
         s"commit ${c.id} already exists (concurrent writer?)")
   }

@@ -106,11 +106,13 @@ object Lake {
         .persist()
       try {
         val (b0, b1, b2, _) = batches(li)
-        // stage each batch's part files flat into srcDir (named so batch
-        // order is stable for the file source's listing)
+        // stage each CDC batch as ONE file so maxFilesPerTrigger=1 maps
+        // one micro-batch to one batch of the replay (the reference's
+        // one-upsert-per-day loop) — without the coalesce every part
+        // file would become its own upsert commit
         Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
           val stagePath = new org.apache.hadoop.fs.Path(s"$srcDir/_stage$i")
-          b.write.parquet(stagePath.toString)
+          b.coalesce(1).write.parquet(stagePath.toString)
           fs.listStatus(stagePath).toSeq
             .filter(_.getPath.getName.endsWith(".parquet"))
             .sortBy(_.getPath.getName).zipWithIndex

@@ -116,15 +116,7 @@ object Similarity {
     // Exact O(N²) is the verification baseline; the LSH-bucketed path
     // below is the scale variant (candidates only within buckets).
     GQuery("emb_neardup_pairs",
-      (s, d) => {
-        val a = corpus(s, d).select(col("vec_id").as("va"), col("v").as("x"))
-        val b = corpus(s, d).select(col("vec_id").as("vb"), col("v").as("y"))
-        a.crossJoin(b).filter(col("va") < col("vb"))
-          .withColumn("sim", round(cosine("x", "y"), 4))
-          .filter(col("sim") >= 0.5)
-          .select(col("va"), col("vb"), col("sim"))
-          .orderBy("va", "vb")
-      },
+      (s, d) => exactNearDupPairs(corpus(s, d), 0.5),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         x AS (SELECT vec_id, unnest(v) AS xv, generate_subscripts(v, 1) AS i FROM e),
         nrm AS (SELECT vec_id, sqrt(sum(xv * xv)) AS nv FROM x GROUP BY 1),
@@ -134,6 +126,18 @@ object Similarity {
         s AS (SELECT va, vb, round(dt / (na.nv * nb.nv), 4) AS sim
               FROM d JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb)
         SELECT va, vb, sim FROM s WHERE sim >= 0.5 ORDER BY va, vb""")),
+
+    // ---- LSH-bucketed near-dup PAIRS (the production-scale dedup path)
+    // Multi-table random-hyperplane LSH: L=4 tables of k=6 planes each;
+    // candidate pairs are generated ONLY within a (table, bucket) group —
+    // the self-join exchanges (vec_id, table, bucket) scalars, never the
+    // embedding payloads, which re-join once for the cosine verify. The
+    // exact all-pairs query above stays as the fenced verification
+    // baseline (OpsSpec asserts subset + recall on the planted dups);
+    // this is the O(N·L + candidates) shape that survives 100 TB.
+    GQuery("emb_neardup_lsh",
+      (s, d) => lshNearDupPairs(corpus(s, d), 0.5),
+      None),
 
     // ---- LSH-bucketed ANN (scale path; rows-only, AnnSpec checks recall)
     GQuery("emb_ann_lsh",
@@ -171,6 +175,56 @@ object Similarity {
       },
       None)
   )
+
+  /** Exact all-pairs near-dup baseline over a (vec_id, v) corpus:
+    * O(N²) crossJoin — the fenced VERIFICATION baseline only; the
+    * production path is [[lshNearDupPairs]].
+    */
+  private[graft] def exactNearDupPairs(c: DataFrame, minSim: Double): DataFrame = {
+    val a = c.select(col("vec_id").as("va"), col("v").as("x"))
+    val b = c.select(col("vec_id").as("vb"), col("v").as("y"))
+    a.crossJoin(b).filter(col("va") < col("vb"))
+      .withColumn("sim", round(cosine("x", "y"), 4))
+      .filter(col("sim") >= minSim)
+      .select(col("va"), col("vb"), col("sim"))
+      .orderBy("va", "vb")
+  }
+
+  /** Multi-table random-hyperplane LSH near-dup pairs: L tables of k
+    * planes each; candidate pairs are generated ONLY within a
+    * (table, bucket) group. The self-join exchanges (vec_id, tbl, bucket)
+    * scalars — never the embedding payloads, which re-join once for the
+    * cosine verify — so the shape is O(N·L + candidates), not O(N²).
+    * P(candidate) = 1-(1-p^k)^L with p = 1-θ/π: ≈0.997 at cosine 0.99,
+    * ≈0.32 at 0.5 — tuned for true near-duplicates, as in production
+    * embedding dedup.
+    */
+  private[graft] def lshNearDupPairs(
+      c: DataFrame, minSim: Double, k: Int = 6, L: Int = 4): DataFrame = {
+    val planesLit = array(planeWeights(k * L).map(p => array(p.map(lit): _*)): _*)
+    val buckets = c.withColumn("pl", planesLit)
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${L - 1}), t ->
+              aggregate(sequence(0, ${k - 1}), 0, (acc, p) ->
+                acc + if(aggregate(zip_with(v, pl[t * $k + p],
+                           (x, w) -> x * w), 0D, (s, x) -> s + x) > 0D,
+                       shiftleft(1, p), 0)))""")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val cand = a.join(b,
+        col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .dropDuplicates("va", "vb")
+    cand
+      .join(c.select(col("vec_id").as("va"), col("v").as("x")), "va")
+      .join(c.select(col("vec_id").as("vb"), col("v").as("y")), "vb")
+      .withColumn("sim", round(cosine("x", "y"), 4))
+      .filter(col("sim") >= minSim)
+      .select(col("va"), col("vb"), col("sim"))
+      .orderBy("va", "vb")
+  }
 
   /** LSH bucket id: sign bit per hyperplane, packed into an int. */
   private def bucketExpr(vcol: String, nPlanes: Int): Column = expr(

@@ -181,11 +181,15 @@ object Text {
         val docs = T.documents(s, d).withColumn("tk", toks)
           .select(col("doc_id"), expr(triExpr).as("tri"))
         val sigs = docs.select(
-          col("doc_id"), col("tri"),
+          col("doc_id"),
           array((0 until NumPerm).map(i =>
             array_min(transform(col("tri"), sh => xxhash64(lit(i), sh)))): _*)
             .as("sig"))
-        val bands = sigs.select(col("doc_id"), col("tri"),
+        // candidate generation exchanges (doc_id, band_id, band_hash)
+        // ONLY — at 100 TB the band self-join shuffles three scalar
+        // columns, never the shingle payloads (those re-join ONCE below,
+        // for the verify step, keyed by doc id)
+        val bands = sigs.select(col("doc_id"),
           posexplode(expr(
             s"transform(sequence(0, ${NumPerm / BandSize - 1}), " +
             s"b -> hash(slice(sig, b * $BandSize + 1, $BandSize)))")))
@@ -195,10 +199,11 @@ object Text {
             col("a.band_id") === col("b.band_id") &&
             col("a.band_hash") === col("b.band_hash") &&
             col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.tri").as("tri_a"), col("b.tri").as("tri_b"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
         cand
+          .join(docs.select(col("doc_id").as("doc_a"), col("tri").as("tri_a")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("tri").as("tri_b")), "doc_b")
           .withColumn("inter", size(array_intersect(col("tri_a"), col("tri_b"))))
           .withColumn("jaccard", round(col("inter") /
             (size(col("tri_a")) + size(col("tri_b")) - col("inter")), 4))

@@ -347,6 +347,26 @@ class LakeTableSpec extends AnyFunSuite {
     assert(out == Set((1L, "a2"), (2L, "b")))
   }
 
+  test("concurrent writers on one commit id: one winner, one clean failure") {
+    import graft.lake.{Commit, CommitLog}
+    val log = new CommitLog(freshRoot(), spark.sparkContext.hadoopConfiguration)
+    val id = log.nextId
+    // two writers both resolved nextId before either published (the race
+    // the single-writer contract must turn into a clean loser, not a
+    // silent clobber)
+    log.append(Commit(id, "upsert", 1L, "{}", Seq.empty, Seq.empty))
+    val ex = intercept[IllegalStateException](
+      log.append(Commit(id, "upsert", 2L, "{}", Seq.empty, Seq.empty)))
+    assert(ex.getMessage.contains("concurrent writer"))
+    // the first writer's commit content survives untouched
+    assert(log.read(id).tsMillis == 1L)
+    // and the loser can retry cleanly on the next id
+    val id2 = log.nextId
+    assert(id2 == id + 1)
+    log.append(Commit(id2, "upsert", 2L, "{}", Seq.empty, Seq.empty))
+    assert(log.read(id2).tsMillis == 2L)
+  }
+
   test("cleaner retains last N commits; latest read survives") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))

@@ -63,6 +63,35 @@ class OpsSpec extends AnyFunSuite {
       s"near-dup avg Hamming $nearAvg should be far below random $randAvg")
   }
 
+  test("LSH near-dup pairs: subset of exact pairs, full recall on planted dups") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("va", "vb", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the real fixture: verified candidates can never invent a pair
+    val exactFix = pairs(run("emb_neardup_pairs"))
+    val lshFix = pairs(run("emb_neardup_lsh"))
+    assert(lshFix.keySet.subsetOf(exactFix.keySet))
+    lshFix.foreach { case (k, sim) => assert(sim == exactFix(k)) }
+    // planted corpus: 10 vectors get slightly-perturbed twins (cosine
+    // ~0.99+) — the regime multi-table hyperplane LSH is built for;
+    // every planted pair must be recovered with its exact score
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("v")).limit(50)
+    val twins = base.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("v",
+        expr("transform(v, (x, i) -> cast(x + 0.001d * (i % 3) as float))"))
+    val corpus = base.unionByName(twins)
+    val exact = pairs(ops.Similarity.exactNearDupPairs(corpus, 0.95))
+    val lsh = pairs(ops.Similarity.lshNearDupPairs(corpus, 0.95))
+    val planted = exact.keySet.filter { case (a, b) => b == a + 100000L }
+    assert(planted.size == 10, s"expected 10 planted twin pairs, got $planted")
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    assert(planted.subsetOf(lsh.keySet),
+      s"missed planted pairs: ${planted -- lsh.keySet}")
+    lsh.foreach { case (k, sim) => assert(sim == exact(k)) }
+  }
+
   test("partition-pruned lake ANN equals the in-memory LSH ANN") {
     val mem = run("emb_ann_lsh").collect().map(_.toSeq).toSet
     val idx = run("emb_ann_partitioned").collect().map(_.toSeq).toSet
