@@ -77,6 +77,37 @@ class LakePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("schema evolution law: widened upsert wins and backfills nulls") {
+    check("schema-evolution", Prop.forAll(batchGen, batchGen) { (a, b) =>
+      import spark.implicits._
+      val t = table()
+      if (a.nonEmpty) t.upsert(toDf(a))
+      // widened batch carries a NEW column and ts=6 (> any generated ts),
+      // so its rows always win their (partition, key)
+      val widened = b.map { case (pk, vid, _, _) => (pk, vid, s"w$pk", 6, s"n$pk") }
+      if (widened.nonEmpty)
+        t.upsert(widened.toDF("pk", "vendorid", "payload", "ts", "note"))
+      val out =
+        if (widened.isEmpty) // schema never widened: no note column exists
+          t.read().select($"pk", $"vendorid", $"payload", $"ts")
+            .as[(Long, Int, String, Int)].collect().toSet
+            .map((r: (Long, Int, String, Int)) => (r._1, r._2, r._3, r._4, None: Option[String]))
+        else
+          t.read().select($"pk", $"vendorid", $"payload", $"ts", $"note")
+            .as[(Long, Int, String, Int, Option[String])].collect().toSet
+      // model: base winners (note null) overridden by widened rows (note set)
+      val baseW = a.zipWithIndex
+        .groupBy { case (r, _) => (r._1, r._2) }
+        .values.map(_.maxBy { case (r, ri) => (r._4, ri) }._1)
+        .map(r => (r._1, r._2) -> ((r._1, r._2, r._3, r._4, None: Option[String]))).toMap
+      val wideW = widened
+        .groupBy(r => (r._1, r._2))
+        .values.map(_.last)
+        .map(r => (r._1, r._2) -> ((r._1, r._2, r._3, r._4, Some(r._5): Option[String]))).toMap
+      out == (baseW ++ wideW).values.toSet
+    })
+  }
+
   test("latest (ts, arrival) wins per (partition, key) against a model") {
     check("latest-wins", Prop.forAll(Gen.listOfN(3, batchGen)) { batches =>
       val t = table()
