@@ -110,6 +110,11 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            // mount without hard-link support (FAT/some NFS/FUSE): fall
+            // back to rename — append keeps working, only the racing-
+            // writer no-overwrite guard is weakened on such mounts
+            fs.rename(tmp, dst)
         } finally fs.delete(tmp, false)
       else fs.rename(tmp, dst)
     if (!published)

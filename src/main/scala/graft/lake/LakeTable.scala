@@ -299,70 +299,121 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     * single-directory property holds there too.
     *
     * After the first sync, every subsequent commit re-syncs
-    * automatically (Hudi's post-write sync loop).
+    * automatically (Hudi's post-write sync loop) with O(touched
+    * partitions) DDL: only partitions whose registered location changed
+    * are re-ADDed/DROPped; the table is dropped and recreated only when
+    * the schema itself changed.
+    *
+    * Caveat (shared with Hive/Glue sync): a null OR empty-string
+    * partition value registers as `__HIVE_DEFAULT_PARTITION__` and reads
+    * back as NULL through the catalog table — the standard Hive default-
+    * partition semantics; `read()` (which takes the value from the data
+    * files) still distinguishes the two.
     */
   def syncToCatalog(table: String, database: String = "default"): Unit = {
     synced = Some((database, table))
+    registeredSchema = "" // force full (re)registration
     resync()
   }
 
   @volatile private var synced: Option[(String, String)] = None
+  // what the catalog currently shows for the synced table: schema JSON +
+  // (partition tuple -> registered location; key "" when unpartitioned).
+  // Lets resync issue O(touched-partitions) DDL per commit.
+  private var registeredSchema: String = ""
+  private var registered: Map[String, String] = Map.empty
 
   private def sqlEsc(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
 
+  /** backtick-quoted identifier (backticks doubled) */
+  private def qid(s: String): String = "`" + s.replace("`", "``") + "`"
+
+  private def partSpecSql(tuple: String): String = {
+    val values = tuple.split(PartSep(0))
+    require(values.length == effParts.length,
+      s"partition tuple '$tuple' does not match ${effParts.mkString(",")}")
+    effParts.zip(values)
+      .map { case (p, v) => s"${qid(p)}='${sqlEsc(v)}'" }.mkString(", ")
+  }
+
   private def resync(): Unit = synced.foreach { case (db, tbl) =>
-    val fq = s"`$db`.`$tbl`"
+    if (log.commits.isEmpty) return // registered; first commit will sync
+    val fq = s"${qid(db)}.${qid(tbl)}"
     // base files only: the plain-parquet-readable view (≡ snapshot on CoW)
     val files = log.liveFiles().filter(!_.isDelta)
     val schema = baseSchema
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
-    spark.sql(s"DROP TABLE IF EXISTS $fq")
-    def colDdl(f: org.apache.spark.sql.types.StructField) =
-      s"`${f.name}` ${f.dataType.sql}"
-    if (effParts.isEmpty) {
-      // unpartitioned: every live file sits in the latest rewriting
-      // commit's directory (full-table rewrite semantics)
-      val loc = files.headOption
-        .map(f => new Path(f.path).getParent)
-        .getOrElse {
-          val d = new Path(config.root, "data/_empty")
-          d.getFileSystem(hconf).mkdirs(d); d
-        }
-      spark.sql(s"CREATE TABLE $fq (${schema.fields.map(colDdl).mkString(", ")}) " +
-        s"USING parquet LOCATION '${sqlEsc(loc.toString)}'")
-    } else {
-      // table root is a dedicated empty dir; real data is attached
-      // per-partition below (partition locations outside the table root
-      // are legal, and this keeps CREATE from scanning commit dirs)
-      val stub = new Path(config.root, s"_catalog/$tbl")
-      stub.getFileSystem(hconf).mkdirs(stub)
-      val partSet = effParts.toSet
-      val dataCols = schema.fields.filterNot(f => partSet.contains(f.name))
-      val partCols = effParts.map(p =>
-        schema.fields.find(_.name == p)
-          .getOrElse(org.apache.spark.sql.types.StructField(p,
-            org.apache.spark.sql.types.StringType)))
-      spark.sql(s"CREATE TABLE $fq (${(dataCols ++ partCols).map(colDdl).mkString(", ")}) " +
-        s"USING parquet PARTITIONED BY (${effParts.map(p => s"`$p`").mkString(", ")}) " +
-        s"LOCATION '${sqlEsc(stub.toString)}'")
-      val clauses = files.groupBy(_.partition).toSeq.sortBy(_._1).map {
-        case (tuple, fAdds) =>
-          val values = tuple.split(PartSep(0))
-          require(values.length == effParts.length,
-            s"partition tuple '$tuple' does not match ${effParts.mkString(",")}")
-          val dirs = fAdds.map(f => new Path(f.path).getParent.toString).distinct
-          require(dirs.size == 1,
-            s"live files of partition $tuple span ${dirs.size} directories — " +
-              "single-directory invariant broken")
-          val spec = effParts.zip(values)
-            .map { case (p, v) => s"`$p`='${sqlEsc(v)}'" }.mkString(", ")
-          s"PARTITION ($spec) LOCATION '${sqlEsc(dirs.head)}'"
+    // desired registration: partition tuple -> single live directory
+    val desired: Map[String, String] =
+      if (effParts.isEmpty)
+        Map("" -> files.headOption
+          .map(f => new Path(f.path).getParent.toString)
+          .getOrElse {
+            val d = new Path(config.root, "data/_empty")
+            d.getFileSystem(hconf).mkdirs(d); d.toString
+          })
+      else files.groupBy(_.partition).map { case (tuple, fAdds) =>
+        val dirs = fAdds.map(f => new Path(f.path).getParent.toString).distinct
+        require(dirs.size == 1,
+          s"live files of partition $tuple span ${dirs.size} directories — " +
+            "single-directory invariant broken")
+        tuple -> dirs.head
       }
-      if (clauses.nonEmpty)
-        spark.sql(s"ALTER TABLE $fq ADD ${clauses.mkString(" ")}")
+    def colDdl(f: org.apache.spark.sql.types.StructField) =
+      s"${qid(f.name)} ${f.dataType.sql}"
+    if (registeredSchema != schema.json) {
+      // full registration: first sync, or the schema evolved
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${qid(db)}")
+      spark.sql(s"DROP TABLE IF EXISTS $fq")
+      if (effParts.isEmpty)
+        spark.sql(s"CREATE TABLE $fq (${schema.fields.map(colDdl).mkString(", ")}) " +
+          s"USING parquet LOCATION '${sqlEsc(desired(""))}'")
+      else {
+        // table root is a dedicated empty dir; real data is attached
+        // per-partition (partition locations outside the table root are
+        // legal, and this keeps CREATE from scanning commit dirs)
+        val stub = new Path(config.root,
+          s"_catalog/${tbl.replaceAll("[^A-Za-z0-9._-]", "_")}")
+        stub.getFileSystem(hconf).mkdirs(stub)
+        val partSet = effParts.toSet
+        val dataCols = schema.fields.filterNot(f => partSet.contains(f.name))
+        val partCols = effParts.map(p =>
+          schema.fields.find(_.name == p)
+            .getOrElse(org.apache.spark.sql.types.StructField(p,
+              org.apache.spark.sql.types.StringType)))
+        spark.sql(s"CREATE TABLE $fq (${(dataCols ++ partCols).map(colDdl).mkString(", ")}) " +
+          s"USING parquet PARTITIONED BY (${effParts.map(qid).mkString(", ")}) " +
+          s"LOCATION '${sqlEsc(stub.toString)}'")
+        addPartitions(fq, desired)
+      }
+      registeredSchema = schema.json
+    } else if (effParts.isEmpty) {
+      // unpartitioned incremental: the rewrite moved the live directory
+      if (registered.get("") != desired.get(""))
+        spark.sql(s"ALTER TABLE $fq SET LOCATION '${sqlEsc(desired(""))}'")
+    } else {
+      // incremental: DDL only for partitions whose location changed in
+      // this commit — at scale a small commit syncs a few partitions,
+      // never the table
+      val gone = registered.keySet -- desired.keySet
+      val changed = desired.filter { case (t, loc) => !registered.get(t).contains(loc) }
+      dropPartitions(fq, gone ++ (changed.keySet & registered.keySet))
+      addPartitions(fq, changed)
     }
+    registered = desired
   }
+
+  private def addPartitions(fq: String, m: Map[String, String]): Unit =
+    if (m.nonEmpty)
+      spark.sql(s"ALTER TABLE $fq ADD " + m.toSeq.sortBy(_._1)
+        .map { case (t, loc) =>
+          s"PARTITION (${partSpecSql(t)}) LOCATION '${sqlEsc(loc)}'"
+        }.mkString(" "))
+
+  private def dropPartitions(fq: String, ts: Iterable[String]): Unit =
+    if (ts.nonEmpty)
+      spark.sql(s"ALTER TABLE $fq DROP IF EXISTS " + ts.toSeq.sorted
+        .map(t => s"PARTITION (${partSpecSql(t)})").mkString(", "))
 
   /** schema of the base (plain-parquet-readable) files: the last commit
     * that wrote base files; falls back to the latest schema on an

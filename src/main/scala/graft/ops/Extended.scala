@@ -43,6 +43,20 @@ object Extended {
     (liT, ordT)
   }
 
+  /** Stage the nested shard=* tree once per JVM (overwrite, like the
+    * other fixture builders — a marker file surviving a fixture
+    * regeneration would serve stale data to the recursive scan).
+    */
+  private val recursiveStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureRecursiveStage(s: org.apache.spark.sql.SparkSession, d: String): String =
+    recursiveStaged.computeIfAbsent(d, _ => {
+      val stage = s"/tmp/graft_recursive/li_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      T.lineitem(s, d)
+        .withColumn("shard", pmod(col("l_orderkey"), lit(7)))
+        .write.mode("overwrite").partitionBy("shard").parquet(stage)
+      stage
+    })
+
   val queries: Seq[GQuery] = Seq(
 
     // ---- S1: CSV scan, explicit schema + header; W1: staging write ----
@@ -118,13 +132,7 @@ object Extended {
     // parquet file under the root — and oracle-check the aggregate.
     GQuery("recursive_ingest",
       (s, d) => {
-        val stage = s"/tmp/graft_recursive/li_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-        val done = new org.apache.hadoop.fs.Path(s"$stage/_SUCCESS")
-        val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(done))
-          T.lineitem(s, d)
-            .withColumn("shard", pmod(col("l_orderkey"), lit(7)))
-            .write.mode("overwrite").partitionBy("shard").parquet(stage)
+        val stage = ensureRecursiveStage(s, d)
         s.read.option("recursiveFileLookup", "true").parquet(stage)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n_rows"),

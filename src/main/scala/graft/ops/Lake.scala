@@ -46,6 +46,17 @@ object Lake {
   private[graft] def morCdcTable(s: SparkSession, d: String): LakeTable =
     buildCdc(s, d, "mor")
 
+  /** (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+    * aggregate to one row per key so the CDC replay has a well-defined
+    * record key (mirrored in the oracle's `li` CTE). Callers persist it:
+    * every replay batch derives from it.
+    */
+  private def keyedLineitem(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(max(col("l_returnflag")).as("l_returnflag"),
+        max(col("l_quantity")).as("l_quantity"))
+
   private def buildCdc(s: SparkSession, d: String, mode: String): LakeTable =
     cache.computeIfAbsent(s"$d:$mode", _ => {
       val root = s"/tmp/graft_lake/cdc_${mode}_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
@@ -56,15 +67,7 @@ object Lake {
         root, keyCols = Seq("l_orderkey", "l_linenumber"),
         precombineCol = "update_ts", partitionCols = Seq("l_returnflag"),
         storageType = mode))
-      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
-      // aggregate to one row per key so the CDC replay has a well-defined
-      // record key (mirrored in the oracle's `li` CTE). Cached: all four
-      // batches derive from it.
-      val li = T.lineitem(s, d)
-        .groupBy(col("l_orderkey"), col("l_linenumber"))
-        .agg(max(col("l_returnflag")).as("l_returnflag"),
-          max(col("l_quantity")).as("l_quantity"))
-        .persist()
+      val li = keyedLineitem(s, d).persist()
       try {
         val (b0, b1, b2, delKeys) = batches(li)
         t.bulkInsert(b0)   // c0
@@ -99,11 +102,7 @@ object Lake {
       Seq(root, srcDir, ckpt).foreach(p =>
         fs.delete(new org.apache.hadoop.fs.Path(p), true))
       fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
-      val li = T.lineitem(s, d)
-        .groupBy(col("l_orderkey"), col("l_linenumber"))
-        .agg(max(col("l_returnflag")).as("l_returnflag"),
-          max(col("l_quantity")).as("l_quantity"))
-        .persist()
+      val li = keyedLineitem(s, d).persist()
       try {
         val (b0, b1, b2, _) = batches(li)
         // stage each CDC batch as ONE file so maxFilesPerTrigger=1 maps

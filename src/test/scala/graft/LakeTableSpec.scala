@@ -334,6 +334,16 @@ class LakeTableSpec extends AnyFunSuite {
     assert(row == Set((2L, "b")))
   }
 
+  test("catalog sync before any commit defers until the first write") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.syncToCatalog("synced_pre", "graftdb") // no commits yet: must not crash
+    assert(!spark.catalog.tableExists("graftdb.synced_pre"))
+    t.bulkInsert(df((1L, 1, "a", 0))) // first commit performs the sync
+    assert(spark.catalog.tableExists("graftdb.synced_pre"))
+    assert(spark.sql("SELECT count(*) FROM graftdb.synced_pre")
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("catalog sync: unpartitioned table tracks the latest rewrite") {
     val t = LakeTable(spark, cfg(freshRoot(), part = None))
     t.bulkInsert(df((1L, 1, "a", 0)))
