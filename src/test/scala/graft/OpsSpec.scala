@@ -111,6 +111,39 @@ class OpsSpec extends AnyFunSuite {
     assert(shared.nonEmpty, "bucketed search should recover some true top-k")
   }
 
+  test("near-dup candidate generation never shuffles payload columns") {
+    // force shuffle joins (and a non-adaptive plan, so exchanges are
+    // visible pre-execution) so the assertion bites even at fixture scale
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffledCols(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.child.output.map(_.name)
+        }
+      // MinHash banding: exchanges that carry band hashes must not carry
+      // shingle arrays (those re-join ONCE, keyed by doc id)
+      val mh = shuffledCols(run("doc_minhash_pairs"))
+      assert(mh.exists(_.contains("band_hash")), "expected a band-join shuffle")
+      mh.filter(_.contains("band_hash")).foreach(cols =>
+        assert(!cols.exists(_.startsWith("tri")),
+          s"band shuffle carries shingle payload: $cols"))
+      // embedding LSH: exchanges that carry bucket ids must not carry
+      // embedding vectors
+      val nd = shuffledCols(run("emb_neardup_lsh"))
+      assert(nd.exists(_.contains("bucket")), "expected a bucket-join shuffle")
+      nd.filter(_.contains("bucket")).foreach(cols =>
+        assert(!cols.exists(Set("v", "x", "y")),
+          s"bucket shuffle carries embedding payload: $cols"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("bucketed join plans without a hash-shuffle exchange") {
     val df = run("bucketed_join")
     df.collect() // finalize the adaptive plan
