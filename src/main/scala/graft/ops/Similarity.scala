@@ -154,6 +154,39 @@ object Similarity {
       },
       None),
 
+    // ---- IVF ANN (k-means coarse quantizer; rows-only, spec-pinned) ---
+    // the data-ADAPTIVE bucketing counterpart to the hyperplane LSH
+    // above: corpus rows live in their nearest-centroid cell, a query
+    // probes its nprobe nearest cells — scan cost |corpus|·nprobe/K.
+    // At 100 TB the cells become the partition column of a LakeTable
+    // exactly as emb_ann_partitioned does for LSH buckets.
+    GQuery("emb_ann_ivf",
+      (s, d) => {
+        val (km, centers) = ivfModel(s, d)
+        val cells = km.transform(normalized(corpus(s, d)))
+          .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+        // nprobe nearest cells per query, chosen driver-side over the K
+        // collected centroids (metadata-scale, like the LSH probe set)
+        val probes = queriesDf(s, d).collect().toSeq.flatMap { r =>
+          val qid = r.getLong(0)
+          val qv = r.getSeq[Float](1)
+          val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
+          val near = centers.zipWithIndex.map { case (c, i) =>
+            i -> c.zip(qv).map { case (ci, xi) => ci * (xi / n) }.sum
+          }.sortBy(-_._2).take(IvfProbe).map(_._1)
+          near.map(cell => (qid, cell))
+        }
+        import s.implicits._
+        val probeDf = probes.toDF("qid", "cell")
+          .join(queriesDf(s, d), "qid") // reattach query vectors
+        val scored = cells
+          .join(broadcast(probeDf),
+            cells("cell") === probeDf("cell") && col("vec_id") =!= col("qid"))
+          .withColumn("sim", round(cosine("v", "qv"), 4))
+        rankTopK(scored)
+      },
+      None),
+
     // ---- partition-pruned ANN over the LSH-partitioned lake index -----
     // same candidates as emb_ann_lsh (AnnSpec asserts equality), but the
     // corpus is a LakeTable partitioned BY BUCKET: the probe resolves its
@@ -175,6 +208,38 @@ object Similarity {
       },
       None)
   )
+
+  // IVF parameters: K cells, nprobe probed per query
+  private val IvfCells = 16
+  private val IvfProbe = 4
+
+  /** IVF coarse quantizer: K-means (MLlib, fixed seed) over L2-normalized
+    * embeddings — normalized so euclidean cells align with cosine
+    * similarity (‖a−b‖² = 2−2·cos on unit vectors). Built once per
+    * fixture dir; the K centroids are collected (K×dim doubles —
+    * metadata-scale) for driver-side probe selection.
+    */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.ml.clustering.KMeansModel, Array[Array[Double]])]()
+
+  private def normalized(df: DataFrame): DataFrame = {
+    val withRaw = df.withColumn("fv0",
+      org.apache.spark.ml.functions.array_to_vector(col("v")))
+    new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("fv0").setOutputCol("fv").setP(2.0)
+      .transform(withRaw).drop("fv0")
+  }
+
+  private def ivfModel(s: SparkSession, d: String) =
+    ivfCache.computeIfAbsent(d, _ => {
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(IvfCells).setSeed(42L).setMaxIter(5).setFeaturesCol("fv")
+        .fit(normalized(corpus(s, d)))
+      (km, km.clusterCenters.map(_.toArray))
+    })
+
+  /** exposed so Bench can time the quantizer build separately */
+  private[graft] def ensureIvf(s: SparkSession, d: String): Unit = ivfModel(s, d)
 
   /** Exact all-pairs near-dup baseline over a (vec_id, v) corpus:
     * O(N²) crossJoin — the fenced VERIFICATION baseline only; the

@@ -111,6 +111,17 @@ class OpsSpec extends AnyFunSuite {
     assert(shared.nonEmpty, "bucketed search should recover some true top-k")
   }
 
+  test("ann ivf: scores agree with brute force; positive recall") {
+    val bf = run("emb_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = run("emb_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    val shared = ivf.keySet & bf.keySet
+    shared.foreach(k => assert(ivf(k) == bf(k)))
+    assert(shared.nonEmpty, "probed cells should recover some true top-k")
+  }
+
   test("near-dup candidate generation never shuffles payload columns") {
     // force shuffle joins (and a non-adaptive plan, so exchanges are
     // visible pre-execution) so the assertion bites even at fixture scale
