@@ -30,9 +30,16 @@ final case class Commit(
 /** kind: "base" (fully merged file) or "delta" (MoR append, merged at
   * read time). Jackson yields null for files written before the field
   * existed — treat as base via [[FileAdd.isDelta]].
+  *
+  * kmin/kmax: `_record_key` min/max of the file, lifted from the parquet
+  * footer at commit time (Hudi bloom-index-style pruning metadata) —
+  * null when unavailable, which simply exempts the file from pruning.
   */
-final case class FileAdd(path: String, partition: String, kind: String = "base") {
+final case class FileAdd(
+    path: String, partition: String, kind: String = "base",
+    kmin: String = null, kmax: String = null) {
   def isDelta: Boolean = kind == "delta"
+  def hasKeyRange: Boolean = kmin != null && kmax != null
 }
 
 /** JSON commit log under `<root>/_log/`. Single-writer (matches the

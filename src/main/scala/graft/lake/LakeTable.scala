@@ -471,9 +471,10 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     val placed =
       if (present.size == config.partitionCols.size) withDerived(keyed)
       else
-        // column-pruned index scan: key -> current partition tuple(s)
+        // column-pruned index scan (footer-range-pruned first):
+        // key -> current partition tuple(s)
         withDerived(
-          readFiles(log.liveFiles())
+          readOrEmpty(pruneByKeyRange(keyed, log.liveFiles()))
             .select((config.keyCols ++ config.partitionCols).distinct.map(col): _*)
             .distinct()
             .join(keyed, config.keyCols, "left_semi"))
@@ -537,10 +538,40 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
 
   // ---- internals ------------------------------------------------------
 
-  private def withMeta(df: DataFrame, commitId: Long): DataFrame = {
-    val keyExpr = concat_ws("|", config.keyCols.map(c => col(c).cast("string")): _*)
+  /** the materialized record key: same expression at write time
+    * (`_record_key` column) and at pruning time (batch-key probe), so
+    * footer min/max ranges and probe keys compare in one value space.
+    */
+  private def keyStrExpr: org.apache.spark.sql.Column =
+    concat_ws("|", config.keyCols.map(c => col(c).cast("string")): _*)
+
+  private def withMeta(df: DataFrame, commitId: Long): DataFrame =
     df.withColumn("_commit_id", lit(commitId))
-      .withColumn("_record_key", keyExpr)
+      .withColumn("_record_key", keyStrExpr)
+
+  /** Key-range file pruning (Hudi bloom-index min/max pruning): keep only
+    * files whose footer `_record_key` [kmin, kmax] may contain a key of
+    * `df`. The probe is a broadcast range join of the batch's distinct
+    * keys against the (metadata-scale) file-range table; the collect is
+    * bounded by the file count. Files without recorded ranges are never
+    * pruned. Spark string comparison and parquet UTF8 stats share
+    * unsigned-lexicographic order, and stats truncation (if any) widens
+    * bounds — pruning is conservative, never wrong.
+    */
+  private def pruneByKeyRange(df: DataFrame, files: Seq[FileAdd]): Seq[FileAdd] = {
+    val ranged = files.filter(_.hasKeyRange)
+    if (ranged.isEmpty) files
+    else {
+      import spark.implicits._
+      val ranges = ranged.map(f => (f.path, f.kmin, f.kmax))
+        .toDF("_path", "_kmin", "_kmax")
+      val hits = df.select(keyStrExpr.as("_k")).distinct()
+        .join(broadcast(ranges),
+          col("_k") >= col("_kmin") && col("_k") <= col("_kmax"))
+        .select("_path").distinct()
+        .collect().map(_.getString(0)).toSet
+      files.filter(f => !f.hasKeyRange || hits.contains(f.path))
+    }
   }
 
   /** Live files of the partitions an upsert must merge, and their rows.
@@ -562,6 +593,14 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       val files = live.filter(f => touched.contains(f.partition))
       (files, readOrEmpty(files))
     }
+    // NOTE the rewrite scope is deliberately partition/bucket-granular,
+    // not file-granular: rewriting only the key-range-hit files would
+    // leave a partition's live files spanning several commit dirs,
+    // breaking the single-directory-per-partition invariant that
+    // plain-engine catalog sync (one LOCATION per partition) depends on.
+    // File-granular rewrite bounds come from `hashBuckets`, which makes
+    // the bucket a partition level; the footer key-range index below
+    // prunes the read-side lookups instead.
   }
 
   /** Global-index lookup: which live partition tuples currently hold any
@@ -570,9 +609,10 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     * payloads.
     */
   private def partitionsHoldingKeys(df: DataFrame, live: Seq[FileAdd]): Set[String] = {
-    if (live.isEmpty) Set.empty
+    val candidates = pruneByKeyRange(df, live) // footer index cuts the scan
+    if (candidates.isEmpty) Set.empty
     else renderedTuples(
-      readFiles(live)
+      readFiles(candidates)
         .join(df.select(config.keyCols.map(col): _*).distinct(),
           config.keyCols, "left_semi"))
   }
@@ -605,7 +645,11 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     // data volume, unlike hashing one partition value into a single task.
     val shadows = effParts.indices.map(i => s"__gp$i")
     val writer =
-      if (effParts.isEmpty) df.write
+      if (effParts.isEmpty)
+        // range-cluster by record key: files carry disjoint-ish key
+        // ranges, so the footer min/max index prunes upserts/deletes to
+        // the few files actually holding their keys
+        df.repartitionByRange(config.keyCols.map(col): _*).write
       else {
         val shadowed = effParts.zip(shadows).foldLeft(df) {
           case (acc, (pc, sh)) => acc.withColumn(sh, renderCol(pc))
@@ -631,13 +675,41 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
               .unescapePathName(value)
         }
         .sortBy(_._1).map(_._2)
-      FileAdd(p.toString, segs.mkString(PartSep), kind)
+      val (kmin, kmax) = keyStats(p)
+      FileAdd(p.toString, segs.mkString(PartSep), kind, kmin, kmax)
     }
     val schemaJson = df.schema.json
     log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds, removes))
     resync() // keep a registered catalog table in step with the timeline
     id
   }
+
+  /** `_record_key` min/max from the parquet footer — a metadata read of
+    * the row-group statistics (no data pages touched), run once per
+    * written file at commit time. Returns (null, null) when stats are
+    * absent/unreadable, which exempts the file from pruning.
+    */
+  private def keyStats(p: Path): (String, String) =
+    try {
+      import scala.jdk.CollectionConverters._
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val cols = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "_record_key").toSeq
+        val stats = cols.map(_.getStatistics)
+        if (cols.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue))
+          (null, null)
+        else {
+          val mins = stats.map(_.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+          val maxs = stats.map(_.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+          (mins.min, maxs.max)
+        }
+      } finally r.close()
+    } catch { case _: Throwable => (null, null) }
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
     val it = fs.listFiles(dir, true)

@@ -377,6 +377,26 @@ class LakeTableSpec extends AnyFunSuite {
     assert(log.read(id2).tsMillis == 2L)
   }
 
+  test("commit log records per-file key ranges from parquet footers") {
+    import spark.implicits._
+    val t = LakeTable(spark, cfg(freshRoot(), part = None))
+    // AQE would rightly coalesce this tiny shuffle into one file; disable
+    // it here so the range clustering yields several files to inspect
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try t.bulkInsert((1 to 200).map(i => (i.toLong, 1, s"p$i", 0))
+      .toDF("pk", "vendorid", "payload", "ts"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val files = t.log.liveFiles()
+    // unpartitioned writes range-cluster by key → several files
+    assert(files.size > 1)
+    assert(files.forall(_.hasKeyRange))
+    files.foreach(f => assert(f.kmin <= f.kmax))
+    // the recorded ranges jointly cover every written key
+    (1 to 200).map(_.toString).foreach(k =>
+      assert(files.exists(f => f.kmin <= k && k <= f.kmax), s"key $k uncovered"))
+  }
+
   test("cleaner retains last N commits; latest read survives") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))
