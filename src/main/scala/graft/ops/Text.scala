@@ -112,6 +112,44 @@ object Text {
           / len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS avg_token_len_x100
         FROM documents ORDER BY doc_id""")),
 
+    // ---- quality score (length / punctuation / stopword / digit ratios)
+    // the composite "keep or drop" signal of a pretraining text filter;
+    // ratios as floor-scaled ints (see doc_text_stats note on round())
+    GQuery("doc_quality_score",
+      (s, d) => {
+        val en = langSets.head._2
+        T.documents(s, d)
+          .withColumn("tk", toks)
+          .select(col("doc_id"),
+            length(col("text")).as("n_chars"),
+            floor(length(regexp_replace(col("text"), "[^\\p{Punct}]", ""))
+              * lit(10000.0) / length(col("text"))).as("punct_x10k"),
+            floor(length(regexp_replace(col("text"), "[^0-9]", ""))
+              * lit(10000.0) / length(col("text"))).as("digit_x10k"),
+            floor(expr(s"size(filter(tk, t -> t IN (${sqlList(en)})))")
+              * lit(10000.0) / size(col("tk"))).as("stopword_x10k"))
+          .withColumn("keep",
+            (col("n_chars") >= 50 && col("punct_x10k") < 2000 &&
+              col("digit_x10k") < 3000 && col("stopword_x10k") >= 300).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = sqlList(langSets.head._2)
+        s"""WITH q AS (SELECT doc_id,
+          CAST(length(text) AS INT) AS n_chars,
+          CAST(floor(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+            * 10000.0 / length(text)) AS BIGINT) AS punct_x10k,
+          CAST(floor(length(regexp_replace(text, '[^0-9]', '', 'g'))
+            * 10000.0 / length(text)) AS BIGINT) AS digit_x10k,
+          CAST(floor(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            t -> t IN ($en))) * 10000.0
+            / len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS stopword_x10k
+        FROM documents)
+        SELECT *, CAST(n_chars >= 50 AND punct_x10k < 2000 AND digit_x10k < 3000
+          AND stopword_x10k >= 300 AS INT) AS keep
+        FROM q ORDER BY doc_id"""
+      }),
+
     // ---- language id (stopword-hit heuristic) -------------------------
     GQuery("doc_lang_id",
       (s, d) => {
