@@ -117,11 +117,18 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            // mount without hard-link support (FAT/some NFS/FUSE): fall
-            // back to rename — append keeps working, only the racing-
-            // writer no-overwrite guard is weakened on such mounts
-            fs.rename(tmp, dst)
+          case e @ (_: UnsupportedOperationException |
+                    _: java.nio.file.FileSystemException) =>
+            // either a mount without hard-link support (FAT/some
+            // NFS/FUSE — fall back to rename; only the racing-writer
+            // guard is weakened there) or a real I/O error. Disambiguate:
+            // a loser whose EEXIST surfaced oddly sees dst present; a
+            // rename failure after a non-EEXIST link error is a real
+            // error and must not masquerade as a writer conflict.
+            if (fs.exists(dst)) false
+            else if (fs.rename(tmp, dst)) true
+            else throw new java.io.IOException(
+              s"failed to publish commit ${c.id}", e)
         } finally fs.delete(tmp, false)
       else fs.rename(tmp, dst)
     if (!published)

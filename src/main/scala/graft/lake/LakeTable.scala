@@ -644,21 +644,36 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     // 0, HudiJarGlueJob.py:77) while write parallelism still scales with
     // data volume, unlike hashing one partition value into a single task.
     val shadows = effParts.indices.map(i => s"__gp$i")
-    val writer =
-      if (effParts.isEmpty)
-        // range-cluster by record key: files carry disjoint-ish key
-        // ranges, so the footer min/max index prunes upserts/deletes to
-        // the few files actually holding their keys
-        df.repartitionByRange(config.keyCols.map(col): _*).write
-      else {
-        val shadowed = effParts.zip(shadows).foldLeft(df) {
-          case (acc, (pc, sh)) => acc.withColumn(sh, renderCol(pc))
+    // range-cluster by the MATERIALIZED record key string, not the native
+    // key columns: footer kmin/kmax compare in string space, so only
+    // string-ordered clustering yields disjoint file ranges (native-order
+    // clustering of numeric keys gives lexicographic ranges that overlap
+    // almost totally and prune nothing). Delta appends skip the
+    // clustering shuffle — they are designed as cheap appends, merged at
+    // read time. The clustered frame is persisted because range
+    // partitioning runs a sampling pass over its child first: without it
+    // the (possibly expensive) merge plan executes twice per commit.
+    val mat = if (kind == "delta") df else df.persist()
+    try {
+      val writer =
+        if (kind == "delta" && effParts.isEmpty) mat.write
+        else if (kind == "delta") {
+          val shadowed = effParts.zip(shadows).foldLeft(mat) {
+            case (acc, (pc, sh)) => acc.withColumn(sh, renderCol(pc))
+          }
+          shadowed.write.partitionBy(shadows: _*)
+        } else if (effParts.isEmpty)
+          mat.repartitionByRange(col("_record_key")).write
+        else {
+          val shadowed = effParts.zip(shadows).foldLeft(mat) {
+            case (acc, (pc, sh)) => acc.withColumn(sh, renderCol(pc))
+          }
+          shadowed
+            .repartitionByRange(shadows.map(col) :+ col("_record_key"): _*)
+            .write.partitionBy(shadows: _*)
         }
-        shadowed
-          .repartitionByRange((shadows ++ config.keyCols).map(col): _*)
-          .write.partitionBy(shadows: _*)
-      }
-    writer.mode("error").parquet(dir.toString)
+      writer.mode("error").parquet(dir.toString)
+    } finally if (!(mat eq df)) mat.unpersist()
     val fs = dir.getFileSystem(hconf)
     val adds = listParquet(fs, dir).map { p =>
       // directory segments are Hive-escaped by Spark (':' → '%3A' etc.);
@@ -709,7 +724,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
           (mins.min, maxs.max)
         }
       } finally r.close()
-    } catch { case _: Throwable => (null, null) }
+    } catch { case scala.util.control.NonFatal(_) => (null, null) }
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
     val it = fs.listFiles(dir, true)

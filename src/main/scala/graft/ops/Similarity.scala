@@ -171,9 +171,14 @@ object Similarity {
           val qid = r.getLong(0)
           val qv = r.getSeq[Float](1)
           val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
+          // rank cells by the SAME metric k-means assigns with —
+          // euclidean distance of the normalized query to the centroid,
+          // i.e. argmin ‖c‖² − 2·q̂·c (centroid norms vary, so a raw dot
+          // product would rank cells differently than assignment does)
           val near = centers.zipWithIndex.map { case (c, i) =>
-            i -> c.zip(qv).map { case (ci, xi) => ci * (xi / n) }.sum
-          }.sortBy(-_._2).take(IvfProbe).map(_._1)
+            val dot = c.zip(qv).map { case (ci, xi) => ci * (xi / n) }.sum
+            i -> (c.map(x => x * x).sum - 2.0 * dot)
+          }.sortBy(_._2).take(IvfProbe).map(_._1)
           near.map(cell => (qid, cell))
         }
         import s.implicits._

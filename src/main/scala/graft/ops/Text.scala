@@ -122,10 +122,13 @@ object Text {
           .withColumn("tk", toks)
           .select(col("doc_id"),
             length(col("text")).as("n_chars"),
+            // nullif guards the empty document: Spark x/0 yields NULL but
+            // DuckDB double-division gives inf -> CAST error; nullif makes
+            // both engines emit NULL
             floor(length(regexp_replace(col("text"), "[^\\p{Punct}]", ""))
-              * lit(10000.0) / length(col("text"))).as("punct_x10k"),
+              * lit(10000.0) / expr("nullif(length(text), 0)")).as("punct_x10k"),
             floor(length(regexp_replace(col("text"), "[^0-9]", ""))
-              * lit(10000.0) / length(col("text"))).as("digit_x10k"),
+              * lit(10000.0) / expr("nullif(length(text), 0)")).as("digit_x10k"),
             floor(expr(s"size(filter(tk, t -> t IN (${sqlList(en)})))")
               * lit(10000.0) / size(col("tk"))).as("stopword_x10k"))
           .withColumn("keep",
@@ -138,9 +141,9 @@ object Text {
         s"""WITH q AS (SELECT doc_id,
           CAST(length(text) AS INT) AS n_chars,
           CAST(floor(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
-            * 10000.0 / length(text)) AS BIGINT) AS punct_x10k,
+            * 10000.0 / nullif(length(text), 0)) AS BIGINT) AS punct_x10k,
           CAST(floor(length(regexp_replace(text, '[^0-9]', '', 'g'))
-            * 10000.0 / length(text)) AS BIGINT) AS digit_x10k,
+            * 10000.0 / nullif(length(text), 0)) AS BIGINT) AS digit_x10k,
           CAST(floor(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
             t -> t IN ($en))) * 10000.0
             / len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS stopword_x10k

@@ -395,6 +395,14 @@ class LakeTableSpec extends AnyFunSuite {
     // the recorded ranges jointly cover every written key
     (1 to 200).map(_.toString).foreach(k =>
       assert(files.exists(f => f.kmin <= k && k <= f.kmax), s"key $k uncovered"))
+    // and they are DISJOINT in string space — clustering happens on the
+    // materialized _record_key, the same order the footer stats use (a
+    // native-numeric-order clustering would give overlapping string
+    // ranges that prune nothing)
+    val sorted = files.sortBy(_.kmin)
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(a.kmax < b.kmin, s"overlapping ranges [${a.kmin},${a.kmax}] / [${b.kmin},${b.kmax}]")
+    }
   }
 
   test("cleaner retains last N commits; latest read survives") {
