@@ -154,6 +154,24 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     upTo.lastOption.map(_.schemaJson)
   }
 
+  /** Roll back the LATEST commit (Hudi rollback): delete its JSON — the
+    * only pointer making its files live — then physically remove the
+    * now-orphaned files it added. Files it superseded become live again;
+    * they are physically deleted only by clean(), so rollback refuses to
+    * cross the cleaned horizon. Returns the rolled-back id, None on an
+    * empty timeline.
+    */
+  def rollbackLatest(): Option[Long] = latestId.map { id =>
+    require(id > cleanedUpTo,
+      s"commit $id's superseded files were cleaned — cannot roll back")
+    val c = read(id)
+    if (!fs.delete(commitPath(id), false))
+      throw new IllegalStateException(s"could not retract commit $id")
+    parsed.remove(id)
+    c.adds.foreach(a => fs.delete(new Path(a.path), false))
+    id
+  }
+
   // ---- cleaner (KEEP_LATEST_COMMITS semantics, glue/HudiJarGlueJob.py:83)
 
   private val cleanMarker = new Path(logDir, "_cleaned.json")

@@ -280,6 +280,19 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   def clean(retain: Int): Unit = log.clean(retain)
 
+  /** Roll back the newest commit (Hudi rollback): the previous snapshot
+    * becomes current again — superseded files spring back to live (only
+    * the cleaner deletes them physically, and rollback refuses to cross
+    * its horizon). The commit id is reused by the next write, as if the
+    * rolled-back commit never happened. A registered catalog table is
+    * fully re-synced (its schema may have narrowed back).
+    */
+  def rollback(): Option[Long] = {
+    val r = log.rollbackLatest()
+    r.foreach { _ => registeredSchema = ""; resync() }
+    r
+  }
+
   /** Catalog sync (reference W7, `glue/HudiJarGlueJob.py:80-81` hive_sync
     * database/table + partition_fields/MultiPartKeysValueExtractor):
     * register the snapshot as a REAL session-catalog table — an external

@@ -405,6 +405,24 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("rollback restores the previous snapshot; timeline continues") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    val before = snap(t)
+    t.upsert(df((1L, 1, "a2", 1), (2L, 2, "b", 1)))
+    assert(snap(t) != before)
+    assert(t.rollback().contains(1L))
+    assert(snap(t) == before)
+    // the next write reuses the retracted id, as if it never happened
+    t.upsert(df((3L, 1, "c", 1)))
+    assert(snap(t) == before + ((3L, 1, "c", 1)))
+    assert(t.log.latestId.contains(1L))
+    // after cleaning, the horizon blocks rollback
+    t.upsert(df((4L, 1, "d", 2)))
+    t.clean(retain = 1)
+    intercept[IllegalArgumentException](t.rollback())
+  }
+
   test("cleaner retains last N commits; latest read survives") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))
