@@ -32,6 +32,39 @@ object Events {
         count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""")),
 
+    // ---- the SAME windowed aggregation, end-to-end as a STREAM --------
+    // events parquet → file-source stream → watermark + tumbling window
+    // (graft.streaming.Streaming.hourlyCounts) → memory sink, compared
+    // against the identical DuckDB oracle as the batch form above: the
+    // streaming and batch expressions of one aggregation must converge
+    // to the same table (complete output mode ⇒ final result is exact).
+    GQuery("stream_hourly_tumbling",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val srcDir = s"/tmp/graft_stream_ev/$tag"
+        val dst = java.nio.file.Paths.get(s"$srcDir/events.parquet")
+        if (!java.nio.file.Files.exists(dst)) {
+          java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"), dst)
+        }
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val stream0 = s.readStream.schema(raw.schema).parquet(srcDir)
+        val stream =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            stream0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          else stream0
+        val name = s"stream_hourly_${System.nanoTime()}"
+        val q = graft.streaming.Streaming.hourlyCounts(stream)
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy("hour_ms", "event_type")
+      },
+      Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""")),
+
     // ---- sliding event-time window (1h width, 30m slide) --------------
     GQuery("ev_sliding_window",
       (s, d) => T.events(s, d)
