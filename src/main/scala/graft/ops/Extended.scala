@@ -145,6 +145,22 @@ object Extended {
         round(sum(l_extendedprice), 2) AS sum_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- sketch / approximate aggregates ------------------------------
+    // the constant-memory estimators that replace exact distinct/quantile
+    // at 100 TB: HyperLogLog++ cardinality and an approximate quantile.
+    // Deterministic for fixed input but not portable across engines
+    // (DuckDB's approx_distinct uses a different sketch) → rows-only;
+    // OpsSpec bounds the relative error against the exact answers.
+    GQuery("q25_sketches",
+      (s, d) => T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_median_price"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ---- custom UDAF --------------------------------------------------
     GQuery("udaf_weighted_avg",
       (s, d) => {

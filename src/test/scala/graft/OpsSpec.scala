@@ -111,6 +111,24 @@ class OpsSpec extends AnyFunSuite {
     assert(shared.nonEmpty, "bucketed search should recover some true top-k")
   }
 
+  test("sketch aggregates land within their error bounds of exact answers") {
+    val approx = run("q25_sketches").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"),
+        expr("percentile(l_extendedprice, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (n, med)) =>
+      val (an, amed) = approx(flag)
+      assert(math.abs(an - n).toDouble / n <= 0.05,
+        s"$flag: HLL++ $an vs exact $n")
+      assert(math.abs(amed - med) / med <= 0.05,
+        s"$flag: approx median $amed vs exact $med")
+    }
+  }
+
   test("ann ivf: scores agree with brute force; positive recall") {
     val bf = run("emb_cosine_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
