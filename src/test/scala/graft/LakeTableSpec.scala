@@ -344,6 +344,24 @@ class LakeTableSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("catalog sync: multi-column partitions + hash bucket register correctly") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts",
+      partitionCols = Seq("vendorid", "payload"), hashBuckets = 2))
+    t.bulkInsert(df((1L, 1, "x", 0), (2L, 2, "y", 0)))
+    t.syncToCatalog("synced_multi", "graftdb")
+    val parts = spark.sql("SHOW PARTITIONS graftdb.synced_multi")
+      .collect().map(_.getString(0)).toSet
+    // every spec is a 3-level vendorid/payload/_bucket path
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.matches("vendorid=\\d+/payload=\\w+/_bucket=\\d+")), parts)
+    import spark.implicits._
+    val out = spark.sql(
+      "SELECT pk, payload FROM graftdb.synced_multi WHERE vendorid = 2")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((2L, "y")))
+  }
+
   test("catalog sync: unpartitioned table tracks the latest rewrite") {
     val t = LakeTable(spark, cfg(freshRoot(), part = None))
     t.bulkInsert(df((1L, 1, "a", 0)))
