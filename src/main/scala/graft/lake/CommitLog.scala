@@ -78,7 +78,17 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
 
   def latestId: Option[Long] = listIds.lastOption
 
-  def nextId: Long = latestId.map(_ + 1).getOrElse(0L)
+  /** ids retracted by rollback — never reused, so commit JSONs stay
+    * immutable PER ID and the forever-memoization (here and in any other
+    * CommitLog instance on this root) stays sound */
+  private def rolledIds: Seq[Long] =
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("rolled-\\d{8}"))
+      .map(_.stripPrefix("rolled-").toLong)
+
+  def nextId: Long = (listIds ++ rolledIds).maxOption.map(_ + 1).getOrElse(0L)
 
   // commit JSONs are immutable once renamed into place, so parsed commits
   // memoize forever — snapshot resolution re-lists the directory (cheap)
@@ -158,13 +168,16 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     * only pointer making its files live — then physically remove the
     * now-orphaned files it added. Files it superseded become live again;
     * they are physically deleted only by clean(), so rollback refuses to
-    * cross the cleaned horizon. Returns the rolled-back id, None on an
-    * empty timeline.
+    * cross the cleaned horizon. A `rolled-<id>` marker retires the id
+    * forever (written BEFORE the JSON is deleted — a crash between the
+    * two just retires an id early, which is harmless). Returns the
+    * rolled-back id, None on an empty timeline.
     */
   def rollbackLatest(): Option[Long] = latestId.map { id =>
     require(id > cleanedUpTo,
       s"commit $id's superseded files were cleaned — cannot roll back")
     val c = read(id)
+    fs.create(new Path(logDir, f"rolled-$id%08d"), true).close()
     if (!fs.delete(commitPath(id), false))
       throw new IllegalStateException(s"could not retract commit $id")
     parsed.remove(id)

@@ -283,9 +283,10 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   /** Roll back the newest commit (Hudi rollback): the previous snapshot
     * becomes current again — superseded files spring back to live (only
     * the cleaner deletes them physically, and rollback refuses to cross
-    * its horizon). The commit id is reused by the next write, as if the
-    * rolled-back commit never happened. A registered catalog table is
-    * fully re-synced (its schema may have narrowed back).
+    * its horizon). The retracted commit id is retired, never reused, so
+    * commit JSONs stay immutable per id for every reader. A registered
+    * catalog table is fully re-synced (its schema may have narrowed
+    * back); rolling back the only commit drops it.
     */
   def rollback(): Option[Long] = {
     val r = log.rollbackLatest()
@@ -335,6 +336,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   // Lets resync issue O(touched-partitions) DDL per commit.
   private var registeredSchema: String = ""
   private var registered: Map[String, String] = Map.empty
+  private var tableCreated: Boolean = false
 
   private def sqlEsc(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
@@ -351,7 +353,18 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   }
 
   private def resync(): Unit = synced.foreach { case (db, tbl) =>
-    if (log.commits.isEmpty) return // registered; first commit will sync
+    if (log.commits.isEmpty) {
+      // nothing to expose: either registered-before-first-commit (the
+      // first commit will sync) or the only commit was rolled back (drop
+      // the now-dangling table rather than leave stale registrations)
+      if (tableCreated) {
+        spark.sql(s"DROP TABLE IF EXISTS ${qid(db)}.${qid(tbl)}")
+        tableCreated = false
+        registeredSchema = ""
+        registered = Map.empty
+      }
+      return
+    }
     val fq = s"${qid(db)}.${qid(tbl)}"
     // base files only: the plain-parquet-readable view (≡ snapshot on CoW)
     val files = log.liveFiles().filter(!_.isDelta)
@@ -400,6 +413,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         addPartitions(fq, desired)
       }
       registeredSchema = schema.json
+      tableCreated = true
     } else if (effParts.isEmpty) {
       // unpartitioned incremental: the rewrite moved the live directory
       if (registered.get("") != desired.get(""))
@@ -686,9 +700,19 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
             .write.partitionBy(shadows: _*)
         }
       writer.mode("error").parquet(dir.toString)
-    } finally if (!(mat eq df)) mat.unpersist()
+    } finally if (kind != "delta") mat.unpersist() // persist() returns `this`, so guard by kind, not identity
     val fs = dir.getFileSystem(hconf)
-    val adds = listParquet(fs, dir).map { p =>
+    val paths = listParquet(fs, dir)
+    // footer stats are metadata-only reads but still one I/O round trip
+    // per file — fan out on the driver pool rather than serializing (at
+    // real cluster scale these would be computed inside the write job)
+    val statsByPath = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val futs = paths.map(p => p -> Future(keyStats(p))(ExecutionContext.global))
+      futs.map { case (p, f) => p -> Await.result(f, 10.minutes) }.toMap
+    }
+    val adds = paths.map { p =>
       // directory segments are Hive-escaped by Spark (':' → '%3A' etc.);
       // store the UNESCAPED tuple so pruning compares in raw value space.
       // Parse only BELOW the commit dir — a table root containing a
@@ -703,7 +727,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
               .unescapePathName(value)
         }
         .sortBy(_._1).map(_._2)
-      val (kmin, kmax) = keyStats(p)
+      val (kmin, kmax) = statsByPath(p)
       FileAdd(p.toString, segs.mkString(PartSep), kind, kmin, kmax)
     }
     val schemaJson = df.schema.json
@@ -734,10 +758,30 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
             .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
           val maxs = stats.map(_.genericGetMax
             .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-          (mins.min, maxs.max)
+          // reduce across row groups in UTF-8 BYTE order — the order
+          // Spark's string comparison (and parquet's stats) use; Java's
+          // natural String order is UTF-16 and disagrees on supplementary
+          // characters, which would record a wrong (unsafe) range
+          (mins.reduce((a, b) => if (utf8Lt(a, b)) a else b),
+           maxs.reduce((a, b) => if (utf8Lt(a, b)) b else a))
         }
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => (null, null) }
+
+  /** unsigned lexicographic comparison of the UTF-8 encodings — matches
+    * UTF8String/parquet binary order */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
     val it = fs.listFiles(dir, true)

@@ -18,6 +18,9 @@ object Events {
 
   private val GapMs = 30 * 60 * 1000L // 30-minute session gap
 
+  private val stagedEventsDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Seq[GQuery] = Seq(
 
     // ---- tumbling event-time window -----------------------------------
@@ -40,14 +43,18 @@ object Events {
     // to the same table (complete output mode ⇒ final result is exact).
     GQuery("stream_hourly_tumbling",
       (s, d) => {
-        val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
-        val srcDir = s"/tmp/graft_stream_ev/$tag"
-        val dst = java.nio.file.Paths.get(s"$srcDir/events.parquet")
-        if (!java.nio.file.Files.exists(dst)) {
+        // stage once per JVM with REPLACE (an exists-check would keep a
+        // stale or half-copied file across fixture regenerations — the
+        // same hazard ensureRecursiveStage guards against)
+        val srcDir = Events.stagedEventsDir.computeIfAbsent(d, _ => {
+          val dir = s"/tmp/graft_stream_ev/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+          val dst = java.nio.file.Paths.get(s"$dir/events.parquet")
           java.nio.file.Files.createDirectories(dst.getParent)
           java.nio.file.Files.copy(
-            java.nio.file.Paths.get(s"$d/events.parquet"), dst)
-        }
+            java.nio.file.Paths.get(s"$d/events.parquet"), dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dir
+        })
         val raw = s.read.parquet(s"$d/events.parquet")
         val stream0 = s.readStream.schema(raw.schema).parquet(srcDir)
         val stream =

@@ -431,14 +431,30 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) != before)
     assert(t.rollback().contains(1L))
     assert(snap(t) == before)
-    // the next write reuses the retracted id, as if it never happened
+    // the retracted id is retired forever (commit JSONs stay immutable
+    // per id for any reader) — the next write takes a FRESH id
     t.upsert(df((3L, 1, "c", 1)))
     assert(snap(t) == before + ((3L, 1, "c", 1)))
-    assert(t.log.latestId.contains(1L))
+    assert(t.log.latestId.contains(2L))
     // after cleaning, the horizon blocks rollback
     t.upsert(df((4L, 1, "d", 2)))
     t.clean(retain = 1)
     intercept[IllegalArgumentException](t.rollback())
+  }
+
+  test("rollback of the only commit drops the synced catalog table") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.syncToCatalog("synced_rb", "graftdb")
+    assert(spark.catalog.tableExists("graftdb.synced_rb"))
+    t.rollback()
+    assert(!spark.catalog.tableExists("graftdb.synced_rb"),
+      "an empty timeline must not leave a dangling catalog table")
+    // the next first write re-registers it
+    t.upsert(df((2L, 1, "b", 1)))
+    assert(spark.catalog.tableExists("graftdb.synced_rb"))
+    assert(spark.sql("SELECT count(*) FROM graftdb.synced_rb")
+      .collect()(0).getLong(0) == 1L)
   }
 
   test("cleaner retains last N commits; latest read survives") {
