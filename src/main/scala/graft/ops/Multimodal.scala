@@ -16,9 +16,12 @@ import graft.{GQuery, Tables => T}
   * per-partition UDF execution, column pruning (payload is only read by
   * queries that touch it), and aggregation over extracted features.
   */
+final case class ResizedMedia(doc_id: Long, media_type: String, thumb_hex: String)
+
 object Multimodal {
 
   private val ChunkBytes = 256
+  private val ThumbBytes = 8
 
   /** Synthesize a media table from `documents`: utf-8 payload bytes +
     * typed metadata — the schema a real pipeline would carry
@@ -97,6 +100,44 @@ object Multimodal {
         SELECT doc_id, CAST(fid AS INT) AS frame_id,
           CAST(('0x' || substr(hx, CAST(fid AS INT) * $ChunkBytes * 2 + 1, 2)) AS INT) AS first_byte
         FROM g ORDER BY doc_id, frame_id""")),
+
+    // ---- resize / thumbnail via batched per-partition execution -------
+    // STUB resize (deterministic byte downsample to ThumbBytes positions
+    // i·n/k — a real pipeline would decode+rescale pixels here), but the
+    // execution contract is the real one: a typed mapPartitions over the
+    // binary payloads, the Spark-idiomatic shape of vectorized batch
+    // UDFs — one iterator per partition, no per-row driver involvement.
+    GQuery("multimodal_resize",
+      (s, d) => {
+        import s.implicits._
+        val m = media(s, d)
+          .select(col("doc_id"), col("media_type"), col("payload"))
+          .as[(Long, String, Array[Byte])]
+        m.mapPartitions { it =>
+          it.map { case (id, mt, p) =>
+            val n = if (p == null) 0 else p.length
+            val thumb =
+              if (n == 0) ""
+              else (0 until ThumbBytes)
+                .map(i => f"${p((i.toLong * n / ThumbBytes).toInt) & 0xff}%02X")
+                .mkString
+            ResizedMedia(id, mt, thumb)
+          }
+        }.toDF().orderBy("doc_id")
+      },
+      Some {
+        val terms = (0 until ThumbBytes)
+          .map(i => s"substr(hx, CAST(($i * n) // $ThumbBytes AS INT) * 2 + 1, 2)")
+          .mkString(" || ")
+        s"""WITH f AS (SELECT doc_id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+              AS media_type,
+            hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+          FROM documents)
+        SELECT doc_id, media_type,
+          CASE WHEN n = 0 THEN '' ELSE $terms END AS thumb_hex
+        FROM f ORDER BY doc_id"""
+      }),
 
     // ---- feature extraction via the stubbed decoder (rows-only) -------
     GQuery("multimodal_features",
