@@ -92,6 +92,26 @@ class OpsSpec extends AnyFunSuite {
     lsh.foreach { case (k, sim) => assert(sim == exact(k)) }
   }
 
+  test("winnowing fingerprints: near-dups overlap heavily, random pairs don't") {
+    val fps = run("doc_winnow_fp").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def overlap(a: Long, b: Long): Double = {
+      val (x, y) = (fps.getOrElse(a, Set.empty[Long]), fps.getOrElse(b, Set.empty[Long]))
+      if (x.isEmpty || y.isEmpty) 0.0
+      else (x & y).size.toDouble / math.min(x.size, y.size)
+    }
+    val near = ops.Text.exactJaccard(spark, sf, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.nonEmpty)
+    val nearAvg = near.map { case (a, b) => overlap(a, b) }.sum / near.size
+    val ids = fps.keys.toSeq.sorted.take(40)
+    val rand = for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    val randAvg = rand.map { case (a, b) => overlap(a, b) }.sum / rand.size
+    // shared runs of >= w+k-1 tokens guarantee shared fingerprints
+    assert(nearAvg > 0.5, s"near-dup overlap $nearAvg")
+    assert(nearAvg > 2 * randAvg, s"near $nearAvg vs random $randAvg")
+  }
+
   test("partition-pruned lake ANN equals the in-memory LSH ANN") {
     val mem = run("emb_ann_lsh").collect().map(_.toSeq).toSet
     val idx = run("emb_ann_partitioned").collect().map(_.toSeq).toSet
