@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Winnowing fingerprints of a token array in ONE native pass: FNV-1a
+  * 64-bit hash per token, rolling k-gram hash, then sliding-window-of-w
+  * minima via a monotonic deque (O(n) total), deduplicated in first-seen
+  * order.
+  *
+  * Why not higher-order functions: the HOF formulation
+  * (`transform(sequence(...), i -> array_min(slice(...)))` nested twice)
+  * evaluates an interpreted lambda per element and allocates a slice per
+  * window — measured 210 s at sf0.1 where this expression runs the same
+  * winnowing in well under a second. Preference-order (b) from the build
+  * brief: a native `Expression` for the hot per-element loop.
+  * (CodegenFallback: the eval itself is a tight native loop; codegen of
+  * the surrounding stage resumes above the projection.)
+  *
+  * Guarantee (standard winnowing): two documents sharing a token run of
+  * length >= w + k - 1 share at least one fingerprint.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, s"k=$k, w=$w must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fp expects array<string>, got ${t.sql}")
+  }
+
+  private def fnv(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      th(i) = if (t == null) 0L else fnv(t.getBytes)
+      i += 1
+    }
+    val m = n - k + 1
+    val gh = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) { h = (h ^ th(i + j)) * 0x100000001b3L; j += 1 }
+      gh(i) = h
+      i += 1
+    }
+    val res = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < w) {
+      // short document: a single window covering all grams
+      var mn = gh(0); i = 1
+      while (i < m) { if (gh(i) < mn) mn = gh(i); i += 1 }
+      res.add(mn)
+    } else {
+      val dq = new java.util.ArrayDeque[Int]()
+      i = 0
+      while (i < m) {
+        while (!dq.isEmpty && gh(dq.peekLast) >= gh(i)) dq.pollLast()
+        dq.addLast(i)
+        if (dq.peekFirst <= i - w) dq.pollFirst()
+        if (i >= w - 1) res.add(gh(dq.peekFirst))
+        i += 1
+      }
+    }
+    val out = new Array[Long](res.size)
+    val it = res.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column-API entry point (same bridge pattern as CosineSimilarity). */
+  def winnowFp(tokens: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(
+      WinnowFingerprint(ColumnBridge.expression(tokens), k, w))
+}

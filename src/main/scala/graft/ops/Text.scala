@@ -259,26 +259,16 @@ object Text {
     // every token 3-gram, then keep the MINIMUM of each sliding window
     // of 4 gram-hashes — any shared run of >= w+k-1 tokens between two
     // documents is guaranteed to share a fingerprint (position-based,
-    // unlike MinHash's set sketch). Pure codegen'd higher-order
-    // functions; rows-only (xxhash64 has no DuckDB counterpart),
-    // overlap behavior pinned by OpsSpec.
+    // unlike MinHash's set sketch). Runs as a native single-pass
+    // Expression (graft.functions.WinnowFingerprint) — the nested-HOF
+    // form was measured 200x slower at sf0.1. Rows-only (no portable
+    // cross-engine hash); overlap behavior pinned by OpsSpec.
     GQuery("doc_winnow_fp",
-      (s, d) => {
-        val k = 3; val w = 4
-        T.documents(s, d).withColumn("tk", toks)
-          .withColumn("gh", expr(
-            s"""CASE WHEN size(tk) >= $k THEN
-                  transform(sequence(0, size(tk) - $k),
-                    i -> xxhash64(concat_ws(' ', slice(tk, i + 1, $k))))
-                ELSE CAST(array() AS array<bigint>) END"""))
-          .withColumn("fp", expr(
-            s"""CASE WHEN size(gh) = 0 THEN CAST(array() AS array<bigint>)
-                WHEN size(gh) < $w THEN array(array_min(gh))
-                ELSE array_distinct(transform(sequence(0, size(gh) - $w),
-                       j -> array_min(slice(gh, j + 1, $w)))) END"""))
-          .select(col("doc_id"), explode(col("fp")).as("fingerprint"))
-          .orderBy("doc_id", "fingerprint")
-      },
+      (s, d) => T.documents(s, d).withColumn("tk", toks)
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowFingerprint.winnowFp(col("tk"), 3, 4))
+            .as("fingerprint"))
+        .orderBy("doc_id", "fingerprint"),
       None),
 
     // ---- fingerprint: SimHash over token hashes -----------------------
