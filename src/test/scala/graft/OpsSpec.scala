@@ -112,6 +112,22 @@ class OpsSpec extends AnyFunSuite {
     assert(nearAvg > 2 * randAvg, s"near $nearAvg vs random $randAvg")
   }
 
+  test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    // k=3, w=4 -> any shared run of 6 tokens must yield a shared print
+    val shared = "alpha beta gamma delta epsilon zeta".split(' ').toSeq
+    val docA = Seq("x1", "x2") ++ shared ++ Seq("x3")
+    val docB = Seq("y1") ++ shared ++ Seq("y2", "y3", "y4")
+    val df = Seq((1L, docA), (2L, docB)).toDF("doc_id", "tk")
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprint.winnowFp(col("tk"), 3, 4)).as("fp"))
+    val fps = df.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      s"guaranteed shared fingerprint missing: ${fps(1L)} vs ${fps(2L)}")
+  }
+
   test("partition-pruned lake ANN equals the in-memory LSH ANN") {
     val mem = run("emb_ann_lsh").collect().map(_.toSeq).toSet
     val idx = run("emb_ann_partitioned").collect().map(_.toSeq).toSet
