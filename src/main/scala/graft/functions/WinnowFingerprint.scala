@@ -8,9 +8,10 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Winnowing fingerprints of a token array in ONE native pass: FNV-1a
-  * 64-bit hash per token, rolling k-gram hash, then sliding-window-of-w
-  * minima via a monotonic deque (O(n) total), deduplicated in first-seen
-  * order.
+  * 64-bit hash per token, a k-gram hash folded over the k token hashes
+  * (O(n·k), constant k — FNV is not a rollable hash), then
+  * sliding-window-of-w minima via a monotonic deque (O(n)),
+  * deduplicated in first-seen order.
   *
   * Why not higher-order functions: the HOF formulation
   * (`transform(sequence(...), i -> array_min(slice(...)))` nested twice)

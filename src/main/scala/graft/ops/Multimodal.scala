@@ -16,8 +16,6 @@ import graft.{GQuery, Tables => T}
   * per-partition UDF execution, column pruning (payload is only read by
   * queries that touch it), and aggregation over extracted features.
   */
-final case class ResizedMedia(doc_id: Long, media_type: String, thumb_hex: String)
-
 object Multimodal {
 
   private val ChunkBytes = 256
@@ -135,7 +133,7 @@ object Multimodal {
             hex(encode(text)) AS hx, octet_length(encode(text)) AS n
           FROM documents)
         SELECT doc_id, media_type,
-          CASE WHEN n = 0 THEN '' ELSE $terms END AS thumb_hex
+          CASE WHEN COALESCE(n, 0) = 0 THEN '' ELSE $terms END AS thumb_hex
         FROM f ORDER BY doc_id"""
       }),
 
@@ -152,3 +150,6 @@ object Multimodal {
       None)
   )
 }
+
+/** typed output row of `multimodal_resize` */
+final case class ResizedMedia(doc_id: Long, media_type: String, thumb_hex: String)
