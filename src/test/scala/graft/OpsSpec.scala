@@ -112,6 +112,19 @@ class OpsSpec extends AnyFunSuite {
     assert(nearAvg > 2 * randAvg, s"near $nearAvg vs random $randAvg")
   }
 
+  test("SQL surface: native expressions callable from SQL text after injection") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT round(cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)), 4) AS c,
+                size(winnow_fp(array('a','b','c','d','e','f','g'), 3, 4)) AS n""")
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getInt(1) >= 1)
+    // the builder validates arity with a clear message
+    val ex = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0D))").collect())
+    assert(ex.getMessage.contains("cosine_sim") || ex.getMessage.contains("two array"))
+  }
+
   test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode}
