@@ -24,10 +24,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intArg(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other if other.foldable => other.eval().asInstanceOf[Int]
-    case _ => throw new IllegalArgumentException(s"$what must be a literal int")
+  private def intArg(e: Expression, what: String): Int = {
+    // match on the evaluated VALUE: a foldable BIGINT/SMALLINT (e.g.
+    // `CAST(3 AS BIGINT)`) or NULL must produce the intended "literal int"
+    // error, not a raw ClassCastException/NPE during analysis
+    val v = e match {
+      case Literal(x: Int, IntegerType) => x
+      case other if other.foldable => other.eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
+        case s: java.lang.Short => s.intValue()
+        case b: java.lang.Byte => b.intValue()
+        case _ => throw new IllegalArgumentException(s"$what must be a literal int")
+      }
+      case _ => throw new IllegalArgumentException(s"$what must be a literal int")
+    }
+    v
   }
 
   val injected: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -72,7 +72,7 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     if (!fs.exists(logDir)) Seq.empty
     else fs.listStatus(logDir).toSeq
       .map(_.getPath.getName)
-      .filter(_.matches("\\d{8}\\.json"))
+      .filter(_.matches("\\d{8,}\\.json")) // %08d emits 9+ digits past 10^8 — keep them visible
       .map(_.stripSuffix(".json").toLong)
       .sorted
 
@@ -85,7 +85,7 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     if (!fs.exists(logDir)) Seq.empty
     else fs.listStatus(logDir).toSeq
       .map(_.getPath.getName)
-      .filter(_.matches("rolled-\\d{8}"))
+      .filter(_.matches("rolled-\\d{8,}"))
       .map(_.stripPrefix("rolled-").toLong)
 
   def nextId: Long = (listIds ++ rolledIds).maxOption.map(_ + 1).getOrElse(0L)

@@ -18,8 +18,29 @@ object Events {
 
   private val GapMs = 30 * 60 * 1000L // 30-minute session gap
 
-  private val stagedEventsDir =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Stage the events fixture for the file-stream source. Re-copies on
+    * EVERY invocation (the copy is cheap at fixture scale) so a fixture
+    * regenerated within one long-lived JVM is never served stale — a
+    * per-JVM once-cache would pin the first copy forever. Handles both a
+    * single parquet file and a parquet directory fixture.
+    */
+  private def stageEvents(d: String): String = {
+    import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+    val dir = s"/tmp/graft_stream_ev/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val src = Paths.get(s"$d/events.parquet")
+    def copyInto(from: JPath, to: JPath): Unit =
+      if (Files.isDirectory(from)) {
+        Files.createDirectories(to)
+        Files.list(from).forEach { p =>
+          if (!p.getFileName.toString.startsWith(".")) copyInto(p, to.resolve(p.getFileName))
+        }
+      } else {
+        Files.createDirectories(to.getParent)
+        Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+      }
+    copyInto(src, Paths.get(s"$dir/events.parquet"))
+    dir
+  }
 
   val queries: Seq[GQuery] = Seq(
 
@@ -43,18 +64,7 @@ object Events {
     // to the same table (complete output mode ⇒ final result is exact).
     GQuery("stream_hourly_tumbling",
       (s, d) => {
-        // stage once per JVM with REPLACE (an exists-check would keep a
-        // stale or half-copied file across fixture regenerations — the
-        // same hazard ensureRecursiveStage guards against)
-        val srcDir = Events.stagedEventsDir.computeIfAbsent(d, _ => {
-          val dir = s"/tmp/graft_stream_ev/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-          val dst = java.nio.file.Paths.get(s"$dir/events.parquet")
-          java.nio.file.Files.createDirectories(dst.getParent)
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(s"$d/events.parquet"), dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dir
-        })
+        val srcDir = stageEvents(d)
         val raw = s.read.parquet(s"$d/events.parquet")
         val stream0 = s.readStream.schema(raw.schema).parquet(srcDir)
         val stream =
