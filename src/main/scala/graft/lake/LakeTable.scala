@@ -210,15 +210,19 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     val id = log.nextId
     // prune to the partition tuples that can hold the doomed keys: from
     // the keys frame itself when it carries every user partition column
-    // (the key-hash bucket level is always derivable), or from the
-    // key+partition index scan (global); full scan otherwise
+    // (the key-hash bucket level is always derivable), otherwise from the
+    // key+partition index scan — a footer-range-pruned, column-pruned
+    // probe (partitionsHoldingKeys). A bare-key delete on a non-global
+    // table thus rewrites only the partitions actually holding the keys,
+    // never the whole table; semantics are unchanged because partitions
+    // the probe skips cannot contain a matching key.
     val live = log.liveFiles()
     val userPartsKnown = config.partitionCols.forall(keys.columns.contains)
     val touched: Option[Set[String]] =
       if (effParts.isEmpty) None
-      else if (config.globalIndex) Some(partitionsHoldingKeys(keys, live))
-      else if (userPartsKnown) Some(renderedTuples(withDerived(keys)))
-      else None
+      else if (!config.globalIndex && userPartsKnown)
+        Some(renderedTuples(withDerived(keys)))
+      else Some(partitionsHoldingKeys(keys, live))
     val oldFiles = touched.fold(live)(t => live.filter(f => t.contains(f.partition)))
     val current = readOrEmpty(oldFiles)
     // identity for the anti-join: when the keys frame pins the partition
@@ -371,13 +375,19 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     val schema = baseSchema
     // desired registration: partition tuple -> single live directory
     val desired: Map[String, String] =
-      if (effParts.isEmpty)
-        Map("" -> files.headOption
-          .map(f => new Path(f.path).getParent.toString)
-          .getOrElse {
-            val d = new Path(config.root, "data/_empty")
-            d.getFileSystem(hconf).mkdirs(d); d.toString
-          })
+      if (effParts.isEmpty) {
+        // same single-directory invariant the partitioned branch enforces:
+        // serving only files.head's dir would silently drop rows if live
+        // base files ever spanned several commit dirs
+        val dirs = files.map(f => new Path(f.path).getParent.toString).distinct
+        require(dirs.size <= 1,
+          s"live base files span ${dirs.size} directories — " +
+            "single-directory invariant broken")
+        Map("" -> dirs.headOption.getOrElse {
+          val d = new Path(config.root, "data/_empty")
+          d.getFileSystem(hconf).mkdirs(d); d.toString
+        })
+      }
       else files.groupBy(_.partition).map { case (tuple, fAdds) =>
         val dirs = fAdds.map(f => new Path(f.path).getParent.toString).distinct
         require(dirs.size == 1,

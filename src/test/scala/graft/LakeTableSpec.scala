@@ -469,6 +469,24 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == Set((1L, 1, "a3", 2)))
   }
 
+  test("bare-key delete rewrites only the partitions holding the keys") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0), (3L, 3, "c", 0)))
+    def byPart() = t.log.liveFiles().groupBy(_.partition)
+      .view.mapValues(_.map(_.path).toSet).toMap
+    val before = byPart()
+    import spark.implicits._
+    // keys carry NO partition column: the key+partition index probe
+    // (footer-range-pruned, column-pruned) must narrow the rewrite to the
+    // partitions that actually hold the keys — never the whole table
+    t.delete(Seq(1L).toDF("pk"))
+    val after = byPart()
+    assert(after("2") == before("2"), "untouched partition 2 was rewritten")
+    assert(after("3") == before("3"), "untouched partition 3 was rewritten")
+    assert(after.get("1") != Some(before("1")), "partition 1 must be rewritten")
+    assert(snap(t) == Set((2L, 2, "b", 0), (3L, 3, "c", 0)))
+  }
+
   test("delete with partition column only removes the key in that partition") {
     val t = LakeTable(spark, cfg(freshRoot()))
     // same pk in two partitions (legal under the partition-scoped index)
