@@ -135,8 +135,15 @@ object Similarity {
     // exact all-pairs query above stays as the fenced verification
     // baseline (OpsSpec asserts subset + recall on the planted dups);
     // this is the O(N·L + candidates) shape that survives 100 TB.
+    //
+    // The corpus carries 10 deterministic high-cosine twins (vec_id ≥
+    // TwinBase, same perturbation as OpsSpec's recall test): the fixture's
+    // only natural pair sits at cosine ~0.5 where hyperplane-LSH recall is
+    // ~0.3 BY DESIGN (tuned for true near-duplicates), so without planted
+    // twins the entry returned 0 rows at some SFs and demonstrated
+    // nothing. With them it returns ≥10 verified pairs at every SF.
     GQuery("emb_neardup_lsh",
-      (s, d) => lshNearDupPairs(corpus(s, d), 0.5),
+      (s, d) => lshNearDupPairs(plantedCorpus(corpus(s, d)), 0.5),
       None),
 
     // ---- LSH-bucketed ANN (scale path; rows-only, AnnSpec checks recall)
@@ -245,6 +252,22 @@ object Similarity {
 
   /** exposed so Bench can time the quantizer build separately */
   private[graft] def ensureIvf(s: SparkSession, d: String): Unit = ivfModel(s, d)
+
+  /** vec_id offset for planted twins — far above any fixture id */
+  private[graft] val TwinBase = 100000L
+
+  /** Add slightly-perturbed twins (cosine ≈ 0.9999) of the first 10
+    * vectors, ids offset by [[TwinBase]] — deterministic, same
+    * perturbation as OpsSpec's planted-recall test. Guarantees the LSH
+    * near-dup path has true near-duplicates to find at every SF.
+    */
+  private[graft] def plantedCorpus(c: DataFrame): DataFrame = {
+    val twins = c.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + TwinBase)
+      .withColumn("v",
+        expr("transform(v, (x, i) -> cast(x + 0.001d * (i % 3) as float))"))
+    c.unionByName(twins)
+  }
 
   /** Exact all-pairs near-dup baseline over a (vec_id, v) corpus:
     * O(N²) crossJoin — the fenced VERIFICATION baseline only; the

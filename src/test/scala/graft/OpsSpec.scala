@@ -67,11 +67,21 @@ class OpsSpec extends AnyFunSuite {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("va", "vb", "sim").collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // the real fixture: verified candidates can never invent a pair
-    val exactFix = pairs(run("emb_neardup_pairs"))
+    // the catalog entry runs over the PLANTED corpus (fixture + 10
+    // deterministic twins — otherwise the entry is vacuous at SFs whose
+    // only natural pair sits below LSH's designed recall range); compare
+    // against the exact baseline over the same planted corpus
+    val fixBase = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val exactFix = pairs(ops.Similarity.exactNearDupPairs(
+      ops.Similarity.plantedCorpus(fixBase), 0.5))
     val lshFix = pairs(run("emb_neardup_lsh"))
     assert(lshFix.keySet.subsetOf(exactFix.keySet))
     lshFix.foreach { case (k, sim) => assert(sim == exactFix(k)) }
+    // non-vacuous: all 10 planted twins recovered through the catalog entry
+    val plantedFix = lshFix.keySet.filter { case (a, b) =>
+      b == a + ops.Similarity.TwinBase }
+    assert(plantedFix.size == 10, s"planted twins through catalog entry: $plantedFix")
     // planted corpus: 10 vectors get slightly-perturbed twins (cosine
     // ~0.99+) — the regime multi-table hyperplane LSH is built for;
     // every planted pair must be recovered with its exact score
