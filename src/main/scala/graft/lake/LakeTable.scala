@@ -277,8 +277,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   def readPartitions(values: Set[String]): DataFrame = {
     val files = log.liveFiles().filter(f => values.contains(f.partition))
-    if (files.exists(_.isDelta)) morMerge(readOrEmpty(files))
-    else readOrEmpty(files)
+    if (files.isEmpty) readOrEmpty(files) else mergeIfNeeded(files)
   }
 
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
@@ -470,8 +469,45 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         .map(j => DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(new StructType())
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else if (files.exists(_.isDelta)) morMerge(readFiles(files))
-    else readFiles(files)
+    } else mergeIfNeeded(files)
+  }
+
+  /** True when every MoR dedup group is confined to a single partition
+    * tuple, so base+delta merging can run file-group-local. Non-global
+    * tables always qualify: the dedup identity carries every user
+    * partition column, and the bucket level is a pure function of the
+    * key. A global-index table qualifies only when the derived bucket is
+    * the sole partition level — with user partition columns a key's rows
+    * may span tuples (the winning row decides the partition), and only a
+    * table-wide merge can resolve them.
+    */
+  private def groupLocalMergeSafe: Boolean =
+    effParts.nonEmpty && (!config.globalIndex || config.partitionCols.isEmpty)
+
+  /** Snapshot assembly with the merge scoped to the file groups that
+    * actually have deltas (Hudi merges per file slice, never globally —
+    * the read-side counterpart of the declared MoR config,
+    * glue/HudiJarGlueJob.py:77). Partitions without deltas stream
+    * straight from their base files with NO exchange; only the
+    * delta-touched partitions enter the key-shuffle merge, so the
+    * shuffle is bounded by recent write activity, not table size — at
+    * 100 TB an uncompacted snapshot read shuffles the hot partitions
+    * only. Falls back to a table-wide merge when dedup groups can span
+    * partitions (see [[groupLocalMergeSafe]]).
+    */
+  private def mergeIfNeeded(files: Seq[FileAdd]): DataFrame = {
+    if (!files.exists(_.isDelta)) readFiles(files)
+    else if (!groupLocalMergeSafe) morMerge(readFiles(files))
+    else {
+      val touched = files.filter(_.isDelta).map(_.partition).toSet
+      val (dirty, clean) = files.partition(f => touched.contains(f.partition))
+      val merged = morMerge(readFiles(dirty))
+      if (clean.isEmpty) merged
+      else
+        // allowMissingColumns: delta commits may have widened the schema,
+        // so the merged side can carry columns the clean base files lack
+        merged.unionByName(readFiles(clean), allowMissingColumns = true)
+    }
   }
 
   /** MoR read-time merge over base ∪ delta rows. Per dedup key:
@@ -534,8 +570,17 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     require(config.isMor, "compact() applies to merge-on-read tables")
     val live = log.liveFiles()
     if (!live.exists(_.isDelta)) return log.latestId.getOrElse(-1L)
-    val merged = morMerge(readFiles(live))
-    writeCommit(merged, "compact", live.map(_.path))
+    // Hudi compaction scope: only file groups that accumulated deltas are
+    // rewritten; partitions that saw no writes since the last compaction
+    // keep their base files live (at 100 TB compaction cost follows write
+    // activity, not table size)
+    val dirty =
+      if (groupLocalMergeSafe) {
+        val touched = live.filter(_.isDelta).map(_.partition).toSet
+        live.filter(f => touched.contains(f.partition))
+      } else live
+    val merged = morMerge(readFiles(dirty))
+    writeCommit(merged, "compact", dirty.map(_.path))
   }
 
   /** Inline compaction trigger (reference's max.delta.commits semantics):

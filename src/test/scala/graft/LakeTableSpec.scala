@@ -271,6 +271,58 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == Set((1L, 1, "a2", 1), (2L, 1, "b", 1)))
   }
 
+  test("bucketed MoR snapshot read: untouched buckets bypass the merge shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+        storageType = "mor", hashBuckets = 8))
+      t.bulkInsert(df((1L to 32L).map(i => (i, 1, s"p$i", 0)): _*))
+      t.upsert(df((5L, 1, "upd", 1))) // one delta, in pk=5's bucket only
+      val deltaBuckets = t.log.liveFiles().filter(_.isDelta).map(_.partition).toSet
+      assert(deltaBuckets.size == 1)
+      assert(snap(t) ==
+        (1L to 32L).map(i => if (i == 5L) (i, 1, "upd", 1) else (i, 1, s"p$i", 0)).toSet)
+      // the merge shuffle must cover ONLY the delta-touched bucket's files;
+      // every untouched bucket streams base files with no Exchange above
+      val plan = t.read().queryExecution.executedPlan
+      def norm(s: String): String =
+        new org.apache.hadoop.fs.Path(s).toUri.getPath
+      def files(p: org.apache.spark.sql.execution.SparkPlan): Set[String] =
+        p.collect { case f: FileSourceScanExec => f }
+          .flatMap(_.relation.location.inputFiles)
+          .map(norm).toSet
+      val shuffled = plan.collect { case s: ShuffleExchangeExec => s }
+        .flatMap(files).toSet
+      assert(shuffled.nonEmpty, "expected a key-shuffle over the dirty bucket")
+      val (dirtyFiles, cleanFiles) = t.log.liveFiles()
+        .partition(f => deltaBuckets.contains(f.partition))
+      assert(cleanFiles.nonEmpty)
+      cleanFiles.foreach(f => assert(!shuffled.contains(norm(f.path)),
+        s"untouched-bucket file entered the merge shuffle: ${f.path}"))
+      assert(shuffled.subsetOf(dirtyFiles.map(f => norm(f.path)).toSet),
+        s"shuffle read beyond the dirty bucket: $shuffled")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("partial compaction rewrites only file groups holding deltas") {
+    val t = LakeTable(spark, morCfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0), (3L, 3, "c", 0)))
+    val before = t.log.liveFiles().groupBy(_.partition)
+      .view.mapValues(_.map(_.path).toSet).toMap
+    t.upsert(df((1L, 1, "a2", 1)))    // delta lands in partition 1 only
+    t.compact()
+    val after = t.log.liveFiles().groupBy(_.partition)
+      .view.mapValues(_.map(_.path).toSet).toMap
+    assert(t.log.liveFiles().forall(!_.isDelta))
+    assert(after("2") == before("2"), "partition 2 had no deltas; compaction rewrote it")
+    assert(after("3") == before("3"), "partition 3 had no deltas; compaction rewrote it")
+    assert(after("1") != before("1"), "partition 1 must be compacted")
+    assert(snap(t) == Set((1L, 1, "a2", 1), (2L, 2, "b", 0), (3L, 3, "c", 0)))
+  }
+
   test("merge-on-read equals copy-on-write over the same batch sequence") {
     val batches = Seq(
       df((1L, 1, "a", 2), (2L, 2, "b", 2), (3L, 1, "c", 2)),
