@@ -125,7 +125,8 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   def bulkInsert(df: DataFrame): Long = {
     require(!exists, s"table ${config.root} already exists; use upsert")
-    writeCommit(withDerived(withMeta(df, 0L)), op = "bulk_insert", removes = Seq.empty)
+    writeCommit(withDerived(withMeta(df, 0L)), op = "bulk_insert",
+      removes = Seq.empty, basedOn = Some(log.EmptyTable))
   }
 
   /** Merge a batch by record key; on key collision the row with the highest
@@ -148,21 +149,24 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         .agg(max_by(struct(incoming.columns.map(col): _*), ord).as("_row"))
         .select(col("_row.*"))
         .drop("_seq")
-      return writeCommit(merged, "upsert", Seq.empty)
+      return writeCommit(merged, "upsert", Seq.empty, basedOn = Some(log.EmptyTable))
     }
     if (config.isMor) {
       // MoR: append the batch as-is as delta files — no read, no merge,
       // no rewrite; collisions resolve at read time (morMerge). _seq
       // still pins intra-batch duplicate order.
       val id = log.nextId
+      val basedOn = log.latestId.getOrElse(log.EmptyTable)
       val incoming = withDerived(withMeta(batch, id))
         .withColumn("_seq", monotonically_increasing_id())
         .withColumn("_deleted", lit(false))
-      val cid = writeCommit(incoming, "delta_commit", Seq.empty, Some(id), kind = "delta")
+      val cid = writeCommit(incoming, "delta_commit", Seq.empty, Some(id),
+        kind = "delta", basedOn = Some(basedOn))
       maybeInlineCompact()
       return cid
     }
     val id = log.nextId
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
     // _seq pins a total order for duplicate keys with equal precombine
     // WITHIN one batch (SURVEY.md §7.4 tie-break risk): later row wins.
     // persist: the batch is consumed 3× (partition probe, merge, write) —
@@ -187,7 +191,8 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         .agg(max_by(struct(union.columns.map(col): _*), ord).as("_row"))
         .select(col("_row.*"))
         .drop("_seq")
-      writeCommit(merged, "upsert", oldFiles.map(_.path), Some(id))
+      writeCommit(merged, "upsert", oldFiles.map(_.path), Some(id),
+        basedOn = Some(basedOn))
     } finally incoming.unpersist()
   }
 
@@ -208,6 +213,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     require(exists, s"table ${config.root} does not exist")
     if (config.isMor) return morDelete(keys)
     val id = log.nextId
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
     // prune to the partition tuples that can hold the doomed keys: from
     // the keys frame itself when it carries every user partition column
     // (the key-hash bucket level is always derivable), otherwise from the
@@ -237,7 +243,8 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     val doomed = keys.select(joinCols.map(col): _*).distinct().as("k")
     val cond = joinCols.map(c => current(c) <=> doomed(c)).reduce(_ && _)
     val remaining = current.join(doomed, cond, "left_anti")
-    writeCommit(remaining, "delete", oldFiles.map(_.path), Some(id))
+    writeCommit(remaining, "delete", oldFiles.map(_.path), Some(id),
+      basedOn = Some(basedOn))
   }
 
   // ---- read paths -----------------------------------------------------
@@ -539,6 +546,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   private def morDelete(keys: DataFrame): Long = {
     val id = log.nextId
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
     val present = config.partitionCols.filter(keys.columns.contains)
     val keyed = keys.select((config.keyCols ++ present).distinct.map(col): _*).distinct()
     val placed =
@@ -556,7 +564,8 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         lit(null).cast(schemaOf(config.precombineCol)))
       .withColumn("_seq", monotonically_increasing_id())
       .withColumn("_deleted", lit(true))
-    val cid = writeCommit(tombstones, "delete_delta", Seq.empty, Some(id), kind = "delta")
+    val cid = writeCommit(tombstones, "delete_delta", Seq.empty, Some(id),
+      kind = "delta", basedOn = Some(basedOn))
     maybeInlineCompact()
     cid
   }
@@ -568,6 +577,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   def compact(): Long = {
     require(config.isMor, "compact() applies to merge-on-read tables")
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
     val live = log.liveFiles()
     if (!live.exists(_.isDelta)) return log.latestId.getOrElse(-1L)
     // Hudi compaction scope: only file groups that accumulated deltas are
@@ -580,7 +590,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         live.filter(f => touched.contains(f.partition))
       } else live
     val merged = morMerge(readFiles(dirty))
-    writeCommit(merged, "compact", dirty.map(_.path))
+    writeCommit(merged, "compact", dirty.map(_.path), basedOn = Some(basedOn))
   }
 
   /** Inline compaction trigger (reference's max.delta.commits semantics):
@@ -711,9 +721,16 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   /** Write `df` under a fresh commit directory, then append the commit
     * JSON (files-then-log ordering = crash safety; see CommitLog).
     */
+  /** `basedOn`: the latest commit id observed when the caller resolved
+    * the snapshot this write merged from — captured at writeCommit entry
+    * when the caller did no earlier metadata read. CommitLog.append
+    * validates the head is unchanged at publish (optimistic concurrency).
+    */
   private def writeCommit(
       df: DataFrame, op: String, removes: Seq[String],
-      fixedId: Option[Long] = None, kind: String = "base"): Long = {
+      fixedId: Option[Long] = None, kind: String = "base",
+      basedOn: Option[Long] = None): Long = {
+    val expectedHead = basedOn.getOrElse(log.latestId.getOrElse(log.EmptyTable))
     val id = fixedId.getOrElse(log.nextId)
     val dir = dataDir(id)
     // keep the real columns in the data; duplicate them as `__gpN` shadow
@@ -758,15 +775,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     } finally if (kind != "delta") mat.unpersist() // persist() returns `this`, so guard by kind, not identity
     val fs = dir.getFileSystem(hconf)
     val paths = listParquet(fs, dir)
-    // footer stats are metadata-only reads but still one I/O round trip
-    // per file — fan out on the driver pool rather than serializing (at
-    // real cluster scale these would be computed inside the write job)
-    val statsByPath = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration._
-      val futs = paths.map(p => p -> Future(keyStats(p))(ExecutionContext.global))
-      futs.map { case (p, f) => p -> Await.result(f, 10.minutes) }.toMap
-    }
+    val statsByPath = keyStatsFor(paths)
     val adds = paths.map { p =>
       // directory segments are Hive-escaped by Spark (':' → '%3A' etc.);
       // store the UNESCAPED tuple so pruning compares in raw value space.
@@ -782,21 +791,82 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
               .unescapePathName(value)
         }
         .sortBy(_._1).map(_._2)
-      val (kmin, kmax) = statsByPath(p)
+      val (kmin, kmax) = statsByPath(p.toString)
       FileAdd(p.toString, segs.mkString(PartSep), kind, kmin, kmax)
     }
     val schemaJson = df.schema.json
-    log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds, removes))
+    try
+      log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds, removes),
+        basedOnLatest = expectedHead)
+    catch { case e: IllegalStateException =>
+      // the commit lost the publish race — its just-written data files are
+      // orphans (invisible to every reader); drop them so a retry loop
+      // does not leak a directory per attempt
+      try { fs.delete(dir, true); () } catch { case scala.util.control.NonFatal(_) => () }
+      throw e
+    }
     resync() // keep a registered catalog table in step with the timeline
     id
   }
 
-  /** `_record_key` min/max from the parquet footer — a metadata read of
-    * the row-group statistics (no data pages touched), run once per
-    * written file at commit time. Returns (null, null) when stats are
-    * absent/unreadable, which exempts the file from pruning.
+  /** Per-file `_record_key` min/max at commit time, computed EXECUTOR-
+    * side: the footer reads (metadata-only — no data pages touched) fan
+    * out as a short Spark job over the written file list, so a 10k-file
+    * commit costs one distributed metadata scan instead of 10k driver
+    * round trips. Task count is capped at default parallelism; the
+    * collect is metadata-scale (one (path, min, max) triple per file).
     */
-  private def keyStats(p: Path): (String, String) =
+  private def keyStatsFor(paths: Seq[Path]): Map[String, (String, String)] =
+    if (paths.isEmpty) Map.empty
+    else {
+      val sc = spark.sparkContext
+      val conf = new SerializableHadoopConf(hconf)
+      val strs = paths.map(_.toString)
+      sc.parallelize(strs, math.max(1, math.min(strs.size, sc.defaultParallelism)))
+        .map(s => s -> keyStats(new Path(s), conf.value))
+        .collect().toMap
+    }
+
+  private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+    }
+    buf.result()
+  }
+}
+
+/** Java-serializable Hadoop Configuration carrier for task closures
+  * (Configuration itself is Writable but not Serializable). Spark's own
+  * org.apache.spark.util.SerializableConfiguration is private[spark].
+  */
+private[lake] final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+object LakeTable {
+  /** Spark's directory name for a null partition value. */
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** `_record_key` min/max from one parquet footer — a metadata read of
+    * the row-group statistics, runnable inside an executor task. Returns
+    * (null, null) when stats are absent/unreadable, which exempts the
+    * file from pruning (conservative, never wrong).
+    */
+  private[lake] def keyStats(
+      p: Path, hconf: org.apache.hadoop.conf.Configuration): (String, String) =
     try {
       import scala.jdk.CollectionConverters._
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
@@ -825,7 +895,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
 
   /** unsigned lexicographic comparison of the UTF-8 encodings — matches
     * UTF8String/parquet binary order */
-  private def utf8Lt(a: String, b: String): Boolean = {
+  private[lake] def utf8Lt(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -837,21 +907,6 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     }
     x.length < y.length
   }
-
-  private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
-    val it = fs.listFiles(dir, true)
-    val buf = Seq.newBuilder[Path]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath
-    }
-    buf.result()
-  }
-}
-
-object LakeTable {
-  /** Spark's directory name for a null partition value. */
-  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** derived key-hash bucket column (hashBuckets > 0) */
   val BucketCol = "_bucket"

@@ -447,6 +447,45 @@ class LakeTableSpec extends AnyFunSuite {
     assert(log.read(id2).tsMillis == 2L)
   }
 
+  test("optimistic concurrency: stale writer with a DIFFERENT id fails cleanly") {
+    import graft.lake.{Commit, CommitLog}
+    val log = new CommitLog(freshRoot(), spark.sparkContext.hadoopConfiguration)
+    log.append(Commit(0L, "bulk_insert", 1L, "{}", Seq.empty, Seq.empty),
+      basedOnLatest = log.EmptyTable)
+    // writers A and B both resolve their snapshot at head=0, then B
+    // publishes first; A later resolves a FRESH id (1 is taken → 2 via a
+    // retry path) but still merged from head=0 — the lost-update anomaly
+    // the same-id guard cannot catch
+    log.append(Commit(1L, "upsert", 2L, "{}", Seq.empty, Seq.empty),
+      basedOnLatest = 0L)
+    val ex = intercept[IllegalStateException](
+      log.append(Commit(2L, "upsert", 3L, "{}", Seq.empty, Seq.empty),
+        basedOnLatest = 0L))
+    assert(ex.getMessage.contains("stale write"))
+    // B's commit survives untouched; A retries from the current head
+    assert(log.latestId.contains(1L))
+    log.append(Commit(2L, "upsert", 4L, "{}", Seq.empty, Seq.empty),
+      basedOnLatest = 1L)
+    assert(log.latestId.contains(2L))
+  }
+
+  test("optimistic concurrency: stale table writer leaves no orphan commit") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    // simulate an interleaved foreign commit between snapshot resolution
+    // and publish by appending directly to the log with a raw (unchecked)
+    // append — then the table's next write must observe it, not clobber it
+    import graft.lake.Commit
+    t.log.append(Commit(t.log.nextId, "upsert", 99L,
+      t.read().schema.json, Seq.empty, Seq.empty))
+    // the table object resolves a fresh snapshot including the foreign
+    // commit, so its write is NOT stale and must succeed — and the rows
+    // live at the foreign commit's time survive the merge
+    t.upsert(df((2L, 1, "b", 1)))
+    assert(snap(t) == Set((1L, 1, "a", 0), (2L, 1, "b", 1)))
+    assert(t.log.latestId.contains(2L))
+  }
+
   test("commit log records per-file key ranges from parquet footers") {
     import spark.implicits._
     val t = LakeTable(spark, cfg(freshRoot(), part = None))
