@@ -102,17 +102,45 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
 
   def commits: Seq[Commit] = listIds.map(read)
 
-  /** Append a commit atomically: write temp, then publish into place
-    * with an atomic CREATE-OR-FAIL. Two writers racing on the same id
-    * produce exactly one winner and one clean failure (the optimistic-
-    * concurrency guard behind the single-writer contract — reference
+  /** Sentinel for [[append]]'s `basedOnLatest`: skip the staleness check
+    * (raw timeline surgery / recovery tooling only — table writes always
+    * pass the observed head). */
+  val Unchecked: Long = Long.MinValue
+
+  /** `basedOnLatest` encoding of "the table was empty when the snapshot
+    * was resolved" (latestId was None). */
+  val EmptyTable: Long = -1L
+
+  /** Append a commit atomically with optimistic concurrency control.
+    *
+    * `basedOnLatest` is the latest commit id the writer observed when it
+    * resolved the snapshot it merged from ([[EmptyTable]] if none,
+    * [[Unchecked]] to skip). Publishing validates the timeline head is
+    * STILL that id — a commit that landed in between means this write
+    * merged from a stale snapshot, and it fails cleanly instead of
+    * silently dropping the interleaved commit's rows (Hudi's optimistic
+    * concurrency check; the reference avoids the race operationally via
     * `MaxConcurrentRuns: 1`, cloud_formation/HudiGlueJobCFn.yml:35).
     *
-    * On file:// the publish is a POSIX hard link — link(2) fails with
-    * EEXIST where rename(2) would silently OVERWRITE the winner. On
-    * HDFS-like filesystems rename is already no-overwrite.
+    * Two writers racing from the SAME observed state resolve the same
+    * `max+1` id, and the publish itself is an atomic CREATE-OR-FAIL that
+    * arbitrates them: on file:// a POSIX hard link — link(2) fails with
+    * EEXIST where rename(2) would silently OVERWRITE the winner; on
+    * HDFS-like filesystems rename is already no-overwrite. Writers from
+    * DIFFERENT observed states are caught by the staleness check (the id
+    * was resolved no earlier than the snapshot, so a head change between
+    * the two is visible by publish time). Every interleaving lands in
+    * one of the two guards: one winner, one clean failure.
     */
-  def append(c: Commit): Unit = {
+  def append(c: Commit, basedOnLatest: Long = Unchecked): Unit = {
+    if (basedOnLatest != Unchecked) {
+      val head = latestId.getOrElse(EmptyTable)
+      if (head != basedOnLatest)
+        throw new IllegalStateException(
+          s"stale write: commit $head landed after the snapshot this write " +
+            s"merged from (based on ${if (basedOnLatest == EmptyTable) "empty table"
+              else s"commit $basedOnLatest"}) — retry from the current snapshot")
+    }
     fs.mkdirs(logDir)
     val tmp = new Path(logDir, s".tmp-${c.id}-${System.nanoTime()}")
     val out = fs.create(tmp, false)
