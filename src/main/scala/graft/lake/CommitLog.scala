@@ -192,6 +192,32 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     upTo.lastOption.map(_.schemaJson)
   }
 
+  // ---- savepoints (Hudi savepoint/restore: pin a commit against the
+  // cleaner so it stays reproducible, restore the timeline back to it)
+
+  private def savepointPath(id: Long) = new Path(logDir, f"save-$id%08d")
+
+  /** Pin `id` against [[clean]]: its snapshot's files are never physically
+    * deleted while the savepoint exists, so [[liveFiles]](Some(id)) stays
+    * reproducible regardless of retention. */
+  def savepoint(id: Long): Unit = {
+    require(listIds.contains(id), s"no commit $id on the timeline")
+    fs.create(savepointPath(id), true).close()
+  }
+
+  /** Release a savepoint; the NEXT clean may delete its files. */
+  def releaseSavepoint(id: Long): Unit = {
+    fs.delete(savepointPath(id), false); ()
+  }
+
+  def savepoints: Seq[Long] =
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("save-\\d{8,}"))
+      .map(_.stripPrefix("save-").toLong)
+      .sorted
+
   /** Roll back the LATEST commit (Hudi rollback): delete its JSON — the
     * only pointer making its files live — then physically remove the
     * now-orphaned files it added. Files it superseded become live again;
@@ -204,6 +230,8 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
   def rollbackLatest(): Option[Long] = latestId.map { id =>
     require(id > cleanedUpTo,
       s"commit $id's superseded files were cleaned — cannot roll back")
+    require(!savepoints.contains(id),
+      s"commit $id is savepointed — release the savepoint before rolling back")
     val c = read(id)
     fs.create(new Path(logDir, f"rolled-$id%08d"), true).close()
     if (!fs.delete(commitPath(id), false))
@@ -227,6 +255,8 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
 
   /** Physically delete files superseded at or before the cutoff so only the
     * last `retain` commits stay time-travelable. Latest snapshot unaffected.
+    * Savepointed snapshots are exempt: any file live at a savepoint stays
+    * on disk (and its commit readable) until the savepoint is released.
     */
   def clean(retain: Int): Unit = {
     require(retain >= 1, s"must retain at least the latest commit, got $retain")
@@ -235,8 +265,10 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     // oldest id that stays travelable: files superseded at or before it
     // are unreferenced by every retained snapshot
     val cutoff = ids(ids.size - retain)
+    val pinned: Set[String] = savepoints.filter(_ <= cutoff)
+      .flatMap(s => liveFiles(Some(s)).map(_.path)).toSet
     val removedEarly = commits.filter(_.id <= cutoff).flatMap(_.removes)
-    removedEarly.foreach(p => fs.delete(new Path(p), false))
+    removedEarly.filterNot(pinned).foreach(p => fs.delete(new Path(p), false))
     val out = fs.create(cleanMarker, true)
     try out.write(mapper.writeValueAsBytes(Map("upTo" -> cutoff)))
     finally out.close()

@@ -252,9 +252,10 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   /** Latest committed snapshot (reference S4, MockCuratedGlueJob.py:23). */
   def read(): DataFrame = readSnapshot(None)
 
-  /** Time travel: snapshot as of a commit id on the timeline. */
+  /** Time travel: snapshot as of a commit id on the timeline. A commit
+    * below the cleaner horizon stays readable while savepointed. */
   def readAsOf(commitId: Long): DataFrame = {
-    require(commitId >= log.cleanedUpTo,
+    require(commitId >= log.cleanedUpTo || log.savepoints.contains(commitId),
       s"commit $commitId was cleaned (retained from ${log.cleanedUpTo})")
     readSnapshot(Some(commitId))
   }
@@ -302,6 +303,31 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     val r = log.rollbackLatest()
     r.foreach { _ => registeredSchema = ""; resync() }
     r
+  }
+
+  /** Pin commit `id`'s snapshot against the cleaner (Hudi savepoint): it
+    * stays exactly reproducible via [[readAsOf]] until released. */
+  def savepoint(id: Long): Unit = log.savepoint(id)
+
+  def releaseSavepoint(id: Long): Unit = log.releaseSavepoint(id)
+
+  /** Restore the table to commit `id` (Hudi restore): retract every later
+    * commit, newest first, with the same retired-id discipline as a
+    * single rollback — ids are never reused and each step physically
+    * drops the retracted commit's files. The target must still be
+    * travelable (above the clean horizon or savepointed — but note
+    * restore also needs every INTERMEDIATE commit above the horizon,
+    * which holds whenever the target itself is). A synced catalog table
+    * is re-registered once at the end.
+    */
+  def restoreTo(id: Long): Unit = {
+    require(log.commits.exists(_.id == id), s"no commit $id on the timeline")
+    while (log.latestId.exists(_ > id)) {
+      val rolled = log.rollbackLatest()
+      require(rolled.isDefined, s"restore to $id stalled")
+    }
+    registeredSchema = ""
+    resync()
   }
 
   /** Catalog sync (reference W7, `glue/HudiJarGlueJob.py:80-81` hive_sync

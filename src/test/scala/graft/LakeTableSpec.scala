@@ -548,6 +548,63 @@ class LakeTableSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("savepoint pins a snapshot against the cleaner; release un-pins it") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    val c0 = t.bulkInsert(df((1L, 1, "a", 0)))
+    val c1 = t.upsert(df((1L, 1, "a2", 1)))
+    t.upsert(df((1L, 1, "a3", 2)))
+    t.savepoint(c0)
+    t.clean(retain = 1)
+    // the savepointed snapshot is exactly reproducible below the horizon
+    import spark.implicits._
+    val at0 = t.readAsOf(c0).select($"pk", $"payload").as[(Long, String)].collect().toSet
+    assert(at0 == Set((1L, "a")))
+    // the un-savepointed intermediate commit is gone
+    intercept[IllegalArgumentException](t.readAsOf(c1))
+    // rollback refuses to retract a savepointed latest commit
+    val t2 = LakeTable(spark, cfg(freshRoot()))
+    t2.bulkInsert(df((9L, 1, "z", 0)))
+    val last = t2.upsert(df((9L, 1, "z2", 1)))
+    t2.savepoint(last)
+    intercept[IllegalArgumentException](t2.rollback())
+    // after release, a fresh clean may drop the pinned files
+    t.releaseSavepoint(c0)
+    t.upsert(df((1L, 1, "a4", 3)))
+    t.clean(retain = 1)
+    intercept[IllegalArgumentException](t.readAsOf(c0))
+  }
+
+  test("restore rewinds the timeline to a commit; ids are never reused") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    val c0 = t.bulkInsert(df((1L, 1, "a", 0)))
+    t.upsert(df((1L, 1, "a2", 1), (2L, 2, "b", 1)))
+    val c2 = t.upsert(df((3L, 3, "c", 2)))
+    t.restoreTo(c0)
+    assert(t.log.latestId.contains(c0))
+    assert(snap(t) == Set((1L, 1, "a", 0)))
+    // restore reproduces readAsOf(c0) exactly
+    import spark.implicits._
+    val asOf = t.readAsOf(c0).select($"pk", $"vendorid", $"payload", $"ts")
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(snap(t) == asOf)
+    // retired ids are never reused: the next write jumps past c2
+    t.upsert(df((4L, 1, "d", 3)))
+    assert(t.log.latestId.exists(_ > c2))
+    assert(snap(t) == Set((1L, 1, "a", 0), (4L, 1, "d", 3)))
+  }
+
+  test("restore keeps a synced catalog table consistent") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    val c0 = t.bulkInsert(df((1L, 1, "a", 0)))
+    t.syncToCatalog("synced_restore", "graftdb")
+    t.upsert(df((2L, 2, "b", 1)))
+    assert(spark.sql("SELECT count(*) FROM graftdb.synced_restore")
+      .collect()(0).getLong(0) == 2L)
+    t.restoreTo(c0)
+    assert(spark.sql("SELECT count(*) FROM graftdb.synced_restore")
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("cleaner retains last N commits; latest read survives") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))
