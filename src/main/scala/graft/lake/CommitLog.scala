@@ -34,12 +34,23 @@ final case class Commit(
   * kmin/kmax: `_record_key` min/max of the file, lifted from the parquet
   * footer at commit time (Hudi bloom-index-style pruning metadata) —
   * null when unavailable, which simply exempts the file from pruning.
+  *
+  * cmin/cmax: per-column min/max for the table's configured `statsCols`
+  * (Hudi column-stats-index role): string-rendered raw parquet footer
+  * values, compared type-aware at prune time. A column absent from the
+  * maps has no recorded stats and never prunes the file.
   */
 final case class FileAdd(
     path: String, partition: String, kind: String = "base",
-    kmin: String = null, kmax: String = null) {
+    kmin: String = null, kmax: String = null,
+    cmin: Map[String, String] = Map.empty,
+    cmax: Map[String, String] = Map.empty) {
   def isDelta: Boolean = kind == "delta"
   def hasKeyRange: Boolean = kmin != null && kmax != null
+  /** null-safe accessors: commit JSONs written before the field existed
+    * deserialize with null maps */
+  def colMin: Map[String, String] = Option(cmin).getOrElse(Map.empty)
+  def colMax: Map[String, String] = Option(cmax).getOrElse(Map.empty)
 }
 
 /** JSON commit log under `<root>/_log/`. Single-writer (matches the

@@ -48,7 +48,15 @@ final case class LakeTableConfig(
       * its keys hash into, so even an otherwise UNPARTITIONED table
       * rewrites ~|touched buckets|/n of its files instead of everything.
       */
-    hashBuckets: Int = 0) {
+    hashBuckets: Int = 0,
+    /** Columns to record per-file min/max for in the commit log (Hudi's
+      * column-stats index): `read(pruneBy)` then skips files — before
+      * listing them into the scan — whose recorded range provably cannot
+      * satisfy the predicate. Worth configuring for columns the data is
+      * naturally clustered on (event time, ingest date, monotonic ids);
+      * stats on a column that is uniform across files prune nothing.
+      */
+    statsCols: Seq[String] = Seq.empty) {
   require(storageType == "cow" || storageType == "mor",
     s"storageType must be cow|mor, got $storageType")
   def isMor: Boolean = storageType == "mor"
@@ -251,6 +259,37 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
 
   /** Latest committed snapshot (reference S4, MockCuratedGlueJob.py:23). */
   def read(): DataFrame = readSnapshot(None)
+
+  /** Snapshot filtered by `pruneBy`, with DATA SKIPPING on the commit
+    * log's per-file column stats (Hudi's column-stats index): files whose
+    * recorded [min, max] for a `statsCols` column provably cannot satisfy
+    * the predicate are dropped BEFORE the scan is even planned — at
+    * 100 TB a selective predicate on a well-clustered column shrinks the
+    * file LIST, not just the row-group reads parquet's own footer stats
+    * already skip after listing. The predicate is then still applied
+    * row-level, so over-kept files (no stats, unsupported predicate
+    * shape) never change the result — pruning is conservative.
+    *
+    * MoR: a delta-touched table prunes at file-GROUP granularity (a
+    * partition's files are kept if ANY of them may match) so the
+    * read-time merge still sees every version of a surviving key; when
+    * dedup groups can span partitions (global index with user partition
+    * columns) pruning is skipped entirely.
+    */
+  def read(pruneBy: org.apache.spark.sql.Column): DataFrame = {
+    // resolve the predicate against the table schema by analyzing a
+    // filter over an empty probe frame (the public-API route to the
+    // catalyst expression; analyzed, so attributes/casts carry types —
+    // NOT optimized, which would fold the empty relation and drop it)
+    val probe = readOrEmpty(Seq.empty).filter(pruneBy)
+    val pred = probe.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    val live = log.liveFiles()
+    val files = pred.fold(live)(p => pruneByColStats(live, p))
+    (if (files.isEmpty) readOrEmpty(files) else mergeIfNeeded(files))
+      .filter(pruneBy)
+  }
 
   /** Time travel: snapshot as of a commit id on the timeline. A commit
     * below the cleaner horizon stays readable while savepointed. */
@@ -692,6 +731,130 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     }
   }
 
+  // ---- column-stats data skipping ------------------------------------
+
+  /** Drop files whose recorded column stats prove `pred` matches no row.
+    * CoW (base-only) prunes file-granular; MoR prunes whole partitions
+    * (file groups) so the merge still sees every version of surviving
+    * keys; unsafe layouts skip pruning. Always conservative: files
+    * without stats, unsupported predicate shapes, and un-evaluable
+    * literals are kept.
+    */
+  private def pruneByColStats(
+      files: Seq[FileAdd],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression): Seq[FileAdd] = {
+    if (config.statsCols.isEmpty) files
+    else {
+      def may(f: FileAdd): Boolean = !statsImpossible(f, pred)
+      if (!files.exists(_.isDelta)) files.filter(may)
+      else if (groupLocalMergeSafe) {
+        val keep = files.groupBy(_.partition)
+          .collect { case (t, fs) if fs.exists(may) => t }.toSet
+        files.filter(f => keep.contains(f.partition))
+      } else files
+    }
+  }
+
+  /** True when `e` PROVABLY matches no row of `f` given the recorded
+    * per-column [min, max]. Supports conjunction/disjunction of simple
+    * comparisons and IN between a stats column and foldable literals —
+    * anything else evaluates to "cannot prove", never a wrong prune.
+    */
+  private def statsImpossible(
+      f: FileAdd,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType, DateType, FloatType, DoubleType}
+    // comparable domain per column type: Long / Double / utf8 String.
+    // Stored values are raw parquet-physical renderings, so the domains
+    // must line up with Spark's INTERNAL representations (date = days,
+    // timestamp = micros); Decimal/INT96/complex types are unsupported.
+    def cmpFor(dt: DataType): Option[(String => Any, Any => Option[Any], (Any, Any) => Int)] =
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => Some((
+          (s: String) => s.toLong,
+          {
+            case n: java.lang.Number => Some(n.longValue())
+            case _ => None
+          },
+          (a: Any, b: Any) => java.lang.Long.compare(
+            a.asInstanceOf[Long], b.asInstanceOf[Long])))
+        case FloatType | DoubleType => Some((
+          (s: String) => s.toDouble,
+          {
+            case n: java.lang.Number => Some(n.doubleValue())
+            case _ => None
+          },
+          (a: Any, b: Any) => java.lang.Double.compare(
+            a.asInstanceOf[Double], b.asInstanceOf[Double])))
+        case org.apache.spark.sql.types.StringType => Some((
+          identity[String],
+          {
+            case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+            case _ => None
+          },
+          (a: Any, b: Any) => {
+            val (x, y) = (a.asInstanceOf[String], b.asInstanceOf[String])
+            if (x == y) 0 else if (utf8Lt(x, y)) -1 else 1
+          }))
+        case _ => None
+      }
+    def attrName(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // recorded bounds + the foldable side's value, in one comparable
+    // domain (the analyzer wraps literals in implicit Casts — anything
+    // foldable evaluates; a cast to the COLUMN's type aligns domains)
+    def bounds(attr: Expression, l: Expression)
+      : Option[(Any, Any, Any, (Any, Any) => Int)] =
+      for {
+        name <- attrName(attr)
+        mnS <- f.colMin.get(name)
+        mxS <- f.colMax.get(name)
+        dt = schemaOf(name)
+        (parse, fromLit, cmp) <- cmpFor(dt)
+        litInternal <- scala.util.Try(Option(Cast(l, dt,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval())).toOption.flatten
+        lv <- fromLit(litInternal)
+        mn <- scala.util.Try(parse(mnS)).toOption
+        mx <- scala.util.Try(parse(mxS)).toOption
+      } yield (mn, mx, lv, cmp)
+    def no(opt: Option[Boolean]): Boolean = opt.getOrElse(false)
+    e match {
+      case And(l, r) => statsImpossible(f, l) || statsImpossible(f, r)
+      case Or(l, r) => statsImpossible(f, l) && statsImpossible(f, r)
+      case EqualTo(a, l) if l.foldable && !a.foldable =>
+        no(bounds(a, l).map { case (mn, mx, v, c) => c(v, mn) < 0 || c(v, mx) > 0 })
+      case EqualTo(l, a) if l.foldable && !a.foldable =>
+        statsImpossible(f, EqualTo(a, l))
+      case LessThan(a, l) if l.foldable && !a.foldable => // needs min < v
+        no(bounds(a, l).map { case (mn, _, v, c) => c(mn, v) >= 0 })
+      case LessThan(l, a) if l.foldable && !a.foldable =>
+        statsImpossible(f, GreaterThan(a, l))
+      case LessThanOrEqual(a, l) if l.foldable && !a.foldable =>
+        no(bounds(a, l).map { case (mn, _, v, c) => c(mn, v) > 0 })
+      case LessThanOrEqual(l, a) if l.foldable && !a.foldable =>
+        statsImpossible(f, GreaterThanOrEqual(a, l))
+      case GreaterThan(a, l) if l.foldable && !a.foldable => // needs max > v
+        no(bounds(a, l).map { case (_, mx, v, c) => c(mx, v) <= 0 })
+      case GreaterThan(l, a) if l.foldable && !a.foldable =>
+        statsImpossible(f, LessThan(a, l))
+      case GreaterThanOrEqual(a, l) if l.foldable && !a.foldable =>
+        no(bounds(a, l).map { case (_, mx, v, c) => c(mx, v) < 0 })
+      case GreaterThanOrEqual(l, a) if l.foldable && !a.foldable =>
+        statsImpossible(f, LessThanOrEqual(a, l))
+      case In(a, vs) if vs.nonEmpty && !a.foldable && vs.forall(_.foldable) =>
+        vs.forall(v => statsImpossible(f, EqualTo(a, v)))
+      case _ => false
+    }
+  }
+
   /** Live files of the partitions an upsert must merge, and their rows.
     * Partition-scoped index: only the partitions present in the batch —
     * pruning runs on commit-log metadata only, so at 100 TB this reads
@@ -801,7 +964,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     } finally if (kind != "delta") mat.unpersist() // persist() returns `this`, so guard by kind, not identity
     val fs = dir.getFileSystem(hconf)
     val paths = listParquet(fs, dir)
-    val statsByPath = keyStatsFor(paths)
+    val statsByPath = fileStatsFor(paths)
     val adds = paths.map { p =>
       // directory segments are Hive-escaped by Spark (':' → '%3A' etc.);
       // store the UNESCAPED tuple so pruning compares in raw value space.
@@ -817,8 +980,9 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
               .unescapePathName(value)
         }
         .sortBy(_._1).map(_._2)
-      val (kmin, kmax) = statsByPath(p.toString)
-      FileAdd(p.toString, segs.mkString(PartSep), kind, kmin, kmax)
+      val st = statsByPath(p.toString)
+      FileAdd(p.toString, segs.mkString(PartSep), kind, st.kmin, st.kmax,
+        st.cmin, st.cmax)
     }
     val schemaJson = df.schema.json
     try
@@ -835,21 +999,23 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     id
   }
 
-  /** Per-file `_record_key` min/max at commit time, computed EXECUTOR-
-    * side: the footer reads (metadata-only — no data pages touched) fan
-    * out as a short Spark job over the written file list, so a 10k-file
-    * commit costs one distributed metadata scan instead of 10k driver
-    * round trips. Task count is capped at default parallelism; the
-    * collect is metadata-scale (one (path, min, max) triple per file).
+  /** Per-file footer stats at commit time (`_record_key` range + min/max
+    * of the configured statsCols), computed EXECUTOR-side: the footer
+    * reads (metadata-only — no data pages touched) fan out as a short
+    * Spark job over the written file list, so a 10k-file commit costs one
+    * distributed metadata scan instead of 10k driver round trips. Task
+    * count is capped at default parallelism; the collect is
+    * metadata-scale (one stats tuple per file).
     */
-  private def keyStatsFor(paths: Seq[Path]): Map[String, (String, String)] =
+  private def fileStatsFor(paths: Seq[Path]): Map[String, FileStats] =
     if (paths.isEmpty) Map.empty
     else {
       val sc = spark.sparkContext
       val conf = new SerializableHadoopConf(hconf)
+      val cols = config.statsCols
       val strs = paths.map(_.toString)
       sc.parallelize(strs, math.max(1, math.min(strs.size, sc.defaultParallelism)))
-        .map(s => s -> keyStats(new Path(s), conf.value))
+        .map(s => s -> fileStats(new Path(s), conf.value, cols))
         .collect().toMap
     }
 
@@ -886,38 +1052,60 @@ object LakeTable {
   /** Spark's directory name for a null partition value. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
-  /** `_record_key` min/max from one parquet footer — a metadata read of
-    * the row-group statistics, runnable inside an executor task. Returns
-    * (null, null) when stats are absent/unreadable, which exempts the
-    * file from pruning (conservative, never wrong).
+  /** footer stats of one written file: `_record_key` range plus raw
+    * per-column min/max for the table's statsCols */
+  private[lake] final case class FileStats(
+      kmin: String, kmax: String,
+      cmin: Map[String, String], cmax: Map[String, String])
+
+  /** Footer statistics from one parquet file — a metadata read of the
+    * row-group stats, runnable inside an executor task. Row-group chunks
+    * merge through parquet's own typed comparators; values are rendered
+    * to strings for the JSON commit log (re-typed at prune time from the
+    * table schema). A column with absent/unreadable stats (or INT96,
+    * whose stats are deprecated-unreliable) is simply omitted, which
+    * exempts it from pruning (conservative, never wrong).
     */
-  private[lake] def keyStats(
-      p: Path, hconf: org.apache.hadoop.conf.Configuration): (String, String) =
+  private[lake] def fileStats(
+      p: Path, hconf: org.apache.hadoop.conf.Configuration,
+      statsCols: Seq[String]): FileStats =
     try {
       import scala.jdk.CollectionConverters._
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
-        val cols = r.getFooter.getBlocks.asScala
-          .flatMap(_.getColumns.asScala)
-          .filter(_.getPath.toDotString == "_record_key").toSeq
-        val stats = cols.map(_.getStatistics)
-        if (cols.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue))
-          (null, null)
-        else {
-          val mins = stats.map(_.genericGetMin
-            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-          val maxs = stats.map(_.genericGetMax
-            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-          // reduce across row groups in UTF-8 BYTE order — the order
-          // Spark's string comparison (and parquet's stats) use; Java's
-          // natural String order is UTF-16 and disagrees on supplementary
-          // characters, which would record a wrong (unsafe) range
-          (mins.reduce((a, b) => if (utf8Lt(a, b)) a else b),
-           maxs.reduce((a, b) => if (utf8Lt(a, b)) b else a))
+        val chunks = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala).toSeq
+        def render(v: Any): String = v match {
+          case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+          case o => String.valueOf(o)
         }
+        // merged (min, max) across row groups via parquet's typed
+        // comparator — never Java String order on numeric columns
+        def merged(name: String): Option[(String, String)] = {
+          val cols = chunks.filter(_.getPath.toDotString == name)
+          val stats = cols.map(_.getStatistics)
+          if (cols.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue) ||
+              cols.exists(_.getPrimitiveType.getPrimitiveTypeName ==
+                PrimitiveTypeName.INT96))
+            None
+          else {
+            val acc = stats.head.copy()
+            stats.tail.foreach(acc.mergeStatistics)
+            Some((render(acc.genericGetMin), render(acc.genericGetMax)))
+          }
+        }
+        val (kmin, kmax) = merged("_record_key").getOrElse((null, null))
+        val colRanges = statsCols.flatMap(c => merged(c).map(c -> _)).toMap
+        FileStats(kmin, kmax,
+          colRanges.map { case (c, (mn, _)) => c -> mn },
+          colRanges.map { case (c, (_, mx)) => c -> mx })
       } finally r.close()
-    } catch { case scala.util.control.NonFatal(_) => (null, null) }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        FileStats(null, null, Map.empty, Map.empty)
+    }
 
   /** unsigned lexicographic comparison of the UTF-8 encodings — matches
     * UTF8String/parquet binary order */

@@ -66,7 +66,10 @@ object Lake {
       val t = LakeTable(s, LakeTableConfig(
         root, keyCols = Seq("l_orderkey", "l_linenumber"),
         precombineCol = "update_ts", partitionCols = Seq("l_returnflag"),
-        storageType = mode))
+        storageType = mode,
+        // column-stats index on the order key: lake_stats_skipping reads
+        // through the file-skipping path (Hudi column-stats-index role)
+        statsCols = Seq("l_orderkey")))
       val li = keyedLineitem(s, d).persist()
       try {
         val (b0, b1, b2, delKeys) = batches(li)
@@ -237,6 +240,20 @@ object Lake {
         CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END AS update_ts,
         CASE WHEN n_regionkey = 1 THEN n_nationkey * 10 END AS extra_score
         FROM nation ORDER BY n_nationkey""")),
+
+    // ---- data skipping: predicate read through the column-stats index -
+    // files whose recorded l_orderkey range cannot hold keys <= 1200 are
+    // dropped before the scan is planned; the row-level filter then makes
+    // the result exact regardless of how much pruning engaged
+    GQuery("lake_stats_skipping",
+      (s, d) => proj(cdcTable(s, d).read(col("l_orderkey") <= 1200)),
+      Some(s"""$mergedCte
+        SELECT m.* FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM li k
+          WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+            AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
+          AND m.l_orderkey <= 1200
+        ORDER BY m.l_orderkey, m.l_linenumber""")),
 
     // after compaction the same snapshot must come from base files only
     GQuery("lake_mor_compacted",

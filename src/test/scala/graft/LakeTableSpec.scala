@@ -548,6 +548,62 @@ class LakeTableSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("column stats skip files whose range cannot satisfy the predicate") {
+    import spark.implicits._
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      statsCols = Seq("ts", "payload")))
+    // zero-padded keys: string clustering order == numeric order, so the
+    // range-clustered files carry DISJOINT ts ranges (the well-clustered
+    // regime column stats are built for)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try t.bulkInsert((1 to 200).map(i => (f"k$i%03d", 1, s"p$i", i))
+      .toDF("pk", "vendorid", "payload", "ts"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val total = t.read().inputFiles.length
+    assert(total > 1, "need several files to demonstrate skipping")
+    // range predicate on a stats column prunes the file LIST
+    val pruned = t.read(col("ts") <= 10)
+    assert(pruned.inputFiles.length < total,
+      s"expected fewer than $total files for ts <= 10")
+    assert(pruned.select($"pk", $"ts").as[(String, Int)].collect().toSet ==
+      (1 to 10).map(i => (f"k$i%03d", i)).toSet)
+    // equality + IN + conjunction shapes prune too and stay correct
+    val eq = t.read(col("ts") === 150)
+    assert(eq.inputFiles.length < total)
+    assert(eq.select($"pk").as[String].collect().toSet == Set("k150"))
+    val in = t.read(col("ts").isin(5, 6))
+    assert(in.inputFiles.length < total)
+    assert(in.count() == 2)
+    // string-typed stats column
+    val st = t.read(col("payload") === "p42")
+    assert(st.select($"pk").as[String].collect().toSet == Set("k042"))
+    // a predicate no file satisfies reads nothing
+    assert(t.read(col("ts") > 10000).count() == 0)
+    // unsupported shapes are conservative, never wrong
+    assert(t.read(length(col("payload")) > 1).count() == 200L)
+  }
+
+  test("column stats on MoR prune whole file groups, never split a key") {
+    import spark.implicits._
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), storageType = "mor",
+      statsCols = Seq("ts")))
+    t.bulkInsert(df((1L, 1, "a", 10), (2L, 2, "b", 20), (3L, 3, "c", 30)))
+    t.upsert(df((1L, 1, "a2", 11)))  // delta in partition 1
+    val total = t.read().inputFiles.length
+    // ts=30 lives only in partition 3 — partitions 1 and 2 prune away
+    val p3 = t.read(col("ts") === 30)
+    assert(p3.inputFiles.length < total)
+    assert(p3.select($"pk", $"payload").as[(Long, String)].collect().toSet ==
+      Set((3L, "c")))
+    // a predicate selecting the DELTA version of key 1 must see base AND
+    // delta files of partition 1 (group-granular pruning) and merge right
+    val p1 = t.read(col("ts") === 11)
+    assert(p1.select($"pk", $"payload", $"ts")
+      .as[(Long, String, Int)].collect().toSet == Set((1L, "a2", 11)))
+  }
+
   test("savepoint pins a snapshot against the cleaner; release un-pins it") {
     val t = LakeTable(spark, cfg(freshRoot()))
     val c0 = t.bulkInsert(df((1L, 1, "a", 0)))
