@@ -44,7 +44,9 @@ final case class FileAdd(
     path: String, partition: String, kind: String = "base",
     kmin: String = null, kmax: String = null,
     cmin: Map[String, String] = Map.empty,
-    cmax: Map[String, String] = Map.empty) {
+    cmax: Map[String, String] = Map.empty,
+    /** file length in bytes (0 = unrecorded, pre-upgrade commit JSON) */
+    bytes: Long = 0L) {
   def isDelta: Boolean = kind == "delta"
   def hasKeyRange: Boolean = kmin != null && kmax != null
   /** null-safe accessors: commit JSONs written before the field existed

@@ -529,7 +529,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   private def baseSchema: StructType =
     log.commits.reverse
-      .find(c => c.op != "delta_commit" && c.op != "delete_delta")
+      .find(c => !DeltaOps.contains(c.op))
       .map(_.schemaJson).orElse(log.schemaJsonAsOf(None))
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(new StructType())
@@ -658,6 +658,37 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     writeCommit(merged, "compact", dirty.map(_.path), basedOn = Some(basedOn))
   }
 
+  /** Bin small MoR delta files (Hudi's small-file handling for log
+    * files): streaming upserts append one tiny delta per micro-batch —
+    * by design they skip the clustering shuffle — so heavy write loads
+    * accumulate files whose open/footer overhead eventually dominates
+    * reads. Deltas under `maxBytes` are rewritten, per partition, into
+    * as few delta files as their volume needs. Rows are preserved
+    * verbatim — `_commit_id`, `_seq` and `_deleted` travel as columns,
+    * so merge semantics are untouched and the snapshot is unchanged;
+    * unlike [[compact]] nothing is merged into base files, keeping the
+    * cost proportional to the small files, not the table. Partitions
+    * with a single small delta are left alone.
+    */
+  def compactSmall(maxBytes: Long = 64L * 1024 * 1024): Long = {
+    require(config.isMor, "compactSmall() applies to merge-on-read tables")
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+    val live = log.liveFiles()
+    def sizeOf(f: FileAdd): Long =
+      if (f.bytes > 0) f.bytes
+      else new Path(f.path).getFileSystem(hconf).getFileStatus(new Path(f.path)).getLen
+    val victims = live.filter(f => f.isDelta && sizeOf(f) < maxBytes)
+      .groupBy(_.partition).filter(_._2.size > 1)
+      .values.flatten.toSeq
+    if (victims.isEmpty) return log.latestId.getOrElse(-1L)
+    // coalesce to the file count the VOLUME warrants — the scan would
+    // otherwise keep ≥ default-parallelism splits and re-emit many small
+    // files; coalesce merges read partitions without a shuffle
+    val nOut = math.max(1L, (victims.map(sizeOf).sum + maxBytes - 1) / maxBytes).toInt
+    writeCommit(readFiles(victims).coalesce(nOut), "delta_compact",
+      victims.map(_.path), kind = "delta", basedOn = Some(basedOn))
+  }
+
   /** Inline compaction trigger (reference's max.delta.commits semantics):
     * compact when `compactEvery` delta commits have accumulated since the
     * last non-delta commit.
@@ -665,7 +696,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   private def maybeInlineCompact(): Unit =
     if (config.compactEvery > 0) {
       val sinceBase = log.commits.reverse
-        .takeWhile(c => c.op == "delta_commit" || c.op == "delete_delta").size
+        .takeWhile(c => DeltaOps.contains(c.op)).size
       if (sinceBase >= config.compactEvery) compact()
     }
 
@@ -963,9 +994,9 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       writer.mode("error").parquet(dir.toString)
     } finally if (kind != "delta") mat.unpersist() // persist() returns `this`, so guard by kind, not identity
     val fs = dir.getFileSystem(hconf)
-    val paths = listParquet(fs, dir)
-    val statsByPath = fileStatsFor(paths)
-    val adds = paths.map { p =>
+    val pathLens = listParquet(fs, dir)
+    val statsByPath = fileStatsFor(pathLens.map(_._1))
+    val adds = pathLens.map { case (p, len) =>
       // directory segments are Hive-escaped by Spark (':' → '%3A' etc.);
       // store the UNESCAPED tuple so pruning compares in raw value space.
       // Parse only BELOW the commit dir — a table root containing a
@@ -982,7 +1013,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         .sortBy(_._1).map(_._2)
       val st = statsByPath(p.toString)
       FileAdd(p.toString, segs.mkString(PartSep), kind, st.kmin, st.kmax,
-        st.cmin, st.cmax)
+        st.cmin, st.cmax, len)
     }
     val schemaJson = df.schema.json
     try
@@ -1019,12 +1050,12 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         .collect().toMap
     }
 
-  private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
+  private def listParquet(fs: FileSystem, dir: Path): Seq[(Path, Long)] = {
     val it = fs.listFiles(dir, true)
-    val buf = Seq.newBuilder[Path]
+    val buf = Seq.newBuilder[(Path, Long)]
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+      if (f.getPath.getName.endsWith(".parquet")) buf += (f.getPath -> f.getLen)
     }
     buf.result()
   }
@@ -1124,6 +1155,11 @@ object LakeTable {
 
   /** derived key-hash bucket column (hashBuckets > 0) */
   val BucketCol = "_bucket"
+
+  /** commit ops that leave the table in a delta-bearing (uncompacted)
+    * state — counted by inline compaction and excluded from the base
+    * (plain-parquet-readable) schema resolution */
+  val DeltaOps: Set[String] = Set("delta_commit", "delete_delta", "delta_compact")
 
   /** separator joining multi-level partition tuples in FileAdd.partition */
   val PartSep = "\u0001"

@@ -323,6 +323,36 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == Set((1L, 1, "a2", 1), (2L, 2, "b", 0), (3L, 3, "c", 0)))
   }
 
+  test("small-file compaction bins delta floods; snapshot unchanged") {
+    val t = LakeTable(spark, morCfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0), (9L, 2, "other", 0)))
+    // a stream of micro-batch upserts floods partition 1 with tiny deltas
+    (1 to 8).foreach(i => t.upsert(df((1L, 1, s"v$i", i), (2L, 1, s"w$i", i))))
+    t.delete(df((2L, 1, "x", 0)))  // tombstone delta must survive binning
+    val before = snap(t)
+    assert(before == Set((1L, 1, "v8", 8), (9L, 2, "other", 0)))
+    val deltasBefore = t.log.liveFiles().count(_.isDelta)
+    assert(deltasBefore >= 9, s"expected a delta flood, got $deltasBefore")
+    t.compactSmall()
+    val deltasAfter = t.log.liveFiles().count(_.isDelta)
+    assert(deltasAfter < deltasBefore,
+      s"binning must shrink the delta count ($deltasBefore -> $deltasAfter)")
+    assert(deltasAfter <= 2, s"expected tight binning, got $deltasAfter")
+    assert(snap(t) == before, "binning must not change the snapshot")
+    // commit-id/tombstone semantics survive: a stale upsert still loses
+    t.upsert(df((1L, 1, "stale", 3)))
+    assert(snap(t) == before)
+    // nothing left to bin: no-op, no new commit
+    t.compactSmall()
+    val last = t.log.latestId
+    t.compactSmall()
+    assert(t.log.latestId == last)
+    // full compaction after binning still converges to the same snapshot
+    t.compact()
+    assert(t.log.liveFiles().forall(!_.isDelta))
+    assert(snap(t) == before)
+  }
+
   test("merge-on-read equals copy-on-write over the same batch sequence") {
     val batches = Seq(
       df((1L, 1, "a", 2), (2L, 2, "b", 2), (3L, 1, "c", 2)),
