@@ -54,9 +54,21 @@ final case class LakeTableConfig(
       * listing them into the scan — whose recorded range provably cannot
       * satisfy the predicate. Worth configuring for columns the data is
       * naturally clustered on (event time, ingest date, monotonic ids);
-      * stats on a column that is uniform across files prune nothing.
+      * stats on a column that is uniform across files prune nothing —
+      * pair with [[clusterCols]] to MAKE them clustered.
       */
-    statsCols: Seq[String] = Seq.empty) {
+    statsCols: Seq[String] = Seq.empty,
+    /** Intra-partition file clustering for base writes (Hudi clustering /
+      * space-filling-lite): when set, each partition's rows range-cluster
+      * across files by THESE columns instead of the record key, giving
+      * [[statsCols]] on the same columns disjoint per-file ranges — real
+      * data skipping for read predicates. Tradeoff: the footer key-range
+      * index then records overlapping key ranges and prunes index lookups
+      * less (still conservative, never wrong) — pick clusterCols for
+      * read-heavy tables queried by time/range predicates, default key
+      * clustering for upsert-heavy tables.
+      */
+    clusterCols: Seq[String] = Seq.empty) {
   require(storageType == "cow" || storageType == "mor",
     s"storageType must be cow|mor, got $storageType")
   def isMor: Boolean = storageType == "mor"
@@ -973,6 +985,12 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     // partitioning runs a sampling pass over its child first: without it
     // the (possibly expensive) merge plan executes twice per commit.
     val mat = if (kind == "delta") df else df.persist()
+    // user clusterCols (if configured) override the record key as the
+    // intra-partition clustering order — see LakeTableConfig.clusterCols
+    // for the skipping-vs-key-index tradeoff
+    val clusterExprs =
+      if (config.clusterCols.nonEmpty) config.clusterCols.map(col)
+      else Seq(col("_record_key"))
     try {
       val writer =
         if (kind == "delta" && effParts.isEmpty) mat.write
@@ -982,13 +1000,13 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
           }
           shadowed.write.partitionBy(shadows: _*)
         } else if (effParts.isEmpty)
-          mat.repartitionByRange(col("_record_key")).write
+          mat.repartitionByRange(clusterExprs: _*).write
         else {
           val shadowed = effParts.zip(shadows).foldLeft(mat) {
             case (acc, (pc, sh)) => acc.withColumn(sh, renderCol(pc))
           }
           shadowed
-            .repartitionByRange(shadows.map(col) :+ col("_record_key"): _*)
+            .repartitionByRange(shadows.map(col) ++ clusterExprs: _*)
             .write.partitionBy(shadows: _*)
         }
       writer.mode("error").parquet(dir.toString)

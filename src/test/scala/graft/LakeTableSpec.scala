@@ -614,6 +614,32 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.read(length(col("payload")) > 1).count() == 200L)
   }
 
+  test("clusterCols make stats columns skippable without key-order tricks") {
+    import spark.implicits._
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      statsCols = Seq("ts"), clusterCols = Seq("ts")))
+    // keys whose STRING order is uncorrelated with ts — without
+    // clusterCols every file would span nearly the full ts range and
+    // stats would prune nothing
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try t.bulkInsert((1 to 200).map(i => (s"k${i * 7919 % 1000}", 1, s"p$i", i))
+      .toDF("pk", "vendorid", "payload", "ts"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val total = t.read().inputFiles.length
+    assert(total > 1)
+    val pruned = t.read(col("ts") <= 10)
+    assert(pruned.inputFiles.length < total,
+      s"ts-clustered files must skip for ts <= 10 (total $total)")
+    assert(pruned.select($"ts").as[Int].collect().toSet == (1 to 10).toSet)
+    // key-range index degrades to overlapping ranges but stays CORRECT:
+    // an upsert by key still lands on the right rows
+    t.upsert(Seq((s"k${7919 % 1000}", 1, "upd", 999))
+      .toDF("pk", "vendorid", "payload", "ts"))
+    assert(t.read().filter($"pk" === s"k${7919 % 1000}")
+      .select($"payload").as[String].collect().toSet == Set("upd"))
+  }
+
   test("column stats on MoR prune whole file groups, never split a key") {
     import spark.implicits._
     val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
