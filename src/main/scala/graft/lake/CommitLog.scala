@@ -146,6 +146,14 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     * one of the two guards: one winner, one clean failure.
     */
   def append(c: Commit, basedOnLatest: Long = Unchecked): Unit = {
+    // a retired (rolled-back) id must NEVER be reused, even though its
+    // JSON path is free again: other CommitLog instances memoize commit
+    // JSONs forever per id, and a rollback interleaved between two
+    // writers' id resolutions would otherwise let a stale writer land on
+    // the retired id with the head check still passing
+    if (rolledIds.contains(c.id))
+      throw new IllegalStateException(
+        s"commit id ${c.id} was retired by a rollback — resolve a fresh id")
     if (basedOnLatest != Unchecked) {
       val head = latestId.getOrElse(EmptyTable)
       if (head != basedOnLatest)
@@ -215,6 +223,11 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     * reproducible regardless of retention. */
   def savepoint(id: Long): Unit = {
     require(listIds.contains(id), s"no commit $id on the timeline")
+    // a commit below the horizon still has its JSON, but the files its
+    // snapshot references were already physically deleted — pinning it
+    // would hand out a broken snapshot that fails at scan time
+    require(id >= cleanedUpTo,
+      s"commit $id's files were already cleaned (retained from $cleanedUpTo)")
     fs.create(savepointPath(id), true).close()
   }
 

@@ -299,7 +299,11 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     }
     val live = log.liveFiles()
     val files = pred.fold(live)(p => pruneByColStats(live, p))
-    (if (files.isEmpty) readOrEmpty(files) else mergeIfNeeded(files))
+    // all-pruned: keep the schema shape stable with the merged (non-empty)
+    // branch — the latest commit may be a delta whose schema carries the
+    // MoR internals morMerge would have dropped
+    (if (files.isEmpty) readOrEmpty(files).drop("_seq", "_deleted")
+     else mergeIfNeeded(files))
       .filter(pruneBy)
   }
 
@@ -373,6 +377,16 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   def restoreTo(id: Long): Unit = {
     require(log.commits.exists(_.id == id), s"no commit $id on the timeline")
+    // pre-validate EVERY step before deleting anything: a failure mid-loop
+    // would strand the table between the original head and the target,
+    // with the already-rolled commits' files physically gone
+    val doomed = log.commits.map(_.id).filter(_ > id)
+    require(doomed.forall(_ > log.cleanedUpTo),
+      s"restore to $id would cross the clean horizon (${log.cleanedUpTo})")
+    val pinned = doomed.toSet & log.savepoints.toSet
+    require(pinned.isEmpty,
+      s"commits ${pinned.toSeq.sorted.mkString(",")} are savepointed — " +
+        "release them before restoring past them")
     while (log.latestId.exists(_ > id)) {
       val rolled = log.rollbackLatest()
       require(rolled.isDefined, s"restore to $id stalled")
@@ -788,7 +802,13 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       pred: org.apache.spark.sql.catalyst.expressions.Expression): Seq[FileAdd] = {
     if (config.statsCols.isEmpty) files
     else {
-      def may(f: FileAdd): Boolean = !statsImpossible(f, pred)
+      // literal casts depend only on (expression, column type) — memoize
+      // across the per-file loop, or an IN-list over a 100k-file snapshot
+      // pays O(files x literals) driver-side catalyst evals
+      val litCache = scala.collection.mutable.HashMap
+        .empty[(org.apache.spark.sql.catalyst.expressions.Expression, DataType),
+               Option[Any]]
+      def may(f: FileAdd): Boolean = !statsImpossible(f, pred, litCache)
       if (!files.exists(_.isDelta)) files.filter(may)
       else if (groupLocalMergeSafe) {
         val keep = files.groupBy(_.partition)
@@ -805,7 +825,10 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   private def statsImpossible(
       f: FileAdd,
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      litCache: scala.collection.mutable.Map[
+        (org.apache.spark.sql.catalyst.expressions.Expression, DataType),
+        Option[Any]]): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
       LongType, DateType, FloatType, DoubleType}
@@ -826,7 +849,11 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
           (a: Any, b: Any) => java.lang.Long.compare(
             a.asInstanceOf[Long], b.asInstanceOf[Long])))
         case FloatType | DoubleType => Some((
-          (s: String) => s.toDouble,
+          // FloatType stats MUST round-trip through Float before widening:
+          // "0.12".toDouble != 0.12f.toDouble, and the literal side widens
+          // through Float — parsing straight to Double would mis-prune
+          // files whose rows match the predicate exactly
+          (s: String) => if (dt == FloatType) s.toFloat.toDouble else s.toDouble,
           {
             case n: java.lang.Number => Some(n.doubleValue())
             case _ => None
@@ -862,38 +889,39 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
         mxS <- f.colMax.get(name)
         dt = schemaOf(name)
         (parse, fromLit, cmp) <- cmpFor(dt)
-        litInternal <- scala.util.Try(Option(Cast(l, dt,
-          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval())).toOption.flatten
+        litInternal <- litCache.getOrElseUpdate((l, dt),
+          scala.util.Try(Option(Cast(l, dt,
+            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval())).toOption.flatten)
         lv <- fromLit(litInternal)
         mn <- scala.util.Try(parse(mnS)).toOption
         mx <- scala.util.Try(parse(mxS)).toOption
       } yield (mn, mx, lv, cmp)
     def no(opt: Option[Boolean]): Boolean = opt.getOrElse(false)
     e match {
-      case And(l, r) => statsImpossible(f, l) || statsImpossible(f, r)
-      case Or(l, r) => statsImpossible(f, l) && statsImpossible(f, r)
+      case And(l, r) => statsImpossible(f, l, litCache) || statsImpossible(f, r, litCache)
+      case Or(l, r) => statsImpossible(f, l, litCache) && statsImpossible(f, r, litCache)
       case EqualTo(a, l) if l.foldable && !a.foldable =>
         no(bounds(a, l).map { case (mn, mx, v, c) => c(v, mn) < 0 || c(v, mx) > 0 })
       case EqualTo(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, EqualTo(a, l))
+        statsImpossible(f, EqualTo(a, l), litCache)
       case LessThan(a, l) if l.foldable && !a.foldable => // needs min < v
         no(bounds(a, l).map { case (mn, _, v, c) => c(mn, v) >= 0 })
       case LessThan(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, GreaterThan(a, l))
+        statsImpossible(f, GreaterThan(a, l), litCache)
       case LessThanOrEqual(a, l) if l.foldable && !a.foldable =>
         no(bounds(a, l).map { case (mn, _, v, c) => c(mn, v) > 0 })
       case LessThanOrEqual(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, GreaterThanOrEqual(a, l))
+        statsImpossible(f, GreaterThanOrEqual(a, l), litCache)
       case GreaterThan(a, l) if l.foldable && !a.foldable => // needs max > v
         no(bounds(a, l).map { case (_, mx, v, c) => c(mx, v) <= 0 })
       case GreaterThan(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, LessThan(a, l))
+        statsImpossible(f, LessThan(a, l), litCache)
       case GreaterThanOrEqual(a, l) if l.foldable && !a.foldable =>
         no(bounds(a, l).map { case (_, mx, v, c) => c(mx, v) < 0 })
       case GreaterThanOrEqual(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, LessThanOrEqual(a, l))
+        statsImpossible(f, LessThanOrEqual(a, l), litCache)
       case In(a, vs) if vs.nonEmpty && !a.foldable && vs.forall(_.foldable) =>
-        vs.forall(v => statsImpossible(f, EqualTo(a, v)))
+        vs.forall(v => statsImpossible(f, EqualTo(a, v), litCache))
       case _ => false
     }
   }
@@ -1126,8 +1154,26 @@ object LakeTable {
       try {
         val chunks = r.getFooter.getBlocks.asScala
           .flatMap(_.getColumns.asScala).toSeq
-        def render(v: Any): String = v match {
+        // timestamps normalize to MICROS — Spark's internal unit, the
+        // domain prune-time literals evaluate in. A MILLIS/NANOS footer
+        // compared raw against a micros literal would prune every file.
+        def tsScale(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+          : Option[Long] =
+          c.getPrimitiveType.getLogicalTypeAnnotation match {
+            case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                     .TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case org.apache.parquet.schema.LogicalTypeAnnotation
+                       .TimeUnit.MILLIS => Some(1000L)
+                case org.apache.parquet.schema.LogicalTypeAnnotation
+                       .TimeUnit.MICROS => Some(1L)
+                case _ => None // NANOS: truncation would widen unsafely
+              }
+            case _ => Some(1L) // not a timestamp: no scaling
+          }
+        def render(v: Any, scale: Long): String = v match {
           case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+          case n: java.lang.Long if scale != 1L => String.valueOf(n * scale)
           case o => String.valueOf(o)
         }
         // merged (min, max) across row groups via parquet's typed
@@ -1139,10 +1185,10 @@ object LakeTable {
               cols.exists(_.getPrimitiveType.getPrimitiveTypeName ==
                 PrimitiveTypeName.INT96))
             None
-          else {
+          else tsScale(cols.head).map { scale =>
             val acc = stats.head.copy()
             stats.tail.foreach(acc.mergeStatistics)
-            Some((render(acc.genericGetMin), render(acc.genericGetMax)))
+            (render(acc.genericGetMin, scale), render(acc.genericGetMax, scale))
           }
         }
         val (kmin, kmax) = merged("_record_key").getOrElse((null, null))

@@ -31,9 +31,12 @@ object Events {
     def copyInto(from: JPath, to: JPath): Unit =
       if (Files.isDirectory(from)) {
         Files.createDirectories(to)
-        Files.list(from).forEach { p =>
+        // close the directory stream: staging runs per invocation, and
+        // unclosed Files.list streams leak an fd each until finalization
+        val listing = Files.list(from)
+        try listing.forEach { p =>
           if (!p.getFileName.toString.startsWith(".")) copyInto(p, to.resolve(p.getFileName))
-        }
+        } finally listing.close()
       } else {
         Files.createDirectories(to.getParent)
         Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)

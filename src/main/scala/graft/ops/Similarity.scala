@@ -136,8 +136,8 @@ object Similarity {
     // baseline (OpsSpec asserts subset + recall on the planted dups);
     // this is the O(N·L + candidates) shape that survives 100 TB.
     //
-    // The corpus carries 10 deterministic high-cosine twins (vec_id ≥
-    // TwinBase, same perturbation as OpsSpec's recall test): the fixture's
+    // The corpus carries 10 deterministic high-cosine twins (negative
+    // vec_ids, same perturbation as OpsSpec's recall test): the fixture's
     // only natural pair sits at cosine ~0.5 where hyperplane-LSH recall is
     // ~0.3 BY DESIGN (tuned for true near-duplicates), so without planted
     // twins the entry returned 0 rows at some SFs and demonstrated
@@ -253,17 +253,20 @@ object Similarity {
   /** exposed so Bench can time the quantizer build separately */
   private[graft] def ensureIvf(s: SparkSession, d: String): Unit = ivfModel(s, d)
 
-  /** vec_id offset for planted twins — far above any fixture id */
+  /** vec_id offset for planted twins: twins take NEGATIVE ids
+    * (original - TwinBase), which can never collide with fixture ids
+    * (always >= 0) at ANY scale factor — an additive positive offset
+    * would silently collide once the corpus outgrew it */
   private[graft] val TwinBase = 100000L
 
   /** Add slightly-perturbed twins (cosine ≈ 0.9999) of the first 10
-    * vectors, ids offset by [[TwinBase]] — deterministic, same
+    * vectors, ids offset to [[TwinBase]]-negative — deterministic, same
     * perturbation as OpsSpec's planted-recall test. Guarantees the LSH
     * near-dup path has true near-duplicates to find at every SF.
     */
   private[graft] def plantedCorpus(c: DataFrame): DataFrame = {
     val twins = c.filter(col("vec_id") < 10)
-      .withColumn("vec_id", col("vec_id") + TwinBase)
+      .withColumn("vec_id", col("vec_id") - TwinBase)
       .withColumn("v",
         expr("transform(v, (x, i) -> cast(x + 0.001d * (i % 3) as float))"))
     c.unionByName(twins)

@@ -614,6 +614,69 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.read(length(col("payload")) > 1).count() == 200L)
   }
 
+  test("float and millis-timestamp stats never mis-prune matching rows") {
+    import spark.implicits._
+    // FloatType: "0.12".toDouble != 0.12f.toDouble — the stored stat must
+    // round-trip through Float or an exact-match predicate prunes the file
+    val tf = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      statsCols = Seq("score")))
+    tf.bulkInsert(Seq((1L, 0.12f, 0), (2L, 0.99f, 0))
+      .toDF("pk", "score", "ts"))
+    assert(tf.read(col("score") === lit(0.12f))
+      .select($"pk").as[Long].collect().toSet == Set(1L))
+    // MILLIS-unit parquet timestamps: footer stats are millis, prune-time
+    // literals are micros — stats must normalize or every file prunes
+    val tsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      val tt = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+        statsCols = Seq("evt")))
+      tt.bulkInsert(Seq(
+        (1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 0),
+        (2L, java.sql.Timestamp.valueOf("2024-06-15 12:00:00"), 0))
+        .toDF("pk", "evt", "ts"))
+      assert(tt.read(col("evt") === lit(
+        java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .select($"pk").as[Long].collect().toSet == Set(1L))
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", tsType)
+  }
+
+  test("savepoint refuses cleaned commits; restore pre-validates every step") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    val c0 = t.bulkInsert(df((1L, 1, "a", 0)))
+    t.upsert(df((1L, 1, "a2", 1)))
+    t.upsert(df((1L, 1, "a3", 2)))
+    t.clean(retain = 1)
+    // pinning a commit whose files are already gone would hand out a
+    // snapshot that fails at scan time — refuse up front
+    intercept[IllegalArgumentException](t.savepoint(c0))
+    // restore past a savepointed intermediate must fail BEFORE deleting
+    // anything, not strand the table mid-rewind
+    val t2 = LakeTable(spark, cfg(freshRoot()))
+    val d0 = t2.bulkInsert(df((1L, 1, "a", 0)))
+    t2.upsert(df((1L, 1, "b", 1)))
+    val d2 = t2.upsert(df((1L, 1, "c", 2)))
+    val d3 = t2.upsert(df((1L, 1, "d", 3)))
+    t2.savepoint(d2)
+    intercept[IllegalArgumentException](t2.restoreTo(d0))
+    assert(t2.log.latestId.contains(d3), "failed restore must not roll anything back")
+    assert(snap(t2) == Set((1L, 1, "d", 3)))
+  }
+
+  test("retired commit ids are rejected at publish, even after rollback frees the path") {
+    import graft.lake.{Commit, CommitLog}
+    val log = new CommitLog(freshRoot(), spark.sparkContext.hadoopConfiguration)
+    log.append(Commit(0L, "bulk_insert", 1L, "{}", Seq.empty, Seq.empty))
+    log.append(Commit(1L, "upsert", 2L, "{}", Seq.empty, Seq.empty))
+    log.rollbackLatest()
+    // id 1 is retired: its JSON path is free again, but a writer that
+    // resolved id 1 before the rollback must NOT land on it
+    val ex = intercept[IllegalStateException](
+      log.append(Commit(1L, "upsert", 3L, "{}", Seq.empty, Seq.empty)))
+    assert(ex.getMessage.contains("retired"))
+    assert(log.nextId == 2L)
+  }
+
   test("clusterCols make stats columns skippable without key-order tricks") {
     import spark.implicits._
     val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",

@@ -80,7 +80,7 @@ class OpsSpec extends AnyFunSuite {
     lshFix.foreach { case (k, sim) => assert(sim == exactFix(k)) }
     // non-vacuous: all 10 planted twins recovered through the catalog entry
     val plantedFix = lshFix.keySet.filter { case (a, b) =>
-      b == a + ops.Similarity.TwinBase }
+      b == a + ops.Similarity.TwinBase }  // pair order: twin (negative) first
     assert(plantedFix.size == 10, s"planted twins through catalog entry: $plantedFix")
     // planted corpus: 10 vectors get slightly-perturbed twins (cosine
     // ~0.99+) — the regime multi-table hyperplane LSH is built for;
