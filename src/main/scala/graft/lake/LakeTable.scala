@@ -228,6 +228,53 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     try deleteImpl(keys) finally keys.unpersist()
   }
 
+  /** Delete every row matching `pred` (Hudi's delete-by-predicate /
+    * `DELETE FROM` surface): resolves the doomed keys with a snapshot
+    * read that itself engages column-stats file skipping and partition
+    * pruning, then routes through the keyed delete — so a predicate on a
+    * well-clustered column touches only the files and partitions that
+    * can hold matches.
+    */
+  def deleteWhere(pred: org.apache.spark.sql.Column): Long = {
+    val cols = (config.partitionCols ++ config.keyCols).distinct
+    delete(read(pred).select(cols.map(col): _*))
+  }
+
+  /** Replace the partitions present in `df` wholesale (Hudi
+    * INSERT_OVERWRITE): every live file of a touched partition is
+    * superseded and `df`'s rows become those partitions' full content —
+    * the standard backfill primitive. Unpartitioned tables (no partition
+    * columns, no buckets) overwrite the whole table. No precombine merge
+    * runs: the batch IS the new truth for its partitions (intra-batch
+    * duplicates still collapse by precombine so the result is a valid
+    * snapshot).
+    */
+  def insertOverwrite(batch: DataFrame): Long = {
+    if (batch.isEmpty) return log.latestId.getOrElse(-1L)
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+    val id = log.nextId
+    val incoming = withDerived(withMeta(batch, id))
+      .withColumn("_seq", monotonically_increasing_id())
+      .persist()
+    try {
+      val ord = struct(col(config.precombineCol), col("_seq"))
+      val deduped = incoming
+        .groupBy(dedupCols.map(col): _*)
+        .agg(max_by(struct(incoming.columns.map(col): _*), ord).as("_row"))
+        .select(col("_row.*"))
+        .drop("_seq")
+      val live = if (exists) log.liveFiles() else Seq.empty
+      val removes =
+        if (effParts.isEmpty) live
+        else {
+          val touched = renderedTuples(incoming)
+          live.filter(f => touched.contains(f.partition))
+        }
+      writeCommit(deduped, "insert_overwrite", removes.map(_.path), Some(id),
+        basedOn = Some(basedOn))
+    } finally incoming.unpersist()
+  }
+
   private def deleteImpl(keys: DataFrame): Long = {
     if (keys.isEmpty) return log.latestId.getOrElse(-1L)
     require(exists, s"table ${config.root} does not exist")

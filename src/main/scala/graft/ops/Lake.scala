@@ -156,6 +156,49 @@ object Lake {
       t
     })
 
+  /** INSERT_OVERWRITE fixture over `nation` (tiny at every SF): region-1
+    * rows are overwritten wholesale with upper-cased names at a LOWER
+    * precombine — proving overwrite replaces without merging.
+    */
+  private[graft] def overwriteTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:ovw", _ => {
+      val root = s"/tmp/graft_lake/ovw_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("n_nationkey"), precombineCol = "update_ts",
+        partitionCols = Seq("n_regionkey")))
+      val nation = T.nation(s, d)
+      t.bulkInsert(nation.withColumn("update_ts", lit(5)))
+      t.insertOverwrite(nation.filter(col("n_regionkey") === 1)
+        .withColumn("n_name", upper(col("n_name")))
+        .withColumn("update_ts", lit(0)))
+      t
+    })
+
+  /** Restore fixture over `nation`: an upsert mangles EVERY name, then
+    * restoreTo rewinds the timeline to the initial commit — the snapshot
+    * must equal plain nation again (a failed restore leaves mangled rows
+    * the oracle would reject).
+    */
+  private[graft] def restoreTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:restore", _ => {
+      val root = s"/tmp/graft_lake/restore_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("n_nationkey"), precombineCol = "update_ts",
+        partitionCols = Seq("n_regionkey")))
+      val nation = T.nation(s, d)
+      val c0 = t.bulkInsert(nation.withColumn("update_ts", lit(0)))
+      t.upsert(nation.withColumn("n_name", concat(col("n_name"), lit("_X")))
+        .withColumn("update_ts", lit(1)))
+      t.restoreTo(c0)
+      t
+    })
+
   private val liCte =
     """li AS (SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
                    max(l_quantity) AS l_quantity
@@ -254,6 +297,30 @@ object Lake {
             AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
           AND m.l_orderkey <= 1200
         ORDER BY m.l_orderkey, m.l_linenumber""")),
+
+    // ---- INSERT_OVERWRITE: touched partitions replaced wholesale ------
+    // (Hudi insert_overwrite; lower precombine than resident rows, so a
+    // merge would have kept the old names — the oracle pins replacement)
+    GQuery("lake_insert_overwrite",
+      (s, d) => overwriteTable(s, d).read()
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("update_ts"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+        CASE WHEN n_regionkey = 1 THEN upper(n_name) ELSE n_name END AS n_name,
+        n_regionkey,
+        CASE WHEN n_regionkey = 1 THEN 0 ELSE 5 END AS update_ts
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- restore: timeline rewound to the initial commit --------------
+    // (an upsert mangled every name first; a failed restore cannot pass)
+    GQuery("lake_restore",
+      (s, d) => restoreTable(s, d).read()
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("update_ts"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name, n_regionkey, 0 AS update_ts
+        FROM nation ORDER BY n_nationkey""")),
 
     // after compaction the same snapshot must come from base files only
     GQuery("lake_mor_compacted",

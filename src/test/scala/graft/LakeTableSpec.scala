@@ -792,6 +792,54 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == Set((1L, 1, "a3", 2)))
   }
 
+  test("deleteWhere removes predicate matches and prunes untouched partitions") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 1), (2L, 2, "b", 5), (3L, 3, "c", 9)))
+    def byPart() = t.log.liveFiles().groupBy(_.partition)
+      .view.mapValues(_.map(_.path).toSet).toMap
+    val before = byPart()
+    t.deleteWhere(col("ts") <= 1)
+    assert(snap(t) == Set((2L, 2, "b", 5), (3L, 3, "c", 9)))
+    val after = byPart()
+    assert(after("2") == before("2"), "partition 2 had no matches; was rewritten")
+    assert(after("3") == before("3"), "partition 3 had no matches; was rewritten")
+    // no matches: no-op, no new commit
+    val last = t.log.latestId
+    t.deleteWhere(col("ts") > 100)
+    assert(t.log.latestId == last)
+    // MoR variant goes through tombstones
+    val m = LakeTable(spark, morCfg(freshRoot()))
+    m.bulkInsert(df((1L, 1, "a", 1), (2L, 2, "b", 5)))
+    m.deleteWhere(col("payload") === "a")
+    assert(snap(m) == Set((2L, 2, "b", 5)))
+  }
+
+  test("insertOverwrite replaces touched partitions wholesale") {
+    import spark.implicits._
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 5), (2L, 2, "b", 5), (3L, 3, "c", 5)))
+    def byPart() = t.log.liveFiles().groupBy(_.partition)
+      .view.mapValues(_.map(_.path).toSet).toMap
+    val before = byPart()
+    // LOWER precombine than the resident rows: overwrite wins anyway —
+    // the batch IS the new truth for its partitions, no merge
+    t.insertOverwrite(df((9L, 1, "backfill", 0)))
+    assert(snap(t) == Set((9L, 1, "backfill", 0), (2L, 2, "b", 5), (3L, 3, "c", 5)))
+    val after = byPart()
+    assert(after("2") == before("2") && after("3") == before("3"),
+      "untouched partitions must keep their files")
+    // intra-batch duplicates still collapse by precombine
+    t.insertOverwrite(df((7L, 2, "v1", 1), (7L, 2, "v2", 2)))
+    assert(snap(t).filter(_._2 == 2) == Set((7L, 2, "v2", 2)))
+    // time travel still reproduces the pre-overwrite snapshot
+    assert(t.readAsOf(0).count() == 3)
+    // unpartitioned table: whole-table overwrite
+    val u = LakeTable(spark, cfg(freshRoot(), part = None))
+    u.bulkInsert(df((1L, 1, "a", 5)))
+    u.insertOverwrite(df((2L, 1, "only", 0)))
+    assert(snap(u) == Set((2L, 1, "only", 0)))
+  }
+
   test("bare-key delete rewrites only the partitions holding the keys") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0), (3L, 3, "c", 0)))
