@@ -372,6 +372,41 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   def readIncremental(fromCommit: Long): DataFrame =
     read().filter(col("_commit_id") > fromCommit)
 
+  /** Change-data-feed between two commits (Hudi/Delta CDC read): one row
+    * per key whose current version changed in `(from, to]`, tagged
+    * `_change_type` = insert | update | delete. Update/insert rows carry
+    * the NEW values; delete rows carry the LAST values the key had at
+    * `from`. Plan shape: the insert/update side is the `to` snapshot
+    * filtered on `_commit_id > from` — a metadata-column predicate that
+    * prunes whole commit directories via parquet min/max — joined
+    * (null-safe, dedup-key) against the `from` snapshot's keys to split
+    * insert from update; deletes are a key anti-join of the two
+    * snapshots. A rewrite that re-ingests identical values still reports
+    * an update (same contract as Hudi's incremental CDC on CoW).
+    */
+  def changesBetween(from: Long, to: Long): DataFrame = {
+    require(from < to, s"need from < to, got [$from, $to]")
+    val newSnap = readSnapshot(Some(to))
+    val oldSnap = readSnapshot(Some(from))
+    val keyed = dedupCols
+    // current versions ingested inside the window = inserts + updates
+    val changed = newSnap.filter(col("_commit_id") > from)
+    val oldKeys = oldSnap.select(keyed.map(col): _*).distinct()
+      .withColumn("_existed", lit(1))
+    val joinCond = keyed.map(c => changed(c) <=> oldKeys(c)).reduce(_ && _)
+    val upserts = changed.join(oldKeys, joinCond, "left_outer")
+      .select(changed.columns.map(changed(_)) :+ oldKeys("_existed"): _*)
+      .withColumn("_change_type",
+        when(col("_existed").isNull, lit("insert")).otherwise(lit("update")))
+      .drop("_existed")
+    // keys present at `from` and gone at `to`
+    val newKeys = newSnap.select(keyed.map(col): _*).distinct()
+    val delCond = keyed.map(c => oldSnap(c) <=> newKeys(c)).reduce(_ && _)
+    val deletes = oldSnap.join(newKeys, delCond, "left_anti")
+      .withColumn("_change_type", lit("delete"))
+    upserts.unionByName(deletes, allowMissingColumns = true)
+  }
+
   /** Read-optimized query (Hudi's MoR `_ro` view): base files only, no
     * delta merge — stale by up to the un-compacted deltas but as cheap as
     * a CoW scan. For CoW tables this equals read().

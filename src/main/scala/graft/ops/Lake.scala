@@ -298,6 +298,34 @@ object Lake {
           AND m.l_orderkey <= 1200
         ORDER BY m.l_orderkey, m.l_linenumber""")),
 
+    // ---- change-data-feed over the whole CDC replay --------------------
+    // between c0 (bulk load) and the final commit: updates = surviving b1
+    // winners (new values), deletes = the A-flag keys with their c0
+    // values; b1/b2 touch only existing keys so no inserts exist — the
+    // oracle pins exactly that
+    GQuery("lake_cdc_changes",
+      (s, d) => {
+        val t = cdcTable(s, d)
+        t.changesBetween(0, t.log.latestId.get)
+          .select(col("_change_type"), col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"), col("update_ts"))
+          .orderBy(col("_change_type"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(s"""$mergedCte,
+        dels AS (SELECT l_orderkey, l_linenumber FROM li
+                 WHERE l_returnflag = 'A' AND l_linenumber <= 2)
+        SELECT 'delete' AS _change_type, li.l_orderkey, li.l_linenumber,
+               li.l_returnflag, li.l_quantity, 0 AS update_ts
+        FROM li JOIN dels USING (l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'update' AS _change_type, m.l_orderkey, m.l_linenumber,
+               m.l_returnflag, m.l_quantity, m.update_ts
+        FROM merged m
+        WHERE m.update_ts = 1
+          AND NOT EXISTS (SELECT 1 FROM dels k
+            WHERE k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
+        ORDER BY _change_type, l_orderkey, l_linenumber""")),
+
     // ---- INSERT_OVERWRITE: touched partitions replaced wholesale ------
     // (Hudi insert_overwrite; lower precombine than resident rows, so a
     // merge would have kept the old names — the oracle pins replacement)

@@ -389,6 +389,27 @@ class LakeTableSpec extends AnyFunSuite {
     assert(inc == Set((1L, "a2"), (3L, "c")))  // key 2 unchanged since c0
   }
 
+  test("change-data-feed: inserts, updates and deletes between commits") {
+    import spark.implicits._
+    val t = LakeTable(spark, cfg(freshRoot()))
+    val c0 = t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0), (3L, 3, "c", 0)))
+    t.upsert(df((1L, 1, "a2", 1), (4L, 1, "new", 1)))  // update 1, insert 4
+    t.upsert(df((2L, 2, "stale", -1)))                 // loses: NOT a change
+    val cN = t.delete(df((3L, 3, "x", 0)))             // delete 3
+    val changes = t.changesBetween(c0, cN)
+      .select($"_change_type", $"pk", $"payload", $"ts")
+      .as[(String, Long, String, Int)].collect().toSet
+    assert(changes == Set(
+      ("update", 1L, "a2", 1),
+      ("insert", 4L, "new", 1),
+      ("delete", 3L, "c", 0)))   // delete carries the OLD values
+    // a window covering only the delete commit reports just that delete
+    val tail = t.changesBetween(cN - 1, cN)
+      .select($"_change_type", $"pk").as[(String, Long)].collect().toSet
+    assert(tail == Set(("delete", 3L)))
+    intercept[IllegalArgumentException](t.changesBetween(cN, cN))
+  }
+
   test("catalog sync: persistent table with partitions, auto-resynced") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))
