@@ -108,6 +108,33 @@ class LakePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("change feed law: applying changes to the old snapshot yields the new") {
+    check("cdc-reconstruction", Prop.forAll(batchGen, batchGen) { (a, b) =>
+      import spark.implicits._
+      val t = table()
+      t.upsert(toDf(a.nonEmptyOr((1L, 1, "seed", 0))))
+      val c0 = t.log.latestId.get
+      if (b.nonEmpty) t.upsert(toDf(b))
+      t.delete(toDf(Seq((1L, 1, "x", 0))))  // always delete key (1,1)
+      val cN = t.log.latestId.get
+      val changes = t.changesBetween(c0, cN)
+        .select($"_change_type", $"pk", $"vendorid", $"payload", $"ts")
+        .as[(String, Long, Int, String, Int)].collect()
+      // reconstruct: old snapshot minus deleted/updated keys, plus
+      // insert/update rows — must equal the new snapshot exactly
+      val old = t.readAsOf(c0).select($"pk", $"vendorid", $"payload", $"ts")
+        .as[Rec].collect().toSet
+      val touched = changes.map(c => (c._2, c._3)).toSet
+      val rebuilt = old.filterNot(r => touched.contains((r._1, r._2))) ++
+        changes.filter(_._1 != "delete").map(c => (c._2, c._3, c._4, c._5))
+      rebuilt == snap(t)
+    })
+  }
+
+  private implicit class NonEmptyOr(rows: List[Rec]) {
+    def nonEmptyOr(r: Rec): List[Rec] = if (rows.nonEmpty) rows else List(r)
+  }
+
   test("latest (ts, arrival) wins per (partition, key) against a model") {
     check("latest-wins", Prop.forAll(Gen.listOfN(3, batchGen)) { batches =>
       val t = table()
