@@ -132,9 +132,13 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
 
   // unique per attempt: a crashed/retried write never collides with the
   // orphan directory of a previous attempt (orphans are invisible — only
-  // files named in a commit JSON are live)
-  private def dataDir(commitId: Long): Path =
-    new Path(config.root, f"data/c$commitId%08d-${System.nanoTime()}%x")
+  // files named in a commit JSON are live). Delta commits get a distinct
+  // "d" prefix so the change-log directories are glob-addressable — the
+  // foundation of [[tailStream]].
+  private def dataDir(commitId: Long, kind: String): Path = {
+    val prefix = if (kind == "delta") "d" else "c"
+    new Path(config.root, f"data/$prefix$commitId%08d-${System.nanoTime()}%x")
+  }
 
   def exists: Boolean = log.exists
 
@@ -423,6 +427,40 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   def readPartitions(values: Set[String]): DataFrame = {
     val files = log.liveFiles().filter(f => values.contains(f.partition))
     if (files.isEmpty) readOrEmpty(files) else mergeIfNeeded(files)
+  }
+
+  /** Structured-streaming tail of the table's change log (the streaming
+    * counterpart of Hudi's incremental read): on a MoR table every write
+    * is a delta commit whose directory holds EXACTLY the batch's rows —
+    * upserts plus `_deleted` tombstones — so the built-in file stream
+    * source over the delta-directory glob yields an append-only change
+    * stream with checkpointed exactly-once file tracking, no custom
+    * Source needed. Consumers filter `_deleted` / apply precombine as
+    * their sink semantics require.
+    *
+    * Caveats (documented contract): CoW tables have no delta log — use
+    * [[changesBetween]] batch polling instead; a crashed write's orphan
+    * delta directory (never committed) may be emitted — at-least-once at
+    * the commit granularity (publish losers clean their directories, so
+    * the window is a hard crash mid-write).
+    */
+  def tailStream(): DataFrame = {
+    require(config.isMor,
+      "tailStream applies to merge-on-read tables (delta commits are the change log)")
+    val schema = {
+      val base = baseSchema
+      val extra = Seq(
+        org.apache.spark.sql.types.StructField("_seq",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_deleted",
+          org.apache.spark.sql.types.BooleanType))
+      StructType(base.fields.filterNot(f => f.name == "_seq" || f.name == "_deleted") ++ extra)
+    }
+    spark.readStream.schema(schema)
+      // recursive lookup flattens the shadow-partition dirs; the real
+      // partition values live in the data columns
+      .option("recursiveFileLookup", "true")
+      .parquet(s"${config.root}/data/d*")
   }
 
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
@@ -1074,7 +1112,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       basedOn: Option[Long] = None): Long = {
     val expectedHead = basedOn.getOrElse(log.latestId.getOrElse(log.EmptyTable))
     val id = fixedId.getOrElse(log.nextId)
-    val dir = dataDir(id)
+    val dir = dataDir(id, kind)
     // keep the real columns in the data; duplicate them as `__gpN` shadow
     // columns for the nested Hive-style directory layout (the reference
     // instead mangled the column value itself, HudiJarGlueJob.py:102 —

@@ -350,6 +350,43 @@ object Lake {
       Some("""SELECT n_nationkey, n_name, n_regionkey, 0 AS update_ts
         FROM nation ORDER BY n_nationkey""")),
 
+    // ---- streaming tail of the MoR change log --------------------------
+    // the delta-directory glob IS the change stream: b1, b2 (including
+    // the stale batch — the tail reports what was WRITTEN, merge
+    // semantics live downstream) and the delete tombstones, append-only
+    // via the built-in file stream source. Sort pins b1/b2 rows of the
+    // same key apart by update_ts; NULLS FIRST matches Spark's asc.
+    GQuery("lake_tail_changes",
+      (s, d) => {
+        val t = morCdcTable(s, d)
+        val qname = "lake_tail_changes_sink"
+        val q = t.tailStream().writeStream.outputMode("append")
+          .format("memory").queryName(qname).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qname).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"), col("update_ts"),
+          col("_deleted"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("_deleted"),
+            col("update_ts").asc_nulls_first)
+      },
+      Some(s"""WITH $liCte,
+        tail AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 l_quantity + 100 AS l_quantity, 1 AS update_ts,
+                 false AS _deleted
+          FROM li WHERE l_returnflag = 'R'
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 l_quantity + 1000 AS l_quantity, 0 AS update_ts,
+                 false AS _deleted
+          FROM li WHERE l_returnflag = 'R'
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 NULL AS l_quantity, NULL AS update_ts, true AS _deleted
+          FROM li WHERE l_returnflag = 'A' AND l_linenumber <= 2)
+        SELECT * FROM tail
+        ORDER BY l_orderkey, l_linenumber, _deleted, update_ts NULLS FIRST""")),
+
     // after compaction the same snapshot must come from base files only
     GQuery("lake_mor_compacted",
       (s, d) => {

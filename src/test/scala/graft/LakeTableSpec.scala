@@ -353,6 +353,32 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == before)
   }
 
+  test("tailStream: MoR delta commits arrive as an append-only change stream") {
+    import spark.implicits._
+    val t = LakeTable(spark, morCfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "base", 0)))          // base files: NOT in the tail
+    t.upsert(df((1L, 1, "v1", 1), (2L, 1, "w", 1)))
+    val q = t.tailStream()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lake_tail")
+      .start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.sql(
+        "SELECT pk, payload, _deleted, _commit_id FROM lake_tail")
+        .as[(Long, String, Boolean, Long)].collect().toSet
+      assert(rows() == Set((1L, "v1", false, 1L), (2L, "w", false, 1L)))
+      // live tailing: a later upsert and a tombstone stream in append-only
+      t.upsert(df((1L, 1, "v2", 2)))
+      t.delete(df((2L, 1, "x", 0)))
+      q.processAllAvailable()
+      val r = rows()
+      assert(r.contains((1L, "v2", false, 2L)))
+      assert(r.exists { case (pk, _, del, cid) => pk == 2L && del && cid == 3L })
+      assert(r.size == 4, s"append-only: all delta rows retained: $r")
+    } finally q.stop()
+  }
+
   test("merge-on-read equals copy-on-write over the same batch sequence") {
     val batches = Seq(
       df((1L, 1, "a", 2), (2L, 2, "b", 2), (3L, 1, "c", 2)),
