@@ -132,11 +132,19 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
 
   // unique per attempt: a crashed/retried write never collides with the
   // orphan directory of a previous attempt (orphans are invisible — only
-  // files named in a commit JSON are live). Delta commits get a distinct
-  // "d" prefix so the change-log directories are glob-addressable — the
-  // foundation of [[tailStream]].
-  private def dataDir(commitId: Long, kind: String): Path = {
-    val prefix = if (kind == "delta") "d" else "c"
+  // files named in a commit JSON are live). NEW delta commits get a
+  // distinct "d" prefix so the change-log directories are
+  // glob-addressable — the foundation of [[tailStream]] (a layout
+  // property of this version; tables written before it have no "d" dirs
+  // and no tailable log). compactSmall's verbatim rewrites land under
+  // "m" (maintenance): they are live delta files for snapshot reads but
+  // NOT part of the change stream — emitting them would duplicate every
+  // row the tail already delivered from the original directories.
+  private def dataDir(commitId: Long, kind: String, op: String): Path = {
+    val prefix =
+      if (kind != "delta") "c"
+      else if (op == "delta_compact") "m"
+      else "d"
     new Path(config.root, f"data/$prefix$commitId%08d-${System.nanoTime()}%x")
   }
 
@@ -167,13 +175,8 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       // bulk_insert performs no pre-combining, HudiConnectorGlueJob.py:85-86)
       val incoming = withDerived(withMeta(batch, 0L))
         .withColumn("_seq", monotonically_increasing_id())
-      val ord = struct(col(config.precombineCol), col("_seq"))
-      val merged = incoming
-        .groupBy(dedupCols.map(col): _*)
-        .agg(max_by(struct(incoming.columns.map(col): _*), ord).as("_row"))
-        .select(col("_row.*"))
-        .drop("_seq")
-      return writeCommit(merged, "upsert", Seq.empty, basedOn = Some(log.EmptyTable))
+      return writeCommit(dedupWithinBatch(incoming), "upsert", Seq.empty,
+        basedOn = Some(log.EmptyTable))
     }
     if (config.isMor) {
       // MoR: append the batch as-is as delta files — no read, no merge,
@@ -261,22 +264,60 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       .withColumn("_seq", monotonically_increasing_id())
       .persist()
     try {
-      val ord = struct(col(config.precombineCol), col("_seq"))
-      val deduped = incoming
-        .groupBy(dedupCols.map(col): _*)
-        .agg(max_by(struct(incoming.columns.map(col): _*), ord).as("_row"))
-        .select(col("_row.*"))
-        .drop("_seq")
+      val deduped = dedupWithinBatch(incoming)
       val live = if (exists) log.liveFiles() else Seq.empty
-      val removes =
-        if (effParts.isEmpty) live
+      // overwrite scope is the USER partition: every live file whose user
+      // partition levels match the batch is superseded, including buckets
+      // the batch did not touch (the derived bucket is a file-group
+      // index, not an overwrite boundary). No user partitions (plain or
+      // bucketed-unpartitioned) = whole-table overwrite.
+      val nUser = config.partitionCols.size
+      def userPrefix(tuple: String): String =
+        tuple.split(PartSep(0)).take(nUser).mkString(PartSep)
+      val touched =
+        if (nUser == 0) live
         else {
-          val touched = renderedTuples(incoming)
-          live.filter(f => touched.contains(f.partition))
+          val tuples = incoming.select(config.partitionCols.map(renderCol): _*)
+            .distinct().collect()
+            .map(_.toSeq.map(String.valueOf).mkString(PartSep)).toSet
+          live.filter(f => tuples.contains(userPrefix(f.partition)))
         }
-      writeCommit(deduped, "insert_overwrite", removes.map(_.path), Some(id),
+      // global index: batch keys must stay unique TABLE-WIDE, so rows of
+      // those keys residing in partitions OUTSIDE the overwrite scope are
+      // dropped in the same commit (their partitions rewrite minus the
+      // keys — located via the footer-range-pruned key+partition probe,
+      // exactly like a keyed delete)
+      val (removes, payload) =
+        if (!config.globalIndex) (touched, deduped)
+        else {
+          val others = live.filterNot(touched.toSet)
+          val holding = partitionsHoldingKeys(incoming, others)
+          val foreign = others.filter(f => holding.contains(f.partition))
+          if (foreign.isEmpty) (touched, deduped)
+          else {
+            val doomed = incoming.select(config.keyCols.map(col): _*).distinct().as("k")
+            val cur = readFiles(foreign)
+            val cond = config.keyCols.map(c => cur(c) <=> doomed(c)).reduce(_ && _)
+            val keepers = cur.join(doomed, cond, "left_anti")
+            (touched ++ foreign,
+             deduped.unionByName(keepers, allowMissingColumns = true))
+          }
+        }
+      writeCommit(payload, "insert_overwrite", removes.map(_.path), Some(id),
         basedOn = Some(basedOn))
     } finally incoming.unpersist()
+  }
+
+  /** intra-batch precombine: collapse duplicate dedup keys to the row
+    * with the highest (precombine, arrival order) — shared by the
+    * first-write upsert path and insertOverwrite */
+  private def dedupWithinBatch(incoming: DataFrame): DataFrame = {
+    val ord = struct(col(config.precombineCol), col("_seq"))
+    incoming
+      .groupBy(dedupCols.map(col): _*)
+      .agg(max_by(struct(incoming.columns.map(col): _*), ord).as("_row"))
+      .select(col("_row.*"))
+      .drop("_seq")
   }
 
   private def deleteImpl(keys: DataFrame): Long = {
@@ -390,6 +431,11 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   def changesBetween(from: Long, to: Long): DataFrame = {
     require(from < to, s"need from < to, got [$from, $to]")
+    // same horizon guard as readAsOf: the commit JSONs survive cleaning,
+    // but a from-snapshot below the horizon references deleted files
+    Seq(from, to).foreach(id =>
+      require(id >= log.cleanedUpTo || log.savepoints.contains(id),
+        s"commit $id was cleaned (retained from ${log.cleanedUpTo})"))
     val newSnap = readSnapshot(Some(to))
     val oldSnap = readSnapshot(Some(from))
     val keyed = dedupCols
@@ -447,14 +493,23 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   def tailStream(): DataFrame = {
     require(config.isMor,
       "tailStream applies to merge-on-read tables (delta commits are the change log)")
+    // widest schema across the WHOLE timeline, not just base commits:
+    // delta commits write their batch schema as-is, so a widened upsert's
+    // new columns must be part of the stream schema or the parquet source
+    // would silently drop them
     val schema = {
-      val base = baseSchema
+      val merged = log.commits.map(_.schemaJson).distinct
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .foldLeft(new StructType()) { (acc, st) =>
+          st.fields.foldLeft(acc) { (a, f) =>
+            if (a.fieldNames.contains(f.name)) a else a.add(f) }
+        }
       val extra = Seq(
         org.apache.spark.sql.types.StructField("_seq",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("_deleted",
           org.apache.spark.sql.types.BooleanType))
-      StructType(base.fields.filterNot(f => f.name == "_seq" || f.name == "_deleted") ++ extra)
+      StructType(merged.fields.filterNot(f => f.name == "_seq" || f.name == "_deleted") ++ extra)
     }
     spark.readStream.schema(schema)
       // recursive lookup flattens the shadow-partition dirs; the real
@@ -1112,7 +1167,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       basedOn: Option[Long] = None): Long = {
     val expectedHead = basedOn.getOrElse(log.latestId.getOrElse(log.EmptyTable))
     val id = fixedId.getOrElse(log.nextId)
-    val dir = dataDir(id, kind)
+    val dir = dataDir(id, kind, op)
     // keep the real columns in the data; duplicate them as `__gpN` shadow
     // columns for the nested Hive-style directory layout (the reference
     // instead mangled the column value itself, HudiJarGlueJob.py:102 —

@@ -887,6 +887,73 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(u) == Set((2L, 1, "only", 0)))
   }
 
+  test("insertOverwrite replaces whole user partitions on bucketed tables") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), hashBuckets = 8))
+    t.bulkInsert(df((1L to 20L).map(i => (i, 1, s"p$i", 5)) :+ (99L, 2, "other", 5): _*))
+    // one corrected row for partition 1: ALL buckets of partition 1 go,
+    // partition 2 stays
+    t.insertOverwrite(df((7L, 1, "only", 0)))
+    assert(snap(t) == Set((7L, 1, "only", 0), (99L, 2, "other", 5)))
+  }
+
+  test("insertOverwrite keeps global-index keys unique table-wide") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), globalIndex = true))
+    t.bulkInsert(df((1L, 1, "a", 5), (2L, 2, "b", 5)))
+    // key 1 moves to partition 3 via overwrite: its partition-1 copy must
+    // die in the same commit, not linger as a duplicate
+    t.insertOverwrite(df((1L, 3, "moved", 0)))
+    assert(snap(t) == Set((1L, 3, "moved", 0), (2L, 2, "b", 5)))
+  }
+
+  test("tailStream does not re-emit rows binned by compactSmall") {
+    import spark.implicits._
+    val t = LakeTable(spark, morCfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "base", 0)))
+    (1 to 4).foreach(i => t.upsert(df((1L, 1, s"v$i", i))))
+    t.compactSmall()
+    assert(t.log.liveFiles().count(_.isDelta) == 1, "binned to one delta")
+    val q = t.tailStream()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lake_tail_nodup")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT payload FROM lake_tail_nodup")
+        .as[String].collect().toSeq
+      assert(rows.sorted == Seq("v1", "v2", "v3", "v4"),
+        s"each written row exactly once, maintenance rewrites excluded: $rows")
+    } finally q.stop()
+  }
+
+  test("tailStream schema includes columns added by delta schema evolution") {
+    import spark.implicits._
+    val t = LakeTable(spark, morCfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.upsert(Seq((2L, 1, "b", 1, "extra"))
+      .toDF("pk", "vendorid", "payload", "ts", "note"))
+    val q = t.tailStream()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lake_tail_evo")
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT pk, note FROM lake_tail_evo")
+        .as[(Long, Option[String])].collect().toSet
+      assert(out == Set((2L, Some("extra"))))
+    } finally q.stop()
+  }
+
+  test("changesBetween refuses a window below the clean horizon") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.upsert(df((1L, 1, "a2", 1)))
+    val cN = t.upsert(df((1L, 1, "a3", 2)))
+    t.clean(retain = 1)
+    intercept[IllegalArgumentException](t.changesBetween(0, cN))
+  }
+
   test("bare-key delete rewrites only the partitions holding the keys") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0), (3L, 3, "c", 0)))
