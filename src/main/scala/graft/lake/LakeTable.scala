@@ -475,6 +475,23 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     if (files.isEmpty) readOrEmpty(files) else mergeIfNeeded(files)
   }
 
+  /** Point lookup by record key — the footer key-range index as a
+    * user-facing read (Hudi record-level-index role): only files whose
+    * recorded `_record_key` [min, max] may hold a probe key are scanned,
+    * so on a key-clustered table a point read touches a handful of files
+    * regardless of table size. Range bounds are true bounds, so every
+    * version of a probed key lives in a candidate file — the MoR merge
+    * over candidates is exact, and deleted keys return nothing. The
+    * final semi-join filters the merged candidates to the probe keys.
+    */
+  def lookup(keys: DataFrame): DataFrame = {
+    val candidates = pruneByKeyRange(keys, log.liveFiles())
+    val probe = keys.select(keyStrExpr.as("_record_key")).distinct()
+    (if (candidates.isEmpty) readOrEmpty(candidates)
+     else mergeIfNeeded(candidates))
+      .join(probe, Seq("_record_key"), "left_semi")
+  }
+
   /** Structured-streaming tail of the table's change log (the streaming
     * counterpart of Hudi's incremental read): on a MoR table every write
     * is a delta commit whose directory holds EXACTLY the batch's rows —

@@ -563,6 +563,33 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.log.latestId.contains(2L))
   }
 
+  test("lookup scans only key-range candidate files for point reads") {
+    import spark.implicits._
+    val t = LakeTable(spark, cfg(freshRoot(), part = None))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try t.bulkInsert((1 to 200).map(i => (i.toLong, 1, s"p$i", 0))
+      .toDF("pk", "vendorid", "payload", "ts"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val total = t.read().inputFiles.length
+    assert(total > 1)
+    val hit = t.lookup(Seq(42L).toDF("pk"))
+    assert(hit.inputFiles.length < total,
+      s"point read must scan a strict subset of $total files")
+    assert(hit.select($"pk", $"payload").as[(Long, String)].collect().toSet ==
+      Set((42L, "p42")))
+    // absent key: nothing
+    assert(t.lookup(Seq(9999L).toDF("pk")).count() == 0)
+    // MoR: merged version wins, deleted key vanishes
+    val m = LakeTable(spark, morCfg(freshRoot()))
+    m.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0)))
+    m.upsert(df((1L, 1, "a2", 1)))
+    m.delete(df((2L, 1, "x", 0)))
+    assert(m.lookup(Seq(1L).toDF("pk")).select($"payload")
+      .as[String].collect().toSet == Set("a2"))
+    assert(m.lookup(Seq(2L).toDF("pk")).count() == 0)
+  }
+
   test("commit log records per-file key ranges from parquet footers") {
     import spark.implicits._
     val t = LakeTable(spark, cfg(freshRoot(), part = None))
