@@ -60,6 +60,42 @@ object Text {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components over the near-duplicate pair graph via
+    * min-label propagation: every document gets `cluster_id` = smallest
+    * doc_id in its component — the step that turns PAIRWISE near-dup
+    * detection into keep-one-per-cluster dedup. Each iteration is one
+    * join+groupBy shuffle keyed on doc id (the GraphX CC shape without
+    * the library) and the loop runs O(component diameter) iterations;
+    * dup-pair graphs are overwhelmingly tiny cliques and short chains,
+    * so convergence takes a handful of passes regardless of corpus
+    * size. Convergence is detected with a limit(1) probe, not a full
+    * count.
+    */
+  private[graft] def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).persist()
+    try {
+      var converged = false
+      while (!converged) {
+        val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+          .select(edges("src").as("doc_id"), col("cluster_id"))
+        val next = labels.unionByName(prop)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .persist()
+        val improved = next
+          .join(labels.withColumnRenamed("cluster_id", "_old"), "doc_id")
+          .filter(col("cluster_id") < col("_old")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = improved == 0
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
   private val langSets: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
@@ -72,6 +108,25 @@ object Text {
   // P(candidate) = 1-(1-J^4)^4 ≈ .99 at J=0.9, ≈ .22 at J=0.5
   private val NumPerm = 16
   private val BandSize = 4
+
+  /** shared oracle CTE chain ending in `jpairs(doc_a, doc_b)` — the
+    * exact word-trigram Jaccard >= 0.5 pairs (same as the
+    * doc_ngram_jaccard_pairs oracle) */
+  private val jaccardCtes =
+    """tokform AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM tokform),
+        tri AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS sh
+                FROM tok a
+                JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+        p0 AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+               FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id < y.doc_id
+               GROUP BY 1, 2),
+        jpairs AS (SELECT doc_a, doc_b FROM p0
+                   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5)"""
 
   val queries: Seq[GQuery] = Seq(
 
@@ -213,6 +268,41 @@ object Text {
         FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
         ORDER BY doc_a, doc_b""")),
+
+    // ---- near-dup CLUSTERS: connected components over the pair graph --
+    // (doc_id, cluster_id = min doc_id of the component); oracle is a
+    // recursive transitive closure over the same exact-Jaccard pairs
+    GQuery("doc_dup_clusters",
+      (s, d) => dupClusters(jaccardPairs(s, d, 0.5)).orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+        edges AS (SELECT doc_a AS s, doc_b AS t FROM jpairs
+                  UNION SELECT doc_b, doc_a FROM jpairs),
+        reach AS (SELECT s AS id, s AS r FROM edges
+                  UNION
+                  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t)
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+        GROUP BY id ORDER BY doc_id""")),
+
+    // keep-one-per-cluster semantic dedup: canonical member (min doc_id)
+    // survives, other cluster members drop, singletons untouched
+    GQuery("doc_dedup_semantic",
+      (s, d) => {
+        val clusters = dupClusters(jaccardPairs(s, d, 0.5))
+        T.documents(s, d).select(col("doc_id"))
+          .join(clusters.filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+        edges AS (SELECT doc_a AS s, doc_b AS t FROM jpairs
+                  UNION SELECT doc_b, doc_a FROM jpairs),
+        reach AS (SELECT s AS id, s AS r FROM edges
+                  UNION
+                  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+        clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+        ORDER BY doc_id""")),
 
     // ---- near-dup: MinHash + LSH banding (candidate gen + verify) -----
     // Not ANSI-SQL-expressible (xxhash64 signatures) → rows-only check;

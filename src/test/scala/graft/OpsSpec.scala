@@ -102,6 +102,21 @@ class OpsSpec extends AnyFunSuite {
     lsh.foreach { case (k, sim) => assert(sim == exact(k)) }
   }
 
+  test("dup clusters: multi-hop components converge to the min label") {
+    import spark.implicits._
+    // two chains and one pair — the 4-node chain needs several
+    // propagation rounds, pinning the iteration-until-fixpoint loop
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("doc_a", "doc_b")
+    val out = ops.Text.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("winnowing fingerprints: near-dups overlap heavily, random pairs don't") {
     val fps = run("doc_winnow_fp").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
