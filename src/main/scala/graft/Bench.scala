@@ -42,7 +42,8 @@ object Bench {
       "schema_evo_build" -> timed { ops.Lake.evoTable(spark, sfDir) },
       "bucketed_tables_build" -> timed { ops.Extended.ensureBucketed(spark, sfDir) },
       "ann_index_build" -> timed { ops.Similarity.ensureAnnIndex(spark, sfDir) },
-      "ivf_centroids_build" -> timed { ops.Similarity.ensureIvf(spark, sfDir) })
+      "ivf_centroids_build" -> timed { ops.Similarity.ensureIvf(spark, sfDir) },
+      "dup_cluster_build" -> timed { ops.Text.ensureClusters(spark, sfDir) })
     // each query runs twice; the SECOND (steady-state) run is reported, so
     // per-query numbers compare round-over-round without first-touch
     // page-cache/JIT noise (the r1 doc_exact_dedup 11s outlier was exactly

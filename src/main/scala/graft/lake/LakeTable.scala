@@ -487,7 +487,9 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   def lookup(keys: DataFrame): DataFrame = {
     val candidates = pruneByKeyRange(keys, log.liveFiles())
     val probe = keys.select(keyStrExpr.as("_record_key")).distinct()
-    (if (candidates.isEmpty) readOrEmpty(candidates)
+    // all-pruned: same schema-stability drop as read(pruneBy) — the
+    // latest commit may be a delta whose schema carries MoR internals
+    (if (candidates.isEmpty) readOrEmpty(candidates).drop("_seq", "_deleted")
      else mergeIfNeeded(candidates))
       .join(probe, Seq("_record_key"), "left_semi")
   }

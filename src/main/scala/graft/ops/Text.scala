@@ -79,12 +79,21 @@ object Text {
       .withColumn("cluster_id", col("doc_id")).persist()
     try {
       var converged = false
+      var iter = 0
       while (!converged) {
+        iter += 1
         val prop = edges.join(labels, edges("dst") === labels("doc_id"))
           .select(edges("src").as("doc_id"), col("cluster_id"))
-        val next = labels.unionByName(prop)
+        val plan = labels.unionByName(prop)
           .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-          .persist()
+        // cut the lineage periodically: the plan nests one level per
+        // iteration, and a long-chain component would otherwise grow
+        // catalyst analysis quadratically (the standard iterative-Spark
+        // hazard GraphX handles the same way); localCheckpoint also
+        // protects the loop from cache-eviction re-derivation
+        val next =
+          if (iter % 5 == 0) plan.localCheckpoint()
+          else plan.persist()
         val improved = next
           .join(labels.withColumnRenamed("cluster_id", "_old"), "doc_id")
           .filter(col("cluster_id") < col("_old")).limit(1).count()
@@ -116,12 +125,25 @@ object Text {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def cachedClusters(s: SparkSession, d: String): DataFrame =
-    clusterCache.computeIfAbsent(d,
+    // keyed by (application, fixture): a DataFrame must not outlive its
+    // SparkSession when a same-JVM caller recreates the session
+    clusterCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$d",
       _ => dupClusters(jaccardPairs(s, d, 0.5)).persist())
 
-  /** shared oracle CTE chain ending in `jpairs(doc_a, doc_b)` — the
-    * exact word-trigram Jaccard >= 0.5 pairs (same as the
-    * doc_ngram_jaccard_pairs oracle) */
+  /** exposed so Bench surfaces the one-time clustering as a build entry
+    * (hiding it inside a discarded cold run would undercount the round) */
+  private[graft] def ensureClusters(s: SparkSession, d: String): Unit = {
+    cachedClusters(s, d).count(); ()
+  }
+
+  /** ONE definition of the exact word-trigram pair graph for every
+    * oracle that needs it (the pairs query and both cluster queries
+    * must agree on the SAME pairs or a borderline edge desynchronizes
+    * them): CTE chain ending in p0(doc_a, doc_b, inter) + sz(doc_id, n).
+    * The threshold filter lives in [[jpairsCte]] and compares the
+    * ROUNDED jaccard, matching the Spark side's round(...,4) filter —
+    * an exact-ratio filter would diverge on values in [0.49995, 0.5).
+    */
   private val jaccardCtes =
     """tokform AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
@@ -133,10 +155,13 @@ object Text {
         sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
         p0 AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
                FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id < y.doc_id
-               GROUP BY 1, 2),
-        jpairs AS (SELECT doc_a, doc_b FROM p0
-                   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-                   WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5)"""
+               GROUP BY 1, 2)"""
+
+  /** thresholded pair edges on top of [[jaccardCtes]] */
+  private val jpairsCte =
+    """jpairs AS (SELECT doc_a, doc_b FROM p0
+                  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.5)"""
 
   val queries: Seq[GQuery] = Seq(
 
@@ -262,21 +287,11 @@ object Text {
     // ---- near-dup: exact Jaccard on word trigrams (inverted index) ----
     GQuery("doc_ngram_jaccard_pairs",
       (s, d) => jaccardPairs(s, d, 0.5).orderBy("doc_a", "doc_b"),
-      Some("""WITH tokform AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
-        tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM tokform),
-        tri AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS sh
-                FROM tok a
-                JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-                JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-        sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
-        pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-                  FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id < y.doc_id
-                  GROUP BY 1, 2)
+      Some(s"""WITH $jaccardCtes
         SELECT doc_a, doc_b,
           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
-        FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        FROM p0 JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
     // ---- near-dup CLUSTERS: connected components over the pair graph --
@@ -284,7 +299,7 @@ object Text {
     // recursive transitive closure over the same exact-Jaccard pairs
     GQuery("doc_dup_clusters",
       (s, d) => cachedClusters(s, d).orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE $jaccardCtes,
+      Some(s"""WITH RECURSIVE $jaccardCtes, $jpairsCte,
         edges AS (SELECT doc_a AS s, doc_b AS t FROM jpairs
                   UNION SELECT doc_b, doc_a FROM jpairs),
         reach AS (SELECT s AS id, s AS r FROM edges
@@ -303,7 +318,7 @@ object Text {
             .select(col("doc_id")), Seq("doc_id"), "left_anti")
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $jaccardCtes,
+      Some(s"""WITH RECURSIVE $jaccardCtes, $jpairsCte,
         edges AS (SELECT doc_a AS s, doc_b AS t FROM jpairs
                   UNION SELECT doc_b, doc_a FROM jpairs),
         reach AS (SELECT s AS id, s AS r FROM edges
