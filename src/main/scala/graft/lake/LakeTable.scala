@@ -540,6 +540,46 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   def clean(retain: Int): Unit = log.clean(retain)
 
+  /** Delete data directories no commit references (Delta VACUUM / Hudi
+    * orphan-clean role): a crashed write leaves its directory on disk —
+    * invisible to every reader, but paid for in storage — and [[clean]]
+    * only deletes files the timeline explicitly superseded. Only
+    * directories older than `olderThanMs` are touched, so an IN-FLIGHT
+    * writer (files on disk, commit JSON not yet published) is never
+    * swept; keep the threshold above the longest plausible write.
+    * Returns the deleted directory paths.
+    */
+  def vacuumOrphans(olderThanMs: Long = 60L * 60 * 1000): Seq[String] = {
+    val dataRoot = new Path(config.root, "data")
+    val fs = dataRoot.getFileSystem(hconf)
+    if (!fs.exists(dataRoot)) return Seq.empty
+    // every directory any commit's files live in, keyed by the segment
+    // directly under data/ (one directory per commit attempt)
+    // compare scheme-free URI paths: FileAdd paths are fully qualified
+    // ("file:/tmp/...") while config.root may be plain — a raw string
+    // prefix match would reference NOTHING and sweep live directories
+    val rootPath = new Path(config.root).toUri.getPath
+    def commitDirOf(p: String): Option[String] = {
+      val rel = new Path(p).toUri.getPath.stripPrefix(rootPath)
+        .dropWhile(_ == '/')
+      val segs = rel.split('/')
+      if (segs.length >= 2 && segs(0) == "data") Some(segs(1)) else None
+    }
+    val referenced = log.commits.flatMap(_.adds)
+      .flatMap(a => commitDirOf(a.path)).toSet ++
+      // the catalog-sync stub and empty-table placeholder are not commit
+      // dirs but live under data/ — never sweep them
+      Seq("_empty")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val doomed = fs.listStatus(dataRoot).toSeq
+      .filter(_.isDirectory)
+      .filter(s => !referenced.contains(s.getPath.getName) &&
+        !s.getPath.getName.startsWith("_") &&
+        s.getModificationTime < cutoff)
+    doomed.foreach(s => fs.delete(s.getPath, true))
+    doomed.map(_.getPath.toString)
+  }
+
   /** Roll back the newest commit (Hudi rollback): the previous snapshot
     * becomes current again — superseded files spring back to live (only
     * the cleaner deletes them physically, and rollback refuses to cross

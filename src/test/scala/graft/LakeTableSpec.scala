@@ -135,6 +135,26 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == before)
   }
 
+  test("vacuumOrphans sweeps crashed-write directories, never live ones") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.upsert(df((1L, 1, "a2", 1)))
+    val before = snap(t)
+    df((666L, 1, "ghost", 9)).write
+      .parquet(t.config.root + "/data/c99999999-dead/_part=1")
+    // a fresh orphan survives a threshold-guarded vacuum (in-flight
+    // writer protection)...
+    assert(t.vacuumOrphans(olderThanMs = 60000).isEmpty)
+    // ...and is swept once older than the threshold
+    val gone = t.vacuumOrphans(olderThanMs = 0)
+    assert(gone.size == 1 && gone.head.contains("c99999999-dead"), gone)
+    assert(snap(t) == before)
+    // superseded-but-retained files (time travel) are still referenced:
+    // a second vacuum deletes nothing and readAsOf still works
+    assert(t.vacuumOrphans(olderThanMs = 0).isEmpty)
+    assert(t.readAsOf(0).count() == 1)
+  }
+
   test("delete removes rows in null and empty-string partitions") {
     import spark.implicits._
     val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
