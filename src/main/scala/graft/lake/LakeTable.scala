@@ -68,9 +68,20 @@ final case class LakeTableConfig(
       * read-heavy tables queried by time/range predicates, default key
       * clustering for upsert-heavy tables.
       */
-    clusterCols: Seq[String] = Seq.empty) {
+    clusterCols: Seq[String] = Seq.empty,
+    /** With 2+ numeric [[clusterCols]]: cluster files by the bit-
+      * interleaved Z-value of the columns instead of their lexicographic
+      * order (Hudi/Delta Z-ORDER). Linear multi-column clustering skips
+      * well only on the LEADING column; Z-ordering gives every clustered
+      * dimension bounded per-file ranges, so [[statsCols]] predicates on
+      * ANY of them prune files. Buckets are equal-width over the
+      * column's observed min/max per commit (256 per dimension).
+      */
+    zOrder: Boolean = false) {
   require(storageType == "cow" || storageType == "mor",
     s"storageType must be cow|mor, got $storageType")
+  require(!zOrder || clusterCols.size >= 2,
+    "zOrder requires at least two clusterCols")
   def isMor: Boolean = storageType == "mor"
 }
 
@@ -306,6 +317,40 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       writeCommit(payload, "insert_overwrite", removes.map(_.path), Some(id),
         basedOn = Some(basedOn))
     } finally incoming.unpersist()
+  }
+
+  /** Bit-interleaved Z-value over the clusterCols (space-filling-curve
+    * clustering): each column maps to a 256-bucket equal-width index
+    * over its observed min/max in this commit (one metadata-scale agg on
+    * the already-persisted frame), and the bucket bits interleave so
+    * range-clustering by the Z-value bounds EVERY dimension's per-file
+    * range. Pure codegen'd arithmetic — no UDF. Null/non-numeric values
+    * bucket to 0 (clustered together, stats-conservative).
+    */
+  private def zValueExpr(df: DataFrame): org.apache.spark.sql.Column = {
+    val cols = config.clusterCols
+    val bits = 8 // 256 buckets; bits * |cols| must stay < 63
+    require(bits * cols.size < 63, s"too many zOrder columns: ${cols.size}")
+    val bounds = df.agg(
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_lo_$c"),
+        max(col(c).cast("double")).as(s"_hi_$c"))).head,
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_lo_$c"),
+        max(col(c).cast("double")).as(s"_hi_$c"))).tail: _*).first()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val lo = Option(bounds.get(2 * i)).fold(0.0)(_.asInstanceOf[Double])
+      val hi = Option(bounds.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double])
+      if (hi <= lo) lit(0L)
+      else coalesce(
+        least(lit((1 << bits) - 1L), greatest(lit(0L),
+          floor((col(c).cast("double") - lit(lo)) / lit((hi - lo) / (1 << bits)))
+            .cast("long"))),
+        lit(0L))
+    }
+    (0 until bits).flatMap { j =>
+      buckets.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * cols.size + i)
+      }
+    }.reduce(_ + _)
   }
 
   /** intra-batch precombine: collapse duplicate dedup keys to the row
@@ -1249,10 +1294,11 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     val mat = if (kind == "delta") df else df.persist()
     // user clusterCols (if configured) override the record key as the
     // intra-partition clustering order — see LakeTableConfig.clusterCols
-    // for the skipping-vs-key-index tradeoff
+    // for the skipping-vs-key-index tradeoff; zOrder interleaves them
     val clusterExprs =
-      if (config.clusterCols.nonEmpty) config.clusterCols.map(col)
-      else Seq(col("_record_key"))
+      if (config.clusterCols.isEmpty) Seq(col("_record_key"))
+      else if (config.zOrder && kind != "delta") Seq(zValueExpr(mat))
+      else config.clusterCols.map(col)
     try {
       val writer =
         if (kind == "delta" && effParts.isEmpty) mat.write

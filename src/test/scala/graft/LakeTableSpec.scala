@@ -797,6 +797,38 @@ class LakeTableSpec extends AnyFunSuite {
       .select($"payload").as[String].collect().toSet == Set("upd"))
   }
 
+  test("zOrder clustering makes BOTH dimensions skippable") {
+    import spark.implicits._
+    def build(z: Boolean): LakeTable = {
+      val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+        statsCols = Seq("x", "y"), clusterCols = Seq("x", "y"), zOrder = z))
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // 20x20 grid: linear (x, y) clustering gives every file the full y
+      // range, so only x-predicates skip; z-order bounds both
+      try t.bulkInsert((0 until 400).map(i => (i.toLong, i % 20, i / 20, 0))
+        .toDF("pk", "x", "y", "ts"))
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      t
+    }
+    val lin = build(z = false)
+    val zed = build(z = true)
+    val total = zed.read().inputFiles.length
+    assert(total > 2, s"need several files, got $total")
+    // both layouts skip on the leading dimension...
+    assert(zed.read(col("x") === 3).inputFiles.length < total)
+    assert(lin.read(col("x") === 3).inputFiles.length < lin.read().inputFiles.length)
+    // ...but only z-order skips on the trailing one
+    assert(zed.read(col("y") === 17).inputFiles.length < total,
+      "z-order must bound the second dimension per file")
+    assert(lin.read(col("y") === 17).inputFiles.length ==
+      lin.read().inputFiles.length,
+      "sanity: linear clustering cannot skip on the trailing column here")
+    // correctness through the pruned reads
+    assert(zed.read(col("y") === 17).count() == 20)
+    assert(zed.read(col("x") === 3 && col("y") === 17).count() == 1)
+  }
+
   test("column stats on MoR prune whole file groups, never split a key") {
     import spark.implicits._
     val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
