@@ -321,11 +321,12 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
 
   /** Bit-interleaved Z-value over the clusterCols (space-filling-curve
     * clustering): each column maps to a 256-bucket equal-width index
-    * over its observed min/max in this commit (one metadata-scale agg on
-    * the already-persisted frame), and the bucket bits interleave so
-    * range-clustering by the Z-value bounds EVERY dimension's per-file
-    * range. Pure codegen'd arithmetic — no UDF. Null/non-numeric values
-    * bucket to 0 (clustered together, stats-conservative).
+    * over its observed min/max in this commit (one map-side-combined
+    * min/max agg over the already-persisted frame — a single cheap extra
+    * pass per commit), and the bucket bits interleave so range-
+    * clustering by the Z-value bounds EVERY dimension's per-file range.
+    * Pure codegen'd arithmetic — no UDF. Null/non-numeric values bucket
+    * to 0 (clustered together, stats-conservative).
     */
   private def zValueExpr(df: DataFrame): org.apache.spark.sql.Column = {
     val cols = config.clusterCols
