@@ -298,6 +298,26 @@ object Lake {
           AND m.l_orderkey <= 1200
         ORDER BY m.l_orderkey, m.l_linenumber""")),
 
+    // ---- spark.read.format("graft"): the table as a data source -------
+    // same snapshot as lake_delete_snapshot, resolved through the DSv1
+    // connector (commit-log listing + MoR-capable read, no catalog sync)
+    GQuery("lake_source_read",
+      (s, d) => {
+        val t = cdcTable(s, d) // ensure the fixture exists
+        proj(s.read.format("graft")
+          .option("keyCols", "l_orderkey,l_linenumber")
+          .option("precombineCol", "update_ts")
+          .option("partitionCols", "l_returnflag")
+          .option("statsCols", "l_orderkey")
+          .load(t.config.root))
+      },
+      Some(s"""$mergedCte
+        SELECT m.* FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM li k
+          WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+            AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
+        ORDER BY m.l_orderkey, m.l_linenumber""")),
+
     // ---- change-data-feed over the whole CDC replay --------------------
     // between c0 (bulk load) and the final commit: updates = surviving b1
     // winners (new values), deletes = the A-flag keys with their c0

@@ -456,6 +456,41 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.changesBetween(cN, cN))
   }
 
+  test("graft data source: format(\"graft\") reads snapshots, asOf, MoR, pushdown") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = LakeTable(spark, LakeTableConfig(root, Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), statsCols = Seq("ts")))
+    val c0 = t.bulkInsert(df((1L, 1, "a", 1), (2L, 2, "b", 5)))
+    t.upsert(df((1L, 1, "a2", 9)))
+    def src = spark.read.format("graft")
+      .option("keyCols", "pk").option("precombineCol", "ts")
+      .option("partitionCols", "vendorid").option("statsCols", "ts")
+    // latest snapshot through the data source API
+    val out = src.load(root).select($"pk", $"payload", $"ts")
+      .as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "a2", 9), (2L, "b", 5)))
+    // filter pushdown flows into the stats-pruned read and stays correct
+    val filtered = src.load(root).filter($"ts" === 5)
+      .select($"pk", $"payload").as[(Long, String)].collect().toSet
+    assert(filtered == Set((2L, "b")))
+    // time travel via option
+    val at0 = src.option("asOf", c0.toString).load(root)
+      .select($"pk", $"payload").as[(Long, String)].collect().toSet
+    assert(at0 == Set((1L, "a"), (2L, "b")))
+    // MoR tables merge deltas through the source
+    val mroot = freshRoot()
+    val m = LakeTable(spark, morCfg(mroot))
+    m.bulkInsert(df((1L, 1, "x", 0)))
+    m.upsert(df((1L, 1, "x2", 1), (2L, 1, "y", 1)))
+    val mOut = spark.read.format("graft")
+      .option("keyCols", "pk").option("precombineCol", "ts")
+      .option("partitionCols", "vendorid").option("storageType", "mor")
+      .load(mroot)
+      .select($"pk", $"payload").as[(Long, String)].collect().toSet
+    assert(mOut == Set((1L, "x2"), (2L, "y")))
+  }
+
   test("catalog sync: persistent table with partitions, auto-resynced") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))
