@@ -82,6 +82,8 @@ final case class LakeTableConfig(
     s"storageType must be cow|mor, got $storageType")
   require(!zOrder || clusterCols.size >= 2,
     "zOrder requires at least two clusterCols")
+  require(!zOrder || clusterCols.size <= 7,
+    s"zOrder supports at most 7 columns (8 bits each in a 63-bit value), got ${clusterCols.size}")
   def isMor: Boolean = storageType == "mor"
 }
 
@@ -330,8 +332,7 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     */
   private def zValueExpr(df: DataFrame): org.apache.spark.sql.Column = {
     val cols = config.clusterCols
-    val bits = 8 // 256 buckets; bits * |cols| must stay < 63
-    require(bits * cols.size < 63, s"too many zOrder columns: ${cols.size}")
+    val bits = 8 // 256 buckets; bits * |cols| < 63 enforced by the config
     val bounds = df.agg(
       cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_lo_$c"),
         max(col(c).cast("double")).as(s"_hi_$c"))).head,
@@ -601,13 +602,14 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     if (!fs.exists(dataRoot)) return Seq.empty
     // every directory any commit's files live in, keyed by the segment
     // directly under data/ (one directory per commit attempt)
-    // compare scheme-free URI paths: FileAdd paths are fully qualified
-    // ("file:/tmp/...") while config.root may be plain — a raw string
-    // prefix match would reference NOTHING and sweep live directories
-    val rootPath = new Path(config.root).toUri.getPath
+    // compare FULLY-QUALIFIED scheme-free URI paths on both sides:
+    // FileAdd paths are qualified ("file:/abs/...") while config.root
+    // may be plain OR RELATIVE — an unqualified prefix match would
+    // reference NOTHING and sweep live directories
+    val rootPath = fs.makeQualified(new Path(config.root)).toUri.getPath
     def commitDirOf(p: String): Option[String] = {
-      val rel = new Path(p).toUri.getPath.stripPrefix(rootPath)
-        .dropWhile(_ == '/')
+      val rel = fs.makeQualified(new Path(p)).toUri.getPath
+        .stripPrefix(rootPath).dropWhile(_ == '/')
       val segs = rel.split('/')
       if (segs.length >= 2 && segs(0) == "data") Some(segs(1)) else None
     }
@@ -616,14 +618,24 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       // the catalog-sync stub and empty-table placeholder are not commit
       // dirs but live under data/ — never sweep them
       Seq("_empty")
+    // belt and braces: a timeline with file adds that resolves ZERO
+    // referenced directories means the path comparison is broken —
+    // refuse to sweep rather than destroy live data
+    require(log.commits.forall(_.adds.isEmpty) ||
+      referenced.exists(_ != "_empty"),
+      "could not resolve any referenced data directory — refusing to vacuum")
     val cutoff = System.currentTimeMillis() - olderThanMs
     val doomed = fs.listStatus(dataRoot).toSeq
       .filter(_.isDirectory)
       .filter(s => !referenced.contains(s.getPath.getName) &&
         !s.getPath.getName.startsWith("_") &&
+        // object-store "directories" report mtime 0 — treat unknown age
+        // as NOT old so an in-flight writer is never swept there either
+        s.getModificationTime > 0 &&
         s.getModificationTime < cutoff)
-    doomed.foreach(s => fs.delete(s.getPath, true))
-    doomed.map(_.getPath.toString)
+    // only report what was actually deleted (fs may signal failure via
+    // the return value rather than an exception)
+    doomed.filter(s => fs.delete(s.getPath, true)).map(_.getPath.toString)
   }
 
   /** Roll back the newest commit (Hudi rollback): the previous snapshot

@@ -64,44 +64,62 @@ private[sources] final class GraftRelation(
 
   override def sqlContext: SQLContext = ctx
 
+  // PIN the snapshot at relation creation: buildScan runs once per scan
+  // (twice in a self-join, again per re-executed action), and resolving
+  // "latest" each time would let an interleaved commit make one
+  // DataFrame read two different table versions
+  private val pinned: Option[Long] = asOf.orElse(table.log.latestId)
+
   private def snapshot(): DataFrame =
-    asOf.fold(table.read())(table.readAsOf)
+    pinned.fold(table.read())(table.readAsOf)
 
   override val schema: StructType = snapshot().schema
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  // DSv1 hands over raw column names — quote them or a flat column
+  // literally named "a.b" parses as a nested field reference
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** exact size from the commit log — lets Spark auto-broadcast small
+    * lake tables instead of assuming defaultSizeInBytes (huge) */
+  override def sizeInBytes: Long = {
+    val bytes = table.log.liveFiles(pinned).map(_.bytes).sum
+    if (bytes > 0) bytes else super.sizeInBytes
+  }
+
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val pred = filters.flatMap(toColumn).reduceOption(_ && _)
-    val base = (pred, asOf) match {
-      // the stats-skipping path only serves the LATEST snapshot; for
-      // asOf reads the predicate still re-applies below
-      case (Some(p), None) => table.read(p)
-      case (Some(p), Some(_)) => snapshot().filter(p)
+    val base = (pred, pinned) match {
+      // the stats-skipping path serves the LATEST snapshot; use it only
+      // while the pin IS the head (the predicate re-applies either way)
+      case (Some(p), pin) if pin == table.log.latestId => table.read(p)
+      case (Some(p), _) => snapshot().filter(p)
       case (None, _) => snapshot()
     }
     val projected =
-      if (requiredColumns.isEmpty) base else base.select(requiredColumns.map(col): _*)
+      if (requiredColumns.isEmpty) base else base.select(requiredColumns.map(qcol): _*)
     projected.rdd
   }
 
   /** DSv1 Filter → Column; None = untranslatable (left for Spark). */
   private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
+    case EqualTo(a, v) => Some(qcol(a) === lit(v))
+    case GreaterThan(a, v) => Some(qcol(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(qcol(a) >= lit(v))
+    case LessThan(a, v) => Some(qcol(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(qcol(a) <= lit(v))
+    case In(a, vs) if vs.nonEmpty => Some(qcol(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(qcol(a).isNull)
+    case IsNotNull(a) => Some(qcol(a).isNotNull)
     case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
     case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
     case Not(c) => toColumn(c).map(!_)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
+    case StringStartsWith(a, v) => Some(qcol(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(qcol(a).endsWith(v))
+    case StringContains(a, v) => Some(qcol(a).contains(v))
     case _ => None
   }
 }
