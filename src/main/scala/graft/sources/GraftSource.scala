@@ -24,12 +24,13 @@ import graft.lake.{LakeTable, LakeTableConfig}
   *   - `hashBuckets`, `globalIndex`, `statsCols`: as in [[LakeTableConfig]]
   *   - `asOf`: commit id for time travel
   */
-final class GraftSource extends RelationProvider with DataSourceRegister {
+final class GraftSource extends RelationProvider
+  with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
-  override def createRelation(
-      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+  private def tableFor(
+      ctx: SQLContext, parameters: Map[String, String]): LakeTable = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft source requires a path"))
     def csv(k: String): Seq[String] =
@@ -44,9 +45,36 @@ final class GraftSource extends RelationProvider with DataSourceRegister {
       storageType = parameters.getOrElse("storageType", "cow"),
       hashBuckets = parameters.get("hashBuckets").map(_.toInt).getOrElse(0),
       statsCols = csv("statsCols"))
-    val table = LakeTable(ctx.sparkSession, cfg)
+    LakeTable(ctx.sparkSession, cfg)
+  }
+
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val table = tableFor(ctx, parameters)
     val asOf = parameters.get("asOf").map(_.toLong)
     new GraftRelation(ctx, table, asOf)
+  }
+
+  /** `df.write.format("graft")` — SaveMode maps onto the table's write
+    * operations (the reference's upsert/bulk_insert operation switch,
+    * glue/HudiJarGlueJob.py:84):
+    *   Append         → upsert (precombine merge; first write allowed)
+    *   Overwrite      → insertOverwrite (touched partitions replaced)
+    *   ErrorIfExists  → bulkInsert (refuses a non-empty table)
+    *   Ignore         → bulkInsert only if the table does not exist
+    */
+  override def createRelation(
+      ctx: SQLContext, mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val table = tableFor(ctx, parameters)
+    mode match {
+      case Append => table.upsert(data)
+      case Overwrite => table.insertOverwrite(data)
+      case ErrorIfExists => table.bulkInsert(data)
+      case Ignore => if (!table.exists) table.bulkInsert(data)
+    }
+    new GraftRelation(ctx, table, asOf = None)
   }
 }
 

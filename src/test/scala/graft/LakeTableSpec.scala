@@ -491,6 +491,32 @@ class LakeTableSpec extends AnyFunSuite {
     assert(mOut == Set((1L, "x2"), (2L, "y")))
   }
 
+  test("graft data source write: SaveMode maps onto table operations") {
+    import spark.implicits._
+    val root = freshRoot()
+    def w(rows: DataFrame) = rows.write.format("graft")
+      .option("keyCols", "pk").option("precombineCol", "ts")
+      .option("partitionCols", "vendorid")
+    // ErrorIfExists = bulk insert, refuses a second time
+    w(df((1L, 1, "a", 0), (2L, 2, "b", 0))).mode("error").save(root)
+    intercept[IllegalArgumentException](
+      w(df((9L, 9, "x", 0))).mode("error").save(root))
+    // Append = upsert with precombine
+    w(df((1L, 1, "a2", 1), (3L, 1, "c", 1))).mode("append").save(root)
+    w(df((1L, 1, "stale", 0))).mode("append").save(root)
+    def readBack = spark.read.format("graft")
+      .option("keyCols", "pk").option("precombineCol", "ts")
+      .option("partitionCols", "vendorid").load(root)
+      .select($"pk", $"payload").as[(Long, String)].collect().toSet
+    assert(readBack == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    // Overwrite = insertOverwrite of the touched partition
+    w(df((7L, 1, "only", 0))).mode("overwrite").save(root)
+    assert(readBack == Set((7L, "only"), (2L, "b")))
+    // Ignore = no-op on an existing table
+    w(df((8L, 8, "ignored", 0))).mode("ignore").save(root)
+    assert(readBack == Set((7L, "only"), (2L, "b")))
+  }
+
   test("catalog sync: persistent table with partitions, auto-resynced") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))
