@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.{GQuery, Tables => T}
+
+/** Temporal join operators the built-in relational surface lacks (the
+  * "compose existing ops" preference of SURVEY.md §7.3): AS-OF joins and
+  * range (interval) joins, both expressed as single-shuffle declarative
+  * plans — never a BroadcastNestedLoopJoin or cartesian product, which is
+  * what a naive `l.t >= r.t` theta-join degenerates to and the first
+  * thing that dies at 100 TB.
+  *
+  * Fixture queries run over `events` (click→purchase attribution), with
+  * DuckDB's native `ASOF JOIN` / inequality joins as the oracle. All time
+  * comparisons live in epoch-ms BIGINT space (TESTDATA ns trap — see
+  * graft.ops.Events).
+  */
+object Temporal {
+
+  /** AS-OF join (time-series point lookup, the shape of feature-store /
+    * mark-to-market / "latest reading before the event" queries): for
+    * every left row, the single most recent right row of the same key
+    * with `rightTime <= leftTime` (direction "backward", inclusive), or
+    * the earliest with `rightTime >= leftTime` ("forward"). Left rows
+    * without a match keep null right columns (left-outer semantics).
+    *
+    * Plan shape — the scalable union trick, not a theta-join: both sides
+    * are unioned and window-scanned once, so the cost is ONE hash
+    * exchange on the key plus a per-key sort, identical to a groupBy at
+    * the same cardinality. A theta-join `l.user = r.user AND l.t >= r.t`
+    * would pick every preceding row (wrong) or, de-correlated, plan as a
+    * per-key cross product — O(nl·nr) per key — that AQE cannot save.
+    *
+    *   1. right rows become (key, _t = rightTime, _r = struct(payload));
+    *   2. left rows union in with _r = null, tagged to sort AFTER right
+    *      rows at equal time (inclusive match);
+    *   3. `last(_r, ignoreNulls)` over (key ORDER BY _t, _side ROWS
+    *      UNBOUNDED PRECEDING..CURRENT) carries the latest right payload
+    *      forward onto each left row;
+    *   4. left rows re-emerge with the payload expanded.
+    *
+    * Contracts: right's non-key columns (the payload, including
+    * `rightTime` under its own name) must not collide with left columns —
+    * pre-alias the right side. Ties on (key, rightTime) resolve to the
+    * greatest payload struct (field order = right column order); pre-
+    * aggregate the right side (e.g. max_by per key+time) when tie-breaks
+    * must follow a business rule. `tolerance` (same unit as the time
+    * columns, which must then be numeric — use epoch-ms) nulls out
+    * matches further than the window, mirroring pandas.merge_asof.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val payload = right.columns.filterNot(keys.contains)
+    val clash = payload.toSet & left.columns.toSet
+    require(clash.isEmpty,
+      s"right payload columns collide with left: ${clash.mkString(",")} — alias the right side")
+
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("_t"), lit(0).as("_side"),
+        struct(payload.map(col): _*).as("_r")): _*)
+    val rType = r.schema("_r").dataType.asInstanceOf[StructType]
+    val l = left.select(
+      left.columns.map(col) ++ Seq(col(leftTime).as("_t"), lit(1).as("_side"),
+        lit(null).cast(rType).as("_r")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    // backward: scan time ascending, right rows first at equal _t (so an
+    // exactly-simultaneous reading matches — inclusive); forward is the
+    // mirror image. `_r` ascending makes equal-time right rows resolve
+    // deterministically (greatest struct wins under last()).
+    val ord =
+      if (direction == "backward") Seq(col("_t").asc, col("_side").asc, col("_r").asc)
+      else Seq(col("_t").desc, col("_side").asc, col("_r").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched0 = last(col("_r"), ignoreNulls = true).over(w)
+    val matched = tolerance.fold(matched0) { tol =>
+      val rt = matched0.getField(rightTime)
+      val dist =
+        if (direction == "backward") col("_t") - rt else rt - col("_t")
+      when(dist <= tol, matched0)
+    }
+    unioned
+      .withColumn("_m", matched)
+      .filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col("_m").getField(p).as(p)): _*)
+  }
+
+  /** Range (interval) join: pair every point row with every interval row
+    * whose `[lo, hi]` contains its `pointCol` (inclusive both ends) —
+    * the attribution-window / IP-range-lookup / sensor-calibration-epoch
+    * shape. Returns the joined rows with both sides' columns (names must
+    * be disjoint).
+    *
+    * Plan shape — bucketed banding: intervals explode to the fixed-width
+    * buckets they overlap (`sequence(floor(lo/w), floor(hi/w))`), points
+    * map to their single bucket, and the join becomes an EQUI-join on
+    * the bucket id with the `BETWEEN` predicate as a residual filter —
+    * a shuffle hash join Catalyst/AQE can size and skew-split, instead
+    * of the BroadcastNestedLoopJoin a bare inequality join plans (which
+    * at 100 TB means shipping one whole side to every task). Each point
+    * owns exactly one bucket, so no dedup pass is needed. Pick
+    * `bucketWidth` near the typical interval length: an interval
+    * produces `len/width + 1` exploded rows, so the blow-up stays O(1)
+    * while each bucket's population stays selective.
+    */
+  def rangeJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val clash = points.columns.toSet & intervals.columns.toSet
+    require(clash.isEmpty,
+      s"point/interval columns collide: ${clash.mkString(",")} — alias one side")
+    val b = intervals.withColumn("_ib",
+      explode(sequence(floor(col(loCol) / bucketWidth),
+        floor(col(hiCol) / bucketWidth))))
+    val p = points.withColumn("_pb", floor(col(pointCol) / bucketWidth))
+    p.join(b, col("_pb") === col("_ib") &&
+        col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_pb", "_ib")
+  }
+
+  // ---- fixture queries ------------------------------------------------
+
+  /** purchases / clicks of the events fixture in epoch-ms space. Clicks
+    * pre-aggregate to one row per (user, ms): simultaneous clicks would
+    * otherwise make the as-of tie-break engine-specific (greatest-struct
+    * here, arbitrary in DuckDB's ASOF) — the dedup pins ONE deterministic
+    * answer on both sides.
+    */
+  private def purchases(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    T.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("t_ms"))
+
+  private def clicks(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    T.events(s, d).filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("click_ms"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+      .groupBy(col("user_id"), col("click_ms"))
+      .agg(max(col("click_id")).as("click_id"),
+        max_by(col("click_value"), col("click_id")).as("click_value"))
+
+  val queries: Seq[GQuery] = Seq(
+
+    // ---- AS-OF: each purchase ← the user's latest prior click ---------
+    GQuery("ev_asof_attribution",
+      (s, d) => asofJoin(
+        purchases(s, d),
+        clicks(s, d).select(col("user_id"), col("click_ms"),
+          col("click_id"), col("click_value")),
+        keys = Seq("user_id"), leftTime = "t_ms", rightTime = "click_ms")
+        .orderBy("event_id"),
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS t_ms
+                FROM events WHERE event_type = 'purchase'),
+             c0 AS (SELECT user_id, epoch_ms(ts) AS click_ms,
+                      event_id AS click_id, value AS click_value
+                FROM events WHERE event_type = 'click'),
+             c AS (SELECT user_id, click_ms, max(click_id) AS click_id,
+                      arg_max(click_value, click_id) AS click_value
+                FROM c0 GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.t_ms,
+               c.click_ms, c.click_id, c.click_value
+        FROM l ASOF LEFT JOIN c
+          ON l.user_id = c.user_id AND l.t_ms >= c.click_ms
+        ORDER BY l.event_id""")),
+
+    // ---- RANGE: clicks (any user) inside each purchase's 5-min window -
+    GQuery("ev_range_attribution",
+      (s, d) => {
+        val win = 5 * 60 * 1000L
+        val p = purchases(s, d)
+          .withColumn("lo_ms", col("t_ms") - win)
+        val c = clicks(s, d).select(col("click_ms"))
+        val pairs = rangeJoin(c, "click_ms",
+          p.select(col("event_id"), col("lo_ms"), col("t_ms").as("hi_ms")),
+          "lo_ms", "hi_ms", bucketWidth = win)
+        // left-join the pair counts back so zero-click purchases remain
+        val counts = pairs.groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks"))
+        p.select(col("event_id"), col("t_ms"))
+          .join(counts, Seq("event_id"), "left_outer")
+          .withColumn("n_clicks", coalesce(col("n_clicks"), lit(0L)))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, epoch_ms(ts) AS t_ms
+                FROM events WHERE event_type = 'purchase'),
+             c0 AS (SELECT user_id, epoch_ms(ts) AS click_ms
+                FROM events WHERE event_type = 'click'),
+             c AS (SELECT user_id, click_ms FROM c0 GROUP BY 1, 2)
+        SELECT p.event_id, p.t_ms,
+               CAST((SELECT count(*) FROM c
+                     WHERE c.click_ms BETWEEN p.t_ms - 300000 AND p.t_ms)
+                 AS BIGINT) AS n_clicks
+        FROM p ORDER BY event_id"""))
+  )
+}

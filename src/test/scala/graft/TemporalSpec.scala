@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AS-OF / range join semantics pinned against brute-force theta-joins on
+  * handcrafted frames (match choice, inclusivity, left-outer nulls,
+  * direction, tolerance), plus executed-plan assertions that neither
+  * operator ever degenerates to a nested-loop/cartesian join — the whole
+  * point of their existence (SURVEY.md §7.3 compose-first rule).
+  */
+class TemporalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def trades = Seq(
+    // (key, time, trade id)
+    ("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L),
+    ("b", 15L, 4L),
+    ("c", 5L, 5L) // key with no quotes at all
+  ).toDF("sym", "t_ms", "trade_id")
+
+  private def quotes = Seq(
+    // (key, time, price) — includes an exact-tie time (a, 20)
+    ("a", 8L, 1.0), ("a", 20L, 2.0), ("a", 25L, 3.0),
+    ("b", 999L, 9.0) // only a FUTURE quote for b
+  ).toDF("sym", "q_ms", "px")
+
+  test("asof backward: latest at-or-before match per key, nulls when none") {
+    val out = ops.Temporal.asofJoin(trades, quotes, Seq("sym"), "t_ms", "q_ms")
+      .select("sym", "t_ms", "q_ms", "px").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(("a", 10L)) == (Some(8L), Some(1.0)))
+    assert(out(("a", 20L)) == (Some(20L), Some(2.0)), "equal time matches (inclusive)")
+    assert(out(("a", 30L)) == (Some(25L), Some(3.0)))
+    assert(out(("b", 15L)) == (None, None), "future-only quotes never match backward")
+    assert(out(("c", 5L)) == (None, None), "keys with no right rows keep nulls")
+    assert(out.size == 5, "every left row survives exactly once")
+  }
+
+  test("asof forward: earliest at-or-after match per key") {
+    val out = ops.Temporal.asofJoin(trades, quotes, Seq("sym"), "t_ms", "q_ms",
+      direction = "forward")
+      .select("sym", "t_ms", "q_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(out(("a", 10L)) == Some(20L))
+    assert(out(("a", 20L)) == Some(20L))
+    assert(out(("a", 30L)) == None)
+    assert(out(("b", 15L)) == Some(999L))
+  }
+
+  test("asof tolerance: stale matches null out") {
+    val out = ops.Temporal.asofJoin(trades, quotes, Seq("sym"), "t_ms", "q_ms",
+      tolerance = Some(3L))
+      .select("sym", "t_ms", "q_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(out(("a", 10L)) == Some(8L), "within tolerance")
+    assert(out(("a", 30L)) == None, "30-25 > 3 nulls out")
+    assert(out(("a", 20L)) == Some(20L), "distance 0 always passes")
+  }
+
+  test("asof matches a brute-force window theta-join on the fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ev_asof_attribution")(spark, sf)
+      .select("event_id", "click_ms", "click_id").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    // brute force: per purchase, max click_ms <= t_ms, then the dedup'd
+    // click row at that time
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("t_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_millis(col("ts")).as("click_ms"),
+        col("event_id").as("click_id"))
+      .groupBy(col("cu"), col("click_ms")).agg(max("click_id").as("click_id"))
+    val brute = p.join(c, p("user_id") === c("cu") && col("click_ms") <= col("t_ms"),
+        "left_outer")
+      .groupBy(col("event_id"))
+      .agg(max(col("click_ms")).as("bm"),
+        max_by(col("click_id"), col("click_ms")).as("bid"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (id, (ms, cid)) =>
+      assert((ms, cid) == brute(id), s"purchase $id")
+    }
+    assert(got.values.exists(_._1.isDefined), "fixture should attribute some purchases")
+  }
+
+  test("range join: equals the naive inequality join, bounds inclusive") {
+    val points = Seq((1L, 0L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 21L),
+      (6L, 55L), (7L, -7L)).toDF("pid", "x")
+    val ivs = Seq((100L, 10L, 20L), (101L, 15L, 40L), (102L, -10L, -5L),
+      (103L, 60L, 70L)).toDF("iid", "lo", "hi")
+    val got = ops.Temporal.rangeJoin(points, "x", ivs, "lo", "hi", bucketWidth = 7L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got.contains((2L, 100L)), "lo bound inclusive")
+    assert(got.contains((4L, 100L)), "hi bound inclusive")
+    assert(got.contains((7L, 102L)), "negative domain buckets correctly")
+    assert(!got.exists(_._1 == 6L), "gap points match nothing")
+  }
+
+  test("temporal plans: no nested-loop or cartesian join, single key shuffle for asof") {
+    val sf = "/root/testdata/sf0.001"
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def badNodes(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+            b.nodeName
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+            c.nodeName
+        }
+      val asof = SparkEntry.queries("ev_asof_attribution")(spark, sf)
+      assert(badNodes(asof).isEmpty, "asof must never nested-loop")
+      // the union+window CORE costs exactly one exchange (on the key) —
+      // measured on the bare operator; the catalog query adds its own
+      // pre-aggregation and presentation-sort exchanges around it
+      val core = ops.Temporal.asofJoin(trades, quotes, Seq("sym"), "t_ms", "q_ms")
+      val exchanges = core.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1, s"asof core should shuffle once, saw ${exchanges.size}")
+      val range = SparkEntry.queries("ev_range_attribution")(spark, sf)
+      assert(badNodes(range).isEmpty,
+        "banded range join must plan as an equi-join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}
