@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -404,6 +404,119 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     val remaining = current.join(doomed, cond, "left_anti")
     writeCommit(remaining, "delete", oldFiles.map(_.path), Some(id),
       basedOn = Some(basedOn))
+  }
+
+  /** Multi-clause MERGE INTO (see [[MergeBuilder]] for semantics). */
+  def merge(source: DataFrame): MergeBuilder =
+    new MergeBuilder(this, source, Seq.empty)
+
+  /** Executes a merge as ONE commit. Plan shape: the deduped source
+    * full-outer-joins the CURRENT rows of only the partitions the merge
+    * can touch (source partitions, plus key-holding partitions under a
+    * global index — the same metadata-pruned scope as upsert), then a
+    * single case-discriminated projection applies the first matching
+    * clause per row. One key shuffle for the join; untouched partitions
+    * are never read or rewritten — unless a by-source clause is present,
+    * which by definition must see every target row. On MoR the touched
+    * scope is read through the delta merge and written back as base
+    * files, i.e. a merge doubles as targeted compaction.
+    */
+  private[lake] def mergeImpl(source0: DataFrame, clauses: Seq[MergeClause]): Long = {
+    import MergeClause._
+    require(exists, s"table ${config.root} does not exist")
+    require(clauses.nonEmpty, "merge needs at least one WHEN clause")
+    val identityCols = (config.keyCols ++ config.partitionCols).toSet
+    clauses.foreach { cl =>
+      val bad = cl.set.keySet & identityCols
+      require(bad.isEmpty,
+        s"merge may not assign key/partition columns: ${bad.mkString(",")}")
+    }
+    val needed = dedupCols :+ config.precombineCol
+    needed.foreach(c => require(source0.columns.contains(c),
+      s"merge source must carry identity+precombine column '$c'"))
+    val hasBySource = clauses.exists(cl =>
+      cl.kind == BySourceUpdate || cl.kind == BySourceDelete)
+    if (!hasBySource && source0.isEmpty) return log.latestId.getOrElse(-1L)
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+    val id = log.nextId
+    val src = dedupWithinBatch(
+      withDerived(source0).withColumn("_seq", monotonically_increasing_id()))
+      .persist()
+    try {
+      val live = log.liveFiles()
+      val oldFiles =
+        if (hasBySource || effParts.isEmpty) live
+        // a subset MoR delta-merge is only sound when dedup groups are
+        // partition-local; otherwise a key's rows may span partitions
+        else if (config.isMor && !groupLocalMergeSafe) live
+        else {
+          val touched = renderedTuples(src) ++
+            (if (config.globalIndex) partitionsHoldingKeys(src, live)
+             else Set.empty)
+          live.filter(f => touched.contains(f.partition))
+        }
+      val current =
+        if (oldFiles.isEmpty) readOrEmpty(oldFiles) else mergeIfNeeded(oldFiles)
+      val userCols = current.columns
+        .filterNot(c => c == "_commit_id" || c == "_record_key" || c == BucketCol)
+      clauses.foreach { cl =>
+        val unknown = cl.set.keySet -- userCols.toSet
+        require(unknown.isEmpty,
+          s"merge assigns columns absent from the table: ${unknown.mkString(",")}")
+      }
+      val srcCols = src.columns.toSet
+      val t = current.withColumn("_t_in", lit(true)).alias("t")
+      val s = src.withColumn("_s_in", lit(true)).alias("s")
+      val joinCond = dedupCols.map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
+      val joined = t.join(s, joinCond, "full_outer")
+      val isT = coalesce(col("_t_in"), lit(false))
+      val isS = coalesce(col("_s_in"), lit(false))
+      val matched = isT && isS
+      // every clause becomes a guarded case, IN ORDER, in three aligned
+      // chains (row-survives, per-column value, commit id) — alignment
+      // guarantees "first matching clause wins" consistently
+      def guard(cl: MergeClause): Column = {
+        val base = cl.kind match {
+          case MatchedUpdate | MatchedDelete => matched
+          case NotMatchedInsert              => isS && !isT
+          case BySourceUpdate | BySourceDelete => isT && !isS
+        }
+        cl.cond.fold(base)(base && _)
+      }
+      def chain(cases: Seq[(Column, Column)], default: Column): Column =
+        cases.foldRight(default) { case ((c, v), acc) => when(c, v).otherwise(acc) }
+      val keep = chain(clauses.map { cl =>
+        guard(cl) -> lit(cl.kind != MatchedDelete && cl.kind != BySourceDelete)
+      }, isT) // no clause fires: target rows survive, source-only rows drop
+      def valueFor(c: String): Column = {
+        val dt = current.schema(c).dataType
+        chain(clauses.map { cl =>
+          val v = cl.kind match {
+            case MatchedUpdate | BySourceUpdate =>
+              cl.set.getOrElse(c, col(s"t.$c"))
+            case NotMatchedInsert =>
+              cl.set.getOrElse(c,
+                if (srcCols.contains(c)) col(s"s.$c") else lit(null).cast(dt))
+            case _ => col(s"t.$c")
+          }
+          guard(cl) -> v
+        }, col(s"t.$c")).as(c)
+      }
+      // rows this commit changed get its id; pass-throughs keep their
+      // provenance so the incremental/CDC readers stay truthful
+      val newCid = chain(clauses.map { cl =>
+        guard(cl) -> (cl.kind match {
+          case MatchedDelete | BySourceDelete => col("t._commit_id")
+          case _                              => lit(id)
+        })
+      }, col("t._commit_id"))
+      val result = withDerived(
+        joined.filter(keep)
+          .select(userCols.map(valueFor) :+ newCid.as("_commit_id"): _*)
+          .withColumn("_record_key", keyStrExpr))
+      writeCommit(result, "merge", oldFiles.map(_.path), Some(id),
+        basedOn = Some(basedOn))
+    } finally src.unpersist()
   }
 
   // ---- read paths -----------------------------------------------------

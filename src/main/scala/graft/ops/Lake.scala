@@ -199,6 +199,46 @@ object Lake {
       t
     })
 
+  /** Merge fixture over keyed lineitem: ONE multi-clause merge exercises
+    * all four clause kinds at once —
+    *   source = R-partition rows as updates (qty+500, ts=1)
+    *          ∪ the same rows re-keyed (+10M) as inserts (qty+9000, ts=1)
+    *   whenMatchedDelete    where t.l_linenumber = 1
+    *   whenMatchedUpdate    qty/ts from source
+    *   whenNotMatchedInsertAll
+    *   whenNotMatchedBySourceDelete where t.l_returnflag = 'N'
+    * The oracle reconstructs the result relationally (left join + CASE).
+    */
+  private[graft] def mergeTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:merge", _ => {
+      val root = s"/tmp/graft_lake/merge_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("l_orderkey", "l_linenumber"),
+        precombineCol = "update_ts", partitionCols = Seq("l_returnflag")))
+      val li = keyedLineitem(s, d).withColumn("update_ts", lit(0)).persist()
+      try {
+        t.bulkInsert(li)
+        val r = li.filter(col("l_returnflag") === "R")
+        val updates = r.withColumn("l_quantity", col("l_quantity") + 500)
+          .withColumn("update_ts", lit(1))
+        val inserts = r.withColumn("l_orderkey", col("l_orderkey") + 10000000L)
+          .withColumn("l_quantity", col("l_quantity") + 9000)
+          .withColumn("update_ts", lit(1))
+        t.merge(updates.unionByName(inserts))
+          .whenMatchedDelete(Some(col("t.l_linenumber") === 1))
+          .whenMatchedUpdate(Map(
+            "l_quantity" -> col("s.l_quantity"),
+            "update_ts" -> col("s.update_ts")))
+          .whenNotMatchedInsertAll()
+          .whenNotMatchedBySourceDelete(Some(col("t.l_returnflag") === "N"))
+          .execute()
+      } finally li.unpersist()
+      t
+    })
+
   private val liCte =
     """li AS (SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
                    max(l_quantity) AS l_quantity
@@ -419,6 +459,28 @@ object Lake {
         WHERE NOT EXISTS (SELECT 1 FROM li k
           WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
             AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
-        ORDER BY m.l_orderkey, m.l_linenumber"""))
+        ORDER BY m.l_orderkey, m.l_linenumber""")),
+
+    // ---- multi-clause MERGE INTO (see mergeTable for the clause set) ---
+    GQuery("lake_merge_snapshot",
+      (s, d) => proj(mergeTable(s, d).read()),
+      Some(s"""WITH $liCte,
+        r AS (SELECT * FROM li WHERE l_returnflag = 'R'),
+        upd AS (SELECT l_orderkey, l_linenumber,
+                       l_quantity + 500 AS l_quantity FROM r),
+        kept AS (
+          SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag,
+            CASE WHEN u.l_orderkey IS NOT NULL THEN u.l_quantity
+                 ELSE t.l_quantity END AS l_quantity,
+            CASE WHEN u.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS update_ts
+          FROM li t LEFT JOIN upd u
+            ON t.l_orderkey = u.l_orderkey AND t.l_linenumber = u.l_linenumber
+          WHERE NOT (u.l_orderkey IS NOT NULL AND t.l_linenumber = 1)
+            AND NOT (u.l_orderkey IS NULL AND t.l_returnflag = 'N')),
+        ins AS (SELECT l_orderkey + 10000000 AS l_orderkey, l_linenumber,
+                       l_returnflag, l_quantity + 9000 AS l_quantity,
+                       1 AS update_ts FROM r)
+        SELECT * FROM kept UNION ALL SELECT * FROM ins
+        ORDER BY l_orderkey, l_linenumber"""))
   )
 }

@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake.{LakeTable, LakeTableConfig}
+
+/** Multi-clause MERGE semantics (LakeTable.merge / MergeBuilder): clause
+  * ordering, conditional update/delete/insert, by-source clauses, source
+  * precombine collapse, identity immutability, partition-scope pruning,
+  * commit-id provenance, and MoR merge-as-compaction.
+  */
+class MergeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("mergetest").resolve("tbl").toString
+
+  private def cfg(root: String, storage: String = "cow") =
+    LakeTableConfig(root, keyCols = Seq("pk"), precombineCol = "ts",
+      partitionCols = Seq("part"), storageType = storage)
+
+  private def df(rows: (Long, Int, String, Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("pk", "part", "payload", "ts")
+  }
+
+  private def snap(t: LakeTable): Set[(Long, Int, String, Int)] = {
+    import spark.implicits._
+    t.read().select($"pk", $"part", $"payload", $"ts")
+      .as[(Long, Int, String, Int)].collect().toSet
+  }
+
+  private def base(storage: String = "cow"): LakeTable = {
+    val t = LakeTable(spark, cfg(freshRoot(), storage))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0), (3L, 2, "c", 0)))
+    t
+  }
+
+  test("update + insert + untouched rows (upsert shape)") {
+    val t = base()
+    t.merge(df((1L, 1, "a2", 5), (9L, 2, "new", 5)))
+      .whenMatchedUpdate(Map("payload" -> col("s.payload"), "ts" -> col("s.ts")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(snap(t) == Set((1L, 1, "a2", 5), (2L, 1, "b", 0),
+      (3L, 2, "c", 0), (9L, 2, "new", 5)))
+  }
+
+  test("clause order decides: delete-then-update vs update-then-delete") {
+    val t1 = base()
+    t1.merge(df((1L, 1, "x", 5)))
+      .whenMatchedDelete(Some(col("s.ts") === 5))
+      .whenMatchedUpdate(Map("payload" -> col("s.payload")))
+      .execute()
+    assert(snap(t1) == Set((2L, 1, "b", 0), (3L, 2, "c", 0)))
+
+    val t2 = base()
+    t2.merge(df((1L, 1, "x", 5)))
+      .whenMatchedUpdate(Map("payload" -> col("s.payload")))
+      .whenMatchedDelete(Some(col("s.ts") === 5))
+      .execute()
+    assert(snap(t2) == Set((1L, 1, "x", 0), (2L, 1, "b", 0), (3L, 2, "c", 0)))
+  }
+
+  test("conditional clauses fall through to the next, then to passthrough") {
+    val t = base()
+    t.merge(df((1L, 1, "u", 9), (2L, 1, "v", 1)))
+      .whenMatchedUpdate(Map("payload" -> lit("HI")), Some(col("s.ts") > 5))
+      .whenMatchedUpdate(Map("payload" -> lit("LO")), Some(col("s.ts") > 0))
+      .whenNotMatchedInsertAll(Some(lit(false)))
+      .execute()
+    assert(snap(t) == Set((1L, 1, "HI", 0), (2L, 1, "LO", 0), (3L, 2, "c", 0)))
+  }
+
+  test("assignment expressions may mix t. and s. columns") {
+    val t = base()
+    t.merge(df((1L, 1, "zzz", 7)))
+      .whenMatchedUpdate(Map(
+        "payload" -> concat(col("t.payload"), lit("+"), col("s.payload")),
+        "ts" -> (col("t.ts") + col("s.ts"))))
+      .execute()
+    assert(snap(t) == Set((1L, 1, "a+zzz", 7), (2L, 1, "b", 0), (3L, 2, "c", 0)))
+  }
+
+  test("by-source clauses see unmatched target rows across all partitions") {
+    val t = base()
+    t.merge(df((1L, 1, "keep", 5)))
+      .whenMatchedUpdate(Map("payload" -> col("s.payload")))
+      .whenNotMatchedBySourceUpdate(Map("payload" -> lit("stale")),
+        Some(col("t.part") === 1))
+      .whenNotMatchedBySourceDelete(Some(col("t.part") === 2))
+      .execute()
+    assert(snap(t) == Set((1L, 1, "keep", 0), (2L, 1, "stale", 0)))
+  }
+
+  test("source collapses to one row per identity by precombine before matching") {
+    val t = base()
+    t.merge(df((1L, 1, "low", 2), (1L, 1, "high", 8)))
+      .whenMatchedUpdate(Map("payload" -> col("s.payload"), "ts" -> col("s.ts")))
+      .execute()
+    assert(snap(t) == Set((1L, 1, "high", 8), (2L, 1, "b", 0), (3L, 2, "c", 0)))
+  }
+
+  test("insert with explicit values; unassigned source-absent columns null out") {
+    import spark.implicits._
+    val t = base()
+    val src = Seq((7L, 2, 3)).toDF("pk", "part", "ts") // no payload column
+    t.merge(src)
+      .whenNotMatchedInsert(Map("ts" -> lit(42)))
+      .execute()
+    val row = t.read().filter($"pk" === 7L)
+      .select($"pk", $"part", $"payload", $"ts")
+      .as[(Long, Int, Option[String], Int)].collect().toSeq
+    assert(row == Seq((7L, 2, None, 42)))
+  }
+
+  test("assigning key or partition columns is rejected") {
+    val t = base()
+    intercept[IllegalArgumentException] {
+      t.merge(df((1L, 1, "x", 1)))
+        .whenMatchedUpdate(Map("pk" -> lit(99L))).execute()
+    }
+    intercept[IllegalArgumentException] {
+      t.merge(df((1L, 1, "x", 1)))
+        .whenMatchedUpdate(Map("part" -> lit(9))).execute()
+    }
+    intercept[IllegalArgumentException] {
+      t.merge(df((1L, 1, "x", 1)))
+        .whenMatchedUpdate(Map("nope" -> lit(9))).execute()
+    }
+  }
+
+  test("without by-source clauses only touched partitions are rewritten") {
+    val t = base()
+    val before = t.log.liveFiles().filter(_.partition.startsWith("2"))
+      .map(_.path).toSet
+    t.merge(df((1L, 1, "x", 5)))
+      .whenMatchedUpdate(Map("payload" -> col("s.payload")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    val after = t.log.liveFiles().filter(_.partition.startsWith("2"))
+      .map(_.path).toSet
+    assert(before == after, "partition 2 files must be untouched")
+  }
+
+  test("commit-id provenance: only changed rows carry the merge commit id") {
+    import spark.implicits._
+    val t = base()
+    val cid = t.merge(df((1L, 1, "x", 5), (9L, 1, "n", 5)))
+      .whenMatchedUpdate(Map("payload" -> col("s.payload")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    val cids = t.read().select($"pk", $"_commit_id")
+      .as[(Long, Long)].collect().toMap
+    assert(cids(1L) == cid && cids(9L) == cid)
+    assert(cids(2L) == 0L && cids(3L) == 0L)
+  }
+
+  test("MoR: merge reads through deltas and compacts the touched scope") {
+    val t = base("mor")
+    t.upsert(df((2L, 1, "b2", 3))) // delta on partition 1
+    t.merge(df((2L, 1, "b3", 9), (8L, 2, "ins", 1)))
+      .whenMatchedUpdate(Map("payload" -> col("s.payload"), "ts" -> col("s.ts")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(snap(t) == Set((1L, 1, "a", 0), (2L, 1, "b3", 9),
+      (3L, 2, "c", 0), (8L, 2, "ins", 1)))
+  }
+
+  test("empty source without by-source clauses is a no-op commit-wise") {
+    val t = base()
+    val head = t.log.latestId
+    val r = t.merge(df().limit(0))
+      .whenMatchedUpdate(Map("payload" -> lit("x")))
+      .execute()
+    assert(Some(r) == head && t.log.latestId == head)
+  }
+}
