@@ -135,6 +135,53 @@ object Lake {
       } finally li.unpersist()
     })
 
+  /** Same CDC replay through the `format("graft")` STREAMING SINK (no
+    * foreachBatch — the sink itself carries the upsert + batch-id
+    * exactly-once tracking); snapshot must equal the foreachBatch form.
+    */
+  private[graft] def sinkStreamTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:sinkstream", _ => {
+      val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"/tmp/graft_lake/sinkstream_$tag"
+      val srcDir = s"/tmp/graft_lake/sinkstream_src_$tag"
+      val ckpt = s"/tmp/graft_lake/sinkstream_ckpt_$tag"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(root, srcDir, ckpt).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val li = keyedLineitem(s, d).persist()
+      try {
+        val (b0, b1, b2, _) = batches(li)
+        Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+          val stagePath = new org.apache.hadoop.fs.Path(s"$srcDir/_stage$i")
+          b.coalesce(1).write.parquet(stagePath.toString)
+          fs.listStatus(stagePath).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName).zipWithIndex
+            .foreach { case (f, j) =>
+              fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(srcDir, f"b$i-p$j%04d.parquet"))
+            }
+          fs.delete(stagePath, true)
+        }
+        val q = s.readStream.schema(b0.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream.format("graft")
+          .option("path", root)
+          .option("keyCols", "l_orderkey,l_linenumber")
+          .option("precombineCol", "update_ts")
+          .option("partitionCols", "l_returnflag")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        LakeTable(s, LakeTableConfig(
+          root, keyCols = Seq("l_orderkey", "l_linenumber"),
+          precombineCol = "update_ts", partitionCols = Seq("l_returnflag")))
+      } finally li.unpersist()
+    })
+
   /** Schema evolution (mergeSchema read path, SURVEY.md §2.3): a later
     * upsert carries a NEW column; the snapshot shows the widened schema
     * with nulls backfilled on untouched rows.
@@ -310,6 +357,13 @@ object Lake {
     // converge to the identical table.
     GQuery("stream_upsert_snapshot",
       (s, d) => proj(streamTable(s, d).read()),
+      Some(s"""$mergedCte
+        SELECT * FROM merged ORDER BY l_orderkey, l_linenumber""")),
+
+    // same replay through writeStream.format("graft") — sink-managed
+    // upsert + batch-id exactly-once, identical oracle
+    GQuery("stream_sink_snapshot",
+      (s, d) => proj(sinkStreamTable(s, d).read()),
       Some(s"""$mergedCte
         SELECT * FROM merged ORDER BY l_orderkey, l_linenumber""")),
 

@@ -25,7 +25,7 @@ import graft.lake.{LakeTable, LakeTableConfig}
   *   - `asOf`: commit id for time travel
   */
 final class GraftSource extends RelationProvider
-  with CreatableRelationProvider with DataSourceRegister {
+  with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -75,6 +75,22 @@ final class GraftSource extends RelationProvider
       case Ignore => if (!table.exists) table.bulkInsert(data)
     }
     new GraftRelation(ctx, table, asOf = None)
+  }
+
+  /** `df.writeStream.format("graft")` — see [[GraftSink]] (idempotent
+    * batch-id-tracked continuous upsert). Append and Update both map to
+    * upsert — the precombine merge IS the update semantics; Complete
+    * would demand insertOverwrite-per-trigger and is refused.
+    */
+  override def createSink(
+      ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft sink supports append/update output modes only")
+    new GraftSink(tableFor(ctx, parameters),
+      ctx.sparkSession.sparkContext.hadoopConfiguration)
   }
 }
 

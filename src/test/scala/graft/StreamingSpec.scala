@@ -70,6 +70,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.log.commits.size >= 3)
   }
 
+  test("writeStream.format(graft) sink equals direct batch upserts") {
+    val src = tmp("sink-src")
+    val root = tmp("sink-tbl") + "/t"
+    val b1 = batchDf((1L, 1, "a", 1), (2L, 2, "b", 1))
+    val b2 = batchDf((1L, 1, "a2", 2), (3L, 1, "c", 2))
+    val b3 = batchDf((1L, 1, "stale", 0))
+    b1.write.parquet(s"$src/b1")
+    val q = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+      .writeStream.format("graft")
+      .option("path", root)
+      .option("keyCols", "pk")
+      .option("precombineCol", "ts")
+      .option("partitionCols", "vendorid")
+      .option("checkpointLocation", tmp("sink-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      b2.write.parquet(s"$src/b2")
+      b3.write.parquet(s"$src/b3")
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = LakeTable(spark, LakeTableConfig(root, Seq("pk"), "ts", Seq("vendorid")))
+    import spark.implicits._
+    val got = t.read().select($"pk", $"vendorid", $"payload", $"ts")
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(got == Set((1L, 1, "a2", 2), (2L, 2, "b", 1), (3L, 1, "c", 2)))
+    assert(t.log.commits.size >= 3)
+  }
+
+  test("graft sink skips a replayed batch id (exactly-once after restart)") {
+    val root = tmp("sink-idem") + "/t"
+    val t = LakeTable(spark, LakeTableConfig(root, Seq("pk"), "ts", Seq("vendorid")))
+    val sink = new graft.sources.GraftSink(t,
+      spark.sparkContext.hadoopConfiguration)
+    sink.addBatch(0, batchDf((1L, 1, "v0", 1)))
+    val commitsAfterFirst = t.log.commits.size
+    // Structured Streaming re-delivers the in-flight batch on restart —
+    // same id must be a no-op even with DIFFERENT (stale) content
+    sink.addBatch(0, batchDf((1L, 1, "replay-garbage", 9)))
+    assert(t.log.commits.size == commitsAfterFirst)
+    sink.addBatch(1, batchDf((2L, 1, "v1", 1)))
+    import spark.implicits._
+    val got = t.read().select($"pk", $"payload").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "v0"), (2L, "v1")))
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     import graft.streaming.Streaming.{UserEvent, UserTotal}
