@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Sampling
+
+/** The property that justifies hash splits over randomSplit: assignment
+  * is a pure function of (id, salt) — invariant under repartitioning,
+  * ordering, and re-runs — and split fractions land near their weights.
+  */
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(_.toLong).toDF("id")
+  }
+
+  test("split assignment is invariant under repartitioning and re-runs") {
+    import spark.implicits._
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    def assign(p: Int) = Sampling.assignSplit(ids(2000).repartition(p), "id", splits)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    val a = assign(1)
+    assert(assign(7) == a && assign(32) == a)
+  }
+
+  test("split fractions approximate the weights; every row assigned once") {
+    import spark.implicits._
+    val n = 20000
+    val counts = Sampling.assignSplit(ids(n), "id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == n)
+    assert(math.abs(counts("train") - 0.8 * n) < 0.02 * n)
+    assert(math.abs(counts("val") - 0.1 * n) < 0.02 * n)
+    assert(math.abs(counts("test") - 0.1 * n) < 0.02 * n)
+  }
+
+  test("stratified sample holds per-stratum rates and is deterministic") {
+    import spark.implicits._
+    val df = ids(10000).withColumn("g",
+      when(col("id") % 2 === 0, "heavy").otherwise("light"))
+    def run() = Sampling.stratifiedSample(df, "id", "g",
+      Map("heavy" -> 0.1), defaultRate = 1.0)
+    val kept = run().groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(kept("light") == 5000, "unlisted stratum keeps everything")
+    assert(math.abs(kept("heavy") - 500) < 150)
+    assert(run().select($"id").as[Long].collect().toSet ==
+      run().select($"id").as[Long].collect().toSet)
+  }
+
+  test("malformed weights are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(ids(10), "id", Seq(("a", 0.5), ("b", 0.2)))
+    }
+  }
+}
