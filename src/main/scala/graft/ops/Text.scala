@@ -402,8 +402,65 @@ object Text {
                  shiftleft(1L, b), 0L))"""))
         .select(col("doc_id"), col("simhash"))
         .orderBy("doc_id"),
-      None)
+      None),
+
+    // ---- TF-IDF top terms per document --------------------------------
+    // rank by the RATIONAL salience tf/df (IEEE division is exactly
+    // rounded, so the ordering is bit-identical on every engine; an
+    // ln-based order could flip on a last-ulp libm difference), emit the
+    // standard ln-idf score rounded for the value compare
+    GQuery("doc_tfidf_topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy((col("tf") * lit(1000000.0) / col("df")).desc, col("term"))
+        termStats(T.documents(s, d))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 2))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+          .orderBy("doc_id", "term")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+              FROM documents),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+           dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           n AS (SELECT count(*) AS n_docs FROM documents),
+           scored AS (SELECT t.doc_id, t.term, t.tf, d.df,
+               round(t.tf * ln(n.n_docs * 1.0 / d.df), 2) AS tfidf,
+               row_number() OVER (PARTITION BY t.doc_id
+                 ORDER BY t.tf * 1000000.0 / d.df DESC, t.term) AS rn
+             FROM tf t JOIN dfx d USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, df, tfidf
+        FROM scored WHERE rn <= 5 ORDER BY doc_id, term""")
+    )
   )
+
+  /** Corpus term statistics — the exact-integer core of TF-IDF:
+    * (doc_id, term, tf, df, n_docs) over letter-run tokens. Two hash
+    * aggregates (doc×term, then term) and a broadcast of the 1-row
+    * corpus count: at 100 TB the doc×term aggregate is the only
+    * data-scale shuffle, and it map-side combines. The per-term df join
+    * shuffles on the term key (vocabulary-scale, zipf-skewed — AQE skew
+    * handling applies); no window, no UDF, all codegen'd.
+    */
+  private[graft] def termStats(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfx, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("n_docs"))
+  }
+
+  /** Standard TF-IDF (raw tf × ln(N/df)) per (doc, term) — the library
+    * surface; see doc_tfidf_topk for the rank-determinism note. */
+  def tfIdf(docs: DataFrame): DataFrame =
+    termStats(docs).withColumn("tfidf",
+      col("tf") * log(col("n_docs") * lit(1.0) / col("df")))
 
   /** exposed for specs */
   private[graft] def exactJaccard(s: SparkSession, d: String, minJ: Double): DataFrame =

@@ -35,6 +35,26 @@ class OpsSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("tfIdf: known corpus — shared terms score 0, rare terms rank highest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "apple date date date")).toDF("doc_id", "text")
+    val out = ops.Text.tfIdf(docs)
+      .select($"doc_id", $"term", $"tf", $"df", $"tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // 'apple' is in every doc: idf = ln(1) = 0 regardless of tf
+    assert(out((1L, "apple"))._5 == 0.0 && out((3L, "apple"))._5 == 0.0)
+    // df=1 terms: tfidf = tf * ln(3)
+    assert(math.abs(out((3L, "date"))._5 - 3 * math.log(3.0)) < 1e-12)
+    assert(math.abs(out((2L, "cherry"))._5 - math.log(3.0)) < 1e-12)
+    assert(out((1L, "banana"))._3 == 1 && out((1L, "banana"))._4 == 1)
+    // every (doc, distinct term) pair present exactly once
+    assert(out.size == 6)
+  }
+
   test("minhash LSH pairs are a subset of exact-Jaccard pairs, high recall") {
     val exact = ops.Text.exactJaccard(spark, sf, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
