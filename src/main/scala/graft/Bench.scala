@@ -39,6 +39,8 @@ object Bench {
       "lake_cdc_build" -> timed { ops.Lake.cdcTable(spark, sfDir) },
       "lake_mor_build" -> timed { ops.Lake.morCdcTable(spark, sfDir) },
       "stream_ingest_build" -> timed { ops.Lake.streamTable(spark, sfDir) },
+      "stream_sink_build" -> timed { ops.Lake.sinkStreamTable(spark, sfDir) },
+      "lake_merge_build" -> timed { ops.Lake.mergeTable(spark, sfDir) },
       "schema_evo_build" -> timed { ops.Lake.evoTable(spark, sfDir) },
       "bucketed_tables_build" -> timed { ops.Extended.ensureBucketed(spark, sfDir) },
       "ann_index_build" -> timed { ops.Similarity.ensureAnnIndex(spark, sfDir) },
