@@ -55,6 +55,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("contamination: verbatim copy detected, disjoint doc not flagged") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val full = ops.Hygiene.contamination(train, bench, n = 8)
+      .select($"doc_id", $"n_shared_grams", $"n_benchmark_docs")
+      .as[(Long, Long, Long)].collect()
+    // 10 tokens → 3 distinct 8-grams, all shared; doc 2 clean
+    assert(full.toSeq == Seq((1L, 3L, 1L)))
+  }
+
+  test("repetition: degenerate text maximizes top_count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // 4 trigrams, all identical
+      (2L, "a b c d e f")).toDF("doc_id", "text") // 4 distinct trigrams
+    val rows = ops.Hygiene.repetition(docs, n = 3)
+      .select($"doc_id", $"n_ngrams", $"top_count")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 4L, 4L), (2L, 4L, 1L)))
+  }
+
   test("minhash LSH pairs are a subset of exact-Jaccard pairs, high recall") {
     val exact = ops.Text.exactJaccard(spark, sf, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
