@@ -73,6 +73,50 @@ object Prep {
         .otherwise(floor(x.cast("double") * lit(127.0) / m)))
   }
 
+  // ---- sequence packing ----------------------------------------------
+
+  /** Pack documents into training sequences of at most `budget` tokens
+    * (next-fit over a deterministic order): returns (doc_id, bucket,
+    * seq) where (bucket, seq) is the global sequence key.
+    *
+    * Packing is inherently sequential — each placement depends on the
+    * running total — so the scalable shape is MANY INDEPENDENT PACK
+    * STREAMS: docs are sharded by a salted content hash into `buckets`
+    * streams, each stream packs next-fit in doc_id order inside one
+    * task (the one justified mapPartitions in this module: genuine
+    * per-partition imperative state). Output is a pure function of
+    * (ids, token counts, budget, buckets) — independent of cluster
+    * parallelism, file order, and re-runs, the same reproducibility
+    * contract as [[Sampling]]. At 100 TB, `buckets` is the parallelism
+    * dial; a doc larger than the budget gets a sequence of its own.
+    */
+  def packSequences(
+      docs: DataFrame, idCol: String, tokCol: String,
+      budget: Long, buckets: Int = 8): DataFrame = {
+    require(budget > 0 && buckets > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(tokCol).cast("long").as("tok"),
+      (conv(substring(md5(concat(col(idCol).cast("string"), lit(":pack"))), 1, 8), 16, 10)
+        .cast("long") % buckets).as("bucket"))
+    keyed
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var cur = Long.MinValue; var acc = 0L; var seq = 0L
+        it.map { case (id, tok, b) =>
+          if (b != cur) { cur = b; acc = tok; seq = 0L }
+          else if (acc + tok > budget) { acc = tok; seq += 1 }
+          else acc += tok
+          (id, b, seq)
+        }
+      }
+      .toDF("doc_id", "bucket", "seq")
+  }
+
   // ---- fixture queries ------------------------------------------------
 
   val queries: Seq[GQuery] = Seq(
@@ -106,6 +150,32 @@ object Prep {
       Some("""SELECT doc_id,
           text || ' contact <EMAIL> or <PHONE> at <IP>' AS clean
         FROM documents ORDER BY doc_id""")),
+
+    // next-fit packing of the corpus into 256-token sequences over 8
+    // content-hash streams; the oracle replays the same next-fit per
+    // stream with a recursive CTE
+    GQuery("doc_seq_pack",
+      (s, d) => packSequences(
+        T.documents(s, d).withColumn("tok",
+          expr("CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)")),
+        "doc_id", "tok", budget = 256, buckets = 8)
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE d0 AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 8))::BIGINT % 8 AS bucket,
+            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok
+          FROM documents),
+        d AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+              FROM d0),
+        packed AS (
+          SELECT bucket, rn, doc_id, tok, tok AS acc, 0::BIGINT AS seq
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.bucket, d.rn, d.doc_id, d.tok,
+            CASE WHEN p.acc + d.tok > 256 THEN d.tok ELSE p.acc + d.tok END,
+            CASE WHEN p.acc + d.tok > 256 THEN p.seq + 1 ELSE p.seq END
+          FROM packed p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+        SELECT doc_id, bucket, seq FROM packed ORDER BY doc_id""")),
 
     GQuery("emb_quantize",
       (s, d) => {

@@ -59,6 +59,29 @@ class PrepSpec extends AnyFunSuite {
     assert(out(4) == rows(4))
   }
 
+  test("packSequences: budget respected, oversized docs isolated, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, if (i % 97 == 0) 500L else (i % 90) + 1))
+      .toDF("doc_id", "tok")
+    def run(parts: Int) = graft.ops.Prep.packSequences(
+        docs.repartition(parts), "doc_id", "tok", budget = 256, buckets = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val a = run(1)
+    assert(run(13) == a && run(32) == a, "assignment must not depend on input partitioning")
+    assert(a.size == 400, "every doc packed exactly once")
+    // per-sequence budget: only sequences holding a single oversized doc may exceed
+    val toks = docs.as[(Long, Long)].collect().toMap
+    val bySeq = a.toSeq.groupBy(_._2).map { case (k, v) => k -> v.map(x => toks(x._1)) }
+    bySeq.foreach { case (seqKey, ts) =>
+      assert(ts.sum <= 256 || ts.size == 1,
+        s"sequence $seqKey over budget with ${ts.size} docs: $ts")
+    }
+    // the oversized docs (tok=500) sit alone
+    a.filter { case (id, _) => id % 97 == 0 }.foreach { case (id, seqKey) =>
+      assert(bySeq(seqKey) == Seq(500L), s"oversized doc $id must be alone")
+    }
+  }
+
   test("quantizeInt8: range, sign, max element, zero vector") {
     import spark.implicits._
     val d = Seq(
