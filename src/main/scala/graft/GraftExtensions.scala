@@ -42,7 +42,73 @@ object GraftExtensions {
     v
   }
 
+  private def strArg(e: Expression, what: String): String = e match {
+    case other if other.foldable => other.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case _ => throw new IllegalArgumentException(s"$what must be a literal string")
+    }
+    case _ => throw new IllegalArgumentException(s"$what must be a literal string")
+  }
+
+  // Column-composition functions: the builders return trees of catalyst
+  // UnresolvedFunction nodes mirroring the DataFrame-side definitions in
+  // ops.Prep / ops.Sampling — the analyzer resolves them to the same
+  // codegen'd built-ins (a ColumnNode bridge does NOT work here: the
+  // wrapper is opaque to resolution once inside a function builder)
+  private def fn(name: String, args: Expression*): Expression =
+    org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+      name, args.toSeq, isDistinct = false)
+  private def dbl(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.DoubleType)
+
   val injected: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("redact_pii"),
+      new ExpressionInfo(ops.Prep.getClass.getCanonicalName, "redact_pii"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "redact_pii(text) takes one string argument")
+        // keep in lockstep with ops.Prep.redactPii
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        def rr(e: Expression, p: String, r: String) =
+          fn("regexp_replace", e, Literal(p), Literal(r))
+        rr(rr(rr(args(0), email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
+      }),
+    (FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(ops.Prep.getClass.getCanonicalName, "quantize_int8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "quantize_int8(vec) takes one array argument")
+        import org.apache.spark.sql.catalyst.expressions.{
+          EqualTo, LambdaFunction, UnresolvedNamedLambdaVariable}
+        val x1 = UnresolvedNamedLambdaVariable(Seq("x"))
+        val m = fn("array_max",
+          fn("transform", args(0), LambdaFunction(fn("abs", dbl(x1)), Seq(x1))))
+        val x2 = UnresolvedNamedLambdaVariable(Seq("x"))
+        val body = fn("if", EqualTo(m, Literal(0.0)), Literal(0L),
+          fn("floor", fn("/", fn("*", dbl(x2), Literal(127.0)), m)))
+        fn("transform", args(0), LambdaFunction(body, Seq(x2)))
+      }),
+    (FunctionIdentifier("hash_bucket"),
+      new ExpressionInfo(ops.Sampling.getClass.getCanonicalName, "hash_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hash_bucket(id, salt) takes (column, literal string)")
+        val salt = strArg(args(1), "salt")
+        // keep in lockstep with ops.Sampling.hashBucket
+        val h = fn("conv",
+          fn("substring",
+            fn("md5", fn("concat",
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                args(0), org.apache.spark.sql.types.StringType),
+              Literal(":" + salt))),
+            Literal(1), Literal(8)),
+          Literal(16), Literal(10))
+        fn("mod",
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            h, org.apache.spark.sql.types.LongType),
+          Literal(ops.Sampling.Buckets.toLong))
+      }),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[functions.CosineSimilarity].getCanonicalName, "cosine_sim"),
       (args: Seq[Expression]) => {

@@ -194,6 +194,14 @@ class OpsSpec extends AnyFunSuite {
     // the builder validates arity with a clear message
     val ex = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0D))").collect())
     assert(ex.getMessage.contains("cosine_sim") || ex.getMessage.contains("two array"))
+    // Column-composition functions ride the same registration path
+    val r2 = spark.sql(
+      """SELECT redact_pii('mail a@b.io now') AS t,
+                quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT))) AS q,
+                hash_bucket(42, 'split') AS h""").collect()(0)
+    assert(r2.getString(0) == "mail <EMAIL> now")
+    assert(r2.getSeq[Long](1) == Seq(63L, -127L))
+    assert(r2.getLong(2) >= 0 && r2.getLong(2) < 10000)
   }
 
   test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
