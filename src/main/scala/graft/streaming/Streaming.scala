@@ -55,6 +55,24 @@ object Streaming {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Gap-based sessionization as a STREAMING aggregation: the built-in
+    * session_window state machine merges events into sessions as they
+    * arrive and the watermark closes sessions `gap` past the last event
+    * — the continuous form of the batch lag/sum sessionize
+    * (ops.Events "ev_sessionize"). State per open session only; at
+    * scale the shuffle is keyed on (user, merged session), exactly the
+    * aggregation Spark's incremental planner maintains.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"))
+
   /** Arbitrary stateful processing (SURVEY.md §2.5 stateful-ops row):
     * per-user running totals via flatMapGroupsWithState — the custom-state
     * escape hatch when windowed aggs can't express the semantics. State is

@@ -183,6 +183,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.find(_._1 == hour1).get._2 == 1L)
   }
 
+  test("streaming session_window equals the batch session_window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(min: Long) = new Timestamp(min * 60000L)
+    // user 1: two sessions (gap 40min > 30min); user 2: one session
+    val rows = Seq(
+      (1L, t(0)), (1L, t(10)), (1L, t(20)),
+      (1L, t(60)), (1L, t(65)),
+      (2L, t(5)))
+    val mem = MemoryStream[(Long, Timestamp)]
+    mem.addData(rows: _*)
+    val sessions = Streaming.sessionCounts(
+      mem.toDF().select($"_1".as("user_id"), $"_2".as("ts")))
+    val q = sessions.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_sink")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Streaming.sessionCounts(
+      rows.toDF("user_id", "ts"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(r => (r._1, r._4)) == Set((1L, 3L), (1L, 2L), (2L, 1L)),
+      s"session shapes wrong: $streamed")
+  }
+
   test("streaming windowed aggregation equals the batch expression") {
     val sf = "/root/testdata/sf0.001"
     val batchEvents = Tables.events(spark, sf)
