@@ -176,6 +176,32 @@ class MergeSpec extends AnyFunSuite {
       (3L, 2, "c", 0), (8L, 2, "ins", 1)))
   }
 
+  test("merge plan: equi-join only, never nested-loop or cartesian") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t = base()
+      // capture the planned shape of the merge's read side by running a
+      // merge and asserting afterwards on the snapshot read (the write
+      // executed the same joined plan); a bad plan would also show up as
+      // quadratic runtime, but the node check is deterministic
+      val src = df((1L, 1, "x", 5), (9L, 2, "n", 5))
+      val builder = t.merge(src)
+        .whenMatchedUpdate(Map("payload" -> col("s.payload")))
+        .whenNotMatchedInsertAll()
+      builder.execute()
+      // re-plan the same join shape the merge used
+      val joined = t.read().alias("t").join(
+        src.alias("s"), col("t.pk") <=> col("s.pk") && col("t.part") <=> col("s.part"),
+        "full_outer")
+      val bad = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b.nodeName
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c.nodeName
+      }
+      assert(bad.isEmpty, s"merge join must stay an equi-join, saw $bad")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("empty source without by-source clauses is a no-op commit-wise") {
     val t = base()
     val head = t.log.latestId

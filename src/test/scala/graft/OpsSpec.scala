@@ -70,6 +70,19 @@ class OpsSpec extends AnyFunSuite {
     assert(full.toSeq == Seq((1L, 3L, 1L)))
   }
 
+  test("contamination plan: gram equi-join, no nested-loop/cartesian") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = run("doc_contamination")
+      val bad = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b.nodeName
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c.nodeName
+      }
+      assert(bad.isEmpty, s"contamination must join on the gram key, saw $bad")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("repetition: degenerate text maximizes top_count") {
     import spark.implicits._
     val docs = Seq(
