@@ -77,7 +77,16 @@ final case class LakeTableConfig(
       * ANY of them prune files. Buckets are equal-width over the
       * column's observed min/max per commit (256 per dimension).
       */
-    zOrder: Boolean = false) {
+    zOrder: Boolean = false,
+    /** CHECK constraints (Delta CHECK / Hudi pre-commit validator role):
+      * name → SQL boolean expression over the row. Enforced INSIDE the
+      * write pass of every commit (a codegen'd per-row guard fused into
+      * the write scan — no second pass over the data): the first
+      * violating row fails the commit with the constraint name and the
+      * row's JSON; the files-then-log protocol leaves the table
+      * unchanged (the partial write is invisible orphans).
+      */
+    checks: Map[String, String] = Map.empty) {
   require(storageType == "cow" || storageType == "mor",
     s"storageType must be cow|mor, got $storageType")
   require(!zOrder || clusterCols.size >= 2,
@@ -354,6 +363,23 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       }
     }.reduce(_ + _)
   }
+
+  /** CHECK-constraint guard, fused into the consuming scan (no extra
+    * pass): every row must satisfy each configured predicate or the
+    * plan raises with the constraint name + the row as JSON. ANSI CHECK
+    * semantics: NULL passes — which also exempts MoR tombstones and
+    * schema-evolution backfill rows, whose payload columns are null.
+    */
+  private def withChecks(df: DataFrame): DataFrame =
+    if (config.checks.isEmpty) df
+    else {
+      val ctx = to_json(struct(df.columns.map(col): _*))
+      config.checks.foldLeft(df) { case (acc, (name, predSql)) =>
+        acc.filter(assert_true(
+          coalesce(expr(predSql), lit(true)),
+          concat(lit(s"check constraint '$name' violated: "), ctx)).isNull)
+      }
+    }
 
   /** intra-batch precombine: collapse duplicate dedup keys to the row
     * with the highest (precombine, arrival order) — shared by the
@@ -698,6 +724,21 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   }
 
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
+  /** The commit timeline as a DataFrame (Delta DESCRIBE HISTORY role):
+    * one row per commit with operation, wall-clock, and file/byte/
+    * partition deltas. Metadata-scale: built from the commit log, no
+    * data files touched.
+    */
+  def history(): DataFrame = {
+    val rows = log.commits.map(c => (c.id, c.op, c.tsMillis,
+      c.adds.size.toLong, c.removes.size.toLong,
+      c.adds.map(_.bytes).sum,
+      c.adds.map(_.partition).distinct.size.toLong))
+    spark.createDataFrame(rows).toDF("commit_id", "op", "ts_millis",
+      "n_files_added", "n_files_removed", "bytes_added",
+      "n_partitions_touched")
+  }
+
   def clean(retain: Int): Unit = log.clean(retain)
 
   /** Delete data directories no commit references (Delta VACUUM / Hudi
@@ -1417,7 +1458,9 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
     // read time. The clustered frame is persisted because range
     // partitioning runs a sampling pass over its child first: without it
     // the (possibly expensive) merge plan executes twice per commit.
-    val mat = if (kind == "delta") df else df.persist()
+    // CHECK constraints ride the same scan that writes the files
+    val guarded = withChecks(df)
+    val mat = if (kind == "delta") guarded else guarded.persist()
     // user clusterCols (if configured) override the record key as the
     // intra-partition clustering order — see LakeTableConfig.clusterCols
     // for the skipping-vs-key-index tradeoff; zOrder interleaves them

@@ -515,6 +515,19 @@ object Lake {
             AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
         ORDER BY m.l_orderkey, m.l_linenumber""")),
 
+    // ---- commit timeline (DESCRIBE HISTORY role) ----------------------
+    // deterministic projection only (ids + ops); counts/bytes/timestamps
+    // vary with parallelism and wall clock and are spec-tested instead
+    GQuery("lake_history",
+      (s, d) => cdcTable(s, d).history()
+        .select(col("commit_id"), col("op")).orderBy("commit_id"),
+      Some("""SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), 'bulk_insert'),
+          (CAST(1 AS BIGINT), 'upsert'),
+          (CAST(2 AS BIGINT), 'upsert'),
+          (CAST(3 AS BIGINT), 'delete')) AS t(commit_id, op)
+        ORDER BY commit_id""")),
+
     // ---- multi-clause MERGE INTO (see mergeTable for the clause set) ---
     GQuery("lake_merge_snapshot",
       (s, d) => proj(mergeTable(s, d).read()),

@@ -40,6 +40,53 @@ class LakeTableSpec extends AnyFunSuite {
       .as[(Long, Int, String, Int)].collect().toSet
   }
 
+  test("check constraints: violating write fails whole commit, table intact") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts", partitionCols = Seq("vendorid"),
+      checks = Map("ts_nonneg" -> "ts >= 0", "payload_short" -> "length(payload) < 10")))
+    t.bulkInsert(df((1L, 1, "ok", 0)))
+    val ex = intercept[Exception] {
+      t.upsert(df((2L, 1, "fine", 1), (3L, 2, "bad", -5)))
+    }
+    assert(ex.getMessage.contains("ts_nonneg") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ts_nonneg")),
+      s"error must name the constraint: ${ex.getMessage}")
+    // the failed commit left nothing behind — not even the passing row
+    assert(snap(t) == Set((1L, 1, "ok", 0)))
+    assert(t.log.commits.size == 1)
+    // a clean batch still goes through
+    t.upsert(df((2L, 1, "fine", 1)))
+    assert(snap(t) == Set((1L, 1, "ok", 0), (2L, 1, "fine", 1)))
+  }
+
+  test("check constraints: NULL passes (ANSI) — MoR tombstones unaffected") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts", partitionCols = Seq("vendorid"),
+      storageType = "mor", checks = Map("ts_nonneg" -> "ts >= 0")))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0)))
+    t.delete(df((1L, 1, "a", 0)).select("pk", "vendorid"))
+    assert(snap(t) == Set((2L, 1, "b", 0)))
+    t.compact() // tombstone rows re-pass the guard during compaction
+    assert(snap(t) == Set((2L, 1, "b", 0)))
+  }
+
+  test("history reflects the timeline operations and file deltas") {
+    import spark.implicits._
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    t.upsert(df((1L, 1, "a2", 1)))
+    t.delete(df((2L, 2, "b", 0)).select("pk", "vendorid"))
+    val h = t.history()
+      .select($"commit_id", $"op", $"n_files_added", $"n_files_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(h.map(r => (r._1, r._2)).toSeq ==
+      Seq((0L, "bulk_insert"), (1L, "upsert"), (2L, "delete")))
+    assert(h(0)._3 > 0 && h(0)._4 == 0)
+    assert(h(1)._4 > 0, "upsert supersedes files")
+    val bytes = t.history().select($"bytes_added").as[Long].collect()
+    assert(bytes.take(2).forall(_ > 0))
+  }
+
   test("bulk insert then read returns the data plus metadata columns") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
