@@ -286,6 +286,29 @@ object Lake {
       t
     })
 
+  /** Incrementally-maintained aggregate over the CDC table: built at
+    * commit 0, then refreshed one commit at a time through the replay —
+    * every step applies timeline deltas only. The oracle aggregates the
+    * FINAL snapshot directly, so any drift in the incremental math
+    * (wrong pre-images, missed deletes, double-applied adds) shows up as
+    * a value mismatch.
+    */
+  private val aggCache = new ConcurrentHashMap[String, graft.lake.MaterializedAgg]()
+
+  private[graft] def incrAgg(s: SparkSession, d: String): graft.lake.MaterializedAgg =
+    aggCache.computeIfAbsent(d, _ => {
+      val t = cdcTable(s, d)
+      val root = s"/tmp/graft_lake/incragg_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val m = new graft.lake.MaterializedAgg(s, t, root,
+        dims = Seq("l_returnflag"),
+        sums = Map("qty_c" -> "CAST(floor(l_quantity * 100) AS BIGINT)"))
+      (0L to t.log.latestId.get).foreach(i => m.refresh(Some(i)))
+      m
+    })
+
   private val liCte =
     """li AS (SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
                    max(l_quantity) AS l_quantity
@@ -527,6 +550,21 @@ object Lake {
           (CAST(2 AS BIGINT), 'upsert'),
           (CAST(3 AS BIGINT), 'delete')) AS t(commit_id, op)
         ORDER BY commit_id""")),
+
+    // ---- incremental aggregate maintenance (materialized-view role) ---
+    // maintained commit-by-commit through the CDC replay; oracle is the
+    // direct aggregation of the final snapshot
+    GQuery("lake_incr_agg",
+      (s, d) => incrAgg(s, d).read().orderBy("l_returnflag"),
+      Some(s"""$mergedCte,
+        fin AS (
+          SELECT m.* FROM merged m
+          WHERE NOT EXISTS (SELECT 1 FROM li k
+            WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+              AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber))
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+        FROM fin GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- multi-clause MERGE INTO (see mergeTable for the clause set) ---
     GQuery("lake_merge_snapshot",

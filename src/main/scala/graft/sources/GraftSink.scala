@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -29,25 +28,31 @@ import graft.lake.LakeTable
 final class GraftSink(table: LakeTable, hadoopConf: Configuration)
     extends Sink {
 
-  private val marker = new Path(table.config.root, "_log/sink-batch")
-  private def fs = marker.getFileSystem(hadoopConf)
+  // one EMPTY marker file per applied batch id, atomically created under
+  // its own name (the CommitLog pattern). A rename onto an existing
+  // marker path would FAIL on Hadoop filesystems and freeze the
+  // watermark — upsert idempotency would mask the re-application, but
+  // the exactly-once contract would be silently weakened.
+  private val markerDir = new Path(table.config.root, "_log")
+  private def fs = markerDir.getFileSystem(hadoopConf)
 
   private def lastApplied: Option[Long] =
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
+    if (!fs.exists(markerDir)) None
+    else fs.listStatus(markerDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("sink-batch-\\d{8,}"))
+      .map(_.stripPrefix("sink-batch-").toLong)
+      .maxOption
 
   private def record(batchId: Long): Unit = {
-    // temp + rename: the marker appears atomically, same discipline as
-    // the commit JSON itself
-    val tmp = new Path(marker.getParent, s"${marker.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(batchId.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    fs.rename(tmp, marker)
+    fs.mkdirs(markerDir)
+    fs.create(new Path(markerDir, f"sink-batch-$batchId%08d"), true).close()
+    lastApplied.foreach { latest =>
+      fs.listStatus(markerDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.matches("sink-batch-\\d{8,}") &&
+          p.getName.stripPrefix("sink-batch-").toLong < latest)
+        .foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
+    }
   }
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake.{LakeTable, LakeTableConfig, MaterializedAgg}
+
+/** Incremental-maintenance laws: after every refresh the aggregate must
+  * equal a direct aggregation of the source snapshot; refresh is
+  * idempotent per commit; emptied dimensions disappear; the applied
+  * watermark ADVANCES (a frozen watermark re-applies deltas — the
+  * failure mode is a silently inflated sum, caught here by the step
+  * equality).
+  */
+class MaterializedAggSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp() = Files.createTempDirectory("magg").toString
+
+  private def df(rows: (Long, String, Long, Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("pk", "dim", "v", "ts")
+  }
+
+  private def direct(t: LakeTable): Set[(String, Long, Long)] = {
+    import spark.implicits._
+    t.read().groupBy($"dim")
+      .agg(count(lit(1)).as("n_rows"), sum($"v").as("v_sum"))
+      .as[(String, Long, Long)].collect().toSet
+  }
+
+  private def got(m: MaterializedAgg): Set[(String, Long, Long)] = {
+    import spark.implicits._
+    m.read().as[(String, Long, Long)].collect().toSet
+  }
+
+  test("aggregate equals direct recomputation after every refresh step") {
+    val t = LakeTable(spark, LakeTableConfig(
+      tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))
+    val m = new MaterializedAgg(spark, t, tmp() + "/agg",
+      dims = Seq("dim"), sums = Map("v_sum" -> "v"))
+
+    t.bulkInsert(df((1L, "a", 10, 0), (2L, "a", 5, 0), (3L, "b", 7, 0)))
+    m.refresh()
+    assert(got(m) == direct(t) && m.applied.contains(0L))
+
+    // update (a: 10→20), insert (c), another insert into a
+    t.upsert(df((1L, "a", 20, 1), (4L, "c", 2, 1), (5L, "a", 1, 1)))
+    m.refresh()
+    assert(got(m) == direct(t), "after update+inserts")
+    assert(m.applied.contains(1L), "watermark must advance past the first refresh")
+
+    // stale upsert: source unchanged, delta must be zero
+    t.upsert(df((1L, "a", 999, 0)))
+    m.refresh()
+    assert(got(m) == direct(t), "stale batch must not move the aggregate")
+
+    // delete the whole 'b' dimension — its row must disappear
+    t.delete(df((3L, "b", 7, 0)).select("pk"))
+    m.refresh()
+    assert(got(m) == direct(t), "after delete")
+    assert(!got(m).exists(_._1 == "b"), "emptied dimension must vanish")
+
+    // re-refresh at the same head: no-op, no new agg commits
+    val commits = m.table.log.commits.size
+    m.refresh()
+    assert(m.table.log.commits.size == commits)
+    assert(got(m) == direct(t))
+  }
+
+  test("step-by-step refresh equals one big refresh") {
+    val t = LakeTable(spark, LakeTableConfig(
+      tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))
+    t.bulkInsert(df((1L, "a", 10, 0), (2L, "b", 3, 0)))
+    t.upsert(df((1L, "a", 15, 1), (3L, "b", 4, 1)))
+    t.delete(df((2L, "b", 3, 0)).select("pk"))
+
+    val stepped = new MaterializedAgg(spark, t, tmp() + "/agg1",
+      dims = Seq("dim"), sums = Map("v_sum" -> "v"))
+    (0L to 2L).foreach(i => stepped.refresh(Some(i)))
+
+    val oneShot = new MaterializedAgg(spark, t, tmp() + "/agg2",
+      dims = Seq("dim"), sums = Map("v_sum" -> "v"))
+    oneShot.refresh()
+
+    assert(got(stepped) == got(oneShot) && got(stepped) == direct(t))
+  }
+}
