@@ -68,6 +68,18 @@ final case class FileAdd(
   */
 final class CommitLog(root: String, hadoopConf: Configuration) {
   private val logDir = new Path(root, "_log")
+
+  /** Data files under this table's root are OWNED; a shallow clone's
+    * first commit references files under another table's root
+    * (borrowed). Physical maintenance — clean, rollback, restore — must
+    * only ever delete owned files: deleting a borrowed file would
+    * corrupt the source table the clone was taken from.
+    */
+  private lazy val rootStr = fs.makeQualified(new Path(root)).toString
+  private def owned(p: String): Boolean = {
+    val q = fs.makeQualified(new Path(p)).toString
+    q == rootStr || q.startsWith(rootStr + "/")
+  }
   private def fs: FileSystem = logDir.getFileSystem(hadoopConf)
 
   // tolerate unknown fields: case-class getters (e.g. FileAdd.isDelta)
@@ -263,7 +275,8 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     if (!fs.delete(commitPath(id), false))
       throw new IllegalStateException(s"could not retract commit $id")
     parsed.remove(id)
-    c.adds.foreach(a => fs.delete(new Path(a.path), false))
+    c.adds.filter(a => owned(a.path))
+      .foreach(a => fs.delete(new Path(a.path), false))
     id
   }
 
@@ -294,7 +307,8 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     val pinned: Set[String] = savepoints.filter(_ <= cutoff)
       .flatMap(s => liveFiles(Some(s)).map(_.path)).toSet
     val removedEarly = commits.filter(_.id <= cutoff).flatMap(_.removes)
-    removedEarly.filterNot(pinned).foreach(p => fs.delete(new Path(p), false))
+    removedEarly.filterNot(pinned).filter(owned)
+      .foreach(p => fs.delete(new Path(p), false))
     val out = fs.create(cleanMarker, true)
     try out.write(mapper.writeValueAsBytes(Map("upTo" -> cutoff)))
     finally out.close()

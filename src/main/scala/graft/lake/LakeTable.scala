@@ -724,6 +724,29 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
   }
 
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
+  /** Zero-copy clone at a snapshot (Delta SHALLOW CLONE role): the new
+    * table's first commit REFERENCES the source's live files — no data
+    * is copied, so cloning a 100 TB table is a metadata write. Writes to
+    * either table diverge normally: the clone's upserts supersede the
+    * borrowed references with its own files; maintenance on the clone
+    * (clean/rollback/restore/vacuum) never deletes borrowed files (the
+    * commit log's ownership guard). Contract, same as Delta: cleaning
+    * the SOURCE can drop files the clone still references — savepoint
+    * the cloned commit on the source to pin them.
+    */
+  def shallowClone(targetRoot: String, asOf: Option[Long] = None): LakeTable = {
+    val files = log.liveFiles(asOf)
+    val schemaJson = log.schemaJsonAsOf(asOf)
+      .getOrElse(new StructType().json)
+    val clone = new LakeTable(spark, config.copy(root = targetRoot))
+    require(!clone.exists, s"clone target $targetRoot already exists")
+    clone.log.append(
+      Commit(0L, "clone", System.currentTimeMillis(), schemaJson,
+        adds = files, removes = Seq.empty),
+      basedOnLatest = clone.log.EmptyTable)
+    clone
+  }
+
   /** The commit timeline as a DataFrame (Delta DESCRIBE HISTORY role):
     * one row per commit with operation, wall-clock, and file/byte/
     * partition deltas. Metadata-scale: built from the commit log, no

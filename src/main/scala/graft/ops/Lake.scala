@@ -551,6 +551,24 @@ object Lake {
           (CAST(3 AS BIGINT), 'delete')) AS t(commit_id, op)
         ORDER BY commit_id""")),
 
+    // ---- zero-copy shallow clone of the CDC table at its head ---------
+    // the clone's snapshot must equal the source's (same oracle as
+    // lake_delete_snapshot); the clone is rebuilt fresh per run
+    GQuery("lake_clone_snapshot",
+      (s, d) => {
+        val root = s"/tmp/graft_lake/clone_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        proj(cdcTable(s, d).shallowClone(root).read())
+      },
+      Some(s"""$mergedCte
+        SELECT m.* FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM li k
+          WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+            AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
+        ORDER BY m.l_orderkey, m.l_linenumber""")),
+
     // ---- incremental aggregate maintenance (materialized-view role) ---
     // maintained commit-by-commit through the CDC replay; oracle is the
     // direct aggregation of the final snapshot

@@ -87,6 +87,44 @@ class LakeTableSpec extends AnyFunSuite {
     assert(bytes.take(2).forall(_ > 0))
   }
 
+  test("shallow clone: zero-copy snapshot, diverging writes, safe maintenance") {
+    val srcRoot = freshRoot()
+    val t = LakeTable(spark, cfg(srcRoot))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    t.upsert(df((1L, 1, "a2", 1)))
+
+    val cloneRoot = freshRoot()
+    val c = t.shallowClone(cloneRoot)
+    assert(snap(c) == snap(t), "clone reads the source snapshot")
+    // no data was copied: every referenced file lives under the source
+    assert(c.log.liveFiles().forall(_.path.contains(srcRoot)))
+
+    // writes diverge both ways
+    c.upsert(df((3L, 1, "clone-only", 1)))
+    t.upsert(df((4L, 2, "source-only", 1)))
+    assert(snap(c) == Set((1L, 1, "a2", 1), (2L, 2, "b", 0), (3L, 1, "clone-only", 1)))
+    assert(snap(t) == Set((1L, 1, "a2", 1), (2L, 2, "b", 0), (4L, 2, "source-only", 1)))
+
+    // clone maintenance must never delete borrowed (source-owned) files:
+    // the upsert above superseded borrowed files in partition 1; clean
+    // past it, then prove the source still reads intact
+    c.clean(retain = 1)
+    assert(snap(t) == Set((1L, 1, "a2", 1), (2L, 2, "b", 0), (4L, 2, "source-only", 1)),
+      "cleaning the clone deleted source files")
+
+    // rollback on a fresh clone retracts its own commit, keeps borrowed
+    // files (clean() above forecloses rollback on `c` by design)
+    val c2 = t.shallowClone(freshRoot())
+    c2.upsert(df((9L, 1, "scratch", 1)))
+    c2.rollback()
+    assert(snap(c2) == snap(t), "rollback must restore the cloned snapshot")
+    assert(snap(t).size == 3)
+
+    // time-travel clone: pin an earlier source commit
+    val c0 = t.shallowClone(freshRoot(), asOf = Some(0L))
+    assert(snap(c0) == Set((1L, 1, "a", 0), (2L, 2, "b", 0)))
+  }
+
   test("bulk insert then read returns the data plus metadata columns") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
