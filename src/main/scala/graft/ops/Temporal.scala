@@ -130,6 +130,37 @@ object Temporal {
       .drop("_pb", "_ib")
   }
 
+  /** Ordered funnel analysis (view → click → purchase …): per entity,
+    * the earliest strictly-increasing completion of each step — the
+    * conversion/attribution query of every product-analytics stack.
+    * Returns one row per entity that entered the funnel, with step
+    * times t1..tk (null from the first broken step on).
+    *
+    * Plan shape: k-1 chained left joins, each an EQUI-join on the
+    * entity key with the time inequality as a residual predicate plus a
+    * map-side-combinable min aggregate — never a nested-loop, state
+    * bounded by entities, each step join pruned to that step's events
+    * (pushed-down type filter). At 100 TB: k-1 key-shuffles of
+    * per-step event subsets, nothing quadratic.
+    */
+  def funnel(
+      events: DataFrame, entityCol: String, typeCol: String,
+      timeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps, got $steps")
+    val base = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(entityCol)).agg(min(col(timeCol)).as("t1"))
+    steps.tail.zipWithIndex.foldLeft(base) { case (acc, (st, i)) =>
+      val prev = s"t${i + 1}"
+      val cur = s"t${i + 2}"
+      val e = events.filter(col(typeCol) === st)
+        .select(col(entityCol).as("_u"), col(timeCol).as("_t"))
+      acc.join(e, col(entityCol) === col("_u") && col("_t") > col(prev),
+          "left_outer")
+        .groupBy(acc.columns.map(col): _*)
+        .agg(min(col("_t")).as(cur))
+    }
+  }
+
   // ---- fixture queries ------------------------------------------------
 
   /** purchases / clicks of the events fixture in epoch-ms space. Clicks
@@ -173,6 +204,33 @@ object Temporal {
         FROM l ASOF LEFT JOIN c
           ON l.user_id = c.user_id AND l.t_ms >= c.click_ms
         ORDER BY l.event_id""")),
+
+    // ---- FUNNEL: view → click → purchase, strictly increasing times ---
+    GQuery("ev_funnel",
+      (s, d) => funnel(
+        T.events(s, d).select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("tms")),
+        "user_id", "event_type", "tms",
+        Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t1").as("t1_ms"), col("t2").as("t2_ms"),
+          col("t3").as("t3_ms"),
+          when(col("t3").isNotNull, 1).otherwise(0).as("completed"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms
+                FROM events),
+           s1 AS (SELECT user_id, min(tms) AS t1 FROM e
+                  WHERE event_type = 'view' GROUP BY 1),
+           s2 AS (SELECT s1.user_id, s1.t1, min(e.tms) AS t2
+                  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+                    AND e.event_type = 'click' AND e.tms > s1.t1
+                  GROUP BY 1, 2),
+           s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.tms) AS t3
+                  FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+                    AND e.event_type = 'purchase' AND e.tms > s2.t2
+                  GROUP BY 1, 2, 3)
+        SELECT user_id, t1 AS t1_ms, t2 AS t2_ms, t3 AS t3_ms,
+          CAST(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS completed
+        FROM s3 ORDER BY user_id""")),
 
     // ---- RANGE: clicks (any user) inside each purchase's 5-min window -
     GQuery("ev_range_attribution",

@@ -112,6 +112,36 @@ class TemporalSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 6L), "gap points match nothing")
   }
 
+  test("funnel: strict ordering, broken steps null out, non-entrants absent") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "buy", 30L),
+      // user 2: click BEFORE the first view — funnel breaks at step 2
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "buy", 50L),
+      // user 3: view only
+      (3L, "view", 10L),
+      // user 4: never viewed — not in the output at all
+      (4L, "click", 10L), (4L, "buy", 20L),
+      // user 5: same-timestamp click (NOT strictly after) then later one
+      (5L, "view", 10L), (5L, "click", 10L), (5L, "click", 40L), (5L, "buy", 45L))
+      .toDF("user_id", "event_type", "tms")
+    val out = ops.Temporal.funnel(ev, "user_id", "event_type", "tms",
+        Seq("view", "click", "buy"))
+      .select($"user_id", $"t1", $"t2", $"t3")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L))))
+    // user 2's pre-view click must not count; the buy at 50 needs a
+    // click after the view, which never happens
+    assert(out(2L) == ((Some(10L), None, None)))
+    assert(out(3L) == ((Some(10L), None, None)))
+    assert(!out.contains(4L))
+    // strictness: click@10 == view@10 rejected, click@40 accepted
+    assert(out(5L) == ((Some(10L), Some(40L), Some(45L))))
+    assert(out.size == 4)
+  }
+
   test("temporal plans: no nested-loop or cartesian join, single key shuffle for asof") {
     val sf = "/root/testdata/sf0.001"
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
