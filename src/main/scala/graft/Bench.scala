@@ -41,6 +41,7 @@ object Bench {
       "stream_ingest_build" -> timed { ops.Lake.streamTable(spark, sfDir) },
       "stream_sink_build" -> timed { ops.Lake.sinkStreamTable(spark, sfDir) },
       "lake_merge_build" -> timed { ops.Lake.mergeTable(spark, sfDir) },
+      "incr_agg_build" -> timed { ops.Lake.incrAgg(spark, sfDir) },
       "schema_evo_build" -> timed { ops.Lake.evoTable(spark, sfDir) },
       "bucketed_tables_build" -> timed { ops.Extended.ensureBucketed(spark, sfDir) },
       "ann_index_build" -> timed { ops.Similarity.ensureAnnIndex(spark, sfDir) },
