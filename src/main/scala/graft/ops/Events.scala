@@ -134,6 +134,38 @@ object Events {
           FROM g)
         SELECT user_id, session_id, count(*) AS n_events,
           min(tms) AS start_ms, max(tms) - min(tms) AS duration_ms
-        FROM s GROUP BY 1, 2 ORDER BY user_id, session_id"""))
+        FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""")),
+
+    // ---- cohort retention: signup-day cohorts × activity-day offsets --
+    // all time math in integer epoch-DAYS (floor of epoch-ms), so the
+    // triangle is engine-exact with no date/timezone semantics at all
+    GQuery("ev_retention",
+      (s, d) => {
+        val days = T.events(s, d)
+          .select(col("user_id"),
+            floor(unix_millis(col("ts")) / lit(86400000L)).as("day"),
+            col("event_type"))
+        val cohort = days.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        val active = days.select(col("user_id"), col("day")).distinct()
+        cohort.join(active, "user_id")
+          .withColumn("day_offset", col("day") - col("cohort_day"))
+          .filter(col("day_offset") >= 0)
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH days AS (
+          SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+            event_type
+          FROM events),
+        cohort AS (SELECT user_id, min(day) AS cohort_day FROM days
+                   WHERE event_type = 'signup' GROUP BY 1),
+        active AS (SELECT DISTINCT user_id, day FROM days)
+        SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+          CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
+        FROM cohort c JOIN active a USING (user_id)
+        WHERE a.day - c.cohort_day >= 0
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
   )
 }
