@@ -118,7 +118,7 @@ final case class LakeTableConfig(
   *     write time like Hudi's `_hoodie_commit_time`/`_hoodie_record_key`
   *     (observable in the reference via MockCuratedGlueJob.py:24).
   */
-final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
+final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   import LakeTable._
 
   private val hconf = spark.sparkContext.hadoopConfiguration
@@ -457,9 +457,13 @@ final class LakeTable(spark: SparkSession, val config: LakeTableConfig) {
       require(bad.isEmpty,
         s"merge may not assign key/partition columns: ${bad.mkString(",")}")
     }
-    val needed = dedupCols :+ config.precombineCol
+    // partition columns are required even when the identity is key-only
+    // (global index): the scope probe and inserted-row placement both
+    // dereference them — failing fast beats an AnalysisException mid-plan
+    val needed =
+      (dedupCols ++ config.partitionCols).distinct :+ config.precombineCol
     needed.foreach(c => require(source0.columns.contains(c),
-      s"merge source must carry identity+precombine column '$c'"))
+      s"merge source must carry identity+partition+precombine column '$c'"))
     val hasBySource = clauses.exists(cl =>
       cl.kind == BySourceUpdate || cl.kind == BySourceDelete)
     if (!hasBySource && source0.isEmpty) return log.latestId.getOrElse(-1L)

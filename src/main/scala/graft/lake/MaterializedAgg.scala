@@ -15,16 +15,26 @@ import org.apache.spark.sql.functions._
   *   subs = rows of snapshot(from) whose key was updated or deleted in
   *          the window (pre-images, found by a key semi-join),
   *   delta(dim) = agg(adds) - agg(subs),
-  * and the new aggregate row is old + delta, upserted; dimensions whose
-  * count reaches zero are deleted. Cost is O(changed keys + affected
-  * dimensions) — never a rescan of the source — which is the entire
-  * point at 100 TB: a CDC trickle refreshes a dashboard aggregate in
-  * seconds regardless of table size.
+  * applied to the aggregate as ONE multi-clause merge commit (update =
+  * old + delta, insert = delta, delete when the count reaches zero).
+  * Cost is O(changed keys + affected dimensions) — never a rescan of
+  * the source — which is the entire point at 100 TB: a CDC trickle
+  * refreshes a dashboard aggregate in seconds regardless of table
+  * size.
+  *
+  * Crash safety: the watermark marker is written AFTER the merge
+  * commit, and recovery reads `max(_src_commit)` out of the aggregate
+  * itself — if the commit landed but the marker did not, the next
+  * refresh resumes from the data's high-water mark instead of
+  * re-applying the delta. The one window this cannot see is a
+  * DELETE-ONLY refresh (no surviving row carries the new commit id);
+  * replaying such a window is naturally idempotent (re-deleting absent
+  * dims and re-inserting nothing).
   *
   * The aggregate itself IS a LakeTable (keyed by the dimensions,
   * versioned by the applied source commit), so it inherits snapshot
-  * isolation, time travel, and concurrency guards; the applied-commit
-  * watermark rides the same atomic-rename discipline as every commit.
+  * isolation, time travel, and concurrency guards. NULL dimension
+  * values are first-class: every join in the pipeline is null-safe.
   *
   * Exactness: supply INTEGER-VALUED sum expressions (scale decimals
   * first, e.g. `CAST(floor(x * 100) AS BIGINT)`) so incremental
@@ -42,34 +52,21 @@ final class MaterializedAgg(
   val table: LakeTable = LakeTable(spark, LakeTableConfig(
     aggRoot, keyCols = dims, precombineCol = "_src_commit"))
 
-  // applied-watermark discipline: one EMPTY marker file per applied
-  // source commit, atomically created under its own name (the CommitLog
-  // pattern). Never a rename onto an existing path — Hadoop filesystems
-  // fail that rename, which would freeze the watermark and silently
-  // re-apply every delta on the next refresh.
-  private val markerDir = new Path(aggRoot, "_log")
-  private def fs = markerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val mark = new Watermark(new Path(aggRoot, "_log"), "applied-",
+    spark.sparkContext.hadoopConfiguration)
+
+  /** highest source commit stamped into a surviving aggregate row —
+    * the recovery source when the marker write was lost to a crash */
+  private def tableHighWater: Option[Long] =
+    if (!table.exists) None
+    else {
+      val r = table.read().agg(max(col("_src_commit"))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
 
   /** source commit id the aggregate currently reflects (None = never built) */
   def applied: Option[Long] =
-    if (!fs.exists(markerDir)) None
-    else fs.listStatus(markerDir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.matches("applied-\\d{8,}"))
-      .map(_.stripPrefix("applied-").toLong)
-      .maxOption
-
-  private def record(id: Long): Unit = {
-    fs.mkdirs(markerDir)
-    fs.create(new Path(markerDir, f"applied-$id%08d"), true).close()
-    // older markers are redundant once a newer one exists (best-effort)
-    applied.foreach { latest =>
-      fs.listStatus(markerDir).toSeq.map(_.getPath)
-        .filter(p => p.getName.matches("applied-\\d{8,}") &&
-          p.getName.stripPrefix("applied-").toLong < latest)
-        .foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
-    }
-  }
+    (mark.last.toSeq ++ tableHighWater.toSeq).maxOption
 
   private def sumCols = sums.keys.toSeq.sorted
   private def measures = "n_rows" +: sumCols
@@ -87,11 +84,11 @@ final class MaterializedAgg(
     val to = upTo.orElse(source.log.latestId).getOrElse(return None)
     val from = applied.getOrElse(-1L)
     require(to >= from, s"cannot refresh backwards: applied=$from, asked=$to")
-    if (to == from) return Some(to)
+    if (to == from) { mark.record(to); return Some(to) }
     if (from < 0) {
       table.bulkInsert(aggOf(source.readAsOf(to))
         .withColumn("_src_commit", lit(to)))
-      record(to); return Some(to)
+      mark.record(to); return Some(to)
     }
     val keyed = (source.config.partitionCols ++ source.config.keyCols).distinct
     val newSnap = source.readAsOf(to)
@@ -105,30 +102,32 @@ final class MaterializedAgg(
         .except(newSnap.select(keyed.map(col): _*)))
       .distinct()
     val subs = oldSnap.join(touchedKeys, keyed, "left_semi")
-    val dAdd = aggOf(adds)
-    val dSub = aggOf(subs)
-    // delta = add - sub per dimension (full outer: a dim may only shrink
-    // or only grow in the window)
-    val a = dAdd.select(dims.map(col) ++ measures.map(c => col(c).as(s"_a_$c")): _*)
-    val b = dSub.select(dims.map(col) ++ measures.map(c => col(c).as(s"_s_$c")): _*)
-    val delta = a.join(b, dims, "full_outer")
-      .select(dims.map(col) ++ measures.map(c =>
-        (coalesce(col(s"_a_$c"), lit(0L)) - coalesce(col(s"_s_$c"), lit(0L)))
-          .as(s"_d_$c")): _*)
-    // apply to the current aggregate rows of the affected dims
-    val cur = table.read()
-      .select(dims.map(col) ++ measures.map(col): _*)
-      .join(delta.select(dims.map(col): _*), dims, "left_semi")
-    val c = cur.select(dims.map(col) ++ measures.map(cc => col(cc).as(s"_c_$cc")): _*)
-    val merged = delta.join(c, dims, "left_outer")
-      .select(dims.map(col) ++ measures.map(cc =>
-        (coalesce(col(s"_c_$cc"), lit(0L)) + col(s"_d_$cc")).as(cc)): _*)
-    val gone = merged.filter(col("n_rows") <= 0).select(dims.map(col): _*)
-    val live = merged.filter(col("n_rows") > 0)
+    // delta = add - sub per dimension, via a NULL-SAFE full outer join
+    // (a name-equality join would split a null-valued dimension into
+    // two half-deltas that later collapse arbitrarily)
+    val a = aggOf(adds).select(
+      dims.map(col) ++ measures.map(c => col(c).as(s"_a_$c")): _*)
+    val b = aggOf(subs).select(
+      dims.map(col) ++ measures.map(c => col(c).as(s"_s_$c")): _*)
+    val cond = dims.map(c => a(c) <=> b(c)).reduce(_ && _)
+    val delta = a.join(b, cond, "full_outer")
+      .select(dims.map(c => coalesce(a(c), b(c)).as(c)) ++
+        measures.map(c =>
+          (coalesce(col(s"_a_$c"), lit(0L)) - coalesce(col(s"_s_$c"), lit(0L)))
+            .as(s"_d_$c")): _*)
+      .filter(measures.map(c => col(s"_d_$c") =!= 0).reduce(_ || _))
       .withColumn("_src_commit", lit(to))
-    if (!live.isEmpty) table.upsert(live)
-    if (!gone.isEmpty) table.delete(gone)
-    record(to)
+    // apply as ONE commit: update/insert/delete in a single merge
+    table.merge(delta)
+      .whenMatchedDelete(Some(col("t.n_rows") + col("s._d_n_rows") <= 0))
+      .whenMatchedUpdate(
+        measures.map(c => c -> (col(s"t.$c") + col(s"s._d_$c"))).toMap +
+          ("_src_commit" -> col("s._src_commit")))
+      .whenNotMatchedInsert(
+        measures.map(c => c -> col(s"s._d_$c")).toMap,
+        cond = Some(col("s._d_n_rows") > 0))
+      .execute()
+    mark.record(to)
     Some(to)
   }
 

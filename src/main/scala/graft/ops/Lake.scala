@@ -94,6 +94,27 @@ object Lake {
     * whenever it arrives), which is exactly what the oracle's window
     * asserts.
     */
+  /** Stage each batch as ONE parquet file (`b<i>-p<j>.parquet`) in
+    * `srcDir` so maxFilesPerTrigger=1 maps one micro-batch to one batch
+    * of the replay (the reference's one-upsert-per-day loop) — without
+    * the coalesce every part file would become its own upsert commit.
+    */
+  private def stageBatchesAsFiles(
+      fs: org.apache.hadoop.fs.FileSystem, srcDir: String,
+      batchesToStage: Seq[DataFrame]): Unit =
+    batchesToStage.zipWithIndex.foreach { case (b, i) =>
+      val stagePath = new org.apache.hadoop.fs.Path(s"$srcDir/_stage$i")
+      b.coalesce(1).write.parquet(stagePath.toString)
+      fs.listStatus(stagePath).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).zipWithIndex
+        .foreach { case (f, j) =>
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(srcDir, f"b$i-p$j%04d.parquet"))
+        }
+      fs.delete(stagePath, true)
+    }
+
   private[graft] def streamTable(s: SparkSession, d: String): LakeTable =
     cache.computeIfAbsent(s"$d:stream", _ => {
       val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
@@ -108,22 +129,7 @@ object Lake {
       val li = keyedLineitem(s, d).persist()
       try {
         val (b0, b1, b2, _) = batches(li)
-        // stage each CDC batch as ONE file so maxFilesPerTrigger=1 maps
-        // one micro-batch to one batch of the replay (the reference's
-        // one-upsert-per-day loop) — without the coalesce every part
-        // file would become its own upsert commit
-        Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
-          val stagePath = new org.apache.hadoop.fs.Path(s"$srcDir/_stage$i")
-          b.coalesce(1).write.parquet(stagePath.toString)
-          fs.listStatus(stagePath).toSeq
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .sortBy(_.getPath.getName).zipWithIndex
-            .foreach { case (f, j) =>
-              fs.rename(f.getPath,
-                new org.apache.hadoop.fs.Path(srcDir, f"b$i-p$j%04d.parquet"))
-            }
-          fs.delete(stagePath, true)
-        }
+        stageBatchesAsFiles(fs, srcDir, Seq(b0, b1, b2))
         val t = LakeTable(s, LakeTableConfig(
           root, keyCols = Seq("l_orderkey", "l_linenumber"),
           precombineCol = "update_ts", partitionCols = Seq("l_returnflag")))
@@ -153,18 +159,7 @@ object Lake {
       val li = keyedLineitem(s, d).persist()
       try {
         val (b0, b1, b2, _) = batches(li)
-        Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
-          val stagePath = new org.apache.hadoop.fs.Path(s"$srcDir/_stage$i")
-          b.coalesce(1).write.parquet(stagePath.toString)
-          fs.listStatus(stagePath).toSeq
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .sortBy(_.getPath.getName).zipWithIndex
-            .foreach { case (f, j) =>
-              fs.rename(f.getPath,
-                new org.apache.hadoop.fs.Path(srcDir, f"b$i-p$j%04d.parquet"))
-            }
-          fs.delete(stagePath, true)
-        }
+        stageBatchesAsFiles(fs, srcDir, Seq(b0, b1, b2))
         val q = s.readStream.schema(b0.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir)

@@ -30,8 +30,12 @@ object Prep {
     docs
       .withColumn("_tk",
         expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+      // starts stop at size - overlap: a later start would emit a chunk
+      // made ENTIRELY of tokens the previous chunk already carried (its
+      // tail sits inside the predecessor's overlap), which at corpus
+      // scale is a systematic duplication bias in the training text
       .withColumn("start",
-        explode(expr(s"sequence(1, greatest(size(_tk), 1), $stride)")))
+        explode(expr(s"sequence(1, greatest(size(_tk) - $overlap, 1), $stride)")))
       .withColumn("n_tokens", size(slice(col("_tk"), col("start"), lit(window))))
       .withColumn("chunk",
         array_join(slice(col("_tk"), col("start"), lit(window)), " "))
@@ -131,7 +135,7 @@ object Prep {
         SELECT doc_id, CAST(i AS INT) AS start,
           CAST(len(list_slice(tk, i, i + 39)) AS INT) AS n_tokens,
           array_to_string(list_slice(tk, i, i + 39), ' ') AS chunk
-        FROM d, unnest(generate_series(1, greatest(len(tk), 1), 30)) AS s(i)
+        FROM d, unnest(generate_series(1, greatest(len(tk) - 10, 1), 30)) AS s(i)
         ORDER BY doc_id, start""")),
 
     // deterministic PII is appended to each doc, then scrubbed; the

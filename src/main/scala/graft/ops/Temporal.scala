@@ -63,11 +63,18 @@ object Temporal {
     require(clash.isEmpty,
       s"right payload columns collide with left: ${clash.mkString(",")} — alias the right side")
 
-    val r = right.select(
+    // null times never match: a right row with an unknown time would
+    // otherwise sort to an end of the scan and get handed out as a
+    // spurious "nearest" match (backward's asc = NULLS FIRST puts it
+    // before everything; forward's desc = NULLS LAST mirrors it), and a
+    // null-time left row would adopt whatever the scan edge holds.
+    // Right nulls are dropped; left nulls re-enter the output unmatched.
+    val r = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTime).as("_t"), lit(0).as("_side"),
         struct(payload.map(col): _*).as("_r")): _*)
     val rType = r.schema("_r").dataType.asInstanceOf[StructType]
-    val l = left.select(
+    val lNullTime = left.filter(col(leftTime).isNull)
+    val l = left.filter(col(leftTime).isNotNull).select(
       left.columns.map(col) ++ Seq(col(leftTime).as("_t"), lit(1).as("_side"),
         lit(null).cast(rType).as("_r")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
@@ -93,6 +100,8 @@ object Temporal {
       .filter(col("_side") === 1)
       .select(left.columns.map(col) ++
         payload.map(p => col("_m").getField(p).as(p)): _*)
+      .unionByName(lNullTime.select(left.columns.map(col) ++
+        payload.map(p => lit(null).cast(rType(p).dataType).as(p)): _*))
   }
 
   /** Range (interval) join: pair every point row with every interval row

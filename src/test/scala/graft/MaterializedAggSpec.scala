@@ -76,6 +76,28 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(got(m) == direct(t))
   }
 
+  test("null dimension values accumulate correctly across refreshes") {
+    import spark.implicits._
+    val t = LakeTable(spark, LakeTableConfig(
+      tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))
+    val rows0 = Seq((1L, Option.empty[String], 10L, 0),
+      (2L, Some("a"), 5L, 0), (3L, Option.empty[String], 2L, 0))
+    t.bulkInsert(rows0.toDF("pk", "dim", "v", "ts"))
+    val m = new MaterializedAgg(spark, t, tmp() + "/agg",
+      dims = Seq("dim"), sums = Map("v_sum" -> "v"))
+    m.refresh()
+    // null-dim group must exist with BOTH rows aggregated
+    def nullRow = m.read().filter($"dim".isNull)
+      .select($"n_rows", $"v_sum").as[(Long, Long)].collect().toSeq
+    assert(nullRow == Seq((2L, 12L)))
+    // incremental add into the null group must ACCUMULATE, not replace
+    t.upsert(Seq((4L, Option.empty[String], 100L, 1)).toDF("pk", "dim", "v", "ts"))
+    m.refresh()
+    assert(nullRow == Seq((3L, 112L)),
+      "null-dim delta must merge into the existing group")
+    assert(got(m) == direct(t))
+  }
+
   test("step-by-step refresh equals one big refresh") {
     val t = LakeTable(spark, LakeTableConfig(
       tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))

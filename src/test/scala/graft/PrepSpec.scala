@@ -17,14 +17,21 @@ class PrepSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("chunk: overlap repeats boundary tokens; trailing chunk short") {
+  test("chunk: overlap repeats boundary tokens; no pure-overlap tail chunk") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
     val out = Prep.chunk(d, "text", window = 3, overlap = 1)
       .select($"start", $"n_tokens", $"chunk").as[(Int, Int, String)]
       .collect().sortBy(_._1)
-    assert(out.toSeq == Seq((1, 3, "a b c"), (3, 3, "c d e"),
-      (5, 3, "e f g"), (7, 1, "g")))
+    // a start at 7 would re-emit only "g", already carried by (5,"e f g")
+    assert(out.toSeq == Seq((1, 3, "a b c"), (3, 3, "c d e"), (5, 3, "e f g")))
+    // a genuinely short tail (not contained in its predecessor) survives
+    val d2 = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out2 = Prep.chunk(d2, "text", window = 3, overlap = 1)
+      .select($"start", $"n_tokens", $"chunk").as[(Int, Int, String)]
+      .collect().sortBy(_._1)
+    assert(out2.toSeq == Seq((1, 3, "a b c"), (3, 3, "c d e"),
+      (5, 3, "e f g"), (7, 2, "g h")))
   }
 
   test("chunk: empty and whitespace-only docs yield one empty chunk") {

@@ -112,6 +112,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 6L), "gap points match nothing")
   }
 
+  test("asof: null timestamps never match, null-time left rows pass through") {
+    import spark.implicits._
+    val l = Seq((1L, "s", Some(100L)), (2L, "s", None), (3L, "s", Some(5L)))
+      .toDF("id", "sym", "t_ms")
+    val r = Seq(("s", Some(50L), "good"), ("s", None, "ghost"))
+      .toDF("sym", "q_ms", "quote")
+    val out = ops.Temporal.asofJoin(l, r, Seq("sym"), "t_ms", "q_ms")
+      .select($"id", $"quote").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("good"), "real prior quote matches")
+    assert(out(2L).isEmpty, "null-time left row must not adopt a match")
+    assert(out(3L).isEmpty,
+      "row before every real quote must not match the null-time ghost")
+    assert(out.size == 3, "null-time left rows stay in the output")
+    val fwd = ops.Temporal.asofJoin(l, r, Seq("sym"), "t_ms", "q_ms",
+        direction = "forward")
+      .select($"id", $"quote").as[(Long, Option[String])].collect().toMap
+    assert(fwd(2L).isEmpty, "forward: null-time left row must not match")
+    assert(fwd(1L).isEmpty && fwd(3L).contains("good"))
+  }
+
   test("funnel: strict ordering, broken steps null out, non-entrants absent") {
     import spark.implicits._
     val ev = Seq(
