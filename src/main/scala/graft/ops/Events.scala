@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GQuery, Tables => T}
@@ -43,6 +44,26 @@ object Events {
       }
     copyInto(src, Paths.get(s"$dir/events.parquet"))
     dir
+  }
+
+  /** Cohort retention triangle: entities cohorted by their first
+    * `cohortType` period, counted distinct on every later active period
+    * — (cohort, offset, n_active). One entity-key equi-join of the
+    * cohort min against distinct activity periods; every aggregate
+    * map-side combines. `timeCol` should already be an integer period
+    * (e.g. epoch-day) so the math is engine-exact.
+    */
+  def retention(
+      events: DataFrame, entityCol: String, typeCol: String,
+      timeCol: String, cohortType: String): DataFrame = {
+    val cohort = events.filter(col(typeCol) === cohortType)
+      .groupBy(col(entityCol)).agg(min(col(timeCol)).as("cohort_day"))
+    val active = events.select(col(entityCol), col(timeCol)).distinct()
+    cohort.join(active, entityCol)
+      .withColumn("day_offset", col(timeCol) - col("cohort_day"))
+      .filter(col("day_offset") >= 0)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col(entityCol)).as("n_active"))
   }
 
   val queries: Seq[GQuery] = Seq(
@@ -140,21 +161,11 @@ object Events {
     // all time math in integer epoch-DAYS (floor of epoch-ms), so the
     // triangle is engine-exact with no date/timezone semantics at all
     GQuery("ev_retention",
-      (s, d) => {
-        val days = T.events(s, d)
-          .select(col("user_id"),
-            floor(unix_millis(col("ts")) / lit(86400000L)).as("day"),
-            col("event_type"))
-        val cohort = days.filter(col("event_type") === "signup")
-          .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-        val active = days.select(col("user_id"), col("day")).distinct()
-        cohort.join(active, "user_id")
-          .withColumn("day_offset", col("day") - col("cohort_day"))
-          .filter(col("day_offset") >= 0)
-          .groupBy(col("cohort_day"), col("day_offset"))
-          .agg(countDistinct(col("user_id")).as("n_active"))
-          .orderBy("cohort_day", "day_offset")
-      },
+      (s, d) => retention(
+        T.events(s, d).select(col("user_id"), col("event_type"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).as("day")),
+        "user_id", "event_type", "day", "signup")
+        .orderBy("cohort_day", "day_offset"),
       Some("""WITH days AS (
           SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
             event_type

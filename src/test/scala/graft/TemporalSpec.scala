@@ -162,6 +162,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("retention: known cohort triangle") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Long) = new Timestamp(day * 86400000L)
+    // users 1,2 sign up day 0; user 1 active days 0,1; user 2 days 0,2;
+    // user 3 signs up day 1, active day 1 only; user 4 never signs up
+    val ev = Seq(
+      (1L, "signup", t(0)), (1L, "view", t(1)),
+      (2L, "signup", t(0)), (2L, "click", t(2)),
+      (3L, "signup", t(1)),
+      (4L, "view", t(0)), (4L, "view", t(5)))
+      .toDF("user_id", "event_type", "ts")
+    val days = ev.select($"user_id", $"event_type",
+      floor(unix_millis($"ts") / lit(86400000L)).as("day"))
+    val tri = ops.Events.retention(days, "user_id", "event_type", "day", "signup")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tri == Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)),
+      s"triangle wrong: $tri")
+  }
+
   test("temporal plans: no nested-loop or cartesian join, single key shuffle for asof") {
     val sf = "/root/testdata/sf0.001"
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
