@@ -85,10 +85,18 @@ object GraftExtensions {
         val x1 = UnresolvedNamedLambdaVariable(Seq("x"))
         val m = fn("array_max",
           fn("transform", args(0), LambdaFunction(fn("abs", dbl(x1)), Seq(x1))))
+        // same one-binding-per-row shape as ops.Prep.quantizeInt8 (a bare
+        // `m` in the inner lambda would re-evaluate array_max per element)
+        val mv = UnresolvedNamedLambdaVariable(Seq("m"))
         val x2 = UnresolvedNamedLambdaVariable(Seq("x"))
-        val body = fn("if", EqualTo(m, Literal(0.0)), Literal(0L),
-          fn("floor", fn("/", fn("*", dbl(x2), Literal(127.0)), m)))
-        fn("transform", args(0), LambdaFunction(body, Seq(x2)))
+        val body = fn("if", EqualTo(mv, Literal(0.0)), Literal(0L),
+          fn("floor", fn("/", fn("*", dbl(x2), Literal(127.0)), mv)))
+        fn("element_at",
+          fn("transform", fn("array", m),
+            LambdaFunction(
+              fn("transform", args(0), LambdaFunction(body, Seq(x2))),
+              Seq(mv))),
+          Literal(1))
       }),
     (FunctionIdentifier("hash_bucket"),
       new ExpressionInfo(ops.Sampling.getClass.getCanonicalName, "hash_bucket"),

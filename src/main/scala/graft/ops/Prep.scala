@@ -72,9 +72,13 @@ object Prep {
     */
   def quantizeInt8(emb: Column): Column = {
     val m = array_max(transform(emb, x => abs(x.cast("double"))))
-    transform(emb, x =>
-      when(m === 0.0, 0L)
-        .otherwise(floor(x.cast("double") * lit(127.0) / m)))
+    // bind m ONCE per row through an outer single-element transform: a
+    // bare reference to `m` inside the per-element lambda would inline
+    // and re-evaluate the whole array_max per element — O(d²) per row
+    element_at(transform(array(m), mv =>
+      transform(emb, x =>
+        when(mv === 0.0, 0L)
+          .otherwise(floor(x.cast("double") * lit(127.0) / mv)))), 1)
   }
 
   // ---- sequence packing ----------------------------------------------
