@@ -111,6 +111,44 @@ object Similarity {
           FROM scored) t
         WHERE rnk <= $TopK ORDER BY qid, rnk""")),
 
+    // ---- top-k over INT8-QUANTIZED vectors (exact integer ranking) ----
+    // the compressed-corpus search path: 4× smaller vectors, dot
+    // products in integer space — and because integer arithmetic is
+    // exact, the ENTIRE ranking is oracle-checkable bit-for-bit (the
+    // float-cosine form above must pre-round before ranking)
+    GQuery("emb_ann_quantized",
+      (s, d) => {
+        val q = T.embeddings(s, d)
+          .select(col("vec_id"), Prep.quantizeInt8(col("embedding")).as("q"))
+        val probes = q.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+        val dots = q.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(q, pq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("dot").desc, col("vec_id"))
+        dots.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("probe_id"), col("vec_id"), col("dot"), col("rn"))
+          .orderBy("probe_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+          FROM embeddings),
+        qv AS (SELECT vec_id,
+            list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+              ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT) END) AS q
+          FROM e),
+        p AS (SELECT vec_id AS probe_id, q AS pq FROM qv WHERE vec_id < 5),
+        d AS (SELECT p.probe_id, qv.vec_id,
+            (SELECT CAST(SUM(qv.q[i] * p.pq[i]) AS BIGINT)
+             FROM unnest(generate_series(1, len(qv.q))) s(i)) AS dot
+          FROM qv, p WHERE qv.vec_id <> p.probe_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                ORDER BY dot DESC, vec_id) AS rn FROM d)
+        SELECT probe_id, vec_id, dot, CAST(rn AS INT) AS rn
+        FROM r WHERE rn <= 5 ORDER BY probe_id, rn""")),
+
     // ---- embedding-cosine near-dup dedup (exact all-pairs baseline) ---
     // the corpus-dedup use of similarity: pairs above a cosine threshold.
     // Exact O(N²) is the verification baseline; the LSH-bucketed path
