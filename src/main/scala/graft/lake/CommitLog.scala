@@ -25,7 +25,16 @@ final case class Commit(
     tsMillis: Long,
     schemaJson: String,
     adds: Seq[FileAdd],
-    removes: Seq[String])
+    removes: Seq[String],
+    /** caller-supplied commit metadata (Delta commitInfo role): small
+      * string key-values that must travel ATOMICALLY with the commit —
+      * e.g. the source commit a materialized aggregate's refresh merge
+      * applied. Jackson yields null for pre-upgrade JSONs — read via
+      * [[Commit.metadata]]. */
+    meta: Map[String, String] = Map.empty) {
+  /** null-safe accessor for commit JSONs written before `meta` existed */
+  def metadata: Map[String, String] = Option(meta).getOrElse(Map.empty)
+}
 
 /** kind: "base" (fully merged file) or "delta" (MoR append, merged at
   * read time). Jackson yields null for files written before the field

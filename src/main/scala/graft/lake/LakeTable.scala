@@ -177,10 +177,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   /** Initial full load: no dedup, no index lookup (reference bulk_insert,
     * `glue/HudiJarGlueJob.py:118-126`). Refuses on a non-empty table.
     */
-  def bulkInsert(df: DataFrame): Long = {
+  def bulkInsert(df: DataFrame, meta: Map[String, String] = Map.empty): Long = {
     require(!exists, s"table ${config.root} already exists; use upsert")
     writeCommit(withDerived(withMeta(df, 0L)), op = "bulk_insert",
-      removes = Seq.empty, basedOn = Some(log.EmptyTable))
+      removes = Seq.empty, basedOn = Some(log.EmptyTable), commitMeta = meta)
   }
 
   /** Merge a batch by record key; on key collision the row with the highest
@@ -447,7 +447,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * scope is read through the delta merge and written back as base
     * files, i.e. a merge doubles as targeted compaction.
     */
-  private[lake] def mergeImpl(source0: DataFrame, clauses: Seq[MergeClause]): Long = {
+  private[lake] def mergeImpl(source0: DataFrame, clauses: Seq[MergeClause],
+      commitMeta: Map[String, String] = Map.empty): Long = {
     import MergeClause._
     require(exists, s"table ${config.root} does not exist")
     require(clauses.nonEmpty, "merge needs at least one WHEN clause")
@@ -545,7 +546,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
           .select(userCols.map(valueFor) :+ newCid.as("_commit_id"): _*)
           .withColumn("_record_key", keyStrExpr))
       writeCommit(result, "merge", oldFiles.map(_.path), Some(id),
-        basedOn = Some(basedOn))
+        basedOn = Some(basedOn), commitMeta = commitMeta)
     } finally src.unpersist()
   }
 
@@ -727,7 +728,6 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       .parquet(s"${config.root}/data/d*")
   }
 
-  /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   /** Zero-copy clone at a snapshot (Delta SHALLOW CLONE role): the new
     * table's first commit REFERENCES the source's live files — no data
     * is copied, so cloning a 100 TB table is a metadata write. Writes to
@@ -766,6 +766,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       "n_partitions_touched")
   }
 
+  /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   def clean(retain: Int): Unit = log.clean(retain)
 
   /** Delete data directories no commit references (Delta VACUUM / Hudi
@@ -1462,7 +1463,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   private def writeCommit(
       df: DataFrame, op: String, removes: Seq[String],
       fixedId: Option[Long] = None, kind: String = "base",
-      basedOn: Option[Long] = None): Long = {
+      basedOn: Option[Long] = None,
+      commitMeta: Map[String, String] = Map.empty): Long = {
     val expectedHead = basedOn.getOrElse(log.latestId.getOrElse(log.EmptyTable))
     val id = fixedId.getOrElse(log.nextId)
     val dir = dataDir(id, kind, op)
@@ -1539,8 +1541,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     }
     val schemaJson = df.schema.json
     try
-      log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds, removes),
-        basedOnLatest = expectedHead)
+      log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds,
+        removes, commitMeta), basedOnLatest = expectedHead)
     catch { case e: IllegalStateException =>
       // the commit lost the publish race — its just-written data files are
       // orphans (invisible to every reader); drop them so a retry loop

@@ -22,14 +22,11 @@ import org.apache.spark.sql.functions._
   * refreshes a dashboard aggregate in seconds regardless of table
   * size.
   *
-  * Crash safety: the watermark marker is written AFTER the merge
-  * commit, and recovery reads `max(_src_commit)` out of the aggregate
-  * itself — if the commit landed but the marker did not, the next
-  * refresh resumes from the data's high-water mark instead of
-  * re-applying the delta. The one window this cannot see is a
-  * DELETE-ONLY refresh (no surviving row carries the new commit id);
-  * replaying such a window is naturally idempotent (re-deleting absent
-  * dims and re-inserting nothing).
+  * Crash safety: the applied source commit is stamped into the refresh
+  * commit's own metadata, so it publishes ATOMICALLY with the merge —
+  * recovery reads it back from the aggregate's commit log. The marker
+  * file is only a fast path; losing it to a crash can never regress
+  * `applied`, even for a refresh that only deleted aggregate rows.
   *
   * The aggregate itself IS a LakeTable (keyed by the dimensions,
   * versioned by the applied source commit), so it inherits snapshot
@@ -55,18 +52,26 @@ final class MaterializedAgg(
   private val mark = new Watermark(new Path(aggRoot, "_log"), "applied-",
     spark.sparkContext.hadoopConfiguration)
 
-  /** highest source commit stamped into a surviving aggregate row —
-    * the recovery source when the marker write was lost to a crash */
-  private def tableHighWater: Option[Long] =
+  /** commit-metadata key stamping the applied source commit ATOMICALLY
+    * into each refresh's merge commit — the authoritative recovery
+    * source. Row-level `max(_src_commit)` alone cannot see a refresh
+    * that only DELETED aggregate rows; recovering from it would regress
+    * `applied` and a widened replay window would net-negative fresh
+    * inserts into the deleted dimension (they'd be filtered by the
+    * `_d_n_rows > 0` insert guard and silently vanish). */
+  private val SrcKey = "graft.src_commit"
+
+  /** highest source commit recorded in the aggregate's own commit log —
+    * written in the same atomic publish as the refresh merge, so a lost
+    * marker can never lose a delete-only window */
+  private def logHighWater: Option[Long] =
     if (!table.exists) None
-    else {
-      val r = table.read().agg(max(col("_src_commit"))).collect()(0)
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
-    }
+    else table.log.commits.flatMap(_.metadata.get(SrcKey))
+      .flatMap(s => s.toLongOption).maxOption
 
   /** source commit id the aggregate currently reflects (None = never built) */
   def applied: Option[Long] =
-    (mark.last.toSeq ++ tableHighWater.toSeq).maxOption
+    (mark.last.toSeq ++ logHighWater.toSeq).maxOption
 
   private def sumCols = sums.keys.toSeq.sorted
   private def measures = "n_rows" +: sumCols
@@ -87,7 +92,8 @@ final class MaterializedAgg(
     if (to == from) { mark.record(to); return Some(to) }
     if (from < 0) {
       table.bulkInsert(aggOf(source.readAsOf(to))
-        .withColumn("_src_commit", lit(to)))
+        .withColumn("_src_commit", lit(to)),
+        meta = Map(SrcKey -> to.toString))
       mark.record(to); return Some(to)
     }
     val keyed = (source.config.partitionCols ++ source.config.keyCols).distinct
@@ -117,8 +123,11 @@ final class MaterializedAgg(
             .as(s"_d_$c")): _*)
       .filter(measures.map(c => col(s"_d_$c") =!= 0).reduce(_ || _))
       .withColumn("_src_commit", lit(to))
-    // apply as ONE commit: update/insert/delete in a single merge
+    // apply as ONE commit: update/insert/delete in a single merge; the
+    // applied source commit travels in the SAME commit (crash-safe even
+    // for delete-only windows — see SrcKey)
     table.merge(delta)
+      .withCommitMeta(Map(SrcKey -> to.toString))
       .whenMatchedDelete(Some(col("t.n_rows") + col("s._d_n_rows") <= 0))
       .whenMatchedUpdate(
         measures.map(c => c -> (col(s"t.$c") + col(s"s._d_$c"))).toMap +

@@ -31,11 +31,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   * columns (row identity is immutable — Hudi's rule).
   */
 final class MergeBuilder private[lake] (
-    table: LakeTable, source: DataFrame, val clauses: Seq[MergeClause]) {
+    table: LakeTable, source: DataFrame, val clauses: Seq[MergeClause],
+    meta: Map[String, String] = Map.empty) {
   import MergeClause._
 
   private def add(c: MergeClause) =
-    new MergeBuilder(table, source, clauses :+ c)
+    new MergeBuilder(table, source, clauses :+ c, meta)
+
+  /** Attach commit metadata (small string key-values) that publishes
+    * ATOMICALLY with the merge commit — e.g. the source watermark a
+    * refresh applied (Delta commitInfo role). */
+  def withCommitMeta(m: Map[String, String]): MergeBuilder =
+    new MergeBuilder(table, source, clauses, meta ++ m)
 
   /** Matched rows: assign `set` columns (unassigned columns keep the
     * target value); applies when `cond` (over `t.*`/`s.*`) holds. */
@@ -67,7 +74,7 @@ final class MergeBuilder private[lake] (
 
   /** Run the merge as one commit; returns the commit id (or the current
     * head when the merge is a provable no-op). */
-  def execute(): Long = table.mergeImpl(source, clauses)
+  def execute(): Long = table.mergeImpl(source, clauses, meta)
 }
 
 final case class MergeClause(

@@ -62,6 +62,12 @@ object Temporal {
     val clash = payload.toSet & left.columns.toSet
     require(clash.isEmpty,
       s"right payload columns collide with left: ${clash.mkString(",")} — alias the right side")
+    // the plan reserves helper columns; an input already carrying one
+    // would corrupt the scan order or break resolution mid-plan
+    val reserved = Set("_t", "_side", "_r", "_m")
+    val taken = (left.columns ++ right.columns).toSet & reserved
+    require(taken.isEmpty,
+      s"input columns collide with asofJoin internals: ${taken.mkString(",")} — rename them")
 
     // null times never match: a right row with an unknown time would
     // otherwise sort to an end of the scan and get handed out as a
@@ -130,6 +136,9 @@ object Temporal {
     val clash = points.columns.toSet & intervals.columns.toSet
     require(clash.isEmpty,
       s"point/interval columns collide: ${clash.mkString(",")} — alias one side")
+    val taken = (points.columns ++ intervals.columns).toSet & Set("_pb", "_ib")
+    require(taken.isEmpty,
+      s"input columns collide with rangeJoin internals: ${taken.mkString(",")} — rename them")
     val b = intervals.withColumn("_ib",
       explode(sequence(floor(col(loCol) / bucketWidth),
         floor(col(hiCol) / bucketWidth))))

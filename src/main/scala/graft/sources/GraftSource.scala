@@ -89,6 +89,15 @@ final class GraftSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Sink = {
     require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
       "graft sink supports append/update output modes only")
+    // partitioning is a TABLE property (partitionCols option), not a query
+    // property: silently ignoring writeStream.partitionBy would write a
+    // layout the user did not ask for
+    val tableParts = parameters.get("partitionCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    require(partitionColumns.isEmpty || partitionColumns == tableParts,
+      s"writeStream.partitionBy(${partitionColumns.mkString(",")}) conflicts with " +
+        s"the table's partitionCols (${tableParts.mkString(",")}) — " +
+        "set partitioning via the partitionCols option")
     new GraftSink(tableFor(ctx, parameters),
       ctx.sparkSession.sparkContext.hadoopConfiguration)
   }

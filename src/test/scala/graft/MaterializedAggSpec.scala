@@ -98,6 +98,42 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(got(m) == direct(t))
   }
 
+  test("recovery survives a delete-only refresh whose marker write was lost") {
+    // ADVICE r4 scenario: a refresh fully deletes a dimension's agg row;
+    // the marker file is lost to a crash. Recovery must NOT regress
+    // `applied` (row-level max(_src_commit) cannot see a delete-only
+    // window) — otherwise the widened replay nets a negative delta for
+    // fresh inserts into that dimension and they silently vanish.
+    val t = LakeTable(spark, LakeTableConfig(
+      tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))
+    val aggRoot = tmp() + "/agg"
+    t.bulkInsert(df((1L, "a", 10, 0), (2L, "b", 7, 0)))
+    val m = new MaterializedAgg(spark, t, aggRoot,
+      dims = Seq("dim"), sums = Map("v_sum" -> "v"))
+    m.refresh() // applied = 0
+    // commit 1: delete the ONLY 'b' row → delete-only refresh for dim b
+    t.delete(df((2L, "b", 7, 0)).select("pk"))
+    m.refresh() // applied = 1, agg commit is delete-only for dim b
+    // simulate the crash: wipe every marker file (the merge commit with
+    // its stamped metadata already published)
+    val fs = new org.apache.hadoop.fs.Path(aggRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(aggRoot, "_log")).toSeq
+      .filter(_.getPath.getName.startsWith("applied-"))
+      .foreach(s => fs.delete(s.getPath, false))
+    // a FRESH instance (no in-memory state) must still see applied = 1
+    val m2 = new MaterializedAgg(spark, t, aggRoot,
+      dims = Seq("dim"), sums = Map("v_sum" -> "v"))
+    assert(m2.applied.contains(1L),
+      "applied watermark must recover from commit metadata, not row data")
+    // commit 2: NEW rows into the deleted dimension — the widened replay
+    // must land them, not net them away
+    t.upsert(df((5L, "b", 100, 2), (6L, "b", 1, 2)))
+    m2.refresh()
+    assert(got(m2) == direct(t), "fresh inserts into the deleted dim must survive")
+    assert(got(m2).exists(_._1 == "b"))
+  }
+
   test("step-by-step refresh equals one big refresh") {
     val t = LakeTable(spark, LakeTableConfig(
       tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))
