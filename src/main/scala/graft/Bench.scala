@@ -19,6 +19,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,7 +47,9 @@ object Bench {
       "bucketed_tables_build" -> timed { ops.Extended.ensureBucketed(spark, sfDir) },
       "ann_index_build" -> timed { ops.Similarity.ensureAnnIndex(spark, sfDir) },
       "ivf_centroids_build" -> timed { ops.Similarity.ensureIvf(spark, sfDir) },
-      "dup_cluster_build" -> timed { ops.Text.ensureClusters(spark, sfDir) })
+      "dup_cluster_build" -> timed { ops.Text.ensureClusters(spark, sfDir) },
+      "sql_dml_build" -> timed { ops.Sql.dmlFixture(spark, sfDir) },
+      "sql_merge_build" -> timed { ops.Sql.mergeFixture(spark, sfDir) })
     // each query runs twice; the SECOND (steady-state) run is reported, so
     // per-query numbers compare round-over-round without first-touch
     // page-cache/JIT noise (the r1 doc_exact_dedup 11s outlier was exactly

@@ -18,8 +18,14 @@ import org.apache.spark.sql.types.IntegerType
   * FunctionRegistry — used by the specs, whose session already exists).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injected.foreach(ext.injectFunction)
+    // SQL UPDATE / MERGE INTO on graft catalog tables (analyzer rules
+    // cannot be added to an already-built session, so SQL DML needs the
+    // session constructed with spark.sql.extensions=graft.GraftExtensions;
+    // imperative register() below covers only the function surface)
+    ext.injectResolutionRule(spark => sql.GraftDmlRule(spark))
+  }
 }
 
 object GraftExtensions {

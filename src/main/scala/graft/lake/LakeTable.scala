@@ -330,6 +330,23 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     } finally incoming.unpersist()
   }
 
+  /** Replace the WHOLE table content in one commit (SQL `INSERT
+    * OVERWRITE` without a partition spec / TRUNCATE+INSERT): every live
+    * file — all partitions, whether or not the batch touches them — is
+    * superseded and the batch becomes the table. Contrast with
+    * [[insertOverwrite]], which replaces only touched partitions
+    * (dynamic-overwrite semantics). An empty batch truncates.
+    */
+  def overwriteAll(batch: DataFrame): Long = {
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+    val id = log.nextId
+    val incoming = withDerived(withMeta(batch, id))
+      .withColumn("_seq", monotonically_increasing_id())
+    val live = if (exists) log.liveFiles() else Seq.empty
+    writeCommit(dedupWithinBatch(incoming), "insert_overwrite",
+      live.map(_.path), Some(id), basedOn = Some(basedOn))
+  }
+
   /** Bit-interleaved Z-value over the clusterCols (space-filling-curve
     * clustering): each column maps to a 256-bucket equal-width index
     * over its observed min/max in this commit (one map-side-combined
@@ -455,7 +472,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val identityCols = (config.keyCols ++ config.partitionCols).toSet
     clauses.foreach { cl =>
       val bad = cl.set.keySet & identityCols
-      require(bad.isEmpty,
+      // inserts DEFINE a new row's identity, so key/partition assignments
+      // are legal there (ANSI INSERT action); updates may not move a row's
+      // identity (Hudi's rule)
+      require(cl.kind == NotMatchedInsert || bad.isEmpty,
         s"merge may not assign key/partition columns: ${bad.mkString(",")}")
     }
     // partition columns are required even when the identity is key-only

@@ -1,0 +1,78 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Persisted table configuration (`<root>/_log/_table.json`) — the
+  * engine's counterpart of Hudi's `hoodie.properties` (the reference
+  * configures the same facts per write instead, `glue/HudiJarGlueJob
+  * .py:80-85`; persisting them with the table lets SQL-catalog readers
+  * and writers resolve a table from its path alone, no options).
+  *
+  * `schemaJson` carries the declared schema from CREATE TABLE so an
+  * empty (never-written) table still answers DESCRIBE/SELECT with the
+  * right shape; after the first commit the commit log's schema is
+  * authoritative.
+  */
+final case class TableDescriptor(
+    keyCols: Seq[String],
+    precombineCol: String,
+    partitionCols: Seq[String] = Seq.empty,
+    globalIndex: Boolean = false,
+    storageType: String = "cow",
+    compactEvery: Int = 0,
+    hashBuckets: Int = 0,
+    statsCols: Seq[String] = Seq.empty,
+    clusterCols: Seq[String] = Seq.empty,
+    zOrder: Boolean = false,
+    checks: Map[String, String] = Map.empty,
+    schemaJson: String = "") {
+
+  def config(root: String): LakeTableConfig = LakeTableConfig(
+    root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
+    compactEvery, hashBuckets, statsCols, clusterCols, zOrder,
+    Option(checks).getOrElse(Map.empty))
+}
+
+object TableDescriptor {
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  private def file(root: String) = new Path(root, "_log/_table.json")
+
+  def fromConfig(cfg: LakeTableConfig, schemaJson: String = ""): TableDescriptor =
+    TableDescriptor(cfg.keyCols, cfg.precombineCol, cfg.partitionCols,
+      cfg.globalIndex, cfg.storageType, cfg.compactEvery, cfg.hashBuckets,
+      cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.checks, schemaJson)
+
+  def exists(root: String, hconf: Configuration): Boolean = {
+    val p = file(root)
+    fs(p, hconf).exists(p)
+  }
+
+  def save(root: String, d: TableDescriptor, hconf: Configuration): Unit = {
+    val p = file(root)
+    val f = fs(p, hconf)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(mapper.writeValueAsBytes(d)) finally out.close()
+  }
+
+  def load(root: String, hconf: Configuration): Option[TableDescriptor] = {
+    val p = file(root)
+    val f = fs(p, hconf)
+    if (!f.exists(p)) None
+    else {
+      val in: java.io.InputStream = f.open(p)
+      try Some(mapper.readValue(in, classOf[TableDescriptor]))
+      finally in.close()
+    }
+  }
+
+  private def fs(p: Path, hconf: Configuration): FileSystem =
+    p.getFileSystem(hconf)
+}

@@ -304,6 +304,9 @@ object Lake {
       m
     })
 
+  /** shared with ops.Sql's MERGE oracle (same keyed-lineitem CTE) */
+  private[ops] def liSqlCte: String = liCte
+
   private val liCte =
     """li AS (SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
                    max(l_quantity) AS l_quantity

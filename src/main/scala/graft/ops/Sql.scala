@@ -1,0 +1,160 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import graft.{GQuery, Tables => T}
+
+/** SQL-DML queries: the reference's read path is catalog SQL
+  * (`glue/MockCuratedGlueJob.py:17-19`); the modern lakehouse write path
+  * is SQL DML. These queries drive the ENTIRE statement path through
+  * `spark.sql` against the graft DSv2 catalog ([[graft.sql.GraftCatalog]])
+  * — CREATE TABLE / INSERT INTO / UPDATE / DELETE / MERGE INTO /
+  * VERSION AS OF — and oracle-check the resulting snapshots in DuckDB.
+  *
+  * The session must be built with
+  * `spark.sql.extensions=graft.GraftExtensions` (Verify/Bench are);
+  * the catalog itself is registered at fixture time via runtime conf.
+  */
+object Sql {
+
+  /** one catalog per sf dir: Spark's CatalogManager caches the plugin
+    * instance per NAME on first use, so the warehouse must be encoded in
+    * the catalog name, not swapped through conf */
+  private def catName(d: String): String =
+    "gsql_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  /** CREATE + seed + UPDATE + DELETE over `nation`, all via spark.sql;
+    * returns the catalog name. Timeline: c0 = INSERT (update_ts 0),
+    * c1 = stale INSERT (loses to precombine), c2 = UPDATE, c3 = DELETE.
+    */
+  private[graft] def dmlFixture(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d:dml", _ => {
+      val cat = catName(d)
+      val wh = s"/tmp/graft_lake/sqlwh_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+
+      val nation = T.nation(s, d)
+      nation.createOrReplaceTempView("sql_nation_src")
+      s.sql(s"""CREATE TABLE $cat.db.nation (${nation.schema.toDDL}, update_ts INT)
+        USING graft PARTITIONED BY (n_regionkey)
+        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+      // c0: full seed
+      s.sql(s"INSERT INTO $cat.db.nation SELECT *, 0 FROM sql_nation_src")
+      // c1: stale re-insert of region 1 with mangled names — precombine
+      // (equal ts, lower arrival... equal ts ties to the TABLE's row via
+      // commit id) — use LOWER ts to make the loss unambiguous
+      s.sql(s"""INSERT INTO $cat.db.nation
+        SELECT n_nationkey, concat(n_name, '_STALE'), n_regionkey, -1
+        FROM sql_nation_src WHERE n_regionkey = 1""")
+      // c2: UPDATE region-2 names (assignments read the OLD row)
+      s.sql(s"""UPDATE $cat.db.nation
+        SET n_name = concat(n_name, '!'), update_ts = 7 WHERE n_regionkey = 2""")
+      // c3: DELETE a key range (range predicates translate to source
+      // Filters, so this exercises the SupportsDelete pushdown path)
+      s.sql(s"DELETE FROM $cat.db.nation WHERE n_nationkey >= 20")
+      cat
+    })
+
+  /** the mergeTable clause set (ops.Lake) issued as ONE SQL MERGE INTO —
+    * update/delete/insert/by-source-delete in a single statement */
+  private[graft] def mergeFixture(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d:merge", _ => {
+      val cat = dmlFixture(s, d)
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.li")
+      s.sql(s"""CREATE TABLE $cat.db.li (
+          l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING,
+          l_quantity DOUBLE, update_ts INT)
+        USING graft PARTITIONED BY (l_returnflag)
+        TBLPROPERTIES (keyCols='l_orderkey,l_linenumber', precombineCol='update_ts')""")
+      T.lineitem(s, d).createOrReplaceTempView("sql_li_src")
+      s.sql(s"""INSERT INTO $cat.db.li
+        SELECT l_orderkey, l_linenumber, max(l_returnflag),
+               CAST(max(l_quantity) AS DOUBLE), 0
+        FROM sql_li_src GROUP BY l_orderkey, l_linenumber""")
+      s.sql(s"""MERGE INTO $cat.db.li t USING (
+          WITH li AS (SELECT l_orderkey, l_linenumber,
+                max(l_returnflag) AS l_returnflag,
+                CAST(max(l_quantity) AS DOUBLE) AS l_quantity
+              FROM sql_li_src GROUP BY l_orderkey, l_linenumber),
+          r AS (SELECT * FROM li WHERE l_returnflag = 'R')
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 l_quantity + 500 AS l_quantity, 1 AS update_ts FROM r
+          UNION ALL
+          SELECT l_orderkey + 10000000, l_linenumber, l_returnflag,
+                 l_quantity + 9000, 1 FROM r
+        ) s
+        ON t.l_returnflag = s.l_returnflag AND t.l_orderkey = s.l_orderkey
+           AND t.l_linenumber = s.l_linenumber
+        WHEN MATCHED AND t.l_linenumber = 1 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET l_quantity = s.l_quantity,
+                                     update_ts = s.update_ts
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.l_returnflag = 'N' THEN DELETE""")
+      cat
+    })
+
+  val queries: Seq[GQuery] = Seq(
+
+    // ---- CREATE/INSERT/UPDATE/DELETE through spark.sql -----------------
+    GQuery("lake_sql_dml",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, update_ts
+          FROM $cat.db.nation ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_regionkey = 2 THEN n_name || '!' ELSE n_name END AS n_name,
+          n_regionkey,
+          CASE WHEN n_regionkey = 2 THEN 7 ELSE 0 END AS update_ts
+        FROM nation WHERE n_nationkey < 20
+        ORDER BY n_nationkey""")),
+
+    // ---- SQL time travel: VERSION AS OF the seed commit ----------------
+    // (the stale insert, update, and delete all happened after commit 0)
+    GQuery("lake_sql_time_travel",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, update_ts
+          FROM $cat.db.nation VERSION AS OF 0 ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey, 0 AS update_ts
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- SQL MERGE INTO: same clause set as lake_merge_snapshot --------
+    // (the DataFrame-built merge and the SQL-built merge must produce
+    // hash-identical tables — same oracle)
+    GQuery("lake_sql_merge",
+      (s, d) => {
+        val cat = mergeFixture(s, d)
+        s.sql(s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+            update_ts
+          FROM $cat.db.li ORDER BY l_orderkey, l_linenumber""")
+      },
+      Some(s"""WITH ${Lake.liSqlCte},
+        r AS (SELECT * FROM li WHERE l_returnflag = 'R'),
+        upd AS (SELECT l_orderkey, l_linenumber,
+                       l_quantity + 500 AS l_quantity FROM r),
+        kept AS (
+          SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag,
+            CASE WHEN u.l_orderkey IS NOT NULL THEN u.l_quantity
+                 ELSE t.l_quantity END AS l_quantity,
+            CASE WHEN u.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS update_ts
+          FROM li t LEFT JOIN upd u
+            ON t.l_orderkey = u.l_orderkey AND t.l_linenumber = u.l_linenumber
+          WHERE NOT (u.l_orderkey IS NOT NULL AND t.l_linenumber = 1)
+            AND NOT (u.l_orderkey IS NULL AND t.l_returnflag = 'N')),
+        ins AS (SELECT l_orderkey + 10000000 AS l_orderkey, l_linenumber,
+                       l_returnflag, l_quantity + 9000 AS l_quantity,
+                       1 AS update_ts FROM r)
+        SELECT * FROM kept UNION ALL SELECT * FROM ins
+        ORDER BY l_orderkey, l_linenumber"""))
+  )
+}

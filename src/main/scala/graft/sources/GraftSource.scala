@@ -158,8 +158,23 @@ private[sources] final class GraftRelation(
   }
 
   /** DSv1 Filter → Column; None = untranslatable (left for Spark). */
-  private def toColumn(f: Filter): Option[Column] = f match {
+  private def toColumn(f: Filter): Option[Column] = FilterTranslation.toColumn(f)
+}
+
+/** Source `Filter` → `Column` translation shared by the DSv1 relation
+  * and the DSv2 catalog table (scan pruning + SupportsDelete). */
+private[graft] object FilterTranslation {
+
+  /** quoted column reference — a flat column literally named "a.b" must
+    * not parse as a nested field reference */
+  def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
     case EqualTo(a, v) => Some(qcol(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(qcol(a) <=> lit(v))
     case GreaterThan(a, v) => Some(qcol(a) > lit(v))
     case GreaterThanOrEqual(a, v) => Some(qcol(a) >= lit(v))
     case LessThan(a, v) => Some(qcol(a) < lit(v))

@@ -1,0 +1,216 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.TableDescriptor
+
+/** DSv2 catalog plugin for lake tables — the idiomatic Spark-4 SQL
+  * surface over [[graft.lake.LakeTable]] (the reference's own read path
+  * is catalog SQL, `glue/MockCuratedGlueJob.py:17-19`; its writes are
+  * option-configured per job, `glue/HudiJarGlueJob.py:80-85` — here the
+  * table identity/config persists with the table and SQL drives it):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/wh")
+  *   spark.sql("CREATE TABLE graft.db.t (pk BIGINT, ts INT, v STRING)
+  *              PARTITIONED BY (region) TBLPROPERTIES
+  *              (keyCols='pk', precombineCol='ts')")
+  *   spark.sql("INSERT INTO graft.db.t SELECT ...")        // upsert
+  *   spark.sql("DELETE FROM graft.db.t WHERE pk < 0")
+  *   spark.sql("UPDATE graft.db.t SET v = 'x' WHERE ...")
+  *   spark.sql("MERGE INTO graft.db.t USING src ON ...")
+  *   spark.sql("SELECT * FROM graft.db.t VERSION AS OF 2") // time travel
+  * }}}
+  *
+  * Layout: `<warehouse>/<namespace...>/<table>` — each table root holds
+  * its own commit log plus a persisted [[TableDescriptor]], so the
+  * catalog itself is stateless (any session pointing a catalog at the
+  * warehouse sees the same tables; the metadata transaction story is the
+  * commit log's, not the catalog's).
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def hconf = spark.sparkContext.hadoopConfiguration
+  private def fs = new Path(warehouse).getFileSystem(hconf)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  // path traversal guard: identifiers become directory names
+  private def seg(s: String): String = {
+    require(s.nonEmpty && s != "." && s != ".." && !s.exists(c => c == '/' || c == '\\'),
+      s"illegal identifier segment '$s'")
+    s
+  }
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(new Path(warehouse))((p, s) => new Path(p, seg(s)))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), seg(ident.name))
+
+  private def isTableDir(p: Path): Boolean =
+    TableDescriptor.exists(p.toString, hconf)
+
+  // ---- tables ----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .filter(s => isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = tablePath(ident)
+    val desc = TableDescriptor.load(root.toString, hconf)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftTableV2(spark, ident.toString, root.toString, desc, asOf = None)
+  }
+
+  /** `VERSION AS OF <commit>` time travel (Delta/Hudi syntax). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val pinned = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft table versions are commit ids, got '$version'"))
+    val root = tablePath(ident)
+    val desc = TableDescriptor.load(root.toString, hconf)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftTableV2(spark, ident.toString, root.toString, desc, asOf = Some(pinned))
+  }
+
+  /** `TIMESTAMP AS OF` — resolves to the last commit at or before the
+    * timestamp (microseconds since epoch, per the DSv2 contract). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = tablePath(ident)
+    val desc = TableDescriptor.load(root.toString, hconf)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val t = graft.lake.LakeTable(spark, desc.config(root.toString))
+    val id = t.log.commits.takeWhile(_.tsMillis <= timestamp / 1000L)
+      .lastOption.map(_.id).getOrElse(throw new IllegalArgumentException(
+        s"no commit at or before timestamp $timestamp on $ident"))
+    new GraftTableV2(spark, ident.toString, root.toString, desc, asOf = Some(id))
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    // accept both TBLPROPERTIES(k=...) and OPTIONS(k=...) spellings
+    def prop(k: String): Option[String] =
+      props.get(k).orElse(props.get(TableCatalog.OPTION_PREFIX + k))
+    def csv(k: String): Seq[String] =
+      prop(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+    val partitionCols = partitions.toSeq.map {
+      case t if t.name == "identity" => t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got $other")
+    }
+    val keyCols = csv("keyCols")
+    require(keyCols.nonEmpty,
+      "CREATE TABLE ... USING graft requires TBLPROPERTIES (keyCols='...')")
+    val precombine = prop("precombineCol").getOrElse(throw new IllegalArgumentException(
+      "CREATE TABLE ... USING graft requires TBLPROPERTIES (precombineCol='...')"))
+    (keyCols ++ partitionCols :+ precombine).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"declared column '$c' is not in the table schema"))
+    val desc = TableDescriptor(
+      keyCols = keyCols,
+      precombineCol = precombine,
+      partitionCols = partitionCols,
+      globalIndex = prop("globalIndex").exists(_.toBoolean),
+      storageType = prop("storageType").getOrElse("cow"),
+      compactEvery = prop("compactEvery").map(_.toInt).getOrElse(0),
+      hashBuckets = prop("hashBuckets").map(_.toInt).getOrElse(0),
+      statsCols = csv("statsCols"),
+      schemaJson = schema.json)
+    TableDescriptor.save(tablePath(ident).toString, desc, hconf)
+    new GraftTableV2(spark, ident.toString, tablePath(ident).toString, desc, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft tables is not supported yet")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) false else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(nsPath(newIdent.namespace))
+    if (!fs.rename(tablePath(oldIdent), tablePath(newIdent)))
+      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+  }
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(new Path(warehouse))) Array.empty
+    else fs.listStatus(new Path(warehouse)).toSeq
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => namespace :+ s.getPath.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(nsPath(namespace)); ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) false
+    else {
+      require(cascade || fs.listStatus(dir).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(dir, true)
+    }
+  }
+}

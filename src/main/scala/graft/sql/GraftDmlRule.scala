@@ -1,0 +1,208 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+
+import graft.lake.{LakeTable, MergeBuilder}
+
+/** Analyzer rule wiring SQL `UPDATE` and `MERGE INTO` on graft catalog
+  * tables to the engine's merge machinery (Spark plans these natively
+  * only for SupportsRowLevelOperations tables; the pre-row-level-API
+  * lakehouse pattern — Delta's for years — is exactly this rule shape:
+  * intercept the resolved logical command, run it as an eager command
+  * through the table's own transaction layer).
+  *
+  * `DELETE FROM` needs no rule: [[GraftTableV2]] implements
+  * SupportsDelete and Spark plans it natively.
+  *
+  * Both commands re-target resolved attribute references by NAME onto
+  * the engine's merge-join aliases (`t` = target, `s` = source) — sound
+  * because the merge join exposes exactly the two relations' columns
+  * under those aliases. Subqueries in conditions are rejected (the
+  * engine's merge is a single-pass join, not a general subquery host).
+  */
+final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u: UpdateTable if u.resolved && graftTable(u.table).isDefined =>
+      GraftUpdateCommand(graftTable(u.table).get, u.assignments, u.condition)
+    case m: MergeIntoTable if m.resolved && graftTable(m.targetTable).isDefined =>
+      GraftMergeCommand(graftTable(m.targetTable).get,
+        m.targetTable, m.sourceTable, m.mergeCondition,
+        m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions)
+  }
+
+  private def graftTable(plan: LogicalPlan): Option[GraftTableV2] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
+        r.table.asInstanceOf[GraftTableV2]
+    }
+}
+
+private[sql] object Dml {
+  /** resolved expression → Column usable on a frame exposing the same
+    * column names (alias-qualified when `side` maps the attribute) */
+  def toCol(e: Expression, side: Map[Long, String] = Map.empty): Column = {
+    require(!SubqueryExpression.hasSubquery(e),
+      "subqueries in UPDATE/MERGE conditions are not supported on graft tables")
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference =>
+        side.get(a.exprId.id) match {
+          case Some(alias) => UnresolvedAttribute(Seq(alias, a.name))
+          case None => UnresolvedAttribute.quoted(a.name)
+        }
+    })
+  }
+
+  /** drop alignment no-ops (col = col) and return name → value pairs */
+  def sets(assignments: Seq[Assignment]): Seq[(String, Expression)] =
+    assignments.flatMap { a =>
+      (a.key, a.value) match {
+        case (k: AttributeReference, v: AttributeReference)
+          if k.exprId == v.exprId => None
+        case (k: AttributeReference, v) => Some(k.name -> v)
+        case (k, _) => throw new UnsupportedOperationException(
+          s"only top-level column assignments are supported, got $k")
+      }
+    }
+}
+
+/** `UPDATE t SET ... WHERE ...` — executed as one merge commit: the
+  * matching snapshot rows with assignments applied become the source;
+  * every source row updates its target row. All assignment right-hand
+  * sides evaluate against the OLD row (single projection — ANSI UPDATE
+  * semantics even when one assigned column references another). */
+private[sql] final case class GraftUpdateCommand(
+    table: GraftTableV2,
+    assignments: Seq[Assignment],
+    condition: Option[Expression]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val lake = table.lake
+    val sets = Dml.sets(assignments)
+    val identity = (lake.config.keyCols ++ lake.config.partitionCols).toSet
+    val bad = sets.map(_._1).toSet & identity
+    require(bad.isEmpty,
+      s"UPDATE may not assign key/partition columns: ${bad.mkString(",")}")
+    val snap = table.snapshot(None)
+    val matching = condition.fold(snap)(c => snap.filter(Dml.toCol(c)))
+    val setMap = sets.toMap
+    val source = matching.select(snap.columns.map(c =>
+      setMap.get(c).map(e => Dml.toCol(e).as(c)).getOrElse(col(c))): _*)
+    lake.merge(source)
+      .whenMatchedUpdate(sets.map { case (n, _) => n -> col(s"s.$n") }.toMap)
+      .execute()
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO t USING src ON <key equality> WHEN ...` — mapped clause
+  * by clause onto [[MergeBuilder]] (same semantics: first matching
+  * clause per row wins, source collapsed to one row per key by
+  * precombine). The ON condition must be the key-equality conjunction
+  * over the table's record identity — the engine's merge IS keyed; an
+  * arbitrary ON would need a general join which the table's upsert
+  * transaction model (rewrite touched partitions per key) does not
+  * express. The source must expose the table's key, partition, and
+  * precombine columns under the table's column names. */
+private[sql] final case class GraftMergeCommand(
+    table: GraftTableV2,
+    targetPlan: LogicalPlan,
+    sourcePlan: LogicalPlan,
+    mergeCondition: Expression,
+    matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val lake = table.lake
+    val tgtIds = targetPlan.outputSet.map(_.exprId.id).toSet
+    val srcIds = sourcePlan.outputSet.map(_.exprId.id).toSet
+    val side: Map[Long, String] =
+      tgtIds.map(_ -> "t").toMap ++ srcIds.map(_ -> "s").toMap
+
+    validateOnCondition(lake)
+
+    val sourceDf = PlanBridge.ofRows(session, sourcePlan)
+    def cond(c: Option[Expression]): Option[Column] =
+      c.map(e => Dml.toCol(e, side))
+    def setMap(assignments: Seq[Assignment]): Map[String, Column] =
+      Dml.sets(assignments).map { case (n, e) => n -> Dml.toCol(e, side) }.toMap
+
+    // `UPDATE SET *` / `INSERT *`: every target user column taken from
+    // the same-named source column
+    val userCols = table.schema().fieldNames.toSeq
+    val srcNames = sourcePlan.output.map(_.name).toSet
+    def starSet: Map[String, Column] = {
+      val missing = userCols.filterNot(srcNames.contains)
+      require(missing.isEmpty,
+        s"MERGE * requires the source to carry every table column; missing: ${missing.mkString(",")}")
+      userCols.map(c => c -> col(s"s.$c")).toMap
+    }
+
+    // clause order within each group is preserved — first match wins,
+    // the same contract MergeBuilder executes
+    var b: MergeBuilder = lake.merge(sourceDf)
+    matchedActions.foreach {
+      case UpdateAction(c, asgn, _) => b = b.whenMatchedUpdate(setMap(asgn), cond(c))
+      case UpdateStarAction(c) => b = b.whenMatchedUpdate(starSet, cond(c))
+      case DeleteAction(c) => b = b.whenMatchedDelete(cond(c))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    notMatchedActions.foreach {
+      case InsertAction(c, asgn) => b = b.whenNotMatchedInsert(setMap(asgn), cond(c))
+      case InsertStarAction(c) => b = b.whenNotMatchedInsertAll(cond(c))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    notMatchedBySourceActions.foreach {
+      case UpdateAction(c, asgn, _) => b = b.whenNotMatchedBySourceUpdate(setMap(asgn), cond(c))
+      case DeleteAction(c) => b = b.whenNotMatchedBySourceDelete(cond(c))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+    b.execute()
+    Seq.empty
+  }
+
+  /** the ON clause must equate exactly the table's record identity —
+    * a conjunction of t.k = s.k (or <=>) covering dedup identity, with
+    * the source column carrying the same name */
+  private def validateOnCondition(lake: LakeTable): Unit = {
+    val tgtIds = targetPlan.outputSet.map(_.exprId.id).toSet
+    val srcIds = sourcePlan.outputSet.map(_.exprId.id).toSet
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    val pairs = split(mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+      case EqualNullSafe(a: AttributeReference, b: AttributeReference) => (a, b)
+      case other => throw new UnsupportedOperationException(
+        s"MERGE ON must be a key-equality conjunction, got $other")
+    }.map {
+      case (a, b) if tgtIds.contains(a.exprId.id) && srcIds.contains(b.exprId.id) => (a, b)
+      case (a, b) if srcIds.contains(a.exprId.id) && tgtIds.contains(b.exprId.id) => (b, a)
+      case (a, b) => throw new UnsupportedOperationException(
+        s"MERGE ON must compare target to source columns, got $a = $b")
+    }
+    pairs.foreach { case (t, s) =>
+      require(t.name == s.name,
+        s"MERGE source must carry key column '${t.name}' under the same name, got '${s.name}'")
+    }
+    val keyed = ((if (lake.config.globalIndex) Seq.empty
+      else lake.config.partitionCols) ++ lake.config.keyCols).toSet
+    val onCols = pairs.map(_._1.name).toSet
+    require(onCols == keyed,
+      s"MERGE ON must equate exactly the record identity (${keyed.mkString(",")}), " +
+        s"got (${onCols.mkString(",")})")
+  }
+}

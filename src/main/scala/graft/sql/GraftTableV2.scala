@@ -1,0 +1,192 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.{LakeTable, TableDescriptor}
+import graft.sources.FilterTranslation
+
+/** The lake table as a DSv2 catalog table. Reads and writes delegate to
+  * [[LakeTable]] through Spark's supported V1 fallback surfaces
+  * ([[V1Scan]]/[[V1Write]] — the same integration Delta shipped on for
+  * years), so every table capability rides along unchanged: commit-log
+  * file listing, column-stats skipping via pushed filters, MoR read-time
+  * merge, precombine upsert, optimistic concurrency.
+  *
+  *   - SELECT            → snapshot scan (filters prune the FILE LIST
+  *                         through the commit-log stats index before
+  *                         Spark plans the scan; Spark re-applies every
+  *                         filter row-level, so pushdown is never trusted
+  *                         with correctness)
+  *   - INSERT INTO       → precombine upsert
+  *   - INSERT OVERWRITE  → whole-table replace (one commit)
+  *   - DELETE FROM       → [[SupportsDelete]] (keyed, partition-pruned)
+  *   - UPDATE / MERGE    → resolution rule in [[GraftDmlRule]]
+  *   - VERSION AS OF     → pinned snapshot ([[GraftCatalog.loadTable]])
+  *
+  * The exposed schema is the USER schema: engine metadata columns
+  * (`_commit_id`, `_record_key`, the derived bucket) stay internal so
+  * `INSERT INTO ... SELECT` round-trips without them.
+  */
+final class GraftTableV2(
+    spark: SparkSession,
+    ident: String,
+    root: String,
+    desc: TableDescriptor,
+    asOf: Option[Long])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private[sql] lazy val lake: LakeTable = LakeTable(spark, desc.config(root))
+
+  private val metaCols =
+    Set("_commit_id", "_record_key", LakeTable.BucketCol, "_seq", "_deleted")
+
+  override def name(): String = ident
+
+  override def schema(): StructType = {
+    val st = lake.log.schemaJsonAsOf(asOf)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .orElse(Option(desc.schemaJson).filter(_.nonEmpty)
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType]))
+      .getOrElse(new StructType())
+    StructType(st.fields.filterNot(f => metaCols.contains(f.name)))
+  }
+
+  override def partitioning(): Array[Transform] =
+    desc.partitionCols.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] =
+    (Map("provider" -> "graft", "location" -> root,
+      "keyCols" -> desc.keyCols.mkString(","),
+      "precombineCol" -> desc.precombineCol,
+      "storageType" -> desc.storageType) ++
+      asOf.map(v => "versionAsOf" -> v.toString)).asJava
+
+  override def capabilities(): util.Set[TableCapability] = {
+    import TableCapability._
+    Set(BATCH_READ, V1_BATCH_WRITE, OVERWRITE_BY_FILTER, TRUNCATE).asJava
+  }
+
+  // ---- read ------------------------------------------------------------
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this)
+
+  /** latest-or-pinned snapshot with user columns only */
+  private[sql] def snapshot(pred: Option[Column]): org.apache.spark.sql.DataFrame = {
+    val base = (pred, asOf) match {
+      // the stats-skipping path serves the LATEST snapshot; a pinned read
+      // re-applies the predicate after a plain as-of scan
+      case (Some(p), None) => lake.read(p)
+      case (Some(p), Some(v)) => lake.readAsOf(v).filter(p)
+      case (None, v) => v.fold(lake.read())(lake.readAsOf)
+    }
+    base.drop(metaCols.toSeq: _*)
+  }
+
+  private[sql] def liveBytes: Long =
+    lake.log.liveFiles(asOf.orElse(lake.log.latestId)).map(_.bytes).sum
+
+  // ---- write -----------------------------------------------------------
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, "cannot write to a time-travel (VERSION AS OF) snapshot")
+    new GraftWriteBuilder(lake)
+  }
+
+  // ---- DELETE FROM -----------------------------------------------------
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterTranslation.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(FilterTranslation.toColumn)
+      .reduceOption(_ && _).getOrElse(org.apache.spark.sql.functions.lit(true))
+    lake.deleteWhere(cond)
+    ()
+  }
+}
+
+/** Pushdown-aware scan: translatable filters flow into the commit-log
+  * stats index (file-list pruning); ALL filters are reported residual so
+  * Spark re-applies them row-level — conservative, never wrong. */
+private[sql] final class GraftScanBuilder(table: GraftTableV2)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = table.schema()
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => FilterTranslation.toColumn(f).isDefined)
+    filters // everything stays a residual: pushdown only PRUNES, never filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    private val pred = pushed.flatMap(FilterTranslation.toColumn)
+      .reduceOption(_ && _)
+
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        // exact size from the commit log → Spark can auto-broadcast
+        override def sizeInBytes: Long = {
+          val b = table.liveBytes
+          if (b > 0) b else super.sizeInBytes
+        }
+        override def buildScan(): RDD[Row] = {
+          val df = table.snapshot(pred)
+          val projected =
+            if (required.isEmpty) df
+            else df.select(required.fieldNames.map(FilterTranslation.qcol): _*)
+          projected.rdd
+        }
+      }.asInstanceOf[T]
+  }
+}
+
+/** V1-fallback write: INSERT INTO → upsert; INSERT OVERWRITE / TRUNCATE →
+  * whole-table replace in one commit. */
+private[sql] final class GraftWriteBuilder(lake: LakeTable)
+  extends WriteBuilder with SupportsOverwrite {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+      "graft supports full INSERT OVERWRITE only (no partition-filtered overwrite " +
+        "through SQL yet — use LakeTable.insertOverwrite for dynamic overwrite)")
+    overwriteAll = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+        if (overwriteAll) lake.overwriteAll(data) else lake.upsert(data)
+        ()
+      }
+  }
+}

@@ -19,7 +19,8 @@ class LakePropertySpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   private type Rec = (Long, Int, String, Int) // pk, vendorid, payload, ts

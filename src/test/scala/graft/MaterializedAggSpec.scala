@@ -20,7 +20,8 @@ class MaterializedAggSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   private def tmp() = Files.createTempDirectory("magg").toString

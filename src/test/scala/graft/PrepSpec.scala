@@ -14,7 +14,8 @@ class PrepSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   test("chunk: overlap repeats boundary tokens; no pure-overlap tail chunk") {

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 SQL surface end-to-end: CREATE TABLE USING the graft catalog,
+  * INSERT INTO (upsert semantics), INSERT OVERWRITE, SELECT with
+  * pushdown, DELETE FROM, UPDATE, MERGE INTO, VERSION AS OF — all
+  * through `spark.sql`, no DataFrame API in the statement path.
+  */
+class SqlCatalogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.catalog.g", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    dir
+  }
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq.map(_.toSeq)
+
+  test("CREATE TABLE / INSERT INTO upserts / SELECT / VERSION AS OF") {
+    wh
+    spark.sql("""CREATE TABLE g.db.t (pk BIGINT, ts INT, v STRING, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    assert(spark.sql("SELECT * FROM g.db.t").isEmpty)
+
+    spark.sql("""INSERT INTO g.db.t VALUES
+      (1, 0, 'a', 'r1'), (2, 0, 'b', 'r1'), (3, 0, 'c', 'r2')""")
+    // second insert: same key 1 with HIGHER precombine wins, key 2 with
+    // LOWER (stale) loses — precombine upsert through plain INSERT INTO
+    spark.sql("INSERT INTO g.db.t VALUES (1, 5, 'a2', 'r1'), (4, 1, 'd', 'r2')")
+    spark.sql("INSERT INTO g.db.t VALUES (2, -1, 'stale', 'r1')")
+
+    assert(rows("SELECT pk, ts, v, region FROM g.db.t ORDER BY pk") == Seq(
+      Seq(1L, 5, "a2", "r1"), Seq(2L, 0, "b", "r1"),
+      Seq(3L, 0, "c", "r2"), Seq(4L, 1, "d", "r2")))
+
+    // time travel: commit 0 was the first insert
+    assert(rows("SELECT pk, v FROM g.db.t VERSION AS OF 0 ORDER BY pk") == Seq(
+      Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+
+    // pushdown path: partition-value predicate
+    assert(rows("SELECT pk FROM g.db.t WHERE region = 'r2' ORDER BY pk") ==
+      Seq(Seq(3L), Seq(4L)))
+  }
+
+  test("DELETE FROM via SupportsDelete") {
+    wh
+    spark.sql("""CREATE TABLE g.db.del (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.del VALUES (1,0,'a'), (2,0,'b'), (3,0,'c')")
+    spark.sql("DELETE FROM g.db.del WHERE pk >= 2")
+    assert(rows("SELECT pk FROM g.db.del ORDER BY pk") == Seq(Seq(1L)))
+  }
+
+  test("UPDATE: assignments evaluate against the old row; identity immutable") {
+    wh
+    spark.sql("""CREATE TABLE g.db.upd (pk BIGINT, ts INT, a INT, b INT)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.upd VALUES (1,0,10,100), (2,0,20,200), (3,0,30,300)")
+    // swap-flavored update: both RHS see the OLD row (ANSI)
+    spark.sql("UPDATE g.db.upd SET a = b, b = a + b WHERE pk <= 2")
+    assert(rows("SELECT pk, a, b FROM g.db.upd ORDER BY pk") == Seq(
+      Seq(1L, 100, 110), Seq(2L, 200, 220), Seq(3L, 30, 300)))
+    val e = intercept[Exception] {
+      spark.sql("UPDATE g.db.upd SET pk = 99 WHERE pk = 1")
+    }
+    assert(e.getMessage.contains("key/partition"))
+  }
+
+  test("MERGE INTO: update/delete/insert clauses through SQL") {
+    wh
+    spark.sql("""CREATE TABLE g.db.m (pk BIGINT, ts INT, qty INT)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.m VALUES (1,0,10), (2,0,20), (3,0,30)")
+    locally {
+      import spark.implicits._
+      Seq((1L, 1, 111), (3L, 1, 333), (9L, 1, 999))
+        .toDF("pk", "ts", "qty").createOrReplaceTempView("src")
+    }
+
+    spark.sql("""MERGE INTO g.db.m t USING src s
+      ON t.pk = s.pk
+      WHEN MATCHED AND t.pk = 3 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET qty = s.qty, ts = s.ts
+      WHEN NOT MATCHED THEN INSERT *""")
+
+    assert(rows("SELECT pk, qty FROM g.db.m ORDER BY pk") == Seq(
+      Seq(1L, 111), Seq(2L, 20), Seq(9L, 999)))
+
+    // non-key ON condition must be rejected, not silently misexecuted
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO g.db.m t USING src s
+        ON t.qty = s.qty WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.toLowerCase.contains("record identity"))
+  }
+
+  test("INSERT OVERWRITE replaces the whole table in one commit") {
+    wh
+    spark.sql("""CREATE TABLE g.db.ovw (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.ovw VALUES (1,0,'a'), (2,0,'b')")
+    spark.sql("INSERT OVERWRITE g.db.ovw VALUES (7,0,'z')")
+    assert(rows("SELECT pk, v FROM g.db.ovw ORDER BY pk") == Seq(Seq(7L, "z")))
+  }
+
+  test("catalog metadata: SHOW TABLES, DROP TABLE, column pruning plan") {
+    wh
+    spark.sql("""CREATE TABLE g.db.meta (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    assert(spark.sql("SHOW TABLES IN g.db").collect()
+      .exists(_.getString(1) == "meta"))
+    spark.sql("INSERT INTO g.db.meta VALUES (1,0,'a')")
+    // engine metadata columns stay internal
+    assert(spark.sql("SELECT * FROM g.db.meta").columns.toSeq ==
+      Seq("pk", "ts", "v"))
+    spark.sql("DROP TABLE g.db.meta")
+    assert(!spark.sql("SHOW TABLES IN g.db").collect()
+      .exists(_.getString(1) == "meta"))
+  }
+}
