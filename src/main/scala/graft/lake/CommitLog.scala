@@ -64,6 +64,14 @@ final case class FileAdd(
   def colMax: Map[String, String] = Option(cmax).getOrElse(Map.empty)
 }
 
+/** Optimistic-concurrency arbitration failure: the timeline moved (or
+  * the resolved id was taken/retired) between snapshot resolution and
+  * publish. Subtype of IllegalStateException so callers that treated the
+  * old untyped failures as fatal still do; [[graft.lake.LakeTable]]
+  * catches it specifically to attempt a disjoint-writer rebase.
+  */
+final class CommitConflict(msg: String) extends IllegalStateException(msg)
+
 /** JSON commit log under `<root>/_log/`. Single-writer (matches the
   * reference's `MaxConcurrentRuns: 1`, `cloud_formation/HudiGlueJobCFn.yml:35`).
   * Crash safety: data files are written BEFORE the commit JSON, and the
@@ -129,12 +137,33 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
   // but never re-parses, keeping read paths O(new commits) in I/O
   private val parsed = scala.collection.concurrent.TrieMap.empty[Long, Commit]
 
+  /** count of commit-JSON file opens — observability hook letting specs
+    * assert a read path's metadata I/O is O(new commits), not O(timeline) */
+  private[graft] val jsonOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
   def read(id: Long): Commit = parsed.getOrElseUpdate(id, {
+    jsonOpens.incrementAndGet()
     val in: java.io.InputStream = fs.open(commitPath(id))
     try mapper.readValue(in, classOf[Commit]) finally in.close()
   })
 
   def commits: Seq[Commit] = listIds.map(read)
+
+  /** The commit at `id`, or None if the id was never committed or was
+    * retired by a rollback — addressed DIRECTLY by path, no directory
+    * listing. */
+  def commitIfExists(id: Long): Option[Commit] =
+    parsed.get(id).orElse {
+      if (fs.exists(commitPath(id))) Some(read(id)) else None
+    }
+
+  /** Commits with ids in `(from, to]`, addressed directly by id (commit
+    * ids are dense except for rollback-retired holes, which are skipped).
+    * This is the streaming tail's batch-resolution path: cost is
+    * O(to - from) — new commits only — never a listing of the timeline
+    * or the data tree. */
+  def commitsInRange(from: Long, to: Long): Seq[Commit] =
+    (from + 1 to to).flatMap(commitIfExists)
 
   /** Sentinel for [[append]]'s `basedOnLatest`: skip the staleness check
     * (raw timeline surgery / recovery tooling only — table writes always
@@ -173,12 +202,12 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     // writers' id resolutions would otherwise let a stale writer land on
     // the retired id with the head check still passing
     if (rolledIds.contains(c.id))
-      throw new IllegalStateException(
+      throw new CommitConflict(
         s"commit id ${c.id} was retired by a rollback — resolve a fresh id")
     if (basedOnLatest != Unchecked) {
       val head = latestId.getOrElse(EmptyTable)
       if (head != basedOnLatest)
-        throw new IllegalStateException(
+        throw new CommitConflict(
           s"stale write: commit $head landed after the snapshot this write " +
             s"merged from (based on ${if (basedOnLatest == EmptyTable) "empty table"
               else s"commit $basedOnLatest"}) — retry from the current snapshot")
@@ -212,7 +241,7 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
         } finally fs.delete(tmp, false)
       else fs.rename(tmp, dst)
     if (!published)
-      throw new IllegalStateException(
+      throw new CommitConflict(
         s"commit ${c.id} already exists (concurrent writer?)")
   }
 

