@@ -49,7 +49,8 @@ object Bench {
       "ivf_centroids_build" -> timed { ops.Similarity.ensureIvf(spark, sfDir) },
       "dup_cluster_build" -> timed { ops.Text.ensureClusters(spark, sfDir) },
       "sql_dml_build" -> timed { ops.Sql.dmlFixture(spark, sfDir) },
-      "sql_merge_build" -> timed { ops.Sql.mergeFixture(spark, sfDir) })
+      "sql_merge_build" -> timed { ops.Sql.mergeFixture(spark, sfDir) },
+      "dedup_index_build" -> timed { ops.Dedup.ensureIndex(spark, sfDir) })
     // each query runs twice; the SECOND (steady-state) run is reported, so
     // per-query numbers compare round-over-round without first-touch
     // page-cache/JIT noise (the r1 doc_exact_dedup 11s outlier was exactly

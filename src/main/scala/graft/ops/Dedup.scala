@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, Tables => T}
+import graft.lake.{LakeTable, LakeTableConfig}
+
+/** Incremental MinHash dedup against a PERSISTED signature index
+  * (VERDICT r4 item #4). The one-shot near-dup queries in [[Text]] sketch
+  * a static corpus; a production pipeline dedups each NEW batch against
+  * everything already accepted — without rescanning the corpus. This is
+  * the MinHash counterpart of the LakeTable ANN index pattern
+  * (`ops/Similarity.scala` annIndex): the index IS a lake table, so it is
+  * updatable by upsert, snapshot-isolated, and partition-pruned on probe.
+  *
+  * Two tables under one root:
+  *   - `bands`: one row per (doc, band) — band_id, band_hash, partitioned
+  *     by `pband = pmod(band_hash, nBuckets)`. Scalars only: a probe
+  *     shuffles three narrow columns, never text payloads, and reads only
+  *     the partitions the new batch's band hashes land in.
+  *   - `docs`: the forward index — one row per accepted doc with its
+  *     shingle set, used to verify candidates by EXACT Jaccard (banding
+  *     is candidate generation, not truth).
+  *
+  * At 100 TB: probe cost per batch is O(batch bands × colliding
+  * partitions), not O(corpus); the verify join touches only candidate
+  * pairs' shingle rows (key-addressed lake reads), and index growth is
+  * append-only upserts of the batch's survivors.
+  */
+final class MinHashDedupIndex(
+    spark: SparkSession, root: String,
+    numPerm: Int = 16, bandSize: Int = 4, nBuckets: Int = 32,
+    theta: Double = 0.5) {
+  require(numPerm % bandSize == 0, "numPerm must divide into bands")
+  private val nBands = numPerm / bandSize
+
+  val bands: LakeTable = LakeTable(spark, LakeTableConfig(
+    s"$root/bands", keyCols = Seq("doc_id", "band_id"),
+    precombineCol = "band_hash", partitionCols = Seq("pband")))
+
+  val docs: LakeTable = LakeTable(spark, LakeTableConfig(
+    s"$root/docs", keyCols = Seq("doc_id"), precombineCol = "doc_id"))
+
+  /** probe-pruning observability for specs: files scanned by the last
+    * ingest's index probe vs files live in the whole index */
+  @volatile private[graft] var lastProbeFiles: Int = 0
+  @volatile private[graft] var lastIndexFiles: Int = 0
+
+  private def sigExpr: Column =
+    array((0 until numPerm).map(i =>
+      array_min(transform(col("tri"), sh => xxhash64(lit(i), sh)))): _*)
+
+  private def bandRowsOf(withSig: DataFrame): DataFrame =
+    withSig.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${nBands - 1}), " +
+        s"b -> hash(slice(sig, b * $bandSize + 1, $bandSize)))")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+      .withColumn("pband", pmod(col("band_hash"), lit(nBuckets)).cast("int"))
+
+  /** Dedup `batch` (doc_id, text) against the index AND itself, then
+    * index the survivors. Returns one row per batch doc: (doc_id,
+    * dup_of) — dup_of is the smallest-id partner (an already-accepted
+    * doc, or a smaller-id batch mate) whose exact shingle Jaccard ≥
+    * theta; null marks a survivor. Duplicates are NOT indexed, so the
+    * index holds canonical survivors only. A batch mate may dup to a doc
+    * that itself dropped (greedy chaining — the standard LSH-dedup
+    * tradeoff, one pass, no transitive closure).
+    */
+  def ingest(batch: DataFrame): DataFrame = {
+    val b = batch
+      .withColumn("tk", Text.toks)
+      .select(col("doc_id"), expr(Text.triExpr).as("tri"))
+      .withColumn("sig", sigExpr)
+      .persist()
+    val newBands = bandRowsOf(b).persist()
+    try {
+      // in-batch candidates: band equi-join on scalars, ids only
+      val a = newBands.as("a"); val nb = newBands.as("b")
+      val candNew = a.join(nb,
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") > col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"))
+      // index candidates: partition-pruned probe of colliding buckets only
+      val candOld =
+        if (!bands.exists) candNew.limit(0)
+        else {
+          val buckets = newBands.select(col("pband").cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet // ≤ nBuckets rows
+          val live = bands.log.liveFiles()
+          lastIndexFiles = live.size
+          lastProbeFiles = live.count(f => buckets.contains(f.partition))
+          newBands.join(
+            bands.readPartitions(buckets).select(
+              col("doc_id").as("partner"), col("band_id"), col("band_hash")),
+            Seq("band_id", "band_hash"))
+            .select(col("doc_id"), col("partner"))
+        }
+      val cand = candNew.union(candOld).distinct()
+      // exact-Jaccard verify, candidates only; integer set algebra
+      val partnerTri = b.select(col("doc_id").as("partner"), col("tri").as("tri_p"))
+        .unionByName(
+          if (docs.exists)
+            docs.read().select(col("doc_id").as("partner"), col("tri").as("tri_p"))
+          else spark.emptyDataFrame
+            .select(lit(0L).as("partner"), lit(Array.empty[String]).as("tri_p"))
+            .limit(0))
+      val dupOf = cand
+        .join(b.select(col("doc_id"), col("tri")), "doc_id")
+        .join(partnerTri, "partner")
+        .withColumn("inter", size(array_intersect(col("tri"), col("tri_p"))))
+        .withColumn("uni",
+          size(col("tri")) + size(col("tri_p")) - col("inter"))
+        .filter(col("uni") > 0 && col("inter") >= col("uni") * lit(theta))
+        .groupBy("doc_id").agg(min("partner").as("dup_of"))
+        .persist() // consumed 3×: two survivor anti-joins + the verdicts
+      try {
+        val survivors = b.join(dupOf, Seq("doc_id"), "left_anti")
+        val survivorBands = newBands.join(dupOf, Seq("doc_id"), "left_anti")
+          .select("doc_id", "band_id", "band_hash", "pband")
+        if (!docs.exists) {
+          docs.bulkInsert(survivors.select("doc_id", "tri"))
+          bands.bulkInsert(survivorBands)
+        } else {
+          docs.upsert(survivors.select("doc_id", "tri"))
+          bands.upsert(survivorBands)
+        }
+        // the verdicts stay persisted (materialized here, while the
+        // intermediate caches are still pinned) — the caller reads them
+        // after this method released everything else
+        val out = batch.select("doc_id").distinct()
+          .join(dupOf, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("dup_of"))
+          .persist()
+        out.count()
+        out
+      } finally { dupOf.unpersist(); () }
+    } finally { b.unpersist(); newBands.unpersist(); () }
+  }
+}
+
+/** Catalog queries for the incremental dedup index. */
+object Dedup {
+
+  /** planted cross-batch duplicates: copies of batch-1 docs re-ingested
+    * in batch 2 under shifted ids — guaranteed caught at every SF
+    * (verbatim copy ⇒ identical signature ⇒ identical bands) */
+  private val CopyIdOffset = 10000000L
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def run(s: SparkSession, d: String): DataFrame =
+    cache.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      val root = s"/tmp/graft_dedupidx/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val idx = new MinHashDedupIndex(s, root)
+      val all = T.documents(s, d).select(col("doc_id"), col("text"))
+      val cut = all.agg(max("doc_id")).first().getLong(0) / 2
+      val batch1 = all.filter(col("doc_id") <= cut)
+      val copies = batch1.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + CopyIdOffset).as("doc_id"), col("text"))
+      val batch2 = all.filter(col("doc_id") > cut).unionByName(copies)
+      val r1 = idx.ingest(batch1)
+      val r2 = idx.ingest(batch2)
+      r1.unionByName(r2).persist()
+    })
+
+  /** Bench hook: surfaces the two-batch index construction as its own
+    * build entry so the query below times a cached read. */
+  private[graft] def ensureIndex(s: SparkSession, d: String): Unit = {
+    run(s, d); ()
+  }
+
+  val queries: Seq[GQuery] = Seq(
+    // rows-only: xxhash64/band hashing has no DuckDB counterpart (same
+    // rationale as doc_minhash_pairs); DedupIndexSpec pins planted
+    // cross-batch catches, survivor indexing, and probe pruning
+    GQuery("doc_dedup_incremental",
+      (s, d) => run(s, d).orderBy("doc_id"),
+      None))
+}

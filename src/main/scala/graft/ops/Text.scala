@@ -20,12 +20,12 @@ import graft.{GQuery, Tables => T}
 object Text {
 
   /** whitespace tokens of the lower-cased text */
-  private val toks: Column = split(lower(trim(col("text"))), "\\s+")
+  private[graft] val toks: Column = split(lower(trim(col("text"))), "\\s+")
 
   /** distinct word-trigram shingles; documents with < 3 tokens shingle to
     * the empty set (sequence(0, negative) would otherwise count DOWN and
     * emit bogus null-padded shingles) */
-  private val triExpr =
+  private[graft] val triExpr =
     """CASE WHEN size(tk) >= 3 THEN
          array_distinct(transform(sequence(0, size(tk)-3),
            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))
