@@ -356,7 +356,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       .withColumn("_seq", monotonically_increasing_id())
     val live = if (exists) log.liveFiles() else Seq.empty
     writeCommit(dedupWithinBatch(incoming), "insert_overwrite",
-      live.map(_.path), Some(id), basedOn = Some(basedOn))
+      live.map(_.path), Some(id), basedOn = Some(basedOn),
+      // no old file survives: the batch schema replaces the table schema
+      schemaReset = true)
   }
 
   /** Bit-interleaved Z-value over the clusterCols (space-filling-curve
@@ -799,11 +801,122 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       .getOrElse(new StructType().json)
     val clone = new LakeTable(spark, config.copy(root = targetRoot))
     require(!clone.exists, s"clone target $targetRoot already exists")
-    clone.log.append(
-      Commit(0L, "clone", System.currentTimeMillis(), schemaJson,
-        adds = files, removes = Seq.empty),
-      basedOnLatest = clone.log.EmptyTable)
+    // borrowed files keep the FILE schema their source commit recorded
+    // (schema evolution: a pre-rename/pre-widen file must stay readable
+    // through id adaptation) — one clone commit per distinct source
+    // schema, then a final schema commit pinning the table schema so
+    // schemaJsonAsOf(latest) is the evolved schema, not the last group's
+    val jsonOf = pathSchemaJson(asOf)
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[FileAdd]]
+    files.foreach(f => groups.getOrElseUpdate(jsonOf.getOrElse(f.path, schemaJson),
+      new scala.collection.mutable.ArrayBuffer[FileAdd]) += f)
+    var next = 0L
+    groups.foreach { case (j, fs) =>
+      clone.log.append(
+        Commit(next, "clone", System.currentTimeMillis(), j,
+          adds = fs.toSeq, removes = Seq.empty),
+        basedOnLatest = if (next == 0) clone.log.EmptyTable else next - 1)
+      next += 1
+    }
+    if (groups.isEmpty || groups.keys.last != schemaJson) {
+      clone.log.append(
+        Commit(next, "schema", System.currentTimeMillis(), schemaJson,
+          adds = Seq.empty, removes = Seq.empty),
+        basedOnLatest = if (next == 0) clone.log.EmptyTable else next - 1)
+    }
     clone
+  }
+
+  // ---- schema evolution: rename / drop (SchemaEvo column identity) ----
+
+  /** columns whose name the table's own configuration depends on —
+    * renaming or dropping one would desync layout, dedup identity, or
+    * the stats index from the config */
+  private def pinnedCols: Set[String] =
+    (config.keyCols ++ config.partitionCols ++ config.statsCols ++
+      config.clusterCols :+ config.precombineCol).toSet
+
+  /** Rename a column (metadata-only commit — no data file is touched;
+    * Delta column-mapping semantics): old files keep the old physical
+    * name and reads alias them by column id. Key/partition/precombine/
+    * stats/cluster columns are pinned — their names are load-bearing in
+    * the table config. Plain-engine catalog reads (which match by
+    * physical name) see renamed columns as null for pre-rename files —
+    * the same contract as Delta's column mapping; re-sync via compaction.
+    */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(exists, s"table ${config.root} does not exist")
+    val s = tableSchema(None)
+    require(s.fieldNames.contains(oldName), s"no column '$oldName'")
+    require(!s.fieldNames.contains(newName), s"column '$newName' already exists")
+    require(!SchemaEvo.isInternal(oldName) && !pinnedCols.contains(oldName),
+      s"column '$oldName' is pinned by the table configuration")
+    require(newName.nonEmpty && !SchemaEvo.isInternal(newName),
+      s"invalid new column name '$newName'")
+    schemaCommit(StructType(s.fields.map(f =>
+      if (f.name == oldName) SchemaEvo.renameField(f, newName) else f)))
+  }
+
+  /** Drop a column (metadata-only commit): the field leaves the table
+    * schema; old files keep the bytes but no reader selects them.
+    * Re-adding the same name later mints a FRESH column id, so the
+    * dropped data never resurrects. */
+  def dropColumn(name: String): Long = {
+    require(exists, s"table ${config.root} does not exist")
+    val s = tableSchema(None)
+    require(s.fieldNames.contains(name), s"no column '$name'")
+    require(!SchemaEvo.isInternal(name) && !pinnedCols.contains(name),
+      s"column '$name' is pinned by the table configuration")
+    schemaCommit(StructType(s.fields.filterNot(_.name == name)))
+  }
+
+  /** Add a nullable column (metadata-only commit): existing rows read
+    * as null. A FRESH column id is minted, so a name reused after a
+    * drop never resurrects the dropped column's data. */
+  def addColumn(name: String, dt: DataType): Long = {
+    require(exists, s"table ${config.root} does not exist")
+    val s = tableSchema(None)
+    require(!s.fieldNames.contains(name), s"column '$name' already exists")
+    require(name.nonEmpty && !SchemaEvo.isInternal(name),
+      s"invalid column name '$name'")
+    val (user, internal) = s.fields.partition(x => !SchemaEvo.isInternal(x.name))
+    schemaCommit(StructType(
+      user ++ Array(SchemaEvo.mintField(name, dt)) ++ internal))
+  }
+
+  /** Widen a column's type without touching data (int→long,
+    * float→double, ... — [[SchemaEvo.canWiden]]): old files keep the
+    * narrow physical type; reads cast up by column id. */
+  def widenColumn(name: String, dt: DataType): Long = {
+    require(exists, s"table ${config.root} does not exist")
+    val s = tableSchema(None)
+    val f = s.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column '$name'"))
+    require(!SchemaEvo.isInternal(name) && !pinnedCols.contains(name),
+      s"column '$name' is pinned by the table configuration")
+    require(SchemaEvo.canWiden(f.dataType, dt),
+      s"cannot widen ${f.dataType.simpleString} to ${dt.simpleString}")
+    schemaCommit(StructType(s.fields.map(x =>
+      if (x.name == name) x.copy(dataType = dt) else x)))
+  }
+
+  /** publish a metadata-only schema commit (op "schema"): adds/removes
+    * empty, optimistic-concurrency checked like any write */
+  private def schemaCommit(next: StructType): Long = {
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+    val id = log.nextId
+    // stamp ids on any legacy field so identity survives the change
+    val stamped = StructType(next.fields.map(f =>
+      if (SchemaEvo.isInternal(f.name)) f
+      else SchemaEvo.renameField(f, f.name)))
+    val jsonOf = pathSchemaJson(None)
+    SchemaEvo.validateAgainstLiveFiles(stamped,
+      log.liveFiles().flatMap(f => jsonOf.get(f.path)).distinct.map(parseSchema))
+    log.append(Commit(id, "schema", System.currentTimeMillis(), stamped.json,
+      Seq.empty, Seq.empty), basedOnLatest = basedOn)
+    resync()
+    id
   }
 
   /** The commit timeline as a DataFrame (Delta DESCRIBE HISTORY role):
@@ -1091,12 +1204,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
 
   private def readSnapshot(asOf: Option[Long]): DataFrame = {
     val files = log.liveFiles(asOf)
-    if (files.isEmpty) {
-      val schema = log.schemaJsonAsOf(asOf)
-        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-        .getOrElse(new StructType())
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else mergeIfNeeded(files)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema(asOf))
+    else mergeIfNeeded(files, asOf)
   }
 
   /** True when every MoR dedup group is confined to a single partition
@@ -1122,18 +1233,18 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * only. Falls back to a table-wide merge when dedup groups can span
     * partitions (see [[groupLocalMergeSafe]]).
     */
-  private def mergeIfNeeded(files: Seq[FileAdd]): DataFrame = {
-    if (!files.exists(_.isDelta)) readFiles(files)
-    else if (!groupLocalMergeSafe) morMerge(readFiles(files))
+  private def mergeIfNeeded(files: Seq[FileAdd], asOf: Option[Long] = None): DataFrame = {
+    if (!files.exists(_.isDelta)) readFiles(files, asOf)
+    else if (!groupLocalMergeSafe) morMerge(readFiles(files, asOf))
     else {
       val touched = files.filter(_.isDelta).map(_.partition).toSet
       val (dirty, clean) = files.partition(f => touched.contains(f.partition))
-      val merged = morMerge(readFiles(dirty))
+      val merged = morMerge(readFiles(dirty, asOf))
       if (clean.isEmpty) merged
       else
         // allowMissingColumns: delta commits may have widened the schema,
         // so the merged side can carry columns the clean base files lack
-        merged.unionByName(readFiles(clean), allowMissingColumns = true)
+        merged.unionByName(readFiles(clean, asOf), allowMissingColumns = true)
     }
   }
 
@@ -1276,14 +1387,63 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   private def dedupCols: Seq[String] =
     (if (config.globalIndex) Seq.empty else config.partitionCols) ++ config.keyCols
 
-  // mergeSchema: commits may widen the schema over time (upsert unions
-  // byName+allowMissing). The footer-merge job is only paid when the
-  // commit log shows more than one distinct schema on the timeline —
-  // the metadata already proves the common case needs no merge.
-  private def readFiles(files: Seq[FileAdd]): DataFrame = {
-    val needsMerge = log.commits.map(_.schemaJson).distinct.size > 1
-    spark.read.option("mergeSchema", needsMerge.toString)
-      .parquet(files.map(_.path): _*)
+  // schema JSONs repeat across commits and reads — memoize the parse
+  // (commit JSONs are immutable, so the cache is sound forever)
+  private val schemaParseCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+  private def parseSchema(j: String): StructType =
+    schemaParseCache.getOrElseUpdate(j, DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** the TABLE schema as of a commit (the latest commit's recorded
+    * schemaJson — since schema evolution, every commit records the full
+    * evolved table schema, not just its batch's) */
+  private[graft] def tableSchema(asOf: Option[Long] = None): StructType =
+    log.schemaJsonAsOf(asOf).map(parseSchema).getOrElse(new StructType())
+
+  /** schemaJson of the commit that added each live file — the FILE
+    * schema a reader must adapt from. Metadata-scale (commit JSONs are
+    * memoized); last add wins, matching [[CommitLog.liveFiles]]. */
+  private def pathSchemaJson(upTo: Option[Long]): Map[String, String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, String]
+    log.commits.withFilter(c => upTo.forall(c.id <= _))
+      .foreach(c => c.adds.foreach(a => m(a.path) = c.schemaJson))
+    m.toMap
+  }
+
+  /** Schema-evolution-aware scan: live files group by the schema their
+    * commit recorded, each group reads with ITS schema (so physical
+    * names/types resolve — files a column predates null-backfill, the
+    * standard explicit-schema parquet semantics), and groups that differ
+    * from the read's table schema adapt by COLUMN ID (rename = alias,
+    * widen = cast, drop = not selected) before a by-name union.
+    *
+    * The common case (no live evolution) is exactly one group equal to
+    * the table schema: a single plain scan with an explicit schema — no
+    * mergeSchema footer job at all, which the old path paid whenever the
+    * timeline EVER held two schemas. Each group is a separate parquet
+    * scan over disjoint files, so pushdown/pruning apply per group and
+    * total I/O is unchanged; group count is bounded by live schema
+    * versions (compaction collapses it back to one).
+    */
+  private def readFiles(files: Seq[FileAdd], asOf: Option[Long] = None): DataFrame = {
+    val target = tableSchema(asOf)
+    val jsonOf = pathSchemaJson(asOf)
+    // group in first-appearance order: deterministic output column order
+    // (the first group's adapted shape leads the union)
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    files.foreach { f =>
+      val j = jsonOf.getOrElse(f.path, target.json)
+      groups.getOrElseUpdate(j,
+        new scala.collection.mutable.ArrayBuffer[String]) += f.path
+    }
+    val targetKey = SchemaEvo.adaptKey(target)
+    groups.toSeq.map { case (j, paths) =>
+      val fileSchema = parseSchema(j)
+      val df = spark.read.schema(fileSchema).parquet(paths.toSeq: _*)
+      if (SchemaEvo.adaptKey(fileSchema) == targetKey) df
+      else SchemaEvo.adapt(df, fileSchema, target)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ---- internals ------------------------------------------------------
@@ -1344,7 +1504,15 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val litCache = scala.collection.mutable.HashMap
         .empty[(org.apache.spark.sql.catalyst.expressions.Expression, DataType),
                Option[Any]]
-      def may(f: FileAdd): Boolean = !statsImpossible(f, pred, litCache)
+      // schema evolution: stats were recorded under the file's PHYSICAL
+      // column names and types — resolve each file's schema once so
+      // bounds can match by column id and parse in the file's type
+      val jsonOf = pathSchemaJson(None)
+      val schemaCache = scala.collection.mutable.HashMap.empty[String, StructType]
+      def schemaFor(f: FileAdd): Option[StructType] =
+        jsonOf.get(f.path).map(j => schemaCache.getOrElseUpdate(j, parseSchema(j)))
+      def may(f: FileAdd): Boolean =
+        !statsImpossible(f, schemaFor(f), pred, litCache)
       if (!files.exists(_.isDelta)) files.filter(may)
       else if (groupLocalMergeSafe) {
         val keep = files.groupBy(_.partition)
@@ -1361,6 +1529,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     */
   private def statsImpossible(
       f: FileAdd,
+      fileSchema: Option[StructType],
       e: org.apache.spark.sql.catalyst.expressions.Expression,
       litCache: scala.collection.mutable.Map[
         (org.apache.spark.sql.catalyst.expressions.Expression, DataType),
@@ -1414,50 +1583,75 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
+    // a file's recorded stat, parsed in ITS physical type and widened
+    // into the TABLE type's comparable domain — exact for every
+    // permitted widening (int family fits Long; int32/float fit Double
+    // via the same rounding the data itself took); anything else is
+    // unparseable → no prune (conservative)
+    def parseStat(s: String, fileDt: DataType, tableDt: DataType,
+        parseWide: String => Any): Option[Any] =
+      scala.util.Try {
+        if (fileDt == tableDt) Some(parseWide(s))
+        else (fileDt, tableDt) match {
+          case (ByteType | ShortType | IntegerType, LongType) => Some(s.toLong)
+          case (FloatType, DoubleType) => Some(s.toFloat.toDouble)
+          case (ByteType | ShortType | IntegerType, DoubleType) =>
+            Some(s.toLong.toDouble)
+          case _ => None
+        }
+      }.toOption.flatten
     // recorded bounds + the foldable side's value, in one comparable
     // domain (the analyzer wraps literals in implicit Casts — anything
-    // foldable evaluates; a cast to the COLUMN's type aligns domains)
+    // foldable evaluates; a cast to the TABLE column's type aligns
+    // domains — the table type is the widest live one, so the cast is
+    // never narrowing). Schema evolution: the stats map is keyed by the
+    // file's PHYSICAL column name — resolved through the column id, so
+    // pruning survives renames and widenings.
     def bounds(attr: Expression, l: Expression)
       : Option[(Any, Any, Any, (Any, Any) => Int)] =
       for {
         name <- attrName(attr)
-        mnS <- f.colMin.get(name)
-        mxS <- f.colMax.get(name)
-        dt = schemaOf(name)
+        tf <- tableSchema(None).fields.find(_.name == name)
+        dt = tf.dataType
+        (fName, fDt) = fileSchema
+          .flatMap(_.fields.find(x => SchemaEvo.cid(x) == SchemaEvo.cid(tf)))
+          .map(x => (x.name, x.dataType)).getOrElse((name, dt))
+        mnS <- f.colMin.get(fName)
+        mxS <- f.colMax.get(fName)
         (parse, fromLit, cmp) <- cmpFor(dt)
         litInternal <- litCache.getOrElseUpdate((l, dt),
           scala.util.Try(Option(Cast(l, dt,
             Some(spark.sessionState.conf.sessionLocalTimeZone)).eval())).toOption.flatten)
         lv <- fromLit(litInternal)
-        mn <- scala.util.Try(parse(mnS)).toOption
-        mx <- scala.util.Try(parse(mxS)).toOption
+        mn <- parseStat(mnS, fDt, dt, parse)
+        mx <- parseStat(mxS, fDt, dt, parse)
       } yield (mn, mx, lv, cmp)
     def no(opt: Option[Boolean]): Boolean = opt.getOrElse(false)
     e match {
-      case And(l, r) => statsImpossible(f, l, litCache) || statsImpossible(f, r, litCache)
-      case Or(l, r) => statsImpossible(f, l, litCache) && statsImpossible(f, r, litCache)
+      case And(l, r) => statsImpossible(f, fileSchema, l, litCache) || statsImpossible(f, fileSchema, r, litCache)
+      case Or(l, r) => statsImpossible(f, fileSchema, l, litCache) && statsImpossible(f, fileSchema, r, litCache)
       case EqualTo(a, l) if l.foldable && !a.foldable =>
         no(bounds(a, l).map { case (mn, mx, v, c) => c(v, mn) < 0 || c(v, mx) > 0 })
       case EqualTo(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, EqualTo(a, l), litCache)
+        statsImpossible(f, fileSchema, EqualTo(a, l), litCache)
       case LessThan(a, l) if l.foldable && !a.foldable => // needs min < v
         no(bounds(a, l).map { case (mn, _, v, c) => c(mn, v) >= 0 })
       case LessThan(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, GreaterThan(a, l), litCache)
+        statsImpossible(f, fileSchema, GreaterThan(a, l), litCache)
       case LessThanOrEqual(a, l) if l.foldable && !a.foldable =>
         no(bounds(a, l).map { case (mn, _, v, c) => c(mn, v) > 0 })
       case LessThanOrEqual(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, GreaterThanOrEqual(a, l), litCache)
+        statsImpossible(f, fileSchema, GreaterThanOrEqual(a, l), litCache)
       case GreaterThan(a, l) if l.foldable && !a.foldable => // needs max > v
         no(bounds(a, l).map { case (_, mx, v, c) => c(mx, v) <= 0 })
       case GreaterThan(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, LessThan(a, l), litCache)
+        statsImpossible(f, fileSchema, LessThan(a, l), litCache)
       case GreaterThanOrEqual(a, l) if l.foldable && !a.foldable =>
         no(bounds(a, l).map { case (_, mx, v, c) => c(mx, v) < 0 })
       case GreaterThanOrEqual(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, LessThanOrEqual(a, l), litCache)
+        statsImpossible(f, fileSchema, LessThanOrEqual(a, l), litCache)
       case In(a, vs) if vs.nonEmpty && !a.foldable && vs.forall(_.foldable) =>
-        vs.forall(v => statsImpossible(f, EqualTo(a, v), litCache))
+        vs.forall(v => statsImpossible(f, fileSchema, EqualTo(a, v), litCache))
       case _ => false
     }
   }
@@ -1535,15 +1729,45 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * original provenance stamps.
     */
   private def writeCommit(
-      df: DataFrame, op: String, removes: Seq[String],
+      df0: DataFrame, op: String, removes: Seq[String],
       fixedId: Option[Long] = None, kind: String = "base",
       basedOn: Option[Long] = None,
       commitMeta: Map[String, String] = Map.empty,
       partitionScoped: Boolean = false,
       stampsId: Boolean = true,
-      rebaseAttempt: Int = 0): Long = {
+      rebaseAttempt: Int = 0,
+      /** true for whole-table overwrites: no old file survives, so the
+        * batch schema REPLACES the table schema instead of evolving it
+        * (columns may vanish or re-type; persisting names keep their id) */
+      schemaReset: Boolean = false): Long = {
     val expectedHead = basedOn.getOrElse(log.latestId.getOrElse(log.EmptyTable))
     val id = fixedId.getOrElse(log.nextId)
+    // schema evolution (SchemaEvo): the commit records the evolved TABLE
+    // schema — previous user columns survive a narrow batch, widened
+    // types stick, new columns mint stable ids. Incompatible changes
+    // fail HERE, before any file is written; a change that would corrupt
+    // retained live files (narrowing a column older files hold wide)
+    // fails against the live-file schemas.
+    val prevSchema: Option[StructType] =
+      if (expectedHead < 0) None
+      else log.schemaJsonAsOf(Some(expectedHead)).map(parseSchema)
+    val evolved = SchemaEvo.evolve(prevSchema, df0.schema, id, reset = schemaReset)
+    if (log.exists) {
+      val removeSet = removes.toSet
+      val jsonOf = pathSchemaJson(None)
+      val retained = log.liveFiles().filterNot(f => removeSet.contains(f.path))
+        .flatMap(f => jsonOf.get(f.path)).distinct.map(parseSchema)
+      SchemaEvo.validateAgainstLiveFiles(evolved, retained)
+    }
+    // conform the batch to the evolved types (a narrow batch column
+    // upcasts) so this commit's FILES match its recorded schema exactly —
+    // readers then never face a physical/declared type mismatch
+    val df = {
+      val types = evolved.fields.map(f => f.name -> f.dataType).toMap
+      df0.schema.fields
+        .filter(f => types.get(f.name).exists(_ != f.dataType))
+        .foldLeft(df0)((acc, f) => acc.withColumn(f.name, col(f.name).cast(types(f.name))))
+    }
     // deterministic-interleaving seam: fires between this writer's head
     // resolution and its publish — the exact window the optimistic check
     // guards. Concurrency specs hang a competing writer's commit here;
@@ -1621,7 +1845,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       FileAdd(p.toString, segs.mkString(PartSep), kind, st.kmin, st.kmax,
         st.cmin, st.cmax, len)
     }
-    val schemaJson = df.schema.json
+    val schemaJson = evolved.json
     try
       log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds,
         removes, commitMeta), basedOnLatest = expectedHead)
@@ -1699,7 +1923,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // pure metadata append — nothing to re-read or restamp
     if (adds.isEmpty) {
       try {
-        log.append(Commit(newId, op, System.currentTimeMillis(), schemaJson,
+        // re-evolve against the new head: an intervening (disjoint)
+        // writer may have evolved the schema; recording this commit's
+        // old-head schema verbatim would narrow the table for readers
+        val rebasedSchema = SchemaEvo.evolve(
+          log.schemaJsonAsOf(Some(newHead)).map(parseSchema),
+          parseSchema(schemaJson), newId).json
+        log.append(Commit(newId, op, System.currentTimeMillis(), rebasedSchema,
           Seq.empty, removes, commitMeta), basedOnLatest = newHead)
         resync()
         try { fs.delete(dir, true); () } catch { case scala.util.control.NonFatal(_) => () }

@@ -198,6 +198,44 @@ object Lake {
       t
     })
 
+  /** Schema evolution BEYOND add-column (VERDICT r4 item #5): widening,
+    * rename, and drop over the `nation` fixture —
+    *   c0 bulk_insert: all rows, score = n_nationkey*7 (INT),
+    *      note = 'n-'||n_name, update_ts=0
+    *   c1 upsert: region-1 rows, score = n_nationkey*3000000000 (BIGINT)
+    *      — widens the column; other regions' files stay int32
+    *   c2 schema: renameColumn score -> rating (metadata-only; old files
+    *      alias by column id)
+    *   c3 schema: dropColumn note (old bytes stay, no reader sees them)
+    *   c4 upsert: region-2 rows under the NEW name, int batch upcasts
+    * The final snapshot must carry every generation correctly adapted.
+    */
+  private[graft] def evoWideTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:evowide", _ => {
+      val root = s"/tmp/graft_lake/evowide_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("n_nationkey"), precombineCol = "update_ts",
+        partitionCols = Seq("n_regionkey")))
+      val nation = T.nation(s, d)
+      t.bulkInsert(nation
+        .withColumn("update_ts", lit(0))
+        .withColumn("score", (col("n_nationkey") * 7).cast("int"))
+        .withColumn("note", concat(lit("n-"), col("n_name"))))
+      t.upsert(nation.filter(col("n_regionkey") === 1)
+        .withColumn("update_ts", lit(1))
+        .withColumn("score", col("n_nationkey") * lit(3000000000L))
+        .withColumn("note", concat(lit("u-"), col("n_name"))))
+      t.renameColumn("score", "rating")
+      t.dropColumn("note")
+      t.upsert(nation.filter(col("n_regionkey") === 2)
+        .withColumn("update_ts", lit(2))
+        .withColumn("rating", col("n_nationkey").cast("int")))
+      t
+    })
+
   /** INSERT_OVERWRITE fixture over `nation` (tiny at every SF): region-1
     * rows are overwritten wholesale with upper-cased names at a LOWER
     * precombine — proving overwrite replaces without merging.
@@ -397,6 +435,23 @@ object Lake {
       Some("""SELECT n_nationkey, n_name, n_regionkey,
         CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END AS update_ts,
         CASE WHEN n_regionkey = 1 THEN n_nationkey * 10 END AS extra_score
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- schema evolution 2: widen + rename + drop (see evoWideTable) -
+    // the snapshot reads three physical generations — int32 'score'
+    // files, int64 'score' files, int32 'rating' files — through one
+    // column-id-adapted scan; the dropped 'note' column must be gone
+    GQuery("lake_schema_widen_rename",
+      (s, d) => evoWideTable(s, d).read()
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("update_ts"), col("rating"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name, n_regionkey,
+        CASE WHEN n_regionkey = 1 THEN 1
+             WHEN n_regionkey = 2 THEN 2 ELSE 0 END AS update_ts,
+        CAST(CASE WHEN n_regionkey = 1 THEN n_nationkey * 3000000000
+                  WHEN n_regionkey = 2 THEN n_nationkey
+                  ELSE n_nationkey * 7 END AS BIGINT) AS rating
         FROM nation ORDER BY n_nationkey""")),
 
     // ---- data skipping: predicate read through the column-stats index -

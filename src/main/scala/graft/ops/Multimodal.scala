@@ -36,24 +36,35 @@ object Multimodal {
         col("lang").as("lang"),
         col("source").as("source")).as("meta"))
 
-  /** STUB decoder (deterministic fake): real deployments would decode
-    * image/audio via a vectorized native library here; the Spark-side
-    * contract (binary in, fixed-width float vector out, executed
-    * per-partition in batches) is the part under test.
+  /** Deterministic P6 payload for `doc_id` — the test-fixture generator
+    * feeding the REAL decoder below. Dimensions and every pixel byte are
+    * pure functions of the id, so a DuckDB oracle can compute the
+    * expected decoded features arithmetically while the Spark side must
+    * round-trip through genuine PPM bytes and a genuine parser.
     */
-  private val histogramUdf = udf { (payload: Array[Byte]) =>
-    val hist = new Array[Float](16)
-    if (payload != null) {
-      var i = 0
-      while (i < payload.length) {
-        hist((payload(i) & 0xFF) >> 4) += 1f
-        i += 1
-      }
-      val n = math.max(payload.length, 1).toFloat
-      var j = 0
-      while (j < 16) { hist(j) /= n; j += 1 }
+  private[graft] def synthPpm(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val px = new Array[Byte](3 * w * h)
+    var j = 0
+    while (j < px.length) {
+      px(j) = ((id * 31 + j.toLong * 7) % 256).toByte
+      j += 1
     }
-    hist
+    MediaCodecs.encodePpm(w, h, px)
+  }
+
+  /** Deterministic PCM-16 mono WAV payload for `doc_id`. */
+  private[graft] def synthWav(id: Long): Array[Byte] = {
+    val sr = (8000 + (id % 3) * 4000).toInt
+    val n = (50 + id % 32).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((id * 131 + i.toLong * 17) % 4001 - 2000).toShort
+      i += 1
+    }
+    MediaCodecs.encodeWav(sr, 1, samples)
   }
 
   val queries: Seq[GQuery] = Seq(
@@ -137,19 +148,94 @@ object Multimodal {
         FROM f ORDER BY doc_id"""
       }),
 
-    // ---- feature extraction via the stubbed decoder (rows-only) -------
+    // ---- REAL image decode: PPM (P6) payloads through a pure-JVM ------
+    // parser (MediaCodecs.decodePpm), batched per partition — the
+    // vectorized-decoder execution contract with an actual decoder in
+    // it. Payload bytes are synthesized deterministically from doc_id,
+    // so the oracle reconstructs the expected features arithmetically;
+    // the Spark side must round-trip real header parsing + raster math.
+    // Features are EXACT integers (dimensions + per-channel sums) so the
+    // hash compare has no float tolerance to hide behind.
     GQuery("multimodal_features",
-      (s, d) => media(s, d)
-        .withColumn("features", histogramUdf(col("payload")))
-        .withColumn("entropy", expr(
-          "aggregate(features, 0D, (s, x) -> s + if(x > 0, -x * ln(x), 0D))"))
-        .groupBy("media_type")
-        .agg(round(avg(col("entropy")), 4).as("avg_entropy"),
-          count(lit(1)).as("n_docs"))
-        .orderBy("media_type"),
-      None)
+      (s, d) => {
+        import s.implicits._
+        val payloads = T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, synthPpm(id))))
+          .toDF("doc_id", "payload")
+        payloads.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val img = MediaCodecs.decodePpm(bytes)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var p = 0
+            while (p < img.width * img.height) {
+              sr += img.pixels(3 * p) & 0xff
+              sg += img.pixels(3 * p + 1) & 0xff
+              sb += img.pixels(3 * p + 2) & 0xff
+              p += 1
+            }
+            ImageFeatures(id, img.width, img.height, sr, sg, sb)
+          }
+        }.toDF().orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+                 CAST(3 + doc_id % 4 AS INT) AS h
+          FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS p
+               FROM docs),
+        ch AS (SELECT doc_id, w, h, p, c.c,
+                 (doc_id * 31 + (3*p + c.c) * 7) % 256 AS v
+               FROM px CROSS JOIN (SELECT * FROM (VALUES (0),(1),(2)) AS t(c)) c)
+        SELECT doc_id, max(w) AS width, max(h) AS height,
+          CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+          CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+          CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+        FROM ch GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- REAL audio decode: RIFF/WAVE PCM-16 through the chunk-walking
+    // parser (MediaCodecs.decodeWav); same oracle scheme — exact-integer
+    // amplitude features of deterministically synthesized waveforms
+    GQuery("multimodal_audio",
+      (s, d) => {
+        import s.implicits._
+        val payloads = T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, synthWav(id))))
+          .toDF("doc_id", "payload")
+        payloads.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val wav = MediaCodecs.decodeWav(bytes)
+            var sumAbs = 0L
+            var maxAbs = 0
+            wav.samples.foreach { v =>
+              val a = math.abs(v.toInt)
+              sumAbs += a
+              if (a > maxAbs) maxAbs = a
+            }
+            AudioFeatures(id, wav.sampleRate, wav.samples.length, sumAbs, maxAbs)
+          }
+        }.toDF().orderBy("doc_id")
+      },
+      Some("""WITH a AS (
+          SELECT doc_id, CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sr,
+                 CAST(50 + doc_id % 32 AS INT) AS n
+          FROM documents),
+        s AS (SELECT doc_id, sr, n, unnest(generate_series(0, n - 1)) AS i
+              FROM a),
+        v AS (SELECT doc_id, sr, n,
+                (doc_id * 131 + i * 17) % 4001 - 2000 AS x
+              FROM s)
+        SELECT doc_id, max(sr) AS sample_rate, max(n) AS n_samples,
+          CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+          CAST(max(abs(x)) AS INT) AS max_abs
+        FROM v GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
+
+/** typed output rows of the REAL decoders */
+final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+    sum_r: Long, sum_g: Long, sum_b: Long)
+final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+    n_samples: Int, sum_abs: Long, max_abs: Int)
 
 /** typed output row of `multimodal_resize` */
 final case class ResizedMedia(doc_id: Long, media_type: String, thumb_hex: String)

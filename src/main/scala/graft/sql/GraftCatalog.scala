@@ -154,9 +154,64 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTableV2(spark, ident.toString, tablePath(ident).toString, desc, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft tables is not supported yet")
+  /** `ALTER TABLE ... ADD COLUMN / RENAME COLUMN / DROP COLUMN / ALTER
+    * COLUMN TYPE` — schema evolution as metadata-only commits through
+    * [[graft.lake.LakeTable]] (column-identity semantics: renames alias
+    * old files, drops never resurrect, type changes must widen). On a
+    * table with no commits yet the declared descriptor schema is edited
+    * in place (there are no files to adapt). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tablePath(ident).toString
+    val desc = TableDescriptor.load(root, hconf)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val lake = graft.lake.LakeTable(spark, desc.config(root))
+    def one(names: Array[String]): String = {
+      require(names.length == 1,
+        "graft tables support top-level column changes only")
+      names.head
+    }
+    if (lake.exists)
+      changes.foreach {
+        case c: TableChange.AddColumn => lake.addColumn(one(c.fieldNames), c.dataType)
+        case c: TableChange.RenameColumn => lake.renameColumn(one(c.fieldNames), c.newName)
+        case c: TableChange.DeleteColumn => lake.dropColumn(one(c.fieldNames))
+        case c: TableChange.UpdateColumnType =>
+          lake.widenColumn(one(c.fieldNames), c.newDataType)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other")
+      }
+    else {
+      // pre-first-commit: evolve the DECLARED schema (no files exist)
+      val declared = Option(desc.schemaJson).filter(_.nonEmpty)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(new StructType())
+      val next = changes.foldLeft(declared) { (s, ch) =>
+        ch match {
+          case c: TableChange.AddColumn =>
+            require(!s.fieldNames.contains(one(c.fieldNames)),
+              s"column '${one(c.fieldNames)}' already exists")
+            s.add(one(c.fieldNames), c.dataType)
+          case c: TableChange.RenameColumn =>
+            val n = one(c.fieldNames)
+            require(s.fieldNames.contains(n), s"no column '$n'")
+            StructType(s.fields.map(f =>
+              if (f.name == n) f.copy(name = c.newName) else f))
+          case c: TableChange.DeleteColumn =>
+            val n = one(c.fieldNames)
+            require(s.fieldNames.contains(n), s"no column '$n'")
+            StructType(s.fields.filterNot(_.name == n))
+          case c: TableChange.UpdateColumnType =>
+            val n = one(c.fieldNames)
+            StructType(s.fields.map(f =>
+              if (f.name == n) f.copy(dataType = c.newDataType) else f))
+          case other => throw new UnsupportedOperationException(
+            s"unsupported ALTER TABLE change: $other")
+        }
+      }
+      TableDescriptor.save(root, desc.copy(schemaJson = next.json), hconf)
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
