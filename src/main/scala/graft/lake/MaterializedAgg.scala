@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Incrementally-maintained aggregate over a [[LakeTable]] — the
   * materialized-view role (Hudi/Delta users hand-roll this with CDF;
   * here it is a first-class object): `count(*)` plus user sum
-  * expressions per dimension tuple, refreshed from timeline deltas
-  * instead of recomputation.
+  * expressions per dimension tuple — and, since round 5, non-invertible
+  * MIN/MAX measures — refreshed from timeline deltas instead of
+  * recomputation.
   *
   * Maintenance math: for a refresh window (from, to],
   *   adds = rows of snapshot(to) ingested after `from` (post-images),
@@ -21,6 +22,16 @@ import org.apache.spark.sql.functions._
   * the source — which is the entire point at 100 TB: a CDC trickle
   * refreshes a dashboard aggregate in seconds regardless of table
   * size.
+  *
+  * MIN/MAX (non-invertible — subtracting a retracted row can't undo a
+  * min): the change feed names the AFFECTED dimension tuples, and those
+  * tuples' min/max are recomputed from the new snapshot restricted to
+  * exactly them — a broadcast semi-join probe (partition/stats pruning
+  * engages when the dimensions align with the source's layout), never a
+  * table-wide rescan, and dimensions outside the window are never
+  * touched. Because a same-count update can still move a min, refresh
+  * windows with min/max measures keep every affected dimension in the
+  * merge instead of dropping zero-delta rows.
   *
   * Crash safety: the applied source commit is stamped into the refresh
   * commit's own metadata, so it publishes ATOMICALLY with the merge —
@@ -36,15 +47,21 @@ import org.apache.spark.sql.functions._
   * Exactness: supply INTEGER-VALUED sum expressions (scale decimals
   * first, e.g. `CAST(floor(x * 100) AS BIGINT)`) so incremental
   * add/subtract is exact; float sums would drift from a direct
-  * aggregation by accumulation order.
+  * aggregation by accumulation order. Min/max are order statistics —
+  * exact for any type.
   */
 final class MaterializedAgg(
     spark: SparkSession,
     source: LakeTable,
     aggRoot: String,
     dims: Seq[String],
-    sums: Map[String, String]) {
+    sums: Map[String, String],
+    mins: Map[String, String] = Map.empty,
+    maxs: Map[String, String] = Map.empty) {
   require(dims.nonEmpty, "need at least one dimension column")
+  require((sums.keySet & mins.keySet).isEmpty &&
+    (sums.keySet & maxs.keySet).isEmpty && (mins.keySet & maxs.keySet).isEmpty,
+    "sum/min/max output column names must be disjoint")
 
   val table: LakeTable = LakeTable(spark, LakeTableConfig(
     aggRoot, keyCols = dims, precombineCol = "_src_commit"))
@@ -74,12 +91,19 @@ final class MaterializedAgg(
     (mark.last.toSeq ++ logHighWater.toSeq).maxOption
 
   private def sumCols = sums.keys.toSeq.sorted
+  private def minCols = mins.keys.toSeq.sorted
+  private def maxCols = maxs.keys.toSeq.sorted
+  /** delta-maintained measures (count + sums) */
   private def measures = "n_rows" +: sumCols
+  /** recomputed measures (order statistics) */
+  private def orderCols = minCols ++ maxCols
 
   private def aggOf(df: DataFrame): DataFrame =
     df.groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        sumCols.map(c => sum(expr(sums(c))).as(c)): _*)
+        sumCols.map(c => sum(expr(sums(c))).as(c)) ++
+          minCols.map(c => min(expr(mins(c))).as(c)) ++
+          maxCols.map(c => max(expr(maxs(c))).as(c)): _*)
 
   /** Bring the aggregate up to `upTo` (default: the source head).
     * First call materializes from the snapshot; later calls apply
@@ -116,31 +140,63 @@ final class MaterializedAgg(
     val b = aggOf(subs).select(
       dims.map(col) ++ measures.map(c => col(c).as(s"_s_$c")): _*)
     val cond = dims.map(c => a(c) <=> b(c)).reduce(_ && _)
-    val delta = a.join(b, cond, "full_outer")
+    val counted = a.join(b, cond, "full_outer")
       .select(dims.map(c => coalesce(a(c), b(c)).as(c)) ++
         measures.map(c =>
           (coalesce(col(s"_a_$c"), lit(0L)) - coalesce(col(s"_s_$c"), lit(0L)))
             .as(s"_d_$c")): _*)
-      .filter(measures.map(c => col(s"_d_$c") =!= 0).reduce(_ || _))
-      .withColumn("_src_commit", lit(to))
+    // with min/max measures a zero-delta dimension can still move an
+    // order statistic (an in-place update), so every AFFECTED dimension
+    // stays in the merge; without them the zero-delta filter is the
+    // cheaper classic form
+    val delta0 =
+      if (orderCols.isEmpty)
+        counted.filter(measures.map(c => col(s"_d_$c") =!= 0).reduce(_ || _))
+      else counted
+    // non-invertible min/max: recompute ONLY the affected dimension
+    // tuples from the new snapshot — the affected set is metadata-small
+    // (bounded by the window's changed keys), so it broadcasts; the
+    // probe is a semi-join the source's partition/stats layout can
+    // prune against, never a table-wide re-aggregation
+    val delta = if (orderCols.isEmpty) delta0 else {
+      val affected = delta0.select(dims.map(col): _*).distinct()
+      val probe = newSnap.as("n").join(
+        broadcast(affected.as("af")),
+        dims.map(c => col(s"n.$c") <=> col(s"af.$c")).reduce(_ && _),
+        "left_semi")
+      val orderAggs = minCols.map(c => min(expr(mins(c))).as(s"_v_$c")) ++
+        maxCols.map(c => max(expr(maxs(c))).as(s"_v_$c"))
+      val fresh = probe.groupBy(dims.map(col): _*)
+        .agg(orderAggs.head, orderAggs.tail: _*)
+      val d = delta0.as("d")
+      val f = fresh.as("f")
+      d.join(f, dims.map(c => col(s"d.$c") <=> col(s"f.$c")).reduce(_ && _),
+          "left_outer")
+        .select(dims.map(c => col(s"d.$c").as(c)) ++
+          measures.map(c => col(s"d._d_$c").as(s"_d_$c")) ++
+          orderCols.map(c => col(s"f._v_$c").as(s"_v_$c")): _*)
+    }
+    val payload = delta.withColumn("_src_commit", lit(to))
     // apply as ONE commit: update/insert/delete in a single merge; the
     // applied source commit travels in the SAME commit (crash-safe even
     // for delete-only windows — see SrcKey)
-    table.merge(delta)
+    table.merge(payload)
       .withCommitMeta(Map(SrcKey -> to.toString))
       .whenMatchedDelete(Some(col("t.n_rows") + col("s._d_n_rows") <= 0))
       .whenMatchedUpdate(
-        measures.map(c => c -> (col(s"t.$c") + col(s"s._d_$c"))).toMap +
+        measures.map(c => c -> (col(s"t.$c") + col(s"s._d_$c"))).toMap ++
+          orderCols.map(c => c -> col(s"s._v_$c")).toMap +
           ("_src_commit" -> col("s._src_commit")))
       .whenNotMatchedInsert(
-        measures.map(c => c -> col(s"s._d_$c")).toMap,
+        measures.map(c => c -> col(s"s._d_$c")).toMap ++
+          orderCols.map(c => c -> col(s"s._v_$c")).toMap,
         cond = Some(col("s._d_n_rows") > 0))
       .execute()
     mark.record(to)
     Some(to)
   }
 
-  /** current aggregate: (dims..., n_rows, sum columns...) */
+  /** current aggregate: (dims..., n_rows, sum columns..., min/max columns...) */
   def read(): DataFrame =
-    table.read().select((dims ++ measures).map(col): _*)
+    table.read().select((dims ++ measures ++ orderCols).map(col): _*)
 }

@@ -342,6 +342,30 @@ object Lake {
       m
     })
 
+  /** Same replay with NON-INVERTIBLE measures (min/max) alongside the
+    * sum: every commit of the CDC flow moves an order statistic (c1
+    * raises R-partition quantities, c2 is stale, c3 deletes A rows —
+    * including per-dimension minima), so a refresh that failed to
+    * recompute affected dimensions would diverge from the oracle's
+    * direct aggregation of the final snapshot.
+    */
+  private[graft] def incrAggMM(s: SparkSession, d: String): graft.lake.MaterializedAgg =
+    aggCache.computeIfAbsent(s"$d:mm", _ => {
+      val t = cdcTable(s, d)
+      val root = s"/tmp/graft_lake/incraggmm_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val m = new graft.lake.MaterializedAgg(s, t, root,
+        dims = Seq("l_returnflag"),
+        sums = Map("qty_c" -> "CAST(floor(l_quantity * 100) AS BIGINT)"),
+        mins = Map("qty_min" -> "CAST(floor(l_quantity * 100) AS BIGINT)",
+          "key_min" -> "l_orderkey"),
+        maxs = Map("qty_max" -> "CAST(floor(l_quantity * 100) AS BIGINT)"))
+      (0L to t.log.latestId.get).foreach(i => m.refresh(Some(i)))
+      m
+    })
+
   /** shared with ops.Sql's MERGE oracle (same keyed-lineitem CTE) */
   private[ops] def liSqlCte: String = liCte
 
@@ -635,6 +659,25 @@ object Lake {
               AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber))
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+        FROM fin GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- incremental aggregate with NON-INVERTIBLE min/max measures ---
+    // (see incrAggMM): maintained commit-by-commit; affected dimensions
+    // recompute their order statistics from a dim-pruned probe, so the
+    // c3 delete (which removes per-dimension minima) is the acid test
+    GQuery("lake_incr_agg_minmax",
+      (s, d) => incrAggMM(s, d).read().orderBy("l_returnflag"),
+      Some(s"""$mergedCte,
+        fin AS (
+          SELECT m.* FROM merged m
+          WHERE NOT EXISTS (SELECT 1 FROM li k
+            WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+              AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber))
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+          CAST(min(l_orderkey) AS BIGINT) AS key_min,
+          CAST(min(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_min,
+          CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_max
         FROM fin GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- multi-clause MERGE INTO (see mergeTable for the clause set) ---

@@ -152,4 +152,98 @@ class MaterializedAggSpec extends AnyFunSuite {
 
     assert(got(stepped) == got(oneShot) && got(stepped) == direct(t))
   }
+
+  // ---- non-invertible min/max measures (VERDICT r4 item #7) ----------
+
+  private def directMM(t: LakeTable): Set[(String, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    t.read().groupBy($"dim")
+      .agg(count(lit(1)).as("n_rows"), sum($"v").as("v_sum"),
+        min($"v").as("v_min"), max($"v").as("v_max"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+  }
+
+  private def gotMM(m: MaterializedAgg): Set[(String, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    m.read().as[(String, Long, Long, Long, Long)].collect().toSet
+  }
+
+  private def mmAgg(t: LakeTable, root: String) =
+    new MaterializedAgg(spark, t, root, dims = Seq("dim"),
+      sums = Map("v_sum" -> "v"),
+      mins = Map("v_min" -> "v"), maxs = Map("v_max" -> "v"))
+
+  test("min/max track deletes of the extreme row (targeted recompute)") {
+    val t = LakeTable(spark, LakeTableConfig(
+      tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))
+    val m = mmAgg(t, tmp() + "/agg")
+    t.bulkInsert(df((1L, "a", 10, 0), (2L, "a", 5, 0), (3L, "a", 70, 0),
+      (4L, "b", 1, 0)))
+    m.refresh()
+    assert(gotMM(m) == directMM(t))
+    // delete the current MIN of 'a' — subtracting can't undo a min;
+    // only a recompute over the affected dim gives 10
+    t.delete(df((2L, "a", 5, 0)).select("pk"))
+    m.refresh()
+    assert(gotMM(m) == directMM(t), "min must rise after deleting the min row")
+    // delete the current MAX of 'a'
+    t.delete(df((3L, "a", 70, 0)).select("pk"))
+    m.refresh()
+    assert(gotMM(m) == directMM(t), "max must fall after deleting the max row")
+  }
+
+  test("zero-count-delta update still moves the order statistics") {
+    val t = LakeTable(spark, LakeTableConfig(
+      tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))
+    val m = mmAgg(t, tmp() + "/agg")
+    t.bulkInsert(df((1L, "a", 10, 0), (2L, "a", 50, 0)))
+    m.refresh()
+    // in-place update: count delta for 'a' is ZERO, sum moves, and the
+    // max moves DOWN (50 -> 20) — a delta-only maintainer that filters
+    // zero-count dims would freeze the max at 50
+    t.upsert(df((2L, "a", 20, 1)))
+    m.refresh()
+    assert(gotMM(m) == directMM(t), "in-place update must refresh min/max")
+    // and an update that only changes the MIN, leaving sum-of-others
+    t.upsert(df((1L, "a", 30, 2)))
+    m.refresh()
+    assert(gotMM(m) == directMM(t))
+  }
+
+  test("untouched dimensions are not recomputed or rewritten") {
+    val t = LakeTable(spark, LakeTableConfig(
+      tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))
+    val m = mmAgg(t, tmp() + "/agg")
+    t.bulkInsert(df((1L, "a", 10, 0), (2L, "b", 5, 0), (3L, "c", 7, 0)))
+    m.refresh()
+    val before = {
+      import spark.implicits._
+      m.table.read().filter($"dim" =!= "a")
+        .select($"dim", $"_src_commit").as[(String, Long)].collect().toSet
+    }
+    t.upsert(df((1L, "a", 99, 1))) // touches ONLY dim a
+    m.refresh()
+    assert(gotMM(m) == directMM(t))
+    val after = {
+      import spark.implicits._
+      m.table.read().filter($"dim" =!= "a")
+        .select($"dim", $"_src_commit").as[(String, Long)].collect().toSet
+    }
+    assert(after == before,
+      "dimensions outside the change window must keep their version stamp")
+  }
+
+  test("min/max: stepped equals one-shot equals direct, with dim churn") {
+    val t = LakeTable(spark, LakeTableConfig(
+      tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))
+    t.bulkInsert(df((1L, "a", 10, 0), (2L, "b", 3, 0)))
+    t.upsert(df((3L, "b", -4, 1), (4L, "c", 8, 1)))   // new min for b, new dim
+    t.delete(df((2L, "b", 3, 0)).select("pk"))        // b keeps only -4
+    t.upsert(df((1L, "a", 2, 2)))                     // a's single row moves
+    val stepped = mmAgg(t, tmp() + "/agg1")
+    (0L to 3L).foreach(i => stepped.refresh(Some(i)))
+    val oneShot = mmAgg(t, tmp() + "/agg2")
+    oneShot.refresh()
+    assert(gotMM(stepped) == gotMM(oneShot) && gotMM(stepped) == directMM(t))
+  }
 }
