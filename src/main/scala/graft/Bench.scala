@@ -43,7 +43,10 @@ object Bench {
       "stream_sink_build" -> timed { ops.Lake.sinkStreamTable(spark, sfDir) },
       "lake_merge_build" -> timed { ops.Lake.mergeTable(spark, sfDir) },
       "incr_agg_build" -> timed { ops.Lake.incrAgg(spark, sfDir) },
+      "incr_agg_mm_build" -> timed { ops.Lake.incrAggMM(spark, sfDir) },
       "schema_evo_build" -> timed { ops.Lake.evoTable(spark, sfDir) },
+      "schema_evo2_build" -> timed { ops.Lake.evoWideTable(spark, sfDir) },
+      "bm25_index_build" -> timed { ops.Retrieval.index(spark, sfDir) },
       "bucketed_tables_build" -> timed { ops.Extended.ensureBucketed(spark, sfDir) },
       "ann_index_build" -> timed { ops.Similarity.ensureAnnIndex(spark, sfDir) },
       "ivf_centroids_build" -> timed { ops.Similarity.ensureIvf(spark, sfDir) },

@@ -732,12 +732,12 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * pinned to the tail so the column order is stable across evolutions.
     */
   private[graft] def tailSchema: StructType = {
-    val merged = log.commits.map(_.schemaJson).distinct
-      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-      .foldLeft(new StructType()) { (acc, st) =>
-        st.fields.foldLeft(acc) { (a, f) =>
-          if (a.fieldNames.contains(f.name)) a else a.add(f) }
-      }
+    // fold by COLUMN ID, later commits winning name/type: a renamed or
+    // widened column surfaces once, under its final form, instead of as
+    // two name-matched fields (the tail source aliases each batch's
+    // files to this schema by id — SchemaEvo.adaptToStream)
+    val merged = SchemaEvo.foldTimeline(
+      log.commits.map(_.schemaJson).distinct.map(parseSchema))
     val extra = Seq(
       org.apache.spark.sql.types.StructField("_seq",
         org.apache.spark.sql.types.LongType),
@@ -1428,20 +1428,24 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   private def readFiles(files: Seq[FileAdd], asOf: Option[Long] = None): DataFrame = {
     val target = tableSchema(asOf)
     val jsonOf = pathSchemaJson(asOf)
-    // group in first-appearance order: deterministic output column order
-    // (the first group's adapted shape leads the union)
+    // group by ADAPTATION KEY, not raw schema JSON: commits whose
+    // schemas differ only in field order (or metadata rendering) share
+    // one scan — parquet matches file columns by name, so one explicit
+    // schema covers every order. First-appearance order keeps the
+    // output column order deterministic (the first group leads the
+    // union).
     val groups = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+      .empty[Set[(String, String, DataType)],
+             (StructType, scala.collection.mutable.ArrayBuffer[String])]
     files.foreach { f =>
-      val j = jsonOf.getOrElse(f.path, target.json)
-      groups.getOrElseUpdate(j,
-        new scala.collection.mutable.ArrayBuffer[String]) += f.path
+      val schema = jsonOf.get(f.path).map(parseSchema).getOrElse(target)
+      groups.getOrElseUpdate(SchemaEvo.adaptKey(schema),
+        (schema, new scala.collection.mutable.ArrayBuffer[String]))._2 += f.path
     }
     val targetKey = SchemaEvo.adaptKey(target)
-    groups.toSeq.map { case (j, paths) =>
-      val fileSchema = parseSchema(j)
+    groups.toSeq.map { case (key, (fileSchema, paths)) =>
       val df = spark.read.schema(fileSchema).parquet(paths.toSeq: _*)
-      if (SchemaEvo.adaptKey(fileSchema) == targetKey) df
+      if (key == targetKey) df
       else SchemaEvo.adapt(df, fileSchema, target)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }

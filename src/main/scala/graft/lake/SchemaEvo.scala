@@ -162,6 +162,58 @@ private[graft] object SchemaEvo {
     df.select(selected ++ extras: _*)
   }
 
+  /** Union a TIMELINE of schemas by column id: later generations win a
+    * column's name/type (renames and widenings surface under their
+    * final form instead of as duplicate name-matched fields), columns
+    * only old commits knew stay present (a change stream keeps emitting
+    * a dropped column's historical values), internals merge by name.
+    * First-appearance order is kept so the result is stable. */
+  def foldTimeline(schemas: Seq[StructType]): StructType = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    schemas.foreach(_.fields.foreach { f =>
+      val key = if (isInternal(f.name)) s"!${f.name}" else cid(f)
+      acc(key) = f // later commit wins name/type; insertion order kept
+    })
+    StructType(acc.values.toSeq)
+  }
+
+  /** Conform one micro-batch file group (written under `from`) to a
+    * STREAM's fixed schema — by column id, like [[adapt]], but strict:
+    * the stream contract (Delta's) is that non-representable evolution
+    * FAILS the stream for a restart rather than silently nulling or
+    * dropping data. Renames alias transparently; pre-widening files
+    * cast up; a column ADDED or widened past the stream schema after
+    * start throws. */
+  def adaptToStream(df: DataFrame, from: StructType, stream: StructType): DataFrame = {
+    val fromUser = from.fields.filterNot(f => isInternal(f.name))
+    val fromByCid = fromUser.map(f => cid(f) -> f).toMap
+    val streamCids = stream.fields.filterNot(f => isInternal(f.name))
+      .map(cid).toSet
+    val unknown = fromUser.filterNot(f => streamCids.contains(cid(f)))
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"table schema evolved after stream start (new column(s) " +
+        s"${unknown.map(_.name).mkString(", ")}): restart the stream to " +
+        "pick up the evolved schema")
+    val fromNames = from.fieldNames.toSet
+    df.select(stream.fields.toSeq.map { sf =>
+      if (isInternal(sf.name))
+        if (fromNames.contains(sf.name)) col(sf.name)
+        else lit(null).cast(sf.dataType).as(sf.name)
+      else fromByCid.get(cid(sf)) match {
+        case Some(ff) if ff.name == sf.name && ff.dataType == sf.dataType =>
+          col(sf.name)
+        case Some(ff) =>
+          if (!canWiden(ff.dataType, sf.dataType))
+            throw new IllegalStateException(
+              s"column '${sf.name}' evolved to ${ff.dataType.simpleString}, " +
+                s"beyond the stream's ${sf.dataType.simpleString}: restart " +
+                "the stream to pick up the evolved schema")
+          col(ff.name).cast(sf.dataType).as(sf.name)
+        case None => lit(null).cast(sf.dataType).as(sf.name)
+      }
+    }: _*)
+  }
+
   /** Validate that every retained live file (grouped by its commit
     * schema) can still be adapted to `next` losslessly: for each shared
     * column id the file's physical type must equal or widen to the new

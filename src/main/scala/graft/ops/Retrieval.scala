@@ -1,0 +1,216 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables => T}
+import graft.lake.{LakeTable, LakeTableConfig}
+
+/** BM25 text retrieval over a PERSISTED inverted index (VERDICT r4 item
+  * #8) — the text counterpart of the lake-backed ANN index
+  * (`Similarity.scala` `emb_ann_partitioned`): postings live in a
+  * [[LakeTable]], so the index is versioned, upsert-able, and
+  * bucket/stats-prunable like any other table.
+  *
+  * Index layout (the 100 TB access path):
+  *   - one posting row per (term, doc_id): `tf` plus the doc length
+  *     `dl` denormalized onto the posting (classic posting-list payload
+  *     — avoids a doc-table join per query),
+  *   - `clusterCols = term` + `statsCols = term`: files range-cluster
+  *     by term, so a k-term query's `read(term IN ...)` prunes to the
+  *     few files whose [min,max] term range covers a query term — the
+  *     inverted-index seek, expressed as column-stats file skipping;
+  *     scan cost follows query terms, not corpus size,
+  *   - corpus statistics (N, total token length) ride the build
+  *     commit's metadata — read back without touching data.
+  *
+  * Scoring: Okapi BM25 (k1=1.2, b=0.75). [[bm25]] returns the classic
+  * double-precision scores. The ORACLE form ([[queries]]) uses the same
+  * index and the same per-term saturation but an exact-integer rational
+  * scoring — idf's log replaced by its rational argument
+  * (2N−2df+1)/(2df+1) and every per-term contribution evaluated as one
+  * integer division at 1e6 scale (decimal/HUGEINT intermediates, BIGINT
+  * out) — so the cross-engine compare has no libm/ulp surface at all,
+  * the same trick that made `emb_ann_quantized`'s ranking hash-stable.
+  */
+object Retrieval {
+
+  /** fixed query workload for the oracle (terms from the synthetic
+    * corpus vocabulary; 2–3 terms each) */
+  private val Workload: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "stream",
+    2 -> "hash", 2 -> "join",
+    3 -> "window", 3 -> "merge", 3 -> "sort")
+
+  private val NDocsKey = "graft.bm25.n_docs"
+  private val TotLenKey = "graft.bm25.total_len"
+
+  private val cache = new ConcurrentHashMap[String, LakeTable]()
+
+  /** Build (once per sfDir) the postings LakeTable from `documents`:
+    * tokenize (letter runs, lowercased), aggregate tf per (doc, term),
+    * attach dl, bulk-insert clustered by term. Two map-side-combined
+    * hash aggregates — the same shape as [[Text.termStats]]. */
+  private[graft] def index(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(d, _ => {
+      val root = s"/tmp/graft_lake/bm25_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      buildIndex(s, root, T.documents(s, d))
+    })
+
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    tf.join(dl, "doc_id")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  private def corpusStats(docs: DataFrame): (Long, Long) = {
+    val row = docs.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(size(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))), lit(0L)).as("l"))
+      .collect().head
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Materialize the postings index from a document corpus; corpus
+    * stats (N, total length) publish atomically in the commit meta. */
+  private[graft] def buildIndex(s: SparkSession, root: String, docs: DataFrame): LakeTable = {
+    val t = LakeTable(s, LakeTableConfig(
+      root, keyCols = Seq("term", "doc_id"), precombineCol = "tf",
+      statsCols = Seq("term"), clusterCols = Seq("term")))
+    val (n, l) = corpusStats(docs)
+    t.bulkInsert(postingsOf(docs), meta = Map(
+      NDocsKey -> n.toString, TotLenKey -> l.toString))
+    t
+  }
+
+  /** Incrementally index a batch of NEW documents: postings upsert into
+    * the same table (term-clustered delta rewrites only the touched
+    * buckets' partitions) and the cumulative corpus stats ride the same
+    * commit's metadata, so queries after the append see the grown
+    * df/N/avgdl. Re-indexing a CHANGED doc needs its old postings
+    * deleted first (terms the new version dropped would linger) —
+    * append-only corpora (the training-data case) never hit that.
+    */
+  private[graft] def indexBatch(s: SparkSession, t: LakeTable, newDocs: DataFrame): Long = {
+    val (pn, pl) = stats(t)
+    val (bn, bl) = corpusStats(newDocs)
+    t.merge(postingsOf(newDocs))
+      .withCommitMeta(Map(
+        NDocsKey -> (pn + bn).toString, TotLenKey -> (pl + bl).toString))
+      .whenMatchedUpdate(Map(
+        "tf" -> col("s.tf"), "dl" -> col("s.dl")))
+      .whenNotMatchedInsertAll()
+      .execute()
+  }
+
+  private def stats(t: LakeTable): (Long, Long) = {
+    val m = t.log.commits.flatMap(c =>
+      for (n <- c.metadata.get(NDocsKey); l <- c.metadata.get(TotLenKey))
+        yield (n.toLong, l.toLong)).lastOption
+    m.getOrElse(throw new IllegalStateException("index has no corpus stats"))
+  }
+
+  /** Probe the index for `queries` (qid, term) rows — ONE pruned scan
+    * for the whole batch — and return exact-integer rational-BM25
+    * scores per (qid, doc). The term IN-list engages the term
+    * column-stats file skipping; df comes from the probed postings
+    * themselves (the index holds the full corpus). */
+  private[graft] def searchRational(
+      s: SparkSession, t: LakeTable, queries: Seq[(Int, String)], k: Int): DataFrame = {
+    import s.implicits._
+    val (n, l) = stats(t)
+    val terms = queries.map(_._2).distinct
+    val q = queries.toDF("qid", "term")
+    val p = t.read(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val dfx = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = p
+      .join(broadcast(dfx), "term")
+      .join(broadcast(q), "term")
+      .withColumn("n_docs", lit(n)).withColumn("total_len", lit(l))
+      // one exact integer division per (query term, doc): see scaladoc
+      .withColumn("contrib", expr(
+        """CAST(CAST(1000000 AS DECIMAL(38,0)) * (2*n_docs - 2*df + 1)
+             * 22 * tf * total_len AS DECIMAL(38,0)) div
+           CAST(CAST(2*df + 1 AS DECIMAL(38,0))
+             * (10*tf*total_len + 3*total_len + 9*dl*n_docs) AS DECIMAL(38,0))"""))
+    scored.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score").cast("long").as("score"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Classic Okapi BM25 (k1=1.2, b=0.75, log idf) through the same
+    * index probe — the library surface for real relevance work; double
+    * precision, so spec-tested rather than hash-orcled. */
+  def bm25(s: SparkSession, t: LakeTable, queries: Seq[(Int, String)], k: Int): DataFrame = {
+    import s.implicits._
+    val (n, l) = stats(t)
+    val avgdl = l.toDouble / n
+    val terms = queries.map(_._2).distinct
+    val q = queries.toDF("qid", "term")
+    val p = t.read(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val dfx = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = p.join(broadcast(dfx), "term").join(broadcast(q), "term")
+      .withColumn("idf", log((lit(n) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+    scored.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("doc_bm25_topk",
+      (s, d) => searchRational(s, index(s, d), Workload, 10),
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM toks GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT count(*) FROM toks) AS total_len),
+        q AS (SELECT * FROM (VALUES
+            (1,'spark'),(1,'stream'),
+            (2,'hash'),(2,'join'),
+            (3,'window'),(3,'merge'),(3,'sort')) AS t(qid, term)),
+        dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+                WHERE term IN (SELECT term FROM q) GROUP BY term),
+        scored AS (
+          SELECT q.qid, tf.doc_id,
+            CAST(CAST(1000000 AS HUGEINT) * (2*st.n_docs - 2*dfx.df + 1)
+                   * 22 * tf.tf * st.total_len
+                 // (CAST(2*dfx.df + 1 AS HUGEINT)
+                   * (10*tf.tf*st.total_len + 3*st.total_len
+                      + 9*dl.dl*st.n_docs)) AS BIGINT) AS contrib
+          FROM q JOIN tf USING (term) JOIN dfx USING (term)
+               JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+        agg AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+                FROM scored GROUP BY qid, doc_id),
+        ranked AS (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY score DESC, doc_id) AS rn FROM agg)
+        SELECT qid, doc_id, score, CAST(rn AS INT) AS rank
+        FROM ranked WHERE rn <= 10 ORDER BY qid, rank"""))
+  )
+}

@@ -57,17 +57,31 @@ final class GraftTailSource(
   /** the micro-batch for commits `(from, to]` as a plain batch frame —
     * getBatch re-roots it as streaming; specs read it directly */
   private[graft] def batchFrame(from: Long, to: Long): DataFrame = {
-    val paths = table.log.commitsInRange(from, to)
-      .flatMap(_.adds)
-      .filter(a => a.isDelta && ChangeDir.matches(a.path))
-      .map(_.path)
-    if (paths.isEmpty)
+    // group the batch's files by the schema their commit recorded and
+    // conform each group to the STREAM schema by column id
+    // (SchemaEvo.adaptToStream): a rename mid-stream aliases
+    // transparently, pre-evolution files null-backfill/upcast, and
+    // evolution the fixed stream schema cannot represent (a column
+    // added or widened past it after start) FAILS the stream for a
+    // restart — the Delta contract — instead of silently nulling data
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    table.log.commitsInRange(from, to).foreach { c =>
+      c.adds.filter(a => a.isDelta && ChangeDir.matches(a.path))
+        .foreach(a => groups.getOrElseUpdate(c.schemaJson,
+          new scala.collection.mutable.ArrayBuffer[String]) += a.path)
+    }
+    if (groups.isEmpty)
       ctx.sparkSession.createDataFrame(
         ctx.sparkSession.sparkContext.emptyRDD[Row], schema)
     else
-      // schema is the widest across the timeline: a pre-evolution file
-      // simply reads nulls for columns it predates, same as the glob
-      ctx.sparkSession.read.schema(schema).parquet(paths: _*)
+      groups.toSeq.map { case (j, paths) =>
+        val fileSchema = org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]
+        graft.lake.SchemaEvo.adaptToStream(
+          ctx.sparkSession.read.schema(fileSchema).parquet(paths.toSeq: _*),
+          fileSchema, schema)
+      }.reduce(_ union _)
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame =

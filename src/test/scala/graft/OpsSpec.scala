@@ -325,11 +325,15 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("multimodal: features/frames/meta plumbing is consistent") {
+    // features now run the REAL PPM decoder: one row per doc, channel
+    // sums bounded by 255 * pixel count of the id-derived dimensions
     val feat = run("multimodal_features").collect()
-    assert(feat.length == 3) // image / audio / video
+    assert(feat.length == run("multimodal_meta").count())
     feat.foreach { r =>
-      val e = r.getDouble(1)
-      assert(e >= 0 && e <= math.log(16) + 1e-9, s"entropy $e out of range")
+      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(w == 4 + id % 5 && h == 3 + id % 4)
+      Seq(r.getLong(3), r.getLong(4), r.getLong(5)).foreach(s =>
+        assert(s >= 0 && s <= 255L * w * h, s"channel sum $s out of range"))
     }
     val meta = run("multimodal_meta")
     val frames = run("multimodal_frames")

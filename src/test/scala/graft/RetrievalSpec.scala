@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Retrieval
+
+/** BM25 over the persisted inverted index: ranking sanity on a planted
+  * corpus (classic log-idf scoring), agreement between the classic and
+  * the exact-rational oracle form where scores are well-separated, and
+  * incremental index growth (df/N/avgdl must reflect appended batches
+  * exactly — equal to a from-scratch rebuild).
+  */
+class RetrievalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp() = Files.createTempDirectory("bm25").toString
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = docs(
+    1L -> "spark spark spark stream",
+    2L -> "spark hash join",
+    3L -> "hash hash hash join join hash join hash join hash",
+    4L -> "sort merge window sort",
+    5L -> "the quick brown fox")
+
+  test("classic BM25 ranks the term-dense short doc first") {
+    val t = Retrieval.buildIndex(spark, tmp() + "/idx", corpus)
+    import spark.implicits._
+    val top = Retrieval.bm25(spark, t, Seq(1 -> "spark"), 3)
+      .select($"doc_id", $"rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    // doc 1 has tf=3 of 'spark' in a short doc; doc 2 tf=1 — 1 before 2;
+    // docs without the term never appear
+    assert(top.map(_._1) == Seq(1L, 2L))
+  }
+
+  test("rational scoring agrees with classic ranking on separated scores") {
+    val t = Retrieval.buildIndex(spark, tmp() + "/idx", corpus)
+    import spark.implicits._
+    val qs = Seq(1 -> "spark", 2 -> "hash", 2 -> "join", 3 -> "sort", 3 -> "merge")
+    val classic = Retrieval.bm25(spark, t, qs, 5)
+      .select($"qid", $"doc_id", $"rank").as[(Int, Long, Int)].collect().toSet
+    val rational = Retrieval.searchRational(spark, t, qs, 5)
+      .select($"qid", $"doc_id", $"rank").as[(Int, Long, Int)].collect().toSet
+    assert(classic == rational)
+  }
+
+  test("rational contribution matches the closed-form integer formula") {
+    val t = Retrieval.buildIndex(spark, tmp() + "/idx", corpus)
+    import spark.implicits._
+    // single-term query 'stream': only doc 1 matches (tf=1, dl=4);
+    // corpus: N=5 docs, L=4+3+10+4+4=25 tokens, df=1
+    val got = Retrieval.searchRational(spark, t, Seq(9 -> "stream"), 1)
+      .select($"doc_id", $"score").as[(Long, Long)].collect().toSeq
+    val (nD, lT, dfT, tf, dl) = (5L, 25L, 1L, 1L, 4L)
+    val num = BigInt(1000000) * (2 * nD - 2 * dfT + 1) * 22 * tf * lT
+    val den = BigInt(2 * dfT + 1) * (10 * tf * lT + 3 * lT + 9 * dl * nD)
+    assert(got == Seq((1L, (num / den).toLong)))
+  }
+
+  test("incremental batch equals a from-scratch rebuild (stats included)") {
+    val batch1 = docs(
+      1L -> "spark stream",
+      2L -> "hash join spark")
+    val batch2 = docs(
+      3L -> "spark spark spark",
+      4L -> "join join hash window")
+    val grown = Retrieval.buildIndex(spark, tmp() + "/idx1", batch1)
+    Retrieval.indexBatch(spark, grown, batch2)
+    val rebuilt = Retrieval.buildIndex(spark, tmp() + "/idx2",
+      batch1.unionByName(batch2))
+    import spark.implicits._
+    val qs = Seq(1 -> "spark", 2 -> "join", 2 -> "hash")
+    def run(t: graft.lake.LakeTable) =
+      Retrieval.searchRational(spark, t, qs, 10)
+        .select($"qid", $"doc_id", $"score", $"rank")
+        .as[(Int, Long, Long, Int)].collect().toSet
+    assert(run(grown) == run(rebuilt),
+      "appended index must score identically to a full rebuild")
+    assert(run(grown).nonEmpty)
+  }
+
+  test("query for an absent term returns no rows (and does not error)") {
+    val t = Retrieval.buildIndex(spark, tmp() + "/idx", corpus)
+    assert(Retrieval.searchRational(spark, t, Seq(1 -> "zzzznotaterm"), 5)
+      .count() == 0)
+  }
+}

@@ -173,6 +173,87 @@ class SchemaEvoSpec extends AnyFunSuite {
       .collect().toSet == Set((1L, 10L), (2L, 20L), (3L, 5000000000L)))
   }
 
+  test("scalacheck law: random evolution sequences equal an in-memory model") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // model: columns carry a stable IDENTITY (the index at mint time);
+    // rows store values BY IDENTITY — exactly the invariant the cid
+    // machinery must uphold through rename/drop/widen/re-add
+    final case class MCol(id: Int, name: String, isLong: Boolean)
+    val opGen = Gen.listOfN(6, Gen.choose(0, 4))
+    val prop = Prop.forAll(opGen, Gen.choose(0L, 1000L)) { (ops, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+        keyCols = Seq("pk"), precombineCol = "ts"))
+      var cols = Vector(MCol(0, "c0", isLong = false))
+      var nextId = 1
+      var rows = Map.empty[Long, (Int, Map[Int, Long])]
+      var step = 0
+      def upsert(): Unit = {
+        step += 1
+        val pks = Seq(1L + rnd.nextInt(3), 4L + rnd.nextInt(2))
+        val data = pks.map { pk =>
+          pk -> cols.map(c => c.id -> (seed + pk * 10 + c.id)).toMap
+        }
+        val sdf = {
+          import spark.implicits._
+          val base = data.map { case (pk, m) =>
+            (pk, step, cols.map(c => m(c.id)))
+          }.toDF("pk", "ts", "vals")
+          cols.zipWithIndex.foldLeft(base) { case (acc, (c, i)) =>
+            acc.withColumn(c.name,
+              if (c.isLong) col("vals").getItem(i)
+              else col("vals").getItem(i).cast("int"))
+          }.drop("vals")
+        }
+        if (t.exists) t.upsert(sdf) else t.bulkInsert(sdf)
+        data.foreach { case (pk, m) => rows += pk -> (step, m) }
+      }
+      upsert() // the table always starts with one batch
+      ops.foreach {
+        case 0 => upsert()
+        case 1 => // add
+          step += 1
+          val name = s"c$nextId"
+          t.addColumn(name, org.apache.spark.sql.types.IntegerType)
+          cols = cols :+ MCol(nextId, name, isLong = false)
+          nextId += 1
+        case 2 if cols.nonEmpty => // rename
+          step += 1
+          val i = rnd.nextInt(cols.size)
+          val nn = s"r${nextId}_${cols(i).id}"
+          nextId += 1
+          t.renameColumn(cols(i).name, nn)
+          cols = cols.updated(i, cols(i).copy(name = nn))
+        case 3 if cols.size > 1 => // drop (keep at least one user column)
+          step += 1
+          val i = rnd.nextInt(cols.size)
+          t.dropColumn(cols(i).name)
+          cols = cols.patch(i, Nil, 1)
+        case 4 if cols.exists(!_.isLong) => // widen
+          step += 1
+          val narrow = cols.zipWithIndex.filter(!_._1.isLong)
+          val (c, i) = narrow(rnd.nextInt(narrow.size))
+          t.widenColumn(c.name, org.apache.spark.sql.types.LongType)
+          cols = cols.updated(i, c.copy(isLong = true))
+        case _ => ()
+      }
+      val expected = rows.map { case (pk, (ts, m)) =>
+        (pk, ts, cols.map(c => m.get(c.id))) }.toSet
+      val got = t.read()
+        .select(col("pk") +: col("ts") +:
+          cols.map(c => col(c.name).cast("long")): _*)
+        .collect().map { r =>
+          (r.getLong(0), r.getInt(1),
+            cols.indices.map(i =>
+              if (r.isNullAt(2 + i)) None else Some(r.getLong(2 + i))).toVector)
+        }.toSet
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(res.passed, s"evolution model: $res")
+  }
+
   test("ALTER TABLE SQL: rename/drop/add/widen through the catalog") {
     val wh = Files.createTempDirectory("evocat").toString
     spark.conf.set("spark.sql.catalog.evocat", "graft.sql.GraftCatalog")

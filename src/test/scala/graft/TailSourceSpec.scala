@@ -129,4 +129,66 @@ class TailSourceSpec extends AnyFunSuite {
       .select("pk").collect().map(_.getLong(0)).toSet
     assert(rows == Set(200L))
   }
+
+  // ---- schema evolution through a running stream ----------------------
+
+  test("a rename mid-stream aliases transparently (by column id)") {
+    val t = build(freshRoot(), 1)
+    val src = source(t) // stream starts: schema has 'payload'
+    t.renameColumn("payload", "body")
+    t.upsert(df((300L, 1, "post-rename", 5)).withColumnRenamed("payload", "body"))
+    // the pre-rename delta (u1) and the post-rename delta must BOTH
+    // surface the value — under the stream's fixed column, not null
+    val rows = src.batchFrame(-1L, t.log.latestId.get)
+      .select("pk", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(101L) == "u1" && rows(300L) == "post-rename")
+  }
+
+  test("a stream started AFTER a rename sees the final name for old deltas") {
+    val t = build(freshRoot(), 1)
+    t.renameColumn("payload", "body")
+    val src = source(t) // tailSchema folds by id: one column, named 'body'
+    assert(src.schema.fieldNames.contains("body") &&
+      !src.schema.fieldNames.contains("payload"))
+    val rows = src.batchFrame(-1L, t.log.latestId.get)
+      .select("pk", "body").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(101L) == "u1", "pre-rename delta must alias to the new name")
+  }
+
+  test("a column added after stream start fails the batch loudly") {
+    val t = build(freshRoot(), 1)
+    val src = source(t)
+    t.upsert(df((400L, 1, "x", 6)).withColumn("extra",
+      org.apache.spark.sql.functions.lit(1)))
+    val e = intercept[IllegalStateException] {
+      src.batchFrame(t.log.latestId.get - 1, t.log.latestId.get).collect()
+    }
+    assert(e.getMessage.contains("restart the stream"))
+  }
+
+  test("pre-widening deltas upcast; widening past the stream schema fails") {
+    val t = morTable(freshRoot())
+    import spark.implicits._
+    t.bulkInsert(Seq((1L, 1, 10, 0)).toDF("pk", "vendorid", "qty", "ts"))
+    t.upsert(Seq((2L, 1, 20, 1)).toDF("pk", "vendorid", "qty", "ts"))
+    t.widenColumn("qty", org.apache.spark.sql.types.LongType)
+    val src = source(t) // stream schema: qty LONG (folded, later wins)
+    // the pre-widening int delta upcasts into the long stream column
+    val rows = src.batchFrame(-1L, t.log.latestId.get)
+      .select("pk", "qty").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(2L) == 20L)
+    // now start a NARROW stream (as if checkpointed before the widening)
+    // — post-widening deltas must fail it, not truncate
+    val narrow = new GraftTailSource(spark.sqlContext, t,
+      org.apache.spark.sql.types.StructType(src.schema.fields.map(f =>
+        if (f.name == "qty") f.copy(dataType = org.apache.spark.sql.types.IntegerType)
+        else f)))
+    t.upsert(Seq((3L, 1, 5000000000L, 2)).toDF("pk", "vendorid", "qty", "ts"))
+    val e = intercept[IllegalStateException] {
+      narrow.batchFrame(t.log.latestId.get - 1, t.log.latestId.get).collect()
+    }
+    assert(e.getMessage.contains("restart the stream"))
+  }
 }
