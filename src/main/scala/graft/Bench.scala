@@ -58,7 +58,11 @@ object Bench {
     // per-query numbers compare round-over-round without first-touch
     // page-cache/JIT noise (the r1 doc_exact_dedup 11s outlier was exactly
     // that: first scan of documents.parquet charged to one query)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev-only filter (comma-separated names); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       timed { fn(spark, sfDir).count() } // cold: warm caches, discard
       results(name) = timed { fn(spark, sfDir).count() }
     }

@@ -179,6 +179,49 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Secondary ranker for hybrid search: docs ranked per query by
+    * (distinct matched terms, total tf, doc_id) — all integers, fully
+    * deterministic; same single pruned index probe as BM25. */
+  private[graft] def termMatchRank(
+      s: SparkSession, t: LakeTable, queries: Seq[(Int, String)], k: Int): DataFrame = {
+    import s.implicits._
+    val terms = queries.map(_._2).distinct
+    val q = queries.toDF("qid", "term")
+    t.read(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
+      .join(broadcast(q), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_terms"), sum(col("tf")).as("tot_tf"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("n_terms").desc, col("tot_tf").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (the standard hybrid-search combiner):
+    * score(d) = Σ_lists ⌊scale/(k₀+rank_list(d))⌋ — rank-based, so
+    * heterogeneous rankers (BM25, term-match, ANN) fuse without score
+    * calibration, and the integer division keeps the fused score
+    * exact cross-engine. Docs absent from a list simply contribute
+    * nothing (standard RRF). */
+  private[graft] def rrfFuse(lists: Seq[DataFrame], k: Int,
+      k0: Int = 60, scale: Long = 1000000L): DataFrame = {
+    val all = lists.map(_.select(col("qid"), col("doc_id"), col("rank")))
+      .reduce(_.unionByName(_))
+    all
+      .withColumn("contrib", expr(s"CAST($scale div ($k0 + rank) AS BIGINT)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("doc_bm25_topk",
       (s, d) => searchRational(s, index(s, d), Workload, 10),
@@ -211,6 +254,65 @@ object Retrieval {
         ranked AS (SELECT *, row_number() OVER (
             PARTITION BY qid ORDER BY score DESC, doc_id) AS rn FROM agg)
         SELECT qid, doc_id, score, CAST(rn AS INT) AS rank
-        FROM ranked WHERE rn <= 10 ORDER BY qid, rank"""))
+        FROM ranked WHERE rn <= 10 ORDER BY qid, rank""")),
+
+    // ---- hybrid retrieval: RRF fusion of BM25 + term-match ranks ------
+    // two rankers over ONE pruned index probe each, fused rank-wise with
+    // exact integer arithmetic — the standard hybrid-search shape
+    // (BM25 ⊕ dense ANN in production; the second ranker here is the
+    // deterministic term-match list so the oracle can replay both)
+    GQuery("doc_hybrid_rrf",
+      (s, d) => {
+        val t = index(s, d)
+        rrfFuse(Seq(
+          searchRational(s, t, Workload, 20).select(
+            col("qid"), col("doc_id"), col("rank")),
+          termMatchRank(s, t, Workload, 20)), 10)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM toks GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT count(*) FROM toks) AS total_len),
+        q AS (SELECT * FROM (VALUES
+            (1,'spark'),(1,'stream'),
+            (2,'hash'),(2,'join'),
+            (3,'window'),(3,'merge'),(3,'sort')) AS t(qid, term)),
+        dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+                WHERE term IN (SELECT term FROM q) GROUP BY term),
+        scored AS (
+          SELECT q.qid, tf.doc_id,
+            CAST(CAST(1000000 AS HUGEINT) * (2*st.n_docs - 2*dfx.df + 1)
+                   * 22 * tf.tf * st.total_len
+                 // (CAST(2*dfx.df + 1 AS HUGEINT)
+                   * (10*tf.tf*st.total_len + 3*st.total_len
+                      + 9*dl.dl*st.n_docs)) AS BIGINT) AS contrib
+          FROM q JOIN tf USING (term) JOIN dfx USING (term)
+               JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+        bm AS (SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY sum(contrib) DESC, doc_id) AS rank
+               FROM scored GROUP BY qid, doc_id
+               QUALIFY rank <= 20),
+        tm AS (SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY count(DISTINCT term) DESC, sum(tf) DESC, doc_id) AS rank
+               FROM (SELECT q.qid, tf.doc_id, tf.term, tf.tf
+                     FROM q JOIN tf USING (term)) j
+               GROUP BY qid, doc_id
+               QUALIFY rank <= 20),
+        fused AS (
+          SELECT qid, doc_id,
+            CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS score
+          FROM (SELECT * FROM bm UNION ALL SELECT * FROM tm) u
+          GROUP BY qid, doc_id),
+        rr AS (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY score DESC, doc_id) AS rn FROM fused)
+        SELECT qid, doc_id, score, CAST(rn AS INT) AS rank
+        FROM rr WHERE rn <= 10 ORDER BY qid, rank"""))
   )
 }

@@ -91,6 +91,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(grown).nonEmpty)
   }
 
+  test("RRF fusion: doc in both lists beats equal-rank doc in one list") {
+    import spark.implicits._
+    // qid 1: doc 10 ranks 1st in both lists; doc 20 ranks 2nd in one
+    val a = Seq((1, 10L, 1), (1, 20L, 2)).toDF("qid", "doc_id", "rank")
+    val b = Seq((1, 10L, 1), (1, 30L, 2)).toDF("qid", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), 10)
+      .select($"doc_id", $"score", $"rank").as[(Long, Long, Int)]
+      .collect().toSeq.sortBy(_._3)
+    // 1000000/61 = 16393 (twice for doc 10); 1000000/62 = 16129 once
+    assert(fused == Seq((10L, 2 * 16393L, 1), (20L, 16129L, 2), (30L, 16129L, 3)))
+  }
+
   test("query for an absent term returns no rows (and does not error)") {
     val t = Retrieval.buildIndex(spark, tmp() + "/idx", corpus)
     assert(Retrieval.searchRational(spark, t, Seq(1 -> "zzzznotaterm"), 5)

@@ -173,6 +173,27 @@ class SchemaEvoSpec extends AnyFunSuite {
       .collect().toSet == Set((1L, 10L), (2L, 20L), (3L, 5000000000L)))
   }
 
+  test("unevolved table reads stay ONE parquet scan (no union, no merge job)") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, 10, 0), (2L, 2, 20, 0)))
+    t.upsert(df((3L, 1, 30, 1)))
+    t.upsert(df((4L, 2, 40, 2)))
+    val plan = t.read().queryExecution.optimizedPlan
+    val unions = plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+    assert(unions.isEmpty,
+      s"same-schema commits must share one scan:\n$plan")
+    // and an evolved table reads as exactly one union of the generations
+    t.renameColumn("qty", "quantity")
+    import spark.implicits._
+    t.upsert(Seq((5L, 1, 50, 3)).toDF("pk", "part", "quantity", "ts"))
+    val evolved = t.read().queryExecution.optimizedPlan
+    val scans = evolved.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+    assert(scans.size == 2,
+      s"expected exactly 2 schema-generation scans, got ${scans.size}:\n$evolved")
+  }
+
   test("scalacheck law: random evolution sequences equal an in-memory model") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // model: columns carry a stable IDENTITY (the index at mint time);
