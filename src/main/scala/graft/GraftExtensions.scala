@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.IntegerType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injected.foreach(ext.injectFunction)
+    GraftExtensions.injectedTableFns.foreach(ext.injectTableFunction)
     // SQL UPDATE / MERGE INTO on graft catalog tables (analyzer rules
     // cannot be added to an already-built session, so SQL DML needs the
     // session constructed with spark.sql.extensions=graft.GraftExtensions;
@@ -137,9 +138,59 @@ object GraftExtensions {
           intArg(args(1), "k"), intArg(args(2), "w"))
       }))
 
+  // ---- table-valued functions over lake tables ------------------------
+  // (Delta's table_changes() / DESCRIBE HISTORY as TVFs):
+  //   SELECT * FROM graft_changes('/wh/db/t', 0, 5)  -- CDC rows
+  //   SELECT * FROM graft_history('/wh/db/t')        -- commit timeline
+  // The root is a table path (the catalog's <warehouse>/<ns>/<table>);
+  // graft_changes resolves key/precombine config from the table's
+  // persisted descriptor. Arguments must be literals (they configure
+  // the scan, like parquet's path argument).
+
+  private def lakeAt(root: String): graft.lake.LakeTable = {
+    val spark = SparkSession.active
+    val desc = graft.lake.TableDescriptor
+      .load(root, spark.sparkContext.hadoopConfiguration)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no graft table descriptor at $root (create the table through " +
+          "the graft catalog, or TableDescriptor.save one)"))
+    graft.lake.LakeTable(spark, desc.config(root))
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case other if other.foldable => other.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case _ => throw new IllegalArgumentException(s"$what must be a literal int")
+    }
+    case _ => throw new IllegalArgumentException(s"$what must be a literal int")
+  }
+
+  val injectedTableFns: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_changes"),
+      new ExpressionInfo("graft.lake.LakeTable", "graft_changes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_changes(root, from_commit, to_commit) takes three arguments")
+        lakeAt(strArg(args(0), "root"))
+          .changesBetween(longArg(args(1), "from_commit"),
+            longArg(args(2), "to_commit"))
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_history"),
+      new ExpressionInfo("graft.lake.LakeTable", "graft_history"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_history(root) takes one argument")
+        lakeAt(strArg(args(0), "root")).history().queryExecution.analyzed
+      }))
+
   /** imperative registration into an already-built session */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     injected.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    injectedTableFns.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+    }
+  }
 }

@@ -1945,9 +1945,31 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       }
     }
     // re-read this write's own files (parquet is self-describing; shadow
-    // partition levels exist only as directories) and move the stamp
-    val reread = spark.read.option("recursiveFileLookup", "true")
+    // partition levels exist only as directories), ADAPT them by column
+    // id from the failed commit's schema to the new head's (an
+    // intervening schema commit may have renamed/widened a column — the
+    // failed commit's stamped schema carries the ids that bind this
+    // write's old physical names to the head's new ones; re-entering
+    // writeCommit with the raw old names would re-append them as brand
+    // new columns), and move the stamp
+    val reread0 = spark.read.option("recursiveFileLookup", "true")
       .parquet(dir.toString)
+    val reread = {
+      val failedSchema = parseSchema(schemaJson)
+      val headSchema = log.schemaJsonAsOf(Some(newHead))
+        .map(parseSchema).getOrElse(failedSchema)
+      if (SchemaEvo.adaptKey(failedSchema) == SchemaEvo.adaptKey(headSchema))
+        reread0
+      else {
+        // restrict the from-schema to columns the files physically hold
+        // (the evolved commit schema may carry kept columns a narrow
+        // delta batch never wrote)
+        val present = reread0.columns.toSet
+        SchemaEvo.adapt(reread0,
+          StructType(failedSchema.fields.filter(f => present.contains(f.name))),
+          headSchema)
+      }
+    }
     val restamped =
       if (!stampsId) reread
       else reread.withColumn("_commit_id",

@@ -39,7 +39,8 @@ import graft.lake.TableDescriptor
   * warehouse sees the same tables; the metadata transaction story is the
   * commit log's, not the catalog's).
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -225,6 +226,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(tablePath(oldIdent), tablePath(newIdent)))
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
   }
+
+  // ---- stored procedures (CALL graft.system.<proc>(...)) --------------
+
+  /** resolve a procedure's `table` argument ("ns.tbl" / "ns1.ns2.tbl")
+    * to the LakeTable at its warehouse path */
+  private def lakeFor(name: String): graft.lake.LakeTable = {
+    val parts = name.split('.')
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"bad table name '$name' (expected [ns.]table)")
+    val ident = Identifier.of(parts.init, parts.last)
+    val root = tablePath(ident).toString
+    val desc = TableDescriptor.load(root, hconf)
+      .getOrElse(throw new NoSuchTableException(ident))
+    graft.lake.LakeTable(spark, desc.config(root))
+  }
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(GraftProcedures.Namespace),
+      s"procedures live under the 'system' namespace, got $ident")
+    GraftProcedures.load(ident.name, lakeFor).getOrElse(
+      throw new IllegalArgumentException(s"no procedure ${ident.name}; " +
+        s"available: ${GraftProcedures.names.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(GraftProcedures.Namespace)) Array.empty
+    else GraftProcedures.names
+      .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
 
   // ---- namespaces ------------------------------------------------------
 

@@ -1,0 +1,92 @@
+package graft.sql
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.LakeTable
+
+/** DSv2 stored procedures (`CALL graft.system.<proc>(...)`) — the SQL
+  * face of the lake's maintenance operations (Iceberg's `CALL
+  * catalog.system.*` shape, Spark 4's ProcedureCatalog API):
+  *
+  * {{{
+  *   CALL graft.system.compact(table => 'db.t')
+  *   CALL graft.system.compact_small('db.t', 67108864)
+  *   CALL graft.system.clean('db.t', 10)
+  *   CALL graft.system.vacuum('db.t', 3600000)
+  *   CALL graft.system.savepoint('db.t', 3)
+  *   CALL graft.system.release_savepoint('db.t', 3)
+  *   CALL graft.system.restore('db.t', 0)
+  *   CALL graft.system.rollback('db.t')
+  * }}}
+  *
+  * Each returns one row `(result BIGINT)` — the resulting/affected
+  * commit id, or a count for vacuum, or -1 when there was nothing to
+  * do. Procedures act through the SAME LakeTable code paths as the
+  * Scala API, so commit-log invariants (ownership guards, savepoint
+  * pins, retired ids) hold identically.
+  */
+private[sql] object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  /** procedure name → (extra params after `table`, action) */
+  private val procs: Map[String, (Seq[(String, DataType)], (LakeTable, InternalRow) => Long)] = Map(
+    "compact" -> (Seq.empty, (t, _) => t.compact()),
+    "compact_small" -> (Seq("max_bytes" -> LongType),
+      (t, in) => t.compactSmall(in.getLong(1))),
+    "clean" -> (Seq("retain" -> IntegerType),
+      (t, in) => { t.clean(in.getInt(1)); t.log.latestId.getOrElse(-1L) }),
+    "vacuum" -> (Seq("older_than_ms" -> LongType),
+      (t, in) => t.vacuumOrphans(in.getLong(1)).size.toLong),
+    "savepoint" -> (Seq("commit" -> LongType),
+      (t, in) => { t.savepoint(in.getLong(1)); in.getLong(1) }),
+    "release_savepoint" -> (Seq("commit" -> LongType),
+      (t, in) => { t.releaseSavepoint(in.getLong(1)); in.getLong(1) }),
+    "restore" -> (Seq("commit" -> LongType),
+      (t, in) => { t.restoreTo(in.getLong(1)); t.log.latestId.getOrElse(-1L) }),
+    "rollback" -> (Seq.empty, (t, _) => t.rollback().getOrElse(-1L)))
+
+  def names: Seq[String] = procs.keys.toSeq.sorted
+
+  def load(name: String, resolveTable: String => LakeTable): Option[UnboundProcedure] = {
+    // bind under a new name: inside the anonymous classes `name` would
+    // resolve to the member being defined (infinite self-recursion)
+    val procName = name
+    procs.get(name).map { case (extras, action) =>
+      new UnboundProcedure {
+        override def name(): String = procName
+        override def description(): String =
+          s"graft lake maintenance: $procName"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = procName
+            override def description(): String =
+              s"graft lake maintenance: $procName"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] =
+              (ProcedureParameter.in("table", StringType).build() +:
+                extras.map { case (n, dt) =>
+                  ProcedureParameter.in(n, dt).build() }).toArray
+            override def call(input: InternalRow): JIterator[Scan] = {
+              val t = resolveTable(input.getUTF8String(0).toString)
+              val result = action(t, input)
+              java.util.List.of[Scan](new LocalScan {
+                override def rows(): Array[InternalRow] =
+                  Array(InternalRow(result))
+                override def readSchema(): StructType =
+                  new StructType().add("result", LongType)
+                override def description(): String = s"graft.$procName result"
+              }).iterator()
+            }
+          }
+      }
+    }
+  }
+}

@@ -179,4 +179,24 @@ class ConcurrencySpec extends AnyFunSuite {
     assert((onDisk -- live).isEmpty,
       s"leaked orphan dirs: ${(onDisk -- live).mkString(",")}")
   }
+
+  test("a rename landing mid-write: the disjoint upsert rebases and keeps it") {
+    val root = freshRoot()
+    val w1 = LakeTable(spark, cfg(root))
+    w1.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    val w2 = LakeTable(spark, cfg(root))
+    // the schema commit touches no partitions, so ANY partition-scoped
+    // writer is disjoint with it — the rebase must also RE-EVOLVE the
+    // commit's recorded schema against the renamed head, or the upsert
+    // would revert the rename for every later reader
+    interleave(w2) { w1.renameColumn("payload", "body") }
+    w2.upsert(df((2L, 2, "b2", 1)))
+    val t = LakeTable(spark, cfg(root))
+    val cols = t.read().columns.toSeq
+    assert(cols.contains("body") && !cols.contains("payload"),
+      s"rebased write must keep the intervening rename, got $cols")
+    import spark.implicits._
+    assert(t.read().select($"pk", $"body").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2")))
+  }
 }

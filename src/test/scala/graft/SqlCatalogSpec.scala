@@ -133,4 +133,53 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW TABLES IN g.db").collect()
       .exists(_.getString(1) == "meta"))
   }
+
+  test("CALL procedures: rollback / savepoint / clean / restore via SQL") {
+    wh
+    spark.sql("""CREATE TABLE g.db.proc (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.proc VALUES (1,0,'a'), (2,0,'b')") // c0
+    spark.sql("INSERT INTO g.db.proc VALUES (3,1,'c')")            // c1
+    // rollback retracts c1
+    assert(rows("CALL g.system.rollback('db.proc')") == Seq(Seq(1L)))
+    assert(rows("SELECT pk FROM g.db.proc ORDER BY pk") == Seq(Seq(1L), Seq(2L)))
+    // savepoint c0, write more, restore back to c0
+    spark.sql("INSERT INTO g.db.proc VALUES (9,2,'z')")
+    assert(rows("CALL g.system.savepoint('db.proc', 0)") == Seq(Seq(0L)))
+    assert(rows("CALL g.system.release_savepoint('db.proc', 0)") == Seq(Seq(0L)))
+    spark.sql("CALL g.system.restore('db.proc', 0)")
+    assert(rows("SELECT pk FROM g.db.proc ORDER BY pk") == Seq(Seq(1L), Seq(2L)))
+    // clean + vacuum run and report (nothing old enough to delete here)
+    spark.sql("CALL g.system.clean('db.proc', 10)")
+    assert(rows("CALL g.system.vacuum('db.proc', 3600000)") == Seq(Seq(0L)))
+  }
+
+  test("CALL compact on a MoR table merges deltas into base files") {
+    wh
+    spark.sql("""CREATE TABLE g.db.morp (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+                   storageType='mor')""")
+    spark.sql("INSERT INTO g.db.morp VALUES (1,0,'a')")
+    spark.sql("INSERT INTO g.db.morp VALUES (1,1,'a2'), (2,0,'b')") // delta
+    val cid = rows("CALL g.system.compact('db.morp')").head.head
+      .asInstanceOf[Long]
+    assert(cid >= 2L)
+    assert(rows("SELECT pk, v FROM g.db.morp ORDER BY pk") ==
+      Seq(Seq(1L, "a2"), Seq(2L, "b")))
+  }
+
+  test("table functions: graft_history and graft_changes via SQL") {
+    val w = wh
+    spark.sql("""CREATE TABLE g.db.tvf (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.tvf VALUES (1,0,'a'), (2,0,'b')")
+    spark.sql("INSERT INTO g.db.tvf VALUES (1,1,'a2')")
+    spark.sql("DELETE FROM g.db.tvf WHERE pk = 2")
+    val root = s"$w/db/tvf"
+    assert(rows(s"SELECT commit_id, op FROM graft_history('$root') ORDER BY commit_id")
+      == Seq(Seq(0L, "upsert"), Seq(1L, "upsert"), Seq(2L, "delete")))
+    val ch = rows(s"""SELECT _change_type, pk FROM graft_changes('$root', 0, 2)
+                      ORDER BY _change_type, pk""")
+    assert(ch == Seq(Seq("delete", 2L), Seq("update", 1L)))
+  }
 }
