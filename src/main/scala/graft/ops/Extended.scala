@@ -57,7 +57,58 @@ object Extended {
       stage
     })
 
+  /** One-pass exact data profiling (the Deequ/dbt-test "profile a 100 TB
+    * table" primitive): per column — row count, null count, EXACT
+    * distinct count, min/max — computed in a SINGLE aggregation over one
+    * scan. Multi-column `count(DISTINCT ...)` plans as Spark's Expand
+    * (rows × profiled columns before the partial aggregate — the
+    * standard multi-distinct shape, map-side combined; profile the
+    * columns you need, not `*`). The 1-row wide aggregate then unpivots
+    * driver-free via `stack`. Min/max surface as strings so the output
+    * schema is column-type-agnostic.
+    */
+  def profile(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val wide = df.agg(
+      count(lit(1)).as("_n"),
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_mn_$c"),
+        max(col(c)).cast("string").as(s"_mx_$c"))): _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', _n, _n - `_nn_$c`, `_nd_$c`, `_mn_$c`, `_mx_$c`").mkString(", ")
+    wide.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+      .orderBy("column_name")
+  }
+
   val queries: Seq[GQuery] = Seq(
+
+    // ---- one-pass exact table profile (orders, 4 mixed-type columns) --
+    GQuery("tbl_profile",
+      (s, d) => profile(T.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      Some("""SELECT * FROM (
+          SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+            count(*) - count(o_custkey) AS n_nulls,
+            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+            CAST(min(o_custkey) AS VARCHAR) AS min_value,
+            CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders
+          UNION ALL
+          SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+            CAST(count(DISTINCT o_orderkey) AS BIGINT),
+            CAST(min(o_orderkey) AS VARCHAR),
+            CAST(max(o_orderkey) AS VARCHAR) FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+            CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+            min(o_orderpriority), max(o_orderpriority) FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+            CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+            min(o_orderstatus), max(o_orderstatus) FROM orders)
+        ORDER BY column_name""")),
 
     // ---- S1: CSV scan, explicit schema + header; W1: staging write ----
     GQuery("csv_roundtrip",

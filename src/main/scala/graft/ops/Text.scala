@@ -163,7 +163,52 @@ object Text {
                   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
                   WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.5)"""
 
+  /** Fuzzy string matching at scale via DELETION NEIGHBORHOODS (the
+    * FastSS / SymSpell family): two strings within edit distance 1
+    * always share a member of {s} ∪ {s minus one char}, so candidate
+    * generation is an EQUI-join on the exploded variants (blow-up
+    * factor = string length + 1, vocabulary-scale shuffle — never the
+    * O(N²) cross join a naive fuzzy join plans), and the codegen'd
+    * `levenshtein` verifies candidates exactly. The oracle IS the
+    * brute-force quadratic form, so the banding algorithm's recall is
+    * proven complete, not sampled.
+    */
+  private[graft] def fuzzyNeighbors(
+      df: org.apache.spark.sql.DataFrame, idCol: String, strCol: String): org.apache.spark.sql.DataFrame = {
+    val variants = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("variant", explode(expr(
+        """array_distinct(concat(array(s),
+             transform(sequence(1, length(s)),
+               i -> concat(substring(s, 1, i - 1),
+                           substring(s, i + 1, length(s))))))""")))
+    val a = variants.as("a")
+    val b = variants.as("b")
+    a.join(b, col("a.variant") === col("b.variant") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.s").as("s_a"),
+        col("b.id").as("id_b"), col("b.s").as("s_b"))
+      .distinct() // two strings can share several deletion variants
+      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
+  }
+
   val queries: Seq[GQuery] = Seq(
+
+    // ---- edit-distance-1 fuzzy self-join over customer names ----------
+    // (TPC-H names differ in single digits, so true pairs abound); the
+    // oracle brute-forces all N² levenshtein distances — the banded
+    // algorithm must reproduce it exactly
+    GQuery("fuzzy_name_pairs",
+      (s, d) => fuzzyNeighbors(T.customer(s, d), "c_custkey", "c_name")
+        .groupBy(col("id_a").as("c_custkey"), col("s_a").as("c_name"))
+        .agg(count(lit(1)).as("n_neighbors"))
+        .orderBy("c_custkey"),
+      Some("""SELECT a.c_custkey, a.c_name,
+          CAST(count(*) AS BIGINT) AS n_neighbors
+        FROM customer a JOIN customer b
+          ON a.c_custkey <> b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 1
+        GROUP BY a.c_custkey, a.c_name
+        ORDER BY a.c_custkey""")),
 
     // ---- exact dedup ---------------------------------------------------
     GQuery("doc_exact_dedup",

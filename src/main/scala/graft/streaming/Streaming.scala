@@ -99,4 +99,21 @@ object Streaming {
   }
 
   final case class UserEvent(user_id: Long, value: Double)
+
+  /** Streaming exact dedup (the continuous form of `doc_exact_dedup`,
+    * and the ingestion-side guard a training-data pipeline runs before
+    * anything else): `dropDuplicatesWithinWatermark` keeps one row per
+    * key among duplicates arriving within the watermark delay, and —
+    * unlike plain streaming `dropDuplicates`, whose key state grows
+    * FOREVER — evicts a key's state once the watermark passes it, so
+    * state is bounded by the delay window regardless of stream length.
+    * The contract at 100 TB/day: duplicates separated farther than the
+    * delay are not caught here (route them to the batch MinHash/exact
+    * passes); state stays O(keys per window).
+    */
+  def dedupStream(rows: DataFrame, keyCol: String,
+      delay: String = "1 hour"): DataFrame =
+    rows
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keyCol)
 }

@@ -234,4 +234,42 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("hour_ms", "event_type").collect().toSet
     assert(got == expected)
   }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches, bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // offset away from epoch 0: the INITIAL watermark is 0, and an event
+    // at exactly t=0 is already "late" (ts <= watermark drops) — a row
+    // at the epoch would silently vanish from the first batch
+    def t(min: Long) = new Timestamp((min + 1000) * 60000L)
+    val mem = MemoryStream[(String, Timestamp)]
+    val dedup = Streaming.dedupStream(
+      mem.toDF().select($"_1".as("doc_hash"), $"_2".as("ts")),
+      "doc_hash", delay = "10 minutes")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_sink").start()
+    try {
+      // batch 1: duplicate INSIDE one batch collapses; two distinct keys
+      mem.addData(("a", t(0)), ("a", t(1)), ("b", t(0)))
+      q.processAllAvailable()
+      // batch 2: 'a' again within the delay -> suppressed; 'c' is new
+      mem.addData(("a", t(5)), ("c", t(6)))
+      q.processAllAvailable()
+      // batch 3: advance event time far past the watermark so 'a' state
+      // expires, then 'a' REAPPEARS beyond the delay -> emitted again
+      // (the documented contract: only within-window duplicates dedup)
+      mem.addData(("z", t(100)))
+      q.processAllAvailable()
+      mem.addData(("a", t(101)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("dedup_sink")
+      .select($"doc_hash").as[String].collect().toSeq
+    assert(emitted.count(_ == "a") == 2,
+      s"'a' must emit once per watermark window, got $emitted")
+    assert(emitted.count(_ == "b") == 1 && emitted.count(_ == "c") == 1,
+      s"unexpected emissions: $emitted")
+  }
 }
