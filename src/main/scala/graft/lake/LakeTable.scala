@@ -1388,10 +1388,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     (if (config.globalIndex) Seq.empty else config.partitionCols) ++ config.keyCols
 
   // schema JSONs repeat across commits and reads — memoize the parse
-  // (commit JSONs are immutable, so the cache is sound forever)
+  // (commit JSONs are immutable, so the cache is sound forever).
+  // private[graft]: the streaming tail source resolves per-micro-batch
+  // commit schemas through the same cache instead of re-parsing JSON
+  // every trigger.
   private val schemaParseCache =
     scala.collection.concurrent.TrieMap.empty[String, StructType]
-  private def parseSchema(j: String): StructType =
+  private[graft] def parseSchema(j: String): StructType =
     schemaParseCache.getOrElseUpdate(j, DataType.fromJson(j).asInstanceOf[StructType])
 
   /** the TABLE schema as of a commit (the latest commit's recorded
@@ -1401,13 +1404,25 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     log.schemaJsonAsOf(asOf).map(parseSchema).getOrElse(new StructType())
 
   /** schemaJson of the commit that added each live file — the FILE
-    * schema a reader must adapt from. Metadata-scale (commit JSONs are
-    * memoized); last add wins, matching [[CommitLog.liveFiles]]. */
+    * schema a reader must adapt from. Last add wins, matching
+    * [[CommitLog.liveFiles]]. Memoized per (scope, timeline head): the
+    * log is append-only and commit JSONs are immutable, so a map built
+    * at head H is valid until a new commit lands — without the memo,
+    * every read/prune/write on a long-lived table would re-fold the
+    * whole add history (O(files ever added) driver work per call, the
+    * growth-with-AGE failure mode the commit log exists to avoid). */
+  private val pathSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[(Option[Long], Long), Map[String, String]]
   private def pathSchemaJson(upTo: Option[Long]): Map[String, String] = {
-    val m = scala.collection.mutable.HashMap.empty[String, String]
-    log.commits.withFilter(c => upTo.forall(c.id <= _))
-      .foreach(c => c.adds.foreach(a => m(a.path) = c.schemaJson))
-    m.toMap
+    val head = log.latestId.getOrElse(-1L)
+    pathSchemaCache.getOrElseUpdate((upTo, head), {
+      // keep the memo bounded: a new head invalidates earlier entries
+      if (pathSchemaCache.size > 64) pathSchemaCache.clear()
+      val m = scala.collection.mutable.HashMap.empty[String, String]
+      log.commits.withFilter(c => upTo.forall(c.id <= _))
+        .foreach(c => c.adds.foreach(a => m(a.path) = c.schemaJson))
+      m.toMap
+    })
   }
 
   /** Schema-evolution-aware scan: live files group by the schema their
@@ -1927,12 +1942,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // pure metadata append — nothing to re-read or restamp
     if (adds.isEmpty) {
       try {
-        // re-evolve against the new head: an intervening (disjoint)
-        // writer may have evolved the schema; recording this commit's
-        // old-head schema verbatim would narrow the table for readers
-        val rebasedSchema = SchemaEvo.evolve(
-          log.schemaJsonAsOf(Some(newHead)).map(parseSchema),
-          parseSchema(schemaJson), newId).json
+        // record the NEW HEAD's schema verbatim: a no-files commit has
+        // no data to preserve, and re-evolving the failed schema BY
+        // NAME would resurrect a concurrently renamed/dropped column as
+        // a phantom fresh-cid field (the old name is the same IDENTITY,
+        // not a new column), while keeping failed-only cids would
+        // re-expose a concurrently dropped column's old files
+        val rebasedSchema = log.schemaJsonAsOf(Some(newHead))
+          .getOrElse(schemaJson)
         log.append(Commit(newId, op, System.currentTimeMillis(), rebasedSchema,
           Seq.empty, removes, commitMeta), basedOnLatest = newHead)
         resync()
@@ -1958,7 +1975,11 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val failedSchema = parseSchema(schemaJson)
       val headSchema = log.schemaJsonAsOf(Some(newHead))
         .map(parseSchema).getOrElse(failedSchema)
-      if (SchemaEvo.adaptKey(failedSchema) == SchemaEvo.adaptKey(headSchema))
+      // target = head schema + this write's OWN new columns (a plain
+      // adapt-to-head would silently drop the data of any column this
+      // write introduced — SchemaEvo.rebaseTarget)
+      val target = SchemaEvo.rebaseTarget(failedSchema, headSchema)
+      if (SchemaEvo.adaptKey(failedSchema) == SchemaEvo.adaptKey(target))
         reread0
       else {
         // restrict the from-schema to columns the files physically hold
@@ -1967,7 +1988,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         val present = reread0.columns.toSet
         SchemaEvo.adapt(reread0,
           StructType(failedSchema.fields.filter(f => present.contains(f.name))),
-          headSchema)
+          target)
       }
     }
     val restamped =

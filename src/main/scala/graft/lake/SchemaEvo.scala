@@ -214,6 +214,26 @@ private[graft] object SchemaEvo {
     }: _*)
   }
 
+  /** Target schema for a REBASED write (its commit lost the optimistic
+    * race to disjoint interveners): the new head's schema — so a
+    * concurrent rename/widen maps this write's old physical names onto
+    * their new identity — PLUS any user column of the failed commit the
+    * head does not know. Keeping those is what serial re-execution
+    * would do: a column this write introduced (or re-introduced after a
+    * concurrent drop) lands with THIS write's data, re-minted under a
+    * fresh id by the recommit's evolve, so dropped generations never
+    * resurrect through it. */
+  def rebaseTarget(failed: StructType, head: StructType): StructType = {
+    val headCids = head.fields.filterNot(f => isInternal(f.name)).map(cid).toSet
+    val headNames = head.fieldNames.toSet
+    // a name collision (the intervener dropped AND re-added this very
+    // name) cannot be represented twice — the head's definition wins
+    val keep = failed.fields.filter(f =>
+      !isInternal(f.name) && !headCids.contains(cid(f)) &&
+        !headNames.contains(f.name))
+    StructType(head.fields ++ keep)
+  }
+
   /** Validate that every retained live file (grouped by its commit
     * schema) can still be adapted to `next` losslessly: for each shared
     * column id the file's physical type must equal or widen to the new

@@ -66,10 +66,13 @@ object MediaCodecs {
     require(mv > 0 && mv <= 255, s"ppm: unsupported maxval $mv")
     require(i < bytes.length && isWs(bytes(i)), "ppm: missing header terminator")
     i += 1 // exactly one whitespace byte before raster data
-    val n = 3 * w * h
+    // Long math: 3*w*h overflows Int for dimensions the per-value guard
+    // still admits — a wrapped size would "decode" garbage instead of
+    // throwing (strict-decoder contract)
+    val n = 3L * w * h
     require(bytes.length - i >= n,
       s"ppm: raster truncated (${bytes.length - i} of $n bytes)")
-    val px = java.util.Arrays.copyOfRange(bytes, i, i + n)
+    val px = java.util.Arrays.copyOfRange(bytes, i, i + n.toInt)
     Ppm(w, h, mv, px)
   }
 

@@ -76,8 +76,10 @@ final class GraftTailSource(
         ctx.sparkSession.sparkContext.emptyRDD[Row], schema)
     else
       groups.toSeq.map { case (j, paths) =>
-        val fileSchema = org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[StructType]
+        // memoized parse: commit JSONs are immutable and repeat across
+        // triggers — a continuously-running stream must not re-parse
+        // the same schema every micro-batch
+        val fileSchema = table.parseSchema(j)
         graft.lake.SchemaEvo.adaptToStream(
           ctx.sparkSession.read.schema(fileSchema).parquet(paths.toSeq: _*),
           fileSchema, schema)

@@ -171,7 +171,40 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         "graft tables support top-level column changes only")
       names.head
     }
-    if (lake.exists)
+    if (lake.exists) {
+      // dry-run EVERY change against a simulated schema before applying
+      // ANY: a multi-change ALTER whose later change fails validation
+      // must not leave the table half-altered
+      val pinned = (desc.keyCols ++ desc.partitionCols ++ desc.statsCols :+
+        desc.precombineCol).toSet
+      changes.foldLeft(lake.tableSchema().fieldNames.toSeq) { (names, ch) =>
+        ch match {
+          case c: TableChange.AddColumn =>
+            val n = one(c.fieldNames)
+            require(!names.contains(n), s"column '$n' already exists")
+            names :+ n
+          case c: TableChange.RenameColumn =>
+            val n = one(c.fieldNames)
+            require(names.contains(n), s"no column '$n'")
+            require(!names.contains(c.newName),
+              s"column '${c.newName}' already exists")
+            require(!pinned.contains(n),
+              s"column '$n' is pinned by the table configuration")
+            names.map(x => if (x == n) c.newName else x)
+          case c: TableChange.DeleteColumn =>
+            val n = one(c.fieldNames)
+            require(names.contains(n), s"no column '$n'")
+            require(!pinned.contains(n),
+              s"column '$n' is pinned by the table configuration")
+            names.filterNot(_ == n)
+          case c: TableChange.UpdateColumnType =>
+            require(names.contains(one(c.fieldNames)),
+              s"no column '${one(c.fieldNames)}'")
+            names
+          case other => throw new UnsupportedOperationException(
+            s"unsupported ALTER TABLE change: $other")
+        }
+      }
       changes.foreach {
         case c: TableChange.AddColumn => lake.addColumn(one(c.fieldNames), c.dataType)
         case c: TableChange.RenameColumn => lake.renameColumn(one(c.fieldNames), c.newName)
@@ -181,7 +214,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")
       }
-    else {
+    } else {
       // pre-first-commit: evolve the DECLARED schema (no files exist)
       val declared = Option(desc.schemaJson).filter(_.nonEmpty)
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
@@ -195,6 +228,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case c: TableChange.RenameColumn =>
             val n = one(c.fieldNames)
             require(s.fieldNames.contains(n), s"no column '$n'")
+            require(!s.fieldNames.contains(c.newName),
+              s"column '${c.newName}' already exists")
             StructType(s.fields.map(f =>
               if (f.name == n) f.copy(name = c.newName) else f))
           case c: TableChange.DeleteColumn =>
@@ -203,6 +238,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             StructType(s.fields.filterNot(_.name == n))
           case c: TableChange.UpdateColumnType =>
             val n = one(c.fieldNames)
+            require(s.fieldNames.contains(n), s"no column '$n'")
             StructType(s.fields.map(f =>
               if (f.name == n) f.copy(dataType = c.newDataType) else f))
           case other => throw new UnsupportedOperationException(

@@ -199,4 +199,41 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.read().select($"pk", $"body").as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b2")))
   }
+
+  test("a rebased write KEEPS the data of a column it introduced") {
+    val root = freshRoot()
+    val w1 = LakeTable(spark, cfg(root))
+    w1.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    val w2 = LakeTable(spark, cfg(root))
+    interleave(w2) { w1.upsert(df((1L, 1, "a2", 1))) } // partition 1 lands
+    import spark.implicits._
+    // w2 brings a brand-new column into partition 2; the rebase must
+    // carry its values through (adapt-to-head alone would drop them)
+    w2.upsert(Seq((2L, 2, "b2", 1, 42))
+      .toDF("pk", "vendorid", "payload", "ts", "extra"))
+    val t = LakeTable(spark, cfg(root))
+    assert(t.read().select($"pk", $"extra").as[(Long, Option[Int])]
+      .collect().toSet == Set((1L, None), (2L, Some(42))),
+      "the rebased write's new column must land with its data")
+  }
+
+  test("a no-files rebase (emptying delete) racing a rename keeps the rename") {
+    val root = freshRoot()
+    val w1 = LakeTable(spark, cfg(root))
+    w1.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    val w2 = LakeTable(spark, cfg(root))
+    // deleting EVERY row of partition 2 produces a commit with removes
+    // but zero adds — the metadata-only rebase path; the recorded
+    // schema must be the renamed head's, not a by-name re-evolution
+    // that resurrects 'payload' as a phantom column
+    interleave(w2) { w1.renameColumn("payload", "body") }
+    w2.delete(df((2L, 2, "b", 0)).select("pk", "vendorid"))
+    val t = LakeTable(spark, cfg(root))
+    val cols = t.read().columns.toSeq
+    assert(cols.contains("body") && !cols.contains("payload"),
+      s"phantom column after no-files rebase: $cols")
+    import spark.implicits._
+    assert(t.read().select($"pk", $"body").as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+  }
 }
