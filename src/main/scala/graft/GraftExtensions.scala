@@ -182,6 +182,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_history(root) takes one argument")
         lakeAt(strArg(args(0), "root")).history().queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_files"),
+      new ExpressionInfo("graft.lake.LakeTable", "graft_files"),
+      (args: Seq[Expression]) => {
+        // live-file inventory (the Iceberg `.files` metadata-table
+        // role): one row per live data file with its partition tuple,
+        // kind (base/delta), and size — commit-log metadata only, no
+        // data file is opened
+        require(args.length == 1, "graft_files(root) takes one argument")
+        val t = lakeAt(strArg(args(0), "root"))
+        val spark = SparkSession.active
+        val rows = t.log.liveFiles().map(f =>
+          (f.path, f.partition, Option(f.kind).getOrElse("base"), f.bytes))
+        spark.createDataFrame(rows)
+          .toDF("path", "partition", "kind", "bytes")
+          .queryExecution.analyzed
       }))
 
   /** imperative registration into an already-built session */

@@ -99,7 +99,12 @@ private[graft] object SchemaEvo {
       else prevFields.flatMap { pf =>
         if (isInternal(pf.name)) None // internals mirror the batch
         else batch.fields.find(_.name == pf.name) match {
-          case None => Some(pf.copy(metadata = withCid(pf, cid(pf)).metadata))
+          case None =>
+            // kept but ABSENT from this batch: the commit's files lack
+            // the column, so readers null-backfill — the schema MUST
+            // say nullable or Spark may elide IS NOT NULL filters
+            // against rows that are in fact null
+            Some(withCid(pf.copy(nullable = true), cid(pf)))
           case Some(bf) =>
             val target =
               if (pf.dataType == bf.dataType) pf.dataType
@@ -120,7 +125,10 @@ private[graft] object SchemaEvo {
         val id = if (reset) prevByName.get(f.name).map(cid).getOrElse {
           if (f.metadata.contains(CidKey)) f.metadata.getString(CidKey) else mint()
         } else mint()
-        withCid(f, id)
+        // a column appended to an EXISTING table null-backfills every
+        // pre-existing file — force nullable (first commits / resets
+        // keep the batch's own nullability: no older files exist)
+        withCid(if (prev.isEmpty || reset) f else f.copy(nullable = true), id)
       }
     val internals = batch.fields.toSeq.filter(f => isInternal(f.name))
     StructType(evolvedExisting ++ appended ++ internals)

@@ -20,6 +20,7 @@ class SchemaEvoSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -143,6 +144,24 @@ class SchemaEvoSpec extends AnyFunSuite {
     t.compact()
     assert(t.read().select($"pk", $"qty", $"note")
       .as[(Long, Int, Option[String])].collect().toSet == out)
+  }
+
+  test("null-backfilled columns are declared nullable; IS NOT NULL stays honest") {
+    val t = LakeTable(spark, cfg(freshRoot(), storage = "mor"))
+    import spark.implicits._
+    // qty is non-nullable in the batch schema (Int from tuples)
+    t.bulkInsert(Seq((1L, 1, 10, 0)).toDF("pk", "part", "qty", "ts"))
+    // delta WITHOUT qty: its rows null-backfill — if the evolved schema
+    // kept qty non-nullable, Spark would elide `qty IS NOT NULL` into
+    // `true` and return the backfilled row
+    t.upsert(Seq((2L, 1, 1)).toDF("pk", "part", "ts"))
+    assert(t.read().schema("qty").nullable,
+      "a column absent from a commit's files must read as nullable")
+    assert(t.read().filter($"qty".isNotNull).select($"pk")
+      .as[Long].collect().toSet == Set(1L),
+      "IS NOT NULL must not be optimized away over backfilled nulls")
+    assert(t.read().filter($"qty".isNull).select($"pk")
+      .as[Long].collect().toSet == Set(2L))
   }
 
   test("stats skipping stays correct across a widening (file-type parse)") {

@@ -181,5 +181,12 @@ class SqlCatalogSpec extends AnyFunSuite {
     val ch = rows(s"""SELECT _change_type, pk FROM graft_changes('$root', 0, 2)
                       ORDER BY _change_type, pk""")
     assert(ch == Seq(Seq("delete", 2L), Seq("update", 1L)))
+    // file inventory: every live path exists on disk with its real size
+    val files = spark.sql(s"SELECT path, kind, bytes FROM graft_files('$root')")
+      .collect()
+    assert(files.nonEmpty && files.forall { r =>
+      val f = new java.io.File(new java.net.URI(r.getString(0)).getPath)
+      f.exists && r.getString(1) == "base" && r.getLong(2) == f.length
+    }, "graft_files must inventory the live files with true sizes")
   }
 }
