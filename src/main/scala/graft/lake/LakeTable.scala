@@ -194,10 +194,16 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     if (!exists) {
       // first write still precombines WITHIN the batch: only the explicit
       // bulkInsert() API skips dedup (the reference's connector job notes
-      // bulk_insert performs no pre-combining, HudiConnectorGlueJob.py:85-86)
-      val incoming = withDerived(withMeta(batch, 0L))
+      // bulk_insert performs no pre-combining, HudiConnectorGlueJob.py:85-86).
+      // Stamp rows with the RESOLVED id and fix it for the commit: a
+      // hard-coded 0 could diverge from the landed id under a racing
+      // creator, and the rebase restamp (which matches on the resolved
+      // id) would then fix nothing — rows would carry the rival's id.
+      val id = log.nextId
+      val incoming = withDerived(withMeta(batch, id))
         .withColumn("_seq", monotonically_increasing_id())
       return writeCommit(dedupWithinBatch(incoming), "upsert", Seq.empty,
+        fixedId = Some(id),
         basedOn = Some(log.EmptyTable),
         // read nothing (table was empty): rebase-safe against a racing
         // creator unless the global index demands table-wide key checks
@@ -487,13 +493,31 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     require(exists, s"table ${config.root} does not exist")
     require(clauses.nonEmpty, "merge needs at least one WHEN clause")
     val identityCols = (config.keyCols ++ config.partitionCols).toSet
+    // an insert assignment for an identity column must be the SOURCE's
+    // own column: match detection runs on the source's identity, so an
+    // arbitrary expression could assign a key that already exists in
+    // the target (the source key being absent) and silently create a
+    // duplicate record key — the invariant every other write enforces
+    def isSourceAttr(c: org.apache.spark.sql.Column, name: String): Boolean =
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(c) match {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          val p = a.nameParts.map(_.toLowerCase)
+          p == Seq("s", name.toLowerCase) || p == Seq(name.toLowerCase)
+        case _ => false
+      }
     clauses.foreach { cl =>
       val bad = cl.set.keySet & identityCols
-      // inserts DEFINE a new row's identity, so key/partition assignments
-      // are legal there (ANSI INSERT action); updates may not move a row's
-      // identity (Hudi's rule)
-      require(cl.kind == NotMatchedInsert || bad.isEmpty,
-        s"merge may not assign key/partition columns: ${bad.mkString(",")}")
+      cl.kind match {
+        case NotMatchedInsert =>
+          bad.foreach(n => require(isSourceAttr(cl.set(n), n),
+            s"insert clauses may assign identity column '$n' only from " +
+              s"the source's own column (s.$n) — computed keys could " +
+              "collide with existing record keys; re-key via upsert instead"))
+        case _ =>
+          // updates may not move a row's identity (Hudi's rule)
+          require(bad.isEmpty,
+            s"merge may not assign key/partition columns: ${bad.mkString(",")}")
+      }
     }
     // partition columns are required even when the identity is key-only
     // (global index): the scope probe and inserted-row placement both
@@ -611,7 +635,16 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * dedup groups can span partitions (global index with user partition
     * columns) pruning is skipped entirely.
     */
-  def read(pruneBy: org.apache.spark.sql.Column): DataFrame = {
+  def read(pruneBy: org.apache.spark.sql.Column): DataFrame =
+    read(pruneBy, None)
+
+  /** [[read(pruneBy*]] pinned to a commit: the stats-skipping path over
+    * a SPECIFIC snapshot (scan-stable under concurrent writers — the
+    * DSv2 scan uses this so one query never mixes table versions). */
+  def read(pruneBy: org.apache.spark.sql.Column, asOf: Option[Long]): DataFrame = {
+    asOf.foreach(id =>
+      require(id >= log.cleanedUpTo || log.savepoints.contains(id),
+        s"commit $id was cleaned (retained from ${log.cleanedUpTo})"))
     // resolve the predicate against the table schema by analyzing a
     // filter over an empty probe frame (the public-API route to the
     // catalyst expression; analyzed, so attributes/casts carry types —
@@ -620,13 +653,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val pred = probe.queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
-    val live = log.liveFiles()
+    val live = log.liveFiles(asOf)
     val files = pred.fold(live)(p => pruneByColStats(live, p))
     // all-pruned: keep the schema shape stable with the merged (non-empty)
     // branch — the latest commit may be a delta whose schema carries the
     // MoR internals morMerge would have dropped
     (if (files.isEmpty) readOrEmpty(files).drop("_seq", "_deleted")
-     else mergeIfNeeded(files))
+     else mergeIfNeeded(files, asOf))
       .filter(pruneBy)
   }
 
@@ -1922,15 +1955,29 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     if (newHead <= expectedHead) return None // retired-id or odd state: abort
     // removes resolve to partitions via the add that made the file live;
     // every removed path was live at expectedHead so its add is on the
-    // timeline (including a clone's borrowed files)
-    val partByPath: Map[String, String] =
-      log.commits.flatMap(_.adds.map(a => a.path -> a.partition)).toMap
+    // timeline (including a clone's borrowed files). Resolve ONLY the
+    // paths the disjointness check needs, walking the timeline BACKWARDS
+    // from the new head with early exit — an add never sits above the
+    // commit that removed its file, and supersessions target recent
+    // files, so this reads a handful of commit JSONs instead of
+    // materializing path→partition for every file ever added
+    val interveners = log.commitsInRange(math.max(expectedHead, -1L), newHead)
+    val needed = scala.collection.mutable.Set.empty[String]
+    needed ++= removes
+    interveners.foreach(needed ++= _.removes)
+    val partOfRemoved = scala.collection.mutable.Map.empty[String, String]
+    var cursor = newHead
+    while (needed.nonEmpty && cursor >= 0L) {
+      log.commitIfExists(cursor).foreach(_.adds.foreach { a =>
+        if (needed.remove(a.path)) partOfRemoved(a.path) = a.partition
+      })
+      cursor -= 1
+    }
     def touched(ads: Seq[FileAdd], rms: Seq[String]): Option[Set[String]] = {
-      val resolved = rms.map(partByPath.get)
+      val resolved = rms.map(partOfRemoved.get)
       if (resolved.exists(_.isEmpty)) None
       else Some(ads.map(_.partition).toSet ++ resolved.flatten)
     }
-    val interveners = log.commitsInRange(math.max(expectedHead, -1L), newHead)
     val disjoint = (for {
       ours <- touched(adds, removes)
       theirs <- interveners.foldLeft(Option(Set.empty[String])) { (acc, c) =>

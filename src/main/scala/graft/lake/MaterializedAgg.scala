@@ -86,9 +86,20 @@ final class MaterializedAgg(
     else table.log.commits.flatMap(_.metadata.get(SrcKey))
       .flatMap(s => s.toLongOption).maxOption
 
-  /** source commit id the aggregate currently reflects (None = never built) */
+  /** source commit id the aggregate currently reflects (None = never built).
+    * Last-resort fallback for PRE-UPGRADE aggregates (whose commits carry
+    * no metadata stamp) that also lost their marker files: row-level
+    * max(_src_commit). It cannot see a delete-only refresh window (the
+    * documented soundness gap the metadata stamp exists to close), but
+    * without it such an aggregate could never refresh again — `refresh`
+    * would take the initial-build branch and trip bulkInsert's
+    * table-exists guard forever. */
   def applied: Option[Long] =
-    (mark.last.toSeq ++ logHighWater.toSeq).maxOption
+    (mark.last.toSeq ++ logHighWater.toSeq).maxOption.orElse {
+      if (!table.exists) None
+      else table.read().agg(max(col("_src_commit"))).collect()
+        .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    }
 
   private def sumCols = sums.keys.toSeq.sorted
   private def minCols = mins.keys.toSeq.sorted

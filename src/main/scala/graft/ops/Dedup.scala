@@ -96,6 +96,11 @@ final class MinHashDedupIndex(
             bands.readPartitions(buckets).select(
               col("doc_id").as("partner"), col("band_id"), col("band_hash")),
             Seq("band_id", "band_hash"))
+            // a RE-INGESTED doc (batch retry after a crash past the index
+            // write) collides with its own indexed signature — without
+            // this guard it would verify at Jaccard 1.0 and be reported
+            // a duplicate of ITSELF
+            .filter(col("doc_id") =!= col("partner"))
             .select(col("doc_id"), col("partner"))
         }
       val cand = candNew.union(candOld).distinct()

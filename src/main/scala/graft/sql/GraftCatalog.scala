@@ -111,7 +111,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val desc = TableDescriptor.load(root.toString, hconf)
       .getOrElse(throw new NoSuchTableException(ident))
     val t = graft.lake.LakeTable(spark, desc.config(root.toString))
-    val id = t.log.commits.takeWhile(_.tsMillis <= timestamp / 1000L)
+    // filter, not takeWhile: commit timestamps come from per-writer wall
+    // clocks with no monotonicity guarantee — one early-clock commit
+    // must not hide all later qualifying ones
+    val id = t.log.commits.filter(_.tsMillis <= timestamp / 1000L)
       .lastOption.map(_.id).getOrElse(throw new IllegalArgumentException(
         s"no commit at or before timestamp $timestamp on $ident"))
     new GraftTableV2(spark, ident.toString, root.toString, desc, asOf = Some(id))
@@ -141,6 +144,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     (keyCols ++ partitionCols :+ precombine).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"declared column '$c' is not in the table schema"))
+    // CHECK constraints: 'name1:expr1;name2:expr2' (':' splits on the
+    // FIRST occurrence — SQL exprs contain ':' rarely but '=' often)
+    val checks = prop("checks").map(_.split(';').toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf(':')
+        require(i > 0, s"checks entries are 'name:expr', got '$kv'")
+        kv.take(i).trim -> kv.drop(i + 1).trim
+      }.toMap).getOrElse(Map.empty[String, String])
     val desc = TableDescriptor(
       keyCols = keyCols,
       precombineCol = precombine,
@@ -150,6 +162,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       compactEvery = prop("compactEvery").map(_.toInt).getOrElse(0),
       hashBuckets = prop("hashBuckets").map(_.toInt).getOrElse(0),
       statsCols = csv("statsCols"),
+      clusterCols = csv("clusterCols"),
+      zOrder = prop("zOrder").exists(_.toBoolean),
+      checks = checks,
       schemaJson = schema.json)
     TableDescriptor.save(tablePath(ident).toString, desc, hconf)
     new GraftTableV2(spark, ident.toString, tablePath(ident).toString, desc, None)

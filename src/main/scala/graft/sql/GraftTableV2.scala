@@ -84,20 +84,26 @@ final class GraftTableV2(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
 
-  /** latest-or-pinned snapshot with user columns only */
+  /** The snapshot EVERY scan of this table instance reads: the
+    * explicit VERSION AS OF, else the head at first resolution. Without
+    * the pin, each buildScan would re-resolve the latest commit — a
+    * self-join (or a re-executed DataFrame) racing a writer could mix
+    * two table versions in one query. */
+  private[sql] lazy val pinned: Option[Long] = asOf.orElse(lake.log.latestId)
+
+  /** pinned snapshot with user columns only; predicates still engage
+    * the commit-log stats skipping (file-list pruning at the pin) */
   private[sql] def snapshot(pred: Option[Column]): org.apache.spark.sql.DataFrame = {
-    val base = (pred, asOf) match {
-      // the stats-skipping path serves the LATEST snapshot; a pinned read
-      // re-applies the predicate after a plain as-of scan
-      case (Some(p), None) => lake.read(p)
-      case (Some(p), Some(v)) => lake.readAsOf(v).filter(p)
-      case (None, v) => v.fold(lake.read())(lake.readAsOf)
+    val base = (pred, pinned) match {
+      case (_, None) => lake.read() // never-written table: typed empty
+      case (Some(p), v) => lake.read(p, v)
+      case (None, Some(v)) => lake.readAsOf(v)
     }
     base.drop(metaCols.toSeq: _*)
   }
 
   private[sql] def liveBytes: Long =
-    lake.log.liveFiles(asOf.orElse(lake.log.latestId)).map(_.bytes).sum
+    lake.log.liveFiles(pinned).map(_.bytes).sum
 
   // ---- write -----------------------------------------------------------
 

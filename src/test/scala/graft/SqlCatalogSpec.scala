@@ -134,6 +134,20 @@ class SqlCatalogSpec extends AnyFunSuite {
       .exists(_.getString(1) == "meta"))
   }
 
+  test("scans are snapshot-pinned: re-executing a DataFrame ignores later commits") {
+    wh
+    spark.sql("""CREATE TABLE g.db.pin (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.pin VALUES (1,0,'a'), (2,0,'b')")
+    val df = spark.sql("SELECT pk FROM g.db.pin ORDER BY pk")
+    assert(df.collect().length == 2) // resolves (and pins) the snapshot
+    spark.sql("INSERT INTO g.db.pin VALUES (3,0,'c')")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "a resolved scan must not silently move to a newer snapshot")
+    assert(spark.sql("SELECT count(*) FROM g.db.pin").head.getLong(0) == 3,
+      "a fresh statement resolves the new head")
+  }
+
   test("CALL procedures: rollback / savepoint / clean / restore via SQL") {
     wh
     spark.sql("""CREATE TABLE g.db.proc (pk BIGINT, ts INT, v STRING)
