@@ -179,8 +179,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     */
   def bulkInsert(df: DataFrame, meta: Map[String, String] = Map.empty): Long = {
     require(!exists, s"table ${config.root} already exists; use upsert")
-    writeCommit(withDerived(withMeta(df, 0L)), op = "bulk_insert",
-      removes = Seq.empty, basedOn = Some(log.EmptyTable), commitMeta = meta)
+    // stamp with the RESOLVED id, not 0: rollback-retired ids are never
+    // reused, so a table emptied by rollbacks re-loads at id > 0 — a
+    // hard-coded 0 stamp would hide the reload from incremental/CDC
+    // readers filtering _commit_id > from
+    val id = log.nextId
+    writeCommit(withDerived(withMeta(df, id)), op = "bulk_insert",
+      removes = Seq.empty, fixedId = Some(id),
+      basedOn = Some(log.EmptyTable), commitMeta = meta)
   }
 
   /** Merge a batch by record key; on key collision the row with the highest
@@ -494,15 +500,17 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     require(clauses.nonEmpty, "merge needs at least one WHEN clause")
     val identityCols = (config.keyCols ++ config.partitionCols).toSet
     // an insert assignment for an identity column must be the SOURCE's
-    // own column: match detection runs on the source's identity, so an
-    // arbitrary expression could assign a key that already exists in
-    // the target (the source key being absent) and silently create a
-    // duplicate record key — the invariant every other write enforces
+    // own column written as `s.<name>`: match detection runs on the
+    // source's identity, so an arbitrary expression could assign a key
+    // that already exists in the target (the source key being absent)
+    // and silently create a duplicate record key — the invariant every
+    // other write enforces. A BARE name is rejected too: the t/s
+    // full-outer join exposes it on both sides, so it could only ever
+    // fail later as an ambiguous reference.
     def isSourceAttr(c: org.apache.spark.sql.Column, name: String): Boolean =
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(c) match {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          val p = a.nameParts.map(_.toLowerCase)
-          p == Seq("s", name.toLowerCase) || p == Seq(name.toLowerCase)
+          a.nameParts.map(_.toLowerCase) == Seq("s", name.toLowerCase)
         case _ => false
       }
     clauses.foreach { cl =>
@@ -649,7 +657,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // filter over an empty probe frame (the public-API route to the
     // catalyst expression; analyzed, so attributes/casts carry types —
     // NOT optimized, which would fold the empty relation and drop it)
-    val probe = readOrEmpty(Seq.empty).filter(pruneBy)
+    val probe = readOrEmpty(Seq.empty, asOf).filter(pruneBy)
     val pred = probe.queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
@@ -658,7 +666,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // all-pruned: keep the schema shape stable with the merged (non-empty)
     // branch — the latest commit may be a delta whose schema carries the
     // MoR internals morMerge would have dropped
-    (if (files.isEmpty) readOrEmpty(files).drop("_seq", "_deleted")
+    (if (files.isEmpty) readOrEmpty(files, asOf).drop("_seq", "_deleted")
      else mergeIfNeeded(files, asOf))
       .filter(pruneBy)
   }
@@ -1751,10 +1759,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
           config.keyCols, "left_semi"))
   }
 
-  private def readOrEmpty(files: Seq[FileAdd]): DataFrame =
-    if (files.nonEmpty) readFiles(files)
+  private def readOrEmpty(
+      files: Seq[FileAdd], asOf: Option[Long] = None): DataFrame =
+    if (files.nonEmpty) readFiles(files, asOf)
     else {
-      val schema = log.schemaJsonAsOf(None)
+      // empty frame at the PINNED schema: an as-of read's probe/fallback
+      // must expose the columns of that version, not the head's (a later
+      // rename would otherwise unresolve a valid as-of predicate)
+      val schema = log.schemaJsonAsOf(asOf)
         .map(j => DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(new StructType())
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

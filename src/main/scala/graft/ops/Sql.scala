@@ -31,9 +31,10 @@ object Sql {
     * c1 = stale INSERT (loses to precombine), c2 = UPDATE, c3 = DELETE.
     */
   private[graft] def dmlFixture(s: SparkSession, d: String): String =
-    // keyed by application: a NEW SparkSession in the same JVM must
-    // rebuild (catalog conf + temp views are per-session state)
-    built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d:dml", _ => {
+    // keyed by SESSION identity: catalog conf and temp views are
+    // per-SparkSession state, and sessions over one SparkContext share
+    // an applicationId — a fresh session must rebuild its own fixture
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:dml", _ => {
       val cat = catName(d)
       val wh = s"/tmp/graft_lake/sqlwh_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
       val fs = new org.apache.hadoop.fs.Path(wh)
@@ -68,7 +69,7 @@ object Sql {
   /** the mergeTable clause set (ops.Lake) issued as ONE SQL MERGE INTO —
     * update/delete/insert/by-source-delete in a single statement */
   private[graft] def mergeFixture(s: SparkSession, d: String): String =
-    built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d:merge", _ => {
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:merge", _ => {
       val cat = dmlFixture(s, d)
       s.sql(s"DROP TABLE IF EXISTS $cat.db.li")
       s.sql(s"""CREATE TABLE $cat.db.li (

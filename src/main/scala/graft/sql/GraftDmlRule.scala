@@ -131,28 +131,49 @@ private[sql] final case class GraftMergeCommand(
     validateOnCondition(lake)
 
     val sourceDf = PlanBridge.ofRows(session, sourcePlan)
+    val identityCols = (lake.config.keyCols ++ lake.config.partitionCols).toSet
     def cond(c: Option[Expression]): Option[Column] =
       c.map(e => Dml.toCol(e, side))
     def setMap(assignments: Seq[Assignment]): Map[String, Column] =
       Dml.sets(assignments).map { case (n, e) => n -> Dml.toCol(e, side) }.toMap
+    /** [[setMap]] for UPDATE clauses: drops an identity-column
+      * assignment when it is the SAME-NAMED source column — the
+      * analyzer expands `UPDATE SET *` into exactly those, and the
+      * validated key-equality ON makes them provable no-ops (a row's
+      * identity is immutable under update on this table). Any OTHER
+      * identity assignment is kept and rejected downstream. */
+    def updateSetMap(assignments: Seq[Assignment]): Map[String, Column] =
+      Dml.sets(assignments).filterNot { case (n, e) =>
+        identityCols.contains(n) && (e match {
+          case a: AttributeReference =>
+            srcIds.contains(a.exprId.id) && a.name.equalsIgnoreCase(n)
+          case _ => false
+        })
+      }.map { case (n, e) => n -> Dml.toCol(e, side) }.toMap
 
     // `UPDATE SET *` / `INSERT *`: every target user column taken from
-    // the same-named source column
+    // the same-named source column. UPDATE SET * drops the identity
+    // (key/partition) columns from the expansion rather than rejecting
+    // the statement: the validated ON clause already pins t.key = s.key
+    // (the assignment is a provable no-op there), and a row's identity
+    // is immutable under update on this table — so SET * means "update
+    // every non-identity column", the only executable ANSI reading.
     val userCols = table.schema().fieldNames.toSeq
     val srcNames = sourcePlan.output.map(_.name).toSet
-    def starSet: Map[String, Column] = {
-      val missing = userCols.filterNot(srcNames.contains)
+    def starSet(exclude: Set[String]): Map[String, Column] = {
+      val cols = userCols.filterNot(exclude.contains)
+      val missing = cols.filterNot(srcNames.contains)
       require(missing.isEmpty,
         s"MERGE * requires the source to carry every table column; missing: ${missing.mkString(",")}")
-      userCols.map(c => c -> col(s"s.$c")).toMap
+      cols.map(c => c -> col(s"s.$c")).toMap
     }
 
     // clause order within each group is preserved — first match wins,
     // the same contract MergeBuilder executes
     var b: MergeBuilder = lake.merge(sourceDf)
     matchedActions.foreach {
-      case UpdateAction(c, asgn, _) => b = b.whenMatchedUpdate(setMap(asgn), cond(c))
-      case UpdateStarAction(c) => b = b.whenMatchedUpdate(starSet, cond(c))
+      case UpdateAction(c, asgn, _) => b = b.whenMatchedUpdate(updateSetMap(asgn), cond(c))
+      case UpdateStarAction(c) => b = b.whenMatchedUpdate(starSet(identityCols), cond(c))
       case DeleteAction(c) => b = b.whenMatchedDelete(cond(c))
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN MATCHED action: $other")

@@ -91,11 +91,20 @@ final class GraftTableV2(
     * two table versions in one query. */
   private[sql] lazy val pinned: Option[Long] = asOf.orElse(lake.log.latestId)
 
+  /** user schema captured when the pin resolves — the None-pin empty
+    * frame must not re-read a log that moved since */
+  private lazy val pinnedSchema: StructType = schema()
+
   /** pinned snapshot with user columns only; predicates still engage
     * the commit-log stats skipping (file-list pruning at the pin) */
   private[sql] def snapshot(pred: Option[Column]): org.apache.spark.sql.DataFrame = {
     val base = (pred, pinned) match {
-      case (_, None) => lake.read() // never-written table: typed empty
+      case (_, None) =>
+        // empty at resolution: the pin is EMPTINESS — a first writer
+        // landing between resolution and (re-)execution must not leak
+        // rows into an already-resolved scan
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], pinnedSchema)
       case (Some(p), v) => lake.read(p, v)
       case (None, Some(v)) => lake.readAsOf(v)
     }

@@ -804,6 +804,19 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.rollback())
   }
 
+  test("bulkInsert after rollbacks stamps rows with the RESOLVED commit id") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.rollback() // retires id 0; the timeline is empty again
+    val cid = t.bulkInsert(df((2L, 1, "b", 0)))
+    assert(cid == 1L, "retired ids are never reused")
+    // incremental/CDC readers filter _commit_id > from — a hard-coded 0
+    // stamp would hide the reload from every window that saw commit 0
+    assert(t.read().select("_commit_id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(t.readIncremental(0L).count() == 1)
+  }
+
   test("rollback of the only commit drops the synced catalog table") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 0)))

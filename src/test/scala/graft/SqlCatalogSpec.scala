@@ -148,6 +148,50 @@ class SqlCatalogSpec extends AnyFunSuite {
       "a fresh statement resolves the new head")
   }
 
+  test("a scan resolved on an EMPTY table stays empty after a first writer lands") {
+    wh
+    spark.sql("""CREATE TABLE g.db.pin0 (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    val df = spark.sql("SELECT pk FROM g.db.pin0")
+    assert(df.collect().isEmpty) // resolves (and pins) emptiness
+    spark.sql("INSERT INTO g.db.pin0 VALUES (1,0,'a')")
+    assert(df.collect().isEmpty,
+      "an empty-at-resolution scan must not pick up a later first commit")
+    assert(spark.sql("SELECT count(*) FROM g.db.pin0").head.getLong(0) == 1)
+  }
+
+  test("MERGE INTO ... UPDATE SET * / INSERT * expand; identity stays put") {
+    wh
+    spark.sql("""CREATE TABLE g.db.star (pk BIGINT, ts INT, qty INT)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.star VALUES (1,0,10), (2,0,20)")
+    locally {
+      import spark.implicits._
+      Seq((1L, 1, 111), (5L, 1, 555))
+        .toDF("pk", "ts", "qty").createOrReplaceTempView("starsrc")
+    }
+    spark.sql("""MERGE INTO g.db.star t USING starsrc s
+      ON t.pk = s.pk
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows("SELECT pk, ts, qty FROM g.db.star ORDER BY pk") == Seq(
+      Seq(1L, 1, 111), Seq(2L, 0, 20), Seq(5L, 1, 555)))
+  }
+
+  test("VERSION AS OF predicate resolves against the PINNED schema after a rename") {
+    wh
+    spark.sql("""CREATE TABLE g.db.ren (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.ren VALUES (1,0,'a'), (2,0,'b')")
+    spark.sql("ALTER TABLE g.db.ren RENAME COLUMN v TO w")
+    // head exposes only w...
+    assert(rows("SELECT pk FROM g.db.ren WHERE w = 'a'") == Seq(Seq(1L)))
+    // ...but an as-of read filters on the OLD name (pushed into the
+    // stats-skipping prune path, which must probe the as-of schema)
+    assert(rows("SELECT pk FROM g.db.ren VERSION AS OF 0 WHERE v = 'a'") ==
+      Seq(Seq(1L)))
+  }
+
   test("CALL procedures: rollback / savepoint / clean / restore via SQL") {
     wh
     spark.sql("""CREATE TABLE g.db.proc (pk BIGINT, ts INT, v STRING)
