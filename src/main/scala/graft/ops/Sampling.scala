@@ -69,6 +69,44 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < cut)
   }
 
+  /** Deterministic domain mixing: downsample each domain so the KEPT
+    * corpus approaches the target mixture `weights` (integer parts of a
+    * whole, e.g. en:50, zh:20, …) — the pretraining "data mix" step.
+    *
+    * The achievable mixture is capped by the scarcest domain: with
+    * W = Σweights, the largest feasible total is
+    * `T = min_s floor(n_s·W/w_s)` (taking more would need more of some
+    * domain than exists). Each domain then keeps
+    * `cut_s = floor(B·w_s·T / (W·n_s))` of its B hash buckets. All
+    * arithmetic is BIGINT — `div`, never floats — so the kept set is
+    * bit-reproducible and cross-engine checkable. Domains without a
+    * weight are dropped (weight 0).
+    *
+    * Plan shape at 100 TB: one map-side-combined count per domain
+    * (|domains| rows), a scalar min, a broadcast join of the cuts, and
+    * a codegen'd per-row md5 filter — the corpus itself never shuffles.
+    */
+  def domainMix(
+      df: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Int], salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"domain weights must be positive, got $weights")
+    val W = weights.values.map(_.toLong).sum
+    val wtExpr = weights.foldRight(lit(null).cast("long"): Column) {
+      case ((dom, wt), acc) => when(col("_dom") === dom, wt.toLong).otherwise(acc)
+    }
+    val counts = df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(domainCol).as("_dom")).agg(count(lit(1)).as("_n"))
+      .withColumn("_wt", wtExpr)
+    val t = counts.agg(min(expr(s"(_n * $W) div _wt")).as("_t"))
+    val cuts = counts.crossJoin(broadcast(t))
+      .withColumn("_cut", expr(s"($Buckets * _wt * _t) div ($W * _n)"))
+      .select("_dom", "_cut")
+    df.join(broadcast(cuts), col(domainCol) === col("_dom"))
+      .filter(hashBucket(col(idCol), salt) < col("_cut"))
+      .drop("_dom", "_cut")
+  }
+
   // ---- fixture queries ------------------------------------------------
 
   /** oracle-side rendering of [[hashBucket]] (same md5/substr formula) */
@@ -97,6 +135,26 @@ object Sampling {
       Some(s"""SELECT doc_id, lang FROM documents
         WHERE ${sqlBucket("doc_id", "strata")} <
           CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE $Buckets END
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // target mix 50/20/10/10/10 over lang; the scarcest domain caps the
+    // total and every other domain downsamples toward the target shares
+    GQuery("doc_domain_mix",
+      (s, d) => domainMix(
+        T.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        weights = Map("en" -> 50, "zh" -> 20, "de" -> 10, "es" -> 10, "fr" -> 10))
+        .orderBy("doc_id"),
+      Some(s"""WITH w(dom, wt) AS (VALUES
+          ('en', CAST(50 AS BIGINT)), ('zh', 20), ('de', 10), ('es', 10), ('fr', 10)),
+        c AS (SELECT lang AS dom, count(*)::BIGINT AS n
+              FROM documents WHERE lang IN ('en','zh','de','es','fr') GROUP BY 1),
+        j AS (SELECT c.dom, c.n, w.wt FROM c JOIN w USING (dom)),
+        t AS (SELECT min(n * 100 // wt) AS tt FROM j),
+        cuts AS (SELECT dom, ($Buckets * wt * tt) // (100 * n) AS cut FROM j, t)
+        SELECT d.doc_id, d.lang FROM documents d
+        JOIN cuts ON d.lang = cuts.dom
+        WHERE ${sqlBucket("d.doc_id", "mix")} < cuts.cut
+        ORDER BY d.doc_id"""))
   )
 }

@@ -175,19 +175,26 @@ object Text {
     */
   private[graft] def fuzzyNeighbors(
       df: org.apache.spark.sql.DataFrame, idCol: String, strCol: String): org.apache.spark.sql.DataFrame = {
-    val variants = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .withColumn("variant", explode(expr(
-        """array_distinct(concat(array(s),
-             transform(sequence(1, length(s)),
-               i -> concat(substring(s, 1, i - 1),
-                           substring(s, i + 1, length(s))))))""")))
-    val a = variants.as("a")
-    val b = variants.as("b")
-    a.join(b, col("a.variant") === col("b.variant") &&
+    // candidate generation shuffles (variant, id) ONLY — the string
+    // payload stays out of the wide self-join and its dedup (the same
+    // ids-only discipline as the MinHash band join); names re-attach
+    // through two equi-joins against the deduped candidate pairs
+    val names = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val bands = names.select(col("id"), explode(expr(
+      """array_distinct(concat(array(s),
+           transform(sequence(1, length(s)),
+             i -> concat(substring(s, 1, i - 1),
+                         substring(s, i + 1, length(s))))))""")).as("variant"))
+    val candIds = bands.as("a")
+      .join(bands.as("b"), col("a.variant") === col("b.variant") &&
         col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.s").as("s_a"),
-        col("b.id").as("id_b"), col("b.s").as("s_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // two strings can share several deletion variants
+    candIds
+      .join(names.as("na"), col("id_a") === col("na.id"))
+      .join(names.as("nb"), col("id_b") === col("nb.id"))
+      .select(col("id_a"), col("na.s").as("s_a"),
+        col("id_b"), col("nb.s").as("s_b"))
       .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
   }
 

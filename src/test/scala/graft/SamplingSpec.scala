@@ -57,6 +57,33 @@ class SamplingSpec extends AnyFunSuite {
       run().select($"id").as[Long].collect().toSet)
   }
 
+  test("domain mix: kept corpus approaches the target shares; scarcest domain caps") {
+    import spark.implicits._
+    // 4000 a, 1000 b, 500 c; target 1:1:1 → b? no — c is scarcest:
+    // T = min(4000*3/1, 1000*3/1, 500*3/1) = 1500, so ~500 of each
+    val df = ((1 to 4000).map(i => (i.toLong, "a")) ++
+      (10001 to 11000).map(i => (i.toLong, "b")) ++
+      (20001 to 20500).map(i => (i.toLong, "c"))).toDF("id", "dom")
+    val kept = Sampling.domainMix(df, "id", "dom",
+      weights = Map("a" -> 1, "b" -> 1, "c" -> 1))
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    // c keeps everything (cut = 10000 exactly); a and b downsample to ~500
+    assert(kept("c") == 500L)
+    assert(math.abs(kept("a") - 500L) < 120, s"got ${kept("a")}")
+    assert(math.abs(kept("b") - 500L) < 120, s"got ${kept("b")}")
+    // determinism: same inputs, same kept set, any partitioning
+    val k1 = Sampling.domainMix(df.repartition(13), "id", "dom",
+      weights = Map("a" -> 1, "b" -> 1, "c" -> 1))
+      .select("id").as[Long].collect().toSet
+    val k2 = Sampling.domainMix(df.repartition(3), "id", "dom",
+      weights = Map("a" -> 1, "b" -> 1, "c" -> 1))
+      .select("id").as[Long].collect().toSet
+    assert(k1 == k2)
+    // unweighted domains are dropped
+    val noC = Sampling.domainMix(df, "id", "dom", weights = Map("a" -> 1, "b" -> 1))
+    assert(noC.filter($"dom" === "c").isEmpty)
+  }
+
   test("malformed weights are rejected") {
     intercept[IllegalArgumentException] {
       Sampling.assignSplit(ids(10), "id", Seq(("a", 0.5), ("b", 0.2)))
