@@ -217,6 +217,65 @@ class ConcurrencySpec extends AnyFunSuite {
       "the rebased write's new column must land with its data")
   }
 
+  test("stress: racing writer threads converge to the serial per-key outcome") {
+    val root = freshRoot()
+    LakeTable(spark, cfg(root)).bulkInsert(df((999L, 9, "seed", 0)))
+    val threads = 3
+    val opsPer = 4
+    // thread t owns keys 100t..100t+2; a key's partition NEVER moves
+    // (identity = key + partition under the non-global index). Keys 0-1
+    // live in the thread's OWN partition (concurrent batches there are
+    // disjoint → the rebase path); key 2 lives in the SHARED partition 9,
+    // included on even ops only (overlap → the abort-and-retry path).
+    def rows(tid: Int, i: Int) = {
+      val own = (0 to 1).map(k => (100L * tid + k, tid + 1, s"t$tid-i$i-k$k", i))
+      val shared =
+        if (i % 2 == 0) Seq((100L * tid + 2, 9, s"t$tid-i$i-k2", i)) else Seq.empty
+      own ++ shared
+    }
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val retried = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futures = (0 until threads).map { tid =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val w = LakeTable(spark, cfg(root))
+          for (i <- 1 to opsPer) {
+            var done = false
+            var attempts = 0
+            while (!done) {
+              try {
+                w.upsert(df(rows(tid, i): _*)); done = true
+                committed.incrementAndGet()
+              } catch {
+                case _: CommitConflict =>
+                  retried.incrementAndGet(); attempts += 1
+                  assert(attempts < 50, s"writer $tid live-locked at op $i")
+              }
+            }
+          }
+        }
+      })
+    }
+    futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(committed.get() == threads * opsPer)
+    val t = LakeTable(spark, cfg(root))
+    // threads are serial within themselves and keys are thread-disjoint,
+    // so the final table is fully determined despite arbitrary
+    // interleavings: per key, the owner's LAST batch covering it wins
+    val lastShared = (1 to opsPer).filter(_ % 2 == 0).max
+    val expected = (0 until threads).flatMap { tid =>
+      (0 to 1).map(k => (100L * tid + k, tid + 1, s"t$tid-i$opsPer-k$k", opsPer)) :+
+        ((100L * tid + 2, 9, s"t$tid-i$lastShared-k2", lastShared))
+    }.toSet + ((999L, 9, "seed", 0))
+    assert(snap(t) == expected)
+    // exactly one commit per successful upsert — rebases retire their
+    // failed id without publishing it, aborted attempts publish nothing
+    assert(t.log.commits.size == 1 + threads * opsPer,
+      s"timeline has ${t.log.commits.size} commits; ${retried.get()} retries")
+  }
+
   test("a no-files rebase (emptying delete) racing a rename keeps the rename") {
     val root = freshRoot()
     val w1 = LakeTable(spark, cfg(root))
