@@ -1370,6 +1370,51 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       partitionScoped = groupLocalMergeSafe, stampsId = false)
   }
 
+  /** Rewrite live data into the configured cluster order (Hudi
+    * clustering's replacecommit; Delta `OPTIMIZE ZORDER BY`). New base
+    * writes already cluster on the way in — what accumulates UNclustered
+    * is MoR delta activity (deltas skip the clustering shuffle by
+    * design) and data written before `clusterCols` were configured. The
+    * rewrite re-sorts those so per-file `statsCols` ranges turn disjoint
+    * and stats skipping prunes again. The SNAPSHOT is unchanged: rows
+    * keep their provenance stamps (`stampsId = false`), only physical
+    * layout moves; on MoR the rewrite folds a partition's deltas into
+    * clustered base files (a compaction and a clustering in one pass).
+    *
+    * `pruneBy` confines the rewrite to the file groups a partition/stats
+    * predicate selects — at 100 TB clustering runs incrementally over
+    * hot partitions, never as one table-wide rewrite.
+    */
+  def recluster(pruneBy: Option[org.apache.spark.sql.Column] = None): Long = {
+    require(config.clusterCols.nonEmpty,
+      "recluster() needs clusterCols configured")
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+    val live = log.liveFiles()
+    if (live.isEmpty) return basedOn
+    val selected = pruneBy.fold(live) { p =>
+      val probe = readOrEmpty(Seq.empty).filter(p)
+      probe.queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.fold(live)(c => pruneByColStats(live, c))
+    }
+    // MoR dedup groups must never straddle the rewrite boundary: expand
+    // the scope to whole partitions, and to the whole table when groups
+    // can span partitions (same discipline as compact)
+    val scoped =
+      if (!config.isMor) selected
+      else if (groupLocalMergeSafe) {
+        val parts = selected.map(_.partition).toSet
+        live.filter(f => parts.contains(f.partition))
+      } else live
+    if (scoped.isEmpty) return basedOn
+    val mat =
+      if (scoped.exists(_.isDelta)) morMerge(readFiles(scoped))
+      else readFiles(scoped)
+    writeCommit(mat, "recluster", scoped.map(_.path), basedOn = Some(basedOn),
+      partitionScoped = !config.isMor || groupLocalMergeSafe,
+      stampsId = false)
+  }
+
   /** Bin small MoR delta files (Hudi's small-file handling for log
     * files): streaming upserts append one tiny delta per micro-batch —
     * by design they skip the clustering shuffle — so heavy write loads

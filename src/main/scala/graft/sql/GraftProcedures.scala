@@ -51,7 +51,8 @@ private[sql] object GraftProcedures {
       (t, in) => { t.releaseSavepoint(in.getLong(1)); in.getLong(1) }),
     "restore" -> (Seq("commit" -> LongType),
       (t, in) => { t.restoreTo(in.getLong(1)); t.log.latestId.getOrElse(-1L) }),
-    "rollback" -> (Seq.empty, (t, _) => t.rollback().getOrElse(-1L)))
+    "rollback" -> (Seq.empty, (t, _) => t.rollback().getOrElse(-1L)),
+    "recluster" -> (Seq.empty, (t, _) => t.recluster()))
 
   def names: Seq[String] = procs.keys.toSeq.sorted
 

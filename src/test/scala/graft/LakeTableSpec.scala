@@ -868,6 +868,51 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.read(length(col("payload")) > 1).count() == 200L)
   }
 
+  test("recluster folds MoR deltas into cluster order; snapshot and provenance unchanged") {
+    import spark.implicits._
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), storageType = "mor",
+      clusterCols = Seq("ts"), statsCols = Seq("ts", "vendorid")))
+    def rows(pks: Range, vendor: Int, ts: Int => Int) =
+      pks.map(i => (i.toLong, vendor, s"p$i", ts(i))).toDF("pk", "vendorid", "payload", "ts")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      t.bulkInsert(rows(1 to 100, 1, identity).union(rows(1001 to 1010, 2, _ - 1000)))
+      // scattered-ts delta appends: each delta file spans the whole ts
+      // range, so file stats are useless until the rewrite re-sorts
+      (0 until 4).foreach(j =>
+        t.upsert(rows(200 + j * 100 to 203 + j * 100, 1, i => (i * 37) % 100)))
+      t.upsert(rows(1101 to 1103, 2, _ - 1090))
+      val before = t.read().select($"pk", $"vendorid", $"payload", $"ts")
+        .as[(Long, Int, String, Int)].collect().toSet
+      val stampsBefore = t.read().groupBy($"_commit_id").count()
+        .as[(Long, Long)].collect().toSet
+      def kindsOf(vendor: String) = t.log.liveFiles()
+        .filter(_.partition == vendor).map(_.kind).toSet
+      assert(kindsOf("1").contains("delta") && kindsOf("2").contains("delta"))
+
+      // incremental: rewrite only vendor 1's file groups
+      t.recluster(Some(col("vendorid") === 1))
+      assert(kindsOf("1") == Set("base"), "vendor 1 must be fully folded")
+      assert(kindsOf("2").contains("delta"), "vendor 2 must be untouched")
+
+      // full pass folds the rest; snapshot and provenance stamps unchanged
+      t.recluster()
+      assert(t.log.liveFiles().forall(!_.isDelta))
+      assert(t.read().select($"pk", $"vendorid", $"payload", $"ts")
+        .as[(Long, Int, String, Int)].collect().toSet == before)
+      assert(t.read().groupBy($"_commit_id").count()
+        .as[(Long, Long)].collect().toSet == stampsBefore,
+        "physical maintenance must not move provenance stamps")
+
+      // the re-sorted files carry disjoint ts ranges: stats prune again
+      val total = t.read().inputFiles.length
+      assert(total > 1, "need several files to demonstrate skipping")
+      assert(t.read(col("ts") <= 5 && col("vendorid") === 1).inputFiles.length < total)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("float and millis-timestamp stats never mis-prune matching rows") {
     import spark.implicits._
     // FloatType: "0.12".toDouble != 0.12f.toDouble — the stored stat must

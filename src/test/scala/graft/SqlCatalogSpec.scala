@@ -226,6 +226,20 @@ class SqlCatalogSpec extends AnyFunSuite {
       Seq(Seq(1L, "a2"), Seq(2L, "b")))
   }
 
+  test("CALL recluster rewrites deltas into cluster order via SQL") {
+    wh
+    spark.sql("""CREATE TABLE g.db.clus (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+                   storageType='mor', clusterCols='ts', statsCols='ts')""")
+    spark.sql("INSERT INTO g.db.clus VALUES (1,5,'a')")
+    spark.sql("INSERT INTO g.db.clus VALUES (2,1,'b'), (3,9,'c')") // delta
+    val cid = rows("CALL g.system.recluster('db.clus')").head.head
+      .asInstanceOf[Long]
+    assert(cid >= 2L)
+    assert(rows("SELECT pk, v FROM g.db.clus ORDER BY pk") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+  }
+
   test("table functions: graft_history and graft_changes via SQL") {
     val w = wh
     spark.sql("""CREATE TABLE g.db.tvf (pk BIGINT, ts INT, v STRING)
