@@ -106,6 +106,55 @@ object Events {
         count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""")),
 
+    // ---- stream-stream interval join ----------------------------------
+    // clicks ⋈ purchases per user within 1 hour, BOTH sides unbounded
+    // streams: watermarks + the range condition on the event-time
+    // columns bound the join state (Spark drops a side's state once the
+    // other side's watermark passes the interval), so the join runs
+    // indefinitely at fixed memory — the streaming form of funnel
+    // attribution. Event times are ms-TRUNCATED before the watermark:
+    // the fixture carries ns precision, Spark compares µs and DuckDB ns,
+    // so a raw-ts boundary comparison could disagree at the window edge.
+    GQuery("stream_interval_join",
+      (s, d) => {
+        val srcDir = stageEvents(d)
+        val raw = s.read.parquet(s"$d/events.parquet")
+        def src = {
+          val st = s.readStream.schema(raw.schema).parquet(srcDir)
+          val fixed =
+            if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+              st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            else st
+          fixed.withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
+        }
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "1 hour")
+        val buys = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+            col("event_id").as("buy_id"))
+          .withWatermark("buy_ts", "1 hour")
+        val name = s"stream_ij_${System.nanoTime()}"
+        val q = clicks.join(buys,
+            col("user_id") === col("buy_user") &&
+              col("buy_ts") >= col("click_ts") &&
+              col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("click_id"), col("buy_id"),
+            (unix_millis(col("buy_ts")) - unix_millis(col("click_ts"))).as("lag_ms"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy("user_id", "click_id", "buy_id")
+      },
+      Some("""SELECT a.user_id AS user_id, a.event_id AS click_id,
+          b.event_id AS buy_id, epoch_ms(b.ts) - epoch_ms(a.ts) AS lag_ms
+        FROM events a JOIN events b ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+         AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 3600000
+        ORDER BY a.user_id, click_id, buy_id""")),
+
     // ---- sliding event-time window (1h width, 30m slide) --------------
     GQuery("ev_sliding_window",
       (s, d) => T.events(s, d)
