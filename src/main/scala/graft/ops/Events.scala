@@ -25,9 +25,9 @@ object Events {
     * per-JVM once-cache would pin the first copy forever. Handles both a
     * single parquet file and a parquet directory fixture.
     */
-  private def stageEvents(d: String): String = {
+  private def stageEvents(d: String, variant: String = ""): String = {
     import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
-    val dir = s"/tmp/graft_stream_ev/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val dir = s"/tmp/graft_stream_ev/${d.replaceAll("[^A-Za-z0-9.]", "_")}$variant"
     val src = Paths.get(s"$d/events.parquet")
     def copyInto(from: JPath, to: JPath): Unit =
       if (Files.isDirectory(from)) {
@@ -154,6 +154,82 @@ object Events {
          AND epoch_ms(b.ts) >= epoch_ms(a.ts)
          AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 3600000
         ORDER BY a.user_id, click_id, buy_id""")),
+
+    // ---- stream-stream LEFT OUTER interval join -----------------------
+    // clicks with NO purchase within the hour (abandoned-cart shape):
+    // the outer side emits its NULL rows only when the watermark PASSES
+    // the interval bound — on a bounded stream the watermark stalls at
+    // max(ts) − delay and the trailing clicks would be silently
+    // withheld, so the stage adds a far-future SENTINEL purchase that
+    // pushes the watermark past every real click (filtered back out of
+    // the result). This is the part of outer-join semantics a batch
+    // plan never exercises.
+    GQuery("stream_outer_interval_join",
+      (s, d) => {
+        // dedicated staging dir: the sentinel must never leak into the
+        // plain-events stage the other stream queries read
+        val srcDir = stageEvents(d, variant = "_oij")
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val tsIsLong =
+          raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+        // sentinel: one purchase 10 days after the fixture's last event
+        locally {
+          import s.implicits._
+          val maxMs = raw.select(max(unix_millis(
+            if (tsIsLong) expr("timestamp_micros(ts div 1000)") else col("ts")))).head.getLong(0)
+          val far = maxMs + 10L * 24 * 3600 * 1000
+          // BOTH event types: the join's effective watermark is the MIN
+          // across the two inputs, so a purchase-only sentinel would
+          // leave the click-side watermark at max(click_ts) − delay and
+          // withhold the trailing ~(delay + interval) of real clicks.
+          // The sentinel click sits 2h after the sentinel purchase so
+          // the two never match each other.
+          Seq((-1L, far, -1L, "purchase", 0.0, "{}"),
+              (-2L, far + 2L * 3600 * 1000, -1L, "click", 0.0, "{}"))
+            .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+            .select(col("event_id"),
+              (if (tsIsLong) (col("ms") * 1000000L).as("ts")
+               else expr("timestamp_millis(ms)").as("ts")),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+            .write.mode("overwrite").parquet(s"$srcDir/sentinel.parquet")
+        }
+        def src = {
+          val st = s.readStream.schema(raw.schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir)
+          val fixed =
+            if (tsIsLong) st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            else st
+          fixed.withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
+        }
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "10 minutes")
+        val buys = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+            col("event_id").as("buy_id"))
+          .withWatermark("buy_ts", "10 minutes")
+        val name = s"stream_oij_${System.nanoTime()}"
+        val q = clicks.join(buys,
+            col("user_id") === col("buy_user") &&
+              col("buy_ts") >= col("click_ts") &&
+              col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .filter(col("buy_id").isNull) // unconverted clicks only
+          .select(col("user_id"), col("click_id"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).filter(col("user_id") >= 0)
+          .orderBy("user_id", "click_id")
+      },
+      Some("""SELECT a.user_id AS user_id, a.event_id AS click_id
+        FROM events a LEFT JOIN events b ON a.user_id = b.user_id
+         AND b.event_type = 'purchase'
+         AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+         AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 3600000
+        WHERE a.event_type = 'click' AND b.event_id IS NULL
+        ORDER BY a.user_id, click_id""")),
 
     // ---- sliding event-time window (1h width, 30m slide) --------------
     GQuery("ev_sliding_window",
