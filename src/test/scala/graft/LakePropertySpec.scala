@@ -78,6 +78,28 @@ class LakePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("maintenance law: compact/compactSmall/recluster/clean never change the snapshot") {
+    val morTable = () => LakeTable(spark, LakeTableConfig(
+      Files.createTempDirectory("lakeprop").resolve("t").toString,
+      Seq("pk"), "ts", partitionCols = Seq("vendorid"),
+      storageType = "mor", clusterCols = Seq("ts"), statsCols = Seq("ts")))
+    val opGen = Gen.listOfN(3, Gen.choose(0, 3))
+    check("maintenance-invariance", Prop.forAll(batchGen, batchGen, opGen) {
+      (a, b, ops) =>
+        val t = morTable()
+        t.upsert(toDf(a))
+        t.upsert(toDf(b))
+        val before = snap(t)
+        ops.foreach {
+          case 0 => t.compact()
+          case 1 => t.compactSmall()
+          case 2 => t.recluster()
+          case 3 => t.clean(retain = 2)
+        }
+        snap(t) == before
+    })
+  }
+
   test("schema evolution law: widened upsert wins and backfills nulls") {
     check("schema-evolution", Prop.forAll(batchGen, batchGen) { (a, b) =>
       import spark.implicits._
