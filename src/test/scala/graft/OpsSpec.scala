@@ -315,6 +315,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("domain mix: corpus rows reach the cut filter via broadcast, never a hash shuffle") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = run("doc_domain_mix")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          (e.outputPartitioning.toString, e.child.output.map(_.name))
+      }
+      // the only exchanges allowed to carry corpus rows are the output
+      // ordering's range partitioning — the per-domain cut computation
+      // shuffles |domains|-scale aggregates, never documents
+      exchanges.filter(_._2.contains("doc_id")).foreach { case (part, cols) =>
+        assert(part.toLowerCase.contains("range"),
+          s"corpus hash-shuffled before the cut filter: $part carrying $cols")
+      }
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "per-domain cuts must broadcast to the corpus side")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("bucketed join plans without a hash-shuffle exchange") {
     val df = run("bucketed_join")
     df.collect() // finalize the adaptive plan
