@@ -46,6 +46,26 @@ object Events {
     dir
   }
 
+  /** Run a bounded streaming frame to completion into a memory sink.
+    * State-store partition count is dropped to 8 for the run: stateful
+    * operators pay a per-partition state-store commit on EVERY
+    * micro-batch, so at fixture scale 32 shuffle partitions spend more
+    * wall time committing near-empty stores than joining (on a real
+    * cluster the conf stays at the site's parallelism — this scoping is
+    * about the fixture's micro-batches, not a product default).
+    */
+  private def runStream(
+      s: org.apache.spark.sql.SparkSession, name: String,
+      frame: DataFrame): Unit = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = frame.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Cohort retention triangle: entities cohorted by their first
     * `cohortType` period, counted distinct on every later active period
     * — (cohort, offset, n_active). One entity-key equi-join of the
@@ -136,15 +156,13 @@ object Events {
             col("event_id").as("buy_id"))
           .withWatermark("buy_ts", "1 hour")
         val name = s"stream_ij_${System.nanoTime()}"
-        val q = clicks.join(buys,
+        val joined = clicks.join(buys,
             col("user_id") === col("buy_user") &&
               col("buy_ts") >= col("click_ts") &&
               col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
           .select(col("user_id"), col("click_id"), col("buy_id"),
             (unix_millis(col("buy_ts")) - unix_millis(col("click_ts"))).as("lag_ms"))
-          .writeStream.outputMode("append").format("memory")
-          .queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        runStream(s, name, joined)
         s.table(name).orderBy("user_id", "click_id", "buy_id")
       },
       Some("""SELECT a.user_id AS user_id, a.event_id AS click_id,
@@ -210,16 +228,14 @@ object Events {
             col("event_id").as("buy_id"))
           .withWatermark("buy_ts", "10 minutes")
         val name = s"stream_oij_${System.nanoTime()}"
-        val q = clicks.join(buys,
+        val joined = clicks.join(buys,
             col("user_id") === col("buy_user") &&
               col("buy_ts") >= col("click_ts") &&
               col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
             "left_outer")
           .filter(col("buy_id").isNull) // unconverted clicks only
           .select(col("user_id"), col("click_id"))
-          .writeStream.outputMode("append").format("memory")
-          .queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        runStream(s, name, joined)
         s.table(name).filter(col("user_id") >= 0)
           .orderBy("user_id", "click_id")
       },
