@@ -1407,6 +1407,24 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         live.filter(f => parts.contains(f.partition))
       } else live
     if (scoped.isEmpty) return basedOn
+    // no-op guard (compact's !deltas return, adapted): when the scope
+    // has no deltas and every selected file already came out of a
+    // recluster commit, a repeat maintenance call must not rewrite the
+    // table again — resolve each path's producing op by walking the
+    // timeline backwards with early exit
+    if (!scoped.exists(_.isDelta)) {
+      val need = scala.collection.mutable.Set(scoped.map(_.path): _*)
+      var allReclustered = true
+      var cursor = basedOn
+      while (need.nonEmpty && cursor >= 0L) {
+        log.commitIfExists(cursor).foreach(c => c.adds.foreach { a =>
+          if (need.remove(a.path) && c.op != "recluster")
+            allReclustered = false
+        })
+        cursor -= 1
+      }
+      if (allReclustered) return basedOn
+    }
     val mat =
       if (scoped.exists(_.isDelta)) morMerge(readFiles(scoped))
       else readFiles(scoped)

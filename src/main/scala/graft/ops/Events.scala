@@ -66,6 +66,25 @@ object Events {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** File-stream source over a staged events dir, event time normalized
+    * ONCE for every stream query: ns-as-long fixtures become proper
+    * timestamps, then ms-truncated — Spark compares event times at µs
+    * and DuckDB at ns, so any boundary comparison (join intervals,
+    * window edges) must happen in the shared ms space.
+    */
+  private def eventStream(
+      s: org.apache.spark.sql.SparkSession, raw: DataFrame, srcDir: String,
+      recursive: Boolean = false): DataFrame = {
+    val reader = s.readStream.schema(raw.schema)
+    val st = (if (recursive) reader.option("recursiveFileLookup", "true")
+              else reader).parquet(srcDir)
+    val fixed =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else st
+    fixed.withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
+  }
+
   /** Cohort retention triangle: entities cohorted by their first
     * `cohortType` period, counted distinct on every later active period
     * — (cohort, offset, n_active). One entity-key equi-join of the
@@ -110,11 +129,7 @@ object Events {
       (s, d) => {
         val srcDir = stageEvents(d)
         val raw = s.read.parquet(s"$d/events.parquet")
-        val stream0 = s.readStream.schema(raw.schema).parquet(srcDir)
-        val stream =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            stream0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          else stream0
+        val stream = eventStream(s, raw, srcDir)
         val name = s"stream_hourly_${System.nanoTime()}"
         val q = graft.streaming.Streaming.hourlyCounts(stream)
           .writeStream.outputMode("complete").format("memory")
@@ -139,14 +154,7 @@ object Events {
       (s, d) => {
         val srcDir = stageEvents(d)
         val raw = s.read.parquet(s"$d/events.parquet")
-        def src = {
-          val st = s.readStream.schema(raw.schema).parquet(srcDir)
-          val fixed =
-            if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-              st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-            else st
-          fixed.withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
-        }
+        def src = eventStream(s, raw, srcDir)
         val clicks = src.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"),
             col("event_id").as("click_id"))
@@ -211,14 +219,7 @@ object Events {
               col("user_id"), col("event_type"), col("value"), col("props"))
             .write.mode("overwrite").parquet(s"$srcDir/sentinel.parquet")
         }
-        def src = {
-          val st = s.readStream.schema(raw.schema)
-            .option("recursiveFileLookup", "true").parquet(srcDir)
-          val fixed =
-            if (tsIsLong) st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-            else st
-          fixed.withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
-        }
+        def src = eventStream(s, raw, srcDir, recursive = true)
         val clicks = src.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"),
             col("event_id").as("click_id"))

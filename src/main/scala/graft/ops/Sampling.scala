@@ -91,20 +91,30 @@ object Sampling {
       weights: Map[String, Int], salt: String = "mix"): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"domain weights must be positive, got $weights")
-    val W = weights.values.map(_.toLong).sum
-    val wtExpr = weights.foldRight(lit(null).cast("long"): Column) {
-      case ((dom, wt), acc) => when(col("_dom") === dom, wt.toLong).otherwise(acc)
+    // ONE map-side-combined count per domain, collected at
+    // METADATA scale (|domains| rows — the IVF-centroid pattern, not a
+    // data collect); T and the cuts then compute in driver-side BigInt,
+    // so the arithmetic is exact at ANY corpus size (a 64-bit
+    // Buckets·w·T product overflows around trillion-row domains) and a
+    // weighted domain absent from the corpus fails LOUD instead of
+    // silently skewing the mix toward the present ones.
+    val counts: Map[String, Long] =
+      df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
+        .groupBy(col(domainCol)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"weighted domains absent from the corpus: ${missing.mkString(",")}")
+    val W = weights.values.map(BigInt(_)).sum
+    val t = weights.map { case (dom, w) => BigInt(counts(dom)) * W / w }.min
+    val cutOf: Map[String, Long] = weights.map { case (dom, w) =>
+      dom -> (BigInt(Buckets) * w * t / (W * counts(dom))).toLong
     }
-    val counts = df.filter(col(domainCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(domainCol).as("_dom")).agg(count(lit(1)).as("_n"))
-      .withColumn("_wt", wtExpr)
-    val t = counts.agg(min(expr(s"(_n * $W) div _wt")).as("_t"))
-    val cuts = counts.crossJoin(broadcast(t))
-      .withColumn("_cut", expr(s"($Buckets * _wt * _t) div ($W * _n)"))
-      .select("_dom", "_cut")
-    df.join(broadcast(cuts), col(domainCol) === col("_dom"))
-      .filter(hashBucket(col(idCol), salt) < col("_cut"))
-      .drop("_dom", "_cut")
+    // unweighted domains fall through to cut -1: kept never
+    val cut = cutOf.foldRight(lit(-1L): Column) { case ((dom, c), acc) =>
+      when(col(domainCol) === dom, c).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt) < cut)
   }
 
   // ---- fixture queries ------------------------------------------------

@@ -910,6 +910,13 @@ class LakeTableSpec extends AnyFunSuite {
       val total = t.read().inputFiles.length
       assert(total > 1, "need several files to demonstrate skipping")
       assert(t.read(col("ts") <= 5 && col("vendorid") === 1).inputFiles.length < total)
+
+      // repeat maintenance is a NO-OP: everything is already the product
+      // of a recluster, so no commit lands and no file is rewritten
+      val commits = t.log.commits.size
+      t.recluster()
+      assert(t.log.commits.size == commits,
+        "back-to-back recluster must not rewrite an already-clustered table")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 

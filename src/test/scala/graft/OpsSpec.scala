@@ -326,13 +326,14 @@ class OpsSpec extends AnyFunSuite {
       }
       // the only exchanges allowed to carry corpus rows are the output
       // ordering's range partitioning — the per-domain cut computation
-      // shuffles |domains|-scale aggregates, never documents
+      // collects |domains|-scale counts and bakes the cuts in as
+      // LITERALS, so the kept-set filter needs no join at all
       exchanges.filter(_._2.contains("doc_id")).foreach { case (part, cols) =>
         assert(part.toLowerCase.contains("range"),
           s"corpus hash-shuffled before the cut filter: $part carrying $cols")
       }
-      assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
-        "per-domain cuts must broadcast to the corpus side")
+      assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+        "the cut filter must be a literal per-row predicate, not a join")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 

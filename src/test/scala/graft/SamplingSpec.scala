@@ -82,6 +82,12 @@ class SamplingSpec extends AnyFunSuite {
     // unweighted domains are dropped
     val noC = Sampling.domainMix(df, "id", "dom", weights = Map("a" -> 1, "b" -> 1))
     assert(noC.filter($"dom" === "c").isEmpty)
+    // a weighted domain with no corpus rows fails LOUD — a typo'd name
+    // must not silently skew the mix toward the present domains
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.domainMix(df, "id", "dom", weights = Map("a" -> 1, "zz" -> 1))
+    }
+    assert(ex.getMessage.contains("zz"))
   }
 
   test("malformed weights are rejected") {
