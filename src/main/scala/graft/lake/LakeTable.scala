@@ -756,8 +756,34 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * over candidates is exact, and deleted keys return nothing. The
     * final semi-join filters the merged candidates to the probe keys.
     */
+  /** observability: files scanned by the last [[lookup]] vs files live at
+    * that moment — callers assert point reads stay key-range pruned (the
+    * pruning inside lookup is eager, so these are valid right after the
+    * call returns)
+    */
+  @volatile private[graft] var lastLookupFiles: Int = -1
+  @volatile private[graft] var lastLookupLive: Int = -1
+
   def lookup(keys: DataFrame): DataFrame = {
-    val candidates = pruneByKeyRange(keys, log.liveFiles())
+    val live = log.liveFiles()
+    // hash-bucketed tables prune by file group FIRST: a probe key can
+    // only live in the bucket it hashes into, which holds even when
+    // per-file key RANGES span the whole key space (hash-spread ingest
+    // order, or compacted bucket bases). Probe key columns must carry
+    // the table's key column types — the bucket hash is type-sensitive
+    // (same contract as upsert's partition probe).
+    val bucketed =
+      if (config.hashBuckets == 0) live
+      else {
+        val hit = keys.select(
+            pmod(hash(config.keyCols.map(col): _*), lit(config.hashBuckets))
+              .cast("string").as("_b"))
+          .distinct().collect().map(_.getString(0)).toSet // ≤ hashBuckets
+        live.filter(f => hit.contains(f.partition.split(PartSep(0)).last))
+      }
+    val candidates = pruneByKeyRange(keys, bucketed)
+    lastLookupFiles = candidates.size
+    lastLookupLive = live.size
     val probe = keys.select(keyStrExpr.as("_record_key")).distinct()
     // all-pruned: same schema-stability drop as read(pruneBy) — the
     // latest commit may be a delta whose schema carries MoR internals

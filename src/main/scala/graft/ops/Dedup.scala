@@ -35,17 +35,31 @@ final class MinHashDedupIndex(
   require(numPerm % bandSize == 0, "numPerm must divide into bands")
   private val nBands = numPerm / bandSize
 
+  // Both index tables are MERGE-ON-READ: an ingest appends O(batch)
+  // delta files instead of rewriting every touched partition (a CoW
+  // upsert here would rewrite ~ALL pband partitions per batch — an
+  // O(index) write). Inline compaction bounds delta-file counts; `docs`
+  // is additionally hash-bucketed so the verify lookup prunes by file
+  // group even after compaction key-ranges a bucket's base over the
+  // whole id space.
   val bands: LakeTable = LakeTable(spark, LakeTableConfig(
     s"$root/bands", keyCols = Seq("doc_id", "band_id"),
-    precombineCol = "band_hash", partitionCols = Seq("pband")))
+    precombineCol = "band_hash", partitionCols = Seq("pband"),
+    storageType = "mor", compactEvery = 16))
 
   val docs: LakeTable = LakeTable(spark, LakeTableConfig(
-    s"$root/docs", keyCols = Seq("doc_id"), precombineCol = "doc_id"))
+    s"$root/docs", keyCols = Seq("doc_id"), precombineCol = "doc_id",
+    storageType = "mor", compactEvery = 16, hashBuckets = nBuckets))
 
   /** probe-pruning observability for specs: files scanned by the last
     * ingest's index probe vs files live in the whole index */
   @volatile private[graft] var lastProbeFiles: Int = 0
   @volatile private[graft] var lastIndexFiles: Int = 0
+
+  /** verify-pruning observability: forward-index files the last ingest's
+    * exact-Jaccard verify lookup scanned vs files live in `docs` */
+  @volatile private[graft] var lastVerifyFiles: Int = 0
+  @volatile private[graft] var lastDocsFiles: Int = 0
 
   private def sigExpr: Column =
     array((0 until numPerm).map(i =>
@@ -103,15 +117,28 @@ final class MinHashDedupIndex(
             .filter(col("doc_id") =!= col("partner"))
             .select(col("doc_id"), col("partner"))
         }
-      val cand = candNew.union(candOld).distinct()
-      // exact-Jaccard verify, candidates only; integer set algebra
-      val partnerTri = b.select(col("doc_id").as("partner"), col("tri").as("tri_p"))
-        .unionByName(
-          if (docs.exists)
-            docs.read().select(col("doc_id").as("partner"), col("tri").as("tri_p"))
-          else spark.emptyDataFrame
+      // consumed twice: the verify lookup's eager key-range prune + the
+      // verify join itself
+      val cand = candNew.union(candOld).distinct().persist()
+      // exact-Jaccard verify, candidates only; integer set algebra. Index
+      // partners resolve through the footer key-range point lookup, NOT a
+      // forward-index scan: per-batch verify I/O is O(candidate files),
+      // never O(corpus) — the same discipline the band probe uses.
+      val idxPartners =
+        if (docs.exists) {
+          val hit = docs.lookup(cand.select(col("partner").as("doc_id")))
+            .select(col("doc_id").as("partner"), col("tri").as("tri_p"))
+          lastVerifyFiles = docs.lastLookupFiles
+          lastDocsFiles = docs.lastLookupLive
+          hit
+        } else {
+          lastVerifyFiles = 0; lastDocsFiles = 0
+          spark.emptyDataFrame
             .select(lit(0L).as("partner"), lit(Array.empty[String]).as("tri_p"))
-            .limit(0))
+            .limit(0)
+        }
+      val partnerTri = b.select(col("doc_id").as("partner"), col("tri").as("tri_p"))
+        .unionByName(idxPartners)
       val dupOf = cand
         .join(b.select(col("doc_id"), col("tri")), "doc_id")
         .join(partnerTri, "partner")
@@ -141,7 +168,7 @@ final class MinHashDedupIndex(
           .persist()
         out.count()
         out
-      } finally { dupOf.unpersist(); () }
+      } finally { dupOf.unpersist(); cand.unpersist(); () }
     } finally { b.unpersist(); newBands.unpersist(); () }
   }
 }

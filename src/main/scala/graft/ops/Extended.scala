@@ -69,17 +69,22 @@ object Extended {
     */
   def profile(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // internal aliases are POSITIONAL (_nn_0, ...), never the user names:
+    // a profiled column named `it's` or `a``b` must not be spliced into
+    // any parsed expression — the unpivot below is typed, not SQL text
     val wide = df.agg(
       count(lit(1)).as("_n"),
-      cols.flatMap(c => Seq(
-        count(col(c)).as(s"_nn_$c"),
-        countDistinct(col(c)).as(s"_nd_$c"),
-        min(col(c)).cast("string").as(s"_mn_$c"),
-        max(col(c)).cast("string").as(s"_mx_$c"))): _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', _n, _n - `_nn_$c`, `_nd_$c`, `_mn_$c`, `_mx_$c`").mkString(", ")
-    wide.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        count(col(c)).as(s"_nn_$i"),
+        countDistinct(col(c)).as(s"_nd_$i"),
+        min(col(c)).cast("string").as(s"_mn_$i"),
+        max(col(c)).cast("string").as(s"_mx_$i")) }: _*)
+    wide.select(stack(
+        lit(cols.size) +: cols.zipWithIndex.flatMap { case (c, i) => Seq(
+          lit(c), col("_n"), col("_n") - col(s"_nn_$i"),
+          col(s"_nd_$i"), col(s"_mn_$i"), col(s"_mx_$i")) }: _*))
+      .toDF("column_name", "n_rows", "n_nulls",
+        "n_distinct", "min_value", "max_value")
       .orderBy("column_name")
   }
 

@@ -180,13 +180,18 @@ object Text {
     // ids-only discipline as the MinHash band join); names re-attach
     // through two equi-joins against the deduped candidate pairs
     val names = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // the variant STRING never enters the shuffle either: the join key is
+    // its 64-bit hash (2-3× narrower exchange than the raw variants); a
+    // hash collision only ADDS a candidate pair, which the exact
+    // levenshtein verify below discards — recall stays complete
     val bands = names.select(col("id"), explode(expr(
       """array_distinct(concat(array(s),
            transform(sequence(1, length(s)),
              i -> concat(substring(s, 1, i - 1),
                          substring(s, i + 1, length(s))))))""")).as("variant"))
+      .select(col("id"), xxhash64(col("variant")).as("vh"))
     val candIds = bands.as("a")
-      .join(bands.as("b"), col("a.variant") === col("b.variant") &&
+      .join(bands.as("b"), col("a.vh") === col("b.vh") &&
         col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // two strings can share several deletion variants

@@ -187,35 +187,52 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       names.head
     }
     if (lake.exists) {
-      // dry-run EVERY change against a simulated schema before applying
-      // ANY: a multi-change ALTER whose later change fails validation
-      // must not leave the table half-altered
-      val pinned = (desc.keyCols ++ desc.partitionCols ++ desc.statsCols :+
-        desc.precombineCol).toSet
-      changes.foldLeft(lake.tableSchema().fieldNames.toSeq) { (names, ch) =>
+      // dry-run EVERY change against a simulated (name, type) schema
+      // before applying ANY: a multi-change ALTER whose later change
+      // fails validation must not leave the table half-altered. The
+      // checks MIRROR the apply phase exactly — pinned set (incl.
+      // clusterCols), internal-name guards, and the widening lattice —
+      // or a change passes here and fails mid-apply.
+      import graft.lake.SchemaEvo
+      val pinned = (desc.keyCols ++ desc.partitionCols ++ desc.statsCols ++
+        desc.clusterCols :+ desc.precombineCol).toSet
+      def notPinned(n: String): Unit =
+        require(!SchemaEvo.isInternal(n) && !pinned.contains(n),
+          s"column '$n' is pinned by the table configuration")
+      changes.foldLeft(
+        lake.tableSchema().fields.toSeq.map(f => f.name -> f.dataType)) {
+        (fields, ch) =>
+        val names = fields.map(_._1)
         ch match {
           case c: TableChange.AddColumn =>
             val n = one(c.fieldNames)
             require(!names.contains(n), s"column '$n' already exists")
-            names :+ n
+            require(n.nonEmpty && !SchemaEvo.isInternal(n),
+              s"invalid column name '$n'")
+            fields :+ (n -> c.dataType)
           case c: TableChange.RenameColumn =>
             val n = one(c.fieldNames)
             require(names.contains(n), s"no column '$n'")
             require(!names.contains(c.newName),
               s"column '${c.newName}' already exists")
-            require(!pinned.contains(n),
-              s"column '$n' is pinned by the table configuration")
-            names.map(x => if (x == n) c.newName else x)
+            notPinned(n)
+            require(c.newName.nonEmpty && !SchemaEvo.isInternal(c.newName),
+              s"invalid new column name '${c.newName}'")
+            fields.map { case (x, t) => (if (x == n) c.newName else x) -> t }
           case c: TableChange.DeleteColumn =>
             val n = one(c.fieldNames)
             require(names.contains(n), s"no column '$n'")
-            require(!pinned.contains(n),
-              s"column '$n' is pinned by the table configuration")
-            names.filterNot(_ == n)
+            notPinned(n)
+            fields.filterNot(_._1 == n)
           case c: TableChange.UpdateColumnType =>
-            require(names.contains(one(c.fieldNames)),
-              s"no column '${one(c.fieldNames)}'")
-            names
+            val n = one(c.fieldNames)
+            val from = fields.find(_._1 == n).getOrElse(
+              throw new IllegalArgumentException(s"no column '$n'"))._2
+            notPinned(n)
+            require(SchemaEvo.canWiden(from, c.newDataType),
+              s"cannot widen ${from.simpleString} to ${c.newDataType.simpleString}")
+            fields.map { case (x, t) =>
+              x -> (if (x == n) c.newDataType else t) }
           case other => throw new UnsupportedOperationException(
             s"unsupported ALTER TABLE change: $other")
         }

@@ -80,6 +80,30 @@ class DedupIndexSpec extends AnyFunSuite {
         s"${idx.lastIndexFiles} index files — probe must be partition-pruned")
   }
 
+  test("verify join is key-addressed: reads don't grow with uninvolved corpus") {
+    val idx = new MinHashDedupIndex(spark, freshRoot())
+    // three disjoint 6-digit id regions → files with cleanly separated
+    // string key ranges in the `docs` forward index
+    idx.ingest(docs(filler(100000 until 100200): _*))
+    idx.ingest(docs(filler(500000 until 500200): _*))
+    // probe 1: a verbatim copy of a region-A doc — the verify lookup must
+    // resolve partner 100003 through region-A files only
+    idx.ingest(docs((700000L, filler(100003 to 100003).head._2)))
+    val v1 = idx.lastVerifyFiles
+    val docsAtProbe1 = idx.lastDocsFiles
+    assert(v1 > 0, "the verify lookup must scan the partner's file")
+    assert(v1 < docsAtProbe1,
+      s"verify scanned $v1 of $docsAtProbe1 docs files — must be key-range pruned")
+    // grow an UNINVOLVED region, then re-probe the same region-A doc:
+    // verify reads must not grow with the new files
+    idx.ingest(docs(filler(900000 until 900200): _*))
+    idx.ingest(docs((700001L, filler(100003 to 100003).head._2)))
+    assert(idx.lastDocsFiles > docsAtProbe1, "the index must have grown")
+    assert(idx.lastVerifyFiles <= v1,
+      s"verify reads grew ${v1} -> ${idx.lastVerifyFiles} after ingesting " +
+        "an uninvolved id region — the lookup is not key-addressed")
+  }
+
   test("empty-shingle docs never match anything") {
     val idx = new MinHashDedupIndex(spark, freshRoot())
     val r = verdicts(idx.ingest(docs(
