@@ -662,7 +662,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
     val live = log.liveFiles(asOf)
-    val files = pred.fold(live)(p => pruneByColStats(live, p))
+    val files = pred.fold(live)(p => pruneByColStats(live, p, asOf))
     // all-pruned: keep the schema shape stable with the merged (non-empty)
     // branch — the latest commit may be a delta whose schema carries the
     // MoR internals morMerge would have dropped
@@ -1644,7 +1644,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     */
   private def pruneByColStats(
       files: Seq[FileAdd],
-      pred: org.apache.spark.sql.catalyst.expressions.Expression): Seq[FileAdd] = {
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      asOf: Option[Long] = None): Seq[FileAdd] = {
     if (config.statsCols.isEmpty) files
     else {
       // literal casts depend only on (expression, column type) — memoize
@@ -1655,13 +1656,18 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
                Option[Any]]
       // schema evolution: stats were recorded under the file's PHYSICAL
       // column names and types — resolve each file's schema once so
-      // bounds can match by column id and parse in the file's type
-      val jsonOf = pathSchemaJson(None)
+      // bounds can match by column id and parse in the file's type.
+      // BOTH resolutions pin to `asOf`: a VERSION AS OF read's predicate
+      // names the PINNED schema's columns, so resolving against the head
+      // (which may have renamed them since) would silently lose all
+      // skipping — correct but fully unpruned.
+      val jsonOf = pathSchemaJson(asOf)
+      val tbl = tableSchema(asOf)
       val schemaCache = scala.collection.mutable.HashMap.empty[String, StructType]
       def schemaFor(f: FileAdd): Option[StructType] =
         jsonOf.get(f.path).map(j => schemaCache.getOrElseUpdate(j, parseSchema(j)))
       def may(f: FileAdd): Boolean =
-        !statsImpossible(f, schemaFor(f), pred, litCache)
+        !statsImpossible(f, schemaFor(f), tbl, pred, litCache)
       if (!files.exists(_.isDelta)) files.filter(may)
       else if (groupLocalMergeSafe) {
         val keep = files.groupBy(_.partition)
@@ -1679,6 +1685,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   private def statsImpossible(
       f: FileAdd,
       fileSchema: Option[StructType],
+      tbl: StructType,
       e: org.apache.spark.sql.catalyst.expressions.Expression,
       litCache: scala.collection.mutable.Map[
         (org.apache.spark.sql.catalyst.expressions.Expression, DataType),
@@ -1760,7 +1767,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       : Option[(Any, Any, Any, (Any, Any) => Int)] =
       for {
         name <- attrName(attr)
-        tf <- tableSchema(None).fields.find(_.name == name)
+        tf <- tbl.fields.find(_.name == name)
         dt = tf.dataType
         (fName, fDt) = fileSchema
           .flatMap(_.fields.find(x => SchemaEvo.cid(x) == SchemaEvo.cid(tf)))
@@ -1777,30 +1784,30 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       } yield (mn, mx, lv, cmp)
     def no(opt: Option[Boolean]): Boolean = opt.getOrElse(false)
     e match {
-      case And(l, r) => statsImpossible(f, fileSchema, l, litCache) || statsImpossible(f, fileSchema, r, litCache)
-      case Or(l, r) => statsImpossible(f, fileSchema, l, litCache) && statsImpossible(f, fileSchema, r, litCache)
+      case And(l, r) => statsImpossible(f, fileSchema, tbl, l, litCache) || statsImpossible(f, fileSchema, tbl, r, litCache)
+      case Or(l, r) => statsImpossible(f, fileSchema, tbl, l, litCache) && statsImpossible(f, fileSchema, tbl, r, litCache)
       case EqualTo(a, l) if l.foldable && !a.foldable =>
         no(bounds(a, l).map { case (mn, mx, v, c) => c(v, mn) < 0 || c(v, mx) > 0 })
       case EqualTo(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, fileSchema, EqualTo(a, l), litCache)
+        statsImpossible(f, fileSchema, tbl, EqualTo(a, l), litCache)
       case LessThan(a, l) if l.foldable && !a.foldable => // needs min < v
         no(bounds(a, l).map { case (mn, _, v, c) => c(mn, v) >= 0 })
       case LessThan(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, fileSchema, GreaterThan(a, l), litCache)
+        statsImpossible(f, fileSchema, tbl, GreaterThan(a, l), litCache)
       case LessThanOrEqual(a, l) if l.foldable && !a.foldable =>
         no(bounds(a, l).map { case (mn, _, v, c) => c(mn, v) > 0 })
       case LessThanOrEqual(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, fileSchema, GreaterThanOrEqual(a, l), litCache)
+        statsImpossible(f, fileSchema, tbl, GreaterThanOrEqual(a, l), litCache)
       case GreaterThan(a, l) if l.foldable && !a.foldable => // needs max > v
         no(bounds(a, l).map { case (_, mx, v, c) => c(mx, v) <= 0 })
       case GreaterThan(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, fileSchema, LessThan(a, l), litCache)
+        statsImpossible(f, fileSchema, tbl, LessThan(a, l), litCache)
       case GreaterThanOrEqual(a, l) if l.foldable && !a.foldable =>
         no(bounds(a, l).map { case (_, mx, v, c) => c(mx, v) < 0 })
       case GreaterThanOrEqual(l, a) if l.foldable && !a.foldable =>
-        statsImpossible(f, fileSchema, LessThanOrEqual(a, l), litCache)
+        statsImpossible(f, fileSchema, tbl, LessThanOrEqual(a, l), litCache)
       case In(a, vs) if vs.nonEmpty && !a.foldable && vs.forall(_.foldable) =>
-        vs.forall(v => statsImpossible(f, fileSchema, EqualTo(a, v), litCache))
+        vs.forall(v => statsImpossible(f, fileSchema, tbl, EqualTo(a, v), litCache))
       case _ => false
     }
   }

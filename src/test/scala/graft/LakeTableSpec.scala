@@ -868,6 +868,34 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.read(length(col("payload")) > 1).count() == 200L)
   }
 
+  test("stats skipping applies to version-pinned reads, across later renames") {
+    import spark.implicits._
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      statsCols = Seq("ts")))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      t.bulkInsert((1 to 200).map(i => (f"k$i%03d", s"p$i", i))
+        .toDF("pk", "payload", "ts"))
+      val pin = t.log.latestId.get
+      // post-pin activity: rename a non-stats column, then grow the table
+      t.renameColumn("payload", "body")
+      t.upsert((201 to 400).map(i => (f"k$i%03d", s"p$i", i))
+        .toDF("pk", "body", "ts"))
+      val total = t.readAsOf(pin).inputFiles.length
+      assert(total > 1, "need several files to demonstrate skipping")
+      // the pinned read prunes its file list (resolution against the
+      // PINNED schema — the head schema has renamed 'payload' away)
+      val pruned = t.read(col("ts") <= 10, Some(pin))
+      assert(pruned.inputFiles.length < total,
+        s"pinned read scanned all $total files — stats skipping lost")
+      assert(pruned.select($"pk").as[String].collect().toSet ==
+        (1 to 10).map(i => f"k$i%03d").toSet)
+      assert(pruned.columns.contains("payload") && !pruned.columns.contains("body"),
+        "pinned read must expose the pinned version's column names")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("recluster folds MoR deltas into cluster order; snapshot and provenance unchanged") {
     import spark.implicits._
     val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
