@@ -263,6 +263,31 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     upTo.lastOption.map(_.schemaJson)
   }
 
+  /** Staged-CTAS publish: rewrite every recorded file path under
+    * `oldRoot` to live under THIS log's root — called once, right after
+    * a staged table directory was renamed into its final location (the
+    * staged commit JSONs still reference the stage directory, and
+    * absolute paths are the log's contract). Deliberately bypasses the
+    * immutable-once-published rule: the table is INVISIBLE until its
+    * descriptor lands (publish-last ordering), so no other reader can
+    * have memoized these ids yet. */
+  private[graft] def relocateFrom(oldRoot: String): Unit = {
+    val oldQ = fs.makeQualified(new Path(oldRoot)).toString
+    def fix(p: String): String = {
+      val q = fs.makeQualified(new Path(p)).toString
+      if (q.startsWith(oldQ + "/")) rootStr + q.stripPrefix(oldQ) else p
+    }
+    listIds.foreach { id =>
+      val fixed = read(id) match { case c =>
+        c.copy(adds = c.adds.map(a => a.copy(path = fix(a.path))),
+          removes = c.removes.map(fix))
+      }
+      val out = fs.create(commitPath(id), true)
+      try out.write(mapper.writeValueAsBytes(fixed)) finally out.close()
+      parsed.put(id, fixed)
+    }
+  }
+
   // ---- savepoints (Hudi savepoint/restore: pin a commit against the
   // cleaner so it stays reproducible, restore the timeline back to it)
 

@@ -104,6 +104,73 @@ object Sql {
       cat
     })
 
+  /** Unpartitioned nation table hit by a MERGE whose ON clause carries a
+    * RESIDUAL conjunct beyond the key equality (the Delta-idiomatic
+    * `ON t.k = s.k AND t.region = ...` shape): the residual scopes the
+    * matched clauses — region-1 rows with key >= 20 delete, region-1
+    * rows below update, everything else is untouched (and in particular
+    * key-matched rows failing the residual do NOT re-insert). */
+  private[graft] def residualFixture(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:residual", _ => {
+      val cat = dmlFixture(s, d)
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_res")
+      s.sql(s"""CREATE TABLE $cat.db.nation_res (
+          n_nationkey INT, n_name STRING, n_regionkey INT, update_ts INT)
+        USING graft TBLPROPERTIES
+        (keyCols='n_nationkey', precombineCol='update_ts')""")
+      s.sql(s"INSERT INTO $cat.db.nation_res SELECT *, 0 FROM sql_nation_src")
+      s.sql(s"""MERGE INTO $cat.db.nation_res t
+        USING (SELECT *, 1 AS update_ts FROM sql_nation_src) s
+        ON t.n_nationkey = s.n_nationkey AND t.n_regionkey = 1
+        WHEN MATCHED AND t.n_nationkey >= 20 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET n_name = concat(t.n_name, '*'),
+                                     update_ts = s.update_ts
+        WHEN NOT MATCHED THEN INSERT *""")
+      cat
+    })
+
+  /** Staged creation end-to-end: CTAS materializes a transformed SELECT
+    * into a brand-new table (atomic: descriptor lands last), then
+    * REPLACE TABLE AS SELECT swaps it wholesale for a narrowed,
+    * re-derived version — the final contents are what the oracle pins. */
+  private[graft] def ctasFixture(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:ctas", _ => {
+      val cat = dmlFixture(s, d)
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_ctas")
+      s.sql(s"""CREATE TABLE $cat.db.nation_ctas USING graft
+        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')
+        AS SELECT n_nationkey, n_name, n_regionkey, 0 AS update_ts
+        FROM sql_nation_src""")
+      s.sql(s"""REPLACE TABLE $cat.db.nation_ctas USING graft
+        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')
+        AS SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey,
+                  1 AS update_ts
+        FROM sql_nation_src WHERE n_regionkey <= 2""")
+      cat
+    })
+
+  /** MoR `nation` table tailed BY NAME through the DSv2 catalog — the
+    * V1-fallback bridge ([[graft.sql.GraftTableV2.v1FallbackTable]])
+    * resolves `readStream.table` to the commit-log tail source. Timeline:
+    * c0 = seed (base load — not part of the change tail), c1 = delta
+    * re-insert of region 1 (names marked `+`), c2 = delete tombstones
+    * for keys >= 20. */
+  private[graft] def tailFixture(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:tail", _ => {
+      val cat = dmlFixture(s, d)
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_mor")
+      s.sql(s"""CREATE TABLE $cat.db.nation_mor (
+          n_nationkey INT, n_name STRING, n_regionkey INT, update_ts INT)
+        USING graft TBLPROPERTIES
+        (keyCols='n_nationkey', precombineCol='update_ts', storageType='mor')""")
+      s.sql(s"INSERT INTO $cat.db.nation_mor SELECT *, 0 FROM sql_nation_src")
+      s.sql(s"""INSERT INTO $cat.db.nation_mor
+        SELECT n_nationkey, concat(n_name, '+'), n_regionkey, 1
+        FROM sql_nation_src WHERE n_regionkey = 1""")
+      s.sql(s"DELETE FROM $cat.db.nation_mor WHERE n_nationkey >= 20")
+      cat
+    })
+
   val queries: Seq[GQuery] = Seq(
 
     // ---- CREATE/INSERT/UPDATE/DELETE through spark.sql -----------------
@@ -130,6 +197,69 @@ object Sql {
       },
       Some("""SELECT n_nationkey, n_name, n_regionkey, 0 AS update_ts
         FROM nation ORDER BY n_nationkey""")),
+
+    // ---- streaming tail of a CATALOG table, by name ---------------------
+    // same change-log semantics as lake_tail_changes, but resolved through
+    // readStream.table("cat.db.t") instead of a path: only the delta
+    // commits (c1 update, c2 tombstones) are the tail; the c0 base load is
+    // not a change. Sort is total: one update row and/or one tombstone per
+    // key, tombstones carry NULL payloads.
+    GQuery("catalog_stream_tail",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val cat = tailFixture(s, d)
+        val qn = "catalog_stream_tail_sink"
+        val q = s.readStream.table(s"$cat.db.nation_mor")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn).select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey"), col("update_ts"), col("_deleted"))
+          .orderBy(col("n_nationkey"), col("_deleted"))
+      },
+      Some("""WITH tail AS (
+          SELECT n_nationkey, n_name || '+' AS n_name, n_regionkey,
+                 1 AS update_ts, false AS _deleted
+          FROM nation WHERE n_regionkey = 1
+          UNION ALL
+          SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name,
+                 CAST(NULL AS INT) AS n_regionkey,
+                 CAST(NULL AS INT) AS update_ts, true AS _deleted
+          FROM nation WHERE n_nationkey >= 20)
+        SELECT * FROM tail ORDER BY n_nationkey, _deleted""")),
+
+    // ---- CTAS + REPLACE TABLE AS SELECT ---------------------------------
+    // materialize-a-SELECT (the reference's ETL shape: read → transform →
+    // publish a table) through the staged catalog path; the oracle pins
+    // the post-REPLACE snapshot
+    GQuery("lake_sql_ctas",
+      (s, d) => {
+        val cat = ctasFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, update_ts
+          FROM $cat.db.nation_ctas ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey,
+          1 AS update_ts
+        FROM nation WHERE n_regionkey <= 2
+        ORDER BY n_nationkey""")),
+
+    // ---- MERGE with a residual ON conjunct ------------------------------
+    // ON t.k = s.k AND t.n_regionkey = 1: the residual scopes the matched
+    // delete/update to region 1; key-matched rows outside it stay put and
+    // are NOT re-inserted (keyed table — see GraftMergeCommand scaladoc)
+    GQuery("lake_sql_merge_residual",
+      (s, d) => {
+        val cat = residualFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, update_ts
+          FROM $cat.db.nation_res ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_regionkey = 1 THEN n_name || '*' ELSE n_name END AS n_name,
+          n_regionkey,
+          CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END AS update_ts
+        FROM nation
+        WHERE NOT (n_regionkey = 1 AND n_nationkey >= 20)
+        ORDER BY n_nationkey""")),
 
     // ---- SQL MERGE INTO: same clause set as lake_merge_snapshot --------
     // (the DataFrame-built merge and the SQL-built merge must produce

@@ -34,18 +34,27 @@ final class GraftSource extends RelationProvider
       ctx: SQLContext, parameters: Map[String, String]): LakeTable = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft source requires a path"))
-    def csv(k: String): Seq[String] =
+    def csv(k: String): Option[Seq[String]] =
       parameters.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty)
-    val cfg = LakeTableConfig(
-      root = path,
-      keyCols = if (csv("keyCols").nonEmpty) csv("keyCols") else Seq("_record_key"),
-      precombineCol = parameters.getOrElse("precombineCol", "_commit_id"),
-      partitionCols = csv("partitionCols"),
-      globalIndex = parameters.get("globalIndex").exists(_.toBoolean),
-      storageType = parameters.getOrElse("storageType", "cow"),
-      hashBuckets = parameters.get("hashBuckets").map(_.toInt).getOrElse(0),
-      statsCols = csv("statsCols"))
+    // a table created through the SQL catalog persists its descriptor
+    // with the data — resolve config from the path alone so the DSv2
+    // streaming fallback (readStream.table / writeStream.toTable passes
+    // only the location) gets the REAL key/precombine/layout instead of
+    // read-only defaults; explicit options still override field-wise
+    val base = graft.lake.TableDescriptor
+      .load(path, ctx.sparkSession.sparkContext.hadoopConfiguration)
+      .map(_.config(path))
+      .getOrElse(LakeTableConfig(path, Seq("_record_key"), "_commit_id"))
+    val cfg = base.copy(
+      keyCols = csv("keyCols").getOrElse(base.keyCols),
+      precombineCol = parameters.getOrElse("precombineCol", base.precombineCol),
+      partitionCols = csv("partitionCols").getOrElse(base.partitionCols),
+      globalIndex = parameters.get("globalIndex").map(_.toBoolean)
+        .getOrElse(base.globalIndex),
+      storageType = parameters.getOrElse("storageType", base.storageType),
+      hashBuckets = parameters.get("hashBuckets").map(_.toInt)
+        .getOrElse(base.hashBuckets),
+      statsCols = csv("statsCols").getOrElse(base.statsCols))
     LakeTable(ctx.sparkSession, cfg)
   }
 
@@ -90,17 +99,18 @@ final class GraftSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Sink = {
     require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
       "graft sink supports append/update output modes only")
-    // partitioning is a TABLE property (partitionCols option), not a query
-    // property: silently ignoring writeStream.partitionBy would write a
-    // layout the user did not ask for
-    val tableParts = parameters.get("partitionCols")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val table = tableFor(ctx, parameters)
+    // partitioning is a TABLE property (persisted descriptor or the
+    // partitionCols option), not a query property: silently ignoring
+    // writeStream.partitionBy would write a layout the user did not ask
+    // for — compare against the RESOLVED config so toTable (which
+    // passes only the location) checks the real layout
+    val tableParts = table.config.partitionCols
     require(partitionColumns.isEmpty || partitionColumns == tableParts,
       s"writeStream.partitionBy(${partitionColumns.mkString(",")}) conflicts with " +
         s"the table's partitionCols (${tableParts.mkString(",")}) — " +
         "set partitioning via the partitionCols option")
-    new GraftSink(tableFor(ctx, parameters),
-      ctx.sparkSession.sparkContext.hadoopConfiguration)
+    new GraftSink(table, ctx.sparkSession.sparkContext.hadoopConfiguration)
   }
 
   /** `spark.readStream.format("graft")` — the commit-log-driven change

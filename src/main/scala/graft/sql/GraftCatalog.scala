@@ -40,7 +40,7 @@ import graft.lake.TableDescriptor
   * commit log's, not the catalog's).
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -91,7 +91,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = tablePath(ident)
     val desc = TableDescriptor.load(root.toString, hconf)
       .getOrElse(throw new NoSuchTableException(ident))
-    new GraftTableV2(spark, ident.toString, root.toString, desc, asOf = None)
+    new GraftTableV2(spark, catalogName, ident.toString, root.toString, desc, asOf = None)
   }
 
   /** `VERSION AS OF <commit>` time travel (Delta/Hudi syntax). */
@@ -101,7 +101,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = tablePath(ident)
     val desc = TableDescriptor.load(root.toString, hconf)
       .getOrElse(throw new NoSuchTableException(ident))
-    new GraftTableV2(spark, ident.toString, root.toString, desc, asOf = Some(pinned))
+    new GraftTableV2(spark, catalogName, ident.toString, root.toString, desc, asOf = Some(pinned))
   }
 
   /** `TIMESTAMP AS OF` — resolves to the last commit at or before the
@@ -117,13 +117,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val id = t.log.commits.filter(_.tsMillis <= timestamp / 1000L)
       .lastOption.map(_.id).getOrElse(throw new IllegalArgumentException(
         s"no commit at or before timestamp $timestamp on $ident"))
-    new GraftTableV2(spark, ident.toString, root.toString, desc, asOf = Some(id))
+    new GraftTableV2(spark, catalogName, ident.toString, root.toString, desc, asOf = Some(id))
   }
 
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val desc = buildDescriptor(schema, partitions, properties)
+    TableDescriptor.save(tablePath(ident).toString, desc, hconf)
+    new GraftTableV2(spark, catalogName, ident.toString, tablePath(ident).toString, desc, None)
+  }
+
+  /** validate + assemble the persisted table descriptor from a CREATE's
+    * schema/partitioning/properties — shared by [[createTable]] and the
+    * staged (CTAS / REPLACE TABLE) creation paths */
+  private def buildDescriptor(
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): TableDescriptor = {
     val props = properties.asScala
     // accept both TBLPROPERTIES(k=...) and OPTIONS(k=...) spellings
     def prop(k: String): Option[String] =
@@ -153,7 +164,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(i > 0, s"checks entries are 'name:expr', got '$kv'")
         kv.take(i).trim -> kv.drop(i + 1).trim
       }.toMap).getOrElse(Map.empty[String, String])
-    val desc = TableDescriptor(
+    TableDescriptor(
       keyCols = keyCols,
       precombineCol = precombine,
       partitionCols = partitionCols,
@@ -166,8 +177,71 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       zOrder = prop("zOrder").exists(_.toBoolean),
       checks = checks,
       schemaJson = schema.json)
-    TableDescriptor.save(tablePath(ident).toString, desc, hconf)
-    new GraftTableV2(spark, ident.toString, tablePath(ident).toString, desc, None)
+  }
+
+  // ---- staged creation: CTAS / REPLACE TABLE [AS SELECT] ---------------
+  //
+  // Atomicity rides the commit log's publish-LAST ordering: a table
+  // exists iff its descriptor file does, and the descriptor is the very
+  // last thing a staged commit writes. CREATE stages in place (the
+  // directory is invisible until the descriptor lands; abort deletes
+  // it). REPLACE stages a complete side table in a hidden sibling
+  // directory — the replaced table serves reads untouched the whole
+  // time — then publishes by rename + path relocation + descriptor
+  // save. A crash at ANY point before the descriptor save leaves no
+  // (new) table behind; stale hidden stage dirs are descriptor-less and
+  // therefore invisible to every catalog surface.
+
+  override def stageCreate(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val root = tablePath(ident)
+    // leftovers of a crashed staged CTAS are descriptor-less — reclaim
+    if (fs.exists(root)) fs.delete(root, true)
+    val desc = buildDescriptor(schema, partitions, properties)
+    val inner = new GraftTableV2(
+      spark, catalogName, ident.toString, root.toString, desc, None)
+    new GraftStagedTable(inner,
+      onCommit = () => TableDescriptor.save(root.toString, desc, hconf),
+      onAbort = () => { fs.delete(root, true); () })
+  }
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stagedReplace(ident, schema, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    if (tableExists(ident)) stagedReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  private def stagedReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val root = tablePath(ident)
+    val stageRoot = new Path(nsPath(ident.namespace),
+      s".${seg(ident.name)}.stage-${java.util.UUID.randomUUID()}")
+    val desc = buildDescriptor(schema, partitions, properties)
+    val inner = new GraftTableV2(
+      spark, catalogName, ident.toString, stageRoot.toString, desc, None)
+    new GraftStagedTable(inner,
+      onCommit = () => {
+        fs.delete(root, true)
+        if (fs.exists(stageRoot)) {
+          // an empty-SELECT replace writes nothing — descriptor only
+          require(fs.rename(stageRoot, root),
+            s"failed to publish staged replacement of $ident")
+          new graft.lake.CommitLog(root.toString, hconf)
+            .relocateFrom(stageRoot.toString)
+        }
+        TableDescriptor.save(root.toString, desc, hconf)
+      },
+      onAbort = () => { fs.delete(stageRoot, true); () })
   }
 
   /** `ALTER TABLE ... ADD COLUMN / RENAME COLUMN / DROP COLUMN / ALTER
@@ -366,4 +440,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       fs.delete(dir, true)
     }
   }
+}
+
+/** A staged (not yet visible) table for CTAS / REPLACE TABLE: plain
+  * delegation to the real [[GraftTableV2]] for schema and the write
+  * surface — Spark runs the AS SELECT write against it exactly as it
+  * would against a live table — plus the publish/abort callbacks the
+  * catalog chose for this staging mode. */
+private final class GraftStagedTable(
+    inner: GraftTableV2,
+    onCommit: () => Unit,
+    onAbort: () => Unit)
+  extends StagedTable with SupportsRead with SupportsWrite {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap) =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo) =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = onCommit()
+  override def abortStagedChanges(): Unit = onAbort()
 }

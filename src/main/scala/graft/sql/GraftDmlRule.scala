@@ -103,15 +103,23 @@ private[sql] final case class GraftUpdateCommand(
   }
 }
 
-/** `MERGE INTO t USING src ON <key equality> WHEN ...` — mapped clause
-  * by clause onto [[MergeBuilder]] (same semantics: first matching
-  * clause per row wins, source collapsed to one row per key by
-  * precombine). The ON condition must be the key-equality conjunction
-  * over the table's record identity — the engine's merge IS keyed; an
-  * arbitrary ON would need a general join which the table's upsert
-  * transaction model (rewrite touched partitions per key) does not
-  * express. The source must expose the table's key, partition, and
-  * precombine columns under the table's column names. */
+/** `MERGE INTO t USING src ON <key equality> [AND <residual>] WHEN ...`
+  * — mapped clause by clause onto [[MergeBuilder]] (same semantics:
+  * first matching clause per row wins, source collapsed to one row per
+  * key by precombine). The ON condition must CONTAIN the key-equality
+  * conjunction over the table's record identity — the engine's merge IS
+  * keyed; an arbitrary join-shaped ON would need a general join which
+  * the table's upsert transaction model (rewrite touched partitions per
+  * key) does not express. Remaining conjuncts (the Delta-idiomatic
+  * `ON t.k = s.k AND t.region = 'EU'` shape) fold into every WHEN
+  * MATCHED clause condition: they SCOPE the matched actions. On a
+  * record-keyed table the NOT MATCHED sides stay key-defined — a source
+  * row whose key exists is never re-inserted (a duplicate key is
+  * unrepresentable here, unlike Delta), and a target row with a
+  * key-partner is never "not matched by source"; a key-matched pair
+  * failing the residual simply hits no clause. The source must expose
+  * the table's key, partition, and precombine columns under the table's
+  * column names. */
 private[sql] final case class GraftMergeCommand(
     table: GraftTableV2,
     targetPlan: LogicalPlan,
@@ -128,12 +136,20 @@ private[sql] final case class GraftMergeCommand(
     val side: Map[Long, String] =
       tgtIds.map(_ -> "t").toMap ++ srcIds.map(_ -> "s").toMap
 
-    validateOnCondition(lake)
+    val residual: Option[Column] =
+      splitOnCondition(lake).map(e => Dml.toCol(e, side)).reduceOption(_ && _)
 
     val sourceDf = PlanBridge.ofRows(session, sourcePlan)
     val identityCols = (lake.config.keyCols ++ lake.config.partitionCols).toSet
     def cond(c: Option[Expression]): Option[Column] =
       c.map(e => Dml.toCol(e, side))
+    /** matched-clause condition with the ON residual folded in — the
+      * residual scopes WHICH key-matched pairs the clause may touch */
+    def matchedCond(c: Option[Expression]): Option[Column] =
+      (residual, cond(c)) match {
+        case (Some(r), Some(cc)) => Some(r && cc)
+        case (r, cc) => r.orElse(cc)
+      }
     def setMap(assignments: Seq[Assignment]): Map[String, Column] =
       Dml.sets(assignments).map { case (n, e) => n -> Dml.toCol(e, side) }.toMap
     /** [[setMap]] for UPDATE clauses: drops an identity-column
@@ -172,9 +188,9 @@ private[sql] final case class GraftMergeCommand(
     // the same contract MergeBuilder executes
     var b: MergeBuilder = lake.merge(sourceDf)
     matchedActions.foreach {
-      case UpdateAction(c, asgn, _) => b = b.whenMatchedUpdate(updateSetMap(asgn), cond(c))
-      case UpdateStarAction(c) => b = b.whenMatchedUpdate(starSet(identityCols), cond(c))
-      case DeleteAction(c) => b = b.whenMatchedDelete(cond(c))
+      case UpdateAction(c, asgn, _) => b = b.whenMatchedUpdate(updateSetMap(asgn), matchedCond(c))
+      case UpdateStarAction(c) => b = b.whenMatchedUpdate(starSet(identityCols), matchedCond(c))
+      case DeleteAction(c) => b = b.whenMatchedDelete(matchedCond(c))
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN MATCHED action: $other")
     }
@@ -194,36 +210,48 @@ private[sql] final case class GraftMergeCommand(
     Seq.empty
   }
 
-  /** the ON clause must equate exactly the table's record identity —
-    * a conjunction of t.k = s.k (or <=>) covering dedup identity, with
-    * the source column carrying the same name */
-  private def validateOnCondition(lake: LakeTable): Unit = {
+  /** Split the ON clause: its conjuncts must INCLUDE t.k = s.k (or <=>)
+    * equalities covering the table's full record identity, with the
+    * source column carrying the same name; every other conjunct is
+    * returned as a residual for the matched clauses to fold in. An
+    * identity equality listed twice, or an equality on a non-identity
+    * column, is residual too (it still scopes, it just doesn't key). */
+  private def splitOnCondition(lake: LakeTable): Seq[Expression] = {
     val tgtIds = targetPlan.outputSet.map(_.exprId.id).toSet
     val srcIds = sourcePlan.outputSet.map(_.exprId.id).toSet
     def split(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
-    val pairs = split(mergeCondition).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
-      case EqualNullSafe(a: AttributeReference, b: AttributeReference) => (a, b)
-      case other => throw new UnsupportedOperationException(
-        s"MERGE ON must be a key-equality conjunction, got $other")
-    }.map {
-      case (a, b) if tgtIds.contains(a.exprId.id) && srcIds.contains(b.exprId.id) => (a, b)
-      case (a, b) if srcIds.contains(a.exprId.id) && tgtIds.contains(b.exprId.id) => (b, a)
-      case (a, b) => throw new UnsupportedOperationException(
-        s"MERGE ON must compare target to source columns, got $a = $b")
-    }
-    pairs.foreach { case (t, s) =>
-      require(t.name == s.name,
-        s"MERGE source must carry key column '${t.name}' under the same name, got '${s.name}'")
-    }
     val keyed = ((if (lake.config.globalIndex) Seq.empty
       else lake.config.partitionCols) ++ lake.config.keyCols).toSet
-    val onCols = pairs.map(_._1.name).toSet
-    require(onCols == keyed,
-      s"MERGE ON must equate exactly the record identity (${keyed.mkString(",")}), " +
-        s"got (${onCols.mkString(",")})")
+    /** an identity conjunct is exactly t.k = s.k with matching names on
+      * an identity column — anything else stays a residual */
+    def identityPair(e: Expression): Option[String] = {
+      val ab = e match {
+        case EqualTo(a: AttributeReference, b: AttributeReference) => Some((a, b))
+        case EqualNullSafe(a: AttributeReference, b: AttributeReference) => Some((a, b))
+        case _ => None
+      }
+      ab.flatMap {
+        case (a, b) if tgtIds.contains(a.exprId.id) && srcIds.contains(b.exprId.id) => Some((a, b))
+        case (a, b) if srcIds.contains(a.exprId.id) && tgtIds.contains(b.exprId.id) => Some((b, a))
+        case _ => None
+      }.collect {
+        case (t, s) if t.name == s.name && keyed.contains(t.name) => t.name
+      }
+    }
+    val (idPairs, residual) = split(mergeCondition).foldLeft(
+      (Set.empty[String], Seq.empty[Expression])) { case ((ids, res), e) =>
+      identityPair(e) match {
+        case Some(n) if !ids.contains(n) => (ids + n, res)
+        case _ => (ids, res :+ e)
+      }
+    }
+    require(idPairs == keyed,
+      s"MERGE ON must include t.k = s.k equalities (same column name on " +
+        s"both sides) over the full record identity (${keyed.mkString(",")}), " +
+        s"got (${idPairs.mkString(",")})")
+    residual
   }
 }

@@ -42,11 +42,13 @@ import graft.sources.FilterTranslation
   */
 final class GraftTableV2(
     spark: SparkSession,
+    catalogName: String,
     ident: String,
     root: String,
     desc: TableDescriptor,
     asOf: Option[Long])
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with org.apache.spark.sql.graftbridge.V1FallbackBridge {
 
   private[sql] lazy val lake: LakeTable = LakeTable(spark, desc.config(root))
 
@@ -77,6 +79,51 @@ final class GraftTableV2(
   override def capabilities(): util.Set[TableCapability] = {
     import TableCapability._
     Set(BATCH_READ, V1_BATCH_WRITE, OVERWRITE_BY_FILTER, TRUNCATE).asJava
+  }
+
+  // ---- streaming (V1 fallback — the Delta integration shape) -----------
+
+  /** Streaming rides the PROVEN path-based V1 source/sink: the analyzer
+    * (`RelationResolution`) and `DataStreamWriter.toTable` consult this
+    * fallback for tables without DSv2 streaming capabilities, handing
+    * the `graft` provider the table LOCATION + storage properties — so
+    * `spark.readStream.table("graft.db.t")` tails the commit log
+    * ([[graft.sources.GraftTailSource]], MoR tables) and
+    * `writeStream.format("graft").toTable` runs the idempotent
+    * batch-id-tracked upsert sink ([[graft.sources.GraftSink]]; the
+    * explicit format is Spark's own V1-fallback contract — the writer
+    * source must match the table provider). The persisted
+    * [[TableDescriptor]] at the location resolves the full table config;
+    * the storage properties carry it too so `writeStream.partitionBy`
+    * conflict checks see the real layout. The streaming-read schema is
+    * the change-tail schema (`_seq`/`_deleted` tombstones included) —
+    * the same contract as the path-based tail. */
+  override def v1FallbackTable: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(asOf.isEmpty, "cannot stream a time-travel (VERSION AS OF) snapshot")
+    val parts = ident.split('.')
+    val streamSchema =
+      if (lake.exists && lake.config.isMor) lake.tailSchema else schema()
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      // the identifier must stay CATALOG-qualified: MicroBatchExecution
+      // refreshes the sink table by this name after every batch, and an
+      // unqualified `db.t` would resolve against spark_catalog and fail
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last, Some(parts.init.mkString(".")).filter(_.nonEmpty),
+        Some(catalogName)),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(root).toUri),
+        properties = Map(
+          "keyCols" -> desc.keyCols.mkString(","),
+          "precombineCol" -> desc.precombineCol,
+          "partitionCols" -> desc.partitionCols.mkString(","),
+          "storageType" -> desc.storageType,
+          "globalIndex" -> desc.globalIndex.toString,
+          "hashBuckets" -> desc.hashBuckets.toString,
+          "statsCols" -> desc.statsCols.mkString(","))),
+      schema = streamSchema,
+      provider = Some("graft"),
+      partitionColumnNames = desc.partitionCols)
   }
 
   // ---- read ------------------------------------------------------------

@@ -261,4 +261,139 @@ class SqlCatalogSpec extends AnyFunSuite {
       f.exists && r.getString(1) == "base" && r.getLong(2) == f.length
     }, "graft_files must inventory the live files with true sizes")
   }
+
+  test("CTAS stages atomically: success publishes, failure leaves no table") {
+    wh
+    spark.sql("""CREATE TABLE g.db.ct USING graft
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts')
+      AS SELECT * FROM VALUES (1L, 1, 'a'), (2L, 1, 'b') AS t(pk, ts, v)""")
+    assert(rows("SELECT pk, ts, v FROM g.db.ct ORDER BY pk") ==
+      Seq(Seq(1L, 1, "a"), Seq(2L, 1, "b")))
+    // the staged first write is commit 0 — the timeline starts fresh
+    assert(rows("SELECT pk FROM g.db.ct VERSION AS OF 0 ORDER BY pk") ==
+      Seq(Seq(1L), Seq(2L)))
+
+    // a CHECK constraint the SELECT violates fails the STAGED write:
+    // the table must not exist afterwards (atomic CTAS contract)
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE g.db.ctbad USING graft
+        TBLPROPERTIES (keyCols='pk', precombineCol='ts', checks='pos:pk > 0')
+        AS SELECT * FROM VALUES (-1L, 1, 'x') AS t(pk, ts, v)""")
+    }
+    assert(!spark.catalog.tableExists("g.db.ctbad"),
+      "failed CTAS must leave no table behind")
+
+    // CTAS with partitioning: layout property flows through staging
+    spark.sql("""CREATE TABLE g.db.ctp USING graft PARTITIONED BY (region)
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts')
+      AS SELECT * FROM VALUES (1L, 1, 'r1'), (2L, 1, 'r2') AS t(pk, ts, region)""")
+    assert(rows("SELECT pk FROM g.db.ctp WHERE region = 'r2'") == Seq(Seq(2L)))
+  }
+
+  test("REPLACE TABLE AS SELECT swaps atomically; old table serves until publish") {
+    wh
+    spark.sql("""CREATE TABLE g.db.rt USING graft
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts')
+      AS SELECT * FROM VALUES (1L, 1, 'old') AS t(pk, ts, v)""")
+    // REPLACE: new schema (extra column), new contents, fresh timeline
+    spark.sql("""REPLACE TABLE g.db.rt USING graft
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts')
+      AS SELECT * FROM VALUES (7L, 1, 'new', 42) AS t(pk, ts, v, extra)""")
+    assert(rows("SELECT pk, v, extra FROM g.db.rt") == Seq(Seq(7L, "new", 42)))
+    assert(rows("SELECT pk FROM g.db.rt VERSION AS OF 0") == Seq(Seq(7L)),
+      "REPLACE must reset the timeline — commit 0 is the replacement")
+    // upserts keep working against the relocated files
+    spark.sql("INSERT INTO g.db.rt VALUES (7L, 2, 'newer', 43), (8L, 1, 'y', 0)")
+    assert(rows("SELECT pk, v, extra FROM g.db.rt ORDER BY pk") ==
+      Seq(Seq(7L, "newer", 43), Seq(8L, "y", 0)))
+
+    // a failing REPLACE leaves the ORIGINAL intact
+    intercept[Exception] {
+      spark.sql("""REPLACE TABLE g.db.rt USING graft
+        TBLPROPERTIES (keyCols='pk', precombineCol='ts', checks='c:pk < 0')
+        AS SELECT * FROM VALUES (9L, 1, 'boom', 0) AS t(pk, ts, v, extra)""")
+    }
+    assert(rows("SELECT pk, v FROM g.db.rt ORDER BY pk") ==
+      Seq(Seq(7L, "newer"), Seq(8L, "y")),
+      "failed REPLACE must leave the original table untouched")
+
+    // CREATE OR REPLACE on a missing table degrades to CREATE
+    spark.sql("""CREATE OR REPLACE TABLE g.db.cor USING graft
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts')
+      AS SELECT 1L AS pk, 1 AS ts""")
+    assert(rows("SELECT pk FROM g.db.cor") == Seq(Seq(1L)))
+  }
+
+  test("MERGE ON with residual conjuncts scopes the matched clauses") {
+    wh
+    spark.sql("""CREATE TABLE g.db.mres (pk BIGINT, ts INT, v STRING, grp STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""INSERT INTO g.db.mres VALUES
+      (1, 0, 'a', 'x'), (2, 0, 'b', 'x'), (3, 0, 'c', 'y'), (4, 0, 'd', 'y')""")
+    // residual t.grp = 'x' scopes matched clauses; source-side residual
+    // s.v <> 'skip' composes; key 3/4 match the key but fail the residual
+    // → no clause fires, and they are NOT re-inserted (keyed table)
+    spark.sql("""MERGE INTO g.db.mres t USING (
+        SELECT * FROM VALUES (1L, 1, 'A'), (2L, 1, 'skip'), (3L, 1, 'C'),
+          (4L, 1, 'skip'), (9L, 1, 'new') AS s(pk, ts, v)) s
+      ON t.pk = s.pk AND t.grp = 'x' AND s.v <> 'skip'
+      WHEN MATCHED THEN UPDATE SET v = s.v, ts = s.ts
+      WHEN NOT MATCHED THEN INSERT (pk, ts, v, grp) VALUES (s.pk, s.ts, s.v, 'z')""")
+    assert(rows("SELECT pk, ts, v, grp FROM g.db.mres ORDER BY pk") == Seq(
+      Seq(1L, 1, "A", "x"), Seq(2L, 0, "b", "x"),
+      Seq(3L, 0, "c", "y"), Seq(4L, 0, "d", "y"),
+      Seq(9L, 1, "new", "z")))
+    // an ON clause missing a key equality still fails loud
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO g.db.mres t USING (SELECT 1L AS pk, 2 AS ts) s
+        ON t.grp = 'x' WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("record identity"))
+  }
+
+  test("readStream.table tails a catalog MoR table's change log by name") {
+    wh
+    spark.sql("""CREATE TABLE g.db.st (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES
+                 (keyCols='pk', precombineCol='ts', storageType='mor')""")
+    // first insert on an empty table is a base load (not a change delta);
+    // the two that follow are delta commits — the tailable change log
+    spark.sql("INSERT INTO g.db.st VALUES (1, 0, 'a'), (2, 0, 'b')")
+    spark.sql("INSERT INTO g.db.st VALUES (1, 1, 'a2'), (3, 0, 'c')")
+    spark.sql("DELETE FROM g.db.st WHERE pk = 2")
+    val q = spark.readStream.table("g.db.st")
+      .select("pk", "v", "_deleted")
+      .writeStream.format("memory").queryName("st_tail").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("st_tail").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, "a2", false), (3L, "c", false), (2L, null, true)),
+      s"catalog tail mismatch: $got")
+  }
+
+  test("writeStream.toTable runs the idempotent upsert sink by name") {
+    wh
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("""CREATE TABLE g.db.sk (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    val mem = MemoryStream[(Long, Int, String)]
+    mem.addData((1L, 0, "a"), (2L, 0, "b"))
+    val ckpt = Files.createTempDirectory("sk_ckpt").toString
+    // format("graft") is required by Spark's V1-fallback contract: the
+    // writer's source must match the table provider (same rule as any
+    // provider-backed catalog table)
+    val q = mem.toDF().toDF("pk", "ts", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt).toTable("g.db.sk")
+    try {
+      q.processAllAvailable()
+      // a later micro-batch upserts: key 1 re-keyed with higher precombine
+      mem.addData((1L, 5, "a2"), (3L, 1, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows("SELECT pk, ts, v FROM g.db.sk ORDER BY pk") == Seq(
+      Seq(1L, 5, "a2"), Seq(2L, 0, "b"), Seq(3L, 1, "c")))
+  }
 }
