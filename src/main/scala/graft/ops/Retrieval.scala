@@ -58,6 +58,7 @@ object Retrieval {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root + "_docs"), true)
       buildIndex(s, root, T.documents(s, d))
     })
 
@@ -80,6 +81,30 @@ object Retrieval {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** The doc-addressed SIDE table of the index (sibling root): one row
+    * per indexed doc — its length and its distinct terms. Hash-bucketed
+    * on doc_id, so "is this doc already indexed" and "what terms did its
+    * OLD version post" are [[LakeTable.lookup]] point reads (bucket +
+    * key-range pruned), never a scan of the term-clustered postings
+    * (where a doc_id probe would touch every file). `ver` is the
+    * precombine: a re-indexed doc's row must ALWAYS supersede (its dl
+    * may shrink, so dl itself cannot order versions). */
+  private[graft] def docsTable(s: SparkSession, postings: LakeTable): LakeTable =
+    LakeTable(s, LakeTableConfig(
+      postings.config.root + "_docs", keyCols = Seq("doc_id"),
+      precombineCol = "ver", hashBuckets = 16))
+
+  private def docRowsOf(docs: DataFrame, ver: Long): DataFrame =
+    docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy(col("doc_id"))
+      // cast pins the array's element-nullability: collect_set infers
+      // containsNull=false in memory but true after a parquet round-trip,
+      // and that mismatch would read as an (illegal) type change on upsert
+      .agg(count(lit(1)).as("dl"),
+        sort_array(collect_set(col("term"))).cast("array<string>").as("terms"))
+      .withColumn("ver", lit(ver))
+
   /** Materialize the postings index from a document corpus; corpus
     * stats (N, total length) publish atomically in the commit meta. */
   private[graft] def buildIndex(s: SparkSession, root: String, docs: DataFrame): LakeTable = {
@@ -89,6 +114,7 @@ object Retrieval {
     val (n, l) = corpusStats(docs)
     t.bulkInsert(postingsOf(docs), meta = Map(
       NDocsKey -> n.toString, TotLenKey -> l.toString))
+    docsTable(s, t).bulkInsert(docRowsOf(docs, ver = 0L))
     t
   }
 
@@ -96,20 +122,69 @@ object Retrieval {
     * the same table (term-clustered delta rewrites only the touched
     * buckets' partitions) and the cumulative corpus stats ride the same
     * commit's metadata, so queries after the append see the grown
-    * df/N/avgdl. Re-indexing a CHANGED doc needs its old postings
-    * deleted first (terms the new version dropped would linger) —
-    * append-only corpora (the training-data case) never hit that.
-    */
+    * df/N/avgdl. STRICTLY append-only: a batch containing an
+    * already-indexed doc_id is rejected loud (silently re-adding would
+    * double-count the doc in N/avgdl and strand postings for terms the
+    * new version dropped) — [[reindexBatch]] is the mutation path. The
+    * staleness probe is a key-addressed lookup against the doc side
+    * table: O(batch), never O(corpus). */
   private[graft] def indexBatch(s: SparkSession, t: LakeTable, newDocs: DataFrame): Long = {
+    val docsT = docsTable(s, t)
+    val dup = docsT.lookup(newDocs.select("doc_id")).limit(1)
+      .select("doc_id").collect()
+    require(dup.isEmpty,
+      s"indexBatch is append-only but doc_id ${dup.headOption.map(_.get(0)).orNull} " +
+        "is already indexed — use reindexBatch for changed documents")
     val (pn, pl) = stats(t)
     val (bn, bl) = corpusStats(newDocs)
-    t.merge(postingsOf(newDocs))
+    val commit = t.merge(postingsOf(newDocs))
       .withCommitMeta(Map(
         NDocsKey -> (pn + bn).toString, TotLenKey -> (pl + bl).toString))
       .whenMatchedUpdate(Map(
         "tf" -> col("s.tf"), "dl" -> col("s.dl")))
       .whenNotMatchedInsertAll()
       .execute()
+    docsT.upsert(docRowsOf(newDocs, ver = docsT.log.nextId))
+    commit
+  }
+
+  /** Re-index CHANGED (or mixed changed + new) documents: the old
+    * version's postings for terms the new text DROPPED are deleted and
+    * the rest updated/inserted in ONE merge commit, so the index state
+    * after reindex is exactly the state a from-scratch rebuild of the
+    * mutated corpus would produce (spec-pinned law). The reverse
+    * doc → old-terms probe rides the doc side table's key-addressed
+    * lookup; per-batch cost is O(batch docs × their terms), never
+    * O(corpus). Corpus stats replace the changed docs' contribution
+    * (N grows only by the genuinely-new docs). */
+  private[graft] def reindexBatch(s: SparkSession, t: LakeTable, changedDocs: DataFrame): Long = {
+    val docsT = docsTable(s, t)
+    val newP = postingsOf(changedDocs)
+    val old = docsT.lookup(changedDocs.select("doc_id"))
+    // postings of the OLD version whose term vanished from the new text
+    val stale = old.select(col("doc_id"), explode(col("terms")).as("term"))
+      .join(newP.select("term", "doc_id"), Seq("term", "doc_id"), "left_anti")
+    val src = newP.withColumn("_alive", lit(true)).unionByName(
+      stale.select(col("term"), col("doc_id"),
+        lit(null).cast("long").as("tf"), lit(null).cast("long").as("dl"),
+        lit(false).as("_alive")))
+    val (pn, pl) = stats(t)
+    val oldAgg = old.agg(
+      count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("l")).head()
+    val (on, ol) = (oldAgg.getLong(0), oldAgg.getLong(1))
+    val (bn, bl) = corpusStats(changedDocs)
+    val commit = t.merge(src)
+      .withCommitMeta(Map(
+        NDocsKey -> (pn - on + bn).toString,
+        TotLenKey -> (pl - ol + bl).toString))
+      .whenMatchedDelete(Some(!col("s._alive")))
+      .whenMatchedUpdate(
+        Map("tf" -> col("s.tf"), "dl" -> col("s.dl")), Some(col("s._alive")))
+      .whenNotMatchedInsert(
+        Map("tf" -> col("s.tf"), "dl" -> col("s.dl")), Some(col("s._alive")))
+      .execute()
+    docsT.upsert(docRowsOf(changedDocs, ver = docsT.log.nextId))
+    commit
   }
 
   private def stats(t: LakeTable): (Long, Long) = {

@@ -92,6 +92,45 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(grown).nonEmpty)
   }
 
+  test("indexBatch is append-only: a re-ingested doc_id fails loud") {
+    val t = Retrieval.buildIndex(spark, tmp() + "/idx", corpus)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.indexBatch(spark, t, docs(2L -> "entirely new text"))
+    }
+    assert(e.getMessage.contains("reindexBatch"))
+  }
+
+  test("changed-doc reindex equals a from-scratch rebuild of the mutated corpus") {
+    val base = docs(
+      1L -> "spark stream spark",
+      2L -> "hash join quorum quorum",   // 'quorum' exists ONLY here
+      3L -> "sort merge window")
+    val idx = Retrieval.buildIndex(spark, tmp() + "/idx1", base)
+    // doc 2 changes completely (drops hash/join/quorum, gains spark/scan)
+    // and doc 9 is genuinely new — one mixed reindex batch
+    val mutated = docs(
+      2L -> "spark scan scan",
+      9L -> "window window join")
+    Retrieval.reindexBatch(spark, idx, mutated)
+    val rebuilt = Retrieval.buildIndex(spark, tmp() + "/idx2", docs(
+      1L -> "spark stream spark",
+      2L -> "spark scan scan",
+      3L -> "sort merge window",
+      9L -> "window window join"))
+    import spark.implicits._
+    val qs = Seq(1 -> "spark", 2 -> "join", 3 -> "scan", 4 -> "quorum")
+    def run(t: graft.lake.LakeTable) =
+      Retrieval.searchRational(spark, t, qs, 10)
+        .select($"qid", $"doc_id", $"score", $"rank")
+        .as[(Int, Long, Long, Int)].collect().toSet
+    val got = run(idx)
+    assert(got == run(rebuilt),
+      "reindexed index must score identically to a full rebuild")
+    assert(!got.exists(_._1 == 4),
+      "postings of a dropped term must be deleted by reindex")
+    assert(got.exists(_._1 == 3), "the new version's terms must be live")
+  }
+
   test("RRF fusion: doc in both lists beats equal-rank doc in one list") {
     import spark.implicits._
     // qid 1: doc 10 ranks 1st in both lists; doc 20 ranks 2nd in one
