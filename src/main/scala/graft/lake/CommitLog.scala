@@ -271,11 +271,23 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     * immutable-once-published rule: the table is INVISIBLE until its
     * descriptor lands (publish-last ordering), so no other reader can
     * have memoized these ids yet. */
-  private[graft] def relocateFrom(oldRoot: String): Unit = {
-    val oldQ = fs.makeQualified(new Path(oldRoot)).toString
+  private[graft] def relocateFrom(oldRoot: String): Unit =
+    rewritePaths(fs.makeQualified(new Path(oldRoot)).toString, rootStr)
+
+  /** Staged-publish preparation, the inverse direction: rewrite every
+    * recorded file path under THIS (stage) root to live under `newRoot`
+    * BEFORE the directory is renamed into place — so the publish itself
+    * is a single atomic rename of an already-self-consistent table, with
+    * no post-rename mutation window. The same invisibility argument as
+    * [[relocateFrom]] applies; this log object must be discarded
+    * afterwards (its cached paths point outside its own root). */
+  private[graft] def relocateTo(newRoot: String): Unit =
+    rewritePaths(rootStr, fs.makeQualified(new Path(newRoot)).toString)
+
+  private def rewritePaths(fromQ: String, toQ: String): Unit = {
     def fix(p: String): String = {
       val q = fs.makeQualified(new Path(p)).toString
-      if (q.startsWith(oldQ + "/")) rootStr + q.stripPrefix(oldQ) else p
+      if (q.startsWith(fromQ + "/")) toQ + q.stripPrefix(fromQ) else p
     }
     listIds.foreach { id =>
       val fixed = read(id) match { case c =>

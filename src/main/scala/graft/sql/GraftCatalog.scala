@@ -58,9 +58,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
-  // path traversal guard: identifiers become directory names
+  // path traversal guard: identifiers become directory names. Leading
+  // dots are rejected because hidden (dot-prefixed) directories are the
+  // catalog's private staging namespace (`.t.stage-*` / `.t.trash-*`) —
+  // a user table named ".x" could collide with or shadow them.
   private def seg(s: String): String = {
-    require(s.nonEmpty && s != "." && s != ".." && !s.exists(c => c == '/' || c == '\\'),
+    require(s.nonEmpty && !s.startsWith(".") && !s.exists(c => c == '/' || c == '\\'),
       s"illegal identifier segment '$s'")
     s
   }
@@ -79,18 +82,58 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsPath(namespace)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    // finish any crashed REPLACE rollback first, so a table whose root is
+    // momentarily in a trash dir still appears in the listing
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).foreach {
+      case GraftCatalog.HiddenDir(tbl, "trash") =>
+        maybeRecover(Identifier.of(namespace, tbl)); ()
+      case _ => ()
+    }
     fs.listStatus(dir).toSeq.filter(_.isDirectory)
-      .filter(s => isTableDir(s.getPath))
+      .filter(s => !s.getPath.getName.startsWith(".") && isTableDir(s.getPath))
       .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTableDir(tablePath(ident))
+    isTableDir(tablePath(ident)) || maybeRecover(ident)
+
+  /** Crashed-REPLACE recovery: a REPLACE publish that died between its
+    * two renames leaves the root missing and the ORIGINAL table complete
+    * in a hidden `.name.trash-<uuid>` sibling. Restore it (the staged
+    * replacement never reached the root, so the REPLACE simply never
+    * happened — the advertised contract). Returns whether the table is
+    * present afterwards. Cheap in the common case: only consulted when
+    * the root has no descriptor. */
+  private def maybeRecover(ident: Identifier): Boolean =
+    GraftCatalog.publishLock.synchronized {
+      val root = tablePath(ident)
+      if (isTableDir(root)) true
+      else {
+        val ns = nsPath(ident.namespace)
+        val prefix = s".${ident.name}.trash-"
+        if (!fs.exists(ns)) false
+        else fs.listStatus(ns).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+            isTableDir(s.getPath))
+          .sortBy(-_.getModificationTime).headOption.exists { t =>
+            if (fs.exists(root)) fs.delete(root, true) // partial remnant
+            fs.rename(t.getPath, root)
+          }
+      }
+    }
+
+  private def descriptorOf(ident: Identifier): TableDescriptor = {
+    val root = tablePath(ident)
+    TableDescriptor.load(root.toString, hconf)
+      .orElse {
+        if (maybeRecover(ident)) TableDescriptor.load(root.toString, hconf) else None
+      }
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
 
   override def loadTable(ident: Identifier): Table = {
+    val desc = descriptorOf(ident)
     val root = tablePath(ident)
-    val desc = TableDescriptor.load(root.toString, hconf)
-      .getOrElse(throw new NoSuchTableException(ident))
     new GraftTableV2(spark, catalogName, ident.toString, root.toString, desc, asOf = None)
   }
 
@@ -98,18 +141,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val pinned = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"graft table versions are commit ids, got '$version'"))
+    val desc = descriptorOf(ident)
     val root = tablePath(ident)
-    val desc = TableDescriptor.load(root.toString, hconf)
-      .getOrElse(throw new NoSuchTableException(ident))
     new GraftTableV2(spark, catalogName, ident.toString, root.toString, desc, asOf = Some(pinned))
   }
 
   /** `TIMESTAMP AS OF` — resolves to the last commit at or before the
     * timestamp (microseconds since epoch, per the DSv2 contract). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val desc = descriptorOf(ident)
     val root = tablePath(ident)
-    val desc = TableDescriptor.load(root.toString, hconf)
-      .getOrElse(throw new NoSuchTableException(ident))
     val t = graft.lake.LakeTable(spark, desc.config(root.toString))
     // filter, not takeWhile: commit timestamps come from per-writer wall
     // clocks with no monotonicity guarantee — one early-clock commit
@@ -181,30 +222,78 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- staged creation: CTAS / REPLACE TABLE [AS SELECT] ---------------
   //
-  // Atomicity rides the commit log's publish-LAST ordering: a table
-  // exists iff its descriptor file does, and the descriptor is the very
-  // last thing a staged commit writes. CREATE stages in place (the
-  // directory is invisible until the descriptor lands; abort deletes
-  // it). REPLACE stages a complete side table in a hidden sibling
-  // directory — the replaced table serves reads untouched the whole
-  // time — then publishes by rename + path relocation + descriptor
-  // save. A crash at ANY point before the descriptor save leaves no
-  // (new) table behind; stale hidden stage dirs are descriptor-less and
-  // therefore invisible to every catalog surface.
+  // Both CREATE and REPLACE stage a complete side table in a HIDDEN
+  // sibling directory (`.name.stage-<uuid>`) — the live root is never
+  // touched while the AS SELECT runs, so concurrent readers (and, for
+  // CREATE, a racing CTAS of the same ident) cannot be disturbed.
+  // Publish first makes the stage fully self-contained (commit-log file
+  // paths rewritten to the final root via relocateTo, descriptor saved
+  // INTO the stage), then swaps it in with atomic renames:
+  //   CREATE:  rename(stage -> root)
+  //   REPLACE: rename(root -> .name.trash-<uuid>); rename(stage -> root);
+  //            delete(trash)
+  // Every crash point leaves either the old or the new table complete:
+  // before the swap the live root is untouched (the stage is hidden
+  // garbage, reclaimed by vacuum_staging); between the two REPLACE
+  // renames the ORIGINAL table sits complete in the trash dir and
+  // [[maybeRecover]] restores it on the next catalog lookup; after the
+  // swap the NEW table is complete at the root (a leftover trash dir is
+  // reclaimed lazily). Dot-prefixed directories are invisible to every
+  // catalog surface and seg() rejects dot-prefixed user identifiers, so
+  // the staging namespace cannot collide with user tables. Publishes
+  // serialize on a JVM-wide lock; cross-process DDL races are out of
+  // scope (the engine is single-writer per table, matching the
+  // reference's MaxConcurrentRuns: 1).
+
+  /** test hook: invoked with a step label at each publish step boundary —
+    * a spec that throws from here simulates a process crash at exactly
+    * that point of the publish sequence */
+  private[sql] var publishHook: String => Unit = _ => ()
+
+  private def hiddenSibling(ident: Identifier, kind: String): Path =
+    new Path(nsPath(ident.namespace),
+      s".${seg(ident.name)}.$kind-${java.util.UUID.randomUUID()}")
+
+  /** make a stage directory self-contained at its FINAL address while it
+    * is still hidden: rewrite commit-log paths, then save the descriptor
+    * into the stage (also creating the dir for an empty-SELECT stage) */
+  private def prepareStage(stageRoot: Path, root: Path, desc: TableDescriptor): Unit = {
+    new graft.lake.CommitLog(stageRoot.toString, hconf).relocateTo(root.toString)
+    publishHook("relocated")
+    TableDescriptor.save(stageRoot.toString, desc, hconf)
+    publishHook("staged-descriptor")
+  }
 
   override def stageCreate(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val root = tablePath(ident)
-    // leftovers of a crashed staged CTAS are descriptor-less — reclaim
-    if (fs.exists(root)) fs.delete(root, true)
+    val stageRoot = hiddenSibling(ident, "stage")
     val desc = buildDescriptor(schema, partitions, properties)
     val inner = new GraftTableV2(
-      spark, catalogName, ident.toString, root.toString, desc, None)
+      spark, catalogName, ident.toString, stageRoot.toString, desc, None)
     new GraftStagedTable(inner,
-      onCommit = () => TableDescriptor.save(root.toString, desc, hconf),
-      onAbort = () => { fs.delete(root, true); () })
+      onCommit = () => {
+        prepareStage(stageRoot, root, desc)
+        GraftCatalog.publishLock.synchronized {
+          if (isTableDir(root)) {
+            // a racing CTAS of the same ident published first: fail
+            // clean, leaving the winner untouched
+            fs.delete(stageRoot, true)
+            throw new TableAlreadyExistsException(ident)
+          }
+          // a descriptor-less leftover at the root is reclaimable — and
+          // must go, or rename would nest the stage INSIDE it (Hadoop
+          // rename moves src into an existing destination directory)
+          if (fs.exists(root)) fs.delete(root, true)
+          fs.mkdirs(root.getParent)
+          require(fs.rename(stageRoot, root),
+            s"failed to publish staged create of $ident")
+        }
+        publishHook("published")
+      },
+      onAbort = () => { fs.delete(stageRoot, true); () })
   }
 
   override def stageReplace(
@@ -224,25 +313,62 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
     val root = tablePath(ident)
-    val stageRoot = new Path(nsPath(ident.namespace),
-      s".${seg(ident.name)}.stage-${java.util.UUID.randomUUID()}")
+    val stageRoot = hiddenSibling(ident, "stage")
     val desc = buildDescriptor(schema, partitions, properties)
     val inner = new GraftTableV2(
       spark, catalogName, ident.toString, stageRoot.toString, desc, None)
     new GraftStagedTable(inner,
       onCommit = () => {
-        fs.delete(root, true)
-        if (fs.exists(stageRoot)) {
-          // an empty-SELECT replace writes nothing — descriptor only
-          require(fs.rename(stageRoot, root),
-            s"failed to publish staged replacement of $ident")
-          new graft.lake.CommitLog(root.toString, hconf)
-            .relocateFrom(stageRoot.toString)
+        prepareStage(stageRoot, root, desc)
+        val trash = hiddenSibling(ident, "trash")
+        GraftCatalog.publishLock.synchronized {
+          require(!fs.exists(root) || fs.rename(root, trash),
+            s"failed to set aside current contents of $ident")
+          publishHook("old-aside")
+          if (!fs.rename(stageRoot, root)) {
+            // swap-in failed with the old table already aside: put it
+            // back before surfacing the failure — REPLACE never happened
+            if (fs.exists(trash)) fs.rename(trash, root)
+            throw new IllegalStateException(
+              s"failed to publish staged replacement of $ident")
+          }
+          publishHook("published")
+          fs.delete(trash, true)
         }
-        TableDescriptor.save(root.toString, desc, hconf)
       },
       onAbort = () => { fs.delete(stageRoot, true); () })
   }
+
+  /** Reclaim dead staging artifacts under `namespace`
+    * (`CALL graft.system.vacuum_staging(namespace, older_than_ms)`):
+    * first finish any crashed-REPLACE rollback (an orphaned trash dir
+    * whose table root is gone is RESTORED, never deleted), then delete
+    * hidden stage/trash dirs older than the horizon — the age guard
+    * protects stage dirs whose AS SELECT is still running. Returns the
+    * deleted paths. */
+  private[sql] def vacuumStaging(namespace: Array[String], olderThanMs: Long): Seq[String] =
+    GraftCatalog.publishLock.synchronized {
+      val dir = nsPath(namespace)
+      if (!fs.exists(dir)) Seq.empty
+      else {
+        val now = System.currentTimeMillis()
+        fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { s =>
+          s.getPath.getName match {
+            case GraftCatalog.HiddenDir(tbl, kind) =>
+              val rootLive = isTableDir(new Path(dir, tbl))
+              if (kind == "trash" && !rootLive && isTableDir(s.getPath)) {
+                // crashed REPLACE: the trash copy is the only table left
+                fs.rename(s.getPath, new Path(dir, tbl))
+                None
+              } else if (now - s.getModificationTime >= olderThanMs) {
+                fs.delete(s.getPath, true)
+                Some(s.getPath.toString)
+              } else None
+            case _ => None
+          }
+        }
+      }
+    }
 
   /** `ALTER TABLE ... ADD COLUMN / RENAME COLUMN / DROP COLUMN / ALTER
     * COLUMN TYPE` — schema evolution as metadata-only commits through
@@ -357,8 +483,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val p = tablePath(ident)
-    if (!isTableDir(p)) false else fs.delete(p, true)
+    // tableExists (not bare isTableDir) so a table parked in a trash dir
+    // by a crashed REPLACE is restored first and then properly dropped
+    if (!tableExists(ident)) false else fs.delete(tablePath(ident), true)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -388,14 +515,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace.sameElements(GraftProcedures.Namespace),
       s"procedures live under the 'system' namespace, got $ident")
-    GraftProcedures.load(ident.name, lakeFor).getOrElse(
+    if (ident.name == "vacuum_staging")
+      // catalog-level (not table-level) maintenance: lives here because
+      // it needs the warehouse fs, not a LakeTable
+      GraftProcedures.make("vacuum_staging",
+        Seq("namespace" -> org.apache.spark.sql.types.StringType,
+          "older_than_ms" -> org.apache.spark.sql.types.LongType),
+        in => vacuumStaging(
+          in.getUTF8String(0).toString.split('.').filter(_.nonEmpty),
+          in.getLong(1)).size.toLong)
+    else GraftProcedures.load(ident.name, lakeFor).getOrElse(
       throw new IllegalArgumentException(s"no procedure ${ident.name}; " +
-        s"available: ${GraftProcedures.names.mkString(", ")}"))
+        s"available: ${(GraftProcedures.names :+ "vacuum_staging").sorted.mkString(", ")}"))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (!namespace.sameElements(GraftProcedures.Namespace)) Array.empty
-    else GraftProcedures.names
+    else (GraftProcedures.names :+ "vacuum_staging").sorted
       .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
 
   // ---- namespaces ------------------------------------------------------
@@ -403,7 +539,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listNamespaces(): Array[Array[String]] =
     if (!fs.exists(new Path(warehouse))) Array.empty
     else fs.listStatus(new Path(warehouse)).toSeq
-      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+        !isTableDir(s.getPath))
       .map(s => Array(s.getPath.getName)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
@@ -411,7 +548,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = nsPath(namespace)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+        !isTableDir(s.getPath))
       .map(s => namespace :+ s.getPath.getName).toArray
   }
 
@@ -440,6 +578,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       fs.delete(dir, true)
     }
   }
+}
+
+private[sql] object GraftCatalog {
+  /** serializes staged publishes and recovery swaps within this JVM —
+    * the rename choreography is multi-step, and two concurrent publishes
+    * (or a publish racing a recovery) must observe each other's renames
+    * atomically. Cross-process DDL is out of scope (single-writer). */
+  val publishLock = new Object
+
+  /** hidden staging-artifact dir name: `.<table>.<stage|trash>-<uuid>` */
+  val HiddenDir: scala.util.matching.Regex =
+    """^\.(.+)\.(stage|trash)-[0-9a-fA-F-]+$""".r
 }
 
 /** A staged (not yet visible) table for CTAS / REPLACE TABLE: plain

@@ -56,38 +56,44 @@ private[sql] object GraftProcedures {
 
   def names: Seq[String] = procs.keys.toSeq.sorted
 
-  def load(name: String, resolveTable: String => LakeTable): Option[UnboundProcedure] = {
+  def load(name: String, resolveTable: String => LakeTable): Option[UnboundProcedure] =
+    procs.get(name).map { case (extras, action) =>
+      make(name, ("table" -> StringType) +: extras,
+        in => action(resolveTable(in.getUTF8String(0).toString), in))
+    }
+
+  /** assemble a one-row `(result BIGINT)` procedure from its parameter
+    * list and action — shared by the table-level procedures above and
+    * catalog-level ones (vacuum_staging) built by [[GraftCatalog]] */
+  def make(name: String, params: Seq[(String, DataType)],
+      action: InternalRow => Long): UnboundProcedure = {
     // bind under a new name: inside the anonymous classes `name` would
     // resolve to the member being defined (infinite self-recursion)
     val procName = name
-    procs.get(name).map { case (extras, action) =>
-      new UnboundProcedure {
-        override def name(): String = procName
-        override def description(): String =
-          s"graft lake maintenance: $procName"
-        override def bind(inputType: StructType): BoundProcedure =
-          new BoundProcedure {
-            override def name(): String = procName
-            override def description(): String =
-              s"graft lake maintenance: $procName"
-            override def isDeterministic: Boolean = false
-            override def parameters(): Array[ProcedureParameter] =
-              (ProcedureParameter.in("table", StringType).build() +:
-                extras.map { case (n, dt) =>
-                  ProcedureParameter.in(n, dt).build() }).toArray
-            override def call(input: InternalRow): JIterator[Scan] = {
-              val t = resolveTable(input.getUTF8String(0).toString)
-              val result = action(t, input)
-              java.util.List.of[Scan](new LocalScan {
-                override def rows(): Array[InternalRow] =
-                  Array(InternalRow(result))
-                override def readSchema(): StructType =
-                  new StructType().add("result", LongType)
-                override def description(): String = s"graft.$procName result"
-              }).iterator()
-            }
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String =
+        s"graft lake maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String =
+            s"graft lake maintenance: $procName"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] =
+            params.map { case (n, dt) =>
+              ProcedureParameter.in(n, dt).build() }.toArray
+          override def call(input: InternalRow): JIterator[Scan] = {
+            val result = action(input)
+            java.util.List.of[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] =
+                Array(InternalRow(result))
+              override def readSchema(): StructType =
+                new StructType().add("result", LongType)
+              override def description(): String = s"graft.$procName result"
+            }).iterator()
           }
-      }
+        }
     }
   }
 }
