@@ -833,14 +833,16 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * grows with table AGE (the problem that made Delta read its log as
     * the stream source).
     *
-    * Caveats (documented contract): CoW tables have no delta log — use
-    * [[changesBetween]] batch polling instead; a crashed write's orphan
+    * CoW tables stream too: their commits rewrite files, so the source
+    * derives each commit's changes from its adds/removes — added rows
+    * stamped with the commit's `_commit_id` (rewrites preserve untouched
+    * rows' provenance stamps, so the filter is exact) plus `_deleted`
+    * tombstones for keys the commit removed (the reference's own table
+    * type is CoW, glue/HudiJarGlueJob.py:77). A crashed write's orphan
     * delta directory is NEVER emitted (only committed files are named by
     * the log — tightened from the glob design, which could leak one).
     */
   def tailStream(): DataFrame = {
-    require(config.isMor,
-      "tailStream applies to merge-on-read tables (delta commits are the change log)")
     spark.readStream.format("graft")
       .schema(tailSchema)
       .option("storageType", config.storageType)
@@ -1593,6 +1595,35 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       if (key == targetKey) df
       else SchemaEvo.adapt(df, fileSchema, target)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Read files recorded ANYWHERE on the timeline — including files a
+    * later commit removed (they survive physically until [[clean]]) —
+    * each with the schema of the commit that ADDED it, adapted to
+    * `streamSchema` by column id with the STREAM contract
+    * ([[SchemaEvo.adaptToStream]]: renames alias, pre-evolution files
+    * null-backfill/upcast, evolution past the stream schema fails loud).
+    * The change-tail read primitive for Copy-on-Write tables, where a
+    * commit's logical changes are derived from its adds/removes. */
+  private[graft] def readTimelineFiles(
+      paths: Seq[String], streamSchema: StructType): DataFrame = {
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], streamSchema)
+    val jsonOf = pathSchemaJson(None)
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Set[(String, String, DataType)],
+             (StructType, scala.collection.mutable.ArrayBuffer[String])]
+    paths.foreach { p =>
+      val schema = jsonOf.get(p).map(parseSchema).getOrElse(tableSchema())
+      groups.getOrElseUpdate(SchemaEvo.adaptKey(schema),
+        (schema, new scala.collection.mutable.ArrayBuffer[String]))._2 += p
+    }
+    groups.toSeq.map { case (_, (fileSchema, ps)) =>
+      SchemaEvo.adaptToStream(
+        spark.read.schema(fileSchema).parquet(ps.toSeq: _*),
+        fileSchema, streamSchema)
+    }.reduce(_.unionByName(_))
   }
 
   // ---- internals ------------------------------------------------------

@@ -171,6 +171,28 @@ object Sql {
       cat
     })
 
+  /** CoW twin of [[tailFixture]] — the reference's own table type
+    * (glue/HudiJarGlueJob.py:77 COPY_ON_WRITE). Same logical timeline;
+    * the tail must emit the same EFFECTIVE changes even though every
+    * commit physically rewrites whole files: c0 seed (on CoW the initial
+    * load IS a change batch), c1 update of region 1, c2 tombstones for
+    * keys >= 20 — carrying the values the keys held when deleted. */
+  private[graft] def cowTailFixture(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:cowtail", _ => {
+      val cat = dmlFixture(s, d)
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_cowt")
+      s.sql(s"""CREATE TABLE $cat.db.nation_cowt (
+          n_nationkey INT, n_name STRING, n_regionkey INT, update_ts INT)
+        USING graft TBLPROPERTIES
+        (keyCols='n_nationkey', precombineCol='update_ts')""")
+      s.sql(s"INSERT INTO $cat.db.nation_cowt SELECT *, 0 FROM sql_nation_src")
+      s.sql(s"""INSERT INTO $cat.db.nation_cowt
+        SELECT n_nationkey, concat(n_name, '+'), n_regionkey, 1
+        FROM sql_nation_src WHERE n_regionkey = 1""")
+      s.sql(s"DELETE FROM $cat.db.nation_cowt WHERE n_nationkey >= 20")
+      cat
+    })
+
   val queries: Seq[GQuery] = Seq(
 
     // ---- CREATE/INSERT/UPDATE/DELETE through spark.sql -----------------
@@ -227,6 +249,43 @@ object Sql {
                  CAST(NULL AS INT) AS update_ts, true AS _deleted
           FROM nation WHERE n_nationkey >= 20)
         SELECT * FROM tail ORDER BY n_nationkey, _deleted""")),
+
+    // ---- streaming tail of a CoW catalog table --------------------------
+    // the same timeline as catalog_stream_tail but on COPY_ON_WRITE (the
+    // reference's table type): changes are DERIVED per commit from its
+    // adds/removes — commit-stamp filter for upserts (rewritten-but-
+    // unchanged co-located rows must NOT surface), bounded anti-join for
+    // tombstones, which carry the values the keys held when deleted.
+    // On CoW the c0 seed load IS a change batch (every row is new).
+    GQuery("catalog_stream_tail_cow",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val cat = cowTailFixture(s, d)
+        val qn = "catalog_stream_tail_cow_sink"
+        val q = s.readStream.table(s"$cat.db.nation_cowt")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn).select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey"), col("update_ts"), col("_deleted"))
+          .orderBy(col("n_nationkey"), col("_deleted"), col("update_ts"))
+      },
+      Some("""WITH tail AS (
+          SELECT n_nationkey, n_name, n_regionkey,
+                 0 AS update_ts, false AS _deleted
+          FROM nation
+          UNION ALL
+          SELECT n_nationkey, n_name || '+' AS n_name, n_regionkey,
+                 1 AS update_ts, false AS _deleted
+          FROM nation WHERE n_regionkey = 1
+          UNION ALL
+          SELECT n_nationkey,
+                 CASE WHEN n_regionkey = 1 THEN n_name || '+' ELSE n_name END AS n_name,
+                 n_regionkey,
+                 CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END AS update_ts,
+                 true AS _deleted
+          FROM nation WHERE n_nationkey >= 20)
+        SELECT * FROM tail ORDER BY n_nationkey, _deleted, update_ts""")),
 
     // ---- CTAS + REPLACE TABLE AS SELECT ---------------------------------
     // materialize-a-SELECT (the reference's ETL shape: read → transform →

@@ -130,9 +130,9 @@ final class GraftSource extends RelationProvider
       providerName: String, parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val table = tableFor(ctx, parameters)
-    require(table.config.isMor,
-      "graft streaming source tails merge-on-read tables " +
-        "(delta commits are the change log)")
+    // MoR tables tail their delta commits directly; CoW tables derive
+    // per-commit changes from the commit's adds/removes (see
+    // GraftTailSource.cowBatchFrame) — both storage types stream
     new GraftTailSource(ctx, table, schema.getOrElse(table.tailSchema))
   }
 }

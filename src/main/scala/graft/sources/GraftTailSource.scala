@@ -8,11 +8,15 @@ import org.apache.spark.sql.types.StructType
 
 import graft.lake.LakeTable
 
-/** Commit-log-driven streaming tail of a MoR lake table — the Delta
-  * design (the transaction log IS the stream source) instead of a file
-  * glob. Offsets are commit ids; a micro-batch is exactly the
-  * change-delta files named by the commits in `(start, end]`, addressed
-  * directly by id out of the commit log.
+/** Commit-log-driven streaming tail of a lake table — the Delta design
+  * (the transaction log IS the stream source) instead of a file glob.
+  * Offsets are commit ids; a micro-batch covers the commits in
+  * `(start, end]`, addressed directly by id out of the commit log. On a
+  * MoR table the batch is exactly the commits' change-delta files; on a
+  * CoW table each commit's changes are DERIVED from its adds/removes
+  * ([[cowBatchFrame]]) — the reference's own table type is CoW
+  * (glue/HudiJarGlueJob.py:77), so this is the tail a reference user
+  * hits first.
   *
   * Why not the built-in file stream source over `data/d*` (the previous
   * design): that source re-lists the ENTIRE delta directory tree every
@@ -49,6 +53,15 @@ final class GraftTailSource(
     * happens to start with "d" from ever confusing the classifier */
   private val ChangeDir = ".*/data/d\\d{8,}-[0-9a-f]+/.*".r
 
+  /** ops that rewrite data with NO logical change (maintenance) — the
+    * CoW tail skips them outright rather than paying a full diff read
+    * that is empty by the maintenance-invariance laws */
+  private val PhysicalOps = Set("compact", "delta_compact", "recluster")
+
+  /** ops that can make a key disappear — only these pay the tombstone
+    * anti-join; plain upserts never remove keys */
+  private val DeleteCapableOps = Set("delete", "insert_overwrite", "merge")
+
   private def offLong(o: OffsetV1): Long = o.json.trim.toLong
 
   override def getOffset: Option[OffsetV1] =
@@ -56,7 +69,66 @@ final class GraftTailSource(
 
   /** the micro-batch for commits `(from, to]` as a plain batch frame —
     * getBatch re-roots it as streaming; specs read it directly */
-  private[graft] def batchFrame(from: Long, to: Long): DataFrame = {
+  private[graft] def batchFrame(from: Long, to: Long): DataFrame =
+    if (table.config.isMor) morBatchFrame(from, to)
+    else cowBatchFrame(from, to)
+
+  /** Copy-on-Write change tail: CoW commits REWRITE files, so the change
+    * rows are derived per commit from its adds/removes — the shape real
+    * Hudi uses to serve incremental queries on CoW (the reference's own
+    * table type, glue/HudiJarGlueJob.py:77 default COPY_ON_WRITE).
+    *
+    *   - changed/new rows: rows of the commit's added files stamped with
+    *     the commit's own `_commit_id`. Rewrites preserve the provenance
+    *     id of untouched rows (upsert's max_by keeps the winning row's
+    *     stamp; merge chains pass-through ids explicitly), so the filter
+    *     is exact — no diff shuffle at all, just a codegen'd metadata-
+    *     column predicate over O(commit's files).
+    *   - tombstones: for delete-capable ops only, removed-file rows
+    *     whose `_record_key` is absent from the added files — a
+    *     left-anti join bounded by the commit's touched files, emitted
+    *     with `_deleted` = true (the same contract as the MoR tail's
+    *     delete deltas). Upserts/bulk loads never remove keys and skip
+    *     the join entirely.
+    *
+    * Semantics vs the MoR tail: identical on effective changes; the one
+    * deliberate divergence is a STALE upsert (incoming row loses the
+    * precombine merge) — MoR emits the raw ingested row, CoW emits
+    * nothing because the table did not change. Removed files stay
+    * readable until [[graft.lake.LakeTable.clean]]; a tail lagging past
+    * the cleaner horizon fails loud on the missing file, the same
+    * contract as time travel below the horizon. */
+  private def cowBatchFrame(from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val frames = table.log.commitsInRange(from, to)
+      .filterNot(c => PhysicalOps.contains(c.op))
+      .flatMap { c =>
+        val adds = c.adds.filterNot(_.isDelta).map(_.path)
+        val changed =
+          if (adds.isEmpty) None
+          else Some(table.readTimelineFiles(adds, schema)
+            .filter(col("_commit_id") === c.id)
+            .withColumn("_deleted", lit(false)))
+        val tombstones =
+          if (c.removes.isEmpty || !DeleteCapableOps.contains(c.op)) None
+          else {
+            val oldRows = table.readTimelineFiles(c.removes, schema)
+            val newKeys = table.readTimelineFiles(adds, schema)
+              .select("_record_key").distinct()
+            Some(oldRows.join(newKeys, Seq("_record_key"), "left_anti")
+              .select(schema.fieldNames.map(n => col("`" + n + "`")).toSeq: _*)
+              .withColumn("_deleted", lit(true)))
+          }
+        changed.toSeq ++ tombstones
+      }
+    if (frames.isEmpty)
+      ctx.sparkSession.createDataFrame(
+        ctx.sparkSession.sparkContext.emptyRDD[Row], schema)
+    else frames.reduce(_.unionByName(_))
+  }
+
+  /** Merge-on-Read change tail: delta commits ARE the change log. */
+  private def morBatchFrame(from: Long, to: Long): DataFrame = {
     // group the batch's files by the schema their commit recorded and
     // conform each group to the STREAM schema by column id
     // (SchemaEvo.adaptToStream): a rename mid-stream aliases

@@ -101,8 +101,12 @@ final class GraftTableV2(
   override def v1FallbackTable: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     require(asOf.isEmpty, "cannot stream a time-travel (VERSION AS OF) snapshot")
     val parts = ident.split('.')
-    val streamSchema =
-      if (lake.exists && lake.config.isMor) lake.tailSchema else schema()
+    // the tail schema for BOTH storage types: MoR deltas carry the
+    // internals physically, the CoW tail synthesizes them. The sink
+    // path shares this CatalogTable but ignores its schema (the V1 sink
+    // upserts the query's own frame) — spec-pinned for both storage
+    // types by the toTable tests.
+    val streamSchema = if (lake.exists) lake.tailSchema else schema()
     org.apache.spark.sql.catalyst.catalog.CatalogTable(
       // the identifier must stay CATALOG-qualified: MicroBatchExecution
       // refreshes the sink table by this name after every batch, and an

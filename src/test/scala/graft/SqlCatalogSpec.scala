@@ -396,4 +396,49 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(rows("SELECT pk, ts, v FROM g.db.sk ORDER BY pk") == Seq(
       Seq(1L, 5, "a2"), Seq(2L, 0, "b"), Seq(3L, 1, "c")))
   }
+
+  test("readStream.table tails a catalog CoW table (the reference's table type)") {
+    wh
+    spark.sql("""CREATE TABLE g.db.stc (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.stc VALUES (1, 0, 'a'), (2, 0, 'b')")
+    // update 1 (2 is rewritten but unchanged — must NOT surface), add 3
+    spark.sql("INSERT INTO g.db.stc VALUES (1, 1, 'a2'), (3, 0, 'c')")
+    spark.sql("DELETE FROM g.db.stc WHERE pk = 2")
+    val q = spark.readStream.table("g.db.stc")
+      .select("pk", "v", "_deleted")
+      .writeStream.format("memory").queryName("stc_tail").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stc_tail").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, "a", false), (2L, "b", false), // initial load
+      (1L, "a2", false), (3L, "c", false),                // effective changes
+      (2L, "b", true)),                                   // delete tombstone
+      s"CoW catalog tail mismatch: $got")
+  }
+
+  test("writeStream.toTable into a MoR table: sink ignores the advertised tail schema") {
+    wh
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("""CREATE TABLE g.db.skm (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES
+                 (keyCols='pk', precombineCol='ts', storageType='mor')""")
+    val mem = MemoryStream[(Long, Int, String)]
+    mem.addData((1L, 0, "a"), (2L, 0, "b"))
+    val ckpt = Files.createTempDirectory("skm_ckpt").toString
+    // the shared CatalogTable advertises the TAIL schema (_seq/_deleted);
+    // the sink path must upsert the query's own 3-column frame anyway
+    val q = mem.toDF().toDF("pk", "ts", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt).toTable("g.db.skm")
+    try {
+      q.processAllAvailable()
+      mem.addData((1L, 5, "a2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows("SELECT pk, ts, v FROM g.db.skm ORDER BY pk") == Seq(
+      Seq(1L, 5, "a2"), Seq(2L, 0, "b")))
+  }
 }

@@ -191,4 +191,93 @@ class TailSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("restart the stream"))
   }
+
+  // ---- Copy-on-Write tail: changes derived from commit adds/removes ----
+
+  private def cowTable(root: String): LakeTable =
+    LakeTable(spark, LakeTableConfig(root, keyCols = Seq("pk"),
+      precombineCol = "ts", partitionCols = Seq("vendorid"),
+      clusterCols = Seq("pk")))
+
+  test("CoW tail: effective changes only — updates/inserts, not rewritten rows") {
+    val t = cowTable(freshRoot())
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0), (3L, 2, "c", 0))) // commit 0
+    t.upsert(df((1L, 1, "a2", 5), (4L, 2, "d", 1)))                     // commit 1
+    val src = source(t)
+    // the initial load IS a change batch on CoW (every row is new)
+    val load = src.batchFrame(-1L, 0L)
+      .select("pk", "_deleted").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(load == Set((1L, false), (2L, false), (3L, false)))
+    // commit 1 rewrote partitions 1 and 2 wholesale, but only the rows
+    // it logically touched may surface: update of 1, insert of 4 —
+    // NOT the co-located rewritten rows 2 and 3
+    val inc = src.batchFrame(0L, 1L)
+      .select("pk", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(inc == Set((1L, "a2"), (4L, "d")),
+      s"rewritten-but-unchanged rows leaked into the tail: $inc")
+  }
+
+  test("CoW tail: delete tombstones; stale upserts and maintenance emit nothing") {
+    val t = cowTable(freshRoot())
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0), (3L, 2, "c", 0))) // commit 0
+    t.delete(df((2L, 1, "b", 0)))                                       // commit 1
+    val src = source(t)
+    val del = src.batchFrame(0L, 1L)
+      .select("pk", "_deleted").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(del == Set((2L, true)), s"expected one tombstone, got $del")
+    // a stale upsert (lower precombine) loses the merge: the table did
+    // not change, so the CoW tail emits nothing (documented divergence
+    // from MoR, which emits the raw ingested row)
+    t.upsert(df((3L, 2, "stale", -1)))                                  // commit 2
+    assert(src.batchFrame(1L, 2L).isEmpty,
+      "a losing upsert must not surface as a change")
+    // physical reorganization is invisible to the tail
+    t.recluster()                                                       // commit 3
+    assert(src.batchFrame(2L, t.log.latestId.get).isEmpty,
+      "recluster must emit nothing")
+  }
+
+  test("CoW tail: insert_overwrite emits new rows plus tombstones for dropped keys") {
+    val t = cowTable(freshRoot())
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0), (3L, 2, "c", 0))) // commit 0
+    // replace partition 1: key 1 survives with a new value, key 2 drops
+    t.insertOverwrite(df((1L, 1, "A", 1)))                              // commit 1
+    val src = source(t)
+    val got = src.batchFrame(0L, 1L)
+      .select("pk", "payload", "_deleted").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, "A", false), (2L, "b", true)),
+      s"overwrite tail mismatch: $got")
+  }
+
+  test("CoW tail: end-to-end streaming query with checkpoint resume") {
+    val t = cowTable(freshRoot())
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.upsert(df((2L, 1, "b", 1)))
+    val ckpt = Files.createTempDirectory("cow_tail_ckpt").toString
+    val out = Files.createTempDirectory("cow_tail_out").toString
+    def run(): Unit = {
+      val q = t.tailStream()
+        .select("pk", "payload", "_deleted")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val first = spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+    assert(first == Set(1L, 2L))
+    // resume from the checkpoint: only the new commits' changes arrive
+    t.upsert(df((1L, 1, "a2", 5)))
+    t.delete(df((2L, 1, "b", 1)))
+    run()
+    val resumed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(resumed == Set((1L, "a", false), (2L, "b", false),
+      (1L, "a2", false), (2L, "b", true)),
+      s"checkpoint resume must deliver exactly the new changes: $resumed")
+  }
 }
