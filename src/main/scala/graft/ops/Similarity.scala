@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GQuery, Tables => T}
+import graft.lake.{LakeTable, LakeTableConfig}
 
 /** Similarity search over the `embeddings` fixture (SURVEY.md §2.6;
   * BASELINE.json north star: "similarity search").
@@ -207,9 +208,8 @@ object Similarity {
     // exactly as emb_ann_partitioned does for LSH buckets.
     GQuery("emb_ann_ivf",
       (s, d) => {
-        val (km, centers) = ivfModel(s, d)
-        val cells = km.transform(normalized(corpus(s, d)))
-          .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+        val centers = ivfCentroids(s, d)
+        val cells = assignCells(corpus(s, d), centers)
         // nprobe nearest cells per query, chosen driver-side over the K
         // collected centroids (metadata-scale, like the LSH probe set)
         val probes = queriesDf(s, d).collect().toSeq.flatMap { r =>
@@ -265,12 +265,27 @@ object Similarity {
 
   /** IVF coarse quantizer: K-means (MLlib, fixed seed) over L2-normalized
     * embeddings — normalized so euclidean cells align with cosine
-    * similarity (‖a−b‖² = 2−2·cos on unit vectors). Built once per
-    * fixture dir; the K centroids are collected (K×dim doubles —
-    * metadata-scale) for driver-side probe selection.
+    * similarity (‖a−b‖² = 2−2·cos on unit vectors). The K centroids are
+    * PERSISTED as a [[LakeTable]] versioned with the corpus (the BM25
+    * commit-metadata pattern): the build commit records (k, seed, corpus
+    * row count), and any session whose parameters+corpus match loads the
+    * K×dim centroid rows (metadata-scale) instead of re-training — the
+    * ANN index is reproducible across restarts and cannot silently
+    * diverge from the corpus it quantized. A parameter or corpus
+    * mismatch rebuilds under a fresh version.
     */
+  private val IvfKKey = "graft.ivf.k"
+  private val IvfSeedKey = "graft.ivf.seed"
+  private val IvfRowsKey = "graft.ivf.corpus_rows"
+  private val IvfSeed = 42L
+
+  /** per-JVM fast path only — the durable copy is the lake table */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.ml.clustering.KMeansModel, Array[Array[Double]])]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** spec hooks: training counter + cache drop to simulate a fresh session */
+  private[graft] val ivfTrains = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def ivfCacheReset(): Unit = ivfCache.clear()
 
   private def normalized(df: DataFrame): DataFrame = {
     val withRaw = df.withColumn("fv0",
@@ -280,16 +295,72 @@ object Similarity {
       .transform(withRaw).drop("fv0")
   }
 
-  private def ivfModel(s: SparkSession, d: String) =
+  private[graft] def ivfTable(s: SparkSession, d: String): LakeTable =
+    LakeTable(s, LakeTableConfig(
+      s"/tmp/graft_lake/ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+      keyCols = Seq("cell"), precombineCol = "ver"))
+
+  private def ivfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
     ivfCache.computeIfAbsent(d, _ => {
-      val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(IvfCells).setSeed(42L).setMaxIter(5).setFeaturesCol("fv")
-        .fit(normalized(corpus(s, d)))
-      (km, km.clusterCenters.map(_.toArray))
+      val t = ivfTable(s, d)
+      val nRows = corpus(s, d).count()
+      val persisted =
+        if (!t.exists) None
+        else {
+          val meta = t.log.commits.last.metadata
+          if (meta.get(IvfKKey).contains(IvfCells.toString) &&
+              meta.get(IvfSeedKey).contains(IvfSeed.toString) &&
+              meta.get(IvfRowsKey).contains(nRows.toString))
+            Some(t.read().select("cell", "centroid").collect()
+              .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
+          else None // parameters or corpus moved: retrain below
+        }
+      persisted.getOrElse {
+        ivfTrains.incrementAndGet()
+        val km = new org.apache.spark.ml.clustering.KMeans()
+          .setK(IvfCells).setSeed(IvfSeed).setMaxIter(5).setFeaturesCol("fv")
+          .fit(normalized(corpus(s, d)))
+        val centers = km.clusterCenters.map(_.toArray)
+        import s.implicits._
+        val rows = centers.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq, 0) }.toSeq
+          .toDF("cell", "centroid", "ver")
+        if (t.exists) { // stale version: rebuild fresh under new params
+          val root = new org.apache.hadoop.fs.Path(t.config.root)
+          root.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(root, true)
+        }
+        ivfTable(s, d).bulkInsert(rows, Map(
+          IvfKKey -> IvfCells.toString, IvfSeedKey -> IvfSeed.toString,
+          IvfRowsKey -> nRows.toString))
+        centers
+      }
     })
 
+  /** Cell assignment straight from the persisted centroids — argmin over
+    * K of ‖c‖² − 2·x̂·c, the same euclidean-on-normalized ranking K-means
+    * assigns with (and the probe selection uses), expressed as a codegen
+    * array expression so a restored session needs no model object at
+    * all. Ties take the first cell, matching MLlib's findClosest. */
+  private def assignCells(c: DataFrame, centers: Array[Array[Double]]): DataFrame = {
+    val centLit = array(centers.map(cc => array(cc.map(lit): _*)): _*)
+    val normsLit = array(centers.map(cc => lit(cc.map(x => x * x).sum)): _*)
+    c.withColumn("cent", centLit).withColumn("cn", normsLit)
+      .withColumn("dists", expr(
+        """transform(sequence(0, size(cent) - 1), i ->
+             cn[i] - 2D * aggregate(zip_with(v, cent[i],
+                 (x, w) -> cast(x as double) * w), 0D, (s2, x) -> s2 + x)
+               / sqrt(aggregate(v, 0D,
+                 (s2, x) -> s2 + cast(x as double) * cast(x as double))))"""))
+      .withColumn("cell",
+        (expr("array_position(dists, array_min(dists))") - 1).cast("int"))
+      .select(col("vec_id"), col("v"), col("cell"))
+  }
+
   /** exposed so Bench can time the quantizer build separately */
-  private[graft] def ensureIvf(s: SparkSession, d: String): Unit = ivfModel(s, d)
+  private[graft] def ensureIvf(s: SparkSession, d: String): Unit = {
+    ivfCentroids(s, d); ()
+  }
 
   /** vec_id offset for planted twins: twins take NEGATIVE ids
     * (original - TwinBase), which can never collide with fixture ids

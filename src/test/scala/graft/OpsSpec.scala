@@ -282,6 +282,28 @@ class OpsSpec extends AnyFunSuite {
     assert(shared.nonEmpty, "probed cells should recover some true top-k")
   }
 
+  test("ann ivf: centroids persist as a lake table; a fresh session loads, not retrains") {
+    val before = run("emb_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val trained = ops.Similarity.ivfTrains.get()
+    // simulate a fresh session: drop the in-JVM cache — the only
+    // surviving copy of the quantizer is the persisted centroids table
+    ops.Similarity.ivfCacheReset()
+    val after = run("emb_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ops.Similarity.ivfTrains.get() == trained,
+      "a fresh session must REUSE persisted centroids, not re-train")
+    assert(after == before,
+      "results from persisted centroids must match the training session's")
+    // the persisted index is a versioned lake table carrying its params
+    val t = ops.Similarity.ivfTable(spark, sf)
+    assert(t.exists && t.read().count() == 16)
+    val meta = t.log.commits.last.metadata
+    assert(meta.get("graft.ivf.k").contains("16") &&
+      meta.contains("graft.ivf.corpus_rows"),
+      s"build commit must record quantizer params + corpus version: $meta")
+  }
+
   test("near-dup candidate generation never shuffles payload columns") {
     // force shuffle joins (and a non-adaptive plan, so exchanges are
     // visible pre-execution) so the assertion bites even at fixture scale
