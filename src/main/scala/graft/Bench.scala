@@ -53,6 +53,7 @@ object Bench {
       "schema_evo_build" -> timed { ops.Lake.evoTable(spark, sfDir) },
       "schema_evo2_build" -> timed { ops.Lake.evoWideTable(spark, sfDir) },
       "bm25_index_build" -> timed { ops.Retrieval.index(spark, sfDir) },
+      "bm25_reindex_build" -> timed { ops.Retrieval.reindexedIndex(spark, sfDir) },
       "bucketed_tables_build" -> timed { ops.Extended.ensureBucketed(spark, sfDir) },
       "ann_index_build" -> timed { ops.Similarity.ensureAnnIndex(spark, sfDir) },
       "ivf_centroids_build" -> timed { ops.Similarity.ensureIvf(spark, sfDir) },

@@ -141,6 +141,67 @@ object Events {
         count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""")),
 
+    // ---- streaming exact dedup (bounded state) -------------------------
+    // graft.streaming.Streaming.dedupStream over a 3-batch staged stream
+    // (maxFilesPerTrigger=1, mod-time ordered): batch 1 the events
+    // fixture, batch 2 VERBATIM copies of recent rows — duplicates
+    // arriving within the watermark delay, dropped by key state — and
+    // batch 3 re-sends of OLD keys at a fresh event time, after the
+    // advancing watermark evicted their state: those are re-emitted,
+    // the documented bounded-state contract (duplicates separated
+    // farther than the delay route to the batch dedup passes). The
+    // oracle is the fixture plus exactly the batch-3 re-sends.
+    GQuery("stream_dedup",
+      (s, d) => {
+        val srcDir =
+          s"/tmp/graft_stream_ev/${d.replaceAll("[^A-Za-z0-9.]", "_")}_dedup"
+        val hp = new org.apache.hadoop.fs.Path(srcDir)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val tsIsLong =
+          raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+        val norm = raw.select(col("event_id"),
+            (if (tsIsLong) expr("timestamp_micros(ts div 1000)") else col("ts"))
+              .as("ts0"), col("user_id"), col("event_type"))
+          .withColumn("ts", expr("timestamp_millis(unix_millis(ts0))"))
+          .drop("ts0")
+          .select("event_id", "ts", "user_id", "event_type")
+        val maxMs = norm.select(max(unix_millis(col("ts")))).head.getLong(0)
+        val delayMs = 2L * 3600 * 1000 // dedupStream delay: 2 hours
+        val near = norm.filter(col("event_id") % 11 === 0 &&
+          unix_millis(col("ts")) >= maxMs - 2 * delayMs)
+        val far = norm.filter(col("event_id") % 97 === 0 &&
+          unix_millis(col("ts")) < maxMs - 2 * delayMs)
+          .withColumn("ts", expr(s"timestamp_millis(${maxMs}L)"))
+        Seq(norm, near, far).zipWithIndex.foreach { case (df, i) =>
+          val p = s"${srcDir}/f$i.parquet"
+          df.coalesce(1).write.parquet(p)
+          // pin mod times so the file source replays batches in order
+          java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(f =>
+            f.toFile.setLastModified(1000000000000L + i * 60000L))
+        }
+        val stream = s.readStream.schema(norm.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir.toString)
+        val name = s"stream_dedup_${System.nanoTime()}"
+        runStream(s, name, graft.streaming.Streaming
+          .dedupStream(stream, "event_id", "2 hours"))
+        s.table(name)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ts_ms"))
+          .orderBy("event_id", "ts_ms")
+      },
+      Some("""WITH mx AS (SELECT max(epoch_ms(ts)) AS m FROM events),
+          base AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+                   FROM events),
+          far AS (SELECT e.event_id, e.user_id, e.event_type, mx.m AS ts_ms
+                  FROM events e, mx
+                  WHERE e.event_id % 97 = 0
+                    AND epoch_ms(e.ts) < mx.m - 14400000)
+        SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM far)
+        ORDER BY event_id, ts_ms""")),
+
     // ---- stream-stream interval join ----------------------------------
     // clicks ⋈ purchases per user within 1 hour, BOTH sides unbounded
     // streams: watermarks + the range condition on the event-time

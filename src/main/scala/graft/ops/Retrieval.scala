@@ -297,6 +297,33 @@ object Retrieval {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** A SECOND index (own root — the shared [[index]] must stay
+    * pristine for doc_bm25_topk) driven through the MUTATION path:
+    * build over `documents`, then [[reindexBatch]] a mixed batch of
+    * changed docs (every doc_id % 10 == 3 gets replacement text whose
+    * old terms must be deleted from the postings) and genuinely new
+    * docs. The oracle scores the mutated corpus from scratch — so the
+    * entry proves reindex ≡ rebuild at the driver's cross-engine gate,
+    * not just in the scalatest law. */
+  private val reindexCache = new ConcurrentHashMap[String, LakeTable]()
+  private[graft] def reindexedIndex(s: SparkSession, d: String): LakeTable =
+    reindexCache.computeIfAbsent(d, _ => {
+      val root = s"/tmp/graft_lake/bm25r_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root + "_docs"), true)
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val t = buildIndex(s, root, docs)
+      val changed = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("text", lit("spark join reindex marker"))
+      val fresh = docs.filter(col("doc_id") % 500 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("fresh stream window document").as("text"))
+      reindexBatch(s, t, changed.unionByName(fresh))
+      t
+    })
+
   val queries: Seq[GQuery] = Seq(
     GQuery("doc_bm25_topk",
       (s, d) => searchRational(s, index(s, d), Workload, 10),
@@ -308,6 +335,53 @@ object Retrieval {
         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
                FROM toks GROUP BY doc_id),
         st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT count(*) FROM toks) AS total_len),
+        q AS (SELECT * FROM (VALUES
+            (1,'spark'),(1,'stream'),
+            (2,'hash'),(2,'join'),
+            (3,'window'),(3,'merge'),(3,'sort')) AS t(qid, term)),
+        dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+                WHERE term IN (SELECT term FROM q) GROUP BY term),
+        scored AS (
+          SELECT q.qid, tf.doc_id,
+            CAST(CAST(1000000 AS HUGEINT) * (2*st.n_docs - 2*dfx.df + 1)
+                   * 22 * tf.tf * st.total_len
+                 // (CAST(2*dfx.df + 1 AS HUGEINT)
+                   * (10*tf.tf*st.total_len + 3*st.total_len
+                      + 9*dl.dl*st.n_docs)) AS BIGINT) AS contrib
+          FROM q JOIN tf USING (term) JOIN dfx USING (term)
+               JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+        agg AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+                FROM scored GROUP BY qid, doc_id),
+        ranked AS (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY score DESC, doc_id) AS rn FROM agg)
+        SELECT qid, doc_id, score, CAST(rn AS INT) AS rank
+        FROM ranked WHERE rn <= 10 ORDER BY qid, rank""")),
+
+    // ---- BM25 after in-place reindex of changed docs -------------------
+    // same probe/scoring as doc_bm25_topk but against the index that was
+    // MUTATED via reindexBatch; the oracle rebuilds the mutated corpus
+    // directly, so stale postings (dropped terms), stale df, or skewed
+    // N/avgdl would all hash-mismatch here
+    GQuery("doc_bm25_reindex",
+      (s, d) => searchRational(s, reindexedIndex(s, d), Workload, 10),
+      Some("""WITH docs2 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 10 = 3 THEN 'spark join reindex marker'
+                 ELSE text END AS text
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 'fresh stream window document' AS text
+          FROM documents WHERE doc_id % 500 = 7),
+        toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM docs2),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM toks GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM docs2) AS n_docs,
                       (SELECT count(*) FROM toks) AS total_len),
         q AS (SELECT * FROM (VALUES
             (1,'spark'),(1,'stream'),
