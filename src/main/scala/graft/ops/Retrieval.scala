@@ -94,16 +94,34 @@ object Retrieval {
       postings.config.root + "_docs", keyCols = Seq("doc_id"),
       precombineCol = "ver", hashBuckets = 16))
 
-  private def docRowsOf(docs: DataFrame, ver: Long): DataFrame =
-    docs.select(col("doc_id"),
-        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
-      .groupBy(col("doc_id"))
+  private def docRowsOf(docs: DataFrame, ver: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+    val agg = toks.groupBy(col("doc_id"))
       // cast pins the array's element-nullability: collect_set infers
       // containsNull=false in memory but true after a parquet round-trip,
       // and that mismatch would read as an (illegal) type change on upsert
       .agg(count(lit(1)).as("dl"),
         sort_array(collect_set(col("term"))).cast("array<string>").as("terms"))
+    // left join back to the doc set: a doc with ZERO extractable terms
+    // posts nothing, but it still counts in N/avgdl, so it MUST get a
+    // side-table row (dl=0, no terms) — or the append-only guard would
+    // miss its re-ingest and reindex would subtract nothing for it
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        coalesce(col("terms"), array().cast("array<string>")).as("terms"))
       .withColumn("ver", lit(ver))
+  }
+
+  /** fail indexBatch/reindexBatch with a diagnosis, not an
+    * AnalysisException, when the doc side table is absent (an index
+    * persisted by a pre-incremental build, or a half-deleted root) */
+  private def requireDocsSide(t: LakeTable, docsT: LakeTable): Unit =
+    require(docsT.exists,
+      s"index at ${t.config.root} has no doc side table " +
+        s"(${docsT.config.root}) — it predates incremental indexing; " +
+        "rebuild it with buildIndex to enable indexBatch/reindexBatch")
 
   /** Materialize the postings index from a document corpus; corpus
     * stats (N, total length) publish atomically in the commit meta. */
@@ -130,6 +148,7 @@ object Retrieval {
     * table: O(batch), never O(corpus). */
   private[graft] def indexBatch(s: SparkSession, t: LakeTable, newDocs: DataFrame): Long = {
     val docsT = docsTable(s, t)
+    requireDocsSide(t, docsT)
     val dup = docsT.lookup(newDocs.select("doc_id")).limit(1)
       .select("doc_id").collect()
     require(dup.isEmpty,
@@ -159,6 +178,7 @@ object Retrieval {
     * (N grows only by the genuinely-new docs). */
   private[graft] def reindexBatch(s: SparkSession, t: LakeTable, changedDocs: DataFrame): Long = {
     val docsT = docsTable(s, t)
+    requireDocsSide(t, docsT)
     val newP = postingsOf(changedDocs)
     val old = docsT.lookup(changedDocs.select("doc_id"))
     // postings of the OLD version whose term vanished from the new text

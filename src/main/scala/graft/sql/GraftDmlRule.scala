@@ -138,6 +138,18 @@ private[sql] final case class GraftMergeCommand(
 
     val residual: Option[Column] =
       splitOnCondition(lake).map(e => Dml.toCol(e, side)).reduceOption(_ && _)
+    // user-facing surface for the documented Delta-parity deviation
+    // (not just scaladoc): a ported Delta MERGE relying on "key matched
+    // but residual failed → NOT MATCHED → insert" silently drops those
+    // inserts here, so say it loud where the statement runs
+    if (residual.isDefined && notMatchedActions.nonEmpty)
+      logWarning("MERGE ON carries residual conjuncts beyond the key " +
+        "equality: on this record-keyed table a source row whose key " +
+        "EXISTS but fails the residual fires NO clause — it is not " +
+        "treated as NOT MATCHED and will not be inserted (Delta would " +
+        "insert it; a duplicate key is unrepresentable here). If the " +
+        "insert was intended, scope with WHEN MATCHED AND <cond> / " +
+        "WHEN NOT MATCHED AND <cond> instead of the ON residual.")
 
     val sourceDf = PlanBridge.ofRows(session, sourcePlan)
     val identityCols = (lake.config.keyCols ++ lake.config.partitionCols).toSet

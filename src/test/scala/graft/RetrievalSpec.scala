@@ -131,6 +131,55 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.exists(_._1 == 3), "the new version's terms must be live")
   }
 
+  test("zero-term docs count in stats, guard re-ingest, and reindex cleanly") {
+    val base = docs(
+      1L -> "spark stream spark",
+      2L -> "12345 !!!")             // no extractable [a-z] terms at all
+    val idx = Retrieval.buildIndex(spark, tmp() + "/idx1", base)
+    // the zero-term doc must have a side-table row: its re-ingest is a
+    // loud append-only violation, not a silent N/avgdl double-count
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.indexBatch(spark, idx, docs(2L -> "now with words"))
+    }
+    assert(e.getMessage.contains("reindexBatch"))
+    // reindexing it to HAVE terms equals a from-scratch rebuild
+    Retrieval.reindexBatch(spark, idx, docs(2L -> "join join hash"))
+    val rebuilt = Retrieval.buildIndex(spark, tmp() + "/idx2", docs(
+      1L -> "spark stream spark",
+      2L -> "join join hash"))
+    import spark.implicits._
+    val qs = Seq(1 -> "spark", 2 -> "join")
+    def run(t: graft.lake.LakeTable) =
+      Retrieval.searchRational(spark, t, qs, 10)
+        .select($"qid", $"doc_id", $"score", $"rank")
+        .as[(Int, Long, Long, Int)].collect().toSet
+    assert(run(idx) == run(rebuilt),
+      "reindexed zero-term doc must score identically to a rebuild")
+    // and the reverse direction: a doc reindexed down to ZERO terms
+    // still counts in N and its old postings are fully deleted
+    Retrieval.reindexBatch(spark, idx, docs(2L -> "..."))
+    val rebuilt2 = Retrieval.buildIndex(spark, tmp() + "/idx3", docs(
+      1L -> "spark stream spark",
+      2L -> "..."))
+    assert(run(idx) == run(rebuilt2),
+      "reindex down to zero terms must equal a rebuild of that corpus")
+  }
+
+  test("an index missing its doc side table fails with a diagnosis") {
+    val t = Retrieval.buildIndex(spark, tmp() + "/idx", corpus)
+    val side = new org.apache.hadoop.fs.Path(t.config.root + "_docs")
+    side.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(side, true)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.indexBatch(spark, t, docs(99L -> "new doc"))
+    }
+    assert(e.getMessage.contains("doc side table"),
+      s"expected the rebuild diagnosis, got: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.reindexBatch(spark, t, docs(1L -> "changed"))
+    }
+    assert(e2.getMessage.contains("doc side table"))
+  }
+
   test("RRF fusion: doc in both lists beats equal-rank doc in one list") {
     import spark.implicits._
     // qid 1: doc 10 ranks 1st in both lists; doc 20 ranks 2nd in one
