@@ -41,26 +41,50 @@ object Bench {
     // queries below measure steady-state reads. Skipped under the dev
     // filter: fixtures are memoized, so the discarded cold run below
     // triggers exactly the builds the selected queries need.
+    //
+    // Builds run as parallel LANES: each lane is sequential (later
+    // entries depend on earlier ones — incr_agg needs the cdc table,
+    // sql_merge needs the dml fixture — and the memoization maps must
+    // never compute one key from inside another's computeIfAbsent), but
+    // lanes build disjoint roots and share no state beyond the
+    // SparkContext, so they overlap. Per-entry times still measure each
+    // build (under whatever cluster contention the lane mix causes);
+    // `builds_wall` is the honest wall-clock of the whole phase, and the
+    // reported total uses IT, not the overlapping per-entry sum.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    if (only.isEmpty) results ++= Seq[(String, Double)](
-      "lake_cdc_build" -> timed { ops.Lake.cdcTable(spark, sfDir) },
-      "lake_mor_build" -> timed { ops.Lake.morCdcTable(spark, sfDir) },
-      "stream_ingest_build" -> timed { ops.Lake.streamTable(spark, sfDir) },
-      "stream_sink_build" -> timed { ops.Lake.sinkStreamTable(spark, sfDir) },
-      "lake_merge_build" -> timed { ops.Lake.mergeTable(spark, sfDir) },
-      "incr_agg_build" -> timed { ops.Lake.incrAgg(spark, sfDir) },
-      "incr_agg_mm_build" -> timed { ops.Lake.incrAggMM(spark, sfDir) },
-      "schema_evo_build" -> timed { ops.Lake.evoTable(spark, sfDir) },
-      "schema_evo2_build" -> timed { ops.Lake.evoWideTable(spark, sfDir) },
-      "bm25_index_build" -> timed { ops.Retrieval.index(spark, sfDir) },
-      "bm25_reindex_build" -> timed { ops.Retrieval.reindexedIndex(spark, sfDir) },
-      "bucketed_tables_build" -> timed { ops.Extended.ensureBucketed(spark, sfDir) },
-      "ann_index_build" -> timed { ops.Similarity.ensureAnnIndex(spark, sfDir) },
-      "ivf_centroids_build" -> timed { ops.Similarity.ensureIvf(spark, sfDir) },
-      "dup_cluster_build" -> timed { ops.Text.ensureClusters(spark, sfDir) },
-      "sql_dml_build" -> timed { ops.Sql.dmlFixture(spark, sfDir) },
-      "sql_merge_build" -> timed { ops.Sql.mergeFixture(spark, sfDir) },
-      "dedup_index_build" -> timed { ops.Dedup.ensureIndex(spark, sfDir) })
+    var buildsWall = 0.0
+    if (only.isEmpty) {
+      val lanes: Seq[Seq[(String, () => Unit)]] = Seq(
+        Seq("lake_cdc_build" -> (() => { ops.Lake.cdcTable(spark, sfDir); () }),
+          "incr_agg_build" -> (() => { ops.Lake.incrAgg(spark, sfDir); () }),
+          "incr_agg_mm_build" -> (() => { ops.Lake.incrAggMM(spark, sfDir); () })),
+        Seq("lake_mor_build" -> (() => { ops.Lake.morCdcTable(spark, sfDir); () }),
+          "lake_merge_build" -> (() => { ops.Lake.mergeTable(spark, sfDir); () })),
+        Seq("stream_ingest_build" -> (() => { ops.Lake.streamTable(spark, sfDir); () }),
+          "stream_sink_build" -> (() => { ops.Lake.sinkStreamTable(spark, sfDir); () })),
+        Seq("sql_dml_build" -> (() => { ops.Sql.dmlFixture(spark, sfDir); () }),
+          "sql_merge_build" -> (() => { ops.Sql.mergeFixture(spark, sfDir); () })),
+        Seq("schema_evo_build" -> (() => { ops.Lake.evoTable(spark, sfDir); () }),
+          "schema_evo2_build" -> (() => { ops.Lake.evoWideTable(spark, sfDir); () }),
+          "bucketed_tables_build" -> (() => ops.Extended.ensureBucketed(spark, sfDir))),
+        Seq("bm25_index_build" -> (() => { ops.Retrieval.index(spark, sfDir); () }),
+          "bm25_reindex_build" -> (() => { ops.Retrieval.reindexedIndex(spark, sfDir); () }),
+          "dup_cluster_build" -> (() => ops.Text.ensureClusters(spark, sfDir))),
+        Seq("ann_index_build" -> (() => ops.Similarity.ensureAnnIndex(spark, sfDir)),
+          "ivf_centroids_build" -> (() => ops.Similarity.ensureIvf(spark, sfDir)),
+          "dedup_index_build" -> (() => { ops.Dedup.ensureIndex(spark, sfDir); () })))
+      val wall0 = System.nanoTime()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(lanes.size)
+      val laneResults = lanes.map(lane => pool.submit(
+        new java.util.concurrent.Callable[Seq[(String, Double)]] {
+          override def call(): Seq[(String, Double)] =
+            lane.map { case (name, body) => name -> timed { body() } }
+        }))
+      laneResults.foreach(f => results ++= f.get())
+      pool.shutdown()
+      buildsWall = (System.nanoTime() - wall0) / 1e9
+      results("builds_wall") = buildsWall
+    }
     // each query runs twice; the SECOND (steady-state) run is reported, so
     // per-query numbers compare round-over-round without first-touch
     // page-cache/JIT noise (the r1 doc_exact_dedup 11s outlier was exactly
@@ -74,7 +98,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // builds overlap in wall time: count the build phase ONCE (its wall
+    // clock), plus the sequential query runs — not the per-lane sums
+    val total = results.filter { case (k, v) =>
+      v >= 0 && !k.endsWith("_build") }.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
