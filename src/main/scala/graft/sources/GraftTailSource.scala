@@ -100,6 +100,14 @@ final class GraftTailSource(
     * contract as time travel below the horizon. */
   private def cowBatchFrame(from: Long, to: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // the diff reads files the range's commits REWROTE — physically
+    // deleted once the cleaner passes them. Fail the batch up front with
+    // the time-travel contract's message, not a FileNotFound mid-job.
+    require(from + 1 >= table.log.cleanedUpTo,
+      s"streaming tail fell behind the cleaner horizon " +
+        s"(commit ${from + 1} < retained ${table.log.cleanedUpTo}): " +
+        "rewritten files it must diff were physically deleted — " +
+        "restart the stream from a fresh snapshot")
     val frames = table.log.commitsInRange(from, to)
       .filterNot(c => PhysicalOps.contains(c.op))
       .flatMap { c =>

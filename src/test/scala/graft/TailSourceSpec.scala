@@ -253,6 +253,23 @@ class TailSourceSpec extends AnyFunSuite {
       s"overwrite tail mismatch: $got")
   }
 
+  test("CoW tail below the cleaner horizon fails loud, not FileNotFound mid-job") {
+    val t = cowTable(freshRoot())
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    (1 to 3).foreach(i => t.upsert(df((1L, 1, s"v$i", i))))
+    t.clean(retain = 1) // rewritten files of the early commits are gone
+    assert(t.log.cleanedUpTo > 0, "precondition: the cleaner must have advanced")
+    val src = source(t)
+    val e = intercept[IllegalArgumentException] {
+      src.batchFrame(-1L, t.log.latestId.get).collect()
+    }
+    assert(e.getMessage.contains("cleaner horizon"), e.getMessage)
+    // a tail starting at the horizon still works
+    val ok = src.batchFrame(t.log.cleanedUpTo - 1, t.log.latestId.get)
+      .select("pk").collect()
+    assert(ok.nonEmpty)
+  }
+
   test("CoW tail: end-to-end streaming query with checkpoint resume") {
     val t = cowTable(freshRoot())
     t.bulkInsert(df((1L, 1, "a", 0)))
