@@ -1599,23 +1599,25 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
 
   /** Read files recorded ANYWHERE on the timeline — including files a
     * later commit removed (they survive physically until [[clean]]) —
-    * each with the schema of the commit that ADDED it, adapted to
-    * `streamSchema` by column id with the STREAM contract
+    * each with the schema of the commit that ADDED it (resolved through
+    * `schemaJsonOf`, so a long-running caller can keep an INCREMENTAL
+    * path index instead of re-folding the whole timeline per call),
+    * adapted to `streamSchema` by column id with the STREAM contract
     * ([[SchemaEvo.adaptToStream]]: renames alias, pre-evolution files
     * null-backfill/upcast, evolution past the stream schema fails loud).
     * The change-tail read primitive for Copy-on-Write tables, where a
     * commit's logical changes are derived from its adds/removes. */
   private[graft] def readTimelineFiles(
-      paths: Seq[String], streamSchema: StructType): DataFrame = {
+      paths: Seq[String], streamSchema: StructType,
+      schemaJsonOf: String => Option[String]): DataFrame = {
     if (paths.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], streamSchema)
-    val jsonOf = pathSchemaJson(None)
     val groups = scala.collection.mutable.LinkedHashMap
       .empty[Set[(String, String, DataType)],
              (StructType, scala.collection.mutable.ArrayBuffer[String])]
     paths.foreach { p =>
-      val schema = jsonOf.get(p).map(parseSchema).getOrElse(tableSchema())
+      val schema = schemaJsonOf(p).map(parseSchema).getOrElse(tableSchema())
       groups.getOrElseUpdate(SchemaEvo.adaptKey(schema),
         (schema, new scala.collection.mutable.ArrayBuffer[String]))._2 += p
     }

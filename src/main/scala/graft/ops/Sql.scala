@@ -69,8 +69,13 @@ object Sql {
   /** the mergeTable clause set (ops.Lake) issued as ONE SQL MERGE INTO —
     * update/delete/insert/by-source-delete in a single statement */
   private[graft] def mergeFixture(s: SparkSession, d: String): String =
+    {
+    // dependency resolved OUTSIDE the lambda: a nested
+    // computeIfAbsent on one map throws "Recursive update" whenever
+    // the two keys share a bin — which key set and hashing decide,
+    // not the code; hoisting makes it structurally impossible
+    val cat = dmlFixture(s, d)
     built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:merge", _ => {
-      val cat = dmlFixture(s, d)
       s.sql(s"DROP TABLE IF EXISTS $cat.db.li")
       s.sql(s"""CREATE TABLE $cat.db.li (
           l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING,
@@ -103,6 +108,7 @@ object Sql {
         WHEN NOT MATCHED BY SOURCE AND t.l_returnflag = 'N' THEN DELETE""")
       cat
     })
+  }
 
   /** Unpartitioned nation table hit by a MERGE whose ON clause carries a
     * RESIDUAL conjunct beyond the key equality (the Delta-idiomatic
@@ -111,8 +117,13 @@ object Sql {
     * rows below update, everything else is untouched (and in particular
     * key-matched rows failing the residual do NOT re-insert). */
   private[graft] def residualFixture(s: SparkSession, d: String): String =
+    {
+    // dependency resolved OUTSIDE the lambda: a nested
+    // computeIfAbsent on one map throws "Recursive update" whenever
+    // the two keys share a bin — which key set and hashing decide,
+    // not the code; hoisting makes it structurally impossible
+    val cat = dmlFixture(s, d)
     built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:residual", _ => {
-      val cat = dmlFixture(s, d)
       s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_res")
       s.sql(s"""CREATE TABLE $cat.db.nation_res (
           n_nationkey INT, n_name STRING, n_regionkey INT, update_ts INT)
@@ -128,14 +139,20 @@ object Sql {
         WHEN NOT MATCHED THEN INSERT *""")
       cat
     })
+  }
 
   /** Staged creation end-to-end: CTAS materializes a transformed SELECT
     * into a brand-new table (atomic: descriptor lands last), then
     * REPLACE TABLE AS SELECT swaps it wholesale for a narrowed,
     * re-derived version — the final contents are what the oracle pins. */
   private[graft] def ctasFixture(s: SparkSession, d: String): String =
+    {
+    // dependency resolved OUTSIDE the lambda: a nested
+    // computeIfAbsent on one map throws "Recursive update" whenever
+    // the two keys share a bin — which key set and hashing decide,
+    // not the code; hoisting makes it structurally impossible
+    val cat = dmlFixture(s, d)
     built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:ctas", _ => {
-      val cat = dmlFixture(s, d)
       s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_ctas")
       s.sql(s"""CREATE TABLE $cat.db.nation_ctas USING graft
         TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')
@@ -148,6 +165,7 @@ object Sql {
         FROM sql_nation_src WHERE n_regionkey <= 2""")
       cat
     })
+  }
 
   /** MoR `nation` table tailed BY NAME through the DSv2 catalog — the
     * V1-fallback bridge ([[graft.sql.GraftTableV2.v1FallbackTable]])
@@ -156,8 +174,13 @@ object Sql {
     * re-insert of region 1 (names marked `+`), c2 = delete tombstones
     * for keys >= 20. */
   private[graft] def tailFixture(s: SparkSession, d: String): String =
+    {
+    // dependency resolved OUTSIDE the lambda: a nested
+    // computeIfAbsent on one map throws "Recursive update" whenever
+    // the two keys share a bin — which key set and hashing decide,
+    // not the code; hoisting makes it structurally impossible
+    val cat = dmlFixture(s, d)
     built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:tail", _ => {
-      val cat = dmlFixture(s, d)
       s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_mor")
       s.sql(s"""CREATE TABLE $cat.db.nation_mor (
           n_nationkey INT, n_name STRING, n_regionkey INT, update_ts INT)
@@ -170,6 +193,7 @@ object Sql {
       s.sql(s"DELETE FROM $cat.db.nation_mor WHERE n_nationkey >= 20")
       cat
     })
+  }
 
   /** CoW twin of [[tailFixture]] — the reference's own table type
     * (glue/HudiJarGlueJob.py:77 COPY_ON_WRITE). Same logical timeline;
@@ -178,8 +202,13 @@ object Sql {
     * load IS a change batch), c1 update of region 1, c2 tombstones for
     * keys >= 20 — carrying the values the keys held when deleted. */
   private[graft] def cowTailFixture(s: SparkSession, d: String): String =
+    {
+    // dependency resolved OUTSIDE the lambda: a nested
+    // computeIfAbsent on one map throws "Recursive update" whenever
+    // the two keys share a bin — which key set and hashing decide,
+    // not the code; hoisting makes it structurally impossible
+    val cat = dmlFixture(s, d)
     built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:cowtail", _ => {
-      val cat = dmlFixture(s, d)
       s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_cowt")
       s.sql(s"""CREATE TABLE $cat.db.nation_cowt (
           n_nationkey INT, n_name STRING, n_regionkey INT, update_ts INT)
@@ -192,6 +221,7 @@ object Sql {
       s.sql(s"DELETE FROM $cat.db.nation_cowt WHERE n_nationkey >= 20")
       cat
     })
+  }
 
   val queries: Seq[GQuery] = Seq(
 

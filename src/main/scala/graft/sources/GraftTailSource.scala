@@ -98,6 +98,28 @@ final class GraftTailSource(
     * readable until [[graft.lake.LakeTable.clean]]; a tail lagging past
     * the cleaner horizon fails loud on the missing file, the same
     * contract as time travel below the horizon. */
+  /** Incremental path → add-commit-schema index for the CoW diff: a
+    * removed file's schema is its ADD commit's, which can lie anywhere
+    * below the batch. Seeded ONCE from the timeline up to the first
+    * batch, then grown per batch from the batch's own commits — so the
+    * per-trigger driver work is O(new commits), never a re-fold of the
+    * whole add history (the growth-with-AGE failure the commit log
+    * exists to avoid; commit JSON reads are already memoized, this
+    * bounds the CPU fold too). `indexedUpTo` is spec-observable. */
+  private val pathSchemaIdx = scala.collection.mutable.HashMap.empty[String, String]
+  private[graft] var indexedFoldedCommits: Long = 0L
+  private var indexedUpTo: Long = Long.MinValue
+  private def ensureIndexed(upTo: Long): Unit =
+    if (upTo > indexedUpTo) {
+      table.log.commits
+        .filter(c => c.id > indexedUpTo && c.id <= upTo)
+        .foreach { c =>
+          indexedFoldedCommits += 1
+          c.adds.foreach(a => pathSchemaIdx(a.path) = c.schemaJson)
+        }
+      indexedUpTo = upTo
+    }
+
   private def cowBatchFrame(from: Long, to: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     // the diff reads files the range's commits REWROTE — physically
@@ -108,21 +130,25 @@ final class GraftTailSource(
         s"(commit ${from + 1} < retained ${table.log.cleanedUpTo}): " +
         "rewritten files it must diff were physically deleted — " +
         "restart the stream from a fresh snapshot")
+    ensureIndexed(to)
     val frames = table.log.commitsInRange(from, to)
       .filterNot(c => PhysicalOps.contains(c.op))
       .flatMap { c =>
         val adds = c.adds.filterNot(_.isDelta).map(_.path)
+        // adds need no index probe: their schema IS this commit's
+        def readAdds() = table.readTimelineFiles(
+          adds, schema, _ => Some(c.schemaJson))
         val changed =
           if (adds.isEmpty) None
-          else Some(table.readTimelineFiles(adds, schema)
+          else Some(readAdds()
             .filter(col("_commit_id") === c.id)
             .withColumn("_deleted", lit(false)))
         val tombstones =
           if (c.removes.isEmpty || !DeleteCapableOps.contains(c.op)) None
           else {
-            val oldRows = table.readTimelineFiles(c.removes, schema)
-            val newKeys = table.readTimelineFiles(adds, schema)
-              .select("_record_key").distinct()
+            val oldRows = table.readTimelineFiles(
+              c.removes, schema, pathSchemaIdx.get)
+            val newKeys = readAdds().select("_record_key").distinct()
             Some(oldRows.join(newKeys, Seq("_record_key"), "left_anti")
               .select(schema.fieldNames.map(n => col("`" + n + "`")).toSeq: _*)
               .withColumn("_deleted", lit(true)))

@@ -253,6 +253,20 @@ class TailSourceSpec extends AnyFunSuite {
       s"overwrite tail mismatch: $got")
   }
 
+  test("CoW tail: per-trigger schema-index fold is O(new commits), not O(timeline)") {
+    val t = cowTable(freshRoot())
+    t.bulkInsert(df((1L, 1, "a", 0)))                       // commit 0
+    (1 to 3).foreach(i => t.upsert(df((1L, 1, s"v$i", i)))) // commits 1-3
+    val src = source(t)
+    src.batchFrame(-1L, 3L).collect()
+    assert(src.indexedFoldedCommits == 4,
+      s"first trigger seeds the full prefix, got ${src.indexedFoldedCommits}")
+    t.upsert(df((2L, 1, "new", 9)))                         // commit 4
+    src.batchFrame(3L, 4L).collect()
+    assert(src.indexedFoldedCommits == 5,
+      "a later trigger must fold ONLY its new commits, never re-fold the timeline")
+  }
+
   test("CoW tail below the cleaner horizon fails loud, not FileNotFound mid-job") {
     val t = cowTable(freshRoot())
     t.bulkInsert(df((1L, 1, "a", 0)))
