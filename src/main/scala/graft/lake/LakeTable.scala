@@ -842,8 +842,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * delta directory is NEVER emitted (only committed files are named by
     * the log — tightened from the glob design, which could leak one).
     */
-  def tailStream(): DataFrame = {
-    spark.readStream.format("graft")
+  def tailStream(maxCommitsPerTrigger: Option[Int] = None): DataFrame = {
+    val base = spark.readStream.format("graft")
       .schema(tailSchema)
       .option("storageType", config.storageType)
       .option("keyCols", config.keyCols.mkString(","))
@@ -851,6 +851,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       .option("partitionCols", config.partitionCols.mkString(","))
       .option("globalIndex", config.globalIndex.toString)
       .option("hashBuckets", config.hashBuckets.toString)
+    maxCommitsPerTrigger
+      .fold(base)(n => base.option("maxCommitsPerTrigger", n.toString))
       .load(config.root)
   }
 

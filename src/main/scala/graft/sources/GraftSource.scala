@@ -133,7 +133,9 @@ final class GraftSource extends RelationProvider
     // MoR tables tail their delta commits directly; CoW tables derive
     // per-commit changes from the commit's adds/removes (see
     // GraftTailSource.cowBatchFrame) — both storage types stream
-    new GraftTailSource(ctx, table, schema.getOrElse(table.tailSchema))
+    new GraftTailSource(ctx, table, schema.getOrElse(table.tailSchema),
+      maxCommitsPerTrigger =
+        parameters.get("maxCommitsPerTrigger").map(_.toInt))
   }
 }
 

@@ -45,7 +45,8 @@ import graft.lake.LakeTable
   * streams).
   */
 final class GraftTailSource(
-    ctx: SQLContext, table: LakeTable, override val schema: StructType)
+    ctx: SQLContext, table: LakeTable, override val schema: StructType,
+    maxCommitsPerTrigger: Option[Int] = None)
   extends Source {
 
   /** change-log delta dir component (`LakeTable.dataDir`: `d<%08d id>-<hex
@@ -64,8 +65,26 @@ final class GraftTailSource(
 
   private def offLong(o: OffsetV1): Long = o.json.trim.toLong
 
+  /** Admission control (Delta's maxFilesPerTrigger role): with
+    * `maxCommitsPerTrigger` set, a catch-up backlog splits into batches
+    * of at most N commits instead of one giant micro-batch — bounding
+    * per-trigger plan size (the CoW diff plans per commit) and state.
+    * The cap anchors on the highest offset THIS run already handed to
+    * getBatch: that floor is always ≥ the committed offset, so a capped
+    * getOffset can never regress the checkpoint. The first trigger
+    * after a (re)start has no anchor yet and stays uncapped — the V1
+    * Source API offers nothing safe to anchor on before the engine
+    * reveals its start offset. */
+  @volatile private var highWater: Long = Long.MinValue
+
   override def getOffset: Option[OffsetV1] =
-    table.log.latestId.map(LongOffset(_))
+    table.log.latestId.map { latest =>
+      LongOffset(maxCommitsPerTrigger match {
+        case Some(n) if highWater != Long.MinValue =>
+          math.min(latest, highWater + n)
+        case _ => latest
+      })
+    }
 
   /** the micro-batch for commits `(from, to]` as a plain batch frame —
     * getBatch re-roots it as streaming; specs read it directly */
@@ -192,9 +211,11 @@ final class GraftTailSource(
       }.reduce(_ union _)
   }
 
-  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame =
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    highWater = math.max(highWater, offLong(end))
     StreamingBridge.asStream(
       batchFrame(start.map(offLong).getOrElse(-1L), offLong(end)))
+  }
 
   override def stop(): Unit = ()
 }

@@ -253,6 +253,33 @@ class TailSourceSpec extends AnyFunSuite {
       s"overwrite tail mismatch: $got")
   }
 
+  test("maxCommitsPerTrigger chunks a catch-up backlog; offsets never regress") {
+    val t = build(freshRoot(), 6) // commits 0..6
+    val src = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
+      maxCommitsPerTrigger = Some(2))
+    // no anchor yet: the first offer is uncapped (safe-by-construction)
+    assert(src.getOffset.contains(LongOffset(6L)))
+    // engine runs a first batch up to 1; subsequent offers cap at +2
+    src.getBatch(None, LongOffset(1L)).isStreaming
+    assert(src.getOffset.contains(LongOffset(3L)),
+      "after a batch ends at 1, the next offer is capped at 1 + 2")
+    src.getBatch(Some(LongOffset(1L)), LongOffset(3L))
+    assert(src.getOffset.contains(LongOffset(5L)))
+    src.getBatch(Some(LongOffset(3L)), LongOffset(5L))
+    // the cap never exceeds the head
+    assert(src.getOffset.contains(LongOffset(6L)))
+    // full end-to-end under the cap: same rows, just more micro-batches
+    val ckpt = Files.createTempDirectory("cap_ckpt").toString
+    val out = Files.createTempDirectory("cap_out").toString
+    val q = t.tailStream(maxCommitsPerTrigger = Some(2))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).select("pk").collect()
+      .map(_.getLong(0)).toSet == (1 to 6).map(100L + _).toSet)
+  }
+
   test("CoW tail: per-trigger schema-index fold is O(new commits), not O(timeline)") {
     val t = cowTable(freshRoot())
     t.bulkInsert(df((1L, 1, "a", 0)))                       // commit 0
