@@ -280,6 +280,29 @@ object Sql {
           FROM nation WHERE n_nationkey >= 20)
         SELECT * FROM tail ORDER BY n_nationkey, _deleted""")),
 
+    // ---- zero-copy shallow clone via CALL -------------------------------
+    // clone the DML fixture table at head (metadata-only: the clone's
+    // commits borrow the source's files) and read the CLONE — the oracle
+    // is the same final-state SQL as lake_sql_dml, so a clone that
+    // missed a commit, resurrected a deleted row, or broke borrowed-file
+    // schema adaptation hash-mismatches here. Re-cloned per run (drop +
+    // CALL are metadata writes).
+    GQuery("lake_sql_clone",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_clone")
+        s.sql(s"CALL $cat.system.clone('db.nation', 'db.nation_clone', -1L)")
+          .collect()
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, update_ts
+          FROM $cat.db.nation_clone ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_regionkey = 2 THEN n_name || '!' ELSE n_name END AS n_name,
+          n_regionkey,
+          CASE WHEN n_regionkey = 2 THEN 7 ELSE 0 END AS update_ts
+        FROM nation WHERE n_nationkey < 20
+        ORDER BY n_nationkey""")),
+
     // ---- streaming tail of a CoW catalog table --------------------------
     // the same timeline as catalog_stream_tail but on COPY_ON_WRITE (the
     // reference's table type): changes are DERIVED per commit from its

@@ -515,23 +515,64 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace.sameElements(GraftProcedures.Namespace),
       s"procedures live under the 'system' namespace, got $ident")
+    // catalog-level (not table-level) maintenance: lives here because it
+    // needs the warehouse fs / ident resolution, not just a LakeTable
     if (ident.name == "vacuum_staging")
-      // catalog-level (not table-level) maintenance: lives here because
-      // it needs the warehouse fs, not a LakeTable
       GraftProcedures.make("vacuum_staging",
         Seq("namespace" -> org.apache.spark.sql.types.StringType,
           "older_than_ms" -> org.apache.spark.sql.types.LongType),
         in => vacuumStaging(
           in.getUTF8String(0).toString.split('.').filter(_.nonEmpty),
           in.getLong(1)).size.toLong)
+    else if (ident.name == "clone")
+      // CALL graft.system.clone('db.src', 'db.dst', commit) — zero-copy
+      // shallow clone at a snapshot (commit -1 = latest), published with
+      // the staged-create choreography: the clone's metadata lands in a
+      // hidden sibling (its commits reference the SOURCE's files by
+      // absolute path, so the rename moves nothing it points at), the
+      // descriptor is saved into the stage, and one atomic rename makes
+      // the table exist. Returns the clone's head commit id.
+      GraftProcedures.make("clone",
+        Seq("table" -> org.apache.spark.sql.types.StringType,
+          "target" -> org.apache.spark.sql.types.StringType,
+          "commit" -> org.apache.spark.sql.types.LongType),
+        in => {
+          val srcName = in.getUTF8String(0).toString
+          val src = lakeFor(srcName)
+          val parts = in.getUTF8String(1).toString.split('.')
+          require(parts.length >= 1 && parts.forall(_.nonEmpty),
+            s"bad clone target '${in.getUTF8String(1)}' (expected [ns.]table)")
+          val tgt = Identifier.of(parts.init, parts.last)
+          val root = tablePath(tgt)
+          val stage = hiddenSibling(tgt, "stage")
+          val asOf = Some(in.getLong(2)).filter(_ >= 0)
+          val clone = src.shallowClone(stage.toString, asOf)
+          val desc = TableDescriptor.load(src.config.root, hconf)
+            .getOrElse(throw new IllegalStateException(
+              s"clone source $srcName has no catalog descriptor"))
+          TableDescriptor.save(stage.toString, desc.copy(
+            schemaJson = clone.log.schemaJsonAsOf(None)
+              .getOrElse(desc.schemaJson)), hconf)
+          GraftCatalog.publishLock.synchronized {
+            if (isTableDir(root)) {
+              fs.delete(stage, true)
+              throw new TableAlreadyExistsException(tgt)
+            }
+            if (fs.exists(root)) fs.delete(root, true)
+            fs.mkdirs(root.getParent)
+            require(fs.rename(stage, root),
+              s"failed to publish clone ${tgt}")
+          }
+          clone.log.latestId.getOrElse(-1L)
+        })
     else GraftProcedures.load(ident.name, lakeFor).getOrElse(
       throw new IllegalArgumentException(s"no procedure ${ident.name}; " +
-        s"available: ${(GraftProcedures.names :+ "vacuum_staging").sorted.mkString(", ")}"))
+        s"available: ${(GraftProcedures.names ++ GraftCatalog.CatalogProcs).sorted.mkString(", ")}"))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (!namespace.sameElements(GraftProcedures.Namespace)) Array.empty
-    else (GraftProcedures.names :+ "vacuum_staging").sorted
+    else (GraftProcedures.names ++ GraftCatalog.CatalogProcs).sorted
       .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
 
   // ---- namespaces ------------------------------------------------------
@@ -590,6 +631,10 @@ private[sql] object GraftCatalog {
   /** hidden staging-artifact dir name: `.<table>.<stage|trash>-<uuid>` */
   val HiddenDir: scala.util.matching.Regex =
     """^\.(.+)\.(stage|trash)-[0-9a-fA-F-]+$""".r
+
+  /** procedures implemented BY the catalog (warehouse-level), beyond the
+    * per-table set in [[GraftProcedures]] */
+  val CatalogProcs: Seq[String] = Seq("vacuum_staging", "clone")
 }
 
 /** A staged (not yet visible) table for CTAS / REPLACE TABLE: plain

@@ -397,6 +397,31 @@ class SqlCatalogSpec extends AnyFunSuite {
       Seq(1L, 5, "a2"), Seq(2L, 0, "b"), Seq(3L, 1, "c")))
   }
 
+  test("CALL clone: zero-copy shallow clone via SQL, divergent thereafter") {
+    wh
+    spark.sql("""CREATE TABLE g.db.cl_src (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.cl_src VALUES (1,0,'a'), (2,0,'b')")
+    spark.sql("INSERT INTO g.db.cl_src VALUES (1,1,'a2'), (3,0,'c')")
+    // clone at head; reads equal the source snapshot
+    spark.sql("CALL g.system.clone('db.cl_src', 'db.cl_dst', -1L)").collect()
+    assert(rows("SELECT pk, v FROM g.db.cl_dst ORDER BY pk") ==
+      rows("SELECT pk, v FROM g.db.cl_src ORDER BY pk"))
+    // time-travel clone at the seed commit
+    spark.sql("CALL g.system.clone('db.cl_src', 'db.cl_v0', 0L)").collect()
+    assert(rows("SELECT pk, v FROM g.db.cl_v0 ORDER BY pk") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // writes diverge: clone upserts do not touch the source
+    spark.sql("INSERT INTO g.db.cl_dst VALUES (9,0,'z')")
+    assert(rows("SELECT count(*) FROM g.db.cl_dst") == Seq(Seq(4L)))
+    assert(rows("SELECT count(*) FROM g.db.cl_src") == Seq(Seq(3L)))
+    // an existing target fails clean and leaves no staging junk
+    intercept[Exception] {
+      spark.sql("CALL g.system.clone('db.cl_src', 'db.cl_dst', -1L)").collect()
+    }
+    assert(rows("SELECT count(*) FROM g.db.cl_dst") == Seq(Seq(4L)))
+  }
+
   test("readStream.table tails a catalog CoW table (the reference's table type)") {
     wh
     spark.sql("""CREATE TABLE g.db.stc (pk BIGINT, ts INT, v STRING)
