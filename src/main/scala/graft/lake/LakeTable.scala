@@ -842,7 +842,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * delta directory is NEVER emitted (only committed files are named by
     * the log — tightened from the glob design, which could leak one).
     */
-  def tailStream(maxCommitsPerTrigger: Option[Int] = None): DataFrame = {
+  def tailStream(
+      maxCommitsPerTrigger: Option[Int] = None,
+      startingCommit: Option[Long] = None): DataFrame = {
     val base = spark.readStream.format("graft")
       .schema(tailSchema)
       .option("storageType", config.storageType)
@@ -851,8 +853,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       .option("partitionCols", config.partitionCols.mkString(","))
       .option("globalIndex", config.globalIndex.toString)
       .option("hashBuckets", config.hashBuckets.toString)
-    maxCommitsPerTrigger
-      .fold(base)(n => base.option("maxCommitsPerTrigger", n.toString))
+    val opts = Seq(
+      maxCommitsPerTrigger.map("maxCommitsPerTrigger" -> _.toString),
+      startingCommit.map("startingCommit" -> _.toString)).flatten
+    opts.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
       .load(config.root)
   }
 

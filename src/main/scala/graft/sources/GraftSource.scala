@@ -135,7 +135,8 @@ final class GraftSource extends RelationProvider
     // GraftTailSource.cowBatchFrame) — both storage types stream
     new GraftTailSource(ctx, table, schema.getOrElse(table.tailSchema),
       maxCommitsPerTrigger =
-        parameters.get("maxCommitsPerTrigger").map(_.toInt))
+        parameters.get("maxCommitsPerTrigger").map(_.toInt),
+      startingCommit = parameters.get("startingCommit").map(_.toLong))
   }
 }
 

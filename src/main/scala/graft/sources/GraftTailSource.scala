@@ -46,7 +46,12 @@ import graft.lake.LakeTable
   */
 final class GraftTailSource(
     ctx: SQLContext, table: LakeTable, override val schema: StructType,
-    maxCommitsPerTrigger: Option[Int] = None)
+    maxCommitsPerTrigger: Option[Int] = None,
+    /** first commit a FRESH stream includes (Delta's startingVersion
+      * role, inclusive): skip the historical backlog and tail from a
+      * known point. Ignored once a checkpoint exists — the engine then
+      * supplies the start offset. */
+    startingCommit: Option[Long] = None)
   extends Source {
 
   /** change-log delta dir component (`LakeTable.dataDir`: `d<%08d id>-<hex
@@ -213,8 +218,10 @@ final class GraftTailSource(
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     highWater = math.max(highWater, offLong(end))
-    StreamingBridge.asStream(
-      batchFrame(start.map(offLong).getOrElse(-1L), offLong(end)))
+    // inclusive startingCommit → exclusive offset space: commit N first
+    StreamingBridge.asStream(batchFrame(
+      start.map(offLong).orElse(startingCommit.map(_ - 1)).getOrElse(-1L),
+      offLong(end)))
   }
 
   override def stop(): Unit = ()

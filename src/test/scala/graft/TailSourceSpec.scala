@@ -253,6 +253,28 @@ class TailSourceSpec extends AnyFunSuite {
       s"overwrite tail mismatch: $got")
   }
 
+  test("startingCommit skips the backlog for a fresh stream; checkpoints override it") {
+    val t = build(freshRoot(), 3) // base + upserts at commits 1..3
+    val ckpt = Files.createTempDirectory("startc_ckpt").toString
+    val out = Files.createTempDirectory("startc_out").toString
+    def run(): Unit = {
+      val q = t.tailStream(startingCommit = Some(2L))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // fresh stream: first included commit is 2 — commit 1 skipped
+    assert(spark.read.parquet(out).select("pk").collect()
+      .map(_.getLong(0)).toSet == Set(102L, 103L))
+    // on resume the CHECKPOINT start wins over startingCommit: only the
+    // genuinely new commit arrives, nothing replays from commit 2
+    t.upsert(df((104L, 1, "u4", 4)))
+    run()
+    assert(spark.read.parquet(out).select("pk").collect()
+      .map(_.getLong(0)).toSet == Set(102L, 103L, 104L))
+  }
+
   test("maxCommitsPerTrigger chunks a catch-up backlog; offsets never regress") {
     val t = build(freshRoot(), 6) // commits 0..6
     val src = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
