@@ -83,12 +83,22 @@ final class GraftTailSource(
   @volatile private var highWater: Long = Long.MinValue
 
   override def getOffset: Option[OffsetV1] =
-    table.log.latestId.map { latest =>
-      LongOffset(maxCommitsPerTrigger match {
+    table.log.latestId.flatMap { latest =>
+      // a head BELOW what this stream already tailed means the timeline
+      // was truncated under it (REPLACE TABLE / restore) — offering it
+      // would make the engine run a "catch-down" batch that REGRESSES
+      // the checkpoint and silently re-emits the new timeline into the
+      // old sink. Offer nothing instead: the stream idles (a rollback
+      // followed by new commits resumes it once the head passes the
+      // high-water mark again; retired ids are skipped as always), and
+      // a genuinely replaced table needs a fresh stream + checkpoint —
+      // the same history-rewrite contract as comparable lakehouses.
+      if (highWater != Long.MinValue && latest < highWater) None
+      else Some(LongOffset(maxCommitsPerTrigger match {
         case Some(n) if highWater != Long.MinValue =>
           math.min(latest, highWater + n)
         case _ => latest
-      })
+      }))
     }
 
   /** the micro-batch for commits `(from, to]` as a plain batch frame —

@@ -253,6 +253,26 @@ class TailSourceSpec extends AnyFunSuite {
       s"overwrite tail mismatch: $got")
   }
 
+  test("a truncated timeline never regresses offsets; new commits resume the tail") {
+    val t = build(freshRoot(), 3) // commits 0..3
+    val src = source(t)
+    src.getBatch(None, LongOffset(3L)) // stream has tailed through 3
+    t.restoreTo(1L)                    // timeline truncated under it
+    assert(t.log.latestId.exists(_ < 3L), "precondition: head moved backwards")
+    assert(src.getOffset.isEmpty,
+      "a head below the streamed high-water mark must offer NO offset " +
+        "(a catch-down batch would regress the checkpoint)")
+    // new commits past the high-water mark resume the tail; the retired
+    // ids between are skipped, not errors
+    t.upsert(df((500L, 1, "after", 9)))
+    t.upsert(df((501L, 1, "after2", 10)))
+    val head = t.log.latestId.get
+    assert(head >= 3L && src.getOffset.contains(LongOffset(head)))
+    val rows = src.batchFrame(3L, head)
+      .select("pk").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(500L, 501L))
+  }
+
   test("startingCommit skips the backlog for a fresh stream; checkpoints override it") {
     val t = build(freshRoot(), 3) // base + upserts at commits 1..3
     val ckpt = Files.createTempDirectory("startc_ckpt").toString
