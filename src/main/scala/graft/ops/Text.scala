@@ -203,7 +203,46 @@ object Text {
       .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
   }
 
+  /** Within-document segment dedup (the C4/CommonCrawl line-dedup
+    * cleaning step): split each doc on `sep`, keep only the FIRST
+    * occurrence of every repeated segment, and reassemble in original
+    * order. Two map-side-combined hash aggregates — (doc, segment)
+    * first-position, then per-doc ordered reassembly via a struct-sorted
+    * collect — so the shape scales like any grouped aggregation: shuffle
+    * keyed by doc, no window over the corpus, no UDF. Real pipelines
+    * pass "\n" (line dedup); the oracle entry uses " " because the
+    * synthetic corpus is single-line (spec covers the multi-line case).
+    */
+  def dedupSegments(docs: DataFrame, sep: String): DataFrame = {
+    val parts = docs.select(col("doc_id"),
+        posexplode(split(col("text"),
+          java.util.regex.Pattern.quote(sep))))
+      .toDF("doc_id", "pos", "seg")
+    parts.groupBy(col("doc_id"), col("seg")).agg(min(col("pos")).as("mn"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(mn, seg))), x -> x.seg)"),
+          sep).as("clean_text"),
+        count(lit(1)).as("n_segments"))
+  }
+
   val queries: Seq[GQuery] = Seq(
+
+    // ---- within-document segment dedup ---------------------------------
+    GQuery("doc_segment_dedup",
+      (s, d) => dedupSegments(
+          T.documents(s, d).select(col("doc_id"), col("text")), " ")
+        .orderBy("doc_id"),
+      Some("""WITH segs AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        firsts AS (SELECT doc_id, seg, min(pos) AS mn
+                   FROM segs GROUP BY doc_id, seg)
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY mn) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_segments
+        FROM firsts GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- edit-distance-1 fuzzy self-join over customer names ----------
     // (TPC-H names differ in single digits, so true pairs abound); the

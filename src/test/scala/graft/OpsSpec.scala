@@ -271,6 +271,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("segment dedup keeps first occurrences in original order (line form)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "keep\ndup\nkeep2\ndup\nkeep3"),
+      (2L, "a\na\na"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = ops.Text.dedupSegments(docs, "\n").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1L, "keep\ndup\nkeep2\nkeep3", 4L)))
+    assert(out(1) == ((2L, "a", 1L)))
+    assert(out(2) == ((3L, "solo", 1L)))
+  }
+
   test("ann ivf: scores agree with brute force; positive recall") {
     val bf = run("emb_cosine_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
