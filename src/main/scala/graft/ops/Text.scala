@@ -227,7 +227,63 @@ object Text {
         count(lit(1)).as("n_segments"))
   }
 
+  /** Corpus-level boilerplate removal (the OTHER half of the C4 line
+    * cleaning recipe): segments whose document frequency exceeds
+    * `maxDf` are boilerplate (headers, footers, cookie banners at web
+    * scale) and are stripped from every document; remaining segments
+    * keep their original order, and a fully-boilerplate document
+    * survives as an empty row (a training pipeline filters those next,
+    * it must not lose track of them). Shapes: distinct + count per
+    * segment (map-side combined), then a left-anti join keyed on the
+    * segment — the shuffle carries (doc_id, pos, seg) tuples, never
+    * whole documents, and no window touches the corpus. */
+  def stripBoilerplate(docs: DataFrame, sep: String, maxDf: Long): DataFrame = {
+    val parts = docs.select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
+      .toDF("doc_id", "pos", "seg")
+    val boiler = parts.select(col("doc_id"), col("seg")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("seg"))
+    val kept = parts.join(boiler, Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"),
+          sep).as("clean_text"),
+        count(lit(1)).as("n_segments"))
+    docs.select(col("doc_id")).join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"))
+  }
+
   val queries: Seq[GQuery] = Seq(
+
+    // ---- corpus-level boilerplate strip --------------------------------
+    // threshold: half the corpus — segments in more than 50% of docs are
+    // boilerplate (the fixture's ubiquitous filler words play the role
+    // of web boilerplate lines)
+    GQuery("doc_boilerplate_strip",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        stripBoilerplate(docs, " ", docs.count() / 2).orderBy("doc_id")
+      },
+      Some("""WITH segs AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        boiler AS (SELECT seg FROM (
+            SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+          WHERE df > (SELECT count(*) FROM documents) // 2),
+        kept AS (SELECT s.doc_id, s.pos, s.seg FROM segs s
+                 WHERE s.seg NOT IN (SELECT seg FROM boiler)),
+        agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+                       CAST(count(*) AS BIGINT) AS n_segments
+                FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+               coalesce(a.n_segments, 0) AS n_segments
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id""")),
 
     // ---- within-document segment dedup ---------------------------------
     GQuery("doc_segment_dedup",

@@ -284,6 +284,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2) == ((3L, "solo", 1L)))
   }
 
+  test("boilerplate strip: high-df segments drop, all-boiler docs survive empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banner\nunique one\nfooter"),
+      (2L, "banner\nunique two\nfooter"),
+      (3L, "banner\nfooter")).toDF("doc_id", "text")
+    // df(banner)=df(footer)=3 > 1; unique lines have df=1
+    val out = ops.Text.stripBoilerplate(docs, "\n", maxDf = 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1L, "unique one", 1L)))
+    assert(out(1) == ((2L, "unique two", 1L)))
+    assert(out(2) == ((3L, "", 0L)),
+      "a fully-boilerplate doc must survive as an empty row, not vanish")
+  }
+
   test("ann ivf: scores agree with brute force; positive recall") {
     val bf = run("emb_cosine_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
