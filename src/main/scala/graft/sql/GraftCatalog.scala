@@ -124,11 +124,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def descriptorOf(ident: Identifier): TableDescriptor = {
     val root = tablePath(ident)
-    TableDescriptor.load(root.toString, hconf)
+    val desc = TableDescriptor.load(root.toString, hconf)
       .orElse {
         if (maybeRecover(ident)) TableDescriptor.load(root.toString, hconf) else None
       }
       .getOrElse(throw new NoSuchTableException(ident))
+    healRelocation(root)
+    desc
+  }
+
+  /** finish a crashed RENAME's path relocation: the marker written
+    * before the directory rename names the OLD root; rewriting is
+    * CONVERGENT (paths already under the new root no longer match the
+    * old prefix), so re-running it heals any partial state. The marker
+    * is deleted only after a complete pass. One fs.exists per table
+    * load — the same metadata round-trip class as the descriptor read. */
+  private def healRelocation(root: Path): Unit = {
+    val marker = new Path(root, "_log/_relocate")
+    if (fs.exists(marker)) GraftCatalog.publishLock.synchronized {
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val oldRoot =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        if (oldRoot.nonEmpty && oldRoot != root.toString)
+          new graft.lake.CommitLog(root.toString, hconf).relocateFrom(oldRoot)
+        fs.delete(marker, false)
+      }
+    }
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -482,19 +505,58 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
-    // tableExists (not bare isTableDir) so a table parked in a trash dir
-    // by a crashed REPLACE is restored first and then properly dropped
-    if (!tableExists(ident)) false else fs.delete(tablePath(ident), true)
+  /** delete this ident's hidden trash dirs. A trash dir outliving its
+    * publish (crash between the swap and the trash delete) is harmless
+    * while the root exists — but after a DROP or RENAME of that ident,
+    * [[maybeRecover]] would misread it as a crashed REPLACE and
+    * RESURRECT the stale copy under the old name on the next lookup.
+    * Drop/rename therefore retire the name's trash with it. In-flight
+    * stage dirs are left alone (an AS SELECT may still be writing). */
+  private def dropTrashOf(ident: Identifier): Unit = {
+    val ns = nsPath(ident.namespace)
+    if (fs.exists(ns)) fs.listStatus(ns).foreach { s =>
+      s.getPath.getName match {
+        case GraftCatalog.HiddenDir(tbl, "trash") if tbl == ident.name =>
+          fs.delete(s.getPath, true); ()
+        case _ => ()
+      }
+    }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
-    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    fs.mkdirs(nsPath(newIdent.namespace))
-    if (!fs.rename(tablePath(oldIdent), tablePath(newIdent)))
-      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    GraftCatalog.publishLock.synchronized {
+      // tableExists (not bare isTableDir) so a table parked in a trash
+      // dir by a crashed REPLACE is restored first and properly dropped
+      if (!tableExists(ident)) false
+      else {
+        val gone = fs.delete(tablePath(ident), true)
+        dropTrashOf(ident) // a stale trash must not resurrect the name
+        gone
+      }
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    GraftCatalog.publishLock.synchronized {
+      if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+      if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+      val oldRoot = tablePath(oldIdent)
+      val newRoot = tablePath(newIdent)
+      // the commit log records ABSOLUTE file paths, so the rename must
+      // relocate them. Sequence is crash-convergent: the marker (naming
+      // the old root) is written first and travels with the directory;
+      // any load of the new ident finishes a partial relocation
+      // ([[healRelocation]]) before serving reads. A crash before the
+      // rename leaves the marker on the live table, where healing
+      // degenerates to a no-op delete (old root == current root).
+      val marker = new Path(oldRoot, "_log/_relocate")
+      val out = fs.create(marker, true)
+      try out.write(oldRoot.toString.getBytes("UTF-8")) finally out.close()
+      fs.mkdirs(nsPath(newIdent.namespace))
+      if (!fs.rename(oldRoot, newRoot))
+        throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+      healRelocation(newRoot)
+      dropTrashOf(oldIdent) // ditto: the old name must stay gone
+    }
 
   // ---- stored procedures (CALL graft.system.<proc>(...)) --------------
 

@@ -129,6 +129,48 @@ class StagedPublishSpec extends AnyFunSuite {
     spark.sql("CALL gsp.system.vacuum_staging('db', 0L)").collect()
   }
 
+  test("a stale trash dir never resurrects a dropped or renamed table") {
+    wh
+    def crashLeavingTrash(tbl: String): Unit = {
+      // crash exactly after the swap: root holds the NEW table, the OLD
+      // copy is stranded in a trash dir (the one state that outlives a
+      // successful publish)
+      cat.publishHook =
+        s => if (s == "published") throw new RuntimeException("injected")
+      try intercept[Exception] {
+        spark.sql(s"""REPLACE TABLE $tbl USING graft
+          TBLPROPERTIES (keyCols='pk', precombineCol='ts')
+          AS SELECT 1L AS pk, 1 AS ts, 'new' AS v""")
+      } finally cat.publishHook = _ => ()
+    }
+    // DROP: the name must stay gone despite the stale trash
+    spark.sql("""CREATE TABLE gsp.db.rz USING graft
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts')
+      AS SELECT 1L AS pk, 1 AS ts, 'old' AS v""")
+    crashLeavingTrash("gsp.db.rz")
+    spark.sql("DROP TABLE gsp.db.rz")
+    assert(!spark.catalog.tableExists("gsp.db.rz"),
+      "dropped table must not resurrect from its stale trash dir")
+    intercept[Exception] { rows("SELECT * FROM gsp.db.rz") }
+    // and a re-CREATE starts from scratch, not from the old copy
+    spark.sql("""CREATE TABLE gsp.db.rz (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    assert(rows("SELECT count(*) FROM gsp.db.rz") == Seq(Seq(0L)))
+    // RENAME: the OLD name must stay gone too
+    spark.sql("""CREATE TABLE gsp.db.rn1 USING graft
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts')
+      AS SELECT 1L AS pk, 1 AS ts, 'old' AS v""")
+    crashLeavingTrash("gsp.db.rn1")
+    spark.sql("ALTER TABLE gsp.db.rn1 RENAME TO db.rn2")
+    assert(!spark.catalog.tableExists("gsp.db.rn1"),
+      "renamed-away name must not resurrect from its stale trash dir")
+    assert(rows("SELECT v FROM gsp.db.rn2") == Seq(Seq("new")))
+    // the renamed table stays a full READ-WRITE table: its commit-log
+    // paths were relocated, so upserts can rewrite the moved files
+    spark.sql("INSERT INTO gsp.db.rn2 VALUES (1L, 9, 'post-rename')")
+    assert(rows("SELECT v FROM gsp.db.rn2 ORDER BY pk") == Seq(Seq("post-rename")))
+  }
+
   test("staging artifacts are invisible to every catalog listing") {
     wh
     val db = new Path(wh, "db")
