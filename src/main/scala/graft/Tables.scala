@@ -17,18 +17,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set by
-    * Verify/Bench/specs) it reads as ns-since-epoch LongType, converted
-    * here to a µs TimestampType. Oracle SQL compares in epoch-ms space so
-    * the ns→µs truncation can't skew results.
+  /** Normalize the events `ts` column to TimestampType across every
+    * physical encoding the driver's fixture generator has produced:
+    *
+    *  - TIMESTAMP(NANOS): Spark's parquet reader rejects it outright;
+    *    with spark.sql.legacy.parquet.nanosAsLong=true (set by
+    *    Verify/Bench/specs) it reads as ns-since-epoch LongType,
+    *    converted here to a µs TimestampType. Oracle SQL compares in
+    *    epoch-ms space so the ns→µs truncation can't skew results.
+    *  - TIMESTAMP_NTZ(MICROS) (isAdjustedToUTC=0): reads as
+    *    TimestampNTZType; cast to TimestampType. The session timezone is
+    *    pinned UTC in Verify/Bench/specs, so the reinterpretation is
+    *    exact and matches DuckDB's naive-timestamp epoch-ms math.
+    *  - TIMESTAMP(MICROS/MILLIS) tz-adjusted: already TimestampType.
+    *
+    * Works on batch and streaming frames alike (pure schema-driven
+    * column rewrite). Every reader of the events fixture — batch
+    * (`Tables.events`) and the stream staging sites in ops/Events — MUST
+    * route through this one function so a driver-side fixture re-encode
+    * breaks exactly one spec (FixtureSchemaSpec), not eleven queries.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(t(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

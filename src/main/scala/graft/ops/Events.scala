@@ -67,10 +67,12 @@ object Events {
   }
 
   /** File-stream source over a staged events dir, event time normalized
-    * ONCE for every stream query: ns-as-long fixtures become proper
-    * timestamps, then ms-truncated — Spark compares event times at µs
-    * and DuckDB at ns, so any boundary comparison (join intervals,
-    * window edges) must happen in the shared ms space.
+    * ONCE for every stream query through the shared fixture adapter
+    * (`Tables.normalizeEventTs`: ns-as-long / TIMESTAMP_NTZ / timestamp
+    * fixtures all become proper TimestampType), then ms-truncated —
+    * Spark compares event times at µs and DuckDB at ns, so any boundary
+    * comparison (join intervals, window edges) must happen in the shared
+    * ms space.
     */
   private def eventStream(
       s: org.apache.spark.sql.SparkSession, raw: DataFrame, srcDir: String,
@@ -78,11 +80,8 @@ object Events {
     val reader = s.readStream.schema(raw.schema)
     val st = (if (recursive) reader.option("recursiveFileLookup", "true")
               else reader).parquet(srcDir)
-    val fixed =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else st
-    fixed.withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
+    T.normalizeEventTs(st)
+      .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
   }
 
   /** Cohort retention triangle: entities cohorted by their first
@@ -158,13 +157,8 @@ object Events {
         val hp = new org.apache.hadoop.fs.Path(srcDir)
         hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
         val raw = s.read.parquet(s"$d/events.parquet")
-        val tsIsLong =
-          raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-        val norm = raw.select(col("event_id"),
-            (if (tsIsLong) expr("timestamp_micros(ts div 1000)") else col("ts"))
-              .as("ts0"), col("user_id"), col("event_type"))
-          .withColumn("ts", expr("timestamp_millis(unix_millis(ts0))"))
-          .drop("ts0")
+        val norm = T.normalizeEventTs(raw)
+          .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
           .select("event_id", "ts", "user_id", "event_type")
         val maxMs = norm.select(max(unix_millis(col("ts")))).head.getLong(0)
         val delayMs = 2L * 3600 * 1000 // dedupStream delay: 2 hours
@@ -257,13 +251,24 @@ object Events {
         // plain-events stage the other stream queries read
         val srcDir = stageEvents(d, variant = "_oij")
         val raw = s.read.parquet(s"$d/events.parquet")
-        val tsIsLong =
-          raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+        // sentinel rows must carry the SAME physical ts type as the raw
+        // fixture — the file-stream declares raw.schema over both — so
+        // epoch-ms is re-encoded per the fixture's actual encoding
+        // (ns-as-long / TIMESTAMP_NTZ / timestamp; see
+        // Tables.normalizeEventTs for the inventory)
+        val rawTsFromMs: org.apache.spark.sql.Column =
+          raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType => col("ms") * 1000000L
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              expr("timestamp_millis(ms)")
+                .cast(org.apache.spark.sql.types.TimestampNTZType)
+            case _ => expr("timestamp_millis(ms)")
+          }
         // sentinel: one purchase 10 days after the fixture's last event
         locally {
           import s.implicits._
-          val maxMs = raw.select(max(unix_millis(
-            if (tsIsLong) expr("timestamp_micros(ts div 1000)") else col("ts")))).head.getLong(0)
+          val maxMs = T.normalizeEventTs(raw)
+            .select(max(unix_millis(col("ts")))).head.getLong(0)
           val far = maxMs + 10L * 24 * 3600 * 1000
           // BOTH event types: the join's effective watermark is the MIN
           // across the two inputs, so a purchase-only sentinel would
@@ -274,9 +279,7 @@ object Events {
           Seq((-1L, far, -1L, "purchase", 0.0, "{}"),
               (-2L, far + 2L * 3600 * 1000, -1L, "click", 0.0, "{}"))
             .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
-            .select(col("event_id"),
-              (if (tsIsLong) (col("ms") * 1000000L).as("ts")
-               else expr("timestamp_millis(ms)").as("ts")),
+            .select(col("event_id"), rawTsFromMs.as("ts"),
               col("user_id"), col("event_type"), col("value"), col("props"))
             .write.mode("overwrite").parquet(s"$srcDir/sentinel.parquet")
         }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the engine↔fixture contract: the driver regenerates
+  * /root/testdata between rounds and has already re-encoded columns
+  * (events.ts went TIMESTAMP(NANOS) → TIMESTAMP_NTZ(MICROS) once, taking
+  * 11 queries down silently). This spec opens EVERY fixture table at
+  * every present SF and asserts the engine-adapted schema, so the next
+  * re-encode fails HERE with a message naming the offending physical
+  * type — before the driver's correctness gate ever runs.
+  *
+  * "Engine-adapted" = what the rest of the engine is allowed to assume:
+  * raw footer types may vary within the accepted encodings (see
+  * Tables.normalizeEventTs), but after adaptation the types below hold.
+  */
+class FixtureSchemaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDirs: Seq[String] = {
+    val root = new java.io.File("/root/testdata")
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+      .map(_.getAbsolutePath).sorted
+  }
+
+  /** Timestamp-bearing columns may arrive ns-as-long, NTZ, or
+    * tz-adjusted; everything else must match exactly. */
+  private val acceptedTs: Set[DataType] =
+    Set(LongType, TimestampType, TimestampNTZType)
+
+  private def assertCols(
+      table: String, sf: String,
+      schema: StructType,
+      expected: Seq[(String, Either[DataType, Set[DataType]])]): Unit = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val missing = expected.map(_._1).filterNot(byName.contains)
+    assert(missing.isEmpty,
+      s"$sf/$table.parquet is missing columns $missing — driver fixture " +
+        s"layout changed; actual schema: ${schema.simpleString}")
+    expected.foreach {
+      case (name, Left(dt)) =>
+        assert(byName(name) == dt,
+          s"$sf/$table.parquet column `$name` reads as ${byName(name)}, " +
+            s"engine expects $dt — the driver re-encoded the fixture; " +
+            "extend the adapter (graft.Tables) for the new physical type")
+      case (name, Right(dts)) =>
+        assert(dts.contains(byName(name)),
+          s"$sf/$table.parquet column `$name` reads as ${byName(name)}, " +
+            s"not one of the accepted encodings $dts — extend " +
+            "Tables.normalizeEventTs for the new physical type")
+    }
+  }
+
+  test("fixture dirs exist") {
+    assert(sfDirs.nonEmpty, "/root/testdata has no sf* dirs")
+  }
+
+  for (sf <- sfDirs) {
+    test(s"$sf: events raw ts is an accepted encoding; adapted ts is TimestampType") {
+      val raw = spark.read.parquet(s"$sf/events.parquet")
+      assertCols("events", sf, raw.schema, Seq(
+        "event_id" -> Left(LongType), "ts" -> Right(acceptedTs),
+        "user_id" -> Left(LongType), "event_type" -> Left(StringType),
+        "value" -> Left(DoubleType), "props" -> Left(StringType)))
+      val adapted = Tables.events(spark, sf).schema("ts").dataType
+      assert(adapted == TimestampType,
+        s"Tables.events adapted ts to $adapted, engine contract is " +
+          "TimestampType — normalizeEventTs doesn't cover the fixture's " +
+          s"physical type ${raw.schema("ts").dataType}")
+    }
+
+    test(s"$sf: TPC-H tables match the engine contract") {
+      assertCols("lineitem", sf,
+        spark.read.parquet(s"$sf/lineitem.parquet").schema, Seq(
+          "l_orderkey" -> Left(LongType), "l_partkey" -> Left(LongType),
+          "l_suppkey" -> Left(LongType), "l_linenumber" -> Left(IntegerType),
+          "l_quantity" -> Left(DoubleType),
+          "l_extendedprice" -> Left(DoubleType),
+          "l_discount" -> Left(DoubleType), "l_tax" -> Left(DoubleType),
+          "l_returnflag" -> Left(StringType),
+          "l_linestatus" -> Left(StringType),
+          "l_shipdate" -> Right(acceptedTs - LongType)))
+      assertCols("orders", sf,
+        spark.read.parquet(s"$sf/orders.parquet").schema, Seq(
+          "o_orderkey" -> Left(LongType), "o_custkey" -> Left(LongType),
+          "o_orderstatus" -> Left(StringType),
+          "o_totalprice" -> Left(DoubleType),
+          "o_orderdate" -> Right(acceptedTs - LongType),
+          "o_orderpriority" -> Left(StringType)))
+      assertCols("customer", sf,
+        spark.read.parquet(s"$sf/customer.parquet").schema, Seq(
+          "c_custkey" -> Left(LongType), "c_name" -> Left(StringType),
+          "c_nationkey" -> Left(IntegerType),
+          "c_acctbal" -> Left(DoubleType),
+          "c_mktsegment" -> Left(StringType)))
+      assertCols("supplier", sf,
+        spark.read.parquet(s"$sf/supplier.parquet").schema, Seq(
+          "s_suppkey" -> Left(LongType), "s_name" -> Left(StringType),
+          "s_nationkey" -> Left(IntegerType),
+          "s_acctbal" -> Left(DoubleType)))
+      assertCols("part", sf,
+        spark.read.parquet(s"$sf/part.parquet").schema, Seq(
+          "p_partkey" -> Left(LongType), "p_name" -> Left(StringType),
+          "p_brand" -> Left(StringType), "p_type" -> Left(StringType),
+          "p_size" -> Left(IntegerType),
+          "p_retailprice" -> Left(DoubleType)))
+      assertCols("nation", sf,
+        spark.read.parquet(s"$sf/nation.parquet").schema, Seq(
+          "n_nationkey" -> Left(IntegerType), "n_name" -> Left(StringType),
+          "n_regionkey" -> Left(IntegerType)))
+      assertCols("region", sf,
+        spark.read.parquet(s"$sf/region.parquet").schema, Seq(
+          "r_regionkey" -> Left(IntegerType), "r_name" -> Left(StringType)))
+    }
+
+    test(s"$sf: documents and embeddings match the engine contract") {
+      assertCols("documents", sf,
+        spark.read.parquet(s"$sf/documents.parquet").schema, Seq(
+          "doc_id" -> Left(LongType), "text" -> Left(StringType),
+          "lang" -> Left(StringType), "source" -> Left(StringType),
+          "n_chars" -> Left(LongType)))
+      assertCols("embeddings", sf,
+        spark.read.parquet(s"$sf/embeddings.parquet").schema, Seq(
+          "vec_id" -> Left(LongType),
+          "embedding" -> Left(ArrayType(FloatType, containsNull = true)),
+          "label" -> Left(IntegerType)))
+    }
+  }
+}

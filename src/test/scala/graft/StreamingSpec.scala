@@ -221,10 +221,9 @@ class StreamingSpec extends AnyFunSuite {
     val srcDir = tmp("stream-events")
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       java.nio.file.Paths.get(s"$srcDir/events.parquet"))
-    val stream = spark.readStream
+    val stream = Tables.normalizeEventTs(spark.readStream
       .schema(spark.read.parquet(s"$sf/events.parquet").schema)
-      .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(srcDir))
     val q = Streaming.hourlyCounts(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("hourly")
