@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-honesty harness: replays the bench's most expensive queries
+  * against a structure-preserving N× replica of the fixture dir and
+  * reports per-query growth, so "no scale-killers" is a measured claim
+  * (per-query time ≲ linear in data volume), not an eyeballed one.
+  *
+  * Replication must not change the DATA's pairwise statistics, or the
+  * measurement confounds algorithmic cost with output growth:
+  *
+  *  - `customer`: keys offset per replica; names get a per-replica
+  *    3-letter suffix whose pairwise Levenshtein distance is 3, so
+  *    fuzzy-join (edit distance ≤ 1) neighborhoods never cross replicas
+  *    — pair COUNT grows exactly N×, per-name candidate density stays
+  *    constant.
+  *  - `documents`: doc_ids offset; every whitespace token gets a
+  *    per-replica suffix — word-trigram shingle sets are bijectively
+  *    renamed within a replica (identical Jaccard structure) and
+  *    disjoint across replicas (cross-replica similarity exactly 0).
+  *  - `lineitem`: order keys offset per replica; the CDC replay's keyed
+  *    row count grows exactly N×.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+  *          sbt "runMain graft.ScaleCheck 1 10"
+  * Prints one JSON line per (query, mult) with steady-state seconds
+  * (2nd run; the 1st warms fixture caches) and a final ratio line.
+  */
+object ScaleCheck {
+
+  private val watched =
+    Seq("fuzzy_name_pairs", "doc_ngram_jaccard_pairs", "lake_tail_changes")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mults = (if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)).sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
+    for (m <- mults) {
+      val dir = replica(spark, base, m)
+      for (name <- watched) {
+        val fn = SparkEntry.queries(name)
+        fn(spark, dir).count() // warm: fixture/index builds + page cache
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        results((name, m)) = sec
+        println(s"""{"scale_check":{"query":"$name","mult":$m,"sec":$sec,"rows":$rows}}""")
+      }
+    }
+    for (name <- watched; w <- mults.sliding(2) if w.size == 2) {
+      val Seq(lo, hi) = w
+      val growth = results((name, hi)) / results((name, lo))
+      val volume = hi.toDouble / lo
+      println(f"""{"scale_ratio":{"query":"$name","mult":"${lo}x->${hi}x","time_growth":$growth%.2f,"volume_growth":$volume%.1f,"linear_or_better":${growth <= volume * 1.3}}}""")
+    }
+    spark.stop()
+  }
+
+  /** Build (once) an m× replica of the tables the watched queries read.
+    * Returns a dir laid out like a driver SF dir. */
+  private def replica(spark: SparkSession, base: String, m: Int): String = {
+    val dir = s"/tmp/graft_scale/${base.replaceAll("[^A-Za-z0-9.]", "_")}_x$m"
+    val done = java.nio.file.Paths.get(s"$dir/_REPLICA_DONE")
+    if (java.nio.file.Files.exists(done)) return dir
+    val salts = (0 until m).map(i => ('a' + i % 26).toChar.toString * 3)
+
+    def replicate(t: DataFrame, keyCol: String,
+                  perturb: (DataFrame, String) => DataFrame): DataFrame = {
+      val span = t.agg(max(col(keyCol))).head.getLong(0) + 1
+      salts.zipWithIndex.map { case (salt, i) =>
+        perturb(t.withColumn(keyCol, col(keyCol) + lit(i * span)), salt)
+      }.reduce(_ unionAll _)
+    }
+
+    val cust = replicate(Tables.customer(spark, base), "c_custkey",
+      (df, salt) => df.withColumn("c_name", concat(col("c_name"), lit(" " + salt))))
+    val docs = replicate(Tables.documents(spark, base), "doc_id",
+      (df, salt) => df
+        .withColumn("text", array_join(
+          transform(split(trim(col("text")), "\\s+"),
+            w => concat(w, lit("§" + salt))), " "))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    val li = replicate(Tables.lineitem(spark, base), "l_orderkey",
+      (df, _) => df)
+
+    cust.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    java.nio.file.Files.createFile(done)
+    dir
+  }
+}

@@ -11,8 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS): read as ns longs
-      // (graft.Tables.events converts to µs timestamps)
+      // events.parquet encodings vary by driver generation (ns / NTZ µs);
+      // nanosAsLong keeps the ns form readable, Tables.normalizeEventTs
+      // adapts whichever form arrives to TimestampType
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
