@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the prefix-filtered exact-Jaccard join (ops.Text
+  * .jaccardPairsPrefix) against the naive inverted-index join on a
+  * randomized DIVERSE-vocabulary corpus — the corpus shape the prefix
+  * variant exists for (the driver fixture's tiny shared vocabulary is
+  * the naive join's home turf; see the measurement note on the method).
+  * Prefix filtering is exact by construction; this spec guards the
+  * implementation against the places the lemma is easy to break
+  * (per-set prefix lengths, tie-breaking in the global shingle order,
+  * the length filter, empty shingle sets).
+  */
+class TextSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 300 random docs over a 2000-word vocabulary + 30 planted near-dup
+    * clones (1-2 token edits) + degenerate docs (identical twins, short
+    * docs below the shingle width). Seeded — the corpus is stable. */
+  private lazy val corpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    def word() = s"w${rnd.nextInt(2000)}"
+    val base = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(40)(word()).mkString(" "))
+    }
+    val clones = (0 until 30).map { i =>
+      val tks = base(i)._2.split(" ").toBuffer
+      tks(rnd.nextInt(tks.size)) = word() // one substitution
+      (1000L + i, tks.mkString(" "))
+    }
+    val twins = Seq((2000L, base(0)._2)) // exact duplicate, J = 1.0
+    val shorts = Seq((3000L, "just two"), (3001L, "")) // no shingles
+    (base ++ clones ++ twins ++ shorts).toDF("doc_id", "text")
+  }
+
+  test("prefix-filtered jaccard equals the naive join at several thresholds") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val naive = ops.Text.jaccardPairsFrom(corpus, t)
+      val pref = ops.Text.jaccardPairsPrefix(corpus, t)
+      val onlyNaive = naive.exceptAll(pref).count()
+      val onlyPref = pref.exceptAll(naive).count()
+      assert(onlyNaive == 0 && onlyPref == 0,
+        s"t=$t: $onlyNaive pairs missed by prefix (FALSE NEGATIVES), " +
+          s"$onlyPref extra pairs from prefix")
+    }
+  }
+
+  test("planted near-dups and exact twins are found; short docs don't pair") {
+    val pairs = ops.Text.jaccardPairsPrefix(corpus, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one-substitution clones: at most 3 of ~38 shingles differ -> J >= .85
+    assert((0 until 30).forall(i => pairs.contains((i.toLong, 1000L + i))),
+      "a planted near-dup clone was not recovered")
+    assert(pairs.contains((0L, 2000L)), "exact twin missing")
+    assert(!pairs.exists(p => p._1 >= 3000L || p._2 >= 3000L),
+      "shingle-less docs must not appear in any pair")
+  }
+}
