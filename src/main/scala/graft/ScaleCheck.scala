@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCheck {
 
-  private val watched =
-    Seq("fuzzy_name_pairs", "doc_ngram_jaccard_pairs", "lake_tail_changes")
+  private val watched = Seq(
+    "fuzzy_name_pairs", "doc_ngram_jaccard_pairs", "lake_tail_changes",
+    "doc_minhash_pairs", "doc_contamination", "tbl_profile")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,30 +76,43 @@ object ScaleCheck {
     val dir = s"/tmp/graft_scale/${base.replaceAll("[^A-Za-z0-9.]", "_")}_x$m"
     val done = java.nio.file.Paths.get(s"$dir/_REPLICA_DONE")
     if (java.nio.file.Files.exists(done)) return dir
-    val salts = (0 until m).map(i => ('a' + i % 26).toChar.toString * 3)
+    // per-replica salts must be pairwise distinct (and, for the fuzzy
+    // check, pairwise Levenshtein ≥ 3) — the single-letter scheme caps m
+    require(m <= 26, s"replica() supports at most 26x, got $m")
+    def salt(i: Int) = ('a' + i).toChar.toString * 3
 
     def replicate(t: DataFrame, keyCol: String,
-                  perturb: (DataFrame, String) => DataFrame): DataFrame = {
+                  perturb: (DataFrame, Int) => DataFrame): DataFrame = {
       val span = t.agg(max(col(keyCol))).head.getLong(0) + 1
-      salts.zipWithIndex.map { case (salt, i) =>
-        perturb(t.withColumn(keyCol, col(keyCol) + lit(i * span)), salt)
+      (0 until m).map { i =>
+        perturb(t.withColumn(keyCol, col(keyCol) + lit(i * span)), i)
       }.reduce(_ unionAll _)
     }
 
     val cust = replicate(Tables.customer(spark, base), "c_custkey",
-      (df, salt) => df.withColumn("c_name", concat(col("c_name"), lit(" " + salt))))
+      (df, i) => df.withColumn("c_name", concat(col("c_name"), lit(" " + salt(i)))))
     val docs = replicate(Tables.documents(spark, base), "doc_id",
-      (df, salt) => df
+      (df, i) => df
         .withColumn("text", array_join(
           transform(split(trim(col("text")), "\\s+"),
-            w => concat(w, lit("§" + salt))), " "))
+            w => concat(w, lit("§" + salt(i)))), " "))
         .withColumn("n_chars", length(col("text")).cast("long")))
     val li = replicate(Tables.lineitem(spark, base), "l_orderkey",
       (df, _) => df)
+    // orders: offset the customer key too so per-column distinct counts
+    // (what tbl_profile aggregates) grow with volume like a real table
+    val ords = {
+      val custSpan = Tables.orders(spark, base)
+        .agg(max(col("o_custkey"))).head.getLong(0) + 1
+      replicate(Tables.orders(spark, base), "o_orderkey",
+        (df, i) => df.withColumn("o_custkey",
+          col("o_custkey") + lit(i * custSpan)))
+    }
 
     cust.write.mode("overwrite").parquet(s"$dir/customer.parquet")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    ords.write.mode("overwrite").parquet(s"$dir/orders.parquet")
     java.nio.file.Files.createFile(done)
     dir
   }
