@@ -70,12 +70,30 @@ object ScaleCheck {
     spark.stop()
   }
 
-  /** Build (once) an m× replica of the tables the watched queries read.
-    * Returns a dir laid out like a driver SF dir. */
+  /** Build (once per base-fixture generation) an m× replica of the
+    * tables the watched queries read. Returns a dir laid out like a
+    * driver SF dir. The done-marker stores a fingerprint of the base
+    * fixtures (paths+sizes+mtimes), so a driver-side regeneration of
+    * /root/testdata invalidates the cached replica instead of silently
+    * measuring this round's queries against last round's data. */
   private def replica(spark: SparkSession, base: String, m: Int): String = {
     val dir = s"/tmp/graft_scale/${base.replaceAll("[^A-Za-z0-9.]", "_")}_x$m"
     val done = java.nio.file.Paths.get(s"$dir/_REPLICA_DONE")
-    if (java.nio.file.Files.exists(done)) return dir
+    val fingerprint = {
+      val root = java.nio.file.Paths.get(base)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted().toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"$p:${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+        .mkString("\n")
+      finally walk.close()
+    }
+    if (java.nio.file.Files.exists(done) &&
+        java.nio.file.Files.readString(done) == fingerprint) return dir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     // per-replica salts must be pairwise distinct (and, for the fuzzy
     // check, pairwise Levenshtein ≥ 3) — the single-letter scheme caps m
     require(m <= 26, s"replica() supports at most 26x, got $m")
@@ -91,11 +109,17 @@ object ScaleCheck {
 
     val cust = replicate(Tables.customer(spark, base), "c_custkey",
       (df, i) => df.withColumn("c_name", concat(col("c_name"), lit(" " + salt(i)))))
+    // salt every maximal alphanumeric run IN PLACE (r → r+salt): a
+    // bijective token rename under BOTH corpus tokenizations — the
+    // whitespace-token trigram shingles (ops.Text.toks) and the
+    // [a-z0-9]+ grams (ops.Hygiene) — so pairwise statistics are
+    // preserved for every watched text query. A separator-joined salt
+    // ("w§aaa") would split in two under the alphanumeric tokenizer and
+    // double the gram stream, measuring a different workload.
     val docs = replicate(Tables.documents(spark, base), "doc_id",
       (df, i) => df
-        .withColumn("text", array_join(
-          transform(split(trim(col("text")), "\\s+"),
-            w => concat(w, lit("§" + salt(i)))), " "))
+        .withColumn("text", regexp_replace(col("text"),
+          "([A-Za-z0-9]+)", "$1" + salt(i)))
         .withColumn("n_chars", length(col("text")).cast("long")))
     val li = replicate(Tables.lineitem(spark, base), "l_orderkey",
       (df, _) => df)

@@ -40,8 +40,6 @@ object Text {
     (tri, sizes)
   }
 
-  private def shingled(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    shingledFrom(T.documents(s, d))
 
   /** exact-Jaccard pairs via inverted-index join, filtered at `minJ`.
     * (A df>1 shingle prefilter was measured and REJECTED here: the
@@ -98,17 +96,25 @@ object Text {
       .filter(col("n") > 0)
     val tri = docs.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
     val freq = tri.groupBy("sh").agg(count(lit(1)).as("df"))
+    // ε guards the exactness contract against binary floating point:
+    // t·n can land a hair ABOVE its true value (e.g. 100×0.07 =
+    // 7.000000000000001), which would shorten the prefix below the
+    // lemma's bound and over-prune the length filter — silent false
+    // negatives at J exactly minJ. Relaxing by ε only ADMITS candidates
+    // (the exact verification below discards extras), never drops one.
+    val eps = 1e-9
     // per-doc window: rank shingles rarest-first; keep the filter prefix
     val byDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
     val prefix = tri.join(freq, "sh")
       .withColumn("r", row_number().over(byDoc))
-      .filter(col("r") <= col("n") - ceil(col("n") * minJ) + 1)
+      .filter(col("r") <= col("n") - ceil(col("n") * minJ - eps) + 1)
       .select(col("doc_id"), col("n"), col("sh"))
     // candidate ids only — the length filter (t·na ≤ nb ≤ na/t) prunes
     // before the distinct; shingle strings never enter the pair shuffle
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") >= col("a.n") * minJ && col("a.n") >= col("b.n") * minJ)
+          col("b.n") >= col("a.n") * minJ - eps &&
+          col("a.n") >= col("b.n") * minJ - eps)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand

@@ -54,6 +54,24 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("float-boundary threshold: J exactly minJ survives prefix filtering") {
+    import spark.implicits._
+    // na = 100, nb = 7, B's shingles ⊂ A's → J = 7/100 = 0.07 exactly.
+    // In IEEE double 100 × 0.07 = 7.000000000000001: an unguarded
+    // ceil(n·t) shortens A's prefix below the lemma's bound and the
+    // length filter prunes the candidate — the pair silently vanishes.
+    val aTokens = (0 until 102).map(i => s"t$i")
+    val b = aTokens.take(9).mkString(" ") // 7 trigram shingles, all in A
+    val docs = Seq((1L, aTokens.mkString(" ")), (2L, b)).toDF("doc_id", "text")
+    for (t <- Seq(0.07)) {
+      val naive = ops.Text.jaccardPairsFrom(docs, t).collect()
+      val pref = ops.Text.jaccardPairsPrefix(docs, t).collect()
+      assert(naive.length == 1, s"oracle setup broken: ${naive.toSeq}")
+      assert(pref.length == 1,
+        s"t=$t: boundary pair lost to floating-point prefix/length math")
+    }
+  }
+
   test("planted near-dups and exact twins are found; short docs don't pair") {
     val pairs = ops.Text.jaccardPairsPrefix(corpus, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
