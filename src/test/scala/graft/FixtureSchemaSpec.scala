@@ -66,6 +66,30 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(sfDirs.nonEmpty, "/root/testdata has no sf* dirs")
   }
 
+  test("normalizeEventTs: all three encodings of one instant agree to the ms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2024-03-01T12:34:56.789 UTC, expressed as each accepted encoding.
+    // The NTZ arm relies on the UTC session timezone (pinned above, as in
+    // Verify/Bench): if that pin ever drifts, the cast reinterprets wall
+    // time in the wrong zone and this equality breaks loudly.
+    val ms = 1709296496789L
+    val asLong = Seq(Tuple1(ms * 1000000L)).toDF("ts") // ns-as-long
+    val asTs = Seq(Tuple1(ms)).toDF("ms")
+      .select(expr("timestamp_millis(ms)").as("ts"))
+    val asNtz = Seq(Tuple1(ms)).toDF("ms")
+      .select(expr("timestamp_millis(ms)")
+        .cast(TimestampNTZType).as("ts"))
+    for ((df, tag) <- Seq((asLong, "ns-as-long"), (asTs, "timestamp"),
+        (asNtz, "timestamp_ntz"))) {
+      val out = Tables.normalizeEventTs(df)
+      assert(out.schema("ts").dataType == TimestampType,
+        s"$tag: normalized type is ${out.schema("ts").dataType}")
+      val got = out.select(unix_millis(col("ts"))).head.getLong(0)
+      assert(got == ms, s"$tag: epoch-ms $got != $ms after normalization")
+    }
+  }
+
   for (sf <- sfDirs) {
     test(s"$sf: events raw ts is an accepted encoding; adapted ts is TimestampType") {
       val raw = spark.read.parquet(s"$sf/events.parquet")
