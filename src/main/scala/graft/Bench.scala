@@ -69,7 +69,8 @@ object Bench {
           "bucketed_tables_build" -> (() => ops.Extended.ensureBucketed(spark, sfDir))),
         Seq("bm25_index_build" -> (() => { ops.Retrieval.index(spark, sfDir); () }),
           "bm25_reindex_build" -> (() => { ops.Retrieval.reindexedIndex(spark, sfDir); () }),
-          "dup_cluster_build" -> (() => ops.Text.ensureClusters(spark, sfDir))),
+          "dup_cluster_build" -> (() => ops.Text.ensureClusters(spark, sfDir)),
+          "entity_cluster_build" -> (() => ops.Text.ensureEntityClusters(spark, sfDir))),
         Seq("ann_index_build" -> (() => ops.Similarity.ensureAnnIndex(spark, sfDir)),
           "ivf_centroids_build" -> (() => ops.Similarity.ensureIvf(spark, sfDir)),
           "dedup_index_build" -> (() => { ops.Dedup.ensureIndex(spark, sfDir); () })))

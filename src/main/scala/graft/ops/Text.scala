@@ -205,6 +205,25 @@ object Text {
     cachedClusters(s, d).count(); ()
   }
 
+  /** Entity-resolution clusters: connected components over the fuzzy
+    * (edit-distance ≤ 1) name-pair graph — the canonicalize-customers
+    * step of a record-linkage pipeline, composed from the same two
+    * scale shapes as document dedup (deletion-neighborhood equi-join
+    * for pairs, min-label propagation for components). Cached per
+    * (application, fixture) like the document clusters. */
+  private val entityClusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cachedEntityClusters(s: SparkSession, d: String): DataFrame =
+    entityClusterCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$d",
+      _ => dupClusters(fuzzyNeighbors(T.customer(s, d), "c_custkey", "c_name")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))).persist())
+
+  private[graft] def ensureEntityClusters(s: SparkSession, d: String): Unit = {
+    cachedEntityClusters(s, d).count(); ()
+  }
+
   /** ONE definition of the exact word-trigram pair graph for every
     * oracle that needs it (the pairs query and both cluster queries
     * must agree on the SAME pairs or a borderline edge desynchronizes
@@ -385,6 +404,27 @@ object Text {
          AND levenshtein(a.c_name, b.c_name) <= 1
         GROUP BY a.c_custkey, a.c_name
         ORDER BY a.c_custkey""")),
+
+    // ---- entity resolution: components over the fuzzy-pair graph ------
+    // oracle = recursive transitive closure over the SAME brute-force
+    // N² edit-distance pairs (the doc_dup_clusters pattern), so both the
+    // banding recall AND the component labeling are proven exact
+    GQuery("fuzzy_entity_clusters",
+      (s, d) => cachedEntityClusters(s, d)
+        .select(col("doc_id").as("c_custkey"), col("cluster_id"))
+        .orderBy("c_custkey"),
+      Some("""WITH RECURSIVE
+        fpairs AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+                   FROM customer a JOIN customer b
+                     ON a.c_custkey <> b.c_custkey
+                    AND levenshtein(a.c_name, b.c_name) <= 1),
+        edges AS (SELECT id_a AS s, id_b AS t FROM fpairs
+                  UNION SELECT id_b, id_a FROM fpairs),
+        reach AS (SELECT s AS id, s AS r FROM edges
+                  UNION
+                  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t)
+        SELECT id AS c_custkey, min(r) AS cluster_id FROM reach
+        GROUP BY id ORDER BY c_custkey""")),
 
     // ---- exact dedup ---------------------------------------------------
     GQuery("doc_exact_dedup",
