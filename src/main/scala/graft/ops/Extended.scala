@@ -131,6 +131,26 @@ object Extended {
         round(sum(p_retailprice), 2) AS total_price, max(p_size) AS max_size
         FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
+    // ---- ORC staging write + scan (columnar interchange format) -------
+    // same roundtrip contract as csv_roundtrip through Spark's native
+    // ORC source: schema from the file footer, predicate/column pushdown
+    // intact. Oracle reads the original parquet, so the check proves the
+    // ORC write+read is value-lossless.
+    GQuery("orc_roundtrip",
+      (s, d) => {
+        val stage = s"/tmp/graft_orc/part_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        T.part(s, d).write.mode("overwrite").orc(stage)
+        s.read.orc(stage)
+          .filter(col("p_size") >= 10)
+          .groupBy(col("p_type"))
+          .agg(count(lit(1)).as("n_parts"),
+            round(avg(col("p_retailprice")), 2).as("avg_price"))
+          .orderBy("p_type")
+      },
+      Some("""SELECT p_type, count(*) AS n_parts,
+        round(avg(p_retailprice), 2) AS avg_price
+        FROM part WHERE p_size >= 10 GROUP BY p_type ORDER BY p_type""")),
+
     // ---- S5: SQL text through the session catalog ---------------------
     // identical SQL text runs on both engines (TPC-H Q3 shape)
     GQuery("sql_tpch_q3", {
