@@ -19,21 +19,76 @@ object Events {
 
   private val GapMs = 30 * 60 * 1000L // 30-minute session gap
 
-  /** Stage the events fixture for the file-stream source. Re-copies on
-    * EVERY invocation (the copy is cheap at fixture scale) so a fixture
-    * regenerated within one long-lived JVM is never served stale — a
-    * per-JVM once-cache would pin the first copy forever. Handles both a
-    * single parquet file and a parquet directory fixture.
+  /** Fingerprint of the source events fixture: (relative path, size,
+    * mtime) of every data file. Staging dirs record the fingerprint they
+    * were built from in a `_STAGED_FP` marker (leading `_` ⇒ invisible to
+    * Spark's file sources); a match means the stage is current and the
+    * copy/derive work is skipped entirely. This keeps staging O(listing)
+    * on the hot query path — the r9 bench charged a full fixture re-copy
+    * to every stream query — while a driver-REGENERATED fixture still
+    * re-stages (the r8 trap: a per-JVM once-cache would pin the first
+    * copy forever; mtimes change on regeneration, so the marker cannot).
     */
-  private def stageEvents(d: String, variant: String = ""): String = {
-    import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+  private def sourceFingerprint(d: String): String = {
+    import java.nio.file.{Files, Path => JPath, Paths}
+    val src = Paths.get(s"$d/events.parquet")
+    val sb = new StringBuilder
+    def walk(p: JPath): Unit =
+      if (Files.isDirectory(p)) {
+        val listing = Files.list(p)
+        try listing.sorted().forEach { c =>
+          if (!c.getFileName.toString.startsWith(".")) walk(c)
+        } finally listing.close()
+      } else sb.append(src.relativize(p)).append('|')
+        .append(Files.size(p)).append('|')
+        .append(Files.getLastModifiedTime(p).toMillis).append('\n')
+    walk(src)
+    sb.toString
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val listing = Files.list(p)
+        try listing.forEach(deleteRec) finally listing.close()
+      }
+      Files.delete(p)
+    }
+  }
+
+  /** Memoized staging dir for one variant: rebuilt by `build` only when
+    * the source fixture's fingerprint changed, else served as-is. The
+    * dir is wiped before rebuild so leftovers from an older fixture
+    * shape (file vs directory, stale sentinel schema) can't survive.
+    */
+  private def staged(d: String, variant: String)(build: String => Unit): String = {
+    import java.nio.file.{Files, Paths}
     val dir = s"/tmp/graft_stream_ev/${d.replaceAll("[^A-Za-z0-9.]", "_")}$variant"
+    val fp = sourceFingerprint(d)
+    val marker = Paths.get(s"$dir/_STAGED_FP")
+    this.synchronized {
+      val current = Files.exists(marker) && Files.readString(marker) == fp
+      if (!current) {
+        deleteRec(Paths.get(dir))
+        Files.createDirectories(Paths.get(dir))
+        build(dir)
+        Files.writeString(marker, fp)
+      }
+    }
+    dir
+  }
+
+  /** Plain copy of the events fixture into a staging dir (the file-stream
+    * source needs a stable directory it can list). Handles both a single
+    * parquet file and a parquet directory fixture.
+    */
+  private def stagePlain(d: String): String = staged(d, "") { dir =>
+    import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
     val src = Paths.get(s"$d/events.parquet")
     def copyInto(from: JPath, to: JPath): Unit =
       if (Files.isDirectory(from)) {
         Files.createDirectories(to)
-        // close the directory stream: staging runs per invocation, and
-        // unclosed Files.list streams leak an fd each until finalization
         val listing = Files.list(from)
         try listing.forEach { p =>
           if (!p.getFileName.toString.startsWith(".")) copyInto(p, to.resolve(p.getFileName))
@@ -43,7 +98,98 @@ object Events {
         Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
       }
     copyInto(src, Paths.get(s"$dir/events.parquet"))
-    dir
+  }
+
+  /** Staging for the outer-interval-join stream: the plain fixture PLUS a
+    * far-future sentinel click+purchase pair that pushes the watermark
+    * past every real event (see the stream_outer_interval_join query doc).
+    * Dedicated dir: the sentinel must never leak into the plain stage the
+    * other stream queries read. Sentinel rows carry the SAME physical ts
+    * type as the raw fixture — the file-stream declares raw.schema over
+    * both — so epoch-ms is re-encoded per the fixture's actual encoding
+    * (ns-as-long / TIMESTAMP_NTZ / timestamp; see Tables.normalizeEventTs
+    * for the inventory).
+    */
+  private def stageOij(s: org.apache.spark.sql.SparkSession, d: String): String =
+    staged(d, "_oij") { dir =>
+      import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+      val src = Paths.get(s"$d/events.parquet")
+      def copyInto(from: JPath, to: JPath): Unit =
+        if (Files.isDirectory(from)) {
+          Files.createDirectories(to)
+          val listing = Files.list(from)
+          try listing.forEach { p =>
+            if (!p.getFileName.toString.startsWith(".")) copyInto(p, to.resolve(p.getFileName))
+          } finally listing.close()
+        } else {
+          Files.createDirectories(to.getParent)
+          Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+        }
+      copyInto(src, Paths.get(s"$dir/events.parquet"))
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val rawTsFromMs: org.apache.spark.sql.Column =
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => col("ms") * 1000000L
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            expr("timestamp_millis(ms)")
+              .cast(org.apache.spark.sql.types.TimestampNTZType)
+          case _ => expr("timestamp_millis(ms)")
+        }
+      import s.implicits._
+      val maxMs = T.normalizeEventTs(raw)
+        .select(max(unix_millis(col("ts")))).head.getLong(0)
+      val far = maxMs + 10L * 24 * 3600 * 1000
+      // BOTH event types: the join's effective watermark is the MIN
+      // across the two inputs, so a purchase-only sentinel would leave
+      // the click-side watermark at max(click_ts) − delay and withhold
+      // the trailing ~(delay + interval) of real clicks. The sentinel
+      // click sits 2h after the sentinel purchase so the two never
+      // match each other.
+      Seq((-1L, far, -1L, "purchase", 0.0, "{}"),
+          (-2L, far + 2L * 3600 * 1000, -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), rawTsFromMs.as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$dir/sentinel.parquet")
+    }
+
+  /** Staging for the streaming-dedup query: three mod-time-ordered batch
+    * files (fixture, near-duplicates within the watermark delay, far
+    * re-sends after state eviction — see the stream_dedup query doc).
+    * Derived deterministically from the fixture, so the fingerprint
+    * memoization applies: the Spark jobs that derive the batches run once
+    * per fixture generation, not once per query invocation.
+    */
+  private def stageDedup(s: org.apache.spark.sql.SparkSession, d: String): String =
+    staged(d, "_dedup") { dir =>
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val norm = T.normalizeEventTs(raw)
+        .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
+        .select("event_id", "ts", "user_id", "event_type")
+      val maxMs = norm.select(max(unix_millis(col("ts")))).head.getLong(0)
+      val delayMs = 2L * 3600 * 1000 // dedupStream delay: 2 hours
+      val near = norm.filter(col("event_id") % 11 === 0 &&
+        unix_millis(col("ts")) >= maxMs - 2 * delayMs)
+      val far = norm.filter(col("event_id") % 97 === 0 &&
+        unix_millis(col("ts")) < maxMs - 2 * delayMs)
+        .withColumn("ts", expr(s"timestamp_millis(${maxMs}L)"))
+      Seq(norm, near, far).zipWithIndex.foreach { case (df, i) =>
+        val p = s"$dir/f$i.parquet"
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        // pin mod times so the file source replays batches in order
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(f =>
+          f.toFile.setLastModified(1000000000000L + i * 60000L))
+      }
+    }
+
+  /** Pre-build every stream staging variant (Bench build-lane entry): the
+    * per-query staging calls then hit the fingerprint fast path, so the
+    * timed stream queries measure the stream, not fixture copying — the
+    * r9 driver bench charged staging I/O (under ambient contention) to
+    * the stream queries themselves.
+    */
+  def ensureStaged(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    stagePlain(d); stageOij(s, d); stageDedup(s, d)
   }
 
   /** Run a bounded streaming frame to completion into a memory sink.
@@ -126,7 +272,7 @@ object Events {
     // to the same table (complete output mode ⇒ final result is exact).
     GQuery("stream_hourly_tumbling",
       (s, d) => {
-        val srcDir = stageEvents(d)
+        val srcDir = stagePlain(d)
         val raw = s.read.parquet(s"$d/events.parquet")
         val stream = eventStream(s, raw, srcDir)
         val name = s"stream_hourly_${System.nanoTime()}"
@@ -152,32 +298,15 @@ object Events {
     // oracle is the fixture plus exactly the batch-3 re-sends.
     GQuery("stream_dedup",
       (s, d) => {
-        val srcDir =
-          s"/tmp/graft_stream_ev/${d.replaceAll("[^A-Za-z0-9.]", "_")}_dedup"
-        val hp = new org.apache.hadoop.fs.Path(srcDir)
-        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
-        val raw = s.read.parquet(s"$d/events.parquet")
-        val norm = T.normalizeEventTs(raw)
-          .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
-          .select("event_id", "ts", "user_id", "event_type")
-        val maxMs = norm.select(max(unix_millis(col("ts")))).head.getLong(0)
-        val delayMs = 2L * 3600 * 1000 // dedupStream delay: 2 hours
-        val near = norm.filter(col("event_id") % 11 === 0 &&
-          unix_millis(col("ts")) >= maxMs - 2 * delayMs)
-        val far = norm.filter(col("event_id") % 97 === 0 &&
-          unix_millis(col("ts")) < maxMs - 2 * delayMs)
-          .withColumn("ts", expr(s"timestamp_millis(${maxMs}L)"))
-        Seq(norm, near, far).zipWithIndex.foreach { case (df, i) =>
-          val p = s"${srcDir}/f$i.parquet"
-          df.coalesce(1).write.parquet(p)
-          // pin mod times so the file source replays batches in order
-          java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(f =>
-            f.toFile.setLastModified(1000000000000L + i * 60000L))
-        }
-        val stream = s.readStream.schema(norm.schema)
+        val srcDir = stageDedup(s, d)
+        // schema of the staged batches: fixture schema post-normalization
+        // (derived from the raw footer only — no Spark job)
+        val normSchema = T.normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
+          .select("event_id", "ts", "user_id", "event_type").schema
+        val stream = s.readStream.schema(normSchema)
           .option("maxFilesPerTrigger", "1")
           .option("recursiveFileLookup", "true")
-          .parquet(srcDir.toString)
+          .parquet(srcDir)
         val name = s"stream_dedup_${System.nanoTime()}"
         runStream(s, name, graft.streaming.Streaming
           .dedupStream(stream, "event_id", "2 hours"))
@@ -207,7 +336,7 @@ object Events {
     // so a raw-ts boundary comparison could disagree at the window edge.
     GQuery("stream_interval_join",
       (s, d) => {
-        val srcDir = stageEvents(d)
+        val srcDir = stagePlain(d)
         val raw = s.read.parquet(s"$d/events.parquet")
         def src = eventStream(s, raw, srcDir)
         val clicks = src.filter(col("event_type") === "click")
@@ -247,42 +376,10 @@ object Events {
     // plan never exercises.
     GQuery("stream_outer_interval_join",
       (s, d) => {
-        // dedicated staging dir: the sentinel must never leak into the
-        // plain-events stage the other stream queries read
-        val srcDir = stageEvents(d, variant = "_oij")
+        // staging (fixture copy + far-future sentinel pair) is memoized
+        // in stageOij — see its doc for the watermark mechanics
+        val srcDir = stageOij(s, d)
         val raw = s.read.parquet(s"$d/events.parquet")
-        // sentinel rows must carry the SAME physical ts type as the raw
-        // fixture — the file-stream declares raw.schema over both — so
-        // epoch-ms is re-encoded per the fixture's actual encoding
-        // (ns-as-long / TIMESTAMP_NTZ / timestamp; see
-        // Tables.normalizeEventTs for the inventory)
-        val rawTsFromMs: org.apache.spark.sql.Column =
-          raw.schema("ts").dataType match {
-            case org.apache.spark.sql.types.LongType => col("ms") * 1000000L
-            case org.apache.spark.sql.types.TimestampNTZType =>
-              expr("timestamp_millis(ms)")
-                .cast(org.apache.spark.sql.types.TimestampNTZType)
-            case _ => expr("timestamp_millis(ms)")
-          }
-        // sentinel: one purchase 10 days after the fixture's last event
-        locally {
-          import s.implicits._
-          val maxMs = T.normalizeEventTs(raw)
-            .select(max(unix_millis(col("ts")))).head.getLong(0)
-          val far = maxMs + 10L * 24 * 3600 * 1000
-          // BOTH event types: the join's effective watermark is the MIN
-          // across the two inputs, so a purchase-only sentinel would
-          // leave the click-side watermark at max(click_ts) − delay and
-          // withhold the trailing ~(delay + interval) of real clicks.
-          // The sentinel click sits 2h after the sentinel purchase so
-          // the two never match each other.
-          Seq((-1L, far, -1L, "purchase", 0.0, "{}"),
-              (-2L, far + 2L * 3600 * 1000, -1L, "click", 0.0, "{}"))
-            .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
-            .select(col("event_id"), rawTsFromMs.as("ts"),
-              col("user_id"), col("event_type"), col("value"), col("props"))
-            .write.mode("overwrite").parquet(s"$srcDir/sentinel.parquet")
-        }
         def src = eventStream(s, raw, srcDir, recursive = true)
         val clicks = src.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"),
