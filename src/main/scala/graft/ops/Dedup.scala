@@ -201,17 +201,94 @@ object Dedup {
       r1.unionByName(r2).persist()
     })
 
-  /** Bench hook: surfaces the two-batch index construction as its own
-    * build entry so the query below times a cached read. */
+  /** The ORACLE-CHECKABLE projection of the incremental-dedup verdicts.
+    *
+    * The raw verdict set depends on LSH candidate recall (numPerm=16,
+    * bandSize=4 ⇒ a true Jaccard-0.5 pair is surfaced with p≈0.23), so
+    * organic docs that HAVE an exact-Jaccard≥θ partner get verdicts only
+    * SQL-expressible by modeling xxhash64 banding — not portable. But
+    * every OTHER doc's verdict is fully determined by exact set algebra:
+    *
+    *  - an organic doc in NO exact pair can never acquire a verified
+    *    partner (verify is exact Jaccard, so LSH false candidates are
+    *    always rejected) → dup_of IS NULL, and it always survives into
+    *    the index;
+    *  - a planted copy of such a doc X collides with X on EVERY band
+    *    (verbatim copy ⇒ identical signature), verifies at Jaccard 1.0,
+    *    and can have no other verified partner (Jaccard(copy,W) =
+    *    Jaccard(X,W) < θ for all W) → dup_of = X exactly.
+    *
+    * Fencing out the pair-participating originals (computed by the same
+    * exact inverted-index join the oracle-green doc_ngram_jaccard_pairs
+    * uses) therefore yields a deterministic, hash-checkable result that
+    * still exercises the WHOLE incremental path end-to-end: two-batch
+    * index build, partition-pruned band probe, key-addressed verify,
+    * survivor upserts. The LSH-recall-dependent remainder stays pinned
+    * by DedupIndexSpec's planted-duplicate scenarios.
+    */
+  private def deterministicVerdicts(s: SparkSession, d: String): DataFrame = {
+    val pairs = Text.jaccardPairsFrom(
+      T.documents(s, d).select(col("doc_id"), col("text")), 0.5)
+    val ambiguous = pairs.select(col("doc_a").as("orig_id"))
+      .union(pairs.select(col("doc_b").as("orig_id"))).distinct()
+    run(s, d)
+      .withColumn("orig_id",
+        when(col("doc_id") >= CopyIdOffset, col("doc_id") - CopyIdOffset)
+          .otherwise(col("doc_id")))
+      .join(ambiguous, Seq("orig_id"), "left_anti")
+      .select(col("doc_id"), col("dup_of"))
+  }
+
+  private val detCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def deterministic(s: SparkSession, d: String): DataFrame =
+    detCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$d",
+      _ => deterministicVerdicts(s, d).persist())
+
+  /** Bench hook: surfaces the two-batch index construction (and the
+    * exact-pair fence) as its own build entry so the query below times a
+    * cached read. */
   private[graft] def ensureIndex(s: SparkSession, d: String): Unit = {
-    run(s, d); ()
+    deterministic(s, d).count(); ()
   }
 
   val queries: Seq[GQuery] = Seq(
-    // rows-only: xxhash64/band hashing has no DuckDB counterpart (same
-    // rationale as doc_minhash_pairs); DedupIndexSpec pins planted
-    // cross-batch catches, survivor indexing, and probe pruning
     GQuery("doc_dedup_incremental",
-      (s, d) => run(s, d).orderBy("doc_id"),
-      None))
+      (s, d) => deterministic(s, d).orderBy("doc_id"),
+      Some(s"""WITH tokform AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i
+                FROM tokform),
+        tri AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS sh
+                FROM tok a
+                JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+        p0 AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+               FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id < y.doc_id
+               GROUP BY 1, 2),
+        amb AS (SELECT doc_a AS orig_id FROM p0
+                  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.5
+                UNION
+                SELECT doc_b FROM p0
+                  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.5),
+        cut AS (SELECT max(doc_id) // 2 AS c FROM documents)
+        SELECT doc_id, CAST(NULL AS BIGINT) AS dup_of FROM documents
+        WHERE doc_id NOT IN (SELECT orig_id FROM amb)
+        UNION ALL
+        -- a copy of a sub-shingle doc (absent from sz: < 3 tokens, empty
+        -- set) never verifies (Jaccard undefined, engine rejects at
+        -- uni=0) -> it SURVIVES, mirroring DedupIndexSpec's contract
+        SELECT doc_id + $CopyIdOffset AS doc_id,
+          CASE WHEN doc_id IN (SELECT doc_id FROM sz) THEN doc_id
+               ELSE CAST(NULL AS BIGINT) END AS dup_of
+        FROM documents, cut
+        WHERE doc_id % 7 = 0 AND doc_id <= c
+          AND doc_id NOT IN (SELECT orig_id FROM amb)
+        ORDER BY doc_id"""))
+  )
 }

@@ -224,18 +224,35 @@ object Extended {
     // ---- sketch / approximate aggregates ------------------------------
     // the constant-memory estimators that replace exact distinct/quantile
     // at 100 TB: HyperLogLog++ cardinality and an approximate quantile.
-    // Deterministic for fixed input but not portable across engines
-    // (DuckDB's approx_distinct uses a different sketch) → rows-only;
-    // OpsSpec bounds the relative error against the exact answers.
+    // The raw sketch estimates aren't portable across engines (DuckDB's
+    // approx_distinct is a different sketch), so the hash gate checks
+    // BOUNDS instead: the exact answer plus integer flags asserting the
+    // sketch landed inside its documented error envelope — the flags are
+    // engine-computed, so a sketch-parameter regression (rsd, accuracy)
+    // flips a 1 to 0 and fails the oracle hash. HLL++ rsd=0.02 is a
+    // standard deviation, not a hard bound → the flag allows 5σ (10%);
+    // percentile_approx accuracy=10000 bounds rank error at 1e-4, so the
+    // approx median must lie within the exact [p45, p55] value band.
     GQuery("q25_sketches",
       (s, d) => T.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ac"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("approx_median_price"))
+            .as("amed"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("ac") - col("exact_orders")) <=
+            col("exact_orders") * lit(0.10)).cast("int").as("hll_in_bound"),
+          (col("amed") >= col("p45") && col("amed") <= col("p55"))
+            .cast("int").as("median_in_bound"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        1 AS hll_in_bound, 1 AS median_in_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- custom UDAF --------------------------------------------------
     GQuery("udaf_weighted_avg",

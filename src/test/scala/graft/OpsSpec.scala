@@ -254,20 +254,21 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("sketch aggregates land within their error bounds of exact answers") {
-    val approx = run("q25_sketches").collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the bound checks are baked into the query as integer flags (the
+    // oracle hash gate expects all-1s); re-derive the exact column here
+    // so the flags can't go green by checking against a wrong baseline
+    val rows = run("q25_sketches").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), r.getInt(3))).toMap
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("n"),
-        expr("percentile(l_extendedprice, 0.5)").as("med"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (flag, (n, med)) =>
-      val (an, amed) = approx(flag)
-      assert(math.abs(an - n).toDouble / n <= 0.05,
-        s"$flag: HLL++ $an vs exact $n")
-      assert(math.abs(amed - med) / med <= 0.05,
-        s"$flag: approx median $amed vs exact $med")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet)
+    exact.foreach { case (flag, n) =>
+      val (en, hllOk, medOk) = rows(flag)
+      assert(en == n, s"$flag: exact_orders $en vs recomputed $n")
+      assert(hllOk == 1, s"$flag: HLL++ estimate outside 10% of $n")
+      assert(medOk == 1, s"$flag: approx median outside exact [p45, p55]")
     }
   }
 
