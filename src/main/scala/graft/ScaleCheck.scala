@@ -24,15 +24,27 @@ import org.apache.spark.sql.functions._
   *    row count grows exactly N×.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
-  *          sbt "runMain graft.ScaleCheck 1 10"
+  *          sbt "runMain graft.ScaleCheck 1 10 100"
   * Prints one JSON line per (query, mult) with steady-state seconds
   * (2nd run; the 1st warms fixture caches) and a final ratio line.
+  * Mults ≥ ExtremeMult run only the single heaviest query against a
+  * customer-only replica (the 100x point).
   */
 object ScaleCheck {
 
   private val watched = Seq(
     "fuzzy_name_pairs", "doc_ngram_jaccard_pairs", "lake_tail_changes",
-    "doc_minhash_pairs", "doc_contamination", "tbl_profile")
+    "doc_minhash_pairs", "doc_contamination", "tbl_profile",
+    // watermark-bounded stream-stream join: the scale claim under test is
+    // that per-row cost stays constant because join STATE is bounded by
+    // the watermark interval, not by stream volume
+    "stream_interval_join")
+
+  /** at extreme mults only the single heaviest batch query runs, and its
+    * replica builds only the one table it reads — a 100x five-table
+    * replica build would dwarf the measurement itself */
+  private val watchedExtreme = Seq("fuzzy_name_pairs")
+  private val ExtremeMult = 50
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,7 +63,19 @@ object ScaleCheck {
     val results = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
     for (m <- mults) {
       val dir = replica(spark, base, m)
-      for (name <- watched) {
+      // WEAK scaling at the big mults: hold per-partition shuffle volume
+      // roughly constant by growing the partition count once the data
+      // outgrows the baseline regime, as a real deployment sizes
+      // spark.sql.shuffle.partitions to the data. A fixed count measures
+      // spill-to-disk at 100x (first run: 22x time for 10x volume purely
+      // from 32 partitions carrying 100x the bytes) — confounding the
+      // algorithmic-growth question; but scaling at SMALL mults instead
+      // measures tiny-partition scheduling overhead (320 partitions at
+      // 10x: 7s → 54s). ≤10x keeps the baseline count so ratios stay
+      // regime-comparable; beyond that, partitions grow with volume.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(2048, cpus.toInt * math.max(1, m / 10)).toString)
+      for (name <- if (m >= ExtremeMult) watchedExtreme else watched) {
         val fn = SparkEntry.queries(name)
         fn(spark, dir).count() // warm: fixture/index builds + page cache
         val t0 = System.nanoTime()
@@ -61,7 +85,8 @@ object ScaleCheck {
         println(s"""{"scale_check":{"query":"$name","mult":$m,"sec":$sec,"rows":$rows}}""")
       }
     }
-    for (name <- watched; w <- mults.sliding(2) if w.size == 2) {
+    for (name <- watched; w <- mults.sliding(2) if w.size == 2
+         if results.contains((name, w.head)) && results.contains((name, w.last))) {
       val Seq(lo, hi) = w
       val growth = results((name, hi)) / results((name, lo))
       val volume = hi.toDouble / lo
@@ -94,10 +119,17 @@ object ScaleCheck {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    // per-replica salts must be pairwise distinct (and, for the fuzzy
-    // check, pairwise Levenshtein ≥ 3) — the single-letter scheme caps m
-    require(m <= 26, s"replica() supports at most 26x, got $m")
-    def salt(i: Int) = ('a' + i).toChar.toString * 3
+    // Per-replica salts must be pairwise distinct and pairwise
+    // Levenshtein ≥ 3 (so edit-distance-1 fuzzy neighborhoods never
+    // cross replicas). Two-letter code, each letter tripled: salts
+    // differing in either letter differ in a 3-letter block, and a
+    // 3-letter block of one letter cannot be edited into another in < 3
+    // ops — supports the 100x point (cap 26² = 676 replicas).
+    require(m <= 676, s"replica() supports at most 676x, got $m")
+    def salt(i: Int) = {
+      val a = ('a' + i / 26).toChar; val b = ('a' + i % 26).toChar
+      s"$a$a$a$b$b$b"
+    }
 
     def replicate(t: DataFrame, keyCol: String,
                   perturb: (DataFrame, Int) => DataFrame): DataFrame = {
@@ -109,35 +141,53 @@ object ScaleCheck {
 
     val cust = replicate(Tables.customer(spark, base), "c_custkey",
       (df, i) => df.withColumn("c_name", concat(col("c_name"), lit(" " + salt(i)))))
-    // salt every maximal alphanumeric run IN PLACE (r → r+salt): a
-    // bijective token rename under BOTH corpus tokenizations — the
-    // whitespace-token trigram shingles (ops.Text.toks) and the
-    // [a-z0-9]+ grams (ops.Hygiene) — so pairwise statistics are
-    // preserved for every watched text query. A separator-joined salt
-    // ("w§aaa") would split in two under the alphanumeric tokenizer and
-    // double the gram stream, measuring a different workload.
-    val docs = replicate(Tables.documents(spark, base), "doc_id",
-      (df, i) => df
-        .withColumn("text", regexp_replace(col("text"),
-          "([A-Za-z0-9]+)", "$1" + salt(i)))
-        .withColumn("n_chars", length(col("text")).cast("long")))
-    val li = replicate(Tables.lineitem(spark, base), "l_orderkey",
-      (df, _) => df)
-    // orders: offset the customer key too so per-column distinct counts
-    // (what tbl_profile aggregates) grow with volume like a real table
-    val ords = {
-      val custSpan = Tables.orders(spark, base)
-        .agg(max(col("o_custkey"))).head.getLong(0) + 1
-      replicate(Tables.orders(spark, base), "o_orderkey",
-        (df, i) => df.withColumn("o_custkey",
-          col("o_custkey") + lit(i * custSpan)))
-    }
-
     cust.write.mode("overwrite").parquet(s"$dir/customer.parquet")
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    ords.write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    java.nio.file.Files.createFile(done)
+
+    // extreme mults build ONLY the table their single watched query
+    // (fuzzy_name_pairs → customer) reads; see watchedExtreme
+    if (m < ExtremeMult) {
+      // salt every maximal alphanumeric run IN PLACE (r → r+salt): a
+      // bijective token rename under BOTH corpus tokenizations — the
+      // whitespace-token trigram shingles (ops.Text.toks) and the
+      // [a-z0-9]+ grams (ops.Hygiene) — so pairwise statistics are
+      // preserved for every watched text query. A separator-joined salt
+      // ("w§aaa") would split in two under the alphanumeric tokenizer and
+      // double the gram stream, measuring a different workload.
+      val docs = replicate(Tables.documents(spark, base), "doc_id",
+        (df, i) => df
+          .withColumn("text", regexp_replace(col("text"),
+            "([A-Za-z0-9]+)", "$1" + salt(i)))
+          .withColumn("n_chars", length(col("text")).cast("long")))
+      val li = replicate(Tables.lineitem(spark, base), "l_orderkey",
+        (df, _) => df)
+      // orders: offset the customer key too so per-column distinct counts
+      // (what tbl_profile aggregates) grow with volume like a real table
+      val ords = {
+        val custSpan = Tables.orders(spark, base)
+          .agg(max(col("o_custkey"))).head.getLong(0) + 1
+        replicate(Tables.orders(spark, base), "o_orderkey",
+          (df, i) => df.withColumn("o_custkey",
+            col("o_custkey") + lit(i * custSpan)))
+      }
+      // events: offset user_id per replica too, so the stream join's
+      // per-user pair structure is copied verbatim into each replica
+      // (pair count grows exactly m×, per-user candidate density
+      // constant). The ts column keeps whatever physical encoding the
+      // fixture has (ns-as-long stays LongType under the session's
+      // nanosAsLong conf) — the stream queries normalize on read.
+      val evs = {
+        val userSpan = Tables.t(spark, base, "events")
+          .agg(max(col("user_id"))).head.getLong(0) + 1
+        replicate(Tables.t(spark, base, "events"), "event_id",
+          (df, i) => df.withColumn("user_id",
+            col("user_id") + lit(i * userSpan)))
+      }
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      ords.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      evs.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    java.nio.file.Files.writeString(done, fingerprint)
     dir
   }
 }

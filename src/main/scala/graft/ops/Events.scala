@@ -32,7 +32,9 @@ object Events {
   private def sourceFingerprint(d: String): String = {
     import java.nio.file.{Files, Path => JPath, Paths}
     val src = Paths.get(s"$d/events.parquet")
-    val sb = new StringBuilder
+    // leading version token: bumping it invalidates every staged dir
+    // when the staging LAYOUT changes (v2 = flat data files)
+    val sb = new StringBuilder("v2\n")
     def walk(p: JPath): Unit =
       if (Files.isDirectory(p)) {
         val listing = Files.list(p)
@@ -79,26 +81,36 @@ object Events {
     dir
   }
 
-  /** Plain copy of the events fixture into a staging dir (the file-stream
-    * source needs a stable directory it can list). Handles both a single
-    * parquet file and a parquet directory fixture.
+  /** Copy the events fixture's DATA FILES flat into `dir` (f0.parquet,
+    * f1.parquet, …). Flattening matters: Spark's file-STREAM source does
+    * not descend into non-`key=value` subdirectories, so staging a
+    * directory-shaped fixture as `dir/events.parquet/part-*.parquet`
+    * yields an empty stream (silently — 0 rows; bitten by the ScaleCheck
+    * replicas, whose tables are Spark-written directories). A flat copy
+    * serves file and directory fixtures identically.
     */
-  private def stagePlain(d: String): String = staged(d, "") { dir =>
+  private def copyFixtureFlat(d: String, dir: String): Unit = {
     import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
     val src = Paths.get(s"$d/events.parquet")
-    def copyInto(from: JPath, to: JPath): Unit =
+    var n = -1
+    def next(): JPath = { n += 1; Paths.get(s"$dir/f$n.parquet") }
+    def walk(from: JPath): Unit =
       if (Files.isDirectory(from)) {
-        Files.createDirectories(to)
         val listing = Files.list(from)
-        try listing.forEach { p =>
-          if (!p.getFileName.toString.startsWith(".")) copyInto(p, to.resolve(p.getFileName))
+        try listing.sorted().forEach { p =>
+          val name = p.getFileName.toString
+          if (!name.startsWith(".") && !name.startsWith("_")) walk(p)
         } finally listing.close()
-      } else {
-        Files.createDirectories(to.getParent)
-        Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
-      }
-    copyInto(src, Paths.get(s"$dir/events.parquet"))
+      } else Files.copy(from, next(), StandardCopyOption.REPLACE_EXISTING)
+    walk(src)
+    require(n >= 0, s"no data files under $src")
   }
+
+  /** Plain copy of the events fixture into a staging dir (the file-stream
+    * source needs a stable directory it can list).
+    */
+  private def stagePlain(d: String): String =
+    staged(d, "")(copyFixtureFlat(d, _))
 
   /** Staging for the outer-interval-join stream: the plain fixture PLUS a
     * far-future sentinel click+purchase pair that pushes the watermark
@@ -112,20 +124,7 @@ object Events {
     */
   private def stageOij(s: org.apache.spark.sql.SparkSession, d: String): String =
     staged(d, "_oij") { dir =>
-      import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
-      val src = Paths.get(s"$d/events.parquet")
-      def copyInto(from: JPath, to: JPath): Unit =
-        if (Files.isDirectory(from)) {
-          Files.createDirectories(to)
-          val listing = Files.list(from)
-          try listing.forEach { p =>
-            if (!p.getFileName.toString.startsWith(".")) copyInto(p, to.resolve(p.getFileName))
-          } finally listing.close()
-        } else {
-          Files.createDirectories(to.getParent)
-          Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
-        }
-      copyInto(src, Paths.get(s"$dir/events.parquet"))
+      copyFixtureFlat(d, dir)
       val raw = s.read.parquet(s"$d/events.parquet")
       val rawTsFromMs: org.apache.spark.sql.Column =
         raw.schema("ts").dataType match {
