@@ -67,7 +67,8 @@ object Bench {
           // (r9: staging I/O under contention inflated them up to 10x)
           "stream_stage_build" -> (() => ops.Events.ensureStaged(spark, sfDir))),
         Seq("sql_dml_build" -> (() => { ops.Sql.dmlFixture(spark, sfDir); () }),
-          "sql_merge_build" -> (() => { ops.Sql.mergeFixture(spark, sfDir); () })),
+          "sql_merge_build" -> (() => { ops.Sql.mergeFixture(spark, sfDir); () }),
+          "meta_table_build" -> (() => { ops.Lake.metaTable(spark, sfDir); () })),
         Seq("schema_evo_build" -> (() => { ops.Lake.evoTable(spark, sfDir); () }),
           "schema_evo2_build" -> (() => { ops.Lake.evoWideTable(spark, sfDir); () }),
           "bucketed_tables_build" -> (() => ops.Extended.ensureBucketed(spark, sfDir)),

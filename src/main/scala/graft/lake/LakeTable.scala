@@ -86,7 +86,22 @@ final case class LakeTableConfig(
       * row's JSON; the files-then-log protocol leaves the table
       * unchanged (the partial write is invisible orphans).
       */
-    checks: Map[String, String] = Map.empty) {
+    checks: Map[String, String] = Map.empty,
+    /** Full Hudi meta-column read parity (MockCuratedGlueJob.py:23-24
+      * observes the 5-column `_hoodie_*` surface). The always-on pair
+      * `_commit_id`/`_record_key` is complemented, when this flag is set,
+      * by:
+      *  - `_commit_seqno`: materialized AT WRITE TIME as
+      *    `<commitId>_<rowId>` (rowId = monotonically_increasing_id, the
+      *    partition-prefixed row index — Hudi's
+      *    `<commit>_<writerToken>_<rowIndex>` shape). Persisted, so it
+      *    survives CoW rewrites and compaction like `_commit_id` does.
+      *  - `_file_name`: the basename of the parquet file each row was
+      *    READ from, captured at scan (`input_file_name`) on snapshot /
+      *    time-travel reads — a read-surface column, never persisted
+      *    (compaction rewrites would otherwise freeze a stale name).
+      */
+    metaColumns: Boolean = false) {
   require(storageType == "cow" || storageType == "mor",
     s"storageType must be cow|mor, got $storageType")
   require(!zOrder || clusterCols.size >= 2,
@@ -558,7 +573,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val current =
         if (oldFiles.isEmpty) readOrEmpty(oldFiles) else mergeIfNeeded(oldFiles)
       val userCols = current.columns
-        .filterNot(c => c == "_commit_id" || c == "_record_key" || c == BucketCol)
+        .filterNot(c => c == "_commit_id" || c == "_record_key" ||
+          c == "_commit_seqno" || c == BucketCol)
       clauses.foreach { cl =>
         val unknown = cl.set.keySet -- userCols.toSet
         require(unknown.isEmpty,
@@ -610,9 +626,18 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
           case _                              => lit(id)
         })
       }, col("t._commit_id"))
+      // seqno mirrors _commit_id provenance: rows this merge wrote get a
+      // fresh <id>_<rowId> seqno, pass-through/delete-provenance rows keep
+      // the one their ingesting commit assigned
+      val newSeqno =
+        if (!config.metaColumns) None
+        else Some(when(newCid === lit(id),
+            format_string("%d_%d", lit(id), monotonically_increasing_id()))
+          .otherwise(col("t._commit_seqno")).as("_commit_seqno"))
       val result = withDerived(
         joined.filter(keep)
-          .select(userCols.map(valueFor) :+ newCid.as("_commit_id"): _*)
+          .select(userCols.map(valueFor) ++ Seq(newCid.as("_commit_id")) ++
+            newSeqno: _*)
           .withColumn("_record_key", keyStrExpr))
       writeCommit(result, "merge", oldFiles.map(_.path), Some(id),
         basedOn = Some(basedOn), commitMeta = commitMeta,
@@ -666,8 +691,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // all-pruned: keep the schema shape stable with the merged (non-empty)
     // branch — the latest commit may be a delta whose schema carries the
     // MoR internals morMerge would have dropped
-    (if (files.isEmpty) readOrEmpty(files, asOf).drop("_seq", "_deleted")
-     else mergeIfNeeded(files, asOf))
+    (if (files.isEmpty)
+       withEmptyFileName(readOrEmpty(files, asOf).drop("_seq", "_deleted"))
+     else mergeIfNeeded(files, asOf, tagFileName = config.metaColumns))
       .filter(pruneBy)
   }
 
@@ -1280,10 +1306,18 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   private def readSnapshot(asOf: Option[Long]): DataFrame = {
     val files = log.liveFiles(asOf)
     if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema(asOf))
-    else mergeIfNeeded(files, asOf)
+      withEmptyFileName(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema(asOf)))
+    else mergeIfNeeded(files, asOf, tagFileName = config.metaColumns)
   }
+
+  /** keeps the snapshot schema stable on branches that never scan a file
+    * (empty table, all files pruned): flagged tables always surface
+    * `_file_name`, null when there was no scan to capture it from */
+  private def withEmptyFileName(df: DataFrame): DataFrame =
+    if (config.metaColumns && !df.columns.contains("_file_name"))
+      df.withColumn("_file_name", lit(null).cast("string"))
+    else df
 
   /** True when every MoR dedup group is confined to a single partition
     * tuple, so base+delta merging can run file-group-local. Non-global
@@ -1308,18 +1342,20 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * only. Falls back to a table-wide merge when dedup groups can span
     * partitions (see [[groupLocalMergeSafe]]).
     */
-  private def mergeIfNeeded(files: Seq[FileAdd], asOf: Option[Long] = None): DataFrame = {
-    if (!files.exists(_.isDelta)) readFiles(files, asOf)
-    else if (!groupLocalMergeSafe) morMerge(readFiles(files, asOf))
+  private def mergeIfNeeded(files: Seq[FileAdd], asOf: Option[Long] = None,
+      tagFileName: Boolean = false): DataFrame = {
+    if (!files.exists(_.isDelta)) readFiles(files, asOf, tagFileName)
+    else if (!groupLocalMergeSafe) morMerge(readFiles(files, asOf, tagFileName))
     else {
       val touched = files.filter(_.isDelta).map(_.partition).toSet
       val (dirty, clean) = files.partition(f => touched.contains(f.partition))
-      val merged = morMerge(readFiles(dirty, asOf))
+      val merged = morMerge(readFiles(dirty, asOf, tagFileName))
       if (clean.isEmpty) merged
       else
         // allowMissingColumns: delta commits may have widened the schema,
         // so the merged side can carry columns the clean base files lack
-        merged.unionByName(readFiles(clean, asOf), allowMissingColumns = true)
+        merged.unionByName(readFiles(clean, asOf, tagFileName),
+          allowMissingColumns = true)
     }
   }
 
@@ -1578,7 +1614,15 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * total I/O is unchanged; group count is bounded by live schema
     * versions (compaction collapses it back to one).
     */
-  private def readFiles(files: Seq[FileAdd], asOf: Option[Long] = None): DataFrame = {
+  /** `tagFileName`: attach `_file_name` (file basename via
+    * `input_file_name`) AT THE SCAN — the expression reads a scan-local
+    * thread state, so it must be captured before any exchange. Only the
+    * public snapshot read surfaces tag; internal readers that rewrite
+    * rows (compaction, merge, index probes) never do, so the column is
+    * never persisted.
+    */
+  private def readFiles(files: Seq[FileAdd], asOf: Option[Long] = None,
+      tagFileName: Boolean = false): DataFrame = {
     val target = tableSchema(asOf)
     val jsonOf = pathSchemaJson(asOf)
     // group by ADAPTATION KEY, not raw schema JSON: commits whose
@@ -1597,9 +1641,16 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     }
     val targetKey = SchemaEvo.adaptKey(target)
     groups.toSeq.map { case (key, (fileSchema, paths)) =>
-      val df = spark.read.schema(fileSchema).parquet(paths.toSeq: _*)
-      if (key == targetKey) df
-      else SchemaEvo.adapt(df, fileSchema, target)
+      val raw = spark.read.schema(fileSchema).parquet(paths.toSeq: _*)
+      val adapted = if (key == targetKey) raw
+        else SchemaEvo.adapt(raw, fileSchema, target)
+      // tag AFTER adapt (adapt projects the file schema's columns and
+      // would drop an extra one) — both are projections over the scan,
+      // so input_file_name still binds to the per-row scanned file
+      if (tagFileName)
+        adapted.withColumn("_file_name",
+          regexp_extract(input_file_name(), "[^/]+$", 0))
+      else adapted
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1643,9 +1694,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   private def keyStrExpr: org.apache.spark.sql.Column =
     concat_ws("|", config.keyCols.map(c => col(c).cast("string")): _*)
 
-  private def withMeta(df: DataFrame, commitId: Long): DataFrame =
-    df.withColumn("_commit_id", lit(commitId))
+  private def withMeta(df: DataFrame, commitId: Long): DataFrame = {
+    val base = df.withColumn("_commit_id", lit(commitId))
       .withColumn("_record_key", keyStrExpr)
+    if (config.metaColumns)
+      base.withColumn("_commit_seqno",
+        format_string("%d_%d", lit(commitId), monotonically_increasing_id()))
+    else base
+  }
 
   /** Key-range file pruning (Hudi bloom-index min/max pruning): keep only
     * files whose footer `_record_key` [kmin, kmax] may contain a key of

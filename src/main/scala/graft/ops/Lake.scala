@@ -279,6 +279,29 @@ object Lake {
       t
     })
 
+  /** Meta-column fixture over `nation`: a table with full Hudi 5-column
+    * read parity enabled (`metaColumns = true`) — bulk insert (c0), then
+    * an upsert of the region-0 rows (c1), so per-row `_commit_id`
+    * provenance is split deterministically and `_commit_seqno` /
+    * `_file_name` are observable on the snapshot read.
+    */
+  private[graft] def metaTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:meta", _ => {
+      val root = s"/tmp/graft_lake/meta_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("n_nationkey"), precombineCol = "update_ts",
+        metaColumns = true))
+      val nation = T.nation(s, d)
+      t.bulkInsert(nation.withColumn("update_ts", lit(0)))          // c0
+      t.upsert(nation.filter(col("n_regionkey") === 0)              // c1
+        .withColumn("n_name", concat(col("n_name"), lit("_v2")))
+        .withColumn("update_ts", lit(1)))
+      t
+    })
+
   /** Merge fixture over keyed lineitem: ONE multi-clause merge exercises
     * all four clause kinds at once —
     *   source = R-partition rows as updates (qty+500, ts=1)
@@ -449,6 +472,27 @@ object Lake {
       (s, d) => proj(sinkStreamTable(s, d).read()),
       Some(s"""$mergedCte
         SELECT * FROM merged ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- Hudi 5-column meta surface (MockCuratedGlueJob.py:23-24) -----
+    // _commit_id provenance splits deterministically (region-0 rows were
+    // rewritten by c1), _commit_seqno must carry its row's commit id as
+    // prefix, _file_name must be the parquet basename of the scanned
+    // file — the latter two are checked as portable boolean flags (their
+    // raw values embed row ids / task numbers that no other engine can
+    // reproduce)
+    GQuery("lake_meta_columns",
+      (s, d) => metaTable(s, d).read()
+        .select(col("n_nationkey"), col("n_name"), col("_commit_id"),
+          (split(col("_commit_seqno"), "_").getItem(0).cast("long")
+            === col("_commit_id")).cast("int").as("seqno_has_commit_prefix"),
+          col("_file_name").rlike("^part-.*\\.parquet$")
+            .cast("int").as("file_name_is_parquet_basename"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+        CASE WHEN n_regionkey = 0 THEN n_name || '_v2' ELSE n_name END AS n_name,
+        CAST(CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS BIGINT) AS _commit_id,
+        1 AS seqno_has_commit_prefix, 1 AS file_name_is_parquet_basename
+        FROM nation ORDER BY n_nationkey""")),
 
     // ---- schema evolution: upsert with a new column, null backfill ----
     GQuery("lake_schema_evolution",
