@@ -79,7 +79,21 @@ final class GraftTailSource(
     * getOffset can never regress the checkpoint. The first trigger
     * after a (re)start has no anchor yet and stays uncapped — the V1
     * Source API offers nothing safe to anchor on before the engine
-    * reveals its start offset. */
+    * reveals its start offset (any synthetic floor could offer an end
+    * BELOW the checkpoint and regress it).
+    *
+    * Bound of that one uncapped batch (spec-pinned in TailSourceSpec
+    * "restart under a backlog"): it spans exactly the restart backlog —
+    * driver cost is the per-commit diff PLAN fan-out, O(backlog
+    * commits), while row data streams through executors as ordinary
+    * bounded scans; nothing data-sized accumulates on the driver. The
+    * window is one trigger wide: getBatch anchors the high-water mark,
+    * so the very next offer is capped again. Operators who must bound
+    * even that first plan (e.g. a month-long outage on a busy table)
+    * start a fresh stream with `startingCommit` at a recent snapshot;
+    * the structural fix is the DSv2 streaming API, whose
+    * `latestOffset(start, limit)` receives the start offset — worth
+    * migrating to if Spark removes V1. */
   @volatile private var highWater: Long = Long.MinValue
 
   override def getOffset: Option[OffsetV1] =

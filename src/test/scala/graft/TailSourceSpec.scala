@@ -322,6 +322,45 @@ class TailSourceSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == (1 to 6).map(100L + _).toSet)
   }
 
+  test("restart under a backlog: first batch uncapped but exact; caps re-engage") {
+    // The V1 Source API reveals the checkpointed start only at the first
+    // getBatch, so a RESTARTED capped stream's first offer necessarily
+    // spans the whole restart backlog (GraftTailSource.getOffset doc).
+    // This pins the documented bound: (a) that one batch is still
+    // row-exact over a wide commit range — its cost is O(backlog
+    // commits) driver-side plan fan-out, not data accumulation, since
+    // each commit contributes a lazily-unioned file scan; (b) the very
+    // next offer anchors on the handled end and is capped again, so the
+    // uncapped window is exactly one trigger wide.
+    val t = build(freshRoot(), 2)
+    val cap = 3
+    // phase 1: capped stream consumes commits 1..2, checkpoint at 2
+    val src1 = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
+      maxCommitsPerTrigger = Some(cap))
+    src1.getBatch(None, LongOffset(2L))
+    // phase 2: a 30-commit backlog accumulates while the stream is down
+    (3 to 32).foreach(i => t.upsert(df((100L + i, 1, s"u$i", i))))
+    val head = t.log.latestId.get
+    // phase 3: restart = fresh source instance, checkpoint start = 2
+    val src2 = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
+      maxCommitsPerTrigger = Some(cap))
+    assert(src2.getOffset.contains(LongOffset(head)),
+      "first post-restart offer has no anchor and spans the backlog")
+    // the uncapped catch-up batch is exact: exactly the backlog's rows
+    val rows = src2.batchFrame(2L, head)
+      .select("pk").collect().map(_.getLong(0)).toSeq
+    assert(rows.size == 30 && rows.toSet == (3 to 32).map(100L + _).toSet,
+      "uncapped catch-up batch must carry the backlog exactly once")
+    src2.getBatch(Some(LongOffset(2L)), LongOffset(head))
+    // cap re-engages immediately after the engine hands over the batch
+    t.upsert(df((999L, 1, "next", 99)))
+    t.upsert(df((998L, 1, "next2", 99)))
+    t.upsert(df((997L, 1, "next3", 99)))
+    t.upsert(df((996L, 1, "next4", 99)))
+    assert(src2.getOffset.contains(LongOffset(head + cap)),
+      s"post-restart offers must re-cap at handled-end + $cap")
+  }
+
   test("CoW tail: per-trigger schema-index fold is O(new commits), not O(timeline)") {
     val t = cowTable(freshRoot())
     t.bulkInsert(df((1L, 1, "a", 0)))                       // commit 0
