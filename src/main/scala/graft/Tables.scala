@@ -10,8 +10,28 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  /** Normalize NTZ-encoded timestamp fixture columns to TimestampType —
+    * exact under the pinned-UTC session (Verify/Bench/specs), matching
+    * DuckDB's naive-timestamp epoch math. The date-bearing TPC-H columns
+    * (l_shipdate, o_orderdate) route through this so a driver re-encode
+    * TIMESTAMP → TIMESTAMP_NTZ (the r8 events.ts incident) changes
+    * nothing downstream: date-literal filters and oracle parity hold for
+    * both encodings, and FixtureSchemaSpec pins the accepted set.
+    */
+  private[graft] def normalizeTsCols(df: DataFrame, cols: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    cols.foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == TimestampNTZType)
+        d.withColumn(c, col(c).cast(TimestampType))
+      else d
+    }
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTsCols(t(s, d, "lineitem"), "l_shipdate")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTsCols(t(s, d, "orders"), "o_orderdate")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")

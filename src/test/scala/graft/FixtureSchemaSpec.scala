@@ -90,6 +90,28 @@ class FixtureSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeTsCols: both accepted date encodings agree to the ms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the date-bearing TPC-H columns accept {TIMESTAMP, TIMESTAMP_NTZ}
+    // (never ns-as-long); both must normalize to the same TimestampType
+    // instant so date-literal filters can't shift under a driver
+    // re-encode. NTZ exactness relies on the pinned UTC session.
+    val ms = 1709296496789L
+    val asTs = Seq(Tuple1(ms)).toDF("ms")
+      .select(expr("timestamp_millis(ms)").as("l_shipdate"))
+    val asNtz = Seq(Tuple1(ms)).toDF("ms")
+      .select(expr("timestamp_millis(ms)")
+        .cast(TimestampNTZType).as("l_shipdate"))
+    for ((df, tag) <- Seq((asTs, "timestamp"), (asNtz, "timestamp_ntz"))) {
+      val out = Tables.normalizeTsCols(df, "l_shipdate")
+      assert(out.schema("l_shipdate").dataType == TimestampType,
+        s"$tag: normalized type is ${out.schema("l_shipdate").dataType}")
+      val got = out.select(unix_millis(col("l_shipdate"))).head.getLong(0)
+      assert(got == ms, s"$tag: epoch-ms $got != $ms after normalization")
+    }
+  }
+
   for (sf <- sfDirs) {
     test(s"$sf: events raw ts is an accepted encoding; adapted ts is TimestampType") {
       val raw = spark.read.parquet(s"$sf/events.parquet")
@@ -122,6 +144,13 @@ class FixtureSchemaSpec extends AnyFunSuite {
           "o_totalprice" -> Left(DoubleType),
           "o_orderdate" -> Right(acceptedTs - LongType),
           "o_orderpriority" -> Left(StringType)))
+      // the adapter route (Tables.lineitem/orders) must yield the one
+      // type the engine is allowed to assume, whichever accepted
+      // encoding the driver emitted
+      assert(Tables.lineitem(spark, sf).schema("l_shipdate").dataType
+        == TimestampType, "Tables.lineitem must normalize l_shipdate")
+      assert(Tables.orders(spark, sf).schema("o_orderdate").dataType
+        == TimestampType, "Tables.orders must normalize o_orderdate")
       assertCols("customer", sf,
         spark.read.parquet(s"$sf/customer.parquet").schema, Seq(
           "c_custkey" -> Left(LongType), "c_name" -> Left(StringType),
