@@ -107,6 +107,7 @@ object Bench {
     // the minimum is the best estimate of the engine's own cost.
     val minOf3 = Set("stream_hourly_tumbling", "stream_dedup",
       "stream_interval_join", "stream_outer_interval_join",
+      "stream_session_window", "stream_running_totals",
       "catalog_stream_tail", "catalog_stream_tail_cow", "lake_tail_changes")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

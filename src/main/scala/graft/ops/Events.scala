@@ -201,11 +201,11 @@ object Events {
     */
   private def runStream(
       s: org.apache.spark.sql.SparkSession, name: String,
-      frame: DataFrame): Unit = {
+      frame: DataFrame, mode: String = "append"): Unit = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = frame.writeStream.outputMode("append").format("memory")
+      val q = frame.writeStream.outputMode(mode).format("memory")
         .queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -407,6 +407,82 @@ object Events {
          AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 3600000
         WHERE a.event_type = 'click' AND b.event_id IS NULL
         ORDER BY a.user_id, click_id""")),
+
+    // ---- STREAMING gap sessionization (session_window, append mode) ---
+    // The continuous form of ev_sessionize via the built-in
+    // session_window state machine (graft.streaming.Streaming
+    // .sessionCounts): per-event [ts, ts+gap) windows merge while they
+    // OVERLAP, and append mode emits a session only once the watermark
+    // passes its end — the production contract (a session is final when
+    // emitted). On a bounded replay the watermark stalls at
+    // max(ts) − delay, so the query rides the _oij staging whose
+    // far-future sentinel (user_id < 0, filtered back out) pushes the
+    // watermark past every real session's end. Oracle note: windows
+    // merge on STRICT overlap, so two events exactly `gap` apart start
+    // separate sessions — the islands SQL breaks on `diff >= gap`
+    // (ev_sessionize's lag/sum form breaks on `diff > gap`; the two
+    // agree except at the exact-gap boundary).
+    GQuery("stream_session_window",
+      (s, d) => {
+        val srcDir = stageOij(s, d)
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val stream = eventStream(s, raw, srcDir, recursive = true)
+        val name = s"stream_sess_${System.nanoTime()}"
+        runStream(s, name, graft.streaming.Streaming
+          .sessionCounts(stream, "30 minutes"))
+        s.table(name).filter(col("user_id") >= 0)
+          .orderBy("user_id", "start_ms")
+      },
+      Some(s"""WITH g AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS tms,
+            CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= $GapMs
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        sess AS (
+          SELECT user_id, tms,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+          FROM g)
+        SELECT user_id, min(tms) AS start_ms, max(tms) + $GapMs AS end_ms,
+          count(*) AS n_events
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, start_ms""")),
+
+    // ---- custom-state streaming op (flatMapGroupsWithState) -----------
+    // Per-user running totals through the arbitrary-state escape hatch
+    // (graft.streaming.Streaming.runningCents), replayed one file per
+    // micro-batch so state genuinely accumulates ACROSS batches. Update
+    // mode emits one row per (user, batch-with-data); the final total
+    // per user is the update with the highest event count (counts are
+    // strictly increasing per key). Values pre-scaled to integer cents
+    // so the accumulated sum is exact under any batch split — the
+    // oracle is then a plain batch aggregate.
+    GQuery("stream_running_totals",
+      (s, d) => {
+        val srcDir = stagePlain(d)
+        val raw = s.read.parquet(s"$d/events.parquet")
+        import s.implicits._
+        val stream = s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+        val src = T.normalizeEventTs(stream)
+          .select(col("user_id"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+          .as[graft.streaming.Streaming.UserCents]
+        val name = s"stream_rt_${System.nanoTime()}"
+        runStream(s, name, graft.streaming.Streaming.runningCents(src).toDF(),
+          mode = "update")
+        val latest = Window.partitionBy(col("user_id"))
+          .orderBy(col("n_events").desc)
+        s.table(name)
+          .withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
+          .select("user_id", "n_events", "total_cents")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM events GROUP BY 1 ORDER BY user_id""")),
 
     // ---- sliding event-time window (1h width, 30m slide) --------------
     GQuery("ev_sliding_window",

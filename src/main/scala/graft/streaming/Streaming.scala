@@ -100,6 +100,32 @@ object Streaming {
 
   final case class UserEvent(user_id: Long, value: Double)
 
+  /** Exact-integer form of [[runningTotals]] for cross-engine checks:
+    * values arrive pre-scaled to integer cents, so the accumulated total
+    * is identical under ANY micro-batch split (long addition is
+    * associative; the double form can drift a ulp when the batch
+    * boundaries change). Same state machine otherwise — one small record
+    * per user, flatMapGroupsWithState in Update mode.
+    */
+  final case class UserCents(user_id: Long, cents: Long)
+  final case class UserCentsTotal(user_id: Long, n_events: Long, total_cents: Long)
+
+  def runningCents(events: Dataset[UserCents]): Dataset[UserCentsTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserCentsTotal, UserCentsTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserCents], state: GroupState[UserCentsTotal]) =>
+          val prev = state.getOption.getOrElse(UserCentsTotal(uid, 0L, 0L))
+          var n = prev.n_events; var t = prev.total_cents
+          batch.foreach { e => n += 1; t += e.cents }
+          val next = UserCentsTotal(uid, n, t)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
   /** Streaming exact dedup (the continuous form of `doc_exact_dedup`,
     * and the ingestion-side guard a training-data pipeline runs before
     * anything else): `dropDuplicatesWithinWatermark` keeps one row per

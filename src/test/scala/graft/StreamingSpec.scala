@@ -147,6 +147,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(3L) == UserTotal(3L, 1, 1.0))
   }
 
+  test("runningCents accumulates exact integer totals across batches") {
+    import spark.implicits._
+    import graft.streaming.Streaming.{UserCents, UserCentsTotal}
+    val src = tmp("cents-src")
+    Seq(UserCents(1L, 1000), UserCents(2L, 500)).toDS()
+      .write.parquet(s"$src/b1")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[UserCents]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*").as[UserCents]
+    val q = graft.streaming.Streaming.runningCents(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cents_totals")
+      .start()
+    try {
+      q.processAllAvailable()
+      Seq(UserCents(1L, 250), UserCents(3L, 100)).toDS()
+        .write.parquet(s"$src/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("cents_totals").as[UserCentsTotal].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    assert(last(1L) == UserCentsTotal(1L, 2, 1250))
+    assert(last(2L) == UserCentsTotal(2L, 1, 500))
+    assert(last(3L) == UserCentsTotal(3L, 1, 100))
+  }
+
   test("watermark: late events beyond the delay are dropped, windows emit once") {
     import spark.implicits._
     val src = tmp("wm-src")
