@@ -148,6 +148,48 @@ object Temporal {
       .drop("_pb", "_ib")
   }
 
+  /** Regular-grid resample with gap fill + forward fill — the missing-
+    * bucket repair every time-series feature pipeline runs before
+    * training (a model fed per-hour activity must see the silent hours
+    * as rows, not absences). Buckets `timeMs` to `stepMs`-wide bins,
+    * aggregates count+sum per (entity, bin), then materializes each
+    * entity's FULL bin range (`sequence(min, max, step)` exploded) and
+    * left-joins the observations back: gap bins get count 0 and carry
+    * the last observed value forward (`last(..., ignoreNulls)` over an
+    * entity-ordered running frame).
+    *
+    * Plan shape at 100 TB: the raw scan collapses to bin granularity in
+    * ONE map-side-combined aggregate before anything else — everything
+    * downstream is bin-scale, not event-scale. The grid explode is
+    * bounded per entity by span/step (observation span over resolution,
+    * NOT event count), the grid↔obs join is an equi-join on
+    * (entity, bin), and the fill window is one entity-keyed shuffle of
+    * bin-scale rows. Nothing quadratic, nothing event-scale past the
+    * first aggregate.
+    */
+  def resampleFill(
+      events: DataFrame, entityCol: String, timeMsCol: String,
+      valueCol: String, stepMs: Long): DataFrame = {
+    require(stepMs > 0, s"stepMs must be positive, got $stepMs")
+    val obs = events
+      .select(col(entityCol),
+        (expr(s"$timeMsCol div $stepMs") * stepMs).as("bin_ms"),
+        col(valueCol).as("_v"))
+      .groupBy(col(entityCol), col("bin_ms"))
+      .agg(count(lit(1)).as("_n"), round(sum(col("_v")), 2).as("_sv"))
+    val grid = obs.groupBy(col(entityCol))
+      .agg(min(col("bin_ms")).as("_lo"), max(col("bin_ms")).as("_hi"))
+      .select(col(entityCol),
+        explode(sequence(col("_lo"), col("_hi"), lit(stepMs))).as("bin_ms"))
+    val fill = Window.partitionBy(col(entityCol)).orderBy(col("bin_ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(entityCol, "bin_ms"), "left_outer")
+      .select(col(entityCol), col("bin_ms"),
+        coalesce(col("_n"), lit(0L)).as("n_events"),
+        last(col("_sv"), ignoreNulls = true).over(fill).as("filled_value"),
+        when(col("_n").isNull, 1).otherwise(0).as("is_gap"))
+  }
+
   /** Ordered funnel analysis (view → click → purchase …): per entity,
     * the earliest strictly-increasing completion of each step — the
     * conversion/attribution query of every product-analytics stack.
@@ -249,6 +291,37 @@ object Temporal {
         SELECT user_id, t1 AS t1_ms, t2 AS t2_ms, t3 AS t3_ms,
           CAST(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS completed
         FROM s3 ORDER BY user_id""")),
+
+    // ---- RESAMPLE: per-user hourly grid, gaps filled forward ----------
+    // hour bins with no activity become explicit rows (n_events=0,
+    // is_gap=1) carrying the last observed hour-sum forward; the first
+    // bin of every user is observed by construction (the grid starts at
+    // min(bin)), so filled_value is never null
+    GQuery("ev_resample",
+      (s, d) => resampleFill(
+        T.events(s, d).select(col("user_id"),
+          unix_millis(col("ts")).as("t_ms"), col("value")),
+        "user_id", "t_ms", "value", stepMs = 3600000L)
+        .withColumnRenamed("bin_ms", "hour_ms")
+        .orderBy("user_id", "hour_ms"),
+      Some("""WITH e AS (SELECT user_id,
+                (epoch_ms(ts) // 3600000) * 3600000 AS h, value FROM events),
+           obs AS (SELECT user_id, h, count(*) AS n, round(sum(value), 2) AS v
+                   FROM e GROUP BY 1, 2),
+           span AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+                    FROM obs GROUP BY 1),
+           grid AS (SELECT user_id,
+                      unnest(range(lo, hi + 3600000, 3600000)) AS h
+                    FROM span),
+           j AS (SELECT g.user_id, g.h, obs.n, obs.v
+                 FROM grid g LEFT JOIN obs ON g.user_id = obs.user_id
+                  AND g.h = obs.h)
+        SELECT user_id, h AS hour_ms,
+          CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+          CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+        FROM j ORDER BY user_id, hour_ms""")),
 
     // ---- RANGE: clicks (any user) inside each purchase's 5-min window -
     GQuery("ev_range_attribution",

@@ -163,6 +163,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("resampleFill: gaps become rows, forward fill carries last value") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: bins 0 and 30 observed; 10 and 20 are gaps
+      (1L, 1L, 5.0), (1L, 9L, 5.0), (1L, 35L, 1.0),
+      // user 2: single bin — no gaps, grid is one row
+      (2L, 12L, 7.0))
+      .toDF("user_id", "t_ms", "value")
+    val out = ops.Temporal.resampleFill(ev, "user_id", "t_ms", "value", stepMs = 10L)
+      .select($"user_id", $"bin_ms", $"n_events", $"filled_value", $"is_gap")
+      .as[(Long, Long, Long, Double, Int)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out((1L, 0L)) == ((2L, 10.0, 0)))   // two events summed
+    assert(out((1L, 10L)) == ((0L, 10.0, 1)))  // gap: carries 10.0 forward
+    assert(out((1L, 20L)) == ((0L, 10.0, 1)))
+    assert(out((1L, 30L)) == ((1L, 1.0, 0)))   // fresh observation replaces
+    assert(out((2L, 10L)) == ((1L, 7.0, 0)))
+    assert(out.size == 5) // grids span each user's own [min, max] only
+  }
+
   test("retention: known cohort triangle") {
     import spark.implicits._
     import java.sql.Timestamp
