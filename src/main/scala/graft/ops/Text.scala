@@ -187,6 +187,23 @@ object Text {
   private val NumPerm = 16
   private val BandSize = 4
 
+  // Portable MinHash permutation family: m_i(sh) = (a_i·h(sh) + b_i) mod p
+  // with p = 2^31−1 (Mersenne) and h(sh) = first 7 hex chars of md5(sh)
+  // (28 bits < p, so a_i·h < 2^59 never overflows a SIGNED int64 in any
+  // engine — the entire sketch is plain 64-bit integer arithmetic that
+  // DuckDB replays verbatim, which is what lets doc_minhash_pairs sit
+  // behind the driver's full hash gate instead of a rows-only check).
+  // a_i/b_i are md5-derived constants INLINED as literals into both the
+  // Spark plan and the oracle SQL — no cross-engine RNG to disagree on.
+  private val MinHashP = 2147483647L
+  private def hex7(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.take(7), 16)
+  }
+  private val PermA: IndexedSeq[Long] = (0 until NumPerm).map(i => hex7(s"a$i") + 1)
+  private val PermB: IndexedSeq[Long] = (0 until NumPerm).map(i => hex7(s"b$i"))
+
   /** clusters computed once per (JVM, fixture) and kept materialized —
     * both cluster queries reuse them, the way a real pipeline computes
     * components once and fans consumers out from the result */
@@ -591,30 +608,39 @@ object Text {
         ORDER BY doc_id""")),
 
     // ---- near-dup: MinHash + LSH banding (candidate gen + verify) -----
-    // Not ANSI-SQL-expressible (xxhash64 signatures) → rows-only check;
-    // MinHashSpec asserts it finds the same >=0.9 pairs as the exact query.
+    // Portable universal-hash signatures (see MinHashP/PermA/PermB above)
+    // make the whole candidate-generation + verify pipeline replayable in
+    // ANSI SQL → full driver hash gate. MinHashSpec additionally asserts
+    // it finds the same >=0.9 pairs as the exact-Jaccard query.
     GQuery("doc_minhash_pairs",
       (s, d) => {
         val docs = T.documents(s, d).withColumn("tk", toks)
           .select(col("doc_id"), expr(triExpr).as("tri"))
-        val sigs = docs.select(
+          .filter(size(col("tri")) > 0)
+        // ONE md5 per shingle, then NumPerm integer multiply-mods — the
+        // hash is amortized across the permutation family
+        val hashed = docs.withColumn("trih", expr(
+          "transform(tri, sh -> cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint))"))
+        val sigs = hashed.select(
           col("doc_id"),
           array((0 until NumPerm).map(i =>
-            array_min(transform(col("tri"), sh => xxhash64(lit(i), sh)))): _*)
+            array_min(transform(col("trih"), h =>
+              (lit(PermA(i)) * h + lit(PermB(i))) % lit(MinHashP)))): _*)
             .as("sig"))
-        // candidate generation exchanges (doc_id, band_id, band_hash)
+        // candidate generation exchanges (doc_id, band_id, band_key)
         // ONLY — at 100 TB the band self-join shuffles three scalar
         // columns, never the shingle payloads (those re-join ONCE below,
         // for the verify step, keyed by doc id)
         val bands = sigs.select(col("doc_id"),
           posexplode(expr(
             s"transform(sequence(0, ${NumPerm / BandSize - 1}), " +
-            s"b -> hash(slice(sig, b * $BandSize + 1, $BandSize)))")))
-          .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
+            s"b -> concat_ws(',', transform(slice(sig, b * $BandSize + 1, $BandSize), " +
+            s"x -> cast(x as string))))")))
+          .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
         val a = bands.as("a"); val b = bands.as("b")
         val cand = a.join(b,
             col("a.band_id") === col("b.band_id") &&
-            col("a.band_hash") === col("b.band_hash") &&
+            col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
@@ -628,7 +654,28 @@ object Text {
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some {
+        val perms = (0 until NumPerm)
+          .map(i => s"(${i}, ${PermA(i)}, ${PermB(i)})").mkString(", ")
+        s"""WITH $jaccardCtes,
+        perms(i, a, b) AS (VALUES $perms),
+        trih AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 7)) AS BIGINT) AS h
+                 FROM tri),
+        mh AS (SELECT doc_id, p.i, min((p.a * h + p.b) % $MinHashP) AS m
+               FROM trih CROSS JOIN perms p GROUP BY doc_id, p.i),
+        bands AS (SELECT doc_id, i // $BandSize AS band_id,
+                         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bk
+                  FROM mh GROUP BY doc_id, i // $BandSize),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bands x JOIN bands y
+                   ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               round(p0.inter * 1.0 / (sa.n + sb.n - p0.inter), 4) AS jaccard
+        FROM cand c JOIN p0 ON p0.doc_a = c.doc_a AND p0.doc_b = c.doc_b
+        JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b
+        WHERE round(p0.inter * 1.0 / (sa.n + sb.n - p0.inter), 4) >= 0.5
+        ORDER BY 1, 2"""
+      }),
 
     // ---- fingerprint: winnowing over a rolling k-gram hash ------------
     // The classic rolling-hash document fingerprint (winnowing): hash
@@ -648,22 +695,38 @@ object Text {
       None),
 
     // ---- fingerprint: SimHash over token hashes -----------------------
-    // 64-bit SimHash: per-token xxhash64, bit-vote per position. Rows-only
-    // (no portable cross-engine 64-bit hash); SimHashSpec checks stability
-    // and that the planted near-dup pairs land within small Hamming radius.
+    // 60-bit SimHash: per-token portable hash (first 15 hex chars of md5
+    // = 60 bits, chosen so the value fits a SIGNED int64 in every
+    // engine), bit-vote per position. The md5-derived hash (vs the
+    // earlier xxhash64) makes the whole sketch replayable in ANSI SQL, so
+    // this graduates from rows-only to the driver's full hash gate; the
+    // per-token md5 costs ~2x xxhash64 but the sketch is bulk-computed
+    // once per corpus, never in a hot join. Locality pinned by OpsSpec
+    // ("near-dup pairs are closer in Hamming space than random").
     GQuery("doc_simhash",
       (s, d) => T.documents(s, d)
         .withColumn("tk", toks)
-        .withColumn("th", expr("transform(array_distinct(tk), t -> xxhash64(t))"))
+        .withColumn("th", expr(
+          "transform(array_distinct(tk), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
         .withColumn("simhash", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          """aggregate(sequence(0, 59), 0L, (acc, b) ->
                acc + if(
                  aggregate(th, 0L, (s, h) ->
                    s + if((shiftright(h, b) & 1L) = 1L, 1L, -1L)) > 0L,
                  shiftleft(1L, b), 0L))"""))
         .select(col("doc_id"), col("simhash"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH tokform AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+               FROM (SELECT doc_id, unnest(list_distinct(ts)) AS t FROM tokform)),
+        bits AS (SELECT th.doc_id, b.b,
+            CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                 THEN (CAST(1 AS BIGINT) << b.b) ELSE CAST(0 AS BIGINT) END AS bit
+          FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+          GROUP BY th.doc_id, b.b)
+        SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- TF-IDF top terms per document --------------------------------
     // rank by the RATIONAL salience tf/df (IEEE division is exactly

@@ -406,8 +406,8 @@ class OpsSpec extends AnyFunSuite {
       // MinHash banding: exchanges that carry band hashes must not carry
       // shingle arrays (those re-join ONCE, keyed by doc id)
       val mh = shuffledCols(run("doc_minhash_pairs"))
-      assert(mh.exists(_.contains("band_hash")), "expected a band-join shuffle")
-      mh.filter(_.contains("band_hash")).foreach(cols =>
+      assert(mh.exists(_.contains("band_key")), "expected a band-join shuffle")
+      mh.filter(_.contains("band_key")).foreach(cols =>
         assert(!cols.exists(_.startsWith("tri")),
           s"band shuffle carries shingle payload: $cols"))
       // embedding LSH: exchanges that carry bucket ids must not carry
