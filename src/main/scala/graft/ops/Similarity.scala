@@ -26,6 +26,14 @@ object Similarity {
   private val NumQueries = 5
   private val TopK = 10
 
+  /** vec_id offset for planted twins: twins take NEGATIVE ids
+    * (original - TwinBase), which can never collide with fixture ids
+    * (always >= 0) at ANY scale factor — an additive positive offset
+    * would silently collide once the corpus outgrew it. Declared BEFORE
+    * `queries`: the oracle SQL strings interpolate it at object init,
+    * and a later declaration would read as 0 there. */
+  private[graft] val TwinBase = 100000L
+
   /** Single-pass codegen'd cosine (graft.functions.CosineSimilarity) —
     * widens float elements to double per element, so results are
     * bit-identical to the HOF `aggregate(zip_with(...))` formulation it
@@ -35,15 +43,90 @@ object Similarity {
     graft.functions.CosineSimilarity.cosineSim(col(a), col(b))
 
   /** Deterministic ±1 hyperplane weights (LCG on (plane, dim) index) —
-    * no RNG state, reproducible across runs and engines.
+    * no RNG state, reproducible across runs and engines. Emitted as
+    * INTEGER ±1 because the sign test runs in exact integer arithmetic
+    * (see [[bucketExpr]]) so bucket assignment is order-of-summation
+    * independent — the property that lets the DuckDB oracle replay the
+    * bucketing bit-for-bit (float summation order differs across
+    * engines and could flip a borderline sign).
     */
-  private def planeWeights(nPlanes: Int): Seq[Seq[Double]] =
+  private def planeWeights(nPlanes: Int): Seq[Seq[Long]] =
     (0 until nPlanes).map { p =>
       (0 until Dim).map { i =>
         val x = (p * Dim + i) * 6364136223846793005L + 1442695040888963407L
-        if (((x >>> 33) & 1L) == 1L) 1.0 else -1.0
+        if (((x >>> 33) & 1L) == 1L) 1L else -1L
       }
     }
+
+  /** `planes(p, i, w)` VALUES literal for the oracle SQL — the same ±1
+    * weights the Spark plan inlines, 1-based dim index to match DuckDB's
+    * generate_subscripts. */
+  private def planesValues(nPlanes: Int): String =
+    planeWeights(nPlanes).zipWithIndex.flatMap { case (ws, p) =>
+      ws.zipWithIndex.map { case (w, i) => s"($p,${i + 1},$w)" }
+    }.mkString(", ")
+
+  /** DuckDB replay of the hyperplane-LSH ANN top-k (emb_ann_lsh AND
+    * emb_ann_partitioned — the partition-pruned index is candidate-set
+    * identical by construction, AnnSpec pins the equality): buckets from
+    * the same inlined ±1 planes over micro-scaled integer components
+    * (exact, order-independent — see [[bucketExpr]]), then cosine verify
+    * + rank inside the candidate buckets. */
+  private def annLshOracleSql: String =
+    s"""WITH planes(p, i, w) AS (VALUES ${planesValues(6)}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT vec_id, unnest(v) AS xv, generate_subscripts(v, 1) AS i FROM e),
+    xi AS (SELECT vec_id, i, CAST(round(xv * 1000000) AS BIGINT) AS sx FROM x),
+    dt AS (SELECT xi.vec_id, pl.p, sum(xi.sx * pl.w) AS dp
+           FROM xi JOIN planes pl ON pl.i = xi.i GROUP BY 1, 2),
+    bk AS (SELECT vec_id,
+             CAST(sum(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+           FROM dt GROUP BY 1),
+    nrm AS (SELECT vec_id, sqrt(sum(xv * xv)) AS nv FROM x GROUP BY 1),
+    qb AS (SELECT vec_id AS qid, bucket AS qbucket FROM bk WHERE vec_id < $NumQueries),
+    cand AS (SELECT qb.qid, b.vec_id FROM bk b
+             JOIN qb ON b.bucket = qb.qbucket AND b.vec_id <> qb.qid),
+    dots AS (SELECT c.qid, c.vec_id, sum(xa.xv * xb.xv) AS dd
+             FROM cand c JOIN x xa ON xa.vec_id = c.qid
+             JOIN x xb ON xb.vec_id = c.vec_id AND xb.i = xa.i
+             GROUP BY 1, 2),
+    scored AS (SELECT d.qid, d.vec_id, round(d.dd / (na.nv * nb.nv), 4) AS sim
+               FROM dots d JOIN nrm na ON na.vec_id = d.qid
+               JOIN nrm nb ON nb.vec_id = d.vec_id),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM scored)
+    SELECT qid, vec_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
+
+  /** DuckDB replay of the multi-table LSH near-dup pairs over the
+    * PLANTED corpus (fixture + 10 deterministic float-perturbed twins at
+    * TwinBase-negative ids, same formula as [[plantedCorpus]]). */
+  private def lshNearDupOracleSql: String =
+    s"""WITH planes(p, i, w) AS (VALUES ${planesValues(24)}),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bx AS (SELECT vec_id, unnest(v) AS xv, generate_subscripts(v, 1) AS i FROM base),
+    x AS (SELECT vec_id, i, xv FROM bx
+          UNION ALL
+          SELECT vec_id - $TwinBase, i,
+                 CAST(CAST(xv + 0.001 * ((i - 1) % 3) AS FLOAT) AS DOUBLE)
+          FROM bx WHERE vec_id < 10),
+    xi AS (SELECT vec_id, i, CAST(round(xv * 1000000) AS BIGINT) AS sx FROM x),
+    dt AS (SELECT xi.vec_id, pl.p, sum(xi.sx * pl.w) AS dp
+           FROM xi JOIN planes pl ON pl.i = xi.i GROUP BY 1, 2),
+    bk AS (SELECT vec_id, p // 6 AS tbl,
+             CAST(sum(CASE WHEN dp > 0 THEN (1 << (p % 6)) ELSE 0 END) AS INT) AS bucket
+           FROM dt GROUP BY vec_id, p // 6),
+    cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+             FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id),
+    nrm AS (SELECT vec_id, sqrt(sum(xv * xv)) AS nv FROM x GROUP BY 1),
+    dots AS (SELECT c.va, c.vb, sum(xa.xv * xb.xv) AS dd
+             FROM cand c JOIN x xa ON xa.vec_id = c.va
+             JOIN x xb ON xb.vec_id = c.vb AND xb.i = xa.i
+             GROUP BY 1, 2),
+    s AS (SELECT d.va, d.vb, round(d.dd / (na.nv * nb.nv), 4) AS sim
+          FROM dots d JOIN nrm na ON na.vec_id = d.va
+          JOIN nrm nb ON nb.vec_id = d.vb)
+    SELECT va, vb, sim FROM s WHERE sim >= 0.5 ORDER BY va, vb"""
 
   private def corpus(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
@@ -183,7 +266,7 @@ object Similarity {
     // nothing. With them it returns ≥10 verified pairs at every SF.
     GQuery("emb_neardup_lsh",
       (s, d) => lshNearDupPairs(plantedCorpus(corpus(s, d)), 0.5),
-      None),
+      Some(lshNearDupOracleSql)),
 
     // ---- LSH-bucketed ANN (scale path; rows-only, AnnSpec checks recall)
     GQuery("emb_ann_lsh",
@@ -198,7 +281,7 @@ object Similarity {
           .withColumn("sim", round(cosine("v", "qv"), 4))
         rankTopK(scored)
       },
-      None),
+      Some(annLshOracleSql)),
 
     // ---- IVF ANN (k-means coarse quantizer; rows-only, spec-pinned) ---
     // the data-ADAPTIVE bucketing counterpart to the hyperplane LSH
@@ -256,7 +339,7 @@ object Similarity {
           .withColumn("sim", round(cosine("v", "qv"), 4))
         rankTopK(scored)
       },
-      None)
+      Some(annLshOracleSql))
   )
 
   // IVF parameters: K cells, nprobe probed per query
@@ -368,11 +451,6 @@ object Similarity {
     ivfCentroids(s, d); ()
   }
 
-  /** vec_id offset for planted twins: twins take NEGATIVE ids
-    * (original - TwinBase), which can never collide with fixture ids
-    * (always >= 0) at ANY scale factor — an additive positive offset
-    * would silently collide once the corpus outgrew it */
-  private[graft] val TwinBase = 100000L
 
   /** Add slightly-perturbed twins (cosine ≈ 0.9999) of the first 10
     * vectors, ids offset to [[TwinBase]]-negative — deterministic, same
@@ -418,7 +496,8 @@ object Similarity {
         s"""transform(sequence(0, ${L - 1}), t ->
               aggregate(sequence(0, ${k - 1}), 0, (acc, p) ->
                 acc + if(aggregate(zip_with(v, pl[t * $k + p],
-                           (x, w) -> x * w), 0D, (s, x) -> s + x) > 0D,
+                           (x, w) -> cast(round(cast(x as double) * 1000000d) as bigint) * w),
+                         0L, (s, x) -> s + x) > 0L,
                        shiftleft(1, p), 0)))""")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val a = buckets.as("a"); val b = buckets.as("b")
@@ -437,11 +516,19 @@ object Similarity {
       .orderBy("va", "vb")
   }
 
-  /** LSH bucket id: sign bit per hyperplane, packed into an int. */
+  /** LSH bucket id: sign bit per hyperplane, packed into an int.
+    * The dot-product sign is computed over micro-scaled INTEGER
+    * components — cast(round(x·10⁶) as bigint)·w — so the sum is exact
+    * and independent of summation order: the same bucket falls out of
+    * any engine, which is what puts the LSH family behind the driver's
+    * full hash gate. (Scaling: |x|≤~4 ⇒ |sx|≤4·10⁶, Dim=64 terms ⇒
+    * |sum|≤2.6·10⁸ — nowhere near int64 range.)
+    */
   private def bucketExpr(vcol: String, nPlanes: Int): Column = expr(
     s"""aggregate(sequence(0, ${nPlanes - 1}), 0, (acc, p) ->
-          acc + if(aggregate(zip_with($vcol, pl[p], (x, w) -> x * w),
-                   0D, (s, x) -> s + x) > 0D,
+          acc + if(aggregate(zip_with($vcol, pl[p],
+                     (x, w) -> cast(round(cast(x as double) * 1000000d) as bigint) * w),
+                   0L, (s, x) -> s + x) > 0L,
                  shiftleft(1, p), 0))""")
 
   private def queryBuckets(s: SparkSession, d: String, nPlanes: Int) = {
