@@ -7,11 +7,14 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Winnowing fingerprints of a token array in ONE native pass: FNV-1a
-  * 64-bit hash per token, a k-gram hash folded over the k token hashes
-  * (O(n·k), constant k — FNV is not a rollable hash), then
-  * sliding-window-of-w minima via a monotonic deque (O(n)),
-  * deduplicated in first-seen order.
+/** Winnowing fingerprints of a token array in ONE native pass: a
+  * PORTABLE 60-bit k-gram hash (first 15 hex chars of the md5 of the
+  * 0x01-joined gram tokens — the same construction an ANSI-SQL engine
+  * can replay, see the doc_winnow_fp oracle), then sliding-window-of-w
+  * minima via a monotonic deque (O(n)), deduplicated in first-seen
+  * order. The fingerprint SET is tie-break-independent (a window's min
+  * VALUE is unique even when two positions tie), which is what makes
+  * the output oracle-checkable.
   *
   * Why not higher-order functions: the HOF formulation
   * (`transform(sequence(...), i -> array_min(slice(...)))` nested twice)
@@ -38,32 +41,35 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
       s"winnow_fp expects array<string>, got ${t.sql}")
   }
 
-  private def fnv(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
-    h
-  }
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Long])
-    val th = new Array[Long](n)
+    val tb = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
       val t = arr.getUTF8String(i)
-      th(i) = if (t == null) 0L else fnv(t.getBytes)
+      tb(i) = if (t == null) Array.emptyByteArray else t.getBytes
       i += 1
     }
+    val md = WinnowFingerprint.digest.get()
     val m = n - k + 1
     val gh = new Array[Long](m)
     i = 0
     while (i < m) {
-      var h = 0xcbf29ce484222325L
+      md.reset()
       var j = 0
-      while (j < k) { h = (h ^ th(i + j)) * 0x100000001b3L; j += 1 }
-      gh(i) = h
+      while (j < k) {
+        if (j > 0) md.update(1.toByte)
+        md.update(tb(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      // first 15 hex chars = bytes 0..6 (56 bits) + high nibble of byte 7
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      gh(i) = (h << 4) | ((d(7) >> 4) & 0xfL)
       i += 1
     }
     val res = new java.util.LinkedHashSet[java.lang.Long]()
@@ -96,6 +102,13 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 
 object WinnowFingerprint {
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** MessageDigest is stateful and not thread-safe — one per executor
+    * thread, reset per gram. */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
   /** Column-API entry point (same bridge pattern as CosineSimilarity). */
   def winnowFp(tokens: Column, k: Int, w: Int): Column =

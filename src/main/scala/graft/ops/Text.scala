@@ -677,22 +677,42 @@ object Text {
         ORDER BY 1, 2"""
       }),
 
-    // ---- fingerprint: winnowing over a rolling k-gram hash ------------
-    // The classic rolling-hash document fingerprint (winnowing): hash
-    // every token 3-gram, then keep the MINIMUM of each sliding window
-    // of 4 gram-hashes — any shared run of >= w+k-1 tokens between two
+    // ---- fingerprint: winnowing over a k-gram hash --------------------
+    // The classic document fingerprint (winnowing): hash every token
+    // 3-gram, then keep the MINIMUM of each sliding window of 4
+    // gram-hashes — any shared run of >= w+k-1 tokens between two
     // documents is guaranteed to share a fingerprint (position-based,
     // unlike MinHash's set sketch). Runs as a native single-pass
     // Expression (graft.functions.WinnowFingerprint) — the nested-HOF
-    // form was measured 200x slower at sf0.1. Rows-only (no portable
-    // cross-engine hash); overlap behavior pinned by OpsSpec.
+    // form was measured 200x slower at sf0.1. The gram hash is the
+    // portable 60-bit md5 prefix and the output is the SET of window
+    // minima (tie-break independent), so the whole query replays in
+    // DuckDB → full hash gate; overlap behavior pinned by OpsSpec.
     GQuery("doc_winnow_fp",
       (s, d) => T.documents(s, d).withColumn("tk", toks)
         .select(col("doc_id"),
           explode(graft.functions.WinnowFingerprint.winnowFp(col("tk"), 3, 4))
             .as("fingerprint"))
         .orderBy("doc_id", "fingerprint"),
-      None),
+      Some("""WITH tokform AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM tokform),
+        gh AS (SELECT a.doc_id, a.i,
+                 CAST(('0x' || substr(md5(a.t || chr(1) || b.t || chr(1) || c.t), 1, 15))
+                   AS BIGINT) AS g
+               FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                          JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        mc AS (SELECT doc_id, count(*) AS m FROM gh GROUP BY 1),
+        short AS (SELECT doc_id, min(g) AS fingerprint FROM gh
+                  GROUP BY doc_id HAVING count(*) < 4),
+        wins AS (SELECT gh.doc_id, gh.i, mc.m,
+                   min(g) OVER (PARTITION BY gh.doc_id ORDER BY gh.i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                 FROM gh JOIN mc ON mc.doc_id = gh.doc_id),
+        fw AS (SELECT DISTINCT doc_id, wmin AS fingerprint FROM wins WHERE i <= m - 3)
+        SELECT doc_id, fingerprint FROM short
+        UNION ALL SELECT doc_id, fingerprint FROM fw
+        ORDER BY doc_id, fingerprint""")),
 
     // ---- fingerprint: SimHash over token hashes -----------------------
     // 60-bit SimHash: per-token portable hash (first 15 hex chars of md5
