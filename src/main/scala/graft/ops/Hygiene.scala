@@ -92,7 +92,82 @@ object Hygiene {
              FROM tk, unnest(generate_series(1, len(t) - 7)) s(i)
              WHERE len(t) >= 8)"""
 
+  /** Unigram-LM-flavored rarity score: each token contributes
+    * floor(10⁹ / ctf) where ctf is its corpus collection frequency, and
+    * the document score is the floor-mean of its tokens' contributions.
+    * High = rare/unusual vocabulary, low = stock phrasing — the exact-
+    * integer stand-in for "unigram negative log likelihood" that every
+    * quality-filtering recipe ranks on (KenLM-style scoring without a
+    * float surface: integer division has ONE rule everywhere, so the
+    * score is engine-exact and oracle-checkable, where avg(-ln p) would
+    * ride libm's last ulp).
+    *
+    * Scale: the token→ctf map is vocabulary-scale (map-side combined
+    * agg), the re-join is an equi-join on the token — the same inverted
+    * shape as TF-IDF/BM25; the corpus never cross-joins.
+    */
+  def rarityScore(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .withColumn("_tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .filter(size(col("_tk")) >= 1)
+      .select(col("doc_id"), explode(col("_tk")).as("t"))
+    val ctf = tok.groupBy("t").agg(count(lit(1)).as("ctf"))
+    tok.join(ctf, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        // `div` = exact integer division (one rule in every engine —
+        // the double-division route could round up across a floor
+        // boundary once ctf outgrows the double gap argument)
+        floor(sum(expr("1000000000L div ctf")) / count(lit(1)))
+          .as("rarity_x1e9"))
+  }
+
+  /** Trigram novelty: the floor-scaled share of a document's DISTINCT
+    * trigrams that occur in no other document — the dual of the
+    * boilerplate signal (doc_boilerplate_strip): high novelty = unique
+    * content worth keeping, near-zero = the document is assembled from
+    * corpus-common phrasing. Same inverted-index shape as contamination:
+    * gram df is a vocabulary-scale agg, never a pairwise comparison.
+    */
+  def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docGrams(docs, n)
+    val df_ = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(df_, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        floor(sum(when(col("df") === 1, 1L).otherwise(0L)) * lit(10000L)
+          / count(lit(1))).as("novelty_x10k"))
+  }
+
   val queries: Seq[GQuery] = Seq(
+
+    GQuery("doc_rarity_score",
+      (s, d) => rarityScore(T.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+              FROM documents),
+           ctf AS (SELECT t, count(*) AS ctf FROM tk GROUP BY 1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(floor(sum(1000000000 // ctf) / count(*)) AS BIGINT) AS rarity_x1e9
+        FROM tk JOIN ctf USING (t)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    GQuery("doc_novelty",
+      (s, d) => novelty(T.documents(s, d), n = 3).orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+           g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+             FROM tk, unnest(generate_series(1, len(t) - 2)) s(i)
+             WHERE len(t) >= 3),
+           d AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+          CAST(floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT)
+            AS novelty_x10k
+        FROM g JOIN d USING (gram)
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     GQuery("doc_contamination",
       (s, d) => contamination(train(s, d), bench(s, d), n = 8)

@@ -117,6 +117,25 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < cut)
   }
 
+  /** Deterministic corpus shuffle for training order: a content-
+    * addressed sort key (md5 of seed-salted id) plus a 256-way shuffle
+    * bucket (first key byte) for file grouping. The GLOBAL ordering is
+    * the sort on `shuffle_key` — at 100 TB that is Spark's range-
+    * partitioned total sort (sample → range exchange → per-partition
+    * sort), and the data loader replays epoch order by reading bucket
+    * files in key order. Deliberately NOT a row_number() rank: a global
+    * rank needs either a single-partition window (driver-shaped
+    * bottleneck) or a two-pass offset join — the key IS the rank for
+    * every downstream purpose (repartition-invariant, stable under
+    * corpus growth, and a different `seed` reshuffles every epoch).
+    */
+  def shuffle(df: DataFrame, idCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat(col(idCol).cast("string"), lit(s":$seed"))))
+      .withColumn("shuffle_bucket",
+        conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("int"))
+      .orderBy("shuffle_key")
+
   // ---- fixture queries ------------------------------------------------
 
   /** oracle-side rendering of [[hashBucket]] (same md5/substr formula) */
@@ -124,6 +143,14 @@ object Sampling {
     s"('0x' || substr(md5($id::VARCHAR || ':$salt'), 1, 8))::BIGINT % $Buckets"
 
   val queries: Seq[GQuery] = Seq(
+
+    GQuery("doc_shuffle",
+      (s, d) => shuffle(T.documents(s, d).select(col("doc_id")), "doc_id", "ep1"),
+      Some("""SELECT doc_id,
+          md5(doc_id::VARCHAR || ':ep1') AS shuffle_key,
+          CAST(('0x' || substr(md5(doc_id::VARCHAR || ':ep1'), 1, 2)) AS INT)
+            AS shuffle_bucket
+        FROM documents ORDER BY shuffle_key""")),
 
     GQuery("doc_split_assign",
       (s, d) => assignSplit(

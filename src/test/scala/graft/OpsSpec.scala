@@ -95,6 +95,33 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Set((1L, 4L, 4L), (2L, 4L, 1L)))
   }
 
+  test("rarity: unique vocabulary outranks stock phrasing; exact integer score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the"),      // ctf(the)=5 corpus-wide ⇒ 200000000 each
+      (2L, "zebra quark axolotl"),  // unique tokens ⇒ each 1000000000
+      (3L, "the zebra2")            // mixed: (200000000 + 1000000000)/2
+    ).toDF("doc_id", "text")
+    val got = ops.Hygiene.rarityScore(docs)
+      .select($"doc_id", $"rarity_x1e9").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 200000000L)
+    assert(got(2L) == 1000000000L)
+    assert(got(3L) == 600000000L)
+  }
+
+  test("novelty: shared trigrams zero out, unique content scores full") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // all trigrams unique to doc 1
+      (2L, "one two three four"),       // duplicated below ⇒ df=2 ⇒ 0
+      (3L, "one two three four")
+    ).toDF("doc_id", "text")
+    val got = ops.Hygiene.novelty(docs, n = 3)
+      .select($"doc_id", $"novelty_x10k").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 10000L)
+    assert(got(2L) == 0L && got(3L) == 0L)
+  }
+
   test("minhash LSH pairs are a subset of exact-Jaccard pairs, high recall") {
     val exact = ops.Text.exactJaccard(spark, sf, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -95,4 +95,23 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.assignSplit(ids(10), "id", Seq(("a", 0.5), ("b", 0.2)))
     }
   }
+
+  test("shuffle: content-addressed permutation, seed-sensitive, partition-invariant") {
+    import spark.implicits._
+    def order(p: Int, seed: String) =
+      Sampling.shuffle(ids(500).repartition(p), "id", seed)
+        .select($"id").as[Long].collect().toSeq
+    // a permutation: every row present exactly once, buckets in [0,255]
+    val s1 = order(7, "ep1")
+    assert(s1.sorted == (1L to 500L))
+    val buckets = Sampling.shuffle(ids(500), "id", "ep1")
+      .select($"shuffle_bucket").as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b <= 255))
+    // content-addressed: the epoch order is independent of partitioning
+    assert(order(3, "ep1") == s1)
+    // a different seed is a different epoch order (not the identity shift)
+    assert(order(7, "ep2") != s1)
+    // and genuinely shuffled: not the natural id order
+    assert(s1 != (1L to 500L).toSeq)
+  }
 }
