@@ -26,9 +26,9 @@ object Hygiene {
     docs
       .withColumn("_tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
       .filter(size(col("_tk")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(_tk) - ${n - 1}), i -> array_join(slice(_tk, i, $n), ' '))"))
-        .as("gram"))
+      // zip_with n-gram shape, NOT transform-with-index: see
+      // Text.ngramExpr for the 11x CollapseProject-inlining hazard
+      .select(col("doc_id"), explode(expr(Text.ngramExpr("_tk", n))).as("gram"))
       .distinct()
 
   /** Benchmark decontamination: for each training document, how many
@@ -58,9 +58,7 @@ object Hygiene {
     docs
       .withColumn("_tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
       .filter(size(col("_tk")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(_tk) - ${n - 1}), i -> array_join(slice(_tk, i, $n), ' '))"))
-        .as("gram"))
+      .select(col("doc_id"), explode(expr(Text.ngramExpr("_tk", n))).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_ngrams"), max(col("c")).as("top_count"))

@@ -159,9 +159,8 @@ object Similarity {
       val t = graft.lake.LakeTable(s, graft.lake.LakeTableConfig(
         root, keyCols = Seq("vec_id"), precombineCol = "vec_id",
         partitionCols = Seq("bucket")))
-      val planesLit = array(planeWeights(nPlanes).map(p => array(p.map(lit): _*)): _*)
-      t.bulkInsert(corpus(s, d).withColumn("pl", planesLit)
-        .withColumn("bucket", bucketExpr("v", nPlanes)).drop("pl"))
+      t.bulkInsert(corpus(s, d)
+        .withColumn("bucket", bucketExpr("v", nPlanes)))
       t
     })
 
@@ -272,9 +271,8 @@ object Similarity {
     GQuery("emb_ann_lsh",
       (s, d) => {
         val nPlanes = 6
-        val planesLit = array(planeWeights(nPlanes).map(p => array(p.map(lit): _*)): _*)
-        val bucketed = corpus(s, d).withColumn("pl", planesLit)
-          .withColumn("bucket", bucketExpr("v", nPlanes)).drop("pl")
+        val bucketed = corpus(s, d)
+          .withColumn("bucket", bucketExpr("v", nPlanes))
         val scored = bucketed
           .join(broadcast(queryBuckets(s, d, nPlanes)),
             col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
@@ -490,15 +488,8 @@ object Similarity {
     */
   private[graft] def lshNearDupPairs(
       c: DataFrame, minSim: Double, k: Int = 6, L: Int = 4): DataFrame = {
-    val planesLit = array(planeWeights(k * L).map(p => array(p.map(lit): _*)): _*)
-    val buckets = c.withColumn("pl", planesLit)
-      .select(col("vec_id"), posexplode(expr(
-        s"""transform(sequence(0, ${L - 1}), t ->
-              aggregate(sequence(0, ${k - 1}), 0, (acc, p) ->
-                acc + if(aggregate(zip_with(v, pl[t * $k + p],
-                           (x, w) -> cast(round(cast(x as double) * 1000000d) as bigint) * w),
-                         0L, (s, x) -> s + x) > 0L,
-                       shiftleft(1, p), 0)))""")))
+    val buckets = c.select(col("vec_id"),
+        posexplode(graft.functions.HyperplaneBuckets.buckets(col("v"), k, L, Dim)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val a = buckets.as("a"); val b = buckets.as("b")
     val cand = a.join(b,
@@ -516,26 +507,18 @@ object Similarity {
       .orderBy("va", "vb")
   }
 
-  /** LSH bucket id: sign bit per hyperplane, packed into an int.
-    * The dot-product sign is computed over micro-scaled INTEGER
-    * components — cast(round(x·10⁶) as bigint)·w — so the sum is exact
-    * and independent of summation order: the same bucket falls out of
-    * any engine, which is what puts the LSH family behind the driver's
-    * full hash gate. (Scaling: |x|≤~4 ⇒ |sx|≤4·10⁶, Dim=64 terms ⇒
-    * |sum|≤2.6·10⁸ — nowhere near int64 range.)
+  /** LSH bucket id: sign bit per hyperplane, packed into an int — the
+    * single-table form of [[graft.functions.HyperplaneBuckets]] (native
+    * one-pass expression; see its scaladoc for the exact-integer
+    * portability contract and why the HOF formulation lost 4x to
+    * CSE-blind lambda re-evaluation).
     */
-  private def bucketExpr(vcol: String, nPlanes: Int): Column = expr(
-    s"""aggregate(sequence(0, ${nPlanes - 1}), 0, (acc, p) ->
-          acc + if(aggregate(zip_with($vcol, pl[p],
-                     (x, w) -> cast(round(cast(x as double) * 1000000d) as bigint) * w),
-                   0L, (s, x) -> s + x) > 0L,
-                 shiftleft(1, p), 0))""")
+  private def bucketExpr(vcol: String, nPlanes: Int): Column =
+    element_at(graft.functions.HyperplaneBuckets.buckets(
+      col(vcol), nPlanes, 1, Dim), 1)
 
-  private def queryBuckets(s: SparkSession, d: String, nPlanes: Int) = {
-    val planesLit = array(planeWeights(nPlanes).map(p => array(p.map(lit): _*)): _*)
-    queriesDf(s, d).withColumn("pl", planesLit)
-      .withColumn("qbucket", bucketExpr("qv", nPlanes)).drop("pl")
-  }
+  private def queryBuckets(s: SparkSession, d: String, nPlanes: Int) =
+    queriesDf(s, d).withColumn("qbucket", bucketExpr("qv", nPlanes))
 
   /** exposed for AnnSpec recall measurement */
   private[graft] def bruteForce(s: SparkSession, d: String): DataFrame =

@@ -22,14 +22,28 @@ object Text {
   /** whitespace tokens of the lower-cased text */
   private[graft] val toks: Column = split(lower(trim(col("text"))), "\\s+")
 
-  /** distinct word-trigram shingles; documents with < 3 tokens shingle to
-    * the empty set (sequence(0, negative) would otherwise count DOWN and
-    * emit bogus null-padded shingles) */
-  private[graft] val triExpr =
-    """CASE WHEN size(tk) >= 3 THEN
-         array_distinct(transform(sequence(0, size(tk)-3),
-           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))
-       ELSE CAST(array() AS array<string>) END"""
+  /** Word n-gram array via ITERATED zip_with over offset slices — NOT
+    * `transform(sequence(...), i -> ...tk[i]...)`. The reason is an
+    * optimizer hazard, measured 11x: when the token array is itself a
+    * computed expression (split of the text), CollapseProject inlines
+    * that computation into every `tk[i]` REFERENCE INSIDE THE LAMBDA, so
+    * each of the n references per element re-tokenizes the whole
+    * document — O(tokens²) work per row. Here every `tk` reference sits
+    * OUTSIDE the lambdas (zip_with/slice arguments, evaluated once per
+    * row), so the shape is inlining-proof by construction. Documents
+    * with < n tokens yield the empty array (sequence(0, negative) would
+    * otherwise count DOWN; zip_with would null-pad).
+    */
+  private[ops] def ngramExpr(tk: String, n: Int): String = {
+    val joined = (2 to n).foldLeft(tk) { (acc, i) =>
+      s"zip_with($acc, slice($tk, $i, size($tk) - ${i - 1}), (a, b) -> concat_ws(' ', a, b))"
+    }
+    s"""CASE WHEN size($tk) >= $n THEN slice($joined, 1, size($tk) - ${n - 1})
+        ELSE CAST(array() AS array<string>) END"""
+  }
+
+  /** distinct word-trigram shingles (empty set below 3 tokens) */
+  private[graft] val triExpr = s"array_distinct(${ngramExpr("tk", 3)})"
 
   /** (doc_id, shingle) exploded inverted-index input + per-doc set size */
   private def shingledFrom(documents: DataFrame): (DataFrame, DataFrame) = {
@@ -617,15 +631,19 @@ object Text {
         val docs = T.documents(s, d).withColumn("tk", toks)
           .select(col("doc_id"), expr(triExpr).as("tri"))
           .filter(size(col("tri")) > 0)
-        // ONE md5 per shingle, then NumPerm integer multiply-mods — the
-        // hash is amortized across the permutation family
-        val hashed = docs.withColumn("trih", expr(
-          "transform(tri, sh -> cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint))"))
-        val sigs = hashed.select(
-          col("doc_id"),
+        // Signatures via explode + NumPerm min-aggregates, NOT nested
+        // array HOFs: higher-order lambdas sit outside Spark's common-
+        // subexpression elimination, so an array formulation recomputes
+        // the md5 per PERMUTATION (measured 8x slower end-to-end). Here
+        // each shingle row hashes ONCE in codegen and the 16 mins
+        // combine map-side — also the honest 100 TB shape: the shuffle
+        // carries (doc_id, 16 longs) partial aggregates, never shingles.
+        val sh_ = docs.select(col("doc_id"), explode(col("tri")).as("sh"))
+          .withColumn("h",
+            conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long"))
+        val sigs = sh_.groupBy("doc_id").agg(
           array((0 until NumPerm).map(i =>
-            array_min(transform(col("trih"), h =>
-              (lit(PermA(i)) * h + lit(PermB(i))) % lit(MinHashP)))): _*)
+            min((lit(PermA(i)) * col("h") + lit(PermB(i))) % lit(MinHashP))): _*)
             .as("sig"))
         // candidate generation exchanges (doc_id, band_id, band_key)
         // ONLY — at 100 TB the band self-join shuffles three scalar
