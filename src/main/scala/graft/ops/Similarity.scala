@@ -34,6 +34,20 @@ object Similarity {
     * and a later declaration would read as 0 there. */
   private[graft] val TwinBase = 100000L
 
+  // IVF parameters: K cells, nprobe probed per query, Lloyd rounds.
+  // Declared BEFORE `queries` for the same init-order reason as
+  // TwinBase: annIvfOracleSql interpolates them at object init.
+  private val IvfCells = 16
+  // nprobe = 10 of K=16 cells: measured on the fixture, recall@10 vs exact top-k is
+  // 0.58 at nprobe=4, 0.80 at 8, 0.94 at 10 — mid-similarity neighbors (the
+  // fixture's random-embedding top-k lives at cosine ~0.5) spread across
+  // cells, so a scan budget of |corpus|·nprobe/K buys recall directly.
+  // At production scale K grows with the corpus (√N cells is the usual
+  // rule) and nprobe/K shrinks; the OpsSpec recall floor pins this knob.
+  private val IvfProbe = 10
+  private val IvfIters = 3
+  private val IvfAlgo = s"lloyd-int-i$IvfIters-v1"
+
   /** Single-pass codegen'd cosine (graft.functions.CosineSimilarity) —
     * widens float elements to double per element, so results are
     * bit-identical to the HOF `aggregate(zip_with(...))` formulation it
@@ -96,6 +110,63 @@ object Similarity {
     r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
             ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM scored)
     SELECT qid, vec_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
+
+  /** DuckDB replay of the IVF ANN top-k: the full deterministic Lloyd
+    * quantizer unrolled as SQL — seeds (min vec_id per residue class
+    * mod K), [[IvfIters]] assignment/update rounds in the exact-integer
+    * t̂ space (see [[graft.functions.UnitScaledInts]]: round(x·10⁶),
+    * then ·10⁶ quot floor(√Σs²) — one correctly-rounded sqrt of an
+    * exactly-representable integer, otherwise pure integer arithmetic,
+    * so every engine derives identical centroids), then nprobe nearest
+    * cells per query and cosine verify + rank inside them. Truncating
+    * integer division is `//` here and Long `/` in Scala — probed
+    * identical on negatives (both C-style, sign of dividend).
+    */
+  private def annIvfOracleSql: String = {
+    val k = IvfCells
+    val iters = (1 to IvfIters).map { t =>
+      s"""d$t AS (SELECT tv.vec_id, c.cell, sum((tv.t - c.w) * (tv.t - c.w)) AS d2
+           FROM tv JOIN c${t - 1} c ON c.i = tv.i GROUP BY 1, 2),
+      a$t AS (SELECT vec_id, cell FROM d$t
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+      u$t AS (SELECT a.cell, tv.i, CAST(sum(tv.t) AS BIGINT) AS sm, count(*) AS cnt
+              FROM a$t a JOIN tv ON tv.vec_id = a.vec_id GROUP BY 1, 2),
+      c$t AS (SELECT p.cell, p.i, CAST(coalesce(u.sm // u.cnt, p.w) AS BIGINT) AS w
+              FROM c${t - 1} p LEFT JOIN u$t u ON u.cell = p.cell AND u.i = p.i)"""
+    }.mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT vec_id, unnest(v) AS xv, generate_subscripts(v, 1) AS i FROM e),
+    sq AS (SELECT vec_id, i, CAST(round(xv * 1000000) AS BIGINT) AS sx FROM x),
+    nn AS (SELECT vec_id,
+             CAST(floor(sqrt(CAST(sum(sx * sx) AS DOUBLE))) AS BIGINT) AS isq
+           FROM sq GROUP BY 1),
+    tv AS (SELECT sq.vec_id, sq.i,
+             CASE WHEN nn.isq = 0 THEN 0 ELSE (sq.sx * 1000000) // nn.isq END AS t
+           FROM sq JOIN nn ON nn.vec_id = sq.vec_id),
+    seeds AS (SELECT CAST(vec_id % $k AS INT) AS cell, min(vec_id) AS vid
+              FROM e GROUP BY 1),
+    c0 AS (SELECT s.cell, tv.i, tv.t AS w FROM seeds s JOIN tv ON tv.vec_id = s.vid),
+    $iters,
+    fd AS (SELECT tv.vec_id, c.cell, sum((tv.t - c.w) * (tv.t - c.w)) AS d2
+           FROM tv JOIN c$IvfIters c ON c.i = tv.i GROUP BY 1, 2),
+    af AS (SELECT vec_id, cell FROM fd
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+    probe AS (SELECT vec_id AS qid, cell FROM fd WHERE vec_id < $NumQueries
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= $IvfProbe),
+    cand AS (SELECT p.qid, a.vec_id FROM af a
+             JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.qid),
+    nrm AS (SELECT vec_id, sqrt(sum(xv * xv)) AS nv FROM x GROUP BY 1),
+    dots AS (SELECT c.qid, c.vec_id, sum(xa.xv * xb.xv) AS dd
+             FROM cand c JOIN x xa ON xa.vec_id = c.qid
+             JOIN x xb ON xb.vec_id = c.vec_id AND xb.i = xa.i
+             GROUP BY 1, 2),
+    scored AS (SELECT d.qid, d.vec_id, round(d.dd / (na.nv * nb.nv), 4) AS sim
+               FROM dots d JOIN nrm na ON na.vec_id = d.qid
+               JOIN nrm nb ON nb.vec_id = d.vec_id),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM scored)
+    SELECT qid, vec_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
+  }
 
   /** DuckDB replay of the multi-table LSH near-dup pairs over the
     * PLANTED corpus (fixture + 10 deterministic float-perturbed twins at
@@ -281,31 +352,31 @@ object Similarity {
       },
       Some(annLshOracleSql)),
 
-    // ---- IVF ANN (k-means coarse quantizer; rows-only, spec-pinned) ---
+    // ---- IVF ANN (Lloyd coarse quantizer; oracle-checked) -------------
     // the data-ADAPTIVE bucketing counterpart to the hyperplane LSH
     // above: corpus rows live in their nearest-centroid cell, a query
     // probes its nprobe nearest cells — scan cost |corpus|·nprobe/K.
     // At 100 TB the cells become the partition column of a LakeTable
-    // exactly as emb_ann_partitioned does for LSH buckets.
+    // exactly as emb_ann_partitioned does for LSH buckets. The quantizer
+    // clusters in the exact-integer t̂ space (UnitScaledInts), so
+    // centroids, assignment, and probe choice are all engine-exact and
+    // the whole query replays in DuckDB ([[annIvfOracleSql]]).
     GQuery("emb_ann_ivf",
       (s, d) => {
         val centers = ivfCentroids(s, d)
         val cells = assignCells(corpus(s, d), centers)
-        // nprobe nearest cells per query, chosen driver-side over the K
-        // collected centroids (metadata-scale, like the LSH probe set)
+        // nprobe nearest cells per query in the SAME exact-integer
+        // metric assignment uses, driver-side over the K collected
+        // centroids (metadata-scale, like the LSH probe set)
         val probes = queriesDf(s, d).collect().toSeq.flatMap { r =>
           val qid = r.getLong(0)
-          val qv = r.getSeq[Float](1)
-          val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
-          // rank cells by the SAME metric k-means assigns with —
-          // euclidean distance of the normalized query to the centroid,
-          // i.e. argmin ‖c‖² − 2·q̂·c (centroid norms vary, so a raw dot
-          // product would rank cells differently than assignment does)
-          val near = centers.zipWithIndex.map { case (c, i) =>
-            val dot = c.zip(qv).map { case (ci, xi) => ci * (xi / n) }.sum
-            i -> (c.map(x => x * x).sum - 2.0 * dot)
-          }.sortBy(_._2).take(IvfProbe).map(_._1)
-          near.map(cell => (qid, cell))
+          val t = graft.functions.UnitScaledInts.scaleFloats(r.getSeq[Float](1))
+          centers.zipWithIndex.map { case (c, i) =>
+            var d2 = 0L; var j = 0
+            val lim = math.min(t.length, c.length)
+            while (j < lim) { val df = t(j) - c(j); d2 += df * df; j += 1 }
+            (i, d2)
+          }.sortBy(p => (p._2, p._1)).take(IvfProbe).map(p => (qid, p._1))
         }
         import s.implicits._
         val probeDf = probes.toDF("qid", "cell")
@@ -316,7 +387,7 @@ object Similarity {
           .withColumn("sim", round(cosine("v", "qv"), 4))
         rankTopK(scored)
       },
-      None),
+      Some(annIvfOracleSql)),
 
     // ---- partition-pruned ANN over the LSH-partitioned lake index -----
     // same candidates as emb_ann_lsh (AnnSpec asserts equality), but the
@@ -340,54 +411,53 @@ object Similarity {
       Some(annLshOracleSql))
   )
 
-  // IVF parameters: K cells, nprobe probed per query
-  private val IvfCells = 16
-  // nprobe = 10 of K=16 cells: measured on the fixture, recall@10 vs exact top-k is
-  // 0.58 at nprobe=4, 0.80 at 8, 0.94 at 10 — mid-similarity neighbors (the
-  // fixture's random-embedding top-k lives at cosine ~0.5) spread across
-  // cells, so a scan budget of |corpus|·nprobe/K buys recall directly.
-  // At production scale K grows with the corpus (√N cells is the usual
-  // rule) and nprobe/K shrinks; the OpsSpec recall floor pins this knob.
-  private val IvfProbe = 10
 
-  /** IVF coarse quantizer: K-means (MLlib, fixed seed) over L2-normalized
-    * embeddings — normalized so euclidean cells align with cosine
-    * similarity (‖a−b‖² = 2−2·cos on unit vectors). The K centroids are
-    * PERSISTED as a [[LakeTable]] versioned with the corpus (the BM25
-    * commit-metadata pattern): the build commit records (k, seed, corpus
-    * row count), and any session whose parameters+corpus match loads the
-    * K×dim centroid rows (metadata-scale) instead of re-training — the
-    * ANN index is reproducible across restarts and cannot silently
-    * diverge from the corpus it quantized. A parameter or corpus
-    * mismatch rebuilds under a fresh version.
+  /** IVF coarse quantizer: deterministic Lloyd iterations over the
+    * EXACT-INTEGER unit vectors t̂ ([[graft.functions.UnitScaledInts]]) —
+    * unit-scaled so euclidean cells align with cosine similarity
+    * (‖a−b‖² = 2−2·cos on unit vectors), integer so every step (seeding,
+    * assignment, centroid update, probe choice) is summation-order-free
+    * and replays bit-for-bit in any engine: this is what graduated
+    * `emb_ann_ivf` from rows-only to the driver's DuckDB hash gate.
+    *
+    *  - seeds: the smallest vec_id in each residue class mod K — one
+    *    shuffle-free map-side-combined `groupBy(vec_id % K).min`, no
+    *    global sort, no RNG (k-means++'s quality edge matters little
+    *    here: nprobe/K = 10/16 probes most cells, and the OpsSpec recall
+    *    floor pins the outcome).
+    *  - [[IvfIters]] Lloyd rounds: assignment is the native one-pass
+    *    [[graft.functions.NearestCell]] argmin (lowest cell wins ties);
+    *    the update shuffles only (cell, dim) partial sums — K·dim rows
+    *    collected to the driver, where the new centroid is the
+    *    TRUNCATING integer mean sm quot cnt (empty cells keep their
+    *    previous centroid). O(iters) jobs, no MLlib model object.
+    *
+    * The K centroids are PERSISTED as a [[LakeTable]] versioned with the
+    * corpus (the BM25 commit-metadata pattern): the build commit records
+    * (k, algo, corpus row count), and any session whose parameters +
+    * corpus match loads the K×dim centroid rows (metadata-scale) instead
+    * of re-training — the ANN index is reproducible across restarts and
+    * cannot silently diverge from the corpus it quantized. A parameter
+    * or corpus mismatch rebuilds under a fresh version.
     */
   private val IvfKKey = "graft.ivf.k"
-  private val IvfSeedKey = "graft.ivf.seed"
+  private val IvfAlgoKey = "graft.ivf.algo"
   private val IvfRowsKey = "graft.ivf.corpus_rows"
-  private val IvfSeed = 42L
 
   /** per-JVM fast path only — the durable copy is the lake table */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
 
   /** spec hooks: training counter + cache drop to simulate a fresh session */
   private[graft] val ivfTrains = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] def ivfCacheReset(): Unit = ivfCache.clear()
-
-  private def normalized(df: DataFrame): DataFrame = {
-    val withRaw = df.withColumn("fv0",
-      org.apache.spark.ml.functions.array_to_vector(col("v")))
-    new org.apache.spark.ml.feature.Normalizer()
-      .setInputCol("fv0").setOutputCol("fv").setP(2.0)
-      .transform(withRaw).drop("fv0")
-  }
 
   private[graft] def ivfTable(s: SparkSession, d: String): LakeTable =
     LakeTable(s, LakeTableConfig(
       s"/tmp/graft_lake/ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
       keyCols = Seq("cell"), precombineCol = "ver"))
 
-  private def ivfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+  private def ivfCentroids(s: SparkSession, d: String): Array[Array[Long]] =
     ivfCache.computeIfAbsent(d, _ => {
       val t = ivfTable(s, d)
       val nRows = corpus(s, d).count()
@@ -396,20 +466,49 @@ object Similarity {
         else {
           val meta = t.log.commits.last.metadata
           if (meta.get(IvfKKey).contains(IvfCells.toString) &&
-              meta.get(IvfSeedKey).contains(IvfSeed.toString) &&
+              meta.get(IvfAlgoKey).contains(IvfAlgo) &&
               meta.get(IvfRowsKey).contains(nRows.toString))
             Some(t.read().select("cell", "centroid").collect()
-              .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
+              .sortBy(_.getInt(0)).map(_.getSeq[Long](1).toArray))
           else None // parameters or corpus moved: retrain below
         }
       persisted.getOrElse {
         ivfTrains.incrementAndGet()
-        val km = new org.apache.spark.ml.clustering.KMeans()
-          .setK(IvfCells).setSeed(IvfSeed).setMaxIter(5).setFeaturesCol("fv")
-          .fit(normalized(corpus(s, d)))
-        val centers = km.clusterCenters.map(_.toArray)
+        val tv = corpus(s, d).withColumn("tv",
+          graft.functions.UnitScaledInts.unitScaled(col("v")))
+        // seeds: smallest vec_id per residue class mod K — map-side-
+        // combined agg, no sort, no RNG. Fixture ids are dense from 0,
+        // so every class is populated at any SF; an empty class would
+        // keep a zero centroid, which the recall-floor spec would flag.
+        val seedIds = corpus(s, d)
+          .groupBy(pmod(col("vec_id"), lit(IvfCells.toLong)).as("cell"))
+          .agg(min(col("vec_id")).as("vid"))
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        val seedRows = tv.filter(col("vec_id").isin(seedIds.values.toSeq: _*))
+          .select(col("vec_id"), col("tv")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+        var cents: Array[Array[Long]] = (0 until IvfCells).map(c =>
+          seedIds.get(c).flatMap(seedRows.get)
+            .getOrElse(new Array[Long](Dim))).toArray
+        // Lloyd rounds: one job each — per-row argmin (no shuffle of the
+        // corpus), then (cell, dim) partial sums; K·dim rows collect
+        for (_ <- 1 to IvfIters) {
+          val agg = tv
+            .select(graft.functions.NearestCell
+                .nearest(col("tv"), cents.toSeq.map(_.toSeq)).as("cell"),
+              posexplode(col("tv")).as(Seq("i", "tval")))
+            .groupBy(col("cell"), col("i"))
+            .agg(sum(col("tval")).as("sm"), count(lit(1)).as("cnt"))
+            .collect()
+          val next = cents.map(_.clone()) // empty cells keep previous
+          agg.foreach { r =>
+            // truncating integer mean — same result as DuckDB's `//`
+            next(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+          }
+          cents = next
+        }
         import s.implicits._
-        val rows = centers.zipWithIndex
+        val rows = cents.zipWithIndex
           .map { case (c, i) => (i, c.toSeq, 0) }.toSeq
           .toDF("cell", "centroid", "ver")
         if (t.exists) { // stale version: rebuild fresh under new params
@@ -418,31 +517,22 @@ object Similarity {
             .delete(root, true)
         }
         ivfTable(s, d).bulkInsert(rows, Map(
-          IvfKKey -> IvfCells.toString, IvfSeedKey -> IvfSeed.toString,
+          IvfKKey -> IvfCells.toString, IvfAlgoKey -> IvfAlgo,
           IvfRowsKey -> nRows.toString))
-        centers
+        cents
       }
     })
 
-  /** Cell assignment straight from the persisted centroids — argmin over
-    * K of ‖c‖² − 2·x̂·c, the same euclidean-on-normalized ranking K-means
-    * assigns with (and the probe selection uses), expressed as a codegen
-    * array expression so a restored session needs no model object at
-    * all. Ties take the first cell, matching MLlib's findClosest. */
-  private def assignCells(c: DataFrame, centers: Array[Array[Double]]): DataFrame = {
-    val centLit = array(centers.map(cc => array(cc.map(lit): _*)): _*)
-    val normsLit = array(centers.map(cc => lit(cc.map(x => x * x).sum)): _*)
-    c.withColumn("cent", centLit).withColumn("cn", normsLit)
-      .withColumn("dists", expr(
-        """transform(sequence(0, size(cent) - 1), i ->
-             cn[i] - 2D * aggregate(zip_with(v, cent[i],
-                 (x, w) -> cast(x as double) * w), 0D, (s2, x) -> s2 + x)
-               / sqrt(aggregate(v, 0D,
-                 (s2, x) -> s2 + cast(x as double) * cast(x as double))))"""))
-      .withColumn("cell",
-        (expr("array_position(dists, array_min(dists))") - 1).cast("int"))
+  /** Cell assignment straight from the persisted centroids — the same
+    * native one-pass exact-integer argmin the Lloyd rounds use
+    * ([[graft.functions.NearestCell]] over [[graft.functions.UnitScaledInts]]),
+    * so a restored session needs no model object at all. Ties take the
+    * lowest cell, matching the oracle's row_number() tie rule. */
+  private def assignCells(c: DataFrame, centers: Array[Array[Long]]): DataFrame =
+    c.withColumn("cell", graft.functions.NearestCell.nearest(
+        graft.functions.UnitScaledInts.unitScaled(col("v")),
+        centers.toSeq.map(_.toSeq)))
       .select(col("vec_id"), col("v"), col("cell"))
-  }
 
   /** exposed so Bench can time the quantizer build separately */
   private[graft] def ensureIvf(s: SparkSession, d: String): Unit = {
