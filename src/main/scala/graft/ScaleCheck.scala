@@ -53,6 +53,14 @@ object ScaleCheck {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE size shuffles by BYTES, not by a fixed count: with the
+      // count pinned at `cpus`, a 100x replica makes every partition
+      // 100x bigger and the heaviest join spills — measured 15x time at
+      // 10x data on the 100x point. A high initial count that AQE
+      // coalesces down is the production posture (constant-size
+      // partitions as data grows); small queries still end up at a
+      // handful of partitions after coalescing.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")

