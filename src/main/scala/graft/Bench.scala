@@ -105,10 +105,16 @@ object Bench {
     // driver-side vs 2.5s on a quiet rerun of the same commit). min (not
     // mean) is the right statistic: contention only ever ADDS time, so
     // the minimum is the best estimate of the engine's own cost.
+    // …and so do the sub-second lake-maintenance/multimodal reads, whose
+    // single-shot times read 4-8x high under ambient contention (r10:
+    // lake_schema_evolution 0.63s driver vs 0.08s quiet) — min-of-3
+    // keeps round-over-round diffs honest at negligible extra cost
     val minOf3 = Set("stream_hourly_tumbling", "stream_dedup",
       "stream_interval_join", "stream_outer_interval_join",
       "stream_session_window", "stream_running_totals",
-      "catalog_stream_tail", "catalog_stream_tail_cow", "lake_tail_changes")
+      "catalog_stream_tail", "catalog_stream_tail_cow", "lake_tail_changes",
+      "lake_schema_evolution", "lake_restore", "multimodal_frames",
+      "lake_meta_columns", "lake_sql_time_travel")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

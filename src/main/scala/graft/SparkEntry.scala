@@ -15,7 +15,7 @@ object SparkEntry {
       ops.Multimodal.queries ++ ops.Events.queries ++ ops.Extended.queries ++
       ops.Temporal.queries ++ ops.Sampling.queries ++ ops.Prep.queries ++
       ops.Hygiene.queries ++ ops.Sql.queries ++ ops.Dedup.queries ++
-      ops.Retrieval.queries
+      ops.Retrieval.queries ++ ops.Tokenize.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The flagship is the lake CDC replay (SURVEY.md §7.2 step 2): bulk

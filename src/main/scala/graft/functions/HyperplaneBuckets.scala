@@ -63,8 +63,11 @@ case class HyperplaneBuckets(child: Expression, k: Int, tables: Int, dim: Int)
       val v = arr.getFloat(j).toDouble * 1000000d
       // HALF_UP away from zero, exactly (v is exact: 24-bit float
       // mantissa x 10^6 needs <= 44 significand bits, so v +- 0.5 and
-      // floor/ceil introduce no rounding of their own)
-      sx(j) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+      // floor/ceil introduce no rounding of their own); the magnitude
+      // guard keeps the ±1-dot sums inside int64 (same bound as the t̂
+      // space — see UnitScaledInts.MaxComponent)
+      sx(j) = UnitScaledInts.checkComponent(
+        (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong)
       j += 1
     }
     val out = new Array[Int](tables)

@@ -53,6 +53,24 @@ case class UnitScaledInts(child: Expression)
 object UnitScaledInts {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
+  /** Scaled-component magnitude bound: |round(x·10⁶)| above this makes
+    * the downstream int64 arithmetic unsound (Σs² needs n·s² ≤ 2⁶³ ⇒
+    * |s| ≤ 3.8·10⁸ at 64 dims; s·10⁶ needs |s| ≤ 9.2·10¹²). 10⁸ (|x| ≤
+    * 100) leaves margin for both at any realistic dim. Scala would WRAP
+    * silently past the bound while DuckDB raises — a violating input
+    * must be a clear engine error, not a confusing oracle divergence
+    * (ADVICE r10). Embeddings are unit-ish scale; hitting this means
+    * the column isn't an embedding. */
+  private[graft] val MaxComponent = 100000000L
+
+  private[graft] def checkComponent(sj: Long): Long = {
+    if (sj > MaxComponent || sj < -MaxComponent)
+      throw new IllegalArgumentException(
+        s"unit_scaled_ints: embedding component ${sj / 1e6} exceeds |x| <= " +
+          s"${MaxComponent / 1000000L} — not unit-scale data; int64 arithmetic would overflow")
+    sj
+  }
+
   def unitScaled(vec: Column): Column =
     ColumnBridge.column(UnitScaledInts(ColumnBridge.expression(vec)))
 
@@ -63,7 +81,8 @@ object UnitScaledInts {
     var j = 0
     while (j < n) {
       val v = arr.getFloat(j).toDouble * 1000000d
-      val sj = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+      val sj = checkComponent(
+        (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong)
       s(j) = sj
       n2 += sj * sj
       j += 1
@@ -84,7 +103,8 @@ object UnitScaledInts {
     var j = 0
     while (j < v.length) {
       val x = v(j).toDouble * 1000000d
-      val sj = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+      val sj = checkComponent(
+        (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong)
       s(j) = sj
       n2 += sj * sj
       j += 1

@@ -193,6 +193,16 @@ object Hygiene {
       .join(tc, Seq("b"), "left").na.fill(0L, Seq("ct"))
       .join(rc, "b") // raw docs' own buckets always have cr >= 1
       .crossJoin(broadcast(tn)).crossJoin(broadcast(rn))
+      // fail fast on an empty partition: sum() over zero rows is NULL,
+      // which would silently turn every logw NULL instead of erroring
+      // (ADVICE r10) — an empty target/raw side means the importance
+      // model is undefined, not that every weight is unknown
+      .withColumn("nt", when(col("nt").isNull, raise_error(lit(
+        "dsirWeights: targetPred matched no rows — importance weights undefined")))
+        .otherwise(col("nt")))
+      .withColumn("nr", when(col("nr").isNull, raise_error(lit(
+        "dsirWeights: no raw (non-target) rows — importance weights undefined")))
+        .otherwise(col("nr")))
       .withColumn("lr",
         log((col("ct") + lit(1)).cast("double") / (col("nt") + lit(buckets))) -
         log((col("cr") + lit(1)).cast("double") / (col("nr") + lit(buckets))))

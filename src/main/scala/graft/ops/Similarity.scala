@@ -48,6 +48,14 @@ object Similarity {
   private val IvfIters = 3
   private val IvfAlgo = s"lloyd-int-i$IvfIters-v1"
 
+  /** SemDeDup keep/drop threshold in exact-integer t̂-dot space: t̂
+    * components are ≈(x_i/‖x‖)·10⁶, so a dot of c·10¹² ≈ cosine c —
+    * 0.93 sits far above the fixture's natural pair ceiling (~0.5) and
+    * far below the planted twins (~0.9999), and the integer arithmetic
+    * makes the cut engine-exact (declared before `queries` for the same
+    * init-order reason as [[IvfCells]]). */
+  private val SemThreshold = 930000000000L
+
   /** Single-pass codegen'd cosine (graft.functions.CosineSimilarity) —
     * widens float elements to double per element, so results are
     * bit-identical to the HOF `aggregate(zip_with(...))` formulation it
@@ -122,7 +130,11 @@ object Similarity {
     * integer division is `//` here and Long `/` in Scala — probed
     * identical on negatives (both C-style, sign of dividend).
     */
-  private def annIvfOracleSql: String = {
+  /** Shared Lloyd-on-the-base-corpus CTE prefix (e, x, sq, nn, tv,
+    * seeds, c0 … c[[IvfIters]]) — the exact-integer quantizer replay
+    * used verbatim by both [[annIvfOracleSql]] and
+    * [[semanticDedupOracleSql]]. */
+  private def ivfLloydCtes: String = {
     val k = IvfCells
     val iters = (1 to IvfIters).map { t =>
       s"""d$t AS (SELECT tv.vec_id, c.cell, sum((tv.t - c.w) * (tv.t - c.w)) AS d2
@@ -134,7 +146,7 @@ object Similarity {
       c$t AS (SELECT p.cell, p.i, CAST(coalesce(u.sm // u.cnt, p.w) AS BIGINT) AS w
               FROM c${t - 1} p LEFT JOIN u$t u ON u.cell = p.cell AND u.i = p.i)"""
     }.mkString(",\n    ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     x AS (SELECT vec_id, unnest(v) AS xv, generate_subscripts(v, 1) AS i FROM e),
     sq AS (SELECT vec_id, i, CAST(round(xv * 1000000) AS BIGINT) AS sx FROM x),
     nn AS (SELECT vec_id,
@@ -146,7 +158,11 @@ object Similarity {
     seeds AS (SELECT CAST(vec_id % $k AS INT) AS cell, min(vec_id) AS vid
               FROM e GROUP BY 1),
     c0 AS (SELECT s.cell, tv.i, tv.t AS w FROM seeds s JOIN tv ON tv.vec_id = s.vid),
-    $iters,
+    $iters"""
+  }
+
+  private def annIvfOracleSql: String =
+    s"""WITH $ivfLloydCtes,
     fd AS (SELECT tv.vec_id, c.cell, sum((tv.t - c.w) * (tv.t - c.w)) AS d2
            FROM tv JOIN c$IvfIters c ON c.i = tv.i GROUP BY 1, 2),
     af AS (SELECT vec_id, cell FROM fd
@@ -166,7 +182,43 @@ object Similarity {
     r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
             ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM scored)
     SELECT qid, vec_id, sim, rnk FROM r WHERE rnk <= $TopK ORDER BY qid, rnk"""
-  }
+
+  /** DuckDB replay of SemDeDup (see [[semanticDedup]]): Lloyd centroids
+    * on the BASE corpus ([[ivfLloydCtes]]), the PLANTED corpus (base +
+    * twins, same formula as [[plantedCorpus]]) assigned to its nearest
+    * final centroid, then within-cell exact-integer t̂ dot products — a
+    * row keeps iff no smaller-id row in its cell dots ≥
+    * [[SemThreshold]] against it. Every step is the same integer
+    * arithmetic as the emb_ann_ivf replay, so keep/drop is bit-exact. */
+  private def semanticDedupOracleSql: String =
+    s"""WITH $ivfLloydCtes,
+    px AS (SELECT vec_id, i, xv FROM x
+           UNION ALL
+           SELECT vec_id - $TwinBase, i,
+                  CAST(CAST(xv + 0.001 * ((i - 1) % 3) AS FLOAT) AS DOUBLE)
+           FROM x WHERE vec_id < 10),
+    psq AS (SELECT vec_id, i, CAST(round(xv * 1000000) AS BIGINT) AS sx FROM px),
+    pnn AS (SELECT vec_id,
+              CAST(floor(sqrt(CAST(sum(sx * sx) AS DOUBLE))) AS BIGINT) AS isq
+            FROM psq GROUP BY 1),
+    ptv AS (SELECT psq.vec_id, psq.i,
+              CASE WHEN pnn.isq = 0 THEN 0 ELSE (psq.sx * 1000000) // pnn.isq END AS t
+            FROM psq JOIN pnn ON pnn.vec_id = psq.vec_id),
+    pd AS (SELECT ptv.vec_id, c.cell, sum((ptv.t - c.w) * (ptv.t - c.w)) AS d2
+           FROM ptv JOIN c$IvfIters c ON c.i = ptv.i GROUP BY 1, 2),
+    asg AS (SELECT vec_id, cell FROM pd
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+    cp AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM asg a
+           JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    dd AS (SELECT cp.va, cp.vb, sum(ta.t * tb.t) AS dot
+           FROM cp JOIN ptv ta ON ta.vec_id = cp.va
+           JOIN ptv tb ON tb.vec_id = cp.vb AND tb.i = ta.i
+           GROUP BY 1, 2),
+    dup AS (SELECT DISTINCT vb FROM dd WHERE dot >= $SemThreshold)
+    SELECT a.vec_id, a.cell,
+      CASE WHEN dup.vb IS NULL THEN 1 ELSE 0 END AS keep
+    FROM asg a LEFT JOIN dup ON dup.vb = a.vec_id
+    ORDER BY a.vec_id"""
 
   /** DuckDB replay of the multi-table LSH near-dup pairs over the
     * PLANTED corpus (fixture + 10 deterministic float-perturbed twins at
@@ -408,7 +460,14 @@ object Similarity {
           .withColumn("sim", round(cosine("v", "qv"), 4))
         rankTopK(scored)
       },
-      Some(annLshOracleSql))
+      Some(annLshOracleSql)),
+
+    // ---- SemDeDup: embedding-cluster semantic dedup (oracle-checked) --
+    // keep-one-per-near-dup-group WITHIN each IVF cell — pairwise work
+    // is cell-bounded (Σ n_c², never N²); see [[semanticDedup]]
+    GQuery("emb_semantic_dedup",
+      (s, d) => semanticDedup(s, d),
+      Some(semanticDedupOracleSql))
   )
 
 
@@ -484,6 +543,13 @@ object Similarity {
           .groupBy(pmod(col("vec_id"), lit(IvfCells.toLong)).as("cell"))
           .agg(min(col("vec_id")).as("vid"))
           .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        // fail fast if a residue class is empty: the engine would keep a
+        // zero centroid for that cell but the oracle's c0 CTE would LACK
+        // the cell entirely, so the two would silently diverge on any
+        // corpus without dense-from-0 ids (ADVICE r10)
+        require(seedIds.size == IvfCells,
+          s"IVF seeding needs every residue class mod $IvfCells populated; " +
+            s"got ${seedIds.size} — corpus ids are not dense enough for this seeder")
         val seedRows = tv.filter(col("vec_id").isin(seedIds.values.toSeq: _*))
           .select(col("vec_id"), col("tv")).collect()
           .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
@@ -537,6 +603,55 @@ object Similarity {
   /** exposed so Bench can time the quantizer build separately */
   private[graft] def ensureIvf(s: SparkSession, d: String): Unit = {
     ivfCentroids(s, d); ()
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-cluster
+    * semantic dedup — the embedding-side dual of `doc_dedup_semantic`.
+    * The corpus is coarse-quantized into the [[IvfCells]] Lloyd cells
+    * ([[ivfCentroids]], trained once on the base corpus and PERSISTED as
+    * a lake table), and near-duplicate detection runs ONLY WITHIN a
+    * cell: a row is dropped iff a smaller-id row in ITS OWN cell has t̂
+    * dot ≥ [[SemThreshold]]. Pairwise work is Σ_c n_c² — CELL-bounded,
+    * never corpus-bounded (OpsSpec pins the candidate count to exactly
+    * Σ_c C(n_c,2)); at 100 TB cells become lake partitions (the
+    * emb_ann_partitioned layout) and each cell dedups inside its own
+    * partition with no cross-partition shuffle. All arithmetic is the
+    * exact-integer t̂ space of the IVF family, so the DuckDB oracle
+    * replays keep/drop decisions bit-for-bit.
+    *
+    * Input is the planted corpus (10 deterministic cosine≈0.9999 twins):
+    * like emb_neardup_lsh, the fixture's natural cosine ceiling ~0.5
+    * means an unplanted run would drop nothing and demonstrate nothing.
+    * Returns (vec_id, cell, keep 1/0) for every planted row.
+    */
+  private[graft] def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val t = semanticDedupCells(s, d)
+    val dups = semanticDupCandidates(t)
+      .filter(col("dot") >= SemThreshold)
+      .select(col("vb")).distinct()
+    t.join(dups, t("vec_id") === dups("vb"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("vb").isNull, 1).otherwise(0).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** planted corpus assigned to its IVF cell with the exact-integer t̂
+    * vector attached — split out so OpsSpec can count candidates */
+  private[graft] def semanticDedupCells(s: SparkSession, d: String): DataFrame =
+    assignCells(plantedCorpus(corpus(s, d)), ivfCentroids(s, d))
+      .withColumn("t", graft.functions.UnitScaledInts.unitScaled(col("v")))
+      .select(col("vec_id"), col("cell"), col("t"))
+
+  /** within-cell (va < vb) pairs with their exact-integer t̂ dot — split
+    * out so OpsSpec can assert the candidate set is cell-bounded */
+  private[graft] def semanticDupCandidates(t: DataFrame): DataFrame = {
+    val a = t.select(col("vec_id").as("va"), col("cell"), col("t").as("ta"))
+    val b = t.select(col("vec_id").as("vb"), col("cell"), col("t").as("tb"))
+    a.join(b, "cell").filter(col("va") < col("vb"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(ta, tb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .select(col("va"), col("vb"), col("dot"))
   }
 
 

@@ -143,6 +143,62 @@ object Text {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Corpus-statistics-driven dispatch between the two exact-Jaccard
+    * join forms (the optimizer decision a 100 TB engine must make
+    * itself — the manual, measured tradeoff recorded at [[jaccardPairsFrom]]
+    * vs [[jaccardPairsPrefix]] becomes a probe + rule):
+    *
+    * Statistic: the fraction of shingle POSTING MASS sitting in df=1
+    * shingles, from one vocabulary-scale agg over a deterministic 1/`sampleMod`
+    * doc sample (content-hash bucket, no RNG — same sampling contract as
+    * [[Sampling]]). df=1 postings are exactly the inverted join's dead
+    * weight (they can never produce a candidate pair), and on a
+    * rare-dominated corpus the rarest-first prefixes are df=1-populated,
+    * so candidates collapse and prefix wins; on a shared-vocabulary
+    * corpus (the fixture at sf0.1: median df 9, rare mass < 0.1%) every
+    * prefix shingle is hot, prefix prunes nothing, and its extra
+    * agg+window+verify machinery loses 11× (measured, see
+    * [[jaccardPairsPrefix]]). Threshold 0.5 = "is most of the shuffle
+    * useful work?"; doc sampling at 1/4 biases df DOWN (a df-d shingle's
+    * sampled posting is lonely w.p. (3/4)^(d-1) ≈ 0.10 at the fixture's
+    * d≈9), which the margin on both regimes absorbs — measured: fixture
+    * sf0.1 samples to ~0.15 → naive; a boilerplate-over-unique-text
+    * corpus stays ≥ 0.8 → prefix.
+    *
+    * Both forms return IDENTICAL pairs (TextSimilaritySpec pins it), so
+    * the dispatch changes cost, never results — which is what lets
+    * `doc_ngram_jaccard_pairs` route through it with an unchanged oracle.
+    */
+  private[graft] def chooseJaccardForm(documents: DataFrame, sampleMod: Int = 4): String = {
+    val sampled =
+      if (sampleMod <= 1) documents
+      else documents.filter(pmod(
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":jform"))), 1, 8), 16, 10)
+          .cast("long"), lit(sampleMod.toLong)) === 0)
+    val (tri, _) = shingledFrom(sampled)
+    val row = tri.groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")).as("p"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("rare"))
+      .collect()(0)
+    if (row.isNullAt(0) || row.getLong(0) == 0L) "naive" // empty probe: cheap default
+    else if (row.getLong(1).toDouble / row.getLong(0) >= 0.5) "prefix"
+    else "naive"
+  }
+
+  /** exact-Jaccard pairs through the [[chooseJaccardForm]] dispatch */
+  def jaccardPairsAuto(documents: DataFrame, minJ: Double,
+      sampleMod: Int = 4): DataFrame =
+    if (chooseJaccardForm(documents, sampleMod) == "prefix")
+      jaccardPairsPrefix(documents, minJ)
+    else jaccardPairsFrom(documents, minJ)
+
+  /** fixture-path memo: the probe is a one-time-per-corpus decision, so
+    * the catalog entry resolves it once per sf dir (the same memo
+    * contract as the index caches) */
+  private val jFormCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jaccardFormFor(s: SparkSession, d: String): String =
+    jFormCache.computeIfAbsent(d, _ => chooseJaccardForm(T.documents(s, d)))
+
   /** Connected components over the near-duplicate pair graph via
     * min-label propagation: every document gets `cluster_id` = smallest
     * doc_id in its component — the step that turns PAIRWISE near-dup
@@ -585,7 +641,11 @@ object Text {
 
     // ---- near-dup: exact Jaccard on word trigrams (inverted index) ----
     GQuery("doc_ngram_jaccard_pairs",
-      (s, d) => jaccardPairs(s, d, 0.5).orderBy("doc_a", "doc_b"),
+      // routed through the corpus-statistics dispatch ([[chooseJaccardForm]]);
+      // both forms are pair-identical so the oracle is unchanged
+      (s, d) => (if (jaccardFormFor(s, d) == "prefix")
+          jaccardPairsPrefix(T.documents(s, d), 0.5)
+        else jaccardPairs(s, d, 0.5)).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $jaccardCtes
         SELECT doc_a, doc_b,
           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard

@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables => T}
+
+/** BPE tokenizer — the one operator every LLM training pipeline runs
+  * between text hygiene and sequence packing (reference scope: the
+  * training-data prep surface around `documents`; Sennrich et al. 2016
+  * for the algorithm). Two halves:
+  *
+  *  - [[trainBpeMerges]]: classic word-frequency-table training. The
+  *    ONLY distributed step is the word-count aggregation (corpus-scale
+  *    scan, map-side-combined groupBy); the merge loop then runs on the
+  *    collected word table, which is VOCABULARY-scale, not corpus-scale
+  *    — the same bounded-collect contract as the IVF Lloyd partials.
+  *    At 100 TB the word table of any natural-language corpus is
+  *    millions of rows against trillions of tokens; training cost is
+  *    independent of corpus growth once counts are in.
+  *  - [[encodeExpr]]: greedy encode as a chain of codegen'd string
+  *    `replace` calls — NO UDF, NO mapPartitions, NO shuffle. Symbols
+  *    are spread out with a two-space separator and each merge (l, r)
+  *    rewrites " l  r " → " lr ": the pattern consumes only the INNER
+  *    space of each boundary, so consecutive occurrences stay matchable
+  *    and plain left-to-right replace-all gives exactly the non-overlap
+  *    merge order BPE specifies. Word boundaries are a '|' symbol cell
+  *    that no merge pair can touch (the alphabet is [a-z0-9]).
+  *
+  * Encode applies merges IN RANK ORDER, EACH TO EXHAUSTION — equivalent
+  * to the textbook "repeatedly merge the lowest-rank adjacent pair"
+  * because every merge's operands are, by training construction, base
+  * characters or results of STRICTLY EARLIER merges: a later merge can
+  * never manufacture an operand of an earlier one, so exhausting rank k
+  * before touching rank k+1 loses nothing ([[requireWellFormed]]
+  * enforces the precondition on any supplied merge list).
+  *
+  * Portability: the whole encode is exact string rewriting — no floats,
+  * no hashing — so the DuckDB oracle replays it bit-for-bit with the
+  * same replace chain (`doc_bpe_encode` is a hash-gate entry, not a
+  * rows-only one).
+  */
+object Tokenize {
+
+  /** token-id space: base chars first (fixed ids 0..35), then one id
+    * per merge in rank order (rank k → 35 + k) */
+  val BaseAlphabet: String = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+  /** Merges used by the fixture queries: the first 24 merges
+    * [[trainBpeMerges]] learns on the sf0.01 `documents` fixture,
+    * FROZEN as data so the oracle SQL can inline them as literals (the
+    * oracle cannot replay the training argmax loop in SQL; TokenizeSpec
+    * re-derives this exact list from the corpus, so drift between the
+    * trainer and the frozen list fails the build). A production
+    * pipeline would persist trained merges as a table and pass them
+    * here — encode is parametric in the merge list.
+    */
+  val FixedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
+    "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u")
+
+  /** Every merge operand must be a base char or the result of an
+    * earlier merge (the property that makes rank-order-to-exhaustion
+    * encoding equal to lowest-rank-first; see object scaladoc), and no
+    * two merges may produce the same token (ids would collide). */
+  private def requireWellFormed(merges: Seq[(String, String)]): Unit = {
+    val avail = scala.collection.mutable.Set[String](BaseAlphabet.map(_.toString): _*)
+    merges.foreach { case (l, r) =>
+      require(avail(l) && avail(r), s"merge ($l,$r) uses a symbol no earlier merge produces")
+      require(avail.add(l + r), s"duplicate merge result ${l + r}")
+    }
+  }
+
+  /** (token, token_id) vocabulary for a merge list */
+  def vocab(merges: Seq[(String, String)]): Seq[(String, Int)] =
+    BaseAlphabet.zipWithIndex.map { case (c, i) => (c.toString, i) } ++
+      merges.zipWithIndex.map { case ((l, r), k) => (l + r, BaseAlphabet.length + k) }
+
+  // ---- training --------------------------------------------------------
+
+  /** Learn `numMerges` BPE merges from a text column. Deterministic:
+    * the winning pair is the (count DESC, pair ASC) argmin — no RNG, no
+    * order dependence — so the same corpus always yields the same
+    * merges on any cluster layout. */
+  def trainBpeMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges > 0)
+    // corpus-scale: ONE aggregation; everything after runs on the
+    // vocabulary-scale (word, count) table
+    val wordCounts = docs
+      .select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var seqs: Array[(Array[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val pc = scala.collection.mutable.HashMap[(String, String), Long]()
+      seqs.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pc.update(p, pc.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val best = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        val (l, r) = best
+        seqs = seqs.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, c)
+        }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  // ---- encoding --------------------------------------------------------
+
+  /** array<string> of BPE tokens for a text column — one codegen'd
+    * expression tree (regex split to symbol cells, one `replace` per
+    * merge, split back), zero shuffles: encode streams through a scan
+    * at I/O speed like the other [[Prep]] per-row operators. */
+  def encodeExpr(textCol: String, merges: Seq[(String, String)]): Column = {
+    requireWellFormed(merges)
+    // '  '-separated symbol cells; words joined by a '|' cell; two
+    // spaces at both ends so every symbol has a full boundary. NULL for
+    // a text with no word characters (filtered to an empty token list).
+    var s = s"""concat('  ', regexp_replace(
+      nullif(trim(BOTH '|' FROM regexp_replace(lower($textCol), '[^a-z0-9]+', '|')), ''),
+      '(.)', '$$1  '))"""
+    merges.foreach { case (l, r) =>
+      s = s"replace($s, ' $l  $r ', ' $l$r ')"
+    }
+    expr(s"""CASE WHEN $textCol IS NULL THEN CAST(array() AS array<string>)
+      ELSE coalesce(
+        filter(split(trim($s), '  '), x -> x != '|' AND x != ''),
+        CAST(array() AS array<string>)) END""")
+  }
+
+  /** (idCol, pos, token, token_id) — exploded token stream; ids come
+    * from a BROADCAST join against the (tiny) vocabulary. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)] = FixedMerges): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val v = vocab(merges).toDF("token", "token_id")
+    docs
+      .select(col(idCol), posexplode(encodeExpr(textCol, merges)))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("pos"), col("col").as("token"))
+      .join(broadcast(v), "token")
+      .select(col(idCol), col("pos"), col("token"), col("token_id"))
+  }
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  private def q(x: String) = "'" + x.replace("'", "''") + "'"
+
+  /** the same replace chain in DuckDB syntax (RE2 replacement is \1) */
+  private def encodeSqlDuck(textCol: String, merges: Seq[(String, String)]): String = {
+    var s = s"""'  ' || regexp_replace(
+      nullif(trim(regexp_replace(lower($textCol), '[^a-z0-9]+', '|', 'g'), '|'), ''),
+      '(.)', '\\1  ', 'g')"""
+    merges.foreach { case (l, r) =>
+      s = s"replace($s, ${q(s" $l  $r ")}, ${q(s" $l$r ")})"
+    }
+    s
+  }
+
+  private def vocabValues(merges: Seq[(String, String)]): String =
+    vocab(merges).map { case (t, i) => s"(${q(t)},$i)" }.mkString(", ")
+
+  /** shared oracle CTE: doc_id → filtered symbol list `sy` */
+  private def symsCte(merges: Seq[(String, String)]): String =
+    s"""enc AS (SELECT doc_id, ${encodeSqlDuck("text", merges)} AS s FROM documents),
+    syms AS (SELECT doc_id,
+        list_filter(string_split(trim(s), '  '), x -> x <> '|' AND x <> '') AS sy
+      FROM enc WHERE s IS NOT NULL)"""
+
+  // ---- fixture queries -------------------------------------------------
+
+  val queries: Seq[GQuery] = Seq(
+
+    // greedy BPE encode of the corpus against the frozen merge table:
+    // one row per (doc, position) with the token string and id
+    GQuery("doc_bpe_encode",
+      (s, d) => bpeEncode(T.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "pos"),
+      Some(s"""WITH vocab(token, token_id) AS (VALUES ${vocabValues(FixedMerges)}),
+        ${symsCte(FixedMerges)},
+        tok AS (SELECT doc_id, unnest(sy) AS token,
+                  CAST(generate_subscripts(sy, 1) AS INT) AS pos
+                FROM syms)
+        SELECT t.doc_id, t.pos, t.token, v.token_id
+        FROM tok t JOIN vocab v ON v.token = t.token
+        ORDER BY doc_id, pos""")),
+
+    // sequence packing driven by REAL tokenizer counts: the same
+    // next-fit-over-content-hash-streams shape as doc_seq_pack
+    // ([[Prep.packSequences]]), but the budget is consumed by actual
+    // BPE token counts instead of the whitespace proxy — what a
+    // context-window packer bills against in production
+    GQuery("doc_bpe_pack",
+      (s, d) => Prep.packSequences(
+        T.documents(s, d).withColumn("tok",
+          size(encodeExpr("text", FixedMerges)).cast("long")),
+        "doc_id", "tok", budget = 256, buckets = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${symsCte(FixedMerges)},
+        d0 AS (SELECT dd.doc_id,
+            ('0x' || substr(md5(dd.doc_id::VARCHAR || ':pack'), 1, 8))::BIGINT % 8 AS bucket,
+            CAST(coalesce(len(sy), 0) AS BIGINT) AS tok
+          FROM documents dd LEFT JOIN syms ON syms.doc_id = dd.doc_id),
+        d AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+              FROM d0),
+        packed AS (
+          SELECT bucket, rn, doc_id, tok, tok AS acc, 0::BIGINT AS seq
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.bucket, d.rn, d.doc_id, d.tok,
+            CASE WHEN p.acc + d.tok > 256 THEN d.tok ELSE p.acc + d.tok END,
+            CASE WHEN p.acc + d.tok > 256 THEN p.seq + 1 ELSE p.seq END
+          FROM packed p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+        SELECT doc_id, bucket, seq FROM packed ORDER BY doc_id"""))
+  )
+}

@@ -472,6 +472,30 @@ class OpsSpec extends AnyFunSuite {
       s"build commit must record quantizer params + corpus version: $meta")
   }
 
+  test("semDedup: twins drop, originals keep, and pairwise work is cell-bounded") {
+    val out = run("emb_semantic_dedup").collect()
+    val dropped = out.filter(_.getInt(2) == 0).map(_.getLong(0)).toSet
+    // only twin/original pairs sit above the 0.93 threshold, and
+    // keep-min-id keeps the TWIN (planted at NEGATIVE ids): every
+    // dropped row must be an original 0..9, and every original whose
+    // twin co-assigned to its cell (the expected case) must drop
+    assert(dropped.nonEmpty && dropped.forall(id => id >= 0L && id < 10L))
+    val cellOf = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val coAssigned = (0 until 10)
+      .filter(i => cellOf(i.toLong - 100000L) == cellOf(i.toLong))
+    assert(coAssigned.nonEmpty && coAssigned.forall(i => dropped(i.toLong)))
+    // cell-bounded candidate generation: exactly Σ_c C(n_c, 2) pairs
+    // enter the dot-product verify — never the corpus-pairwise C(N, 2)
+    val cells = ops.Similarity.semanticDedupCells(spark, sf)
+    val sizes = out.groupBy(_.getInt(1)).view.mapValues(_.length.toLong)
+    val expected = sizes.values.map(n => n * (n - 1) / 2).sum
+    val n = out.length.toLong
+    val candidates = ops.Similarity.semanticDupCandidates(cells).count()
+    assert(candidates == expected)
+    assert(candidates < n * (n - 1) / 2 / 4,
+      s"candidate set $candidates not meaningfully below all-pairs ${n * (n - 1) / 2}")
+  }
+
   test("near-dup candidate generation never shuffles payload columns") {
     // force shuffle joins (and a non-adaptive plan, so exchanges are
     // visible pre-execution) so the assertion bites even at fixture scale

@@ -54,6 +54,32 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("chooser: diverse and hot-key corpora pick prefix; the fixture picks naive") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // diverse randomized corpus: most shingles unique → prefix
+    assert(ops.Text.chooseJaccardForm(corpus) == "prefix")
+    // hot-key corpus: shared boilerplate makes a few shingles df≈330 —
+    // the naive join's quadratic hazard — while posting mass stays
+    // rare-dominated; rarest-first prefixes exclude the hot keys → prefix
+    val hot = corpus.withColumn("text", concat(col("text"),
+      lit(" the quick brown fox jumps over the lazy dog again and again")))
+    assert(ops.Text.chooseJaccardForm(hot) == "prefix")
+    // the driver fixture's tiny shared vocabulary: nearly every shingle
+    // shared, prefix prunes nothing (measured 11x loss) → naive — pinned
+    // both unsampled (sf0.001) and through the default 1/4 doc sample at
+    // sf0.1, the scale the bench actually dispatches at
+    val tiny = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(ops.Text.chooseJaccardForm(tiny, sampleMod = 1) == "naive")
+    val sf01 = Tables.documents(spark, "/root/testdata/sf0.1")
+    assert(ops.Text.chooseJaccardForm(sf01) == "naive")
+  }
+
+  test("jaccardPairsAuto returns the same pairs as the naive join") {
+    val auto = ops.Text.jaccardPairsAuto(corpus, 0.5)
+    val naive = ops.Text.jaccardPairsFrom(corpus, 0.5)
+    assert(auto.exceptAll(naive).count() == 0 && naive.exceptAll(auto).count() == 0)
+  }
+
   test("float-boundary threshold: J exactly minJ survives prefix filtering") {
     import spark.implicits._
     // na = 100, nb = 7, B's shingles ⊂ A's → J = 7/100 = 0.07 exactly.
