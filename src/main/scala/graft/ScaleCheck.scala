@@ -40,10 +40,16 @@ object ScaleCheck {
     // the watermark interval, not by stream volume
     "stream_interval_join")
 
-  /** at extreme mults only the single heaviest batch query runs, and its
-    * replica builds only the one table it reads — a 100x five-table
-    * replica build would dwarf the measurement itself */
-  private val watchedExtreme = Seq("fuzzy_name_pairs")
+  /** At extreme mults (the 100x point) only the heaviest queries run,
+    * and the replica builds only the tables they read (customer,
+    * documents, lineitem — orders/events are skipped): r10 carried just
+    * the fuzzy join here and its 100x audit caught a measured 15x
+    * super-linearity; r11 adds the two next-riskiest —
+    * doc_ngram_jaccard_pairs (the documented hot-shingle skew hazard)
+    * and lake_tail_changes (2.2x at 10x, the closest to linear: the
+    * replay must stay O(total changes) with flat per-commit overhead). */
+  private val watchedExtreme =
+    Seq("fuzzy_name_pairs", "doc_ngram_jaccard_pairs", "lake_tail_changes")
   private val ExtremeMult = 50
 
   def main(args: Array[String]): Unit = {
@@ -151,23 +157,27 @@ object ScaleCheck {
       (df, i) => df.withColumn("c_name", concat(col("c_name"), lit(" " + salt(i)))))
     cust.write.mode("overwrite").parquet(s"$dir/customer.parquet")
 
-    // extreme mults build ONLY the table their single watched query
-    // (fuzzy_name_pairs → customer) reads; see watchedExtreme
+    // salt every maximal alphanumeric run IN PLACE (r → r+salt): a
+    // bijective token rename under BOTH corpus tokenizations — the
+    // whitespace-token trigram shingles (ops.Text.toks) and the
+    // [a-z0-9]+ grams (ops.Hygiene) — so pairwise statistics are
+    // preserved for every watched text query. A separator-joined salt
+    // ("w§aaa") would split in two under the alphanumeric tokenizer and
+    // double the gram stream, measuring a different workload.
+    val docs = replicate(Tables.documents(spark, base), "doc_id",
+      (df, i) => df
+        .withColumn("text", regexp_replace(col("text"),
+          "([A-Za-z0-9]+)", "$1" + salt(i)))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    val li = replicate(Tables.lineitem(spark, base), "l_orderkey",
+      (df, _) => df)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    // extreme mults build ONLY the tables their watched queries read
+    // (customer/documents/lineitem) — a 100x five-table replica build
+    // would dwarf the measurement itself; see watchedExtreme
     if (m < ExtremeMult) {
-      // salt every maximal alphanumeric run IN PLACE (r → r+salt): a
-      // bijective token rename under BOTH corpus tokenizations — the
-      // whitespace-token trigram shingles (ops.Text.toks) and the
-      // [a-z0-9]+ grams (ops.Hygiene) — so pairwise statistics are
-      // preserved for every watched text query. A separator-joined salt
-      // ("w§aaa") would split in two under the alphanumeric tokenizer and
-      // double the gram stream, measuring a different workload.
-      val docs = replicate(Tables.documents(spark, base), "doc_id",
-        (df, i) => df
-          .withColumn("text", regexp_replace(col("text"),
-            "([A-Za-z0-9]+)", "$1" + salt(i)))
-          .withColumn("n_chars", length(col("text")).cast("long")))
-      val li = replicate(Tables.lineitem(spark, base), "l_orderkey",
-        (df, _) => df)
       // orders: offset the customer key too so per-column distinct counts
       // (what tbl_profile aggregates) grow with volume like a real table
       val ords = {
@@ -190,8 +200,6 @@ object ScaleCheck {
           (df, i) => df.withColumn("user_id",
             col("user_id") + lit(i * userSpan)))
       }
-      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       ords.write.mode("overwrite").parquet(s"$dir/orders.parquet")
       evs.write.mode("overwrite").parquet(s"$dir/events.parquet")
     }

@@ -471,8 +471,10 @@ object Events {
             expr("cast(round(value * 100) as bigint)").as("cents"))
           .as[graft.streaming.Streaming.UserCents]
         val name = s"stream_rt_${System.nanoTime()}"
-        runStream(s, name, graft.streaming.Streaming.runningCents(src).toDF(),
-          mode = "update")
+        graft.streaming.Streaming.withRocksDbStateStore(s) {
+          runStream(s, name, graft.streaming.Streaming.runningCents(src).toDF(),
+            mode = "update")
+        }
         val latest = Window.partitionBy(col("user_id"))
           .orderBy(col("n_events").desc)
         s.table(name)

@@ -136,7 +136,8 @@ final class GraftSource extends RelationProvider
     new GraftTailSource(ctx, table, schema.getOrElse(table.tailSchema),
       maxCommitsPerTrigger =
         parameters.get("maxCommitsPerTrigger").map(_.toInt),
-      startingCommit = parameters.get("startingCommit").map(_.toLong))
+      startingCommit = parameters.get("startingCommit").map(_.toLong),
+      metadataPath = Some(metadataPath))
   }
 }
 

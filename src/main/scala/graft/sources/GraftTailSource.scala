@@ -51,7 +51,12 @@ final class GraftTailSource(
       * role, inclusive): skip the historical backlog and tail from a
       * known point. Ignored once a checkpoint exists — the engine then
       * supplies the start offset. */
-    startingCommit: Option[Long] = None)
+    startingCommit: Option[Long] = None,
+    /** the engine-provided per-source checkpoint dir (createSource's
+      * metadataPath) — backs the high-water metadata log that keeps
+      * `maxCommitsPerTrigger` effective ACROSS RESTARTS; None (direct
+      * construction in specs) falls back to in-memory anchoring only */
+    metadataPath: Option[String] = None)
   extends Source {
 
   /** change-log delta dir component (`LakeTable.dataDir`: `d<%08d id>-<hex
@@ -82,19 +87,87 @@ final class GraftTailSource(
     * reveals its start offset (any synthetic floor could offer an end
     * BELOW the checkpoint and regress it).
     *
-    * Bound of that one uncapped batch (spec-pinned in TailSourceSpec
-    * "restart under a backlog"): it spans exactly the restart backlog —
-    * driver cost is the per-commit diff PLAN fan-out, O(backlog
-    * commits), while row data streams through executors as ordinary
-    * bounded scans; nothing data-sized accumulates on the driver. The
+    * With a [[metadataPath]] (every engine-created stream) the anchor
+    * survives restarts via the high-water metadata log, so the first
+    * post-restart offer is capped too (spec-pinned in TailSourceSpec
+    * "restart under a backlog"); the seeded anchor is always ≥ the
+    * committed offset (it is the max end ever handed to getBatch, and
+    * the engine WALs an offset before running its batch), so the capped
+    * offer can never regress the checkpoint. Only a source built
+    * WITHOUT a metadata path (spec harnesses) retains the one uncapped
+    * catch-up batch, whose bound still holds: it spans exactly the
+    * restart backlog — driver cost is the per-commit diff PLAN fan-out,
+    * O(backlog commits), while row data streams through executors as
+    * ordinary bounded scans; nothing data-sized accumulates on the driver. The
     * window is one trigger wide: getBatch anchors the high-water mark,
-    * so the very next offer is capped again. Operators who must bound
-    * even that first plan (e.g. a month-long outage on a busy table)
-    * start a fresh stream with `startingCommit` at a recent snapshot;
-    * the structural fix is the DSv2 streaming API, whose
-    * `latestOffset(start, limit)` receives the start offset — worth
-    * migrating to if Spark removes V1. */
+    * so the very next offer is capped again.
+    *
+    * ACROSS RESTARTS the anchor comes from the source's own metadata
+    * log (below): the checkpointed [[metadataPath]] records the highest
+    * end offset ever handed to getBatch, so a restarted stream seeds
+    * its anchor from disk and the FIRST post-restart offer is already
+    * capped — a month-long outage on a busy table catches up in
+    * cap-sized micro-batches, never one giant plan. This is the
+    * mechanism Spark's own FileStreamSource uses for source-private
+    * restart state (its HDFSMetadataLog under the same path), and it
+    * closes the r9-documented first-trigger gap within V1.
+    *
+    * Why not the DSv2 MicroBatchStream API (whose
+    * `latestOffset(start, limit)` receives the start offset natively —
+    * evaluated for r11 and rejected): DSv2 streaming reads must emit
+    * rows through InputPartition/PartitionReader factories, i.e. the
+    * source itself produces row iterators per partition. This tail's
+    * micro-batches are DERIVED QUERY PLANS — per-commit metadata-column
+    * filters, schema-evolution projections, and (CoW) tombstone
+    * left-anti JOINS — which have no PartitionReader form short of
+    * reimplementing parquet scan + distributed join inside the source.
+    * Delta's streaming source stays on this same V1 Source API for the
+    * same reason; the V1 contract (a batch is a DataFrame) is the right
+    * surface for log-derived change streams, and the one capability
+    * DSv2 would have added is recovered by the metadata log. */
   @volatile private var highWater: Long = Long.MinValue
+
+  // ---- high-water metadata log ----------------------------------------
+  // One empty marker file per anchored end offset, named by the id
+  // (zero-padded so lexical = numeric order) — the HDFSMetadataLog
+  // batch-file shape without the ser/de: creation is atomic-or-exists,
+  // readers take the max name, stale entries are pruned best-effort.
+  // Written only when a cap is configured (uncapped streams never read
+  // the anchor, so they pay no per-trigger metadata write).
+
+  private lazy val hadoopConf = ctx.sparkSession.sessionState.newHadoopConf()
+
+  private def hwDir: Option[org.apache.hadoop.fs.Path] =
+    metadataPath.map(p => new org.apache.hadoop.fs.Path(p, "graft-highwater"))
+
+  /** seed the anchor from the newest marker; called once at construction
+    * so a restarted instance caps its very first offer */
+  locally {
+    if (maxCommitsPerTrigger.isDefined) hwDir.foreach { dir =>
+      val fs = dir.getFileSystem(hadoopConf)
+      if (fs.exists(dir)) {
+        val ids = fs.listStatus(dir).toSeq
+          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+        if (ids.nonEmpty) highWater = ids.max
+      }
+    }
+  }
+
+  private def persistHighWater(id: Long): Unit =
+    if (maxCommitsPerTrigger.isDefined) hwDir.foreach { dir =>
+      val fs = dir.getFileSystem(hadoopConf)
+      val f = new org.apache.hadoop.fs.Path(dir, f"$id%020d")
+      try {
+        fs.mkdirs(dir)
+        fs.createNewFile(f) // atomic create-or-exists; empty marker
+        // prune older markers so the dir stays O(1); best-effort — a
+        // leftover marker only costs one extra listStatus entry
+        fs.listStatus(dir).foreach { s =>
+          val n = scala.util.Try(s.getPath.getName.toLong).toOption
+          if (n.exists(_ < id)) fs.delete(s.getPath, false)
+        }
+      } catch { case _: java.io.IOException => () } // anchor is an optimization
+    }
 
   override def getOffset: Option[OffsetV1] =
     table.log.latestId.flatMap { latest =>
@@ -241,7 +314,10 @@ final class GraftTailSource(
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    highWater = math.max(highWater, offLong(end))
+    if (offLong(end) > highWater) {
+      highWater = offLong(end)
+      persistHighWater(highWater)
+    }
     // inclusive startingCommit → exclusive offset space: commit N first
     StreamingBridge.asStream(batchFrame(
       start.map(offLong).orElse(startingCommit.map(_ - 1)).getOrElse(-1L),

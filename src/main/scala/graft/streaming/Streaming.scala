@@ -104,26 +104,66 @@ object Streaming {
     * values arrive pre-scaled to integer cents, so the accumulated total
     * is identical under ANY micro-batch split (long addition is
     * associative; the double form can drift a ulp when the batch
-    * boundaries change). Same state machine otherwise — one small record
-    * per user, flatMapGroupsWithState in Update mode.
+    * boundaries change).
+    *
+    * Ported (r11) to `transformWithState` — Spark 4's supported
+    * arbitrary-state surface (flatMapGroupsWithState is deprecated;
+    * [[runningTotals]] above deliberately stays on it as the
+    * legacy-surface exemplar). Same state machine: one small
+    * ValueState record per user, Update-mode emission. The new API
+    * requires the RocksDB state store provider
+    * ([[withRocksDbStateStore]] scopes it to the query start) — the
+    * production-correct store anyway: per-key point updates against
+    * 100 TB-scale key spaces need an LSM, not the default
+    * whole-map-in-memory HDFS snapshot provider.
     */
   final case class UserCents(user_id: Long, cents: Long)
   final case class UserCentsTotal(user_id: Long, n_events: Long, total_cents: Long)
 
+  /** per-user running-cents processor: ValueState[(n, total)] updated
+    * per input row, next total emitted per (key, batch-with-data) */
+  final class RunningCentsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserCents, UserCentsTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[UserCentsTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserCentsTotal]("totals",
+        org.apache.spark.sql.Encoders.product[UserCentsTotal], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[UserCents],
+        timers: TimerValues): Iterator[UserCentsTotal] = {
+      val prev = if (totals.exists()) totals.get() else UserCentsTotal(uid, 0L, 0L)
+      var n = prev.n_events; var t = prev.total_cents
+      rows.foreach { e => n += 1; t += e.cents }
+      val next = UserCentsTotal(uid, n, t)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
   def runningCents(events: Dataset[UserCents]): Dataset[UserCentsTotal] = {
     import events.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[UserCentsTotal, UserCentsTotal](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, batch: Iterator[UserCents], state: GroupState[UserCentsTotal]) =>
-          val prev = state.getOption.getOrElse(UserCentsTotal(uid, 0L, 0L))
-          var n = prev.n_events; var t = prev.total_cents
-          batch.foreach { e => n += 1; t += e.cents }
-          val next = UserCentsTotal(uid, n, t)
-          state.update(next)
-          Iterator.single(next)
-      }
+      .transformWithState(new RunningCentsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** `transformWithState` refuses to run on the default HDFS-backed
+    * state store; scope the RocksDB provider to a query's START (the
+    * provider is pinned into the checkpoint at start, so the conf can
+    * be restored immediately after). */
+  def withRocksDbStateStore[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** Streaming exact dedup (the continuous form of `doc_exact_dedup`,

@@ -276,6 +276,93 @@ class ConcurrencySpec extends AnyFunSuite {
       s"timeline has ${t.log.commits.size} commits; ${retried.get()} retries")
   }
 
+  // ---- cross-process races (graft.tools.WriterProc, one JVM each) -----
+  // The in-process seam tests above share a JVM; these pin that the OCC
+  // guard needs NOTHING in-memory — two independent JVMs whose only
+  // shared state is the filesystem race through the same
+  // resolve→barrier→publish window, and atomic create-or-fail of the
+  // commit JSON alone picks one winner. Documents the deployment
+  // assumption explicitly: a store with atomic create-if-absent
+  // (POSIX O_EXCL here; HDFS create / S3 conditional put in prod).
+
+  private def spawnWriter(root: String, vendor: Int, pk: Long, tag: String,
+      syncDir: String, id: String): Process = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cp = "/opt/spark/jars/*:" + new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+      "graft.tools.WriterProc", root, vendor.toString, pk.toString, tag, syncDir, id))
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectOutput(new java.io.File(s"$syncDir/out-$id.log"))
+    pb.redirectErrorStream(true)
+    pb.start()
+  }
+
+  /** run two barriered writer processes to completion → (exitA, exitB) */
+  private def raceProcs(root: String,
+      a: (Int, Long, String), b: (Int, Long, String)): (Int, Int) = {
+    val syncDir = Files.createTempDirectory("xproc_sync").toString
+    val pa = spawnWriter(root, a._1, a._2, a._3, syncDir, "a")
+    val pb = spawnWriter(root, b._1, b._2, b._3, syncDir, "b")
+    try {
+      // release the barrier once BOTH have resolved the same head
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!(Files.exists(java.nio.file.Paths.get(syncDir, "ready-a")) &&
+               Files.exists(java.nio.file.Paths.get(syncDir, "ready-b")))) {
+        assert(System.nanoTime() < deadline, "writers never reached the barrier")
+        assert(pa.isAlive || Files.exists(java.nio.file.Paths.get(syncDir, "ready-a")),
+          s"writer a died before the barrier:\n${readLog(syncDir, "a")}")
+        assert(pb.isAlive || Files.exists(java.nio.file.Paths.get(syncDir, "ready-b")),
+          s"writer b died before the barrier:\n${readLog(syncDir, "b")}")
+        Thread.sleep(50)
+      }
+      Files.write(java.nio.file.Paths.get(syncDir, "go"), Array.empty[Byte])
+      assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "writer a hung")
+      assert(pb.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "writer b hung")
+      (pa.exitValue(), pb.exitValue())
+    } finally { pa.destroyForcibly(); pb.destroyForcibly() }
+  }
+
+  private def readLog(syncDir: String, id: String): String =
+    scala.util.Try(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(syncDir, s"out-$id.log")))).getOrElse("")
+      .linesIterator.toSeq.takeRight(25).mkString("\n")
+
+  test("cross-process same-partition race: one winner, one clean conflict") {
+    val root = freshRoot()
+    val t = LakeTable(spark, cfg(root))
+    t.bulkInsert(df((1L, 1, "base", 0)))
+    val (ea, eb) = raceProcs(root, (1, 10L, "from-a"), (1, 11L, "from-b"))
+    assert(Set(ea, eb) == Set(0, 2),
+      s"expected one commit and one CommitConflict, got exits ($ea, $eb)")
+    val payloads = snap(t).map(_._3)
+    val winner = if (ea == 0) "from-a" else "from-b"
+    val loser = if (ea == 0) "from-b" else "from-a"
+    assert(payloads.contains(winner) && !payloads.contains(loser),
+      s"table must hold exactly the winner's row: $payloads")
+  }
+
+  test("cross-process disjoint-partition race: the loser rebases; both land") {
+    val root = freshRoot()
+    val t = LakeTable(spark, cfg(root))
+    t.bulkInsert(df((1L, 1, "base", 0), (2L, 2, "base", 0)))
+    val (ea, eb) = raceProcs(root, (1, 10L, "from-a"), (2, 20L, "from-b"))
+    assert((ea, eb) == (0, 0),
+      s"both disjoint writers must commit (one via rebase), got ($ea, $eb)")
+    val payloads = snap(t).map(_._3)
+    assert(payloads.contains("from-a") && payloads.contains("from-b"))
+    // the two commits serialized onto distinct successive head ids
+    assert(t.log.commits.map(_.id).distinct.size == t.log.commits.size)
+  }
+
   test("a no-files rebase (emptying delete) racing a rename keeps the rename") {
     val root = freshRoot()
     val w1 = LakeTable(spark, cfg(root))

@@ -157,10 +157,12 @@ class StreamingSpec extends AnyFunSuite {
       .schema(implicitly[org.apache.spark.sql.Encoder[UserCents]].schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$src/*").as[UserCents]
-    val q = graft.streaming.Streaming.runningCents(stream)
-      .writeStream.outputMode("update")
-      .format("memory").queryName("cents_totals")
-      .start()
+    val q = graft.streaming.Streaming.withRocksDbStateStore(spark) {
+      graft.streaming.Streaming.runningCents(stream)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("cents_totals")
+        .start()
+    }
     try {
       q.processAllAvailable()
       Seq(UserCents(1L, 250), UserCents(3L, 100)).toDS()

@@ -322,43 +322,97 @@ class TailSourceSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == (1 to 6).map(100L + _).toSet)
   }
 
-  test("restart under a backlog: first batch uncapped but exact; caps re-engage") {
-    // The V1 Source API reveals the checkpointed start only at the first
-    // getBatch, so a RESTARTED capped stream's first offer necessarily
-    // spans the whole restart backlog (GraftTailSource.getOffset doc).
-    // This pins the documented bound: (a) that one batch is still
-    // row-exact over a wide commit range — its cost is O(backlog
-    // commits) driver-side plan fan-out, not data accumulation, since
-    // each commit contributes a lazily-unioned file scan; (b) the very
-    // next offer anchors on the handled end and is capped again, so the
-    // uncapped window is exactly one trigger wide.
+  test("restart under a backlog: metadata-log anchor caps the FIRST offer") {
+    // r11: the high-water metadata log under the source's checkpoint
+    // dir seeds the admission-control anchor across restarts, so a
+    // restarted capped stream's very first offer is already capped —
+    // the r9-documented one-uncapped-batch window is closed for every
+    // engine-created stream (which always has a metadataPath).
     val t = build(freshRoot(), 2)
     val cap = 3
+    val mp = Files.createTempDirectory("tail_mp").toString
     // phase 1: capped stream consumes commits 1..2, checkpoint at 2
     val src1 = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
-      maxCommitsPerTrigger = Some(cap))
+      maxCommitsPerTrigger = Some(cap), metadataPath = Some(mp))
     src1.getBatch(None, LongOffset(2L))
     // phase 2: a 30-commit backlog accumulates while the stream is down
     (3 to 32).foreach(i => t.upsert(df((100L + i, 1, s"u$i", i))))
     val head = t.log.latestId.get
-    // phase 3: restart = fresh source instance, checkpoint start = 2
+    // phase 3: restart = fresh source instance over the SAME metadata
+    // path; the anchor seeds from disk and the first offer is capped
+    val src2 = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
+      maxCommitsPerTrigger = Some(cap), metadataPath = Some(mp))
+    assert(src2.getOffset.contains(LongOffset(2L + cap)),
+      "first post-restart offer must cap at checkpointed-end + cap")
+    // the capped catch-up batch is exact; caps keep engaging
+    val rows = src2.batchFrame(2L, 2L + cap)
+      .select("pk").collect().map(_.getLong(0)).toSeq
+    assert(rows.toSet == (3 to 5).map(100L + _).toSet)
+    src2.getBatch(Some(LongOffset(2L)), LongOffset(2L + cap))
+    assert(src2.getOffset.contains(LongOffset(2L + 2 * cap)))
+    // a capped offer may never regress the checkpoint — seeded anchor
+    // is >= the committed end by construction
+    assert(2L + cap >= 2L)
+  }
+
+  test("restart under a backlog: a BARE source (no metadata path) stays uncapped-but-exact") {
+    // direct construction without a metadataPath (this harness) keeps
+    // the pre-r11 contract: the V1 API reveals the checkpointed start
+    // only at the first getBatch, so the first offer spans the backlog —
+    // row-exact, O(backlog commits) of driver plan fan-out, one trigger
+    // wide — and the cap re-engages immediately after.
+    val t = build(freshRoot(), 2)
+    val cap = 3
+    val src1 = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
+      maxCommitsPerTrigger = Some(cap))
+    src1.getBatch(None, LongOffset(2L))
+    (3 to 32).foreach(i => t.upsert(df((100L + i, 1, s"u$i", i))))
+    val head = t.log.latestId.get
     val src2 = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
       maxCommitsPerTrigger = Some(cap))
     assert(src2.getOffset.contains(LongOffset(head)),
       "first post-restart offer has no anchor and spans the backlog")
-    // the uncapped catch-up batch is exact: exactly the backlog's rows
     val rows = src2.batchFrame(2L, head)
       .select("pk").collect().map(_.getLong(0)).toSeq
     assert(rows.size == 30 && rows.toSet == (3 to 32).map(100L + _).toSet,
       "uncapped catch-up batch must carry the backlog exactly once")
     src2.getBatch(Some(LongOffset(2L)), LongOffset(head))
-    // cap re-engages immediately after the engine hands over the batch
     t.upsert(df((999L, 1, "next", 99)))
     t.upsert(df((998L, 1, "next2", 99)))
     t.upsert(df((997L, 1, "next3", 99)))
     t.upsert(df((996L, 1, "next4", 99)))
     assert(src2.getOffset.contains(LongOffset(head + cap)),
       s"post-restart offers must re-cap at handled-end + $cap")
+  }
+
+  test("end-to-end: a capped stream restarts into cap-sized micro-batches") {
+    val t = build(freshRoot(), 4) // commits 0..4
+    val cap = 2
+    val ckpt = Files.createTempDirectory("restart_ckpt").toString
+    val out = Files.createTempDirectory("restart_out").toString
+    def runOnce(): Unit = {
+      val q = t.tailStream(maxCommitsPerTrigger = Some(cap))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def batches(): Int = // numeric offset-log entries only (skip .crc)
+      new java.io.File(s"$ckpt/offsets").list()
+        .count(n => scala.util.Try(n.toLong).isSuccess)
+    runOnce()
+    val batchesBefore = batches()
+    // a 6-commit backlog accumulates while the stream is down
+    (5 to 10).foreach(i => t.upsert(df((100L + i, 1, s"u$i", i))))
+    runOnce()
+    val batchesAfter = batches()
+    // the anchor survived the restart: 6 commits drain as 3 batches of
+    // `cap`, never one catch-up batch
+    assert(batchesAfter - batchesBefore == 3,
+      s"expected 3 capped catch-up batches, got ${batchesAfter - batchesBefore}")
+    // and the rows are exactly-once regardless of batching
+    assert(spark.read.parquet(out).select("pk").collect()
+      .map(_.getLong(0)).toSet == (1 to 10).map(100L + _).toSet)
   }
 
   test("CoW tail: per-trigger schema-index fold is O(new commits), not O(timeline)") {
