@@ -52,6 +52,35 @@ object ScaleCheck {
     Seq("fuzzy_name_pairs", "doc_ngram_jaccard_pairs", "lake_tail_changes")
   private val ExtremeMult = 50
 
+  /** Audit-only variants. The catalog's lake_tail_changes sinks to
+    * `format("memory")` — the right harness for the DuckDB oracle (the
+    * result must come back as a queryable DataFrame) but a
+    * DRIVER-materializing shape: at 100x the memory sink collects the
+    * whole ~40M-row tail as task results (found by this audit: 2.8 GiB
+    * > maxResultSize). A production tail sinks distributively, so the
+    * audit measures the replay with a parquet sink instead — the
+    * engine-side cost (commit-log reads + per-commit file scans +
+    * distributed write) with zero driver materialization. Applied at
+    * EVERY mult so ratios compare like with like. */
+  private def tailToParquet(s: SparkSession, d: String): DataFrame = {
+    val t = ops.Lake.morCdcTable(s, d)
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"/tmp/graft_scale_sink/tail_$tag"
+    val ckpt = s"/tmp/graft_scale_sink/tail_ckpt_$tag"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(out, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val q = t.tailStream().writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+  }
+
+  private val overrides: Map[String, (SparkSession, String) => DataFrame] =
+    Map("lake_tail_changes" -> (tailToParquet _))
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mults = (if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)).sorted
@@ -89,8 +118,11 @@ object ScaleCheck {
       // regime-comparable; beyond that, partitions grow with volume.
       spark.conf.set("spark.sql.shuffle.partitions",
         math.min(2048, cpus.toInt * math.max(1, m / 10)).toString)
-      for (name <- if (m >= ExtremeMult) watchedExtreme else watched) {
-        val fn = SparkEntry.queries(name)
+      // dev-only filter (comma-separated names), mirroring Verify/Bench
+      val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+      for (name <- (if (m >= ExtremeMult) watchedExtreme else watched)
+             .filter(n => only.forall(_.contains(n)))) {
+        val fn = overrides.getOrElse(name, SparkEntry.queries(name))
         fn(spark, dir).count() // warm: fixture/index builds + page cache
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()
@@ -119,9 +151,14 @@ object ScaleCheck {
     val dir = s"/tmp/graft_scale/${base.replaceAll("[^A-Za-z0-9.]", "_")}_x$m"
     val done = java.nio.file.Paths.get(s"$dir/_REPLICA_DONE")
     val fingerprint = {
+      // layout version prefix: bumping it invalidates replicas built by
+      // an older ScaleCheck whose extreme-mult dirs carried fewer
+      // tables (r10 wrote only customer at 100x — a fingerprint match
+      // alone would reuse that dir and fail on the missing tables)
+      val layout = "layout-v2\n"
       val root = java.nio.file.Paths.get(base)
       val walk = java.nio.file.Files.walk(root)
-      try walk.sorted().toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      try layout + walk.sorted().toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
         .filter(java.nio.file.Files.isRegularFile(_))
         .map(p => s"$p:${java.nio.file.Files.size(p)}:" +
           s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")

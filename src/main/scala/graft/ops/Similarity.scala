@@ -467,7 +467,28 @@ object Similarity {
     // is cell-bounded (Σ n_c², never N²); see [[semanticDedup]]
     GQuery("emb_semantic_dedup",
       (s, d) => semanticDedup(s, d),
-      Some(semanticDedupOracleSql))
+      Some(semanticDedupOracleSql)),
+
+    // ---- k-means clustering surfaced as an operator -------------------
+    // the deterministic Lloyd quantizer as a first-class clustering
+    // query (cluster cardinalities + canonical member) — the structure
+    // SemDeDup and IVF probing build on, and the corpus-partitioning
+    // signal a curation pipeline inspects directly (cluster balance,
+    // coverage). One shuffle of (cell) scalars; assignment is the
+    // codegen'd per-row argmin, centroids load from the persisted lake
+    // table.
+    GQuery("emb_kmeans_cells",
+      (s, d) => assignCells(corpus(s, d), ivfCentroids(s, d))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"), min("vec_id").as("min_vec"))
+        .orderBy("cell"),
+      Some(s"""WITH $ivfLloydCtes,
+        fd AS (SELECT tv.vec_id, c.cell, sum((tv.t - c.w) * (tv.t - c.w)) AS d2
+               FROM tv JOIN c$IvfIters c ON c.i = tv.i GROUP BY 1, 2),
+        af AS (SELECT vec_id, cell FROM fd
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1)
+        SELECT cell, count(*) AS n_members, min(vec_id) AS min_vec
+        FROM af GROUP BY 1 ORDER BY cell"""))
   )
 
 

@@ -688,6 +688,82 @@ object Text {
         WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
         ORDER BY doc_id""")),
 
+    // ---- end-to-end curation pipeline (the composite flagship) --------
+    // The full training-data prep chain as ONE declarative plan:
+    //   near-dup keep-one (exact dups pair at J = 1, so the cluster
+    //   graph subsumes exact dedup) → quality filter (the
+    //   doc_quality_score rule) → BPE tokenize (real token counts) →
+    //   pack into 256-token training sequences.
+    // Each stage is the already-oracle-proven operator; what this entry
+    // pins is their COMPOSITION — filters and projections flow through
+    // the whole chain as one Catalyst plan (dedup survivors prune
+    // before tokenization; tokenization streams per-row; only the final
+    // pack shuffles, on 8 content-hash streams), which is exactly how
+    // the stages compose at 100 TB instead of materializing between
+    // steps. Output: (doc_id, bucket, seq) — the training-sequence
+    // assignment of every surviving document.
+    GQuery("doc_curation_pipeline",
+      (s, d) => {
+        val clusters = cachedClusters(s, d)
+        val en = langSets.head._2
+        val surv = T.documents(s, d)
+          .join(clusters.filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id")), Seq("doc_id"), "left_anti")
+        val kept = surv.withColumn("tk", toks)
+          .withColumn("punct_x10k",
+            floor(length(regexp_replace(col("text"), "[^\\p{Punct}]", ""))
+              * lit(10000.0) / expr("nullif(length(text), 0)")))
+          .withColumn("digit_x10k",
+            floor(length(regexp_replace(col("text"), "[^0-9]", ""))
+              * lit(10000.0) / expr("nullif(length(text), 0)")))
+          .withColumn("stopword_x10k",
+            floor(expr(s"size(filter(tk, t -> t IN (${sqlList(en)})))")
+              * lit(10000.0) / size(col("tk"))))
+          .filter(length(col("text")) >= 50 && col("punct_x10k") < 2000 &&
+            col("digit_x10k") < 3000 && col("stopword_x10k") >= 300)
+        val withTok = kept.withColumn("tok",
+          size(Tokenize.encodeExpr("text", Tokenize.FixedMerges)).cast("long"))
+        Prep.packSequences(withTok, "doc_id", "tok", budget = 256, buckets = 8)
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = sqlList(langSets.head._2)
+        s"""WITH RECURSIVE $jaccardCtes, $jpairsCte,
+        edges AS (SELECT doc_a AS s, doc_b AS t FROM jpairs
+                  UNION SELECT doc_b, doc_a FROM jpairs),
+        reach AS (SELECT s AS id, s AS r FROM edges
+                  UNION
+                  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+        clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        surv AS (SELECT * FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)),
+        kept AS (SELECT doc_id, text FROM surv
+          WHERE length(text) >= 50
+            AND floor(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                  * 10000.0 / nullif(length(text), 0)) < 2000
+            AND floor(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  * 10000.0 / nullif(length(text), 0)) < 3000
+            AND floor(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  t -> t IN ($en))) * 10000.0
+                  / len(string_split_regex(lower(trim(text)), '\\s+'))) >= 300),
+        ${Tokenize.symsCte(Tokenize.FixedMerges, from = "kept")},
+        d0 AS (SELECT k.doc_id,
+            ('0x' || substr(md5(k.doc_id::VARCHAR || ':pack'), 1, 8))::BIGINT % 8 AS bucket,
+            CAST(coalesce(len(sy), 0) AS BIGINT) AS tok
+          FROM kept k LEFT JOIN syms ON syms.doc_id = k.doc_id),
+        dd AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+               FROM d0),
+        packed AS (
+          SELECT bucket, rn, doc_id, tok, tok AS acc, 0::BIGINT AS seq
+          FROM dd WHERE rn = 1
+          UNION ALL
+          SELECT dd.bucket, dd.rn, dd.doc_id, dd.tok,
+            CASE WHEN p.acc + dd.tok > 256 THEN dd.tok ELSE p.acc + dd.tok END,
+            CASE WHEN p.acc + dd.tok > 256 THEN p.seq + 1 ELSE p.seq END
+          FROM packed p JOIN dd ON dd.bucket = p.bucket AND dd.rn = p.rn + 1)
+        SELECT doc_id, bucket, seq FROM packed ORDER BY doc_id"""
+      }),
+
     // ---- near-dup: MinHash + LSH banding (candidate gen + verify) -----
     // Portable universal-hash signatures (see MinHashP/PermA/PermB above)
     // make the whole candidate-generation + verify pipeline replayable in

@@ -184,9 +184,12 @@ object Tokenize {
   private def vocabValues(merges: Seq[(String, String)]): String =
     vocab(merges).map { case (t, i) => s"(${q(t)},$i)" }.mkString(", ")
 
-  /** shared oracle CTE: doc_id → filtered symbol list `sy` */
-  private def symsCte(merges: Seq[(String, String)]): String =
-    s"""enc AS (SELECT doc_id, ${encodeSqlDuck("text", merges)} AS s FROM documents),
+  /** shared oracle CTE: doc_id → filtered symbol list `sy`; `from` lets
+    * composite pipelines (ops.Text doc_curation_pipeline) tokenize a
+    * filtered CTE instead of the raw table */
+  private[graft] def symsCte(merges: Seq[(String, String)],
+      from: String = "documents"): String =
+    s"""enc AS (SELECT doc_id, ${encodeSqlDuck("text", merges)} AS s FROM $from),
     syms AS (SELECT doc_id,
         list_filter(string_split(trim(s), '  '), x -> x <> '|' AND x <> '') AS sy
       FROM enc WHERE s IS NOT NULL)"""
@@ -235,6 +238,25 @@ object Tokenize {
             CASE WHEN p.acc + d.tok > 256 THEN d.tok ELSE p.acc + d.tok END,
             CASE WHEN p.acc + d.tok > 256 THEN p.seq + 1 ELSE p.seq END
           FROM packed p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
-        SELECT doc_id, bucket, seq FROM packed ORDER BY doc_id"""))
+        SELECT doc_id, bucket, seq FROM packed ORDER BY doc_id""")),
+
+    // corpus token statistics under the frozen vocabulary: occurrence
+    // count and character mass per token — the tokenizer-health view
+    // (compression ratio, vocab utilization, which merges earn their
+    // ids) a pipeline inspects after retraining a tokenizer. One
+    // vocabulary-scale aggregation over the per-row encode stream.
+    GQuery("doc_bpe_stats",
+      (s, d) => bpeEncode(T.documents(s, d), "doc_id", "text")
+        .groupBy("token", "token_id")
+        .agg(count(lit(1)).as("n"),
+          (length(col("token")) * count(lit(1))).as("char_mass"))
+        .orderBy(col("n").desc, col("token_id")),
+      Some(s"""WITH vocab(token, token_id) AS (VALUES ${vocabValues(FixedMerges)}),
+        ${symsCte(FixedMerges)},
+        tok AS (SELECT doc_id, unnest(sy) AS token FROM syms)
+        SELECT t.token, v.token_id, count(*) AS n,
+          CAST(length(t.token) * count(*) AS BIGINT) AS char_mass
+        FROM tok t JOIN vocab v ON v.token = t.token
+        GROUP BY 1, 2 ORDER BY n DESC, token_id"""))
   )
 }

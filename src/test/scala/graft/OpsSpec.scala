@@ -496,6 +496,27 @@ class OpsSpec extends AnyFunSuite {
       s"candidate set $candidates not meaningfully below all-pairs ${n * (n - 1) / 2}")
   }
 
+  test("curation pipeline: stage-consistent output and pack-budget invariant") {
+    val out = run("doc_curation_pipeline").collect()
+    assert(out.nonEmpty, "pipeline should keep some documents at sf0.001")
+    // survivors are a subset of semantic-dedup survivors (quality can
+    // only filter further)
+    val dedupSurv = run("doc_dedup_semantic").collect().map(_.getLong(0)).toSet
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids.subsetOf(dedupSurv))
+    // pack-budget invariant: each (bucket, seq) holds ≤ 256 BPE tokens,
+    // unless it is a single oversized document
+    val toks = ops.Tokenize
+      .bpeEncode(Tables.documents(spark, sf), "doc_id", "text")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(r => (r.getLong(1), r.getLong(2))).foreach { case (k, rows) =>
+      val total = rows.map(r => toks.getOrElse(r.getLong(0), 0L)).sum
+      assert(total <= 256 || rows.length == 1,
+        s"sequence $k overflows the 256-token budget with ${rows.length} docs ($total)")
+    }
+  }
+
   test("near-dup candidate generation never shuffles payload columns") {
     // force shuffle joins (and a non-adaptive plan, so exchanges are
     // visible pre-execution) so the assertion bites even at fixture scale
