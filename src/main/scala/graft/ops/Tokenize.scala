@@ -17,14 +17,20 @@ import graft.{GQuery, Tables => T}
   *    At 100 TB the word table of any natural-language corpus is
   *    millions of rows against trillions of tokens; training cost is
   *    independent of corpus growth once counts are in.
-  *  - [[encodeExpr]]: greedy encode as a chain of codegen'd string
-  *    `replace` calls — NO UDF, NO mapPartitions, NO shuffle. Symbols
-  *    are spread out with a two-space separator and each merge (l, r)
-  *    rewrites " l  r " → " lr ": the pattern consumes only the INNER
-  *    space of each boundary, so consecutive occurrences stay matchable
-  *    and plain left-to-right replace-all gives exactly the non-overlap
+  *  - [[encodeExpr]]: greedy encode as the native one-pass
+  *    [[graft.functions.BpeEncode]] expression (memoized per-word
+  *    merge loop) — NO UDF, NO mapPartitions, NO shuffle. The DuckDB
+  *    oracle replays the same semantics through a DIFFERENT algorithm:
+  *    a chain of string `replace` calls over symbols spread out with a
+  *    two-space separator, where each merge (l, r) rewrites
+  *    " l  r " → " lr " — the pattern consumes only the INNER space of
+  *    each boundary, so consecutive occurrences stay matchable and
+  *    plain left-to-right replace-all gives exactly the non-overlap
   *    merge order BPE specifies. Word boundaries are a '|' symbol cell
-  *    that no merge pair can touch (the alphabet is [a-z0-9]).
+  *    that no merge pair can touch (the alphabet is [a-z0-9]); the
+  *    native form scans word runs directly. Two independent
+  *    implementations agreeing bit-for-bit IS the correctness
+  *    argument.
   *
   * Encode applies merges IN RANK ORDER, EACH TO EXHAUSTION — equivalent
   * to the textbook "repeatedly merge the lowest-rank adjacent pair"
@@ -131,25 +137,20 @@ object Tokenize {
 
   // ---- encoding --------------------------------------------------------
 
-  /** array<string> of BPE tokens for a text column — one codegen'd
-    * expression tree (regex split to symbol cells, one `replace` per
-    * merge, split back), zero shuffles: encode streams through a scan
-    * at I/O speed like the other [[Prep]] per-row operators. */
+  /** array<string> of BPE tokens for a text column — the native
+    * one-pass [[graft.functions.BpeEncode]] expression (memoized
+    * per-word encode; zero shuffles, streams through the scan). The
+    * DuckDB oracle replays the SAME semantics through a genuinely
+    * different algorithm — a chain of string `replace` calls over
+    * double-spaced symbol cells ([[encodeSqlDuck]]); a pure-SQL
+    * replace-chain engine form was the first implementation and was
+    * replaced by measurement: it re-materializes the ~6×-inflated
+    * symbol string once per merge, 1.10 s vs ~0.04 s per core on the
+    * sf0.1 corpus, a constant that matters when tokenization touches
+    * every byte of 100 TB. */
   def encodeExpr(textCol: String, merges: Seq[(String, String)]): Column = {
     requireWellFormed(merges)
-    // '  '-separated symbol cells; words joined by a '|' cell; two
-    // spaces at both ends so every symbol has a full boundary. NULL for
-    // a text with no word characters (filtered to an empty token list).
-    var s = s"""concat('  ', regexp_replace(
-      nullif(trim(BOTH '|' FROM regexp_replace(lower($textCol), '[^a-z0-9]+', '|')), ''),
-      '(.)', '$$1  '))"""
-    merges.foreach { case (l, r) =>
-      s = s"replace($s, ' $l  $r ', ' $l$r ')"
-    }
-    expr(s"""CASE WHEN $textCol IS NULL THEN CAST(array() AS array<string>)
-      ELSE coalesce(
-        filter(split(trim($s), '  '), x -> x != '|' AND x != ''),
-        CAST(array() AS array<string>)) END""")
+    graft.functions.BpeEncode.encode(col(textCol), merges)
   }
 
   /** (idCol, pos, token, token_id) — exploded token stream; ids come
