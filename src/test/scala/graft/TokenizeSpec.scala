@@ -115,6 +115,42 @@ class TokenizeSpec extends AnyFunSuite {
     assert(!byDoc.contains(3L) && !byDoc.contains(4L) && !byDoc.contains(5L))
   }
 
+  test("property: encode == reference under RANDOM well-formed merge tables") {
+    import spark.implicits._
+    // 6 independently-grown random merge tables (each operand drawn
+    // from base chars + earlier merge results, duplicates rejected —
+    // the well-formedness invariant the trainer guarantees), each
+    // against 60 random words incl. pathological repeats. The engine
+    // expression and the buffer-based reference share no code.
+    val rnd = new scala.util.Random(20260814)
+    val alphabet = "abcdehor01"
+    (1 to 6).foreach { trial =>
+      val avail = scala.collection.mutable.ArrayBuffer[String](
+        alphabet.map(_.toString): _*)
+      val made = scala.collection.mutable.Set[String](avail.toSeq: _*)
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (merges.size < 12) {
+        val l = avail(rnd.nextInt(avail.size))
+        val r = avail(rnd.nextInt(avail.size))
+        if (!made(l + r) && (l + r).length <= 8) {
+          merges += ((l, r)); avail += (l + r); made += (l + r)
+        }
+      }
+      val words = Seq("aaaaaa", "abab", "deed", "o0o0o") ++
+        (1 to 56).map(_ => (1 to rnd.nextInt(10) + 1)
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+          ops.Tokenize.encodeExpr("text", merges.toSeq).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        assert(got(i.toLong) == refEncode(w, merges.toSeq),
+          s"trial $trial word $w merges ${merges.mkString(" ")}")
+      }
+    }
+  }
+
   test("vocab ids are dense, unique, and stable under the frozen merges") {
     val v = Tokenize.vocab(Tokenize.FixedMerges)
     assert(v.map(_._2) == v.indices)
