@@ -136,6 +136,15 @@ object GraftExtensions {
         require(args.length == 3, "winnow_fp(tokens, k, w) takes three arguments")
         functions.WinnowFingerprint(args(0),
           intArg(args(1), "k"), intArg(args(2), "w"))
+      }),
+    (FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[functions.BpeEncode].getCanonicalName, "bpe_encode"),
+      (args: Seq[Expression]) => {
+        // the engine's frozen merge table (ops.Tokenize.FixedMerges) —
+        // the SQL surface mirrors the catalog queries; a custom merge
+        // table goes through the Scala API (Tokenize.encodeExpr)
+        require(args.length == 1, "bpe_encode(text) takes one string argument")
+        functions.BpeEncode(args.head, ops.Tokenize.FixedMerges)
       }))
 
   // ---- table-valued functions over lake tables ------------------------

@@ -298,6 +298,9 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getString(0) == "mail <EMAIL> now")
     assert(r2.getSeq[Long](1) == Seq(63L, -127L))
     assert(r2.getLong(2) >= 0 && r2.getLong(2) < 10000)
+    // BPE encode rides the same registration (frozen merge table)
+    val r3 = spark.sql("SELECT bpe_encode('hash join xyz') AS t").collect()(0)
+    assert(r3.getSeq[String](0) == Seq("hash", "join", "x", "y", "z"))
   }
 
   test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
