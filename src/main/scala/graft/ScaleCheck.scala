@@ -38,7 +38,16 @@ object ScaleCheck {
     // watermark-bounded stream-stream join: the scale claim under test is
     // that per-row cost stays constant because join STATE is bounded by
     // the watermark interval, not by stream volume
-    "stream_interval_join")
+    "stream_interval_join",
+    // r11: raw tokenizer throughput (per-row encode + explode + id join).
+    // doc_curation_pipeline is deliberately NOT here: the replica's
+    // token salting (required for pairwise isolation) suffixes every
+    // word, so the quality stage's stopword ratio reads 0 and the
+    // pipeline filters ALL replica docs — a 0-row plan measures
+    // nothing. Its stages are audited individually instead (the
+    // jaccard/cluster join at 10x AND 100x, the tokenizer here, the
+    // pack shape via doc_seq_pack's content-hash streams).
+    "doc_bpe_encode")
 
   /** At extreme mults (the 100x point) only the heaviest queries run,
     * and the replica builds only the tables they read (customer,
