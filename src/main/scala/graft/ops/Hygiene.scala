@@ -193,16 +193,17 @@ object Hygiene {
       .join(tc, Seq("b"), "left").na.fill(0L, Seq("ct"))
       .join(rc, "b") // raw docs' own buckets always have cr >= 1
       .crossJoin(broadcast(tn)).crossJoin(broadcast(rn))
-      // fail fast on an empty partition: sum() over zero rows is NULL,
-      // which would silently turn every logw NULL instead of erroring
-      // (ADVICE r10) — an empty target/raw side means the importance
-      // model is undefined, not that every weight is unknown
+      // fail fast on an empty TARGET partition: sum() over zero rows is
+      // NULL, which would silently turn every logw NULL instead of
+      // erroring (ADVICE r10) — no target rows means the importance
+      // model is undefined, not that every weight is unknown. The raw
+      // side needs no guard: every output row descends from a raw-doc
+      // bucket join, so "no raw rows" yields the EMPTY result — which
+      // is the correct answer (there is nothing to weight), not a
+      // silent failure.
       .withColumn("nt", when(col("nt").isNull, raise_error(lit(
         "dsirWeights: targetPred matched no rows — importance weights undefined")))
         .otherwise(col("nt")))
-      .withColumn("nr", when(col("nr").isNull, raise_error(lit(
-        "dsirWeights: no raw (non-target) rows — importance weights undefined")))
-        .otherwise(col("nr")))
       .withColumn("lr",
         log((col("ct") + lit(1)).cast("double") / (col("nt") + lit(buckets))) -
         log((col("cr") + lit(1)).cast("double") / (col("nr") + lit(buckets))))

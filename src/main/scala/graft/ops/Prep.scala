@@ -125,6 +125,32 @@ object Prep {
       .toDF("doc_id", "bucket", "seq")
   }
 
+  /** DuckDB replay of [[packSequences]] — the ONE definition of the
+    * recursive next-fit CTE every pack oracle composes (doc_seq_pack,
+    * doc_bpe_pack, doc_curation_pipeline must agree on the exact
+    * bucket hash and accumulator rules or a semantics change would
+    * silently desynchronize one of them). `src` is a CTE providing
+    * (doc_id, tok); the caller appends
+    * `SELECT doc_id, bucket, seq FROM packed`. CTE names are
+    * pk-prefixed to stay collision-free inside composite oracles.
+    */
+  private[graft] def packOracleCtes(
+      src: String, budget: Long = 256, buckets: Int = 8): String =
+    s"""pk0 AS (SELECT doc_id,
+          ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 8))::BIGINT % $buckets AS bucket,
+          tok
+        FROM $src),
+    pkd AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+            FROM pk0),
+    packed AS (
+      SELECT bucket, rn, doc_id, tok, tok AS acc, 0::BIGINT AS seq
+      FROM pkd WHERE rn = 1
+      UNION ALL
+      SELECT pkd.bucket, pkd.rn, pkd.doc_id, pkd.tok,
+        CASE WHEN p.acc + pkd.tok > $budget THEN pkd.tok ELSE p.acc + pkd.tok END,
+        CASE WHEN p.acc + pkd.tok > $budget THEN p.seq + 1 ELSE p.seq END
+      FROM packed p JOIN pkd ON pkd.bucket = p.bucket AND pkd.rn = p.rn + 1)"""
+
   // ---- fixture queries ------------------------------------------------
 
   val queries: Seq[GQuery] = Seq(
@@ -168,21 +194,11 @@ object Prep {
           expr("CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)")),
         "doc_id", "tok", budget = 256, buckets = 8)
         .orderBy("doc_id"),
-      Some("""WITH RECURSIVE d0 AS (
+      Some(s"""WITH RECURSIVE sp AS (
           SELECT doc_id,
-            ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 8))::BIGINT % 8 AS bucket,
             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok
           FROM documents),
-        d AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
-              FROM d0),
-        packed AS (
-          SELECT bucket, rn, doc_id, tok, tok AS acc, 0::BIGINT AS seq
-          FROM d WHERE rn = 1
-          UNION ALL
-          SELECT d.bucket, d.rn, d.doc_id, d.tok,
-            CASE WHEN p.acc + d.tok > 256 THEN d.tok ELSE p.acc + d.tok END,
-            CASE WHEN p.acc + d.tok > 256 THEN p.seq + 1 ELSE p.seq END
-          FROM packed p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+        ${packOracleCtes("sp")}
         SELECT doc_id, bucket, seq FROM packed ORDER BY doc_id""")),
 
     GQuery("emb_quantize",

@@ -185,12 +185,16 @@ object Text {
     else "naive"
   }
 
+  /** the ONE decision point mapping a chosen form to its join */
+  private def jaccardPairsByForm(form: String, documents: DataFrame,
+      minJ: Double): DataFrame =
+    if (form == "prefix") jaccardPairsPrefix(documents, minJ)
+    else jaccardPairsFrom(documents, minJ)
+
   /** exact-Jaccard pairs through the [[chooseJaccardForm]] dispatch */
   def jaccardPairsAuto(documents: DataFrame, minJ: Double,
       sampleMod: Int = 4): DataFrame =
-    if (chooseJaccardForm(documents, sampleMod) == "prefix")
-      jaccardPairsPrefix(documents, minJ)
-    else jaccardPairsFrom(documents, minJ)
+    jaccardPairsByForm(chooseJaccardForm(documents, sampleMod), documents, minJ)
 
   /** fixture-path memo: the probe is a one-time-per-corpus decision, so
     * the catalog entry resolves it once per sf dir (the same memo
@@ -641,11 +645,11 @@ object Text {
 
     // ---- near-dup: exact Jaccard on word trigrams (inverted index) ----
     GQuery("doc_ngram_jaccard_pairs",
-      // routed through the corpus-statistics dispatch ([[chooseJaccardForm]]);
-      // both forms are pair-identical so the oracle is unchanged
-      (s, d) => (if (jaccardFormFor(s, d) == "prefix")
-          jaccardPairsPrefix(T.documents(s, d), 0.5)
-        else jaccardPairs(s, d, 0.5)).orderBy("doc_a", "doc_b"),
+      // routed through the corpus-statistics dispatch ([[chooseJaccardForm]],
+      // memoized per sf dir); both forms are pair-identical so the
+      // oracle is unchanged
+      (s, d) => jaccardPairsByForm(jaccardFormFor(s, d), T.documents(s, d), 0.5)
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $jaccardCtes
         SELECT doc_a, doc_b,
           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
@@ -747,20 +751,9 @@ object Text {
                   t -> t IN ($en))) * 10000.0
                   / len(string_split_regex(lower(trim(text)), '\\s+'))) >= 300),
         ${Tokenize.symsCte(Tokenize.FixedMerges, from = "kept")},
-        d0 AS (SELECT k.doc_id,
-            ('0x' || substr(md5(k.doc_id::VARCHAR || ':pack'), 1, 8))::BIGINT % 8 AS bucket,
-            CAST(coalesce(len(sy), 0) AS BIGINT) AS tok
-          FROM kept k LEFT JOIN syms ON syms.doc_id = k.doc_id),
-        dd AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
-               FROM d0),
-        packed AS (
-          SELECT bucket, rn, doc_id, tok, tok AS acc, 0::BIGINT AS seq
-          FROM dd WHERE rn = 1
-          UNION ALL
-          SELECT dd.bucket, dd.rn, dd.doc_id, dd.tok,
-            CASE WHEN p.acc + dd.tok > 256 THEN dd.tok ELSE p.acc + dd.tok END,
-            CASE WHEN p.acc + dd.tok > 256 THEN p.seq + 1 ELSE p.seq END
-          FROM packed p JOIN dd ON dd.bucket = p.bucket AND dd.rn = p.rn + 1)
+        cp AS (SELECT k.doc_id, CAST(coalesce(len(sy), 0) AS BIGINT) AS tok
+               FROM kept k LEFT JOIN syms ON syms.doc_id = k.doc_id),
+        ${Prep.packOracleCtes("cp")}
         SELECT doc_id, bucket, seq FROM packed ORDER BY doc_id"""
       }),
 

@@ -225,20 +225,9 @@ object Tokenize {
         "doc_id", "tok", budget = 256, buckets = 8)
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE ${symsCte(FixedMerges)},
-        d0 AS (SELECT dd.doc_id,
-            ('0x' || substr(md5(dd.doc_id::VARCHAR || ':pack'), 1, 8))::BIGINT % 8 AS bucket,
-            CAST(coalesce(len(sy), 0) AS BIGINT) AS tok
-          FROM documents dd LEFT JOIN syms ON syms.doc_id = dd.doc_id),
-        d AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
-              FROM d0),
-        packed AS (
-          SELECT bucket, rn, doc_id, tok, tok AS acc, 0::BIGINT AS seq
-          FROM d WHERE rn = 1
-          UNION ALL
-          SELECT d.bucket, d.rn, d.doc_id, d.tok,
-            CASE WHEN p.acc + d.tok > 256 THEN d.tok ELSE p.acc + d.tok END,
-            CASE WHEN p.acc + d.tok > 256 THEN p.seq + 1 ELSE p.seq END
-          FROM packed p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+        bp AS (SELECT dd.doc_id, CAST(coalesce(len(sy), 0) AS BIGINT) AS tok
+               FROM documents dd LEFT JOIN syms ON syms.doc_id = dd.doc_id),
+        ${Prep.packOracleCtes("bp")}
         SELECT doc_id, bucket, seq FROM packed ORDER BY doc_id""")),
 
     // corpus token statistics under the frozen vocabulary: occurrence

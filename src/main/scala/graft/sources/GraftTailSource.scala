@@ -132,42 +132,71 @@ final class GraftTailSource(
   // (zero-padded so lexical = numeric order) — the HDFSMetadataLog
   // batch-file shape without the ser/de: creation is atomic-or-exists,
   // readers take the max name, stale entries are pruned best-effort.
-  // Written only when a cap is configured (uncapped streams never read
-  // the anchor, so they pay no per-trigger metadata write).
+  //
+  // The anchor is a CORRECTNESS INVARIANT, not an optimization: a
+  // seeded anchor BELOW the engine's committed offset would make a
+  // capped getOffset offer an end below the checkpoint — the engine
+  // would run a backwards batch, regress the checkpoint, and re-emit
+  // committed commits into an append sink. Two rules keep the invariant
+  // "anchor ≥ committed" across any restart:
+  //   1. persist on EVERY getBatch advance, capped or not — the engine
+  //      commits a batch only AFTER getBatch ran (WAL → getBatch →
+  //      sink commit), so a marker for that end exists before the
+  //      commit can; a later capped restart (cap toggled on between
+  //      runs) still seeds ≥ committed.
+  //   2. a marker-write failure FAILS the batch (the IOException
+  //      propagates out of getBatch) instead of being swallowed — a
+  //      batch that committed past a silently-unpersisted anchor is
+  //      exactly the stale-marker restart hazard.
+  // Steady-state cost is one create + one targeted delete per advancing
+  // trigger (the previous marker's path is remembered in memory; a full
+  // listStatus sweep runs only on the first persist of a run).
 
   private lazy val hadoopConf = ctx.sparkSession.sessionState.newHadoopConf()
 
   private def hwDir: Option[org.apache.hadoop.fs.Path] =
     metadataPath.map(p => new org.apache.hadoop.fs.Path(p, "graft-highwater"))
 
+  @volatile private var lastMarker: Option[org.apache.hadoop.fs.Path] = None
+  @volatile private var dirEnsured = false
+
   /** seed the anchor from the newest marker; called once at construction
     * so a restarted instance caps its very first offer */
   locally {
-    if (maxCommitsPerTrigger.isDefined) hwDir.foreach { dir =>
+    hwDir.foreach { dir =>
       val fs = dir.getFileSystem(hadoopConf)
       if (fs.exists(dir)) {
-        val ids = fs.listStatus(dir).toSeq
-          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-        if (ids.nonEmpty) highWater = ids.max
+        val named = fs.listStatus(dir).toSeq
+          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
+            .map(_ -> s.getPath))
+        if (named.nonEmpty) {
+          val (id, p) = named.maxBy(_._1)
+          highWater = id
+          lastMarker = Some(p)
+        }
       }
     }
   }
 
-  private def persistHighWater(id: Long): Unit =
-    if (maxCommitsPerTrigger.isDefined) hwDir.foreach { dir =>
-      val fs = dir.getFileSystem(hadoopConf)
-      val f = new org.apache.hadoop.fs.Path(dir, f"$id%020d")
-      try {
-        fs.mkdirs(dir)
-        fs.createNewFile(f) // atomic create-or-exists; empty marker
-        // prune older markers so the dir stays O(1); best-effort — a
-        // leftover marker only costs one extra listStatus entry
+  private def persistHighWater(id: Long): Unit = hwDir.foreach { dir =>
+    val fs = dir.getFileSystem(hadoopConf)
+    val f = new org.apache.hadoop.fs.Path(dir, f"$id%020d")
+    if (!dirEnsured) { fs.mkdirs(dir); dirEnsured = true }
+    fs.createNewFile(f) // atomic create-or-exists; THROWS on real failure
+    val prev = lastMarker
+    lastMarker = Some(f)
+    // pruning IS best-effort: a leftover marker can only be BELOW the
+    // newest (ids only grow), and seeding takes the max
+    try prev match {
+      case Some(p) if p != f => fs.delete(p, false); ()
+      case None => // first persist ever for this checkpoint: sweep
         fs.listStatus(dir).foreach { s =>
-          val n = scala.util.Try(s.getPath.getName.toLong).toOption
-          if (n.exists(_ < id)) fs.delete(s.getPath, false)
+          if (scala.util.Try(s.getPath.getName.toLong).toOption.exists(_ < id))
+            fs.delete(s.getPath, false)
         }
-      } catch { case _: java.io.IOException => () } // anchor is an optimization
-    }
+      case _ => ()
+    } catch { case _: java.io.IOException => () }
+  }
 
   override def getOffset: Option[OffsetV1] =
     table.log.latestId.flatMap { latest =>

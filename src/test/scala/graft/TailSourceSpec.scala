@@ -350,9 +350,39 @@ class TailSourceSpec extends AnyFunSuite {
     assert(rows.toSet == (3 to 5).map(100L + _).toSet)
     src2.getBatch(Some(LongOffset(2L)), LongOffset(2L + cap))
     assert(src2.getOffset.contains(LongOffset(2L + 2 * cap)))
-    // a capped offer may never regress the checkpoint — seeded anchor
-    // is >= the committed end by construction
-    assert(2L + cap >= 2L)
+    // the anchor advances DURABLY batch-over-batch: yet another restart
+    // seeds from src2's last handled end (2 + cap), not the original
+    // checkpoint — so no post-restart offer can fall below an end a
+    // previous run already handed to getBatch
+    val src3 = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
+      maxCommitsPerTrigger = Some(cap), metadataPath = Some(mp))
+    assert(src3.getOffset.contains(LongOffset(2L + 2 * cap)))
+  }
+
+  test("cap toggled off and on across restarts: markers still advance, no stale anchor") {
+    // The anchor invariant (seeded anchor >= any committed end) must
+    // hold even when an operator drains a backlog with the cap REMOVED
+    // and then re-enables it: markers persist on every getBatch, capped
+    // or not — a capped-only persist would seed the pre-backlog anchor
+    // and offer an end BELOW the uncapped run's checkpoint (a
+    // checkpoint regression + duplicate re-emission).
+    val t = build(freshRoot(), 2)
+    val mp = Files.createTempDirectory("tail_mp_toggle").toString
+    val capped1 = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
+      maxCommitsPerTrigger = Some(2), metadataPath = Some(mp))
+    capped1.getBatch(None, LongOffset(2L))
+    // uncapped restart drains a 10-commit backlog in one batch
+    (3 to 12).foreach(i => t.upsert(df((100L + i, 1, s"u$i", i))))
+    val head = t.log.latestId.get
+    val uncapped = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
+      metadataPath = Some(mp))
+    uncapped.getBatch(Some(LongOffset(2L)), LongOffset(head))
+    // capped restart: seeds the uncapped run's end, never the stale 2
+    (1 to 4).foreach(i => t.upsert(df((900L + i, 1, s"n$i", 99))))
+    val capped2 = new GraftTailSource(spark.sqlContext, t, t.tailSchema,
+      maxCommitsPerTrigger = Some(2), metadataPath = Some(mp))
+    assert(capped2.getOffset.contains(LongOffset(head + 2)),
+      "post-toggle offer must anchor on the uncapped run's handled end")
   }
 
   test("restart under a backlog: a BARE source (no metadata path) stays uncapped-but-exact") {
