@@ -197,6 +197,13 @@ object Tokenize {
 
   // ---- fixture queries -------------------------------------------------
 
+  /** unrolled merges in the training oracle: each adds a full
+    * count+argmax+apply CTE chain, so keep it small — 4 pins the
+    * argmax, the tie-break, and the apply step against the corpus.
+    * Declared BEFORE `queries`: the oracle SQL interpolates it at
+    * object init (the Similarity.TwinBase init-order rule). */
+  private val TrainCheckMerges = 4
+
   val queries: Seq[GQuery] = Seq(
 
     // greedy BPE encode of the corpus against the frozen merge table:
@@ -247,6 +254,47 @@ object Tokenize {
         SELECT t.token, v.token_id, count(*) AS n,
           CAST(length(t.token) * count(*) AS BIGINT) AS char_mass
         FROM tok t JOIN vocab v ON v.token = t.token
-        GROUP BY 1, 2 ORDER BY n DESC, token_id"""))
+        GROUP BY 1, 2 ORDER BY n DESC, token_id""")),
+
+    // BPE TRAINING oracle-checked (not just spec-pinned): the first
+    // [[TrainCheckMerges]] argmax iterations unroll as SQL — each
+    // iteration counts adjacent symbol pairs over the word table, takes
+    // the (count DESC, pair ASC) argmax via a scalar subquery, and
+    // applies it with the double-space replace trick — so DuckDB
+    // re-derives the trainer's merges from the raw corpus. Engine side
+    // runs the real [[trainBpeMerges]] (the distributed word-count agg
+    // + the driver merge loop); output is model-scale (K rows).
+    GQuery("doc_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        trainBpeMerges(T.documents(s, d), "text", TrainCheckMerges).zipWithIndex
+          .map { case ((l, r), i) => (i + 1, l, r) }
+          .toDF("rank", "l", "r").orderBy("rank")
+      },
+      Some(trainOracleSql(TrainCheckMerges)))
   )
+
+  private def trainOracleSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""p$i AS (SELECT sy[j] AS l, sy[j + 1] AS r, sum(cnt) AS c
+             FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM $prev),
+                  unnest(generate_series(1, len(sy) - 1)) q(j)
+             GROUP BY 1, 2),
+      m$i AS (SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+      w$i AS (SELECT cnt, replace(s,
+                ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+                ' ' || (SELECT l || r FROM m$i) || ' ') AS s
+              FROM $prev)"""
+    }.mkString(",\n      ")
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS rank, l, r FROM m$i").mkString(" UNION ALL ")
+    s"""WITH wc AS (SELECT w, count(*) AS cnt
+          FROM documents,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t(w)
+          GROUP BY 1),
+      w0 AS (SELECT cnt, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s FROM wc),
+      $steps
+      SELECT * FROM ($out) ORDER BY rank"""
+  }
 }
