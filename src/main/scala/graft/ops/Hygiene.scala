@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
 
@@ -272,6 +273,34 @@ object Hygiene {
           / count(lit(1))).as("novelty_x10k"))
   }
 
+  /** ONE definition of the DSIR scoring CTE chain (hashed-bigram
+    * target/raw likelihood ratios, ending at sc(doc_id, c, lr)) shared
+    * by the weight and resample oracles — the two must agree on the
+    * exact model or a smoothing change would silently desynchronize
+    * them. Declared before `queries` (oracle-string init-order rule).
+    */
+  private val dsirCtes =
+    """tk AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+           g0 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS bg
+                  FROM tk, unnest(generate_series(1, len(t) - 1)) s(i)
+                  WHERE len(t) >= 2),
+           g AS (SELECT doc_id, doc_id % 5 = 0 AS is_t,
+                   CAST(('0x' || substr(md5(bg), 1, 7)) AS BIGINT) % 4096 AS b
+                 FROM g0),
+           tc AS (SELECT b, count(*) AS ct FROM g WHERE is_t GROUP BY 1),
+           rc AS (SELECT b, count(*) AS cr FROM g WHERE NOT is_t GROUP BY 1),
+           tn AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM g WHERE is_t),
+           rn AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM g WHERE NOT is_t),
+           db AS (SELECT doc_id, b, count(*) AS c FROM g WHERE NOT is_t
+                  GROUP BY 1, 2),
+           sc AS (SELECT db.doc_id, db.c,
+                    ln((coalesce(tc.ct, 0) + 1) / (tn.nt + 4096)) -
+                    ln((rc.cr + 1) / (rn.nr + 4096)) AS lr
+                  FROM db LEFT JOIN tc USING (b) JOIN rc USING (b)
+                  CROSS JOIN tn CROSS JOIN rn)"""
+
   val queries: Seq[GQuery] = Seq(
 
     GQuery("doc_rarity_score",
@@ -328,29 +357,52 @@ object Hygiene {
     GQuery("doc_dsir_weight",
       (s, d) => dsirWeights(T.documents(s, d),
         pmod(col("doc_id"), lit(5L)) === 0L).orderBy("doc_id"),
-      Some("""WITH tk AS (SELECT doc_id,
-                regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-              FROM documents),
-           g0 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS bg
-                  FROM tk, unnest(generate_series(1, len(t) - 1)) s(i)
-                  WHERE len(t) >= 2),
-           g AS (SELECT doc_id, doc_id % 5 = 0 AS is_t,
-                   CAST(('0x' || substr(md5(bg), 1, 7)) AS BIGINT) % 4096 AS b
-                 FROM g0),
-           tc AS (SELECT b, count(*) AS ct FROM g WHERE is_t GROUP BY 1),
-           rc AS (SELECT b, count(*) AS cr FROM g WHERE NOT is_t GROUP BY 1),
-           tn AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM g WHERE is_t),
-           rn AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM g WHERE NOT is_t),
-           db AS (SELECT doc_id, b, count(*) AS c FROM g WHERE NOT is_t
-                  GROUP BY 1, 2),
-           sc AS (SELECT db.doc_id, db.c,
-                    ln((coalesce(tc.ct, 0) + 1) / (tn.nt + 4096)) -
-                    ln((rc.cr + 1) / (rn.nr + 4096)) AS lr
-                  FROM db LEFT JOIN tc USING (b) JOIN rc USING (b)
-                  CROSS JOIN tn CROSS JOIN rn)
+      Some(s"""WITH $dsirCtes
         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
           round(sum(c * lr), 3) AS logw
         FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- DSIR resampling (the SELECTION step of Xie et al. 2023) ------
+    // Gumbel-top-k sampling-without-replacement over the importance
+    // weights: each raw doc gets key = logw + Gumbel(u) with u a
+    // content-hash uniform (no RNG — deterministic and replayable), and
+    // the top 20% by key form the resampled corpus. All ranking inputs
+    // are the agreed ROUNDED weights plus a rounded key, the float
+    // contract every scored oracle here uses. Scale shape: weights are
+    // the bounded-join dsir plan; the selection adds one window rank —
+    // at 100 TB the global rank becomes a range-partitioned total sort
+    // (the doc_shuffle design), never a single-partition window.
+    GQuery("doc_dsir_sample",
+      (s, d) => {
+        val w = dsirWeights(T.documents(s, d),
+          pmod(col("doc_id"), lit(5L)) === 0L)
+        val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":dsir"))), 1, 7), 16, 10).cast("double") + lit(0.5)) /
+          lit(268435456.0)
+        val keyed = w.withColumn("key",
+          round(col("logw") + -log(-log(u)), 3))
+        val ranked = keyed
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("key").desc, col("doc_id"))))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy()))
+        ranked.filter(col("rn") <= ceil(col("n") * 0.2))
+          .select(col("doc_id"), col("logw"), col("key"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dsirCtes,
+        w AS (SELECT doc_id, round(sum(c * lr), 3) AS logw
+              FROM sc GROUP BY doc_id),
+        k AS (SELECT doc_id, logw,
+                round(logw + -ln(-ln(
+                  (CAST(('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 7)) AS BIGINT)
+                    + 0.5) / 268435456.0)), 3) AS key
+              FROM w),
+        r AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rn,
+                count(*) OVER () AS n
+              FROM k)
+        SELECT doc_id, logw, key FROM r
+        WHERE rn <= ceil(n * 0.2) ORDER BY doc_id""")),
 
     GQuery("doc_dup_spans",
       (s, d) => dupSpans(T.documents(s, d), n = 8).orderBy("doc_id"),

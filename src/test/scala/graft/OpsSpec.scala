@@ -499,6 +499,19 @@ class OpsSpec extends AnyFunSuite {
       s"candidate set $candidates not meaningfully below all-pairs ${n * (n - 1) / 2}")
   }
 
+  test("dsir sample: keeps exactly 20%, biased toward higher importance") {
+    val kept = run("doc_dsir_sample").collect()
+    val all = run("doc_dsir_weight").collect()
+    assert(kept.length == math.ceil(all.length * 0.2).toInt)
+    val keptIds = kept.map(_.getLong(0)).toSet
+    val (in, out) = all.partition(r => keptIds(r.getLong(0)))
+    def meanW(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(2)).sum / rs.length
+    // Gumbel noise perturbs but the selection must still favor weight
+    assert(meanW(in) > meanW(out),
+      s"kept mean logw ${meanW(in)} should exceed dropped ${meanW(out)}")
+  }
+
   test("curation pipeline: stage-consistent output and pack-budget invariant") {
     val out = run("doc_curation_pipeline").collect()
     assert(out.nonEmpty, "pipeline should keep some documents at sf0.001")
