@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
 
@@ -381,12 +380,14 @@ object Hygiene {
           lit(268435456.0)
         val keyed = w.withColumn("key",
           round(col("logw") + -log(-log(u)), 3))
-        val ranked = keyed
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("key").desc, col("doc_id"))))
-          .withColumn("n", count(lit(1)).over(
-            Window.partitionBy()))
-        ranked.filter(col("rn") <= ceil(col("n") * 0.2))
+        // top-fraction via sort+limit (TakeOrderedAndProject): the
+        // DISTRIBUTED top-k physical operator — never a global
+        // single-partition row_number window, which would pull the
+        // whole corpus through one task at scale. The count is a
+        // metadata-scale scalar job.
+        val n = keyed.count()
+        keyed.orderBy(col("key").desc, col("doc_id"))
+          .limit(math.ceil(n * 0.2).toInt)
           .select(col("doc_id"), col("logw"), col("key"))
           .orderBy("doc_id")
       },
