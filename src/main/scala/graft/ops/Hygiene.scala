@@ -383,9 +383,16 @@ object Hygiene {
         // top-fraction via sort+limit (TakeOrderedAndProject): the
         // DISTRIBUTED top-k physical operator — never a global
         // single-partition row_number window, which would pull the
-        // whole corpus through one task at scale. The count is a
-        // metadata-scale scalar job.
-        val n = keyed.count()
+        // whole corpus through one task at scale. The limit needs the
+        // weighted-row count, which equals the raw-doc count with >= 2
+        // tokens (every such doc contributes bigrams) — one cheap base
+        // scan, so the expensive scoring plan evaluates ONCE, in the
+        // sort itself (counting `keyed` would run it twice).
+        val n = T.documents(s, d)
+          .filter(!(pmod(col("doc_id"), lit(5L)) === 0L))
+          .filter(size(expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")) >= 2)
+          .count()
         keyed.orderBy(col("key").desc, col("doc_id"))
           .limit(math.ceil(n * 0.2).toInt)
           .select(col("doc_id"), col("logw"), col("key"))
