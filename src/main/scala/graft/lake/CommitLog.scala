@@ -55,7 +55,18 @@ final case class FileAdd(
     cmin: Map[String, String] = Map.empty,
     cmax: Map[String, String] = Map.empty,
     /** file length in bytes (0 = unrecorded, pre-upgrade commit JSON) */
-    bytes: Long = 0L) {
+    bytes: Long = 0L,
+    /** footer row count (0 = unrecorded: pre-upgrade commit JSON or an
+      * unreadable footer — safe because the empty-batch guard means no
+      * 0-row file is ever committed). Lets snapshot row counts answer
+      * from the log alone (Delta's numRecords / Hudi's commit-metadata
+      * counts): at 100 TB a `count(*)` must not scan data. */
+    rows: Long = 0L,
+    /** true = a `_record_key` bloom sidecar was written next to this
+      * file at commit time (LakeTableConfig.bloomKeys); probes consult
+      * it after the key-range check. false / missing (pre-upgrade JSON)
+      * simply exempts the file from bloom pruning. */
+    bloom: Boolean = false) {
   def isDelta: Boolean = kind == "delta"
   def hasKeyRange: Boolean = kmin != null && kmax != null
   /** null-safe accessors: commit JSONs written before the field existed

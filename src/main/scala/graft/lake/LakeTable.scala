@@ -78,6 +78,21 @@ final case class LakeTableConfig(
       * column's observed min/max per commit (256 per dimension).
       */
     zOrder: Boolean = false,
+    /** >0: per-file `_record_key` bloom filters (the probe half of Hudi's
+      * BLOOM index; the footer key-range is the range half). At commit
+      * time every written file gets a bloom over its keys, persisted as
+      * a dot-prefixed sidecar NEXT to the data file (so clean / rollback
+      * / vacuum retire it with its file, and parquet readers skip it as
+      * a hidden file). Point lookups and upsert/delete probes then drop
+      * candidate files the range check cannot: wherever per-file key
+      * ranges OVERLAP — MoR delta stacks, hash-spread ingest, compacted
+      * bucket bases — ranges prune nothing while blooms prune to the
+      * files that actually saw the key (within fpp). The value sizes the
+      * filter (expected keys per file at 1% fpp; ~1.2 MB per 1M keys);
+      * overflow only degrades fpp, never correctness — a bloom has no
+      * false negatives, so pruning stays conservative.
+      */
+    bloomKeys: Int = 0,
     /** CHECK constraints (Delta CHECK / Hudi pre-commit validator role):
       * name → SQL boolean expression over the row. Enforced INSIDE the
       * write pass of every commit (a codegen'd per-row guard fused into
@@ -1035,6 +1050,88 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       "n_partitions_touched")
   }
 
+  /** Exact snapshot row count answered from the commit log where
+    * provable (Delta `numRecords` / Hudi commit-metadata-count role):
+    * a base file's footer row count was recorded at commit time, and
+    * CoW base files are disjoint live-row sets, so their counts simply
+    * sum — no data file is opened. At 100 TB a `count(*)` must be a
+    * metadata read, not a scan. The non-summable remainder — partitions
+    * with pending MoR deltas (where the read-time merge shadows and
+    * tombstones base rows) and pre-upgrade files without a recorded
+    * count — falls back to counting the merged read of JUST those file
+    * groups, so the scan is bounded by recent write activity exactly
+    * like the MoR snapshot read itself. Correct in every state,
+    * metadata-only in the steady (CoW / compacted) state.
+    */
+  def countRows(asOf: Option[Long] = None): Long = {
+    val files = log.liveFiles(asOf)
+    // a global-index MoR delta can shadow a key in ANY partition — no
+    // per-partition reasoning survives; merge (and count) table-wide
+    if (files.exists(_.isDelta) && !groupLocalMergeSafe)
+      return mergeIfNeeded(files, asOf).count()
+    var metaSum = 0L
+    val scan = Seq.newBuilder[FileAdd]
+    files.groupBy(_.partition).foreach { case (_, fs) =>
+      if (fs.exists(_.isDelta)) scan ++= fs // merge shadows rows: whole group counts merged
+      else {
+        val (rec, unrec) = fs.partition(_.rows > 0L)
+        metaSum += rec.map(_.rows).sum
+        scan ++= unrec // disjoint base files: scan only the unrecorded
+      }
+    }
+    val rest = scan.result()
+    if (rest.isEmpty) metaSum else metaSum + mergeIfNeeded(rest, asOf).count()
+  }
+
+  /** Per-partition row counts under the same rules as [[countRows]]:
+    * metadata sums for clean partitions, a merged scan for the rest.
+    * Output columns: the table's partition columns (typed per the table
+    * schema — metadata tuples are re-parsed through the same cast that
+    * rendered them) followed by `n_rows`. Unpartitioned tables return a
+    * single `n_rows` row.
+    */
+  def partitionRowCounts(asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parts = config.partitionCols
+    if (parts.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.singletonList(Row(countRows(asOf))),
+        StructType(Seq(StructField("n_rows", LongType, nullable = false))))
+    val files = log.liveFiles(asOf)
+    val tbl = tableSchema(asOf)
+    val wholeTableMerge = files.exists(_.isDelta) && !groupLocalMergeSafe
+    val (dirty, clean) =
+      if (wholeTableMerge) (files, Seq.empty[FileAdd])
+      else {
+        val bad = files.groupBy(_.partition).collect {
+          case (t, fs) if fs.exists(f => f.isDelta || f.rows <= 0L) => t
+        }.toSet
+        files.partition(f => bad.contains(f.partition))
+      }
+    val metaRows = clean.groupBy(_.partition).toSeq.map { case (t, fs) =>
+      Row.fromSeq(t.split(PartSep, -1).toSeq :+ fs.map(_.rows).sum)
+    }
+    val strSchema = StructType(
+      parts.map(p => StructField(p + "_s", org.apache.spark.sql.types.StringType)) :+
+        StructField("n_rows", LongType))
+    val typedCols = parts.map { p =>
+      val dt = tbl.fields.find(_.name == p).map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.StringType)
+      when(col(p + "_s") === LakeTable.NullPartition, lit(null))
+        .otherwise(col(p + "_s")).cast(dt).as(p)
+    }
+    val metaDf = spark
+      .createDataFrame(scala.jdk.CollectionConverters
+        .SeqHasAsJava(metaRows).asJava, strSchema)
+      .select(typedCols :+ col("n_rows"): _*)
+    if (dirty.isEmpty) metaDf
+    else metaDf.unionByName(
+      mergeIfNeeded(dirty, asOf)
+        .groupBy(parts.map(col): _*)
+        .agg(count(lit(1)).as("n_rows")))
+  }
+
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   def clean(retain: Int): Unit = log.clean(retain)
 
@@ -1717,13 +1814,42 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     if (ranged.isEmpty) files
     else {
       import spark.implicits._
-      val ranges = ranged.map(f => (f.path, f.kmin, f.kmax))
-        .toDF("_path", "_kmin", "_kmax")
-      val hits = df.select(keyStrExpr.as("_k")).distinct()
+      val ranges = ranged.map(f => (f.path, f.kmin, f.kmax, f.bloom))
+        .toDF("_path", "_kmin", "_kmax", "_bloom")
+      val pairs = df.select(keyStrExpr.as("_k")).distinct()
         .join(broadcast(ranges),
           col("_k") >= col("_kmin") && col("_k") <= col("_kmax"))
-        .select("_path").distinct()
-        .collect().map(_.getString(0)).toSet
+      val hits =
+        if (!ranged.exists(_.bloom))
+          pairs.select("_path").distinct()
+            .collect().map(_.getString(0)).toSet
+        else {
+          // bloom stage (the probe half of Hudi's BLOOM index): every
+          // surviving (key, file) candidate pair consults the file's key
+          // bloom — one shuffle of the range-hit pairs clustered by file,
+          // each task loading a sidecar once, emitting only hit paths.
+          // Work is bounded by batch∩range candidates, the same bound
+          // Hudi's index probe has; the collect stays file-count-scale.
+          val conf = new SerializableHadoopConf(hconf)
+          pairs.select($"_path", $"_bloom", $"_k").as[(String, Boolean, String)]
+            .repartition(col("_path"))
+            .mapPartitions { it =>
+              val blooms = scala.collection.mutable.HashMap
+                .empty[String, Option[org.apache.spark.util.sketch.BloomFilter]]
+              val out = scala.collection.mutable.LinkedHashSet.empty[String]
+              it.foreach { case (p, hasBloom, k) =>
+                if (!out.contains(p)) {
+                  // missing/corrupt sidecar → None → keep (conservative)
+                  val may = !hasBloom || blooms
+                    .getOrElseUpdate(p, LakeTable.readBloomSidecar(p, conf.value))
+                    .forall(_.mightContainString(k))
+                  if (may) out += p
+                }
+              }
+              out.iterator
+            }
+            .distinct().collect().toSet
+        }
       files.filter(f => !f.hasKeyRange || hits.contains(f.path))
     }
   }
@@ -2098,15 +2224,18 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         .sortBy(_._1).map(_._2)
       val st = statsByPath(p.toString)
       FileAdd(p.toString, segs.mkString(PartSep), kind, st.kmin, st.kmax,
-        st.cmin, st.cmax, len)
+        st.cmin, st.cmax, len, st.rows)
     }
+    val withBlooms =
+      if (config.bloomKeys <= 0 || adds.isEmpty) adds
+      else buildKeyBlooms(dir, adds)
     val schemaJson = evolved.json
     try
-      log.append(Commit(id, op, System.currentTimeMillis(), schemaJson, adds,
-        removes, commitMeta), basedOnLatest = expectedHead)
+      log.append(Commit(id, op, System.currentTimeMillis(), schemaJson,
+        withBlooms, removes, commitMeta), basedOnLatest = expectedHead)
     catch {
       case e: CommitConflict =>
-        rebaseOrAbort(e, dir, adds, op, removes, kind, commitMeta,
+        rebaseOrAbort(e, dir, withBlooms, op, removes, kind, commitMeta,
           expectedHead, id, partitionScoped, stampsId, rebaseAttempt,
           schemaJson) match {
           case Some(cid) => return cid
@@ -2270,6 +2399,67 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * count is capped at default parallelism; the collect is
     * metadata-scale (one stats tuple per file).
     */
+  /** Build the per-file `_record_key` bloom sidecars for a just-written
+    * commit directory (the build half of the BLOOM index,
+    * [[LakeTableConfig.bloomKeys]]). One distributed column-pruned pass
+    * over the written files — only the key column is read: partial
+    * filters accumulate per (task, file), merge per file through a
+    * METADATA-scale shuffle of serialized filters (keys never move),
+    * and each merged filter is written executor-side next to its data
+    * file; the driver collects file names only. Filters share (n, fpp)
+    * so partials are merge-compatible. Any failure leaves the commit
+    * unmarked — files without a sidecar are simply exempt from bloom
+    * pruning (conservative), and the commit itself is unaffected.
+    */
+  private def buildKeyBlooms(dir: Path, adds: Seq[FileAdd]): Seq[FileAdd] =
+    try {
+      import org.apache.spark.util.sketch.BloomFilter
+      val n = config.bloomKeys
+      val conf = new SerializableHadoopConf(hconf)
+      def ser(b: BloomFilter): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        b.writeTo(bos); bos.toByteArray
+      }
+      def de(a: Array[Byte]): BloomFilter =
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+      val built = spark.read.parquet(dir.toString)
+        .select(input_file_name().as("_f"), col("_record_key").as("_k"))
+        .rdd
+        .mapPartitions { it =>
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[String, (String, BloomFilter)]
+          it.foreach { r =>
+            val orig = r.getString(0)
+            // scheme-free URI path keys the merge AND matches FileAdd
+            // paths (input_file_name yields file:///x, listStatus file:/x)
+            val f = new Path(orig).toUri.getPath
+            acc.getOrElseUpdate(f, (orig, BloomFilter.create(n, 0.01)))
+              ._2.putString(r.getString(1))
+          }
+          acc.iterator.map { case (f, (orig, b)) => (f, (orig, ser(b))) }
+        }
+        .reduceByKey { (x, y) =>
+          val m = de(x._2); m.mergeInPlace(de(y._2)); (x._1, ser(m))
+        }
+        .map { case (uriPath, (orig, bytes)) =>
+          val dp = new Path(orig)
+          val sp = new Path(dp.getParent, "." + dp.getName + ".bf")
+          val fs = sp.getFileSystem(conf.value)
+          val os = fs.create(sp, true)
+          try os.write(bytes) finally os.close()
+          uriPath
+        }
+        .collect().toSet
+      adds.map(a =>
+        if (built(new Path(a.path).toUri.getPath)) a.copy(bloom = true) else a)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[lake] bloom sidecar build failed for $dir — committing without " +
+            s"bloom marks (pruning stays range-only): $e")
+        adds
+    }
+
   private def fileStatsFor(paths: Seq[Path]): Map[String, FileStats] =
     if (paths.isEmpty) Map.empty
     else {
@@ -2315,11 +2505,13 @@ object LakeTable {
   /** Spark's directory name for a null partition value. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
-  /** footer stats of one written file: `_record_key` range plus raw
-    * per-column min/max for the table's statsCols */
+  /** footer stats of one written file: `_record_key` range, raw
+    * per-column min/max for the table's statsCols, and the footer row
+    * count (0 = unreadable footer) */
   private[lake] final case class FileStats(
       kmin: String, kmax: String,
-      cmin: Map[String, String], cmax: Map[String, String])
+      cmin: Map[String, String], cmax: Map[String, String],
+      rows: Long)
 
   /** Footer statistics from one parquet file — a metadata read of the
     * row-group stats, runnable inside an executor task. Row-group chunks
@@ -2381,12 +2573,34 @@ object LakeTable {
         val colRanges = statsCols.flatMap(c => merged(c).map(c -> _)).toMap
         FileStats(kmin, kmax,
           colRanges.map { case (c, (mn, _)) => c -> mn },
-          colRanges.map { case (c, (_, mx)) => c -> mx })
+          colRanges.map { case (c, (_, mx)) => c -> mx },
+          r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
       } finally r.close()
     } catch {
       case scala.util.control.NonFatal(_) =>
-        FileStats(null, null, Map.empty, Map.empty)
+        FileStats(null, null, Map.empty, Map.empty, 0L)
     }
+
+  /** Load a data file's `_record_key` bloom sidecar
+    * (`.<datafile>.bf`, written by buildKeyBlooms). None on a missing or
+    * unreadable sidecar — the caller must treat None as "may contain"
+    * (conservative, never a wrong prune). Runnable inside executor
+    * tasks: takes an explicit Configuration, touches no session state.
+    */
+  private[lake] def readBloomSidecar(
+      dataPath: String, conf: org.apache.hadoop.conf.Configuration)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      val dp = new Path(dataPath)
+      val sp = new Path(dp.getParent, "." + dp.getName + ".bf")
+      val fs = sp.getFileSystem(conf)
+      if (!fs.exists(sp)) None
+      else {
+        val is = fs.open(sp)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(is))
+        finally is.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** unsigned lexicographic comparison of the UTF-8 encodings — matches
     * UTF8String/parquet binary order */

@@ -27,12 +27,13 @@ final case class TableDescriptor(
     statsCols: Seq[String] = Seq.empty,
     clusterCols: Seq[String] = Seq.empty,
     zOrder: Boolean = false,
+    bloomKeys: Int = 0,
     checks: Map[String, String] = Map.empty,
     schemaJson: String = "") {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
-    compactEvery, hashBuckets, statsCols, clusterCols, zOrder,
+    compactEvery, hashBuckets, statsCols, clusterCols, zOrder, bloomKeys,
     Option(checks).getOrElse(Map.empty))
 }
 
@@ -47,7 +48,8 @@ object TableDescriptor {
   def fromConfig(cfg: LakeTableConfig, schemaJson: String = ""): TableDescriptor =
     TableDescriptor(cfg.keyCols, cfg.precombineCol, cfg.partitionCols,
       cfg.globalIndex, cfg.storageType, cfg.compactEvery, cfg.hashBuckets,
-      cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.checks, schemaJson)
+      cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.bloomKeys, cfg.checks,
+      schemaJson)
 
   def exists(root: String, hconf: Configuration): Boolean = {
     val p = file(root)

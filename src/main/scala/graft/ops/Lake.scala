@@ -412,6 +412,37 @@ object Lake {
                        ORDER BY update_ts DESC, batch DESC) AS rn FROM u) t
          WHERE rn = 1)"""
 
+  /** Bloom-indexed MoR point-lookup table: base = full keyed lineitem,
+    * then two FULL-SPAN delta upserts (l_orderkey mod-3 classes) — every
+    * delta file's [kmin, kmax] covers every probe key, so the footer
+    * range check keeps all of them and only the per-file key bloom
+    * ([[graft.lake.LakeTableConfig.bloomKeys]]) decides which files a
+    * probe actually has to read. `lake_bloom_lookup` reads through this
+    * path; LakeTableSpec pins the pruning counts themselves.
+    */
+  private[graft] def bloomTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:bloom", _ => {
+      val root = s"/tmp/graft_lake/bloom_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("l_orderkey", "l_linenumber"),
+        precombineCol = "update_ts", storageType = "mor",
+        bloomKeys = 100000))
+      val li = keyedLineitem(s, d).persist()
+      try {
+        t.bulkInsert(li.withColumn("update_ts", lit(0)))
+        t.upsert(li.filter(col("l_orderkey") % 3 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 100)
+          .withColumn("update_ts", lit(1)))
+        t.upsert(li.filter(col("l_orderkey") % 3 === 1)
+          .withColumn("l_quantity", col("l_quantity") + 1000)
+          .withColumn("update_ts", lit(2)))
+      } finally li.unpersist()
+      t
+    })
+
   val queries: Seq[GQuery] = Seq(
 
     GQuery("lake_upsert_snapshot",
@@ -427,6 +458,48 @@ object Lake {
           WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
             AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
         ORDER BY m.l_orderkey, m.l_linenumber""")),
+
+    // ---- metadata-only row counts --------------------------------------
+    // per-partition counts answered from the commit log's recorded footer
+    // row counts (Delta numRecords / Hudi commit-metadata role) — the CDC
+    // table is CoW all-base, so NO data file is opened (the spec proves
+    // it by deleting the data files); the oracle recomputes the same
+    // counts from the replayed snapshot the hard way
+    GQuery("lake_stats_count",
+      (s, d) => cdcTable(s, d).partitionRowCounts().orderBy("l_returnflag"),
+      Some(s"""$mergedCte
+        SELECT m.l_returnflag, count(*) AS n_rows FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM li k
+          WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+            AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- bloom-index point lookup --------------------------------------
+    // scattered probe keys (l_orderkey ≡ 7 mod 97, ~1% of keys) against
+    // the full-span MoR delta stack: candidate selection runs range →
+    // bloom, the merge sees only bloom-hit files, and the merged rows
+    // must equal the brute-force replay
+    GQuery("lake_bloom_lookup",
+      (s, d) => proj(bloomTable(s, d).lookup(
+        keyedLineitem(s, d).filter(col("l_orderkey") % 97 === 7)
+          .select("l_orderkey", "l_linenumber"))),
+      Some(s"""WITH $liCte,
+        b0 AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                    0 AS update_ts, 0 AS batch FROM li),
+        b1 AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                    l_quantity+100 AS l_quantity, 1 AS update_ts, 1 AS batch
+               FROM li WHERE l_orderkey % 3 = 0),
+        b2 AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                    l_quantity+1000 AS l_quantity, 2 AS update_ts, 2 AS batch
+               FROM li WHERE l_orderkey % 3 = 1),
+        u AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        bm AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, update_ts
+               FROM (SELECT *, row_number() OVER (
+                       PARTITION BY l_orderkey, l_linenumber
+                       ORDER BY update_ts DESC, batch DESC) AS rn FROM u) t
+               WHERE rn = 1)
+        SELECT * FROM bm WHERE l_orderkey % 97 = 7
+        ORDER BY l_orderkey, l_linenumber""")),
 
     GQuery("lake_time_travel",
       (s, d) => proj(cdcTable(s, d).readAsOf(0)),

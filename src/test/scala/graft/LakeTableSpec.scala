@@ -1352,4 +1352,106 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == Set((1L, 9, "r1", 200), (2L, 9, "r2", 200),
       (3L, 2, "r3", 100), (4L, 3, "r4", 100)))
   }
+
+  /** delete every live parquet data file under `root`, keeping the commit
+    * log — any subsequent data read fails loudly, so whatever still
+    * answers was a pure metadata read */
+  private def dropDataFiles(root: String, matching: String => Boolean = _ => true): Int = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && matching(f.toString)) {
+        fs.delete(f, false); n += 1
+      }
+    }
+    n
+  }
+
+  test("countRows/partitionRowCounts: CoW snapshot counts are metadata-only") {
+    val root = freshRoot()
+    val t = LakeTable(spark, cfg(root))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0), (3L, 2, "c", 0)))
+    t.upsert(df((2L, 1, "b2", 1), (4L, 2, "d", 1)))           // 1 update + 1 insert
+    t.delete(df((3L, 2, "c", 0)).select("pk", "vendorid"))
+    assert(t.countRows() == 3)
+    assert(t.countRows(Some(0L)) == 3)                        // bulk-insert snapshot
+    assert(t.countRows(Some(1L)) == 4)                        // pre-delete snapshot
+    val pc = t.partitionRowCounts().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pc == Map(1 -> 2, 2 -> 1))
+    // the proof: with every data file gone, a scan would throw — the
+    // same answers still come back, so no data file was ever opened
+    assert(dropDataFiles(root) > 0)
+    assert(t.countRows() == 3)
+    assert(t.countRows(Some(1L)) == 4)
+    assert(t.partitionRowCounts().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(1 -> 2, 2 -> 1))
+  }
+
+  test("bloom index prunes candidates key ranges cannot; lookup stays exact") {
+    // MoR delta stack: every delta spans the full key range, so the
+    // footer [kmin,kmax] check keeps ALL of them for any probe — only
+    // the per-file bloom can tell which files actually saw the key
+    def build(bloom: Int): LakeTable = {
+      val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+        partitionCols = Seq("vendorid"), storageType = "mor",
+        bloomKeys = bloom))
+      val base = (0L until 90L).map(i => (i, 1, s"v$i", 0))
+      t.bulkInsert(df(base: _*))
+      // delta d1: keys ≡ 0 (mod 3);  delta d2: keys ≡ 1 (mod 3) — both
+      // span [0, 89], ranges fully overlap the base and each other
+      t.upsert(df((0L until 90L by 3L).map(i => (i, 1, s"a$i", 1)): _*))
+      t.upsert(df((1L until 90L by 3L).map(i => (i, 1, s"b$i", 2)): _*))
+      t
+    }
+    val probe = df((33L, 1, "x", 0)).select("pk", "vendorid") // 33 ≡ 0: base + d1 only
+    val noBloom = build(0)
+    val got0 = noBloom.lookup(probe).select("pk", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got0 == Set((33L, "a33")))
+    val unprunedFiles = noBloom.lastLookupFiles
+    val withBloom = build(1000)
+    val got1 = withBloom.lookup(probe).select("pk", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got1 == Set((33L, "a33")))
+    // ranges keep every delta; the bloom must have dropped at least d2
+    // (33 is not in it) while keeping the files that saw key 33
+    assert(withBloom.lastLookupFiles < unprunedFiles,
+      s"bloom pruned nothing: ${withBloom.lastLookupFiles} vs $unprunedFiles")
+    // a key no file ever saw: blooms prune every candidate (fpp=1% on
+    // three files — a false positive here is possible but vanishingly
+    // rare and would only weaken the assertion below to <=)
+    val miss = withBloom.lookup(df((1000L, 1, "x", 0)).select("pk", "vendorid"))
+    assert(miss.count() == 0)
+    assert(withBloom.lastLookupFiles <= 1)
+    // compaction rebuilds blooms for the compacted bases
+    withBloom.compact()
+    assert(withBloom.log.liveFiles().forall(f => !f.isDelta && f.bloom))
+    assert(withBloom.lookup(probe).select("pk", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((33L, "a33")))
+  }
+
+  test("countRows: pending MoR deltas merge-count ONLY the dirty partitions") {
+    val root = freshRoot()
+    val t = LakeTable(spark, LakeTableConfig(root, Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), storageType = "mor"))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0), (3L, 2, "c", 0)))
+    t.upsert(df((2L, 1, "b2", 1)))                            // delta in partition 1 only
+    t.delete(df((1L, 1, "a", 0)).select("pk", "vendorid"))    // tombstone, partition 1
+    assert(t.read().count() == 2)
+    assert(t.countRows() == 2)
+    val pc = t.partitionRowCounts().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pc == Map(1 -> 1, 2 -> 1))
+    // partition 2 is delta-free: its count must come from metadata even
+    // while partition 1 needs the merge — drop partition 2's data files
+    // and the counts must be unchanged
+    assert(dropDataFiles(root, _.contains("__gp0=2")) > 0)
+    assert(t.countRows() == 2)
+    assert(t.partitionRowCounts().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(1 -> 1, 2 -> 1))
+  }
 }
