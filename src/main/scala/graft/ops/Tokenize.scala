@@ -153,6 +153,29 @@ object Tokenize {
     graft.functions.BpeEncode.encode(col(textCol), merges)
   }
 
+  /** array<int> of token ids for a text column — [[encodeExpr]] mapped
+    * through the vocabulary inlined as a LITERAL map (the Spark form of
+    * broadcasting a tokenizer's vocab): pure per-row work, zero
+    * shuffles, one row per document — the shape a packed-sequence
+    * writer consumes. */
+  def idsExpr(textCol: String, merges: Seq[(String, String)] = FixedMerges): Column = {
+    val m = typedLit(vocab(merges).toMap)
+    transform(encodeExpr(textCol, merges), t => element_at(m, t))
+  }
+
+  /** inverse of [[idsExpr]] — the detokenizer: token ids back to the
+    * character stream through the reversed literal vocabulary. Word
+    * boundaries are not represented in the id space (the '|' separator
+    * never gets an id), so decode returns the boundary-squashed
+    * normalized text: decode(encode(text)) equals lower(text) with
+    * every non-alphanumeric run removed — `doc_bpe_roundtrip` pins
+    * exactly that invariant corpus-wide. */
+  def decodeExpr(idsCol: Column, merges: Seq[(String, String)] = FixedMerges): Column = {
+    requireWellFormed(merges)
+    val m = typedLit(vocab(merges).map(_.swap).toMap)
+    concat_ws("", transform(idsCol, i => element_at(m, i)))
+  }
+
   /** (idCol, pos, token, token_id) — exploded token stream; ids come
     * from a BROADCAST join against the (tiny) vocabulary. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
@@ -255,6 +278,37 @@ object Tokenize {
           CAST(length(t.token) * count(*) AS BIGINT) AS char_mass
         FROM tok t JOIN vocab v ON v.token = t.token
         GROUP BY 1, 2 ORDER BY n DESC, token_id""")),
+
+    // encode → decode round trip on the ID space (the detokenizer a
+    // serving/inspection path runs over packed sequences): decode of
+    // the id stream must reproduce the boundary-squashed normalized
+    // text for EVERY document, and the id checksum pins the token→id
+    // mapping itself. Pure per-row expressions — zero shuffles.
+    GQuery("doc_bpe_roundtrip",
+      (s, d) => T.documents(s, d)
+        .withColumn("ids", idsExpr("text"))
+        .select(col("doc_id"),
+          decodeExpr(col("ids")).as("decoded"),
+          size(col("ids")).as("n_tokens"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("ids_sum"),
+          (decodeExpr(col("ids")) ===
+            regexp_replace(lower(col("text")), lit("[^a-z0-9]+"), lit("")))
+            .as("is_roundtrip"))
+        .orderBy("doc_id"),
+      Some(s"""WITH vocab(token, token_id) AS (VALUES ${vocabValues(FixedMerges)}),
+        ${symsCte(FixedMerges)},
+        agg AS (SELECT s.doc_id, array_to_string(s.sy, '') AS decoded,
+                  CAST(len(s.sy) AS INT) AS n_tokens,
+                  CAST((SELECT sum(v.token_id) FROM unnest(s.sy) u(tk)
+                        JOIN vocab v ON v.token = u.tk) AS BIGINT) AS ids_sum
+                FROM syms s)
+        SELECT d.doc_id, coalesce(a.decoded, '') AS decoded,
+          coalesce(a.n_tokens, 0) AS n_tokens,
+          coalesce(a.ids_sum, 0) AS ids_sum,
+          coalesce(a.decoded, '') =
+            regexp_replace(lower(d.text), '[^a-z0-9]+', '', 'g') AS is_roundtrip
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
 
     // BPE TRAINING oracle-checked (not just spec-pinned): the first
     // [[TrainCheckMerges]] argmax iterations unroll as SQL — each
