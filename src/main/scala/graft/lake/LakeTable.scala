@@ -1083,6 +1083,77 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     if (rest.isEmpty) metaSum else metaSum + mergeIfNeeded(rest, asOf).count()
   }
 
+  /** Strict prover behind the SQL aggregate pushdown: the snapshot row
+    * count, but ONLY when every live file at the pin is a base file with
+    * a recorded footer count — i.e. when the answer is a pure metadata
+    * sum. None whenever any scan would be needed ([[countRows]] is the
+    * always-answers hybrid).
+    */
+  def metadataRowCount(asOf: Option[Long] = None): Option[Long] = {
+    val files = log.liveFiles(asOf)
+    if (files.forall(f => !f.isDelta && f.rows > 0L)) Some(files.map(_.rows).sum)
+    else None
+  }
+
+  /** Strict prover for a global MIN/MAX of a stats column, in the
+    * integer-comparable stats domain (int family raw, DateType days,
+    * timestamps normalized to micros by the footer lift): Some((min,
+    * max)) ONLY when every live file at the pin is a base file with
+    * recorded bounds for the column — absent stats also cover the
+    * all-null-file case, where the file contributes nothing to MIN/MAX
+    * but the log cannot tell that apart from "not recorded", so the
+    * prover refuses. The caller restricts types: float stats are
+    * NaN-hazardous and binary stats may be truncated, so neither is
+    * ever answered from metadata.
+    */
+  def metadataMinMax(colName: String, asOf: Option[Long] = None)
+      : Option[(Long, Long)] = {
+    val files = log.liveFiles(asOf)
+    if (files.isEmpty ||
+        !files.forall(f => !f.isDelta &&
+          f.colMin.contains(colName) && f.colMax.contains(colName))) None
+    else scala.util.Try((
+      files.map(_.colMin(colName).toLong).min,
+      files.map(_.colMax(colName).toLong).max)).toOption
+  }
+
+  /** Strict per-partition prover (see [[metadataRowCount]]): partition
+    * columns + `n_rows`, or None when any partition would need a scan. */
+  def metadataPartitionRowCounts(asOf: Option[Long] = None): Option[DataFrame] = {
+    if (config.partitionCols.isEmpty) return None
+    val files = log.liveFiles(asOf)
+    if (!files.forall(f => !f.isDelta && f.rows > 0L)) None
+    else Some(metaCountDf(
+      files.groupBy(_.partition).toSeq
+        .map { case (t, fs) => t -> fs.map(_.rows).sum },
+      tableSchema(asOf)))
+  }
+
+  /** typed (partition cols..., n_rows) frame from rendered tuples —
+    * values re-parse through the same cast that rendered them */
+  private def metaCountDf(
+      counts: Seq[(String, Long)], tbl: StructType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parts = config.partitionCols
+    val rows = counts.map { case (t, n) =>
+      Row.fromSeq(t.split(PartSep, -1).toSeq :+ n)
+    }
+    val strSchema = StructType(
+      parts.map(p => StructField(p + "_s", org.apache.spark.sql.types.StringType)) :+
+        StructField("n_rows", LongType))
+    val typedCols = parts.map { p =>
+      val dt = tbl.fields.find(_.name == p).map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.StringType)
+      when(col(p + "_s") === LakeTable.NullPartition, lit(null))
+        .otherwise(col(p + "_s")).cast(dt).as(p)
+    }
+    spark
+      .createDataFrame(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava, strSchema)
+      .select(typedCols :+ col("n_rows"): _*)
+  }
+
   /** Per-partition row counts under the same rules as [[countRows]]:
     * metadata sums for clean partitions, a merged scan for the rest.
     * Output columns: the table's partition columns (typed per the table
@@ -1109,22 +1180,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         }.toSet
         files.partition(f => bad.contains(f.partition))
       }
-    val metaRows = clean.groupBy(_.partition).toSeq.map { case (t, fs) =>
-      Row.fromSeq(t.split(PartSep, -1).toSeq :+ fs.map(_.rows).sum)
-    }
-    val strSchema = StructType(
-      parts.map(p => StructField(p + "_s", org.apache.spark.sql.types.StringType)) :+
-        StructField("n_rows", LongType))
-    val typedCols = parts.map { p =>
-      val dt = tbl.fields.find(_.name == p).map(_.dataType)
-        .getOrElse(org.apache.spark.sql.types.StringType)
-      when(col(p + "_s") === LakeTable.NullPartition, lit(null))
-        .otherwise(col(p + "_s")).cast(dt).as(p)
-    }
-    val metaDf = spark
-      .createDataFrame(scala.jdk.CollectionConverters
-        .SeqHasAsJava(metaRows).asJava, strSchema)
-      .select(typedCols :+ col("n_rows"): _*)
+    val metaDf = metaCountDf(
+      clean.groupBy(_.partition).toSeq
+        .map { case (t, fs) => t -> fs.map(_.rows).sum },
+      tbl)
     if (dirty.isEmpty) metaDf
     else metaDf.unionByName(
       mergeIfNeeded(dirty, asOf)

@@ -46,9 +46,12 @@ object Sql {
 
       val nation = T.nation(s, d)
       nation.createOrReplaceTempView("sql_nation_src")
+      // statsCols: per-file n_nationkey bounds in the commit log — feeds
+      // both file skipping and the lake_sql_stats_agg metadata answers
       s.sql(s"""CREATE TABLE $cat.db.nation (${nation.schema.toDDL}, update_ts INT)
         USING graft PARTITIONED BY (n_regionkey)
-        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts',
+          statsCols='n_nationkey')""")
       // c0: full seed
       s.sql(s"INSERT INTO $cat.db.nation SELECT *, 0 FROM sql_nation_src")
       // c1: stale re-insert of region 1 with mangled names — precombine
@@ -238,6 +241,36 @@ object Sql {
           CASE WHEN n_regionkey = 2 THEN 7 ELSE 0 END AS update_ts
         FROM nation WHERE n_nationkey < 20
         ORDER BY n_nationkey""")),
+
+    // ---- metadata-answered SQL count -----------------------------------
+    // grouped count(*) over the DML table rides the DSv2 aggregate
+    // pushdown (GraftScanBuilder): the per-partition counts come from the
+    // commit log's footer row counts, no data file opened —
+    // SqlCatalogSpec proves the metadata path, this entry puts the same
+    // surface behind the DuckDB hard gate (counts must survive the
+    // UPDATE/DELETE rewrites exactly)
+    GQuery("lake_sql_count",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        s.sql(s"""SELECT n_regionkey, count(*) AS n_rows FROM $cat.db.nation
+          GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_rows
+        FROM nation WHERE n_nationkey < 20
+        GROUP BY 1 ORDER BY 1""")),
+
+    // global count + MIN/MAX bounds of the stats column, answered from
+    // the same commit-log metadata (LakeTable.metadataMinMax) — the
+    // bounds must track the DELETE exactly (the rewrite re-records them)
+    GQuery("lake_sql_stats_agg",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        s.sql(s"""SELECT count(*) AS n_rows, min(n_nationkey) AS min_key,
+            max(n_nationkey) AS max_key FROM $cat.db.nation""")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+        FROM nation WHERE n_nationkey < 20""")),
 
     // ---- SQL time travel: VERSION AS OF the seed commit ----------------
     // (the stale insert, update, and delete all happened after commit 0)

@@ -187,9 +187,24 @@ final class GraftTableV2(
 
 /** Pushdown-aware scan: translatable filters flow into the commit-log
   * stats index (file-list pruning); ALL filters are reported residual so
-  * Spark re-applies them row-level — conservative, never wrong. */
+  * Spark re-applies them row-level — conservative, never wrong.
+  *
+  * Aggregate pushdown ([[SupportsPushDownAggregates]], the standard DSv2
+  * surface): an unfiltered `COUNT(*)` — global, or grouped by exactly
+  * the table's partition columns — and global `MIN`/`MAX` of stats
+  * columns in exact-stats types are answered COMPLETELY from the commit
+  * log when the strict provers say no scan would be needed
+  * ([[LakeTable.metadataRowCount]]/[[LakeTable.metadataMinMax]]: every
+  * live file at the pin is a base file with the fact recorded). At
+  * 100 TB `SELECT count(*) FROM lake.t` must be a metadata read;
+  * anything the provers can't certify (pending MoR deltas, residual
+  * filters, float/string bounds, other aggregates) falls through to the
+  * normal scan untouched.
+  */
 private[sql] final class GraftScanBuilder(table: GraftTableV2)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.schema()
@@ -204,31 +219,177 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new V1Scan {
-    private val pred = pushed.flatMap(FilterTranslation.toColumn)
-      .reduceOption(_ && _)
+  // ---- COUNT(*) / MIN / MAX from commit-log metadata -------------------
 
-    override def readSchema(): StructType = required
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampType}
 
-    override def toV1TableScan[T <: BaseRelation with TableScan](
-        context: SQLContext): T =
-      new BaseRelation with TableScan {
-        override def sqlContext: SQLContext = context
-        override def schema: StructType = required
-        // exact size from the commit log → Spark can auto-broadcast
-        override def sizeInBytes: Long = {
-          val b = table.liveBytes
-          if (b > 0) b else super.sizeInBytes
-        }
-        override def buildScan(): RDD[Row] = {
-          val df = table.snapshot(pred)
-          val projected =
-            if (required.isEmpty) df
-            else df.select(required.fieldNames.map(FilterTranslation.qcol): _*)
-          projected.rdd
-        }
-      }.asInstanceOf[T]
+  private sealed trait PushedVal
+  private case object PushCount extends PushedVal
+  /** minOf = true → MIN, false → MAX; dt is the table column type */
+  private case class PushBound(name: String, dt: DataType, minOf: Boolean)
+    extends PushedVal
+
+  private var pushedPlan: Option[(Seq[String], Seq[PushedVal])] = None
+
+  /** Types whose footer stats are EXACT in the integer-comparable
+    * domain the log records (int family raw, DateType days, timestamps
+    * lifted to micros). Floats are NaN-hazardous, strings may be
+    * footer-truncated, NTZ re-typing depends on session TZ — none of
+    * those are ever answered from metadata. */
+  private def boundType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType => true
+    case _ => false
   }
+
+  private def singleName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  /** (group-by cols, per-agg answers) when the whole aggregation is
+    * answerable from the commit log: unfiltered, and every agg is a
+    * CountStar — or, globally only, a MIN/MAX of a stats column whose
+    * bounds the strict prover certifies. */
+  private def answerable(agg: Aggregation): Option[(Seq[String], Seq[PushedVal])] = {
+    // a pushed filter means the aggregate is over a PREDICATE — rows,
+    // not metadata (filters are only ever pruning hints here, but their
+    // presence still means Spark planned a filtered aggregate)
+    if (pushed.nonEmpty) return None
+    val gb = agg.groupByExpressions.toSeq.map(e =>
+      singleName(e).getOrElse(return None))
+    val vals = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => PushCount
+      case m: Min =>
+        val n = singleName(m.column).getOrElse(return None)
+        val dt = scala.util.Try(table.schema()(n).dataType)
+          .getOrElse(return None)
+        if (!boundType(dt)) return None
+        PushBound(n, dt, minOf = true)
+      case m: Max =>
+        val n = singleName(m.column).getOrElse(return None)
+        val dt = scala.util.Try(table.schema()(n).dataType)
+          .getOrElse(return None)
+        if (!boundType(dt)) return None
+        PushBound(n, dt, minOf = false)
+      case _ => return None
+    }
+    val bounds = vals.collect { case b: PushBound => b }
+    // grouped: exactly one count(*) per group — bounds are not provable
+    // per partition from global file stats
+    if (gb.nonEmpty && vals != Seq(PushCount)) return None
+    val provable = table.pinned match {
+      case None => gb.isEmpty // pinned-empty global: count 0, bounds NULL
+      case some if gb.isEmpty =>
+        (vals.forall(_ != PushCount) ||
+          table.lake.metadataRowCount(some).isDefined) &&
+          bounds.forall(b => table.lake.metadataMinMax(b.name, some).isDefined)
+      case some => table.lake.metadataPartitionRowCounts(some).isDefined
+    }
+    if (!provable) None
+    else if (gb.isEmpty) Some((Nil, vals))
+    else if (gb.toSet == table.lake.config.partitionCols.toSet) Some((gb, vals))
+    else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerable(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    answerable(agg) match {
+      case Some(plan) => pushedPlan = Some(plan); true
+      case None => false
+    }
+
+  private def aggSchema: StructType = {
+    val (gb, vals) = pushedPlan.get
+    val parts = gb.map(n => table.schema()(n))
+    StructType(parts ++ vals.map {
+      case PushCount => org.apache.spark.sql.types.StructField(
+        "count(*)", LongType, nullable = false)
+      case PushBound(n, dt, minOf) => org.apache.spark.sql.types.StructField(
+        (if (minOf) "min(" else "max(") + n + ")", dt, nullable = true)
+    })
+  }
+
+  /** the pushed result rows (computed at execution, metadata-only) */
+  private def aggRows(context: SQLContext): RDD[Row] = {
+    import org.apache.spark.sql.functions.{date_from_unix_date, lit, timestamp_micros}
+    val (gb, vals) = pushedPlan.get
+    val ss = context.sparkSession
+    def reprove[A](o: Option[A]): A = o.getOrElse(
+      // a prover miss here means the files changed under the pin —
+      // fail loud rather than silently return a wrong aggregate
+      throw new IllegalStateException(
+        s"pinned snapshot ${table.pinned} no longer metadata-answerable"))
+    (table.pinned, gb) match {
+      case (pin, Nil) =>
+        val cols = vals.map {
+          case PushCount => pin match {
+            case None => lit(0L)
+            case some => lit(reprove(table.lake.metadataRowCount(some)))
+          }
+          case PushBound(n, dt, minOf) =>
+            val bound = pin.map(some =>
+              reprove(table.lake.metadataMinMax(n, Some(some))))
+              .map(mm => if (minOf) mm._1 else mm._2)
+            bound match {
+              case None => lit(null).cast(dt)
+              case Some(v) => dt match {
+                case DateType => date_from_unix_date(lit(v.toInt))
+                case TimestampType => timestamp_micros(lit(v))
+                case _ => lit(v).cast(dt)
+              }
+            }
+        }
+        ss.range(1).select(cols: _*).rdd
+      case (None, _) => ss.sparkContext.emptyRDD[Row]
+      case (some, cols) =>
+        reprove(table.lake.metadataPartitionRowCounts(some))
+          .select((cols.map(FilterTranslation.qcol) :+ col("n_rows")): _*)
+          .rdd
+    }
+  }
+
+  override def build(): Scan =
+    if (pushedPlan.isDefined) new V1Scan {
+      override def readSchema(): StructType = aggSchema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = aggSchema
+          override def buildScan(): RDD[Row] = aggRows(context)
+        }.asInstanceOf[T]
+    }
+    else new V1Scan {
+      private val pred = pushed.flatMap(FilterTranslation.toColumn)
+        .reduceOption(_ && _)
+
+      override def readSchema(): StructType = required
+
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = required
+          // exact size from the commit log → Spark can auto-broadcast
+          override def sizeInBytes: Long = {
+            val b = table.liveBytes
+            if (b > 0) b else super.sizeInBytes
+          }
+          override def buildScan(): RDD[Row] = {
+            val df = table.snapshot(pred)
+            val projected =
+              if (required.isEmpty) df
+              else df.select(required.fieldNames.map(FilterTranslation.qcol): _*)
+            projected.rdd
+          }
+        }.asInstanceOf[T]
+    }
 }
 
 /** V1-fallback write: INSERT INTO → upsert; INSERT OVERWRITE / TRUNCATE →

@@ -17,6 +17,10 @@ class SqlCatalogSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // micros timestamps (not the INT96 default): INT96 footers carry no
+    // usable stats, so timestamp bounds would never be metadata-answered
+    // — the MIN/MAX pushdown spec needs the stats to exist
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -465,5 +469,75 @@ class SqlCatalogSpec extends AnyFunSuite {
     } finally q.stop()
     assert(rows("SELECT pk, ts, v FROM g.db.skm ORDER BY pk") == Seq(
       Seq(1L, 5, "a2"), Seq(2L, 0, "b")))
+  }
+
+  test("count(*) answers from commit-log metadata through aggregate pushdown") {
+    wh
+    spark.sql("""CREATE TABLE g.db.cnt (pk BIGINT, ts INT, v STRING, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""INSERT INTO g.db.cnt VALUES
+      (1, 0, 'a', 'r1'), (2, 0, 'b', 'r1'), (3, 0, 'c', 'r2')""")
+    spark.sql("INSERT INTO g.db.cnt VALUES (1, 5, 'a2', 'r1'), (4, 1, 'd', 'r2')")
+    assert(rows("SELECT count(*) FROM g.db.cnt") == Seq(Seq(4L)))
+    assert(rows(
+      "SELECT region, count(*) FROM g.db.cnt GROUP BY region ORDER BY region") ==
+      Seq(Seq("r1", 2L), Seq("r2", 2L)))
+    // a filtered count is a row question, not a metadata one
+    assert(rows("SELECT count(*) FROM g.db.cnt WHERE region = 'r1'") == Seq(Seq(2L)))
+    // the proof the unfiltered counts never scanned: remove every data
+    // file — real scans now fail, the counts still answer
+    val p = new org.apache.hadoop.fs.Path(wh, "db/cnt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var dropped = 0
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) { fs.delete(f, false); dropped += 1 }
+    }
+    assert(dropped > 0)
+    intercept[Exception] { rows("SELECT sum(ts) FROM g.db.cnt") }
+    assert(rows("SELECT count(*) FROM g.db.cnt") == Seq(Seq(4L)))
+    assert(rows(
+      "SELECT region, count(*) FROM g.db.cnt GROUP BY region ORDER BY region") ==
+      Seq(Seq("r1", 2L), Seq("r2", 2L)))
+  }
+
+  test("MIN/MAX of stats columns answer from commit-log metadata") {
+    wh
+    spark.sql("""CREATE TABLE g.db.mm (pk BIGINT, ts INT, d DATE, ev TIMESTAMP,
+                   region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+                   statsCols='pk,d,ev')""")
+    spark.sql("""INSERT INTO g.db.mm VALUES
+      (1, 0, DATE '2024-01-02', TIMESTAMP '2024-01-02 03:04:05', 'r1'),
+      (2, 0, DATE '2024-03-04', TIMESTAMP '2024-03-04 05:06:07', 'r2')""")
+    spark.sql("""INSERT INTO g.db.mm VALUES
+      (3, 0, DATE '2023-12-31', TIMESTAMP '2024-05-06 07:08:09', 'r1')""")
+    def q(): Seq[Seq[Any]] = rows(
+      """SELECT count(*), min(pk), max(pk), min(d), max(d), min(ev), max(ev)
+         FROM g.db.mm""")
+    val expected = Seq(Seq(3L, 1L, 3L,
+      java.sql.Date.valueOf("2023-12-31"), java.sql.Date.valueOf("2024-03-04"),
+      java.sql.Timestamp.valueOf("2024-01-02 03:04:05"),
+      java.sql.Timestamp.valueOf("2024-05-06 07:08:09")))
+    assert(q() == expected)
+    // bounds of a STRING column are never metadata-answered (stats may
+    // be truncated) — this query scans, which doubles as the control
+    assert(rows("SELECT min(region) FROM g.db.mm") == Seq(Seq("r1")))
+    // the proof: data files gone, count+bounds still answer; the string
+    // bound (a real scan) now fails
+    val p = new org.apache.hadoop.fs.Path(wh, "db/mm")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var dropped = 0
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) { fs.delete(f, false); dropped += 1 }
+    }
+    assert(dropped > 0)
+    intercept[Exception] { rows("SELECT min(region) FROM g.db.mm") }
+    assert(q() == expected)
   }
 }
