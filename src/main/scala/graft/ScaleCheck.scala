@@ -47,7 +47,13 @@ object ScaleCheck {
     // nothing. Its stages are audited individually instead (the
     // jaccard/cluster join at 10x AND 100x, the tokenizer here, the
     // pack shape via doc_seq_pack's content-hash streams).
-    "doc_bpe_encode")
+    "doc_bpe_encode",
+    // r11: bloom point lookup — the candidate-pair join (probe keys ×
+    // range-hit files) is the known hazard regime: on the full-span MoR
+    // fixture EVERY file range-hits every probe, so pairs grow as
+    // probes × files. The audit measures whether the bloom stage holds
+    // that product in check at 10x
+    "lake_bloom_lookup")
 
   /** At extreme mults (the 100x point) only the heaviest queries run,
     * and the replica builds only the tables they read (customer,

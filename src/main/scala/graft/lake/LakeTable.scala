@@ -1119,29 +1119,51 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
 
   /** Strict per-partition prover (see [[metadataRowCount]]): partition
     * columns + `n_rows`, or None when any partition would need a scan. */
-  def metadataPartitionRowCounts(asOf: Option[Long] = None): Option[DataFrame] = {
+  def metadataPartitionRowCounts(asOf: Option[Long] = None): Option[DataFrame] =
+    metadataPartitionAggs(Seq.empty, asOf)
+
+  /** Strict per-partition metadata-aggregate prover: partition columns,
+    * `n_rows`, and raw integer-domain bounds `_min_<c>`/`_max_<c>` for
+    * each requested stats column — Some ONLY when every live file at
+    * the pin is a base file with a recorded row count and recorded
+    * bounds for every requested column ([[metadataMinMax]] explains why
+    * absent stats must refuse). An empty snapshot yields the empty
+    * frame: zero groups IS the metadata answer. */
+  def metadataPartitionAggs(boundCols: Seq[String], asOf: Option[Long] = None)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.Row
     if (config.partitionCols.isEmpty) return None
     val files = log.liveFiles(asOf)
-    if (!files.forall(f => !f.isDelta && f.rows > 0L)) None
-    else Some(metaCountDf(
-      files.groupBy(_.partition).toSeq
-        .map { case (t, fs) => t -> fs.map(_.rows).sum },
-      tableSchema(asOf)))
+    val ok = files.forall(f => !f.isDelta && f.rows > 0L &&
+      boundCols.forall(c => f.colMin.contains(c) && f.colMax.contains(c)))
+    if (!ok) None
+    else scala.util.Try {
+      metaAggDf(
+        files.groupBy(_.partition).toSeq.map { case (t, fs) =>
+          Row.fromSeq(t.split(PartSep, -1).toSeq ++
+            (fs.map(_.rows).sum +:
+              boundCols.flatMap(c => Seq(
+                fs.map(_.colMin(c).toLong).min,
+                fs.map(_.colMax(c).toLong).max))))
+        },
+        boundCols, tableSchema(asOf))
+    }.toOption
   }
 
-  /** typed (partition cols..., n_rows) frame from rendered tuples —
-    * values re-parse through the same cast that rendered them */
-  private def metaCountDf(
-      counts: Seq[(String, Long)], tbl: StructType): DataFrame = {
-    import org.apache.spark.sql.Row
+  /** typed (partition cols..., n_rows[, _min_c, _max_c...]) frame from
+    * rendered tuples — partition values re-parse through the same cast
+    * that rendered them; counts and bounds stay raw longs */
+  private def metaAggDf(
+      rows: Seq[org.apache.spark.sql.Row], boundCols: Seq[String],
+      tbl: StructType): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val parts = config.partitionCols
-    val rows = counts.map { case (t, n) =>
-      Row.fromSeq(t.split(PartSep, -1).toSeq :+ n)
-    }
     val strSchema = StructType(
-      parts.map(p => StructField(p + "_s", org.apache.spark.sql.types.StringType)) :+
-        StructField("n_rows", LongType))
+      parts.map(p => StructField(p + "_s", org.apache.spark.sql.types.StringType)) ++
+        (StructField("n_rows", LongType) +:
+          boundCols.flatMap(c => Seq(
+            StructField("_min_" + c, LongType),
+            StructField("_max_" + c, LongType)))))
     val typedCols = parts.map { p =>
       val dt = tbl.fields.find(_.name == p).map(_.dataType)
         .getOrElse(org.apache.spark.sql.types.StringType)
@@ -1151,7 +1173,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     spark
       .createDataFrame(scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava, strSchema)
-      .select(typedCols :+ col("n_rows"): _*)
+      .select(typedCols ++
+        strSchema.fields.drop(parts.size).map(f => col(f.name)): _*)
   }
 
   /** Per-partition row counts under the same rules as [[countRows]]:
@@ -1180,10 +1203,11 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         }.toSet
         files.partition(f => bad.contains(f.partition))
       }
-    val metaDf = metaCountDf(
-      clean.groupBy(_.partition).toSeq
-        .map { case (t, fs) => t -> fs.map(_.rows).sum },
-      tbl)
+    val metaDf = metaAggDf(
+      clean.groupBy(_.partition).toSeq.map { case (t, fs) =>
+        Row.fromSeq(t.split(PartSep, -1).toSeq :+ fs.map(_.rows).sum)
+      },
+      Seq.empty, tbl)
     if (dirty.isEmpty) metaDf
     else metaDf.unionByName(
       mergeIfNeeded(dirty, asOf)

@@ -272,6 +272,21 @@ object Sql {
           min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
         FROM nation WHERE n_nationkey < 20""")),
 
+    // the grouped form: per-partition counts AND key bounds in one
+    // metadata answer (partition tuples parse back through the same
+    // cast that rendered them)
+    GQuery("lake_sql_stats_by_part",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        s.sql(s"""SELECT n_regionkey, count(*) AS n_rows,
+            min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+          FROM $cat.db.nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_rows,
+          min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+        FROM nation WHERE n_nationkey < 20
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- SQL time travel: VERSION AS OF the seed commit ----------------
     // (the stale insert, update, and delete all happened after commit 0)
     GQuery("lake_sql_time_travel",

@@ -190,9 +190,9 @@ final class GraftTableV2(
   * Spark re-applies them row-level — conservative, never wrong.
   *
   * Aggregate pushdown ([[SupportsPushDownAggregates]], the standard DSv2
-  * surface): an unfiltered `COUNT(*)` — global, or grouped by exactly
-  * the table's partition columns — and global `MIN`/`MAX` of stats
-  * columns in exact-stats types are answered COMPLETELY from the commit
+  * surface): an unfiltered mix of `COUNT(*)` and `MIN`/`MAX` of stats
+  * columns in exact-stats types — global, or grouped by exactly the
+  * table's partition columns — is answered COMPLETELY from the commit
   * log when the strict provers say no scan would be needed
   * ([[LakeTable.metadataRowCount]]/[[LakeTable.metadataMinMax]]: every
   * live file at the pin is a base file with the fact recorded). At
@@ -278,16 +278,15 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
       case _ => return None
     }
     val bounds = vals.collect { case b: PushBound => b }
-    // grouped: exactly one count(*) per group — bounds are not provable
-    // per partition from global file stats
-    if (gb.nonEmpty && vals != Seq(PushCount)) return None
     val provable = table.pinned match {
       case None => gb.isEmpty // pinned-empty global: count 0, bounds NULL
       case some if gb.isEmpty =>
         (vals.forall(_ != PushCount) ||
           table.lake.metadataRowCount(some).isDefined) &&
           bounds.forall(b => table.lake.metadataMinMax(b.name, some).isDefined)
-      case some => table.lake.metadataPartitionRowCounts(some).isDefined
+      case some =>
+        table.lake
+          .metadataPartitionAggs(bounds.map(_.name).distinct, some).isDefined
     }
     if (!provable) None
     else if (gb.isEmpty) Some((Nil, vals))
@@ -315,9 +314,21 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
     })
   }
 
+  /** integer-domain metadata bound re-typed into the column's type (the
+    * inverse of the footer lift: DateType days, timestamp micros, int
+    * family raw) */
+  private def boundExpr(c: Column, dt: DataType): Column = {
+    import org.apache.spark.sql.functions.{date_from_unix_date, timestamp_micros}
+    dt match {
+      case DateType => date_from_unix_date(c.cast(IntegerType))
+      case TimestampType => timestamp_micros(c)
+      case _ => c.cast(dt)
+    }
+  }
+
   /** the pushed result rows (computed at execution, metadata-only) */
   private def aggRows(context: SQLContext): RDD[Row] = {
-    import org.apache.spark.sql.functions.{date_from_unix_date, lit, timestamp_micros}
+    import org.apache.spark.sql.functions.lit
     val (gb, vals) = pushedPlan.get
     val ss = context.sparkSession
     def reprove[A](o: Option[A]): A = o.getOrElse(
@@ -333,23 +344,23 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
             case some => lit(reprove(table.lake.metadataRowCount(some)))
           }
           case PushBound(n, dt, minOf) =>
-            val bound = pin.map(some =>
-              reprove(table.lake.metadataMinMax(n, Some(some))))
-              .map(mm => if (minOf) mm._1 else mm._2)
-            bound match {
+            pin.map(some => reprove(table.lake.metadataMinMax(n, Some(some))))
+              .map(mm => if (minOf) mm._1 else mm._2) match {
               case None => lit(null).cast(dt)
-              case Some(v) => dt match {
-                case DateType => date_from_unix_date(lit(v.toInt))
-                case TimestampType => timestamp_micros(lit(v))
-                case _ => lit(v).cast(dt)
-              }
+              case Some(v) => boundExpr(lit(v), dt)
             }
         }
         ss.range(1).select(cols: _*).rdd
       case (None, _) => ss.sparkContext.emptyRDD[Row]
-      case (some, cols) =>
-        reprove(table.lake.metadataPartitionRowCounts(some))
-          .select((cols.map(FilterTranslation.qcol) :+ col("n_rows")): _*)
+      case (some, groupCols) =>
+        val boundNames =
+          vals.collect { case b: PushBound => b.name }.distinct
+        reprove(table.lake.metadataPartitionAggs(boundNames, some))
+          .select(groupCols.map(FilterTranslation.qcol) ++ vals.map {
+            case PushCount => col("n_rows")
+            case PushBound(n, dt, minOf) =>
+              boundExpr(col((if (minOf) "_min_" else "_max_") + n), dt)
+          }: _*)
           .rdd
     }
   }

@@ -539,5 +539,12 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(dropped > 0)
     intercept[Exception] { rows("SELECT min(region) FROM g.db.mm") }
     assert(q() == expected)
+    // grouped by the partition column: counts AND bounds per partition,
+    // still answered with the data files gone
+    assert(rows(
+      """SELECT region, count(*), min(pk), max(d) FROM g.db.mm
+         GROUP BY region ORDER BY region""") == Seq(
+      Seq("r1", 2L, 1L, java.sql.Date.valueOf("2024-01-02")),
+      Seq("r2", 1L, 2L, java.sql.Date.valueOf("2024-03-04"))))
   }
 }
