@@ -392,6 +392,33 @@ object Extended {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- JSON scalar functions ----------------------------------------
+    // ---- VARIANT round trip (Spark 4's semi-structured type) ----------
+    // props parse ONCE into the binary variant encoding, round-trip
+    // through parquet storage (the open variant-in-parquet layout), and
+    // field extraction happens TYPED on the binary form — the lakehouse
+    // replacement for per-query JSON string re-parsing. The oracle
+    // replays from the raw JSON strings, so the gate proves the variant
+    // encode → store → read → extract path is value-lossless.
+    GQuery("ev_variant_extract",
+      (s, d) => {
+        val stage = s"/tmp/graft_variant/ev_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        T.events(s, d)
+          .select(col("event_type"), parse_json(col("props")).as("v"))
+          .write.mode("overwrite").parquet(stage)
+        s.read.parquet(stage)
+          .withColumn("k", variant_get(col("v"), "$.k", "int"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+        count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     GQuery("ev_json_extract",
       (s, d) => T.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
