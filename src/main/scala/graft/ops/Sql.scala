@@ -69,6 +69,30 @@ object Sql {
       cat
     })
 
+  /** seed `nation_dyn`, then DYNAMIC `INSERT OVERWRITE` region 2 only
+    * (partitionOverwriteMode=dynamic): the batch's partitions are
+    * replaced wholesale, every other partition untouched. */
+  private[graft] def dynFixture(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:dyn", _ => {
+      val cat = dmlFixture(s, d) // registers the catalog + sql_nation_src
+      val nation = T.nation(s, d)
+      s.sql(s"""CREATE TABLE $cat.db.nation_dyn (${nation.schema.toDDL}, update_ts INT)
+        USING graft PARTITIONED BY (n_regionkey)
+        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+      s.sql(s"INSERT INTO $cat.db.nation_dyn SELECT *, 0 FROM sql_nation_src")
+      val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        s.sql(s"""INSERT OVERWRITE $cat.db.nation_dyn
+          SELECT n_nationkey, concat(n_name, '_NEW'), n_regionkey, 1
+          FROM sql_nation_src WHERE n_regionkey = 2""")
+      finally saved match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      cat
+    })
+
   /** the mergeTable clause set (ops.Lake) issued as ONE SQL MERGE INTO —
     * update/delete/insert/by-source-delete in a single statement */
   private[graft] def mergeFixture(s: SparkSession, d: String): String =
@@ -286,6 +310,21 @@ object Sql {
           min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
         FROM nation WHERE n_nationkey < 20
         GROUP BY 1 ORDER BY 1""")),
+
+    // dynamic partition overwrite through SQL: region 2 replaced
+    // wholesale (names suffixed, ts bumped), every other region's rows
+    // byte-identical to the seed
+    GQuery("lake_sql_dyn_overwrite",
+      (s, d) => {
+        val cat = dynFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, update_ts
+          FROM $cat.db.nation_dyn ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_regionkey = 2 THEN n_name || '_NEW' ELSE n_name END AS n_name,
+          n_regionkey,
+          CASE WHEN n_regionkey = 2 THEN 1 ELSE 0 END AS update_ts
+        FROM nation ORDER BY n_nationkey""")),
 
     // ---- SQL time travel: VERSION AS OF the seed commit ----------------
     // (the stale insert, update, and delete all happened after commit 0)

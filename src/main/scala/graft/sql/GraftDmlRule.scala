@@ -37,6 +37,9 @@ final case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftMergeCommand(graftTable(m.targetTable).get,
         m.targetTable, m.sourceTable, m.mergeCondition,
         m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions)
+    case o: OverwritePartitionsDynamic
+        if o.resolved && graftTable(o.table).isDefined =>
+      GraftDynamicOverwriteCommand(graftTable(o.table).get, o.query)
   }
 
   private def graftTable(plan: LogicalPlan): Option[GraftTableV2] =
@@ -79,6 +82,22 @@ private[sql] object Dml {
   * every source row updates its target row. All assignment right-hand
   * sides evaluate against the OLD row (single projection — ANSI UPDATE
   * semantics even when one assigned column references another). */
+/** dynamic `INSERT OVERWRITE` (`partitionOverwriteMode=dynamic` /
+  * `writeTo(...).overwritePartitions()`): executed as
+  * [[graft.lake.LakeTable.insertOverwrite]] — supersede exactly the
+  * user partitions present in the batch, one commit. Spark cannot plan
+  * this through the V1 write fallback (OverwritePartitionsDynamicExec
+  * requires a native BatchWrite), so the same resolution-rule shape as
+  * UPDATE/MERGE carries it; the analyzer has already aligned the query
+  * output to the table's columns when `resolved` holds. */
+private[sql] final case class GraftDynamicOverwriteCommand(
+    table: GraftTableV2, query: LogicalPlan) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    table.lake.insertOverwrite(PlanBridge.ofRows(session, query))
+    Seq.empty
+  }
+}
+
 private[sql] final case class GraftUpdateCommand(
     table: GraftTableV2,
     assignments: Seq[Assignment],

@@ -78,6 +78,10 @@ final class GraftTableV2(
 
   override def capabilities(): util.Set[TableCapability] = {
     import TableCapability._
+    // no OVERWRITE_DYNAMIC here: Spark cannot plan dynamic overwrite
+    // through the V1 write fallback (OverwritePartitionsDynamicExec
+    // needs a native BatchWrite) — the GraftDmlRule resolution rule
+    // carries it instead, the same shape as UPDATE/MERGE
     Set(BATCH_READ, V1_BATCH_WRITE, OVERWRITE_BY_FILTER, TRUNCATE).asJava
   }
 
@@ -404,26 +408,45 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
 }
 
 /** V1-fallback write: INSERT INTO → upsert; INSERT OVERWRITE / TRUNCATE →
-  * whole-table replace in one commit. */
+  * whole-table replace in one commit; dynamic partition-overwrite mode
+  * (`partitionOverwriteMode=dynamic` / `writeTo(...).overwritePartitions()`)
+  * → [[LakeTable.insertOverwrite]], which supersedes exactly the user
+  * partitions the batch touches in one commit. Statically-filtered
+  * overwrite (an explicit PARTITION spec under static mode) stays
+  * unsupported: its exact semantics — clear the NAMED partitions even
+  * where the batch holds no rows for them — need a delete+insert in one
+  * commit, which the single-operation timeline does not express; the
+  * error says to use dynamic mode. */
 private[sql] final class GraftWriteBuilder(lake: LakeTable)
-  extends WriteBuilder with SupportsOverwrite {
+  extends WriteBuilder with SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
-  private var overwriteAll = false
+  private var mode: String = "upsert"
 
-  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+  override def truncate(): WriteBuilder = { mode = "all"; this }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     require(filters.forall(_.isInstanceOf[AlwaysTrue]),
-      "graft supports full INSERT OVERWRITE only (no partition-filtered overwrite " +
-        "through SQL yet — use LakeTable.insertOverwrite for dynamic overwrite)")
-    overwriteAll = true
+      "graft supports full INSERT OVERWRITE only — for partition-scoped " +
+        "overwrite set spark.sql.sources.partitionOverwriteMode=dynamic " +
+        "(or writeTo(...).overwritePartitions()): the batch's partitions " +
+        "are replaced, others untouched")
+    mode = "all"
     this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = "dynamic"; this
   }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-        if (overwriteAll) lake.overwriteAll(data) else lake.upsert(data)
+        mode match {
+          case "all" => lake.overwriteAll(data)
+          case "dynamic" => lake.insertOverwrite(data)
+          case _ => lake.upsert(data)
+        }
         ()
       }
   }

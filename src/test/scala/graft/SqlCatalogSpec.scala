@@ -547,4 +547,38 @@ class SqlCatalogSpec extends AnyFunSuite {
       Seq("r1", 2L, 1L, java.sql.Date.valueOf("2024-01-02")),
       Seq("r2", 1L, 2L, java.sql.Date.valueOf("2024-03-04"))))
   }
+
+  test("dynamic partition overwrite replaces only the batch's partitions") {
+    wh
+    spark.sql("""CREATE TABLE g.db.dyn (pk BIGINT, ts INT, v STRING, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""INSERT INTO g.db.dyn VALUES
+      (1, 0, 'a', 'r1'), (2, 0, 'b', 'r1'), (3, 0, 'c', 'r2')""")
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql("INSERT OVERWRITE g.db.dyn VALUES (9, 1, 'z', 'r1')")
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // r1 fully replaced (keys 1 and 2 gone), r2 untouched
+    assert(rows("SELECT pk, v, region FROM g.db.dyn ORDER BY pk") == Seq(
+      Seq(3L, "c", "r2"), Seq(9L, "z", "r1")))
+    // the DataFrame API spelling drives the same path
+    import spark.implicits._
+    Seq((7L, 0, "y", "r2")).toDF("pk", "ts", "v", "region")
+      .writeTo("g.db.dyn").overwritePartitions()
+    assert(rows("SELECT pk, v, region FROM g.db.dyn ORDER BY pk") == Seq(
+      Seq(7L, "y", "r2"), Seq(9L, "z", "r1")))
+    // static filtered overwrite stays an explicit error, not a surprise
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE g.db.dyn PARTITION (region = 'r1') " +
+        "SELECT 5, 0, 'q'")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("partitionOverwriteMode=dynamic")), e.getMessage)
+  }
 }
