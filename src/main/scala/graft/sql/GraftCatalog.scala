@@ -239,6 +239,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       statsCols = csv("statsCols"),
       clusterCols = csv("clusterCols"),
       zOrder = prop("zOrder").exists(_.toBoolean),
+      bloomKeys = prop("bloomKeys").map(_.toInt).getOrElse(0),
       checks = checks,
       schemaJson = schema.json)
   }

@@ -581,4 +581,19 @@ class SqlCatalogSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
     assert(msgs(e).exists(_.contains("partitionOverwriteMode=dynamic")), e.getMessage)
   }
+
+  test("bloomKeys TBLPROPERTIES reaches the writer: key bloom sidecars appear") {
+    wh
+    spark.sql("""CREATE TABLE g.db.bk (pk BIGINT, ts INT, v STRING)
+                 USING graft
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts', bloomKeys='100')""")
+    spark.sql("INSERT INTO g.db.bk VALUES (1, 0, 'a'), (2, 0, 'b')")
+    val p = new org.apache.hadoop.fs.Path(wh, "db/bk")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var sidecars = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".bf")) sidecars += 1
+    assert(sidecars > 0, "no bloom sidecars written for a bloomKeys table")
+    assert(rows("SELECT pk FROM g.db.bk ORDER BY pk") == Seq(Seq(1L), Seq(2L)))
+  }
 }
