@@ -384,6 +384,66 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     } finally incoming.unpersist()
   }
 
+  /** Statically-filtered overwrite (Delta `replaceWhere` / SQL static
+    * PARTITION-spec INSERT OVERWRITE) in ONE commit: delete every
+    * current row where `pred` is TRUE and insert `batch` — whose rows
+    * must ALL satisfy `pred` (an overwrite may only write into the
+    * region it clears; violating rows fail before any file work,
+    * Delta's constraint). Scope is partition-granular (the single-
+    * directory-per-partition invariant): partitions the stats index
+    * PROVES cannot hold a matching row are untouched; each touched
+    * partition rewrites as its merged current rows not matching pred —
+    * minus any row whose key the batch re-writes (the batch is the new
+    * truth for its keys) — plus the batch. An EMPTY batch clears the
+    * matching region. MoR deltas in touched partitions fold into the
+    * rewritten base.
+    */
+  def overwriteWhere(pred: org.apache.spark.sql.Column, batch: DataFrame): Long = {
+    val id = log.nextId
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+    val incoming = withDerived(withMeta(batch, id))
+      .withColumn("_seq", monotonically_increasing_id())
+      .persist()
+    try {
+      // NULL-safe region test: a row where pred is NULL is NOT deleted
+      // (SQL DELETE semantics), so a batch row where pred is not TRUE
+      // would land OUTSIDE the cleared region — reject it
+      val inRegion = coalesce(pred, lit(false))
+      require(incoming.filter(!inRegion).isEmpty,
+        "overwriteWhere: every batch row must satisfy the predicate — " +
+          "rows outside the replaced region would silently widen the overwrite")
+      val live = if (exists) log.liveFiles() else Seq.empty
+      // same analyzed-probe route as read(pruneBy): the stats index
+      // drops files (→ partitions) that provably hold no matching row
+      val probe = readOrEmpty(Seq.empty, None).filter(pred)
+      val cond = probe.queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+      val may = cond.fold(live)(p => pruneByColStats(live, p))
+      val nUser = config.partitionCols.size
+      def userPrefix(t: String): String =
+        t.split(PartSep(0)).take(nUser).mkString(PartSep)
+      val touched =
+        if (nUser == 0) { if (may.nonEmpty) live else Seq.empty }
+        else {
+          val tuples = may.map(f => userPrefix(f.partition)).toSet
+          live.filter(f => tuples.contains(userPrefix(f.partition)))
+        }
+      val payload =
+        if (touched.isEmpty) dedupWithinBatch(incoming)
+        else {
+          val keep = mergeIfNeeded(touched)
+            .filter(!inRegion)
+            .join(incoming.select(dedupCols.map(col): _*).distinct(),
+              dedupCols, "left_anti")
+          keep.unionByName(dedupWithinBatch(incoming),
+            allowMissingColumns = true)
+        }
+      writeCommit(payload, "insert_overwrite", touched.map(_.path), Some(id),
+        basedOn = Some(basedOn), partitionScoped = !config.globalIndex)
+    } finally incoming.unpersist()
+  }
+
   /** Replace the WHOLE table content in one commit (SQL `INSERT
     * OVERWRITE` without a partition spec / TRUNCATE+INSERT): every live
     * file — all partitions, whether or not the batch touches them — is

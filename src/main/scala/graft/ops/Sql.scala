@@ -90,6 +90,11 @@ object Sql {
         case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+      // static PARTITION-spec overwrite (replaceWhere, default mode):
+      // region 4 clears wholesale and re-lands with '_RW' names, ts=2
+      s.sql(s"""INSERT OVERWRITE $cat.db.nation_dyn PARTITION (n_regionkey = 4)
+        SELECT n_nationkey, concat(n_name, '_RW'), 2
+        FROM sql_nation_src WHERE n_regionkey = 4""")
       cat
     })
 
@@ -321,9 +326,12 @@ object Sql {
           FROM $cat.db.nation_dyn ORDER BY n_nationkey""")
       },
       Some("""SELECT n_nationkey,
-          CASE WHEN n_regionkey = 2 THEN n_name || '_NEW' ELSE n_name END AS n_name,
+          CASE WHEN n_regionkey = 2 THEN n_name || '_NEW'
+               WHEN n_regionkey = 4 THEN n_name || '_RW'
+               ELSE n_name END AS n_name,
           n_regionkey,
-          CASE WHEN n_regionkey = 2 THEN 1 ELSE 0 END AS update_ts
+          CASE WHEN n_regionkey = 2 THEN 1
+               WHEN n_regionkey = 4 THEN 2 ELSE 0 END AS update_ts
         FROM nation ORDER BY n_nationkey""")),
 
     // ---- SQL time travel: VERSION AS OF the seed commit ----------------

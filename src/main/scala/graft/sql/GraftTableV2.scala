@@ -411,27 +411,33 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
   * whole-table replace in one commit; dynamic partition-overwrite mode
   * (`partitionOverwriteMode=dynamic` / `writeTo(...).overwritePartitions()`)
   * → [[LakeTable.insertOverwrite]], which supersedes exactly the user
-  * partitions the batch touches in one commit. Statically-filtered
-  * overwrite (an explicit PARTITION spec under static mode) stays
-  * unsupported: its exact semantics — clear the NAMED partitions even
-  * where the batch holds no rows for them — need a delete+insert in one
-  * commit, which the single-operation timeline does not express; the
-  * error says to use dynamic mode. */
+  * partitions the batch touches in one commit; statically-filtered
+  * overwrite (an explicit PARTITION spec under static mode, or
+  * `writeTo(...).overwrite(cond)`) → [[LakeTable.overwriteWhere]] —
+  * Delta's replaceWhere: clear the predicate's region and insert, one
+  * commit, batch rows required to satisfy the predicate. A filter no
+  * source Filter translation exists for is rejected with the dynamic-
+  * mode hint rather than silently widened. */
 private[sql] final class GraftWriteBuilder(lake: LakeTable)
   extends WriteBuilder with SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var mode: String = "upsert"
+  private var replaceCond: Option[Column] = None
 
   override def truncate(): WriteBuilder = { mode = "all"; this }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
-      "graft supports full INSERT OVERWRITE only — for partition-scoped " +
-        "overwrite set spark.sql.sources.partitionOverwriteMode=dynamic " +
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) { mode = "all"; return this }
+    val conds = filters.map(FilterTranslation.toColumn)
+    require(conds.forall(_.isDefined),
+      "INSERT OVERWRITE with a filter this source cannot translate — " +
+        "for partition-scoped overwrite use an equality PARTITION spec, " +
+        "or set spark.sql.sources.partitionOverwriteMode=dynamic " +
         "(or writeTo(...).overwritePartitions()): the batch's partitions " +
         "are replaced, others untouched")
-    mode = "all"
+    mode = "replace"
+    replaceCond = conds.flatten.reduceOption(_ && _)
     this
   }
 
@@ -445,6 +451,8 @@ private[sql] final class GraftWriteBuilder(lake: LakeTable)
         mode match {
           case "all" => lake.overwriteAll(data)
           case "dynamic" => lake.insertOverwrite(data)
+          case "replace" => lake.overwriteWhere(
+            replaceCond.getOrElse(org.apache.spark.sql.functions.lit(true)), data)
           case _ => lake.upsert(data)
         }
         ()

@@ -1434,6 +1434,24 @@ class LakeTableSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet == Set((33L, "a33")))
   }
 
+  test("overwriteWhere: one commit clears the region; survivors kept; batch wins keys") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 5), (2L, 1, "b", 20), (3L, 2, "c", 5)))
+    val commits0 = t.log.commits.size
+    // replace the ts<10 region: keys 1 and 3 (in-region) vanish; key 2
+    // (ts=20) survives — but the batch re-writes key 2, and the batch is
+    // the new truth for its keys
+    t.overwriteWhere(col("ts") < 10, df((9L, 1, "n", 7), (2L, 1, "b2", 7)))
+    assert(snap(t) == Set((9L, 1, "n", 7), (2L, 1, "b2", 7)))
+    assert(t.log.commits.size == commits0 + 1, "replaceWhere must be ONE commit")
+    // a batch row outside the region fails before any file work
+    intercept[Exception] { t.overwriteWhere(col("ts") < 10, df((4L, 1, "x", 99))) }
+    assert(snap(t) == Set((9L, 1, "n", 7), (2L, 1, "b2", 7)))
+    // an empty batch CLEARS the matching region
+    t.overwriteWhere(col("ts") >= 0, df((0L, 0, "z", 0)).filter(lit(false)))
+    assert(snap(t).isEmpty)
+  }
+
   test("countRows: pending MoR deltas merge-count ONLY the dirty partitions") {
     val root = freshRoot()
     val t = LakeTable(spark, LakeTableConfig(root, Seq("pk"), "ts",

@@ -572,14 +572,25 @@ class SqlCatalogSpec extends AnyFunSuite {
       .writeTo("g.db.dyn").overwritePartitions()
     assert(rows("SELECT pk, v, region FROM g.db.dyn ORDER BY pk") == Seq(
       Seq(7L, "y", "r2"), Seq(9L, "z", "r1")))
-    // static filtered overwrite stays an explicit error, not a surprise
-    val e = intercept[Exception] {
-      spark.sql("INSERT OVERWRITE g.db.dyn PARTITION (region = 'r1') " +
-        "SELECT 5, 0, 'q'")
-    }
+    // static PARTITION-spec overwrite = replaceWhere: the NAMED
+    // partition clears wholesale (key 9 vanishes without being
+    // re-written) and the batch lands, one commit
+    spark.sql("INSERT OVERWRITE g.db.dyn PARTITION (region = 'r1') " +
+      "SELECT 5, 0, 'q'")
+    assert(rows("SELECT pk, v, region FROM g.db.dyn ORDER BY pk") == Seq(
+      Seq(5L, "q", "r1"), Seq(7L, "y", "r2")))
+    // a batch row OUTSIDE the replaced region fails the whole statement
+    // and leaves the table intact
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("partitionOverwriteMode=dynamic")), e.getMessage)
+    val e = intercept[Exception] {
+      Seq((8L, 0, "w", "r2")).toDF("pk", "ts", "v", "region")
+        .writeTo("g.db.dyn")
+        .overwrite(org.apache.spark.sql.functions.col("region") === "r1")
+    }
+    assert(msgs(e).exists(_.contains("satisfy the predicate")), e.getMessage)
+    assert(rows("SELECT pk, v, region FROM g.db.dyn ORDER BY pk") == Seq(
+      Seq(5L, "q", "r1"), Seq(7L, "y", "r2")))
   }
 
   test("bloomKeys TBLPROPERTIES reaches the writer: key bloom sidecars appear") {
