@@ -400,11 +400,94 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * old files, drops never resurrect, type changes must widen). On a
     * table with no commits yet the declared descriptor schema is edited
     * in place (there are no files to adapt). */
+  /** descriptor knobs `ALTER TABLE ... SET/UNSET TBLPROPERTIES` may
+    * change: maintenance and indexing only. Layout identity — keyCols,
+    * precombineCol, partitionCols, globalIndex, storageType,
+    * hashBuckets — is immutable: existing files were written under it
+    * and every read/merge path assumes it. */
+  private val MutableProps = Set(
+    "compactEvery", "bloomKeys", "statsCols", "clusterCols", "zOrder",
+    "checks")
+
+  private def alterProperties(
+      root: String, desc: TableDescriptor,
+      lake: graft.lake.LakeTable, changes: Seq[TableChange]): Unit = {
+    def csv(v: String): Seq[String] =
+      v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def parseChecks(v: String): Map[String, String] =
+      v.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf(':')
+        require(i > 0, s"checks entries are 'name:expr', got '$kv'")
+        kv.take(i).trim -> kv.drop(i + 1).trim
+      }.toMap
+    def guard(k: String): Unit = require(MutableProps.contains(k),
+      s"table property '$k' is not alterable — layout identity " +
+        "(keyCols/precombineCol/partitionCols/globalIndex/storageType/" +
+        s"hashBuckets) is immutable; alterable: ${MutableProps.toSeq.sorted.mkString(", ")}")
+    val next = changes.foldLeft(desc) {
+      case (d, s: TableChange.SetProperty) =>
+        guard(s.property)
+        s.property match {
+          case "compactEvery" => d.copy(compactEvery = s.value.toInt)
+          case "bloomKeys" => d.copy(bloomKeys = s.value.toInt)
+          case "statsCols" => d.copy(statsCols = csv(s.value))
+          case "clusterCols" => d.copy(clusterCols = csv(s.value))
+          case "zOrder" => d.copy(zOrder = s.value.toBoolean)
+          case "checks" => d.copy(checks = parseChecks(s.value))
+        }
+      case (d, r: TableChange.RemoveProperty) =>
+        guard(r.property)
+        r.property match {
+          case "compactEvery" => d.copy(compactEvery = 0)
+          case "bloomKeys" => d.copy(bloomKeys = 0)
+          case "statsCols" => d.copy(statsCols = Seq.empty)
+          case "clusterCols" => d.copy(clusterCols = Seq.empty)
+          case "zOrder" => d.copy(zOrder = false)
+          case "checks" => d.copy(checks = Map.empty)
+        }
+      case (_, other) => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    // referenced columns must exist; the config constructor re-checks
+    // structural invariants (zOrder arity etc.)
+    val schema = if (lake.exists) lake.tableSchema()
+      else Option(next.schemaJson).filter(_.nonEmpty)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]).getOrElse(new StructType())
+    (next.statsCols ++ next.clusterCols).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"declared column '$c' is not in the table schema"))
+    next.config(root)
+    // a NEW or changed CHECK must hold for every EXISTING row (Delta's
+    // add-constraint validation) — one scan, NULL passes (ANSI, the
+    // same rule the write-side guard applies)
+    val added = Option(next.checks).getOrElse(Map.empty).toSet --
+      Option(desc.checks).getOrElse(Map.empty).toSet
+    if (added.nonEmpty && lake.exists) {
+      val snap = lake.read()
+      added.foreach { case (name, expr) =>
+        val bad = snap.filter(
+          org.apache.spark.sql.functions.expr(s"NOT coalesce(($expr), true)"))
+        require(bad.isEmpty,
+          s"cannot add CHECK '$name': existing rows violate ($expr)")
+      }
+    }
+    TableDescriptor.save(root, next, hconf)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tablePath(ident).toString
     val desc = TableDescriptor.load(root, hconf)
       .getOrElse(throw new NoSuchTableException(ident))
     val lake = graft.lake.LakeTable(spark, desc.config(root))
+    val (propChanges, colChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propChanges.nonEmpty)
+      alterProperties(root, desc, lake, propChanges)
+    if (colChanges.isEmpty) return loadTable(ident)
+    val changesSeq = colChanges
     def one(names: Array[String]): String = {
       require(names.length == 1,
         "graft tables support top-level column changes only")
@@ -423,7 +506,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       def notPinned(n: String): Unit =
         require(!SchemaEvo.isInternal(n) && !pinned.contains(n),
           s"column '$n' is pinned by the table configuration")
-      changes.foldLeft(
+      changesSeq.foldLeft(
         lake.tableSchema().fields.toSeq.map(f => f.name -> f.dataType)) {
         (fields, ch) =>
         val names = fields.map(_._1)
@@ -461,7 +544,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"unsupported ALTER TABLE change: $other")
         }
       }
-      changes.foreach {
+      changesSeq.foreach {
         case c: TableChange.AddColumn => lake.addColumn(one(c.fieldNames), c.dataType)
         case c: TableChange.RenameColumn => lake.renameColumn(one(c.fieldNames), c.newName)
         case c: TableChange.DeleteColumn => lake.dropColumn(one(c.fieldNames))
@@ -475,7 +558,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val declared = Option(desc.schemaJson).filter(_.nonEmpty)
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(new StructType())
-      val next = changes.foldLeft(declared) { (s, ch) =>
+      val next = changesSeq.foldLeft(declared) { (s, ch) =>
         ch match {
           case c: TableChange.AddColumn =>
             require(!s.fieldNames.contains(one(c.fieldNames)),

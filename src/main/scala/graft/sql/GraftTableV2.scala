@@ -74,6 +74,22 @@ final class GraftTableV2(
       "keyCols" -> desc.keyCols.mkString(","),
       "precombineCol" -> desc.precombineCol,
       "storageType" -> desc.storageType) ++
+      (if (desc.globalIndex) Map("globalIndex" -> "true") else Map.empty) ++
+      (if (desc.compactEvery > 0)
+        Map("compactEvery" -> desc.compactEvery.toString) else Map.empty) ++
+      (if (desc.hashBuckets > 0)
+        Map("hashBuckets" -> desc.hashBuckets.toString) else Map.empty) ++
+      (if (desc.bloomKeys > 0)
+        Map("bloomKeys" -> desc.bloomKeys.toString) else Map.empty) ++
+      (if (desc.statsCols.nonEmpty)
+        Map("statsCols" -> desc.statsCols.mkString(",")) else Map.empty) ++
+      (if (desc.clusterCols.nonEmpty)
+        Map("clusterCols" -> desc.clusterCols.mkString(",")) else Map.empty) ++
+      (if (desc.zOrder) Map("zOrder" -> "true") else Map.empty) ++
+      (if (Option(desc.checks).exists(_.nonEmpty))
+        Map("checks" -> desc.checks.map { case (k, v) => s"$k:$v" }
+          .mkString(";"))
+      else Map.empty) ++
       asOf.map(v => "versionAsOf" -> v.toString)).asJava
 
   override def capabilities(): util.Set[TableCapability] = {

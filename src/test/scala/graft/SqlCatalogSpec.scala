@@ -607,4 +607,49 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(sidecars > 0, "no bloom sidecars written for a bloomKeys table")
     assert(rows("SELECT pk FROM g.db.bk ORDER BY pk") == Seq(Seq(1L), Seq(2L)))
   }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES mutates maintenance knobs only") {
+    wh
+    spark.sql("""CREATE TABLE g.db.props (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.props VALUES (1, 0, 'a'), (2, 0, 'bb')")
+    // a new CHECK validates against EXISTING rows before landing
+    spark.sql("ALTER TABLE g.db.props SET TBLPROPERTIES " +
+      "('checks'='len_ok:length(v) < 10')")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.props SET TBLPROPERTIES ('checks'='pk_neg:pk < 0')")
+    }
+    assert(e1.getMessage.contains("existing rows violate"), e1.getMessage)
+    // ...and the landed check enforces on subsequent writes
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO g.db.props VALUES (3, 1, 'waytoolongvalue')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e2).exists(_.contains("len_ok")), e2.getMessage)
+    // turning bloomKeys on affects FUTURE commits: sidecars appear
+    spark.sql("ALTER TABLE g.db.props SET TBLPROPERTIES ('bloomKeys'='50')")
+    spark.sql("INSERT INTO g.db.props VALUES (4, 0, 'd')")
+    val p = new org.apache.hadoop.fs.Path(wh, "db/props")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var sidecars = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".bf")) sidecars += 1
+    assert(sidecars > 0)
+    // layout identity is immutable
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.props SET TBLPROPERTIES ('keyCols'='v')")
+    }
+    assert(e3.getMessage.contains("not alterable"), e3.getMessage)
+    // UNSET clears the knob: the length check no longer applies
+    spark.sql("ALTER TABLE g.db.props UNSET TBLPROPERTIES ('checks')")
+    spark.sql("INSERT INTO g.db.props VALUES (5, 0, 'nowlongisfine!')")
+    assert(rows("SELECT pk FROM g.db.props ORDER BY pk") ==
+      Seq(Seq(1L), Seq(2L), Seq(4L), Seq(5L)))
+    // SHOW TBLPROPERTIES surfaces the live knob values
+    val props = spark.sql("SHOW TBLPROPERTIES g.db.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("bloomKeys").contains("50"), props.toString)
+    assert(!props.contains("checks"))
+  }
 }
