@@ -203,9 +203,11 @@ object GraftExtensions {
         val t = lakeAt(strArg(args(0), "root"))
         val spark = SparkSession.active
         val rows = t.log.liveFiles().map(f =>
-          (f.path, f.partition, Option(f.kind).getOrElse("base"), f.bytes))
+          (f.path, f.partition, Option(f.kind).getOrElse("base"), f.bytes,
+            f.rows, f.bloom, Option(f.kmin), Option(f.kmax)))
         spark.createDataFrame(rows)
-          .toDF("path", "partition", "kind", "bytes")
+          .toDF("path", "partition", "kind", "bytes",
+            "n_rows", "has_bloom", "kmin", "kmax")
           .queryExecution.analyzed
       }))
 

@@ -264,6 +264,13 @@ class SqlCatalogSpec extends AnyFunSuite {
       val f = new java.io.File(new java.net.URI(r.getString(0)).getPath)
       f.exists && r.getString(1) == "base" && r.getLong(2) == f.length
     }, "graft_files must inventory the live files with true sizes")
+    // the commit-log metadata columns: recorded row counts sum to the
+    // snapshot, key ranges recorded, no blooms on an unconfigured table
+    assert(rows(s"SELECT CAST(sum(n_rows) AS BIGINT) FROM graft_files('$root')")
+      == Seq(Seq(1L)))
+    assert(spark.sql(s"SELECT * FROM graft_files('$root')").collect()
+      .forall(r => !r.getAs[Boolean]("has_bloom") &&
+        r.getAs[String]("kmin") != null && r.getAs[String]("kmax") != null))
   }
 
   test("CTAS stages atomically: success publishes, failure leaves no table") {
