@@ -1199,13 +1199,18 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     if (!ok) None
     else scala.util.Try {
       metaAggDf(
-        files.groupBy(_.partition).toSeq.map { case (t, fs) =>
-          Row.fromSeq(t.split(PartSep, -1).toSeq ++
-            (fs.map(_.rows).sum +:
-              boundCols.flatMap(c => Seq(
-                fs.map(_.colMin(c).toLong).min,
-                fs.map(_.colMax(c).toLong).max))))
-        },
+        // group by the USER partition levels: a hash-bucketed table's
+        // tuples carry the derived bucket as an extra trailing level,
+        // which must fold into its user partition here
+        files.groupBy(f =>
+          f.partition.split(PartSep, -1).take(config.partitionCols.size).toSeq)
+          .toSeq.map { case (t, fs) =>
+            Row.fromSeq(t ++
+              (fs.map(_.rows).sum +:
+                boundCols.flatMap(c => Seq(
+                  fs.map(_.colMin(c).toLong).min,
+                  fs.map(_.colMax(c).toLong).max))))
+          },
         boundCols, tableSchema(asOf))
     }.toOption
   }
@@ -1255,18 +1260,27 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val files = log.liveFiles(asOf)
     val tbl = tableSchema(asOf)
     val wholeTableMerge = files.exists(_.isDelta) && !groupLocalMergeSafe
+    // dirtiness is decided per USER partition (not per bucket tuple): a
+    // user partition with one dirty bucket scans whole, or its clean
+    // buckets' metadata row would duplicate the scanned row in the union
+    def userKey(f: FileAdd): Seq[String] =
+      f.partition.split(PartSep, -1).take(parts.size).toSeq
     val (dirty, clean) =
       if (wholeTableMerge) (files, Seq.empty[FileAdd])
       else {
-        val bad = files.groupBy(_.partition).collect {
+        val bad = files.groupBy(userKey).collect {
           case (t, fs) if fs.exists(f => f.isDelta || f.rows <= 0L) => t
         }.toSet
-        files.partition(f => bad.contains(f.partition))
+        files.partition(f => bad.contains(userKey(f)))
       }
+    // group by the USER partition levels (hash-bucketed tables carry the
+    // derived bucket as an extra trailing tuple level — fold it in)
     val metaDf = metaAggDf(
-      clean.groupBy(_.partition).toSeq.map { case (t, fs) =>
-        Row.fromSeq(t.split(PartSep, -1).toSeq :+ fs.map(_.rows).sum)
-      },
+      clean.groupBy(f =>
+        f.partition.split(PartSep, -1).take(parts.size).toSeq)
+        .toSeq.map { case (t, fs) =>
+          Row.fromSeq(t :+ fs.map(_.rows).sum)
+        },
       Seq.empty, tbl)
     if (dirty.isEmpty) metaDf
     else metaDf.unionByName(

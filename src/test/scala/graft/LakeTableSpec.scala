@@ -1434,6 +1434,22 @@ class LakeTableSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet == Set((33L, "a33")))
   }
 
+  test("metadata counts fold hash buckets into their user partitions") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), hashBuckets = 4))
+    t.bulkInsert(df((1L to 8L).map(i =>
+      (i, if (i <= 5) 1 else 2, s"v$i", 0)): _*))
+    assert(t.countRows() == 8)
+    // one row per USER partition — the derived bucket level must fold in
+    val pc = t.partitionRowCounts().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pc == Map(1 -> 5, 2 -> 3))
+    val strict = t.metadataPartitionRowCounts()
+    assert(strict.isDefined)
+    assert(strict.get.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(1 -> 5, 2 -> 3))
+  }
+
   test("overwriteWhere: one commit clears the region; survivors kept; batch wins keys") {
     val t = LakeTable(spark, cfg(freshRoot()))
     t.bulkInsert(df((1L, 1, "a", 5), (2L, 1, "b", 20), (3L, 2, "c", 5)))
