@@ -167,6 +167,24 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         pmod(hash(config.keyCols.map(col): _*), lit(config.hashBuckets)))
     else df
 
+  /** user partition levels of a stored tuple — a hash-bucketed table's
+    * derived bucket rides as a trailing EXTRA level and must fold away
+    * wherever user-partition identity is compared (limit -1 keeps
+    * trailing empties so the arity is always the stored level count) */
+  private def userLevels(t: String): Seq[String] =
+    t.split(PartSep, -1).take(config.partitionCols.size).toSeq
+
+  /** true when a stored user tuple cannot be mapped back to column
+    * values: the hive-default level of a STRING partition column covers
+    * both null and '' (an absent schema field is treated as string —
+    * conservative) */
+  private def ambiguousTuple(t: Seq[String], tbl: StructType): Boolean =
+    t.zip(config.partitionCols).exists { case (v, p) =>
+      v == LakeTable.NullPartition &&
+        tbl.fields.find(_.name == p)
+          .forall(_.dataType == org.apache.spark.sql.types.StringType)
+    }
+
   // Spark's partition-path rendering sends BOTH null and empty-string
   // values to the hive default directory — mirror exactly, or pruning
   // misses those files (empty string found by review, round 1)
@@ -345,15 +363,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       // index, not an overwrite boundary). No user partitions (plain or
       // bucketed-unpartitioned) = whole-table overwrite.
       val nUser = config.partitionCols.size
-      def userPrefix(tuple: String): String =
-        tuple.split(PartSep(0)).take(nUser).mkString(PartSep)
       val touched =
         if (nUser == 0) live
         else {
           val tuples = incoming.select(config.partitionCols.map(renderCol): _*)
             .distinct().collect()
-            .map(_.toSeq.map(String.valueOf).mkString(PartSep)).toSet
-          live.filter(f => tuples.contains(userPrefix(f.partition)))
+            .map(_.toSeq.map(String.valueOf)).toSet
+          live.filter(f => tuples.contains(userLevels(f.partition)))
         }
       // global index: batch keys must stay unique TABLE-WIDE, so rows of
       // those keys residing in partitions OUTSIDE the overwrite scope are
@@ -421,25 +437,51 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       }
       val may = cond.fold(live)(p => pruneByColStats(live, p))
       val nUser = config.partitionCols.size
-      def userPrefix(t: String): String =
-        t.split(PartSep(0)).take(nUser).mkString(PartSep)
+      val batchEmpty = incoming.isEmpty
+      // rewrite scope = partitions that MAY hold a pred-matching row
+      // UNION the batch's own partitions: a batch key whose current row
+      // sits outside the pred region (stats-pruned) must STILL be
+      // superseded — "the batch is the new truth for its keys" holds
+      // only for partitions the rewrite actually reads
       val touched =
-        if (nUser == 0) { if (may.nonEmpty) live else Seq.empty }
+        if (config.isMor && !groupLocalMergeSafe && live.exists(_.isDelta))
+          // a global-index MoR delta can shadow/tombstone a key in ANY
+          // partition (merge() applies the same rule): only a
+          // table-wide merge is sound — a subset merge could resurrect
+          // a row whose tombstone lives in an unread delta
+          live
+        else if (nUser == 0) { if (may.nonEmpty || !batchEmpty) live else Seq.empty }
         else {
-          val tuples = may.map(f => userPrefix(f.partition)).toSet
-          live.filter(f => tuples.contains(userPrefix(f.partition)))
+          val predParts = may.map(f => userLevels(f.partition)).toSet
+          val batchParts =
+            if (batchEmpty) Set.empty[Seq[String]]
+            else incoming.select(config.partitionCols.map(renderCol): _*)
+              .distinct().collect()
+              .map(_.toSeq.map(String.valueOf)).toSet
+          val tuples = predParts ++ batchParts
+          live.filter(f => tuples.contains(userLevels(f.partition)))
+        }
+      // a GLOBAL-index batch key may reside in a partition outside the
+      // scope — evict it there too, or table-wide uniqueness breaks
+      // (the same foreign-partition rewrite insertOverwrite runs)
+      val scope =
+        if (!config.globalIndex || batchEmpty) touched
+        else {
+          val others = live.filterNot(touched.toSet)
+          val holding = partitionsHoldingKeys(incoming, others)
+          touched ++ others.filter(f => holding.contains(f.partition))
         }
       val payload =
-        if (touched.isEmpty) dedupWithinBatch(incoming)
+        if (scope.isEmpty) dedupWithinBatch(incoming)
         else {
-          val keep = mergeIfNeeded(touched)
+          val keep = mergeIfNeeded(scope)
             .filter(!inRegion)
             .join(incoming.select(dedupCols.map(col): _*).distinct(),
               dedupCols, "left_anti")
           keep.unionByName(dedupWithinBatch(incoming),
             allowMissingColumns = true)
         }
-      writeCommit(payload, "insert_overwrite", touched.map(_.path), Some(id),
+      writeCommit(payload, "insert_overwrite", scope.map(_.path), Some(id),
         basedOn = Some(basedOn), partitionScoped = !config.globalIndex)
     } finally incoming.unpersist()
   }
@@ -1194,16 +1236,22 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     import org.apache.spark.sql.Row
     if (config.partitionCols.isEmpty) return None
     val files = log.liveFiles(asOf)
+    val tbl = tableSchema(asOf)
     val ok = files.forall(f => !f.isDelta && f.rows > 0L &&
       boundCols.forall(c => f.colMin.contains(c) && f.colMax.contains(c)))
-    if (!ok) None
+    // the hive-default directory holds BOTH null and '' values of a
+    // STRING partition column (renderCol folds them) — the stored tuple
+    // cannot tell them apart, while a real scan reads the true column
+    // values from the files. Refuse rather than answer a grouped count
+    // that merges two distinct groups.
+    if (!ok || files.exists(f => ambiguousTuple(userLevels(f.partition), tbl)))
+      None
     else scala.util.Try {
       metaAggDf(
         // group by the USER partition levels: a hash-bucketed table's
         // tuples carry the derived bucket as an extra trailing level,
         // which must fold into its user partition here
-        files.groupBy(f =>
-          f.partition.split(PartSep, -1).take(config.partitionCols.size).toSeq)
+        files.groupBy(f => userLevels(f.partition))
           .toSeq.map { case (t, fs) =>
             Row.fromSeq(t ++
               (fs.map(_.rows).sum +:
@@ -1262,22 +1310,22 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val wholeTableMerge = files.exists(_.isDelta) && !groupLocalMergeSafe
     // dirtiness is decided per USER partition (not per bucket tuple): a
     // user partition with one dirty bucket scans whole, or its clean
-    // buckets' metadata row would duplicate the scanned row in the union
-    def userKey(f: FileAdd): Seq[String] =
-      f.partition.split(PartSep, -1).take(parts.size).toSeq
+    // buckets' metadata row would duplicate the scanned row in the union.
+    // Ambiguous tuples (hive-default level of a string column: null and
+    // '' fold together on disk) also scan — only the files know which.
     val (dirty, clean) =
       if (wholeTableMerge) (files, Seq.empty[FileAdd])
       else {
-        val bad = files.groupBy(userKey).collect {
-          case (t, fs) if fs.exists(f => f.isDelta || f.rows <= 0L) => t
+        val bad = files.groupBy(f => userLevels(f.partition)).collect {
+          case (t, fs) if ambiguousTuple(t, tbl) ||
+            fs.exists(f => f.isDelta || f.rows <= 0L) => t
         }.toSet
-        files.partition(f => bad.contains(userKey(f)))
+        files.partition(f => bad.contains(userLevels(f.partition)))
       }
     // group by the USER partition levels (hash-bucketed tables carry the
     // derived bucket as an extra trailing tuple level — fold it in)
     val metaDf = metaAggDf(
-      clean.groupBy(f =>
-        f.partition.split(PartSep, -1).take(parts.size).toSeq)
+      clean.groupBy(f => userLevels(f.partition))
         .toSeq.map { case (t, fs) =>
           Row.fromSeq(t :+ fs.map(_.rows).sum)
         },

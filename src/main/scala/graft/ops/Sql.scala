@@ -72,9 +72,12 @@ object Sql {
   /** seed `nation_dyn`, then DYNAMIC `INSERT OVERWRITE` region 2 only
     * (partitionOverwriteMode=dynamic): the batch's partitions are
     * replaced wholesale, every other partition untouched. */
-  private[graft] def dynFixture(s: SparkSession, d: String): String =
+  private[graft] def dynFixture(s: SparkSession, d: String): String = {
+    // OUTSIDE the computeIfAbsent: a nested computeIfAbsent on the same
+    // map can throw IllegalStateException("Recursive update") when the
+    // keys share a bin — same hazard the other fixtures hoist around
+    val cat = dmlFixture(s, d) // registers the catalog + sql_nation_src
     built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:dyn", _ => {
-      val cat = dmlFixture(s, d) // registers the catalog + sql_nation_src
       val nation = T.nation(s, d)
       s.sql(s"""CREATE TABLE $cat.db.nation_dyn (${nation.schema.toDDL}, update_ts INT)
         USING graft PARTITIONED BY (n_regionkey)
@@ -97,6 +100,7 @@ object Sql {
         FROM sql_nation_src WHERE n_regionkey = 4""")
       cat
     })
+  }
 
   /** the mergeTable clause set (ops.Lake) issued as ONE SQL MERGE INTO —
     * update/delete/insert/by-source-delete in a single statement */

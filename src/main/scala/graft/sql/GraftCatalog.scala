@@ -196,6 +196,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** validate + assemble the persisted table descriptor from a CREATE's
     * schema/partitioning/properties — shared by [[createTable]] and the
     * staged (CTAS / REPLACE TABLE) creation paths */
+  /** the 'name1:expr1;name2:expr2' CHECK-constraints property (':'
+    * splits on the FIRST occurrence — SQL exprs contain ':' rarely but
+    * '=' often); ONE parser for CREATE TABLE and ALTER TABLE so the two
+    * statements can never drift to different syntaxes */
+  private def parseChecksProp(v: String): Map[String, String] =
+    v.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf(':')
+      require(i > 0, s"checks entries are 'name:expr', got '$kv'")
+      kv.take(i).trim -> kv.drop(i + 1).trim
+    }.toMap
+
   private def buildDescriptor(
       schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): TableDescriptor = {
@@ -219,15 +230,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     (keyCols ++ partitionCols :+ precombine).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"declared column '$c' is not in the table schema"))
-    // CHECK constraints: 'name1:expr1;name2:expr2' (':' splits on the
-    // FIRST occurrence — SQL exprs contain ':' rarely but '=' often)
-    val checks = prop("checks").map(_.split(';').toSeq
-      .map(_.trim).filter(_.nonEmpty)
-      .map { kv =>
-        val i = kv.indexOf(':')
-        require(i > 0, s"checks entries are 'name:expr', got '$kv'")
-        kv.take(i).trim -> kv.drop(i + 1).trim
-      }.toMap).getOrElse(Map.empty[String, String])
+    val checks = prop("checks").map(parseChecksProp)
+      .getOrElse(Map.empty[String, String])
     TableDescriptor(
       keyCols = keyCols,
       precombineCol = precombine,
@@ -414,12 +418,6 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       lake: graft.lake.LakeTable, changes: Seq[TableChange]): Unit = {
     def csv(v: String): Seq[String] =
       v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    def parseChecks(v: String): Map[String, String] =
-      v.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
-        val i = kv.indexOf(':')
-        require(i > 0, s"checks entries are 'name:expr', got '$kv'")
-        kv.take(i).trim -> kv.drop(i + 1).trim
-      }.toMap
     def guard(k: String): Unit = require(MutableProps.contains(k),
       s"table property '$k' is not alterable — layout identity " +
         "(keyCols/precombineCol/partitionCols/globalIndex/storageType/" +
@@ -433,7 +431,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "statsCols" => d.copy(statsCols = csv(s.value))
           case "clusterCols" => d.copy(clusterCols = csv(s.value))
           case "zOrder" => d.copy(zOrder = s.value.toBoolean)
-          case "checks" => d.copy(checks = parseChecks(s.value))
+          case "checks" => d.copy(checks = parseChecksProp(s.value))
         }
       case (d, r: TableChange.RemoveProperty) =>
         guard(r.property)
@@ -487,6 +485,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (propChanges.nonEmpty)
       alterProperties(root, desc, lake, propChanges)
     if (colChanges.isEmpty) return loadTable(ident)
+    // property changes just rewrote the descriptor — thread the LIVE one
+    // through the column path (its pinned set reads statsCols/clusterCols,
+    // and the pre-first-commit save would otherwise clobber the props)
+    val descNow =
+      if (propChanges.isEmpty) desc
+      else TableDescriptor.load(root, hconf).getOrElse(desc)
     val changesSeq = colChanges
     def one(names: Array[String]): String = {
       require(names.length == 1,
@@ -501,8 +505,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // clusterCols), internal-name guards, and the widening lattice —
       // or a change passes here and fails mid-apply.
       import graft.lake.SchemaEvo
-      val pinned = (desc.keyCols ++ desc.partitionCols ++ desc.statsCols ++
-        desc.clusterCols :+ desc.precombineCol).toSet
+      val pinned = (descNow.keyCols ++ descNow.partitionCols ++
+        descNow.statsCols ++ descNow.clusterCols :+ descNow.precombineCol).toSet
       def notPinned(n: String): Unit =
         require(!SchemaEvo.isInternal(n) && !pinned.contains(n),
           s"column '$n' is pinned by the table configuration")
@@ -584,7 +588,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"unsupported ALTER TABLE change: $other")
         }
       }
-      TableDescriptor.save(root, desc.copy(schemaJson = next.json), hconf)
+      TableDescriptor.save(root, descNow.copy(schemaJson = next.json), hconf)
     }
     loadTable(ident)
   }

@@ -314,11 +314,21 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
     else None
   }
 
+  // the planner calls supportCompletePushDown then pushAggregation with
+  // the same Aggregation instance — run the prover (a commit-log read,
+  // and for the grouped case a frame build) once, not twice
+  private var provedFor: Aggregation = _
+  private var proved: Option[(Seq[String], Seq[PushedVal])] = None
+  private def answerableCached(agg: Aggregation) = {
+    if (provedFor ne agg) { provedFor = agg; proved = answerable(agg) }
+    proved
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    answerable(agg).isDefined
+    answerableCached(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    answerable(agg) match {
+    answerableCached(agg) match {
       case Some(plan) => pushedPlan = Some(plan); true
       case None => false
     }

@@ -1468,6 +1468,56 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t).isEmpty)
   }
 
+  test("overwriteWhere supersedes batch keys even in stats-pruned partitions") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), statsCols = Seq("ts")))
+    t.bulkInsert(df((1L, 1, "old", 20), (2L, 2, "keep", 20)))
+    // the predicate matches NOTHING currently on file (all ts=20), so the
+    // stats index prunes every partition — but the batch re-writes key 1,
+    // whose old out-of-region row must still be superseded
+    t.overwriteWhere(col("ts") < 10, df((1L, 1, "new", 5)))
+    assert(snap(t) == Set((1L, 1, "new", 5), (2L, 2, "keep", 20)))
+  }
+
+  test("overwriteWhere evicts a global-index batch key from foreign partitions") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), globalIndex = true,
+      statsCols = Seq("vendorid")))
+    t.bulkInsert(df((1L, 2, "was-r2", 0), (2L, 2, "stay", 0)))
+    // replace the vendorid=1 region (stats prove vendorid=2 can't match,
+    // so it is OUTSIDE the predicate scope) — key 1 currently lives in
+    // vendorid=2 and must be evicted there, or the global key is twice live
+    t.overwriteWhere(col("vendorid") === 1, df((1L, 1, "now-r1", 1)))
+    assert(snap(t) == Set((1L, 1, "now-r1", 1), (2L, 2, "stay", 0)))
+  }
+
+  test("overwriteWhere on global-index MoR with pending deltas merges table-wide") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), storageType = "mor",
+      globalIndex = true, statsCols = Seq("ts")))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    t.upsert(df((1L, 2, "a2", 1))) // key 1 migrates to vendorid=2 via a delta
+    // a subset merge could read key 1's stale vendorid=1 base without the
+    // vendorid=2 delta that supersedes it — the table-wide guard forbids it
+    t.overwriteWhere(col("ts") >= 90, df((3L, 1, "c", 95)))
+    assert(snap(t) == Set((1L, 2, "a2", 1), (2L, 2, "b", 0), (3L, 1, "c", 95)))
+  }
+
+  test("string partition '' vs NULL: metadata counters refuse, the scan distinguishes") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("payload")))
+    t.bulkInsert(df((1L, 1, "", 0), (2L, 1, null, 0), (3L, 1, "r1", 0)))
+    // on disk '' and NULL share the hive-default directory: the stored
+    // tuple is ambiguous, so the strict prover must refuse...
+    assert(t.metadataPartitionRowCounts().isEmpty)
+    // ...and the hybrid must scan those partitions and report the TRUE
+    // column values as distinct groups
+    val pc = t.partitionRowCounts().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(pc == Map(Some("") -> 1L, None -> 1L, Some("r1") -> 1L))
+    assert(t.countRows() == 3)
+  }
+
   test("countRows: pending MoR deltas merge-count ONLY the dirty partitions") {
     val root = freshRoot()
     val t = LakeTable(spark, LakeTableConfig(root, Seq("pk"), "ts",
