@@ -121,6 +121,9 @@ class SqlCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO g.db.ovw VALUES (1,0,'a'), (2,0,'b')")
     spark.sql("INSERT OVERWRITE g.db.ovw VALUES (7,0,'z')")
     assert(rows("SELECT pk, v FROM g.db.ovw ORDER BY pk") == Seq(Seq(7L, "z")))
+    // TRUNCATE TABLE rides SupportsDelete's truncate default
+    spark.sql("TRUNCATE TABLE g.db.ovw")
+    assert(spark.sql("SELECT * FROM g.db.ovw").isEmpty)
   }
 
   test("catalog metadata: SHOW TABLES, DROP TABLE, column pruning plan") {
