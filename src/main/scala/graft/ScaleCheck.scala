@@ -64,7 +64,12 @@ object ScaleCheck {
     * and lake_tail_changes (2.2x at 10x, the closest to linear: the
     * replay must stay O(total changes) with flat per-commit overhead). */
   private val watchedExtreme =
-    Seq("fuzzy_name_pairs", "doc_ngram_jaccard_pairs", "lake_tail_changes")
+    Seq("fuzzy_name_pairs", "doc_ngram_jaccard_pairs", "lake_tail_changes",
+      // r11: the bloom point-lookup's candidate-pair join grows as
+      // probes × files — ~10,000× more pairs at 100× than at 1× on the
+      // full-span fixture; the 100× point tests whether the bloom stage
+      // (and the merge behind it) holds that product in check
+      "lake_bloom_lookup")
   private val ExtremeMult = 50
 
   /** Audit-only variants. The catalog's lake_tail_changes sinks to
