@@ -501,6 +501,22 @@ object Lake {
         SELECT * FROM bm WHERE l_orderkey % 97 = 7
         ORDER BY l_orderkey, l_linenumber""")),
 
+    // the bloom's WIN regime behind the gate: probe keys from the mod-3
+    // class NEITHER delta batch touched — the per-file blooms exclude
+    // both full-span delta stacks outright (ranges cannot), so the
+    // merge reads base files only; rows must equal the replay (which
+    // for this class is just the seed)
+    GQuery("lake_bloom_point",
+      (s, d) => proj(bloomTable(s, d).lookup(
+        keyedLineitem(s, d)
+          .filter(col("l_orderkey") % 3 === 2 && col("l_orderkey") % 11 === 0)
+          .select("l_orderkey", "l_linenumber"))),
+      Some(s"""WITH $liCte
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+          0 AS update_ts
+        FROM li WHERE l_orderkey % 3 = 2 AND l_orderkey % 11 = 0
+        ORDER BY l_orderkey, l_linenumber""")),
+
     GQuery("lake_time_travel",
       (s, d) => proj(cdcTable(s, d).readAsOf(0)),
       Some(s"""WITH $liCte
