@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.lake.{CommitConflict, LakeTable, LakeTableConfig}
@@ -85,6 +85,37 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(snap(LakeTable(spark, cfg(root))) ==
       Set((1L, 1, "a2", 1), (2L, 1, "b", 0)),
       "the losing write must leave no trace")
+  }
+
+  test("overwriteWhere racing a disjoint-partition upsert: both land") {
+    val root = freshRoot()
+    // vendorid stats let the overwrite prove its scope is partition 1
+    // only — the rival's partition-2 commit is then disjoint and the
+    // overwrite rebases instead of conflicting
+    val statsCfg = LakeTableConfig(root, keyCols = Seq("pk"),
+      precombineCol = "ts", partitionCols = Seq("vendorid"),
+      statsCols = Seq("vendorid"))
+    val w1 = LakeTable(spark, statsCfg)
+    w1.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    val w2 = LakeTable(spark, statsCfg)
+    interleave(w2) { w1.upsert(df((2L, 2, "b2", 1))) }
+    w2.overwriteWhere(functions.col("vendorid") === 1, df((9L, 1, "z", 1)))
+    assert(snap(LakeTable(spark, statsCfg)) ==
+      Set((9L, 1, "z", 1), (2L, 2, "b2", 1)),
+      "the replaced partition and the rival's partition must both land")
+  }
+
+  test("overwriteWhere racing a same-partition writer: clean conflict, no trace") {
+    val root = freshRoot()
+    val w1 = LakeTable(spark, cfg(root))
+    w1.bulkInsert(df((1L, 1, "a", 0)))
+    val w2 = LakeTable(spark, cfg(root))
+    interleave(w2) { w1.upsert(df((1L, 1, "a2", 1))) }
+    intercept[CommitConflict] {
+      w2.overwriteWhere(functions.col("vendorid") === 1, df((9L, 1, "z", 1)))
+    }
+    assert(snap(LakeTable(spark, cfg(root))) == Set((1L, 1, "a2", 1)),
+      "the losing overwrite must leave no trace")
   }
 
   test("disjoint MoR delta upserts: both land; tail stream sees the rebase") {
