@@ -158,6 +158,31 @@ class LakePropertySpec extends AnyFunSuite {
     def nonEmptyOr(r: Rec): List[Rec] = if (rows.nonEmpty) rows else List(r)
   }
 
+  test("overwriteWhere law: region replaced, rest untouched, batch deduped") {
+    check("replace-where", Prop.forAll(batchGen, batchGen) { (seed, repl0) =>
+      val t = table()
+      val seeded = if (seed.nonEmpty) seed else List((1L, 1, "x", 0): Rec)
+      t.upsert(toDf(seeded))
+      // batch rows forced into the replaced region (vendorid = 1) — the
+      // predicate constraint requires it
+      val repl = repl0.map(r => (r._1, 1, r._3, r._4))
+      t.overwriteWhere(org.apache.spark.sql.functions.col("vendorid") === 1,
+        toDf(repl))
+      // model: vendorid≠1 survivors of the seed's latest-wins, plus the
+      // batch collapsed per key by (ts, arrival) — an empty batch just
+      // clears the region
+      val survivors = seeded.zipWithIndex
+        .groupBy { case (r, _) => (r._1, r._2) }
+        .values.map(_.maxBy { case (r, ri) => (r._4, ri) }._1)
+        .filter(_._2 != 1).toSet
+      val inserted = repl.zipWithIndex
+        .groupBy { case (r, _) => r._1 }
+        .values.map(_.maxBy { case (r, ri) => (r._4, ri) }._1)
+        .toSet
+      snap(t) == survivors ++ inserted
+    })
+  }
+
   test("latest (ts, arrival) wins per (partition, key) against a model") {
     check("latest-wins", Prop.forAll(Gen.listOfN(3, batchGen)) { batches =>
       val t = table()
