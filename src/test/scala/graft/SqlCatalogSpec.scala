@@ -661,5 +661,9 @@ class SqlCatalogSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("bloomKeys").contains("50"), props.toString)
     assert(!props.contains("checks"))
+    // SHOW CREATE TABLE reproduces a runnable definition with the knobs
+    val ddl = spark.sql("SHOW CREATE TABLE g.db.props").head.getString(0)
+    assert(ddl.contains("graft") && ddl.contains("keyCols") &&
+      ddl.contains("bloomKeys"), ddl)
   }
 }
