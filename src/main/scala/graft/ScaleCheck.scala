@@ -48,6 +48,11 @@ object ScaleCheck {
     // jaccard/cluster join at 10x AND 100x, the tokenizer here, the
     // pack shape via doc_seq_pack's content-hash streams).
     "doc_bpe_encode",
+    // r11: DSIR selection — two vocabulary-scale scoring aggs feeding a
+    // distributed top-fraction (sort+limit, no global window); the
+    // sample size grows with the corpus, so the audit checks the
+    // selection stays scan-bounded
+    "doc_dsir_sample",
     // r11: bloom point lookup — the candidate-pair join (probe keys ×
     // range-hit files) is the known hazard regime: on the full-span MoR
     // fixture EVERY file range-hits every probe, so pairs grow as
