@@ -53,6 +53,16 @@ object ScaleCheck {
     // sample size grows with the corpus, so the audit checks the
     // selection stays scan-bounded
     "doc_dsir_sample",
+    // r11: the similarity family, enabled by the rotation-salted
+    // embeddings replica. Isolation is threshold-relative: rotations
+    // zero the cross-replica structure, but random 64-dim cosines are
+    // N(0, 1/64) and the near-dup fixture's permissive τ=0.5 sits at
+    // 4σ — the ~1.8e8 cross-replica pairs at 10× surface a few hundred
+    // tail crossings (measured: 14 → 662 pairs), so the audit measures
+    // a HEAVIER pair regime than exact m× growth; sub-linear time there
+    // is the stronger claim. At production thresholds (≥0.9) the tail
+    // is ~51σ — truly zero.
+    "emb_neardup_lsh", "emb_ann_ivf",
     // r11: bloom point lookup — the candidate-pair join (probe keys ×
     // range-hit files) is the known hazard regime: on the full-span MoR
     // fixture EVERY file range-hits every probe, so pairs grow as
@@ -180,7 +190,7 @@ object ScaleCheck {
       // an older ScaleCheck whose extreme-mult dirs carried fewer
       // tables (r10 wrote only customer at 100x — a fingerprint match
       // alone would reuse that dir and fail on the missing tables)
-      val layout = "layout-v2\n"
+      val layout = "layout-v3\n" // v3: + rotation-salted embeddings
       val root = java.nio.file.Paths.get(base)
       val walk = java.nio.file.Files.walk(root)
       try layout + walk.sorted().toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
@@ -264,8 +274,70 @@ object ScaleCheck {
       }
       ords.write.mode("overwrite").parquet(s"$dir/orders.parquet")
       evs.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // embeddings: per-replica deterministic ORTHOGONAL rotation —
+      // intra-replica cosines (and norms, so the exact-integer unit
+      // scaling) are preserved exactly, while cross-replica
+      // similarities collapse to random 64-dim cosines (N(0, 1/64) —
+      // see the watched-list note for what that means at the fixture's
+      // τ=0.5). Replica 0 is the identity, so the 1× replica
+      // reproduces the real corpus verbatim (the doc_contamination
+      // validation precedent).
+      val emb = replicate(Tables.embeddings(spark, base), "vec_id",
+        (df, i) => rotateEmbeddings(spark, df, i))
+      emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
     java.nio.file.Files.writeString(done, fingerprint)
     dir
   }
+
+  /** deterministic 64×64 orthogonal matrix for replica `i`: a product of
+    * 128 Givens rotations whose dim-pairs and angles derive from md5 —
+    * no RNG, same matrix every run; replica 0 is the identity */
+  private def rotationFor(i: Int, dim: Int): Array[Array[Double]] = {
+    val m = Array.tabulate(dim, dim)((r, c) => if (r == c) 1.0 else 0.0)
+    if (i == 0) return m
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var k = 0
+    while (k < dim * 2) {
+      val h = md.digest(s"emb-rot:$i:$k".getBytes("UTF-8"))
+      val a = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % dim
+      val b0 = (((h(2) & 0xff) << 8) | (h(3) & 0xff)) % dim
+      val b = if (b0 == a) (a + 1) % dim else b0
+      val theta = ((((h(4) & 0xff) << 16) | ((h(5) & 0xff) << 8) |
+        (h(6) & 0xff)).toDouble / (1 << 24)) * 2 * math.Pi
+      val (c, s) = (math.cos(theta), math.sin(theta))
+      var r = 0
+      while (r < dim) {
+        val xa = m(r)(a); val xb = m(r)(b)
+        m(r)(a) = xa * c - xb * s
+        m(r)(b) = xa * s + xb * c
+        r += 1
+      }
+      k += 1
+    }
+    m
+  }
+
+  private def rotateEmbeddings(
+      spark: SparkSession, df: DataFrame, i: Int): DataFrame =
+    if (i == 0) df
+    else {
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(rotationFor(i, 64))
+      df.select(col("vec_id"), col("embedding"), col("label"))
+        .as[(Long, Array[Float], Int)]
+        .map { case (id, v, l) =>
+          val r = bc.value
+          val d = v.length
+          val out = new Array[Float](d)
+          var c = 0
+          while (c < d) {
+            var s = 0.0; var j = 0
+            while (j < d) { s += v(j) * r(j)(c); j += 1 }
+            out(c) = s.toFloat; c += 1
+          }
+          (id, out, l)
+        }
+        .toDF("vec_id", "embedding", "label")
+    }
 }
