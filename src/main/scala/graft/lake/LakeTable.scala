@@ -908,6 +908,12 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   @volatile private[graft] var lastLookupLive: Int = -1
 
   def lookup(keys: DataFrame): DataFrame = {
+    // the probe plan is consumed up to three times (bucket probe, the
+    // range/bloom pruning join, the final semi join) — deliberately NOT
+    // materialized: the repeated consumers share the same plan instance,
+    // so Spark reuses its shuffle outputs across the jobs (re-evaluation
+    // skips the expensive stages); an explicit localCheckpoint was
+    // A/B-measured slower (block-write overhead, no stage saved)
     val live = log.liveFiles()
     // hash-bucketed tables prune by file group FIRST: a probe key can
     // only live in the bucket it hashes into, which holds even when
