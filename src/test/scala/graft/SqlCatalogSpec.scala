@@ -511,6 +511,9 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(rows(
       "SELECT region, count(*) FROM g.db.cnt GROUP BY region ORDER BY region") ==
       Seq(Seq("r1", 2L), Seq("r2", 2L)))
+    // the provers pin to the time-travel snapshot: the version-0 count
+    // also answers from its own commit's metadata, files still gone
+    assert(rows("SELECT count(*) FROM g.db.cnt VERSION AS OF 0") == Seq(Seq(3L)))
   }
 
   test("MIN/MAX of stats columns answer from commit-log metadata") {
