@@ -102,6 +102,15 @@ final case class LakeTableConfig(
       * unchanged (the partial write is invisible orphans).
       */
     checks: Map[String, String] = Map.empty,
+    /** what a CHECK violation does to the write (DLT expectation modes):
+      * "fail" (default) — the first violating row fails the whole commit
+      * (codegen'd guard fused into the write scan, zero extra passes);
+      * "drop" — violating rows are filtered OUT of the batch
+      * (expect_or_drop) and per-check dropped counts travel in the
+      * commit metadata as `check.dropped.<name>`, observed DURING the
+      * same write pass (Dataset.observe — still zero extra scans).
+      */
+    checkMode: String = "fail",
     /** Full Hudi meta-column read parity (MockCuratedGlueJob.py:23-24
       * observes the 5-column `_hoodie_*` surface). The always-on pair
       * `_commit_id`/`_record_key` is complemented, when this flag is set,
@@ -119,6 +128,8 @@ final case class LakeTableConfig(
     metaColumns: Boolean = false) {
   require(storageType == "cow" || storageType == "mor",
     s"storageType must be cow|mor, got $storageType")
+  require(checkMode == "fail" || checkMode == "drop",
+    s"checkMode must be fail|drop, got $checkMode")
   require(!zOrder || clusterCols.size >= 2,
     "zOrder requires at least two clusterCols")
   require(!zOrder || clusterCols.size <= 7,
@@ -232,9 +243,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // hard-coded 0 stamp would hide the reload from incremental/CDC
     // readers filtering _commit_id > from
     val id = log.nextId
-    writeCommit(withDerived(withMeta(df, id)), op = "bulk_insert",
+    val (adm, dropMeta) = admitBatch(df)
+    writeCommit(withDerived(withMeta(adm, id)), op = "bulk_insert",
       removes = Seq.empty, fixedId = Some(id),
-      basedOn = Some(log.EmptyTable), commitMeta = meta)
+      basedOn = Some(log.EmptyTable), commitMeta = meta ++ dropMeta)
   }
 
   /** Merge a batch by record key; on key collision the row with the highest
@@ -243,8 +255,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * Empty batches are skipped (reference guard `:96` — via cheap isEmpty,
     * not the reference's full count()).
     */
-  def upsert(batch: DataFrame): Long = {
-    if (batch.isEmpty) return log.latestId.getOrElse(-1L)
+  def upsert(batch0: DataFrame): Long = {
+    if (batch0.isEmpty) return log.latestId.getOrElse(-1L)
+    val (batch, dropMeta) = admitBatch(batch0)
     if (!exists) {
       // first write still precombines WITHIN the batch: only the explicit
       // bulkInsert() API skips dedup (the reference's connector job notes
@@ -258,7 +271,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         .withColumn("_seq", monotonically_increasing_id())
       return writeCommit(dedupWithinBatch(incoming), "upsert", Seq.empty,
         fixedId = Some(id),
-        basedOn = Some(log.EmptyTable),
+        basedOn = Some(log.EmptyTable), commitMeta = dropMeta,
         // read nothing (table was empty): rebase-safe against a racing
         // creator unless the global index demands table-wide key checks
         partitionScoped = !config.globalIndex)
@@ -273,7 +286,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         .withColumn("_seq", monotonically_increasing_id())
         .withColumn("_deleted", lit(false))
       val cid = writeCommit(incoming, "delta_commit", Seq.empty, Some(id),
-        kind = "delta", basedOn = Some(basedOn),
+        kind = "delta", basedOn = Some(basedOn), commitMeta = dropMeta,
         // a delta append reads nothing; collisions (even cross-partition
         // under a global index) resolve deterministically at read time by
         // (precombine, commit id) — identical to serial execution
@@ -308,7 +321,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         .select(col("_row.*"))
         .drop("_seq")
       writeCommit(merged, "upsert", oldFiles.map(_.path), Some(id),
-        basedOn = Some(basedOn),
+        basedOn = Some(basedOn), commitMeta = dropMeta,
         // non-global: the merge read exactly the touched partitions
         partitionScoped = !config.globalIndex)
     } finally incoming.unpersist()
@@ -347,8 +360,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * duplicates still collapse by precombine so the result is a valid
     * snapshot).
     */
-  def insertOverwrite(batch: DataFrame): Long = {
-    if (batch.isEmpty) return log.latestId.getOrElse(-1L)
+  def insertOverwrite(batch0: DataFrame): Long = {
+    if (batch0.isEmpty) return log.latestId.getOrElse(-1L)
+    val (batch, dropMeta) = admitBatch(batch0)
     val basedOn = log.latestId.getOrElse(log.EmptyTable)
     val id = log.nextId
     val incoming = withDerived(withMeta(batch, id))
@@ -414,7 +428,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * matching region. MoR deltas in touched partitions fold into the
     * rewritten base.
     */
-  def overwriteWhere(pred: org.apache.spark.sql.Column, batch: DataFrame): Long = {
+  def overwriteWhere(pred: org.apache.spark.sql.Column, batch0: DataFrame): Long = {
+    val (batch, dropMeta) = admitBatch(batch0)
     val id = log.nextId
     val basedOn = log.latestId.getOrElse(log.EmptyTable)
     val incoming = withDerived(withMeta(batch, id))
@@ -482,7 +497,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
             allowMissingColumns = true)
         }
       writeCommit(payload, "insert_overwrite", scope.map(_.path), Some(id),
-        basedOn = Some(basedOn), partitionScoped = !config.globalIndex)
+        basedOn = Some(basedOn), commitMeta = dropMeta,
+        partitionScoped = !config.globalIndex)
     } finally incoming.unpersist()
   }
 
@@ -493,7 +509,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * [[insertOverwrite]], which replaces only touched partitions
     * (dynamic-overwrite semantics). An empty batch truncates.
     */
-  def overwriteAll(batch: DataFrame): Long = {
+  def overwriteAll(batch0: DataFrame): Long = {
+    val (batch, dropMeta) = admitBatch(batch0)
     val basedOn = log.latestId.getOrElse(log.EmptyTable)
     val id = log.nextId
     val incoming = withDerived(withMeta(batch, id))
@@ -501,6 +518,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val live = if (exists) log.liveFiles() else Seq.empty
     writeCommit(dedupWithinBatch(incoming), "insert_overwrite",
       live.map(_.path), Some(id), basedOn = Some(basedOn),
+      commitMeta = dropMeta,
       // no old file survives: the batch schema replaces the table schema
       schemaReset = true)
   }
@@ -554,6 +572,33 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
           coalesce(expr(predSql), lit(true)),
           concat(lit(s"check constraint '$name' violated: "), ctx)).isNull)
       }
+    }
+
+  /** checkMode=drop admission at the INGEST boundary (DLT's
+    * expect_or_drop): violating batch rows are filtered BEFORE any
+    * merge — so a violating UPDATE drops the update and the table
+    * keeps its current row; it never deletes the key — and per-check
+    * dropped counts return for the commit metadata
+    * (`check.dropped.<name>`). Costs ONE extra aggregation pass over
+    * the batch (the fail mode costs zero; an Observation-based
+    * zero-pass variant was rejected: limit-probe actions like isEmpty
+    * would deliver partial metrics). The raise_error guard inside
+    * writeCommit stays active as the backstop for rows PRODUCED by
+    * transformations (UPDATE/MERGE assignments), which fail loud in
+    * both modes. NULL passes everywhere (ANSI). */
+  private def admitBatch(batch: DataFrame): (DataFrame, Map[String, String]) =
+    if (config.checks.isEmpty || config.checkMode != "drop") (batch, Map.empty)
+    else {
+      val viol = config.checks.toSeq.map { case (n, p) =>
+        n -> !coalesce(expr(p), lit(true))
+      }
+      val sums = viol.map { case (n, c) => sum(c.cast("long")).as(n) }
+      val counts = batch.agg(sums.head, sums.tail: _*).first()
+      val meta = viol.indices.collect {
+        case i if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+          s"check.dropped.${viol(i)._1}" -> counts.getLong(i).toString
+      }.toMap
+      (viol.foldLeft(batch) { case (acc, (_, c)) => acc.filter(!c) }, meta)
     }
 
   /** intra-batch precombine: collapse duplicate dedup keys to the row

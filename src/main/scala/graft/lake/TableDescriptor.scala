@@ -29,12 +29,15 @@ final case class TableDescriptor(
     zOrder: Boolean = false,
     bloomKeys: Int = 0,
     checks: Map[String, String] = Map.empty,
+    /** null-safe via config(): pre-upgrade JSONs deserialize null */
+    checkMode: String = "fail",
     schemaJson: String = "") {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
     compactEvery, hashBuckets, statsCols, clusterCols, zOrder, bloomKeys,
-    Option(checks).getOrElse(Map.empty))
+    Option(checks).getOrElse(Map.empty),
+    Option(checkMode).getOrElse("fail"))
 }
 
 object TableDescriptor {
@@ -49,7 +52,7 @@ object TableDescriptor {
     TableDescriptor(cfg.keyCols, cfg.precombineCol, cfg.partitionCols,
       cfg.globalIndex, cfg.storageType, cfg.compactEvery, cfg.hashBuckets,
       cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.bloomKeys, cfg.checks,
-      schemaJson)
+      cfg.checkMode, schemaJson)
 
   def exists(root: String, hconf: Configuration): Boolean = {
     val p = file(root)

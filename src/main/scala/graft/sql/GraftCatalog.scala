@@ -245,6 +245,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       zOrder = prop("zOrder").exists(_.toBoolean),
       bloomKeys = prop("bloomKeys").map(_.toInt).getOrElse(0),
       checks = checks,
+      checkMode = prop("checkMode").getOrElse("fail"),
       schemaJson = schema.json)
   }
 
@@ -411,7 +412,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * and every read/merge path assumes it. */
   private val MutableProps = Set(
     "compactEvery", "bloomKeys", "statsCols", "clusterCols", "zOrder",
-    "checks")
+    "checks", "checkMode")
 
   private def alterProperties(
       root: String, desc: TableDescriptor,
@@ -432,6 +433,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "clusterCols" => d.copy(clusterCols = csv(s.value))
           case "zOrder" => d.copy(zOrder = s.value.toBoolean)
           case "checks" => d.copy(checks = parseChecksProp(s.value))
+          case "checkMode" => d.copy(checkMode = s.value)
         }
       case (d, r: TableChange.RemoveProperty) =>
         guard(r.property)
@@ -442,6 +444,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "clusterCols" => d.copy(clusterCols = Seq.empty)
           case "zOrder" => d.copy(zOrder = false)
           case "checks" => d.copy(checks = Map.empty)
+          case "checkMode" => d.copy(checkMode = "fail")
         }
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")

@@ -86,6 +86,8 @@ final class GraftTableV2(
       (if (desc.clusterCols.nonEmpty)
         Map("clusterCols" -> desc.clusterCols.mkString(",")) else Map.empty) ++
       (if (desc.zOrder) Map("zOrder" -> "true") else Map.empty) ++
+      (if (Option(desc.checkMode).exists(_ != "fail"))
+        Map("checkMode" -> desc.checkMode) else Map.empty) ++
       (if (Option(desc.checks).exists(_.nonEmpty))
         Map("checks" -> desc.checks.map { case (k, v) => s"$k:$v" }
           .mkString(";"))

@@ -71,6 +71,26 @@ class LakeTableSpec extends AnyFunSuite {
     assert(snap(t) == Set((2L, 1, "b", 0)))
   }
 
+  test("checkMode=drop: violations filtered at ingest, counted; updates never delete keys") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"),
+      checks = Map("ts_small" -> "ts < 100"), checkMode = "drop"))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "bad", 500), (3L, 2, "c", 1)))
+    assert(snap(t) == Set((1L, 1, "a", 0), (3L, 2, "c", 1)))
+    assert(t.log.commits.last.metadata
+      .get("check.dropped.ts_small").contains("1"))
+    // the violating UPDATE would WIN precombine (ts 999) — admission
+    // filters it BEFORE the merge, so the table keeps its current row
+    // instead of deleting the key
+    t.upsert(df((1L, 1, "a2", 999), (4L, 2, "d", 2)))
+    assert(snap(t) == Set((1L, 1, "a", 0), (3L, 2, "c", 1), (4L, 2, "d", 2)))
+    assert(t.log.commits.last.metadata
+      .get("check.dropped.ts_small").contains("1"))
+    // clean batches record no dropped counts
+    t.upsert(df((5L, 1, "e", 3)))
+    assert(!t.log.commits.last.metadata.contains("check.dropped.ts_small"))
+  }
+
   test("history reflects the timeline operations and file deltas") {
     import spark.implicits._
     val t = LakeTable(spark, cfg(freshRoot()))
