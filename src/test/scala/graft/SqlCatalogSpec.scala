@@ -654,6 +654,11 @@ class SqlCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE g.db.props SET TBLPROPERTIES ('keyCols'='v')")
     }
     assert(e3.getMessage.contains("not alterable"), e3.getMessage)
+    // switching to drop mode quarantines instead of failing
+    spark.sql("ALTER TABLE g.db.props SET TBLPROPERTIES ('checkMode'='drop')")
+    spark.sql("INSERT INTO g.db.props VALUES (6, 1, 'also-way-too-long')")
+    assert(rows("SELECT pk FROM g.db.props WHERE pk = 6").isEmpty)
+    spark.sql("ALTER TABLE g.db.props SET TBLPROPERTIES ('checkMode'='fail')")
     // UNSET clears the knob: the length check no longer applies
     spark.sql("ALTER TABLE g.db.props UNSET TBLPROPERTIES ('checks')")
     spark.sql("INSERT INTO g.db.props VALUES (5, 0, 'nowlongisfine!')")
