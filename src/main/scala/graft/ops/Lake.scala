@@ -443,7 +443,35 @@ object Lake {
       t
     })
 
+  /** checkMode=drop table: the quantity-cap expectation quarantines
+    * violating rows at ingest (`lake_expect_drop` proves the landed
+    * snapshot equals the SQL-filtered replay). */
+  private[graft] def dropModeTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:drop", _ => {
+      val root = s"/tmp/graft_lake/drop_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("l_orderkey", "l_linenumber"),
+        precombineCol = "update_ts", partitionCols = Seq("l_returnflag"),
+        checks = Map("qty_cap" -> "l_quantity <= 25"), checkMode = "drop"))
+      t.bulkInsert(keyedLineitem(s, d).withColumn("update_ts", lit(0)))
+      t
+    })
+
   val queries: Seq[GQuery] = Seq(
+
+    // expectation drop mode behind the gate: the landed snapshot must
+    // equal the raw table filtered by the expectation — violating rows
+    // were quarantined at ingest, everything else is byte-identical
+    GQuery("lake_expect_drop",
+      (s, d) => proj(dropModeTable(s, d).read()),
+      Some(s"""WITH $liCte
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+          0 AS update_ts
+        FROM li WHERE l_quantity <= 25
+        ORDER BY l_orderkey, l_linenumber""")),
 
     GQuery("lake_upsert_snapshot",
       (s, d) => proj(cdcTable(s, d).readAsOf(2)),
