@@ -276,7 +276,10 @@ object ScaleCheck {
       evs.write.mode("overwrite").parquet(s"$dir/events.parquet")
       // embeddings: per-replica deterministic ORTHOGONAL rotation —
       // intra-replica cosines (and norms, so the exact-integer unit
-      // scaling) are preserved exactly, while cross-replica
+      // scaling) are preserved to float precision (the rotation runs in
+      // Double, components truncate back to Float — a borderline
+      // micro-scaled component or LSH sign bit may flip, which perturbs
+      // structure negligibly for a timing audit), while cross-replica
       // similarities collapse to random 64-dim cosines (N(0, 1/64) —
       // see the watched-list note for what that means at the fixture's
       // τ=0.5). Replica 0 is the identity, so the 1× replica

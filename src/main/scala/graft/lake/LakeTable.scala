@@ -105,10 +105,11 @@ final case class LakeTableConfig(
     /** what a CHECK violation does to the write (DLT expectation modes):
       * "fail" (default) — the first violating row fails the whole commit
       * (codegen'd guard fused into the write scan, zero extra passes);
-      * "drop" — violating rows are filtered OUT of the batch
-      * (expect_or_drop) and per-check dropped counts travel in the
-      * commit metadata as `check.dropped.<name>`, observed DURING the
-      * same write pass (Dataset.observe — still zero extra scans).
+      * "drop" — violating rows are filtered OUT of the batch at the
+      * ingest boundary (expect_or_drop) and per-check dropped counts
+      * travel in the commit metadata as `check.dropped.<name>`. Drop
+      * mode pins the batch with a localCheckpoint and pays one counting
+      * aggregation over it — the price of counts that cannot lie.
       */
     checkMode: String = "fail",
     /** Full Hudi meta-column read parity (MockCuratedGlueJob.py:23-24
@@ -569,7 +570,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val ctx = to_json(struct(df.columns.map(col): _*))
       config.checks.foldLeft(df) { case (acc, (name, predSql)) =>
         acc.filter(assert_true(
-          coalesce(expr(predSql), lit(true)),
+          !LakeTable.checkViolates(predSql),
           concat(lit(s"check constraint '$name' violated: "), ctx)).isNull)
       }
     }
@@ -586,11 +587,18 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * writeCommit stays active as the backstop for rows PRODUCED by
     * transformations (UPDATE/MERGE assignments), which fail loud in
     * both modes. NULL passes everywhere (ANSI). */
-  private def admitBatch(batch: DataFrame): (DataFrame, Map[String, String]) =
-    if (config.checks.isEmpty || config.checkMode != "drop") (batch, Map.empty)
+  private def admitBatch(batch0: DataFrame): (DataFrame, Map[String, String]) =
+    if (config.checks.isEmpty || config.checkMode != "drop") (batch0, Map.empty)
     else {
+      // pin the batch ONCE: the count job and the write pass must see
+      // the same rows, or a non-deterministic source (rand-derived
+      // columns, a moving source directory) makes the committed count
+      // lie about what was actually quarantined. localCheckpoint
+      // materializes and truncates the lineage; the blocks free when
+      // the frame is GC'd.
+      val batch = batch0.localCheckpoint()
       val viol = config.checks.toSeq.map { case (n, p) =>
-        n -> !coalesce(expr(p), lit(true))
+        n -> LakeTable.checkViolates(p)
       }
       val sums = viol.map { case (n, c) => sum(c.cast("long")).as(n) }
       val counts = batch.agg(sums.head, sums.tail: _*).first()
@@ -2857,6 +2865,14 @@ object LakeTable {
         finally is.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** THE one encoding of "this row violates the CHECK" (ANSI NULL
+    * passes): fail mode, drop-mode admission, and the catalog's
+    * add-constraint validation must all agree on it — a drifted copy
+    * would make the three surfaces disagree on which rows violate. */
+  private[graft] def checkViolates(predSql: String)
+      : org.apache.spark.sql.Column =
+    !coalesce(expr(predSql), lit(true))
 
   /** unsigned lexicographic comparison of the UTF-8 encodings — matches
     * UTF8String/parquet binary order */

@@ -470,7 +470,7 @@ object Lake {
       Some(s"""WITH $liCte
         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
           0 AS update_ts
-        FROM li WHERE l_quantity <= 25
+        FROM li WHERE l_quantity <= 25 OR l_quantity IS NULL
         ORDER BY l_orderkey, l_linenumber""")),
 
     GQuery("lake_upsert_snapshot",

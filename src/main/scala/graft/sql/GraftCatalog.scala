@@ -245,7 +245,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       zOrder = prop("zOrder").exists(_.toBoolean),
       bloomKeys = prop("bloomKeys").map(_.toInt).getOrElse(0),
       checks = checks,
-      checkMode = prop("checkMode").getOrElse("fail"),
+      checkMode = {
+        // validate HERE, not first at read time: an unvalidated persisted
+        // descriptor would brick the table (every desc.config() throws,
+        // including the ALTER that could fix it)
+        val cm = prop("checkMode").getOrElse("fail")
+        require(cm == "fail" || cm == "drop",
+          s"checkMode must be fail|drop, got '$cm'")
+        cm
+      },
       schemaJson = schema.json)
   }
 
@@ -467,8 +475,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (added.nonEmpty && lake.exists) {
       val snap = lake.read()
       added.foreach { case (name, expr) =>
-        val bad = snap.filter(
-          org.apache.spark.sql.functions.expr(s"NOT coalesce(($expr), true)"))
+        val bad = snap.filter(graft.lake.LakeTable.checkViolates(expr))
         require(bad.isEmpty,
           s"cannot add CHECK '$name': existing rows violate ($expr)")
       }

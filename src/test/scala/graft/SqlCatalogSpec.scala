@@ -654,6 +654,14 @@ class SqlCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE g.db.props SET TBLPROPERTIES ('keyCols'='v')")
     }
     assert(e3.getMessage.contains("not alterable"), e3.getMessage)
+    // an invalid checkMode fails at CREATE — never persisted, so it can
+    // never brick a table whose every read would re-validate it
+    val e4 = intercept[Exception] {
+      spark.sql("""CREATE TABLE g.db.badmode (pk BIGINT, ts INT)
+                   USING graft TBLPROPERTIES
+                   (keyCols='pk', precombineCol='ts', checkMode='warn')""")
+    }
+    assert(e4.getMessage.contains("checkMode must be fail|drop"), e4.getMessage)
     // switching to drop mode quarantines instead of failing
     spark.sql("ALTER TABLE g.db.props SET TBLPROPERTIES ('checkMode'='drop')")
     spark.sql("INSERT INTO g.db.props VALUES (6, 1, 'also-way-too-long')")
