@@ -32,8 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with CodegenFallback {
 
+  // null-in → null-out (the Spark SQL convention for scalar functions;
+  // UnaryExpression's default nullSafeEval path handles the propagation)
+  // — a SQL user can distinguish 'no text' (NULL) from 'empty text'
+  // ([]). The oracle corpus has no NULL documents, so the DuckDB
+  // replay is unaffected either way.
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -83,7 +87,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return new GenericArrayData(Array.empty[Any])
+    if (v == null) return null
     val text = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0

@@ -196,16 +196,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** validate + assemble the persisted table descriptor from a CREATE's
     * schema/partitioning/properties — shared by [[createTable]] and the
     * staged (CTAS / REPLACE TABLE) creation paths */
-  /** the 'name1:expr1;name2:expr2' CHECK-constraints property (':'
-    * splits on the FIRST occurrence — SQL exprs contain ':' rarely but
-    * '=' often); ONE parser for CREATE TABLE and ALTER TABLE so the two
-    * statements can never drift to different syntaxes */
+  /** the 'name1:expr1;name2:expr2' CHECK-constraints property — ONE
+    * parser ([[ChecksProp.parse]]) for CREATE TABLE and ALTER TABLE so
+    * the two statements can never drift to different syntaxes */
   private def parseChecksProp(v: String): Map[String, String] =
-    v.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
-      val i = kv.indexOf(':')
-      require(i > 0, s"checks entries are 'name:expr', got '$kv'")
-      kv.take(i).trim -> kv.drop(i + 1).trim
-    }.toMap
+    ChecksProp.parse(v)
 
   private def buildDescriptor(
       schema: StructType, partitions: Array[Transform],
@@ -473,12 +468,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val added = Option(next.checks).getOrElse(Map.empty).toSet --
       Option(desc.checks).getOrElse(Map.empty).toSet
     if (added.nonEmpty && lake.exists) {
+      // OCC guard for the validate→save window: a concurrent writer
+      // still holding the PRE-check descriptor could land violating
+      // rows after the validation scan read its snapshot. Pin the head
+      // commit the scan validated, and abort if the timeline advanced
+      // before the descriptor save — the caller retries against the new
+      // head. (The residual race — a commit landing between this probe
+      // and the save — is the descriptor store's documented
+      // non-transactional window: the descriptor is config, not data,
+      // and does not participate in the commit log's OCC.)
+      val validatedHead = lake.log.latestId
       val snap = lake.read()
       added.foreach { case (name, expr) =>
         val bad = snap.filter(graft.lake.LakeTable.checkViolates(expr))
         require(bad.isEmpty,
           s"cannot add CHECK '$name': existing rows violate ($expr)")
       }
+      val headNow = lake.log.latestId
+      require(headNow == validatedHead,
+        s"cannot add CHECK: a concurrent commit advanced the table " +
+          s"($validatedHead -> $headNow) after validation — retry the ALTER")
     }
     TableDescriptor.save(root, next, hconf)
   }

@@ -89,8 +89,7 @@ final class GraftTableV2(
       (if (Option(desc.checkMode).exists(_ != "fail"))
         Map("checkMode" -> desc.checkMode) else Map.empty) ++
       (if (Option(desc.checks).exists(_.nonEmpty))
-        Map("checks" -> desc.checks.map { case (k, v) => s"$k:$v" }
-          .mkString(";"))
+        Map("checks" -> ChecksProp.render(desc.checks))
       else Map.empty) ++
       asOf.map(v => "versionAsOf" -> v.toString)).asJava
 

@@ -153,18 +153,32 @@ object Streaming {
   /** `transformWithState` refuses to run on the default HDFS-backed
     * state store; scope the RocksDB provider to a query's START (the
     * provider is pinned into the checkpoint at start, so the conf can
-    * be restored immediately after). */
-  def withRocksDbStateStore[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    * be restored immediately after).
+    *
+    * The providerClass key is SESSION-global (there is no per-query
+    * spelling: `writeStream.option` does not reach SQLConf, and the
+    * provider is resolved from the session conf when the query
+    * starts), so the set→start→restore window is serialized under a
+    * JVM-wide lock — a query started concurrently from another thread
+    * of the same session can no longer observe (or lose) the
+    * temporary RocksDB provider mid-window. The lock covers only
+    * query START (the body should start the query and return, not
+    * await termination); once started, a query's provider is pinned
+    * into its checkpoint and the conf no longer matters to it. */
+  def withRocksDbStateStore[A](s: org.apache.spark.sql.SparkSession)(body: => A): A =
+    providerLock.synchronized {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
-  }
+
+  private val providerLock = new Object
 
   /** Streaming exact dedup (the continuous form of `doc_exact_dedup`,
     * and the ingestion-side guard a training-data pipeline runs before

@@ -301,6 +301,12 @@ class OpsSpec extends AnyFunSuite {
     // BPE encode rides the same registration (frozen merge table)
     val r3 = spark.sql("SELECT bpe_encode('hash join xyz') AS t").collect()(0)
     assert(r3.getSeq[String](0) == Seq("hash", "join", "x", "y", "z"))
+    // null-in -> null-out (the SQL scalar-function convention), distinct
+    // from empty text -> empty array
+    val r4 = spark.sql(
+      "SELECT bpe_encode(CAST(NULL AS STRING)) IS NULL AS n, bpe_encode('') AS e")
+      .collect()(0)
+    assert(r4.getBoolean(0) && r4.getSeq[String](1).isEmpty)
   }
 
   test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {

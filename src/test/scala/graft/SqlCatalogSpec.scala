@@ -682,4 +682,35 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(ddl.contains("graft") && ddl.contains("keyCols") &&
       ddl.contains("bloomKeys"), ddl)
   }
+
+  test("a CHECK expression containing ';' round-trips the property codec") {
+    // codec level: render/parse are inverses with ';' and '\' in exprs
+    val m = Map("no_semi" -> "v != 'a;b'", "back" -> "v != 'c\\d'",
+      "plain" -> "pk > 0")
+    assert(graft.sql.ChecksProp.parse(graft.sql.ChecksProp.render(m)) == m)
+    // end to end: the ALTER lands, SHOW TBLPROPERTIES emits the escaped
+    // form, and feeding that form back through ALTER parses to the SAME
+    // constraint set (the SHOW CREATE TABLE round-trip the escaping
+    // exists for) — and the constraint ENFORCES with its literal ';'
+    wh
+    spark.sql("""CREATE TABLE g.db.semi (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("ALTER TABLE g.db.semi SET TBLPROPERTIES " +
+      """('checks'="no_semi:v != 'a\\;b';plain:pk > 0")""")
+    val shown = spark.sql("SHOW TBLPROPERTIES g.db.semi").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap.apply("checks")
+    assert(graft.sql.ChecksProp.parse(shown) ==
+      Map("no_semi" -> "v != 'a;b'", "plain" -> "pk > 0"), shown)
+    // (doubling '\' is plain SQL string-literal quoting, not the codec's)
+    val sqlLit = shown.replace("\\", "\\\\")
+    spark.sql(s"""ALTER TABLE g.db.semi SET TBLPROPERTIES ('checks'="$sqlLit")""")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO g.db.semi VALUES (1, 0, 'a;b')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no_semi")), e.getMessage)
+    spark.sql("INSERT INTO g.db.semi VALUES (2, 0, 'ok')")
+    assert(rows("SELECT pk FROM g.db.semi") == Seq(Seq(2L)))
+  }
 }
