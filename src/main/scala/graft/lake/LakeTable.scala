@@ -848,16 +848,12 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     asOf.foreach(id =>
       require(id >= log.cleanedUpTo || log.savepoints.contains(id),
         s"commit $id was cleaned (retained from ${log.cleanedUpTo})"))
-    // resolve the predicate against the table schema by analyzing a
-    // filter over an empty probe frame (the public-API route to the
-    // catalyst expression; analyzed, so attributes/casts carry types —
-    // NOT optimized, which would fold the empty relation and drop it)
-    val probe = readOrEmpty(Seq.empty, asOf).filter(pruneBy)
-    val pred = probe.queryExecution.analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }
+    // resolve the predicate against the table schema (resolvePredicate:
+    // analyzed probe filter, not optimized) and run every metadata
+    // pruning channel — column stats, partition tuples, key equality
+    val pred = resolvePredicate(pruneBy, asOf)
     val live = log.liveFiles(asOf)
-    val files = pred.fold(live)(p => pruneByColStats(live, p, asOf))
+    val files = pred.fold(live)(p => pruneFilesFor(live, p, asOf))
     // all-pruned: keep the schema shape stable with the merged (non-empty)
     // branch — the latest commit may be a delta whose schema carries the
     // MoR internals morMerge would have dropped
@@ -2116,6 +2112,217 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         }
       files.filter(f => !f.hasKeyRange || hits.contains(f.path))
     }
+  }
+
+  // ---- scan-time file pruning (shared by read paths + DSv2 scan) ------
+
+  /** Resolve a Column predicate against the pinned snapshot's schema to
+    * an ANALYZED catalyst expression (attributes and implicit casts
+    * carry types; deliberately not optimized — optimization would fold
+    * the empty probe relation and drop the filter). */
+  private[graft] def resolvePredicate(
+      pruneBy: org.apache.spark.sql.Column,
+      asOf: Option[Long]): Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    readOrEmpty(Seq.empty, asOf).filter(pruneBy)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+
+  /** Every file-list pruning channel the metadata supports, in one
+    * place — column-stats ranges, exact partition-tuple membership, and
+    * record-key range/bloom — all conservative (an unprovable shape
+    * keeps the file). Shared by [[read(pruneBy*]], the DSv2 native
+    * batch scan's static pushdown, and runtime (dynamic partition
+    * pruning) filters, so every path prunes identically. */
+  private[graft] def pruneFilesFor(
+      files: Seq[FileAdd],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      asOf: Option[Long]): Seq[FileAdd] = {
+    val afterStats = pruneByColStats(files, pred, asOf)
+    val afterParts = pruneByPartitionValues(afterStats, pred, asOf)
+    pruneByKeyEquality(afterParts, pred, asOf)
+  }
+
+  private def conjunctsOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
+  /** Accepted RENDERED values per column in `cols`, extracted from
+    * top-level equality/IN conjuncts of `pred`. Rendering is the same
+    * cast-to-string the write side applies ([[renderCol]] for partition
+    * directories, [[keyStrExpr]] for record keys), so membership
+    * compares in the exact value space the metadata stores. A column
+    * absent from the map is unconstrained. Timestamp-typed columns are
+    * never extracted (their rendering is session-timezone-sensitive —
+    * a mismatch between writer and reader sessions would prune wrong);
+    * a null literal under EqualTo is unconstrained (conservative), and
+    * under null-safe equality renders the null-partition sentinel.
+    */
+  private def acceptedRenders(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      cols: Set[String], tbl: StructType,
+      nullRender: Option[String]): Map[String, Set[String]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
+    def attrOf(x: Expression): Option[String] = x match {
+      case a: AttributeReference
+        if cols.contains(a.name) &&
+          tbl.fields.find(_.name == a.name)
+            .exists(f => f.dataType != TimestampType &&
+              f.dataType != TimestampNTZType) => Some(a.name)
+      case _ => None
+    }
+    // the write-side rendering of a foldable literal: cast to string in
+    // the session timezone (vacuous here — timestamps are excluded)
+    def render(v: Expression): Option[Option[String]] =
+      if (!v.foldable) None
+      else scala.util.Try {
+        val c = Cast(v, StringType,
+          Option(spark.sessionState.conf.sessionLocalTimeZone))
+        Option(c.eval(null)).map(_.toString)
+      }.toOption
+    val perCol = scala.collection.mutable.HashMap.empty[String, Set[String]]
+    def constrain(name: String, vals: Set[String]): Unit =
+      perCol(name) = perCol.get(name).fold(vals)(_ intersect vals)
+    conjunctsOf(pred).foreach {
+      case EqualTo(a, v) if attrOf(a).isDefined =>
+        render(v) match {
+          case Some(Some(s)) if s.nonEmpty => constrain(attrOf(a).get, Set(s))
+          case Some(Some("")) =>
+            nullRender.foreach(nr => constrain(attrOf(a).get, Set(nr)))
+          case _ => () // null or unevaluable literal: unconstrained
+        }
+      case EqualTo(v, a) if attrOf(a).isDefined =>
+        render(v) match {
+          case Some(Some(s)) if s.nonEmpty => constrain(attrOf(a).get, Set(s))
+          case Some(Some("")) =>
+            nullRender.foreach(nr => constrain(attrOf(a).get, Set(nr)))
+          case _ => ()
+        }
+      case EqualNullSafe(a, v) if attrOf(a).isDefined =>
+        render(v) match {
+          case Some(Some(s)) if s.nonEmpty => constrain(attrOf(a).get, Set(s))
+          case Some(_) => // null and '' both land in the null render
+            nullRender.foreach(nr => constrain(attrOf(a).get, Set(nr)))
+          case None => ()
+        }
+      case In(a, vs) if attrOf(a).isDefined && vs.nonEmpty =>
+        val rendered = vs.map(render)
+        // every member must be renderable or the list is unconstrained
+        if (rendered.forall(_.isDefined)) {
+          val set = rendered.flatMap {
+            case Some(Some(s)) if s.nonEmpty => Some(s)
+            case Some(_) => nullRender // null/'' member
+            case None => None
+          }.toSet
+          // an In containing ONLY un-renderable nulls with no null
+          // sentinel must stay unconstrained, not empty
+          if (set.nonEmpty) constrain(attrOf(a).get, set)
+        }
+      case _ => ()
+    }
+    perCol.toMap
+  }
+
+  /** Exact partition pruning from equality/IN predicates on partition
+    * columns — directory-membership pruning needs no statsCols. All-base
+    * snapshots prune file-granular (no read-time merge); delta-touched
+    * tables prune whole partitions only when the merge is group-local
+    * (same safety rule as column-stats pruning — a global index whose
+    * dedup groups span partitions cannot prune partitions at all). */
+  private def pruneByPartitionValues(
+      files: Seq[FileAdd],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      asOf: Option[Long]): Seq[FileAdd] = {
+    if (config.partitionCols.isEmpty) return files
+    if (files.exists(_.isDelta) && !groupLocalMergeSafe) return files
+    val accepted = acceptedRenders(pred, config.partitionCols.toSet,
+      tableSchema(asOf), nullRender = Some(LakeTable.NullPartition))
+    if (accepted.isEmpty) return files
+    val levelOf = config.partitionCols.zipWithIndex.toMap
+    files.filter { f =>
+      val levels = userLevels(f.partition)
+      // a pre-upgrade tuple with fewer stored levels than the declared
+      // partitioning cannot be mapped back — keep (conservative)
+      levels.size < config.partitionCols.size ||
+        accepted.forall { case (c, set) =>
+          // the null-sentinel level holds both null and '' rows; it is
+          // pruned only when the sentinel itself is outside the
+          // accepted set, which is exact for equality predicates
+          set.contains(levels(levelOf(c)))
+        }
+    }
+  }
+
+  /** Record-key pruning from equality/IN predicates on a single-column
+    * key: driver-side [kmin, kmax] containment (binary-searched — no
+    * Spark job), then bloom-sidecar refinement for small candidate
+    * sets. The scan-predicate twin of [[pruneByKeyRange]] (which probes
+    * with a keys FRAME); a point lookup through plain SQL now touches
+    * the same handful of files [[lookup]] would. Multi-column keys are
+    * skipped: a single-column predicate cannot bound the composite
+    * rendered key. */
+  private def pruneByKeyEquality(
+      files: Seq[FileAdd],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      asOf: Option[Long]): Seq[FileAdd] = {
+    if (config.keyCols.size != 1) return files
+    if (files.exists(_.isDelta) && !groupLocalMergeSafe) return files
+    val accepted = acceptedRenders(pred, config.keyCols.toSet,
+      tableSchema(asOf), nullRender = None)
+    accepted.get(config.keyCols.head) match {
+      case None => files
+      case Some(keys0) if keys0.isEmpty || keys0.size > 100000 => files
+      case Some(keys0) =>
+        val keys = keys0.toArray.sorted(
+          Ordering.fromLessThan[String](LakeTable.utf8Lt))
+        def mayHold(f: FileAdd): Boolean = {
+          if (!f.hasKeyRange) return true
+          // first key >= kmin, then check <= kmax
+          var lo = 0; var hi = keys.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (LakeTable.utf8Lt(keys(mid), f.kmin)) lo = mid + 1 else hi = mid
+          }
+          lo < keys.length && !LakeTable.utf8Lt(f.kmax, keys(lo))
+        }
+        val ranged = files.filter(mayHold)
+        // bloom refinement only when the sidecar reads stay trivially
+        // bounded (driver-side file opens)
+        if (keys.length > 1024 || ranged.count(_.bloom) > 64) ranged
+        else ranged.filter { f =>
+          !f.bloom || {
+            LakeTable.readBloomSidecar(f.path, hconf) match {
+              case Some(bf) => keys.exists(bf.mightContainString)
+              case None => true // unreadable sidecar: keep (conservative)
+            }
+          }
+        }
+    }
+  }
+
+  /** The pinned snapshot's live files IF the snapshot is provably
+    * readable as a bare parquet union — the DSv2 native batch scan's
+    * eligibility prover: every live file is a base file (no MoR
+    * read-time merge), records its byte length (splittable planning),
+    * and carries the pinned table schema verbatim (no schema-evolution
+    * adaptation). Anything else reads through the V1 fallback path
+    * untouched. Same strict-prover contract as the metadata aggregate
+    * pushdown: certify completely or fall through. */
+  private[graft] def nativeScanFiles(asOf: Option[Long]): Option[Seq[FileAdd]] = {
+    if (!exists) return None
+    val files = log.liveFiles(asOf)
+    if (files.isEmpty) return None // the empty-frame path owns this case
+    if (files.exists(f => f.isDelta || f.bytes <= 0L)) return None
+    val target = SchemaEvo.adaptKey(tableSchema(asOf))
+    val jsonOf = pathSchemaJson(asOf)
+    val uniform = files.forall(f =>
+      jsonOf.get(f.path).exists(j => SchemaEvo.adaptKey(parseSchema(j)) == target))
+    if (uniform) Some(files) else None
   }
 
   // ---- column-stats data skipping ------------------------------------

@@ -320,6 +320,34 @@ object Sql {
         FROM nation WHERE n_nationkey < 20
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- star join through the native batch scan + runtime pruning -----
+    // catalog-SQL fact-dim join: the partitioned lake table is the fact
+    // side (all-base snapshot → the DSv2 NATIVE batch scan, with exact
+    // commit-log statistics), the filtered dim broadcasts, and dynamic
+    // partition pruning delivers the surviving r_regionkey values to
+    // GraftBatchScan.filter at execution — the fact side reads ONLY the
+    // partitions the dim filter leaves alive (NativeScanSpec pins the
+    // file counts; this entry pins the RESULTS of that machinery under
+    // the hard gate). ASIA is region 2, whose names the fixture's
+    // UPDATE suffixed — so a scan that mixed snapshots or dropped the
+    // runtime filter's redundancy hash-mismatches here.
+    GQuery("lake_sql_dpp_join",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        T.region(s, d).createOrReplaceTempView("dpp_region_src")
+        s.sql(s"""SELECT n.n_nationkey, n.n_name, r.r_name
+          FROM $cat.db.nation n
+          JOIN dpp_region_src r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name IN ('EUROPE', 'ASIA')
+          ORDER BY n.n_nationkey""")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_regionkey = 2 THEN n_name || '!' ELSE n_name END AS n_name,
+          r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('EUROPE', 'ASIA') AND n_nationkey < 20
+        ORDER BY n_nationkey""")),
+
     // dynamic partition overwrite through SQL: region 2 replaced
     // wholesale (names suffixed, ts bumped), every other region's rows
     // byte-identical to the seed

@@ -186,6 +186,35 @@ final class GraftTableV2(
   private[sql] def liveBytes: Long =
     lake.log.liveFiles(pinned).map(_.bytes).sum
 
+  /** Commit-log bytes the scan would actually read under `pred`
+    * (file-list pruning applied) — the planner's size estimate. A
+    * dimension scan pruned by its filter to one partition must look
+    * partition-sized, not table-sized, or the broadcast-join decision
+    * is wrong at exactly the scale where it matters. None when any
+    * surviving file predates byte recording (unknowable — let the
+    * planner fall back to its default, never to a false small). */
+  private[sql] def scanBytes(pred: Option[Column]): Option[Long] = {
+    if (pinned.isEmpty) return Some(0L) // pinned-empty scan reads nothing
+    val live = lake.log.liveFiles(pinned)
+    val files = pred.flatMap(c => lake.resolvePredicate(c, pinned))
+      .map(p => lake.pruneFilesFor(live, p, pinned)).getOrElse(live)
+    if (files.exists(_.bytes <= 0L)) None else Some(files.map(_.bytes).sum)
+  }
+
+  private[sql] def spark0: SparkSession = spark
+
+  /** Native-batch eligibility + static prune: Some((files, physical
+    * schema)) when the pinned snapshot passes the strict prover
+    * ([[graft.lake.LakeTable.nativeScanFiles]]) — with the pushed
+    * predicate already applied to the file list. */
+  private[sql] def nativeScanPlan(
+      pred: Option[Column]): Option[(Seq[graft.lake.FileAdd], StructType)] =
+    lake.nativeScanFiles(pinned).map { files =>
+      val pruned = pred.flatMap(c => lake.resolvePredicate(c, pinned))
+        .map(p => lake.pruneFilesFor(files, p, pinned)).getOrElse(files)
+      (pruned, lake.tableSchema(pinned))
+    }
+
   // ---- write -----------------------------------------------------------
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -407,30 +436,39 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
           override def buildScan(): RDD[Row] = aggRows(context)
         }.asInstanceOf[T]
     }
-    else new V1Scan {
-      private val pred = pushed.flatMap(FilterTranslation.toColumn)
+    else {
+      val pred = pushed.flatMap(FilterTranslation.toColumn)
         .reduceOption(_ && _)
+      val nativeOk = table.spark0.conf
+        .getOption("spark.graft.nativeScan.enabled").forall(_.toBoolean)
+      (if (nativeOk) table.nativeScanPlan(pred) else None) match {
+        case Some((files, physical)) =>
+          new GraftBatchScan(table.spark0, table, required, pushed,
+            physical, files)
+        case None => new V1Scan {
+          override def readSchema(): StructType = required
 
-      override def readSchema(): StructType = required
-
-      override def toV1TableScan[T <: BaseRelation with TableScan](
-          context: SQLContext): T =
-        new BaseRelation with TableScan {
-          override def sqlContext: SQLContext = context
-          override def schema: StructType = required
-          // exact size from the commit log → Spark can auto-broadcast
-          override def sizeInBytes: Long = {
-            val b = table.liveBytes
-            if (b > 0) b else super.sizeInBytes
-          }
-          override def buildScan(): RDD[Row] = {
-            val df = table.snapshot(pred)
-            val projected =
-              if (required.isEmpty) df
-              else df.select(required.fieldNames.map(FilterTranslation.qcol): _*)
-            projected.rdd
-          }
-        }.asInstanceOf[T]
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = required
+              // exact size from the commit log, PRUNED by the pushed
+              // predicate → Spark can auto-broadcast a filtered scan
+              override def sizeInBytes: Long = table.scanBytes(pred) match {
+                case Some(b) => math.max(b, 1L) // 0 = provably all-pruned
+                case None => super.sizeInBytes
+              }
+              override def buildScan(): RDD[Row] = {
+                val df = table.snapshot(pred)
+                val projected =
+                  if (required.isEmpty) df
+                  else df.select(required.fieldNames.map(FilterTranslation.qcol): _*)
+                projected.rdd
+              }
+            }.asInstanceOf[T]
+        }
+      }
     }
 }
 

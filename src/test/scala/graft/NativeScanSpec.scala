@@ -1,0 +1,211 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.GraftBatchScan
+
+/** The DSv2 native batch read path: when it engages (strict prover),
+  * when it falls back (MoR deltas, schema evolution), that both paths
+  * agree row-for-row, that the planner sees pruned statistics, and
+  * that runtime (dynamic partition pruning) filters reach the file
+  * list.
+  */
+class NativeScanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft_native_wh").toString
+    spark.conf.set("spark.sql.catalog.g", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    dir
+  }
+
+  private def executed(sql: String): SparkPlan = {
+    val df = spark.sql(sql)
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  // walks through AQE wrappers (AdaptiveSparkPlanExec / QueryStageExec)
+  // and subqueries — a plain collect sees only the adaptive root
+  private def batchScans(p: SparkPlan): Seq[GraftBatchScan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val buf = scala.collection.mutable.ArrayBuffer.empty[GraftBatchScan]
+    def walk(n: SparkPlan): Unit = {
+      n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftBatchScan] =>
+          buf += b.scan.asInstanceOf[GraftBatchScan]
+        case _ => ()
+      }
+      n.children.foreach(walk)
+      n.subqueries.foreach(walk)
+    }
+    walk(p)
+    buf.toSeq
+  }
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq.map(_.toSeq)
+
+  test("CoW snapshot plans the native batch scan; results match the V1 path") {
+    wh
+    spark.sql("""CREATE TABLE g.db.nat (pk BIGINT, ts INT, v STRING, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""INSERT INTO g.db.nat VALUES
+      (1, 0, 'a', 'r1'), (2, 0, 'b', 'r1'), (3, 0, 'c', 'r2'), (4, 0, 'd', 'r3')""")
+    spark.sql("INSERT INTO g.db.nat VALUES (1, 5, 'a2', 'r1'), (5, 1, 'e', 'r2')")
+
+    val q = "SELECT pk, v, region FROM g.db.nat ORDER BY pk"
+    val native = rows(q)
+    assert(batchScans(executed(q)).nonEmpty, "native scan not planned")
+    assert(native == Seq(Seq(1L, "a2", "r1"), Seq(2L, "b", "r1"),
+      Seq(3L, "c", "r2"), Seq(4L, "d", "r3"), Seq(5L, "e", "r2")))
+
+    // the V1 fallback (escape hatch off) returns the identical rows
+    spark.conf.set("spark.graft.nativeScan.enabled", "false")
+    try {
+      val p = executed(q)
+      assert(batchScans(p).isEmpty, "native scan planned while disabled")
+      assert(rows(q) == native)
+    } finally spark.conf.unset("spark.graft.nativeScan.enabled")
+
+    // filters + projections still correct through the native path
+    assert(rows("SELECT pk FROM g.db.nat WHERE region = 'r2' ORDER BY pk") ==
+      Seq(Seq(3L), Seq(5L)))
+    // time travel rides the same scan (pinned snapshot)
+    assert(rows("SELECT pk FROM g.db.nat VERSION AS OF 0 ORDER BY pk") ==
+      Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))
+  }
+
+  test("MoR pending deltas fall back to V1; compaction restores native") {
+    wh
+    spark.sql("""CREATE TABLE g.db.natmor (pk BIGINT, ts INT, v STRING)
+                 USING graft
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+                                storageType='mor')""")
+    spark.sql("INSERT INTO g.db.natmor VALUES (1, 0, 'a'), (2, 0, 'b')")
+    spark.sql("INSERT INTO g.db.natmor VALUES (1, 5, 'a2')") // delta
+
+    val q = "SELECT pk, v FROM g.db.natmor ORDER BY pk"
+    assert(batchScans(executed(q)).isEmpty,
+      "native scan must not plan over a pending MoR delta stack")
+    assert(rows(q) == Seq(Seq(1L, "a2"), Seq(2L, "b")))
+
+    spark.sql("CALL g.system.compact('db.natmor')")
+    assert(batchScans(executed(q)).nonEmpty,
+      "compacted MoR (all-base) should plan the native scan")
+    assert(rows(q) == Seq(Seq(1L, "a2"), Seq(2L, "b")))
+  }
+
+  test("schema evolution (renamed column in old files) falls back to V1") {
+    wh
+    spark.sql("""CREATE TABLE g.db.natevo (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.natevo VALUES (1, 0, 'a')")
+    spark.sql("ALTER TABLE g.db.natevo RENAME COLUMN v TO val")
+    // the live file's physical schema says 'v' while the table says
+    // 'val' — adaptation required, the prover must refuse
+    val q = "SELECT pk, val FROM g.db.natevo"
+    assert(batchScans(executed(q)).isEmpty,
+      "native scan must not plan over files needing schema adaptation")
+    assert(rows(q) == Seq(Seq(1L, "a")))
+    // a rewrite under the new schema re-qualifies the snapshot
+    spark.sql("INSERT OVERWRITE g.db.natevo VALUES (1, 1, 'a2')")
+    assert(batchScans(executed(q)).nonEmpty)
+    assert(rows(q) == Seq(Seq(1L, "a2")))
+  }
+
+  test("planner statistics: pruned-size estimate, exact rows from the log") {
+    wh
+    spark.sql("""CREATE TABLE g.db.natstat (pk BIGINT, ts INT, v STRING, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    val vals = (1 to 300).map(i => s"($i, 0, 'v$i', 'r${i % 3}')").mkString(", ")
+    spark.sql(s"INSERT INTO g.db.natstat VALUES $vals")
+
+    val full = spark.sql("SELECT * FROM g.db.natstat")
+    full.collect()
+    val fullStats = full.queryExecution.optimizedPlan.stats
+    assert(fullStats.rowCount.contains(BigInt(300)),
+      s"expected exact 300-row estimate, got ${fullStats.rowCount}")
+
+    // a partition-pruned scan reports roughly a third of the bytes —
+    // the broadcast decision input
+    val part = spark.sql("SELECT * FROM g.db.natstat WHERE region = 'r1'")
+    part.collect()
+    val partStats = part.queryExecution.optimizedPlan.stats
+    assert(partStats.sizeInBytes * 2 < fullStats.sizeInBytes,
+      s"pruned ${partStats.sizeInBytes} !< half of ${fullStats.sizeInBytes}")
+  }
+
+  test("static partition + key-equality predicates prune the file list") {
+    wh
+    // numeric keys render to lexicographic [kmin, kmax] ranges that span
+    // the key space, so equality pruning here rides the bloom sidecars
+    // (the same regime lake_bloom_lookup pins for the frame-probe path)
+    spark.sql("""CREATE TABLE g.db.natprune (pk BIGINT, ts INT, v STRING, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts', bloomKeys='200')""")
+    val vals = (1 to 300).map(i => s"($i, 0, 'v$i', 'r${i % 3}')").mkString(", ")
+    spark.sql(s"INSERT INTO g.db.natprune VALUES $vals")
+
+    val all = batchScans(executed("SELECT * FROM g.db.natprune")).head.currentFiles
+    assert(all >= 3, s"expected >=3 files (one per partition), got $all")
+
+    // partition-tuple pruning needs no statsCols
+    val one = batchScans(executed(
+      "SELECT * FROM g.db.natprune WHERE region = 'r1'")).head.currentFiles
+    assert(one < all, s"partition predicate did not prune: $one of $all")
+
+    // key equality prunes through the record-key range index
+    val point = batchScans(executed(
+      "SELECT * FROM g.db.natprune WHERE pk = 42")).head.currentFiles
+    assert(point < all, s"key predicate did not prune: $point of $all")
+    assert(rows("SELECT v FROM g.db.natprune WHERE pk = 42") == Seq(Seq("v42")))
+  }
+
+  test("runtime filters (DPP) prune files through the join key") {
+    wh
+    spark.sql("""CREATE TABLE g.db.fact (pk BIGINT, ts INT, amount INT, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    val vals = (1 to 300).map(i => s"($i, 0, ${i * 10}, 'r${i % 5}')").mkString(", ")
+    spark.sql(s"INSERT INTO g.db.fact VALUES $vals")
+    spark.sql("""CREATE TABLE g.db.dim (region STRING, ts INT, tier STRING)
+                 USING graft TBLPROPERTIES (keyCols='region', precombineCol='ts')""")
+    spark.sql("""INSERT INTO g.db.dim VALUES
+      ('r0', 0, 'gold'), ('r1', 0, 'gold'), ('r2', 0, 'iron'),
+      ('r3', 0, 'iron'), ('r4', 0, 'iron')""")
+
+    val q = """SELECT f.pk, f.amount, d.tier
+               FROM g.db.fact f JOIN g.db.dim d ON f.region = d.region
+               WHERE d.tier = 'gold'"""
+    val plan = executed(q)
+    val factScan = batchScans(plan)
+      .find(_.description().contains("db.fact"))
+      .getOrElse(fail("no native scan over the fact table"))
+    assert(factScan.runtimePrunedTo >= 0,
+      "no runtime filter reached the fact scan — DPP did not engage")
+    assert(factScan.runtimePrunedTo < 5,
+      s"runtime filter kept ${factScan.runtimePrunedTo} files, expected <5 " +
+        "(2 of 5 partitions survive)")
+    val got = spark.sql(q).collect()
+    assert(got.length == 120 && got.forall(_.getString(2) == "gold"))
+  }
+}
