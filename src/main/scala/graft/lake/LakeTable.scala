@@ -2305,6 +2305,53 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     }
   }
 
+  /** Typed partition-key rows (partitionCols order, catalyst internal
+    * values) for each file — `Some` only when EVERY file's stored
+    * tuple parses back EXACTLY (parse, then re-render through the same
+    * cast that produced the directory name and compare). Feeds the
+    * DSv2 scan's [[org.apache.spark.sql.connector.read.SupportsReportPartitioning]]
+    * (storage-partitioned joins): a wrong key would silently mis-join,
+    * so anything unprovable — timestamp-typed partition columns
+    * (session-timezone-sensitive rendering), the null-sentinel level
+    * on a string column (null and '' collapse), a value that does not
+    * round-trip — refuses the whole snapshot. */
+  private[graft] def partitionKeyRows(
+      files: Seq[FileAdd], asOf: Option[Long])
+      : Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
+    if (config.partitionCols.isEmpty) return None
+    val tbl = tableSchema(asOf)
+    val types = config.partitionCols.map(c =>
+      tbl.fields.find(_.name == c).map(_.dataType).getOrElse(return None))
+    if (types.exists(t => t == TimestampType || t == TimestampNTZType))
+      return None
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    val cache = scala.collection.mutable.HashMap.empty[String, Option[InternalRow]]
+    def keyOf(tuple: String): Option[InternalRow] = {
+      val levels = userLevels(tuple)
+      if (levels.size < config.partitionCols.size) return None
+      val vals = levels.zip(types).map { case (lv, dt) =>
+        if (lv == LakeTable.NullPartition) {
+          if (dt == StringType) return None // ambiguous: null vs ''
+          null
+        } else {
+          val parsed = Cast(Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(lv),
+            StringType), dt, tz).eval(null)
+          if (parsed == null) return None
+          val rerender = Cast(Literal(parsed, dt), StringType, tz).eval(null)
+          if (rerender == null || rerender.toString != lv) return None
+          parsed
+        }
+      }
+      Some(InternalRow.fromSeq(vals))
+    }
+    val keys = files.map(f => cache.getOrElseUpdate(f.partition, keyOf(f.partition)))
+    if (keys.forall(_.isDefined)) Some(keys.map(_.get)) else None
+  }
+
   /** The pinned snapshot's live files IF the snapshot is provably
     * readable as a bare parquet union — the DSv2 native batch scan's
     * eligibility prover: every live file is a base file (no MoR

@@ -102,6 +102,27 @@ object Sql {
     })
   }
 
+  /** a second lake table co-partitioned with `nation` on the region key
+    * (one partition per region) for the storage-partitioned join entry,
+    * plus the session flag that lets Spark USE reported key-grouped
+    * partitioning. The flag stays set for the session deliberately: it
+    * is a pure planning capability (plans that cannot use it are
+    * untouched; plans that can skip shuffles), and the gate re-proves
+    * every query's RESULTS either way. */
+  private[graft] def spjFixture(s: SparkSession, d: String): String = {
+    val cat = dmlFixture(s, d) // hoisted: nested computeIfAbsent hazard
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:spj", _ => {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val region = T.region(s, d)
+      region.createOrReplaceTempView("sql_region_src")
+      s.sql(s"""CREATE TABLE $cat.db.region_spj (${region.schema.toDDL}, update_ts INT)
+        USING graft PARTITIONED BY (r_regionkey)
+        TBLPROPERTIES (keyCols='r_regionkey', precombineCol='update_ts')""")
+      s.sql(s"INSERT INTO $cat.db.region_spj SELECT *, 0 FROM sql_region_src")
+      cat
+    })
+  }
+
   /** the mergeTable clause set (ops.Lake) issued as ONE SQL MERGE INTO —
     * update/delete/insert/by-source-delete in a single statement */
   private[graft] def mergeFixture(s: SparkSession, d: String): String =
@@ -347,6 +368,31 @@ object Sql {
         FROM nation JOIN region ON n_regionkey = r_regionkey
         WHERE r_name IN ('EUROPE', 'ASIA') AND n_nationkey < 20
         ORDER BY n_nationkey""")),
+
+    // ---- storage-partitioned join under the hard gate ------------------
+    // both sides are lake tables partitioned on the join key, so with
+    // key-grouped partitioning reported (SupportsReportPartitioning +
+    // HasPartitionKey input groups) the join plans with NO shuffle on
+    // either side — NativeScanSpec pins the zero-exchange plan shape;
+    // this entry pins the joined-and-aggregated RESULTS (n_updated
+    // counts the fixture's region-2 UPDATE rows, so a mis-grouped or
+    // mis-keyed storage partition would change the answer, not just
+    // the plan)
+    GQuery("lake_sql_spj_agg",
+      (s, d) => {
+        val cat = spjFixture(s, d)
+        s.sql(s"""SELECT r.r_name, count(*) AS n_nations,
+            sum(CASE WHEN n.n_name LIKE '%!' THEN 1 ELSE 0 END) AS n_updated
+          FROM $cat.db.nation n
+          JOIN $cat.db.region_spj r ON n.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name ORDER BY r.r_name""")
+      },
+      Some("""SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+          CAST(sum(CASE WHEN n_regionkey = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_updated
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE n_nationkey < 20
+        GROUP BY 1 ORDER BY 1""")),
 
     // dynamic partition overwrite through SQL: region 2 replaced
     // wholesale (names suffixed, ts bumped), every other region's rows

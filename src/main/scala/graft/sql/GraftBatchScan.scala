@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.graftbridge.PredicateBridge
@@ -55,7 +56,8 @@ final class GraftBatchScan(
     physicalSchema: StructType,
     initialFiles: Seq[FileAdd])
   extends Scan with Batch
-  with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+  with SupportsReportStatistics with SupportsRuntimeV2Filtering
+  with SupportsReportPartitioning {
 
   @volatile private var files: Seq[FileAdd] = initialFiles
 
@@ -100,8 +102,11 @@ final class GraftBatchScan(
     val keyAttr =
       if (table.lake.config.keyCols.size == 1) table.lake.config.keyCols
       else Seq.empty
+    // only columns in THIS scan's (pruned) output: Spark resolves these
+    // against the scan relation and fails loud on an absent column
+    val out = required.fieldNames.toSet
     (table.lake.config.partitionCols ++ table.lake.config.statsCols ++ keyAttr)
-      .distinct.map(Expressions.column).toArray
+      .distinct.filter(out.contains).map(Expressions.column).toArray
   }
 
   override def filter(predicates: Array[Predicate]): Unit = {
@@ -116,22 +121,80 @@ final class GraftBatchScan(
     runtimePrunedTo = files.size
   }
 
+  // ---- storage-partitioned joins (key-grouped partitioning) -----------
+
+  /** (file path → typed partition key, original distinct keys) when the
+    * snapshot's directory tuples parse back exactly
+    * ([[graft.lake.LakeTable.partitionKeyRows]]). Computed ONCE over the
+    * static file set: runtime filters only remove files, and the
+    * original key set must survive them (pruned keys plan as EMPTY
+    * groups) so the reported partitioning stays truthful. */
+  private lazy val keyedPlan: Option[(Map[String, InternalRow], Seq[InternalRow])] =
+    table.lake.partitionKeyRows(initialFiles, table.pinned).map { keys =>
+      val byPath = initialFiles.map(_.path).zip(keys).toMap
+      val distinct = scala.collection.mutable.LinkedHashSet.empty[InternalRow]
+      keys.foreach(distinct += _)
+      (byPath, distinct.toSeq)
+    }
+
+  /** Identity-transform key-grouped partitioning over the user
+    * partition columns: two lake tables co-partitioned on the join key
+    * plan a storage-partitioned join — NO shuffle on either side (with
+    * spark.sql.sources.v2.bucketing.enabled), and a groupBy on the
+    * partition columns aggregates shuffle-free. Reported only when
+    * every directory tuple provably maps back to its typed value. */
+  override def outputPartitioning(): Partitioning = keyedPlan match {
+    case Some((_, allKeys)) =>
+      new KeyGroupedPartitioning(
+        table.lake.config.partitionCols
+          .map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression)
+          .toArray,
+        allKeys.size)
+    case None => new UnknownPartitioning(0)
+  }
+
   // ---- partition planning & reading -----------------------------------
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val fs = files
-    val maxSplit = FilePartition.maxSplitBytes(spark, fs.map(_.bytes).sum)
-    // parquet is splittable at row-group granularity: slice large files
-    // so one straggler file cannot serialize a stage (the FileSourceScan
-    // packing discipline: largest-first, bin-packed to maxSplit)
-    val splits = fs.flatMap { f =>
+  private def splitsOf(fs: Seq[FileAdd], maxSplit: Long): Seq[PartitionedFile] =
+    fs.flatMap { f =>
       (0L until f.bytes by maxSplit).map { offset =>
         PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.path),
           offset, math.min(maxSplit, f.bytes - offset),
           Array.empty[String], 0L, f.bytes)
       }
     }.sortBy(-_.length)
-    FilePartition.getFilePartitions(spark, splits, maxSplit).toArray
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = files
+    val maxSplit = FilePartition.maxSplitBytes(spark, fs.map(_.bytes).sum)
+    keyedPlan match {
+      case None =>
+        // parquet is splittable at row-group granularity: slice large
+        // files so one straggler cannot serialize a stage (the
+        // FileSourceScan packing discipline: largest-first, bin-packed)
+        FilePartition.getFilePartitions(spark, splitsOf(fs, maxSplit), maxSplit)
+          .toArray
+      case Some((keyOfPath, allKeys)) =>
+        // one group of keyed partitions per ORIGINAL key — a key whose
+        // files a runtime filter pruned still plans (as an empty group),
+        // so the key-grouped partitioning the join was planned on is
+        // preserved while the pruned partitions read zero bytes
+        val byKey = fs.groupBy(f => keyOfPath(f.path))
+        var idx = -1
+        allKeys.flatMap { k =>
+          byKey.get(k) match {
+            case Some(group) =>
+              FilePartition.getFilePartitions(
+                  spark, splitsOf(group, maxSplit), maxSplit)
+                .map { fp => idx += 1
+                  GraftKeyedPartition(FilePartition(idx, fp.files), k) }
+            case None =>
+              idx += 1
+              Seq(GraftKeyedPartition(
+                FilePartition(idx, Array.empty[PartitionedFile]), k))
+          }
+        }.toArray
+    }
   }
 
   /** The reader factory comes from a real [[ParquetScan]] delegate so
@@ -154,5 +217,34 @@ final class GraftBatchScan(
     dataFilters = Seq.empty)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    delegate.createReaderFactory()
+    if (keyedPlan.isDefined)
+      new GraftKeyedReaderFactory(delegate.createReaderFactory())
+    else delegate.createReaderFactory()
+}
+
+/** A file-split partition tagged with its typed partition-key row —
+  * the [[HasPartitionKey]] contract key-grouped (storage-partitioned)
+  * planning requires of every input partition. */
+private[graft] final case class GraftKeyedPartition(
+    fp: FilePartition, key: InternalRow)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
+}
+
+/** Unwraps [[GraftKeyedPartition]] before handing the split to the
+  * parquet reader factory (which pattern-matches on [[FilePartition]]). */
+private final class GraftKeyedReaderFactory(inner: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case k: GraftKeyedPartition => k.fp
+    case other => other
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
 }

@@ -180,6 +180,79 @@ class NativeScanSpec extends AnyFunSuite {
     assert(rows("SELECT v FROM g.db.natprune WHERE pk = 42") == Seq(Seq("v42")))
   }
 
+  test("storage-partitioned join: co-partitioned lake tables join with no shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    wh
+    spark.sql("""CREATE TABLE g.db.spja (pk BIGINT, ts INT, amount INT, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""CREATE TABLE g.db.spjb (pk BIGINT, ts INT, label STRING, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    val a = (1 to 120).map(i => s"($i, 0, ${i * 2}, 'r${i % 4}')").mkString(", ")
+    val b = (1 to 40).map(i => s"($i, 0, 'L$i', 'r${i % 4}')").mkString(", ")
+    spark.sql(s"INSERT INTO g.db.spja VALUES $a")
+    spark.sql(s"INSERT INTO g.db.spjb VALUES $b")
+
+    val q = """SELECT a.region, sum(a.amount) AS amt, count(b.label) AS n
+               FROM g.db.spja a JOIN g.db.spjb b ON a.region = b.region
+               GROUP BY a.region"""
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // keep the join un-broadcast so the shuffle question is real
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(q)
+      assert(batchScans(plan).size == 2, "both sides should scan natively")
+      val shuffles = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val buf = scala.collection.mutable.ArrayBuffer.empty[ShuffleExchangeExec]
+        def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          n match {
+            case ad: AdaptiveSparkPlanExec => walk(ad.executedPlan)
+            case qs: QueryStageExec => walk(qs.plan)
+            case s: ShuffleExchangeExec => buf += s
+            case _ => ()
+          }
+          n.children.foreach(walk)
+        }
+        walk(plan); buf.toSeq
+      }
+      // the join itself must be shuffle-free (the final aggregation may
+      // still exchange on the group key — that is not the join's cost)
+      assert(shuffles.isEmpty,
+        s"expected a storage-partitioned join with zero shuffles, got ${shuffles.size}")
+      val got = spark.sql(q).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      // per region: 30 fact rows x 10 dim rows = 300 joined rows
+      assert(got.map(_._1).toSeq == Seq("r0", "r1", "r2", "r3"))
+      assert(got.forall(_._3 == 300L), got.mkString(", "))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("SPJ + runtime filter: pruned partitions plan as empty groups") {
+    wh
+    // reuse the co-partitioned pair from the SPJ test (fixture tables
+    // persist across tests in this suite's warehouse)
+    if (spark.sql("SHOW TABLES IN g.db").collect()
+        .forall(_.getString(1) != "spja")) cancel("spj fixture missing")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // the dim-side partition filter makes the fact side runtime-prunable
+      // while both sides stay key-grouped — the fact scan must preserve
+      // its reported grouping by planning pruned keys as empty groups
+      val q = """SELECT a.region, count(*) AS n
+                 FROM g.db.spja a JOIN g.db.spjb b ON a.region = b.region
+                 WHERE b.region IN ('r1', 'r2')
+                 GROUP BY a.region"""
+      val got = spark.sql(q).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == Seq(("r1", 300L), ("r2", 300L)), got.mkString(", "))
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("runtime filters (DPP) prune files through the join key") {
     wh
     spark.sql("""CREATE TABLE g.db.fact (pk BIGINT, ts INT, amount INT, region STRING)
