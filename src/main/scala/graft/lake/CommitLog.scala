@@ -342,6 +342,53 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
       .map(_.stripPrefix("save-").toLong)
       .sorted
 
+  // ---- named tags (Iceberg tag refs: a NAME pinned to a commit id).
+  // A tag pins its commit against the cleaner exactly like a savepoint
+  // (see [[pins]]); it additionally resolves by name in time travel
+  // (`VERSION AS OF 'v1.0'`). Immutable once created — retargeting a
+  // name silently changes what every reader of that name sees, so a
+  // tag must be dropped and re-created to move (the create-if-absent
+  // store gives that for free, atomically).
+
+  private def tagPath(name: String) = new Path(logDir, s"tag-$name")
+
+  def createTag(name: String, id: Long): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}") &&
+        !name.matches("\\d+"),
+      s"illegal tag name '$name' (alphanumeric/._- and not a bare number " +
+        "— a numeric name would shadow commit-id time travel)")
+    require(listIds.contains(id), s"no commit $id on the timeline")
+    require(id >= cleanedUpTo,
+      s"commit $id's files were already cleaned (retained from $cleanedUpTo)")
+    val out =
+      try fs.create(tagPath(name), false) // create-if-absent: no retarget
+      catch { case _: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists (tags are immutable — drop it first)")
+      }
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def dropTag(name: String): Unit = { fs.delete(tagPath(name), false); () }
+
+  def tags: Map[String, Long] =
+    if (!fs.exists(logDir)) Map.empty
+    else fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("tag-"))
+      .map { n =>
+        val in: java.io.InputStream = fs.open(new Path(logDir, n))
+        val id = try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          finally in.close()
+        n.stripPrefix("tag-") -> id
+      }.toMap
+
+  /** every commit id pinned against physical deletion: savepoints plus
+    * tag targets — ONE set consulted by clean / rollback / the horizon
+    * guards, so a tagged snapshot stays reproducible exactly like a
+    * savepointed one */
+  def pins: Seq[Long] = (savepoints ++ tags.values).distinct.sorted
+
   /** Roll back the LATEST commit (Hudi rollback): delete its JSON — the
     * only pointer making its files live — then physically remove the
     * now-orphaned files it added. Files it superseded become live again;
@@ -354,8 +401,8 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
   def rollbackLatest(): Option[Long] = latestId.map { id =>
     require(id > cleanedUpTo,
       s"commit $id's superseded files were cleaned — cannot roll back")
-    require(!savepoints.contains(id),
-      s"commit $id is savepointed — release the savepoint before rolling back")
+    require(!pins.contains(id),
+      s"commit $id is pinned (savepoint or tag) — release it before rolling back")
     val c = read(id)
     fs.create(new Path(logDir, f"rolled-$id%08d"), true).close()
     if (!fs.delete(commitPath(id), false))
@@ -390,7 +437,7 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     // oldest id that stays travelable: files superseded at or before it
     // are unreferenced by every retained snapshot
     val cutoff = ids(ids.size - retain)
-    val pinned: Set[String] = savepoints.filter(_ <= cutoff)
+    val pinned: Set[String] = pins.filter(_ <= cutoff)
       .flatMap(s => liveFiles(Some(s)).map(_.path)).toSet
     val removedEarly = commits.filter(_.id <= cutoff).flatMap(_.removes)
     removedEarly.filterNot(pinned).filter(owned)

@@ -109,7 +109,14 @@ final case class LakeTableConfig(
       * ingest boundary (expect_or_drop) and per-check dropped counts
       * travel in the commit metadata as `check.dropped.<name>`. Drop
       * mode pins the batch with a localCheckpoint and pays one counting
-      * aggregation over it — the price of counts that cannot lie.
+      * aggregation over it — the price of counts that cannot lie;
+      * "warn" — violating rows LAND (DLT's plain expect: the check is
+      * an observability contract, not a gate) and per-check violation
+      * counts travel in the commit metadata as `check.warned.<name>`
+      * (same pinned-batch counting pass as drop). Counts cover the
+      * INGEST boundary; rows produced by transformations (UPDATE/MERGE
+      * assignments) land unscored in warn mode — gating them is what
+      * fail/drop are for.
       */
     checkMode: String = "fail",
     /** Full Hudi meta-column read parity (MockCuratedGlueJob.py:23-24
@@ -126,11 +133,47 @@ final case class LakeTableConfig(
       *    time-travel reads — a read-surface column, never persisted
       *    (compaction rewrites would otherwise freeze a stale name).
       */
-    metaColumns: Boolean = false) {
+    metaColumns: Boolean = false,
+    /** Hidden partitioning (Iceberg partition transforms): one spec per
+      * [[partitionCols]] entry — `identity` (default), `years`, `months`,
+      * `days`, `hours`, `bucket[N]`, `truncate[W]` (see [[PartTransform]]).
+      * Empty ≙ all identity. A transformed level stores the TRANSFORM
+      * value in the directory name while data files keep the source
+      * column untouched, so a `days(ts)`-partitioned table prunes
+      * directories for `WHERE ts >= …` without the query (or the 86 400
+      * distinct-values-per-day explosion of identity partitioning)
+      * ever seeing the layout. Exactness provers (filtered metadata
+      * aggregates, grouped metadata aggs, storage-partitioned join
+      * reporting) refuse on non-identity transforms — a level value is
+      * not a row value — while directory pruning, upsert/delete
+      * partition scoping, and dynamic overwrite all operate on the
+      * transformed tuples.
+      */
+    partitionTransforms: Seq[String] = Seq.empty) {
   require(storageType == "cow" || storageType == "mor",
     s"storageType must be cow|mor, got $storageType")
-  require(checkMode == "fail" || checkMode == "drop",
-    s"checkMode must be fail|drop, got $checkMode")
+  require(partitionTransforms.isEmpty ||
+      partitionTransforms.size == partitionCols.size,
+    s"partitionTransforms (${partitionTransforms.size}) must match " +
+      s"partitionCols (${partitionCols.size}) or be empty")
+  /** parsed transform per partition level (identity-filled when unset) */
+  val transforms: Seq[PartTransform] =
+    if (partitionTransforms.isEmpty) partitionCols.map(_ => PartTransform.Identity)
+    else partitionTransforms.map(PartTransform.parse)
+  def hasHiddenParts: Boolean =
+    transforms.exists(_ != PartTransform.Identity)
+  // A partition-scoped index keys uniqueness on the RAW partition value,
+  // but a transformed level folds many raw values into one directory —
+  // two versions of a key with different timestamps in the same day
+  // would count as different records. Identity must therefore be the
+  // key alone, table-wide (Hudi's GLOBAL index with a date partition
+  // path; Iceberg/Delta have no per-partition identity at all).
+  require(!hasHiddenParts || globalIndex,
+    "hidden partitioning (non-identity partitionTransforms) requires " +
+      "globalIndex=true: record identity cannot depend on a transformed " +
+      "partition value")
+  require(checkMode == "fail" || checkMode == "drop" || checkMode == "warn",
+    s"checkMode must be fail|drop|warn, got $checkMode")
   require(!zOrder || clusterCols.size >= 2,
     "zOrder requires at least two clusterCols")
   require(!zOrder || clusterCols.size <= 7,
@@ -166,10 +209,47 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   private val hconf = spark.sparkContext.hadoopConfiguration
   val log = new CommitLog(config.root, hconf)
 
-  /** physical partition-path levels: the user columns, then the derived
-    * hash bucket when configured */
+  /** physical partition-path LEVEL NAMES: the user columns (suffixed by
+    * their transform when hidden-partitioned — `o_orderdate_months` —
+    * so a catalog sync never claims the level string IS the source
+    * column), then the derived hash bucket when configured */
   private def effParts: Seq[String] =
-    config.partitionCols ++ (if (config.hashBuckets > 0) Seq(BucketCol) else Nil)
+    config.partitionCols.indices.map(levelName) ++
+      (if (config.hashBuckets > 0) Seq(BucketCol) else Nil)
+
+  private def levelName(i: Int): String = {
+    val t = config.transforms(i)
+    if (t == PartTransform.Identity) config.partitionCols(i)
+    else config.partitionCols(i) + "_" + t.levelSuffix
+  }
+
+  /** rendered string expression of user partition level `i` over a frame
+    * typed like `df`: the transform value, cast to string, with null/''
+    * folded to the sentinel. EVERY producer of partition tuples (the
+    * shadow-column write, upsert/delete partition probes, dynamic
+    * overwrite scoping) routes through this one function — a second
+    * renderer would eventually disagree with the directories on disk. */
+  private def levelExpr(df: DataFrame, i: Int): Column = {
+    val pc = config.partitionCols(i)
+    val t = config.transforms(i)
+    if (t == PartTransform.Identity) renderCol(pc)
+    else {
+      val dt = df.schema.fields.find(_.name == pc).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column '$pc' absent from frame: ${df.columns.mkString(",")}"))
+      require(t.validFor(dt),
+        s"partition transform '${t.spec}' is not valid for column $pc: $dt")
+      val s = t.expr(col(pc), dt).cast("string")
+      when(s.isNull || s === "", lit(NullPartition)).otherwise(s)
+    }
+  }
+
+  private def userLevelExprs(df: DataFrame): Seq[Column] =
+    config.partitionCols.indices.map(levelExpr(df, _))
+
+  private def effLevelExprs(df: DataFrame): Seq[Column] =
+    userLevelExprs(df) ++
+      (if (config.hashBuckets > 0) Seq(renderCol(BucketCol)) else Nil)
 
   /** attach derived columns (the key-hash bucket) to a frame about to be
     * written or used for pruning; no-op when unconfigured */
@@ -209,7 +289,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * with PartSep. Metadata-scale collect: bounded by touched partitions.
     */
   private def renderedTuples(df: DataFrame): Set[String] =
-    df.select(effParts.map(renderCol): _*).distinct()
+    df.select(effLevelExprs(df): _*).distinct()
       .collect().map(_.toSeq.map(String.valueOf).mkString(PartSep)).toSet
 
   // unique per attempt: a crashed/retried write never collides with the
@@ -381,7 +461,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val touched =
         if (nUser == 0) live
         else {
-          val tuples = incoming.select(config.partitionCols.map(renderCol): _*)
+          val tuples = incoming.select(userLevelExprs(incoming): _*)
             .distinct().collect()
             .map(_.toSeq.map(String.valueOf)).toSet
           live.filter(f => tuples.contains(userLevels(f.partition)))
@@ -471,7 +551,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
           val predParts = may.map(f => userLevels(f.partition)).toSet
           val batchParts =
             if (batchEmpty) Set.empty[Seq[String]]
-            else incoming.select(config.partitionCols.map(renderCol): _*)
+            else incoming.select(userLevelExprs(incoming): _*)
               .distinct().collect()
               .map(_.toSeq.map(String.valueOf)).toSet
           val tuples = predParts ++ batchParts
@@ -565,7 +645,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * schema-evolution backfill rows, whose payload columns are null.
     */
   private def withChecks(df: DataFrame): DataFrame =
-    if (config.checks.isEmpty) df
+    // warn mode never gates: violations were already counted at the
+    // ingest boundary (admitBatch) and the rows are meant to land
+    if (config.checks.isEmpty || config.checkMode == "warn") df
     else {
       val ctx = to_json(struct(df.columns.map(col): _*))
       config.checks.foldLeft(df) { case (acc, (name, predSql)) =>
@@ -588,7 +670,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * transformations (UPDATE/MERGE assignments), which fail loud in
     * both modes. NULL passes everywhere (ANSI). */
   private def admitBatch(batch0: DataFrame): (DataFrame, Map[String, String]) =
-    if (config.checks.isEmpty || config.checkMode != "drop") (batch0, Map.empty)
+    if (config.checks.isEmpty ||
+        (config.checkMode != "drop" && config.checkMode != "warn"))
+      (batch0, Map.empty)
     else {
       // pin the batch ONCE: the count job and the write pass must see
       // the same rows, or a non-deterministic source (rand-derived
@@ -602,11 +686,15 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       }
       val sums = viol.map { case (n, c) => sum(c.cast("long")).as(n) }
       val counts = batch.agg(sums.head, sums.tail: _*).first()
+      val metaKey =
+        if (config.checkMode == "drop") "check.dropped." else "check.warned."
       val meta = viol.indices.collect {
         case i if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
-          s"check.dropped.${viol(i)._1}" -> counts.getLong(i).toString
+          s"$metaKey${viol(i)._1}" -> counts.getLong(i).toString
       }.toMap
-      (viol.foldLeft(batch) { case (acc, (_, c)) => acc.filter(!c) }, meta)
+      // warn observes; only drop gates
+      if (config.checkMode == "warn") (batch, meta)
+      else (viol.foldLeft(batch) { case (acc, (_, c)) => acc.filter(!c) }, meta)
     }
 
   /** intra-batch precombine: collapse duplicate dedup keys to the row
@@ -846,7 +934,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * DSv2 scan uses this so one query never mixes table versions). */
   def read(pruneBy: org.apache.spark.sql.Column, asOf: Option[Long]): DataFrame = {
     asOf.foreach(id =>
-      require(id >= log.cleanedUpTo || log.savepoints.contains(id),
+      require(id >= log.cleanedUpTo || log.pins.contains(id),
         s"commit $id was cleaned (retained from ${log.cleanedUpTo})"))
     // resolve the predicate against the table schema (resolvePredicate:
     // analyzed probe filter, not optimized) and run every metadata
@@ -864,9 +952,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   }
 
   /** Time travel: snapshot as of a commit id on the timeline. A commit
-    * below the cleaner horizon stays readable while savepointed. */
+    * below the cleaner horizon stays readable while pinned (savepoint
+    * or tag). */
   def readAsOf(commitId: Long): DataFrame = {
-    require(commitId >= log.cleanedUpTo || log.savepoints.contains(commitId),
+    require(commitId >= log.cleanedUpTo || log.pins.contains(commitId),
       s"commit $commitId was cleaned (retained from ${log.cleanedUpTo})")
     readSnapshot(Some(commitId))
   }
@@ -898,7 +987,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // same horizon guard as readAsOf: the commit JSONs survive cleaning,
     // but a from-snapshot below the horizon references deleted files
     Seq(from, to).foreach(id =>
-      require(id >= log.cleanedUpTo || log.savepoints.contains(id),
+      require(id >= log.cleanedUpTo || log.pins.contains(id),
         s"commit $id was cleaned (retained from ${log.cleanedUpTo})"))
     val newSnap = readSnapshot(Some(to))
     val oldSnap = readSnapshot(Some(from))
@@ -1074,6 +1163,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       .getOrElse(new StructType().json)
     val clone = new LakeTable(spark, config.copy(root = targetRoot))
     require(!clone.exists, s"clone target $targetRoot already exists")
+    // provenance for write-audit-publish: publishFrom validates the
+    // fast-forward precondition (source unchanged since this snapshot)
+    // against these, so they must travel atomically with the clone
+    val srcCommit = asOf.orElse(log.latestId).getOrElse(log.EmptyTable)
+    val provenance = Map(
+      "clone.sourceRoot" -> config.root,
+      "clone.sourceCommit" -> srcCommit.toString)
     // borrowed files keep the FILE schema their source commit recorded
     // (schema evolution: a pre-rename/pre-widen file must stay readable
     // through id adaptation) — one clone commit per distinct source
@@ -1084,21 +1180,119 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       .empty[String, scala.collection.mutable.ArrayBuffer[FileAdd]]
     files.foreach(f => groups.getOrElseUpdate(jsonOf.getOrElse(f.path, schemaJson),
       new scala.collection.mutable.ArrayBuffer[FileAdd]) += f)
-    var next = 0L
+    // the clone's timeline CONTINUES the source's id space (first clone
+    // commit = source commit + 1): every row stamp a borrowed file
+    // carries is then < every commit the clone itself lands, and every
+    // write audited ON the clone stamps ABOVE the source head — the
+    // invariant publishFrom's commit-id discipline rests on (published
+    // rows must read as "after the pre-publish head" to incremental/CDC
+    // readers). clone.readAsOf(srcCommit) is the cloned snapshot.
+    var next = srcCommit + 1
+    val first = next
     groups.foreach { case (j, fs) =>
       clone.log.append(
         Commit(next, "clone", System.currentTimeMillis(), j,
-          adds = fs.toSeq, removes = Seq.empty),
-        basedOnLatest = if (next == 0) clone.log.EmptyTable else next - 1)
+          adds = fs.toSeq, removes = Seq.empty,
+          meta = if (next == first) provenance else Map.empty),
+        basedOnLatest = if (next == first) clone.log.EmptyTable else next - 1)
       next += 1
     }
     if (groups.isEmpty || groups.keys.last != schemaJson) {
       clone.log.append(
         Commit(next, "schema", System.currentTimeMillis(), schemaJson,
-          adds = Seq.empty, removes = Seq.empty),
-        basedOnLatest = if (next == 0) clone.log.EmptyTable else next - 1)
+          adds = Seq.empty, removes = Seq.empty,
+          meta = if (next == first) provenance else Map.empty),
+        basedOnLatest = if (next == first) clone.log.EmptyTable else next - 1)
     }
     clone
+  }
+
+  /** Write-audit-publish, publish step (Iceberg WAP fast-forward /
+    * Delta-style branch promote, expressed on the commit log): `audit`
+    * was [[shallowClone]]d from THIS table, audited writes landed on it,
+    * and this call lands the audit's NET effect here as ONE atomic
+    * commit — zero-copy both ways (unchanged files stay borrowed,
+    * audit-written files are referenced in place; the ownership guard
+    * means this table's maintenance never deletes them).
+    *
+    * Preconditions, all checked:
+    *  - `audit`'s first commit carries this table's root + the source
+    *    commit it cloned (provenance recorded by [[shallowClone]]);
+    *  - this table's head still equals that source commit — the
+    *    FAST-FORWARD condition. A source that advanced since the clone
+    *    aborts with [[CommitConflict]] semantics (re-clone and re-audit;
+    *    merging divergent timelines is a semantic decision, not a
+    *    metadata one);
+    *  - every file the audit added carries the audit's HEAD schema
+    *    (mid-audit schema evolution: compact the audit first) — the one
+    *    publish commit records one schema, so per-file adaptation info
+    *    must not be needed.
+    *
+    * Commit-id discipline: rows written on the audit are stamped with
+    * AUDIT commit ids, all > this table's head because the clone's
+    * timeline CONTINUES the source's id space (shallowClone starts at
+    * source commit + 1). The publish commit takes id
+    * `max(nextId, audit head)` — ids may skip (the rollback-retirement
+    * precedent), never collide — so incremental/CDC readers see every
+    * published row as "after the pre-publish head" and no future commit
+    * of this table reuses a stamped id.
+    */
+  def publishFrom(audit: LakeTable): Long = {
+    require(exists, s"table ${config.root} does not exist")
+    require(audit.exists, s"audit table ${audit.config.root} does not exist")
+    val firstMeta = audit.log.commits.headOption
+      .map(_.metadata).getOrElse(Map.empty[String, String])
+    require(firstMeta.get("clone.sourceRoot").contains(config.root),
+      s"${audit.config.root} is not a clone of ${config.root} " +
+        s"(provenance: ${firstMeta.getOrElse("clone.sourceRoot", "none")})")
+    val sourceCommit = firstMeta("clone.sourceCommit").toLong
+    val head = log.latestId.getOrElse(log.EmptyTable)
+    val srcLive = log.liveFiles().map(f => f.path -> f).toMap
+    val auditLive = audit.log.liveFiles()
+    val adds = auditLive.filterNot(f => srcLive.contains(f.path))
+    val removes = {
+      val keep = auditLive.map(_.path).toSet
+      srcLive.keys.filterNot(keep.contains).toSeq
+    }
+    // nothing to publish (incl. re-publishing an already-published
+    // audit — the live sets agree, so publish is idempotent) — checked
+    // BEFORE the fast-forward condition, which only gates real changes
+    if (adds.isEmpty && removes.isEmpty) return head
+    if (head != sourceCommit)
+      throw new CommitConflict(
+        s"cannot fast-forward publish: ${config.root} advanced to commit " +
+          s"$head since the audit cloned commit $sourceCommit — re-clone " +
+          "and re-audit against the current snapshot")
+    val schemaJson = audit.log.schemaJsonAsOf(None)
+      .getOrElse(tableSchema(None).json)
+    // one commit = one schema: every audit-added file must already be
+    // at the audit head schema (field order differences are fine — the
+    // adaptation KEY is order-insensitive)
+    val jsonOf = audit.pathSchemaJson(None)
+    val headKey = SchemaEvo.adaptKey(parseSchema(schemaJson))
+    adds.foreach(f => require(
+      jsonOf.get(f.path).exists(j => SchemaEvo.adaptKey(parseSchema(j)) == headKey),
+      s"audit file ${f.path} predates the audit's schema evolution — " +
+        "compact the audit table before publishing"))
+    // retained borrowed files must stay readable under the published
+    // schema (they are also live on the audit, so its own evolution
+    // invariant proved this — re-prove here, fail before the append)
+    val retainedSchemas = {
+      val gone = removes.toSet
+      val srcJsonOf = pathSchemaJson(None)
+      log.liveFiles().filterNot(f => gone.contains(f.path))
+        .flatMap(f => srcJsonOf.get(f.path)).distinct.map(parseSchema)
+    }
+    SchemaEvo.validateAgainstLiveFiles(parseSchema(schemaJson), retainedSchemas)
+    val id = math.max(log.nextId, audit.log.latestId.getOrElse(0L))
+    log.append(
+      Commit(id, "publish", System.currentTimeMillis(), schemaJson,
+        adds = adds, removes = removes,
+        meta = Map("publish.auditRoot" -> audit.config.root,
+          "publish.auditCommit" ->
+            audit.log.latestId.getOrElse(0L).toString)),
+      basedOnLatest = head)
+    id
   }
 
   // ---- schema evolution: rename / drop (SchemaEvo column identity) ----
@@ -1246,10 +1440,108 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * sum. None whenever any scan would be needed ([[countRows]] is the
     * always-answers hybrid).
     */
-  def metadataRowCount(asOf: Option[Long] = None): Option[Long] = {
-    val files = log.liveFiles(asOf)
+  def metadataRowCount(asOf: Option[Long] = None): Option[Long] =
+    metadataRowCountOf(log.liveFiles(asOf))
+
+  /** [[metadataRowCount]] over an explicit file subset (the filtered
+    * aggregate pushdown's shape: the subset is an EXACT partition
+    * selection, so its footer counts ARE the filtered count). */
+  private[graft] def metadataRowCountOf(files: Seq[FileAdd]): Option[Long] =
     if (files.forall(f => !f.isDelta && f.rows > 0L)) Some(files.map(_.rows).sum)
     else None
+
+  /** EXACT file subset for a conjunction of partition-column constraints
+    * (`col -> accepted literal values`; a null value means "accept null
+    * rows") — Some ONLY when file membership provably equals row
+    * membership, i.e. every row of a kept file satisfies the predicate
+    * and every row of a dropped file violates it:
+    *
+    *  - the column's render (the cast that names the directory) is
+    *    INJECTIVE on its type and timezone-free: timestamps refuse;
+    *  - string columns refuse ''-accepting and null-accepting
+    *    constraints (the null-sentinel directory holds both and cannot
+    *    be split without a scan) — a non-empty string equality is exact;
+    *  - every stored tuple carries the declared arity (pre-upgrade
+    *    tuples refuse);
+    *  - delta-touched snapshots need the group-local merge guarantee
+    *    (file tuples equal partition tuples, so pruning keeps whole
+    *    file groups); a global index spanning partitions refuses.
+    *
+    * This is what lets a pushed partition-equality filter be claimed
+    * FULLY HANDLED by the scan (file pruning = row filtering) and an
+    * aggregate over it answer from the commit log alone.
+    */
+  private[graft] def exactPartitionFiles(
+      constraints: Map[String, Seq[Any]],
+      asOf: Option[Long],
+      /** columns constrained only by IS NOT NULL (Spark pushes one next
+        * to every equality): exact on NON-string claim types — their
+        * sentinel dir holds only nulls; a string sentinel also holds ''
+        * (which IS NOT NULL accepts) and refuses */
+      notNull: Set[String] = Set.empty): Option[Seq[FileAdd]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType}
+    if (!exists || (constraints.isEmpty && notNull.isEmpty)) return None
+    // hidden partitioning: a transformed level value is NOT the row's
+    // column value — file membership can only over-approximate an
+    // equality predicate (a months level holds the whole month), so the
+    // file-selection-equals-row-selection claim is unprovable. Refuse.
+    if (config.hasHiddenParts) return None
+    val tbl = tableSchema(asOf)
+    val levelOf = config.partitionCols.zipWithIndex.toMap
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    // types whose render is provably injective and whose pushed-filter
+    // literal provably renders like the stored value: strings (identity
+    // modulo the sentinel), integrals, booleans, dates. Floats/decimals
+    // refuse (scale/shortest-repr divergence between a literal's
+    // inferred type and the column type could drop a matching file),
+    // timestamps refuse (session-timezone-sensitive render).
+    def claimType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+           LongType | DateType => true
+      case _ => false
+    }
+    val accepted: Map[Int, Set[String]] = constraints.map { case (c, vals) =>
+      val idx = levelOf.getOrElse(c, return None)
+      val dt = tbl.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
+      if (!claimType(dt)) return None
+      val renders = vals.map {
+        case null =>
+          // null rows live in the sentinel dir; on a string column that
+          // dir also holds '' rows — not splittable without a scan
+          if (dt == StringType) return None else LakeTable.NullPartition
+        case v =>
+          val r = scala.util.Try(Cast(Literal(v), StringType, tz).eval(null))
+            .toOption.flatMap(Option(_)).map(_.toString).getOrElse(return None)
+          if (r.isEmpty) {
+            // '' renders into the sentinel dir; only a string column can
+            // even hold '', and there the dir is ambiguous with null
+            return None
+          } else r
+      }
+      idx -> renders.toSet
+    }
+    val notNullIdx: Set[Int] = notNull.map { c =>
+      val idx = levelOf.getOrElse(c, return None)
+      val dt = tbl.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
+      // a value constraint on the same column whose accepted renders
+      // exclude the sentinel already implies IS NOT NULL (every kept
+      // row equals a non-null literal) — the string-sentinel hazard
+      // only bites a BARE IS NOT NULL
+      val implied = accepted.get(idx)
+        .exists(set => !set.contains(LakeTable.NullPartition))
+      if (!implied && (!claimType(dt) || dt == StringType)) return None
+      idx
+    }
+    val files = log.liveFiles(asOf)
+    if (files.exists(_.isDelta) && !groupLocalMergeSafe) return None
+    val kept = files.filter { f =>
+      val levels = userLevels(f.partition)
+      if (levels.size < config.partitionCols.size) return None // arity unknown
+      accepted.forall { case (i, set) => set.contains(levels(i)) } &&
+        notNullIdx.forall(i => levels(i) != LakeTable.NullPartition)
+    }
+    Some(kept)
   }
 
   /** Strict prover for a global MIN/MAX of a stats column, in the
@@ -1264,8 +1556,12 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * ever answered from metadata.
     */
   def metadataMinMax(colName: String, asOf: Option[Long] = None)
+      : Option[(Long, Long)] =
+    metadataMinMaxOf(colName, log.liveFiles(asOf))
+
+  /** [[metadataMinMax]] over an explicit (exact-partition) file subset. */
+  private[graft] def metadataMinMaxOf(colName: String, files: Seq[FileAdd])
       : Option[(Long, Long)] = {
-    val files = log.liveFiles(asOf)
     if (files.isEmpty ||
         !files.forall(f => !f.isDelta &&
           f.colMin.contains(colName) && f.colMax.contains(colName))) None
@@ -1287,10 +1583,18 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * absent stats must refuse). An empty snapshot yields the empty
     * frame: zero groups IS the metadata answer. */
   def metadataPartitionAggs(boundCols: Seq[String], asOf: Option[Long] = None)
+      : Option[DataFrame] =
+    metadataPartitionAggsOf(boundCols, log.liveFiles(asOf), asOf)
+
+  /** [[metadataPartitionAggs]] over an explicit (exact-partition) file
+    * subset — the grouped form of the filtered aggregate pushdown. */
+  private[graft] def metadataPartitionAggsOf(
+      boundCols: Seq[String], files: Seq[FileAdd], asOf: Option[Long])
       : Option[DataFrame] = {
     import org.apache.spark.sql.Row
     if (config.partitionCols.isEmpty) return None
-    val files = log.liveFiles(asOf)
+    // transformed levels cannot re-parse to source-column group values
+    if (config.hasHiddenParts) return None
     val tbl = tableSchema(asOf)
     val ok = files.forall(f => !f.isDelta && f.rows > 0L &&
       boundCols.forall(c => f.colMin.contains(c) && f.colMax.contains(c)))
@@ -1369,7 +1673,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // Ambiguous tuples (hive-default level of a string column: null and
     // '' fold together on disk) also scan — only the files know which.
     val (dirty, clean) =
-      if (wholeTableMerge) (files, Seq.empty[FileAdd])
+      // hidden partitioning: the output groups by SOURCE column values,
+      // which a transformed level cannot re-parse to — scan everything
+      if (wholeTableMerge || config.hasHiddenParts) (files, Seq.empty[FileAdd])
       else {
         val bad = files.groupBy(f => userLevels(f.partition)).collect {
           case (t, fs) if ambiguousTuple(t, tbl) ||
@@ -1466,6 +1772,23 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
 
   def releaseSavepoint(id: Long): Unit = log.releaseSavepoint(id)
 
+  /** Named immutable ref to a commit (Iceberg tag): resolves by name in
+    * time travel (SQL `VERSION AS OF 'v1.0'`, [[readTag]]) and pins the
+    * commit against the cleaner like a savepoint. */
+  def createTag(name: String, id: Long): Unit = log.createTag(name, id)
+
+  def dropTag(name: String): Unit = log.dropTag(name)
+
+  def tags: Map[String, Long] = log.tags
+
+  /** snapshot at a tag — [[readAsOf]] through the name */
+  def readTag(name: String): DataFrame = readAsOf(resolveTag(name))
+
+  def resolveTag(name: String): Long = log.tags.getOrElse(name,
+    throw new IllegalArgumentException(
+      s"no tag '$name' on table ${config.root} " +
+        s"(tags: ${log.tags.keys.toSeq.sorted.mkString(", ")})"))
+
   /** Restore the table to commit `id` (Hudi restore): retract every later
     * commit, newest first, with the same retired-id discipline as a
     * single rollback — ids are never reused and each step physically
@@ -1483,10 +1806,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val doomed = log.commits.map(_.id).filter(_ > id)
     require(doomed.forall(_ > log.cleanedUpTo),
       s"restore to $id would cross the clean horizon (${log.cleanedUpTo})")
-    val pinned = doomed.toSet & log.savepoints.toSet
+    val pinned = doomed.toSet & log.pins.toSet
     require(pinned.isEmpty,
-      s"commits ${pinned.toSeq.sorted.mkString(",")} are savepointed — " +
-        "release them before restoring past them")
+      s"commits ${pinned.toSeq.sorted.mkString(",")} are pinned " +
+        "(savepoint or tag) — release them before restoring past them")
     while (log.latestId.exists(_ > id)) {
       val rolled = log.rollbackLatest()
       require(rolled.isDefined, s"restore to $id stalled")
@@ -2240,21 +2563,39 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       asOf: Option[Long]): Seq[FileAdd] = {
     if (config.partitionCols.isEmpty) return files
     if (files.exists(_.isDelta) && !groupLocalMergeSafe) return files
+    val tbl = tableSchema(asOf)
+    if (config.hasHiddenParts)
+      return pruneHiddenPartitions(files, pred, tbl)
     val accepted = acceptedRenders(pred, config.partitionCols.toSet,
-      tableSchema(asOf), nullRender = Some(LakeTable.NullPartition))
-    if (accepted.isEmpty) return files
+      tbl, nullRender = Some(LakeTable.NullPartition))
+    // IS NOT NULL conjuncts prune the sentinel directory of NON-string
+    // partition columns (it holds only nulls there; a string sentinel
+    // also holds '', which IS NOT NULL keeps) — this also makes the
+    // claimed-filter contract hold for a bare IS NOT NULL pushdown
+    val notNull: Set[String] = {
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, IsNotNull}
+      conjunctsOf(pred).collect {
+        case IsNotNull(a: AttributeReference)
+          if config.partitionCols.contains(a.name) &&
+            tbl.fields.find(_.name == a.name)
+              .exists(_.dataType != org.apache.spark.sql.types.StringType) =>
+          a.name
+      }.toSet
+    }
+    if (accepted.isEmpty && notNull.isEmpty) return files
     val levelOf = config.partitionCols.zipWithIndex.toMap
     files.filter { f =>
       val levels = userLevels(f.partition)
       // a pre-upgrade tuple with fewer stored levels than the declared
       // partitioning cannot be mapped back — keep (conservative)
       levels.size < config.partitionCols.size ||
-        accepted.forall { case (c, set) =>
+        (accepted.forall { case (c, set) =>
           // the null-sentinel level holds both null and '' rows; it is
           // pruned only when the sentinel itself is outside the
           // accepted set, which is exact for equality predicates
           set.contains(levels(levelOf(c)))
-        }
+        } && notNull.forall(c =>
+          levels(levelOf(c)) != LakeTable.NullPartition))
     }
   }
 
@@ -2266,6 +2607,153 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * the same handful of files [[lookup]] would. Multi-column keys are
     * skipped: a single-column predicate cannot bound the composite
     * rendered key. */
+  /** Directory pruning for HIDDEN-partitioned tables: predicates over
+    * the SOURCE column map to constraints on the stored transform-value
+    * levels.
+    *
+    *  - equality / IN: the literal rides through the SAME Column-level
+    *    transform expression the write side rendered with (constant-
+    *    folded by the optimizer, never re-implemented here — a second
+    *    renderer would eventually disagree with the directories), so
+    *    `WHERE ts = '2024-03-07 …'` keeps only the `2024-03` months
+    *    level. Over-approximate by construction (the level holds the
+    *    whole month); row filters above the scan do the rest.
+    *  - ranges (order-preserving transforms only — years/months/days/
+    *    hours): a non-decreasing transform turns `src >= b` into
+    *    `T(src) >= T(b)`, compared in rendered-string space. Fixed-width
+    *    ISO renders make that comparison order-true; a level whose
+    *    rendered WIDTH differs from the bound's (negative years, pre-
+    *    upgrade layouts) is kept conservatively.
+    *  - IS NOT NULL prunes the sentinel level when the SOURCE type is
+    *    non-string (a string source folds '' into the sentinel too,
+    *    and '' IS NOT NULL — same rule as identity partitioning).
+    *
+    * Unmapped conjuncts are simply ignored (keep = conservative).
+    */
+  private def pruneHiddenPartitions(
+      files: Seq[FileAdd],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      tbl: StructType): Seq[FileAdd] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
+
+    final case class LC(
+        var accepted: Option[Set[String]] = None,
+        var lo: Option[String] = None, var hi: Option[String] = None,
+        var notNull: Boolean = false)
+    val levelOf = config.partitionCols.zipWithIndex.toMap
+    val cons = scala.collection.mutable.HashMap.empty[Int, LC]
+    def lc(i: Int): LC = cons.getOrElseUpdate(i, LC())
+
+    def levelIdx(x: Expression): Option[Int] = x match {
+      case a: AttributeReference => levelOf.get(a.name).filter { i =>
+        val t = config.transforms(i)
+        val dt = tbl.fields.find(_.name == a.name).map(_.dataType)
+        dt.exists { d =>
+          // identity levels keep the identity rules: timestamp renders
+          // are session-TZ-sensitive and refuse; transform renders are
+          // TZ-free arithmetic and accept timestamps
+          if (t == PartTransform.Identity)
+            d != TimestampType && d != TimestampNTZType
+          else t.validFor(d)
+        }
+      }
+      case _ => None
+    }
+
+    /** the literal rendered through level `i`'s transform: None =
+      * unevaluable (unconstrained), Some(s) = the stored level string
+      * (null/'' already folded to the sentinel) */
+    def renderLit(i: Int, v: Expression): Option[String] = {
+      if (!v.foldable) return None
+      val pc = config.partitionCols(i)
+      val dt = tbl.fields.find(_.name == pc).map(_.dataType).getOrElse(return None)
+      val c = org.apache.spark.sql.graftbridge.ColumnBridge.column(v)
+      foldToString(config.transforms(i).expr(c, dt).cast("string")).map {
+        case Some(s) if s.nonEmpty => s
+        case _ => LakeTable.NullPartition
+      }
+    }
+
+    def constrain(i: Int, vals: Set[String]): Unit = {
+      val c = lc(i)
+      c.accepted = Some(c.accepted.fold(vals)(_ intersect vals))
+    }
+    def bound(i: Int, v: Expression, isLower: Boolean): Unit =
+      if (config.transforms(i).orderPreserving)
+        renderLit(i, v).filter(_ != LakeTable.NullPartition).foreach { s =>
+          val c = lc(i)
+          if (isLower) c.lo = Some(c.lo.fold(s)(p => if (s > p) s else p))
+          else c.hi = Some(c.hi.fold(s)(p => if (s < p) s else p))
+        }
+
+    conjunctsOf(pred).foreach {
+      case EqualTo(a, v) if levelIdx(a).isDefined && v.foldable =>
+        val i = levelIdx(a).get
+        // equality with null is never true — but renders conservatively
+        // as "unconstrained" (Spark normally folds it away first)
+        renderLit(i, v).filter(_ != LakeTable.NullPartition ||
+            v.dataType == StringType)
+          .foreach(s => constrain(i, Set(s)))
+      case EqualTo(v, a) if levelIdx(a).isDefined && v.foldable =>
+        val i = levelIdx(a).get
+        renderLit(i, v).filter(_ != LakeTable.NullPartition ||
+            v.dataType == StringType)
+          .foreach(s => constrain(i, Set(s)))
+      case In(a, vs) if levelIdx(a).isDefined && vs.nonEmpty && vs.forall(_.foldable) =>
+        val i = levelIdx(a).get
+        val rendered = vs.map(renderLit(i, _))
+        if (rendered.forall(_.isDefined))
+          constrain(i, rendered.flatten.toSet)
+      case GreaterThanOrEqual(a, v) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = true)
+      case GreaterThan(a, v) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = true)
+      case LessThanOrEqual(a, v) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = false)
+      case LessThan(a, v) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = false)
+      case GreaterThanOrEqual(v, a) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = false)
+      case GreaterThan(v, a) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = false)
+      case LessThanOrEqual(v, a) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = true)
+      case LessThan(v, a) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = true)
+      case IsNotNull(a: AttributeReference) if levelOf.contains(a.name) &&
+          tbl.fields.find(_.name == a.name)
+            .exists(_.dataType != StringType) =>
+        lc(levelOf(a.name)).notNull = true
+      case _ => ()
+    }
+    if (cons.isEmpty) return files
+
+    files.filter { f =>
+      val levels = userLevels(f.partition)
+      // pre-upgrade tuple with unknown arity: keep (conservative)
+      levels.size >= config.partitionCols.size && cons.forall { case (i, c) =>
+        val lv = levels(i)
+        val eqOk = c.accepted.forall(_.contains(lv))
+        val nnOk = !c.notNull || lv != LakeTable.NullPartition
+        val rangeOk = lv == LakeTable.NullPartition || // equality/notNull decide the sentinel
+          (c.lo.forall(b => lv.length != b.length || lv >= b) &&
+            c.hi.forall(b => lv.length != b.length || lv <= b))
+        eqOk && nnOk && rangeOk
+      }
+    }
+  }
+
+  /** Constant-folds a literal-only Column to its string value WITHOUT
+    * running a job: the optimizer's own ConstantFolding evaluates the
+    * projection over a one-row range. None = did not fold to a literal
+    * (unevaluable — treat as unconstrained); Some(None) = folded to
+    * null; Some(Some(s)) = the value. */
+  private def foldToString(c: Column): Option[Option[String]] =
+    scala.util.Try {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal => CatLit}
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      spark.range(1).select(c.as("_r"))
+        .queryExecution.optimizedPlan.collectFirst {
+          case p: Project => p.projectList.head match {
+            case Alias(CatLit(v, _), _) => Some(Option(v).map(_.toString))
+            case _ => None
+          }
+        }.flatten
+    }.toOption.flatten
+
   private def pruneByKeyEquality(
       files: Seq[FileAdd],
       pred: org.apache.spark.sql.catalyst.expressions.Expression,
@@ -2322,6 +2810,12 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
     if (config.partitionCols.isEmpty) return None
+    // hidden partitioning MUST gate explicitly (not rely on the
+    // re-render check below): a truncate level of an already-short
+    // string, or a bucket ordinal, parses and re-renders cleanly while
+    // the file's ROWS hold different source values — reporting that as
+    // a key-grouped partitioning would silently mis-join
+    if (config.hasHiddenParts) return None
     val tbl = tableSchema(asOf)
     val types = config.partitionCols.map(c =>
       tbl.fields.find(_.name == c).map(_.dataType).getOrElse(return None))
@@ -2706,15 +3200,15 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val writer =
         if (kind == "delta" && effParts.isEmpty) mat.write
         else if (kind == "delta") {
-          val shadowed = effParts.zip(shadows).foldLeft(mat) {
-            case (acc, (pc, sh)) => acc.withColumn(sh, renderCol(pc))
+          val shadowed = effLevelExprs(mat).zip(shadows).foldLeft(mat) {
+            case (acc, (le, sh)) => acc.withColumn(sh, le)
           }
           shadowed.write.partitionBy(shadows: _*)
         } else if (effParts.isEmpty)
           mat.repartitionByRange(clusterExprs: _*).write
         else {
-          val shadowed = effParts.zip(shadows).foldLeft(mat) {
-            case (acc, (pc, sh)) => acc.withColumn(sh, renderCol(pc))
+          val shadowed = effLevelExprs(mat).zip(shadows).foldLeft(mat) {
+            case (acc, (le, sh)) => acc.withColumn(sh, le)
           }
           shadowed
             .repartitionByRange(shadows.map(col) ++ clusterExprs: _*)

@@ -31,13 +31,17 @@ final case class TableDescriptor(
     checks: Map[String, String] = Map.empty,
     /** null-safe via config(): pre-upgrade JSONs deserialize null */
     checkMode: String = "fail",
-    schemaJson: String = "") {
+    schemaJson: String = "",
+    /** hidden-partitioning transform per partitionCols entry
+      * ([[LakeTableConfig.partitionTransforms]]); empty ≙ all identity */
+    partitionTransforms: Seq[String] = Seq.empty) {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
     compactEvery, hashBuckets, statsCols, clusterCols, zOrder, bloomKeys,
     Option(checks).getOrElse(Map.empty),
-    Option(checkMode).getOrElse("fail"))
+    Option(checkMode).getOrElse("fail"),
+    partitionTransforms = Option(partitionTransforms).getOrElse(Seq.empty))
 }
 
 object TableDescriptor {
@@ -52,7 +56,7 @@ object TableDescriptor {
     TableDescriptor(cfg.keyCols, cfg.precombineCol, cfg.partitionCols,
       cfg.globalIndex, cfg.storageType, cfg.compactEvery, cfg.hashBuckets,
       cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.bloomKeys, cfg.checks,
-      cfg.checkMode, schemaJson)
+      cfg.checkMode, schemaJson, cfg.partitionTransforms)
 
   def exists(root: String, hconf: Configuration): Boolean = {
     val p = file(root)

@@ -460,6 +460,23 @@ object Lake {
       t
     })
 
+  /** checkMode=warn table: the same quantity-cap expectation OBSERVES —
+    * every row lands and the per-check violation count travels in the
+    * commit metadata (`lake_expect_warn` pins both halves). */
+  private[graft] def warnModeTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:warn", _ => {
+      val root = s"/tmp/graft_lake/warn_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("l_orderkey", "l_linenumber"),
+        precombineCol = "update_ts", partitionCols = Seq("l_returnflag"),
+        checks = Map("qty_cap" -> "l_quantity <= 25"), checkMode = "warn"))
+      t.bulkInsert(keyedLineitem(s, d).withColumn("update_ts", lit(0)))
+      t
+    })
+
   val queries: Seq[GQuery] = Seq(
 
     // expectation drop mode behind the gate: the landed snapshot must
@@ -472,6 +489,29 @@ object Lake {
           0 AS update_ts
         FROM li WHERE l_quantity <= 25 OR l_quantity IS NULL
         ORDER BY l_orderkey, l_linenumber""")),
+
+    // expectation warn mode behind the gate, BOTH halves: per-partition
+    // row counts prove every violating row LANDED (warn observes, never
+    // gates), and the commit-metadata violation count — surfaced as a
+    // column — must equal the oracle's recount of the raw table
+    GQuery("lake_expect_warn",
+      (s, d) => {
+        val t = warnModeTable(s, d)
+        val warned = t.log.commits.last.metadata
+          .getOrElse("check.warned.qty_cap", "0").toLong
+        t.read().groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_viol"))
+          .withColumn("n_warned_meta", lit(warned))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH $liCte
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_viol,
+          (SELECT CAST(count(*) AS BIGINT) FROM li WHERE l_quantity > 25)
+            AS n_warned_meta
+        FROM li GROUP BY 1 ORDER BY 1""")),
 
     GQuery("lake_upsert_snapshot",
       (s, d) => proj(cdcTable(s, d).readAsOf(2)),

@@ -66,6 +66,11 @@ object Sql {
       // c3: DELETE a key range (range predicates translate to source
       // Filters, so this exercises the SupportsDelete pushdown path)
       s.sql(s"DELETE FROM $cat.db.nation WHERE n_nationkey >= 20")
+      // named tag on the seed commit (Iceberg tag ref): resolves in
+      // `VERSION AS OF 'seed.v0'` (lake_sql_tag_read) and pins c0
+      // against the cleaner
+      s.sql(s"CALL $cat.system.create_tag('db.nation', 'seed.v0', 0L)")
+        .collect()
       cat
     })
 
@@ -119,6 +124,56 @@ object Sql {
         USING graft PARTITIONED BY (r_regionkey)
         TBLPROPERTIES (keyCols='r_regionkey', precombineCol='update_ts')""")
       s.sql(s"INSERT INTO $cat.db.region_spj SELECT *, 0 FROM sql_region_src")
+      cat
+    })
+  }
+
+  /** write-audit-publish fixture: seed `nation_wap`, shallow-clone it to
+    * `nation_wap_audit`, land audited changes on the CLONE (region-3
+    * names get '~', keys >= 20 deleted), then `CALL publish` fast-
+    * forwards the audit's net effect onto the source in one commit. */
+  private[graft] def wapFixture(s: SparkSession, d: String): String = {
+    val cat = dmlFixture(s, d) // hoisted: nested computeIfAbsent hazard
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:wap", _ => {
+      s.sql(s"""CREATE TABLE $cat.db.nation_wap
+        (n_nationkey BIGINT, n_name STRING, n_regionkey INT, update_ts INT)
+        USING graft PARTITIONED BY (n_regionkey)
+        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+      s.sql(s"""INSERT INTO $cat.db.nation_wap
+        SELECT n_nationkey, n_name, n_regionkey, 0 FROM sql_nation_src""")
+      s.sql(s"CALL $cat.system.clone('db.nation_wap', 'db.nation_wap_audit', -1L)")
+        .collect()
+      s.sql(s"""UPDATE $cat.db.nation_wap_audit
+        SET n_name = concat(n_name, '~'), update_ts = 1 WHERE n_regionkey = 3""")
+      s.sql(s"DELETE FROM $cat.db.nation_wap_audit WHERE n_nationkey >= 20")
+      s.sql(s"CALL $cat.system.publish('db.nation_wap', 'db.nation_wap_audit')")
+        .collect()
+      cat
+    })
+  }
+
+  /** hidden-partitioning fixture (Iceberg transform layout through pure
+    * SQL DDL): `orders_hp` partitioned by `months(o_orderdate)` +
+    * `bucket(4, o_custkey)`. The source columns stay normal data
+    * columns; the ~80-month × 4-bucket directory tree exists only for
+    * pruning — a date-range predicate keeps the months it covers, a
+    * custkey equality keeps one bucket in each. */
+  private[graft] def hiddenFixture(s: SparkSession, d: String): String = {
+    val cat = dmlFixture(s, d) // hoisted: nested computeIfAbsent hazard
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:hidden", _ => {
+      T.orders(s, d).createOrReplaceTempView("sql_orders_src")
+      s.sql(s"""CREATE TABLE $cat.db.orders_hp
+        (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+         o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING,
+         update_ts INT)
+        USING graft
+        PARTITIONED BY (months(o_orderdate), bucket(4, o_custkey))
+        TBLPROPERTIES (keyCols='o_orderkey', precombineCol='update_ts',
+          globalIndex='true')""")
+      s.sql(s"""INSERT INTO $cat.db.orders_hp
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          o_orderdate, o_orderpriority, 0
+        FROM sql_orders_src""")
       cat
     })
   }
@@ -326,6 +381,24 @@ object Sql {
           min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
         FROM nation WHERE n_nationkey < 20""")),
 
+    // the FILTERED form (round 12): a partition-equality predicate is
+    // claimed fully handled when the exactness prover certifies file
+    // membership == row membership, so count + bounds answer from the
+    // commit log's per-file metadata of JUST the selected partition —
+    // at 100 TB `count(*) WHERE region = ...` must not scan either.
+    // SqlCatalogSpec proves the no-scan claim by deleting the data
+    // files; this entry pins the VALUES against DuckDB's row replay.
+    GQuery("lake_sql_count_where",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        s.sql(s"""SELECT count(*) AS n_rows, min(n_nationkey) AS min_key,
+            max(n_nationkey) AS max_key
+          FROM $cat.db.nation WHERE n_regionkey = 2""")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+        FROM nation WHERE n_nationkey < 20 AND n_regionkey = 2""")),
+
     // the grouped form: per-partition counts AND key bounds in one
     // metadata answer (partition tuples parse back through the same
     // cast that rendered them)
@@ -368,6 +441,68 @@ object Sql {
         FROM nation JOIN region ON n_regionkey = r_regionkey
         WHERE r_name IN ('EUROPE', 'ASIA') AND n_nationkey < 20
         ORDER BY n_nationkey""")),
+
+    // ---- write-audit-publish under the hard gate -----------------------
+    // the SOURCE table's snapshot after the WAP round trip: audited
+    // changes (region-3 rename, key-range delete) landed on a shallow
+    // clone and fast-forwarded back in ONE publish commit — a publish
+    // that dropped a change, resurrected a deleted row, or mis-borrowed
+    // a file hash-mismatches against the oracle's direct replay
+    GQuery("lake_wap_publish",
+      (s, d) => {
+        val cat = wapFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, update_ts
+          FROM $cat.db.nation_wap ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_regionkey = 3 THEN n_name || '~' ELSE n_name END AS n_name,
+          n_regionkey,
+          CASE WHEN n_regionkey = 3 THEN 1 ELSE 0 END AS update_ts
+        FROM nation WHERE n_nationkey < 20
+        ORDER BY n_nationkey""")),
+
+    // ---- hidden partitioning under the hard gate -----------------------
+    // months(o_orderdate) layout: the range predicate prunes directories
+    // to the 6 covered months (spec-pinned file counts); the VALUES are
+    // what the gate checks — a transform that mis-rendered a boundary
+    // month (TZ drift, off-by-one epoch-day math) drops or duplicates
+    // whole months and hash-mismatches the oracle's direct replay
+    GQuery("lake_sql_hidden_part",
+      (s, d) => {
+        val cat = hiddenFixture(s, d)
+        s.sql(s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+            o_orderstatus, count(*) AS n_orders,
+            round(sum(o_totalprice), 2) AS revenue
+          FROM $cat.db.orders_hp
+          WHERE o_orderdate >= TIMESTAMP'1996-03-01 00:00:00'
+            AND o_orderdate < TIMESTAMP'1996-09-01 00:00:00'
+          GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+          round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+          AND o_orderdate < TIMESTAMP '1996-09-01'
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // bucket(4, o_custkey) layout, second level: a custkey IN-list keeps
+    // only the buckets those keys hash into within every month (the
+    // rows come back complete because bucket pruning has no false
+    // negatives — a wrong bucket assignment on either side loses rows)
+    GQuery("lake_sql_hidden_bucket",
+      (s, d) => {
+        val cat = hiddenFixture(s, d)
+        s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+            round(o_totalprice, 2) AS price
+          FROM $cat.db.orders_hp
+          WHERE o_custkey IN (7, 77, 777)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+          round(o_totalprice, 2) AS price
+        FROM orders WHERE o_custkey IN (7, 77, 777)
+        ORDER BY o_orderkey""")),
 
     // ---- storage-partitioned join under the hard gate ------------------
     // both sides are lake tables partitioned on the join key, so with
@@ -419,6 +554,20 @@ object Sql {
         val cat = dmlFixture(s, d)
         s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, update_ts
           FROM $cat.db.nation VERSION AS OF 0 ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey, 0 AS update_ts
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- named tag time travel (Iceberg tag refs) -----------------------
+    // the fixture's CALL create_tag pinned the seed commit under a NAME;
+    // `VERSION AS OF '<name>'` resolves it on the commit log — same rows
+    // as the numeric form (lake_sql_time_travel's oracle), proving
+    // name→id resolution goes through the timeline, not a cached snapshot
+    GQuery("lake_sql_tag_read",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, update_ts
+          FROM $cat.db.nation VERSION AS OF 'seed.v0' ORDER BY n_nationkey""")
       },
       Some("""SELECT n_nationkey, n_name, n_regionkey, 0 AS update_ts
         FROM nation ORDER BY n_nationkey""")),

@@ -210,7 +210,16 @@ final class GraftBatchScan(
     dataSchema = physicalSchema,
     readDataSchema = required,
     readPartitionSchema = new StructType(),
-    pushedFilters = pushed,
+    // only filters whose columns are IN the read schema reach the
+    // parquet reader: a filter on an unprojected column makes parquet's
+    // column-index page filtering compute empty row ranges (measured:
+    // zero rows from a file whose every row matches). The commit-log
+    // file pruning already consumed those filters at the file level;
+    // losing their row-group skipping is a cost, never a wrong answer.
+    pushedFilters = {
+      val out = required.fieldNames.toSet
+      pushed.filter(_.references.forall(out.contains))
+    },
     options = org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
     pushedAggregate = None,
     partitionFilters = Seq.empty,

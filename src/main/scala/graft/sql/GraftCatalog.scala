@@ -162,10 +162,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `VERSION AS OF <commit>` time travel (Delta/Hudi syntax). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val pinned = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"graft table versions are commit ids, got '$version'"))
     val desc = descriptorOf(ident)
     val root = tablePath(ident)
+    // numeric = commit id; otherwise a TAG name resolved on the table's
+    // commit log (tag names cannot be bare numbers — enforced at create)
+    val pinned = version.toLongOption.getOrElse {
+      graft.lake.LakeTable(spark, desc.config(root.toString))
+        .resolveTag(version)
+    }
     new GraftTableV2(spark, catalogName, ident.toString, root.toString, desc, asOf = Some(pinned))
   }
 
@@ -212,11 +216,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     def csv(k: String): Seq[String] =
       prop(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
-    val partitionCols = partitions.toSeq.map {
-      case t if t.name == "identity" => t.references.head.fieldNames.mkString(".")
-      case other => throw new UnsupportedOperationException(
-        s"graft tables support identity partitioning only, got $other")
-    }
+    // identity + the hidden-partitioning transform surface (Iceberg's
+    // partition-spec transforms): PARTITIONED BY (months(ts),
+    // bucket(16, id), truncate(4, code), …) — the source column stays a
+    // normal data column; only directory naming and pruning change
+    // (graft.lake.PartTransform)
+    def intArg(t: Transform, what: String): Int =
+      t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"${t.name} transform needs a literal $what: $t"))
+    val (partitionCols, partitionTransformSpecs) = partitions.toSeq.map { t =>
+      val ref = t.references.headOption
+        .map(_.fieldNames.mkString("."))
+        .getOrElse(throw new UnsupportedOperationException(
+          s"partition transform references no column: $t"))
+      t.name match {
+        case "identity" => (ref, "identity")
+        case n @ ("years" | "months" | "days" | "hours") => (ref, n)
+        case "bucket" => (ref, s"bucket[${intArg(t, "bucket count")}]")
+        case "truncate" => (ref, s"truncate[${intArg(t, "width")}]")
+        case _ => throw new UnsupportedOperationException(
+          s"unsupported partition transform: $t " +
+            "(supported: identity, years, months, days, hours, " +
+            "bucket(N, col), truncate(W, col))")
+      }
+    }.unzip
+    val partitionTransforms =
+      if (partitionTransformSpecs.forall(_ == "identity")) Seq.empty[String]
+      else partitionTransformSpecs
     val keyCols = csv("keyCols")
     require(keyCols.nonEmpty,
       "CREATE TABLE ... USING graft requires TBLPROPERTIES (keyCols='...')")
@@ -245,11 +274,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // descriptor would brick the table (every desc.config() throws,
         // including the ALTER that could fix it)
         val cm = prop("checkMode").getOrElse("fail")
-        require(cm == "fail" || cm == "drop",
-          s"checkMode must be fail|drop, got '$cm'")
+        require(cm == "fail" || cm == "drop" || cm == "warn",
+          s"checkMode must be fail|drop|warn, got '$cm'")
         cm
       },
-      schemaJson = schema.json)
+      schemaJson = schema.json,
+      // validate eagerly (same bricking argument as checkMode): the spec
+      // must parse AND fit the source column's type, or the first INSERT
+      // would fail into an already-created table
+      partitionTransforms = {
+        partitionTransforms.zip(partitionCols).foreach { case (spec, c) =>
+          val t = graft.lake.PartTransform.parse(spec)
+          schema.fields.find(_.name == c).foreach(f =>
+            require(t.validFor(f.dataType),
+              s"partition transform '${t.spec}' is not valid for " +
+                s"column $c: ${f.dataType.simpleString}"))
+        }
+        require(partitionTransforms.isEmpty ||
+            prop("globalIndex").exists(_.toBoolean),
+          "transformed partitioning requires TBLPROPERTIES " +
+            "(globalIndex='true'): record identity cannot depend on a " +
+            "transformed partition value")
+        partitionTransforms
+      })
   }
 
   // ---- staged creation: CTAS / REPLACE TABLE [AS SELECT] ---------------
@@ -734,6 +781,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
           clone.log.latestId.getOrElse(-1L)
         })
+    else if (ident.name == "publish")
+      // CALL graft.system.publish('db.t', 'db.t_audit') — the publish
+      // step of write-audit-publish: the audit table (a shallow clone of
+      // 'db.t' that audited writes landed on) fast-forwards its net
+      // effect onto the source as ONE atomic commit (LakeTable
+      // .publishFrom: zero-copy, OCC against a source that advanced).
+      // Returns the publish commit id (or the unchanged head when the
+      // audit made no changes).
+      GraftProcedures.make("publish",
+        Seq("table" -> org.apache.spark.sql.types.StringType,
+          "audit_table" -> org.apache.spark.sql.types.StringType),
+        in => lakeFor(in.getUTF8String(0).toString)
+          .publishFrom(lakeFor(in.getUTF8String(1).toString)))
     else GraftProcedures.load(ident.name, lakeFor).getOrElse(
       throw new IllegalArgumentException(s"no procedure ${ident.name}; " +
         s"available: ${(GraftProcedures.names ++ GraftCatalog.CatalogProcs).sorted.mkString(", ")}"))
@@ -803,7 +863,7 @@ private[sql] object GraftCatalog {
 
   /** procedures implemented BY the catalog (warehouse-level), beyond the
     * per-table set in [[GraftProcedures]] */
-  val CatalogProcs: Seq[String] = Seq("vacuum_staging", "clone")
+  val CatalogProcs: Seq[String] = Seq("vacuum_staging", "clone", "publish")
 }
 
 /** A staged (not yet visible) table for CTAS / REPLACE TABLE: plain

@@ -52,7 +52,13 @@ private[sql] object GraftProcedures {
     "restore" -> (Seq("commit" -> LongType),
       (t, in) => { t.restoreTo(in.getLong(1)); t.log.latestId.getOrElse(-1L) }),
     "rollback" -> (Seq.empty, (t, _) => t.rollback().getOrElse(-1L)),
-    "recluster" -> (Seq.empty, (t, _) => t.recluster()))
+    "recluster" -> (Seq.empty, (t, _) => t.recluster()),
+    "create_tag" -> (Seq("name" -> StringType, "commit" -> LongType),
+      (t, in) => { t.createTag(in.getUTF8String(1).toString, in.getLong(2))
+        in.getLong(2) }),
+    "drop_tag" -> (Seq("name" -> StringType),
+      (t, in) => { val id = t.resolveTag(in.getUTF8String(1).toString)
+        t.dropTag(in.getUTF8String(1).toString); id }))
 
   def names: Seq[String] = procs.keys.toSeq.sorted
 

@@ -67,7 +67,21 @@ final class GraftTableV2(
   }
 
   override def partitioning(): Array[Transform] =
-    desc.partitionCols.map(Expressions.identity).toArray
+    desc.partitionCols.zipWithIndex.map { case (c, i) =>
+      import graft.lake.PartTransform
+      val spec = Option(desc.partitionTransforms).getOrElse(Seq.empty)
+        .lift(i).map(PartTransform.parse).getOrElse(PartTransform.Identity)
+      spec match {
+        case PartTransform.Identity => Expressions.identity(c)
+        case PartTransform.Years => Expressions.years(c)
+        case PartTransform.Months => Expressions.months(c)
+        case PartTransform.Days => Expressions.days(c)
+        case PartTransform.Hours => Expressions.hours(c)
+        case PartTransform.Bucket(n) => Expressions.bucket(n, c)
+        case PartTransform.Truncate(w) => Expressions.apply(
+          "truncate", Expressions.literal(w), Expressions.column(c))
+      }
+    }.toArray
 
   override def properties(): util.Map[String, String] =
     (Map("provider" -> "graft", "location" -> root,
@@ -259,9 +273,72 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.schema()
 
+  /** pushed filters PROVABLY equivalent to exact partition-file
+    * selection ([[graft.lake.LakeTable.exactPartitionFiles]]) — these
+    * are claimed FULLY HANDLED (not returned as residuals), which is
+    * what lets a filtered aggregate push into the commit log: Spark
+    * only pushes aggregates when no post-scan filter remains. Row-level
+    * correctness: the V1 path re-applies every pushed filter anyway
+    * (snapshot(pred) filters), and the native path's file pruning IS
+    * row filtering exactly when the prover certified it. */
+  private var claimed: Array[Filter] = Array.empty
+
+  /** (column, accepted values) of a filter shape the exactness prover
+    * can evaluate — equality / null-safe equality / IN on one column */
+  private def constraintOf(f: Filter): Option[(String, Seq[Any])] = f match {
+    case org.apache.spark.sql.sources.EqualTo(a, v) if v != null =>
+      Some(a -> Seq(v))
+    case org.apache.spark.sql.sources.EqualNullSafe(a, v) => Some(a -> Seq(v))
+    case org.apache.spark.sql.sources.In(a, vs) if vs.nonEmpty =>
+      Some(a -> vs.toSeq)
+    case _ => None
+  }
+
+  private def notNullOf(f: Filter): Option[String] = f match {
+    case org.apache.spark.sql.sources.IsNotNull(a) => Some(a)
+    case _ => None
+  }
+
+  /** (value constraints, not-null columns) of a claimed filter set;
+    * conjunction semantics — two constraints on one column intersect */
+  private def claimSpec(fs: Seq[Filter])
+      : Option[(Map[String, Seq[Any]], Set[String])] = {
+    val parts = fs.map { f =>
+      (constraintOf(f), notNullOf(f)) match {
+        case (Some(cv), _) => Left(cv)
+        case (_, Some(c)) => Right(c)
+        case _ => return None
+      }
+    }
+    val values = parts.collect { case Left(cv) => cv }
+    Some((values.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.map(_._2.toSet).reduce(_ intersect _).toSeq },
+      parts.collect { case Right(c) => c }.toSet))
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => FilterTranslation.toColumn(f).isDefined)
-    filters // everything stays a residual: pushdown only PRUNES, never filters
+    val parts = table.lake.config.partitionCols.toSet
+    // claim the candidate set as a GROUP: an IsNotNull that is unsafe
+    // alone (string sentinel) is implied by an equality on the same
+    // column, so the prover must see the whole conjunction
+    val candidate = filters.filter { f =>
+      (constraintOf(f), notNullOf(f)) match {
+        case (Some((c, _)), _) => parts.contains(c)
+        case (_, Some(c)) => parts.contains(c)
+        case _ => false
+      }
+    }
+    claimed =
+      if (candidate.isEmpty) Array.empty
+      else claimSpec(candidate.toIndexedSeq) match {
+        case Some((cs, nn)) if table.lake
+          .exactPartitionFiles(cs, table.pinned, nn).isDefined => candidate
+        case _ => Array.empty
+      }
+    // claimed filters are handled (file pruning = row filtering, proven);
+    // everything else stays a residual — pruning only, never trusted
+    filters.filterNot(claimed.contains)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -300,15 +377,24 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
     case _ => None
   }
 
+  /** The file set the pushed predicate selects, when the aggregate may
+    * be metadata-answered: the whole live set with no filters, the
+    * EXACT partition subset when every pushed filter was claimed, None
+    * when any filter escapes the claim (rows, not metadata). */
+  private def aggFiles(): Option[Seq[graft.lake.FileAdd]] = {
+    if (pushed.exists(f => !claimed.contains(f))) return None
+    if (claimed.isEmpty) Some(table.lake.log.liveFiles(table.pinned))
+    else claimSpec(claimed.toIndexedSeq).flatMap { case (cs, nn) =>
+      table.lake.exactPartitionFiles(cs, table.pinned, nn) }
+  }
+
   /** (group-by cols, per-agg answers) when the whole aggregation is
-    * answerable from the commit log: unfiltered, and every agg is a
-    * CountStar — or, globally only, a MIN/MAX of a stats column whose
-    * bounds the strict prover certifies. */
+    * answerable from the commit log: every agg a CountStar — or,
+    * globally only, a MIN/MAX of a stats column whose bounds the strict
+    * prover certifies — over the unfiltered table OR an exact-partition
+    * pushed predicate (`count(*) WHERE region = 'EU'` is a metadata
+    * read when region is a partition column the claim prover accepted). */
   private def answerable(agg: Aggregation): Option[(Seq[String], Seq[PushedVal])] = {
-    // a pushed filter means the aggregate is over a PREDICATE — rows,
-    // not metadata (filters are only ever pruning hints here, but their
-    // presence still means Spark planned a filtered aggregate)
-    if (pushed.nonEmpty) return None
     val gb = agg.groupByExpressions.toSeq.map(e =>
       singleName(e).getOrElse(return None))
     val vals = agg.aggregateExpressions.toSeq.map {
@@ -329,14 +415,21 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
     }
     val bounds = vals.collect { case b: PushBound => b }
     val provable = table.pinned match {
-      case None => gb.isEmpty // pinned-empty global: count 0, bounds NULL
+      case None =>
+        pushed.isEmpty && gb.isEmpty // pinned-empty global: count 0, bounds NULL
       case some if gb.isEmpty =>
-        (vals.forall(_ != PushCount) ||
-          table.lake.metadataRowCount(some).isDefined) &&
-          bounds.forall(b => table.lake.metadataMinMax(b.name, some).isDefined)
+        aggFiles() match {
+          case None => false
+          case Some(fs) =>
+            (vals.forall(_ != PushCount) ||
+              table.lake.metadataRowCountOf(fs).isDefined) &&
+              bounds.forall(b =>
+                table.lake.metadataMinMaxOf(b.name, fs).isDefined)
+        }
       case some =>
-        table.lake
-          .metadataPartitionAggs(bounds.map(_.name).distinct, some).isDefined
+        aggFiles().exists(fs => table.lake
+          .metadataPartitionAggsOf(bounds.map(_.name).distinct, fs, some)
+          .isDefined)
     }
     if (!provable) None
     else if (gb.isEmpty) Some((Nil, vals))
@@ -398,13 +491,14 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
         s"pinned snapshot ${table.pinned} no longer metadata-answerable"))
     (table.pinned, gb) match {
       case (pin, Nil) =>
+        val fs = pin.map(_ => reprove(aggFiles()))
         val cols = vals.map {
-          case PushCount => pin match {
+          case PushCount => fs match {
             case None => lit(0L)
-            case some => lit(reprove(table.lake.metadataRowCount(some)))
+            case Some(sub) => lit(reprove(table.lake.metadataRowCountOf(sub)))
           }
           case PushBound(n, dt, minOf) =>
-            pin.map(some => reprove(table.lake.metadataMinMax(n, Some(some))))
+            fs.map(sub => reprove(table.lake.metadataMinMaxOf(n, sub)))
               .map(mm => if (minOf) mm._1 else mm._2) match {
               case None => lit(null).cast(dt)
               case Some(v) => boundExpr(lit(v), dt)
@@ -415,7 +509,8 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
       case (some, groupCols) =>
         val boundNames =
           vals.collect { case b: PushBound => b.name }.distinct
-        reprove(table.lake.metadataPartitionAggs(boundNames, some))
+        reprove(table.lake
+          .metadataPartitionAggsOf(boundNames, reprove(aggFiles()), some))
           .select(groupCols.map(FilterTranslation.qcol) ++ vals.map {
             case PushCount => col("n_rows")
             case PushBound(n, dt, minOf) =>

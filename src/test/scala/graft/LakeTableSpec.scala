@@ -91,6 +91,75 @@ class LakeTableSpec extends AnyFunSuite {
     assert(!t.log.commits.last.metadata.contains("check.dropped.ts_small"))
   }
 
+  test("checkMode=warn: violations land, counted in commit metadata") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"),
+      checks = Map("ts_small" -> "ts < 100"), checkMode = "warn"))
+    // the violating rows LAND (DLT's plain expect: observe, don't gate)
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "bad", 500), (3L, 2, "c", 1)))
+    assert(snap(t) == Set((1L, 1, "a", 0), (2L, 1, "bad", 500), (3L, 2, "c", 1)))
+    assert(t.log.commits.last.metadata
+      .get("check.warned.ts_small").contains("1"))
+    // a violating UPDATE wins precombine and lands too — warn never gates
+    t.upsert(df((1L, 1, "a2", 999), (4L, 2, "d", 2)))
+    assert(snap(t) == Set((1L, 1, "a2", 999), (2L, 1, "bad", 500),
+      (3L, 2, "c", 1), (4L, 2, "d", 2)))
+    assert(t.log.commits.last.metadata
+      .get("check.warned.ts_small").contains("1"))
+    // clean batches record no warned counts
+    t.upsert(df((5L, 1, "e", 3)))
+    assert(!t.log.commits.last.metadata.contains("check.warned.ts_small"))
+  }
+
+  test("write-audit-publish: clone, audit writes, fast-forward publish") {
+    import spark.implicits._
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0), (3L, 2, "c", 0)))
+    val headBefore = t.log.latestId.get
+
+    // WRITE: audited changes land on a shallow clone, source untouched
+    val audit = t.shallowClone(freshRoot())
+    audit.upsert(df((1L, 1, "a2", 5), (4L, 1, "d", 1)))
+    audit.delete(df((3L, 2, "c", 0)).select("pk", "vendorid"))
+    assert(snap(t) == Set((1L, 1, "a", 0), (2L, 2, "b", 0), (3L, 2, "c", 0)),
+      "auditing must not touch the source")
+    // the clone's timeline continues the source id space: every audit
+    // write stamps above the source head (the publish stamp invariant)
+    assert(audit.log.commits.head.id == headBefore + 1)
+
+    // AUDIT: validation reads run against the audit table
+    assert(snap(audit) == Set((1L, 1, "a2", 5), (2L, 2, "b", 0), (4L, 1, "d", 1)))
+
+    // PUBLISH: one atomic commit, zero-copy
+    val pub = t.publishFrom(audit)
+    assert(snap(t) == snap(audit), "published source must equal the audit")
+    assert(t.log.commits.last.op == "publish" && t.log.commits.last.id == pub)
+    // incremental readers see every published row as after the old head
+    assert(t.readIncremental(headBefore).select($"pk").as[Long].collect().toSet
+      == Set(1L, 4L), "published rows invisible to an incremental read")
+    // a second publish from the SAME audit is a no-op (already published)
+    assert(t.publishFrom(audit) == pub)
+
+    // maintenance on the published source never deletes audit-owned files
+    t.upsert(df((5L, 1, "e", 1)))
+    t.clean(retain = 1)
+    assert(snap(t) == Set((1L, 1, "a2", 5), (2L, 2, "b", 0), (4L, 1, "d", 1),
+      (5L, 1, "e", 1)))
+
+    // OCC: a source that advanced since the clone refuses the publish
+    val audit2 = t.shallowClone(freshRoot())
+    audit2.upsert(df((6L, 2, "f", 1)))
+    t.upsert(df((7L, 2, "g", 1))) // source moves first
+    val ex = intercept[graft.lake.CommitConflict](t.publishFrom(audit2))
+    assert(ex.getMessage.contains("fast-forward"), ex.getMessage)
+
+    // a non-clone (or foreign-source) table refuses with provenance
+    val stranger = LakeTable(spark, cfg(freshRoot()))
+    stranger.bulkInsert(df((9L, 1, "x", 0)))
+    val ex2 = intercept[IllegalArgumentException](t.publishFrom(stranger))
+    assert(ex2.getMessage.contains("not a clone"), ex2.getMessage)
+  }
+
   test("history reflects the timeline operations and file deltas") {
     import spark.implicits._
     val t = LakeTable(spark, cfg(freshRoot()))

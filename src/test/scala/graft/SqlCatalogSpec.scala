@@ -493,10 +493,13 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(rows(
       "SELECT region, count(*) FROM g.db.cnt GROUP BY region ORDER BY region") ==
       Seq(Seq("r1", 2L), Seq("r2", 2L)))
-    // a filtered count is a row question, not a metadata one
+    // a PARTITION-equality filtered count is a metadata question too:
+    // the exactness prover certifies file pruning = row filtering
     assert(rows("SELECT count(*) FROM g.db.cnt WHERE region = 'r1'") == Seq(Seq(2L)))
-    // the proof the unfiltered counts never scanned: remove every data
-    // file — real scans now fail, the counts still answer
+    assert(rows("SELECT count(*) FROM g.db.cnt WHERE region IN ('r1','r2')") ==
+      Seq(Seq(4L)))
+    // the proof the counts never scanned: remove every data file — real
+    // scans now fail, the counts still answer
     val p = new org.apache.hadoop.fs.Path(wh, "db/cnt")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
@@ -511,6 +514,16 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(rows(
       "SELECT region, count(*) FROM g.db.cnt GROUP BY region ORDER BY region") ==
       Seq(Seq("r1", 2L), Seq("r2", 2L)))
+    // filtered counts with the files gone: partition equality / IN are
+    // metadata reads; a filter on a NON-partition column is a row
+    // question and must scan (= fail here) — the control
+    assert(rows("SELECT count(*) FROM g.db.cnt WHERE region = 'r1'") == Seq(Seq(2L)))
+    assert(rows("SELECT count(*) FROM g.db.cnt WHERE region IN ('r1','r2')") ==
+      Seq(Seq(4L)))
+    assert(rows(
+      """SELECT region, count(*) FROM g.db.cnt WHERE region = 'r2'
+         GROUP BY region""") == Seq(Seq("r2", 2L)))
+    intercept[Exception] { rows("SELECT count(*) FROM g.db.cnt WHERE v = 'a'") }
     // the provers pin to the time-travel snapshot: the version-0 count
     // also answers from its own commit's metadata, files still gone
     assert(rows("SELECT count(*) FROM g.db.cnt VERSION AS OF 0") == Seq(Seq(3L)))
@@ -659,9 +672,15 @@ class SqlCatalogSpec extends AnyFunSuite {
     val e4 = intercept[Exception] {
       spark.sql("""CREATE TABLE g.db.badmode (pk BIGINT, ts INT)
                    USING graft TBLPROPERTIES
-                   (keyCols='pk', precombineCol='ts', checkMode='warn')""")
+                   (keyCols='pk', precombineCol='ts', checkMode='ignore')""")
     }
-    assert(e4.getMessage.contains("checkMode must be fail|drop"), e4.getMessage)
+    assert(e4.getMessage.contains("checkMode must be fail|drop|warn"),
+      e4.getMessage)
+    // warn mode through SQL: the violating row LANDS, observed not gated
+    spark.sql("ALTER TABLE g.db.props SET TBLPROPERTIES ('checkMode'='warn')")
+    spark.sql("INSERT INTO g.db.props VALUES (7, 1, 'way-too-long-but-lands')")
+    assert(rows("SELECT pk FROM g.db.props WHERE pk = 7") == Seq(Seq(7L)))
+    spark.sql("DELETE FROM g.db.props WHERE pk = 7")
     // switching to drop mode quarantines instead of failing
     spark.sql("ALTER TABLE g.db.props SET TBLPROPERTIES ('checkMode'='drop')")
     spark.sql("INSERT INTO g.db.props VALUES (6, 1, 'also-way-too-long')")
@@ -681,6 +700,35 @@ class SqlCatalogSpec extends AnyFunSuite {
     val ddl = spark.sql("SHOW CREATE TABLE g.db.props").head.getString(0)
     assert(ddl.contains("graft") && ddl.contains("keyCols") &&
       ddl.contains("bloomKeys"), ddl)
+  }
+
+  test("write-audit-publish through CALL procedures") {
+    wh
+    spark.sql("""CREATE TABLE g.db.wap (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.wap VALUES (1, 0, 'a'), (2, 0, 'b'), (3, 0, 'c')")
+    spark.sql("CALL g.system.clone('db.wap', 'db.wap_audit', -1L)").collect()
+    // audited changes land on the clone; the source is untouched
+    spark.sql("INSERT INTO g.db.wap_audit VALUES (1, 5, 'a2'), (4, 1, 'd')")
+    spark.sql("DELETE FROM g.db.wap_audit WHERE pk = 3")
+    assert(rows("SELECT pk, v FROM g.db.wap ORDER BY pk") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // publish fast-forwards the audit's net effect in one commit
+    val pub = spark.sql("CALL g.system.publish('db.wap', 'db.wap_audit')")
+      .head.getLong(0)
+    assert(pub >= 0)
+    assert(rows("SELECT pk, v FROM g.db.wap ORDER BY pk") ==
+      Seq(Seq(1L, "a2"), Seq(2L, "b"), Seq(4L, "d")))
+    // a source that advanced since the clone refuses the publish
+    spark.sql("CALL g.system.clone('db.wap', 'db.wap_audit2', -1L)").collect()
+    spark.sql("INSERT INTO g.db.wap_audit2 VALUES (5, 1, 'e')")
+    spark.sql("INSERT INTO g.db.wap VALUES (6, 1, 'f')")
+    val e = intercept[Exception] {
+      spark.sql("CALL g.system.publish('db.wap', 'db.wap_audit2')").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("fast-forward")), e.getMessage)
   }
 
   test("a CHECK expression containing ';' round-trips the property codec") {
