@@ -83,6 +83,32 @@ final case class FileAdd(
   */
 final class CommitConflict(msg: String) extends IllegalStateException(msg)
 
+/** Materialized snapshot state as of commit `id` (Delta's parquet
+  * checkpoint / Hudi's metadata-table role, in the log's own JSON):
+  * everything a reader needs to resolve snapshots at-or-after `id`
+  * without replaying the timeline from commit 0. A PURE ACCELERATOR —
+  * deleting every checkpoint changes no result, only cold-read I/O,
+  * which drops from O(timeline) commit-JSON opens to O(commits since
+  * the last checkpoint) + 1.
+  *
+  * @param id         commit the state is materialized as of (inclusive)
+  * @param schemaJson table schema as of `id` (the last commit's)
+  * @param schemas    distinct FILE schemas among `live` (schema
+  *                   evolution: each live file reads with the schema its
+  *                   add-commit recorded — see LakeTable.pathSchemaJson)
+  * @param live       live file set as of `id`, in replay order (the
+  *                   LinkedHashMap order a full replay produces, so
+  *                   checkpointed and replayed resolution are
+  *                   indistinguishable, ordering included)
+  * @param schemaIdx  per `live` entry, index into `schemas`
+  */
+final case class Checkpoint(
+    id: Long,
+    schemaJson: String,
+    schemas: Seq[String],
+    live: Seq[FileAdd],
+    schemaIdx: Seq[Int])
+
 /** JSON commit log under `<root>/_log/`. Single-writer (matches the
   * reference's `MaxConcurrentRuns: 1`, `cloud_formation/HudiGlueJobCFn.yml:35`).
   * Crash safety: data files are written BEFORE the commit JSON, and the
@@ -92,9 +118,16 @@ final class CommitConflict(msg: String) extends IllegalStateException(msg)
   * Scale note: the log holds file-level METADATA only (one JSON per commit);
   * snapshot resolution never lists the filesystem, so reads stay O(live
   * files) in memory and O(commits) in I/O — the same reason Hudi keeps a
-  * timeline instead of trusting S3 listings.
+  * timeline instead of trusting S3 listings. `checkpointEvery` > 0
+  * additionally materializes the live set every N commits
+  * ([[Checkpoint]]), so a COLD reader's first resolution is O(N) commit
+  * opens instead of O(timeline) — on a years-old 100 TB table the
+  * difference between one metadata round-trip batch and tens of
+  * thousands. 0 = never write checkpoints (existing ones are still
+  * read: the policy is a writer knob, the files are the contract).
   */
-final class CommitLog(root: String, hadoopConf: Configuration) {
+final class CommitLog(root: String, hadoopConf: Configuration,
+    val checkpointEvery: Int = 0) {
   private val logDir = new Path(root, "_log")
 
   /** Data files under this table's root are OWNED; a shallow clone's
@@ -254,15 +287,25 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     if (!published)
       throw new CommitConflict(
         s"commit ${c.id} already exists (concurrent writer?)")
+    maybeCheckpoint()
   }
 
-  /** Live file set as of `asOf` (inclusive); latest when None. */
+  /** Live file set as of `asOf` (inclusive); latest when None. Resolves
+    * from the newest [[Checkpoint]] at-or-before the target plus the
+    * commit tail — a full replay only when no checkpoint covers the
+    * target (pre-checkpoint time travel, or a table that never wrote
+    * one). Both paths produce the IDENTICAL sequence, order included:
+    * the checkpoint stores the replay order it was built from. */
   def liveFiles(asOf: Option[Long] = None): Seq[FileAdd] = {
-    val upTo = commits.filter(c => asOf.forall(c.id <= _))
-    require(asOf.isEmpty || upTo.exists(c => asOf.contains(c.id)),
+    val ids = listIds
+    require(asOf.isEmpty || ids.contains(asOf.get),
       s"no commit ${asOf.get} on the timeline")
+    val target = asOf.orElse(ids.lastOption).getOrElse(return Seq.empty)
+    val ck = latestCheckpointAt(target)
+    val from = ck.map(_.id).getOrElse(-1L)
     val live = mutable.LinkedHashMap.empty[String, FileAdd]
-    upTo.foreach { c =>
+    ck.foreach(_.live.foreach(a => live(a.path) = a))
+    ids.withFilter(id => id > from && id <= target).map(read).foreach { c =>
       c.removes.foreach(live.remove)
       c.adds.foreach(a => live(a.path) = a)
     }
@@ -270,8 +313,104 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
   }
 
   def schemaJsonAsOf(asOf: Option[Long] = None): Option[String] = {
-    val upTo = commits.filter(c => asOf.forall(c.id <= _))
-    upTo.lastOption.map(_.schemaJson)
+    val ids = listIds
+    val target = asOf.orElse(ids.lastOption).getOrElse(return None)
+    val ck = latestCheckpointAt(target)
+    val from = ck.map(_.id).getOrElse(-1L)
+    ids.filter(id => id > from && id <= target).lastOption
+      .map(read(_).schemaJson)
+      .orElse(ck.map(_.schemaJson))
+  }
+
+  /** `path -> schemaJson of its add-commit` for every file LIVE at
+    * `upTo` plus every file added after the covering checkpoint (dead
+    * or alive) — the schema-evolution scan's lookup structure
+    * (LakeTable.pathSchemaJson). Callers only ever look up live paths;
+    * files both added AND removed before the checkpoint are absent,
+    * which is exactly what makes this O(tail), not O(history). */
+  def pathSchemas(upTo: Option[Long] = None): Map[String, String] = {
+    val ids = listIds
+    val target = upTo.orElse(ids.lastOption).getOrElse(return Map.empty)
+    val ck = latestCheckpointAt(target)
+    val from = ck.map(_.id).getOrElse(-1L)
+    val m = mutable.HashMap.empty[String, String]
+    ck.foreach(c => c.live.iterator.zip(c.schemaIdx.iterator).foreach {
+      case (a, i) => m(a.path) = c.schemas(i)
+    })
+    ids.withFilter(id => id > from && id <= target).map(read)
+      .foreach(c => c.adds.foreach(a => m(a.path) = c.schemaJson))
+    m.toMap
+  }
+
+  // ---- checkpoints (the Delta parquet-checkpoint role; see [[Checkpoint]])
+
+  private def ckptPath(id: Long) = new Path(logDir, f"ckpt-$id%08d.json")
+
+  private def ckptIds: Seq[Long] =
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("ckpt-\\d{8,}\\.json"))
+      .map(_.stripPrefix("ckpt-").stripSuffix(".json").toLong)
+      .sorted
+
+  // a checkpoint id is immutable once written: checkpoints are only ever
+  // created at the timeline HEAD, and a rollback that retracts the head
+  // both deletes covering checkpoints and retires the id forever — so
+  // (like commit JSONs) content memoizes per id, while WHICH checkpoint
+  // applies is decided from a fresh listing on every resolution
+  private val ckptParsed = scala.collection.concurrent.TrieMap.empty[Long, Checkpoint]
+
+  /** checkpoint-file opens — the observability twin of [[jsonOpens]] */
+  private[graft] val ckptOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** newest checkpoint at-or-before `target`, None if none covers it */
+  def latestCheckpointAt(target: Long): Option[Checkpoint] =
+    ckptIds.filter(_ <= target).lastOption.map { id =>
+      ckptParsed.getOrElseUpdate(id, {
+        ckptOpens.incrementAndGet()
+        val in: java.io.InputStream = fs.open(ckptPath(id))
+        try mapper.readValue(in, classOf[Checkpoint]) finally in.close()
+      })
+    }
+
+  /** write a checkpoint at the current head if `checkpointEvery` commits
+    * accumulated since the last one (no-op when disabled or fresh).
+    * Failures are swallowed: the commit this rides on is already
+    * durable, a checkpoint is an accelerator, and the next append
+    * retries — surfacing the error would make a SUCCESSFUL write look
+    * failed and provoke a duplicating retry. */
+  private def maybeCheckpoint(): Unit =
+    if (checkpointEvery > 0) try {
+      val ids = listIds
+      if (ids.nonEmpty) {
+        val last = ckptIds.lastOption.getOrElse(-1L)
+        if (ids.count(_ > last) >= checkpointEvery) writeCheckpoint(ids.last)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** materialize a checkpoint at the current head regardless of the
+    * interval (the `CALL graft.system.checkpoint` surface); returns the
+    * checkpointed id, None on an empty timeline */
+  def forceCheckpoint(): Option[Long] =
+    latestId.map { id => writeCheckpoint(id); id }
+
+  private def writeCheckpoint(at: Long): Unit = {
+    val dst = ckptPath(at)
+    if (fs.exists(dst)) return // idempotent: same id ⇒ same content
+    val live = liveFiles(Some(at))
+    val bySchema = pathSchemas(Some(at))
+    val table = schemaJsonAsOf(Some(at)).getOrElse(return)
+    val schemas = live.map(a => bySchema.getOrElse(a.path, table)).distinct
+    val idxOf = schemas.zipWithIndex.toMap
+    val ck = Checkpoint(at, table, schemas, live,
+      live.map(a => idxOf(bySchema.getOrElse(a.path, table))))
+    val tmp = new Path(logDir, s".tmpckpt-$at-${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(ck)) finally out.close()
+    // best-effort atomic publish: a racing writer's identical content
+    // makes the arbitration outcome irrelevant
+    if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); () }
   }
 
   /** Staged-CTAS publish: rewrite every recorded file path under
@@ -296,6 +435,10 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     rewritePaths(rootStr, fs.makeQualified(new Path(newRoot)).toString)
 
   private def rewritePaths(fromQ: String, toQ: String): Unit = {
+    // checkpoints hold materialized paths too — drop them rather than
+    // rewrite (pure accelerators, and a staged table's timeline is tiny)
+    ckptIds.foreach(cid => fs.delete(ckptPath(cid), false))
+    ckptParsed.clear()
     def fix(p: String): String = {
       val q = fs.makeQualified(new Path(p)).toString
       if (q.startsWith(fromQ + "/")) toQ + q.stripPrefix(fromQ) else p
@@ -404,6 +547,14 @@ final class CommitLog(root: String, hadoopConf: Configuration) {
     require(!pins.contains(id),
       s"commit $id is pinned (savepoint or tag) — release it before rolling back")
     val c = read(id)
+    // checkpoints covering the retracted commit are now wrong (they
+    // materialized its adds) — delete them FIRST: a crash between this
+    // and the JSON delete merely loses an accelerator. The id is retired
+    // forever below, so `ckpt-<id>` can never be re-created with
+    // different content and cross-instance memoization stays sound.
+    ckptIds.filter(_ >= id).foreach { cid =>
+      fs.delete(ckptPath(cid), false); ckptParsed.remove(cid)
+    }
     fs.create(new Path(logDir, f"rolled-$id%08d"), true).close()
     if (!fs.delete(commitPath(id), false))
       throw new IllegalStateException(s"could not retract commit $id")

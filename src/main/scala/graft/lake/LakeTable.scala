@@ -149,7 +149,16 @@ final case class LakeTableConfig(
       * partition scoping, and dynamic overwrite all operate on the
       * transformed tuples.
       */
-    partitionTransforms: Seq[String] = Seq.empty) {
+    partitionTransforms: Seq[String] = Seq.empty,
+    /** Materialize a commit-log [[Checkpoint]] every N commits (Delta's
+      * parquet-checkpoint cadence; 0 = never). A cold reader of a long
+      * timeline then resolves snapshots from the newest checkpoint plus
+      * the tail — O(N) metadata opens instead of O(timeline). Pure
+      * accelerator: results are byte-identical with checkpoints deleted.
+      */
+    checkpointEvery: Int = LakeTableConfig.DefaultCheckpointEvery) {
+  require(checkpointEvery >= 0,
+    s"checkpointEvery must be >= 0, got $checkpointEvery")
   require(storageType == "cow" || storageType == "mor",
     s"storageType must be cow|mor, got $storageType")
   require(partitionTransforms.isEmpty ||
@@ -181,6 +190,12 @@ final case class LakeTableConfig(
   def isMor: Boolean = storageType == "mor"
 }
 
+object LakeTableConfig {
+  /** default commit-log checkpoint cadence — one place, shared by the
+    * config default and the SQL CREATE path (GraftCatalog) */
+  val DefaultCheckpointEvery = 16
+}
+
 /** Copy-on-Write lake table: versioned parquet base files + JSON commit
   * timeline. Re-implements, Spark-first, the Hudi capabilities the
   * reference exercises (SURVEY.md §2.2 W2-W5, §1.1):
@@ -207,7 +222,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   import LakeTable._
 
   private val hconf = spark.sparkContext.hadoopConfiguration
-  val log = new CommitLog(config.root, hconf)
+  val log = new CommitLog(config.root, hconf, config.checkpointEvery)
 
   /** physical partition-path LEVEL NAMES: the user columns (suffixed by
     * their transform when hidden-partitioned — `o_orderdate_months` —
@@ -2272,10 +2287,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     pathSchemaCache.getOrElseUpdate((upTo, head), {
       // keep the memo bounded: a new head invalidates earlier entries
       if (pathSchemaCache.size > 64) pathSchemaCache.clear()
-      val m = scala.collection.mutable.HashMap.empty[String, String]
-      log.commits.withFilter(c => upTo.forall(c.id <= _))
-        .foreach(c => c.adds.foreach(a => m(a.path) = c.schemaJson))
-      m.toMap
+      // checkpoint-accelerated (CommitLog.pathSchemas): covers every
+      // LIVE path — the only paths the evolution-aware scan, clone and
+      // publish ever look up — in O(tail) metadata opens
+      log.pathSchemas(upTo)
     })
   }
 

@@ -34,14 +34,20 @@ final case class TableDescriptor(
     schemaJson: String = "",
     /** hidden-partitioning transform per partitionCols entry
       * ([[LakeTableConfig.partitionTransforms]]); empty ≙ all identity */
-    partitionTransforms: Seq[String] = Seq.empty) {
+    partitionTransforms: Seq[String] = Seq.empty,
+    /** commit-log checkpoint cadence ([[LakeTableConfig.checkpointEvery]]).
+      * Jackson deserializes a pre-upgrade JSON's missing field to 0, so
+      * existing tables keep their established (checkpoint-free) behavior
+      * until ALTERed; freshly created tables persist the config default. */
+    checkpointEvery: Int = 0) {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
     compactEvery, hashBuckets, statsCols, clusterCols, zOrder, bloomKeys,
     Option(checks).getOrElse(Map.empty),
     Option(checkMode).getOrElse("fail"),
-    partitionTransforms = Option(partitionTransforms).getOrElse(Seq.empty))
+    partitionTransforms = Option(partitionTransforms).getOrElse(Seq.empty),
+    checkpointEvery = checkpointEvery)
 }
 
 object TableDescriptor {
@@ -56,7 +62,7 @@ object TableDescriptor {
     TableDescriptor(cfg.keyCols, cfg.precombineCol, cfg.partitionCols,
       cfg.globalIndex, cfg.storageType, cfg.compactEvery, cfg.hashBuckets,
       cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.bloomKeys, cfg.checks,
-      cfg.checkMode, schemaJson, cfg.partitionTransforms)
+      cfg.checkMode, schemaJson, cfg.partitionTransforms, cfg.checkpointEvery)
 
   def exists(root: String, hconf: Configuration): Boolean = {
     val p = file(root)

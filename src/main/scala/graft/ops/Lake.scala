@@ -279,6 +279,33 @@ object Lake {
       t
     })
 
+  /** Checkpoint fixture over `nation`: bulk insert (c0) then 8
+    * single-slice upserts (c1..c8) under `checkpointEvery = 3`, so the
+    * log holds checkpoints at c2/c5/c8 and the LATEST snapshot resolves
+    * from ckpt-8 alone — zero commit replays. Slice i updates exactly
+    * the keys with n_nationkey % 8 == i-1, so every key is updated once
+    * and the final state is closed-form for the oracle. The query opens
+    * a FRESH LakeTable over the root (cold CommitLog), so the hard gate
+    * exercises the checkpointed resolution, never a memoized one.
+    */
+  private[graft] def ckptTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:ckpt", _ => {
+      val root = s"/tmp/graft_lake/ckpt_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("n_nationkey"), precombineCol = "update_ts",
+        checkpointEvery = 3))
+      val nation = T.nation(s, d)
+      t.bulkInsert(nation.withColumn("update_ts", lit(0)))
+      (1 to 8).foreach(i => t.upsert(
+        nation.filter(pmod(col("n_nationkey"), lit(8)) === lit(i - 1))
+          .withColumn("n_comment", lit(s"v$i"))
+          .withColumn("update_ts", lit(i))))
+      t
+    })
+
   /** Meta-column fixture over `nation`: a table with full Hudi 5-column
     * read parity enabled (`metaColumns = true`) — bulk insert (c0), then
     * an upsert of the region-0 rows (c1), so per-row `_commit_id`
@@ -763,6 +790,24 @@ object Lake {
           col("update_ts"))
         .orderBy("n_nationkey"),
       Some("""SELECT n_nationkey, n_name, n_regionkey, 0 AS update_ts
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- commit-log checkpoint read -------------------------------------
+    // 9 commits under checkpointEvery=3; the read goes through a FRESH
+    // LakeTable instance, so snapshot resolution runs checkpoint + tail
+    // (the cold-reader path) and must equal the oracle's closed-form
+    // replay of all 8 upsert slices
+    GQuery("lake_ckpt_read",
+      (s, d) => {
+        val cold = LakeTable(s, ckptTable(s, d).config)
+        cold.read()
+          .select(col("n_nationkey"), col("n_name"),
+            col("n_comment"), col("update_ts"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name,
+          'v' || CAST(n_nationkey % 8 + 1 AS VARCHAR) AS n_comment,
+          CAST(n_nationkey % 8 + 1 AS INT) AS update_ts
         FROM nation ORDER BY n_nationkey""")),
 
     // ---- streaming tail of the MoR change log --------------------------

@@ -263,6 +263,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       globalIndex = prop("globalIndex").exists(_.toBoolean),
       storageType = prop("storageType").getOrElse("cow"),
       compactEvery = prop("compactEvery").map(_.toInt).getOrElse(0),
+      checkpointEvery = prop("checkpointEvery").map(_.toInt)
+        .getOrElse(graft.lake.LakeTableConfig.DefaultCheckpointEvery),
       hashBuckets = prop("hashBuckets").map(_.toInt).getOrElse(0),
       statsCols = csv("statsCols"),
       clusterCols = csv("clusterCols"),
@@ -461,8 +463,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * hashBuckets — is immutable: existing files were written under it
     * and every read/merge path assumes it. */
   private val MutableProps = Set(
-    "compactEvery", "bloomKeys", "statsCols", "clusterCols", "zOrder",
-    "checks", "checkMode")
+    "compactEvery", "checkpointEvery", "bloomKeys", "statsCols",
+    "clusterCols", "zOrder", "checks", "checkMode")
 
   private def alterProperties(
       root: String, desc: TableDescriptor,
@@ -478,6 +480,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         guard(s.property)
         s.property match {
           case "compactEvery" => d.copy(compactEvery = s.value.toInt)
+          case "checkpointEvery" => d.copy(checkpointEvery = s.value.toInt)
           case "bloomKeys" => d.copy(bloomKeys = s.value.toInt)
           case "statsCols" => d.copy(statsCols = csv(s.value))
           case "clusterCols" => d.copy(clusterCols = csv(s.value))
@@ -489,6 +492,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         guard(r.property)
         r.property match {
           case "compactEvery" => d.copy(compactEvery = 0)
+          case "checkpointEvery" => d.copy(checkpointEvery = 0)
           case "bloomKeys" => d.copy(bloomKeys = 0)
           case "statsCols" => d.copy(statsCols = Seq.empty)
           case "clusterCols" => d.copy(clusterCols = Seq.empty)

@@ -24,6 +24,7 @@ import graft.lake.LakeTable
   *   CALL graft.system.release_savepoint('db.t', 3)
   *   CALL graft.system.restore('db.t', 0)
   *   CALL graft.system.rollback('db.t')
+  *   CALL graft.system.checkpoint('db.t')
   * }}}
   *
   * Each returns one row `(result BIGINT)` — the resulting/affected
@@ -52,6 +53,8 @@ private[sql] object GraftProcedures {
     "restore" -> (Seq("commit" -> LongType),
       (t, in) => { t.restoreTo(in.getLong(1)); t.log.latestId.getOrElse(-1L) }),
     "rollback" -> (Seq.empty, (t, _) => t.rollback().getOrElse(-1L)),
+    "checkpoint" -> (Seq.empty,
+      (t, _) => t.log.forceCheckpoint().getOrElse(-1L)),
     "recluster" -> (Seq.empty, (t, _) => t.recluster()),
     "create_tag" -> (Seq("name" -> StringType, "commit" -> LongType),
       (t, in) => { t.createTag(in.getUTF8String(1).toString, in.getLong(2))

@@ -91,6 +91,8 @@ final class GraftTableV2(
       (if (desc.globalIndex) Map("globalIndex" -> "true") else Map.empty) ++
       (if (desc.compactEvery > 0)
         Map("compactEvery" -> desc.compactEvery.toString) else Map.empty) ++
+      (if (desc.checkpointEvery > 0)
+        Map("checkpointEvery" -> desc.checkpointEvery.toString) else Map.empty) ++
       (if (desc.hashBuckets > 0)
         Map("hashBuckets" -> desc.hashBuckets.toString) else Map.empty) ++
       (if (desc.bloomKeys > 0)

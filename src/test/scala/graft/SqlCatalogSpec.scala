@@ -761,4 +761,34 @@ class SqlCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO g.db.semi VALUES (2, 0, 'ok')")
     assert(rows("SELECT pk FROM g.db.semi") == Seq(Seq(2L)))
   }
+
+  test("checkpointEvery knob + CALL graft.system.checkpoint") {
+    wh
+    spark.sql("""CREATE TABLE g.db.ckpt (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk',
+                   precombineCol='ts', checkpointEvery='2')""")
+    val loc = s"$wh/db/ckpt"
+    def cks(): Seq[String] = {
+      val dir = new java.io.File(loc, "_log")
+      Option(dir.list()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.startsWith("ckpt-")).sorted
+    }
+    spark.sql("INSERT INTO g.db.ckpt VALUES (1, 0, 'a')") // c0
+    assert(cks().isEmpty)
+    spark.sql("INSERT INTO g.db.ckpt VALUES (2, 0, 'b')") // c1 → cadence hit
+    assert(cks() == Seq("ckpt-00000001.json"), cks())
+    // the knob survives the SHOW TBLPROPERTIES round trip and ALTER
+    assert(spark.sql("SHOW TBLPROPERTIES g.db.ckpt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .get("checkpointEvery").contains("2"))
+    spark.sql("ALTER TABLE g.db.ckpt SET TBLPROPERTIES ('checkpointEvery'='50')")
+    spark.sql("INSERT INTO g.db.ckpt VALUES (3, 0, 'c')") // c2: cadence not hit
+    assert(cks() == Seq("ckpt-00000001.json"))
+    // forced materialization at the head, and reads stay correct
+    assert(spark.sql("CALL g.system.checkpoint('db.ckpt')").head.getLong(0) == 2L)
+    assert(cks() == Seq("ckpt-00000001.json", "ckpt-00000002.json"))
+    assert(rows("SELECT pk FROM g.db.ckpt ORDER BY pk") ==
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
+    spark.sql("DROP TABLE g.db.ckpt")
+  }
 }
