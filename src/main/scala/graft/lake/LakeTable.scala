@@ -1034,6 +1034,19 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     readOrEmpty(base)
   }
 
+  /** [[readOptimized]] with the snapshot read's predicate file pruning
+    * (stats/partition/key skipping over the BASE files) and an optional
+    * pin — the SQL `db.t.ro` surface. Base files are disjoint row sets
+    * (only deltas overlap), so this is a plain pruned union scan with
+    * no merge, which is the entire point of the `_ro` view. */
+  def readOptimized(pruneBy: Option[org.apache.spark.sql.Column],
+      asOf: Option[Long]): DataFrame = {
+    val base = log.liveFiles(asOf).filter(!_.isDelta)
+    val files = pruneBy.flatMap(c => resolvePredicate(c, asOf))
+      .map(p => pruneFilesFor(base, p, asOf)).getOrElse(base)
+    readOrEmpty(files)
+  }
+
   /** Partition-pruned snapshot: only the named partition values' live
     * files are listed and scanned (pruning on commit-log metadata — the
     * scan cost is the touched partitions, not the table).
@@ -1415,6 +1428,43 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       "n_files_added", "n_files_removed", "bytes_added",
       "n_partitions_touched")
   }
+
+  /** Live file inventory as a DataFrame (Iceberg `.files` metadata-table
+    * role): one row per live file with its partition tuple, kind, size,
+    * footer row count, key range and bloom flag. Metadata-scale: the
+    * commit log already materializes this driver-side — no data file or
+    * directory listing is touched. The partition column is named `part`
+    * so the SQL face needs no reserved-word quoting.
+    */
+  def filesDf(asOf: Option[Long] = None): DataFrame = {
+    val rows = log.liveFiles(asOf).map(f => (f.path, f.partition, f.kind,
+      f.bytes, f.rows, Option(f.kmin), Option(f.kmax), f.bloom))
+    spark.createDataFrame(rows).toDF("path", "part", "kind",
+      "bytes", "rows", "kmin", "kmax", "bloom")
+  }
+
+  /** Per-partition file statistics (Iceberg `.partitions` role): file/
+    * byte totals and the FOOTER row sum per stored partition tuple.
+    * `rows_written` is the metadata-only sum of live files' footer
+    * counts — equal to live rows on CoW/compacted state, an overcount
+    * where un-compacted MoR deltas shadow base rows ([[partitionRowCounts]]
+    * is the always-exact hybrid; this surface deliberately never scans).
+    */
+  def partitionsDf(asOf: Option[Long] = None): DataFrame = {
+    val rows = log.liveFiles(asOf).groupBy(_.partition).toSeq
+      .map { case (p, fs) =>
+        (p, fs.size.toLong, fs.count(!_.isDelta).toLong,
+          fs.count(_.isDelta).toLong, fs.map(_.bytes).sum,
+          fs.map(_.rows).sum)
+      }
+    spark.createDataFrame(rows).toDF("part", "n_files", "n_base_files",
+      "n_delta_files", "bytes", "rows_written")
+  }
+
+  /** Named tags as a DataFrame (Iceberg `.refs` role). */
+  def tagsDf(): DataFrame =
+    spark.createDataFrame(log.tags.toSeq.sortBy(_._1))
+      .toDF("name", "commit_id")
 
   /** Exact snapshot row count answered from the commit log where
     * provable (Delta `numRecords` / Hudi commit-metadata-count role):

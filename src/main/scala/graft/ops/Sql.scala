@@ -107,6 +107,26 @@ object Sql {
     })
   }
 
+  /** MoR catalog table for the `db.t.ro` read-optimized view: c0 = seed
+    * insert (lands as BASE — nothing to merge into), c1 = delta insert
+    * updating region-3 names. `.ro` must see exactly the c0 state while
+    * the snapshot merges the delta.
+    */
+  private[graft] def morFixture(s: SparkSession, d: String): String = {
+    val cat = dmlFixture(s, d) // hoisted: registers catalog + src view
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:mor", _ => {
+      val nation = T.nation(s, d)
+      s.sql(s"""CREATE TABLE $cat.db.nation_mor (${nation.schema.toDDL}, update_ts INT)
+        USING graft TBLPROPERTIES (keyCols='n_nationkey',
+          precombineCol='update_ts', storageType='mor')""")
+      s.sql(s"INSERT INTO $cat.db.nation_mor SELECT *, 0 FROM sql_nation_src")
+      s.sql(s"""INSERT INTO $cat.db.nation_mor
+        SELECT n_nationkey, concat(n_name, '_D'), n_regionkey, 1
+        FROM sql_nation_src WHERE n_regionkey = 3""")
+      cat
+    })
+  }
+
   /** a second lake table co-partitioned with `nation` on the region key
     * (one partition per region) for the storage-partitioned join entry,
     * plus the session flag that lets Spark USE reported key-grouped
@@ -571,6 +591,52 @@ object Sql {
       },
       Some("""SELECT n_nationkey, n_name, n_regionkey, 0 AS update_ts
         FROM nation ORDER BY n_nationkey""")),
+
+    // ---- metadata tables (Iceberg db.t.<suffix> surface) -----------------
+    // the commit timeline, per-partition file stats and tag refs read as
+    // PLAIN SQL tables. The fixture's timeline is deterministic (c0 seed
+    // insert, c1 stale insert, c2 UPDATE-as-merge, c3 delete), and the
+    // partitions table's footer row sums equal the final per-region
+    // counts because every live file is a CoW base file.
+    GQuery("lake_sql_meta_history",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        s.sql(s"""SELECT commit_id, op FROM $cat.db.nation.history
+          ORDER BY commit_id""")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), 'upsert'), (CAST(1 AS BIGINT), 'upsert'),
+          (CAST(2 AS BIGINT), 'merge'), (CAST(3 AS BIGINT), 'delete'))
+          AS t(commit_id, op)
+        ORDER BY commit_id""")),
+    GQuery("lake_sql_meta_partitions",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        s.sql(s"""SELECT part, rows_written FROM $cat.db.nation.partitions
+          ORDER BY part""")
+      },
+      Some("""SELECT CAST(n_regionkey AS VARCHAR) AS part,
+          CAST(count(*) AS BIGINT) AS rows_written
+        FROM nation WHERE n_nationkey < 20
+        GROUP BY n_regionkey ORDER BY part""")),
+    // ---- read-optimized MoR view (Hudi `_ro`) through SQL ---------------
+    // the suffix table scans base files only: the pending region-3 delta
+    // is invisible to `.ro` (oracle = the pure seed state) while the
+    // snapshot read merges it (lake_mor_snapshot covers that side)
+    GQuery("lake_sql_ro_read",
+      (s, d) => {
+        val cat = morFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, update_ts
+          FROM $cat.db.nation_mor.ro ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name, 0 AS update_ts
+        FROM nation ORDER BY n_nationkey""")),
+    GQuery("lake_sql_meta_tags",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        s.sql(s"SELECT name, commit_id FROM $cat.db.nation.tags")
+      },
+      Some("SELECT 'seed.v0' AS name, CAST(0 AS BIGINT) AS commit_id")),
 
     // ---- streaming tail of a CATALOG table, by name ---------------------
     // same change-log semantics as lake_tail_changes, but resolved through

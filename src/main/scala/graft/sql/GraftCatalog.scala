@@ -155,6 +155,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata-table suffix (Iceberg surface: `db.t.history` etc.) —
+    // resolved ONLY when the full identifier names no stored table, so
+    // a real table called "history" always wins
+    if (!tableExists(ident) && ident.namespace().length >= 2 &&
+        (GraftMetaTable.kinds.contains(ident.name()) || ident.name() == "ro")) {
+      val parent = Identifier.of(
+        ident.namespace().init, ident.namespace().last)
+      if (tableExists(parent)) {
+        val desc = descriptorOf(parent)
+        val root = tablePath(parent).toString
+        // `db.t.ro` — Hudi's read-optimized MoR view: a full table scan
+        // surface (pruning, stats, V1 relation) over BASE files only
+        if (ident.name() == "ro")
+          return new GraftTableV2(spark, catalogName, ident.toString,
+            root, desc, asOf = None, readOptimized = true)
+        val lake = graft.lake.LakeTable(spark, desc.config(root))
+        return new GraftMetaTable(ident.toString,
+          () => GraftMetaTable.kinds(ident.name())(lake))
+      }
+    }
     val desc = descriptorOf(ident)
     val root = tablePath(ident)
     new GraftTableV2(spark, catalogName, ident.toString, root.toString, desc, asOf = None)

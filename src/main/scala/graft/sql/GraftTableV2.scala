@@ -46,7 +46,14 @@ final class GraftTableV2(
     ident: String,
     root: String,
     desc: TableDescriptor,
-    asOf: Option[Long])
+    asOf: Option[Long],
+    /** Hudi `_ro` view (resolved as the `db.t.ro` suffix): scan BASE
+      * files only, skipping pending MoR deltas and their read-time
+      * merge — stale by up to the un-compacted deltas, as cheap as a
+      * CoW scan (base files are disjoint row sets, so this is a plain
+      * pruned union). Read-only; equals the snapshot on CoW/compacted
+      * state. */
+    readOptimized: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with org.apache.spark.sql.graftbridge.V1FallbackBridge {
 
@@ -193,14 +200,21 @@ final class GraftTableV2(
         // rows into an already-resolved scan
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], pinnedSchema)
+      case _ if readOptimized => lake.readOptimized(pred, pinned)
       case (Some(p), v) => lake.read(p, v)
       case (None, Some(v)) => lake.readAsOf(v)
     }
     base.drop(metaCols.toSeq: _*)
   }
 
+  /** the file set this table variant scans: base-only under `_ro` */
+  private def scannable(asOf: Option[Long]): Seq[graft.lake.FileAdd] = {
+    val live = lake.log.liveFiles(asOf)
+    if (readOptimized) live.filter(!_.isDelta) else live
+  }
+
   private[sql] def liveBytes: Long =
-    lake.log.liveFiles(pinned).map(_.bytes).sum
+    scannable(pinned).map(_.bytes).sum
 
   /** Commit-log bytes the scan would actually read under `pred`
     * (file-list pruning applied) — the planner's size estimate. A
@@ -211,7 +225,7 @@ final class GraftTableV2(
     * planner fall back to its default, never to a false small). */
   private[sql] def scanBytes(pred: Option[Column]): Option[Long] = {
     if (pinned.isEmpty) return Some(0L) // pinned-empty scan reads nothing
-    val live = lake.log.liveFiles(pinned)
+    val live = scannable(pinned)
     val files = pred.flatMap(c => lake.resolvePredicate(c, pinned))
       .map(p => lake.pruneFilesFor(live, p, pinned)).getOrElse(live)
     if (files.exists(_.bytes <= 0L)) None else Some(files.map(_.bytes).sum)
@@ -225,7 +239,11 @@ final class GraftTableV2(
     * predicate already applied to the file list. */
   private[sql] def nativeScanPlan(
       pred: Option[Column]): Option[(Seq[graft.lake.FileAdd], StructType)] =
-    lake.nativeScanFiles(pinned).map { files =>
+    // `_ro` with pending deltas would need a base-only variant of the
+    // prover; the V1 path already expresses base-only correctly, and on
+    // the compacted state (where _ro = snapshot) the prover passes anyway
+    if (readOptimized) None
+    else lake.nativeScanFiles(pinned).map { files =>
       val pruned = pred.flatMap(c => lake.resolvePredicate(c, pinned))
         .map(p => lake.pruneFilesFor(files, p, pinned)).getOrElse(files)
       (pruned, lake.tableSchema(pinned))
@@ -235,6 +253,7 @@ final class GraftTableV2(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, "cannot write to a time-travel (VERSION AS OF) snapshot")
+    require(!readOptimized, "the _ro view (db.t.ro) is read-only — write to the table itself")
     new GraftWriteBuilder(lake)
   }
 
@@ -244,6 +263,8 @@ final class GraftTableV2(
     filters.forall(f => FilterTranslation.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!readOptimized,
+      "the _ro view (db.t.ro) is read-only — write to the table itself")
     val cond = filters.flatMap(FilterTranslation.toColumn)
       .reduceOption(_ && _).getOrElse(org.apache.spark.sql.functions.lit(true))
     lake.deleteWhere(cond)

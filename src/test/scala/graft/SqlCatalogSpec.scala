@@ -762,6 +762,64 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(rows("SELECT pk FROM g.db.semi") == Seq(Seq(2L)))
   }
 
+  test("metadata tables: db.t.history / .files / .partitions / .tags") {
+    wh
+    spark.sql("""CREATE TABLE g.db.mt (pk BIGINT, ts INT, v STRING, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.mt VALUES (1, 0, 'a', 'EU'), (2, 0, 'b', 'US')")
+    spark.sql("INSERT INTO g.db.mt VALUES (3, 0, 'c', 'EU')")
+    spark.sql("CALL g.system.create_tag('db.mt', 'v1', 1L)").collect()
+
+    assert(rows("SELECT commit_id, op FROM g.db.mt.history ORDER BY commit_id")
+      .map(r => (r(0), r(1))).nonEmpty)
+    assert(rows("SELECT commit_id FROM g.db.mt.history ORDER BY commit_id")
+      == Seq(Seq(0L), Seq(1L)))
+    assert(rows("SELECT name, commit_id FROM g.db.mt.tags") ==
+      Seq(Seq("v1", 1L)))
+    // files: every live file accounted, footer rows sum to the row count
+    val files = spark.sql("SELECT part, rows, bytes FROM g.db.mt.files").collect()
+    assert(files.map(_.getLong(1)).sum == 3L)
+    assert(files.forall(_.getLong(2) > 0L))
+    // partitions: per-partition footer sums == per-partition counts (CoW)
+    assert(rows("""SELECT part, rows_written FROM g.db.mt.partitions
+                   ORDER BY part""") == Seq(Seq("EU", 2L), Seq("US", 1L)))
+    // metadata tables compose with plain SQL (join against the data)
+    assert(spark.sql("""SELECT count(*) FROM g.db.mt t
+        JOIN g.db.mt.partitions p ON t.region = p.part""").head.getLong(0) == 3L)
+    // an unknown suffix still errors as a missing table
+    intercept[Exception] { spark.sql("SELECT * FROM g.db.mt.nope").collect() }
+    spark.sql("DROP TABLE g.db.mt")
+  }
+
+  test("db.t.ro: read-optimized MoR view skips pending deltas, read-only") {
+    wh
+    spark.sql("""CREATE TABLE g.db.ro_t (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk',
+                   precombineCol='ts', storageType='mor')""")
+    spark.sql("INSERT INTO g.db.ro_t VALUES (1, 0, 'base1'), (2, 0, 'base2')") // c0 base
+    spark.sql("INSERT INTO g.db.ro_t VALUES (1, 1, 'delta1'), (3, 1, 'new3')") // c1 delta
+    // snapshot merges; _ro sees the base state only
+    assert(rows("SELECT pk, v FROM g.db.ro_t ORDER BY pk") ==
+      Seq(Seq(1L, "delta1"), Seq(2L, "base2"), Seq(3L, "new3")))
+    assert(rows("SELECT pk, v FROM g.db.ro_t.ro ORDER BY pk") ==
+      Seq(Seq(1L, "base1"), Seq(2L, "base2")))
+    // predicates prune and filter on the ro view like any scan
+    assert(rows("SELECT v FROM g.db.ro_t.ro WHERE pk = 1") == Seq(Seq("base1")))
+    // after compaction the views agree
+    spark.sql("CALL g.system.compact('db.ro_t')").collect()
+    assert(rows("SELECT pk, v FROM g.db.ro_t.ro ORDER BY pk") ==
+      rows("SELECT pk, v FROM g.db.ro_t ORDER BY pk"))
+    // read-only: writes refuse with a clear error
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO g.db.ro_t.ro VALUES (9, 9, 'x')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("read-only")), e.getMessage)
+    spark.sql("DROP TABLE g.db.ro_t")
+  }
+
   test("checkpointEvery knob + CALL graft.system.checkpoint") {
     wh
     spark.sql("""CREATE TABLE g.db.ckpt (pk BIGINT, ts INT, v STRING)
