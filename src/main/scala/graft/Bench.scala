@@ -26,7 +26,13 @@ object Bench {
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => return -1.0 }
+      // failures surface as -1.0 in the JSON AND as a stderr line — a
+      // silent -1 costs a whole round-trip to diagnose (r12: the error
+      // behind an n_err=1 was invisible in the driver's log)
+      try body catch { case t: Throwable =>
+        System.err.println(s"[bench] FAILED: ${t.getClass.getName}: ${t.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -116,11 +116,15 @@ object Sql {
     val cat = dmlFixture(s, d) // hoisted: registers catalog + src view
     built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:mor", _ => {
       val nation = T.nation(s, d)
-      s.sql(s"""CREATE TABLE $cat.db.nation_mor (${nation.schema.toDDL}, update_ts INT)
+      // own table name — `nation_mor` belongs to the stream-tail fixture
+      // (r12 bench found the collision: its DROP+CREATE raced this one);
+      // DROP IF EXISTS guards against a half-built stale warehouse too
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_ro")
+      s.sql(s"""CREATE TABLE $cat.db.nation_ro (${nation.schema.toDDL}, update_ts INT)
         USING graft TBLPROPERTIES (keyCols='n_nationkey',
           precombineCol='update_ts', storageType='mor')""")
-      s.sql(s"INSERT INTO $cat.db.nation_mor SELECT *, 0 FROM sql_nation_src")
-      s.sql(s"""INSERT INTO $cat.db.nation_mor
+      s.sql(s"INSERT INTO $cat.db.nation_ro SELECT *, 0 FROM sql_nation_src")
+      s.sql(s"""INSERT INTO $cat.db.nation_ro
         SELECT n_nationkey, concat(n_name, '_D'), n_regionkey, 1
         FROM sql_nation_src WHERE n_regionkey = 3""")
       cat
@@ -627,7 +631,7 @@ object Sql {
       (s, d) => {
         val cat = morFixture(s, d)
         s.sql(s"""SELECT n_nationkey, n_name, update_ts
-          FROM $cat.db.nation_mor.ro ORDER BY n_nationkey""")
+          FROM $cat.db.nation_ro.ro ORDER BY n_nationkey""")
       },
       Some("""SELECT n_nationkey, n_name, 0 AS update_ts
         FROM nation ORDER BY n_nationkey""")),
