@@ -442,9 +442,87 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * well-clustered column touches only the files and partitions that
     * can hold matches.
     */
-  def deleteWhere(pred: org.apache.spark.sql.Column): Long = {
-    val cols = (config.partitionCols ++ config.keyCols).distinct
-    delete(read(pred).select(cols.map(col): _*))
+  def deleteWhere(pred: org.apache.spark.sql.Column): Long =
+    dropPartitionsMetadataOnly(pred).getOrElse {
+      val cols = (config.partitionCols ++ config.keyCols).distinct
+      delete(read(pred).select(cols.map(col): _*))
+    }
+
+  /** Metadata-only predicate delete — the retention-delete fast path
+    * (Hive `DROP PARTITION` / Delta's metadata-only DELETE / Iceberg's
+    * metadata-delete role). When `pred` references ONLY partition
+    * columns, is deterministic and subquery-free, and every live file's
+    * stored tuple provably parses back to its typed column value (the
+    * [[partitionKeyRows]] prover — hidden-partition transforms,
+    * timestamp renders, null-sentinel string levels and pre-arity
+    * tuples all refuse), file membership IS row membership: the delete
+    * commits the doomed files' removal alone — zero rows read, zero
+    * rows written, O(live files) driver work. At 100 TB a retention
+    * delete (`DELETE FROM t WHERE day < horizon`) must not scan the
+    * doomed data, let alone rewrite the survivors. Semantics are exact,
+    * not approximate: the predicate is evaluated per partition tuple by
+    * a real (local) Spark plan — the engine's own cast/comparison
+    * semantics, never a re-implementation — and a tuple where `pred` is
+    * NULL is KEPT (SQL DELETE removes only TRUE rows). MoR deltas are
+    * sound here because file tuples equal partition tuples
+    * ([[groupLocalMergeSafe]]); a global index whose dedup groups can
+    * span partitions refuses — a delta in a doomed partition could
+    * shadow or tombstone a kept partition's key, so only the rewrite
+    * path can resolve it. Returns None to route the caller to the
+    * keyed-rewrite path; Some(commitId) on the fast path (no commit is
+    * written when nothing matches, the keyed delete's own contract).
+    */
+  private def dropPartitionsMetadataOnly(
+      pred: org.apache.spark.sql.Column): Option[Long] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    if (!exists || config.partitionCols.isEmpty) return None
+    val live = log.liveFiles()
+    if (live.isEmpty) return None // read(pred) on empty is a cheap no-op
+    if (live.exists(_.isDelta) && !groupLocalMergeSafe) return None
+    val keys = partitionKeyRows(live, None).getOrElse(return None)
+    val tbl = tableSchema(None)
+    val partSchema = StructType(config.partitionCols.map(c =>
+      tbl.fields.find(_.name == c).getOrElse(return None)))
+    // one probe row per DISTINCT stored tuple, tagged with the tuple
+    // string so matches map back to files; the tag name is shadow-style
+    // (never a user column — writeCommit already reserves the prefix)
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(partSchema)
+    val rows = live.map(_.partition).zip(keys).distinctBy(_._1).map {
+      case (p, ir) =>
+        Row.fromSeq(conv(ir).asInstanceOf[Row].toSeq :+ p)
+    }
+    val probeSchema = StructType(partSchema.fields :+
+      StructField("__gp_tuple", StringType, nullable = false))
+    import scala.jdk.CollectionConverters._
+    val probe = spark.createDataFrame(rows.asJava, probeSchema)
+    // eager analysis enforces "partition columns only": a reference to
+    // any other column fails to resolve against the probe frame
+    val filtered = scala.util.Try(probe.filter(pred))
+      .toOption.getOrElse(return None)
+    val cond = filtered.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.getOrElse(return None)
+    val refs = cond.references.map(_.name).toSet
+    if (!cond.deterministic ||
+        cond.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]) ||
+        !refs.subsetOf(config.partitionCols.toSet)) return None
+    val doomedTuples = filtered.select("__gp_tuple")
+      .collect().map(_.getString(0)).toSet
+    val doomed = live.filter(f => doomedTuples.contains(f.partition))
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+    if (doomed.isEmpty) return Some(basedOn)
+    val id = log.nextId
+    // empty payload at the pinned table schema: SchemaEvo sees an
+    // unchanged schema and the writer emits zero files — the commit is
+    // the removals (the truncate/empty-region-overwrite precedent)
+    Some(writeCommit(readOrEmpty(Seq.empty, None), "delete",
+      doomed.map(_.path), Some(id), basedOn = Some(basedOn),
+      commitMeta = Map("delete.metadataOnly" -> "true"),
+      partitionScoped = true))
   }
 
   /** Replace the partitions present in `df` wholesale (Hudi

@@ -470,6 +470,33 @@ object Lake {
       t
     })
 
+  /** Retention-delete table: CoW seed partitioned by l_returnflag, then
+    * `deleteWhere(l_returnflag < 'N')` — a RANGE predicate on the
+    * partition column, which [[graft.lake.LakeTable]] commits
+    * METADATA-ONLY (file removals, zero rows read or written — the
+    * 100 TB retention-delete path). The builder REQUIRES the fast path
+    * actually took (zero added files + the `delete.metadataOnly` commit
+    * marker), so the oracle comparison downstream is pinned to the
+    * metadata path, never a silent fallback to the keyed rewrite.
+    */
+  private[graft] def retentionTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:retention", _ => {
+      val root = s"/tmp/graft_lake/retention_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("l_orderkey", "l_linenumber"),
+        precombineCol = "update_ts", partitionCols = Seq("l_returnflag")))
+      t.bulkInsert(keyedLineitem(s, d).withColumn("update_ts", lit(0)))
+      val cid = t.deleteWhere(col("l_returnflag") < "N")
+      val c = t.log.commitsInRange(cid - 1, cid).head
+      require(c.adds.isEmpty && c.metadata.get("delete.metadataOnly").contains("true"),
+        s"retention delete fell back to the rewrite path (commit $cid: " +
+          s"${c.adds.size} adds, meta=${c.metadata})")
+      t
+    })
+
   /** checkMode=drop table: the quantity-cap expectation quarantines
     * violating rows at ingest (`lake_expect_drop` proves the landed
     * snapshot equals the SQL-filtered replay). */
@@ -610,6 +637,20 @@ object Lake {
         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
           0 AS update_ts
         FROM li WHERE l_orderkey % 3 = 2 AND l_orderkey % 11 = 0
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- metadata-only retention delete --------------------------------
+    // DELETE WHERE <range predicate on the partition column> commits the
+    // doomed partitions' file removals alone — zero rows read, zero rows
+    // written (the fixture builder REQUIRES the fast path: zero adds +
+    // the delete.metadataOnly marker). The oracle replays the surviving
+    // region the hard way; survivors must be exactly the >= 'N' rows
+    GQuery("lake_retention_delete",
+      (s, d) => proj(retentionTable(s, d).read()),
+      Some(s"""WITH $liCte
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+          0 AS update_ts
+        FROM li WHERE NOT (l_returnflag < 'N')
         ORDER BY l_orderkey, l_linenumber""")),
 
     GQuery("lake_time_travel",

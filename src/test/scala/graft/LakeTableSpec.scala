@@ -1627,4 +1627,85 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.partitionRowCounts().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(1 -> 1, 2 -> 1))
   }
+
+  // ---- metadata-only retention delete ---------------------------------
+
+  test("metadata-only delete: partition-range DELETE commits removals alone") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0), (3L, 3, "c", 0)))
+    val before = t.log.liveFiles().map(f => f.partition -> f.path).toSet
+    val cid = t.deleteWhere(col("vendorid") <= 2)
+    val c = t.log.commitsInRange(cid - 1, cid).head
+    assert(c.adds.isEmpty, "fast path must write no files")
+    assert(c.metadata.get("delete.metadataOnly").contains("true"))
+    assert(snap(t) == Set((3L, 3, "c", 0)))
+    // survivors are byte-identical: the kept partition's file is the SAME
+    // path — nothing was rewritten
+    val after = t.log.liveFiles().map(f => f.partition -> f.path).toSet
+    assert(after == before.filter(_._1 == "3"))
+    // time travel still reproduces the pre-delete snapshot (files are
+    // removed from the snapshot, not from disk, until clean)
+    assert(t.readAsOf(cid - 1).count() == 3)
+  }
+
+  test("metadata-only delete: NULL predicate keeps the null partition (SQL semantics)") {
+    import spark.implicits._
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(Seq((1L, Some(1), "a", 0), (2L, Option.empty[Int], "b", 0))
+      .toDF("pk", "vendorid", "payload", "ts"))
+    // vendorid < 9 is NULL on the null partition: DELETE removes only
+    // TRUE rows, so the null partition must survive — still fast-path
+    val cid = t.deleteWhere(col("vendorid") < 9)
+    val c = t.log.commitsInRange(cid - 1, cid).head
+    assert(c.adds.isEmpty && c.metadata.get("delete.metadataOnly").contains("true"))
+    assert(t.read().select($"pk").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("metadata-only delete: no-match predicate commits nothing; IN-list is fast") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    val commits = t.log.commits.size
+    t.deleteWhere(col("vendorid") > 99)
+    assert(t.log.commits.size == commits, "no-match delete must not commit")
+    val cid = t.deleteWhere(col("vendorid").isin(2, 7))
+    val c = t.log.commitsInRange(cid - 1, cid).head
+    assert(c.adds.isEmpty && c.metadata.get("delete.metadataOnly").contains("true"))
+    assert(snap(t) == Set((1L, 1, "a", 0)))
+  }
+
+  test("predicate delete falls back to the keyed rewrite when not partition-exact") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0), (3L, 2, "c", 0)))
+    // non-partition column: prover refuses, rewrite path answers
+    val cid = t.deleteWhere(col("payload") === "b")
+    val c = t.log.commitsInRange(cid - 1, cid).head
+    assert(!c.metadata.contains("delete.metadataOnly"))
+    assert(snap(t) == Set((1L, 1, "a", 0), (3L, 2, "c", 0)))
+    // mixed partition + data predicate refuses too (conjunction is not
+    // partition-only), and the rewrite honors BOTH conjuncts
+    val cid2 = t.deleteWhere(col("vendorid") === 2 && col("payload") === "zzz")
+    assert(snap(t) == Set((1L, 1, "a", 0), (3L, 2, "c", 0)))
+    assert(cid2 == cid, "no-match rewrite delete must not commit")
+  }
+
+  test("metadata-only delete on MoR drops a partition's deltas with it; global index refuses") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), storageType = "mor"))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    t.upsert(df((1L, 1, "a2", 1))) // delta lands inside partition 1
+    val cid = t.deleteWhere(col("vendorid") === 1)
+    val c = t.log.commitsInRange(cid - 1, cid).head
+    assert(c.adds.isEmpty && c.metadata.get("delete.metadataOnly").contains("true"))
+    assert(snap(t) == Set((2L, 2, "b", 0)))
+    // global index: a delta in the doomed partition can shadow a KEPT
+    // partition's key — only the rewrite path is sound, and it is taken
+    val g = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), storageType = "mor", globalIndex = true))
+    g.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    g.upsert(df((2L, 1, "moved", 1))) // key 2 relocates into partition 1
+    val gid = g.deleteWhere(col("vendorid") === 1)
+    val gc = g.log.commitsInRange(gid - 1, gid).head
+    assert(!gc.metadata.contains("delete.metadataOnly"))
+    assert(g.read().count() == 0)
+  }
 }

@@ -849,4 +849,34 @@ class SqlCatalogSpec extends AnyFunSuite {
       Seq(Seq(1L), Seq(2L), Seq(3L)))
     spark.sql("DROP TABLE g.db.ckpt")
   }
+
+  test("DELETE FROM with a partition predicate is metadata-only (no scan, no rewrite)") {
+    wh
+    spark.sql("""CREATE TABLE g.db.retn (pk BIGINT, ts INT, v STRING, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""INSERT INTO g.db.retn VALUES
+      (1,0,'a','r1'), (2,0,'b','r1'), (3,0,'c','r2'), (4,0,'d','r3')""")
+    // remove every data file: anything that scans OR rewrites now fails —
+    // the surviving DELETEs below are therefore provably metadata-only
+    val p = new org.apache.hadoop.fs.Path(wh, "db/retn")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var dropped = 0
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) { fs.delete(f, false); dropped += 1 }
+    }
+    assert(dropped > 0)
+    intercept[Exception] { rows("SELECT sum(ts) FROM g.db.retn") }
+    // retention shape: a RANGE predicate on the partition column
+    spark.sql("DELETE FROM g.db.retn WHERE region < 'r2'")
+    assert(rows("SELECT count(*) FROM g.db.retn") == Seq(Seq(2L)))
+    // IN-list partition predicate
+    spark.sql("DELETE FROM g.db.retn WHERE region IN ('r3')")
+    assert(rows("SELECT count(*) FROM g.db.retn") == Seq(Seq(1L)))
+    // a non-partition predicate is a row question — it must read (= fail
+    // here, the control that the fast path is a prover, not a guess)
+    intercept[Exception] { spark.sql("DELETE FROM g.db.retn WHERE v = 'c'") }
+  }
 }
