@@ -1075,7 +1075,24 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * snapshots. A rewrite that re-ingests identical values still reports
     * an update (same contract as Hudi's incremental CDC on CoW).
     */
-  def changesBetween(from: Long, to: Long): DataFrame = {
+  def changesBetween(from: Long, to: Long): DataFrame =
+    changesBetween(from, to, preImages = false)
+
+  /** [[changesBetween]] with the full Delta change-data-feed type set:
+    * `preImages = true` splits every update into an `update_preimage`
+    * row (the values the key had at `from` — found by a key semi-join
+    * of the old snapshot against the updated keys, the same probe the
+    * materialized-aggregate refresh already runs for its retractions)
+    * and an `update_postimage` row (the new values). Downstream
+    * consumers that need to RETRACT an old contribution (incremental
+    * aggregate maintenance, audit diffs, replication into systems
+    * without upsert semantics) get both sides in one frame; the
+    * two-type form stays the default because tails that only apply
+    * last-writer-wins state never need the pre-image. Same plan bounds:
+    * the pre-image side adds ONE key semi-join against the `from`
+    * snapshot — O(changed keys), never a second table scan.
+    */
+  def changesBetween(from: Long, to: Long, preImages: Boolean): DataFrame = {
     require(from < to, s"need from < to, got [$from, $to]")
     // same horizon guard as readAsOf: the commit JSONs survive cleaning,
     // but a from-snapshot below the horizon references deleted files
@@ -1090,17 +1107,29 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val oldKeys = oldSnap.select(keyed.map(col): _*).distinct()
       .withColumn("_existed", lit(1))
     val joinCond = keyed.map(c => changed(c) <=> oldKeys(c)).reduce(_ && _)
+    val updateTag = if (preImages) "update_postimage" else "update"
     val upserts = changed.join(oldKeys, joinCond, "left_outer")
       .select(changed.columns.map(changed(_)) :+ oldKeys("_existed"): _*)
       .withColumn("_change_type",
-        when(col("_existed").isNull, lit("insert")).otherwise(lit("update")))
+        when(col("_existed").isNull, lit("insert")).otherwise(lit(updateTag)))
       .drop("_existed")
     // keys present at `from` and gone at `to`
     val newKeys = newSnap.select(keyed.map(col): _*).distinct()
     val delCond = keyed.map(c => oldSnap(c) <=> newKeys(c)).reduce(_ && _)
     val deletes = oldSnap.join(newKeys, delCond, "left_anti")
       .withColumn("_change_type", lit("delete"))
-    upserts.unionByName(deletes, allowMissingColumns = true)
+    val base = upserts.unionByName(deletes, allowMissingColumns = true)
+    if (!preImages) base
+    else {
+      // pre-images: the `from` snapshot's rows for exactly the UPDATED
+      // keys (inserts had no prior row; deletes already carry theirs)
+      val updKeys = changed.join(oldKeys, joinCond, "left_semi")
+        .select(keyed.map(col): _*).distinct()
+      val preCond = keyed.map(c => oldSnap(c) <=> updKeys(c)).reduce(_ && _)
+      val pres = oldSnap.join(updKeys, preCond, "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+      base.unionByName(pres, allowMissingColumns = true)
+    }
   }
 
   /** Read-optimized query (Hudi's MoR `_ro` view): base files only, no

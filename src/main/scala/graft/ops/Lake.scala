@@ -809,6 +809,40 @@ object Lake {
             WHERE k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
         ORDER BY _change_type, l_orderkey, l_linenumber""")),
 
+    // ---- change feed with PRE-images (Delta CDF's 4-type contract) ----
+    // every update splits into update_preimage (the values the key had
+    // at `from` — here the seed row) and update_postimage (the new
+    // values); consumers that must RETRACT an old contribution read one
+    // frame. The oracle replays both sides from the batch definitions
+    GQuery("lake_cdf_preimage",
+      (s, d) => {
+        val t = cdcTable(s, d)
+        t.changesBetween(0, t.log.latestId.get, preImages = true)
+          .select(col("_change_type"), col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"), col("update_ts"))
+          .orderBy(col("_change_type"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(s"""$mergedCte,
+        dels AS (SELECT l_orderkey, l_linenumber FROM li
+                 WHERE l_returnflag = 'A' AND l_linenumber <= 2),
+        upd AS (SELECT m.* FROM merged m
+                WHERE m.update_ts = 1
+                  AND NOT EXISTS (SELECT 1 FROM dels k
+                    WHERE k.l_orderkey = m.l_orderkey
+                      AND k.l_linenumber = m.l_linenumber))
+        SELECT 'delete' AS _change_type, li.l_orderkey, li.l_linenumber,
+               li.l_returnflag, li.l_quantity, 0 AS update_ts
+        FROM li JOIN dels USING (l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'update_postimage' AS _change_type, u.l_orderkey,
+               u.l_linenumber, u.l_returnflag, u.l_quantity, u.update_ts
+        FROM upd u
+        UNION ALL
+        SELECT 'update_preimage' AS _change_type, li.l_orderkey,
+               li.l_linenumber, li.l_returnflag, li.l_quantity, 0 AS update_ts
+        FROM li JOIN upd USING (l_orderkey, l_linenumber)
+        ORDER BY _change_type, l_orderkey, l_linenumber""")),
+
     // ---- INSERT_OVERWRITE: touched partitions replaced wholesale ------
     // (Hudi insert_overwrite; lower precombine than resident rows, so a
     // merge would have kept the old names — the oracle pins replacement)

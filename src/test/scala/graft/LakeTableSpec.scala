@@ -1708,4 +1708,23 @@ class LakeTableSpec extends AnyFunSuite {
     assert(!gc.metadata.contains("delete.metadataOnly"))
     assert(g.read().count() == 0)
   }
+
+  test("changesBetween preImages: 4-type CDF; inserts and deletes have no preimage") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))         // c0
+    t.upsert(df((1L, 1, "a2", 1), (3L, 1, "new", 0)))          // c1: update 1, insert 3
+    t.delete(df((2L, 2, "b", 0)).select("pk", "vendorid"))     // c2
+    val ch = t.changesBetween(0, 2, preImages = true)
+      .select("_change_type", "pk", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(ch == Set(
+      ("insert", 3L, "new"),
+      ("update_postimage", 1L, "a2"),
+      ("update_preimage", 1L, "a"),
+      ("delete", 2L, "b")))
+    // the default two-type form is unchanged — existing tails unaffected
+    val old = t.changesBetween(0, 2).select("_change_type", "pk").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(old == Set(("insert", 3L), ("update", 1L), ("delete", 2L)))
+  }
 }
