@@ -1573,6 +1573,11 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     spark.createDataFrame(log.tags.toSeq.sortBy(_._1))
       .toDF("name", "commit_id")
 
+  /** the `db.t.branches` metadata-table frame: name → branch head */
+  def branchesDf(): DataFrame =
+    spark.createDataFrame(branches.toSeq.sortBy(_._1))
+      .toDF("name", "head_commit_id")
+
   /** Exact snapshot row count answered from the commit log where
     * provable (Delta `numRecords` / Hudi commit-metadata-count role):
     * a base file's footer row count was recorded at commit time, and
@@ -1960,6 +1965,100 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     throw new IllegalArgumentException(
       s"no tag '$name' on table ${config.root} " +
         s"(tags: ${log.tags.keys.toSeq.sorted.mkString(", ")})"))
+
+  // ---- branches (Iceberg writable branch refs) -------------------------
+
+  /** Branches live INSIDE the table root (`_refs/<name>`), deliberately:
+    * [[CommitLog]]'s ownership guard treats any path under the root as
+    * this table's own, so files a published (fast-forwarded) branch
+    * contributed are retired by the SOURCE's clean when later commits
+    * supersede them — the same lifecycle as natively-written files.
+    * vacuumOrphans never enters `_refs` (it sweeps `data/` only). */
+  private def branchRoot(name: String): String =
+    s"${config.root}/_refs/$name"
+
+  /** Create writable branch `name` at the current head (or `asOf`) — a
+    * [[shallowClone]] whose location and lifecycle this table manages
+    * (Iceberg branch ref / the WAP audit table with a managed home).
+    * Zero-copy: the branch borrows this table's live files; its own
+    * writes land under its root. Same name rules as tags. Fails if the
+    * branch already exists (refs move by drop + re-create, like tags).
+    */
+  def createBranch(name: String, asOf: Option[Long] = None): LakeTable = {
+    require(exists, s"table ${config.root} does not exist")
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}") &&
+        !name.matches("\\d+"),
+      s"illegal branch name '$name' (alphanumeric/._- and not a bare number)")
+    shallowClone(branchRoot(name), asOf)
+  }
+
+  /** The branch's table handle — full read/write surface (upsert,
+    * delete, merge, time travel) on an isolated timeline. */
+  def branch(name: String): LakeTable = {
+    val t = new LakeTable(spark, config.copy(root = branchRoot(name)))
+    require(t.exists,
+      s"no branch '$name' on ${config.root} " +
+        s"(branches: ${branches.keys.toSeq.sorted.mkString(", ")})")
+    t
+  }
+
+  /** branch name → its head commit id */
+  def branches: Map[String, Long] = {
+    val dir = new Path(config.root, "_refs")
+    val fs = dir.getFileSystem(hconf)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+      new LakeTable(spark, config.copy(root = st.getPath.toString))
+        .log.latestId.map(st.getPath.getName -> _)
+    }.toMap
+  }
+
+  /** Fast-forward this table to branch `name`'s net effect as ONE atomic
+    * commit ([[publishFrom]] — zero-copy, OCC against a source that
+    * advanced since the branch was created). After a fast-forward the
+    * branch is SPENT: further writes on it cannot fast-forward again
+    * (the source advanced), and a published branch's own clean could
+    * retire files the source now borrows — drop it and re-branch.
+    */
+  def fastForward(name: String): Long = publishFrom(branch(name))
+
+  /** Drop branch `name`. Refused while the source still references any
+    * file under the branch root — live at the head, pinned by a
+    * savepoint/tag, or reachable by time travel above the clean
+    * horizon — because deleting the branch directory would destroy
+    * published data; `clean(retain)` past the publishing commits first.
+    */
+  def dropBranch(name: String): Unit = {
+    val dir = new Path(branchRoot(name))
+    val fs = dir.getFileSystem(hconf)
+    if (!fs.exists(dir)) return
+    // compare FULLY-QUALIFIED scheme-free paths: FileAdd paths are
+    // qualified ("file:/abs/...") while config.root may be plain or
+    // relative (the vacuumOrphans rule — an unqualified prefix match
+    // would reference NOTHING and let a published branch drop)
+    def qp(p: String): String = fs.makeQualified(new Path(p)).toUri.getPath
+    val prefix = qp(branchRoot(name)) + "/"
+    val published = log.commits.flatMap(_.adds.map(_.path))
+      .filter(p => qp(p).startsWith(prefix)).toSet
+    if (published.nonEmpty) {
+      // mirror clean's own delete-eligibility: a published file is
+      // unreachable only once some commit at or below the horizon
+      // superseded it AND no pin resurrects it
+      val retired = log.commits.filter(_.id <= log.cleanedUpTo)
+        .flatMap(_.removes).filter(p => qp(p).startsWith(prefix)).toSet
+      val pinnedLive = log.pins.toSeq
+        .flatMap(s => log.liveFiles(Some(s)).map(_.path))
+        .filter(p => qp(p).startsWith(prefix)).toSet
+      val blocking = (published -- retired) ++ pinnedLive
+      require(blocking.isEmpty,
+        s"cannot drop branch '$name': ${blocking.size} of its files were " +
+          s"published into ${config.root} and are still reachable (live, " +
+          "pinned, or time-travelable) — clean(retain) past the publishing " +
+          "commits first")
+    }
+    fs.delete(dir, true)
+    ()
+  }
 
   /** Restore the table to commit `id` (Hudi restore): retract every later
     * commit, newest first, with the same retired-id discipline as a

@@ -359,6 +359,34 @@ object Sql {
     })
   }
 
+  /** Branch (Iceberg writable ref) fixture: seed db.nation_br, create
+    * branch 'wip', upsert region-2 rows ON THE BRANCH through the
+    * `db.t.branch_wip` identifier (main must stay untouched — required
+    * inline, so the gate pins isolation too), then CALL fast_forward to
+    * land the branch's net effect on main as ONE atomic commit. */
+  private[graft] def branchFixture(s: SparkSession, d: String): String = {
+    // dependency hoisted outside the lambda (the cowTailFixture rationale)
+    val cat = dmlFixture(s, d)
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:branch", _ => {
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_br")
+      s.sql(s"""CREATE TABLE $cat.db.nation_br (
+          n_nationkey INT, n_name STRING, n_regionkey INT, update_ts INT)
+        USING graft PARTITIONED BY (n_regionkey)
+        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+      s.sql(s"INSERT INTO $cat.db.nation_br SELECT *, 0 FROM sql_nation_src")
+      s.sql(s"CALL $cat.system.create_branch('db.nation_br', 'wip', -1)")
+      s.sql(s"""INSERT INTO $cat.db.nation_br.branch_wip
+        SELECT n_nationkey, concat(n_name, '+wip'), n_regionkey, 1
+        FROM sql_nation_src WHERE n_regionkey = 2""")
+      // isolation: the branch write must NOT be visible on main yet
+      require(s.sql(s"""SELECT count(*) FROM $cat.db.nation_br
+          WHERE n_name LIKE '%+wip'""").first().getLong(0) == 0L,
+        "branch write leaked into main before fast_forward")
+      s.sql(s"CALL $cat.system.fast_forward('db.nation_br', 'wip')")
+      cat
+    })
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     // ---- CREATE/INSERT/UPDATE/DELETE through spark.sql -----------------
@@ -641,6 +669,23 @@ object Sql {
         s.sql(s"SELECT name, commit_id FROM $cat.db.nation.tags")
       },
       Some("SELECT 'seed.v0' AS name, CAST(0 AS BIGINT) AS commit_id")),
+
+    // ---- writable branches (Iceberg branch refs) -------------------------
+    // work lands on `db.t.branch_wip` (an isolated timeline borrowing the
+    // seed's files zero-copy), main provably unchanged until CALL
+    // fast_forward publishes the branch's net effect as one atomic commit.
+    // The oracle replays the branched edit over the raw table
+    GQuery("lake_sql_branch_rw",
+      (s, d) => {
+        val cat = branchFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, update_ts
+          FROM $cat.db.nation_br ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_regionkey = 2 THEN n_name || '+wip' ELSE n_name END AS n_name,
+          n_regionkey,
+          CASE WHEN n_regionkey = 2 THEN 1 ELSE 0 END AS update_ts
+        FROM nation ORDER BY n_nationkey""")),
 
     // ---- streaming tail of a CATALOG table, by name ---------------------
     // same change-log semantics as lake_tail_changes, but resolved through

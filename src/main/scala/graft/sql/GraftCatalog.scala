@@ -175,6 +175,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           () => GraftMetaTable.kinds(ident.name())(lake))
       }
     }
+    // branch suffix (Iceberg's `db.t.branch_<name>` identifier): a FULL
+    // read/write table over the branch's own timeline — same shadowing
+    // rule as the metadata suffixes (a real table always wins)
+    if (!tableExists(ident) && ident.namespace().length >= 2 &&
+        ident.name().startsWith("branch_") &&
+        ident.name().length > "branch_".length) {
+      val parent = Identifier.of(
+        ident.namespace().init, ident.namespace().last)
+      if (tableExists(parent)) {
+        val desc = descriptorOf(parent)
+        val root = tablePath(parent).toString
+        val br = graft.lake.LakeTable(spark, desc.config(root))
+          .branch(ident.name().stripPrefix("branch_"))
+        return new GraftTableV2(spark, catalogName, ident.toString,
+          br.config.root, desc, asOf = None)
+      }
+    }
     val desc = descriptorOf(ident)
     val root = tablePath(ident)
     new GraftTableV2(spark, catalogName, ident.toString, root.toString, desc, asOf = None)

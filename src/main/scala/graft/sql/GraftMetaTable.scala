@@ -60,5 +60,6 @@ object GraftMetaTable {
     "history" -> (_.history()),
     "files" -> (_.filesDf()),
     "partitions" -> (_.partitionsDf()),
-    "tags" -> (_.tagsDf()))
+    "tags" -> (_.tagsDf()),
+    "branches" -> (_.branchesDf()))
 }

@@ -61,7 +61,19 @@ private[sql] object GraftProcedures {
         in.getLong(2) }),
     "drop_tag" -> (Seq("name" -> StringType),
       (t, in) => { val id = t.resolveTag(in.getUTF8String(1).toString)
-        t.dropTag(in.getUTF8String(1).toString); id }))
+        t.dropTag(in.getUTF8String(1).toString); id }),
+    // branches (Iceberg writable refs): create at a commit (-1 = head),
+    // read/write through `db.t.branch_<name>`, land atomically via
+    // fast_forward, retire via drop_branch (refused while the source
+    // still references published branch files)
+    "create_branch" -> (Seq("name" -> StringType, "commit" -> LongType),
+      (t, in) => t.createBranch(in.getUTF8String(1).toString,
+        Some(in.getLong(2)).filter(_ >= 0)).log.latestId.getOrElse(-1L)),
+    "fast_forward" -> (Seq("name" -> StringType),
+      (t, in) => t.fastForward(in.getUTF8String(1).toString)),
+    "drop_branch" -> (Seq("name" -> StringType),
+      (t, in) => { t.dropBranch(in.getUTF8String(1).toString)
+        t.log.latestId.getOrElse(-1L) }))
 
   def names: Seq[String] = procs.keys.toSeq.sorted
 
