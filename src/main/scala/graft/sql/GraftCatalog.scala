@@ -199,6 +199,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `VERSION AS OF <commit>` time travel (Delta/Hudi syntax). */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // time travel composes with the branch identifier: the pin resolves
+    // on the BRANCH's own timeline (commit ids or its tags)
+    if (!tableExists(ident) && ident.namespace().length >= 2 &&
+        ident.name().startsWith("branch_") &&
+        ident.name().length > "branch_".length) {
+      val parent = Identifier.of(
+        ident.namespace().init, ident.namespace().last)
+      if (tableExists(parent)) {
+        val desc = descriptorOf(parent)
+        val br = graft.lake.LakeTable(
+            spark, desc.config(tablePath(parent).toString))
+          .branch(ident.name().stripPrefix("branch_"))
+        val pinned = version.toLongOption.getOrElse(br.resolveTag(version))
+        return new GraftTableV2(spark, catalogName, ident.toString,
+          br.config.root, desc, asOf = Some(pinned))
+      }
+    }
     val desc = descriptorOf(ident)
     val root = tablePath(ident)
     // numeric = commit id; otherwise a TAG name resolved on the table's

@@ -129,4 +129,29 @@ class BranchSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("CALL gbr.system.drop_branch('db.t', 'wip')") }
     intercept[Exception] { spark.sql("SELECT * FROM gbr.db.t.branch_nope") }
   }
+
+  test("VERSION AS OF composes with the branch identifier (branch's own timeline)") {
+    val wh = Files.createTempDirectory("branch_tt_wh").toString
+    spark.conf.set("spark.sql.catalog.gbrt", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbrt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbrt.db")
+    spark.sql("""CREATE TABLE gbrt.db.t (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO gbrt.db.t VALUES (1, 0, 'a')") // source c0
+    spark.sql("CALL gbrt.system.create_branch('db.t', 'wip', -1)")
+    // branch timeline continues the source id space: clone commit(s),
+    // then this upsert — its head is the branch's latest
+    spark.sql("INSERT INTO gbrt.db.t.branch_wip VALUES (1, 1, 'a2')")
+    // the PRE-upsert branch snapshot still reads 'a' — the branch
+    // timeline CONTINUES the source id space, so the clone commit that
+    // borrowed the seed is id 1 (source head 0 + 1), and AS OF 0 names
+    // a commit the branch never had
+    intercept[Exception] {
+      spark.sql("SELECT v FROM gbrt.db.t.branch_wip VERSION AS OF 0").collect()
+    }
+    assert(spark.sql("SELECT v FROM gbrt.db.t.branch_wip VERSION AS OF 1")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(spark.sql("SELECT v FROM gbrt.db.t.branch_wip")
+      .collect().map(_.getString(0)).toSeq == Seq("a2"))
+  }
 }
