@@ -1240,6 +1240,15 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       .map(_.copy(nullable = true)))
   }
 
+  /** [[tailSchema]] + `_change_type` — the typed change-feed tail's
+    * shape (`tailStream(changeTypes = true)`) */
+  private[graft] def changeFeedSchema: StructType = {
+    val base = tailSchema
+    StructType(base.fields.filterNot(_.name == "_change_type") :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = true))
+  }
+
   /** Structured-streaming tail of the table's change log (the streaming
     * counterpart of Hudi's incremental read): on a MoR table every write
     * is a delta commit whose directory holds EXACTLY the batch's rows —
@@ -1266,9 +1275,18 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     */
   def tailStream(
       maxCommitsPerTrigger: Option[Int] = None,
-      startingCommit: Option[Long] = None): DataFrame = {
+      startingCommit: Option[Long] = None,
+      /** Delta CDF-style typed change rows (`_change_type` = insert |
+        * update_preimage | update_postimage | delete) derived from each
+        * commit's adds/removes — CoW tables only (a MoR delta row does
+        * not know whether its key existed without a prior-state read).
+        * Zero write-path overhead: the types are derived at READ time
+        * from the commit log, where Delta pays a change-file write per
+        * commit; the tail pays one extra bounded key join per commit. */
+      changeTypes: Boolean = false): DataFrame = {
     val base = spark.readStream.format("graft")
-      .schema(tailSchema)
+      .schema(if (changeTypes) changeFeedSchema else tailSchema)
+      .option("changeTypes", changeTypes.toString)
       .option("storageType", config.storageType)
       .option("keyCols", config.keyCols.mkString(","))
       .option("precombineCol", config.precombineCol)

@@ -922,6 +922,45 @@ object Lake {
         SELECT * FROM tail
         ORDER BY l_orderkey, l_linenumber, _deleted, update_ts NULLS FIRST""")),
 
+    // ---- typed streaming change feed (Delta CDF over the tail) ---------
+    // the CoW tail with changeTypes=true derives the 4-type contract per
+    // commit from adds/removes at READ time (no write-path change files):
+    // c0 seed → inserts, c1 upsert → update_preimage (seed values) +
+    // update_postimage (+100), c2 stale upsert → NOTHING (the table did
+    // not change), c3 delete → typed tombstones carrying last values
+    GQuery("lake_tail_cdf",
+      (s, d) => {
+        val t = cdcTable(s, d)
+        val qname = "lake_tail_cdf_sink"
+        val q = t.tailStream(changeTypes = true)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qname).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qname).select(col("_change_type"), col("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          col("update_ts"), col("_deleted"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("_change_type"))
+      },
+      Some(s"""WITH $liCte,
+        tail AS (
+          SELECT 'insert' AS _change_type, l_orderkey, l_linenumber,
+                 l_returnflag, l_quantity, 0 AS update_ts, false AS _deleted
+          FROM li
+          UNION ALL
+          SELECT 'update_preimage', l_orderkey, l_linenumber, l_returnflag,
+                 l_quantity, 0, false
+          FROM li WHERE l_returnflag = 'R'
+          UNION ALL
+          SELECT 'update_postimage', l_orderkey, l_linenumber, l_returnflag,
+                 l_quantity + 100, 1, false
+          FROM li WHERE l_returnflag = 'R'
+          UNION ALL
+          SELECT 'delete', l_orderkey, l_linenumber, l_returnflag,
+                 l_quantity, 0, true
+          FROM li WHERE l_returnflag = 'A' AND l_linenumber <= 2)
+        SELECT * FROM tail
+        ORDER BY l_orderkey, l_linenumber, _change_type""")),
+
     // after compaction the same snapshot must come from base files only
     GQuery("lake_mor_compacted",
       (s, d) => {

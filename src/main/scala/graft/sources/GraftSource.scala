@@ -123,7 +123,12 @@ final class GraftSource extends RelationProvider
       ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String])
       : (String, StructType) =
-    ("graft", schema.getOrElse(tableFor(ctx, parameters).tailSchema))
+    ("graft", schema.getOrElse {
+      val t = tableFor(ctx, parameters)
+      if (parameters.get("changeTypes").exists(_.toBoolean))
+        t.changeFeedSchema
+      else t.tailSchema
+    })
 
   override def createSource(
       ctx: SQLContext, metadataPath: String, schema: Option[StructType],
@@ -133,11 +138,15 @@ final class GraftSource extends RelationProvider
     // MoR tables tail their delta commits directly; CoW tables derive
     // per-commit changes from the commit's adds/removes (see
     // GraftTailSource.cowBatchFrame) — both storage types stream
-    new GraftTailSource(ctx, table, schema.getOrElse(table.tailSchema),
+    val changeTypes = parameters.get("changeTypes").exists(_.toBoolean)
+    new GraftTailSource(ctx, table,
+      schema.getOrElse(
+        if (changeTypes) table.changeFeedSchema else table.tailSchema),
       maxCommitsPerTrigger =
         parameters.get("maxCommitsPerTrigger").map(_.toInt),
       startingCommit = parameters.get("startingCommit").map(_.toLong),
-      metadataPath = Some(metadataPath))
+      metadataPath = Some(metadataPath),
+      changeTypes = changeTypes)
   }
 }
 

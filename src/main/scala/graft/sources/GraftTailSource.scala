@@ -56,8 +56,19 @@ final class GraftTailSource(
       * metadataPath) — backs the high-water metadata log that keeps
       * `maxCommitsPerTrigger` effective ACROSS RESTARTS; None (direct
       * construction in specs) falls back to in-memory anchoring only */
-    metadataPath: Option[String] = None)
+    metadataPath: Option[String] = None,
+    /** Delta CDF-typed rows: `_change_type` = insert / update_preimage /
+      * update_postimage / delete, derived per commit from adds/removes.
+      * CoW only — a MoR delta row cannot be classified without a
+      * prior-state read the delta commit deliberately avoids. The
+      * schema must then be the table's [[graft.lake.LakeTable.changeFeedSchema]]. */
+    changeTypes: Boolean = false)
   extends Source {
+
+  require(!changeTypes || !table.config.isMor,
+    "changeTypes=true (the typed change feed) is CoW-only: MoR delta " +
+      "commits record ingested rows without prior-state classification — " +
+      "compact to CoW reads or consume the raw delta tail")
 
   /** change-log delta dir component (`LakeTable.dataDir`: `d<%08d id>-<hex
     * nonce>`); matching on the full shape keeps a partition VALUE that
@@ -288,22 +299,60 @@ final class GraftTailSource(
         // adds need no index probe: their schema IS this commit's
         def readAdds() = table.readTimelineFiles(
           adds, schema, _ => Some(c.schemaJson))
+        def readOld() = table.readTimelineFiles(
+          c.removes, schema, pathSchemaIdx.get)
+        val proj = schema.fieldNames.map(n => col("`" + n + "`")).toSeq
         val changed =
           if (adds.isEmpty) None
-          else Some(readAdds()
+          else if (!changeTypes) Some(readAdds()
             .filter(col("_commit_id") === c.id)
             .withColumn("_deleted", lit(false)))
+          else {
+            // typed post-side: a stamped add whose key had a prior row
+            // in the rewritten files is an update, else an insert. One
+            // bounded key join per commit (the keys the commit touched)
+            val stamped = readAdds().filter(col("_commit_id") === c.id)
+            val prior =
+              if (c.removes.isEmpty) None
+              else Some(readOld().select("_record_key").distinct()
+                .withColumn("_had_prior", lit(1)))
+            val typed = prior.fold(
+              stamped.withColumn("_change_type", lit("insert"))) { p =>
+              stamped.join(p, Seq("_record_key"), "left_outer")
+                .withColumn("_change_type",
+                  org.apache.spark.sql.functions.when(
+                    col("_had_prior").isNull, lit("insert"))
+                    .otherwise(lit("update_postimage")))
+                .drop("_had_prior")
+            }
+            Some(typed.select(proj: _*).withColumn("_deleted", lit(false)))
+          }
+        // typed pre-side: the rewritten files' rows for exactly the
+        // UPDATED keys (inserts had no prior row; deleted keys become
+        // tombstones below)
+        val preImages =
+          if (!changeTypes || adds.isEmpty || c.removes.isEmpty) None
+          else {
+            val updatedKeys = readAdds()
+              .filter(col("_commit_id") === c.id)
+              .select("_record_key").distinct()
+            Some(readOld().join(updatedKeys, Seq("_record_key"), "left_semi")
+              .select(proj: _*)
+              .withColumn("_deleted", lit(false))
+              .withColumn("_change_type", lit("update_preimage")))
+          }
         val tombstones =
           if (c.removes.isEmpty || !DeleteCapableOps.contains(c.op)) None
           else {
-            val oldRows = table.readTimelineFiles(
-              c.removes, schema, pathSchemaIdx.get)
+            val oldRows = readOld()
             val newKeys = readAdds().select("_record_key").distinct()
-            Some(oldRows.join(newKeys, Seq("_record_key"), "left_anti")
-              .select(schema.fieldNames.map(n => col("`" + n + "`")).toSeq: _*)
-              .withColumn("_deleted", lit(true)))
+            val t = oldRows.join(newKeys, Seq("_record_key"), "left_anti")
+              .select(proj: _*)
+              .withColumn("_deleted", lit(true))
+            Some(if (changeTypes)
+              t.withColumn("_change_type", lit("delete")) else t)
           }
-        changed.toSeq ++ tombstones
+        changed.toSeq ++ preImages ++ tombstones
       }
     if (frames.isEmpty)
       ctx.sparkSession.createDataFrame(

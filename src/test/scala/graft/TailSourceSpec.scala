@@ -503,4 +503,33 @@ class TailSourceSpec extends AnyFunSuite {
       (1L, "a2", false), (2L, "b", true)),
       s"checkpoint resume must deliver exactly the new changes: $resumed")
   }
+
+  test("changeTypes: typed CDF tail on CoW; MoR refuses loud") {
+    val root = freshRoot()
+    val t = LakeTable(spark, LakeTableConfig(root, keyCols = Seq("pk"),
+      precombineCol = "ts", partitionCols = Seq("vendorid")))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0)))      // c0: inserts
+    t.upsert(df((1L, 1, "a2", 1), (3L, 1, "c", 1)))         // c1: update + insert
+    t.delete(df((2L, 1, "b", 0)).select("pk", "vendorid"))  // c2: delete
+    val src = new GraftTailSource(spark.sqlContext, t, t.changeFeedSchema,
+      changeTypes = true)
+    val rows = src.batchFrame(-1L, 2L)
+      .select("_change_type", "pk", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("insert", 1L, "a"), ("insert", 2L, "b"),      // c0 seed batch
+      ("update_preimage", 1L, "a"),                  // c1 old value
+      ("update_postimage", 1L, "a2"),                // c1 new value
+      ("insert", 3L, "c"),                           // c1 fresh key
+      ("delete", 2L, "b")))                          // c2 last values
+    // a stale upsert changes nothing and emits nothing, typed or not
+    t.upsert(df((1L, 1, "stale", 0)))                       // c3: loses
+    assert(src.batchFrame(2L, 3L).count() == 0)
+    // MoR: delta rows cannot be classified without prior state — refuse
+    val m = build(freshRoot(), 1)
+    intercept[IllegalArgumentException] {
+      new GraftTailSource(spark.sqlContext, m, m.changeFeedSchema,
+        changeTypes = true)
+    }
+  }
 }
