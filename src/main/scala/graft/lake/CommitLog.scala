@@ -66,13 +66,18 @@ final case class FileAdd(
       * file at commit time (LakeTableConfig.bloomKeys); probes consult
       * it after the key-range check. false / missing (pre-upgrade JSON)
       * simply exempts the file from bloom pruning. */
-    bloom: Boolean = false) {
+    bloom: Boolean = false,
+    /** columns with a per-file VALUE bloom in the `.bfm` sidecar
+      * (LakeTableConfig.bloomCols — Delta's bloom-filter-index role for
+      * arbitrary columns). null/missing (pre-upgrade JSON) = none. */
+    cblooms: Seq[String] = null) {
   def isDelta: Boolean = kind == "delta"
   def hasKeyRange: Boolean = kmin != null && kmax != null
   /** null-safe accessors: commit JSONs written before the field existed
     * deserialize with null maps */
   def colMin: Map[String, String] = Option(cmin).getOrElse(Map.empty)
   def colMax: Map[String, String] = Option(cmax).getOrElse(Map.empty)
+  def colBlooms: Seq[String] = Option(cblooms).getOrElse(Seq.empty)
 }
 
 /** Optimistic-concurrency arbitration failure: the timeline moved (or
@@ -560,7 +565,13 @@ final class CommitLog(root: String, hadoopConf: Configuration,
       throw new IllegalStateException(s"could not retract commit $id")
     parsed.remove(id)
     c.adds.filter(a => owned(a.path))
-      .foreach(a => fs.delete(new Path(a.path), false))
+      .foreach { a =>
+        val dp = new Path(a.path)
+        fs.delete(dp, false)
+        // bloom sidecars retire with their data file (clean's rule)
+        fs.delete(new Path(dp.getParent, "." + dp.getName + ".bf"), false)
+        fs.delete(new Path(dp.getParent, "." + dp.getName + ".bfm"), false)
+      }
     id
   }
 
@@ -592,7 +603,15 @@ final class CommitLog(root: String, hadoopConf: Configuration,
       .flatMap(s => liveFiles(Some(s)).map(_.path)).toSet
     val removedEarly = commits.filter(_.id <= cutoff).flatMap(_.removes)
     removedEarly.filterNot(pinned).filter(owned)
-      .foreach(p => fs.delete(new Path(p), false))
+      .foreach { p =>
+        val dp = new Path(p)
+        fs.delete(dp, false)
+        // retire bloom sidecars with their data file (tiny hidden files
+        // the data-file delete does not cover; deleting a non-existent
+        // path is a cheap no-op)
+        fs.delete(new Path(dp.getParent, "." + dp.getName + ".bf"), false)
+        fs.delete(new Path(dp.getParent, "." + dp.getName + ".bfm"), false)
+      }
     val out = fs.create(cleanMarker, true)
     try out.write(mapper.writeValueAsBytes(Map("upTo" -> cutoff)))
     finally out.close()

@@ -93,6 +93,24 @@ final case class LakeTableConfig(
       * false negatives, so pruning stays conservative.
       */
     bloomKeys: Int = 0,
+    /** Per-file VALUE bloom filters on arbitrary data columns (Delta's
+      * bloom-filter-index role; [[bloomKeys]] generalized beyond the
+      * record key). At commit time every written file gets one filter
+      * per listed column — values cast to string, nulls skipped — all
+      * persisted in ONE `.bfm` sidecar next to the data file (retired
+      * with it by clean/rollback, skipped by parquet readers as
+      * hidden). Equality / IN predicates on these columns then prune
+      * the FILE LIST to the files that actually saw a probed value —
+      * the point-lookup regime column min/max ranges cannot serve
+      * (high-cardinality values spread across every file's range). The
+      * columns are pinned against rename/drop like statsCols; safe
+      * render types only (string/integral/boolean/date — enforced at
+      * the first write), so the probe literal and the stored value
+      * compare in one encoding. Filters size to [[bloomKeys]] when set,
+      * else 100k expected values at 1% fpp; overflow degrades fpp,
+      * never correctness.
+      */
+    bloomCols: Seq[String] = Seq.empty,
     /** CHECK constraints (Delta CHECK / Hudi pre-commit validator role):
       * name → SQL boolean expression over the row. Enforced INSIDE the
       * write pass of every commit (a codegen'd per-row guard fused into
@@ -183,6 +201,8 @@ final case class LakeTableConfig(
       "partition value")
   require(checkMode == "fail" || checkMode == "drop" || checkMode == "warn",
     s"checkMode must be fail|drop|warn, got $checkMode")
+  require(bloomCols.forall(c => c.nonEmpty && !c.startsWith("_")),
+    s"bloomCols must name user data columns, got ${bloomCols.mkString(",")}")
   require(!zOrder || clusterCols.size >= 2,
     "zOrder requires at least two clusterCols")
   require(!zOrder || clusterCols.size <= 7,
@@ -1035,6 +1055,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val pred = resolvePredicate(pruneBy, asOf)
     val live = log.liveFiles(asOf)
     val files = pred.fold(live)(p => pruneFilesFor(live, p, asOf))
+    lastReadFiles = files.size // spec observability, like lastLookupFiles
     // all-pruned: keep the schema shape stable with the merged (non-empty)
     // branch — the latest commit may be a delta whose schema carries the
     // MoR internals morMerge would have dropped
@@ -1178,6 +1199,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * call returns)
     */
   @volatile private[graft] var lastLookupFiles: Int = -1
+  /** file count the last read(pruneBy) actually planned (post-pruning) */
+  @volatile private[graft] var lastReadFiles: Int = -1
   @volatile private[graft] var lastLookupLive: Int = -1
 
   def lookup(keys: DataFrame): DataFrame = {
@@ -1455,7 +1478,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * the stats index from the config */
   private def pinnedCols: Set[String] =
     (config.keyCols ++ config.partitionCols ++ config.statsCols ++
-      config.clusterCols :+ config.precombineCol).toSet
+      config.clusterCols ++ config.bloomCols :+ config.precombineCol).toSet
 
   /** Rename a column (metadata-only commit — no data file is touched;
     * Delta column-mapping semantics): old files keep the old physical
@@ -2752,7 +2775,62 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       asOf: Option[Long]): Seq[FileAdd] = {
     val afterStats = pruneByColStats(files, pred, asOf)
     val afterParts = pruneByPartitionValues(afterStats, pred, asOf)
-    pruneByKeyEquality(afterParts, pred, asOf)
+    val afterKeys = pruneByKeyEquality(afterParts, pred, asOf)
+    pruneByColBlooms(afterKeys, pred, asOf)
+  }
+
+  /** Per-column value-bloom refinement ([[LakeTableConfig.bloomCols]]):
+    * an equality/IN conjunct on an indexed column keeps only the files
+    * whose `.bfm` sidecar may contain one of the probed renders — the
+    * point-lookup regime min/max ranges cannot serve. Base-only
+    * snapshots only (a delta row's values are not in the base filter,
+    * and the merge must see every version of surviving keys); the
+    * sidecar reads stay driver-bounded by the same guards as the key
+    * bloom (≤1024 probe values, ≤64 marked candidates). Conservative
+    * throughout: unmarked files, missing sidecars and unextractable
+    * predicate shapes are kept.
+    */
+  private def pruneByColBlooms(
+      files: Seq[FileAdd],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      asOf: Option[Long]): Seq[FileAdd] = {
+    if (config.bloomCols.isEmpty || files.isEmpty) return files
+    if (files.exists(_.isDelta)) return files
+    val accepted = acceptedRenders(pred, config.bloomCols.toSet,
+      tableSchema(asOf), nullRender = None)
+    if (accepted.isEmpty) return files
+    accepted.foldLeft(files) { case (fs0, (c, vals0)) =>
+      if (vals0.isEmpty || vals0.size > 1024) fs0
+      else {
+        val marked = fs0.filter(_.colBlooms.contains(c))
+        if (marked.isEmpty) fs0
+        else {
+          val vals = vals0.toSeq
+          // few candidates: driver-side sidecar opens. Many: distribute
+          // the probe (one task group loads each sidecar once — the
+          // pruneByKeyRange bloom-stage shape), so a 100k-file snapshot
+          // never funnels 100k metadata reads through the driver
+          val hits: Set[String] =
+            if (marked.size <= 64)
+              marked.filter(f =>
+                LakeTable.readColBloomSidecar(f.path, c, hconf)
+                  .forall(bf => vals.exists(bf.mightContainString)))
+                .map(_.path).toSet
+            else {
+              val conf = new SerializableHadoopConf(hconf)
+              val paths = marked.map(_.path)
+              spark.sparkContext
+                .parallelize(paths, math.max(1, math.min(paths.size, 64)))
+                .filter { p =>
+                  LakeTable.readColBloomSidecar(p, c, conf.value)
+                    .forall(bf => vals.exists(bf.mightContainString))
+                }
+                .collect().toSet
+            }
+          fs0.filter(f => !f.colBlooms.contains(c) || hits.contains(f.path))
+        }
+      }
+    }
   }
 
   private def conjunctsOf(
@@ -3528,8 +3606,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         st.cmin, st.cmax, len, st.rows)
     }
     val withBlooms =
-      if (config.bloomKeys <= 0 || adds.isEmpty) adds
-      else buildKeyBlooms(dir, adds)
+      if ((config.bloomKeys <= 0 && config.bloomCols.isEmpty) || adds.isEmpty)
+        adds
+      else buildBlooms(dir, adds, evolved)
     val schemaJson = evolved.json
     try
       log.append(Commit(id, op, System.currentTimeMillis(), schemaJson,
@@ -3712,10 +3791,54 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * unmarked — files without a sidecar are simply exempt from bloom
     * pruning (conservative), and the commit itself is unaffected.
     */
-  private def buildKeyBlooms(dir: Path, adds: Seq[FileAdd]): Seq[FileAdd] =
+  /** render types whose cast-to-string agrees between the write pass and
+    * a probe literal — the same set the partition-exactness prover
+    * claims (floats/decimals shortest-repr-diverge, timestamps are
+    * session-timezone-sensitive) */
+  private def bloomSafeType(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
+  /** Build the per-file bloom sidecars for a just-written commit
+    * directory: the `_record_key` filter ([[LakeTableConfig.bloomKeys]],
+    * `.bf` sidecar — the probe half of Hudi's BLOOM index) and/or the
+    * per-column value filters ([[LakeTableConfig.bloomCols]], one
+    * `.bfm` sidecar holding every column's filter — Delta's
+    * bloom-filter-index role). ONE distributed column-pruned pass reads
+    * only the indexed columns: partial filters accumulate per (task,
+    * file), merge per file through a METADATA-scale shuffle of
+    * serialized filters (values never move), and each merged sidecar is
+    * written executor-side next to its data file; the driver collects
+    * file names only. Filters share (n, fpp) so partials are
+    * merge-compatible. A build failure leaves the commit unmarked —
+    * unmarked files are simply exempt from bloom pruning (conservative)
+    * — but a MISCONFIGURED bloomCols column (absent, or an unsafe
+    * render type) fails the write loud: silence there would read as
+    * "indexed" while nothing ever prunes.
+    */
+  private def buildBlooms(dir: Path, adds: Seq[FileAdd],
+      evolved: StructType): Seq[FileAdd] = {
+    val colNames = config.bloomCols
+    colNames.foreach { c =>
+      val f = evolved.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloomCols column '$c' is absent from the table schema"))
+      require(bloomSafeType(f.dataType),
+        s"bloomCols column '$c' has unsupported type ${f.dataType} " +
+          "(string/integral/boolean/date only — floats and timestamps " +
+          "do not render stably)")
+    }
     try {
       import org.apache.spark.util.sketch.BloomFilter
-      val n = config.bloomKeys
+      val wantKey = config.bloomKeys > 0
+      val n = if (config.bloomKeys > 0) config.bloomKeys else 100000
       val conf = new SerializableHadoopConf(hconf)
       def ser(b: BloomFilter): Array[Byte] = {
         val bos = new java.io.ByteArrayOutputStream()
@@ -3723,36 +3846,67 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       }
       def de(a: Array[Byte]): BloomFilter =
         BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+      // filter slot order: the key (when requested), then bloomCols;
+      // every indexed value rides as ITS WRITE-SIDE STRING RENDER so the
+      // probe literal compares in the same encoding
+      val names = (if (wantKey) Seq("_record_key") else Nil) ++ colNames
+      val width = names.size
+      val sel = input_file_name().as("_f") +: names.zipWithIndex.map {
+        case (c, i) => col(c).cast("string").as(s"_v$i") }
       val built = spark.read.parquet(dir.toString)
-        .select(input_file_name().as("_f"), col("_record_key").as("_k"))
+        .select(sel: _*)
         .rdd
         .mapPartitions { it =>
           val acc = scala.collection.mutable.LinkedHashMap
-            .empty[String, (String, BloomFilter)]
+            .empty[String, (String, Array[BloomFilter])]
           it.foreach { r =>
             val orig = r.getString(0)
             // scheme-free URI path keys the merge AND matches FileAdd
             // paths (input_file_name yields file:///x, listStatus file:/x)
             val f = new Path(orig).toUri.getPath
-            acc.getOrElseUpdate(f, (orig, BloomFilter.create(n, 0.01)))
-              ._2.putString(r.getString(1))
+            val filters = acc.getOrElseUpdate(f,
+              (orig, Array.fill(width)(BloomFilter.create(n, 0.01))))._2
+            var i = 0
+            while (i < width) {
+              if (!r.isNullAt(i + 1)) filters(i).putString(r.getString(i + 1))
+              i += 1
+            }
           }
-          acc.iterator.map { case (f, (orig, b)) => (f, (orig, ser(b))) }
+          acc.iterator.map { case (f, (orig, bs)) => (f, (orig, bs.map(ser))) }
         }
         .reduceByKey { (x, y) =>
-          val m = de(x._2); m.mergeInPlace(de(y._2)); (x._1, ser(m))
+          (x._1, x._2.zip(y._2).map { case (a, b) =>
+            val m = de(a); m.mergeInPlace(de(b)); ser(m) })
         }
-        .map { case (uriPath, (orig, bytes)) =>
+        .map { case (uriPath, (orig, parts)) =>
           val dp = new Path(orig)
-          val sp = new Path(dp.getParent, "." + dp.getName + ".bf")
-          val fs = sp.getFileSystem(conf.value)
-          val os = fs.create(sp, true)
-          try os.write(bytes) finally os.close()
+          val fs = dp.getFileSystem(conf.value)
+          if (wantKey) {
+            val sp = new Path(dp.getParent, "." + dp.getName + ".bf")
+            val os = fs.create(sp, true)
+            try os.write(parts(0)) finally os.close()
+          }
+          if (colNames.nonEmpty) {
+            val off = if (wantKey) 1 else 0
+            val sp = new Path(dp.getParent, "." + dp.getName + ".bfm")
+            val dos = new java.io.DataOutputStream(fs.create(sp, true))
+            try {
+              dos.writeInt(colNames.size)
+              colNames.zipWithIndex.foreach { case (c, j) =>
+                dos.writeUTF(c)
+                dos.writeInt(parts(off + j).length)
+                dos.write(parts(off + j))
+              }
+            } finally dos.close()
+          }
           uriPath
         }
         .collect().toSet
-      adds.map(a =>
-        if (built(new Path(a.path).toUri.getPath)) a.copy(bloom = true) else a)
+      adds.map { a =>
+        if (!built(new Path(a.path).toUri.getPath)) a
+        else a.copy(bloom = wantKey,
+          cblooms = if (colNames.nonEmpty) colNames else null)
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(
@@ -3760,6 +3914,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
             s"bloom marks (pruning stays range-only): $e")
         adds
     }
+  }
 
   private def fileStatsFor(paths: Seq[Path]): Map[String, FileStats] =
     if (paths.isEmpty) Map.empty
@@ -3900,6 +4055,41 @@ object LakeTable {
         val is = fs.open(sp)
         try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(is))
         finally is.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Load one column's value bloom from a data file's `.bfm` sidecar
+    * (written by buildBlooms for LakeTableConfig.bloomCols). None on a
+    * missing/unreadable sidecar or an unlisted column — the caller must
+    * treat None as "may contain" (conservative, never a wrong prune).
+    */
+  private[lake] def readColBloomSidecar(
+      dataPath: String, column: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      val dp = new Path(dataPath)
+      val sp = new Path(dp.getParent, "." + dp.getName + ".bfm")
+      val fs = sp.getFileSystem(conf)
+      if (!fs.exists(sp)) None
+      else {
+        val dis = new java.io.DataInputStream(fs.open(sp))
+        try {
+          val cnt = dis.readInt()
+          var i = 0
+          var found: Option[org.apache.spark.util.sketch.BloomFilter] = None
+          while (i < cnt && found.isEmpty) {
+            val name = dis.readUTF()
+            val len = dis.readInt()
+            val bytes = new Array[Byte](len)
+            dis.readFully(bytes)
+            if (name == column)
+              found = Some(org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(bytes)))
+            i += 1
+          }
+          found
+        } finally dis.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

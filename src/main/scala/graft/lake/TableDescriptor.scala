@@ -28,6 +28,9 @@ final case class TableDescriptor(
     clusterCols: Seq[String] = Seq.empty,
     zOrder: Boolean = false,
     bloomKeys: Int = 0,
+    /** per-file value-bloom columns ([[LakeTableConfig.bloomCols]]);
+      * null-safe via config() for pre-upgrade JSONs */
+    bloomCols: Seq[String] = Seq.empty,
     checks: Map[String, String] = Map.empty,
     /** null-safe via config(): pre-upgrade JSONs deserialize null */
     checkMode: String = "fail",
@@ -44,6 +47,7 @@ final case class TableDescriptor(
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
     compactEvery, hashBuckets, statsCols, clusterCols, zOrder, bloomKeys,
+    Option(bloomCols).getOrElse(Seq.empty),
     Option(checks).getOrElse(Map.empty),
     Option(checkMode).getOrElse("fail"),
     partitionTransforms = Option(partitionTransforms).getOrElse(Seq.empty),
@@ -61,7 +65,8 @@ object TableDescriptor {
   def fromConfig(cfg: LakeTableConfig, schemaJson: String = ""): TableDescriptor =
     TableDescriptor(cfg.keyCols, cfg.precombineCol, cfg.partitionCols,
       cfg.globalIndex, cfg.storageType, cfg.compactEvery, cfg.hashBuckets,
-      cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.bloomKeys, cfg.checks,
+      cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.bloomKeys,
+      cfg.bloomCols, cfg.checks,
       cfg.checkMode, schemaJson, cfg.partitionTransforms, cfg.checkpointEvery)
 
   def exists(root: String, hconf: Configuration): Boolean = {

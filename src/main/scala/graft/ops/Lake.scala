@@ -497,6 +497,45 @@ object Lake {
       t
     })
 
+  /** Column-bloom point-lookup table (Delta bloom-filter-index role,
+    * [[graft.lake.LakeTableConfig.bloomCols]]): keyed lineitem plus a
+    * derived high-cardinality `ref` column, ingested as three mod-3
+    * commits so every file's KEY range spans the whole table — ranges
+    * prune nothing, only the per-file `ref` value blooms can. The
+    * builder REQUIRES the probe read planned fewer files than live, so
+    * the gated query is pinned to the bloom path. */
+  private[graft] def bloomColTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:bloomcol", _ => {
+      val root = s"/tmp/graft_lake/bloomcol_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("l_orderkey", "l_linenumber"),
+        precombineCol = "update_ts", partitionCols = Seq("batch"),
+        bloomCols = Seq("ref")))
+      val li = keyedLineitem(s, d)
+        .withColumn("ref", (col("l_orderkey") * 131) % 999983)
+        .withColumn("update_ts", lit(0))
+        .persist()
+      try {
+        // each ingest batch is its own partition, so no commit rewrites
+        // an earlier one: files accumulate, and because the probe column
+        // is NOT the partition column, only the value blooms can prune
+        (0 to 2).foreach(m =>
+          t.upsert(li.filter(col("l_orderkey") % 3 === m)
+            .withColumn("batch", lit(m))))
+      } finally li.unpersist()
+      t
+    })
+
+  /** the bloom-col fixture's probe values: the refs of the ~1% key class
+    * (driver-bounded collect, the lookup-probe precedent) */
+  private def bloomColProbe(s: SparkSession, d: String): Seq[Long] =
+    keyedLineitem(s, d).filter(col("l_orderkey") % 9973 === 7)
+      .select(((col("l_orderkey") * 131) % 999983).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+
   /** checkMode=drop table: the quantity-cap expectation quarantines
     * violating rows at ingest (`lake_expect_drop` proves the landed
     * snapshot equals the SQL-filtered replay). */
@@ -637,6 +676,34 @@ object Lake {
         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
           0 AS update_ts
         FROM li WHERE l_orderkey % 3 = 2 AND l_orderkey % 11 = 0
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- column value-bloom point lookup --------------------------------
+    // equality/IN on a NON-key high-cardinality column: key ranges span
+    // every file (mod-3 ingest), column min/max would too — only the
+    // per-file `ref` value blooms prune. The builder + this query REQUIRE
+    // the probe planned fewer files than live; the oracle replays the
+    // same IN-subset the hard way
+    GQuery("lake_bloom_col_point",
+      (s, d) => {
+        val t = bloomColTable(s, d)
+        val refs = bloomColProbe(s, d)
+        val out = t.read(col("ref").isin(refs: _*))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"), col("ref"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+        require(t.lastReadFiles >= 0 &&
+          t.lastReadFiles < t.log.liveFiles().size,
+          s"column blooms pruned nothing (${t.lastReadFiles} of " +
+            s"${t.log.liveFiles().size} files planned)")
+        out
+      },
+      Some(s"""WITH $liCte
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               (l_orderkey * 131) % 999983 AS ref
+        FROM li
+        WHERE (l_orderkey * 131) % 999983 IN (
+          SELECT (l_orderkey * 131) % 999983 FROM li WHERE l_orderkey % 9973 = 7)
         ORDER BY l_orderkey, l_linenumber""")),
 
     // ---- metadata-only retention delete --------------------------------

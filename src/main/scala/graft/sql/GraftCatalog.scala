@@ -324,6 +324,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       clusterCols = csv("clusterCols"),
       zOrder = prop("zOrder").exists(_.toBoolean),
       bloomKeys = prop("bloomKeys").map(_.toInt).getOrElse(0),
+      bloomCols = csv("bloomCols"),
       checks = checks,
       checkMode = {
         // validate HERE, not first at read time: an unvalidated persisted
@@ -517,8 +518,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * hashBuckets — is immutable: existing files were written under it
     * and every read/merge path assumes it. */
   private val MutableProps = Set(
-    "compactEvery", "checkpointEvery", "bloomKeys", "statsCols",
-    "clusterCols", "zOrder", "checks", "checkMode")
+    "compactEvery", "checkpointEvery", "bloomKeys", "bloomCols",
+    "statsCols", "clusterCols", "zOrder", "checks", "checkMode")
 
   private def alterProperties(
       root: String, desc: TableDescriptor,
@@ -536,6 +537,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "compactEvery" => d.copy(compactEvery = s.value.toInt)
           case "checkpointEvery" => d.copy(checkpointEvery = s.value.toInt)
           case "bloomKeys" => d.copy(bloomKeys = s.value.toInt)
+          case "bloomCols" => d.copy(bloomCols = csv(s.value))
           case "statsCols" => d.copy(statsCols = csv(s.value))
           case "clusterCols" => d.copy(clusterCols = csv(s.value))
           case "zOrder" => d.copy(zOrder = s.value.toBoolean)
@@ -548,6 +550,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "compactEvery" => d.copy(compactEvery = 0)
           case "checkpointEvery" => d.copy(checkpointEvery = 0)
           case "bloomKeys" => d.copy(bloomKeys = 0)
+          case "bloomCols" => d.copy(bloomCols = Seq.empty)
           case "statsCols" => d.copy(statsCols = Seq.empty)
           case "clusterCols" => d.copy(clusterCols = Seq.empty)
           case "zOrder" => d.copy(zOrder = false)
@@ -563,7 +566,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       else Option(next.schemaJson).filter(_.nonEmpty)
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[StructType]).getOrElse(new StructType())
-    (next.statsCols ++ next.clusterCols).foreach(c =>
+    (next.statsCols ++ next.clusterCols ++
+        Option(next.bloomCols).getOrElse(Seq.empty)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"declared column '$c' is not in the table schema"))
     next.config(root)

@@ -104,6 +104,8 @@ final class GraftTableV2(
         Map("hashBuckets" -> desc.hashBuckets.toString) else Map.empty) ++
       (if (desc.bloomKeys > 0)
         Map("bloomKeys" -> desc.bloomKeys.toString) else Map.empty) ++
+      (if (Option(desc.bloomCols).exists(_.nonEmpty))
+        Map("bloomCols" -> desc.bloomCols.mkString(",")) else Map.empty) ++
       (if (desc.statsCols.nonEmpty)
         Map("statsCols" -> desc.statsCols.mkString(",")) else Map.empty) ++
       (if (desc.clusterCols.nonEmpty)

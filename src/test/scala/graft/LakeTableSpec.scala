@@ -1727,4 +1727,58 @@ class LakeTableSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(old == Set(("insert", 3L), ("update", 1L), ("delete", 2L)))
   }
+
+  test("bloomCols: value blooms prune non-key point lookups; sidecars retire with clean") {
+    val root = freshRoot()
+    val t = LakeTable(spark, LakeTableConfig(root, Seq("pk"), "ts",
+      partitionCols = Seq("vendorid"), bloomCols = Seq("payload")))
+    t.bulkInsert(df((1L, 1, "a1", 0), (2L, 1, "a2", 0)))
+    t.upsert(df((3L, 2, "b1", 0), (4L, 2, "b2", 0)))
+    t.upsert(df((5L, 3, "c1", 0), (6L, 3, "c2", 0)))
+    assert(t.log.liveFiles().forall(_.colBlooms == Seq("payload")))
+    val total = t.log.liveFiles().size
+    assert(total >= 3)
+    // point lookup on the NON-key column: only files that saw the value
+    assert(t.read(col("payload") === "b1").select("pk").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    assert(t.lastReadFiles < total,
+      s"blooms pruned nothing: ${t.lastReadFiles} of $total")
+    assert(t.lastReadFiles < total,
+      s"blooms pruned nothing: ${t.lastReadFiles} of $total")
+    // a value nobody holds: every file pruned, result still exact
+    assert(t.read(col("payload") === "zzz").count() == 0)
+    assert(t.lastReadFiles == 0)
+    // IN-list spanning two commits
+    assert(t.read(col("payload").isin("a1", "c2")).count() == 2)
+    assert(t.lastReadFiles < total)
+    // sidecar lifecycle: superseding + cleaning removes the .bfm with
+    // its data file — no orphan index files accumulate
+    t.upsert(df((1L, 1, "a1b", 1)))
+    t.clean(1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".bfm")) {
+        val dataName = f.getName.stripPrefix(".").stripSuffix(".bfm")
+        assert(fs.exists(new org.apache.hadoop.fs.Path(f.getParent, dataName)),
+          s"orphan sidecar ${f}")
+      }
+    }
+  }
+
+  test("bloomCols: misconfigured columns fail the write loud") {
+    // absent column
+    val bad = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      bloomCols = Seq("nope")))
+    intercept[Exception] { bad.bulkInsert(df((1L, 1, "x", 0))) }
+    assert(!bad.exists)
+    // unstable render type (double)
+    import spark.implicits._
+    val dbl = LakeTable(spark, LakeTableConfig(freshRoot(), Seq("pk"), "ts",
+      bloomCols = Seq("v")))
+    intercept[Exception] { dbl.bulkInsert(Seq((1L, 0, 1.5)).toDF("pk", "ts", "v")) }
+    assert(!dbl.exists)
+  }
 }

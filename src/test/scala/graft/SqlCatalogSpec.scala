@@ -879,4 +879,22 @@ class SqlCatalogSpec extends AnyFunSuite {
     // here, the control that the fast path is a prover, not a guess)
     intercept[Exception] { spark.sql("DELETE FROM g.db.retn WHERE v = 'c'") }
   }
+
+  test("bloomCols property: CREATE + SHOW TBLPROPERTIES + ALTER round trip") {
+    wh
+    spark.sql("""CREATE TABLE g.db.bcol (pk BIGINT, ts INT, ref BIGINT)
+                 USING graft TBLPROPERTIES
+                 (keyCols='pk', precombineCol='ts', bloomCols='ref')""")
+    spark.sql("INSERT INTO g.db.bcol VALUES (1,0,11),(2,0,22)")
+    assert(rows("SHOW TBLPROPERTIES g.db.bcol")
+      .exists(r => r(0) == "bloomCols" && r(1) == "ref"))
+    assert(rows("SELECT pk FROM g.db.bcol WHERE ref = 22") == Seq(Seq(2L)))
+    spark.sql("ALTER TABLE g.db.bcol UNSET TBLPROPERTIES ('bloomCols')")
+    spark.sql("INSERT INTO g.db.bcol VALUES (3,0,33)")
+    assert(rows("SELECT pk FROM g.db.bcol WHERE ref = 33") == Seq(Seq(3L)))
+    // a nonexistent column refuses at ALTER time, not at the next write
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.bcol SET TBLPROPERTIES ('bloomCols'='nope')")
+    }
+  }
 }
