@@ -70,7 +70,15 @@ final case class FileAdd(
     /** columns with a per-file VALUE bloom in the `.bfm` sidecar
       * (LakeTableConfig.bloomCols — Delta's bloom-filter-index role for
       * arbitrary columns). null/missing (pre-upgrade JSON) = none. */
-    cblooms: Seq[String] = null) {
+    cblooms: Seq[String] = null,
+    /** per-file EXACT column sums (LakeTableConfig.sumCols): decimal
+      * strings of the sum over the file's non-null values, computed at
+      * commit time — the fact that lets a global SUM answer from the
+      * commit log alone. null/missing = not recorded. */
+    csum: Map[String, String] = null,
+    /** per-file NON-NULL value counts for sumCols — SUM over zero
+      * non-null rows is NULL, and only the count can prove which. */
+    cnn: Map[String, Long] = null) {
   def isDelta: Boolean = kind == "delta"
   def hasKeyRange: Boolean = kmin != null && kmax != null
   /** null-safe accessors: commit JSONs written before the field existed
@@ -78,6 +86,15 @@ final case class FileAdd(
   def colMin: Map[String, String] = Option(cmin).getOrElse(Map.empty)
   def colMax: Map[String, String] = Option(cmax).getOrElse(Map.empty)
   def colBlooms: Seq[String] = Option(cblooms).getOrElse(Seq.empty)
+  def colSum: Map[String, String] = Option(csum).getOrElse(Map.empty)
+  /** Jackson erases Map[String, Long] and boxes small JSON numbers as
+    * Integer — coerce through Number or the first deserialized commit
+    * throws ClassCastException on access */
+  def colNonNull: Map[String, Long] =
+    Option(cnn).getOrElse(Map.empty)
+      .asInstanceOf[Map[String, Any]] // widen BEFORE touching values —
+      // a typed destructure would itself unbox (and throw) right here
+      .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
 }
 
 /** Optimistic-concurrency arbitration failure: the timeline moved (or

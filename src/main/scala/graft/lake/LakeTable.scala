@@ -111,6 +111,19 @@ final case class LakeTableConfig(
       * never correctness.
       */
     bloomCols: Seq[String] = Seq.empty,
+    /** Per-file EXACT column sums recorded at commit time (one extra
+      * column-pruned aggregation pass per commit, collected at
+      * metadata scale): a global `SUM(col)` — unfiltered, or filtered
+      * by a provably-exact partition predicate — then answers from the
+      * commit log alone, the same no-scan contract as `count(*)` and
+      * MIN/MAX. At 100 TB a dashboard's running total must not scan
+      * either. Integral columns only (exact decimal accumulation;
+      * floats are order-sensitive); NULL semantics ride a per-file
+      * non-null count (SUM of zero non-null rows is NULL). Columns are
+      * pinned against rename/drop like statsCols; snapshots with
+      * pending MoR deltas or pre-upgrade files fall back to the scan.
+      */
+    sumCols: Seq[String] = Seq.empty,
     /** CHECK constraints (Delta CHECK / Hudi pre-commit validator role):
       * name → SQL boolean expression over the row. Enforced INSIDE the
       * write pass of every commit (a codegen'd per-row guard fused into
@@ -203,6 +216,8 @@ final case class LakeTableConfig(
     s"checkMode must be fail|drop|warn, got $checkMode")
   require(bloomCols.forall(c => c.nonEmpty && !c.startsWith("_")),
     s"bloomCols must name user data columns, got ${bloomCols.mkString(",")}")
+  require(sumCols.forall(c => c.nonEmpty && !c.startsWith("_")),
+    s"sumCols must name user data columns, got ${sumCols.mkString(",")}")
   require(!zOrder || clusterCols.size >= 2,
     "zOrder requires at least two clusterCols")
   require(!zOrder || clusterCols.size <= 7,
@@ -1478,7 +1493,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * the stats index from the config */
   private def pinnedCols: Set[String] =
     (config.keyCols ++ config.partitionCols ++ config.statsCols ++
-      config.clusterCols ++ config.bloomCols :+ config.precombineCol).toSet
+      config.clusterCols ++ config.bloomCols ++ config.sumCols :+
+      config.precombineCol).toSet
 
   /** Rename a column (metadata-only commit — no data file is touched;
     * Delta column-mapping semantics): old files keep the old physical
@@ -1786,6 +1802,34 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     else scala.util.Try((
       files.map(_.colMin(colName).toLong).min,
       files.map(_.colMax(colName).toLong).max)).toOption
+  }
+
+  /** Exact SUM of a [[LakeTableConfig.sumCols]] column answered from the
+    * commit log's per-file sums — Some((total, nonNullCount)) ONLY when
+    * every file in the subset is a base file with the column's sum and
+    * non-null count recorded. SQL NULL semantics ride the count: SUM
+    * over zero non-null rows is NULL, and the caller decides that from
+    * the returned count. Decimal accumulation — the caller is
+    * responsible for refusing totals outside its result type's range.
+    */
+  private[graft] def metadataSumOf(colName: String, files: Seq[FileAdd])
+      : Option[(java.math.BigDecimal, Long)] = {
+    if (!config.sumCols.contains(colName)) return None
+    if (files.exists(_.isDelta)) return None
+    var total = java.math.BigDecimal.ZERO
+    var nonNull = 0L
+    files.foreach { f =>
+      val nn = f.colNonNull.getOrElse(colName, return None)
+      f.colSum.get(colName) match {
+        case Some(s) =>
+          total = total.add(new java.math.BigDecimal(s)); nonNull += nn
+        case None =>
+          // no recorded sum: sound only if the file provably holds no
+          // non-null value of the column
+          if (nn != 0L) return None
+      }
+    }
+    Some((total, nonNull))
   }
 
   /** Strict per-partition prover (see [[metadataRowCount]]): partition
@@ -3605,10 +3649,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       FileAdd(p.toString, segs.mkString(PartSep), kind, st.kmin, st.kmax,
         st.cmin, st.cmax, len, st.rows)
     }
+    val withSums =
+      if (config.sumCols.isEmpty || kind == "delta" || adds.isEmpty) adds
+      else recordFileSums(dir, adds, evolved)
     val withBlooms =
-      if ((config.bloomKeys <= 0 && config.bloomCols.isEmpty) || adds.isEmpty)
-        adds
-      else buildBlooms(dir, adds, evolved)
+      if ((config.bloomKeys <= 0 && config.bloomCols.isEmpty) ||
+          withSums.isEmpty)
+        withSums
+      else buildBlooms(dir, withSums, evolved)
     val schemaJson = evolved.json
     try
       log.append(Commit(id, op, System.currentTimeMillis(), schemaJson,
@@ -3791,6 +3839,53 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * unmarked — files without a sidecar are simply exempt from bloom
     * pruning (conservative), and the commit itself is unaffected.
     */
+  /** Record per-file EXACT sums + non-null counts for
+    * [[LakeTableConfig.sumCols]] on a just-written commit directory: ONE
+    * distributed column-pruned aggregation grouped by file, collected at
+    * metadata scale (one row per file). Decimal(38,0) accumulation, so
+    * the recorded sum is exact regardless of per-file overflow; integral
+    * columns only — a misconfigured column fails the write loud (the
+    * buildBlooms posture: silence would read as "indexed"). A FAILURE of
+    * the pass itself also fails the write: unlike a bloom (pure pruning
+    * accelerator), a missing sum silently downgrades every future SUM
+    * to a scan, which the operator should see at write time.
+    */
+  private def recordFileSums(dir: Path, adds: Seq[FileAdd],
+      evolved: StructType): Seq[FileAdd] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val cols = config.sumCols
+    cols.foreach { c =>
+      val f = evolved.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"sumCols column '$c' is absent from the table schema"))
+      require(f.dataType == ByteType || f.dataType == ShortType ||
+          f.dataType == IntegerType || f.dataType == LongType,
+        s"sumCols column '$c' has unsupported type ${f.dataType} " +
+          "(integral only — float sums are order-sensitive)")
+    }
+    val aggs = cols.flatMap(c => Seq(
+      sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as(s"_s_$c"),
+      count(col(c)).as(s"_n_$c")))
+    val byFile = spark.read.parquet(dir.toString)
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val f = new Path(r.getString(0)).toUri.getPath
+        val s = cols.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.get(1 + 2 * i)).map(v => c -> v.toString) }.toMap
+        val n = cols.zipWithIndex.map { case (c, i) =>
+          c -> r.getLong(2 + 2 * i) }.toMap
+        f -> ((s, n))
+      }.toMap
+    adds.map { a =>
+      byFile.get(new Path(a.path).toUri.getPath) match {
+        case Some((s, n)) => a.copy(csum = s, cnn = n)
+        case None => a
+      }
+    }
+  }
+
   /** render types whose cast-to-string agrees between the write pass and
     * a probe literal — the same set the partition-exactness prover
     * claims (floats/decimals shortest-repr-diverge, timestamps are

@@ -31,6 +31,8 @@ final case class TableDescriptor(
     /** per-file value-bloom columns ([[LakeTableConfig.bloomCols]]);
       * null-safe via config() for pre-upgrade JSONs */
     bloomCols: Seq[String] = Seq.empty,
+    /** per-file exact-sum columns ([[LakeTableConfig.sumCols]]) */
+    sumCols: Seq[String] = Seq.empty,
     checks: Map[String, String] = Map.empty,
     /** null-safe via config(): pre-upgrade JSONs deserialize null */
     checkMode: String = "fail",
@@ -48,6 +50,7 @@ final case class TableDescriptor(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
     compactEvery, hashBuckets, statsCols, clusterCols, zOrder, bloomKeys,
     Option(bloomCols).getOrElse(Seq.empty),
+    Option(sumCols).getOrElse(Seq.empty),
     Option(checks).getOrElse(Map.empty),
     Option(checkMode).getOrElse("fail"),
     partitionTransforms = Option(partitionTransforms).getOrElse(Seq.empty),
@@ -66,7 +69,7 @@ object TableDescriptor {
     TableDescriptor(cfg.keyCols, cfg.precombineCol, cfg.partitionCols,
       cfg.globalIndex, cfg.storageType, cfg.compactEvery, cfg.hashBuckets,
       cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.bloomKeys,
-      cfg.bloomCols, cfg.checks,
+      cfg.bloomCols, cfg.sumCols, cfg.checks,
       cfg.checkMode, schemaJson, cfg.partitionTransforms, cfg.checkpointEvery)
 
   def exists(root: String, hconf: Configuration): Boolean = {

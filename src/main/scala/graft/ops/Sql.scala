@@ -387,6 +387,30 @@ object Sql {
     })
   }
 
+
+  /** sumCols fixture: nation replica with per-file EXACT sums recorded
+    * for (n_nationkey, val) — `val` is NULL for region 2 so the gated
+    * queries pin SQL NULL-sum semantics too. The DELETE rewrites files,
+    * so the gate also proves rewritten files re-record their sums. */
+  private[graft] def sumFixture(s: SparkSession, d: String): String = {
+    val cat = dmlFixture(s, d)
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:sum", _ => {
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_sum")
+      s.sql(s"""CREATE TABLE $cat.db.nation_sum (
+          n_nationkey INT, n_name STRING, n_regionkey INT, val INT,
+          update_ts INT)
+        USING graft PARTITIONED BY (n_regionkey)
+        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts',
+          sumCols='n_nationkey,val')""")
+      s.sql(s"""INSERT INTO $cat.db.nation_sum
+        SELECT n_nationkey, n_name, n_regionkey,
+               CASE WHEN n_regionkey = 2 THEN NULL ELSE n_nationkey * 3 END, 0
+        FROM sql_nation_src""")
+      s.sql(s"DELETE FROM $cat.db.nation_sum WHERE n_nationkey >= 20")
+      cat
+    })
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     // ---- CREATE/INSERT/UPDATE/DELETE through spark.sql -----------------
@@ -402,6 +426,37 @@ object Sql {
           CASE WHEN n_regionkey = 2 THEN 7 ELSE 0 END AS update_ts
         FROM nation WHERE n_nationkey < 20
         ORDER BY n_nationkey""")),
+
+
+    // ---- metadata-answered SQL SUM (round 12) ---------------------------
+    // per-file exact sums recorded at commit time (sumCols) let a global
+    // SUM ride the same aggregate pushdown as count(*)/MIN/MAX — no data
+    // file opened (SqlCatalogSpec proves it files-deleted). sum(val) over
+    // region 2 is NULL (all values NULL there): the per-file non-null
+    // counts carry SQL's NULL-sum semantics through the metadata path
+    GQuery("lake_sql_sum_push",
+      (s, d) => {
+        val cat = sumFixture(s, d)
+        s.sql(s"""SELECT count(*) AS n_rows, sum(n_nationkey) AS sum_key,
+            sum(val) AS sum_val FROM $cat.db.nation_sum""")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+          CAST(sum(CASE WHEN n_regionkey = 2 THEN NULL
+                        ELSE n_nationkey * 3 END) AS BIGINT) AS sum_val
+        FROM nation WHERE n_nationkey < 20""")),
+
+    // the FILTERED form: partition-exact predicate + metadata sums;
+    // sum_val is NULL here (region 2 holds only NULL vals)
+    GQuery("lake_sql_sum_where",
+      (s, d) => {
+        val cat = sumFixture(s, d)
+        s.sql(s"""SELECT sum(n_nationkey) AS sum_key, sum(val) AS sum_val
+          FROM $cat.db.nation_sum WHERE n_regionkey = 2""")
+      },
+      Some("""SELECT CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+          CAST(NULL AS BIGINT) AS sum_val
+        FROM nation WHERE n_nationkey < 20 AND n_regionkey = 2""")),
 
     // ---- metadata-answered SQL count -----------------------------------
     // grouped count(*) over the DML table rides the DSv2 aggregate

@@ -325,6 +325,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       zOrder = prop("zOrder").exists(_.toBoolean),
       bloomKeys = prop("bloomKeys").map(_.toInt).getOrElse(0),
       bloomCols = csv("bloomCols"),
+      sumCols = csv("sumCols"),
       checks = checks,
       checkMode = {
         // validate HERE, not first at read time: an unvalidated persisted
@@ -519,7 +520,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * and every read/merge path assumes it. */
   private val MutableProps = Set(
     "compactEvery", "checkpointEvery", "bloomKeys", "bloomCols",
-    "statsCols", "clusterCols", "zOrder", "checks", "checkMode")
+    "sumCols", "statsCols", "clusterCols", "zOrder", "checks", "checkMode")
 
   private def alterProperties(
       root: String, desc: TableDescriptor,
@@ -538,6 +539,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "checkpointEvery" => d.copy(checkpointEvery = s.value.toInt)
           case "bloomKeys" => d.copy(bloomKeys = s.value.toInt)
           case "bloomCols" => d.copy(bloomCols = csv(s.value))
+          case "sumCols" => d.copy(sumCols = csv(s.value))
           case "statsCols" => d.copy(statsCols = csv(s.value))
           case "clusterCols" => d.copy(clusterCols = csv(s.value))
           case "zOrder" => d.copy(zOrder = s.value.toBoolean)
@@ -551,6 +553,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "checkpointEvery" => d.copy(checkpointEvery = 0)
           case "bloomKeys" => d.copy(bloomKeys = 0)
           case "bloomCols" => d.copy(bloomCols = Seq.empty)
+          case "sumCols" => d.copy(sumCols = Seq.empty)
           case "statsCols" => d.copy(statsCols = Seq.empty)
           case "clusterCols" => d.copy(clusterCols = Seq.empty)
           case "zOrder" => d.copy(zOrder = false)
@@ -567,7 +570,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[StructType]).getOrElse(new StructType())
     (next.statsCols ++ next.clusterCols ++
-        Option(next.bloomCols).getOrElse(Seq.empty)).foreach(c =>
+        Option(next.bloomCols).getOrElse(Seq.empty) ++
+        Option(next.sumCols).getOrElse(Seq.empty)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"declared column '$c' is not in the table schema"))
     next.config(root)

@@ -106,6 +106,8 @@ final class GraftTableV2(
         Map("bloomKeys" -> desc.bloomKeys.toString) else Map.empty) ++
       (if (Option(desc.bloomCols).exists(_.nonEmpty))
         Map("bloomCols" -> desc.bloomCols.mkString(",")) else Map.empty) ++
+      (if (Option(desc.sumCols).exists(_.nonEmpty))
+        Map("sumCols" -> desc.sumCols.mkString(",")) else Map.empty) ++
       (if (desc.statsCols.nonEmpty)
         Map("statsCols" -> desc.statsCols.mkString(",")) else Map.empty) ++
       (if (desc.clusterCols.nonEmpty)
@@ -374,7 +376,7 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
   // ---- COUNT(*) / MIN / MAX from commit-log metadata -------------------
 
   import org.apache.spark.sql.connector.expressions.NamedReference
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
   import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampType}
 
   private sealed trait PushedVal
@@ -382,6 +384,10 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
   /** minOf = true → MIN, false → MAX; dt is the table column type */
   private case class PushBound(name: String, dt: DataType, minOf: Boolean)
     extends PushedVal
+  /** exact metadata SUM of a sumCols integral column (result: LongType,
+    * Spark's sum-of-integral type; totals outside long range refuse at
+    * prove time and fall back to the scan) */
+  private case class PushSum(name: String) extends PushedVal
 
   private var pushedPlan: Option[(Seq[String], Seq[PushedVal])] = None
 
@@ -436,9 +442,31 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
           .getOrElse(return None)
         if (!boundType(dt)) return None
         PushBound(n, dt, minOf = false)
+      case sm: Sum if !sm.isDistinct =>
+        val n = singleName(sm.column).getOrElse(return None)
+        val dt = scala.util.Try(table.schema()(n).dataType)
+          .getOrElse(return None)
+        val integral = dt match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | LongType => true
+          case _ => false
+        }
+        if (!integral) return None
+        PushSum(n)
       case _ => return None
     }
     val bounds = vals.collect { case b: PushBound => b }
+    val sums = vals.collect { case s: PushSum => s }
+    // a metadata sum must also FIT the result type: Spark's sum over
+    // integrals is LongType, so an out-of-range exact total refuses
+    // here and the normal scan (with its own overflow semantics) runs
+    def sumOk(fs: Seq[graft.lake.FileAdd]): Boolean =
+      sums.forall(sc => table.lake.metadataSumOf(sc.name, fs).exists {
+        case (total, _) =>
+          total.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0 &&
+          total.compareTo(java.math.BigDecimal.valueOf(Long.MinValue)) >= 0
+      })
     val provable = table.pinned match {
       case None =>
         pushed.isEmpty && gb.isEmpty // pinned-empty global: count 0, bounds NULL
@@ -449,10 +477,12 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
             (vals.forall(_ != PushCount) ||
               table.lake.metadataRowCountOf(fs).isDefined) &&
               bounds.forall(b =>
-                table.lake.metadataMinMaxOf(b.name, fs).isDefined)
+                table.lake.metadataMinMaxOf(b.name, fs).isDefined) &&
+              sumOk(fs)
         }
       case some =>
-        aggFiles().exists(fs => table.lake
+        // grouped sums are not metadata-answerable yet — refuse the push
+        sums.isEmpty && aggFiles().exists(fs => table.lake
           .metadataPartitionAggsOf(bounds.map(_.name).distinct, fs, some)
           .isDefined)
     }
@@ -489,6 +519,8 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
         "count(*)", LongType, nullable = false)
       case PushBound(n, dt, minOf) => org.apache.spark.sql.types.StructField(
         (if (minOf) "min(" else "max(") + n + ")", dt, nullable = true)
+      case PushSum(n) => org.apache.spark.sql.types.StructField(
+        "sum(" + n + ")", LongType, nullable = true)
     })
   }
 
@@ -527,6 +559,12 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
               .map(mm => if (minOf) mm._1 else mm._2) match {
               case None => lit(null).cast(dt)
               case Some(v) => boundExpr(lit(v), dt)
+            }
+          case PushSum(n) =>
+            fs.map(sub => reprove(table.lake.metadataSumOf(n, sub))) match {
+              case None => lit(null).cast(LongType) // pinned-empty table
+              case Some((_, 0L)) => lit(null).cast(LongType) // all-NULL sum
+              case Some((total, _)) => lit(total.longValueExact())
             }
         }
         ss.range(1).select(cols: _*).rdd

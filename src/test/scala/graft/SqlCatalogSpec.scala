@@ -897,4 +897,36 @@ class SqlCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE g.db.bcol SET TBLPROPERTIES ('bloomCols'='nope')")
     }
   }
+
+  test("SUM pushdown: metadata-answered, NULL-correct, proven by deleting files") {
+    wh
+    spark.sql("""CREATE TABLE g.db.sums (pk BIGINT, ts INT, region STRING,
+                   x INT, v INT)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+                   sumCols='x,v')""")
+    spark.sql("""INSERT INTO g.db.sums VALUES
+      (1,0,'r1',10,NULL), (2,0,'r1',20,NULL), (3,0,'r2',5,7), (4,0,'r2',6,8)""")
+    assert(rows("SELECT sum(x) FROM g.db.sums") == Seq(Seq(41L)))
+    // all-NULL column slice sums to NULL through the metadata path too
+    assert(rows("SELECT sum(v) FROM g.db.sums WHERE region = 'r1'") ==
+      Seq(Seq(null)))
+    assert(rows("SELECT sum(x), sum(v) FROM g.db.sums WHERE region = 'r2'") ==
+      Seq(Seq(11L, 15L)))
+    // the proof: with every data file gone, sums still answer while a
+    // non-sum column's aggregate must scan (= fail)
+    val p = new org.apache.hadoop.fs.Path(wh, "db/sums")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var dropped = 0
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) { fs.delete(f, false); dropped += 1 }
+    }
+    assert(dropped > 0)
+    assert(rows("SELECT sum(x), count(*) FROM g.db.sums") == Seq(Seq(41L, 4L)))
+    assert(rows("SELECT sum(v) FROM g.db.sums WHERE region = 'r1'") ==
+      Seq(Seq(null)))
+    intercept[Exception] { rows("SELECT sum(ts) FROM g.db.sums") }
+  }
 }
