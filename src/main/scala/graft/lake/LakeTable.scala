@@ -1846,12 +1846,18 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * frame: zero groups IS the metadata answer. */
   def metadataPartitionAggs(boundCols: Seq[String], asOf: Option[Long] = None)
       : Option[DataFrame] =
-    metadataPartitionAggsOf(boundCols, log.liveFiles(asOf), asOf)
+    metadataPartitionAggsOf(boundCols, Seq.empty, log.liveFiles(asOf), asOf)
 
   /** [[metadataPartitionAggs]] over an explicit (exact-partition) file
-    * subset — the grouped form of the filtered aggregate pushdown. */
+    * subset — the grouped form of the filtered aggregate pushdown.
+    * `sumColsReq` adds `_sum_<c>` columns from the per-file exact sums
+    * ([[LakeTableConfig.sumCols]]); a group whose non-null count is zero
+    * emits NULL (SQL SUM semantics), and any group total outside long
+    * range refuses the whole answer (the scan's own overflow semantics
+    * then apply). */
   private[graft] def metadataPartitionAggsOf(
-      boundCols: Seq[String], files: Seq[FileAdd], asOf: Option[Long])
+      boundCols: Seq[String], sumColsReq: Seq[String],
+      files: Seq[FileAdd], asOf: Option[Long])
       : Option[DataFrame] = {
     import org.apache.spark.sql.Row
     if (config.partitionCols.isEmpty) return None
@@ -1859,7 +1865,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     if (config.hasHiddenParts) return None
     val tbl = tableSchema(asOf)
     val ok = files.forall(f => !f.isDelta && f.rows > 0L &&
-      boundCols.forall(c => f.colMin.contains(c) && f.colMax.contains(c)))
+      boundCols.forall(c => f.colMin.contains(c) && f.colMax.contains(c)) &&
+      sumColsReq.forall(c => config.sumCols.contains(c) &&
+        f.colNonNull.contains(c) &&
+        (f.colNonNull(c) == 0L || f.colSum.contains(c))))
     // the hive-default directory holds BOTH null and '' values of a
     // STRING partition column (renderCol folds them) — the stored tuple
     // cannot tell them apart, while a real scan reads the true column
@@ -1878,9 +1887,17 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
               (fs.map(_.rows).sum +:
                 boundCols.flatMap(c => Seq(
                   fs.map(_.colMin(c).toLong).min,
-                  fs.map(_.colMax(c).toLong).max))))
+                  fs.map(_.colMax(c).toLong).max))) ++
+              sumColsReq.map { c =>
+                if (fs.map(f => f.colNonNull(c)).sum == 0L) null
+                else fs.map(f => f.colSum.get(c)
+                    .map(new java.math.BigDecimal(_))
+                    .getOrElse(java.math.BigDecimal.ZERO))
+                  .reduce(_ add _)
+                  .longValueExact(): java.lang.Long // overflow → Try → None
+              })
           },
-        boundCols, tableSchema(asOf))
+        boundCols, sumColsReq, tableSchema(asOf))
     }.toOption
   }
 
@@ -1889,7 +1906,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * that rendered them; counts and bounds stay raw longs */
   private def metaAggDf(
       rows: Seq[org.apache.spark.sql.Row], boundCols: Seq[String],
-      tbl: StructType): DataFrame = {
+      sumColsReq: Seq[String], tbl: StructType): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val parts = config.partitionCols
     val strSchema = StructType(
@@ -1897,7 +1914,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         (StructField("n_rows", LongType) +:
           boundCols.flatMap(c => Seq(
             StructField("_min_" + c, LongType),
-            StructField("_max_" + c, LongType)))))
+            StructField("_max_" + c, LongType)))) ++
+        sumColsReq.map(c => StructField("_sum_" + c, LongType)))
     val typedCols = parts.map { p =>
       val dt = tbl.fields.find(_.name == p).map(_.dataType)
         .getOrElse(org.apache.spark.sql.types.StringType)
@@ -1952,7 +1970,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         .toSeq.map { case (t, fs) =>
           Row.fromSeq(t :+ fs.map(_.rows).sum)
         },
-      Seq.empty, tbl)
+      Seq.empty, Seq.empty, tbl)
     if (dirty.isEmpty) metaDf
     else metaDf.unionByName(
       mergeIfNeeded(dirty, asOf)

@@ -446,6 +446,22 @@ object Sql {
                         ELSE n_nationkey * 3 END) AS BIGINT) AS sum_val
         FROM nation WHERE n_nationkey < 20""")),
 
+    // the GROUPED form: per-partition sums from the same per-file
+    // metadata (tuples re-parse through the rendering cast); region 2's
+    // sum_val group is NULL through the metadata path
+    GQuery("lake_sql_sum_by_part",
+      (s, d) => {
+        val cat = sumFixture(s, d)
+        s.sql(s"""SELECT n_regionkey, sum(n_nationkey) AS sum_key,
+            sum(val) AS sum_val FROM $cat.db.nation_sum
+          GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey, CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+          CAST(sum(CASE WHEN n_regionkey = 2 THEN NULL
+                        ELSE n_nationkey * 3 END) AS BIGINT) AS sum_val
+        FROM nation WHERE n_nationkey < 20
+        GROUP BY 1 ORDER BY 1""")),
+
     // the FILTERED form: partition-exact predicate + metadata sums;
     // sum_val is NULL here (region 2 holds only NULL vals)
     GQuery("lake_sql_sum_where",

@@ -481,9 +481,9 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
               sumOk(fs)
         }
       case some =>
-        // grouped sums are not metadata-answerable yet — refuse the push
-        sums.isEmpty && aggFiles().exists(fs => table.lake
-          .metadataPartitionAggsOf(bounds.map(_.name).distinct, fs, some)
+        aggFiles().exists(fs => table.lake
+          .metadataPartitionAggsOf(bounds.map(_.name).distinct,
+            sums.map(_.name).distinct, fs, some)
           .isDefined)
     }
     if (!provable) None
@@ -572,12 +572,16 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
       case (some, groupCols) =>
         val boundNames =
           vals.collect { case b: PushBound => b.name }.distinct
+        val sumNames =
+          vals.collect { case sc: PushSum => sc.name }.distinct
         reprove(table.lake
-          .metadataPartitionAggsOf(boundNames, reprove(aggFiles()), some))
+          .metadataPartitionAggsOf(boundNames, sumNames,
+            reprove(aggFiles()), some))
           .select(groupCols.map(FilterTranslation.qcol) ++ vals.map {
             case PushCount => col("n_rows")
             case PushBound(n, dt, minOf) =>
               boundExpr(col((if (minOf) "_min_" else "_max_") + n), dt)
+            case PushSum(n) => col("_sum_" + n)
           }: _*)
           .rdd
     }

@@ -927,6 +927,10 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(rows("SELECT sum(x), count(*) FROM g.db.sums") == Seq(Seq(41L, 4L)))
     assert(rows("SELECT sum(v) FROM g.db.sums WHERE region = 'r1'") ==
       Seq(Seq(null)))
+    // the GROUPED form answers from per-partition metadata sums too
+    assert(rows("""SELECT region, sum(x), sum(v) FROM g.db.sums
+                   GROUP BY region ORDER BY region""") ==
+      Seq(Seq("r1", 30L, null), Seq("r2", 11L, 15L)))
     intercept[Exception] { rows("SELECT sum(ts) FROM g.db.sums") }
   }
 }
