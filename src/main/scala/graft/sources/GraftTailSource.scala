@@ -376,19 +376,43 @@ final class GraftTailSource(
         .foreach(a => groups.getOrElseUpdate(c.schemaJson,
           new scala.collection.mutable.ArrayBuffer[String]) += a.path)
     }
-    if (groups.isEmpty)
+    // a METADATA-ONLY partition drop (LakeTable.deleteWhere's fast path)
+    // commits file removals with NO delta add — invisible to the
+    // delta-driven tail above, so its deletes must be DERIVED here or
+    // incremental consumers silently miss them. Emit one NULL-payload
+    // tombstone per distinct (key, partition) of the dropped files (the
+    // MoR delta-tombstone shape); base+delta versions of a key collapse,
+    // and a key already tombstoned in the dropped partition re-emits —
+    // idempotent for any delete-applying consumer.
+    import org.apache.spark.sql.functions.{col, lit}
+    val dropTombs = table.log.commitsInRange(from, to)
+      .filter(c => c.op == "delete" && c.removes.nonEmpty &&
+        !c.adds.exists(a => a.isDelta && ChangeDir.matches(a.path)))
+      .map { c =>
+        ensureIndexed(to)
+        val idCols = (table.config.keyCols ++ table.config.partitionCols)
+          .distinct :+ "_record_key"
+        val keys = table.readTimelineFiles(c.removes, schema, pathSchemaIdx.get)
+          .select(idCols.map(n => col("`" + n + "`")): _*).distinct()
+        keys.select(schema.fields.map { f =>
+          if (f.name == "_deleted") lit(true).as(f.name)
+          else if (idCols.contains(f.name)) col("`" + f.name + "`")
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      }
+    val frames = groups.toSeq.map { case (j, paths) =>
+      // memoized parse: commit JSONs are immutable and repeat across
+      // triggers — a continuously-running stream must not re-parse
+      // the same schema every micro-batch
+      val fileSchema = table.parseSchema(j)
+      graft.lake.SchemaEvo.adaptToStream(
+        ctx.sparkSession.read.schema(fileSchema).parquet(paths.toSeq: _*),
+        fileSchema, schema)
+    } ++ dropTombs
+    if (frames.isEmpty)
       ctx.sparkSession.createDataFrame(
         ctx.sparkSession.sparkContext.emptyRDD[Row], schema)
-    else
-      groups.toSeq.map { case (j, paths) =>
-        // memoized parse: commit JSONs are immutable and repeat across
-        // triggers — a continuously-running stream must not re-parse
-        // the same schema every micro-batch
-        val fileSchema = table.parseSchema(j)
-        graft.lake.SchemaEvo.adaptToStream(
-          ctx.sparkSession.read.schema(fileSchema).parquet(paths.toSeq: _*),
-          fileSchema, schema)
-      }.reduce(_ union _)
+    else frames.reduce(_ unionByName _)
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {

@@ -532,4 +532,22 @@ class TailSourceSpec extends AnyFunSuite {
         changeTypes = true)
     }
   }
+
+  test("MoR tail derives tombstones from a metadata-only partition drop") {
+    val t = morTable(freshRoot())
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    t.upsert(df((3L, 1, "c", 1))) // delta add inside partition 1
+    val cid = t.deleteWhere(col("vendorid") === 1) // metadata-only drop
+    assert(t.log.commitsInRange(cid - 1, cid).head.adds.isEmpty,
+      "fixture must take the metadata-only path")
+    // the drop commit has no delta files, but its deletes must still
+    // reach the tail: NULL-payload tombstones per dropped (key, part)
+    val rows = source(t).batchFrame(cid - 1, cid)
+      .select("pk", "vendorid", "payload", "_deleted").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(3) && r.isNullAt(2)))
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 1), (3L, 1)))
+    assert(t.read().count() == 1)
+  }
 }
