@@ -2086,6 +2086,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * Zero-copy: the branch borrows this table's live files; its own
     * writes land under its root. Same name rules as tags. Fails if the
     * branch already exists (refs move by drop + re-create, like tags).
+    * Cleaning contract, inherited from [[shallowClone]]: cleaning this
+    * table can drop borrowed files an UNPUBLISHED branch still
+    * references — savepoint the branched commit to pin them.
     */
   def createBranch(name: String, asOf: Option[Long] = None): LakeTable = {
     require(exists, s"table ${config.root} does not exist")
