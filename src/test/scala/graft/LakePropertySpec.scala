@@ -74,7 +74,10 @@ class LakePropertySpec extends AnyFunSuite {
       if (b.nonEmpty) t1.upsert(toDf(b))
       if (b.nonEmpty) t2.upsert(toDf(b))
       if (a.nonEmpty) t2.upsert(toDf(a))
-      snap(t1) == snap(t2)
+      // both sides can filter to empty (a rare but legal draw): neither
+      // table then EXISTS, and snap on a never-written table has no
+      // schema to select — the commuting claim is vacuously true there
+      (a.isEmpty && b.isEmpty) || snap(t1) == snap(t2)
     })
   }
 
