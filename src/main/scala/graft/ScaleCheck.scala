@@ -63,6 +63,11 @@ object ScaleCheck {
     // is the stronger claim. At production thresholds (≥0.9) the tail
     // is ~51σ — truly zero.
     "emb_neardup_lsh", "emb_ann_ivf",
+    // r12: the typed change feed — per-commit cost adds a bounded key
+    // join (post classification) and a semi-join (pre-images) to the
+    // untyped tail; the audit checks the whole replay stays O(total
+    // changes) like lake_tail_changes, not super-linear in commit size
+    "lake_tail_cdf",
     // r11: bloom point lookup — the candidate-pair join (probe keys ×
     // range-hit files) is the known hazard regime: on the full-span MoR
     // fixture EVERY file range-hits every probe, so pairs grow as
@@ -113,8 +118,28 @@ object ScaleCheck {
     s.read.parquet(out)
   }
 
+  /** typed-CDF twin of [[tailToParquet]]: same distributed-sink rationale
+    * (the catalog's memory sink is the oracle harness, not the
+    * production shape), over the CoW CDC fixture with changeTypes on */
+  private def cdfTailToParquet(s: SparkSession, d: String): DataFrame = {
+    val t = ops.Lake.cdcTable(s, d)
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"/tmp/graft_scale_sink/cdf_$tag"
+    val ckpt = s"/tmp/graft_scale_sink/cdf_ckpt_$tag"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(out, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val q = t.tailStream(changeTypes = true).writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+  }
+
   private val overrides: Map[String, (SparkSession, String) => DataFrame] =
-    Map("lake_tail_changes" -> (tailToParquet _))
+    Map("lake_tail_changes" -> (tailToParquet _),
+      "lake_tail_cdf" -> (cdfTailToParquet _))
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
