@@ -179,11 +179,23 @@ object GraftExtensions {
     (FunctionIdentifier("graft_changes"),
       new ExpressionInfo("graft.lake.LakeTable", "graft_changes"),
       (args: Seq[Expression]) => {
-        require(args.length == 3,
-          "graft_changes(root, from_commit, to_commit) takes three arguments")
+        // optional 4th argument (Delta table_changes' CDF contract):
+        // true → updates split into update_preimage/update_postimage
+        require(args.length == 3 || args.length == 4,
+          "graft_changes(root, from_commit, to_commit[, pre_images]) " +
+            "takes three or four arguments")
+        val pre = args.length == 4 && (args(3) match {
+          case b if b.foldable => b.eval() match {
+            case x: java.lang.Boolean => x.booleanValue()
+            case _ => throw new IllegalArgumentException(
+              "pre_images must be a literal boolean")
+          }
+          case _ => throw new IllegalArgumentException(
+            "pre_images must be a literal boolean")
+        })
         lakeAt(strArg(args(0), "root"))
           .changesBetween(longArg(args(1), "from_commit"),
-            longArg(args(2), "to_commit"))
+            longArg(args(2), "to_commit"), preImages = pre)
           .queryExecution.analyzed
       }),
     (FunctionIdentifier("graft_history"),

@@ -260,6 +260,13 @@ class SqlCatalogSpec extends AnyFunSuite {
     val ch = rows(s"""SELECT _change_type, pk FROM graft_changes('$root', 0, 2)
                       ORDER BY _change_type, pk""")
     assert(ch == Seq(Seq("delete", 2L), Seq("update", 1L)))
+    // 4-arg form: the Delta table_changes CDF contract — updates split
+    // into pre/post images, the 3-arg two-type form above unchanged
+    val cdf = rows(s"""SELECT _change_type, pk, v
+                       FROM graft_changes('$root', 0, 2, true)
+                       ORDER BY _change_type, pk""")
+    assert(cdf == Seq(Seq("delete", 2L, "b"),
+      Seq("update_postimage", 1L, "a2"), Seq("update_preimage", 1L, "a")))
     // file inventory: every live path exists on disk with its real size
     val files = spark.sql(s"SELECT path, kind, bytes FROM graft_files('$root')")
       .collect()
