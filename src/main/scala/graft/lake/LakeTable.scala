@@ -1981,6 +1981,25 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   def clean(retain: Int): Unit = log.clean(retain)
 
+  /** Time-based retention (Hudi KEEP_LATEST_BY_HOURS / Delta's
+    * retention-period role): clean so that every commit stamped within
+    * the last `olderThanMs` stays time-travelable (the latest always
+    * does). The equivalent retain COUNT is computed from commit
+    * timestamps and routed through [[clean]] — one cleaning engine, two
+    * policies. Conservative under writer clock skew: retention keeps
+    * everything from the FIRST in-window commit onward, so an
+    * old-stamped straggler BETWEEN young commits is kept, never
+    * cleaned early.
+    */
+  def cleanOlderThan(olderThanMs: Long): Unit = {
+    require(olderThanMs >= 0, s"need a non-negative window, got $olderThanMs")
+    val cs = log.commits
+    if (cs.size <= 1) return
+    val horizon = System.currentTimeMillis() - olderThanMs
+    val firstYoung = cs.indexWhere(_.tsMillis >= horizon)
+    clean(math.max(1, if (firstYoung < 0) 1 else cs.size - firstYoung))
+  }
+
   /** Delete data directories no commit references (Delta VACUUM / Hudi
     * orphan-clean role): a crashed write leaves its directory on disk —
     * invisible to every reader, but paid for in storage — and [[clean]]

@@ -175,6 +175,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           () => GraftMetaTable.kinds(ident.name())(lake))
       }
     }
+    // metadata tables COMPOSE on branch identifiers:
+    // `db.t.branch_<name>.history/.files/.partitions/.tags` reads the
+    // BRANCH's own timeline (same shadowing rule: any real table wins)
+    if (!tableExists(ident) && ident.namespace().length >= 3 &&
+        GraftMetaTable.kinds.contains(ident.name())) {
+      val ns = ident.namespace()
+      val bseg = ns.last
+      if (bseg.startsWith("branch_") && bseg.length > "branch_".length) {
+        val gparent = Identifier.of(ns.init.init, ns.init.last)
+        if (tableExists(gparent)) {
+          val desc = descriptorOf(gparent)
+          val br = graft.lake.LakeTable(
+              spark, desc.config(tablePath(gparent).toString))
+            .branch(bseg.stripPrefix("branch_"))
+          return new GraftMetaTable(ident.toString,
+            () => GraftMetaTable.kinds(ident.name())(br))
+        }
+      }
+    }
     // branch suffix (Iceberg's `db.t.branch_<name>` identifier): a FULL
     // read/write table over the branch's own timeline — same shadowing
     // rule as the metadata suffixes (a real table always wins)

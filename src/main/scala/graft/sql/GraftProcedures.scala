@@ -44,6 +44,11 @@ private[sql] object GraftProcedures {
       (t, in) => t.compactSmall(in.getLong(1))),
     "clean" -> (Seq("retain" -> IntegerType),
       (t, in) => { t.clean(in.getInt(1)); t.log.latestId.getOrElse(-1L) }),
+    // time-based retention (KEEP_LATEST_BY_HOURS role): commits stamped
+    // within the window stay travelable; same cleaning engine as clean
+    "clean_older_than" -> (Seq("older_than_ms" -> LongType),
+      (t, in) => { t.cleanOlderThan(in.getLong(1))
+        t.log.latestId.getOrElse(-1L) }),
     "vacuum" -> (Seq("older_than_ms" -> LongType),
       (t, in) => t.vacuumOrphans(in.getLong(1)).size.toLong),
     "savepoint" -> (Seq("commit" -> LongType),

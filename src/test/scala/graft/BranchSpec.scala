@@ -154,4 +154,32 @@ class BranchSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM gbrt.db.t.branch_wip")
       .collect().map(_.getString(0)).toSeq == Seq("a2"))
   }
+
+  test("metadata tables compose on the branch identifier") {
+    val wh = Files.createTempDirectory("branch_meta_wh").toString
+    spark.conf.set("spark.sql.catalog.gbm", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbm.db")
+    spark.sql("""CREATE TABLE gbm.db.t (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO gbm.db.t VALUES (1, 0, 'a')")        // source c0
+    spark.sql("CALL gbm.system.create_branch('db.t', 'wip', -1)")
+    spark.sql("INSERT INTO gbm.db.t.branch_wip VALUES (2, 1, 'b')")
+    // the branch's OWN timeline: clone commit (id 1) then its upsert
+    val ops = spark.sql(
+      "SELECT commit_id, op FROM gbm.db.t.branch_wip.history ORDER BY commit_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ops == Seq((1L, "clone"), (2L, "upsert")))
+    // .files over the branch vs the source: the unpartitioned upsert
+    // rewrote the whole branch into its OWN file, superseding the
+    // borrowed seed — the two inventories must diverge completely
+    val bFiles = spark.sql("SELECT path FROM gbm.db.t.branch_wip.files")
+      .collect().map(_.getString(0)).toSet
+    val sFiles = spark.sql("SELECT path FROM gbm.db.t.files")
+      .collect().map(_.getString(0)).toSet
+    assert(bFiles.nonEmpty && sFiles.nonEmpty && (bFiles & sFiles).isEmpty)
+    // the SOURCE's history is untouched by the branch write
+    assert(spark.sql("SELECT max(commit_id) FROM gbm.db.t.history")
+      .first().getLong(0) == 0L)
+  }
 }

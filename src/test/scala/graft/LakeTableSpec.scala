@@ -1781,4 +1781,18 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[Exception] { dbl.bulkInsert(Seq((1L, 0, 1.5)).toDF("pk", "ts", "v")) }
     assert(!dbl.exists)
   }
+
+  test("cleanOlderThan: time-based retention keeps in-window commits travelable") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.upsert(df((1L, 1, "a2", 1)))   // supersedes c0's file
+    t.upsert(df((1L, 1, "a3", 2)))   // supersedes c1's file
+    // everything is younger than a huge window: nothing cleans
+    t.cleanOlderThan(24L * 3600 * 1000)
+    assert(t.readAsOf(0).count() == 1, "in-window history must survive")
+    // a zero window keeps only the latest (every commit is 'old')
+    t.cleanOlderThan(0L)
+    assert(snap(t) == Set((1L, 1, "a3", 2)))
+    intercept[Exception] { t.readAsOf(0).collect() }
+  }
 }
