@@ -182,4 +182,33 @@ class BranchSpec extends AnyFunSuite {
     assert(spark.sql("SELECT max(commit_id) FROM gbm.db.t.history")
       .first().getLong(0) == 0L)
   }
+
+  test("UPDATE / DELETE / MERGE run against the branch identifier") {
+    val wh = Files.createTempDirectory("branch_dml_wh").toString
+    spark.conf.set("spark.sql.catalog.gbd", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbd.db")
+    spark.sql("""CREATE TABLE gbd.db.t (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO gbd.db.t VALUES (1, 0, 'a'), (2, 0, 'b')")
+    spark.sql("CALL gbd.system.create_branch('db.t', 'wip', -1)")
+    spark.sql("UPDATE gbd.db.t.branch_wip SET v = 'a2', ts = 1 WHERE pk = 1")
+    spark.sql("DELETE FROM gbd.db.t.branch_wip WHERE pk = 2")
+    spark.sql("""MERGE INTO gbd.db.t.branch_wip t
+                 USING (SELECT CAST(3 AS BIGINT) pk, 1 ts, 'c' v) s
+                 ON t.pk = s.pk
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT pk, v FROM gbd.db.t.branch_wip ORDER BY pk")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a2"), (3L, "c")))
+    // main untouched by any of the branch DML
+    assert(spark.sql("SELECT pk, v FROM gbd.db.t ORDER BY pk")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // and the full edit set fast-forwards as ONE commit
+    spark.sql("CALL gbd.system.fast_forward('db.t', 'wip')")
+    assert(spark.sql("SELECT pk, v FROM gbd.db.t ORDER BY pk")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a2"), (3L, "c")))
+  }
 }
