@@ -940,4 +940,29 @@ class SqlCatalogSpec extends AnyFunSuite {
       Seq(Seq("r1", 30L, null), Seq("r2", 11L, 15L)))
     intercept[Exception] { rows("SELECT sum(ts) FROM g.db.sums") }
   }
+
+  test("SUM pushdown: pending MoR deltas fall back; compaction re-enables metadata") {
+    wh
+    spark.sql("""CREATE TABLE g.db.sums_mor (pk BIGINT, ts INT, x INT)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+                   storageType='mor', sumCols='x')""")
+    spark.sql("INSERT INTO g.db.sums_mor VALUES (1,0,10), (2,0,20)")
+    spark.sql("INSERT INTO g.db.sums_mor VALUES (1,1,100)") // delta update
+    // correct while deltas pend (the scan path owns this regime)
+    assert(rows("SELECT sum(x) FROM g.db.sums_mor") == Seq(Seq(120L)))
+    spark.sql("CALL g.system.compact('db.sums_mor')")
+    assert(rows("SELECT sum(x) FROM g.db.sums_mor") == Seq(Seq(120L)))
+    // compaction re-recorded per-file sums: with every data file gone,
+    // the sum still answers — the metadata path, proven
+    val p = new org.apache.hadoop.fs.Path(wh, "db/sums_mor")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var dropped = 0
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) { fs.delete(f, false); dropped += 1 }
+    }
+    assert(dropped > 0)
+    assert(rows("SELECT sum(x) FROM g.db.sums_mor") == Seq(Seq(120L)))
+  }
 }
