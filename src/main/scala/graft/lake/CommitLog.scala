@@ -78,7 +78,13 @@ final case class FileAdd(
     csum: Map[String, String] = null,
     /** per-file NON-NULL value counts for sumCols — SUM over zero
       * non-null rows is NULL, and only the count can prove which. */
-    cnn: Map[String, Long] = null) {
+    cnn: Map[String, Long] = null,
+    /** partition-spec id the file was written under (index into the
+      * table's spec history — Iceberg per-file spec-id role). 0 (and
+      * missing in pre-upgrade JSONs) = the table's original spec; files
+      * keep their layout across spec evolution and every partition-
+      * tuple comparison dispatches on this id. */
+    spec: Int = 0) {
   def isDelta: Boolean = kind == "delta"
   def hasKeyRange: Boolean = kmin != null && kmax != null
   /** null-safe accessors: commit JSONs written before the field existed
@@ -130,6 +136,21 @@ final case class Checkpoint(
     schemas: Seq[String],
     live: Seq[FileAdd],
     schemaIdx: Seq[Int])
+
+/** A compacted run of archived commits (Hudi timeline-archival role,
+  * the companion of `KEEP_LATEST_COMMITS` the reference relies on —
+  * `glue/HudiJarGlueJob.py:83`): commits whose snapshots fell below the
+  * travel horizon, moved out of the live `_log/` listing into one file
+  * per run of `segmentSize`. Content is preserved verbatim — history,
+  * change-tails and audits still read archived commits — but snapshot
+  * TRAVEL to them refuses (their superseded files were already
+  * physically cleaned, so the snapshot was unreconstructable anyway).
+  *
+  * @param from lowest commit id in the segment (filename-visible, so
+  *             lookup never opens a segment that cannot contain the id)
+  * @param to   highest commit id in the segment
+  */
+final case class ArchiveSegment(from: Long, to: Long, commits: Seq[Commit])
 
 /** JSON commit log under `<root>/_log/`. Single-writer (matches the
   * reference's `MaxConcurrentRuns: 1`, `cloud_formation/HudiGlueJobCFn.yml:35`).
@@ -196,7 +217,8 @@ final class CommitLog(root: String, hadoopConf: Configuration,
       .filter(_.matches("rolled-\\d{8,}"))
       .map(_.stripPrefix("rolled-").toLong)
 
-  def nextId: Long = (listIds ++ rolledIds).maxOption.map(_ + 1).getOrElse(0L)
+  def nextId: Long =
+    (listIds ++ rolledIds :+ archiveUpTo).max.max(-1L) + 1
 
   // commit JSONs are immutable once renamed into place, so parsed commits
   // memoize forever — snapshot resolution re-lists the directory (cheap)
@@ -217,10 +239,14 @@ final class CommitLog(root: String, hadoopConf: Configuration,
 
   /** The commit at `id`, or None if the id was never committed or was
     * retired by a rollback — addressed DIRECTLY by path, no directory
-    * listing. */
+    * listing. Falls back to the archived timeline, so change-tail
+    * readers positioned below the archive boundary still see every
+    * commit (at one segment open per `segmentSize` ids, memoized). */
   def commitIfExists(id: Long): Option[Commit] =
     parsed.get(id).orElse {
-      if (fs.exists(commitPath(id))) Some(read(id)) else None
+      if (fs.exists(commitPath(id))) Some(read(id))
+      else if (id <= archiveUpTo) readArchived(id)
+      else None
     }
 
   /** Commits with ids in `(from, to]`, addressed directly by id (commit
@@ -270,6 +296,14 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     if (rolledIds.contains(c.id))
       throw new CommitConflict(
         s"commit id ${c.id} was retired by a rollback — resolve a fresh id")
+    // the archived range is retired wholesale: its ids are out of the
+    // live listing, so a write landing there would be invisible to every
+    // snapshot resolution (and rolled-id markers below the boundary were
+    // folded into this one check by archive())
+    if (c.id <= archiveUpTo)
+      throw new CommitConflict(
+        s"commit id ${c.id} is below the archived timeline boundary " +
+          s"($archiveUpTo) — resolve a fresh id")
     if (basedOnLatest != Unchecked) {
       val head = latestId.getOrElse(EmptyTable)
       if (head != basedOnLatest)
@@ -320,8 +354,13 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     * the checkpoint stores the replay order it was built from. */
   def liveFiles(asOf: Option[Long] = None): Seq[FileAdd] = {
     val ids = listIds
-    require(asOf.isEmpty || ids.contains(asOf.get),
-      s"no commit ${asOf.get} on the timeline")
+    asOf.foreach { id =>
+      require(id > archiveUpTo,
+        s"commit $id is archived (timeline archived up to $archiveUpTo) — " +
+          "its snapshot's superseded files were cleaned and it is no " +
+          "longer travelable")
+      require(ids.contains(id), s"no commit $id on the timeline")
+    }
     val target = asOf.orElse(ids.lastOption).getOrElse(return Seq.empty)
     val ck = latestCheckpointAt(target)
     val from = ck.map(_.id).getOrElse(-1L)
@@ -435,6 +474,133 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); () }
   }
 
+  // ---- timeline archival (Hudi archived-timeline / Delta log-expiry
+  // role): `_log/` must not grow one JSON per commit forever — at one
+  // commit a minute a year is ~500k files, and every `listIds` pays for
+  // all of them. Commits whose snapshots are no longer travelable
+  // (strictly below the clean horizon, unpinned) move into
+  // [[ArchiveSegment]] files; `listIds` then lists O(travel horizon)
+  // entries. Archived commits remain READABLE (history, tails, audits)
+  // through [[commitIfExists]]/[[commitsAll]]; only snapshot travel to
+  // them refuses — which is not a loss, because clean() already deleted
+  // the files those snapshots reference.
+
+  private def archPath(from: Long, to: Long) =
+    new Path(logDir, f"arch-$from%08d-$to%08d.json")
+
+  /** (from, to) id ranges of every archive segment, ascending — read
+    * from filenames alone, no segment opened */
+  def archivedRanges: Seq[(Long, Long)] =
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .flatMap { n =>
+        val m = "arch-(\\d{8,})-(\\d{8,})\\.json".r
+        n match { case m(f, t) => Some((f.toLong, t.toLong)); case _ => None }
+      }.sorted
+
+  /** highest archived commit id (-1 when nothing is archived): the
+    * snapshot-travel floor — targets at or below it refuse */
+  def archiveUpTo: Long = archivedRanges.lastOption.map(_._2).getOrElse(-1L)
+
+  // segments are immutable once renamed into place (their commits were
+  // immutable already) — memoize per range, like `parsed` per id
+  private val archParsed =
+    scala.collection.concurrent.TrieMap.empty[(Long, Long), Seq[Commit]]
+
+  private def readSegment(range: (Long, Long)): Seq[Commit] =
+    archParsed.getOrElseUpdate(range, {
+      val in: java.io.InputStream = fs.open(archPath(range._1, range._2))
+      try mapper.readValue(in, classOf[ArchiveSegment]).commits
+      finally in.close()
+    })
+
+  private def readArchived(id: Long): Option[Commit] =
+    archivedRanges.filter(r => r._1 <= id && id <= r._2)
+      .flatMap(r => readSegment(r).find(_.id == id)).headOption
+
+  /** Every commit, archived and live, ascending — the FULL table
+    * history. O(segments) opens for the archived prefix (one per
+    * `segmentSize` commits, memoized), O(live) for the tail. A
+    * crash-interrupted archive run can leave an id both archived and
+    * listed; the listed copy wins (identical content — commits are
+    * immutable per id). */
+  def commitsAll: Seq[Commit] = {
+    val listed = listIds
+    val listedSet = listed.toSet
+    val archived = archivedRanges.flatMap(readSegment)
+      .filterNot(c => listedSet(c.id))
+    (archived ++ listed.map(read)).sortBy(_.id)
+  }
+
+  /** Archive every commit whose snapshot is no longer travelable:
+    * strictly below the clean horizon ([[cleanedUpTo]] itself stays —
+    * clean deletes files superseded AT-or-before the cutoff, which are
+    * exactly the files NOT live at the cutoff, so the cutoff snapshot is
+    * intact and pinnable), below every pin, and never the head. Returns
+    * the number of commits archived (0 = nothing eligible).
+    *
+    * Sequencing is the crash-safety argument:
+    *  1. a [[Checkpoint]] is materialized AT the boundary while it is
+    *     still resolvable — afterwards every resolution at target ≥
+    *     boundary reads that checkpoint plus an unarchived tail, never
+    *     an archived commit;
+    *  2. released-pin leftovers are swept: every remove-record in the
+    *     eligible range refers to a file no CURRENT pin protects (a
+    *     pinned snapshot's files are only removed above its pin id, and
+    *     all pins are above the horizon), so one that still exists on
+    *     disk was exempted by a since-released pin — delete it now,
+    *     because after archival clean() will never replay this range;
+    *  3. segments are written tmp+rename BEFORE any individual JSON is
+    *     deleted — a crash between the two leaves ids doubly present,
+    *     which readers resolve listed-copy-first and the next archive
+    *     run repairs;
+    *  4. only then are the JSONs, subsumed checkpoints, and rolled-id
+    *     markers below the boundary removed (the append-time reuse
+    *     guard shifts from per-marker to `id ≤ archiveUpTo`).
+    */
+  def archive(segmentSize: Int = 100): Int = {
+    require(segmentSize >= 1, s"segmentSize must be >= 1, got $segmentSize")
+    val ids = listIds
+    if (ids.size <= 1) return 0
+    val pinFloor = pins.minOption.map(_ - 1).getOrElse(Long.MaxValue)
+    val horizon = math.min(math.min(cleanedUpTo - 1, pinFloor), ids.last - 1)
+    val eligible = ids.filter(_ <= horizon)
+    if (eligible.isEmpty) return 0
+    val boundary = eligible.last
+    writeCheckpoint(boundary)
+    require(latestCheckpointAt(boundary).exists(_.id == boundary),
+      s"could not materialize the boundary checkpoint at $boundary — " +
+        "timeline left untouched")
+    eligible.map(read).flatMap(_.removes).filter(owned).foreach { p =>
+      val dp = new Path(p)
+      fs.delete(dp, false)
+      fs.delete(new Path(dp.getParent, "." + dp.getName + ".bf"), false)
+      fs.delete(new Path(dp.getParent, "." + dp.getName + ".bfm"), false)
+    }
+    val covered = archivedRanges
+    def isCovered(id: Long) = covered.exists(r => r._1 <= id && id <= r._2)
+    eligible.filterNot(isCovered).grouped(segmentSize).foreach { chunk =>
+      val seg = ArchiveSegment(chunk.head, chunk.last, chunk.map(read))
+      val tmp = new Path(logDir, s".tmparch-${chunk.head}-${System.nanoTime()}")
+      val out = fs.create(tmp, false)
+      try out.write(mapper.writeValueAsBytes(seg)) finally out.close()
+      if (!fs.rename(tmp, archPath(chunk.head, chunk.last))) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"could not publish archive segment ${chunk.head}-${chunk.last}")
+      }
+    }
+    eligible.foreach(id => fs.delete(commitPath(id), false))
+    ckptIds.filter(_ < boundary).foreach { cid =>
+      fs.delete(ckptPath(cid), false); ckptParsed.remove(cid)
+    }
+    rolledIds.filter(_ <= boundary).foreach { rid =>
+      fs.delete(new Path(logDir, f"rolled-$rid%08d"), false)
+    }
+    eligible.size
+  }
+
   /** Staged-CTAS publish: rewrite every recorded file path under
     * `oldRoot` to live under THIS log's root — called once, right after
     * a staged table directory was renamed into its final location (the
@@ -473,6 +639,17 @@ final class CommitLog(root: String, hadoopConf: Configuration,
       val out = fs.create(commitPath(id), true)
       try out.write(mapper.writeValueAsBytes(fixed)) finally out.close()
       parsed.put(id, fixed)
+    }
+    // archive segments record paths too (history/tail reads) — rewrite
+    // in place under the same invisibility argument
+    archivedRanges.foreach { r =>
+      val fixed = readSegment(r).map(c =>
+        c.copy(adds = c.adds.map(a => a.copy(path = fix(a.path))),
+          removes = c.removes.map(fix)))
+      val out = fs.create(archPath(r._1, r._2), true)
+      try out.write(mapper.writeValueAsBytes(
+        ArchiveSegment(r._1, r._2, fixed))) finally out.close()
+      archParsed.put(r, fixed)
     }
   }
 

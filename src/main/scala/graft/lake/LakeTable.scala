@@ -187,7 +187,20 @@ final case class LakeTableConfig(
       * the tail — O(N) metadata opens instead of O(timeline). Pure
       * accelerator: results are byte-identical with checkpoints deleted.
       */
-    checkpointEvery: Int = LakeTableConfig.DefaultCheckpointEvery) {
+    checkpointEvery: Int = LakeTableConfig.DefaultCheckpointEvery,
+    /** Partition-spec EVOLUTION history (Iceberg spec-id role): the
+      * transform specs this table's partitioning previously used, oldest
+      * first, EXCLUDING the current one ([[partitionTransforms]]). Spec
+      * id `i < priorPartitionSpecs.size` indexes into this seq; the
+      * current spec's id is `priorPartitionSpecs.size` — so a table that
+      * never evolved has one spec, id 0, matching [[FileAdd.spec]]'s
+      * pre-upgrade default. Files keep the layout of the spec they were
+      * written under; every partition-tuple comparison (pruning, upsert/
+      * delete/overwrite scoping) dispatches per file. An empty inner seq
+      * renders as all-identity. Evolve via
+      * [[LakeTable.evolvePartitionSpec]], never by editing this directly.
+      */
+    priorPartitionSpecs: Seq[Seq[String]] = Seq.empty) {
   require(checkpointEvery >= 0,
     s"checkpointEvery must be >= 0, got $checkpointEvery")
   require(storageType == "cow" || storageType == "mor",
@@ -200,18 +213,36 @@ final case class LakeTableConfig(
   val transforms: Seq[PartTransform] =
     if (partitionTransforms.isEmpty) partitionCols.map(_ => PartTransform.Identity)
     else partitionTransforms.map(PartTransform.parse)
+  require(priorPartitionSpecs.forall(s =>
+      s.isEmpty || s.size == partitionCols.size),
+    "every prior partition spec must match partitionCols arity or be empty")
+  /** full parsed spec history, oldest first; the LAST entry is the
+    * current spec ([[transforms]]) and its index is [[currentSpecId]] */
+  val specHistory: Seq[Seq[PartTransform]] =
+    priorPartitionSpecs.map { s =>
+      if (s.isEmpty) partitionCols.map(_ => PartTransform.Identity)
+      else s.map(PartTransform.parse)
+    } :+ transforms
+  def currentSpecId: Int = specHistory.size - 1
+  def hasSpecHistory: Boolean = specHistory.size > 1
   def hasHiddenParts: Boolean =
     transforms.exists(_ != PartTransform.Identity)
+  /** true when ANY spec in the history is non-identity — the guard the
+    * exactness provers use: a file written under a transformed spec has
+    * level values that are not row values, regardless of what the
+    * CURRENT spec is (months → identity evolution must not un-refuse) */
+  def anyHiddenSpec: Boolean =
+    specHistory.exists(_.exists(_ != PartTransform.Identity))
   // A partition-scoped index keys uniqueness on the RAW partition value,
   // but a transformed level folds many raw values into one directory —
   // two versions of a key with different timestamps in the same day
   // would count as different records. Identity must therefore be the
   // key alone, table-wide (Hudi's GLOBAL index with a date partition
   // path; Iceberg/Delta have no per-partition identity at all).
-  require(!hasHiddenParts || globalIndex,
-    "hidden partitioning (non-identity partitionTransforms) requires " +
-      "globalIndex=true: record identity cannot depend on a transformed " +
-      "partition value")
+  require(!anyHiddenSpec || globalIndex,
+    "hidden partitioning (non-identity partitionTransforms, current or " +
+      "prior spec) requires globalIndex=true: record identity cannot " +
+      "depend on a transformed partition value")
   require(checkMode == "fail" || checkMode == "drop" || checkMode == "warn",
     s"checkMode must be fail|drop|warn, got $checkMode")
   require(bloomCols.forall(c => c.nonEmpty && !c.startsWith("_")),
@@ -279,9 +310,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * shadow-column write, upsert/delete partition probes, dynamic
     * overwrite scoping) routes through this one function — a second
     * renderer would eventually disagree with the directories on disk. */
-  private def levelExpr(df: DataFrame, i: Int): Column = {
+  private def levelExpr(df: DataFrame, i: Int,
+      ts: Seq[PartTransform] = config.transforms): Column = {
     val pc = config.partitionCols(i)
-    val t = config.transforms(i)
+    val t = ts(i)
     if (t == PartTransform.Identity) renderCol(pc)
     else {
       val dt = df.schema.fields.find(_.name == pc).map(_.dataType)
@@ -294,12 +326,45 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     }
   }
 
-  private def userLevelExprs(df: DataFrame): Seq[Column] =
-    config.partitionCols.indices.map(levelExpr(df, _))
+  private def userLevelExprs(df: DataFrame,
+      ts: Seq[PartTransform] = config.transforms): Seq[Column] =
+    config.partitionCols.indices.map(levelExpr(df, _, ts))
 
-  private def effLevelExprs(df: DataFrame): Seq[Column] =
-    userLevelExprs(df) ++
+  private def effLevelExprs(df: DataFrame,
+      ts: Seq[PartTransform] = config.transforms): Seq[Column] =
+    userLevelExprs(df, ts) ++
       (if (config.hashBuckets > 0) Seq(renderCol(BucketCol)) else Nil)
+
+  /** transforms of partition-spec `sid`; out-of-range ids (a file
+    * written by a NEWER engine version than this reader) fall back to
+    * the current spec */
+  private def transformsOf(sid: Int): Seq[PartTransform] =
+    config.specHistory.lift(sid).getOrElse(config.transforms)
+
+  /** Live files whose partition tuple matches `df`'s rows — each file's
+    * tuple compared under the file's OWN partition spec (spec
+    * evolution: the same row renders "2024-03" under months and
+    * "2024-03-07" under days; one render cannot match both layouts).
+    * `userOnly` compares the user levels (overwrite scope); otherwise
+    * the full effective tuple incl. the derived bucket. Single-spec
+    * tables take the identical one-render path as before evolution
+    * existed. */
+  private def filesMatchingTuples(live: Seq[FileAdd], df: DataFrame,
+      userOnly: Boolean = false): Seq[FileAdd] = {
+    def select(ts: Seq[PartTransform], fs: Seq[FileAdd]): Seq[FileAdd] =
+      if (userOnly) {
+        val tuples = df.select(userLevelExprs(df, ts): _*).distinct()
+          .collect().map(_.toSeq.map(String.valueOf)).toSet
+        fs.filter(f => tuples.contains(userLevels(f.partition)))
+      } else {
+        val tuples = renderedTuples(df, ts)
+        fs.filter(f => tuples.contains(f.partition))
+      }
+    if (!config.hasSpecHistory) select(config.transforms, live)
+    else live.groupBy(_.spec).toSeq.sortBy(_._1).flatMap {
+      case (sid, fs) => select(transformsOf(sid), fs)
+    }
+  }
 
   /** attach derived columns (the key-hash bucket) to a frame about to be
     * written or used for pruning; no-op when unconfigured */
@@ -338,8 +403,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   /** distinct raw (unescaped) partition tuples present in `df`, joined
     * with PartSep. Metadata-scale collect: bounded by touched partitions.
     */
-  private def renderedTuples(df: DataFrame): Set[String] =
-    df.select(effLevelExprs(df): _*).distinct()
+  private def renderedTuples(df: DataFrame,
+      ts: Seq[PartTransform] = config.transforms): Set[String] =
+    df.select(effLevelExprs(df, ts): _*).distinct()
       .collect().map(_.toSeq.map(String.valueOf).mkString(PartSep)).toSet
 
   // unique per attempt: a crashed/retried write never collides with the
@@ -588,12 +654,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val nUser = config.partitionCols.size
       val touched =
         if (nUser == 0) live
-        else {
-          val tuples = incoming.select(userLevelExprs(incoming): _*)
-            .distinct().collect()
-            .map(_.toSeq.map(String.valueOf)).toSet
-          live.filter(f => tuples.contains(userLevels(f.partition)))
-        }
+        else filesMatchingTuples(live, incoming, userOnly = true)
       // global index: batch keys must stay unique TABLE-WIDE, so rows of
       // those keys residing in partitions OUTSIDE the overwrite scope are
       // dropped in the same commit (their partitions rewrite minus the
@@ -603,8 +664,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         if (!config.globalIndex) (touched, deduped)
         else {
           val others = live.filterNot(touched.toSet)
-          val holding = partitionsHoldingKeys(incoming, others)
-          val foreign = others.filter(f => holding.contains(f.partition))
+          val foreign = filesInKeyPartitions(incoming, others)
           if (foreign.isEmpty) (touched, deduped)
           else {
             val doomed = incoming.select(config.keyCols.map(col): _*).distinct().as("k")
@@ -676,14 +736,19 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
           live
         else if (nUser == 0) { if (may.nonEmpty || !batchEmpty) live else Seq.empty }
         else {
-          val predParts = may.map(f => userLevels(f.partition)).toSet
-          val batchParts =
-            if (batchEmpty) Set.empty[Seq[String]]
-            else incoming.select(userLevelExprs(incoming): _*)
-              .distinct().collect()
-              .map(_.toSeq.map(String.valueOf)).toSet
-          val tuples = predParts ++ batchParts
-          live.filter(f => tuples.contains(userLevels(f.partition)))
+          // partition closure of the stats-surviving files, same-spec
+          // only (a tuple is only meaningful within its own spec's
+          // directory structure), plus the batch's own partitions
+          // matched per-file-spec
+          val mayParts: Map[Int, Set[Seq[String]]] = may.groupBy(_.spec)
+            .map { case (sid, fs) =>
+              sid -> fs.map(f => userLevels(f.partition)).toSet }
+          val predFiles = live.filter(f => mayParts.getOrElse(f.spec,
+            Set.empty).contains(userLevels(f.partition)))
+          val batchFiles =
+            if (batchEmpty) Seq.empty
+            else filesMatchingTuples(live, incoming, userOnly = true)
+          (predFiles ++ batchFiles).distinct
         }
       // a GLOBAL-index batch key may reside in a partition outside the
       // scope — evict it there too, or table-wide uniqueness breaks
@@ -692,8 +757,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         if (!config.globalIndex || batchEmpty) touched
         else {
           val others = live.filterNot(touched.toSet)
-          val holding = partitionsHoldingKeys(incoming, others)
-          touched ++ others.filter(f => holding.contains(f.partition))
+          touched ++ filesInKeyPartitions(incoming, others)
         }
       val payload =
         if (scope.isEmpty) dedupWithinBatch(incoming)
@@ -847,18 +911,17 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // the keys frame itself when it carries every user partition column
     // (the key-hash bucket level is always derivable), otherwise from the
     // key+partition index scan — a footer-range-pruned, column-pruned
-    // probe (partitionsHoldingKeys). A bare-key delete on a non-global
+    // probe (filesInKeyPartitions). A bare-key delete on a non-global
     // table thus rewrites only the partitions actually holding the keys,
     // never the whole table; semantics are unchanged because partitions
     // the probe skips cannot contain a matching key.
     val live = log.liveFiles()
     val userPartsKnown = config.partitionCols.forall(keys.columns.contains)
-    val touched: Option[Set[String]] =
-      if (effParts.isEmpty) None
+    val oldFiles =
+      if (effParts.isEmpty) live
       else if (!config.globalIndex && userPartsKnown)
-        Some(renderedTuples(withDerived(keys)))
-      else Some(partitionsHoldingKeys(keys, live))
-    val oldFiles = touched.fold(live)(t => live.filter(f => t.contains(f.partition)))
+        filesMatchingTuples(live, withDerived(keys))
+      else filesInKeyPartitions(keys, live)
     val current = readOrEmpty(oldFiles)
     // identity for the anti-join: when the keys frame pins the partition
     // (non-global index), match on (partition..., key) so the same key
@@ -950,12 +1013,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         // a subset MoR delta-merge is only sound when dedup groups are
         // partition-local; otherwise a key's rows may span partitions
         else if (config.isMor && !groupLocalMergeSafe) live
-        else {
-          val touched = renderedTuples(src) ++
-            (if (config.globalIndex) partitionsHoldingKeys(src, live)
-             else Set.empty)
-          live.filter(f => touched.contains(f.partition))
-        }
+        else (filesMatchingTuples(live, src) ++
+          (if (config.globalIndex) filesInKeyPartitions(src, live)
+           else Seq.empty)).distinct
       val current =
         if (oldFiles.isEmpty) readOrEmpty(oldFiles) else mergeIfNeeded(oldFiles)
       val userCols = current.columns
@@ -1264,7 +1324,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // two name-matched fields (the tail source aliases each batch's
     // files to this schema by id — SchemaEvo.adaptToStream)
     val merged = SchemaEvo.foldTimeline(
-      log.commits.map(_.schemaJson).distinct.map(parseSchema))
+      log.commitsAll.map(_.schemaJson).distinct.map(parseSchema))
     val extra = Seq(
       org.apache.spark.sql.types.StructField("_seq",
         org.apache.spark.sql.types.LongType),
@@ -1431,7 +1491,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   def publishFrom(audit: LakeTable): Long = {
     require(exists, s"table ${config.root} does not exist")
     require(audit.exists, s"audit table ${audit.config.root} does not exist")
-    val firstMeta = audit.log.commits.headOption
+    val firstMeta = audit.log.commitsAll.headOption
       .map(_.metadata).getOrElse(Map.empty[String, String])
     require(firstMeta.get("clone.sourceRoot").contains(config.root),
       s"${audit.config.root} is not a clone of ${config.root} " +
@@ -1584,7 +1644,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * data files touched.
     */
   def history(): DataFrame = {
-    val rows = log.commits.map(c => (c.id, c.op, c.tsMillis,
+    val rows = log.commitsAll.map(c => (c.id, c.op, c.tsMillis,
       c.adds.size.toLong, c.removes.size.toLong,
       c.adds.map(_.bytes).sum,
       c.adds.map(_.partition).distinct.size.toLong))
@@ -1719,8 +1779,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // hidden partitioning: a transformed level value is NOT the row's
     // column value — file membership can only over-approximate an
     // equality predicate (a months level holds the whole month), so the
-    // file-selection-equals-row-selection claim is unprovable. Refuse.
-    if (config.hasHiddenParts) return None
+    // file-selection-equals-row-selection claim is unprovable. Refuse —
+    // for ANY spec in the history: a months→identity evolution leaves
+    // months-tupled files behind
+    if (config.anyHiddenSpec) return None
     val tbl = tableSchema(asOf)
     val levelOf = config.partitionCols.zipWithIndex.toMap
     val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
@@ -1862,7 +1924,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     import org.apache.spark.sql.Row
     if (config.partitionCols.isEmpty) return None
     // transformed levels cannot re-parse to source-column group values
-    if (config.hasHiddenParts) return None
+    // (any spec in the history — old files keep their layout)
+    if (config.anyHiddenSpec) return None
     val tbl = tableSchema(asOf)
     val ok = files.forall(f => !f.isDelta && f.rows > 0L &&
       boundCols.forall(c => f.colMin.contains(c) && f.colMax.contains(c)) &&
@@ -1955,7 +2018,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val (dirty, clean) =
       // hidden partitioning: the output groups by SOURCE column values,
       // which a transformed level cannot re-parse to — scan everything
-      if (wholeTableMerge || config.hasHiddenParts) (files, Seq.empty[FileAdd])
+      if (wholeTableMerge || config.anyHiddenSpec) (files, Seq.empty[FileAdd])
       else {
         val bad = files.groupBy(f => userLevels(f.partition)).collect {
           case (t, fs) if ambiguousTuple(t, tbl) ||
@@ -1980,6 +2043,66 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
 
   /** Retain only the last `retain` commits' history (cleaner, `:83`). */
   def clean(retain: Int): Unit = log.clean(retain)
+
+  /** Archive the non-travelable timeline prefix into compacted segment
+    * files (Hudi timeline archival, the companion of the reference's
+    * `KEEP_LATEST_COMMITS` cleaner — `glue/HudiJarGlueJob.py:83`):
+    * `_log/` listing cost stays O(travel horizon) on a table of any
+    * age, history/change-tails still read the archived commits, and
+    * snapshot travel below the boundary refuses loud. Returns the
+    * number of commits archived (0 = nothing eligible — run [[clean]]
+    * first, the horizon follows it). */
+  def archiveTimeline(segmentSize: Int = 100): Int = log.archive(segmentSize)
+
+  /** Partition-spec EVOLUTION (Iceberg's headline advantage over Hive
+    * layouts): change the partition TRANSFORMS for FUTURE writes —
+    * `months(ts)` → `days(ts)` as the table grows — without rewriting a
+    * byte. Existing files keep the layout of the spec they were written
+    * under (their [[FileAdd.spec]] id); every tuple comparison (pruning,
+    * upsert/delete/overwrite scoping) dispatches per file, and
+    * compaction/recluster rewrites naturally migrate rows to the new
+    * spec. Partition COLUMNS are still immutable — only the transforms
+    * over them evolve.
+    *
+    * Persists the descriptor and returns a FRESH LakeTable on the new
+    * spec; the receiver keeps the old config and should be discarded
+    * (a write through it is still CORRECT — its files carry the old
+    * spec id and layout — just not evolved).
+    */
+  def evolvePartitionSpec(newTransforms: Seq[String]): LakeTable = {
+    require(config.partitionCols.nonEmpty,
+      "cannot evolve the partition spec of an unpartitioned table")
+    require(newTransforms.size == config.partitionCols.size,
+      s"new spec arity ${newTransforms.size} != partitionCols " +
+        s"(${config.partitionCols.mkString(",")})")
+    val parsedNew = newTransforms.map(PartTransform.parse)
+    require(parsedNew != config.transforms,
+      s"new spec (${newTransforms.mkString(",")}) equals the current one")
+    val schema = if (exists) tableSchema() else
+      Option(config.root).flatMap(_ =>
+        TableDescriptor.load(config.root, hconf)
+          .map(_.schemaJson).filter(_.nonEmpty)
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType]))
+        .getOrElse(new StructType())
+    config.partitionCols.zip(parsedNew).foreach { case (c, t) =>
+      schema.fields.find(_.name == c).map(_.dataType).foreach(dt =>
+        require(t.validFor(dt),
+          s"transform '${t.spec}' is not valid for column $c: $dt"))
+    }
+    val desc = TableDescriptor.load(config.root, hconf)
+      .getOrElse(TableDescriptor.fromConfig(config))
+    val currentExplicit = // identity-filled so spec ids stay stable
+      if (Option(desc.partitionTransforms).exists(_.nonEmpty))
+        desc.partitionTransforms
+      else config.partitionCols.map(_ => "identity")
+    val next = desc.copy(
+      partitionTransforms = newTransforms,
+      priorPartitionSpecs =
+        Option(desc.priorPartitionSpecs).getOrElse(Seq.empty) :+ currentExplicit)
+    next.config(config.root) // validate (globalIndex requirement etc.)
+    TableDescriptor.save(config.root, next, hconf)
+    LakeTable(spark, next.config(config.root))
+  }
 
   /** Time-based retention (Hudi KEEP_LATEST_BY_HOURS / Delta's
     * retention-period role): clean so that every commit stamped within
@@ -2026,7 +2149,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val segs = rel.split('/')
       if (segs.length >= 2 && segs(0) == "data") Some(segs(1)) else None
     }
-    val referenced = log.commits.flatMap(_.adds)
+    val referenced = log.commitsAll.flatMap(_.adds)
       .flatMap(a => commitDirOf(a.path)).toSet ++
       // the catalog-sync stub and empty-table placeholder are not commit
       // dirs but live under data/ — never sweep them
@@ -2034,7 +2157,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // belt and braces: a timeline with file adds that resolves ZERO
     // referenced directories means the path comparison is broken —
     // refuse to sweep rather than destroy live data
-    require(log.commits.forall(_.adds.isEmpty) ||
+    require(log.commitsAll.forall(_.adds.isEmpty) ||
       referenced.exists(_ != "_empty"),
       "could not resolve any referenced data directory — refusing to vacuum")
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -2163,13 +2286,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // would reference NOTHING and let a published branch drop)
     def qp(p: String): String = fs.makeQualified(new Path(p)).toUri.getPath
     val prefix = qp(branchRoot(name)) + "/"
-    val published = log.commits.flatMap(_.adds.map(_.path))
+    val published = log.commitsAll.flatMap(_.adds.map(_.path))
       .filter(p => qp(p).startsWith(prefix)).toSet
     if (published.nonEmpty) {
       // mirror clean's own delete-eligibility: a published file is
       // unreachable only once some commit at or below the horizon
       // superseded it AND no pin resurrects it
-      val retired = log.commits.filter(_.id <= log.cleanedUpTo)
+      val retired = log.commitsAll.filter(_.id <= log.cleanedUpTo)
         .flatMap(_.removes).filter(p => qp(p).startsWith(prefix)).toSet
       val pinnedLive = log.pins.toSeq
         .flatMap(s => log.liveFiles(Some(s)).map(_.path))
@@ -2375,6 +2498,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   private def baseSchema: StructType =
     log.commits.reverse
       .find(c => !DeltaOps.contains(c.op))
+      // an all-delta LIVE tail can follow archival (the last base commit
+      // fell below the boundary) — the archived prefix still has it
+      .orElse(log.commitsAll.reverse.find(c => !DeltaOps.contains(c.op)))
       .map(_.schemaJson).orElse(log.schemaJsonAsOf(None))
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(new StructType())
@@ -3015,8 +3141,28 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     if (config.partitionCols.isEmpty) return files
     if (files.exists(_.isDelta) && !groupLocalMergeSafe) return files
     val tbl = tableSchema(asOf)
+    // spec evolution: each file's tuple is only meaningful under the
+    // spec it was written with — dispatch per spec group (single-spec
+    // tables take the one-pass path unchanged)
+    if (config.hasSpecHistory)
+      return files.groupBy(_.spec).toSeq.sortBy(_._1).flatMap {
+        case (sid, fs) =>
+          val ts = transformsOf(sid)
+          if (ts.exists(_ != PartTransform.Identity))
+            pruneHiddenPartitions(fs, pred, tbl, ts)
+          else pruneIdentityPartitions(fs, pred, tbl)
+      }
     if (config.hasHiddenParts)
-      return pruneHiddenPartitions(files, pred, tbl)
+      return pruneHiddenPartitions(files, pred, tbl, config.transforms)
+    pruneIdentityPartitions(files, pred, tbl)
+  }
+
+  /** identity-layout half of [[pruneByPartitionValues]]: stored level
+    * strings ARE rendered row values, so equality pruning is exact */
+  private def pruneIdentityPartitions(
+      files: Seq[FileAdd],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      tbl: StructType): Seq[FileAdd] = {
     val accepted = acceptedRenders(pred, config.partitionCols.toSet,
       tbl, nullRender = Some(LakeTable.NullPartition))
     // IS NOT NULL conjuncts prune the sentinel directory of NON-string
@@ -3084,7 +3230,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   private def pruneHiddenPartitions(
       files: Seq[FileAdd],
       pred: org.apache.spark.sql.catalyst.expressions.Expression,
-      tbl: StructType): Seq[FileAdd] = {
+      tbl: StructType,
+      ts: Seq[PartTransform]): Seq[FileAdd] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
 
@@ -3098,7 +3245,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
 
     def levelIdx(x: Expression): Option[Int] = x match {
       case a: AttributeReference => levelOf.get(a.name).filter { i =>
-        val t = config.transforms(i)
+        val t = ts(i)
         val dt = tbl.fields.find(_.name == a.name).map(_.dataType)
         dt.exists { d =>
           // identity levels keep the identity rules: timestamp renders
@@ -3120,7 +3267,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val pc = config.partitionCols(i)
       val dt = tbl.fields.find(_.name == pc).map(_.dataType).getOrElse(return None)
       val c = org.apache.spark.sql.graftbridge.ColumnBridge.column(v)
-      foldToString(config.transforms(i).expr(c, dt).cast("string")).map {
+      foldToString(ts(i).expr(c, dt).cast("string")).map {
         case Some(s) if s.nonEmpty => s
         case _ => LakeTable.NullPartition
       }
@@ -3131,7 +3278,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       c.accepted = Some(c.accepted.fold(vals)(_ intersect vals))
     }
     def bound(i: Int, v: Expression, isLower: Boolean): Unit =
-      if (config.transforms(i).orderPreserving)
+      if (ts(i).orderPreserving)
         renderLit(i, v).filter(_ != LakeTable.NullPartition).foreach { s =>
           val c = lc(i)
           if (isLower) c.lo = Some(c.lo.fold(s)(p => if (s > p) s else p))
@@ -3265,8 +3412,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // re-render check below): a truncate level of an already-short
     // string, or a bucket ordinal, parses and re-renders cleanly while
     // the file's ROWS hold different source values — reporting that as
-    // a key-grouped partitioning would silently mis-join
-    if (config.hasHiddenParts) return None
+    // a key-grouped partitioning would silently mis-join. Any spec in
+    // the history counts: old files keep their transformed layout.
+    if (config.anyHiddenSpec) return None
     val tbl = tableSchema(asOf)
     val types = config.partitionCols.map(c =>
       tbl.fields.find(_.name == c).map(_.dataType).getOrElse(return None))
@@ -3508,11 +3656,11 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val live = log.liveFiles()
     if (effParts.isEmpty) (live, readOrEmpty(live))
     else {
-      // `incoming` already carries the derived bucket column
-      val touched = renderedTuples(incoming) ++
-        (if (config.globalIndex) partitionsHoldingKeys(incoming, live)
-         else Set.empty)
-      val files = live.filter(f => touched.contains(f.partition))
+      // `incoming` already carries the derived bucket column; matching
+      // dispatches per-file on the partition spec (evolution)
+      val files = (filesMatchingTuples(live, incoming) ++
+        (if (config.globalIndex) filesInKeyPartitions(incoming, live)
+         else Seq.empty)).distinct
       (files, readOrEmpty(files))
     }
     // NOTE the rewrite scope is deliberately partition/bucket-granular,
@@ -3525,15 +3673,18 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // prunes the read-side lookups instead.
   }
 
-  /** Global-index lookup: which live partition tuples currently hold any
-    * of the record keys in `df`? A column-pruned key+partition parquet
-    * scan (Hudi GLOBAL_SIMPLE's strategy) — reads a few columns, never
-    * payloads.
-    */
-  private def partitionsHoldingKeys(df: DataFrame, live: Seq[FileAdd]): Set[String] = {
+  /** Global-index lookup: every live file of a partition currently
+    * holding any of the record keys in `df` (partition CLOSURE — the
+    * single-directory-per-partition rewrite invariant needs whole
+    * partitions, not just the probed files). The probe is a
+    * column-pruned key+partition parquet scan over footer-range-pruned
+    * candidates (Hudi GLOBAL_SIMPLE's strategy) — reads a few columns,
+    * never payloads; the closure compares each file's tuple under the
+    * file's OWN partition spec. */
+  private def filesInKeyPartitions(df: DataFrame, live: Seq[FileAdd]): Seq[FileAdd] = {
     val candidates = pruneByKeyRange(df, live) // footer index cuts the scan
-    if (candidates.isEmpty) Set.empty
-    else renderedTuples(
+    if (candidates.isEmpty) Seq.empty
+    else filesMatchingTuples(live,
       readFiles(candidates)
         .join(df.select(config.keyCols.map(col): _*).distinct(),
           config.keyCols, "left_semi"))
@@ -3687,7 +3838,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         .sortBy(_._1).map(_._2)
       val st = statsByPath(p.toString)
       FileAdd(p.toString, segs.mkString(PartSep), kind, st.kmin, st.kmax,
-        st.cmin, st.cmax, len, st.rows)
+        st.cmin, st.cmax, len, st.rows,
+        spec = config.currentSpecId)
     }
     val withSums =
       if (config.sumCols.isEmpty || kind == "delta" || adds.isEmpty) adds

@@ -44,7 +44,11 @@ final case class TableDescriptor(
       * Jackson deserializes a pre-upgrade JSON's missing field to 0, so
       * existing tables keep their established (checkpoint-free) behavior
       * until ALTERed; freshly created tables persist the config default. */
-    checkpointEvery: Int = 0) {
+    checkpointEvery: Int = 0,
+    /** partition-spec evolution history, oldest first, excluding the
+      * current spec ([[LakeTableConfig.priorPartitionSpecs]]); null-safe
+      * via config() for pre-upgrade JSONs */
+    priorPartitionSpecs: Seq[Seq[String]] = Seq.empty) {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
@@ -54,7 +58,8 @@ final case class TableDescriptor(
     Option(checks).getOrElse(Map.empty),
     Option(checkMode).getOrElse("fail"),
     partitionTransforms = Option(partitionTransforms).getOrElse(Seq.empty),
-    checkpointEvery = checkpointEvery)
+    checkpointEvery = checkpointEvery,
+    priorPartitionSpecs = Option(priorPartitionSpecs).getOrElse(Seq.empty))
 }
 
 object TableDescriptor {
@@ -70,7 +75,8 @@ object TableDescriptor {
       cfg.globalIndex, cfg.storageType, cfg.compactEvery, cfg.hashBuckets,
       cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.bloomKeys,
       cfg.bloomCols, cfg.sumCols, cfg.checks,
-      cfg.checkMode, schemaJson, cfg.partitionTransforms, cfg.checkpointEvery)
+      cfg.checkMode, schemaJson, cfg.partitionTransforms, cfg.checkpointEvery,
+      cfg.priorPartitionSpecs)
 
   def exists(root: String, hconf: Configuration): Boolean = {
     val p = file(root)

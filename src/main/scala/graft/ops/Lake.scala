@@ -306,6 +306,65 @@ object Lake {
       t
     })
 
+  /** Timeline-archival fixture over `nation` (Hudi archived-timeline
+    * role): 9 commits, cleaned to a 3-commit travel horizon, then
+    * archived — commits 0..5 leave the live `_log/` listing for
+    * compacted segments, with the boundary checkpoint written by
+    * archive() itself (checkpointEvery = 0 proves archival does not
+    * depend on the checkpoint cadence). Readers below verify the head
+    * snapshot AND the full cross-boundary history survive.
+    */
+  private[graft] def archTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:arch", _ => {
+      val root = s"/tmp/graft_lake/arch_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("n_nationkey"), precombineCol = "update_ts"))
+      val nation = T.nation(s, d)
+      t.bulkInsert(nation.withColumn("update_ts", lit(0)))
+      (1 to 8).foreach(i => t.upsert(
+        nation.filter(pmod(col("n_nationkey"), lit(8)) === lit(i - 1))
+          .withColumn("n_comment", lit(s"v$i"))
+          .withColumn("update_ts", lit(i))))
+      t.clean(retain = 3)           // cleanedUpTo = 6
+      val n = t.archiveTimeline(segmentSize = 4) // commits 0..5 archived
+      require(n == 6, s"expected 6 archived commits, got $n")
+      t
+    })
+
+  /** Partition-spec-evolution fixture over `orders` (Iceberg per-file
+    * spec ids): Jan–Feb 1995 orders land under `months(o_orderdate)`,
+    * the spec evolves to `days`, Mar–Apr 1995 orders land under it —
+    * so the timeline spans two specs and every read/scoping path must
+    * dispatch per file. The boundary-spanning scan below plus its
+    * DuckDB oracle prove cross-spec reads row-exact.
+    */
+  private[graft] def specEvoTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:specevo", _ => {
+      val root = s"/tmp/graft_lake/specevo_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t0 = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("o_orderkey"), precombineCol = "update_ts",
+        globalIndex = true,
+        partitionCols = Seq("o_orderdate"),
+        partitionTransforms = Seq("months")))
+      val orders = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("update_ts", lit(0))
+      t0.bulkInsert(orders.filter(
+        col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-03-01")))
+      val t = t0.evolvePartitionSpec(Seq("days"))
+      t.upsert(orders.filter(
+        col("o_orderdate") >= lit("1995-03-01") &&
+          col("o_orderdate") < lit("1995-05-01")))
+      t
+    })
+
   /** Meta-column fixture over `nation`: a table with full Hudi 5-column
     * read parity enabled (`metaColumns = true`) — bulk insert (c0), then
     * an upsert of the region-0 rows (c1), so per-row `_commit_id`
@@ -951,6 +1010,49 @@ object Lake {
           'v' || CAST(n_nationkey % 8 + 1 AS VARCHAR) AS n_comment,
           CAST(n_nationkey % 8 + 1 AS INT) AS update_ts
         FROM nation ORDER BY n_nationkey""")),
+
+    // ---- partition-spec evolution: scan spans two specs ----------------
+    // months-spec files (Jan–Feb) and days-spec files (Mar–Apr) answer
+    // one boundary-spanning range predicate; pruning dispatches on each
+    // file's own spec id and the result is row-exact vs the oracle
+    GQuery("lake_spec_evolution",
+      (s, d) => specEvoTable(s, d)
+        .read(col("o_orderdate") >= lit("1995-02-10") &&
+          col("o_orderdate") < lit("1995-03-20"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        WHERE o_orderdate >= DATE '1995-02-10'
+          AND o_orderdate < DATE '1995-03-20'
+        ORDER BY o_orderkey""")),
+
+    // ---- timeline archival: head read through a COLD instance ----------
+    // commits 0..5 live only in archive segments; resolution must go
+    // boundary-checkpoint + live tail and still equal the closed-form
+    // replay of all 8 upsert slices (same contract as lake_ckpt_read)
+    GQuery("lake_archived_read",
+      (s, d) => {
+        val cold = LakeTable(s, archTable(s, d).config)
+        cold.read()
+          .select(col("n_nationkey"), col("n_name"),
+            col("n_comment"), col("update_ts"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name,
+          'v' || CAST(n_nationkey % 8 + 1 AS VARCHAR) AS n_comment,
+          CAST(n_nationkey % 8 + 1 AS INT) AS update_ts
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- timeline archival: history crosses the archive boundary -------
+    // one row per commit, ids 0..8, the archived prefix (0..5) served
+    // from segment files — archival must lose no history
+    GQuery("lake_archived_history",
+      (s, d) => archTable(s, d).history()
+        .select(col("commit_id"), col("op")).orderBy("commit_id"),
+      Some("""SELECT CAST(i AS BIGINT) AS commit_id,
+          CASE WHEN i = 0 THEN 'bulk_insert' ELSE 'upsert' END AS op
+        FROM range(9) t(i) ORDER BY commit_id""")),
 
     // ---- streaming tail of the MoR change log --------------------------
     // the delta-directory glob IS the change stream: b1, b2 (including

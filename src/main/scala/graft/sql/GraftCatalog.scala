@@ -539,7 +539,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * and every read/merge path assumes it. */
   private val MutableProps = Set(
     "compactEvery", "checkpointEvery", "bloomKeys", "bloomCols",
-    "sumCols", "statsCols", "clusterCols", "zOrder", "checks", "checkMode")
+    "sumCols", "statsCols", "clusterCols", "zOrder", "checks", "checkMode",
+    // NOT layout identity: setting it is partition-spec EVOLUTION
+    // (future writes only; per-file spec ids keep old files readable —
+    // LakeTable.evolvePartitionSpec), the one sanctioned layout change
+    "partitionTransforms")
 
   private def alterProperties(
       root: String, desc: TableDescriptor,
@@ -564,6 +568,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "zOrder" => d.copy(zOrder = s.value.toBoolean)
           case "checks" => d.copy(checks = parseChecksProp(s.value))
           case "checkMode" => d.copy(checkMode = s.value)
+          case "partitionTransforms" =>
+            // spec evolution routes through the engine API (validation,
+            // prior-spec bookkeeping, persist); reload what it saved
+            lake.evolvePartitionSpec(csv(s.value))
+            TableDescriptor.load(root, hconf).getOrElse(d)
         }
       case (d, r: TableChange.RemoveProperty) =>
         guard(r.property)
@@ -578,6 +587,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "zOrder" => d.copy(zOrder = false)
           case "checks" => d.copy(checks = Map.empty)
           case "checkMode" => d.copy(checkMode = "fail")
+          case "partitionTransforms" =>
+            // unset = evolve back to the identity spec (future writes)
+            lake.evolvePartitionSpec(
+              Option(d.partitionCols).getOrElse(Seq.empty).map(_ => "identity"))
+            TableDescriptor.load(root, hconf).getOrElse(d)
         }
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")

@@ -60,6 +60,10 @@ private[sql] object GraftProcedures {
     "rollback" -> (Seq.empty, (t, _) => t.rollback().getOrElse(-1L)),
     "checkpoint" -> (Seq.empty,
       (t, _) => t.log.forceCheckpoint().getOrElse(-1L)),
+    // timeline archival (Hudi archived-timeline role): compacts the
+    // non-travelable prefix of _log/ into segment files; returns the
+    // number of commits archived
+    "archive_timeline" -> (Seq.empty, (t, _) => t.archiveTimeline().toLong),
     "recluster" -> (Seq.empty, (t, _) => t.recluster()),
     "create_tag" -> (Seq("name" -> StringType, "commit" -> LongType),
       (t, in) => { t.createTag(in.getUTF8String(1).toString, in.getLong(2))
