@@ -115,7 +115,7 @@ object Bench {
       "stream_interval_join", "stream_outer_interval_join",
       "stream_session_window", "stream_running_totals",
       "catalog_stream_tail", "catalog_stream_tail_cow", "lake_tail_changes",
-      "lake_tail_cdf",
+      "lake_tail_cdf", "lake_tail_cdf_mor",
       "lake_schema_evolution", "lake_restore", "multimodal_frames",
       "lake_meta_columns", "lake_sql_time_travel")
 

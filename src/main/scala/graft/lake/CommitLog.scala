@@ -152,6 +152,61 @@ final case class Checkpoint(
   */
 final case class ArchiveSegment(from: Long, to: Long, commits: Seq[Commit])
 
+/** The OCC arbitration primitive: publish `tmp` at `dst` ATOMICALLY,
+  * failing (false) when `dst` already exists. Every commit-log safety
+  * argument — two same-id writers resolving one winner, retired-id
+  * non-reuse, tag immutability — rests on this being a true
+  * create-if-absent: a last-writer-wins rename would silently OVERWRITE
+  * the winner and drop its commit.
+  *
+  * Implementations for stores without an atomic create must route
+  * through whatever conditional primitive the store has — S3
+  * `If-None-Match: *` conditional PUT, GCS `ifGenerationMatch=0`,
+  * Azure lease/ETag — or an external lock service (the Hudi
+  * lock-provider role). An implementation that cannot guarantee the
+  * contract must NOT return true on a lost race; there is no safe
+  * fallback, only a documented unsafe one (see
+  * [[CommitStore.Filesystem]]'s rename path).
+  */
+trait CommitStore {
+  /** atomically publish `tmp` as `dst`; false = `dst` already existed
+    * (the caller loses the race and must re-resolve) */
+  def publishAtomic(fs: FileSystem, tmp: Path, dst: Path): Boolean
+}
+
+object CommitStore {
+  /** Default store: POSIX hard link on `file://` — link(2) fails with
+    * EEXIST where rename(2) would silently overwrite — and
+    * no-overwrite rename on HDFS-like filesystems. Mounts without
+    * hard-link support (FAT/some NFS/FUSE) fall back to rename with
+    * only the racing-writer guard weakened (documented). */
+  object Filesystem extends CommitStore {
+    override def publishAtomic(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case e @ (_: UnsupportedOperationException |
+                    _: java.nio.file.FileSystemException) =>
+            // either a mount without hard-link support (fall back to
+            // rename; only the racing-writer guard is weakened there)
+            // or a real I/O error. Disambiguate: a loser whose EEXIST
+            // surfaced oddly sees dst present; a rename failure after
+            // a non-EEXIST link error is a real error and must not
+            // masquerade as a writer conflict.
+            if (fs.exists(dst)) false
+            else if (fs.rename(tmp, dst)) true
+            else throw new java.io.IOException(
+              s"failed to publish $dst", e)
+        }
+      else fs.rename(tmp, dst) // HDFS-like rename is no-overwrite
+  }
+}
+
 /** JSON commit log under `<root>/_log/`. Single-writer (matches the
   * reference's `MaxConcurrentRuns: 1`, `cloud_formation/HudiGlueJobCFn.yml:35`).
   * Crash safety: data files are written BEFORE the commit JSON, and the
@@ -170,7 +225,11 @@ final case class ArchiveSegment(from: Long, to: Long, commits: Seq[Commit])
   * read: the policy is a writer knob, the files are the contract).
   */
 final class CommitLog(root: String, hadoopConf: Configuration,
-    val checkpointEvery: Int = 0) {
+    val checkpointEvery: Int = 0,
+    /** atomic-publish primitive ([[CommitStore]]): the default
+      * filesystem impl covers file:// and HDFS-like stores; object
+      * stores without conditional put plug their primitive in here */
+    store: CommitStore = CommitStore.Filesystem) {
   private val logDir = new Path(root, "_log")
 
   /** Data files under this table's root are OWNED; a shallow clone's
@@ -318,28 +377,11 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     try out.write(mapper.writeValueAsBytes(c)) finally out.close()
     val dst = commitPath(c.id)
     val published =
-      if (fs.getScheme == "file")
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case e @ (_: UnsupportedOperationException |
-                    _: java.nio.file.FileSystemException) =>
-            // either a mount without hard-link support (FAT/some
-            // NFS/FUSE — fall back to rename; only the racing-writer
-            // guard is weakened there) or a real I/O error. Disambiguate:
-            // a loser whose EEXIST surfaced oddly sees dst present; a
-            // rename failure after a non-EEXIST link error is a real
-            // error and must not masquerade as a writer conflict.
-            if (fs.exists(dst)) false
-            else if (fs.rename(tmp, dst)) true
-            else throw new java.io.IOException(
-              s"failed to publish commit ${c.id}", e)
-        } finally fs.delete(tmp, false)
-      else fs.rename(tmp, dst)
+      try store.publishAtomic(fs, tmp, dst)
+      // best-effort tmp cleanup: a rename-based publish already moved
+      // it (delete of a missing path is a cheap no-op), a link-based
+      // one left it behind either way
+      finally { scala.util.Try(fs.delete(tmp, false)); () }
     if (!published)
       throw new CommitConflict(
         s"commit ${c.id} already exists (concurrent writer?)")

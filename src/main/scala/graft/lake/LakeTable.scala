@@ -200,7 +200,13 @@ final case class LakeTableConfig(
       * renders as all-identity. Evolve via
       * [[LakeTable.evolvePartitionSpec]], never by editing this directly.
       */
-    priorPartitionSpecs: Seq[Seq[String]] = Seq.empty) {
+    priorPartitionSpecs: Seq[Seq[String]] = Seq.empty,
+    /** Archive the non-travelable timeline prefix automatically after
+      * every [[LakeTable.clean]] (Hudi pairs KEEP_LATEST_COMMITS with
+      * timeline archival the same way). Off by default: archival turns
+      * below-horizon time travel from a scan-time failure into a loud
+      * refusal, which is a contract change an operator opts into. */
+    archiveOnClean: Boolean = false) {
   require(checkpointEvery >= 0,
     s"checkpointEvery must be >= 0, got $checkpointEvery")
   require(storageType == "cow" || storageType == "mor",
@@ -1375,12 +1381,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       maxCommitsPerTrigger: Option[Int] = None,
       startingCommit: Option[Long] = None,
       /** Delta CDF-style typed change rows (`_change_type` = insert |
-        * update_preimage | update_postimage | delete) derived from each
-        * commit's adds/removes — CoW tables only (a MoR delta row does
-        * not know whether its key existed without a prior-state read).
-        * Zero write-path overhead: the types are derived at READ time
-        * from the commit log, where Delta pays a change-file write per
-        * commit; the tail pays one extra bounded key join per commit. */
+        * update_preimage | update_postimage | delete). CoW commits
+        * classify from their own adds/removes (one bounded key join per
+        * commit); MoR delta commits classify from two bounded MERGED
+        * probes of the touched keys — pre/post state, key-range-pruned
+        * to the touched file groups ([[mergedStateFor]]). Zero
+        * write-path overhead either way: the types are derived at READ
+        * time from the commit log, where Delta pays a change-file write
+        * per commit. */
       changeTypes: Boolean = false): DataFrame = {
     val base = spark.readStream.format("graft")
       .schema(if (changeTypes) changeFeedSchema else tailSchema)
@@ -1772,61 +1780,138 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         * to every equality): exact on NON-string claim types — their
         * sentinel dir holds only nulls; a string sentinel also holds ''
         * (which IS NOT NULL accepts) and refuses */
-      notNull: Set[String] = Set.empty): Option[Seq[FileAdd]] = {
+      notNull: Set[String] = Set.empty,
+      /** range bounds per column (`">=" | ">" | "<" | "<=" -> literal`):
+        * provable ONLY on temporal-transformed levels whose bound sits
+        * exactly on a level boundary — see the transform branch below */
+      ranges: Map[String, Seq[(String, Any)]] = Map.empty): Option[Seq[FileAdd]] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-    import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType}
-    if (!exists || (constraints.isEmpty && notNull.isEmpty)) return None
-    // hidden partitioning: a transformed level value is NOT the row's
-    // column value — file membership can only over-approximate an
-    // equality predicate (a months level holds the whole month), so the
-    // file-selection-equals-row-selection claim is unprovable. Refuse —
-    // for ANY spec in the history: a months→identity evolution leaves
-    // months-tupled files behind
-    if (config.anyHiddenSpec) return None
+    import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType, TimestampType}
+    if (!exists ||
+        (constraints.isEmpty && notNull.isEmpty && ranges.isEmpty)) return None
+    // spec evolution: per-file spec dispatch is not claimed yet — one
+    // file set under two layouts would need per-spec proofs; refuse
+    if (config.hasSpecHistory) return None
     val tbl = tableSchema(asOf)
     val levelOf = config.partitionCols.zipWithIndex.toMap
     val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
-    // types whose render is provably injective and whose pushed-filter
-    // literal provably renders like the stored value: strings (identity
-    // modulo the sentinel), integrals, booleans, dates. Floats/decimals
-    // refuse (scale/shortest-repr divergence between a literal's
-    // inferred type and the column type could drop a matching file),
-    // timestamps refuse (session-timezone-sensitive render).
+    def transformAt(idx: Int): PartTransform = config.transforms(idx)
+    // types whose IDENTITY render is provably injective and whose
+    // pushed-filter literal provably renders like the stored value:
+    // strings (modulo the sentinel), integrals, booleans, dates.
+    // Floats/decimals refuse (scale/shortest-repr divergence between a
+    // literal's inferred type and the column type could drop a matching
+    // file), timestamps refuse (session-timezone-sensitive render).
     def claimType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case StringType | BooleanType | ByteType | ShortType | IntegerType |
            LongType | DateType => true
       case _ => false
     }
+    /** temporal transforms partition the domain into CONTIGUOUS,
+      * ORDER-PRESERVING level intervals with timezone-free fixed-width
+      * renders — the precondition for aligned-range exactness. Fixed
+      * width per level keeps string order = source order. */
+    def temporalWidth(t: PartTransform): Option[Int] = t match {
+      case PartTransform.Years => Some(4)
+      case PartTransform.Months => Some(7)
+      case PartTransform.Days => Some(10)
+      case PartTransform.Hours => Some(13)
+      case _ => None
+    }
+    // bound-literal types whose transform render and ±ε shift are both
+    // expressible timezone-free (NTZ is excluded: its ±ε arithmetic
+    // would need NTZ-typed micros plumbing — conservative refusal)
+    def temporalLitType(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == DateType || dt == TimestampType
+    def renderThrough(t: PartTransform, c: Column,
+        dt: org.apache.spark.sql.types.DataType): Option[String] =
+      foldToString(t.expr(c, dt).cast("string")).flatten
+    /** the instant one unit before/after `v` in its type's granularity */
+    def shifted(v: Any, dt: org.apache.spark.sql.types.DataType,
+        forward: Boolean): Column = dt match {
+      case DateType =>
+        if (forward) date_add(lit(v), 1) else date_sub(lit(v), 1)
+      case _ => // TimestampType
+        timestamp_micros(unix_micros(lit(v)) + (if (forward) 1L else -1L))
+    }
     val accepted: Map[Int, Set[String]] = constraints.map { case (c, vals) =>
       val idx = levelOf.getOrElse(c, return None)
       val dt = tbl.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
-      if (!claimType(dt)) return None
-      val renders = vals.map {
-        case null =>
-          // null rows live in the sentinel dir; on a string column that
-          // dir also holds '' rows — not splittable without a scan
-          if (dt == StringType) return None else LakeTable.NullPartition
-        case v =>
-          val r = scala.util.Try(Cast(Literal(v), StringType, tz).eval(null))
-            .toOption.flatMap(Option(_)).map(_.toString).getOrElse(return None)
-          if (r.isEmpty) {
-            // '' renders into the sentinel dir; only a string column can
-            // even hold '', and there the dir is ambiguous with null
-            return None
-          } else r
+      transformAt(idx) match {
+        case PartTransform.Identity =>
+          if (!claimType(dt)) return None
+          val renders = vals.map {
+            case null =>
+              // null rows live in the sentinel dir; on a string column
+              // that dir also holds '' rows — not splittable sans scan
+              if (dt == StringType) return None else LakeTable.NullPartition
+            case v =>
+              val r = scala.util.Try(Cast(Literal(v), StringType, tz).eval(null))
+                .toOption.flatMap(Option(_)).map(_.toString).getOrElse(return None)
+              if (r.isEmpty) return None // '' folds into the sentinel
+              else r
+          }
+          idx -> renders.toSet
+        case PartTransform.Days if dt == DateType =>
+          // days over DATE is INJECTIVE overall: one date = one level,
+          // so equality/IN is exactly a level-membership test
+          val renders = vals.map {
+            case null => LakeTable.NullPartition // date sentinel: nulls only
+            case v =>
+              renderThrough(PartTransform.Days, lit(v), dt).getOrElse(return None)
+          }
+          idx -> renders.toSet
+        case _ =>
+          // years/months/hours equality folds many source values into
+          // one level; bucket/truncate re-parse ambiguously — refuse
+          return None
       }
-      idx -> renders.toSet
+    }
+    /** per level: aligned range bounds rendered to level space —
+      * (op, rendered, expected width) */
+    val rangeBounds: Map[Int, Seq[(String, String)]] = ranges.map { case (c, bs) =>
+      val idx = levelOf.getOrElse(c, return None)
+      val dt = tbl.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
+      val t = transformAt(idx)
+      val width = temporalWidth(t).getOrElse(return None)
+      if (!temporalLitType(dt) || !t.validFor(dt)) return None
+      val rendered = bs.map { case (op, v) =>
+        if (v == null) return None
+        val r = renderThrough(t, lit(v), dt).getOrElse(return None)
+        if (r.length != width) return None // out-of-width years etc.
+        // alignment: `src >= B` equals `level >= T(B)` ONLY when B is
+        // the first instant of its level (else rows below B share the
+        // kept boundary level); `src > B` needs B to be the LAST
+        // instant (else rows above B share the dropped boundary level)
+        val neighbor = op match {
+          case ">=" | "<" => shifted(v, dt, forward = false)
+          case ">" | "<=" => shifted(v, dt, forward = true)
+          case _ => return None
+        }
+        val nr = renderThrough(t, neighbor, dt).getOrElse(return None)
+        if (nr == r) return None // bound is interior to its level
+        (op, r)
+      }
+      idx -> rendered
     }
     val notNullIdx: Set[Int] = notNull.map { c =>
       val idx = levelOf.getOrElse(c, return None)
       val dt = tbl.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
-      // a value constraint on the same column whose accepted renders
-      // exclude the sentinel already implies IS NOT NULL (every kept
-      // row equals a non-null literal) — the string-sentinel hazard
-      // only bites a BARE IS NOT NULL
-      val implied = accepted.get(idx)
-        .exists(set => !set.contains(LakeTable.NullPartition))
-      if (!implied && (!claimType(dt) || dt == StringType)) return None
+      transformAt(idx) match {
+        case PartTransform.Identity =>
+          // a value constraint on the same column whose accepted renders
+          // exclude the sentinel already implies IS NOT NULL (every kept
+          // row equals a non-null literal) — the string-sentinel hazard
+          // only bites a BARE IS NOT NULL
+          val implied = accepted.get(idx)
+            .exists(set => !set.contains(LakeTable.NullPartition))
+          if (!implied && (!claimType(dt) || dt == StringType)) return None
+        case t if temporalWidth(t).isDefined =>
+          // temporal source types are never strings: the sentinel level
+          // holds ONLY nulls, so IS NOT NULL is exactly its exclusion
+          ()
+        case _ => return None // bucket/truncate
+      }
       idx
     }
     val files = log.liveFiles(asOf)
@@ -1835,7 +1920,23 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val levels = userLevels(f.partition)
       if (levels.size < config.partitionCols.size) return None // arity unknown
       accepted.forall { case (i, set) => set.contains(levels(i)) } &&
-        notNullIdx.forall(i => levels(i) != LakeTable.NullPartition)
+        notNullIdx.forall(i => levels(i) != LakeTable.NullPartition) &&
+        rangeBounds.forall { case (i, bs) =>
+          val lv = levels(i)
+          if (lv == LakeTable.NullPartition) false // null satisfies no range
+          else bs.forall { case (op, r) =>
+            // widths were pinned at render time; a stored level of a
+            // DIFFERENT width cannot be ordered against the bound and
+            // breaks the whole claim, not just this file
+            if (lv.length != r.length) return None
+            op match {
+              case ">=" => lv >= r
+              case ">"  => lv > r
+              case "<"  => lv < r
+              case "<=" => lv <= r
+            }
+          }
+        }
     }
     Some(kept)
   }
@@ -2041,8 +2142,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         .agg(count(lit(1)).as("n_rows")))
   }
 
-  /** Retain only the last `retain` commits' history (cleaner, `:83`). */
-  def clean(retain: Int): Unit = log.clean(retain)
+  /** Retain only the last `retain` commits' history (cleaner, `:83`).
+    * With [[LakeTableConfig.archiveOnClean]] the timeline prefix the
+    * clean just made non-travelable is archived in the same call — the
+    * Hudi lifecycle pairing. */
+  def clean(retain: Int): Unit = {
+    log.clean(retain)
+    if (config.archiveOnClean) { log.archive(); () }
+  }
 
   /** Archive the non-travelable timeline prefix into compacted segment
     * files (Hudi timeline archival, the companion of the reference's
@@ -2866,6 +2973,22 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * null-backfill/upcast, evolution past the stream schema fails loud).
     * The change-tail read primitive for Copy-on-Write tables, where a
     * commit's logical changes are derived from its adds/removes. */
+  /** Merged (tombstone-resolved, precombine-applied) LIVE rows for
+    * exactly the record keys in `keys` — which must carry the table's
+    * key columns — over an EXPLICIT file subset: the typed MoR change
+    * feed's pre/post-state probe ([[graft.sources.GraftTailSource]]).
+    * Bounded like [[lookup]]: candidate files are key-range-pruned
+    * before any read; output rows carry `_record_key`/`_commit_id`
+    * provenance, internals dropped. */
+  private[graft] def mergedStateFor(
+      files: Seq[FileAdd], keys: DataFrame): DataFrame = {
+    val probe = keys.select(keyStrExpr.as("_record_key")).distinct()
+    val candidates = pruneByKeyRange(keys, files)
+    (if (candidates.isEmpty) readOrEmpty(candidates).drop("_seq", "_deleted")
+     else mergeIfNeeded(candidates))
+      .join(probe, Seq("_record_key"), "left_semi")
+  }
+
   private[graft] def readTimelineFiles(
       paths: Seq[String], streamSchema: StructType,
       schemaJsonOf: String => Option[String]): DataFrame = {
@@ -3237,7 +3360,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
 
     final case class LC(
         var accepted: Option[Set[String]] = None,
-        var lo: Option[String] = None, var hi: Option[String] = None,
+        var lo: Option[String] = None, var loEx: Boolean = false,
+        var hi: Option[String] = None, var hiEx: Boolean = false,
         var notNull: Boolean = false)
     val levelOf = config.partitionCols.zipWithIndex.toMap
     val cons = scala.collection.mutable.HashMap.empty[Int, LC]
@@ -3277,12 +3401,46 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val c = lc(i)
       c.accepted = Some(c.accepted.fold(vals)(_ intersect vals))
     }
-    def bound(i: Int, v: Expression, isLower: Boolean): Unit =
+    /** true when the literal's ±ε neighbor renders to a DIFFERENT level
+      * — i.e. the bound sits exactly on a level edge. A strict bound on
+      * an edge EXCLUDES the boundary level: `src > B` with B the last
+      * instant of its level selects no row of that level. Evaluable
+      * only for date/timestamp sources (timezone-free shift); anything
+      * else stays inclusive-conservative. */
+    def alignedEdge(i: Int, v: Expression, forward: Boolean): Boolean = {
+      val pc = config.partitionCols(i)
+      val dt = tbl.fields.find(_.name == pc).map(_.dataType).getOrElse(return false)
+      val c = org.apache.spark.sql.graftbridge.ColumnBridge.column(v)
+      val shiftedC = dt match {
+        case org.apache.spark.sql.types.DateType =>
+          if (forward) date_add(c, 1) else date_sub(c, 1)
+        case TimestampType =>
+          timestamp_micros(unix_micros(c) + (if (forward) 1L else -1L))
+        case _ => return false
+      }
+      (for {
+        r <- foldToString(ts(i).expr(c, dt).cast("string")).flatten
+        nr <- foldToString(ts(i).expr(shiftedC, dt).cast("string")).flatten
+      } yield nr != r).getOrElse(false)
+    }
+    def bound(i: Int, v: Expression, isLower: Boolean,
+        strict: Boolean = false): Unit =
       if (ts(i).orderPreserving)
         renderLit(i, v).filter(_ != LakeTable.NullPartition).foreach { s =>
           val c = lc(i)
-          if (isLower) c.lo = Some(c.lo.fold(s)(p => if (s > p) s else p))
-          else c.hi = Some(c.hi.fold(s)(p => if (s < p) s else p))
+          // a strict edge-aligned bound excludes its boundary level
+          // exactly (`src > end-of-level` / `src < start-of-level`);
+          // interior strict bounds stay inclusive-conservative
+          val excl = strict && alignedEdge(i, v, forward = isLower)
+          if (isLower) c.lo match {
+            case Some(p) if s < p => ()
+            case Some(p) if s == p => c.loEx = c.loEx || excl
+            case _ => c.lo = Some(s); c.loEx = excl
+          } else c.hi match {
+            case Some(p) if s > p => ()
+            case Some(p) if s == p => c.hiEx = c.hiEx || excl
+            case _ => c.hi = Some(s); c.hiEx = excl
+          }
         }
 
     conjunctsOf(pred).foreach {
@@ -3304,13 +3462,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         if (rendered.forall(_.isDefined))
           constrain(i, rendered.flatten.toSet)
       case GreaterThanOrEqual(a, v) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = true)
-      case GreaterThan(a, v) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = true)
+      case GreaterThan(a, v) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = true, strict = true)
       case LessThanOrEqual(a, v) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = false)
-      case LessThan(a, v) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = false)
+      case LessThan(a, v) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = false, strict = true)
       case GreaterThanOrEqual(v, a) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = false)
-      case GreaterThan(v, a) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = false)
+      case GreaterThan(v, a) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = false, strict = true)
       case LessThanOrEqual(v, a) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = true)
-      case LessThan(v, a) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = true)
+      case LessThan(v, a) if levelIdx(a).isDefined => bound(levelIdx(a).get, v, isLower = true, strict = true)
       case IsNotNull(a: AttributeReference) if levelOf.contains(a.name) &&
           tbl.fields.find(_.name == a.name)
             .exists(_.dataType != StringType) =>
@@ -3326,9 +3484,21 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         val lv = levels(i)
         val eqOk = c.accepted.forall(_.contains(lv))
         val nnOk = !c.notNull || lv != LakeTable.NullPartition
-        val rangeOk = lv == LakeTable.NullPartition || // equality/notNull decide the sentinel
-          (c.lo.forall(b => lv.length != b.length || lv >= b) &&
-            c.hi.forall(b => lv.length != b.length || lv <= b))
+        // bounds only ever come from orderPreserving (temporal)
+        // transforms, whose source is never a string — the sentinel
+        // level holds ONLY null-source rows there, and a range
+        // predicate is never true for null, so ANY bound excludes the
+        // sentinel EXACTLY. This is what keeps a CLAIMED (fully
+        // handled, never re-applied) range filter row-correct on the
+        // native scan; on unbounded levels equality/notNull still
+        // decide the sentinel.
+        val rangeOk =
+          if (lv == LakeTable.NullPartition) c.lo.isEmpty && c.hi.isEmpty
+          else
+            c.lo.forall(b => lv.length != b.length ||
+              (if (c.loEx) lv > b else lv >= b)) &&
+              c.hi.forall(b => lv.length != b.length ||
+                (if (c.hiEx) lv < b else lv <= b))
         eqOk && nnOk && rangeOk
       }
     }

@@ -48,7 +48,11 @@ final case class TableDescriptor(
     /** partition-spec evolution history, oldest first, excluding the
       * current spec ([[LakeTableConfig.priorPartitionSpecs]]); null-safe
       * via config() for pre-upgrade JSONs */
-    priorPartitionSpecs: Seq[Seq[String]] = Seq.empty) {
+    priorPartitionSpecs: Seq[Seq[String]] = Seq.empty,
+    /** auto-archive the timeline after every clean
+      * ([[LakeTableConfig.archiveOnClean]]); missing in pre-upgrade
+      * JSONs deserializes false = established behavior */
+    archiveOnClean: Boolean = false) {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
@@ -59,7 +63,8 @@ final case class TableDescriptor(
     Option(checkMode).getOrElse("fail"),
     partitionTransforms = Option(partitionTransforms).getOrElse(Seq.empty),
     checkpointEvery = checkpointEvery,
-    priorPartitionSpecs = Option(priorPartitionSpecs).getOrElse(Seq.empty))
+    priorPartitionSpecs = Option(priorPartitionSpecs).getOrElse(Seq.empty),
+    archiveOnClean = archiveOnClean)
 }
 
 object TableDescriptor {
@@ -76,7 +81,7 @@ object TableDescriptor {
       cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.bloomKeys,
       cfg.bloomCols, cfg.sumCols, cfg.checks,
       cfg.checkMode, schemaJson, cfg.partitionTransforms, cfg.checkpointEvery,
-      cfg.priorPartitionSpecs)
+      cfg.priorPartitionSpecs, cfg.archiveOnClean)
 
   def exists(root: String, hconf: Configuration): Boolean = {
     val p = file(root)

@@ -1130,6 +1130,45 @@ object Lake {
         SELECT * FROM tail
         ORDER BY l_orderkey, l_linenumber, _change_type""")),
 
+    // ---- typed change feed on MoR (the r12 refusal, lifted) ------------
+    // delta commits classify from two bounded merged probes of the
+    // touched keys (pre/post state): c1 (+100, ts 1) wins the merge →
+    // update pre/post per R key; c2 (+1000, ts 0) loses precombine →
+    // NOTHING (the table did not change — the CoW typed tail's same
+    // documented divergence); c3 tombstones → delete rows carrying the
+    // PRIOR values (not the raw NULL-payload delta rows the untyped
+    // tail emits). The seeding bulk insert is not a change (untyped MoR
+    // tail scope).
+    GQuery("lake_tail_cdf_mor",
+      (s, d) => {
+        val t = morCdcTable(s, d)
+        val qname = "lake_tail_cdf_mor_sink"
+        val q = t.tailStream(changeTypes = true)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qname).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qname).select(col("_change_type"), col("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          col("update_ts"), col("_deleted"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("_change_type"))
+      },
+      Some(s"""WITH $liCte,
+        tail AS (
+          SELECT 'update_preimage' AS _change_type, l_orderkey,
+                 l_linenumber, l_returnflag, l_quantity, 0 AS update_ts,
+                 false AS _deleted
+          FROM li WHERE l_returnflag = 'R'
+          UNION ALL
+          SELECT 'update_postimage', l_orderkey, l_linenumber,
+                 l_returnflag, l_quantity + 100, 1, false
+          FROM li WHERE l_returnflag = 'R'
+          UNION ALL
+          SELECT 'delete', l_orderkey, l_linenumber, l_returnflag,
+                 l_quantity, 0, true
+          FROM li WHERE l_returnflag = 'A' AND l_linenumber <= 2)
+        SELECT * FROM tail
+        ORDER BY l_orderkey, l_linenumber, _change_type""")),
+
     // after compaction the same snapshot must come from base files only
     GQuery("lake_mor_compacted",
       (s, d) => {

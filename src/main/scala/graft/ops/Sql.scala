@@ -590,6 +590,24 @@ object Sql {
     // what the gate checks — a transform that mis-rendered a boundary
     // month (TZ drift, off-by-one epoch-day math) drops or duplicates
     // whole months and hash-mismatches the oracle's direct replay
+    // ---- transform-aware exactness: filtered COUNT on a hidden layout --
+    // month-boundary-aligned bounds make file selection provably equal
+    // row selection (`months` levels are contiguous source intervals),
+    // so the count answers from commit-log footer counts alone — the
+    // no-scan half is pinned in HiddenPartitionSpec by deleting the
+    // data files; misaligned bounds and truncate/bucket levels refuse
+    GQuery("lake_sql_hidden_count",
+      (s, d) => {
+        val cat = hiddenFixture(s, d)
+        s.sql(s"""SELECT count(*) AS n_orders
+          FROM $cat.db.orders_hp
+          WHERE o_orderdate >= TIMESTAMP'1996-03-01 00:00:00'
+            AND o_orderdate < TIMESTAMP'1996-09-01 00:00:00'""")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+          AND o_orderdate < TIMESTAMP '1996-09-01'""")),
+
     GQuery("lake_sql_hidden_part",
       (s, d) => {
         val cat = hiddenFixture(s, d)

@@ -58,17 +58,13 @@ final class GraftTailSource(
       * construction in specs) falls back to in-memory anchoring only */
     metadataPath: Option[String] = None,
     /** Delta CDF-typed rows: `_change_type` = insert / update_preimage /
-      * update_postimage / delete, derived per commit from adds/removes.
-      * CoW only — a MoR delta row cannot be classified without a
-      * prior-state read the delta commit deliberately avoids. The
-      * schema must then be the table's [[graft.lake.LakeTable.changeFeedSchema]]. */
+      * update_postimage / delete. CoW commits classify from their own
+      * adds/removes; MoR delta commits classify from two BOUNDED merged
+      * probes of the touched keys (pre/post state — see
+      * [[morTypedBatchFrame]]). The schema must then be the table's
+      * [[graft.lake.LakeTable.changeFeedSchema]]. */
     changeTypes: Boolean = false)
   extends Source {
-
-  require(!changeTypes || !table.config.isMor,
-    "changeTypes=true (the typed change feed) is CoW-only: MoR delta " +
-      "commits record ingested rows without prior-state classification — " +
-      "compact to CoW reads or consume the raw delta tail")
 
   /** change-log delta dir component (`LakeTable.dataDir`: `d<%08d id>-<hex
     * nonce>`); matching on the full shape keeps a partition VALUE that
@@ -231,8 +227,9 @@ final class GraftTailSource(
   /** the micro-batch for commits `(from, to]` as a plain batch frame —
     * getBatch re-roots it as streaming; specs read it directly */
   private[graft] def batchFrame(from: Long, to: Long): DataFrame =
-    if (table.config.isMor) morBatchFrame(from, to)
-    else cowBatchFrame(from, to)
+    if (!table.config.isMor) cowBatchFrame(from, to)
+    else if (changeTypes) morTypedBatchFrame(from, to)
+    else morBatchFrame(from, to)
 
   /** Copy-on-Write change tail: CoW commits REWRITE files, so the change
     * rows are derived per commit from its adds/removes — the shape real
@@ -413,6 +410,94 @@ final class GraftTailSource(
       ctx.sparkSession.createDataFrame(
         ctx.sparkSession.sparkContext.emptyRDD[Row], schema)
     else frames.reduce(_ unionByName _)
+  }
+
+  /** Typed (Delta-CDF) classification of the MoR change log: for each
+    * DELTA commit, the touched keys' merged state just before vs just
+    * after the commit decides the type —
+    *
+    *  - no prior live row, post row exists → `insert`
+    *  - prior live row, post winner stamped by THIS commit →
+    *    `update_preimage` (prior values) + `update_postimage`
+    *  - prior live row, no post row → `delete` (prior values,
+    *    `_deleted` = true)
+    *  - a stale delta row (loses the precombine merge) changes nothing
+    *    and emits nothing — the same deliberate divergence the CoW
+    *    typed tail documents
+    *
+    * Scope matches the untyped MoR tail: delta commits plus
+    * metadata-only partition drops; seeding base loads and physical
+    * maintenance are not changes. Cost: two merged probes per commit,
+    * key-range-pruned to the touched keys' file groups
+    * ([[graft.lake.LakeTable.mergedStateFor]]) — read-time only, zero
+    * write-path change files, bounded by the batch's keys, never the
+    * table. Pre-state = the commit's snapshot MINUS its own adds (delta
+    * commits remove nothing, so that IS the prior live set).
+    */
+  private def morTypedBatchFrame(from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(from + 1 >= table.log.cleanedUpTo,
+      s"streaming tail fell behind the cleaner horizon " +
+        s"(commit ${from + 1} < retained ${table.log.cleanedUpTo}): " +
+        "prior-state files it must classify against were physically " +
+        "deleted — restart the stream from a fresh snapshot")
+    def conform(df: DataFrame, deleted: Boolean, ctype: String): DataFrame = {
+      val cols = df.columns.toSet
+      df.select(schema.fields.map { f =>
+        if (f.name == "_deleted") lit(deleted).as(f.name)
+        else if (f.name == "_change_type") lit(ctype).as(f.name)
+        else if (cols.contains(f.name)) col("`" + f.name + "`")
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }
+    val frames = table.log.commitsInRange(from, to).flatMap { c =>
+      val deltaPaths = c.adds
+        .filter(a => a.isDelta && ChangeDir.matches(a.path)).map(_.path)
+      if (deltaPaths.nonEmpty) {
+        val fileSchema = table.parseSchema(c.schemaJson)
+        val keys = ctx.sparkSession.read.schema(fileSchema)
+          .parquet(deltaPaths: _*)
+          .select(table.config.keyCols.map(n => col("`" + n + "`")): _*)
+          .distinct()
+        val liveAt = table.log.liveFiles(Some(c.id))
+        val ownAdds = c.adds.map(_.path).toSet
+        val pre = table.mergedStateFor(
+          liveAt.filterNot(f => ownAdds.contains(f.path)), keys)
+        val post = table.mergedStateFor(liveAt, keys)
+        val preKeys = pre.select("_record_key").distinct()
+        val postKeys = post.select("_record_key").distinct()
+        val updKeys = post.filter(col("_commit_id") === c.id)
+          .join(preKeys, Seq("_record_key"), "left_semi")
+          .select("_record_key").distinct()
+        Seq(
+          conform(post.join(preKeys, Seq("_record_key"), "left_anti"),
+            deleted = false, "insert"),
+          conform(pre.join(updKeys, Seq("_record_key"), "left_semi"),
+            deleted = false, "update_preimage"),
+          conform(post.join(updKeys, Seq("_record_key"), "left_semi"),
+            deleted = false, "update_postimage"),
+          conform(pre.join(postKeys, Seq("_record_key"), "left_anti"),
+            deleted = true, "delete"))
+      } else if (c.op == "delete" && c.removes.nonEmpty) {
+        // metadata-only partition drop: the same derived tombstones as
+        // the untyped tail, typed `delete`
+        ensureIndexed(to)
+        val idCols = (table.config.keyCols ++ table.config.partitionCols)
+          .distinct :+ "_record_key"
+        val keys = table.readTimelineFiles(c.removes, schema, pathSchemaIdx.get)
+          .select(idCols.map(n => col("`" + n + "`")): _*).distinct()
+        Seq(keys.select(schema.fields.map { f =>
+          if (f.name == "_deleted") lit(true).as(f.name)
+          else if (f.name == "_change_type") lit("delete").as(f.name)
+          else if (idCols.contains(f.name)) col("`" + f.name + "`")
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*))
+      } else Seq.empty
+    }
+    if (frames.isEmpty)
+      ctx.sparkSession.createDataFrame(
+        ctx.sparkSession.sparkContext.emptyRDD[Row], schema)
+    else frames.reduce(_.unionByName(_))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {

@@ -338,6 +338,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       compactEvery = prop("compactEvery").map(_.toInt).getOrElse(0),
       checkpointEvery = prop("checkpointEvery").map(_.toInt)
         .getOrElse(graft.lake.LakeTableConfig.DefaultCheckpointEvery),
+      archiveOnClean = prop("archiveOnClean").exists(_.toBoolean),
       hashBuckets = prop("hashBuckets").map(_.toInt).getOrElse(0),
       statsCols = csv("statsCols"),
       clusterCols = csv("clusterCols"),
@@ -538,8 +539,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * hashBuckets — is immutable: existing files were written under it
     * and every read/merge path assumes it. */
   private val MutableProps = Set(
-    "compactEvery", "checkpointEvery", "bloomKeys", "bloomCols",
-    "sumCols", "statsCols", "clusterCols", "zOrder", "checks", "checkMode",
+    "compactEvery", "checkpointEvery", "archiveOnClean", "bloomKeys",
+    "bloomCols", "sumCols", "statsCols", "clusterCols", "zOrder", "checks",
+    "checkMode",
     // NOT layout identity: setting it is partition-spec EVOLUTION
     // (future writes only; per-file spec ids keep old files readable —
     // LakeTable.evolvePartitionSpec), the one sanctioned layout change
@@ -560,6 +562,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s.property match {
           case "compactEvery" => d.copy(compactEvery = s.value.toInt)
           case "checkpointEvery" => d.copy(checkpointEvery = s.value.toInt)
+          case "archiveOnClean" => d.copy(archiveOnClean = s.value.toBoolean)
           case "bloomKeys" => d.copy(bloomKeys = s.value.toInt)
           case "bloomCols" => d.copy(bloomCols = csv(s.value))
           case "sumCols" => d.copy(sumCols = csv(s.value))
@@ -579,6 +582,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         r.property match {
           case "compactEvery" => d.copy(compactEvery = 0)
           case "checkpointEvery" => d.copy(checkpointEvery = 0)
+          case "archiveOnClean" => d.copy(archiveOnClean = false)
           case "bloomKeys" => d.copy(bloomKeys = 0)
           case "bloomCols" => d.copy(bloomCols = Seq.empty)
           case "sumCols" => d.copy(sumCols = Seq.empty)

@@ -100,6 +100,8 @@ final class GraftTableV2(
         Map("compactEvery" -> desc.compactEvery.toString) else Map.empty) ++
       (if (desc.checkpointEvery > 0)
         Map("checkpointEvery" -> desc.checkpointEvery.toString) else Map.empty) ++
+      (if (desc.archiveOnClean)
+        Map("archiveOnClean" -> "true") else Map.empty) ++
       (if (desc.hashBuckets > 0)
         Map("hashBuckets" -> desc.hashBuckets.toString) else Map.empty) ++
       (if (desc.bloomKeys > 0)
@@ -326,41 +328,74 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
     case _ => None
   }
 
-  /** (value constraints, not-null columns) of a claimed filter set;
-    * conjunction semantics — two constraints on one column intersect */
+  /** (column, op, literal) of a range filter — claimable only on
+    * temporal-transformed partition levels with edge-aligned bounds
+    * (the prover decides; this just parses the shape) */
+  private def rangeOf(f: Filter): Option[(String, (String, Any))] = f match {
+    case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v) if v != null =>
+      Some(a -> (">=", v))
+    case org.apache.spark.sql.sources.GreaterThan(a, v) if v != null =>
+      Some(a -> (">", v))
+    case org.apache.spark.sql.sources.LessThan(a, v) if v != null =>
+      Some(a -> ("<", v))
+    case org.apache.spark.sql.sources.LessThanOrEqual(a, v) if v != null =>
+      Some(a -> ("<=", v))
+    case _ => None
+  }
+
+  /** (value constraints, not-null columns, range bounds) of a claimed
+    * filter set; conjunction semantics — two constraints on one column
+    * intersect, range bounds accumulate */
   private def claimSpec(fs: Seq[Filter])
-      : Option[(Map[String, Seq[Any]], Set[String])] = {
-    val parts = fs.map { f =>
-      (constraintOf(f), notNullOf(f)) match {
-        case (Some(cv), _) => Left(cv)
-        case (_, Some(c)) => Right(c)
-        case _ => return None
+      : Option[(Map[String, Seq[Any]], Set[String], Map[String, Seq[(String, Any)]])] = {
+    val parts: Seq[Either[(String, Seq[Any]), Either[String, (String, (String, Any))]]] =
+      fs.map { f =>
+        (constraintOf(f), notNullOf(f), rangeOf(f)) match {
+          case (Some(cv), _, _) => Left(cv)
+          case (_, Some(c), _) => Right(Left(c))
+          case (_, _, Some(rb)) => Right(Right(rb))
+          case _ => return None
+        }
       }
-    }
     val values = parts.collect { case Left(cv) => cv }
+    val ranges = parts.collect { case Right(Right(rb)) => rb }
     Some((values.groupBy(_._1).map { case (c, vs) =>
       c -> vs.map(_._2.toSet).reduce(_ intersect _).toSeq },
-      parts.collect { case Right(c) => c }.toSet))
+      parts.collect { case Right(Left(c)) => c }.toSet,
+      ranges.groupBy(_._1).map { case (c, bs) => c -> bs.map(_._2) }))
+  }
+
+  /** partition columns whose CURRENT transform is temporal — the only
+    * columns whose range filters join the claim group (a range on an
+    * identity level would make the prover refuse the WHOLE conjunction
+    * and cost equality claims that used to succeed) */
+  private def temporalPartCols: Set[String] = {
+    import graft.lake.PartTransform
+    table.lake.config.partitionCols.zip(table.lake.config.transforms)
+      .collect { case (c, PartTransform.Years | PartTransform.Months |
+        PartTransform.Days | PartTransform.Hours) => c }.toSet
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => FilterTranslation.toColumn(f).isDefined)
     val parts = table.lake.config.partitionCols.toSet
+    val temporal = temporalPartCols
     // claim the candidate set as a GROUP: an IsNotNull that is unsafe
     // alone (string sentinel) is implied by an equality on the same
     // column, so the prover must see the whole conjunction
     val candidate = filters.filter { f =>
-      (constraintOf(f), notNullOf(f)) match {
-        case (Some((c, _)), _) => parts.contains(c)
-        case (_, Some(c)) => parts.contains(c)
+      (constraintOf(f), notNullOf(f), rangeOf(f)) match {
+        case (Some((c, _)), _, _) => parts.contains(c)
+        case (_, Some(c), _) => parts.contains(c)
+        case (_, _, Some((c, _))) => temporal.contains(c)
         case _ => false
       }
     }
     claimed =
       if (candidate.isEmpty) Array.empty
       else claimSpec(candidate.toIndexedSeq) match {
-        case Some((cs, nn)) if table.lake
-          .exactPartitionFiles(cs, table.pinned, nn).isDefined => candidate
+        case Some((cs, nn, rs)) if table.lake
+          .exactPartitionFiles(cs, table.pinned, nn, rs).isDefined => candidate
         case _ => Array.empty
       }
     // claimed filters are handled (file pruning = row filtering, proven);
@@ -415,8 +450,8 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
   private def aggFiles(): Option[Seq[graft.lake.FileAdd]] = {
     if (pushed.exists(f => !claimed.contains(f))) return None
     if (claimed.isEmpty) Some(table.lake.log.liveFiles(table.pinned))
-    else claimSpec(claimed.toIndexedSeq).flatMap { case (cs, nn) =>
-      table.lake.exactPartitionFiles(cs, table.pinned, nn) }
+    else claimSpec(claimed.toIndexedSeq).flatMap { case (cs, nn, rs) =>
+      table.lake.exactPartitionFiles(cs, table.pinned, nn, rs) }
   }
 
   /** (group-by cols, per-agg answers) when the whole aggregation is

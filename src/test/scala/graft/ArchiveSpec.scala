@@ -156,6 +156,34 @@ class ArchiveSpec extends AnyFunSuite {
     assert(t.log.archiveUpTo == 7L)
   }
 
+  test("archiveOnClean: the cleaner pairs with archival automatically") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts", archiveOnClean = true))
+    t.bulkInsert(df((1L, "v0", 0)))
+    (1 to 9).foreach(i => t.upsert(df((1L, s"v$i", i))))
+    t.clean(retain = 3) // cleanedUpTo = 7 → commits 0..6 archive inline
+    assert(t.log.archiveUpTo == 6L)
+    assert(logFiles(t.config.root, "").count(_.matches("\\d+\\.json")) == 3)
+    assert(t.read().select("payload").collect().head.getString(0) == "v9")
+    // SQL knob round-trips CREATE → SHOW CREATE → ALTER UNSET
+    val wh = Files.createTempDirectory("aoc_wh").toString
+    spark.conf.set("spark.sql.catalog.aoc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.aoc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS aoc.db")
+    spark.sql("""CREATE TABLE aoc.db.t (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+      archiveOnClean='true')""")
+    (0 to 5).foreach(i =>
+      spark.sql(s"INSERT INTO aoc.db.t VALUES (1, $i, 'v$i')"))
+    spark.sql("CALL aoc.system.clean('db.t', 2)") // archives inline
+    val lt = LakeTable(spark,
+      graft.lake.TableDescriptor.load(s"$wh/db/t",
+        spark.sparkContext.hadoopConfiguration).get.config(s"$wh/db/t"))
+    assert(lt.log.archiveUpTo == 3L)
+    assert(spark.sql("SHOW CREATE TABLE aoc.db.t").collect().head
+      .getString(0).contains("archiveOnClean"))
+  }
+
   test("SQL surface: CALL graft.system.archive_timeline") {
     val wh = Files.createTempDirectory("arch_wh").toString
     spark.conf.set("spark.sql.catalog.arch", "graft.sql.GraftCatalog")

@@ -413,4 +413,56 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.read().select($"pk", $"body").as[(Long, String)]
       .collect().toSet == Set((1L, "a")))
   }
+
+  test("CommitStore seam: a lost-race publish surfaces as CommitConflict; " +
+      "a non-atomic store is exactly the hazard the contract forbids") {
+    import graft.lake.{Commit, CommitLog, CommitStore}
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val schema = """{"type":"struct","fields":[]}"""
+
+    // a store that loses every race (the conditional-put primitive
+    // reporting "already exists") must fail the append LOUD — the
+    // caller re-resolves, nothing is silently dropped
+    object AlwaysLoses extends CommitStore {
+      override def publishAtomic(fs: FileSystem, tmp: Path, dst: Path) = false
+    }
+    val l1 = new CommitLog(freshRoot(), hconf, store = AlwaysLoses)
+    intercept[CommitConflict](
+      l1.append(Commit(0L, "upsert", 0L, schema, Seq.empty, Seq.empty)))
+    assert(l1.latestId.isEmpty, "a refused publish must leave no commit")
+
+    // the CONTRACT-VIOLATING store: last-writer-wins overwrite (an
+    // object store without conditional put). Two same-id publishes both
+    // "succeed" and the first commit's content is silently REPLACED —
+    // the exact corruption publishAtomic's create-if-absent contract
+    // exists to make impossible. Pinned here as the documented hazard:
+    // such a store needs an external lock provider, never this trait
+    // implemented over a plain PUT.
+    object Overwrites extends CommitStore {
+      override def publishAtomic(fs: FileSystem, tmp: Path, dst: Path) = {
+        fs.delete(dst, false); fs.rename(tmp, dst)
+      }
+    }
+    val root2 = freshRoot()
+    val l2 = new CommitLog(root2, hconf, store = Overwrites)
+    l2.append(Commit(0L, "upsert", 0L, schema,
+      Seq(graft.lake.FileAdd("/a", "p", "base")), Seq.empty))
+    // a second writer publishing the SAME id is not arbitrated:
+    new CommitLog(root2, hconf, store = Overwrites)
+      .append(Commit(0L, "upsert", 1L, schema, Seq.empty, Seq.empty))
+    val cold = new CommitLog(root2, hconf)
+    assert(cold.read(0L).adds.isEmpty, "the winner's commit was " +
+      "silently replaced — the hazard a conditional put prevents")
+
+    // default path: the filesystem store arbitrates the same race to
+    // one winner and one clean conflict (behavior unchanged)
+    val root3 = freshRoot()
+    val l3 = new CommitLog(root3, hconf)
+    l3.append(Commit(0L, "upsert", 0L, schema,
+      Seq(graft.lake.FileAdd("/a", "p", "base")), Seq.empty))
+    intercept[CommitConflict](new CommitLog(root3, hconf)
+      .append(Commit(0L, "upsert", 1L, schema, Seq.empty, Seq.empty)))
+    assert(new CommitLog(root3, hconf).read(0L).adds.nonEmpty)
+  }
 }

@@ -235,4 +235,82 @@ class HiddenPartitionSpec extends AnyFunSuite {
     }
     assert(gi.getMessage.contains("globalIndex"), gi.getMessage)
   }
+
+  test("aligned-range count on months(ts) is a metadata read; misaligned scans") {
+    val wh = Files.createTempDirectory("hp_cnt_wh").toString
+    spark.conf.set("spark.sql.catalog.hc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.hc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hc.db")
+    spark.sql("""CREATE TABLE hc.db.m (pk BIGINT, ev TIMESTAMP, v STRING,
+        ts INT) USING graft PARTITIONED BY (months(ev))
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts', globalIndex='true')""")
+    spark.sql("""INSERT INTO hc.db.m VALUES
+      (1, TIMESTAMP '2024-03-05 10:00:00', 'a', 0),
+      (2, TIMESTAMP '2024-03-31 23:59:59.999999', 'b', 0),
+      (3, TIMESTAMP '2024-04-01 00:00:00', 'c', 0),
+      (4, TIMESTAMP '2024-05-20 08:00:00', 'd', 0),
+      (5, NULL, 'e', 0)""")
+    def cnt(sql: String): Long = spark.sql(sql).collect().head.getLong(0)
+    val aligned = """SELECT count(*) FROM hc.db.m
+      WHERE ev >= TIMESTAMP '2024-03-01 00:00:00'
+        AND ev < TIMESTAMP '2024-05-01 00:00:00'"""
+    assert(cnt(aligned) == 3L) // March + April rows; the null row excluded
+    // plain SELECT with the same CLAIMED range: the filter is fully
+    // handled (never re-applied above the scan), so the sentinel
+    // directory's null-ev row must be excluded BY PRUNING — the
+    // regression this pins: a kept sentinel would leak pk=5 here
+    assert(spark.sql("""SELECT pk FROM hc.db.m
+        WHERE ev >= TIMESTAMP '2024-03-01 00:00:00'
+          AND ev < TIMESTAMP '2024-05-01 00:00:00'
+        ORDER BY pk""").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L))
+    // the proof the count never scans: delete every data file — real
+    // scans fail, the month-boundary-aligned count still answers from
+    // commit-log footer counts
+    val p = new org.apache.hadoop.fs.Path(wh, "db/m")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var dropped = 0
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) { fs.delete(f, false); dropped += 1 }
+    }
+    assert(dropped > 0)
+    assert(cnt(aligned) == 3L)
+    // closed upper bound at a month END is aligned too
+    assert(cnt("""SELECT count(*) FROM hc.db.m
+      WHERE ev <= TIMESTAMP '2024-03-31 23:59:59.999999'""") == 2L)
+    // a MID-month bound is interior to its level: the count is a row
+    // question and must scan (= fail here) — the alignment control
+    intercept[Exception](cnt("""SELECT count(*) FROM hc.db.m
+      WHERE ev >= TIMESTAMP '2024-03-15 00:00:00'"""))
+  }
+
+  test("prover: truncate/bucket levels refuse claims; days-on-DATE equality accepts") {
+    import spark.implicits._
+    val tr = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts", globalIndex = true,
+      partitionCols = Seq("name"), partitionTransforms = Seq("truncate[2]")))
+    tr.bulkInsert(Seq((1L, "abel", 0), (2L, "abba", 0), (3L, "carl", 0))
+      .toDF("pk", "name", "ts"))
+    // truncate: 'ab' re-renders cleanly while rows differ — refuse both
+    assert(tr.exactPartitionFiles(Map("name" -> Seq("abel")), None).isEmpty)
+    assert(tr.exactPartitionFiles(Map.empty, None,
+      ranges = Map("name" -> Seq((">=", "ab")))).isEmpty)
+
+    val dd = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts", globalIndex = true,
+      partitionCols = Seq("d"), partitionTransforms = Seq("days")))
+    dd.bulkInsert(Seq(
+      (1L, java.sql.Date.valueOf("2024-03-01"), 0),
+      (2L, java.sql.Date.valueOf("2024-03-02"), 0)).toDF("pk", "d", "ts"))
+    // days over DATE is injective: equality is exactly level membership
+    val kept = dd.exactPartitionFiles(
+      Map("d" -> Seq(java.sql.Date.valueOf("2024-03-01"))), None)
+    assert(kept.exists(_.map(_.partition).toSet == Set("2024-03-01")))
+    // every DATE bound is day-aligned: ranges accept
+    val ranged = dd.exactPartitionFiles(Map.empty, None,
+      ranges = Map("d" -> Seq((">=", java.sql.Date.valueOf("2024-03-02")))))
+    assert(ranged.exists(_.map(_.partition).toSet == Set("2024-03-02")))
+  }
 }

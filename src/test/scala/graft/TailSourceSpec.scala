@@ -504,7 +504,7 @@ class TailSourceSpec extends AnyFunSuite {
       s"checkpoint resume must deliver exactly the new changes: $resumed")
   }
 
-  test("changeTypes: typed CDF tail on CoW; MoR refuses loud") {
+  test("changeTypes: typed CDF tail on CoW") {
     val root = freshRoot()
     val t = LakeTable(spark, LakeTableConfig(root, keyCols = Seq("pk"),
       precombineCol = "ts", partitionCols = Seq("vendorid")))
@@ -525,12 +525,39 @@ class TailSourceSpec extends AnyFunSuite {
     // a stale upsert changes nothing and emits nothing, typed or not
     t.upsert(df((1L, 1, "stale", 0)))                       // c3: loses
     assert(src.batchFrame(2L, 3L).count() == 0)
-    // MoR: delta rows cannot be classified without prior state — refuse
-    val m = build(freshRoot(), 1)
-    intercept[IllegalArgumentException] {
-      new GraftTailSource(spark.sqlContext, m, m.changeFeedSchema,
-        changeTypes = true)
-    }
+  }
+
+  test("changeTypes: typed CDF tail on MoR classifies from pre/post merged state") {
+    val root = freshRoot()
+    val t = LakeTable(spark, LakeTableConfig(root, keyCols = Seq("pk"),
+      precombineCol = "ts", partitionCols = Seq("vendorid"),
+      storageType = "mor"))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0)))      // c0: seed (base)
+    t.upsert(df((1L, 1, "a2", 1), (3L, 1, "c", 1)))         // c1: update + insert
+    t.delete(df((2L, 1, "b", 0)).select("pk", "vendorid"))  // c2: delete
+    val src = new GraftTailSource(spark.sqlContext, t, t.changeFeedSchema,
+      changeTypes = true)
+    // the seeding base load is not a change (untyped MoR tail scope);
+    // c1/c2 classify against the merged prior state of just their keys
+    val rows = src.batchFrame(-1L, 2L)
+      .select("_change_type", "pk", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("update_preimage", 1L, "a"),                  // c1 old value
+      ("update_postimage", 1L, "a2"),                // c1 new value
+      ("insert", 3L, "c"),                           // c1 fresh key
+      ("delete", 2L, "b")), rows)                    // c2 PRIOR values
+    // a stale delta (loses precombine) changes nothing: emits nothing
+    t.upsert(df((1L, 1, "stale", 0)))                       // c3: loses
+    assert(src.batchFrame(2L, 3L).count() == 0)
+    // a winning second update classifies against the MERGED state
+    // (base + prior delta), not just the base file
+    t.upsert(df((1L, 1, "a3", 2)))                          // c4: wins
+    val again = src.batchFrame(3L, 4L)
+      .select("_change_type", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(again == Set(
+      ("update_preimage", "a2"), ("update_postimage", "a3")), again)
   }
 
   test("MoR tail derives tombstones from a metadata-only partition drop") {
