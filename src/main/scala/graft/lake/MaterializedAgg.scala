@@ -83,7 +83,11 @@ final class MaterializedAgg(
     * marker can never lose a delete-only window */
   private def logHighWater: Option[Long] =
     if (!table.exists) None
-    else table.log.commits.flatMap(_.metadata.get(SrcKey))
+    // commitsAll: the newest marker normally sits in the retained head
+    // region, but an aggregate cleaned+archived with no refresh since
+    // must still find its high water in the archived prefix — losing it
+    // would route `refresh` to the initial-build branch
+    else table.log.commitsAll.flatMap(_.metadata.get(SrcKey))
       .flatMap(s => s.toLongOption).maxOption
 
   /** source commit id the aggregate currently reflects (None = never built).
