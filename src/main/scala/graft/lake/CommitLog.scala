@@ -305,6 +305,11 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     parsed.get(id).orElse {
       if (fs.exists(commitPath(id))) Some(read(id))
       else if (id <= archiveUpTo) readArchived(id)
+      // the JSON is gone and the cached boundary says "not archived":
+      // another PROCESS may have archived since we listed — refresh the
+      // segment set once before concluding the id never existed
+      else if (id <= refreshArchivedRanges().lastOption.map(_._2).getOrElse(-1L))
+        readArchived(id)
       else None
     }
 
@@ -531,8 +536,17 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     new Path(logDir, f"arch-$from%08d-$to%08d.json")
 
   /** (from, to) id ranges of every archive segment, ascending — read
-    * from filenames alone, no segment opened */
-  def archivedRanges: Seq[(Long, Long)] =
+    * from filenames alone, no segment opened. Cached after the first
+    * listing: segments are immutable once renamed into place and only
+    * [[archive]] extends the set (which refreshes), so the `id <=
+    * archiveUpTo` probes on every append/nextId stop paying a listStatus
+    * each — on object stores that roughly doubled per-commit metadata
+    * round-trips for tables that never archive. Cross-process archival
+    * is handled at the miss site: [[commitIfExists]] refreshes once
+    * before concluding a below-boundary id is gone. */
+  @volatile private var archCache: Seq[(Long, Long)] = null
+
+  private def listArchivedRanges(): Seq[(Long, Long)] =
     if (!fs.exists(logDir)) Seq.empty
     else fs.listStatus(logDir).toSeq
       .map(_.getPath.getName)
@@ -540,6 +554,16 @@ final class CommitLog(root: String, hadoopConf: Configuration,
         val m = "arch-(\\d{8,})-(\\d{8,})\\.json".r
         n match { case m(f, t) => Some((f.toLong, t.toLong)); case _ => None }
       }.sorted
+
+  def archivedRanges: Seq[(Long, Long)] = {
+    var c = archCache
+    if (c == null) { c = listArchivedRanges(); archCache = c }
+    c
+  }
+
+  private[graft] def refreshArchivedRanges(): Seq[(Long, Long)] = {
+    val c = listArchivedRanges(); archCache = c; c
+  }
 
   /** highest archived commit id (-1 when nothing is archived): the
     * snapshot-travel floor — targets at or below it refuse */
@@ -640,6 +664,7 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     rolledIds.filter(_ <= boundary).foreach { rid =>
       fs.delete(new Path(logDir, f"rolled-$rid%08d"), false)
     }
+    refreshArchivedRanges()
     eligible.size
   }
 

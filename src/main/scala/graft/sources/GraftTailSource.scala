@@ -283,9 +283,9 @@ final class GraftTailSource(
     // the diff reads files the range's commits REWROTE — physically
     // deleted once the cleaner passes them. Fail the batch up front with
     // the time-travel contract's message, not a FileNotFound mid-job.
-    require(from + 1 >= table.log.cleanedUpTo,
+    require(from + 1 > table.log.cleanedUpTo,
       s"streaming tail fell behind the cleaner horizon " +
-        s"(commit ${from + 1} < retained ${table.log.cleanedUpTo}): " +
+        s"(commit ${from + 1} <= swept ${table.log.cleanedUpTo}): " +
         "rewritten files it must diff were physically deleted — " +
         "restart the stream from a fresh snapshot")
     ensureIndexed(to)
@@ -436,9 +436,9 @@ final class GraftTailSource(
     */
   private def morTypedBatchFrame(from: Long, to: Long): DataFrame = {
     import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
-    require(from + 1 >= table.log.cleanedUpTo,
+    require(from + 1 > table.log.cleanedUpTo,
       s"streaming tail fell behind the cleaner horizon " +
-        s"(commit ${from + 1} < retained ${table.log.cleanedUpTo}): " +
+        s"(commit ${from + 1} <= swept ${table.log.cleanedUpTo}): " +
         "prior-state files it must classify against were physically " +
         "deleted — restart the stream from a fresh snapshot")
     // payload fields (everything but the per-row-type columns), packed

@@ -573,9 +573,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "checkMode" => d.copy(checkMode = s.value)
           case "partitionTransforms" =>
             // spec evolution routes through the engine API (validation,
-            // prior-spec bookkeeping, persist); reload what it saved
+            // prior-spec bookkeeping, persist); merge ONLY the spec
+            // fields it saved back into the fold accumulator — replacing
+            // `d` wholesale with the disk copy would silently discard
+            // other properties set earlier in the SAME statement
             lake.evolvePartitionSpec(csv(s.value))
-            TableDescriptor.load(root, hconf).getOrElse(d)
+            TableDescriptor.load(root, hconf).map(saved => d.copy(
+              partitionTransforms = saved.partitionTransforms,
+              priorPartitionSpecs = saved.priorPartitionSpecs)).getOrElse(d)
         }
       case (d, r: TableChange.RemoveProperty) =>
         guard(r.property)
@@ -592,10 +597,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "checks" => d.copy(checks = Map.empty)
           case "checkMode" => d.copy(checkMode = "fail")
           case "partitionTransforms" =>
-            // unset = evolve back to the identity spec (future writes)
-            lake.evolvePartitionSpec(
-              Option(d.partitionCols).getOrElse(Seq.empty).map(_ => "identity"))
-            TableDescriptor.load(root, hconf).getOrElse(d)
+            // unset = evolve back to the identity spec (future writes).
+            // Already-identity specs are a no-op, not an error — every
+            // other RemoveProperty is an idempotent reset, and
+            // evolvePartitionSpec's same-spec guard would throw here
+            val alreadyIdentity = Option(d.partitionTransforms)
+              .getOrElse(Seq.empty)
+              .forall(graft.lake.PartTransform.parse(_) ==
+                graft.lake.PartTransform.Identity)
+            if (alreadyIdentity) d
+            else {
+              lake.evolvePartitionSpec(
+                Option(d.partitionCols).getOrElse(Seq.empty).map(_ => "identity"))
+              TableDescriptor.load(root, hconf).map(saved => d.copy(
+                partitionTransforms = saved.partitionTransforms,
+                priorPartitionSpecs = saved.priorPartitionSpecs)).getOrElse(d)
+            }
         }
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
