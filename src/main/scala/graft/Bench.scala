@@ -119,34 +119,82 @@ object Bench {
       "lake_schema_evolution", "lake_restore", "multimodal_frames",
       "lake_meta_columns", "lake_sql_time_travel")
 
-    // Contention canary: a fixed single-thread CPU task (~40ms quiet)
-    // timed BETWEEN queries, when Spark is idle — so it reads pure
-    // external machine load, not our own executor threads. Calibrated at
-    // startup (min-of-5); if the canary after a measurement reads >3x
-    // calibration, that sample was taken under contention and the query
-    // re-runs (bounded retries). Contaminated samples still enter the
-    // min — contention only inflates — but a query is only ACCEPTED once
-    // a sample was bracketed by a clean canary or retries are exhausted.
-    def canaryOnce(): Double = {
-      val t0 = System.nanoTime()
+    // Contention canary: a PARALLEL fixed CPU task (8 threads x ~40ms
+    // quiet) timed BETWEEN queries, when Spark is idle — so it reads
+    // external machine load, not our own executor threads. r13 showed
+    // the single-thread version has a multi-core blind spot: ambient
+    // load stealing 8 of 32 cores inflates a 32-thread Spark query
+    // 2-6x while a 1-thread probe still finds a free core and reads
+    // clean. Eight spinning threads contend with that load the way the
+    // query did. Calibrated at startup (min-of-5); if the canary after
+    // a measurement reads >3x calibration, that sample was taken under
+    // contention and the query re-runs (bounded retries). Contaminated
+    // samples still enter the min — contention only inflates — but a
+    // query is only ACCEPTED once a sample was bracketed by a clean
+    // canary or retries are exhausted.
+    val canaryN = 8
+    val canaryPool = java.util.concurrent.Executors.newFixedThreadPool(canaryN)
+    val canarySink = new java.util.concurrent.atomic.AtomicLong(0)
+    def spin(): Long = {
       var x = 0x9E3779B97F4A7C15L
       var i = 0
       while (i < 40000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      x
+    }
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      val fs = (1 to canaryN).map(_ => canaryPool.submit(
+        new java.util.concurrent.Callable[Long] { override def call(): Long = spin() }))
+      fs.foreach(f => canarySink.addAndGet(f.get()))
       (System.nanoTime() - t0) / 1e9
     }
     val canaryCal = (1 to 5).map(_ => canaryOnce()).min
+    if (canarySink.get() == 42L) System.err.println("") // defeat DCE
+
+    // Second detector, for load the canary still can't see: per-query
+    // drift vs the previous committed quiet run's BENCH_DETAIL.json
+    // (read BEFORE this run overwrites it). A value >2x its committed
+    // floor earns extra attempts, and one that stays >2x is reported
+    // contended even when every canary was clean — a query whose code
+    // legitimately changed this round gets two wasted re-runs, which is
+    // the cheap side of that trade.
+    val refFloor: Map[String, Double] = try {
+      val f = new java.io.File("BENCH_DETAIL.json")
+      if (!f.exists()) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(f)
+        // floors only transfer within the same scale factor — a detail
+        // file from a dev run at another sf would flag everything
+        val q = if (node.get("sf") == null ||
+          node.get("sf").asText() != sfDir) null else node.get("queries")
+        if (q == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          val it = q.fields()
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
     val canaryMax = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val maxTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val drifted = scala.collection.mutable.LinkedHashSet[String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       timed { fn(spark, sfDir).count() } // cold: warm caches, discard
       val reps = if (minOf3(name)) 3 else 2
+      val ref = refFloor.get(name).filter(_ > 0)
       var best = Double.MaxValue
+      var worst = 0.0
       var worstCanary = 0.0
       var clean = 0
       var attempts = 0
-      // up to 2 extra attempts past `reps` to replace contaminated samples
+      // up to 2 extra attempts past `reps` to replace contaminated
+      // samples; a sample only counts as clean if its canary was quiet
+      // AND it is within 2x the committed floor (when one exists)
       while (clean < reps && attempts < reps + 2) {
         val t = timed { fn(spark, sfDir).count() }
         val c = canaryOnce()
@@ -154,13 +202,17 @@ object Bench {
         if (t < 0) { best = -1.0; clean = reps } // error: stop, surface -1
         else {
           best = math.min(best, t)
-          if (c <= 3 * canaryCal) clean += 1
+          worst = math.max(worst, t)
+          if (c <= 3 * canaryCal && ref.forall(r => t <= 2 * r)) clean += 1
         }
         attempts += 1
       }
+      if (best >= 0 && ref.exists(r => best > 2 * r)) drifted += name
       canaryMax(name) = worstCanary
+      maxTimes(name) = worst
       results(name) = best
     }
+    canaryPool.shutdown()
 
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -182,8 +234,15 @@ object Bench {
     // fit the capture window whole, and the detail rides separately.
     val canaryJson = canaryMax.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query spread (min = the reported value, max = worst attempt):
+    // contamination shows up as max >> min IN the artifact, instead of
+    // needing a git-archaeology session against an older quiet run
+    val spreadJson = maxTimes.map { case (k, mx) =>
+      "\"" + k + "\":{\"min\":" + results.getOrElse(k, -1.0) + ",\"max\":" + mx + "}"
+    }.mkString("{", ",", "}")
+    val driftJson = drifted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailLine =
-      s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qsFull,"canary_cal":$canaryCal,"canary_max":$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qsFull,"spread":$spreadJson,"canary_cal":$canaryCal,"canary_max":$canaryJson,"drifted":$driftJson,"sf":"$sfDir"}"""
     println(detailLine)
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
@@ -199,7 +258,12 @@ object Bench {
     val qsCompact = (slow.map { case (k, v) => "\"" + k + "\":" + r3(v) } ++
       (if (rest > 0) Seq("\"_other_" + rest + "_queries\":" + r3(restSum)) else Nil))
       .mkString("{", ",", "}")
-    val nContended = canaryMax.count { case (_, v) => v > 3 * canaryCal }
+    // contended = canary saw machine load during its attempts OR the
+    // accepted value drifted >2x past the committed quiet floor — the
+    // union, so clean-canary contamination (r13's doc_* block) is
+    // still reported honestly
+    val nContended = (canaryMax.collect {
+      case (k, v) if v > 3 * canaryCal => k }.toSet ++ drifted).size
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":$nQ,"n_err":$nErr,"builds_wall":${r3(buildsWall)},"canary_cal":${r3(canaryCal)},"n_contended":$nContended,"queries":$qsCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
