@@ -2163,6 +2163,100 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   def clean(retain: Int): Unit = {
     log.clean(retain)
     if (config.archiveOnClean) { log.archive(); () }
+    // exported manifests are point-in-time file lists; the clean may
+    // have physically deleted files they reference — drop them all
+    dropManifests()
+  }
+
+  // ---- external-engine manifest export (Delta _symlink_format_manifest
+  // role; the reference's S6 capability — a second engine reads the live
+  // TABLE through shared metadata, not a copy of query output:
+  // mq-tran/hudi-glue Redshift/spectrum_setup.sql:2-11 attaches the
+  // catalog and scans the Hudi table from Redshift Spectrum)
+
+  private def manifestsDir = new Path(config.root, "_manifests")
+
+  private def dropManifests(): Unit = {
+    val fs = manifestsDir.getFileSystem(hconf)
+    if (fs.exists(manifestsDir)) { fs.delete(manifestsDir, true); () }
+  }
+
+  /** Export the snapshot's live-file list for external engines.
+    *
+    * Two artifacts per export, both under `_manifests/`:
+    *  - `manifest-<id>.txt` — one absolute file path per line, the
+    *    portable symlink-manifest format (Delta's
+    *    `_symlink_format_manifest`, Hive SymlinkTextInputFormat lineage)
+    *    that object-store engines consume as a file list;
+    *  - on local filesystems, `v<id>/` — a directory of symlinks to the
+    *    same files, so glob-only readers (DuckDB read_parquet over a
+    *    `v<id>` parquet glob) resolve the snapshot with no list-file
+    *    support. Exporting the HEAD also refreshes the stable
+    *    `latest.txt` / `latest/` aliases.
+    *
+    * MoR snapshots export the read-optimized view (base files only —
+    * an external engine cannot run our log-merge), the same contract as
+    * the `.ro` SQL view; CoW exports are full-fidelity. Partition values
+    * are materialized IN the data files (the `__gpN` shadow layout keeps
+    * the real columns), so a flattened file list loses nothing.
+    *
+    * Manifests are facts about a travelable snapshot: [[clean]],
+    * [[rollback]] and [[restoreTo]] delete the whole `_manifests/` tree
+    * because the lists they leave behind may reference physically
+    * deleted files. Returns the exported commit id.
+    */
+  def exportManifest(asOf: Option[Long] = None): Long = {
+    val id = asOf.orElse(log.latestId).getOrElse(
+      throw new IllegalArgumentException(
+        "cannot export a manifest of an empty table"))
+    // an exported list must never be born dangling: refuse snapshots
+    // whose superseded files the cleaner already deleted (liveFiles
+    // itself only guards the archive boundary — commit JSONs survive a
+    // clean, so the resolution would "succeed" and list dead paths)
+    require(id >= log.cleanedUpTo,
+      s"commit $id's snapshot is below the clean horizon " +
+        s"(${log.cleanedUpTo}) — its files were physically deleted")
+    val files = log.liveFiles(Some(id)).filterNot(_.isDelta)
+    val fs = manifestsDir.getFileSystem(hconf)
+    fs.mkdirs(manifestsDir)
+    val qualified = files.map(f => fs.makeQualified(new Path(f.path)).toString)
+    val isHead = log.latestId.contains(id)
+    def writeList(name: String): Unit = {
+      val dst = new Path(manifestsDir, name)
+      val tmp = new Path(manifestsDir, s".tmp-$name-${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(qualified.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // same id ⇒ same content, so losing a rename race is benign;
+      // the mutable `latest` alias is replace-then-rename
+      if (fs.exists(dst) && !name.startsWith("manifest-")) fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); () }
+    }
+    def writeLinks(name: String): Unit = {
+      val dirPath = new Path(manifestsDir, name)
+      val stage = java.nio.file.Paths.get(
+        new Path(manifestsDir, s".tmpv-$name-${System.nanoTime()}").toUri.getPath)
+      java.nio.file.Files.createDirectories(stage)
+      qualified.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.createSymbolicLink(
+          stage.resolve(f"part-$i%05d.parquet"),
+          java.nio.file.Paths.get(new Path(p).toUri.getPath))
+      }
+      val dst = java.nio.file.Paths.get(dirPath.toUri.getPath)
+      if (fs.exists(dirPath)) fs.delete(dirPath, true)
+      if (!stage.toFile.renameTo(dst.toFile))
+        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+    writeList(f"manifest-$id%08d.txt")
+    if (isHead) writeList("latest.txt")
+    val local = Option(new Path(config.root).toUri.getScheme)
+      .forall(_ == "file")
+    if (local) {
+      writeLinks(f"v$id%08d")
+      if (isHead) writeLinks("latest")
+    }
+    id
   }
 
   /** Archive the non-travelable timeline prefix into compacted segment
@@ -2305,7 +2399,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     */
   def rollback(): Option[Long] = {
     val r = log.rollbackLatest()
-    r.foreach { _ => registeredSchema = ""; resync() }
+    r.foreach { _ => registeredSchema = ""; resync(); dropManifests() }
     r
   }
 
@@ -2456,6 +2550,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     }
     registeredSchema = ""
     resync()
+    dropManifests()
   }
 
   /** Catalog sync (reference W7, `glue/HudiJarGlueJob.py:80-81` hive_sync

@@ -279,6 +279,36 @@ object Lake {
       t
     })
 
+  /** Manifest-export fixture (reference S6: a SECOND engine reads the
+    * live TABLE through shared metadata, not a copy of query output).
+    * CoW CDC replay over a lineitem subset, then [[LakeTable
+    * .exportManifest]] publishes the head snapshot's live-file list
+    * under `_manifests/`. The root is deliberately sf-INDEPENDENT: the
+    * DuckDB oracle is a static SQL string that `read_parquet`s the
+    * manifest directory, so the path must not vary with the sf dir (the
+    * build wipes and rewrites the root per sfDir, and one Verify/Bench
+    * run uses exactly one sfDir).
+    */
+  private[graft] def manifestTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:manifest", _ => {
+      val root = "/tmp/graft_lake/manifest_fix"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("l_orderkey", "l_linenumber"),
+        precombineCol = "update_ts", partitionCols = Seq("l_returnflag")))
+      val li = keyedLineitem(s, d).filter(col("l_orderkey") % 7 === 0).persist()
+      try {
+        val (b0, b1, _, delKeys) = batches(li)
+        t.bulkInsert(b0)
+        t.upsert(b1)
+        t.delete(delKeys)
+      } finally li.unpersist()
+      t.exportManifest()
+      t
+    })
+
   /** Checkpoint fixture over `nation`: bulk insert (c0) then 8
     * single-slice upserts (c1..c8) under `checkpointEvery = 3`, so the
     * log holds checkpoints at c2/c5/c8 and the LATEST snapshot resolves
@@ -1010,6 +1040,23 @@ object Lake {
           'v' || CAST(n_nationkey % 8 + 1 AS VARCHAR) AS n_comment,
           CAST(n_nationkey % 8 + 1 AS INT) AS update_ts
         FROM nation ORDER BY n_nationkey""")),
+
+    // ---- external-engine manifest read ----------------------------------
+    // the hard S6 gate: the oracle's DuckDB side does NOT reconstruct the
+    // expected rows from base tables — it read_parquet's the table's OWN
+    // live files through the exported `_manifests/latest/` list, so a
+    // hash match proves a second engine resolves the live snapshot from
+    // shared metadata (the reference attaches the Glue DB to Redshift
+    // Spectrum and scans the Hudi table, Redshift/spectrum_setup.sql:2-11)
+    GQuery("lake_manifest_read",
+      (s, d) => manifestTable(s, d).read()
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"), col("update_ts"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+          update_ts
+        FROM read_parquet('/tmp/graft_lake/manifest_fix/_manifests/latest/*.parquet')
+        ORDER BY l_orderkey, l_linenumber""")),
 
     // ---- partition-spec evolution: scan spans two specs ----------------
     // months-spec files (Jan–Feb) and days-spec files (Mar–Apr) answer

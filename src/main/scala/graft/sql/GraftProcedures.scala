@@ -82,7 +82,12 @@ private[sql] object GraftProcedures {
       (t, in) => t.fastForward(in.getUTF8String(1).toString)),
     "drop_branch" -> (Seq("name" -> StringType),
       (t, in) => { t.dropBranch(in.getUTF8String(1).toString)
-        t.log.latestId.getOrElse(-1L) }))
+        t.log.latestId.getOrElse(-1L) }),
+    // external-engine manifest export (Delta symlink-manifest role,
+    // reference S6): writes the snapshot's live-file list under
+    // `_manifests/` (-1 = head); returns the exported commit id
+    "export_manifest" -> (Seq("commit" -> LongType),
+      (t, in) => t.exportManifest(Some(in.getLong(1)).filter(_ >= 0))))
 
   def names: Seq[String] = procs.keys.toSeq.sorted
 
