@@ -68,6 +68,11 @@ object ScaleCheck {
     // untyped tail; the audit checks the whole replay stays O(total
     // changes) like lake_tail_changes, not super-linear in commit size
     "lake_tail_cdf",
+    // r14: the typed MoR feed — per commit ONE key-range-pruned read
+    // semi-joined to the touched keys, then a single fused window chain
+    // (pre+post merge + winner pivot over one sort). The audit checks
+    // the replay stays O(total touched keys), like its CoW twin
+    "lake_tail_cdf_mor",
     // r11: bloom point lookup — the candidate-pair join (probe keys ×
     // range-hit files) is the known hazard regime: on the full-span MoR
     // fixture EVERY file range-hits every probe, so pairs grow as
@@ -137,9 +142,28 @@ object ScaleCheck {
     s.read.parquet(out)
   }
 
+  /** typed-CDF MoR twin: the classification probes run against the MoR
+    * CDC fixture's delta stack; same distributed-sink rationale */
+  private def morCdfTailToParquet(s: SparkSession, d: String): DataFrame = {
+    val t = ops.Lake.morCdcTable(s, d)
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"/tmp/graft_scale_sink/cdfmor_$tag"
+    val ckpt = s"/tmp/graft_scale_sink/cdfmor_ckpt_$tag"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(out, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val q = t.tailStream(changeTypes = true).writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+  }
+
   private val overrides: Map[String, (SparkSession, String) => DataFrame] =
     Map("lake_tail_changes" -> (tailToParquet _),
-      "lake_tail_cdf" -> (cdfTailToParquet _))
+      "lake_tail_cdf" -> (cdfTailToParquet _),
+      "lake_tail_cdf_mor" -> (morCdfTailToParquet _))
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1385,7 +1385,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         * classify from their own adds/removes (one bounded key join per
         * commit); MoR delta commits classify from two bounded MERGED
         * probes of the touched keys — pre/post state, key-range-pruned
-        * to the touched file groups ([[mergedPrePost]]). Zero
+        * to the touched file groups ([[mergedPrePostRows]]). Zero
         * write-path overhead either way: the types are derived at READ
         * time from the commit log, where Delta pays a change-file write
         * per commit. */
@@ -3082,25 +3082,38 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * null-backfill/upcast, evolution past the stream schema fails loud).
     * The change-tail read primitive for Copy-on-Write tables, where a
     * commit's logical changes are derived from its adds/removes. */
-  /** Merged (tombstone-resolved, precombine-applied) LIVE rows for
-    * exactly the record keys in `keys` — which must carry the table's
-    * key columns — at commit `commitId` (post) AND just before it
-    * (pre): the typed MoR change feed's classification probe
+  /** Fused pre/post merged winners for exactly the record keys in
+    * `keys` — which must carry the table's key columns — at commit
+    * `commitId`: the typed MoR change feed's classification probe
     * ([[graft.sources.GraftTailSource]]). `files` is the live set AT
-    * the commit; the pre side drops the commit's own rows by their
-    * write-time `_commit_id` stamp (a file in the live set carries
-    * `commitId` rows ONLY if the commit added it).
+    * the commit. Returns ONE frame of merged (tombstone-resolved,
+    * precombine-applied) rows flagged `_win_post` (the key's live
+    * winner at the commit) and `_win_pre` (its winner JUST BEFORE —
+    * the identical merge with the commit's own rows and tombstones
+    * masked out by their write-time `_commit_id` stamp); both flags
+    * can be true on the same row (stale delta — the table didn't
+    * change). Rows winning neither side are filtered out.
     *
-    * Cost shape, deliberately: key-range prune (only when it can skip
-    * many files — the 100 TB regime), ONE file read semi-joined down to
-    * the touched keys and lazily local-checkpointed, then TWO merges
-    * over that already-filtered set — merging before filtering measured
-    * 2.5x slower (the merge sorted whole partitions to discard most of
-    * them), and the checkpoint keeps the shared read from running once
-    * per side. */
-  private[graft] def mergedPrePost(
-      files: Seq[FileAdd], keys: DataFrame, commitId: Long)
-      : (DataFrame, DataFrame) = {
+    * This replaced two [[morMerge]] calls over a shared eager local
+    * checkpoint that a full-outer join then recombined — per commit
+    * that was two window sorts, a join shuffle, and a blocking
+    * materialization. The fused form computes both merges in one
+    * window CHAIN over a single sort (whole-frame tombstone maxes,
+    * then running first-candidate counts — same partition + ordering,
+    * so the second pass reuses the first's sort), needs no checkpoint
+    * (single consumer), and the caller aggregates winners per key
+    * instead of joining. Same-order rank equivalence: the winner is
+    * the first CANDIDATE row in (precombine desc, commit desc, seq
+    * desc) order, which is exactly morMerge's row_number()=1 over the
+    * filtered set.
+    *
+    * Cost shape unchanged: key-range prune (only when it can skip
+    * many files — the 100 TB regime), ONE file read semi-joined down
+    * to the touched keys, then the single merge pass — bounded by the
+    * commit's touched keys' file groups, never the table. */
+  private[graft] def mergedPrePostPivot(
+      files: Seq[FileAdd], keys: DataFrame, commitId: Long,
+      payload: DataFrame => org.apache.spark.sql.Column): DataFrame = {
     // no distinct on the probe: left_semi dedupes its build side anyway
     val probe = keys.select(keyStrExpr.as("_record_key"))
     val candidates =
@@ -3108,18 +3121,60 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     if (candidates.isEmpty) {
       val empty = readOrEmpty(candidates).drop("_seq", "_deleted")
         .join(probe, Seq("_record_key"), "left_semi")
-      return (empty, empty)
+      return empty.select(col("_record_key"), payload(empty).as("_p"),
+        col("_commit_id").as("_p_cid"), payload(empty).as("_q")).limit(0)
     }
     val rows = readFiles(candidates)
       .join(probe, Seq("_record_key"), "left_semi")
-      // EAGER local checkpoint: both merge branches sit in ONE plan
-      // downstream, and a lazy checkpoint is still recomputed per
-      // branch within the job that first materializes it (measured ~2x
-      // on the shared read). Blocks are reclaimed by the context
-      // cleaner when the frame becomes unreachable — no manual
-      // unpersist lifecycle.
-      .localCheckpoint(true)
-    (morMerge(rows.filter(col("_commit_id") =!= commitId)), morMerge(rows))
+      // explicit parallelism floor on the merge exchange: the probe's
+      // shuffle is small (touched keys only), and AQE coalesces a
+      // ~18 MB exchange to ONE partition — putting a multi-second
+      // single-task window sort on the critical path of every commit
+      // (measured, SCALE.md r14). A user repartition pins the partition
+      // count; it hash-partitions by the window's own keys, so the
+      // window chain adds no further exchange.
+      .repartition(spark.sparkContext.defaultParallelism,
+        dedupCols.map(col): _*)
+    val keyW = Window.partitionBy(dedupCols.map(col): _*)
+    val w = keyW.orderBy(col(config.precombineCol).desc,
+      col("_commit_id").desc, col("_seq").desc_nulls_last)
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val upto = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deleted = coalesce(col("_deleted"), lit(false)) // base files lack the column
+    val isPre = col("_commit_id") =!= commitId
+    // three chained passes over ONE sort (identical partition+ordering,
+    // so only the first pays the exchange+sort):
+    //   1. whole-frame tombstone maxes;
+    //   2. running first-candidate counts -> winner flags (the first
+    //      CANDIDATE in (precombine desc, commit desc, seq desc) order
+    //      is exactly morMerge's row_number()=1 over the filtered set);
+    //   3. whole-frame winner pivot (at most one non-null per side) +
+    //      row_number to emit ONE row per key — which removes the
+    //      groupBy shuffle a separate per-key pivot paid per commit.
+    val tagged = rows
+      .withColumn("_dcid_post", max(when(deleted, col("_commit_id"))).over(whole))
+      .withColumn("_dcid_pre",
+        max(when(deleted && isPre, col("_commit_id"))).over(whole))
+      .withColumn("_c_post",
+        !deleted && col("_commit_id") > coalesce(col("_dcid_post"), lit(-1L)))
+      .withColumn("_c_pre", isPre && !deleted &&
+        col("_commit_id") > coalesce(col("_dcid_pre"), lit(-1L)))
+      .withColumn("_win_post", col("_c_post") &&
+        sum(when(col("_c_post"), 1).otherwise(0)).over(upto) === 1)
+      .withColumn("_win_pre", col("_c_pre") &&
+        sum(when(col("_c_pre"), 1).otherwise(0)).over(upto) === 1)
+    val pk = payload(tagged)
+    tagged
+      .withColumn("_p", max(when(col("_win_post"), pk)).over(whole))
+      .withColumn("_p_cid",
+        max(when(col("_win_post"), col("_commit_id"))).over(whole))
+      .withColumn("_q", max(when(col("_win_pre"), pk)).over(whole))
+      .withColumn("_rn", row_number().over(w))
+      // one row per key; a key with NO winner on either side (e.g. a
+      // tombstone for a key that never lived) emits nothing, matching
+      // the join/groupBy formulations
+      .filter(col("_rn") === 1 && (col("_p").isNotNull || col("_q").isNotNull))
+      .select(col("_record_key"), col("_p"), col("_p_cid"), col("_q"))
   }
 
   private[graft] def readTimelineFiles(
@@ -3177,7 +3232,15 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       import spark.implicits._
       val ranges = ranged.map(f => (f.path, f.kmin, f.kmax, f.bloom))
         .toDF("_path", "_kmin", "_kmax", "_bloom")
-      val pairs = df.select(keyStrExpr.as("_k")).distinct()
+      // pin the distinct's parallelism: a large probe (a change feed's
+      // touched-key batch) shuffles only a few MB of keys, AQE coalesces
+      // that to ONE partition, and the broadcast range join then runs
+      // |keys| x |files| string comparisons on a single core — measured
+      // 3.9 s per commit on the sf0.1 MoR feed vs ~0.3 s pinned. Small
+      // probes (point lookups) pay only empty-task overhead.
+      val pairs = df.select(keyStrExpr.as("_k"))
+        .repartition(spark.sparkContext.defaultParallelism, col("_k"))
+        .distinct()
         .join(broadcast(ranges),
           col("_k") >= col("_kmin") && col("_k") <= col("_kmax"))
       val hits =

@@ -82,6 +82,19 @@ final class GraftTailSource(
 
   private def offLong(o: OffsetV1): Long = o.json.trim.toLong
 
+  /** Commits at or below the clean cutoff had their REMOVES physically
+    * swept (clean() deletes files superseded at-or-before the cutoff),
+    * so every branch that must READ `c.removes` fails loud here — the
+    * documented restart message — instead of FileNotFound mid-job.
+    * Branches reading only adds (untyped upsert diffs) stay valid at
+    * exactly the cutoff, which the batch-level `>=` guard admits
+    * (spec-pinned: "a tail starting at the horizon still works"). */
+  private def requireRemovesReadable(c: graft.lake.Commit, what: String): Unit =
+    require(c.id > table.log.cleanedUpTo,
+      s"streaming tail fell behind the cleaner horizon: commit ${c.id}'s " +
+        s"$what were physically deleted (cleaned up to " +
+        s"${table.log.cleanedUpTo}) — restart the stream from a fresh snapshot")
+
   /** Admission control (Delta's maxFilesPerTrigger role): with
     * `maxCommitsPerTrigger` set, a catch-up backlog splits into batches
     * of at most N commits instead of one giant micro-batch — bounding
@@ -283,9 +296,9 @@ final class GraftTailSource(
     // the diff reads files the range's commits REWROTE — physically
     // deleted once the cleaner passes them. Fail the batch up front with
     // the time-travel contract's message, not a FileNotFound mid-job.
-    require(from + 1 > table.log.cleanedUpTo,
+    require(from + 1 >= table.log.cleanedUpTo,
       s"streaming tail fell behind the cleaner horizon " +
-        s"(commit ${from + 1} <= swept ${table.log.cleanedUpTo}): " +
+        s"(commit ${from + 1} < retained ${table.log.cleanedUpTo}): " +
         "rewritten files it must diff were physically deleted — " +
         "restart the stream from a fresh snapshot")
     ensureIndexed(to)
@@ -296,8 +309,8 @@ final class GraftTailSource(
         // adds need no index probe: their schema IS this commit's
         def readAdds() = table.readTimelineFiles(
           adds, schema, _ => Some(c.schemaJson))
-        def readOld() = table.readTimelineFiles(
-          c.removes, schema, pathSchemaIdx.get)
+        def readOld() = { requireRemovesReadable(c, "rewritten files")
+          table.readTimelineFiles(c.removes, schema, pathSchemaIdx.get) }
         val proj = schema.fieldNames.map(n => col("`" + n + "`")).toSeq
         val changed =
           if (adds.isEmpty) None
@@ -387,6 +400,7 @@ final class GraftTailSource(
         !c.adds.exists(a => a.isDelta && ChangeDir.matches(a.path)))
       .map { c =>
         ensureIndexed(to)
+        requireRemovesReadable(c, "dropped partition files")
         val idCols = (table.config.keyCols ++ table.config.partitionCols)
           .distinct :+ "_record_key"
         val keys = table.readTimelineFiles(c.removes, schema, pathSchemaIdx.get)
@@ -429,16 +443,16 @@ final class GraftTailSource(
     * metadata-only partition drops; seeding base loads and physical
     * maintenance are not changes. Cost: two merged probes per commit,
     * key-range-pruned to the touched keys' file groups
-    * ([[graft.lake.LakeTable.mergedPrePost]]) — read-time only, zero
+    * ([[graft.lake.LakeTable.mergedPrePostRows]]) — read-time only, zero
     * write-path change files, bounded by the batch's keys, never the
     * table. Pre-state = the commit's snapshot MINUS its own adds (delta
     * commits remove nothing, so that IS the prior live set).
     */
   private def morTypedBatchFrame(from: Long, to: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
-    require(from + 1 > table.log.cleanedUpTo,
+    import org.apache.spark.sql.functions.{array, col, explode, first, lit, struct, when}
+    require(from + 1 >= table.log.cleanedUpTo,
       s"streaming tail fell behind the cleaner horizon " +
-        s"(commit ${from + 1} <= swept ${table.log.cleanedUpTo}): " +
+        s"(commit ${from + 1} < retained ${table.log.cleanedUpTo}): " +
         "prior-state files it must classify against were physically " +
         "deleted — restart the stream from a fresh snapshot")
     // payload fields (everything but the per-row-type columns), packed
@@ -472,11 +486,11 @@ final class GraftTailSource(
           .parquet(deltaPaths: _*)
           .select(table.config.keyCols.map(n => col("`" + n + "`")): _*)
         val liveAt = table.log.liveFiles(Some(c.id))
-        val (pre, post) = table.mergedPrePost(liveAt, keys, c.id)
-        val p = post.select(col("_record_key"),
-          col("_commit_id").as("_p_cid"), packed(post).as("_p"))
-        val q = pre.select(col("_record_key"), packed(pre).as("_q"))
-        val changes = p.join(q, Seq("_record_key"), "full_outer")
+        // one fused merge pass emitting one (post, pre) row per touched
+        // key — the pivot rides the merge's own window sort instead of
+        // the old full-outer join of two separately merged frames
+        val byKey = table.mergedPrePostPivot(liveAt, keys, c.id, packed)
+        val changes = byKey
           .select(explode(
             when(col("_q").isNull,
               array(unpack(col("_p"), deleted = false, "insert")))
@@ -493,6 +507,7 @@ final class GraftTailSource(
         // metadata-only partition drop: the same derived tombstones as
         // the untyped tail, typed `delete`
         ensureIndexed(to)
+        requireRemovesReadable(c, "dropped partition files")
         val idCols = (table.config.keyCols ++ table.config.partitionCols)
           .distinct :+ "_record_key"
         val keys = table.readTimelineFiles(c.removes, schema, pathSchemaIdx.get)

@@ -32,7 +32,8 @@ object MorCdfProbe {
           val ms = (for { s <- i.submissionTime; e <- i.completionTime }
             yield e - s).getOrElse(-1L)
           if (ms > 300) println(f"[stage] ${i.stageId}%4d ${ms}%6d ms " +
-            f"tasks=${i.numTasks}%3d ${i.name.take(90)}")
+            f"tasks=${i.numTasks}%3d " +
+            i.rddInfos.map(_.name).distinct.mkString(",").take(140))
         }
       })
     val t = graft.ops.Lake.morCdcTable(spark, sfDir)
@@ -57,10 +58,13 @@ object MorCdfProbe {
         .select(t.config.keyCols.map(n => col("`" + n + "`")): _*)
       timed("  c2 keys scan")(keys.count())
       val liveAt = t.log.liveFiles(Some(2L))
-      val (pre, post) = t.mergedPrePost(liveAt, keys, 2L)
-      timed("  c2 pre probe")(pre.count())
-      timed("  c2 post probe")(post.count())
-      timed("  c2 post probe again")(post.count())
+      import org.apache.spark.sql.functions.struct
+      def pay(df: org.apache.spark.sql.DataFrame) = struct(df.columns
+        .filterNot(Set("_win_post", "_win_pre", "_seq", "_deleted").contains)
+        .map(col).toSeq: _*)
+      val byKey = t.mergedPrePostPivot(liveAt, keys, 2L, pay)
+      timed("  c2 fused pivot")(byKey.count())
+      timed("  c2 fused pivot again")(byKey.count())
     }
     spark.stop()
   }

@@ -476,6 +476,29 @@ class TailSourceSpec extends AnyFunSuite {
     assert(ok.nonEmpty)
   }
 
+  test("delete commit exactly at the horizon fails loud: its removes were swept") {
+    val t = cowTable(freshRoot())
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0)))     // c0
+    t.upsert(df((1L, 1, "a1", 1)))                          // c1
+    import spark.implicits._
+    t.delete(Seq((2L, 1)).toDF("pk", "vendorid"))           // c2 (reads removes)
+    t.upsert(df((1L, 1, "a2", 2)))                          // c3
+    t.clean(retain = 2) // cutoff = c2: ITS removes are at-or-before and swept
+    assert(t.log.cleanedUpTo == 2L, "precondition: horizon at the delete")
+    val src = source(t)
+    // the batch-level >= guard admits a batch starting AT the horizon
+    // (upsert-only diffs read no removes), but the delete commit's
+    // tombstone branch must refuse with the restart message — this used
+    // to surface as FileNotFound mid-job
+    val e = intercept[IllegalArgumentException] {
+      src.batchFrame(t.log.cleanedUpTo - 1, t.log.latestId.get).collect()
+    }
+    assert(e.getMessage.contains("cleaner horizon"), e.getMessage)
+    // a batch ABOVE the delete commit still works
+    val ok = src.batchFrame(2L, 3L).select("pk").collect()
+    assert(ok.nonEmpty)
+  }
+
   test("CoW tail: end-to-end streaming query with checkpoint resume") {
     val t = cowTable(freshRoot())
     t.bulkInsert(df((1L, 1, "a", 0)))
