@@ -1628,15 +1628,51 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       if (x.name == name) x.copy(dataType = dt) else x)))
   }
 
+  /** Nested-path variants (ALTER TABLE ... s.f ...): add / rename /
+    * drop / widen a field INSIDE a struct column, any depth (structs
+    * and arrays-of-struct). Identity and minting rules are the
+    * top-level ones applied at the nested level
+    * ([[SchemaEvo.addAt]]/renameAt/dropAt/widenAt): a renamed nested
+    * field keeps its id and old files alias by it; a re-added nested
+    * name mints fresh, so dropped nested data never resurrects. The
+    * TOP-LEVEL column of a nested edit must not be pinned or internal
+    * (partition/key/precombine names are load-bearing whole). */
+  def renameColumn(path: Seq[String], newName: String): Long =
+    if (path.lengthCompare(1) == 0) renameColumn(path.head, newName)
+    else nestedSchemaChange(path)(s => SchemaEvo.renameAt(s, path, newName))
+
+  def dropColumn(path: Seq[String]): Long =
+    if (path.lengthCompare(1) == 0) dropColumn(path.head)
+    else nestedSchemaChange(path)(s => SchemaEvo.dropAt(s, path))
+
+  def addColumn(path: Seq[String], dt: DataType): Long =
+    if (path.lengthCompare(1) == 0) addColumn(path.head, dt)
+    else nestedSchemaChange(path)(s => SchemaEvo.addAt(s, path, dt))
+
+  def widenColumn(path: Seq[String], dt: DataType): Long =
+    if (path.lengthCompare(1) == 0) widenColumn(path.head, dt)
+    else nestedSchemaChange(path)(s => SchemaEvo.widenAt(s, path, dt))
+
+  private def nestedSchemaChange(path: Seq[String])
+      (op: StructType => StructType): Long = {
+    require(exists, s"table ${config.root} does not exist")
+    require(!SchemaEvo.isInternal(path.head) &&
+        !pinnedCols.contains(path.head),
+      s"column '${path.head}' is pinned by the table configuration")
+    schemaCommit(op(tableSchema(None)))
+  }
+
   /** publish a metadata-only schema commit (op "schema"): adds/removes
     * empty, optimistic-concurrency checked like any write */
   private def schemaCommit(next: StructType): Long = {
     val basedOn = log.latestId.getOrElse(log.EmptyTable)
     val id = log.nextId
-    // stamp ids on any legacy field so identity survives the change
+    // stamp ids on any legacy field so identity survives the change —
+    // at EVERY nesting level (nested fields default to name identity)
     val stamped = StructType(next.fields.map(f =>
       if (SchemaEvo.isInternal(f.name)) f
-      else SchemaEvo.renameField(f, f.name)))
+      else SchemaEvo.renameField(
+        f.copy(dataType = SchemaEvo.stampIds(f.dataType)), f.name)))
     val jsonOf = pathSchemaJson(None)
     SchemaEvo.validateAgainstLiveFiles(stamped,
       log.liveFiles().flatMap(f => jsonOf.get(f.path)).distinct.map(parseSchema))

@@ -48,10 +48,36 @@ private[graft] object SchemaEvo {
 
   /** a brand-new nullable field with a FRESH id (never name-identified,
     * so re-adding a previously dropped name cannot resurrect old data —
-    * even on a legacy table whose old files identify by name) */
+    * even on a legacy table whose old files identify by name); nested
+    * struct fields are minted recursively */
   def mintField(name: String, dt: DataType): StructField =
-    withCid(StructField(name, dt, nullable = true),
+    withCid(StructField(name, mintedType(dt), nullable = true),
       f"a${System.nanoTime()}%x")
+
+  /** fresh ids on every UNSTAMPED nested struct field of a brand-new
+    * column (already-stamped fields — a rebase or clone carrying ids —
+    * keep their identity) */
+  private def mintedType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      val inner = f.copy(dataType = mintedType(f.dataType))
+      if (f.metadata.contains(CidKey)) inner
+      else withCid(inner, f"a${System.nanoTime()}%x")
+    })
+    case ArrayType(e, n) => ArrayType(mintedType(e), n)
+    case MapType(k, v, n) => MapType(k, mintedType(v), n)
+    case o => o
+  }
+
+  /** materialize name-identity ids on every UNSTAMPED struct field, at
+    * every nesting level — pre-feature schemas (and user-supplied batch
+    * types) default to name identity, exactly like the top level */
+  def stampIds(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      withCid(f.copy(dataType = stampIds(f.dataType)), cid(f))))
+    case ArrayType(e, n) => ArrayType(stampIds(e), n)
+    case MapType(k, v, n) => MapType(k, stampIds(v), n)
+    case o => o
+  }
 
   /** internal engine columns (`_commit_id`, `_seq`, ...) are identified
     * by name forever and never rename/widen */
@@ -106,15 +132,8 @@ private[graft] object SchemaEvo {
             // against rows that are in fact null
             Some(withCid(pf.copy(nullable = true), cid(pf)))
           case Some(bf) =>
-            val target =
-              if (pf.dataType == bf.dataType) pf.dataType
-              else if (canWiden(pf.dataType, bf.dataType)) bf.dataType
-              else if (canWiden(bf.dataType, pf.dataType)) pf.dataType // narrow batch upcasts
-              else throw new IllegalArgumentException(
-                s"incompatible type change for column '${pf.name}': " +
-                  s"${pf.dataType.simpleString} -> ${bf.dataType.simpleString} " +
-                  "(only exact widenings are allowed while old files are live)")
-            Some(withCid(pf.copy(dataType = target,
+            Some(withCid(pf.copy(
+              dataType = mergeType(pf.dataType, bf.dataType, mint, pf.name),
               nullable = pf.nullable || bf.nullable), cid(pf)))
         }
       }
@@ -127,11 +146,50 @@ private[graft] object SchemaEvo {
         } else mint()
         // a column appended to an EXISTING table null-backfills every
         // pre-existing file — force nullable (first commits / resets
-        // keep the batch's own nullability: no older files exist)
-        withCid(if (prev.isEmpty || reset) f else f.copy(nullable = true), id)
+        // keep the batch's own nullability: no older files exist).
+        // Nested struct fields are stamped too (fresh unless carried).
+        withCid((if (prev.isEmpty || reset) f else f.copy(nullable = true))
+          .copy(dataType = mintedType(f.dataType)), id)
       }
     val internals = batch.fields.toSeq.filter(f => isInternal(f.name))
     StructType(evolvedExisting ++ appended ++ internals)
+  }
+
+  /** Merged type of a kept column across (previous table, new batch) —
+    * the recursive heart of [[evolve]]. Structs merge field-by-field
+    * with the SAME rules as the top level (kept-if-absent, widen, new
+    * nested fields minted fresh); arrays merge element types; anything
+    * else must be equal or an exact widening in one direction. Batch
+    * types match by NAME at every level (user batches carry no ids);
+    * the previous schema's nested ids are carried through.
+    */
+  private def mergeType(prev: DataType, batch: DataType,
+      mint: () => String, path: String): DataType = (prev, batch) match {
+    case (p, b) if p == b => p
+    case (p: StructType, b: StructType) =>
+      val evolved = p.fields.toSeq.map { pf =>
+        b.fields.find(_.name == pf.name) match {
+          case None => withCid(pf.copy(nullable = true), cid(pf))
+          case Some(bf) => withCid(pf.copy(
+            dataType = mergeType(pf.dataType, bf.dataType, mint,
+              s"$path.${pf.name}"),
+            nullable = pf.nullable || bf.nullable), cid(pf))
+        }
+      }
+      val known = evolved.map(_.name).toSet
+      val appendedNested = b.fields.toSeq
+        .filterNot(f => known.contains(f.name))
+        .map(f => withCid(f.copy(nullable = true,
+          dataType = mintedType(f.dataType)), mint()))
+      StructType(evolved ++ appendedNested)
+    case (ArrayType(pe, pn), ArrayType(be, bn)) =>
+      ArrayType(mergeType(pe, be, mint, s"$path[]"), pn || bn)
+    case (p, b) if canWiden(p, b) => b
+    case (p, b) if canWiden(b, p) => p // narrow batch upcasts
+    case (p, b) => throw new IllegalArgumentException(
+      s"incompatible type change for column '$path': " +
+        s"${p.simpleString} -> ${b.simpleString} " +
+        "(only exact widenings are allowed while old files are live)")
   }
 
   /** canonical identity of a schema for read-grouping: (cid, name, type)
@@ -157,7 +215,8 @@ private[graft] object SchemaEvo {
       else fromByCid.get(cid(tf)) match {
         case Some(sf) if sf.name == tf.name && sf.dataType == tf.dataType =>
           Some(col(sf.name))
-        case Some(sf) => Some(col(sf.name).cast(tf.dataType).as(tf.name))
+        case Some(sf) => Some(adaptValue(col("`" + sf.name + "`"),
+          sf.dataType, tf.dataType).as(tf.name))
         case None => Some(lit(null).cast(tf.dataType).as(tf.name))
       }
     }
@@ -169,6 +228,33 @@ private[graft] object SchemaEvo {
       .map(f => col(f.name))
     df.select(selected ++ extras: _*)
   }
+
+  /** Adapt a VALUE read under `from` to `to` — the nested companion of
+    * [[adapt]]'s per-column logic. Structs rebuild field-by-field
+    * matched by column id (rename via field re-label, widen via
+    * recursion, null-backfill for fields the file predates, dropped
+    * fields simply unselected); arrays adapt element-wise; primitives
+    * cast. A NULL source struct stays NULL (a bare struct() rebuild
+    * would turn it into a struct of nulls).
+    */
+  private def adaptValue(src: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f, t) if f == t => src
+      case (f: StructType, t: StructType) =>
+        val byCid = f.fields.map(x => cid(x) -> x).toMap
+        val parts = t.fields.toSeq.map { tf =>
+          byCid.get(cid(tf)) match {
+            case Some(sf) =>
+              adaptValue(src.getField(sf.name), sf.dataType, tf.dataType)
+                .as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }
+        when(src.isNotNull, struct(parts: _*))
+      case (f: ArrayType, t: ArrayType) =>
+        transform(src, x => adaptValue(x, f.elementType, t.elementType))
+      case (_, t) => src.cast(t)
+    }
 
   /** Union a TIMELINE of schemas by column id: later generations win a
     * column's name/type (renames and widenings surface under their
@@ -211,15 +297,120 @@ private[graft] object SchemaEvo {
         case Some(ff) if ff.name == sf.name && ff.dataType == sf.dataType =>
           col(sf.name)
         case Some(ff) =>
-          if (!canWiden(ff.dataType, sf.dataType))
-            throw new IllegalStateException(
-              s"column '${sf.name}' evolved to ${ff.dataType.simpleString}, " +
-                s"beyond the stream's ${sf.dataType.simpleString}: restart " +
-                "the stream to pick up the evolved schema")
-          col(ff.name).cast(sf.dataType).as(sf.name)
+          adaptValueStrict(col("`" + ff.name + "`"), ff.dataType,
+            sf.dataType, sf.name).as(sf.name)
         case None => lit(null).cast(sf.dataType).as(sf.name)
       }
     }: _*)
+  }
+
+  /** [[adaptValue]] under the STREAM contract: a nested field added or
+    * widened past the stream's schema after start throws (the stream
+    * must restart), instead of silently nulling or narrowing. */
+  private def adaptValueStrict(src: Column, from: DataType, to: DataType,
+      name: String): Column = (from, to) match {
+    case (f, t) if f == t => src
+    case (f: StructType, t: StructType) =>
+      val tByCid = t.fields.map(x => cid(x) -> x).toMap
+      val unknown = f.fields.filterNot(x => tByCid.contains(cid(x)))
+      if (unknown.nonEmpty) throw new IllegalStateException(
+        s"table schema evolved after stream start (new nested field(s) " +
+          s"${unknown.map(u => s"$name.${u.name}").mkString(", ")}): " +
+          "restart the stream to pick up the evolved schema")
+      val fByCid = f.fields.map(x => cid(x) -> x).toMap
+      val parts = t.fields.toSeq.map { tf =>
+        fByCid.get(cid(tf)) match {
+          case Some(sf) => adaptValueStrict(src.getField(sf.name),
+            sf.dataType, tf.dataType, s"$name.${tf.name}").as(tf.name)
+          case None => lit(null).cast(tf.dataType).as(tf.name)
+        }
+      }
+      when(src.isNotNull, struct(parts: _*))
+    case (f: ArrayType, t: ArrayType) =>
+      transform(src, x =>
+        adaptValueStrict(x, f.elementType, t.elementType, s"$name[]"))
+    case (f, t) =>
+      if (!canWiden(f, t))
+        throw new IllegalStateException(
+          s"column '$name' evolved to ${f.simpleString}, " +
+            s"beyond the stream's ${t.simpleString}: restart " +
+            "the stream to pick up the evolved schema")
+      src.cast(t)
+  }
+
+  // ---- path-addressed schema surgery (ALTER TABLE ... s.f ...) --------
+  // Shared by LakeTable's evolution ops and the catalog's dry-run
+  // validation, so a multi-change ALTER simulates EXACTLY what applying
+  // would do. `path` is the full field path (Seq("s","f") = field f of
+  // top-level struct s); the last segment names the edited field.
+
+  /** apply `op` to the (possibly nested) struct at `parent`; Nil = the
+    * top level. Descends through structs and arrays-of-struct. */
+  def transformStructAt(schema: StructType, parent: Seq[String],
+      op: StructType => StructType): StructType =
+    if (parent.isEmpty) op(schema)
+    else {
+      val h = parent.head
+      val f = schema.fields.find(_.name == h).getOrElse(
+        throw new IllegalArgumentException(s"no column '$h'"))
+      val inner = f.dataType match {
+        case st: StructType => transformStructAt(st, parent.tail, op)
+        case ArrayType(st: StructType, n) =>
+          ArrayType(transformStructAt(st, parent.tail, op), n)
+        case other => throw new IllegalArgumentException(
+          s"column '$h' is not a struct (${other.simpleString})")
+      }
+      StructType(schema.fields.map(x =>
+        if (x.name == h) x.copy(dataType = inner) else x))
+    }
+
+  def addAt(s: StructType, path: Seq[String], dt: DataType): StructType = {
+    val name = path.last
+    require(name.nonEmpty && !isInternal(name), s"invalid column name '$name'")
+    transformStructAt(s, path.init, st => {
+      require(!st.fieldNames.contains(name),
+        s"column '${path.mkString(".")}' already exists")
+      // appended fields null-backfill every pre-existing file — nullable
+      StructType(st.fields :+ mintField(name, dt))
+    })
+  }
+
+  def renameAt(s: StructType, path: Seq[String], newName: String): StructType = {
+    val name = path.last
+    require(newName.nonEmpty && !isInternal(newName),
+      s"invalid new column name '$newName'")
+    transformStructAt(s, path.init, st => {
+      require(st.fieldNames.contains(name),
+        s"no column '${path.mkString(".")}'")
+      require(!st.fieldNames.contains(newName),
+        s"column '$newName' already exists")
+      StructType(st.fields.map(f =>
+        if (f.name == name) renameField(f, newName) else f))
+    })
+  }
+
+  def dropAt(s: StructType, path: Seq[String]): StructType = {
+    val name = path.last
+    transformStructAt(s, path.init, st => {
+      require(st.fieldNames.contains(name),
+        s"no column '${path.mkString(".")}'")
+      val kept = st.fields.filterNot(_.name == name)
+      require(path.init.isEmpty || kept.nonEmpty,
+        s"cannot drop the last field of struct '${path.init.mkString(".")}'")
+      StructType(kept)
+    })
+  }
+
+  def widenAt(s: StructType, path: Seq[String], dt: DataType): StructType = {
+    val name = path.last
+    transformStructAt(s, path.init, st => {
+      val f = st.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '${path.mkString(".")}'"))
+      require(canWiden(f.dataType, dt),
+        s"cannot widen ${f.dataType.simpleString} to ${dt.simpleString}")
+      StructType(st.fields.map(x =>
+        if (x.name == name) x.copy(dataType = dt) else x))
+    })
   }
 
   /** Target schema for a REBASED write (its commit lost the optimistic
@@ -253,7 +444,7 @@ private[graft] object SchemaEvo {
     liveSchemas.foreach { fileSchema =>
       fileSchema.fields.filterNot(f => isInternal(f.name)).foreach { ff =>
         nextByCid.get(cid(ff)).foreach { nf =>
-          if (!canWiden(ff.dataType, nf.dataType))
+          if (!canStore(ff.dataType, nf.dataType))
             throw new IllegalArgumentException(
               s"schema change would corrupt live files: column '${nf.name}' " +
                 s"has live data of type ${ff.dataType.simpleString}, which " +
@@ -262,4 +453,20 @@ private[graft] object SchemaEvo {
       }
     }
   }
+
+  /** can a live file's physical value of `from` be adapted losslessly to
+    * `to`? Recursive widen check matched by column id at struct levels —
+    * a file field DROPPED from `to` is fine (never selected), a `to`
+    * field the file lacks null-backfills. */
+  private def canStore(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (f: StructType, t: StructType) =>
+        val tByCid = t.fields.map(x => cid(x) -> x).toMap
+        f.fields.forall(ff => tByCid.get(cid(ff))
+          .forall(tf => canStore(ff.dataType, tf.dataType)))
+      case (f: ArrayType, t: ArrayType) =>
+        canStore(f.elementType, t.elementType)
+      case (f, t) => canWiden(f, t)
+    }
 }

@@ -198,6 +198,50 @@ object Lake {
       t
     })
 
+  /** Nested-type evolution fixture (VERDICT r13 item #4): a struct
+    * column `s` crosses three physical generations —
+    *   gen1 bulk_insert: s(nm string, reg int), all nation rows
+    *   ALTER ADD COLUMN s.score DOUBLE (fresh nested id)
+    *   gen2 upsert: keys %3==1 carry s.score = key*1.5
+    *   ALTER RENAME s.nm -> name; ALTER s.reg TYPE BIGINT
+    *   gen3 upsert: keys %3==2 under the new nested names/types
+    * One snapshot read must adapt all three generations by nested
+    * column id: gen1/gen2 files alias nm->name, upcast reg, gen1
+    * null-backfills score.
+    */
+  private[graft] def evoNestedTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:evonested", _ => {
+      val root = s"/tmp/graft_lake/evonested_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("n_nationkey"), precombineCol = "update_ts"))
+      val nation = T.nation(s, d)
+      t.bulkInsert(nation.select(col("n_nationkey"),
+        struct(col("n_name").as("nm"),
+          col("n_regionkey").cast("int").as("reg")).as("s"))
+        .withColumn("update_ts", lit(0)))
+      t.addColumn(Seq("s", "score"),
+        org.apache.spark.sql.types.DoubleType)
+      t.upsert(nation.filter(col("n_nationkey") % 3 === 1)
+        .select(col("n_nationkey"),
+          struct(col("n_name").as("nm"),
+            col("n_regionkey").cast("int").as("reg"),
+            (col("n_nationkey") * lit(1.5)).as("score")).as("s"))
+        .withColumn("update_ts", lit(1)))
+      t.renameColumn(Seq("s", "nm"), "name")
+      t.widenColumn(Seq("s", "reg"),
+        org.apache.spark.sql.types.LongType)
+      t.upsert(nation.filter(col("n_nationkey") % 3 === 2)
+        .select(col("n_nationkey"),
+          struct(col("n_name").as("name"),
+            col("n_regionkey").cast("long").as("reg"),
+            (col("n_nationkey") * lit(2.5)).as("score")).as("s"))
+        .withColumn("update_ts", lit(2)))
+      t
+    })
+
   /** Schema evolution BEYOND add-column (VERDICT r4 item #5): widening,
     * rename, and drop over the `nation` fixture —
     *   c0 bulk_insert: all rows, score = n_nationkey*7 (INT),
@@ -1039,6 +1083,24 @@ object Lake {
       Some("""SELECT n_nationkey, n_name,
           'v' || CAST(n_nationkey % 8 + 1 AS VARCHAR) AS n_comment,
           CAST(n_nationkey % 8 + 1 AS INT) AS update_ts
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- nested-type schema evolution: three struct generations, one scan
+    // gen1 files alias s.nm -> s.name and upcast s.reg by NESTED column
+    // id, null-backfilling s.score; gen2 aliases/upcasts keeping its
+    // score; gen3 is native — flattened at the end so the oracle
+    // compares scalar columns (the engine did the nested adaptation)
+    GQuery("lake_schema_nested",
+      (s, d) => evoNestedTable(s, d).read()
+        .select(col("n_nationkey"), col("s.name").as("s_name"),
+          col("s.reg").as("s_reg"), col("s.score").as("s_score"),
+          col("update_ts"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name AS s_name,
+          CAST(n_regionkey AS BIGINT) AS s_reg,
+          CASE WHEN n_nationkey % 3 = 1 THEN n_nationkey * 1.5
+               WHEN n_nationkey % 3 = 2 THEN n_nationkey * 2.5 END AS s_score,
+          CAST(n_nationkey % 3 AS INT) AS update_ts
         FROM nation ORDER BY n_nationkey""")),
 
     // ---- external-engine manifest read ----------------------------------

@@ -678,68 +678,48 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (propChanges.isEmpty) desc
       else TableDescriptor.load(root, hconf).getOrElse(desc)
     val changesSeq = colChanges
-    def one(names: Array[String]): String = {
-      require(names.length == 1,
-        "graft tables support top-level column changes only")
-      names.head
-    }
     if (lake.exists) {
-      // dry-run EVERY change against a simulated (name, type) schema
-      // before applying ANY: a multi-change ALTER whose later change
-      // fails validation must not leave the table half-altered. The
-      // checks MIRROR the apply phase exactly — pinned set (incl.
-      // clusterCols), internal-name guards, and the widening lattice —
-      // or a change passes here and fails mid-apply.
+      // dry-run EVERY change against a simulated schema before applying
+      // ANY: a multi-change ALTER whose later change fails validation
+      // must not leave the table half-altered. The simulation runs the
+      // SAME SchemaEvo path-surgery the apply phase uses (plus the
+      // pinned/internal guards LakeTable adds), so nothing passes here
+      // and fails mid-apply. Nested paths (s.f, any depth) are
+      // first-class: identity-carrying rename/widen, fresh-id add,
+      // no-resurrect drop — the same laws as the top level.
       import graft.lake.SchemaEvo
       val pinned = (descNow.keyCols ++ descNow.partitionCols ++
         descNow.statsCols ++ descNow.clusterCols :+ descNow.precombineCol).toSet
-      def notPinned(n: String): Unit =
-        require(!SchemaEvo.isInternal(n) && !pinned.contains(n),
-          s"column '$n' is pinned by the table configuration")
-      changesSeq.foldLeft(
-        lake.tableSchema().fields.toSeq.map(f => f.name -> f.dataType)) {
-        (fields, ch) =>
-        val names = fields.map(_._1)
+      def guard(path: Seq[String]): Unit = {
+        require(!SchemaEvo.isInternal(path.head) && !pinned.contains(path.head),
+          s"column '${path.head}' is pinned by the table configuration")
+      }
+      changesSeq.foldLeft(lake.tableSchema()) { (schema, ch) =>
         ch match {
           case c: TableChange.AddColumn =>
-            val n = one(c.fieldNames)
-            require(!names.contains(n), s"column '$n' already exists")
-            require(n.nonEmpty && !SchemaEvo.isInternal(n),
-              s"invalid column name '$n'")
-            fields :+ (n -> c.dataType)
+            if (c.fieldNames.length > 1) guard(c.fieldNames.toSeq)
+            SchemaEvo.addAt(schema, c.fieldNames.toSeq, c.dataType)
           case c: TableChange.RenameColumn =>
-            val n = one(c.fieldNames)
-            require(names.contains(n), s"no column '$n'")
-            require(!names.contains(c.newName),
-              s"column '${c.newName}' already exists")
-            notPinned(n)
-            require(c.newName.nonEmpty && !SchemaEvo.isInternal(c.newName),
-              s"invalid new column name '${c.newName}'")
-            fields.map { case (x, t) => (if (x == n) c.newName else x) -> t }
+            guard(c.fieldNames.toSeq)
+            SchemaEvo.renameAt(schema, c.fieldNames.toSeq, c.newName)
           case c: TableChange.DeleteColumn =>
-            val n = one(c.fieldNames)
-            require(names.contains(n), s"no column '$n'")
-            notPinned(n)
-            fields.filterNot(_._1 == n)
+            guard(c.fieldNames.toSeq)
+            SchemaEvo.dropAt(schema, c.fieldNames.toSeq)
           case c: TableChange.UpdateColumnType =>
-            val n = one(c.fieldNames)
-            val from = fields.find(_._1 == n).getOrElse(
-              throw new IllegalArgumentException(s"no column '$n'"))._2
-            notPinned(n)
-            require(SchemaEvo.canWiden(from, c.newDataType),
-              s"cannot widen ${from.simpleString} to ${c.newDataType.simpleString}")
-            fields.map { case (x, t) =>
-              x -> (if (x == n) c.newDataType else t) }
+            guard(c.fieldNames.toSeq)
+            SchemaEvo.widenAt(schema, c.fieldNames.toSeq, c.newDataType)
           case other => throw new UnsupportedOperationException(
             s"unsupported ALTER TABLE change: $other")
         }
       }
       changesSeq.foreach {
-        case c: TableChange.AddColumn => lake.addColumn(one(c.fieldNames), c.dataType)
-        case c: TableChange.RenameColumn => lake.renameColumn(one(c.fieldNames), c.newName)
-        case c: TableChange.DeleteColumn => lake.dropColumn(one(c.fieldNames))
+        case c: TableChange.AddColumn =>
+          lake.addColumn(c.fieldNames.toSeq, c.dataType)
+        case c: TableChange.RenameColumn =>
+          lake.renameColumn(c.fieldNames.toSeq, c.newName)
+        case c: TableChange.DeleteColumn => lake.dropColumn(c.fieldNames.toSeq)
         case c: TableChange.UpdateColumnType =>
-          lake.widenColumn(one(c.fieldNames), c.newDataType)
+          lake.widenColumn(c.fieldNames.toSeq, c.newDataType)
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")
       }
@@ -748,28 +728,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val declared = Option(desc.schemaJson).filter(_.nonEmpty)
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(new StructType())
+      import graft.lake.SchemaEvo
       val next = changesSeq.foldLeft(declared) { (s, ch) =>
         ch match {
           case c: TableChange.AddColumn =>
-            require(!s.fieldNames.contains(one(c.fieldNames)),
-              s"column '${one(c.fieldNames)}' already exists")
-            s.add(one(c.fieldNames), c.dataType)
+            SchemaEvo.addAt(s, c.fieldNames.toSeq, c.dataType)
           case c: TableChange.RenameColumn =>
-            val n = one(c.fieldNames)
-            require(s.fieldNames.contains(n), s"no column '$n'")
-            require(!s.fieldNames.contains(c.newName),
-              s"column '${c.newName}' already exists")
-            StructType(s.fields.map(f =>
-              if (f.name == n) f.copy(name = c.newName) else f))
+            SchemaEvo.renameAt(s, c.fieldNames.toSeq, c.newName)
           case c: TableChange.DeleteColumn =>
-            val n = one(c.fieldNames)
-            require(s.fieldNames.contains(n), s"no column '$n'")
-            StructType(s.fields.filterNot(_.name == n))
+            SchemaEvo.dropAt(s, c.fieldNames.toSeq)
           case c: TableChange.UpdateColumnType =>
-            val n = one(c.fieldNames)
-            require(s.fieldNames.contains(n), s"no column '$n'")
-            StructType(s.fields.map(f =>
-              if (f.name == n) f.copy(dataType = c.newDataType) else f))
+            // no files exist yet, so ANY retype of the declared schema
+            // is safe — bypass the live-file widening lattice
+            SchemaEvo.transformStructAt(s, c.fieldNames.toSeq.init, st => {
+              val n = c.fieldNames.last
+              require(st.fieldNames.contains(n), s"no column '$n'")
+              StructType(st.fields.map(f =>
+                if (f.name == n) f.copy(dataType = c.newDataType) else f))
+            })
           case other => throw new UnsupportedOperationException(
             s"unsupported ALTER TABLE change: $other")
         }

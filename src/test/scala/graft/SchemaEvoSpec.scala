@@ -294,6 +294,146 @@ class SchemaEvoSpec extends AnyFunSuite {
     assert(res.passed, s"evolution model: $res")
   }
 
+  // ---- nested-type evolution (struct fields carry their own ids) -----
+
+  private def sdf(rows: (Long, Int, Int, String, Int)*): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct}
+    import spark.implicits._
+    rows.toDF("pk", "part", "a", "b", "ts")
+      .select(col("pk"), col("part"),
+        struct(col("a"), col("b")).as("s"), col("ts"))
+  }
+
+  test("nested: add/rename/widen inside a struct; three generations, one read") {
+    import org.apache.spark.sql.functions.col
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(sdf((1L, 1, 10, "x", 0)))              // gen 1: s(a int, b)
+    t.addColumn(Seq("s", "c"), DoubleType)
+    import spark.implicits._
+    t.upsert(Seq((2L, 1, 20, "y", 2.5, 1)).toDF("pk", "part", "a", "b", "c", "ts")
+      .select(col("pk"), col("part"),
+        org.apache.spark.sql.functions.struct(col("a"), col("b"), col("c")).as("s"),
+        col("ts")))                                      // gen 2: s(a, b, c)
+    t.renameColumn(Seq("s", "b"), "label")
+    t.widenColumn(Seq("s", "a"), LongType)
+    t.upsert(Seq((3L, 1, 5000000000L, "z", 7.5, 2))
+      .toDF("pk", "part", "a", "label", "c", "ts")
+      .select(col("pk"), col("part"),
+        org.apache.spark.sql.functions.struct(
+          col("a"), col("label"), col("c")).as("s"),
+        col("ts")))                                      // gen 3: s(a long, label, c)
+    val st = t.read().schema("s").dataType.asInstanceOf[StructType]
+    assert(st.fieldNames.toSeq == Seq("a", "label", "c"), st.treeString)
+    assert(st("a").dataType == LongType)
+    val out = t.read()
+      .select(col("pk"), col("s.a").as("a"), col("s.label").as("label"),
+        col("s.c").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(out == Set(
+      (1L, 10L, "x", null),          // gen-1 file: aliased by id, upcast, null c
+      (2L, 20L, "y", 2.5),           // gen-2 file: aliased by id
+      (3L, 5000000000L, "z", 7.5)))  // gen-3 file: native
+  }
+
+  test("nested: drop then re-adding the same field name does NOT resurrect") {
+    import org.apache.spark.sql.functions.col
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(sdf((1L, 1, 10, "secret", 0)))
+    t.dropColumn(Seq("s", "b"))
+    assert(!t.read().schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.contains("b"))
+    t.addColumn(Seq("s", "b"), StringType) // fresh id — must not alias old bytes
+    val v = t.read().select(col("s.b")).collect()
+    assert(v.forall(_.isNullAt(0)), "re-added nested name resurrected dropped data")
+  }
+
+  test("nested: pinned top-level columns refuse nested edits; guards hold") {
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(sdf((1L, 1, 10, "x", 0)))
+    intercept[IllegalArgumentException](t.renameColumn(Seq("pk", "x"), "y"))
+    intercept[IllegalArgumentException](t.widenColumn(Seq("s", "b"), LongType))
+    intercept[IllegalArgumentException](t.dropColumn(Seq("s", "nope")))
+    intercept[IllegalArgumentException](t.addColumn(Seq("s", "a"), IntegerType))
+    // dropping the last nested field would leave an empty struct
+    val t2 = LakeTable(spark, cfg(freshRoot()))
+    t2.bulkInsert(sdf((1L, 1, 10, "x", 0)))
+    t2.dropColumn(Seq("s", "a"))
+    intercept[IllegalArgumentException](t2.dropColumn(Seq("s", "b")))
+  }
+
+  test("nested: write-path evolution merges struct fields like the top level") {
+    import org.apache.spark.sql.functions.{col, struct}
+    import spark.implicits._
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(sdf((1L, 1, 10, "x", 0)))
+    // a batch whose struct carries a NEW nested field evolves the table
+    // schema (fresh id), and one whose struct is NARROW keeps the field
+    t.upsert(Seq((2L, 1, 20, "y", true, 1)).toDF("pk", "part", "a", "b", "extra", "ts")
+      .select(col("pk"), col("part"),
+        struct(col("a"), col("b"), col("extra")).as("s"), col("ts")))
+    val st1 = t.read().schema("s").dataType.asInstanceOf[StructType]
+    assert(st1.fieldNames.toSeq == Seq("a", "b", "extra"))
+    t.upsert(Seq((3L, 1, 30, 2)).toDF("pk", "part", "a", "ts")
+      .select(col("pk"), col("part"), struct(col("a")).as("s"), col("ts")))
+    val st2 = t.read().schema("s").dataType.asInstanceOf[StructType]
+    assert(st2.fieldNames.toSeq == Seq("a", "b", "extra"),
+      "a narrow nested batch must not narrow the struct")
+    val r3 = t.read().filter(col("pk") === 3L)
+      .select(col("s.a"), col("s.b"), col("s.extra")).collect().head
+    assert(r3.getInt(0) == 30 && r3.isNullAt(1) && r3.isNullAt(2))
+  }
+
+  test("nested: stream tail fails loud when a nested field is added after start") {
+    import org.apache.spark.sql.functions.col
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(sdf((1L, 1, 10, "x", 0)))
+    val src = new graft.sources.GraftTailSource(spark.sqlContext, t, t.tailSchema)
+    assert(src.batchFrame(-1L, 0L).count() == 1)
+    t.addColumn(Seq("s", "c"), DoubleType)
+    import spark.implicits._
+    t.upsert(Seq((2L, 1, 20, "y", 2.5, 1)).toDF("pk", "part", "a", "b", "c", "ts")
+      .select(col("pk"), col("part"),
+        org.apache.spark.sql.functions.struct(col("a"), col("b"), col("c")).as("s"),
+        col("ts")))
+    val e = intercept[IllegalStateException](
+      src.batchFrame(1L, t.log.latestId.get).collect())
+    assert(e.getMessage.contains("restart the stream"), e.getMessage)
+  }
+
+  test("nested: ALTER TABLE SQL on struct fields through the catalog") {
+    val wh = Files.createTempDirectory("evonest").toString
+    spark.conf.set("spark.sql.catalog.evonest", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.evonest.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE evonest.db.t (pk BIGINT, part INT, " +
+        "s STRUCT<a: INT, b: STRING>, ts INT) PARTITIONED BY (part) " +
+        "TBLPROPERTIES (keyCols='pk', precombineCol='ts')")
+      spark.sql("INSERT INTO evonest.db.t VALUES " +
+        "(1, 1, named_struct('a', 10, 'b', 'x'), 0)")
+      spark.sql("ALTER TABLE evonest.db.t ADD COLUMN s.c DOUBLE")
+      spark.sql("ALTER TABLE evonest.db.t RENAME COLUMN s.b TO label")
+      spark.sql("ALTER TABLE evonest.db.t ALTER COLUMN s.a TYPE BIGINT")
+      spark.sql("INSERT INTO evonest.db.t VALUES " +
+        "(2, 1, named_struct('a', CAST(5000000000 AS BIGINT), 'label', 'y', " +
+        "'c', CAST(2.5 AS DOUBLE)), 1)")
+      val rows = spark.sql("SELECT pk, s.a, s.label, s.c FROM evonest.db.t " +
+        "ORDER BY pk").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq ==
+        Seq((1L, 10L, "x", null), (2L, 5000000000L, "y", 2.5)))
+      // multi-change dry-run atomicity: a failing later change must not
+      // apply the earlier one
+      val before = spark.table("evonest.db.t").schema("s").dataType
+      intercept[Exception](spark.sql(
+        "ALTER TABLE evonest.db.t ADD COLUMN s.d INT, s.a STRING"))
+      assert(spark.table("evonest.db.t").schema("s").dataType == before)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.evonest")
+      spark.conf.unset("spark.sql.catalog.evonest.warehouse")
+    }
+  }
+
   test("ALTER TABLE SQL: rename/drop/add/widen through the catalog") {
     val wh = Files.createTempDirectory("evocat").toString
     spark.conf.set("spark.sql.catalog.evocat", "graft.sql.GraftCatalog")
