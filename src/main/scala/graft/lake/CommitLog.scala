@@ -84,8 +84,15 @@ final case class FileAdd(
       * missing in pre-upgrade JSONs) = the table's original spec; files
       * keep their layout across spec evolution and every partition-
       * tuple comparison dispatches on this id. */
-    spec: Int = 0) {
+    spec: Int = 0,
+    /** deletion-vector sidecar only (kind == "dv"): the data file whose
+      * row positions this DV tombstones. null for data files. Live DVs
+      * are removed alongside their target (writeCommit's central rule),
+      * superseded DV files are physically swept by the cleaner like any
+      * removed file. */
+    target: String = null) {
   def isDelta: Boolean = kind == "delta"
+  def isDv: Boolean = kind == "dv"
   def hasKeyRange: Boolean = kmin != null && kmax != null
   /** null-safe accessors: commit JSONs written before the field existed
     * deserialize with null maps */
@@ -399,7 +406,20 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     * target (pre-checkpoint time travel, or a table that never wrote
     * one). Both paths produce the IDENTICAL sequence, order included:
     * the checkpoint stores the replay order it was built from. */
-  def liveFiles(asOf: Option[Long] = None): Seq[FileAdd] = {
+  /** Live DATA files (base + delta) — deletion-vector sidecars are
+    * tracked through the same add/remove fold but surfaced separately
+    * ([[liveDvs]]), so every existing consumer of the data live set
+    * stays correct without a filter at each site. */
+  def liveFiles(asOf: Option[Long] = None): Seq[FileAdd] =
+    liveFilesAll(asOf).filterNot(_.isDv)
+
+  /** Live deletion-vector sidecars (kind == "dv") at the pin. */
+  def liveDvs(asOf: Option[Long] = None): Seq[FileAdd] =
+    liveFilesAll(asOf).filter(_.isDv)
+
+  /** the full live set, DVs included — checkpoints and savepoint pins
+    * must cover DV sidecars or travel/clean would lose them */
+  def liveFilesAll(asOf: Option[Long] = None): Seq[FileAdd] = {
     val ids = listIds
     asOf.foreach { id =>
       require(id > archiveUpTo,
@@ -506,7 +526,7 @@ final class CommitLog(root: String, hadoopConf: Configuration,
   private def writeCheckpoint(at: Long): Unit = {
     val dst = ckptPath(at)
     if (fs.exists(dst)) return // idempotent: same id ⇒ same content
-    val live = liveFiles(Some(at))
+    val live = liveFilesAll(Some(at))
     val bySchema = pathSchemas(Some(at))
     val table = schemaJsonAsOf(Some(at)).getOrElse(return)
     val schemas = live.map(a => bySchema.getOrElse(a.path, table)).distinct
@@ -700,7 +720,8 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     }
     listIds.foreach { id =>
       val fixed = read(id) match { case c =>
-        c.copy(adds = c.adds.map(a => a.copy(path = fix(a.path))),
+        c.copy(adds = c.adds.map(a => a.copy(path = fix(a.path),
+            target = Option(a.target).map(fix).orNull)),
           removes = c.removes.map(fix))
       }
       val out = fs.create(commitPath(id), true)
@@ -711,7 +732,8 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     // in place under the same invisibility argument
     archivedRanges.foreach { r =>
       val fixed = readSegment(r).map(c =>
-        c.copy(adds = c.adds.map(a => a.copy(path = fix(a.path))),
+        c.copy(adds = c.adds.map(a => a.copy(path = fix(a.path),
+            target = Option(a.target).map(fix).orNull)),
           removes = c.removes.map(fix)))
       val out = fs.create(archPath(r._1, r._2), true)
       try out.write(mapper.writeValueAsBytes(
@@ -861,7 +883,7 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     // are unreferenced by every retained snapshot
     val cutoff = ids(ids.size - retain)
     val pinned: Set[String] = pins.filter(_ <= cutoff)
-      .flatMap(s => liveFiles(Some(s)).map(_.path)).toSet
+      .flatMap(s => liveFilesAll(Some(s)).map(_.path)).toSet
     val removedEarly = commits.filter(_.id <= cutoff).flatMap(_.removes)
     removedEarly.filterNot(pinned).filter(owned)
       .foreach { p =>

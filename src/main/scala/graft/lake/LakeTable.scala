@@ -448,7 +448,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val id = log.nextId
     val (adm, dropMeta) = admitBatch(df)
     writeCommit(withDerived(withMeta(adm, id)), op = "bulk_insert",
-      removes = Seq.empty, fixedId = Some(id),
+      removesIn = Seq.empty, fixedId = Some(id),
       basedOn = Some(log.EmptyTable), commitMeta = meta ++ dropMeta)
   }
 
@@ -554,6 +554,128 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val cols = (config.partitionCols ++ config.keyCols).distinct
       delete(read(pred).select(cols.map(col): _*))
     }
+
+  /** Position-delete (deletion vectors — Iceberg v2 position deletes /
+    * Delta DV role): delete by key WITHOUT rewriting the target files.
+    * The matched rows' (file, row-index) pairs are written as one small
+    * DV sidecar per touched file ([[DvCodec]]) and committed as
+    * `kind="dv"` adds; reads drop those positions with a broadcast
+    * anti-join fused into the scan. Write amplification is O(positions)
+    * instead of O(rewritten file bytes) — the point-delete regime where
+    * CoW's keyed rewrite pays a whole file per doomed row.
+    *
+    * Semantics are exactly [[delete]]'s: same key identity (null-safe,
+    * partition-scoped when the keys frame pins partitions), snapshot /
+    * time-travel / change-feed visibility unchanged (the DV commit is a
+    * timeline commit; travel before it sees the rows). Already-deleted
+    * positions never re-enter (the position scan itself reads through
+    * live DVs), so repeated deletes are no-ops and metadata counts can
+    * subtract DV position counts exactly. A later rewrite of a target
+    * (upsert/compact) retires its DVs in the same commit
+    * ([[writeCommit]]'s central rule); compaction therefore folds DVs
+    * into plain base files. CoW only — MoR deletes are already O(keys)
+    * tombstone deltas. */
+  def deleteDv(keysIn: DataFrame): Long = {
+    require(exists, s"table ${config.root} does not exist")
+    require(!config.isMor,
+      "position deletes (deletion vectors) apply to CoW tables — " +
+        "MoR deletes are already O(keys) tombstone deltas")
+    val keys = keysIn.persist()
+    try deleteDvImpl(keys) finally keys.unpersist()
+  }
+
+  /** [[deleteWhere]] on the DV path: resolves doomed keys with the same
+    * stats-skipping snapshot read, then position-deletes them. */
+  def deleteWhereDv(pred: org.apache.spark.sql.Column): Long = {
+    val cols = (config.partitionCols ++ config.keyCols).distinct
+    deleteDv(read(pred).select(cols.map(col): _*))
+  }
+
+  private def deleteDvImpl(keys: DataFrame): Long = {
+    if (keys.isEmpty) return log.latestId.getOrElse(-1L)
+    val id = log.nextId
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+    val live = log.liveFiles()
+    val userPartsKnown = config.partitionCols.forall(keys.columns.contains)
+    val oldFiles =
+      if (effParts.isEmpty) pruneByKeyRange(keys, live)
+      else if (!config.globalIndex && userPartsKnown)
+        pruneByKeyRange(keys, filesMatchingTuples(live, withDerived(keys)))
+      else pruneByKeyRange(keys, filesInKeyPartitions(keys, live))
+    if (oldFiles.isEmpty) return log.latestId.getOrElse(-1L)
+    val joinCols =
+      if (!config.globalIndex && config.partitionCols.nonEmpty && userPartsKnown)
+        config.partitionCols ++ config.keyCols
+      else config.keyCols
+    // candidate rows WITH positions, existing DVs applied (an
+    // already-deleted position can never re-enter a new DV, keeping
+    // per-position counts exact)
+    val jsonOf = pathSchemaJson(None)
+    val dvRows = dvRowsFor(oldFiles, None)
+    val groups = oldFiles.groupBy(f =>
+      jsonOf.getOrElse(f.path, tableSchema(None).json))
+    val posCols = joinCols.map(c => col("`" + c + "`"))
+    val candidates = groups.toSeq.map { case (j, fs) =>
+      val fileSchema = parseSchema(j)
+      val raw0 = spark.read.schema(fileSchema).parquet(fs.map(_.path): _*)
+      val raw = dvRows.fold(raw0)(dv => antiJoinDvs(raw0, dv))
+      raw.select(posCols :+
+        DvCodec.normPathCol(col("_metadata.file_path")).as("__dv_file") :+
+        col("_metadata.row_index").as("__dv_pos"): _*)
+    }.reduce(_ unionByName _)
+    val doomed = keys.select(joinCols.map(col): _*).distinct().as("k")
+    val cond = joinCols.map(c => candidates(c) <=> doomed(c)).reduce(_ && _)
+    val matches = candidates.join(doomed, cond, "left_semi")
+      .select(col("__dv_file"), col("__dv_pos")).persist()
+    val fs = new Path(config.root).getFileSystem(hconf)
+    try {
+      val dir = dataDir(id, "dv", "dv_delete")
+      fs.mkdirs(dir)
+      val confS = new SerializableHadoopConf(hconf)
+      val dirStr = dir.toString
+      // one sidecar per touched file, written executor-side (the bloom
+      // sidecar lifecycle); the collect is (file, path, count) — touched
+      // files only, metadata scale
+      import spark.implicits._
+      val written = matches.as[(String, Long)]
+        .repartition(col("__dv_file"))
+        .mapPartitions { it =>
+          val byFile = scala.collection.mutable.LinkedHashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+          it.foreach { case (f, p) =>
+            byFile.getOrElseUpdate(f,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) += p
+          }
+          byFile.iterator.map { case (f, poss) =>
+            val name = "dv-" + java.security.MessageDigest.getInstance("MD5")
+              .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            val p = new Path(dirStr, name)
+            val bytes = DvCodec.write(confS.value, p, poss.toArray)
+            (f, p.toString, poss.size.toLong, bytes)
+          }
+        }.collect()
+      if (written.isEmpty) {
+        fs.delete(dir, true)
+        return log.latestId.getOrElse(-1L) // nothing matched: no commit
+      }
+      val byNorm = oldFiles.map(f => DvCodec.normPath(f.path) -> f).toMap
+      val adds = written.toSeq.map { case (normT, dvPath, n, bytes) =>
+        val tf = byNorm(normT)
+        FileAdd(dvPath, tf.partition, kind = "dv", bytes = bytes, rows = n,
+          spec = tf.spec, target = tf.path)
+      }
+      val schemaJson = log.schemaJsonAsOf(None).getOrElse(tableSchema(None).json)
+      try log.append(Commit(id, "dv_delete", System.currentTimeMillis(),
+        schemaJson, adds, Seq.empty), basedOnLatest = basedOn)
+      catch { case e: Throwable =>
+        try { fs.delete(dir, true); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+      }
+      resync()
+      id
+    } finally matches.unpersist()
+  }
 
   /** Metadata-only predicate delete — the retention-delete fast path
     * (Hive `DROP PARTITION` / Delta's metadata-only DELETE / Iceberg's
@@ -1769,6 +1891,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       }
     }
     val rest = scan.result()
+    // deletion vectors: metadata-counted files may carry DV'd positions;
+    // subtract those (exact — one live DV entry per position). Scanned
+    // files need no adjustment: readFiles applies their DVs row-level.
+    val restPaths = rest.map(_.path).toSet
+    val dvAdj = log.liveDvs(asOf)
+      .filterNot(d => restPaths.contains(d.target)).map(_.rows).sum
+    metaSum -= dvAdj
     if (rest.isEmpty) metaSum else metaSum + mergeIfNeeded(rest, asOf).count()
   }
 
@@ -1778,13 +1907,24 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * sum. None whenever any scan would be needed ([[countRows]] is the
     * always-answers hybrid).
     */
-  def metadataRowCount(asOf: Option[Long] = None): Option[Long] =
-    metadataRowCountOf(log.liveFiles(asOf))
+  def metadataRowCount(asOf: Option[Long] = None): Option[Long] = {
+    val base = metadataRowCountOfData(log.liveFiles(asOf))
+    // deletion vectors: live positions subtract EXACTLY — each position
+    // was admitted once (the DV write reads through existing DVs, so a
+    // position can never appear in two live DVs)
+    base.map(_ - log.liveDvs(asOf).map(_.rows).sum)
+  }
 
   /** [[metadataRowCount]] over an explicit file subset (the filtered
     * aggregate pushdown's shape: the subset is an EXACT partition
     * selection, so its footer counts ARE the filtered count). */
   private[graft] def metadataRowCountOf(files: Seq[FileAdd]): Option[Long] =
+    // subset form (scan pushdown): the caller's pin is unknown here, so
+    // ANY currently-live DV refuses — conservative, falls back to the
+    // scan (which applies DVs and is exact)
+    if (log.liveDvs().nonEmpty) None else metadataRowCountOfData(files)
+
+  private def metadataRowCountOfData(files: Seq[FileAdd]): Option[Long] =
     if (files.forall(f => !f.isDelta && f.rows > 0L)) Some(files.map(_.rows).sum)
     else None
 
@@ -2009,6 +2149,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   /** [[metadataMinMax]] over an explicit (exact-partition) file subset. */
   private[graft] def metadataMinMaxOf(colName: String, files: Seq[FileAdd])
       : Option[(Long, Long)] = {
+    if (log.liveDvs().nonEmpty) return None // a DV may hold the min/max row
     if (files.isEmpty ||
         !files.forall(f => !f.isDelta &&
           f.colMin.contains(colName) && f.colMax.contains(colName))) None
@@ -2029,6 +2170,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       : Option[(java.math.BigDecimal, Long)] = {
     if (!config.sumCols.contains(colName)) return None
     if (files.exists(_.isDelta)) return None
+    if (log.liveDvs().nonEmpty) return None // deleted positions are in the sums
     var total = java.math.BigDecimal.ZERO
     var nonNull = 0L
     files.foreach { f =>
@@ -2077,6 +2219,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // transformed levels cannot re-parse to source-column group values
     // (any spec in the history — old files keep their layout)
     if (config.anyHiddenSpec) return None
+    // deletion vectors: bounds/sums may include deleted positions —
+    // refuse outright; pure row counts subtract the per-partition DV
+    // position totals exactly (each position admitted once)
+    val dvs = log.liveDvs(asOf)
+    if (dvs.nonEmpty && (boundCols.nonEmpty || sumColsReq.nonEmpty)) return None
+    val dvByPart = dvs.groupBy(d => userLevels(d.partition))
+      .map { case (t, ds) => t -> ds.map(_.rows).sum }
     val tbl = tableSchema(asOf)
     val ok = files.forall(f => !f.isDelta && f.rows > 0L &&
       boundCols.forall(c => f.colMin.contains(c) && f.colMax.contains(c)) &&
@@ -2098,7 +2247,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         files.groupBy(f => userLevels(f.partition))
           .toSeq.map { case (t, fs) =>
             Row.fromSeq(t ++
-              (fs.map(_.rows).sum +:
+              ((fs.map(_.rows).sum - dvByPart.getOrElse(t, 0L)) +:
                 boundCols.flatMap(c => Seq(
                   fs.map(_.colMin(c).toLong).min,
                   fs.map(_.colMax(c).toLong).max))) ++
@@ -2179,10 +2328,15 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       }
     // group by the USER partition levels (hash-bucketed tables carry the
     // derived bucket as an extra trailing tuple level — fold it in)
+    val cleanPaths = clean.map(_.path).toSet
+    val dvByPart = log.liveDvs(asOf)
+      .filter(d => cleanPaths.contains(d.target))
+      .groupBy(d => userLevels(d.partition))
+      .map { case (t, ds) => t -> ds.map(_.rows).sum }
     val metaDf = metaAggDf(
       clean.groupBy(f => userLevels(f.partition))
         .toSeq.map { case (t, fs) =>
-          Row.fromSeq(t :+ fs.map(_.rows).sum)
+          Row.fromSeq(t :+ (fs.map(_.rows).sum - dvByPart.getOrElse(t, 0L)))
         },
       Seq.empty, Seq.empty, tbl)
     if (dirty.isEmpty) metaDf
@@ -2252,6 +2406,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     require(id >= log.cleanedUpTo,
       s"commit $id's snapshot is below the clean horizon " +
         s"(${log.cleanedUpTo}) — its files were physically deleted")
+    require(log.liveDvs(Some(id)).isEmpty,
+      s"snapshot $id has live deletion vectors — an external engine " +
+        "reading the raw file list would see deleted rows; compact first")
     val files = log.liveFiles(Some(id)).filterNot(_.isDelta)
     val fs = manifestsDir.getFileSystem(hconf)
     fs.mkdirs(manifestsDir)
@@ -3094,8 +3251,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         (schema, new scala.collection.mutable.ArrayBuffer[String]))._2 += f.path
     }
     val targetKey = SchemaEvo.adaptKey(target)
+    // live deletion vectors covering any of these files: applied as ONE
+    // broadcast anti-join on (file, row position) per schema group,
+    // directly on the raw scan (codegen'd BroadcastHashJoin LeftAnti).
+    // Zero-cost when no DV is live — the common case stays a bare scan.
+    val dvRows = dvRowsFor(files, asOf)
     groups.toSeq.map { case (key, (fileSchema, paths)) =>
-      val raw = spark.read.schema(fileSchema).parquet(paths.toSeq: _*)
+      val raw0 = spark.read.schema(fileSchema).parquet(paths.toSeq: _*)
+      val raw = dvRows.fold(raw0)(dv => antiJoinDvs(raw0, dv))
       val adapted = if (key == targetKey) raw
         else SchemaEvo.adapt(raw, fileSchema, target)
       // tag AFTER adapt (adapt projects the file schema's columns and
@@ -3106,6 +3269,72 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
           regexp_extract(input_file_name(), "[^/]+$", 0))
       else adapted
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** (target, position) rows of every live DV covering `files`, as a
+    * small broadcastable frame — None when no DV applies (the common
+    * case: one driver-side fold, no plan change). Positions load in
+    * EXECUTORS (one task per DV sidecar batch), never on the driver. */
+  private def dvRowsFor(files: Seq[FileAdd], asOf: Option[Long])
+      : Option[DataFrame] = {
+    if (config.isMor || !exists) return None // DVs are CoW-only
+    val dvs = log.liveDvs(asOf)
+    if (dvs.isEmpty) return None
+    val targets = files.map(f => DvCodec.normPath(f.path)).toSet
+    val hits = dvs.filter(d => targets.contains(DvCodec.normPath(d.target)))
+    if (hits.isEmpty) return None
+    val conf = new SerializableHadoopConf(hconf)
+    import spark.implicits._
+    Some(spark.createDataset(
+        hits.map(d => (d.path, DvCodec.normPath(d.target))))
+      .flatMap { case (p, t) =>
+        DvCodec.read(conf.value, p).iterator.map(pos => (t, pos)) }
+      .toDF("_dv_target", "_dv_tpos"))
+  }
+
+  /** drop the (file, position) pairs in `dvRows` from a raw file scan —
+    * the deletion-vector read filter. The join keys are derived from the
+    * scan's hidden `_metadata` columns in the SAME select (metadata
+    * columns do not survive arbitrary projections), then dropped. */
+  private def antiJoinDvs(scan: DataFrame, dvRows: DataFrame): DataFrame =
+    scan.select(col("*"),
+        DvCodec.normPathCol(col("_metadata.file_path")).as("__dv_file"),
+        col("_metadata.row_index").as("__dv_pos"))
+      .join(broadcast(dvRows),
+        col("__dv_file") === col("_dv_target") &&
+          col("__dv_pos") === col("_dv_tpos"),
+        "left_anti")
+      .drop("__dv_file", "__dv_pos")
+
+  /** The rows a `dv_delete` commit tombstoned — target files' rows at
+    * the DV'd positions (position SEMI-join: the inverse of the read
+    * filter), adapted to `streamSchema` under the stream contract. The
+    * change-tail's typed/untyped delete source for DV commits. */
+  private[graft] def dvDeletedRows(dvs: Seq[FileAdd],
+      streamSchema: StructType,
+      schemaJsonOf: String => Option[String]): DataFrame = {
+    val conf = new SerializableHadoopConf(hconf)
+    import spark.implicits._
+    val dvRows = spark.createDataset(
+        dvs.map(d => (d.path, DvCodec.normPath(d.target))))
+      .flatMap { case (p, t) =>
+        DvCodec.read(conf.value, p).iterator.map(pos => (t, pos)) }
+      .toDF("_dv_target", "_dv_tpos")
+    dvs.map(_.target).distinct
+      .groupBy(p => schemaJsonOf(p).getOrElse(tableSchema(None).json))
+      .toSeq.map { case (j, ps) =>
+        val fileSchema = parseSchema(j)
+        val raw = spark.read.schema(fileSchema).parquet(ps: _*)
+          .select(col("*"),
+            DvCodec.normPathCol(col("_metadata.file_path")).as("__dv_file"),
+            col("_metadata.row_index").as("__dv_pos"))
+          .join(broadcast(dvRows),
+            col("__dv_file") === col("_dv_target") &&
+              col("__dv_pos") === col("_dv_tpos"),
+            "left_semi")
+          .drop("__dv_file", "__dv_pos")
+        SchemaEvo.adaptToStream(raw, fileSchema, streamSchema)
+      }.reduce(_ unionByName _)
   }
 
   /** Read files recorded ANYWHERE on the timeline — including files a
@@ -3860,6 +4089,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val files = log.liveFiles(asOf)
     if (files.isEmpty) return None // the empty-frame path owns this case
     if (files.exists(f => f.isDelta || f.bytes <= 0L)) return None
+    if (log.liveDvs(asOf).nonEmpty) return None // bare unions can't apply DVs
     val target = SchemaEvo.adaptKey(tableSchema(asOf))
     val jsonOf = pathSchemaJson(asOf)
     val uniform = files.forall(f =>
@@ -4126,7 +4356,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * original provenance stamps.
     */
   private def writeCommit(
-      df0: DataFrame, op: String, removes: Seq[String],
+      df0: DataFrame, op: String, removesIn: Seq[String],
       fixedId: Option[Long] = None, kind: String = "base",
       basedOn: Option[Long] = None,
       commitMeta: Map[String, String] = Map.empty,
@@ -4139,6 +4369,19 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       schemaReset: Boolean = false): Long = {
     val expectedHead = basedOn.getOrElse(log.latestId.getOrElse(log.EmptyTable))
     val id = fixedId.getOrElse(log.nextId)
+    // central deletion-vector rule: any commit that removes a data file
+    // retires that file's live DVs with it — the rewrite read the rows
+    // THROUGH the DVs, so the rewritten files already exclude the
+    // deleted positions (this is how compaction folds DVs in), and a
+    // DV must never outlive its target into the cleaner's replay
+    val removes = {
+      val r0 = removesIn
+      if (r0.isEmpty || config.isMor || !log.exists) r0
+      else {
+        val rs = r0.toSet
+        r0 ++ log.liveDvs().filter(d => rs.contains(d.target)).map(_.path)
+      }
+    }
     // schema evolution (SchemaEvo): the commit records the evolved TABLE
     // schema — previous user columns survive a narrow batch, widened
     // types stick, new columns mint stable ids. Incompatible changes

@@ -198,6 +198,32 @@ object Lake {
       t
     })
 
+  /** Deletion-vector fixture (VERDICT r13 item #5): the CDC replay's
+    * first two commits on CoW, then the SAME delete as c3 — but as a
+    * POSITION delete ([[LakeTable.deleteDv]]): per-target-file position
+    * sidecars, zero data files rewritten. The snapshot must equal the
+    * keyed-rewrite delete's (lake_delete_snapshot's oracle, verbatim),
+    * and the metadata row count must subtract the DV positions exactly.
+    */
+  private[graft] def dvTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:dv", _ => {
+      val root = s"/tmp/graft_lake/dv_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("l_orderkey", "l_linenumber"),
+        precombineCol = "update_ts", partitionCols = Seq("l_returnflag")))
+      val li = keyedLineitem(s, d).persist()
+      try {
+        val (b0, b1, _, delKeys) = batches(li)
+        t.bulkInsert(b0)
+        t.upsert(b1)
+        t.deleteDv(delKeys)
+      } finally li.unpersist()
+      t
+    })
+
   /** Nested-type evolution fixture (VERDICT r13 item #4): a struct
     * column `s` crosses three physical generations —
     *   gen1 bulk_insert: s(nm string, reg int), all nation rows
@@ -1084,6 +1110,30 @@ object Lake {
           'v' || CAST(n_nationkey % 8 + 1 AS VARCHAR) AS n_comment,
           CAST(n_nationkey % 8 + 1 AS INT) AS update_ts
         FROM nation ORDER BY n_nationkey""")),
+
+    // ---- deletion vectors: position delete, zero files rewritten -------
+    // same logical delete as lake_delete_snapshot, executed as per-file
+    // position sidecars (the dv fixture skips the stale b2 batch — it
+    // loses every merge, so the oracle's merged CTE is unchanged)
+    GQuery("lake_dv_delete",
+      (s, d) => proj(dvTable(s, d).read()),
+      Some(s"""$mergedCte
+        SELECT m.* FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM li k
+          WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+            AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
+        ORDER BY m.l_orderkey, m.l_linenumber""")),
+
+    // metadata path under DVs: per-partition counts subtract the DV'd
+    // positions exactly, no file opened for the clean partitions
+    GQuery("lake_dv_count",
+      (s, d) => dvTable(s, d).partitionRowCounts().orderBy("l_returnflag"),
+      Some(s"""$mergedCte
+        SELECT m.l_returnflag, count(*) AS n_rows FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM li k
+          WHERE k.l_returnflag = 'A' AND k.l_linenumber <= 2
+            AND k.l_orderkey = m.l_orderkey AND k.l_linenumber = m.l_linenumber)
+        GROUP BY 1 ORDER BY 1""")),
 
     // ---- nested-type schema evolution: three struct generations, one scan
     // gen1 files alias s.nm -> s.name and upcast s.reg by NESTED column

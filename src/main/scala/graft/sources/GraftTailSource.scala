@@ -305,7 +305,17 @@ final class GraftTailSource(
     val frames = table.log.commitsInRange(from, to)
       .filterNot(c => PhysicalOps.contains(c.op))
       .flatMap { c =>
-        val adds = c.adds.filterNot(_.isDelta).map(_.path)
+        if (c.op == "dv_delete") {
+          // deletion-vector commit: the logical change is exactly the
+          // tombstoned rows — target files' rows at the DV'd positions
+          ensureIndexed(to)
+          val dead = table.dvDeletedRows(
+              c.adds.filter(_.isDv), schema, pathSchemaIdx.get)
+            .withColumn("_deleted", lit(true))
+          Seq(if (changeTypes)
+            dead.withColumn("_change_type", lit("delete")) else dead)
+        } else {
+        val adds = c.adds.filterNot(a => a.isDelta || a.isDv).map(_.path)
         // adds need no index probe: their schema IS this commit's
         def readAdds() = table.readTimelineFiles(
           adds, schema, _ => Some(c.schemaJson))
@@ -363,6 +373,7 @@ final class GraftTailSource(
               t.withColumn("_change_type", lit("delete")) else t)
           }
         changed.toSeq ++ preImages ++ tombstones
+        }
       }
     if (frames.isEmpty)
       ctx.sparkSession.createDataFrame(

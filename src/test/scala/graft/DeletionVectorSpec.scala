@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake.{LakeTable, LakeTableConfig}
+
+/** Deletion vectors (Iceberg v2 position deletes / Delta DV role): a
+  * point delete on a CoW table writes a per-target-file position
+  * sidecar instead of rewriting the file. Laws pinned here:
+  *   - read/time-travel/count semantics identical to the keyed rewrite;
+  *   - NO data file is rewritten by the delete (the write-amplification
+  *     claim, checked structurally: the commit adds only `dv` entries);
+  *   - re-deletes are no-ops; positions never double-count;
+  *   - a rewrite of the target (upsert/recluster) retires its DVs in
+  *     the same commit and the cleaner sweeps them physically;
+  *   - change tails emit the tombstoned rows;
+  *   - metadata counts subtract DV positions exactly, min/max/sum
+  *     provers refuse, the native-scan certification refuses;
+  *   - manifest export refuses while DVs are live.
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("dvtest").resolve("tbl").toString
+
+  private def df(rows: (Long, Int, String, Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("pk", "part", "payload", "ts")
+  }
+
+  private def keysOf(pks: Long*): DataFrame = {
+    import spark.implicits._
+    pks.toDF("pk")
+  }
+
+  private def mk(parts: Boolean = true, stats: Boolean = false): LakeTable = {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts",
+      partitionCols = if (parts) Seq("part") else Seq.empty,
+      statsCols = if (stats) Seq("pk") else Seq.empty))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0), (3L, 2, "c", 0),
+      (4L, 2, "d", 0)))
+    t
+  }
+
+  test("deleteDv hides the rows without rewriting any data file") {
+    val t = mk()
+    val before = t.log.liveFiles(None).map(_.path).toSet
+    val id = t.deleteDv(keysOf(2L, 3L))
+    val c = t.log.commitIfExists(id).get
+    assert(c.op == "dv_delete")
+    assert(c.removes.isEmpty && c.adds.nonEmpty && c.adds.forall(_.isDv),
+      "a DV delete must add only dv sidecars and remove nothing")
+    assert(t.log.liveFiles(None).map(_.path).toSet == before,
+      "no data file may be rewritten")
+    assert(t.read().select("pk").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 4L))
+    // time travel to before the delete sees the rows
+    assert(t.readAsOf(id - 1).count() == 4)
+    // predicate reads work through the DV filter
+    assert(t.read(org.apache.spark.sql.functions.col("part") === 1)
+      .select("pk").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("re-delete is a no-op; counts subtract positions exactly") {
+    val t = mk()
+    val id = t.deleteDv(keysOf(2L))
+    assert(t.deleteDv(keysOf(2L)) == id, "re-delete must not commit")
+    assert(t.countRows(None) == 3)
+    assert(t.metadataRowCount(None).contains(3L))
+    val parts = t.partitionRowCounts().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(parts == Map(1 -> 1L, 2 -> 2L), parts.toString)
+    // min/max/sum provers refuse under live DVs (the deleted row could
+    // have held the extreme); the scan path stays exact
+    val ts = LakeTable(spark, t.config.copy(statsCols = Seq("pk")))
+    assert(ts.metadataMinMax("pk", None).isEmpty)
+  }
+
+  test("deleteWhereDv routes predicates; mixed deletes compose") {
+    import org.apache.spark.sql.functions.col
+    val t = mk()
+    t.deleteWhereDv(col("payload") === "a")
+    assert(t.read().select("pk").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L))
+    t.delete(keysOf(4L)) // keyed rewrite composes with live DVs
+    assert(t.read().select("pk").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+  }
+
+  test("upsert of a DV'd key resurrects it; the rewrite retires the DV") {
+    val t = mk()
+    t.deleteDv(keysOf(2L))
+    assert(t.log.liveDvs(None).nonEmpty)
+    t.upsert(df((2L, 1, "b2", 1)))
+    assert(t.read().filter("pk = 2").select("payload")
+      .collect().map(_.getString(0)).toSeq == Seq("b2"))
+    // the upsert rewrote partition 1's file group: its DV must be retired
+    assert(t.log.liveDvs(None).isEmpty,
+      "a rewrite of the target must retire its DVs in the same commit")
+    // and once cleaned, the sidecar is physically gone
+    t.clean(retain = 1)
+    val dataDir = new java.io.File(t.config.root, "data")
+    def anyDvLeft(d: java.io.File): Boolean =
+      Option(d.listFiles()).getOrElse(Array.empty).exists(f =>
+        if (f.isDirectory) anyDvLeft(f) else f.getName.startsWith("dv-"))
+    assert(!anyDvLeft(dataDir), "cleaner must sweep superseded DV sidecars")
+  }
+
+  test("recluster folds DVs into plain base files") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts",
+      partitionCols = Seq("part"), clusterCols = Seq("pk")))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0), (3L, 2, "c", 0)))
+    t.deleteDv(keysOf(2L))
+    t.recluster()
+    assert(t.log.liveDvs(None).isEmpty, "recluster must fold DVs in")
+    assert(t.read().select("pk").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+    // the rewritten snapshot is DV-free: metadata min/max proves again
+    assert(t.metadataRowCount(None).contains(2L))
+  }
+
+  test("CoW tail emits DV tombstones, typed and untyped") {
+    val t = mk()
+    val untyped = new graft.sources.GraftTailSource(
+      spark.sqlContext, t, t.tailSchema)
+    val typed = new graft.sources.GraftTailSource(
+      spark.sqlContext, t, t.changeFeedSchema, changeTypes = true)
+    val id = t.deleteDv(keysOf(2L, 3L))
+    val u = untyped.batchFrame(id - 1, id)
+      .select("pk", "_deleted").collect()
+    assert(u.map(r => (r.getLong(0), r.getBoolean(1))).toSet ==
+      Set((2L, true), (3L, true)))
+    val ty = typed.batchFrame(id - 1, id)
+      .select("pk", "_change_type").collect()
+    assert(ty.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "delete"), (3L, "delete")))
+  }
+
+  test("guards: MoR refuses, manifest export refuses, native scan refuses") {
+    val mor = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts", storageType = "mor"))
+    mor.bulkInsert(df((1L, 1, "a", 0)))
+    intercept[IllegalArgumentException](mor.deleteDv(keysOf(1L)))
+    val t = mk()
+    t.deleteDv(keysOf(2L))
+    val e = intercept[IllegalArgumentException](t.exportManifest())
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    assert(t.nativeScanFiles(None).isEmpty,
+      "a bare parquet union cannot apply DVs")
+  }
+
+  test("unpartitioned table and global-key identity work the same") {
+    val t = mk(parts = false)
+    t.deleteDv(keysOf(1L, 4L))
+    assert(t.read().select("pk").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+    assert(t.countRows(None) == 2)
+  }
+}
