@@ -206,7 +206,17 @@ final case class LakeTableConfig(
       * timeline archival the same way). Off by default: archival turns
       * below-horizon time travel from a scan-time failure into a loud
       * refusal, which is a contract change an operator opts into. */
-    archiveOnClean: Boolean = false) {
+    archiveOnClean: Boolean = false,
+    /** Same-partition OCC auto-retry (Delta commit-loop role, opt-in):
+      * when a write loses the optimistic race and the disjoint-writer
+      * rebase does not apply, re-run the WHOLE operation (resolve the
+      * new head, re-merge, re-publish) up to this many extra attempts
+      * with jittered backoff. 0 (default) keeps the established
+      * contract: the loser throws [[CommitConflict]] and the caller
+      * decides. Retries re-execute the full read-merge-write — the
+      * serial-equivalent outcome, never a replay of stale plans. */
+    occRetries: Int = 0) {
+  require(occRetries >= 0, s"occRetries must be >= 0, got $occRetries")
   require(checkpointEvery >= 0,
     s"checkpointEvery must be >= 0, got $checkpointEvery")
   require(storageType == "cow" || storageType == "mor",
@@ -458,7 +468,31 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * Empty batches are skipped (reference guard `:96` — via cheap isEmpty,
     * not the reference's full count()).
     */
-  def upsert(batch0: DataFrame): Long = {
+  /** Bounded same-partition OCC auto-retry (Delta's commit-loop role,
+    * opt-in via [[LakeTableConfig.occRetries]]): when a write loses the
+    * optimistic race and the disjoint-writer rebase could not absorb it,
+    * the WHOLE operation re-executes — resolve the new head, re-merge,
+    * re-publish — which is by construction the serial outcome. Jittered
+    * linear backoff spreads rival writers; `occRetries = 0` (default)
+    * keeps the established one-winner contract (loser throws
+    * [[CommitConflict]]). */
+  private def withOccRetry[A](body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflict if attempt < config.occRetries =>
+          attempt += 1
+          val cap = 50L * attempt
+          Thread.sleep(cap + scala.util.Random.nextLong(cap))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def upsert(batch0: DataFrame): Long = withOccRetry(upsertOnce(batch0))
+
+  private def upsertOnce(batch0: DataFrame): Long = {
     if (batch0.isEmpty) return log.latestId.getOrElse(-1L)
     val (batch, dropMeta) = admitBatch(batch0)
     if (!exists) {
@@ -539,7 +573,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // persisted: consumed up to 3× (emptiness probe, partition-tuple
     // probe, anti-join) — same rationale as upsert's incoming persist
     val keys = keysIn.persist()
-    try deleteImpl(keys) finally keys.unpersist()
+    try withOccRetry(deleteImpl(keys)) finally keys.unpersist()
   }
 
   /** Delete every row matching `pred` (Hudi's delete-by-predicate /
@@ -550,7 +584,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * can hold matches.
     */
   def deleteWhere(pred: org.apache.spark.sql.Column): Long =
-    dropPartitionsMetadataOnly(pred).getOrElse {
+    withOccRetry(dropPartitionsMetadataOnly(pred)).getOrElse {
       val cols = (config.partitionCols ++ config.keyCols).distinct
       delete(read(pred).select(cols.map(col): _*))
     }
@@ -581,7 +615,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       "position deletes (deletion vectors) apply to CoW tables — " +
         "MoR deletes are already O(keys) tombstone deltas")
     val keys = keysIn.persist()
-    try deleteDvImpl(keys) finally keys.unpersist()
+    try withOccRetry(deleteDvImpl(keys)) finally keys.unpersist()
   }
 
   /** [[deleteWhere]] on the DV path: resolves doomed keys with the same
@@ -763,7 +797,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * duplicates still collapse by precombine so the result is a valid
     * snapshot).
     */
-  def insertOverwrite(batch0: DataFrame): Long = {
+  def insertOverwrite(batch0: DataFrame): Long =
+    withOccRetry(insertOverwriteOnce(batch0))
+
+  private def insertOverwriteOnce(batch0: DataFrame): Long = {
     if (batch0.isEmpty) return log.latestId.getOrElse(-1L)
     val (batch, dropMeta) = admitBatch(batch0)
     val basedOn = log.latestId.getOrElse(log.EmptyTable)
@@ -1086,7 +1123,11 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * files, i.e. a merge doubles as targeted compaction.
     */
   private[lake] def mergeImpl(source0: DataFrame, clauses: Seq[MergeClause],
-      commitMeta: Map[String, String] = Map.empty): Long = {
+      commitMeta: Map[String, String] = Map.empty): Long =
+    withOccRetry(mergeOnce(source0, clauses, commitMeta))
+
+  private def mergeOnce(source0: DataFrame, clauses: Seq[MergeClause],
+      commitMeta: Map[String, String]): Long = {
     import MergeClause._
     require(exists, s"table ${config.root} does not exist")
     require(clauses.nonEmpty, "merge needs at least one WHEN clause")

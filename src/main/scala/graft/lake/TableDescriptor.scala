@@ -52,7 +52,11 @@ final case class TableDescriptor(
     /** auto-archive the timeline after every clean
       * ([[LakeTableConfig.archiveOnClean]]); missing in pre-upgrade
       * JSONs deserializes false = established behavior */
-    archiveOnClean: Boolean = false) {
+    archiveOnClean: Boolean = false,
+    /** same-partition OCC auto-retry attempts
+      * ([[LakeTableConfig.occRetries]]); missing in pre-upgrade JSONs
+      * deserializes 0 = established one-winner behavior */
+    occRetries: Int = 0) {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
@@ -64,7 +68,8 @@ final case class TableDescriptor(
     partitionTransforms = Option(partitionTransforms).getOrElse(Seq.empty),
     checkpointEvery = checkpointEvery,
     priorPartitionSpecs = Option(priorPartitionSpecs).getOrElse(Seq.empty),
-    archiveOnClean = archiveOnClean)
+    archiveOnClean = archiveOnClean,
+    occRetries = occRetries)
 }
 
 object TableDescriptor {
@@ -81,7 +86,7 @@ object TableDescriptor {
       cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.bloomKeys,
       cfg.bloomCols, cfg.sumCols, cfg.checks,
       cfg.checkMode, schemaJson, cfg.partitionTransforms, cfg.checkpointEvery,
-      cfg.priorPartitionSpecs, cfg.archiveOnClean)
+      cfg.priorPartitionSpecs, cfg.archiveOnClean, cfg.occRetries)
 
   def exists(root: String, hconf: Configuration): Boolean = {
     val p = file(root)

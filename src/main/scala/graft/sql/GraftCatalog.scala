@@ -336,6 +336,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       globalIndex = prop("globalIndex").exists(_.toBoolean),
       storageType = prop("storageType").getOrElse("cow"),
       compactEvery = prop("compactEvery").map(_.toInt).getOrElse(0),
+      occRetries = prop("occRetries").map(_.toInt).getOrElse(0),
       checkpointEvery = prop("checkpointEvery").map(_.toInt)
         .getOrElse(graft.lake.LakeTableConfig.DefaultCheckpointEvery),
       archiveOnClean = prop("archiveOnClean").exists(_.toBoolean),
@@ -539,7 +540,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * hashBuckets — is immutable: existing files were written under it
     * and every read/merge path assumes it. */
   private val MutableProps = Set(
-    "compactEvery", "checkpointEvery", "archiveOnClean", "bloomKeys",
+    "compactEvery", "checkpointEvery", "archiveOnClean", "occRetries",
+    "bloomKeys",
     "bloomCols", "sumCols", "statsCols", "clusterCols", "zOrder", "checks",
     "checkMode",
     // NOT layout identity: setting it is partition-spec EVOLUTION
@@ -561,6 +563,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         guard(s.property)
         s.property match {
           case "compactEvery" => d.copy(compactEvery = s.value.toInt)
+          case "occRetries" => d.copy(occRetries = s.value.toInt)
           case "checkpointEvery" => d.copy(checkpointEvery = s.value.toInt)
           case "archiveOnClean" => d.copy(archiveOnClean = s.value.toBoolean)
           case "bloomKeys" => d.copy(bloomKeys = s.value.toInt)
@@ -586,6 +589,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         guard(r.property)
         r.property match {
           case "compactEvery" => d.copy(compactEvery = 0)
+          case "occRetries" => d.copy(occRetries = 0)
           case "checkpointEvery" => d.copy(checkpointEvery = 0)
           case "archiveOnClean" => d.copy(archiveOnClean = false)
           case "bloomKeys" => d.copy(bloomKeys = 0)

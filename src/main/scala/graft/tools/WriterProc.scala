@@ -27,7 +27,9 @@ import graft.lake.{CommitConflict, LakeTable, LakeTableConfig}
   */
 object WriterProc {
   def main(args: Array[String]): Unit = {
-    val Array(root, vendor, pk, tag, syncDir, procId) = args
+    val Array(root, vendor, pk, tag, syncDir, procId) = args.take(6)
+    // optional 7th arg: same-partition OCC auto-retry attempts
+    val occRetries = if (args.length > 6) args(6).toInt else 0
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"graft-writer-$procId")
@@ -38,7 +40,8 @@ object WriterProc {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val t = LakeTable(spark, LakeTableConfig(root, keyCols = Seq("pk"),
-      precombineCol = "ts", partitionCols = Seq("vendorid")))
+      precombineCol = "ts", partitionCols = Seq("vendorid"),
+      occRetries = occRetries))
     // barrier INSIDE the resolve→publish window, armed once: the rebase
     // attempt after a lost race must run unimpeded
     t.onHeadResolved = () => {

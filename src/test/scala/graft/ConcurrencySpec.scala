@@ -87,6 +87,41 @@ class ConcurrencySpec extends AnyFunSuite {
       "the losing write must leave no trace")
   }
 
+  test("same partition with occRetries: BOTH writes land, serialized") {
+    val root = freshRoot()
+    val retryCfg = cfg(root).copy(occRetries = 3)
+    val w1 = LakeTable(spark, retryCfg)
+    w1.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0)))
+    val w2 = LakeTable(spark, retryCfg)
+    interleave(w2) { w1.upsert(df((1L, 1, "a2", 1))) }
+    val cid = w2.upsert(df((2L, 1, "b2", 1))) // conflict -> full re-run
+    assert(cid == 2L, s"retried write must land after the intervener, got $cid")
+    assert(snap(LakeTable(spark, retryCfg)) ==
+      Set((1L, 1, "a2", 1), (2L, 1, "b2", 1)),
+      "both same-partition writers must land under retry — the serial outcome")
+  }
+
+  test("occRetries exhaustion: persistent conflicts still fail clean") {
+    val root = freshRoot()
+    val retryCfg = cfg(root).copy(occRetries = 1)
+    val w1 = LakeTable(spark, retryCfg)
+    w1.bulkInsert(df((1L, 1, "a", 0)))
+    val w2 = LakeTable(spark, retryCfg)
+    // re-arming intruder: a rival lands inside EVERY attempt's window
+    var fired = 0
+    def arm(): Unit = w2.onHeadResolved = () => {
+      w2.onHeadResolved = () => ()
+      fired += 1
+      w1.upsert(df((1L, 1, s"rival$fired", fired + 10)))
+      arm()
+    }
+    arm()
+    intercept[CommitConflict] { w2.upsert(df((1L, 1, "mine", 1))) }
+    assert(fired == 2, s"expected initial attempt + 1 retry, got $fired")
+    assert(snap(LakeTable(spark, retryCfg)).contains((1L, 1, "rival2", 12)),
+      "the rivals' writes stand; the exhausted loser leaves no trace")
+  }
+
   test("overwriteWhere racing a disjoint-partition upsert: both land") {
     val root = freshRoot()
     // vendorid stats let the overwrite prove its scope is partition 1
@@ -317,7 +352,7 @@ class ConcurrencySpec extends AnyFunSuite {
   // (POSIX O_EXCL here; HDFS create / S3 conditional put in prod).
 
   private def spawnWriter(root: String, vendor: Int, pk: Long, tag: String,
-      syncDir: String, id: String): Process = {
+      syncDir: String, id: String, occRetries: Int = 0): Process = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -330,7 +365,8 @@ class ConcurrencySpec extends AnyFunSuite {
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cp = "/opt/spark/jars/*:" + new java.io.File("target/scala-2.13/classes").getAbsolutePath
     val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
-      "graft.tools.WriterProc", root, vendor.toString, pk.toString, tag, syncDir, id))
+      "graft.tools.WriterProc", root, vendor.toString, pk.toString, tag,
+      syncDir, id, occRetries.toString))
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectOutput(new java.io.File(s"$syncDir/out-$id.log"))
     pb.redirectErrorStream(true)
@@ -339,10 +375,11 @@ class ConcurrencySpec extends AnyFunSuite {
 
   /** run two barriered writer processes to completion → (exitA, exitB) */
   private def raceProcs(root: String,
-      a: (Int, Long, String), b: (Int, Long, String)): (Int, Int) = {
+      a: (Int, Long, String), b: (Int, Long, String),
+      occRetries: Int = 0): (Int, Int) = {
     val syncDir = Files.createTempDirectory("xproc_sync").toString
-    val pa = spawnWriter(root, a._1, a._2, a._3, syncDir, "a")
-    val pb = spawnWriter(root, b._1, b._2, b._3, syncDir, "b")
+    val pa = spawnWriter(root, a._1, a._2, a._3, syncDir, "a", occRetries)
+    val pb = spawnWriter(root, b._1, b._2, b._3, syncDir, "b", occRetries)
     try {
       // release the barrier once BOTH have resolved the same head
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
@@ -379,6 +416,20 @@ class ConcurrencySpec extends AnyFunSuite {
     val loser = if (ea == 0) "from-b" else "from-a"
     assert(payloads.contains(winner) && !payloads.contains(loser),
       s"table must hold exactly the winner's row: $payloads")
+  }
+
+  test("cross-process same-partition race with occRetries: both land") {
+    val root = freshRoot()
+    val t = LakeTable(spark, cfg(root))
+    t.bulkInsert(df((1L, 1, "base", 0)))
+    val (ea, eb) = raceProcs(root, (1, 10L, "from-a"), (1, 11L, "from-b"),
+      occRetries = 3)
+    assert((ea, eb) == (0, 0),
+      s"both writers must commit under retry, got ($ea, $eb)")
+    val payloads = snap(t).map(_._3)
+    assert(payloads.contains("from-a") && payloads.contains("from-b"),
+      s"both rows must land: $payloads")
+    assert(t.log.commits.map(_.id).distinct.size == t.log.commits.size)
   }
 
   test("cross-process disjoint-partition race: the loser rebases; both land") {
