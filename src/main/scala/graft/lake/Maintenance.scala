@@ -1,0 +1,80 @@
+package graft.lake
+
+/** Async table-service scheduler (Hudi's async compaction/cleaning
+  * services, Delta's OPTIMIZE/VACUUM cadence — as a POLICY DRIVER
+  * separate from the writer): reads the commit log, decides which
+  * maintenance actions the timeline warrants, and fires them through
+  * the SAME public LakeTable operations a human would call — so every
+  * action rides the ordinary OCC machinery (basedOn head checks,
+  * disjoint rebase) and is safe to run concurrently with live writers.
+  *
+  * A maintainer losing an optimistic race simply SKIPS the action
+  * (reported, not thrown): maintenance is idempotent-by-need — if the
+  * trigger still holds next round, the action re-fires; if a writer's
+  * commit changed the picture, the trigger re-evaluates. Nothing here
+  * holds locks, mutates descriptors, or bypasses the commit log.
+  *
+  * Triggers (all opt-in; 0/off by default):
+  *   - `compactDeltaCommits`: MoR — compact when at least N delta
+  *     commits accumulated since the last base-making commit (the async
+  *     form of the inline `compactEvery` knob).
+  *   - `smallFileBytes`: MoR — compactSmall when any partition holds
+  *     more than one delta file under the threshold.
+  *   - `retainCommits`: clean so only the last N commits stay
+  *     travelable, once more than N have accumulated (plus timeline
+  *     archival when the table's `archiveOnClean` is set).
+  *   - `archiveAfter`: archive the non-travelable `_log/` prefix once
+  *     the live listing exceeds N entries (independent of clean).
+  *
+  * Run one-shot via [[Maintenance.run]], or from SQL:
+  * `CALL graft.system.maintain('db.t', retain, small_bytes)`.
+  */
+object Maintenance {
+
+  final case class Policy(
+      compactDeltaCommits: Int = 0,
+      smallFileBytes: Long = 0L,
+      retainCommits: Int = 0,
+      archiveAfter: Int = 0)
+
+  /** One evaluation round: fire every action whose trigger holds.
+    * Returns (action, result-or-skip) pairs — `("compact", -1)` with
+    * reason "conflict" means a live writer won the race this round. */
+  def run(t: LakeTable, p: Policy): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    def fire(name: String)(body: => Any): Unit =
+      try { val r = body; out += name -> String.valueOf(r) }
+      catch {
+        // a live writer won this round's race — maintenance is
+        // idempotent-by-need, the trigger re-evaluates next round
+        case _: CommitConflict => out += name -> "conflict-skipped"
+      }
+    if (!t.exists) return Seq.empty
+
+    if (p.compactDeltaCommits > 0 && t.config.isMor) {
+      val cs = t.log.commits
+      val deltasSinceBase = cs.reverse
+        .takeWhile(c => c.adds.forall(_.isDelta) && c.adds.nonEmpty).size
+      if (deltasSinceBase >= p.compactDeltaCommits)
+        fire("compact")(t.compact())
+    }
+
+    if (p.smallFileBytes > 0 && t.config.isMor) {
+      val small = t.log.liveFiles()
+        .filter(f => f.isDelta && f.bytes > 0 && f.bytes < p.smallFileBytes)
+        .groupBy(_.partition).exists(_._2.size > 1)
+      if (small) fire("compact_small")(t.compactSmall(p.smallFileBytes))
+    }
+
+    if (p.retainCommits > 0) {
+      val travelable = t.log.commits.count(_.id >= t.log.cleanedUpTo)
+      if (travelable > p.retainCommits)
+        fire("clean")(t.clean(p.retainCommits))
+    }
+
+    if (p.archiveAfter > 0 && t.log.commits.size > p.archiveAfter)
+      fire("archive")(t.archiveTimeline())
+
+    out.result()
+  }
+}

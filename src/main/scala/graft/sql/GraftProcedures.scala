@@ -87,7 +87,19 @@ private[sql] object GraftProcedures {
     // reference S6): writes the snapshot's live-file list under
     // `_manifests/` (-1 = head); returns the exported commit id
     "export_manifest" -> (Seq("commit" -> LongType),
-      (t, in) => t.exportManifest(Some(in.getLong(1)).filter(_ >= 0))))
+      (t, in) => t.exportManifest(Some(in.getLong(1)).filter(_ >= 0))),
+    // async table services (Hudi async compaction/cleaning role): one
+    // policy round — compact when the table's compactEvery worth of
+    // deltas accumulated, compactSmall under `small_bytes` (0 = off),
+    // clean to `retain` (0 = off) + archive per archiveOnClean. Safe
+    // under OCC against live writers (conflicts skip, re-fire next
+    // round); returns the number of actions that actually ran
+    "maintain" -> (Seq("retain" -> IntegerType, "small_bytes" -> LongType),
+      (t, in) => graft.lake.Maintenance.run(t, graft.lake.Maintenance.Policy(
+        compactDeltaCommits = t.config.compactEvery,
+        smallFileBytes = in.getLong(2),
+        retainCommits = in.getInt(1)))
+        .count(_._2 != "conflict-skipped").toLong))
 
   def names: Seq[String] = procs.keys.toSeq.sorted
 

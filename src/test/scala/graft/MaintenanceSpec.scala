@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake.{LakeTable, LakeTableConfig, Maintenance}
+
+/** Async table services (VERDICT r13 item #7): a maintenance driver
+  * evaluates the commit log and fires compact / compactSmall / clean /
+  * archive per policy, THROUGH the public OCC-checked operations — so
+  * it is safe to run concurrently with live writers: a lost race skips
+  * the action (re-fires next round when the trigger still holds), and
+  * no writer update is ever lost.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("mainttest").resolve("tbl").toString
+
+  private def df(rows: (Long, Int, String, Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("pk", "part", "payload", "ts")
+  }
+
+  test("triggers: compact after N deltas, clean past retain, archive") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts",
+      partitionCols = Seq("part"), storageType = "mor"))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    (1 to 4).foreach(i => t.upsert(df((1L, 1, s"v$i", i))))
+    // below threshold: nothing fires
+    assert(Maintenance.run(t,
+      Maintenance.Policy(compactDeltaCommits = 10)).isEmpty)
+    val fired = Maintenance.run(t, Maintenance.Policy(
+      compactDeltaCommits = 3, retainCommits = 2))
+    assert(fired.map(_._1).toSet == Set("compact", "clean"), fired.toString)
+    assert(!t.log.liveFiles(None).exists(_.isDelta), "deltas compacted")
+    assert(t.log.cleanedUpTo > 0, "cleaner advanced")
+    assert(t.read().select("payload").collect().head.getString(0) == "v4")
+    // idempotent-by-need: triggers no longer hold
+    assert(Maintenance.run(t, Maintenance.Policy(
+      compactDeltaCommits = 3, retainCommits = 2)).isEmpty)
+  }
+
+  test("small-file trigger fires compactSmall only when fragments exist") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts",
+      partitionCols = Seq("part"), storageType = "mor"))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    t.upsert(df((2L, 1, "b", 1)))
+    t.upsert(df((3L, 1, "c", 1)))
+    val fired = Maintenance.run(t,
+      Maintenance.Policy(smallFileBytes = 1024 * 1024))
+    assert(fired.map(_._1) == Seq("compact_small"), fired.toString)
+    assert(Maintenance.run(t,
+      Maintenance.Policy(smallFileBytes = 1024 * 1024)).isEmpty)
+  }
+
+  test("maintainer racing a live writer: no lost updates, services ran") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts",
+      partitionCols = Seq("part"), storageType = "mor"))
+    t.bulkInsert(df((0L, 1, "seed", 0)))
+    val policy = Maintenance.Policy(compactDeltaCommits = 3,
+      smallFileBytes = 1024 * 1024, retainCommits = 5)
+    val writerTable = LakeTable(spark, t.config)
+    val maintTable = LakeTable(spark, t.config)
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val maintainer = new Thread(() => {
+      try while (!stop.get()) {
+        Maintenance.run(maintTable, policy).foreach(actions.add)
+        Thread.sleep(20)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    maintainer.start()
+    val n = 25
+    try (1 to n).foreach { i =>
+      writerTable.upsert(df((i.toLong, 1, s"row$i", i), (0L, 1, s"seed$i", i)))
+    } finally { stop.set(true); maintainer.join(60000) }
+    assert(errs.isEmpty, s"maintainer threw: ${errs.peek()}")
+    // one final round so the tail of deltas is serviced deterministically
+    Maintenance.run(maintTable, policy).foreach(actions.add)
+    // NO LOST UPDATES: every writer row present with its latest version
+    val rows = t.read().select("pk", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == n + 1, s"expected ${n + 1} keys, got ${rows.size}")
+    (1 to n).foreach(i => assert(rows(i.toLong) == s"row$i"))
+    assert(rows(0L) == s"seed$n", "precombine-latest must win for the hot key")
+    // services actually ran concurrently with the writer
+    val ran = actions.toArray.map(_.asInstanceOf[(String, String)])
+      .filter(_._2 != "conflict-skipped").map(_._1).toSet
+    assert(ran.nonEmpty, "maintenance never fired during the run")
+  }
+
+  test("SQL surface: CALL graft.system.maintain") {
+    val wh = Files.createTempDirectory("maint_wh").toString
+    spark.conf.set("spark.sql.catalog.mnt", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mnt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mnt.db")
+    spark.sql("""CREATE TABLE mnt.db.t (pk BIGINT, part INT, payload STRING,
+      ts INT) USING graft PARTITIONED BY (part)
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts', storageType='mor',
+      compactEvery='3')""")
+    spark.sql("INSERT INTO mnt.db.t VALUES (1, 1, 'a', 0)")
+    // compactEvery=3 INLINE-compacts as writes land, so stage deltas
+    // below the inline trigger and let maintain()'s policy fire clean
+    spark.sql("INSERT INTO mnt.db.t VALUES (1, 1, 'b', 1)")
+    spark.sql("INSERT INTO mnt.db.t VALUES (1, 1, 'c', 2)")
+    val nActions = spark.sql("CALL mnt.system.maintain('db.t', 2, 0)")
+      .collect().head.getLong(0)
+    assert(nActions >= 1, s"expected at least the clean to fire, got $nActions")
+    val rows = spark.sql("SELECT payload FROM mnt.db.t WHERE pk = 1").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("c"))
+  }
+}
