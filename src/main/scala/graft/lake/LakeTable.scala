@@ -215,8 +215,16 @@ final case class LakeTableConfig(
       * contract: the loser throws [[CommitConflict]] and the caller
       * decides. Retries re-execute the full read-merge-write — the
       * serial-equivalent outcome, never a replay of stale plans. */
-    occRetries: Int = 0) {
+    occRetries: Int = 0,
+    /** how predicate/SQL deletes execute on CoW: "rewrite" (default,
+      * the keyed file-group rewrite) or "dv" (position-delete sidecars,
+      * [[LakeTable.deleteDv]] — O(positions) written instead of
+      * O(rewritten bytes); whole-partition predicates still take the
+      * metadata-only drop either way). Ignored on MoR. */
+    deleteMode: String = "rewrite") {
   require(occRetries >= 0, s"occRetries must be >= 0, got $occRetries")
+  require(deleteMode == "rewrite" || deleteMode == "dv",
+    s"deleteMode must be rewrite|dv, got $deleteMode")
   require(checkpointEvery >= 0,
     s"checkpointEvery must be >= 0, got $checkpointEvery")
   require(storageType == "cow" || storageType == "mor",
@@ -620,10 +628,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
 
   /** [[deleteWhere]] on the DV path: resolves doomed keys with the same
     * stats-skipping snapshot read, then position-deletes them. */
-  def deleteWhereDv(pred: org.apache.spark.sql.Column): Long = {
-    val cols = (config.partitionCols ++ config.keyCols).distinct
-    deleteDv(read(pred).select(cols.map(col): _*))
-  }
+  def deleteWhereDv(pred: org.apache.spark.sql.Column): Long =
+    // a provable whole-partition predicate is still better served by the
+    // metadata-only drop (zero rows read OR written) than by positions
+    withOccRetry(dropPartitionsMetadataOnly(pred)).getOrElse {
+      val cols = (config.partitionCols ++ config.keyCols).distinct
+      deleteDv(read(pred).select(cols.map(col): _*))
+    }
 
   private def deleteDvImpl(keys: DataFrame): Long = {
     if (keys.isEmpty) return log.latestId.getOrElse(-1L)

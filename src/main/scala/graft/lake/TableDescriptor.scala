@@ -56,7 +56,10 @@ final case class TableDescriptor(
     /** same-partition OCC auto-retry attempts
       * ([[LakeTableConfig.occRetries]]); missing in pre-upgrade JSONs
       * deserializes 0 = established one-winner behavior */
-    occRetries: Int = 0) {
+    occRetries: Int = 0,
+    /** predicate/SQL delete execution mode
+      * ([[LakeTableConfig.deleteMode]]); null-safe via config() */
+    deleteMode: String = "rewrite") {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
@@ -69,7 +72,8 @@ final case class TableDescriptor(
     checkpointEvery = checkpointEvery,
     priorPartitionSpecs = Option(priorPartitionSpecs).getOrElse(Seq.empty),
     archiveOnClean = archiveOnClean,
-    occRetries = occRetries)
+    occRetries = occRetries,
+    deleteMode = Option(deleteMode).getOrElse("rewrite"))
 }
 
 object TableDescriptor {
@@ -86,7 +90,8 @@ object TableDescriptor {
       cfg.statsCols, cfg.clusterCols, cfg.zOrder, cfg.bloomKeys,
       cfg.bloomCols, cfg.sumCols, cfg.checks,
       cfg.checkMode, schemaJson, cfg.partitionTransforms, cfg.checkpointEvery,
-      cfg.priorPartitionSpecs, cfg.archiveOnClean, cfg.occRetries)
+      cfg.priorPartitionSpecs, cfg.archiveOnClean, cfg.occRetries,
+      cfg.deleteMode)
 
   def exists(root: String, hconf: Configuration): Boolean = {
     val p = file(root)

@@ -202,6 +202,25 @@ object Sql {
     })
   }
 
+  /** deleteMode='dv' SQL fixture: a CoW table whose DELETE FROM routes
+    * through position-delete sidecars ([[graft.lake.LakeTable.deleteDv]])
+    * instead of the keyed rewrite — same catalog as the DML fixture. */
+  private[graft] def dvSqlFixture(s: SparkSession, d: String): String = {
+    // dependency resolved OUTSIDE the lambda (nested computeIfAbsent on
+    // one map throws "Recursive update" — same discipline as mergeFixture)
+    val cat = dmlFixture(s, d) // registers the catalog + source view
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:dvsql", _ => {
+      val nation = T.nation(s, d)
+      s.sql(s"""CREATE TABLE $cat.db.dvnation (${nation.schema.toDDL},
+        update_ts INT) USING graft PARTITIONED BY (n_regionkey)
+        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts',
+          deleteMode='dv')""")
+      s.sql(s"INSERT INTO $cat.db.dvnation SELECT *, 0 FROM sql_nation_src")
+      s.sql(s"DELETE FROM $cat.db.dvnation WHERE n_nationkey IN (2, 7, 12, 17, 22)")
+      cat
+    })
+  }
+
   /** the mergeTable clause set (ops.Lake) issued as ONE SQL MERGE INTO —
     * update/delete/insert/by-source-delete in a single statement */
   private[graft] def mergeFixture(s: SparkSession, d: String): String =
@@ -414,6 +433,20 @@ object Sql {
   val queries: Seq[GQuery] = Seq(
 
     // ---- CREATE/INSERT/UPDATE/DELETE through spark.sql -----------------
+    // ---- SQL DELETE through deletion vectors (deleteMode='dv') --------
+    // the same SupportsDelete pushdown, executed as position sidecars:
+    // the commit adds only dv entries and removes nothing (spec-pinned
+    // in DeletionVectorSpec); the oracle sees identical delete semantics
+    GQuery("lake_sql_dv_delete",
+      (s, d) => {
+        val cat = dvSqlFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+          FROM $cat.db.dvnation ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_nationkey NOT IN (2, 7, 12, 17, 22)
+        ORDER BY n_nationkey""")),
+
     GQuery("lake_sql_dml",
       (s, d) => {
         val cat = dmlFixture(s, d)

@@ -273,7 +273,11 @@ final class GraftTableV2(
       "the _ro view (db.t.ro) is read-only — write to the table itself")
     val cond = filters.flatMap(FilterTranslation.toColumn)
       .reduceOption(_ && _).getOrElse(org.apache.spark.sql.functions.lit(true))
-    lake.deleteWhere(cond)
+    // deleteMode=dv (CoW): position-delete sidecars instead of the keyed
+    // file-group rewrite — O(positions) written for a point DELETE
+    if (lake.config.deleteMode == "dv" && !lake.config.isMor)
+      lake.deleteWhereDv(cond)
+    else lake.deleteWhere(cond)
     ()
   }
 }

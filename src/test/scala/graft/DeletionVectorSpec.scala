@@ -161,6 +161,37 @@ class DeletionVectorSpec extends AnyFunSuite {
       "a bare parquet union cannot apply DVs")
   }
 
+  test("SQL surface: deleteMode='dv' routes DELETE FROM through sidecars") {
+    val wh = Files.createTempDirectory("dv_wh").toString
+    spark.conf.set("spark.sql.catalog.dvs", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dvs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvs.db")
+    spark.sql("""CREATE TABLE dvs.db.t (pk BIGINT, part INT, payload STRING,
+      ts INT) USING graft PARTITIONED BY (part)
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts', deleteMode='dv')""")
+    spark.sql("INSERT INTO dvs.db.t VALUES (1, 1, 'a', 0), (2, 1, 'b', 0), " +
+      "(3, 2, 'c', 0), (4, 2, 'd', 0)")
+    spark.sql("DELETE FROM dvs.db.t WHERE pk IN (2, 3)")
+    val t = LakeTable(spark, graft.lake.TableDescriptor
+      .load(s"$wh/db/t", spark.sparkContext.hadoopConfiguration).get
+      .config(s"$wh/db/t"))
+    val c = t.log.commitIfExists(t.log.latestId.get).get
+    assert(c.op == "dv_delete" && c.removes.isEmpty && c.adds.forall(_.isDv),
+      s"SQL DELETE under deleteMode=dv must be a position delete, got ${c.op}")
+    assert(spark.sql("SELECT pk FROM dvs.db.t ORDER BY pk").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    // unsetting the property restores the keyed rewrite
+    spark.sql("ALTER TABLE dvs.db.t UNSET TBLPROPERTIES ('deleteMode')")
+    spark.sql("DELETE FROM dvs.db.t WHERE pk = 4")
+    val t2 = LakeTable(spark, graft.lake.TableDescriptor
+      .load(s"$wh/db/t", spark.sparkContext.hadoopConfiguration).get
+      .config(s"$wh/db/t"))
+    val c2 = t2.log.commitIfExists(t2.log.latestId.get).get
+    assert(c2.op == "delete", s"expected the rewrite path, got ${c2.op}")
+    assert(spark.sql("SELECT pk FROM dvs.db.t ORDER BY pk").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("unpartitioned table and global-key identity work the same") {
     val t = mk(parts = false)
     t.deleteDv(keysOf(1L, 4L))
