@@ -221,10 +221,17 @@ final case class LakeTableConfig(
       * [[LakeTable.deleteDv]] — O(positions) written instead of
       * O(rewritten bytes); whole-partition predicates still take the
       * metadata-only drop either way). Ignored on MoR. */
-    deleteMode: String = "rewrite") {
+    deleteMode: String = "rewrite",
+    /** how SQL UPDATEs execute on CoW: "rewrite" (default — the
+      * merge-backed keyed rewrite) or "dv" ([[LakeTable.updateDvWhere]]:
+      * position sidecars + new version files, O(changed rows) written).
+      * Ignored on MoR. */
+    updateMode: String = "rewrite") {
   require(occRetries >= 0, s"occRetries must be >= 0, got $occRetries")
   require(deleteMode == "rewrite" || deleteMode == "dv",
     s"deleteMode must be rewrite|dv, got $deleteMode")
+  require(updateMode == "rewrite" || updateMode == "dv",
+    s"updateMode must be rewrite|dv, got $updateMode")
   require(checkpointEvery >= 0,
     s"checkpointEvery must be >= 0, got $checkpointEvery")
   require(storageType == "cow" || storageType == "mor",
@@ -636,6 +643,92 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       deleteDv(read(pred).select(cols.map(col): _*))
     }
 
+  /** Position-UPDATE (the row-level-update face of deletion vectors —
+    * Iceberg v2 merge-on-read updates on a CoW table): matching rows'
+    * positions become DV sidecars and their updated versions land as
+    * NEW base files, in ONE commit — no target file is rewritten, so a
+    * point UPDATE writes O(changed rows), not O(touched file bytes).
+    * Assignment right-hand sides evaluate against the OLD row in a
+    * single projection (ANSI UPDATE semantics, same as the merge-backed
+    * path); key/partition columns are unassignable. Snapshot reads see
+    * the new versions (old positions DV-hidden); metadata counts stay
+    * exact (new file rows counted, DV positions subtracted); the typed
+    * change feed emits update_preimage (the DV'd rows) and
+    * update_postimage (the commit's adds). CoW only. */
+  def updateDvWhere(pred: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(exists, s"table ${config.root} does not exist")
+    require(!config.isMor,
+      "position updates (deletion vectors) apply to CoW tables — " +
+        "MoR updates are already O(rows) delta appends")
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    val identity = (config.keyCols ++ config.partitionCols).toSet
+    val bad = sets.keySet & identity
+    require(bad.isEmpty,
+      s"UPDATE may not assign key/partition columns: ${bad.mkString(",")}")
+    val known = tableSchema(None).fieldNames.toSet
+    val unknown = sets.keySet -- known
+    require(unknown.isEmpty, s"unknown column(s): ${unknown.mkString(",")}")
+    withOccRetry(updateDvOnce(pred, sets))
+  }
+
+  private def updateDvOnce(pred: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column]): Long = {
+    val id = log.nextId
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+    if (basedOn < 0) return -1L
+    val live = log.liveFiles()
+    val resolved = resolvePredicate(pred, None)
+    val files = resolved.fold(live)(p => pruneFilesFor(live, p, None))
+    if (files.isEmpty) return basedOn
+    val target = tableSchema(None)
+    val targetKey = SchemaEvo.adaptKey(target)
+    val jsonOf = pathSchemaJson(None)
+    val dvRows = dvRowsFor(files, None)
+    // candidate rows with positions, adapted to the CURRENT table schema
+    // (pred and assignments resolve against current names), existing DVs
+    // applied so already-superseded positions never re-match
+    val matched = files.groupBy(f => jsonOf.getOrElse(f.path, target.json))
+      .toSeq.map { case (j, fsG) =>
+        val fileSchema = parseSchema(j)
+        val raw0 = spark.read.schema(fileSchema).parquet(fsG.map(_.path): _*)
+          .select(col("*"),
+            DvCodec.normPathCol(col("_metadata.file_path")).as("__dv_file"),
+            col("_metadata.row_index").as("__dv_pos"))
+        val raw = dvRows.fold(raw0)(dv => raw0.join(broadcast(dv),
+          col("__dv_file") === col("_dv_target") &&
+            col("__dv_pos") === col("_dv_tpos"), "left_anti"))
+        if (SchemaEvo.adaptKey(fileSchema) == targetKey) raw
+        else SchemaEvo.adapt(raw, fileSchema, target,
+          carry = Seq("__dv_file", "__dv_pos"))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(pred)
+      .persist()
+    val fsys = new Path(config.root).getFileSystem(hconf)
+    try {
+      val (dvDir, dvAdds) = writeDvSidecars(id, "dv_update",
+        matched.select(col("__dv_file"), col("__dv_pos")), files)
+      if (dvAdds.isEmpty) return basedOn // nothing matched: no commit
+      // updated versions: one projection over the OLD rows, restamped
+      val userCols = target.fields
+        .filterNot(f => SchemaEvo.isInternal(f.name)).map(_.name).toSeq
+      val updated = matched.select(userCols.map(c =>
+        sets.get(c).map(_.as(c)).getOrElse(col("`" + c + "`"))): _*)
+      val incoming = withDerived(withMeta(updated, id))
+        .withColumn("_seq", monotonically_increasing_id())
+      try writeCommit(incoming, "dv_update", Seq.empty, fixedId = Some(id),
+        basedOn = Some(basedOn),
+        // extraAdds cannot rebase (the rebase re-read would drop them);
+        // conflicts abort clean and the outer occRetry re-runs wholesale
+        partitionScoped = false, extraAdds = dvAdds)
+      catch { case e: Throwable =>
+        try { fsys.delete(dvDir, true); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+      }
+    } finally matched.unpersist()
+  }
+
   private def deleteDvImpl(keys: DataFrame): Long = {
     if (keys.isEmpty) return log.latestId.getOrElse(-1L)
     val id = log.nextId
@@ -674,41 +767,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       .select(col("__dv_file"), col("__dv_pos")).persist()
     val fs = new Path(config.root).getFileSystem(hconf)
     try {
-      val dir = dataDir(id, "dv", "dv_delete")
-      fs.mkdirs(dir)
-      val confS = new SerializableHadoopConf(hconf)
-      val dirStr = dir.toString
-      // one sidecar per touched file, written executor-side (the bloom
-      // sidecar lifecycle); the collect is (file, path, count) — touched
-      // files only, metadata scale
-      import spark.implicits._
-      val written = matches.as[(String, Long)]
-        .repartition(col("__dv_file"))
-        .mapPartitions { it =>
-          val byFile = scala.collection.mutable.LinkedHashMap
-            .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
-          it.foreach { case (f, p) =>
-            byFile.getOrElseUpdate(f,
-              scala.collection.mutable.ArrayBuffer.empty[Long]) += p
-          }
-          byFile.iterator.map { case (f, poss) =>
-            val name = "dv-" + java.security.MessageDigest.getInstance("MD5")
-              .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
-            val p = new Path(dirStr, name)
-            val bytes = DvCodec.write(confS.value, p, poss.toArray)
-            (f, p.toString, poss.size.toLong, bytes)
-          }
-        }.collect()
-      if (written.isEmpty) {
-        fs.delete(dir, true)
-        return log.latestId.getOrElse(-1L) // nothing matched: no commit
-      }
-      val byNorm = oldFiles.map(f => DvCodec.normPath(f.path) -> f).toMap
-      val adds = written.toSeq.map { case (normT, dvPath, n, bytes) =>
-        val tf = byNorm(normT)
-        FileAdd(dvPath, tf.partition, kind = "dv", bytes = bytes, rows = n,
-          spec = tf.spec, target = tf.path)
-      }
+      val (dir, adds) = writeDvSidecars(id, "dv_delete", matches, oldFiles)
+      if (adds.isEmpty) return log.latestId.getOrElse(-1L) // nothing matched
       val schemaJson = log.schemaJsonAsOf(None).getOrElse(tableSchema(None).json)
       try log.append(Commit(id, "dv_delete", System.currentTimeMillis(),
         schemaJson, adds, Seq.empty), basedOnLatest = basedOn)
@@ -720,6 +780,45 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       resync()
       id
     } finally matches.unpersist()
+  }
+
+  /** write one position sidecar per touched target (executor-side — the
+    * bloom sidecar lifecycle) into a fresh dv dir for commit `id`;
+    * `matches` is a (`__dv_file` normalized-path, `__dv_pos`) frame.
+    * Returns (dir, dv FileAdds) — adds empty (and the dir removed) when
+    * nothing matched; the collect is touched-files scale. */
+  private def writeDvSidecars(id: Long, op: String, matches: DataFrame,
+      targets: Seq[FileAdd]): (Path, Seq[FileAdd]) = {
+    val fs = new Path(config.root).getFileSystem(hconf)
+    val dir = dataDir(id, "dv", op)
+    fs.mkdirs(dir)
+    val confS = new SerializableHadoopConf(hconf)
+    val dirStr = dir.toString
+    import spark.implicits._
+    val written = matches.as[(String, Long)]
+      .repartition(col("__dv_file"))
+      .mapPartitions { it =>
+        val byFile = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+        it.foreach { case (f, p) =>
+          byFile.getOrElseUpdate(f,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += p
+        }
+        byFile.iterator.map { case (f, poss) =>
+          val name = "dv-" + java.security.MessageDigest.getInstance("MD5")
+            .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val p = new Path(dirStr, name)
+          val bytes = DvCodec.write(confS.value, p, poss.toArray)
+          (f, p.toString, poss.size.toLong, bytes)
+        }
+      }.collect()
+    if (written.isEmpty) { fs.delete(dir, true); return (dir, Seq.empty) }
+    val byNorm = targets.map(f => DvCodec.normPath(f.path) -> f).toMap
+    (dir, written.toSeq.map { case (normT, dvPath, n, bytes) =>
+      val tf = byNorm(normT)
+      FileAdd(dvPath, tf.partition, kind = "dv", bytes = bytes, rows = n,
+        spec = tf.spec, target = tf.path)
+    })
   }
 
   /** Metadata-only predicate delete — the retention-delete fast path
@@ -4418,7 +4517,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       /** true for whole-table overwrites: no old file survives, so the
         * batch schema REPLACES the table schema instead of evolving it
         * (columns may vanish or re-type; persisting names keep their id) */
-      schemaReset: Boolean = false): Long = {
+      schemaReset: Boolean = false,
+      /** extra pre-built FileAdds committed atomically with the data
+        * files (dv_update's position sidecars). Callers must pass
+        * partitionScoped = false: the rebase path re-reads only the
+        * commit's own parquet dir and would silently drop these. */
+      extraAdds: Seq[FileAdd] = Seq.empty): Long = {
+    require(extraAdds.isEmpty || !partitionScoped,
+      "extraAdds cannot ride a rebaseable (partitionScoped) commit")
     val expectedHead = basedOn.getOrElse(log.latestId.getOrElse(log.EmptyTable))
     val id = fixedId.getOrElse(log.nextId)
     // central deletion-vector rule: any commit that removes a data file
@@ -4549,7 +4655,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val schemaJson = evolved.json
     try
       log.append(Commit(id, op, System.currentTimeMillis(), schemaJson,
-        withBlooms, removes, commitMeta), basedOnLatest = expectedHead)
+        withBlooms ++ extraAdds, removes, commitMeta),
+        basedOnLatest = expectedHead)
     catch {
       case e: CommitConflict =>
         rebaseOrAbort(e, dir, withBlooms, op, removes, kind, commitMeta,

@@ -205,7 +205,8 @@ private[graft] object SchemaEvo {
     * has them (a base file must not grow phantom `_seq`/`_deleted`
     * columns that would leak past the MoR merge into snapshots).
     */
-  def adapt(df: DataFrame, from: StructType, target: StructType): DataFrame = {
+  def adapt(df: DataFrame, from: StructType, target: StructType,
+      carry: Seq[String] = Nil): DataFrame = {
     val fromByCid = from.fields.map(f => cid(f) -> f).toMap
     val fromNames = from.fieldNames.toSet
     val targetNames = target.fieldNames.toSet
@@ -226,7 +227,9 @@ private[graft] object SchemaEvo {
     val extras = from.fields.toSeq
       .filter(f => isInternal(f.name) && !targetNames.contains(f.name))
       .map(f => col(f.name))
-    df.select(selected ++ extras: _*)
+    // caller-threaded helper columns (e.g. the DV update's position
+    // columns) survive the projection verbatim
+    df.select(selected ++ extras ++ carry.map(c => col("`" + c + "`")): _*)
   }
 
   /** Adapt a VALUE read under `from` to `to` — the nested companion of

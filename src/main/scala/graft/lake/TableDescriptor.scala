@@ -59,7 +59,9 @@ final case class TableDescriptor(
     occRetries: Int = 0,
     /** predicate/SQL delete execution mode
       * ([[LakeTableConfig.deleteMode]]); null-safe via config() */
-    deleteMode: String = "rewrite") {
+    deleteMode: String = "rewrite",
+    /** SQL UPDATE execution mode ([[LakeTableConfig.updateMode]]) */
+    updateMode: String = "rewrite") {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
@@ -73,7 +75,8 @@ final case class TableDescriptor(
     priorPartitionSpecs = Option(priorPartitionSpecs).getOrElse(Seq.empty),
     archiveOnClean = archiveOnClean,
     occRetries = occRetries,
-    deleteMode = Option(deleteMode).getOrElse("rewrite"))
+    deleteMode = Option(deleteMode).getOrElse("rewrite"),
+    updateMode = Option(updateMode).getOrElse("rewrite"))
 }
 
 object TableDescriptor {
@@ -91,7 +94,7 @@ object TableDescriptor {
       cfg.bloomCols, cfg.sumCols, cfg.checks,
       cfg.checkMode, schemaJson, cfg.partitionTransforms, cfg.checkpointEvery,
       cfg.priorPartitionSpecs, cfg.archiveOnClean, cfg.occRetries,
-      cfg.deleteMode)
+      cfg.deleteMode, cfg.updateMode)
 
   def exists(root: String, hconf: Configuration): Boolean = {
     val p = file(root)

@@ -217,6 +217,16 @@ object Sql {
           deleteMode='dv')""")
       s.sql(s"INSERT INTO $cat.db.dvnation SELECT *, 0 FROM sql_nation_src")
       s.sql(s"DELETE FROM $cat.db.dvnation WHERE n_nationkey IN (2, 7, 12, 17, 22)")
+      // sibling table for the DV row-level UPDATE (updateMode='dv'):
+      // position sidecars + new version files, one commit, no rewrite
+      s.sql(s"""CREATE TABLE $cat.db.dvnation_u (${nation.schema.toDDL},
+        update_ts INT) USING graft PARTITIONED BY (n_regionkey)
+        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts',
+          updateMode='dv')""")
+      s.sql(s"INSERT INTO $cat.db.dvnation_u SELECT *, 0 FROM sql_nation_src")
+      s.sql(s"""UPDATE $cat.db.dvnation_u
+        SET n_name = concat(n_name, '*'), update_ts = 3
+        WHERE n_regionkey = 1""")
       cat
     })
   }
@@ -446,6 +456,22 @@ object Sql {
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
         WHERE n_nationkey NOT IN (2, 7, 12, 17, 22)
         ORDER BY n_nationkey""")),
+
+    // row-level UPDATE through deletion vectors (updateMode='dv'): the
+    // matched rows' positions hide behind sidecars and their updated
+    // versions land as new files in the SAME commit — semantics must be
+    // indistinguishable from the merge-backed rewrite
+    GQuery("lake_sql_dv_update",
+      (s, d) => {
+        val cat = dvSqlFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey, update_ts
+          FROM $cat.db.dvnation_u ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_regionkey = 1 THEN n_name || '*' ELSE n_name END AS n_name,
+          n_regionkey,
+          CAST(CASE WHEN n_regionkey = 1 THEN 3 ELSE 0 END AS INT) AS update_ts
+        FROM nation ORDER BY n_nationkey""")),
 
     GQuery("lake_sql_dml",
       (s, d) => {

@@ -314,6 +314,23 @@ final class GraftTailSource(
             .withColumn("_deleted", lit(true))
           Seq(if (changeTypes)
             dead.withColumn("_change_type", lit("delete")) else dead)
+        } else if (c.op == "dv_update" && changeTypes) {
+          // position update: preimages are the DV'd rows, postimages the
+          // commit's own adds (the untyped path needs no branch — the
+          // generic adds read already emits exactly the new versions)
+          ensureIndexed(to)
+          val proj = schema.fieldNames.map(n => col("`" + n + "`")).toSeq
+          val pre = table.dvDeletedRows(
+              c.adds.filter(_.isDv), schema, pathSchemaIdx.get)
+            .withColumn("_deleted", lit(false))
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = table.readTimelineFiles(
+              c.adds.filterNot(a => a.isDelta || a.isDv).map(_.path),
+              schema, _ => Some(c.schemaJson))
+            .filter(col("_commit_id") === c.id)
+            .withColumn("_deleted", lit(false))
+            .withColumn("_change_type", lit("update_postimage"))
+          Seq(pre.select(proj: _*), post.select(proj: _*))
         } else {
         val adds = c.adds.filterNot(a => a.isDelta || a.isDv).map(_.path)
         // adds need no index probe: their schema IS this commit's

@@ -338,6 +338,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       compactEvery = prop("compactEvery").map(_.toInt).getOrElse(0),
       occRetries = prop("occRetries").map(_.toInt).getOrElse(0),
       deleteMode = prop("deleteMode").getOrElse("rewrite"),
+      updateMode = prop("updateMode").getOrElse("rewrite"),
       checkpointEvery = prop("checkpointEvery").map(_.toInt)
         .getOrElse(graft.lake.LakeTableConfig.DefaultCheckpointEvery),
       archiveOnClean = prop("archiveOnClean").exists(_.toBoolean),
@@ -542,7 +543,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * and every read/merge path assumes it. */
   private val MutableProps = Set(
     "compactEvery", "checkpointEvery", "archiveOnClean", "occRetries",
-    "deleteMode", "bloomKeys",
+    "deleteMode", "updateMode", "bloomKeys",
     "bloomCols", "sumCols", "statsCols", "clusterCols", "zOrder", "checks",
     "checkMode",
     // NOT layout identity: setting it is partition-spec EVOLUTION
@@ -566,6 +567,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "compactEvery" => d.copy(compactEvery = s.value.toInt)
           case "occRetries" => d.copy(occRetries = s.value.toInt)
           case "deleteMode" => d.copy(deleteMode = s.value)
+          case "updateMode" => d.copy(updateMode = s.value)
           case "checkpointEvery" => d.copy(checkpointEvery = s.value.toInt)
           case "archiveOnClean" => d.copy(archiveOnClean = s.value.toBoolean)
           case "bloomKeys" => d.copy(bloomKeys = s.value.toInt)
@@ -593,6 +595,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "compactEvery" => d.copy(compactEvery = 0)
           case "occRetries" => d.copy(occRetries = 0)
           case "deleteMode" => d.copy(deleteMode = "rewrite")
+          case "updateMode" => d.copy(updateMode = "rewrite")
           case "checkpointEvery" => d.copy(checkpointEvery = 0)
           case "archiveOnClean" => d.copy(archiveOnClean = false)
           case "bloomKeys" => d.copy(bloomKeys = 0)

@@ -110,6 +110,15 @@ private[sql] final case class GraftUpdateCommand(
     val bad = sets.map(_._1).toSet & identity
     require(bad.isEmpty,
       s"UPDATE may not assign key/partition columns: ${bad.mkString(",")}")
+    // updateMode='dv' (CoW): position sidecars + new version files —
+    // O(changed rows) written instead of the keyed file-group rewrite
+    if (lake.config.updateMode == "dv" && !lake.config.isMor) {
+      lake.updateDvWhere(
+        condition.map(Dml.toCol(_))
+          .getOrElse(org.apache.spark.sql.functions.lit(true)),
+        sets.map { case (n, e) => n -> Dml.toCol(e) }.toMap)
+      return Seq.empty
+    }
     val snap = table.snapshot(None)
     val matching = condition.fold(snap)(c => snap.filter(Dml.toCol(c)))
     val setMap = sets.toMap

@@ -81,6 +81,29 @@ object DvProbe {
       val b = tB.read().select("l_orderkey", "l_linenumber", "l_quantity")
       val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
       println(s"""{"dv_probe_check":{"mult":$m,"diff_rows":$diff}}""")
+
+      // UPDATE A/B: the same point update via the merge-backed rewrite
+      // vs position sidecars + new version files (updateDvWhere)
+      val pred = col("l_orderkey") % 9973 === 1
+      val tC = build("upd_rewrite")
+      val (idC, sC) = timed {
+        val src = tC.read().filter(pred)
+          .withColumn("l_quantity", col("l_quantity") + 1)
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity", "update_ts")
+        tC.merge(src)
+          .whenMatchedUpdate(Map("l_quantity" -> col("s.l_quantity")))
+          .execute()
+      }
+      report("upd_rewrite", tC, idC, sC)
+      val tD = build("upd_dv")
+      val (idD, sD) = timed(tD.updateDvWhere(pred,
+        Map("l_quantity" -> (col("l_quantity") + 1))))
+      report("upd_dv", tD, idD, sD)
+      val ua = tC.read().select("l_orderkey", "l_linenumber", "l_quantity")
+      val ub = tD.read().select("l_orderkey", "l_linenumber", "l_quantity")
+      val udiff = ua.exceptAll(ub).count() + ub.exceptAll(ua).count()
+      println(s"""{"dv_update_check":{"mult":$m,"diff_rows":$udiff}}""")
       li.unpersist(); doomed.unpersist()
     }
     spark.stop()

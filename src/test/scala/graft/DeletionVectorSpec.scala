@@ -192,6 +192,76 @@ class DeletionVectorSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("updateDvWhere: new versions land, old positions hide, one commit") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val t = mk()
+    val before = t.log.liveFiles(None).map(_.path).toSet
+    val id = t.updateDvWhere(col("part") === 1,
+      Map("payload" -> concat(col("payload"), lit("!")), "ts" -> lit(5)))
+    val c = t.log.commitIfExists(id).get
+    assert(c.op == "dv_update" && c.removes.isEmpty)
+    assert(c.adds.exists(_.isDv) && c.adds.exists(a => !a.isDv && !a.isDelta),
+      "one commit must carry BOTH the position sidecars and the new versions")
+    assert(before.subsetOf(t.log.liveFiles(None).map(_.path).toSet),
+      "no pre-existing data file may be rewritten")
+    val rows = t.read().select("pk", "payload", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set((1L, "a!", 5), (2L, "b!", 5), (3L, "c", 0), (4L, "d", 0)))
+    // assignments evaluated on the OLD row; time travel sees the old rows
+    assert(t.readAsOf(id - 1).filter("pk = 1").select("payload")
+      .collect().head.getString(0) == "a")
+    // counts stay exact: 4 base rows + 2 new - 2 DV'd = 4
+    assert(t.countRows(None) == 4)
+    assert(t.metadataRowCount(None).contains(4L))
+    // chained update of the same rows composes (positions in the NEW file)
+    t.updateDvWhere(col("pk") === 1, Map("payload" -> lit("z")))
+    assert(t.read().filter("pk = 1").select("payload")
+      .collect().head.getString(0) == "z")
+    assert(t.countRows(None) == 4)
+  }
+
+  test("typed CoW tail classifies dv_update as update_preimage/postimage") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = mk()
+    val typed = new graft.sources.GraftTailSource(
+      spark.sqlContext, t, t.changeFeedSchema, changeTypes = true)
+    val id = t.updateDvWhere(col("pk") === 2, Map("payload" -> lit("b9")))
+    val ty = typed.batchFrame(id - 1, id)
+      .select("pk", "payload", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ty == Set((2L, "b", "update_preimage"), (2L, "b9", "update_postimage")))
+    // untyped tail emits exactly the new version
+    val untyped = new graft.sources.GraftTailSource(
+      spark.sqlContext, t, t.tailSchema)
+    val u = untyped.batchFrame(id - 1, id).select("pk", "payload").collect()
+    assert(u.map(r => (r.getLong(0), r.getString(1))).toSet == Set((2L, "b9")))
+  }
+
+  test("SQL surface: updateMode='dv' routes UPDATE through sidecars") {
+    val wh = Files.createTempDirectory("dvu_wh").toString
+    spark.conf.set("spark.sql.catalog.dvu", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dvu.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvu.db")
+    spark.sql("""CREATE TABLE dvu.db.t (pk BIGINT, part INT, payload STRING,
+      ts INT) USING graft PARTITIONED BY (part)
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts', updateMode='dv')""")
+    spark.sql("INSERT INTO dvu.db.t VALUES (1, 1, 'a', 0), (2, 2, 'b', 0)")
+    spark.sql("UPDATE dvu.db.t SET payload = concat(payload, '+'), ts = 9 " +
+      "WHERE pk = 1")
+    val t = LakeTable(spark, graft.lake.TableDescriptor
+      .load(s"$wh/db/t", spark.sparkContext.hadoopConfiguration).get
+      .config(s"$wh/db/t"))
+    val c = t.log.commitIfExists(t.log.latestId.get).get
+    assert(c.op == "dv_update", s"expected the DV path, got ${c.op}")
+    val rows = spark.sql("SELECT pk, payload, ts FROM dvu.db.t ORDER BY pk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "a+", 9), (2L, "b", 0)))
+    // identity assignment still refused on the DV path
+    val e = intercept[Exception](spark.sql(
+      "UPDATE dvu.db.t SET pk = 99 WHERE pk = 1"))
+    assert(e.getMessage.contains("key/partition"), e.getMessage)
+  }
+
   test("unpartitioned table and global-key identity work the same") {
     val t = mk(parts = false)
     t.deleteDv(keysOf(1L, 4L))
