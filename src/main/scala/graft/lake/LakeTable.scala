@@ -3202,6 +3202,34 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       partitionScoped = groupLocalMergeSafe, stampsId = false)
   }
 
+  /** Fold deletion vectors back into plain base files — but ONLY where
+    * they have grown heavy: every live target whose DV'd-position
+    * fraction is at least `minRatio` is rewritten through its DVs (the
+    * read applies them, so the new file simply lacks the deleted rows)
+    * and the commit supersedes the target + its sidecars (the central
+    * DV rule). Lightly-DV'd files keep their cheap sidecars — the whole
+    * point of DVs is NOT rewriting a 1 GB file over 3 dead rows; this
+    * is the bounded convergence path for files where the read-time
+    * anti-join stopped being cheaper than a rewrite. Physical
+    * reorganization only: rows keep their provenance stamps, change
+    * tails skip the commit (PhysicalOps), the snapshot is unchanged.
+    */
+  def foldDvs(minRatio: Double = 0.1): Long = {
+    require(!config.isMor, "foldDvs() applies to CoW tables (MoR folds DVs via compact)")
+    require(minRatio > 0 && minRatio <= 1, s"minRatio in (0,1], got $minRatio")
+    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+    val dvs = log.liveDvs()
+    if (dvs.isEmpty) return basedOn
+    val dvByTarget = dvs.groupBy(_.target)
+      .map { case (t, ds) => t -> ds.map(_.rows).sum }
+    val victims = log.liveFiles().filter(f =>
+      f.rows > 0L && dvByTarget.getOrElse(f.path, 0L).toDouble / f.rows >= minRatio)
+    if (victims.isEmpty) return basedOn
+    // readFiles applies the victims' DVs; rows keep their stamps
+    writeCommit(readFiles(victims), "dv_fold", victims.map(_.path),
+      basedOn = Some(basedOn), partitionScoped = true, stampsId = false)
+  }
+
   /** Rewrite live data into the configured cluster order (Hudi
     * clustering's replacecommit; Delta `OPTIMIZE ZORDER BY`). New base
     * writes already cluster on the way in — what accumulates UNclustered

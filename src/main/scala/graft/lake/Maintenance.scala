@@ -35,7 +35,10 @@ object Maintenance {
       compactDeltaCommits: Int = 0,
       smallFileBytes: Long = 0L,
       retainCommits: Int = 0,
-      archiveAfter: Int = 0)
+      archiveAfter: Int = 0,
+      /** CoW: fold deletion vectors back into plain files once a
+        * target's DV'd fraction reaches this ratio (0 = off) */
+      dvFoldRatio: Double = 0.0)
 
   /** One evaluation round: fire every action whose trigger holds.
     * Returns (action, result-or-skip) pairs — `("compact", -1)` with
@@ -64,6 +67,15 @@ object Maintenance {
         .filter(f => f.isDelta && f.bytes > 0 && f.bytes < p.smallFileBytes)
         .groupBy(_.partition).exists(_._2.size > 1)
       if (small) fire("compact_small")(t.compactSmall(p.smallFileBytes))
+    }
+
+    if (p.dvFoldRatio > 0 && !t.config.isMor) {
+      val dvByTarget = t.log.liveDvs().groupBy(_.target)
+        .map { case (k, ds) => k -> ds.map(_.rows).sum }
+      val heavy = dvByTarget.nonEmpty && t.log.liveFiles().exists(f =>
+        f.rows > 0L &&
+          dvByTarget.getOrElse(f.path, 0L).toDouble / f.rows >= p.dvFoldRatio)
+      if (heavy) fire("dv_fold")(t.foldDvs(p.dvFoldRatio))
     }
 
     if (p.retainCommits > 0) {

@@ -74,7 +74,8 @@ final class GraftTailSource(
   /** ops that rewrite data with NO logical change (maintenance) — the
     * CoW tail skips them outright rather than paying a full diff read
     * that is empty by the maintenance-invariance laws */
-  private val PhysicalOps = Set("compact", "delta_compact", "recluster")
+  private val PhysicalOps = Set("compact", "delta_compact", "recluster",
+    "dv_fold")
 
   /** ops that can make a key disappear — only these pay the tombstone
     * anti-join; plain upserts never remove keys */

@@ -98,7 +98,10 @@ private[sql] object GraftProcedures {
       (t, in) => graft.lake.Maintenance.run(t, graft.lake.Maintenance.Policy(
         compactDeltaCommits = t.config.compactEvery,
         smallFileBytes = in.getLong(2),
-        retainCommits = in.getInt(1)))
+        retainCommits = in.getInt(1),
+        // CoW DV hygiene rides the default policy: fold a file's DVs
+        // once a tenth of its rows are position-deleted
+        dvFoldRatio = 0.1))
         .count(_._2 != "conflict-skipped").toLong))
 
   def names: Seq[String] = procs.keys.toSeq.sorted

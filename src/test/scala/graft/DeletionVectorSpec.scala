@@ -262,6 +262,42 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key/partition"), e.getMessage)
   }
 
+  test("foldDvs rewrites ONLY heavily-DV'd files; tails skip the fold") {
+    val t = mk() // partition 1: {1,2}, partition 2: {3,4}
+    t.deleteDv(keysOf(3L)) // partition 2's file: 50% DV'd
+    val untyped = new graft.sources.GraftTailSource(
+      spark.sqlContext, t, t.tailSchema)
+    val before = t.log.liveFiles(None)
+    // ratio above the heavy file's fraction: nothing folds
+    assert(t.foldDvs(0.9) == t.log.latestId.get)
+    assert(t.log.liveDvs(None).nonEmpty)
+    val id = t.foldDvs(0.5)
+    val c = t.log.commitIfExists(id).get
+    assert(c.op == "dv_fold")
+    assert(t.log.liveDvs(None).isEmpty, "the heavy file's DV must fold away")
+    // the untouched partition's file survives verbatim
+    val p1Files = before.filter(_.partition.contains("1")).map(_.path).toSet
+    assert(p1Files.subsetOf(t.log.liveFiles(None).map(_.path).toSet),
+      "lightly/un-DV'd files must not be rewritten")
+    assert(t.read().select("pk").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L))
+    // physical reorg: the change tail emits nothing for the fold commit
+    assert(untyped.batchFrame(id - 1, id).count() == 0)
+    // metadata provers answer again once no DV is live
+    assert(t.metadataRowCount(None).contains(3L))
+  }
+
+  test("maintenance policy folds DVs past the ratio") {
+    import graft.lake.Maintenance
+    val t = mk()
+    t.deleteDv(keysOf(1L)) // partition 1's file: 50% DV'd
+    assert(Maintenance.run(t, Maintenance.Policy(dvFoldRatio = 0.9)).isEmpty)
+    val fired = Maintenance.run(t, Maintenance.Policy(dvFoldRatio = 0.4))
+    assert(fired.map(_._1) == Seq("dv_fold"), fired.toString)
+    assert(t.log.liveDvs(None).isEmpty)
+    assert(Maintenance.run(t, Maintenance.Policy(dvFoldRatio = 0.4)).isEmpty)
+  }
+
   test("unpartitioned table and global-key identity work the same") {
     val t = mk(parts = false)
     t.deleteDv(keysOf(1L, 4L))
