@@ -1690,7 +1690,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * the cloned commit on the source to pin them.
     */
   def shallowClone(targetRoot: String, asOf: Option[Long] = None): LakeTable = {
-    val files = log.liveFiles(asOf)
+    // borrow the FULL live set — deletion-vector sidecars included, or a
+    // clone of a DV'd table would resurrect the deleted rows
+    val files = log.liveFilesAll(asOf)
     val schemaJson = log.schemaJsonAsOf(asOf)
       .getOrElse(new StructType().json)
     val clone = new LakeTable(spark, config.copy(root = targetRoot))
@@ -1779,8 +1781,11 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         s"(provenance: ${firstMeta.getOrElse("clone.sourceRoot", "none")})")
     val sourceCommit = firstMeta("clone.sourceCommit").toLong
     val head = log.latestId.getOrElse(log.EmptyTable)
-    val srcLive = log.liveFiles().map(f => f.path -> f).toMap
-    val auditLive = audit.log.liveFiles()
+    // FULL live sets (DV sidecars included): an audit whose changes are
+    // position deletes must publish its sidecars with it, and a fold on
+    // the audit must retire the source's borrowed sidecars
+    val srcLive = log.liveFilesAll().map(f => f.path -> f).toMap
+    val auditLive = audit.log.liveFilesAll()
     val adds = auditLive.filterNot(f => srcLive.contains(f.path))
     val removes = {
       val keep = auditLive.map(_.path).toSet
@@ -1802,7 +1807,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // adaptation KEY is order-insensitive)
     val jsonOf = audit.pathSchemaJson(None)
     val headKey = SchemaEvo.adaptKey(parseSchema(schemaJson))
-    adds.foreach(f => require(
+    adds.filterNot(_.isDv).foreach(f => require(
       jsonOf.get(f.path).exists(j => SchemaEvo.adaptKey(parseSchema(j)) == headKey),
       s"audit file ${f.path} predates the audit's schema evolution — " +
         "compact the audit table before publishing"))
@@ -2854,7 +2859,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val retired = log.commitsAll.filter(_.id <= log.cleanedUpTo)
         .flatMap(_.removes).filter(p => qp(p).startsWith(prefix)).toSet
       val pinnedLive = log.pins.toSeq
-        .flatMap(s => log.liveFiles(Some(s)).map(_.path))
+        .flatMap(s => log.liveFilesAll(Some(s)).map(_.path))
         .filter(p => qp(p).startsWith(prefix)).toSet
       val blocking = (published -- retired) ++ pinnedLive
       require(blocking.isEmpty,

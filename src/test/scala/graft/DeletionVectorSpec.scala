@@ -298,6 +298,29 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(Maintenance.run(t, Maintenance.Policy(dvFoldRatio = 0.4)).isEmpty)
   }
 
+  test("shallowClone and branch publish carry deletion vectors") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = mk()
+    t.deleteDv(keysOf(2L))
+    // the clone must see the DELETED state, not the raw files
+    val clone = t.shallowClone(freshRoot())
+    assert(clone.read().select("pk").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L), "a clone of a DV'd table must not resurrect rows")
+    assert(clone.log.liveDvs(None).nonEmpty, "sidecars must be borrowed")
+    // write-audit-publish: a position delete ON THE BRANCH publishes its
+    // sidecars into the source atomically
+    val t2 = mk()
+    t2.createBranch("audit")
+    val b = t2.branch("audit")
+    b.deleteDv(keysOf(4L))
+    b.updateDvWhere(col("pk") === 1, Map("payload" -> lit("a9")))
+    t2.fastForward("audit")
+    val rows = t2.read().select("pk", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "a9", 2L -> "b", 3L -> "c"),
+      s"published DV changes must land exactly: $rows")
+  }
+
   test("unpartitioned table and global-key identity work the same") {
     val t = mk(parts = false)
     t.deleteDv(keysOf(1L, 4L))
