@@ -2538,7 +2538,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     *    same files, so glob-only readers (DuckDB read_parquet over a
     *    `v<id>` parquet glob) resolve the snapshot with no list-file
     *    support. Exporting the HEAD also refreshes the stable
-    *    `latest.txt` / `latest/` aliases.
+    *    `latest.txt` / `latest/` aliases;
+    *  - `deletes-<id>.parquet` (+ head alias `latest_deletes.parquet`)
+    *    — the snapshot's live deletion-vector positions as plain
+    *    (file_path, link_name, row_index) rows (empty when none), so a
+    *    second engine anti-joins them away with its own row-number
+    *    machinery ([[writeManifestDeletes]] shows the DuckDB form) —
+    *    live DVs do NOT block the export.
     *
     * MoR snapshots export the read-optimized view (base files only —
     * an external engine cannot run our log-merge), the same contract as
@@ -2562,9 +2568,6 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     require(id >= log.cleanedUpTo,
       s"commit $id's snapshot is below the clean horizon " +
         s"(${log.cleanedUpTo}) — its files were physically deleted")
-    require(log.liveDvs(Some(id)).isEmpty,
-      s"snapshot $id has live deletion vectors — an external engine " +
-        "reading the raw file list would see deleted rows; compact first")
     val files = log.liveFiles(Some(id)).filterNot(_.isDelta)
     val fs = manifestsDir.getFileSystem(hconf)
     fs.mkdirs(manifestsDir)
@@ -2605,7 +2608,62 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       writeLinks(f"v$id%08d")
       if (isHead) writeLinks("latest")
     }
+    writeManifestDeletes(id, files, qualified, isHead, fs)
     id
+  }
+
+  /** The manifest's position-delete companion: `deletes-<id>.parquet`
+    * (+ the head alias `latest_deletes.parquet`) holding one
+    * (file_path, link_name, row_index) row per live DV'd position of
+    * the exported snapshot — ALWAYS written, empty when no DV is live,
+    * so external readers have one uniform contract. A second engine
+    * reproduces the snapshot exactly without understanding our DV
+    * sidecar format: e.g. DuckDB reads the `_manifests/latest` glob
+    * with `filename=true, file_row_number=true` and keeps the rows
+    * with NO deletes match on
+    * `(link_name = basename(filename), row_index = file_row_number)`
+    * — the oracle query `lake_manifest_dv_read` is exactly that SQL.
+    * (`file_path` serves list-based readers that consume
+    * `manifest-<id>.txt`; `link_name` serves glob readers over the
+    * `v<id>/` symlink dir, whose visible filename is the link's.)
+    * Positions decode in executors — the sidecar flatMap, never a
+    * driver loop. */
+  private def writeManifestDeletes(id: Long, files: Seq[FileAdd],
+      qualified: Seq[String], isHead: Boolean,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    import spark.implicits._
+    val dvs = log.liveDvs(Some(id))
+    val qualOf = files.map(f => DvCodec.normPath(f.path)).zip(qualified).toMap
+    val linkOf = qualified.zipWithIndex.map { case (p, i) =>
+      DvCodec.normPath(p) -> f"part-$i%05d.parquet" }.toMap
+    val meta = dvs.map { dv =>
+      val norm = DvCodec.normPath(dv.target)
+      (dv.path, qualOf(norm), linkOf(norm))
+    }
+    val conf = new SerializableHadoopConf(hconf)
+    val deletes = spark.createDataset(meta)
+      .flatMap { case (p, fp, ln) =>
+        DvCodec.read(conf.value, p).iterator.map(pos => (fp, ln, pos)) }
+      .toDF("file_path", "link_name", "row_index")
+    val tmpDir = new Path(manifestsDir, s".tmpd-$id-${System.nanoTime()}")
+    deletes.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"deletes export wrote no parquet part under $tmpDir"))
+    def publish(name: String, src: Path): Unit = {
+      val dst = new Path(manifestsDir, name)
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(src, dst)) { fs.delete(src, false); () }
+    }
+    if (isHead) {
+      val copy = new Path(tmpDir, "alias.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, copy, false, hconf)
+      publish("latest_deletes.parquet", copy)
+    }
+    publish(f"deletes-$id%08d.parquet", part)
+    fs.delete(tmpDir, true)
+    ()
   }
 
   /** Archive the non-travelable timeline prefix into compacted segment
@@ -4273,7 +4331,16 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val files = log.liveFiles(asOf)
     if (files.isEmpty) return None // the empty-frame path owns this case
     if (files.exists(f => f.isDelta || f.bytes <= 0L)) return None
-    if (log.liveDvs(asOf).nonEmpty) return None // bare unions can't apply DVs
+    // live DVs no longer demote the snapshot off the native path: the
+    // batch scan plans DV'd files into row-based partitions that apply
+    // the position sidecars as a row-index anti-filter (GraftBatchScan).
+    // One 200-byte sidecar must not cost a 100 TB table its vectorized
+    // reads, DPP, and storage-partitioned joins. Only a (pathological)
+    // user column colliding with the parquet reader's internal row-index
+    // name forces the V1 fallback.
+    if (log.liveDvs(asOf).nonEmpty && tableSchema(asOf).fieldNames.contains(
+        org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+          .ROW_INDEX_TEMPORARY_COLUMN_NAME)) return None
     val target = SchemaEvo.adaptKey(tableSchema(asOf))
     val jsonOf = pathSchemaJson(asOf)
     val uniform = files.forall(f =>
@@ -5067,7 +5134,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   * (Configuration itself is Writable but not Serializable). Spark's own
   * org.apache.spark.util.SerializableConfiguration is private[spark].
   */
-private[lake] final class SerializableHadoopConf(
+private[graft] final class SerializableHadoopConf(
     @transient var value: org.apache.hadoop.conf.Configuration)
   extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {

@@ -379,6 +379,33 @@ object Lake {
       t
     })
 
+  /** Manifest fixture with LIVE deletion vectors (r14): the same CDC
+    * replay as [[manifestTable]] but the delete executed as position
+    * sidecars ([[LakeTable.deleteDv]]) — the export must carry the
+    * `latest_deletes.parquet` companion so a second engine reproduces
+    * the snapshot by anti-joining positions it computes with its OWN
+    * row-number machinery (DuckDB `file_row_number`), never by reading
+    * our DV sidecar format. Fixed root: the oracle SQL is static. */
+  private[graft] def manifestDvTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:manifestdv", _ => {
+      val root = "/tmp/graft_lake/manifest_dv_fix"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("l_orderkey", "l_linenumber"),
+        precombineCol = "update_ts", partitionCols = Seq("l_returnflag")))
+      val li = keyedLineitem(s, d).filter(col("l_orderkey") % 7 === 0).persist()
+      try {
+        val (b0, b1, _, delKeys) = batches(li)
+        t.bulkInsert(b0)
+        t.upsert(b1)
+        t.deleteDv(delKeys)
+      } finally li.unpersist()
+      t.exportManifest()
+      t
+    })
+
   /** Checkpoint fixture over `nation`: bulk insert (c0) then 8
     * single-slice upserts (c1..c8) under `checkpointEvery = 3`, so the
     * log holds checkpoints at c2/c5/c8 and the LATEST snapshot resolves
@@ -1168,6 +1195,26 @@ object Lake {
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
           update_ts
         FROM read_parquet('/tmp/graft_lake/manifest_fix/_manifests/latest/*.parquet')
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // manifest read UNDER live deletion vectors (r14): DuckDB resolves
+    // the same snapshot from the exported file list MINUS the exported
+    // position-deletes parquet, using its own file_row_number — proving
+    // a second engine needs zero knowledge of our DV sidecar format
+    GQuery("lake_manifest_dv_read",
+      (s, d) => manifestDvTable(s, d).read()
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"), col("update_ts"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+          update_ts
+        FROM read_parquet(
+          '/tmp/graft_lake/manifest_dv_fix/_manifests/latest/*.parquet',
+          filename=true, file_row_number=true) r
+        WHERE NOT EXISTS (SELECT 1 FROM read_parquet(
+            '/tmp/graft_lake/manifest_dv_fix/_manifests/latest_deletes.parquet') d
+          WHERE d.link_name = regexp_extract(r.filename, '[^/]+$', 0)
+            AND d.row_index = r.file_row_number)
         ORDER BY l_orderkey, l_linenumber""")),
 
     // ---- partition-spec evolution: scan spans two specs ----------------

@@ -457,6 +457,25 @@ object Sql {
         WHERE n_nationkey NOT IN (2, 7, 12, 17, 22)
         ORDER BY n_nationkey""")),
 
+    // the DV'd snapshot through the NATIVE DSv2 batch scan (r14): live
+    // position sidecars no longer demote the table off the native path —
+    // DV'd files plan into row-based partitions applying the sidecars as
+    // a row-index anti-filter, clean files keep vectorized decode, and
+    // file pruning / exact planner stats stay on (NativeScanSpec pins the
+    // plan shape; this query pins the filtered-aggregate semantics)
+    GQuery("lake_sql_dv_native",
+      (s, d) => {
+        val cat = dvSqlFixture(s, d)
+        s.sql(s"""SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS s
+          FROM $cat.db.dvnation WHERE n_nationkey >= 5
+          GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_nationkey) AS BIGINT) AS s
+        FROM nation WHERE n_nationkey >= 5
+          AND n_nationkey NOT IN (2, 7, 12, 17, 22)
+        GROUP BY 1 ORDER BY 1""")),
+
     // row-level UPDATE through deletion vectors (updateMode='dv'): the
     // matched rows' positions hide behind sidecars and their updated
     // versions land as new files in the SAME commit — semantics must be

@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.graftbridge.PredicateBridge
 import org.apache.spark.sql.sources.Filter
@@ -54,12 +55,19 @@ final class GraftBatchScan(
     required: StructType,
     pushed: Array[Filter],
     physicalSchema: StructType,
-    initialFiles: Seq[FileAdd])
+    initialFiles: Seq[FileAdd],
+    dvByTarget: Map[String, Seq[FileAdd]] = Map.empty)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeV2Filtering
   with SupportsReportPartitioning {
 
   @volatile private var files: Seq[FileAdd] = initialFiles
+
+  /** live deletion-vector sidecars covering `f` (empty for the common,
+    * clean case — DV'd files are usually a sliver of a snapshot) */
+  private def dvsOf(f: FileAdd): Seq[FileAdd] =
+    if (dvByTarget.isEmpty) Nil
+    else dvByTarget.getOrElse(graft.lake.DvCodec.normPath(f.path), Nil)
 
   /** observability for specs: file count after the last runtime
     * filter() call (-1 = no runtime filter delivered) */
@@ -88,7 +96,12 @@ final class GraftBatchScan(
         OptionalLong.of(math.max(fs.map(_.bytes).sum, 1L))
       override def numRows(): OptionalLong =
         if (fs.nonEmpty && fs.forall(_.rows > 0L))
-          OptionalLong.of(fs.map(_.rows).sum)
+          // DV'd positions never reach the consuming operator — subtract
+          // them so the planner's row estimate stays exact (a DV add's
+          // `rows` is its position count; positions are never duplicated
+          // across a target's sidecars)
+          OptionalLong.of(
+            fs.map(_.rows).sum - fs.flatMap(dvsOf).map(_.rows).sum)
         else OptionalLong.empty()
     }
   }
@@ -164,6 +177,27 @@ final class GraftBatchScan(
       }
     }.sortBy(-_.length)
 
+  /** DV'd files plan one partition PER SPLIT (row-group parallelism
+    * kept) so the reader knows the single file its row indexes belong
+    * to; clean files bin-pack as before. DV partitions read row-based
+    * with the position anti-filter; the clean majority stays columnar. */
+  private def planOf(fs: Seq[FileAdd], maxSplit: Long,
+      startIdx: Int): Seq[InputPartition] = {
+    val (dvd, clean) = fs.partition(f => dvsOf(f).nonEmpty)
+    var idx = startIdx - 1
+    val cleanParts = FilePartition.getFilePartitions(
+        spark, splitsOf(clean, maxSplit), maxSplit)
+      .map { fp => idx += 1; FilePartition(idx, fp.files) }
+    val dvParts = dvd.flatMap { f =>
+      val sidecars = dvsOf(f).map(_.path).toArray
+      splitsOf(Seq(f), maxSplit).map { s =>
+        idx += 1
+        GraftDvPartition(FilePartition(idx, Array(s)), sidecars)
+      }
+    }
+    cleanParts ++ dvParts
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = files
     val maxSplit = FilePartition.maxSplitBytes(spark, fs.map(_.bytes).sum)
@@ -172,26 +206,24 @@ final class GraftBatchScan(
         // parquet is splittable at row-group granularity: slice large
         // files so one straggler cannot serialize a stage (the
         // FileSourceScan packing discipline: largest-first, bin-packed)
-        FilePartition.getFilePartitions(spark, splitsOf(fs, maxSplit), maxSplit)
-          .toArray
+        planOf(fs, maxSplit, 0).toArray
       case Some((keyOfPath, allKeys)) =>
         // one group of keyed partitions per ORIGINAL key — a key whose
         // files a runtime filter pruned still plans (as an empty group),
         // so the key-grouped partitioning the join was planned on is
         // preserved while the pruned partitions read zero bytes
         val byKey = fs.groupBy(f => keyOfPath(f.path))
-        var idx = -1
+        var idx = 0
         allKeys.flatMap { k =>
           byKey.get(k) match {
             case Some(group) =>
-              FilePartition.getFilePartitions(
-                  spark, splitsOf(group, maxSplit), maxSplit)
-                .map { fp => idx += 1
-                  GraftKeyedPartition(FilePartition(idx, fp.files), k) }
+              val parts = planOf(group, maxSplit, idx)
+              idx += parts.size
+              parts.map(GraftKeyedPartition(_, k))
             case None =>
               idx += 1
               Seq(GraftKeyedPartition(
-                FilePartition(idx, Array.empty[PartitionedFile]), k))
+                FilePartition(idx - 1, Array.empty[PartitionedFile]), k))
           }
         }.toArray
     }
@@ -225,35 +257,171 @@ final class GraftBatchScan(
     partitionFilters = Seq.empty,
     dataFilters = Seq.empty)
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    if (keyedPlan.isDefined)
-      new GraftKeyedReaderFactory(delegate.createReaderFactory())
-    else delegate.createReaderFactory()
+  /** Second delegate for DV'd splits: the same ParquetScan with the
+    * parquet readers' internal row-index column appended to the read
+    * schema — both reader paths (vectorized and parquet-mr) recognize
+    * the temporary name and GENERATE each row's file-level row index,
+    * exactly the coordinate space the DV sidecars record. */
+  private lazy val dvDelegate: ParquetScan = ParquetScan(
+    spark,
+    spark.sessionState.newHadoopConf(),
+    new InMemoryFileIndex(spark, Nil, Map.empty, Some(physicalSchema)),
+    dataSchema = physicalSchema,
+    // nullable is load-bearing: the readers classify a nullable
+    // not-in-file column as constant (instead of failing "required
+    // column missing"), and the row-index generator then overwrites the
+    // constant vector with each row's file-level index
+    readDataSchema = StructType(required.fields :+
+      org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true)),
+    readPartitionSchema = new StructType(),
+    pushedFilters = {
+      val out = required.fieldNames.toSet
+      pushed.filter(_.references.forall(out.contains))
+    },
+    options = org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
+    pushedAggregate = None,
+    partitionFilters = Seq.empty,
+    dataFilters = Seq.empty)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Spark requires every partition of one scan to answer columnar
+    // support identically — so ANY live DV in the planned file set makes
+    // the whole scan row-exposed (decode stays vectorized; only the
+    // batch handoff to the consumer is lost). Runtime filters only ever
+    // REMOVE files, so this planning-time decision stays uniform.
+    // Self-healing: rewrites/foldDvs retire DVs and the next scan is
+    // pure columnar again.
+    val anyDv = files.exists(f => dvsOf(f).nonEmpty)
+    new GraftReaderFactory(
+      delegate.createReaderFactory(),
+      if (anyDv) Some(dvDelegate.createReaderFactory()) else None,
+      required,
+      new graft.lake.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+  }
 }
 
 /** A file-split partition tagged with its typed partition-key row —
   * the [[HasPartitionKey]] contract key-grouped (storage-partitioned)
-  * planning requires of every input partition. */
+  * planning requires of every input partition. Wraps either a plain
+  * [[FilePartition]] or a [[GraftDvPartition]]. */
 private[graft] final case class GraftKeyedPartition(
-    fp: FilePartition, key: InternalRow)
+    inner: InputPartition, key: InternalRow)
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** One split of a deletion-vector'd data file plus its live sidecars —
+  * exactly one file per partition, so the reader's row indexes have an
+  * unambiguous coordinate space. */
+private[graft] final case class GraftDvPartition(
+    fp: FilePartition, dvPaths: Array[String]) extends InputPartition {
   override def preferredLocations(): Array[String] = fp.preferredLocations()
 }
 
-/** Unwraps [[GraftKeyedPartition]] before handing the split to the
-  * parquet reader factory (which pattern-matches on [[FilePartition]]). */
-private final class GraftKeyedReaderFactory(inner: PartitionReaderFactory)
+/** Routes partitions to the right delegate: plain splits to the
+  * columnar parquet factory untouched; DV'd splits to the row-index
+  * delegate wrapped in the position anti-filter. Unwraps
+  * [[GraftKeyedPartition]] first (the parquet factories pattern-match
+  * on [[FilePartition]]). */
+private final class GraftReaderFactory(
+    plain: PartitionReaderFactory,
+    dv: Option[PartitionReaderFactory],
+    required: StructType,
+    conf: graft.lake.SerializableHadoopConf)
   extends PartitionReaderFactory {
+
   private def unwrap(p: InputPartition): InputPartition = p match {
-    case k: GraftKeyedPartition => k.fp
+    case k: GraftKeyedPartition => k.inner
     case other => other
   }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    inner.createReader(unwrap(p))
+    unwrap(p) match {
+      case d: GraftDvPartition =>
+        val factory = dv.getOrElse(throw new IllegalStateException(
+          "DV partition planned without a DV reader delegate"))
+        // union of the target's sidecars (multiple dv_delete commits can
+        // stack on one file; positions never repeat across them)
+        val positions = d.dvPaths
+          .flatMap(path => graft.lake.DvCodec.read(conf.value, path))
+        java.util.Arrays.sort(positions)
+        val inner: PartitionReader[InternalRow] =
+          if (factory.supportColumnarReads(d.fp))
+            new ColumnarRowsReader(factory.createColumnarReader(d.fp))
+          else factory.createReader(d.fp)
+        new DvFilteringReader(inner, positions, required)
+      case fp: FilePartition if dv.isDefined =>
+        // a DV'd sibling forced the scan row-exposed: clean splits still
+        // DECODE vectorized, exposed through the batch's row iterator
+        if (plain.supportColumnarReads(fp))
+          new ColumnarRowsReader(plain.createColumnarReader(fp))
+        else plain.createReader(fp)
+      case other => plain.createReader(other)
+    }
+
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    inner.createColumnarReader(unwrap(p))
+    unwrap(p) match {
+      case _: GraftDvPartition => throw new UnsupportedOperationException(
+        "DV partitions read row-based (position anti-filter)")
+      case other => plain.createColumnarReader(other)
+    }
+
   override def supportColumnarReads(p: InputPartition): Boolean =
-    inner.supportColumnarReads(unwrap(p))
+    // must be UNIFORM across the scan's partitions (Spark refuses a
+    // mixed row/columnar scan): any live DV → every partition row-based
+    dv.isEmpty && plain.supportColumnarReads(unwrap(p))
+}
+
+/** Exposes a columnar parquet reader as rows — the vectorized reader is
+  * still the fastest way to decode the DV'd split; only the anti-filter
+  * needs row granularity. */
+private final class ColumnarRowsReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch])
+  extends PartitionReader[InternalRow] {
+  private var it: java.util.Iterator[InternalRow] =
+    java.util.Collections.emptyIterator()
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    while (!it.hasNext) {
+      if (!inner.next()) return false
+      it = inner.get().rowIterator()
+    }
+    cur = it.next()
+    true
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
+}
+
+/** Drops the rows whose generated row index (the appended last column)
+  * is in the sorted DV position set, then projects the row-index column
+  * back off — the position-delete read filter, applied before the row
+  * ever leaves the scan. */
+private final class DvFilteringReader(
+    inner: PartitionReader[InternalRow],
+    positions: Array[Long],
+    required: StructType)
+  extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+  private val idxCol = required.length
+  private val proj = UnsafeProjection.create(
+    required.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      BoundReference(i, f.dataType, f.nullable) })
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val r = inner.get()
+      if (java.util.Arrays.binarySearch(positions, r.getLong(idxCol)) < 0) {
+        cur = proj(r)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
 }

@@ -240,11 +240,13 @@ final class GraftTableV2(
   private[sql] def spark0: SparkSession = spark
 
   /** Native-batch eligibility + static prune: Some((files, physical
-    * schema)) when the pinned snapshot passes the strict prover
+    * schema, live DV sidecars by normalized target path)) when the
+    * pinned snapshot passes the strict prover
     * ([[graft.lake.LakeTable.nativeScanFiles]]) — with the pushed
     * predicate already applied to the file list. */
-  private[sql] def nativeScanPlan(
-      pred: Option[Column]): Option[(Seq[graft.lake.FileAdd], StructType)] =
+  private[sql] def nativeScanPlan(pred: Option[Column]): Option[(
+      Seq[graft.lake.FileAdd], StructType,
+      Map[String, Seq[graft.lake.FileAdd]])] =
     // `_ro` with pending deltas would need a base-only variant of the
     // prover; the V1 path already expresses base-only correctly, and on
     // the compacted state (where _ro = snapshot) the prover passes anyway
@@ -252,7 +254,9 @@ final class GraftTableV2(
     else lake.nativeScanFiles(pinned).map { files =>
       val pruned = pred.flatMap(c => lake.resolvePredicate(c, pinned))
         .map(p => lake.pruneFilesFor(files, p, pinned)).getOrElse(files)
-      (pruned, lake.tableSchema(pinned))
+      val dvs = lake.log.liveDvs(pinned)
+        .groupBy(d => graft.lake.DvCodec.normPath(d.target))
+      (pruned, lake.tableSchema(pinned), dvs)
     }
 
   // ---- write -----------------------------------------------------------
@@ -643,9 +647,9 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
       val nativeOk = table.spark0.conf
         .getOption("spark.graft.nativeScan.enabled").forall(_.toBoolean)
       (if (nativeOk) table.nativeScanPlan(pred) else None) match {
-        case Some((files, physical)) =>
+        case Some((files, physical, dvByTarget)) =>
           new GraftBatchScan(table.spark0, table, required, pushed,
-            physical, files)
+            physical, files, dvByTarget)
         case None => new V1Scan {
           override def readSchema(): StructType = required
 

@@ -148,17 +148,44 @@ class DeletionVectorSpec extends AnyFunSuite {
       Set((2L, "delete"), (3L, "delete")))
   }
 
-  test("guards: MoR refuses, manifest export refuses, native scan refuses") {
+  test("guards: MoR refuses; manifest exports deletes; native scan stays eligible") {
+    import org.apache.spark.sql.functions.col
     val mor = LakeTable(spark, LakeTableConfig(freshRoot(),
       keyCols = Seq("pk"), precombineCol = "ts", storageType = "mor"))
     mor.bulkInsert(df((1L, 1, "a", 0)))
     intercept[IllegalArgumentException](mor.deleteDv(keysOf(1L)))
     val t = mk()
     t.deleteDv(keysOf(2L))
-    val e = intercept[IllegalArgumentException](t.exportManifest())
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
-    assert(t.nativeScanFiles(None).isEmpty,
-      "a bare parquet union cannot apply DVs")
+    // a DV'd snapshot exports: the file list PLUS the position-deletes
+    // parquet an external engine anti-joins away (r14) — the old refusal
+    // is gone
+    val id = t.exportManifest()
+    val deletes = spark.read.parquet(
+      s"${t.config.root}/_manifests/latest_deletes.parquet")
+    assert(deletes.columns.toSeq ==
+      Seq("file_path", "link_name", "row_index"))
+    assert(deletes.count() == 1L, "one DV'd position exported")
+    // external-read emulation: manifest file list minus the exported
+    // positions must equal the engine's own snapshot read
+    val listed = scala.io.Source.fromFile(
+      s"${t.config.root}/_manifests/manifest-${"%08d".format(id)}.txt")
+      .getLines().toSeq
+    val raw = spark.read.parquet(listed: _*)
+      .select(col("pk"),
+        graft.lake.DvCodec.normPathCol(col("_metadata.file_path"))
+          .as("__f"),
+        col("_metadata.row_index").as("__p"))
+    val ext = raw.join(deletes,
+        raw("__f") === graft.lake.DvCodec.normPathCol(deletes("file_path")) &&
+          raw("__p") === deletes("row_index"),
+        "left_anti")
+      .select("pk").collect().map(_.getLong(0)).toSet
+    assert(ext == t.read().select("pk").collect().map(_.getLong(0)).toSet)
+    // live DVs do NOT demote the native batch path anymore: the scan
+    // applies position sidecars per-file (NativeScanSpec pins the
+    // end-to-end read); only the prover's other conditions still gate it
+    assert(t.nativeScanFiles(None).nonEmpty,
+      "live DVs must not cost the snapshot its native scan eligibility")
   }
 
   test("SQL surface: deleteMode='dv' routes DELETE FROM through sidecars") {

@@ -281,4 +281,71 @@ class NativeScanSpec extends AnyFunSuite {
     val got = spark.sql(q).collect()
     assert(got.length == 120 && got.forall(_.getString(2) == "gold"))
   }
+
+  test("deletion vectors ride the native scan: anti-filtered rows, V1 parity") {
+    wh
+    spark.sql("""CREATE TABLE g.db.natdv (pk BIGINT, ts INT, v STRING, part INT)
+                 USING graft PARTITIONED BY (part)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+                                deleteMode='dv')""")
+    val vals = (1 to 200)
+      .map(i => s"($i, 0, 'v$i', ${i % 4})").mkString(", ")
+    spark.sql(s"INSERT INTO g.db.natdv VALUES $vals")
+    val firstWave = (1 to 200).filter(_ % 10 == 3)
+    spark.sql(
+      s"DELETE FROM g.db.natdv WHERE pk IN (${firstWave.mkString(", ")})")
+    // second DV commit STACKING on the same target files
+    spark.sql("DELETE FROM g.db.natdv WHERE pk IN (4, 44, 104)")
+
+    val survivors = (1 to 200)
+      .filterNot(i => i % 10 == 3 || Set(4, 44, 104)(i))
+    val q = "SELECT pk, v FROM g.db.natdv ORDER BY pk"
+    val native = rows(q)
+    assert(batchScans(executed(q)).nonEmpty,
+      "a DV'd CoW snapshot must still plan the native batch scan")
+    assert(native.map(_.head) == survivors.map(_.toLong),
+      "native scan must anti-filter exactly the stacked DV positions")
+    // the V1 fallback path agrees row-for-row
+    spark.conf.set("spark.graft.nativeScan.enabled", "false")
+    try assert(rows(q) == native)
+    finally spark.conf.unset("spark.graft.nativeScan.enabled")
+
+    // filter + projection through the DV'd native scan (pushed filters
+    // and the position anti-filter compose)
+    assert(rows("SELECT pk FROM g.db.natdv WHERE part = 1 ORDER BY pk") ==
+      survivors.filter(_ % 4 == 1).map(i => Seq(i.toLong)))
+    // empty projection (count) — the DV delegate reads only row indexes
+    assert(rows("SELECT count(*) AS n FROM g.db.natdv") ==
+      Seq(Seq(survivors.size.toLong)))
+    // time travel to the pre-delete pin applies NO DV
+    assert(rows("SELECT count(*) AS n FROM g.db.natdv VERSION AS OF 0") ==
+      Seq(Seq(200L)))
+    // planner row estimate subtracts the DV'd positions exactly
+    val scan = batchScans(executed(q)).head
+    assert(scan.estimateStatistics().numRows().getAsLong ==
+      survivors.size.toLong,
+      "numRows must subtract live DV positions")
+  }
+
+  test("DV'd partitions keep the storage-partitioned (keyed) plan") {
+    wh
+    spark.sql("""CREATE TABLE g.db.natdvk (pk BIGINT, ts INT, amt INT, region STRING)
+                 USING graft PARTITIONED BY (region)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+                                deleteMode='dv')""")
+    val vals = (1 to 90).map(i => s"($i, 0, ${i * 2}, 'r${i % 3}')").mkString(", ")
+    spark.sql(s"INSERT INTO g.db.natdvk VALUES $vals")
+    spark.sql("DELETE FROM g.db.natdvk WHERE pk IN (7, 8, 9)")
+
+    // a group-by on the partition column still aggregates shuffle-free
+    // over the keyed plan — DV'd splits are keyed partitions too
+    val q = """SELECT region, sum(amt) AS s FROM g.db.natdvk
+               GROUP BY region ORDER BY region"""
+    val plan = executed(q)
+    assert(batchScans(plan).nonEmpty, "keyed DV'd scan not planned")
+    val expected = (1 to 90).filterNot(Set(7, 8, 9))
+      .groupBy(i => s"r${i % 3}").toSeq.sortBy(_._1)
+      .map { case (r, is) => Seq(r, is.map(_.toLong * 2).sum) }
+    assert(rows(q) == expected)
+  }
 }
