@@ -226,8 +226,25 @@ final case class LakeTableConfig(
       * merge-backed keyed rewrite) or "dv" ([[LakeTable.updateDvWhere]]:
       * position sidecars + new version files, O(changed rows) written).
       * Ignored on MoR. */
-    updateMode: String = "rewrite") {
+    updateMode: String = "rewrite",
+    /** VARIANT / JSON shredding (the Parquet variant-shredding and
+      * Iceberg v3 role, re-expressed on the commit log): entries
+      * `column:$.json.path:type` (e.g. `ev:$.user.id:bigint`). Every
+      * data write MATERIALIZES each entry as a typed shadow column
+      * (`_shred_<hash>`) in the physical files — invisible to readers,
+      * whose explicit-schema scans never select it — and records its
+      * per-file min/max in the commit log beside the statsCols. A
+      * `read(pruneBy)` predicate over the SAME extraction expression
+      * (`variant_get(col, path, type)` on a VARIANT column;
+      * `get_json_object(col, path)` [cast] on a JSON string column)
+      * then skips files before the scan is planned: at 100 TB, a
+      * needle-in-the-JSON predicate must not decode every row's
+      * variant. Entries are ALTER-able; files written before an entry
+      * existed simply carry no stat and are conservatively kept. */
+    shredPaths: Seq[String] = Seq.empty) {
   require(occRetries >= 0, s"occRetries must be >= 0, got $occRetries")
+  /** parsed shred entries; fails loud on a malformed entry */
+  val shredSpecs: Seq[ShredSpec] = shredPaths.map(ShredSpec.parse)
   require(deleteMode == "rewrite" || deleteMode == "dv",
     s"deleteMode must be rewrite|dv, got $deleteMode")
   require(updateMode == "rewrite" || updateMode == "dv",
@@ -4359,10 +4376,16 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     */
   private def pruneByColStats(
       files: Seq[FileAdd],
-      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      pred0: org.apache.spark.sql.catalyst.expressions.Expression,
       asOf: Option[Long] = None): Seq[FileAdd] = {
-    if (config.statsCols.isEmpty) files
+    if (config.statsCols.isEmpty && config.shredSpecs.isEmpty) files
     else {
+      // shredding: extraction sub-expressions over configured
+      // (column, path, type) entries rewrite to their shadow attribute —
+      // whose per-file bounds the commit log records like any statsCol —
+      // BEFORE the comparator sees the predicate. The rewritten form is
+      // never executed; unmatched shapes pass through untouched.
+      val pred = ShredSpec.rewritePred(pred0, config.shredSpecs)
       // literal casts depend only on (expression, column type) — memoize
       // across the per-file loop, or an IN-list over a 100k-file snapshot
       // pays O(files x literals) driver-side catalyst evals
@@ -4377,7 +4400,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       // (which may have renamed them since) would silently lose all
       // skipping — correct but fully unpruned.
       val jsonOf = pathSchemaJson(asOf)
-      val tbl = tableSchema(asOf)
+      // shadow fields appended so the comparator resolves rewritten
+      // `_shred_*` attributes; they carry no column id and recorded file
+      // schemas never contain them, so the per-file resolution falls to
+      // (shadow name, configured type) — exactly where the write path
+      // recorded the stat
+      val tbl = StructType(tableSchema(asOf).fields ++
+        config.shredSpecs.map(s =>
+          org.apache.spark.sql.types.StructField(s.name, s.dt)))
       val schemaCache = scala.collection.mutable.HashMap.empty[String, StructType]
       def schemaFor(f: FileAdd): Option[StructType] =
         jsonOf.get(f.path).map(j => schemaCache.getOrElseUpdate(j, parseSchema(j)))
@@ -4691,8 +4721,12 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // read time. The clustered frame is persisted because range
     // partitioning runs a sampling pass over its child first: without it
     // the (possibly expensive) merge plan executes twice per commit.
-    // CHECK constraints ride the same scan that writes the files
-    val guarded = withChecks(df)
+    // CHECK constraints ride the same scan that writes the files;
+    // shredding shadow columns ([[LakeTableConfig.shredPaths]]) ride it
+    // too — typed extractions materialized per row, codegen'd, invisible
+    // to readers (the recorded commit schema is `evolved`, computed
+    // BEFORE the append)
+    val guarded = ShredSpec.appendShadows(withChecks(df), config.shredSpecs)
     val mat = if (kind == "delta") guarded else guarded.persist()
     // user clusterCols (if configured) override the record key as the
     // intra-partition clustering order — see LakeTableConfig.clusterCols
@@ -5112,7 +5146,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     else {
       val sc = spark.sparkContext
       val conf = new SerializableHadoopConf(hconf)
-      val cols = config.statsCols
+      // shredding shadows record min/max beside the statsCols — same
+      // footer pass, same commit-log slots, same pruning machinery
+      val cols = config.statsCols ++ config.shredSpecs.map(_.name)
       val strs = paths.map(_.toString)
       sc.parallelize(strs, math.max(1, math.min(strs.size, sc.defaultParallelism)))
         .map(s => s -> fileStats(new Path(s), conf.value, cols))

@@ -61,7 +61,10 @@ final case class TableDescriptor(
       * ([[LakeTableConfig.deleteMode]]); null-safe via config() */
     deleteMode: String = "rewrite",
     /** SQL UPDATE execution mode ([[LakeTableConfig.updateMode]]) */
-    updateMode: String = "rewrite") {
+    updateMode: String = "rewrite",
+    /** VARIANT/JSON shredding entries ([[LakeTableConfig.shredPaths]]);
+      * null-safe via config() for pre-upgrade JSONs */
+    shredPaths: Seq[String] = Seq.empty) {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
@@ -76,7 +79,8 @@ final case class TableDescriptor(
     archiveOnClean = archiveOnClean,
     occRetries = occRetries,
     deleteMode = Option(deleteMode).getOrElse("rewrite"),
-    updateMode = Option(updateMode).getOrElse("rewrite"))
+    updateMode = Option(updateMode).getOrElse("rewrite"),
+    shredPaths = Option(shredPaths).getOrElse(Seq.empty))
 }
 
 object TableDescriptor {
@@ -94,7 +98,7 @@ object TableDescriptor {
       cfg.bloomCols, cfg.sumCols, cfg.checks,
       cfg.checkMode, schemaJson, cfg.partitionTransforms, cfg.checkpointEvery,
       cfg.priorPartitionSpecs, cfg.archiveOnClean, cfg.occRetries,
-      cfg.deleteMode, cfg.updateMode)
+      cfg.deleteMode, cfg.updateMode, cfg.shredPaths)
 
   def exists(root: String, hconf: Configuration): Boolean = {
     val p = file(root)

@@ -406,6 +406,37 @@ object Lake {
       t
     })
 
+  /** Variant-shredding fixture (r14): events re-shaped into a nested
+    * VARIANT column `ev` = parse_json of `{"uid": user_id, "meta":
+    * {"ty": event_type, "score": value}}`, stored in a lake table with
+    * `shredPaths = ev:$.uid:bigint; ev:$.meta.score:double` and
+    * clustered by the plain `uid` column — so the materialized `$.uid`
+    * shadow has DISJOINT per-file ranges and a `variant_get(ev,
+    * '$.uid')` predicate skips files before any variant byte decodes
+    * (the Parquet variant-shredding / Iceberg v3 role; ShredFileSkipSpec
+    * pins the file-count drop, this fixture's query pins semantics). */
+  private[graft] def shredTable(s: SparkSession, d: String): LakeTable =
+    cache.computeIfAbsent(s"$d:shred", _ => {
+      val root = s"/tmp/graft_lake/shred_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val t = LakeTable(s, LakeTableConfig(
+        root, keyCols = Seq("event_id"), precombineCol = "update_ts",
+        clusterCols = Seq("uid"),
+        shredPaths = Seq("ev:$.uid:bigint", "ev:$.meta.score:double")))
+      val ev = T.events(s, d)
+        .select(col("event_id"),
+          col("user_id").as("uid"),
+          parse_json(to_json(struct(
+            col("user_id").as("uid"),
+            struct(col("event_type").as("ty"), col("value").as("score"))
+              .as("meta")))).as("ev"),
+          lit(0).as("update_ts"))
+      t.bulkInsert(ev)
+      t
+    })
+
   /** Checkpoint fixture over `nation`: bulk insert (c0) then 8
     * single-slice upserts (c1..c8) under `checkpointEvery = 3`, so the
     * log holds checkpoints at c2/c5/c8 and the LATEST snapshot resolves
@@ -1216,6 +1247,23 @@ object Lake {
           WHERE d.link_name = regexp_extract(r.filename, '[^/]+$', 0)
             AND d.row_index = r.file_row_number)
         ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- variant shredding: file skipping on a JSON-path predicate -----
+    // the pruneBy predicate extracts $.uid from the VARIANT column; the
+    // commit log's materialized shadow stats skip the files whose uid
+    // range provably cannot match (ShredFileSkipSpec pins the skip), and
+    // the surviving rows' $.meta.score decodes only for survivors —
+    // row-exact vs DuckDB recomputing from the raw events table
+    GQuery("lake_variant_shred",
+      (s, d) => {
+        val t = shredTable(s, d)
+        t.read(variant_get(col("ev"), "$.uid", "bigint") < 40)
+          .select(col("event_id"), col("uid"),
+            variant_get(col("ev"), "$.meta.score", "double").as("score"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id AS uid, "value" AS score
+        FROM events WHERE user_id < 40 ORDER BY event_id""")),
 
     // ---- partition-spec evolution: scan spans two specs ----------------
     // months-spec files (Jan–Feb) and days-spec files (Mar–Apr) answer

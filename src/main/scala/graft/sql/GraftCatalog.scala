@@ -349,6 +349,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       bloomKeys = prop("bloomKeys").map(_.toInt).getOrElse(0),
       bloomCols = csv("bloomCols"),
       sumCols = csv("sumCols"),
+      // ';'-separated (entries contain ':' and JSON-path dots):
+      // col:$.path:type — validated by ShredSpec.parse inside the config
+      shredPaths = prop("shredPaths").map(_.split(";").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
       checks = checks,
       checkMode = {
         // validate HERE, not first at read time: an unvalidated persisted
@@ -545,7 +549,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     "compactEvery", "checkpointEvery", "archiveOnClean", "occRetries",
     "deleteMode", "updateMode", "bloomKeys",
     "bloomCols", "sumCols", "statsCols", "clusterCols", "zOrder", "checks",
-    "checkMode",
+    "checkMode", "shredPaths",
     // NOT layout identity: setting it is partition-spec EVOLUTION
     // (future writes only; per-file spec ids keep old files readable —
     // LakeTable.evolvePartitionSpec), the one sanctioned layout change
@@ -578,6 +582,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "zOrder" => d.copy(zOrder = s.value.toBoolean)
           case "checks" => d.copy(checks = parseChecksProp(s.value))
           case "checkMode" => d.copy(checkMode = s.value)
+          case "shredPaths" => d.copy(shredPaths =
+            s.value.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
           case "partitionTransforms" =>
             // spec evolution routes through the engine API (validation,
             // prior-spec bookkeeping, persist); merge ONLY the spec
@@ -606,6 +612,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "zOrder" => d.copy(zOrder = false)
           case "checks" => d.copy(checks = Map.empty)
           case "checkMode" => d.copy(checkMode = "fail")
+          case "shredPaths" => d.copy(shredPaths = Seq.empty)
           case "partitionTransforms" =>
             // unset = evolve back to the identity spec (future writes).
             // Already-identity specs are a no-op, not an error — every
@@ -635,7 +642,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           .asInstanceOf[StructType]).getOrElse(new StructType())
     (next.statsCols ++ next.clusterCols ++
         Option(next.bloomCols).getOrElse(Seq.empty) ++
-        Option(next.sumCols).getOrElse(Seq.empty)).foreach(c =>
+        Option(next.sumCols).getOrElse(Seq.empty) ++
+        Option(next.shredPaths).getOrElse(Seq.empty)
+          .map(e => graft.lake.ShredSpec.parse(e).column)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"declared column '$c' is not in the table schema"))
     next.config(root)
@@ -699,7 +708,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // no-resurrect drop — the same laws as the top level.
       import graft.lake.SchemaEvo
       val pinned = (descNow.keyCols ++ descNow.partitionCols ++
-        descNow.statsCols ++ descNow.clusterCols :+ descNow.precombineCol).toSet
+        descNow.statsCols ++ descNow.clusterCols ++
+        Option(descNow.shredPaths).getOrElse(Seq.empty)
+          .map(e => graft.lake.ShredSpec.parse(e).column) :+
+        descNow.precombineCol).toSet
       def guard(path: Seq[String]): Unit = {
         require(!SchemaEvo.isInternal(path.head) && !pinned.contains(path.head),
           s"column '${path.head}' is pinned by the table configuration")
