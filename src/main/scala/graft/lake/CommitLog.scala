@@ -31,7 +31,17 @@ final case class Commit(
       * e.g. the source commit a materialized aggregate's refresh merge
       * applied. Jackson yields null for pre-upgrade JSONs — read via
       * [[Commit.metadata]]. */
-    meta: Map[String, String] = Map.empty) {
+    meta: Map[String, String] = Map.empty,
+    /** multi-table transaction id ([[GraftTxn]]) — set on commits staged
+      * by a transaction, null on ordinary commits (and every pre-upgrade
+      * JSON). A staged commit file (`<id>.json.txn`) is INVISIBLE to
+      * every resolution until the transaction's coordinator decision
+      * commits it, at which point the sweep renames it into the live
+      * listing at its original id. */
+    txn: String = null,
+    /** coordinator directory holding this transaction's decision marker
+      * — recorded IN the commit so any process can resolve it */
+    txnCoord: String = null) {
   /** null-safe accessor for commit JSONs written before `meta` existed */
   def metadata: Map[String, String] = Option(meta).getOrElse(Map.empty)
 }
@@ -263,13 +273,136 @@ final class CommitLog(root: String, hadoopConf: Configuration,
 
   def exists: Boolean = fs.exists(logDir) && listIds.nonEmpty
 
-  private def listIds: Seq[Long] =
-    if (!fs.exists(logDir)) Seq.empty
-    else fs.listStatus(logDir).toSeq
-      .map(_.getPath.getName)
+  private def listIds: Seq[Long] = {
+    if (!fs.exists(logDir)) return Seq.empty
+    var names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    // staged transaction commits are RARE: the name scan below is free
+    // on the listing we already paid for, and the sweep (coordinator
+    // check + rename/retire) runs only while a transaction is in flight
+    if (names.exists(_.endsWith(".json.txn")) && sweepStaged(names))
+      names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    names
       .filter(_.matches("\\d{8,}\\.json")) // %08d emits 9+ digits past 10^8 — keep them visible
       .map(_.stripSuffix(".json").toLong)
       .sorted
+  }
+
+  // ---- multi-table transactions (GraftTxn): staged commits ------------
+  // A transactional write stages its commit as `<id>.json.txn` — the id
+  // is ALLOCATED (nextId counts it, OCC treats it as intervening) but
+  // the commit is invisible to every resolution until the transaction's
+  // single coordinator decision marker commits it; then any process's
+  // next listing renames it into the live sequence at its original id
+  // (commit → atomic; abort → the id retires like a rollback). Ids
+  // assigned at stage time keep tails/CDF ordering sound: the tailable
+  // head is capped below the first staged id so no consumer can pass an
+  // undecided commit and later miss it.
+
+  /** When set, [[append]] STAGES commits for this (txnId, coordinator
+    * dir) instead of publishing them — [[GraftTxn]]'s enlistment hook. */
+  @volatile private[graft] var staging: Option[(String, String)] = None
+
+  private def stagedPath(id: Long) =
+    new Path(logDir, f"$id%08d.json.txn")
+
+  /** ids of staged (undecided) transaction commits */
+  private[graft] def stagedIds: Seq[Long] =
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{8,}\\.json\\.txn"))
+      .map(_.stripSuffix(".json.txn").toLong).sorted
+
+  /** the staged commits themselves (OCC rebase needs their partitions).
+    * NOT memoized in `parsed`: a staged id only becomes immutable once
+    * decided — an aborted id retires and its JSON vanishes. */
+  private[graft] def stagedCommits: Seq[Commit] =
+    stagedIds.flatMap { id =>
+      scala.util.Try {
+        val in: java.io.InputStream = fs.open(stagedPath(id))
+        try mapper.readValue(in, classOf[Commit]) finally in.close()
+      }.toOption
+    }
+
+  /** smallest staged id, if any — every forward-progress boundary
+    * (checkpoint, archive, clean cutoff, tailable head) caps below it */
+  private[graft] def stagedFloor: Option[Long] = stagedIds.headOption
+
+  /** the highest commit id incremental consumers (tails, CDF) may serve:
+    * the head, capped below any undecided staged commit so a commit can
+    * never materialize BEHIND an already-served offset */
+  def tailableHead: Option[Long] = {
+    val l = latestId
+    stagedFloor match {
+      case Some(f) => l.map(math.min(_, f - 1)).filter(_ >= 0)
+      case None => l
+    }
+  }
+
+  /** decided transactions never change — memoize across the process */
+  private val txnDecided =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** "commit" / "abort" when the coordinator decided; None while open */
+  private[graft] def txnDecision(coord: String, txnId: String): Option[String] =
+    txnDecided.get(txnId).orElse {
+      val p = new Path(coord, s"$txnId.decision")
+      val d = scala.util.Try {
+        if (!p.getFileSystem(hadoopConf).exists(p)) None
+        else {
+          val in: java.io.InputStream = p.getFileSystem(hadoopConf).open(p)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+          finally in.close()
+        }
+      }.toOption.flatten
+      d.foreach(txnDecided.put(txnId, _))
+      d
+    }
+
+  /** materialize / retire every DECIDED staged commit; true if anything
+    * moved (callers re-list). Concurrent sweepers are benign: renames of
+    * the same immutable content arbitrate by existence, retire markers
+    * are idempotent creates. */
+  private def sweepStaged(names: Seq[String]): Boolean = {
+    var moved = false
+    names.filter(_.matches("\\d{8,}\\.json\\.txn")).foreach { n =>
+      val id = n.stripSuffix(".json.txn").toLong
+      val sp = new Path(logDir, n)
+      val c = scala.util.Try {
+        val in: java.io.InputStream = fs.open(sp)
+        try mapper.readValue(in, classOf[Commit]) finally in.close()
+      }.toOption
+      c.flatMap(cm => Option(cm.txn).zip(Option(cm.txnCoord))).foreach {
+        case (txnId, coord) =>
+          txnDecision(coord, txnId) match {
+            case Some("commit") =>
+              // rename into the live sequence at the staged id; a racing
+              // sweeper already materializing it is our success too
+              // (same content, same id) — but a failed rename WITHOUT
+              // the destination present is transient: leave the staged
+              // file for the next sweep rather than drop a decided commit
+              if (!fs.rename(sp, commitPath(id))) {
+                if (fs.exists(commitPath(id))) {
+                  scala.util.Try(fs.delete(sp, false)); ()
+                }
+              }
+              moved = true
+            case Some(_) =>
+              // aborted: retire the id like a rollback (never reused),
+              // THEN drop the staged file; data files age out via vacuum.
+              // Skip the retire marker if a LIVE commit occupies the id
+              // (the crashed-yield window) — marking a live id rolled
+              // would confuse rollback bookkeeping.
+              if (!fs.exists(commitPath(id)))
+                scala.util.Try(fs.create(
+                  new Path(logDir, f"rolled-$id%08d"), false).close())
+              scala.util.Try(fs.delete(sp, false))
+              moved = true
+            case None => () // still open
+          }
+      }
+    }
+    moved
+  }
 
   def latestId: Option[Long] = listIds.lastOption
 
@@ -284,7 +417,9 @@ final class CommitLog(root: String, hadoopConf: Configuration,
       .map(_.stripPrefix("rolled-").toLong)
 
   def nextId: Long =
-    (listIds ++ rolledIds :+ archiveUpTo).max.max(-1L) + 1
+    // staged transaction ids are allocated: a parallel writer must not
+    // land on one (the materialization rename targets that id)
+    (listIds ++ rolledIds ++ stagedIds :+ archiveUpTo).max.max(-1L) + 1
 
   // commit JSONs are immutable once renamed into place, so parsed commits
   // memoize forever — snapshot resolution re-lists the directory (cheap)
@@ -358,12 +493,22 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     * the two is visible by publish time). Every interleaving lands in
     * one of the two guards: one winner, one clean failure.
     */
-  def append(c: Commit, basedOnLatest: Long = Unchecked): Unit = {
+  def append(c: Commit, basedOnLatest: Long = Unchecked,
+      knownStaged: Set[Long] = Set.empty): Unit = {
     // a retired (rolled-back) id must NEVER be reused, even though its
     // JSON path is free again: other CommitLog instances memoize commit
     // JSONs forever per id, and a rollback interleaved between two
     // writers' id resolutions would otherwise let a stale writer land on
     // the retired id with the head check still passing
+    // transaction staging limit FIRST (clearest error): within-txn
+    // read-your-writes is out of scope, so stage exactly one per-table
+    // net effect — a second write would merge from a snapshot that
+    // cannot see the first
+    staging.foreach { case (txnId, _) =>
+      require(stagedCommits.forall(_.txn != txnId),
+        s"transaction $txnId already staged a commit on this table — " +
+          "one write per table per transaction")
+    }
     if (rolledIds.contains(c.id))
       throw new CommitConflict(
         s"commit id ${c.id} was retired by a rollback — resolve a fresh id")
@@ -382,12 +527,46 @@ final class CommitLog(root: String, hadoopConf: Configuration,
           s"stale write: commit $head landed after the snapshot this write " +
             s"merged from (based on ${if (basedOnLatest == EmptyTable) "empty table"
               else s"commit $basedOnLatest"}) — retry from the current snapshot")
+      // a STAGED transaction commit above the observed head is an
+      // intervening write this merge did not see: if the transaction
+      // later commits, both outputs fold — a lost update unless the two
+      // are partition-disjoint. Conflict here; the rebase path inspects
+      // the staged commit's partitions and passes the ids it proved
+      // disjoint back as `knownStaged`.
+      val blocking = stagedIds.filter(i =>
+        i > basedOnLatest && i != c.id && !knownStaged.contains(i))
+      if (blocking.nonEmpty)
+        throw new CommitConflict(
+          s"pending transaction commit(s) ${blocking.mkString(", ")} are " +
+            "staged above the snapshot this write merged from — retry " +
+            "after the transaction decides (or rebase if disjoint)")
     }
     fs.mkdirs(logDir)
+    val staged = staging
+    val toWrite = staged match {
+      case Some((txnId, coord)) => c.copy(txn = txnId, txnCoord = coord)
+      case None => c
+    }
+    // same-id arbitration across the TWO publish targets (`<id>.json`
+    // vs `<id>.json.txn` — publishAtomic only arbitrates one path):
+    // the staged side always YIELDS to a live commit at the same id.
+    // Pre-checks catch the already-published cases; the staged side's
+    // post-publish re-check catches the symmetric race (both published
+    // before either saw the other). A staged append only reports
+    // success after that re-check, so a decided transaction can never
+    // hold an id a live commit occupies.
+    if (staged.isDefined && fs.exists(commitPath(c.id)))
+      throw new CommitConflict(
+        s"commit id ${c.id} was taken by a live writer — resolve a fresh id")
+    if (staged.isEmpty && fs.exists(stagedPath(c.id)))
+      throw new CommitConflict(
+        s"commit id ${c.id} is held by a staged transaction commit — " +
+          "resolve a fresh id")
     val tmp = new Path(logDir, s".tmp-${c.id}-${System.nanoTime()}")
     val out = fs.create(tmp, false)
-    try out.write(mapper.writeValueAsBytes(c)) finally out.close()
-    val dst = commitPath(c.id)
+    try out.write(mapper.writeValueAsBytes(toWrite)) finally out.close()
+    val dst =
+      if (staged.isDefined) stagedPath(c.id) else commitPath(c.id)
     val published =
       try store.publishAtomic(fs, tmp, dst)
       // best-effort tmp cleanup: a rename-based publish already moved
@@ -397,6 +576,14 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     if (!published)
       throw new CommitConflict(
         s"commit ${c.id} already exists (concurrent writer?)")
+    if (staged.isDefined) {
+      if (fs.exists(commitPath(c.id))) { // lost the cross-path race: yield
+        scala.util.Try(fs.delete(stagedPath(c.id), false))
+        throw new CommitConflict(
+          s"commit id ${c.id} was taken by a live writer — resolve a fresh id")
+      }
+      return // staged: invisible until the coordinator decides
+    }
     maybeCheckpoint()
   }
 
@@ -513,15 +700,22 @@ final class CommitLog(root: String, hadoopConf: Configuration,
       val ids = listIds
       if (ids.nonEmpty) {
         val last = ckptIds.lastOption.getOrElse(-1L)
-        if (ids.count(_ > last) >= checkpointEvery) writeCheckpoint(ids.last)
+        // never checkpoint ACROSS a staged transaction commit: a live
+        // set baked above an undecided id would silently skip it when
+        // it later materializes (resolution trusts the checkpoint)
+        val at = stagedFloor.map(f => math.min(ids.last, f - 1))
+          .getOrElse(ids.last)
+        if (at > last && ids.count(_ > last) >= checkpointEvery)
+          writeCheckpoint(ids.filter(_ <= at).last)
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** materialize a checkpoint at the current head regardless of the
     * interval (the `CALL graft.system.checkpoint` surface); returns the
-    * checkpointed id, None on an empty timeline */
+    * checkpointed id, None on an empty timeline. Capped below any
+    * staged transaction commit (same rule as [[maybeCheckpoint]]). */
   def forceCheckpoint(): Option[Long] =
-    latestId.map { id => writeCheckpoint(id); id }
+    tailableHead.map { id => writeCheckpoint(id); id }
 
   private def writeCheckpoint(at: Long): Unit = {
     val dst = ckptPath(at)
@@ -650,7 +844,11 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     val ids = listIds
     if (ids.size <= 1) return 0
     val pinFloor = pins.minOption.map(_ - 1).getOrElse(Long.MaxValue)
-    val horizon = math.min(math.min(cleanedUpTo - 1, pinFloor), ids.last - 1)
+    // the archive boundary's checkpoint must not bake across a staged
+    // transaction commit (same rule as maybeCheckpoint)
+    val txnFloor = stagedFloor.map(_ - 1).getOrElse(Long.MaxValue)
+    val horizon = math.min(math.min(math.min(cleanedUpTo - 1, pinFloor),
+      ids.last - 1), txnFloor)
     val eligible = ids.filter(_ <= horizon)
     if (eligible.isEmpty) return 0
     val boundary = eligible.last
@@ -880,8 +1078,13 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     val ids = listIds
     if (ids.size <= retain) return
     // oldest id that stays travelable: files superseded at or before it
-    // are unreferenced by every retained snapshot
-    val cutoff = ids(ids.size - retain)
+    // are unreferenced by every retained snapshot. Capped below any
+    // staged transaction commit: the clean horizon gates archival and
+    // manifest validity, and a commit must never materialize UNDER it.
+    val cutoff0 = ids(ids.size - retain)
+    val cutoff = stagedFloor.map(f => math.min(cutoff0, f - 1))
+      .getOrElse(cutoff0)
+    if (cutoff < 0 || cutoff < cleanedUpTo) return
     val pinned: Set[String] = pins.filter(_ <= cutoff)
       .flatMap(s => liveFilesAll(Some(s)).map(_.path)).toSet
     val removedEarly = commits.filter(_.id <= cutoff).flatMap(_.removes)

@@ -1491,6 +1491,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     Seq(from, to).foreach(id =>
       require(id >= log.cleanedUpTo || log.pins.contains(id),
         s"commit $id was cleaned (retained from ${log.cleanedUpTo})"))
+    // an undecided transaction commit inside the window would later
+    // materialize at an id this feed already emitted around — a CDF
+    // consumer applying the changes in served order would misorder it.
+    // Refuse loud; the consumer retries after the transaction decides.
+    log.stagedFloor.filter(_ <= to).foreach(f => require(f > to,
+      s"commit $f is an undecided transaction commit inside [$from, $to] " +
+        "— retry after the transaction decides"))
     val newSnap = readSnapshot(Some(to))
     val oldSnap = readSnapshot(Some(from))
     val keyed = dedupCols
@@ -2790,6 +2797,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     }
     val referenced = log.commitsAll.flatMap(_.adds)
       .flatMap(a => commitDirOf(a.path)).toSet ++
+      // staged (undecided) transaction commits reference their dirs too:
+      // vacuum must not destroy a transaction that may still commit
+      log.stagedCommits.flatMap(_.adds).flatMap(a => commitDirOf(a.path)) ++
       // the catalog-sync stub and empty-table placeholder are not commit
       // dirs but live under data/ — never sweep them
       Seq("_empty")
@@ -2822,6 +2832,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * back); rolling back the only commit drops it.
     */
   def rollback(): Option[Long] = {
+    require(log.stagedFloor.isEmpty,
+      "an undecided transaction has staged commits on this table — " +
+        "commit or abort it before rolling back")
     val r = log.rollbackLatest()
     r.foreach { _ => registeredSchema = ""; resync(); dropManifests() }
     r
@@ -2957,6 +2970,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * is re-registered once at the end.
     */
   def restoreTo(id: Long): Unit = {
+    require(log.stagedFloor.isEmpty,
+      "an undecided transaction has staged commits on this table — " +
+        "commit or abort it before restoring")
     require(log.commits.exists(_.id == id), s"no commit $id on the timeline")
     // pre-validate EVERY step before deleting anything: a failure mid-loop
     // would strand the table between the original head and the target,
@@ -3411,7 +3427,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * last non-delta commit.
     */
   private def maybeInlineCompact(): Unit =
-    if (config.compactEvery > 0) {
+    // never auto-compact from INSIDE a transaction: it would stage a
+    // second commit for the same table (one write per table per txn),
+    // and compaction of the visible state is better done after decide
+    if (config.compactEvery > 0 && log.staging.isEmpty) {
       val sinceBase = log.commits.reverse
         .takeWhile(c => DeltaOps.contains(c.op)).size
       if (sinceBase >= config.compactEvery) compact()
@@ -4652,7 +4671,11 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         * files (dv_update's position sidecars). Callers must pass
         * partitionScoped = false: the rebase path re-reads only the
         * commit's own parquet dir and would silently drop these. */
-      extraAdds: Seq[FileAdd] = Seq.empty): Long = {
+      extraAdds: Seq[FileAdd] = Seq.empty,
+      /** staged transaction commit ids the rebase path already proved
+        * partition-disjoint from this write (append() skips conflicting
+        * on them) */
+      knownStaged: Set[Long] = Set.empty): Long = {
     require(extraAdds.isEmpty || !partitionScoped,
       "extraAdds cannot ride a rebaseable (partitionScoped) commit")
     val expectedHead = basedOn.getOrElse(log.latestId.getOrElse(log.EmptyTable))
@@ -4790,7 +4813,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     try
       log.append(Commit(id, op, System.currentTimeMillis(), schemaJson,
         withBlooms ++ extraAdds, removes, commitMeta),
-        basedOnLatest = expectedHead)
+        basedOnLatest = expectedHead, knownStaged = knownStaged)
     catch {
       case e: CommitConflict =>
         rebaseOrAbort(e, dir, withBlooms, op, removes, kind, commitMeta,
@@ -4842,7 +4865,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val fs = dir.getFileSystem(hconf)
     if (!partitionScoped || attempt >= MaxRebase) return None
     val newHead = log.latestId.getOrElse(log.EmptyTable)
-    if (newHead <= expectedHead) return None // retired-id or odd state: abort
+    // staged (undecided) transaction commits above our snapshot are
+    // interveners too: under either eventual decision, folding both
+    // outputs is only sound when partition-disjoint — the same rule as
+    // visible interveners. Proven-disjoint staged ids pass back into
+    // append() as `knownStaged` so the re-publish doesn't re-conflict.
+    val stagedInterveners = log.stagedCommits.filter(_.id > expectedHead)
+    if (newHead <= expectedHead && stagedInterveners.isEmpty)
+      return None // retired-id or odd state: abort
     // removes resolve to partitions via the add that made the file live;
     // every removed path was live at expectedHead so its add is on the
     // timeline (including a clone's borrowed files). Resolve ONLY the
@@ -4851,7 +4881,9 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // commit that removed its file, and supersessions target recent
     // files, so this reads a handful of commit JSONs instead of
     // materializing path→partition for every file ever added
-    val interveners = log.commitsInRange(math.max(expectedHead, -1L), newHead)
+    val interveners =
+      log.commitsInRange(math.max(expectedHead, -1L), newHead) ++
+        stagedInterveners
     val needed = scala.collection.mutable.Set.empty[String]
     needed ++= removes
     interveners.foreach(needed ++= _.removes)
@@ -4874,6 +4906,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         for { a <- acc; t <- touched(c.adds, c.removes) } yield a ++ t }
     } yield (ours & theirs).isEmpty).getOrElse(false)
     if (!disjoint) return None
+    val provenStaged = stagedInterveners.map(_.id).toSet
     val newId = log.nextId
     // a write with no files (e.g. a whole-partition delete) rebases as a
     // pure metadata append — nothing to re-read or restamp
@@ -4888,7 +4921,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         val rebasedSchema = log.schemaJsonAsOf(Some(newHead))
           .getOrElse(schemaJson)
         log.append(Commit(newId, op, System.currentTimeMillis(), rebasedSchema,
-          Seq.empty, removes, commitMeta), basedOnLatest = newHead)
+          Seq.empty, removes, commitMeta), basedOnLatest = newHead,
+          knownStaged = provenStaged)
         resync()
         try { fs.delete(dir, true); () } catch { case scala.util.control.NonFatal(_) => () }
         return Some(newId)
@@ -4937,7 +4971,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       val cid = writeCommit(restamped, op, removes, Some(newId), kind,
         basedOn = Some(newHead), commitMeta = commitMeta,
         partitionScoped = true, stampsId = stampsId,
-        rebaseAttempt = attempt + 1)
+        rebaseAttempt = attempt + 1, knownStaged = provenStaged)
       // the failed attempt's directory is fully superseded only now (the
       // rebase write read from it)
       try { fs.delete(dir, true); () } catch { case scala.util.control.NonFatal(_) => () }

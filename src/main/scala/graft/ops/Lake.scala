@@ -437,6 +437,47 @@ object Lake {
       t
     })
 
+  /** Multi-table transaction fixture (r14, [[graft.lake.GraftTxn]]):
+    * a nation snapshot table and a per-region audit table, seeded
+    * independently, then ONE transaction that renames region 1's
+    * nations AND records the audited count — the two effects become
+    * visible through a single atomic coordinator decision (TxnSpec pins
+    * the protocol: staging invisibility, abort, crash-reap, OCC over
+    * staged commits; this fixture's query pins the committed outcome
+    * across BOTH tables against a closed-form oracle). */
+  private[graft] def txnTables(s: SparkSession, d: String)
+      : (LakeTable, LakeTable) = {
+    val dir = s"/tmp/graft_lake/txn_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val nat = cache.computeIfAbsent(s"$d:txnnat", _ => {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val ta = LakeTable(s, LakeTableConfig(s"$dir/nat",
+        keyCols = Seq("n_nationkey"), precombineCol = "update_ts",
+        partitionCols = Seq("n_regionkey")))
+      val tb = LakeTable(s, LakeTableConfig(s"$dir/aud",
+        keyCols = Seq("r_key"), precombineCol = "update_ts"))
+      val nation = T.nation(s, d)
+      ta.bulkInsert(nation.withColumn("update_ts", lit(0)))
+      tb.bulkInsert(nation.select(col("n_regionkey").as("r_key")).distinct()
+        .withColumn("audited", lit(0L)).withColumn("update_ts", lit(0)))
+      val txn = graft.lake.GraftTxn.begin(s, s"$dir/_txns")
+      txn.table(ta).upsert(nation.filter(col("n_regionkey") === 1)
+        .withColumn("n_name", concat(col("n_name"), lit("~")))
+        .withColumn("update_ts", lit(1)))
+      txn.table(tb).upsert(nation.filter(col("n_regionkey") === 1)
+        .groupBy(col("n_regionkey").as("r_key"))
+        .agg(count(lit(1)).as("audited"))
+        .withColumn("update_ts", lit(1)))
+      txn.commit()
+      ta
+    })
+    val aud = cache.computeIfAbsent(s"$d:txnaud", _ =>
+      LakeTable(s, LakeTableConfig(s"$dir/aud",
+        keyCols = Seq("r_key"), precombineCol = "update_ts")))
+    (nat, aud)
+  }
+
   /** Checkpoint fixture over `nation`: bulk insert (c0) then 8
     * single-slice upserts (c1..c8) under `checkpointEvery = 3`, so the
     * log holds checkpoints at c2/c5/c8 and the LATEST snapshot resolves
@@ -1264,6 +1305,26 @@ object Lake {
       },
       Some("""SELECT event_id, user_id AS uid, "value" AS score
         FROM events WHERE user_id < 40 ORDER BY event_id""")),
+
+    // ---- multi-table transaction: one atomic decision, two tables ------
+    // the join must see the txn's BOTH effects (renamed region-1 nations
+    // AND the audit count) or NEITHER — a partial state would break the
+    // closed-form oracle's row hash
+    GQuery("lake_txn_atomic",
+      (s, d) => {
+        val (nat, aud) = txnTables(s, d)
+        nat.read().as("n")
+          .join(aud.read().as("a"), col("n.n_regionkey") === col("a.r_key"))
+          .select(col("n.n_nationkey").as("n_nationkey"),
+            col("n.n_name").as("n_name"), col("a.audited").as("audited"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_regionkey = 1 THEN n_name || '~' ELSE n_name END AS n_name,
+          CAST(CASE WHEN n_regionkey = 1
+            THEN (SELECT count(*) FROM nation WHERE n_regionkey = 1)
+            ELSE 0 END AS BIGINT) AS audited
+        FROM nation ORDER BY n_nationkey""")),
 
     // ---- partition-spec evolution: scan spans two specs ----------------
     // months-spec files (Jan–Feb) and days-spec files (Mar–Apr) answer

@@ -220,7 +220,11 @@ final class GraftTailSource(
   }
 
   override def getOffset: Option[OffsetV1] =
-    table.log.latestId.flatMap { latest =>
+    // tailableHead, not latestId: an undecided transaction commit caps
+    // the stream (it will materialize at ITS id — advancing past it
+    // would make the tail skip it forever). The stream idles until the
+    // transaction decides; commit ids stay strictly in served order.
+    table.log.tailableHead.flatMap { latest =>
       // a head BELOW what this stream already tailed means the timeline
       // was truncated under it (REPLACE TABLE / restore) — offering it
       // would make the engine run a "catch-down" batch that REGRESSES

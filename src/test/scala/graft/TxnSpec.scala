@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{CommitConflict, GraftTxn, LakeTable, LakeTableConfig}
+
+/** Multi-table transactions ([[graft.lake.GraftTxn]]): staged commits,
+  * one atomic decision, lazy crash-safe materialization, and the
+  * engine invariants around undecided transactions.
+  */
+class TxnSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_txn").toString
+
+  private def mk(root: String, part: Boolean = false): LakeTable = {
+    val t = LakeTable(spark, LakeTableConfig(root,
+      keyCols = Seq("pk"), precombineCol = "ts",
+      partitionCols = if (part) Seq("part") else Seq.empty))
+    t.bulkInsert(Seq((1L, 1, "a", 0), (2L, 2, "b", 0))
+      .toDF("pk", "part", "v", "ts"))
+    t
+  }
+
+  private def rows(t: LakeTable): Set[(Long, String)] =
+    LakeTable(spark, t.config).read()
+      .select("pk", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("commit makes writes to two tables visible atomically") {
+    val dir = freshDir()
+    val (a, b) = (mk(s"$dir/a"), mk(s"$dir/b"))
+    val txn = GraftTxn.begin(spark, s"$dir/_txns")
+    txn.table(a).upsert(Seq((1L, 1, "a2", 1)).toDF("pk", "part", "v", "ts"))
+    txn.table(b).upsert(Seq((3L, 3, "c", 1)).toDF("pk", "part", "v", "ts"))
+    // staged: INVISIBLE on both tables (fresh handles = fresh caches)
+    assert(rows(a) == Set((1L, "a"), (2L, "b")))
+    assert(rows(b) == Set((1L, "a"), (2L, "b")))
+    txn.commit()
+    assert(rows(a) == Set((1L, "a2"), (2L, "b")))
+    assert(rows(b) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // materialized commits are ordinary commits: time travel works
+    assert(LakeTable(spark, a.config).readAsOf(0)
+      .select("pk").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("abort leaves both tables untouched and retires the staged ids") {
+    val dir = freshDir()
+    val (a, b) = (mk(s"$dir/a"), mk(s"$dir/b"))
+    val txn = GraftTxn.begin(spark, s"$dir/_txns")
+    txn.table(a).upsert(Seq((1L, 1, "BAD", 1)).toDF("pk", "part", "v", "ts"))
+    txn.table(b).delete(Seq(2L).toDF("pk"))
+    txn.abort()
+    assert(rows(a) == Set((1L, "a"), (2L, "b")))
+    assert(rows(b) == Set((1L, "a"), (2L, "b")))
+    // the aborted id is retired, never reused: the next commit skips it
+    val a2 = LakeTable(spark, a.config)
+    a2.upsert(Seq((9L, 9, "z", 2)).toDF("pk", "part", "v", "ts"))
+    assert(a2.log.latestId.contains(2L),
+      s"aborted staged id 1 must retire; head = ${a2.log.latestId}")
+  }
+
+  test("undecided: same-partition writer conflicts, disjoint writer rebases") {
+    val dir = freshDir()
+    val a = mk(s"$dir/a", part = true)
+    val txn = GraftTxn.begin(spark, s"$dir/_txns")
+    txn.table(a).upsert(Seq((1L, 1, "a2", 1)).toDF("pk", "part", "v", "ts"))
+    // same partition (part=1): must conflict against the staged commit
+    val w = LakeTable(spark, a.config)
+    intercept[CommitConflict](
+      w.upsert(Seq((10L, 1, "x", 1)).toDF("pk", "part", "v", "ts")))
+    // disjoint partition (part=2): rebases over the staged commit
+    w.upsert(Seq((20L, 2, "y", 1)).toDF("pk", "part", "v", "ts"))
+    assert(rows(a).contains((20L, "y")))
+    txn.commit()
+    val after = rows(a)
+    assert(after.contains((1L, "a2")) && after.contains((20L, "y")),
+      s"both the transaction and the disjoint writer must land: $after")
+  }
+
+  test("crash window: no decision = invisible; stale reaper aborts; late commit throws") {
+    val dir = freshDir()
+    val a = mk(s"$dir/a")
+    val txn = GraftTxn.begin(spark, s"$dir/_txns")
+    txn.table(a).upsert(Seq((1L, 1, "LOST", 1)).toDF("pk", "part", "v", "ts"))
+    // simulated crash: no decide. Cold readers see the pre-txn state.
+    assert(rows(a) == Set((1L, "a"), (2L, "b")))
+    val reaped = GraftTxn.abortStale(spark, s"$dir/_txns", olderThanMs = -1)
+    assert(reaped.contains(txn.id))
+    // the late commit loses to the reaper's atomic decision
+    val e = intercept[CommitConflict](txn.commit())
+    assert(e.getMessage.contains("abort"), e.getMessage)
+    assert(rows(a) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("undecided txn caps tails, checkpoints, clean, rollback, restore") {
+    val dir = freshDir()
+    val a = LakeTable(spark, LakeTableConfig(s"$dir/a",
+      keyCols = Seq("pk"), precombineCol = "ts", partitionCols = Seq("part"),
+      checkpointEvery = 1))
+    a.bulkInsert(Seq((1L, 1, "a", 0)).toDF("pk", "part", "v", "ts"))
+    val txn = GraftTxn.begin(spark, s"$dir/_txns")
+    txn.table(a).upsert(Seq((2L, 2, "b", 1)).toDF("pk", "part", "v", "ts"))
+    val h = LakeTable(spark, a.config)
+    assert(h.log.tailableHead.contains(0L),
+      "tailable head must cap below the staged id")
+    // a disjoint writer lands ABOVE the staged id; the cap holds
+    h.upsert(Seq((3L, 3, "c", 1)).toDF("pk", "part", "v", "ts"))
+    assert(h.log.latestId.exists(_ > 1L))
+    assert(h.log.tailableHead.contains(0L))
+    intercept[IllegalArgumentException](
+      h.changesBetween(0, h.log.latestId.get))
+    intercept[IllegalArgumentException](h.rollback())
+    intercept[IllegalArgumentException](h.restoreTo(0))
+    txn.commit()
+    val h2 = LakeTable(spark, a.config)
+    assert(h2.log.tailableHead == h2.log.latestId)
+    assert(h2.read().count() == 3)
+    // the feed now serves the whole window in id order
+    assert(h2.changesBetween(0, h2.log.latestId.get).count() == 2)
+  }
+
+  test("one write per table per transaction; decide is terminal") {
+    val dir = freshDir()
+    val a = mk(s"$dir/a")
+    val txn = GraftTxn.begin(spark, s"$dir/_txns")
+    val h = txn.table(a)
+    h.upsert(Seq((5L, 5, "e", 1)).toDF("pk", "part", "v", "ts"))
+    intercept[IllegalArgumentException](
+      h.upsert(Seq((6L, 6, "f", 1)).toDF("pk", "part", "v", "ts")))
+    txn.commit()
+    intercept[IllegalArgumentException](txn.abort())
+    assert(rows(a).contains((5L, "e")))
+  }
+}
