@@ -858,6 +858,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         in => vacuumStaging(
           in.getUTF8String(0).toString.split('.').filter(_.nonEmpty),
           in.getLong(1)).size.toLong)
+    else if (ident.name == "txn_reap")
+      // CALL graft.system.txn_reap(coord_dir, older_than_ms) — abort
+      // every undecided multi-table transaction older than the horizon
+      // (GraftTxn.abortStale: the atomic decision marker arbitrates
+      // against a late commit). Returns the number reaped. Coordinator
+      // dirs are plain paths (transactions span tables and warehouses),
+      // so this is catalog-level maintenance, not per-table.
+      GraftProcedures.make("txn_reap",
+        Seq("coord_dir" -> org.apache.spark.sql.types.StringType,
+          "older_than_ms" -> org.apache.spark.sql.types.LongType),
+        in => graft.lake.GraftTxn.abortStale(spark,
+          in.getUTF8String(0).toString, in.getLong(1)).size.toLong)
     else if (ident.name == "clone")
       // CALL graft.system.clone('db.src', 'db.dst', commit) — zero-copy
       // shallow clone at a snapshot (commit -1 = latest), published with

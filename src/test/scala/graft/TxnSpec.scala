@@ -132,6 +132,21 @@ class TxnSpec extends AnyFunSuite {
     assert(h2.changesBetween(0, h2.log.latestId.get).count() == 2)
   }
 
+  test("CALL graft.system.txn_reap aborts stale transactions via SQL") {
+    val dir = freshDir()
+    val a = mk(s"$dir/a")
+    val wh = Files.createTempDirectory("graft_txn_wh").toString
+    spark.conf.set("spark.sql.catalog.txc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.txc.warehouse", wh)
+    val txn = GraftTxn.begin(spark, s"$dir/_txns")
+    txn.table(a).upsert(Seq((7L, 7, "g", 1)).toDF("pk", "part", "v", "ts"))
+    val n = spark.sql(
+      s"CALL txc.system.txn_reap('$dir/_txns', -1)").collect()(0).getLong(0)
+    assert(n == 1L)
+    intercept[CommitConflict](txn.commit())
+    assert(rows(a) == Set((1L, "a"), (2L, "b")))
+  }
+
   test("one write per table per transaction; decide is terminal") {
     val dir = freshDir()
     val a = mk(s"$dir/a")
