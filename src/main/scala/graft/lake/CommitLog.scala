@@ -278,13 +278,23 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     var names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
     // staged transaction commits are RARE: the name scan below is free
     // on the listing we already paid for, and the sweep (coordinator
-    // check + rename/retire) runs only while a transaction is in flight
-    if (names.exists(_.endsWith(".json.txn")) && sweepStaged(names))
+    // check + rename/retire) runs only while a transaction is in flight.
+    // A txn handle's OWN undecided staging is exempt from the sweep
+    // trigger — its timeline includes those ids anyway, and sweeping
+    // them would pay one coordinator round-trip per resolution.
+    def foreign(n: String): Boolean = n.endsWith(".json.txn") &&
+      (staging.isEmpty ||
+        !ownStaged.contains(n.stripSuffix(".json.txn").toLong))
+    if (names.exists(foreign) && sweepStaged(names.filter(foreign)))
       names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-    names
+    val visible = names
       .filter(_.matches("\\d{8,}\\.json")) // %08d emits 9+ digits past 10^8 — keep them visible
       .map(_.stripSuffix(".json").toLong)
-      .sorted
+    // read-your-writes INSIDE a transaction: the txn's own handle (and
+    // only it) resolves its own staged commits as part of the timeline —
+    // a second write in the same transaction merges from a snapshot that
+    // includes the first. Every other reader stays blind until decide.
+    (if (staging.isDefined) visible ++ ownStagedSeq else visible).sorted
   }
 
   // ---- multi-table transactions (GraftTxn): staged commits ------------
@@ -301,6 +311,18 @@ final class CommitLog(root: String, hadoopConf: Configuration,
   /** When set, [[append]] STAGES commits for this (txnId, coordinator
     * dir) instead of publishing them — [[GraftTxn]]'s enlistment hook. */
   @volatile private[graft] var staging: Option[(String, String)] = None
+
+  /** ids THIS instance staged (the txn handle is its txn's only stager
+    * on this log): folded into the handle's own timeline resolution for
+    * within-txn read-your-writes */
+  private val ownStaged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+  private def ownStagedSeq: Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    ownStaged.asScala.toSeq
+  }
+  private def ownStagedNonEmpty: Boolean = !ownStaged.isEmpty
 
   private def stagedPath(id: Long) =
     new Path(logDir, f"$id%08d.json.txn")
@@ -432,7 +454,14 @@ final class CommitLog(root: String, hadoopConf: Configuration,
 
   def read(id: Long): Commit = parsed.getOrElseUpdate(id, {
     jsonOpens.incrementAndGet()
-    val in: java.io.InputStream = fs.open(commitPath(id))
+    // a txn handle's own staged commit reads from its staged path (the
+    // read-your-writes half of listIds' merge). Memoizing it here is
+    // sound for THIS instance: only this handle stages for its txn, the
+    // content is immutable once published, and an aborted id retires
+    // (never reused)
+    val p = if (ownStaged.contains(id) && !fs.exists(commitPath(id)))
+      stagedPath(id) else commitPath(id)
+    val in: java.io.InputStream = fs.open(p)
     try mapper.readValue(in, classOf[Commit]) finally in.close()
   })
 
@@ -500,15 +529,6 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     // JSONs forever per id, and a rollback interleaved between two
     // writers' id resolutions would otherwise let a stale writer land on
     // the retired id with the head check still passing
-    // transaction staging limit FIRST (clearest error): within-txn
-    // read-your-writes is out of scope, so stage exactly one per-table
-    // net effect — a second write would merge from a snapshot that
-    // cannot see the first
-    staging.foreach { case (txnId, _) =>
-      require(stagedCommits.forall(_.txn != txnId),
-        s"transaction $txnId already staged a commit on this table — " +
-          "one write per table per transaction")
-    }
     if (rolledIds.contains(c.id))
       throw new CommitConflict(
         s"commit id ${c.id} was retired by a rollback — resolve a fresh id")
@@ -532,9 +552,12 @@ final class CommitLog(root: String, hadoopConf: Configuration,
       // later commits, both outputs fold — a lost update unless the two
       // are partition-disjoint. Conflict here; the rebase path inspects
       // the staged commit's partitions and passes the ids it proved
-      // disjoint back as `knownStaged`.
+      // disjoint back as `knownStaged`. A txn handle's OWN staged
+      // commits are exempt: its resolution already includes them
+      // (read-your-writes), so the merge DID see them.
       val blocking = stagedIds.filter(i =>
-        i > basedOnLatest && i != c.id && !knownStaged.contains(i))
+        i > basedOnLatest && i != c.id && !knownStaged.contains(i) &&
+          !ownStaged.contains(i))
       if (blocking.nonEmpty)
         throw new CommitConflict(
           s"pending transaction commit(s) ${blocking.mkString(", ")} are " +
@@ -582,7 +605,8 @@ final class CommitLog(root: String, hadoopConf: Configuration,
         throw new CommitConflict(
           s"commit id ${c.id} was taken by a live writer — resolve a fresh id")
       }
-      return // staged: invisible until the coordinator decides
+      ownStaged.add(c.id) // this handle now resolves it (read-your-writes)
+      return // staged: invisible to everyone else until the coordinator decides
     }
     maybeCheckpoint()
   }

@@ -2098,11 +2098,19 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   /** [[metadataRowCount]] over an explicit file subset (the filtered
     * aggregate pushdown's shape: the subset is an EXACT partition
     * selection, so its footer counts ARE the filtered count). */
-  private[graft] def metadataRowCountOf(files: Seq[FileAdd]): Option[Long] =
-    // subset form (scan pushdown): the caller's pin is unknown here, so
-    // ANY currently-live DV refuses — conservative, falls back to the
-    // scan (which applies DVs and is exact)
-    if (log.liveDvs().nonEmpty) None else metadataRowCountOfData(files)
+  private[graft] def metadataRowCountOf(files: Seq[FileAdd],
+      asOf: Option[Long] = None): Option[Long] =
+    // subset form (scan pushdown over an EXACT partition selection):
+    // live DVs subtract exactly — every live DV names one live target
+    // file, so the positions of targets IN the subset are precisely the
+    // deleted rows of the subset's footprint (a point delete must not
+    // cost a 100 TB table its metadata counts). Targets outside the
+    // subset are irrelevant to it.
+    metadataRowCountOfData(files).map { base =>
+      val paths = files.map(_.path).toSet
+      base - log.liveDvs(asOf)
+        .filter(d => paths.contains(d.target)).map(_.rows).sum
+    }
 
   private def metadataRowCountOfData(files: Seq[FileAdd]): Option[Long] =
     if (files.forall(f => !f.isDelta && f.rows > 0L)) Some(files.map(_.rows).sum)

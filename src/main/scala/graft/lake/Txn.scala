@@ -34,9 +34,11 @@ import org.apache.spark.sql.SparkSession
   * checkpoints, timeline archival, and the clean horizon never cross a
   * staged id; streaming tails and CDF reads cap at the staged floor (a
   * commit must never materialize BEHIND a served offset); rollback and
-  * restore refuse; one write per table per transaction (within-txn
-  * read-your-writes is out of scope — stage exactly the per-table net
-  * effect).
+  * restore refuse. Within the transaction, its OWN handles read their
+  * own writes: the handle's timeline resolution folds its staged
+  * commits in id order, so a second write on the same table merges
+  * from a snapshot that includes the first — everyone else stays blind
+  * until decide.
   *
   * Cost at scale: one marker file per transaction, one coordinator
   * existence check per staged file per process (decided statuses

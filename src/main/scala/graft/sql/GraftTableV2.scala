@@ -518,7 +518,7 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
           case None => false
           case Some(fs) =>
             (vals.forall(_ != PushCount) ||
-              table.lake.metadataRowCountOf(fs).isDefined) &&
+              table.lake.metadataRowCountOf(fs, table.pinned).isDefined) &&
               bounds.forall(b =>
                 table.lake.metadataMinMaxOf(b.name, fs).isDefined) &&
               sumOk(fs)
@@ -595,7 +595,7 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
         val cols = vals.map {
           case PushCount => fs match {
             case None => lit(0L)
-            case Some(sub) => lit(reprove(table.lake.metadataRowCountOf(sub)))
+            case Some(sub) => lit(reprove(table.lake.metadataRowCountOf(sub, table.pinned)))
           }
           case PushBound(n, dt, minOf) =>
             fs.map(sub => reprove(table.lake.metadataMinMaxOf(n, sub)))

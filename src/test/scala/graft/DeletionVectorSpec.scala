@@ -188,6 +188,35 @@ class DeletionVectorSpec extends AnyFunSuite {
       "live DVs must not cost the snapshot its native scan eligibility")
   }
 
+  test("SQL COUNT pushdown answers from metadata under live DVs") {
+    val wh = Files.createTempDirectory("dv_cnt_wh").toString
+    spark.conf.set("spark.sql.catalog.dvc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dvc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvc.db")
+    spark.sql("""CREATE TABLE dvc.db.t (pk BIGINT, part INT, payload STRING,
+      ts INT) USING graft PARTITIONED BY (part)
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts', deleteMode='dv')""")
+    val vals = (1 to 40).map(i => s"($i, ${i % 4}, 'p$i', 0)").mkString(", ")
+    spark.sql(s"INSERT INTO dvc.db.t VALUES $vals")
+    spark.sql("DELETE FROM dvc.db.t WHERE pk IN (3, 7, 11, 19)")
+    assert(spark.sql("SELECT count(*) AS n FROM dvc.db.t")
+      .collect()(0).getLong(0) == 36L)
+    // prove the METADATA path: delete the parquet data files out from
+    // under the table — a count that still answers never opened them
+    // (the DV adjustment comes from the commit log's position counts,
+    // not the sidecar bytes)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$wh/db/t/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) fs.delete(f.getPath, false)
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM dvc.db.t")
+      .collect()(0).getLong(0) == 36L,
+      "COUNT under live DVs must be answered from the commit log alone")
+  }
+
   test("SQL surface: deleteMode='dv' routes DELETE FROM through sidecars") {
     val wh = Files.createTempDirectory("dv_wh").toString
     spark.conf.set("spark.sql.catalog.dvs", "graft.sql.GraftCatalog")

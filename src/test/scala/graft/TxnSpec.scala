@@ -18,6 +18,7 @@ class TxnSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -147,16 +148,42 @@ class TxnSpec extends AnyFunSuite {
     assert(rows(a) == Set((1L, "a"), (2L, "b")))
   }
 
-  test("one write per table per transaction; decide is terminal") {
+  test("read-your-writes: later txn writes see earlier ones; decide is terminal") {
     val dir = freshDir()
     val a = mk(s"$dir/a")
     val txn = GraftTxn.begin(spark, s"$dir/_txns")
     val h = txn.table(a)
     h.upsert(Seq((5L, 5, "e", 1)).toDF("pk", "part", "v", "ts"))
-    intercept[IllegalArgumentException](
-      h.upsert(Seq((6L, 6, "f", 1)).toDF("pk", "part", "v", "ts")))
+    // the txn's own handle resolves its staged commit...
+    assert(h.read().select("pk").as[Long].collect().toSet ==
+      Set(1L, 2L, 5L))
+    // ...and a SECOND write on the same table merges over it
+    h.upsert(Seq((5L, 5, "e2", 2), (6L, 6, "f", 2))
+      .toDF("pk", "part", "v", "ts"))
+    assert(h.read().select("pk", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (5L, "e2"), (6L, "f")))
+    // outsiders stay blind to BOTH staged commits
+    assert(rows(a) == Set((1L, "a"), (2L, "b")))
     txn.commit()
     intercept[IllegalArgumentException](txn.abort())
-    assert(rows(a).contains((5L, "e")))
+    assert(rows(a) == Set((1L, "a"), (2L, "b"), (5L, "e2"), (6L, "f")))
+  }
+
+  test("read-your-writes: multi-write txn aborts to the pre-txn state") {
+    val dir = freshDir()
+    val a = mk(s"$dir/a")
+    val txn = GraftTxn.begin(spark, s"$dir/_txns")
+    val h = txn.table(a)
+    h.upsert(Seq((5L, 5, "e", 1)).toDF("pk", "part", "v", "ts"))
+    h.delete(Seq(1L).toDF("pk"))
+    assert(h.read().select("pk").as[Long].collect().toSet == Set(2L, 5L))
+    txn.abort()
+    assert(rows(a) == Set((1L, "a"), (2L, "b")))
+    // both ids retired: the next live commit lands above them
+    val a2 = LakeTable(spark, a.config)
+    a2.upsert(Seq((9L, 9, "z", 3)).toDF("pk", "part", "v", "ts"))
+    assert(a2.log.latestId.contains(3L),
+      s"aborted staged ids 1,2 must retire; head = ${a2.log.latestId}")
   }
 }
