@@ -273,15 +273,20 @@ final class CommitLog(root: String, hadoopConf: Configuration,
 
   def exists: Boolean = fs.exists(logDir) && listIds.nonEmpty
 
-  private def listIds: Seq[Long] = {
-    if (!fs.exists(logDir)) return Seq.empty
+  /** ONE directory listing parsed into (visible commit ids, rolled ids,
+    * staged txn ids), with the staged-materialization sweep applied
+    * first when a FOREIGN staged name shows up — every id-space consumer
+    * (listIds/nextId/tailableHead) shares this so no path pays extra
+    * metadata round-trips for the transaction machinery. A txn handle's
+    * OWN undecided staging is exempt from the sweep trigger — its
+    * timeline includes those ids anyway, and sweeping them would pay one
+    * coordinator round-trip per resolution. */
+  private def scanLog(): (Seq[Long], Seq[Long], Seq[Long]) = {
+    if (!fs.exists(logDir)) return (Seq.empty, Seq.empty, Seq.empty)
     var names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
     // staged transaction commits are RARE: the name scan below is free
     // on the listing we already paid for, and the sweep (coordinator
-    // check + rename/retire) runs only while a transaction is in flight.
-    // A txn handle's OWN undecided staging is exempt from the sweep
-    // trigger — its timeline includes those ids anyway, and sweeping
-    // them would pay one coordinator round-trip per resolution.
+    // check + rename/retire) runs only while a transaction is in flight
     def foreign(n: String): Boolean = n.endsWith(".json.txn") &&
       (staging.isEmpty ||
         !ownStaged.contains(n.stripSuffix(".json.txn").toLong))
@@ -290,6 +295,15 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     val visible = names
       .filter(_.matches("\\d{8,}\\.json")) // %08d emits 9+ digits past 10^8 — keep them visible
       .map(_.stripSuffix(".json").toLong)
+    val rolled = names.filter(_.matches("rolled-\\d{8,}"))
+      .map(_.stripPrefix("rolled-").toLong)
+    val staged = names.filter(_.matches("\\d{8,}\\.json\\.txn"))
+      .map(_.stripSuffix(".json.txn").toLong)
+    (visible, rolled, staged)
+  }
+
+  private def listIds: Seq[Long] = {
+    val (visible, _, _) = scanLog()
     // read-your-writes INSIDE a transaction: the txn's own handle (and
     // only it) resolves its own staged commits as part of the timeline —
     // a second write in the same transaction merges from a snapshot that
@@ -328,11 +342,7 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     new Path(logDir, f"$id%08d.json.txn")
 
   /** ids of staged (undecided) transaction commits */
-  private[graft] def stagedIds: Seq[Long] =
-    if (!fs.exists(logDir)) Seq.empty
-    else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-      .filter(_.matches("\\d{8,}\\.json\\.txn"))
-      .map(_.stripSuffix(".json.txn").toLong).sorted
+  private[graft] def stagedIds: Seq[Long] = scanLog()._3.sorted
 
   /** the staged commits themselves (OCC rebase needs their partitions).
     * NOT memoized in `parsed`: a staged id only becomes immutable once
@@ -353,8 +363,9 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     * the head, capped below any undecided staged commit so a commit can
     * never materialize BEHIND an already-served offset */
   def tailableHead: Option[Long] = {
-    val l = latestId
-    stagedFloor match {
+    val (visible, _, staged) = scanLog() // ONE listing for head + floor
+    val l = visible.maxOption
+    staged.minOption match {
       case Some(f) => l.map(math.min(_, f - 1)).filter(_ >= 0)
       case None => l
     }
@@ -431,17 +442,15 @@ final class CommitLog(root: String, hadoopConf: Configuration,
   /** ids retracted by rollback — never reused, so commit JSONs stay
     * immutable PER ID and the forever-memoization (here and in any other
     * CommitLog instance on this root) stays sound */
-  private def rolledIds: Seq[Long] =
-    if (!fs.exists(logDir)) Seq.empty
-    else fs.listStatus(logDir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.matches("rolled-\\d{8,}"))
-      .map(_.stripPrefix("rolled-").toLong)
+  private def rolledIds: Seq[Long] = scanLog()._2
 
-  def nextId: Long =
-    // staged transaction ids are allocated: a parallel writer must not
-    // land on one (the materialization rename targets that id)
-    (listIds ++ rolledIds ++ stagedIds :+ archiveUpTo).max.max(-1L) + 1
+  def nextId: Long = {
+    // staged transaction ids are allocated too: a parallel writer must
+    // not land on one (the materialization rename targets that id).
+    // ONE listing resolves all three id families.
+    val (visible, rolled, staged) = scanLog()
+    (visible ++ rolled ++ staged :+ archiveUpTo).max.max(-1L) + 1
+  }
 
   // commit JSONs are immutable once renamed into place, so parsed commits
   // memoize forever — snapshot resolution re-lists the directory (cheap)

@@ -440,7 +440,45 @@ object Sql {
     })
   }
 
+  /** SQL DEFAULT column values fixture (r14): a table whose tier/score/
+    * update_ts carry CREATE-time defaults, filled by Spark's INSERT
+    * analysis (TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE) for
+    * omitted columns — including on the SECOND insert, when the table
+    * schema already resolves from the commit log (the overlay contract,
+    * ColumnDefaultsSpec). */
+  private[graft] def defaultsFixture(s: SparkSession, d: String): String = {
+    val cat = dmlFixture(s, d) // registers the catalog + source view
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:defaults", _ => {
+      s.sql(s"""CREATE TABLE $cat.db.ndef (n_nationkey BIGINT,
+        n_name STRING, tier STRING DEFAULT 'std', score INT DEFAULT 7,
+        update_ts INT DEFAULT 0) USING graft
+        TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+      s.sql(s"""INSERT INTO $cat.db.ndef (n_nationkey, n_name)
+        SELECT n_nationkey, n_name FROM sql_nation_src
+        WHERE n_nationkey < 10""")
+      s.sql(s"""INSERT INTO $cat.db.ndef (n_nationkey, n_name, tier)
+        SELECT n_nationkey, n_name, 'vip' FROM sql_nation_src
+        WHERE n_nationkey >= 10 AND n_nationkey < 15""")
+      cat
+    })
+  }
+
   val queries: Seq[GQuery] = Seq(
+
+    // ---- SQL DEFAULT column values (r14) --------------------------------
+    // two partial INSERTs (the second against a commit-log-resolved
+    // schema) must both fill the declared defaults
+    GQuery("lake_sql_defaults",
+      (s, d) => {
+        val cat = defaultsFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, tier, score, update_ts
+          FROM $cat.db.ndef ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name,
+          CASE WHEN n_nationkey >= 10 THEN 'vip' ELSE 'std' END AS tier,
+          CAST(7 AS INT) AS score, CAST(0 AS INT) AS update_ts
+        FROM nation WHERE n_nationkey < 15
+        ORDER BY n_nationkey""")),
 
     // ---- CREATE/INSERT/UPDATE/DELETE through spark.sql -----------------
     // ---- SQL DELETE through deletion vectors (deleteMode='dv') --------

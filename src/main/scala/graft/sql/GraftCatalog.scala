@@ -58,6 +58,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** SQL DEFAULT column values (`CREATE TABLE t (c INT DEFAULT 5)`):
+    * declaring the capability makes Spark validate the expression at
+    * CREATE, embed it as field metadata in the schema we persist, and
+    * fill omitted columns / the DEFAULT keyword at INSERT analysis —
+    * the engine only has to keep the metadata visible on the table
+    * schema ([[GraftTableV2.schema]] overlays it from the declared
+    * schema, since commit-recorded schemas carry the batch's plain
+    * fields). ALTER-time defaults (ADD COLUMN ... DEFAULT / SET
+    * DEFAULT) are refused: they would require exists-default backfill
+    * of files written before the change. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   // path traversal guard: identifiers become directory names. Leading
   // dots are rejected because hidden (dot-prefixed) directories are the
   // catalog's private staging namespace (`.t.stage-*` / `.t.trash-*`) —
@@ -690,6 +703,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (propChanges.nonEmpty)
       alterProperties(root, desc, lake, propChanges)
     if (colChanges.isEmpty) return loadTable(ident)
+    // DEFAULTs are CREATE-time declarations here: an ALTER-time default
+    // would require exists-default backfill of files written before the
+    // change (our adaptation backfills NULL) — refuse rather than lie
+    colChanges.foreach {
+      case c: TableChange.AddColumn if c.defaultValue() != null =>
+        throw new UnsupportedOperationException(
+          "ADD COLUMN with DEFAULT is not supported — declare defaults " +
+            "at CREATE TABLE, or add the column and UPDATE")
+      case _ => ()
+    }
     // property changes just rewrote the descriptor — thread the LIVE one
     // through the column path (its pinned set reads statsCols/clusterCols,
     // and the pre-first-commit save would otherwise clobber the props)

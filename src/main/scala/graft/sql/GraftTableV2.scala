@@ -70,7 +70,26 @@ final class GraftTableV2(
       .orElse(Option(desc.schemaJson).filter(_.nonEmpty)
         .map(j => DataType.fromJson(j).asInstanceOf[StructType]))
       .getOrElse(new StructType())
-    StructType(st.fields.filterNot(f => metaCols.contains(f.name)))
+    // SQL DEFAULT values are a CATALOG declaration, not a physical fact:
+    // commit-recorded schemas carry the batch's plain fields, so overlay
+    // the declared schema's default metadata by name — INSERT analysis
+    // (ResolveDefaultColumns) reads it off this schema. A renamed column
+    // sheds its default (the declaration named the old column).
+    val defaults = Option(desc.schemaJson).filter(_.nonEmpty)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .map(_.fields.filter(_.metadata.contains("CURRENT_DEFAULT"))
+        .map(f => f.name -> f.metadata).toMap)
+      .getOrElse(Map.empty)
+    StructType(st.fields.filterNot(f => metaCols.contains(f.name)).map { f =>
+      defaults.get(f.name).fold(f) { dm =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        Seq("CURRENT_DEFAULT", "EXISTS_DEFAULT")
+          .filter(dm.contains)
+          .foreach(k => mb.putString(k, dm.getString(k)))
+        f.copy(metadata = mb.build())
+      }
+    })
   }
 
   override def partitioning(): Array[Transform] =

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL DEFAULT column values through the catalog
+  * (TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE): Spark
+  * validates and stores the default at CREATE, fills omitted columns
+  * and the DEFAULT keyword at INSERT analysis; the engine keeps the
+  * declaration visible on the table schema across commits.
+  */
+class ColumnDefaultsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft_defaults_wh").toString
+    spark.conf.set("spark.sql.catalog.dft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dft.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dft.db")
+    dir
+  }
+
+  test("CREATE-time defaults fill omitted columns and the DEFAULT keyword") {
+    wh
+    spark.sql("""CREATE TABLE dft.db.t (
+        pk BIGINT, ts INT DEFAULT 0, v STRING DEFAULT 'unset',
+        score DOUBLE DEFAULT 1.5)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    // omitted columns
+    spark.sql("INSERT INTO dft.db.t (pk) VALUES (1)")
+    // explicit DEFAULT keyword + mixed literals
+    spark.sql("INSERT INTO dft.db.t (pk, v, score) VALUES (2, DEFAULT, 9.0)")
+    // after commits exist (schema now resolves from the commit log) the
+    // declaration must still fill — the overlay contract
+    spark.sql("INSERT INTO dft.db.t (pk, ts) VALUES (3, 7)")
+    val got = spark.sql(
+      "SELECT pk, ts, v, score FROM dft.db.t ORDER BY pk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, "unset", 1.5),
+      (2L, 0, "unset", 9.0),
+      (3L, 7, "unset", 1.5)))
+  }
+
+  test("ALTER-time defaults refuse (no exists-default backfill lie)") {
+    wh
+    spark.sql("""CREATE TABLE dft.db.t2 (pk BIGINT, ts INT)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO dft.db.t2 VALUES (1, 0)")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE dft.db.t2 ADD COLUMN c INT DEFAULT 5"))
+    assert(e.getMessage.contains("DEFAULT"), e.getMessage)
+    // plain ADD COLUMN still works and null-backfills
+    spark.sql("ALTER TABLE dft.db.t2 ADD COLUMN c INT")
+    assert(spark.sql("SELECT c FROM dft.db.t2").collect()(0).isNullAt(0))
+  }
+}
