@@ -1903,15 +1903,35 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   /** Add a nullable column (metadata-only commit): existing rows read
     * as null. A FRESH column id is minted, so a name reused after a
     * drop never resurrects the dropped column's data. */
-  def addColumn(name: String, dt: DataType): Long = {
+  def addColumn(name: String, dt: DataType,
+      defaultSql: Option[String] = None): Long = {
     require(exists, s"table ${config.root} does not exist")
     val s = tableSchema(None)
     require(!s.fieldNames.contains(name), s"column '$name' already exists")
     require(name.nonEmpty && !SchemaEvo.isInternal(name),
       s"invalid column name '$name'")
+    val minted0 = SchemaEvo.mintField(name, dt)
+    // ADD COLUMN ... DEFAULT <sql>: the constant lands in field metadata
+    // (Spark's own CURRENT/EXISTS_DEFAULT keys). EXISTS_DEFAULT makes
+    // reads backfill the value for every file that predates the column
+    // (SchemaEvo.adapt); CURRENT_DEFAULT makes INSERT analysis fill
+    // omitted columns. Evolution preserves kept fields' metadata, so the
+    // declaration survives later commits. Validate NOW, loudly — a bad
+    // default must not first surface at some future read.
+    val minted = defaultSql.fold(minted0) { sql =>
+      val probe = scala.util.Try(
+        spark.sql(s"SELECT CAST(($sql) AS ${dt.sql})").collect())
+      require(probe.isSuccess,
+        s"DEFAULT ($sql) is not a constant ${dt.sql} expression: " +
+          probe.failed.map(_.getMessage).getOrElse(""))
+      minted0.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(minted0.metadata)
+          .putString("CURRENT_DEFAULT", sql)
+          .putString("EXISTS_DEFAULT", sql).build())
+    }
     val (user, internal) = s.fields.partition(x => !SchemaEvo.isInternal(x.name))
-    schemaCommit(StructType(
-      user ++ Array(SchemaEvo.mintField(name, dt)) ++ internal))
+    schemaCommit(StructType(user ++ Array(minted) ++ internal))
   }
 
   /** Widen a column's type without touching data (int→long,
@@ -1948,8 +1968,17 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     else nestedSchemaChange(path)(s => SchemaEvo.dropAt(s, path))
 
   def addColumn(path: Seq[String], dt: DataType): Long =
-    if (path.lengthCompare(1) == 0) addColumn(path.head, dt)
-    else nestedSchemaChange(path)(s => SchemaEvo.addAt(s, path, dt))
+    addColumn(path, dt, None)
+
+  def addColumn(path: Seq[String], dt: DataType,
+      defaultSql: Option[String]): Long =
+    if (path.lengthCompare(1) == 0) addColumn(path.head, dt, defaultSql)
+    else {
+      require(defaultSql.isEmpty,
+        "DEFAULT on a NESTED column is not supported — add the field, " +
+          "then UPDATE")
+      nestedSchemaChange(path)(s => SchemaEvo.addAt(s, path, dt))
+    }
 
   def widenColumn(path: Seq[String], dt: DataType): Long =
     if (path.lengthCompare(1) == 0) widenColumn(path.head, dt)

@@ -218,7 +218,7 @@ private[graft] object SchemaEvo {
           Some(col(sf.name))
         case Some(sf) => Some(adaptValue(col("`" + sf.name + "`"),
           sf.dataType, tf.dataType).as(tf.name))
-        case None => Some(lit(null).cast(tf.dataType).as(tf.name))
+        case None => Some(backfill(tf))
       }
     }
     // internals present in the files but absent from the target schema
@@ -302,9 +302,24 @@ private[graft] object SchemaEvo {
         case Some(ff) =>
           adaptValueStrict(col("`" + ff.name + "`"), ff.dataType,
             sf.dataType, sf.name).as(sf.name)
-        case None => lit(null).cast(sf.dataType).as(sf.name)
+        case None => backfill(sf) // same exists-default rule as batch reads
       }
     }: _*)
+  }
+
+  /** Backfill for a column ABSENT from a file: the declared
+    * exists-default when the field carries one (`ALTER TABLE ... ADD
+    * COLUMN c INT DEFAULT 5` — Spark stores the constant SQL in field
+    * metadata, evolution preserves kept fields' metadata verbatim, so
+    * every later commit schema still carries it), else NULL. One rule
+    * for batch reads and stream tails — the two surfaces must never
+    * disagree on what an old row contains. */
+  private def backfill(tf: StructField): Column = {
+    val base =
+      if (tf.metadata.contains("EXISTS_DEFAULT"))
+        org.apache.spark.sql.functions.expr(tf.metadata.getString("EXISTS_DEFAULT"))
+      else lit(null)
+    base.cast(tf.dataType).as(tf.name)
   }
 
   /** [[adaptValue]] under the STREAM contract: a nested field added or

@@ -459,6 +459,13 @@ object Sql {
       s.sql(s"""INSERT INTO $cat.db.ndef (n_nationkey, n_name, tier)
         SELECT n_nationkey, n_name, 'vip' FROM sql_nation_src
         WHERE n_nationkey >= 10 AND n_nationkey < 15""")
+      // ALTER-time default: rows above predate the column and must
+      // BACKFILL 3 at read (exists-default); the insert below omits it
+      // and fills 3 forward
+      s.sql(s"ALTER TABLE $cat.db.ndef ADD COLUMN bonus INT DEFAULT 3")
+      s.sql(s"""INSERT INTO $cat.db.ndef (n_nationkey, n_name)
+        SELECT n_nationkey, n_name FROM sql_nation_src
+        WHERE n_nationkey >= 15 AND n_nationkey < 20""")
       cat
     })
   }
@@ -471,13 +478,14 @@ object Sql {
     GQuery("lake_sql_defaults",
       (s, d) => {
         val cat = defaultsFixture(s, d)
-        s.sql(s"""SELECT n_nationkey, n_name, tier, score, update_ts
+        s.sql(s"""SELECT n_nationkey, n_name, tier, score, update_ts, bonus
           FROM $cat.db.ndef ORDER BY n_nationkey""")
       },
       Some("""SELECT n_nationkey, n_name,
-          CASE WHEN n_nationkey >= 10 THEN 'vip' ELSE 'std' END AS tier,
-          CAST(7 AS INT) AS score, CAST(0 AS INT) AS update_ts
-        FROM nation WHERE n_nationkey < 15
+          CASE WHEN n_nationkey BETWEEN 10 AND 14 THEN 'vip' ELSE 'std' END AS tier,
+          CAST(7 AS INT) AS score, CAST(0 AS INT) AS update_ts,
+          CAST(3 AS INT) AS bonus
+        FROM nation WHERE n_nationkey < 20
         ORDER BY n_nationkey""")),
 
     // ---- CREATE/INSERT/UPDATE/DELETE through spark.sql -----------------

@@ -65,9 +65,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the engine only has to keep the metadata visible on the table
     * schema ([[GraftTableV2.schema]] overlays it from the declared
     * schema, since commit-recorded schemas carry the batch's plain
-    * fields). ALTER-time defaults (ADD COLUMN ... DEFAULT / SET
-    * DEFAULT) are refused: they would require exists-default backfill
-    * of files written before the change. */
+    * fields). `ALTER TABLE ... ADD COLUMN c INT DEFAULT 5` works too:
+    * the constant rides the schema commit's field metadata (evolution
+    * preserves kept fields' metadata), reads BACKFILL it for files that
+    * predate the column (SchemaEvo's exists-default rule — batch and
+    * stream surfaces share it), and INSERT analysis fills it forward.
+    * Only nested-field defaults and SET DEFAULT refuse. */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
@@ -703,14 +706,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (propChanges.nonEmpty)
       alterProperties(root, desc, lake, propChanges)
     if (colChanges.isEmpty) return loadTable(ident)
-    // DEFAULTs are CREATE-time declarations here: an ALTER-time default
-    // would require exists-default backfill of files written before the
-    // change (our adaptation backfills NULL) — refuse rather than lie
+    // nested defaults only: a struct-field default has no exists-backfill
+    // story in the nested rebuild — refuse rather than lie
     colChanges.foreach {
-      case c: TableChange.AddColumn if c.defaultValue() != null =>
+      case c: TableChange.AddColumn
+          if c.defaultValue() != null && c.fieldNames.length > 1 =>
         throw new UnsupportedOperationException(
-          "ADD COLUMN with DEFAULT is not supported — declare defaults " +
-            "at CREATE TABLE, or add the column and UPDATE")
+          "ADD COLUMN with DEFAULT on a nested field is not supported — " +
+            "add the field, then UPDATE")
       case _ => ()
     }
     // property changes just rewrote the descriptor — thread the LIVE one
@@ -759,7 +762,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       changesSeq.foreach {
         case c: TableChange.AddColumn =>
-          lake.addColumn(c.fieldNames.toSeq, c.dataType)
+          lake.addColumn(c.fieldNames.toSeq, c.dataType,
+            Option(c.defaultValue()).map(_.getSql))
         case c: TableChange.RenameColumn =>
           lake.renameColumn(c.fieldNames.toSeq, c.newName)
         case c: TableChange.DeleteColumn => lake.dropColumn(c.fieldNames.toSeq)
@@ -777,7 +781,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val next = changesSeq.foldLeft(declared) { (s, ch) =>
         ch match {
           case c: TableChange.AddColumn =>
-            SchemaEvo.addAt(s, c.fieldNames.toSeq, c.dataType)
+            val added = SchemaEvo.addAt(s, c.fieldNames.toSeq, c.dataType)
+            // pre-first-commit DEFAULT: only the declaration matters (no
+            // files exist to backfill) — store it like CREATE TABLE does
+            Option(c.defaultValue()).map(_.getSql)
+              .filter(_ => c.fieldNames.length == 1).fold(added) { sql =>
+                StructType(added.fields.map { f =>
+                  if (f.name != c.fieldNames.head) f
+                  else f.copy(metadata =
+                    new org.apache.spark.sql.types.MetadataBuilder()
+                      .withMetadata(f.metadata)
+                      .putString("CURRENT_DEFAULT", sql)
+                      .putString("EXISTS_DEFAULT", sql).build())
+                })
+              }
           case c: TableChange.RenameColumn =>
             SchemaEvo.renameAt(s, c.fieldNames.toSeq, c.newName)
           case c: TableChange.DeleteColumn =>

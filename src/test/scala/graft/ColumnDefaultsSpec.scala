@@ -51,16 +51,35 @@ class ColumnDefaultsSpec extends AnyFunSuite {
       (3L, 7, "unset", 1.5)))
   }
 
-  test("ALTER-time defaults refuse (no exists-default backfill lie)") {
+  test("ALTER ADD COLUMN DEFAULT: old rows backfill, new inserts fill") {
     wh
     spark.sql("""CREATE TABLE dft.db.t2 (pk BIGINT, ts INT)
       USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
     spark.sql("INSERT INTO dft.db.t2 VALUES (1, 0)")
-    val e = intercept[Exception](
-      spark.sql("ALTER TABLE dft.db.t2 ADD COLUMN c INT DEFAULT 5"))
-    assert(e.getMessage.contains("DEFAULT"), e.getMessage)
-    // plain ADD COLUMN still works and null-backfills
-    spark.sql("ALTER TABLE dft.db.t2 ADD COLUMN c INT")
-    assert(spark.sql("SELECT c FROM dft.db.t2").collect()(0).isNullAt(0))
+    spark.sql("ALTER TABLE dft.db.t2 ADD COLUMN c INT DEFAULT 5")
+    spark.sql("ALTER TABLE dft.db.t2 ADD COLUMN tag STRING DEFAULT 'x'")
+    // the pre-alter row reads the EXISTS default — never NULL
+    assert(spark.sql("SELECT c, tag FROM dft.db.t2 WHERE pk = 1")
+      .collect()(0).toSeq == Seq(5, "x"))
+    // an INSERT omitting the column fills it forward
+    spark.sql("INSERT INTO dft.db.t2 (pk, ts) VALUES (2, 0)")
+    // an INSERT providing it wins
+    spark.sql("INSERT INTO dft.db.t2 (pk, ts, c) VALUES (3, 0, 9)")
+    val got = spark.sql("SELECT pk, c, tag FROM dft.db.t2 ORDER BY pk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 5, "x"), (2L, 5, "x"), (3L, 9, "x")))
+    // streaming tail agrees with the batch surface on old rows
+    val t = graft.lake.LakeTable(spark, graft.lake.TableDescriptor
+      .load(s"$wh/db/t2", spark.sparkContext.hadoopConfiguration).get
+      .config(s"$wh/db/t2"))
+    val tail = new graft.sources.GraftTailSource(
+      spark.sqlContext, t, t.tailSchema)
+    val first = tail.batchFrame(-1, 1) // bulk insert commit only
+    assert(first.select("c").collect()(0).getInt(0) == 5,
+      "stream backfill must match batch exists-default")
+    // a malformed default fails loud at ALTER time, not at read time
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE dft.db.t2 ADD COLUMN bad INT DEFAULT 'oops'"))
+    assert(e.getMessage != null)
   }
 }

@@ -177,6 +177,40 @@ class ShredFileSkipSpec extends AnyFunSuite {
     assert(t3.config.shredSpecs.isEmpty)
   }
 
+  test("maintenance rewrites backfill shadow stats for pre-entry files") {
+    // table WITHOUT shredPaths first: files carry no shadow stats
+    val root = freshRoot()
+    def cfg(shred: Seq[String]) = LakeTableConfig(root,
+      keyCols = Seq("id"), precombineCol = "ts",
+      partitionCols = Seq("pb"), clusterCols = Seq("uid"),
+      shredPaths = shred)
+    val t0 = LakeTable(spark, cfg(Seq.empty))
+    val df = (0 until 40).toDF("id")
+      .select(col("id").cast("long").as("id"),
+        col("id").cast("long").as("uid"),
+        (col("id") / 10).cast("int").as("pb"),
+        to_json(struct(col("id").cast("long").as("uid"))).as("js"),
+        lit(0).as("ts"))
+    t0.bulkInsert(df)
+    // entry added AFTER the data existed (the ALTER shape): old files
+    // have no stat for it — correct but unpruned
+    val t = LakeTable(spark, cfg(Seq("js:$.uid:bigint")))
+    val all = t.read().inputFiles.length
+    val pred = get_json_object(col("js"), "$.uid").cast("bigint") < 5
+    assert(t.read(pred).inputFiles.length == all,
+      "pre-entry files carry no shadow stat and must be kept")
+    assert(t.read(pred).count() == 5)
+    // any rewrite recomputes shadows on the way out: recluster the
+    // table and the SAME predicate now skips
+    t.recluster()
+    val t2 = LakeTable(spark, cfg(Seq("js:$.uid:bigint")))
+    val all2 = t2.read().inputFiles.length
+    assert(all2 >= 3, s"recluster should keep range-split files, got $all2")
+    assert(t2.read(pred).inputFiles.length < all2,
+      "reclustered files must carry shadow stats and prune")
+    assert(t2.read(pred).count() == 5)
+  }
+
   test("guards: malformed entries fail loud; reserved prefix refused") {
     intercept[IllegalArgumentException](ShredSpec.parse("nocolons"))
     intercept[IllegalArgumentException](ShredSpec.parse("c:notapath:int"))
