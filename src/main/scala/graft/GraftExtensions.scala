@@ -26,6 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session constructed with spark.sql.extensions=graft.GraftExtensions;
     // imperative register() below covers only the function surface)
     ext.injectResolutionRule(spark => sql.GraftDmlRule(spark))
+    // SQL views + CREATE MATERIALIZED VIEW read/DDL resolution (the
+    // DDL statements themselves are claimed at parse time below —
+    // Spark 4.1's ResolveSessionCatalog rejects v2-catalog views before
+    // any resolution rule could run)
+    ext.injectResolutionRule(spark => sql.GraftViewRule(spark))
+    ext.injectParser((_, delegate) => new sql.GraftSqlParser(delegate))
+    // transparent materialized-view rewrite (fresh MVs answer matching
+    // aggregates; disable with spark.graft.mvRewrite=false)
+    ext.injectOptimizerRule(spark => sql.GraftMvRewrite(spark))
   }
 }
 

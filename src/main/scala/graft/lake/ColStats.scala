@@ -1,0 +1,174 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table-level column statistics for the cost-based optimizer — the
+  * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` role, persisted at
+  * `<root>/_log/_colstats.json` and served to Spark through the DSv2
+  * scan's `columnStats()` ([[graft.sql.GraftBatchScan]]), where
+  * Catalyst's `CostBasedJoinReorder`/`JoinEstimation` consume NDV and
+  * null counts to pick join orders.
+  *
+  * Collection is ONE distributed aggregation pass over the snapshot
+  * (`approx_count_distinct` + null count + min/max + length moments per
+  * column, all map-side combinable) — O(scan) once, on demand, exactly
+  * like engines' ANALYZE. Stats are ESTIMATES pinned to the commit they
+  * were computed at: reads at a later commit still serve them (CBO
+  * tolerates staleness by design; the row COUNT the planner mixes them
+  * with stays commit-log-exact per scan). Re-run after large mutations,
+  * or wire `CALL graft.system.analyze` into the maintenance policy.
+  *
+  * At 100 TB: the pass is a single shuffle-free scan with a tiny
+  * all-to-one partial-agg merge (HLL registers + scalars per column);
+  * the artifact is O(columns), not O(data), so serving it at plan time
+  * is one small JSON read.
+  */
+final case class ColStat(
+    ndv: Long,
+    nulls: Long,
+    /** rendered min/max (numeric/temporal columns only — strings don't
+      * drive range estimation); null = unavailable */
+    min: String = null,
+    max: String = null,
+    /** average/max byte length (string/binary columns; fixed-width
+      * types report their type size) */
+    avgLen: Long = 0L,
+    maxLen: Long = 0L)
+
+final case class ColStatsFile(
+    /** commit the pass ran at — staleness is visible, not hidden */
+    commit: Long,
+    rows: Long,
+    cols: Map[String, ColStat])
+
+object ColStats {
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  def file(root: String) = new Path(root, "_log/_colstats.json")
+
+  def save(root: String, s: ColStatsFile, hconf: Configuration): Unit = {
+    val p = file(root)
+    val fs = p.getFileSystem(hconf)
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsBytes(s)) finally out.close()
+  }
+
+  def load(root: String, hconf: Configuration): Option[ColStatsFile] = {
+    val p = file(root)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else {
+      val in: java.io.InputStream = fs.open(p)
+      try Some(mapper.readValue(in, classOf[ColStatsFile]))
+      finally in.close()
+    }
+  }
+
+  /** which columns get range stats served to the planner (catalyst
+    * internal forms are plain JVM numerics for these — strings would
+    * need UTF8String and don't drive range estimation anyway) */
+  private[graft] def rangeType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => false // rendered decimals don't round-trip exactly
+    case _ => false
+  }
+
+  /** run the one-pass analyze over `table`'s current snapshot and
+    * persist the artifact; returns the analyzed commit id (None on an
+    * empty table — nothing to serve). */
+  def analyze(table: LakeTable, columns: Seq[String] = Seq.empty): Option[Long] = {
+    val head = table.log.latestId.getOrElse(return None)
+    val snap = table.read()
+    val schema = snap.schema
+    val want =
+      if (columns.nonEmpty) columns
+      else schema.fields.collect {
+        // top-level, non-nested, non-engine columns
+        case f if !f.name.startsWith("_") && (f.dataType match {
+          case _: StructType | _: ArrayType | _: MapType => false
+          case _ => true
+        }) => f.name
+      }.toSeq
+    val fields = want.flatMap(c => schema.fields.find(_.name == c))
+    if (fields.isEmpty) return None
+
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        approx_count_distinct(c).as(s"ndv__${f.name}"),
+        count(c).as(s"nn__${f.name}"))
+      val range =
+        if (rangeType(f.dataType))
+          Seq(min(c).cast(StringType).as(s"min__${f.name}"),
+            max(c).cast(StringType).as(s"max__${f.name}"))
+        else Seq.empty
+      val len = f.dataType match {
+        case StringType | BinaryType => Seq(
+          avg(octet_length(c.cast(StringType))).as(s"avg__${f.name}"),
+          max(octet_length(c.cast(StringType))).as(s"maxl__${f.name}"))
+        case _ => Seq.empty
+      }
+      base ++ range ++ len
+    } :+ count(lit(1)).as("rows__")
+    val row = snap.agg(aggs.head, aggs.tail: _*).collect().head
+    val rows = row.getAs[Long]("rows__")
+
+    val cols = fields.map { f =>
+      def opt[T](n: String): Option[T] =
+        if (row.schema.fieldNames.contains(n) && !row.isNullAt(row.fieldIndex(n)))
+          Some(row.getAs[T](n)) else None
+      val fixed = f.dataType.defaultSize.toLong
+      f.name -> ColStat(
+        ndv = row.getAs[Long](s"ndv__${f.name}"),
+        nulls = rows - row.getAs[Long](s"nn__${f.name}"),
+        min = opt[String](s"min__${f.name}").orNull,
+        max = opt[String](s"max__${f.name}").orNull,
+        avgLen = f.dataType match {
+          case StringType | BinaryType =>
+            opt[java.lang.Double](s"avg__${f.name}").map(d => math.ceil(d.doubleValue).toLong).getOrElse(0L)
+          case _ => fixed
+        },
+        maxLen = f.dataType match {
+          case StringType | BinaryType =>
+            opt[Any](s"maxl__${f.name}").map(v => v.toString.toLong).getOrElse(0L)
+          case _ => fixed
+        })
+    }.toMap
+    ColStats.save(table.config.root, ColStatsFile(head, rows, cols),
+      table.spark.sparkContext.hadoopConfiguration)
+    Some(head)
+  }
+
+  /** parse a rendered range value back to its CATALYST-internal form
+    * for the planner (dates/timestamps are epoch-scaled integers in
+    * catalyst; `cast(StringType)` rendered them as text, so re-parse
+    * through the type) */
+  private[graft] def catalystValue(s: String, dt: DataType): Option[Any] = {
+    if (s == null) return None
+    scala.util.Try(dt match {
+      case ByteType => s.toByte
+      case ShortType => s.toShort
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case DateType =>
+        java.time.LocalDate.parse(s).toEpochDay.toInt
+      case TimestampType | TimestampNTZType =>
+        val norm = s.replace(' ', 'T')
+        val ldt = java.time.LocalDateTime.parse(norm)
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      case _ => return None
+    }).toOption
+  }
+}

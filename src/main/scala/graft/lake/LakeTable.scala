@@ -2815,6 +2815,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * swept; keep the threshold above the longest plausible write.
     * Returns the deleted directory paths.
     */
+  /** ANALYZE: one distributed pass collecting per-column NDV / null
+    * counts / ranges / lengths into `_log/_colstats.json`, served to
+    * Spark's cost-based optimizer through the native scan
+    * ([[ColStats]]). Returns the analyzed commit id. */
+  def analyzeColumns(columns: Seq[String] = Seq.empty): Option[Long] =
+    ColStats.analyze(this, columns)
+
   def vacuumOrphans(olderThanMs: Long = 60L * 60 * 1000): Seq[String] = {
     val dataRoot = new Path(config.root, "data")
     val fs = dataRoot.getFileSystem(hconf)

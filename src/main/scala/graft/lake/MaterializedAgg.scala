@@ -57,11 +57,17 @@ final class MaterializedAgg(
     dims: Seq[String],
     sums: Map[String, String],
     mins: Map[String, String] = Map.empty,
-    maxs: Map[String, String] = Map.empty) {
+    maxs: Map[String, String] = Map.empty,
+    /** name of the maintained row-count column (SQL MVs surface the
+      * user's `count(*)` alias; the count always exists — it drives the
+      * delete-on-zero rule) */
+    countCol: String = "n_rows") {
   require(dims.nonEmpty, "need at least one dimension column")
   require((sums.keySet & mins.keySet).isEmpty &&
     (sums.keySet & maxs.keySet).isEmpty && (mins.keySet & maxs.keySet).isEmpty,
     "sum/min/max output column names must be disjoint")
+  require(!(sums.keySet ++ mins.keySet ++ maxs.keySet ++ dims).contains(countCol),
+    s"count column '$countCol' collides with a dimension or measure name")
 
   val table: LakeTable = LakeTable(spark, LakeTableConfig(
     aggRoot, keyCols = dims, precombineCol = "_src_commit"))
@@ -109,13 +115,13 @@ final class MaterializedAgg(
   private def minCols = mins.keys.toSeq.sorted
   private def maxCols = maxs.keys.toSeq.sorted
   /** delta-maintained measures (count + sums) */
-  private def measures = "n_rows" +: sumCols
+  private def measures = countCol +: sumCols
   /** recomputed measures (order statistics) */
   private def orderCols = minCols ++ maxCols
 
   private def aggOf(df: DataFrame): DataFrame =
     df.groupBy(dims.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
+      .agg(count(lit(1)).as(countCol),
         sumCols.map(c => sum(expr(sums(c))).as(c)) ++
           minCols.map(c => min(expr(mins(c))).as(c)) ++
           maxCols.map(c => max(expr(maxs(c))).as(c)): _*)
@@ -197,7 +203,7 @@ final class MaterializedAgg(
     // for delete-only windows — see SrcKey)
     table.merge(payload)
       .withCommitMeta(Map(SrcKey -> to.toString))
-      .whenMatchedDelete(Some(col("t.n_rows") + col("s._d_n_rows") <= 0))
+      .whenMatchedDelete(Some(col(s"t.$countCol") + col(s"s._d_$countCol") <= 0))
       .whenMatchedUpdate(
         measures.map(c => c -> (col(s"t.$c") + col(s"s._d_$c"))).toMap ++
           orderCols.map(c => c -> col(s"s._v_$c")).toMap +
@@ -205,7 +211,7 @@ final class MaterializedAgg(
       .whenNotMatchedInsert(
         measures.map(c => c -> col(s"s._d_$c")).toMap ++
           orderCols.map(c => c -> col(s"s._v_$c")).toMap,
-        cond = Some(col("s._d_n_rows") > 0))
+        cond = Some(col(s"s._d_$countCol") > 0))
       .execute()
     mark.record(to)
     Some(to)

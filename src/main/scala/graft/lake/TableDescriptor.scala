@@ -64,7 +64,14 @@ final case class TableDescriptor(
     updateMode: String = "rewrite",
     /** VARIANT/JSON shredding entries ([[LakeTableConfig.shredPaths]]);
       * null-safe via config() for pre-upgrade JSONs */
-    shredPaths: Seq[String] = Seq.empty) {
+    shredPaths: Seq[String] = Seq.empty,
+    /** when this table IS a materialized view: its maintenance recipe
+      * (null on ordinary tables and pre-upgrade JSONs) */
+    matView: MatViewDescriptor = null,
+    /** roots of materialized views defined over THIS table — consulted
+      * by the transparent aggregate-rewrite rule; stale entries (dropped
+      * MVs) are skipped there, so this list is advisory, not load-bearing */
+    matViews: Seq[String] = Seq.empty) {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
@@ -82,6 +89,34 @@ final case class TableDescriptor(
     updateMode = Option(updateMode).getOrElse("rewrite"),
     shredPaths = Option(shredPaths).getOrElse(Seq.empty))
 }
+
+/** Materialized-view maintenance recipe, persisted inside the MV's own
+  * [[TableDescriptor]]: the MV *is* a LakeTable (keyed by its
+  * dimensions, incrementally maintained by [[MaterializedAgg]]), so it
+  * inherits snapshot isolation, time travel and OCC; this record lets
+  * `CALL graft.system.refresh_mv` and the transparent rewrite rule
+  * ([[graft.sql.GraftMvRewrite]]) reconstruct the maintenance math from
+  * disk alone.
+  */
+final case class MatViewDescriptor(
+    /** source table root (absolute path under some warehouse) */
+    source: String,
+    /** dimension (GROUP BY) columns — the MV table's key */
+    dims: Seq[String],
+    /** output column → SQL expression for SUM measures (integer-typed:
+      * exact under incremental add/subtract) */
+    sums: Map[String, String] = Map.empty,
+    mins: Map[String, String] = Map.empty,
+    maxs: Map[String, String] = Map.empty,
+    /** name the user gave `count(*)`; "n_rows" when not projected (the
+      * count is always maintained — it drives the delete-on-zero rule) */
+    countCol: String = "n_rows",
+    /** whether the defining query projected the count at all (a MV with
+      * only sum/min/max measures still maintains the count internally,
+      * but the rewrite must not offer it) */
+    countExposed: Boolean = true,
+    /** original CREATE MATERIALIZED VIEW ... AS text */
+    sql: String = "")
 
 object TableDescriptor {
   private val mapper = new ObjectMapper()

@@ -470,6 +470,82 @@ object Sql {
     })
   }
 
+  /** SQL views fixture (r14): a column-aliased view over the DML
+    * fixture's final nation state plus a view-over-view aggregate —
+    * exercising parse-time DDL interception, definer-context
+    * qualification, alias projection, and eager nested expansion
+    * ([[graft.sql.GraftSqlParser]] / [[graft.sql.GraftViewRule]]). */
+  private[graft] def viewFixture(s: SparkSession, d: String): String = {
+    val cat = dmlFixture(s, d)
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:views", _ => {
+      s.sql(s"""CREATE VIEW $cat.db.nation_v (key, name, region) AS
+        SELECT n_nationkey, n_name, n_regionkey FROM $cat.db.nation
+        WHERE n_regionkey <= 2""")
+      s.sql(s"""CREATE VIEW $cat.db.nation_v2 AS
+        SELECT region, count(*) AS n, max(name) AS top_name
+        FROM $cat.db.nation_v GROUP BY region""")
+      cat
+    })
+  }
+
+  /** SQL materialized-view fixture (r14): CREATE MATERIALIZED VIEW over
+    * a lineitem-derived fact table, then move the source and refresh
+    * incrementally (`CALL graft.system.refresh_mv`) — the MV must track
+    * the head through the delta path, and the SAME aggregate issued
+    * against the source table must transparently rewrite onto the MV
+    * ([[graft.sql.GraftMvRewrite]], plan-asserted in ViewSpec). */
+  private[graft] def matViewFixture(s: SparkSession, d: String): String = {
+    val cat = dmlFixture(s, d)
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:matview", _ => {
+      T.lineitem(s, d).createOrReplaceTempView("mv_li_src")
+      s.sql(s"""CREATE TABLE $cat.db.mv_fact (l_orderkey BIGINT,
+          l_linenumber INT, l_returnflag STRING, qty100 BIGINT, update_ts INT)
+        USING graft
+        TBLPROPERTIES (keyCols='l_orderkey,l_linenumber', precombineCol='update_ts')""")
+      // the synthetic lineitem is NOT key-unique on (okey, lnum) —
+      // collapse per key with deterministic per-column max so the
+      // upsert's tie-break never decides the content (oracle mirrors)
+      s.sql(s"""INSERT INTO $cat.db.mv_fact
+        SELECT l_orderkey, l_linenumber, max(l_returnflag),
+               max(CAST(floor(l_quantity * 100) AS BIGINT)), 0
+        FROM mv_li_src GROUP BY l_orderkey, l_linenumber""")
+      // MV creation refreshes to the head (c0)
+      s.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_agg AS
+        SELECT l_returnflag, count(*) AS n, sum(qty100) AS sum_qty100,
+               min(qty100) AS min_q, max(qty100) AS max_q
+        FROM $cat.db.mv_fact GROUP BY l_returnflag""")
+      // c1: upsert every R row +100 — the refresh below must apply the
+      // DELTA (changed keys only), not rebuild
+      s.sql(s"""INSERT INTO $cat.db.mv_fact
+        SELECT l_orderkey, l_linenumber, max(l_returnflag),
+               max(CAST(floor(l_quantity * 100) AS BIGINT)) + 100, 1
+        FROM mv_li_src GROUP BY l_orderkey, l_linenumber
+        HAVING max(l_returnflag) = 'R'""")
+      s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg')").collect()
+      cat
+    })
+  }
+
+  /** CBO fixture (r14): ANALYZE both sides of a catalog join so the
+    * scans serve column stats (NDV/nulls/ranges) to Catalyst, then run
+    * the join with cost-based reorder enabled — the stats must steer
+    * planning without ever changing results (CboStatsSpec pins that the
+    * join tree actually moves; here the oracle pins the values). */
+  private[graft] def cboFixture(s: SparkSession, d: String): String = {
+    val cat = dmlFixture(s, d)
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:cbo", _ => {
+      T.region(s, d).createOrReplaceTempView("cbo_region_src")
+      s.sql(s"""CREATE TABLE $cat.db.region_dim (r_regionkey INT,
+          r_name STRING, update_ts INT) USING graft
+        TBLPROPERTIES (keyCols='r_regionkey', precombineCol='update_ts')""")
+      s.sql(s"""INSERT INTO $cat.db.region_dim
+        SELECT r_regionkey, r_name, 0 FROM cbo_region_src""")
+      s.sql(s"CALL $cat.system.analyze('db.nation')").collect()
+      s.sql(s"CALL $cat.system.analyze('db.region_dim')").collect()
+      cat
+    })
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     // ---- SQL DEFAULT column values (r14) --------------------------------
@@ -1050,6 +1126,117 @@ object Sql {
                        l_returnflag, l_quantity + 9000 AS l_quantity,
                        1 AS update_ts FROM r)
         SELECT * FROM kept UNION ALL SELECT * FROM ins
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- SQL views (r14) -----------------------------------------------
+    // parse-time DDL (Spark 4.1 has no native v2-view path), read-time
+    // text expansion with column aliases over the DML fixture's final
+    // nation state
+    GQuery("lake_sql_view",
+      (s, d) => {
+        val cat = viewFixture(s, d)
+        s.sql(s"SELECT key, name, region FROM $cat.db.nation_v ORDER BY key")
+      },
+      Some("""SELECT n_nationkey AS key,
+          CASE WHEN n_regionkey = 2 THEN n_name || '!' ELSE n_name END AS name,
+          n_regionkey AS region
+        FROM nation WHERE n_nationkey < 20 AND n_regionkey <= 2
+        ORDER BY key""")),
+
+    // view over view: the aggregate body expands THROUGH nation_v's
+    // aliased projection in one analyzer firing (eager nested expansion)
+    GQuery("lake_sql_view_nested",
+      (s, d) => {
+        val cat = viewFixture(s, d)
+        s.sql(s"SELECT region, n, top_name FROM $cat.db.nation_v2 ORDER BY region")
+      },
+      Some("""WITH v AS (
+          SELECT n_nationkey AS key,
+            CASE WHEN n_regionkey = 2 THEN n_name || '!' ELSE n_name END AS name,
+            n_regionkey AS region
+          FROM nation WHERE n_nationkey < 20 AND n_regionkey <= 2)
+        SELECT region, CAST(count(*) AS BIGINT) AS n, max(name) AS top_name
+        FROM v GROUP BY region ORDER BY region""")),
+
+    // ---- SQL materialized view (r14) -------------------------------------
+    // direct MV read after an INCREMENTAL refresh (create at c0, source
+    // moves to c1, CALL refresh_mv applies the delta) — the MV table
+    // must equal a direct aggregation of the source's final state
+    GQuery("lake_sql_matview",
+      (s, d) => {
+        val cat = matViewFixture(s, d)
+        s.sql(s"""SELECT l_returnflag, n, sum_qty100, min_q, max_q
+          FROM $cat.db.mv_agg ORDER BY l_returnflag""")
+      },
+      Some("""WITH f0 AS (
+          SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+            CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        f AS (
+          SELECT l_returnflag,
+            q + CASE WHEN l_returnflag = 'R' THEN 100 ELSE 0 END AS qty100
+          FROM f0)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(qty100) AS BIGINT) AS sum_qty100,
+          CAST(min(qty100) AS BIGINT) AS min_q,
+          CAST(max(qty100) AS BIGINT) AS max_q
+        FROM f GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // the SAME aggregate issued against the SOURCE table: answered from
+    // the fresh MV by the transparent rewrite (GraftMvRewrite; ViewSpec
+    // pins the plan actually reads the MV) — and must hash-match the
+    // direct aggregation either way, because the rewrite only fires on
+    // an exactly-fresh MV
+    GQuery("lake_sql_matview_rewrite",
+      (s, d) => {
+        val cat = matViewFixture(s, d)
+        s.sql(s"""SELECT l_returnflag, count(*) AS n, sum(qty100) AS sum_qty100,
+            min(qty100) AS min_q, max(qty100) AS max_q
+          FROM $cat.db.mv_fact GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""WITH f0 AS (
+          SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+            CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        f AS (
+          SELECT l_returnflag,
+            q + CASE WHEN l_returnflag = 'R' THEN 100 ELSE 0 END AS qty100
+          FROM f0)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(qty100) AS BIGINT) AS sum_qty100,
+          CAST(min(qty100) AS BIGINT) AS min_q,
+          CAST(max(qty100) AS BIGINT) AS max_q
+        FROM f GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- ANALYZE + cost-based join (r14) --------------------------------
+    // both scans serve analyzed column stats (NDV/nulls/ranges) through
+    // DSv2 columnStats; the join plans under spark.sql.cbo.enabled with
+    // join reorder on (plan forced while the flag holds — conf is
+    // restored after). Stats may only STEER the plan: the oracle pins
+    // that values are untouched.
+    GQuery("lake_sql_cbo_join",
+      (s, d) => {
+        val cat = cboFixture(s, d)
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        try {
+          val df = s.sql(s"""SELECT n.n_nationkey,
+              n.n_name, r.r_name
+            FROM $cat.db.nation n
+            JOIN $cat.db.region_dim r ON n.n_regionkey = r.r_regionkey
+            ORDER BY n.n_nationkey""")
+          df.queryExecution.optimizedPlan // force planning under CBO
+          df
+        } finally {
+          s.conf.unset("spark.sql.cbo.enabled")
+          s.conf.unset("spark.sql.cbo.joinReorder.enabled")
+        }
+      },
+      Some("""SELECT n.n_nationkey,
+          CASE WHEN n.n_regionkey = 2 THEN n.n_name || '!' ELSE n.n_name END AS n_name,
+          r.r_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE n.n_nationkey < 20
+        ORDER BY n.n_nationkey"""))
   )
 }

@@ -86,9 +86,49 @@ final class GraftBatchScan(
 
   // ---- statistics (planner broadcast/reorder decisions) ---------------
 
+  /** ANALYZE artifact ([[graft.lake.ColStats]]), loaded once per scan:
+    * NDV / null counts / numeric ranges / string lengths feed Catalyst's
+    * CBO (join reorder, filter selectivity) through the DSv2
+    * `columnStats` surface. Absent file = no column stats, estimates-
+    * only planning — never an error. */
+  private lazy val analyzed: Option[graft.lake.ColStatsFile] =
+    graft.lake.ColStats.load(table.lake.config.root,
+      spark.sparkContext.hadoopConfiguration)
+
   override def estimateStatistics(): Statistics = {
     val fs = files
     new Statistics {
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val out = new java.util.HashMap[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        analyzed.foreach { cs =>
+          required.fields.foreach { f =>
+            cs.cols.get(f.name).foreach { st =>
+              out.put(Expressions.column(f.name),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): OptionalLong = OptionalLong.of(st.ndv)
+                  override def nullCount(): OptionalLong = OptionalLong.of(st.nulls)
+                  override def avgLen(): OptionalLong =
+                    if (st.avgLen > 0) OptionalLong.of(st.avgLen) else OptionalLong.empty()
+                  override def maxLen(): OptionalLong =
+                    if (st.maxLen > 0) OptionalLong.of(st.maxLen) else OptionalLong.empty()
+                  override def min(): java.util.Optional[Object] =
+                    graft.lake.ColStats.catalystValue(st.min, f.dataType) match {
+                      case Some(v) => java.util.Optional.of(v.asInstanceOf[Object])
+                      case None => java.util.Optional.empty()
+                    }
+                  override def max(): java.util.Optional[Object] =
+                    graft.lake.ColStats.catalystValue(st.max, f.dataType) match {
+                      case Some(v) => java.util.Optional.of(v.asInstanceOf[Object])
+                      case None => java.util.Optional.empty()
+                    }
+                })
+            }
+          }
+        }
+        out
+      }
       // commit-log exact bytes of the PRUNED file list (never 0: a
       // zero estimate would make an empty-pruned scan look free to
       // duplicate; 1 byte keeps it broadcastable without lying)

@@ -58,6 +58,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** warehouse root — the view store and MV commands resolve their
+    * persistence paths from it */
+  private[sql] def warehousePath: String = warehouse
+
   /** SQL DEFAULT column values (`CREATE TABLE t (c INT DEFAULT 5)`):
     * declaring the capability makes Spark validate the expression at
     * CREATE, embed it as field metadata in the schema we persist, and

@@ -1,0 +1,198 @@
+package graft.sql
+
+import scala.util.Try
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.lake.{LakeTable, MaterializedAgg, MatViewDescriptor, TableDescriptor}
+
+/** Transparent materialized-view rewrite (the BigQuery/Calcite
+  * aggregate-rewrite role): a GROUP-BY aggregate over a graft table
+  * whose registered MV covers it — dims a superset of the query's
+  * grouping columns, every measure derivable (`count(*)` → Σ count,
+  * `sum(e)` → Σ sum-col, `min`/`max` → min/max over the MV, the classic
+  * rollup algebra) — is answered from the MV instead of the table, but
+  * ONLY when the MV is exactly fresh (its applied source commit IS the
+  * table head). A stale or non-covering MV silently falls through to
+  * the base scan, so the rewrite can never change a result — freshness
+  * is re-checked per statement at optimization time.
+  *
+  * This is the 100 TB payoff of [[graft.lake.MaterializedAgg]]'s
+  * incremental maintenance: the dashboard aggregate that would scan the
+  * fact table answers from a dimension-cardinality table in
+  * milliseconds, and stays answerable because refresh cost is
+  * O(changed keys), never O(table).
+  *
+  * Runs as an injected operator-optimization rule, which in Spark 4.1
+  * fires BEFORE the early scan-pushdown batch — relations are still
+  * [[DataSourceV2Relation]]s and residual [[Filter]]s still sit in the
+  * plan (verified empirically), so matching `Aggregate [→ Project] [→
+  * Filter] → relation` sees the complete row-semantics of the subtree.
+  * A filter is rewritten onto the MV when it references only dimension
+  * columns; anything else disqualifies the rewrite.
+  *
+  * Disable per session with `spark.graft.mvRewrite=false`.
+  */
+final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.mvRewrite", "true").toBoolean) return plan
+    plan.transformUp {
+      case agg @ Aggregate(groupings, aggExprs, child, None) =>
+        tryRewrite(groupings, aggExprs, child).getOrElse(agg)
+    }
+  }
+
+  /** Aggregate [→ Project(attrs)] [→ Filter] → DataSourceV2Relation */
+  private def unwrap(p: LogicalPlan)
+      : Option[(Option[Expression], GraftTableV2, DataSourceV2Relation)] = p match {
+    case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(c)
+    case Filter(cond, c) => unwrap(c) match {
+      // two stacked filters fold; a filter above a project still only
+      // references live attrs, so unwrapping order doesn't matter
+      case Some((prev, t, r)) =>
+        Some((Some(prev.map(And(_, cond)).getOrElse(cond)), t, r))
+      case None => None
+    }
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
+      Some((None, r.table.asInstanceOf[GraftTableV2], r))
+    case _ => None
+  }
+
+  private def tryRewrite(
+      groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val (cond, table, rel) = unwrap(child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    // only the LIVE table (not time travel / .ro / a branch — branch
+    // roots differ from the registered source root, checked below)
+    if (table.pinnedAsOf.nonEmpty || table.isReadOptimized) return None
+    val mvRoots = Option(table.descriptor.matViews).getOrElse(Seq.empty)
+    if (mvRoots.isEmpty) return None
+
+    // the query must group by plain columns
+    val groupCols = groupings.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    mvRoots.iterator.flatMap { mvRoot =>
+      (for {
+        mvDesc <- Try(TableDescriptor.load(mvRoot, hconf)).toOption.flatten
+        mv <- Option(mvDesc.matView)
+        if mv.source == table.tableRoot
+        if groupCols.forall(g => mv.dims.exists(conf.resolver(_, g.name)))
+        if cond.forall(_.references.forall(a =>
+          mv.dims.exists(conf.resolver(_, a.name))))
+        plan <- build(mv, mvRoot, mvDesc, table, rel, groupCols, aggExprs, cond)
+      } yield plan).iterator
+    }.nextOption()
+  }
+
+  private def build(
+      mv: MatViewDescriptor, mvRoot: String, mvDesc: TableDescriptor,
+      table: GraftTableV2, rel: DataSourceV2Relation,
+      groupCols: Seq[AttributeReference], aggExprs: Seq[NamedExpression],
+      cond: Option[Expression]): Option[LogicalPlan] = {
+
+    // resolve the MV's stored measure expressions against the source
+    // relation's output, so a query aggregate can be matched
+    // SEMANTICALLY (not by SQL-text accident)
+    def resolveStored(sqlText: String): Option[Expression] =
+      Try(spark.sessionState.sqlParser.parseExpression(sqlText).transformUp {
+        case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+          rel.output.find(a => conf.resolver(a.name, u.nameParts.head))
+            .getOrElse(return None)
+      }).toOption.filter(_.resolved)
+    lazy val storedSums = mv.sums.flatMap { case (c, s) => resolveStored(s).map(c -> _) }
+    lazy val storedMins = mv.mins.flatMap { case (c, s) => resolveStored(s).map(c -> _) }
+    lazy val storedMaxs = mv.maxs.flatMap { case (c, s) => resolveStored(s).map(c -> _) }
+    def matching(stored: Map[String, Expression], e: Expression): Option[String] =
+      stored.collectFirst { case (c, se) if se.semanticEquals(e) => c }
+
+    // classify every output BEFORE touching the MV plan: any
+    // unsupported shape disqualifies the whole rewrite
+    sealed trait Out
+    case class Dim(name: String) extends Out
+    case object CountAll extends Out
+    case class SumOf(col: String) extends Out
+    case class MinOf(col: String) extends Out
+    case class MaxOf(col: String) extends Out
+    val outs: Seq[(NamedExpression, Out)] = aggExprs.map {
+      case a: AttributeReference if groupCols.exists(_.exprId == a.exprId) =>
+        a -> Dim(a.name)
+      case al @ Alias(a: AttributeReference, _)
+          if groupCols.exists(_.exprId == a.exprId) =>
+        al -> Dim(a.name)
+      case al @ Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(1, _))) => al -> CountAll
+          case Sum(e, _) => al -> SumOf(matching(storedSums, e).getOrElse(return None))
+          case Min(e) => al -> MinOf(matching(storedMins, e).getOrElse(return None))
+          case Max(e) => al -> MaxOf(matching(storedMaxs, e).getOrElse(return None))
+          case _ => return None
+        }
+      case _ => return None
+    }
+
+    // freshness: the MV must reflect EXACTLY the table head — checked
+    // last because it costs metadata IO (marker read + head listing)
+    val source = table.lake
+    val head = source.log.latestId.getOrElse(return None)
+    val agg = new MaterializedAgg(spark, source, mvRoot, mv.dims,
+      mv.sums, mv.mins, mv.maxs, Option(mv.countCol).getOrElse("n_rows"))
+    if (!agg.applied.contains(head)) return None
+
+    // splice the MV read as an analyzed subtree (aliases stripped — the
+    // Finish-Analysis batch already ran) and re-aggregate on it
+    val mvScan = org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
+      agg.table.read().queryExecution.analyzed)
+    // nested defs cannot non-locally return from build, so attribute
+    // lookup is Option-typed and every USE site (all inside build's own
+    // lambdas) bails the rewrite on a miss
+    def mvAttrOpt(n: String): Option[AttributeReference] =
+      mvScan.output.collectFirst {
+        case a: AttributeReference if conf.resolver(a.name, n) => a
+      }
+    val countAttr =
+      mvAttrOpt(Option(mv.countCol).getOrElse("n_rows")).getOrElse(return None)
+
+    // dims the query doesn't group by are rolled up; nullability must
+    // not WIDEN versus the original output (parents may rely on it)
+    val filtered = cond match {
+      case Some(c) => Filter(c.transformUp {
+        case a: AttributeReference => mvAttrOpt(a.name).getOrElse(return None)
+      }, mvScan)
+      case None => mvScan
+    }
+    val newGroupings = groupCols.map(g => mvAttrOpt(g.name).getOrElse(return None))
+    val newAggs: Seq[NamedExpression] = outs.map { case (orig, out) =>
+      val e: Expression = out match {
+        case Dim(n) => mvAttrOpt(n).getOrElse(return None)
+        case CountAll =>
+          Coalesce(Seq(Sum(countAttr).toAggregateExpression(), Literal(0L)))
+        case SumOf(c) => Sum(mvAttrOpt(c).getOrElse(return None)).toAggregateExpression()
+        case MinOf(c) => Min(mvAttrOpt(c).getOrElse(return None)).toAggregateExpression()
+        case MaxOf(c) => Max(mvAttrOpt(c).getOrElse(return None)).toAggregateExpression()
+      }
+      if (e.dataType != orig.dataType) return None
+      if (e.nullable && !orig.nullable) return None
+      Alias(e, orig.name)(exprId = orig.exprId)
+    }
+    logInfo(s"rewriting aggregate over ${table.tableRoot} onto fresh " +
+      s"materialized view $mvRoot")
+    Some(Aggregate(newGroupings, newAggs, filtered))
+  }
+}

@@ -102,7 +102,33 @@ private[sql] object GraftProcedures {
         // CoW DV hygiene rides the default policy: fold a file's DVs
         // once a tenth of its rows are position-deleted
         dvFoldRatio = 0.1))
-        .count(_._2 != "conflict-skipped").toLong))
+        .count(_._2 != "conflict-skipped").toLong),
+    // ANALYZE ... COMPUTE STATISTICS FOR COLUMNS role: one distributed
+    // pass collecting per-column NDV / nulls / ranges / lengths, served
+    // to Spark's CBO through the native scan's columnStats (enable
+    // spark.sql.cbo.enabled + joinReorder.enabled to consume them).
+    // Returns the analyzed commit id.
+    "analyze" -> (Seq.empty, (t, _) => t.analyzeColumns().getOrElse(-1L)),
+    // incremental materialized-view refresh (CREATE MATERIALIZED VIEW's
+    // maintenance verb): reconstructs the MaterializedAgg recipe from
+    // the MV's own descriptor and applies timeline deltas — O(changed
+    // keys), never a source rescan. Returns the source commit now
+    // reflected (-1 when the source has no commits yet).
+    "refresh_mv" -> (Seq.empty, (t, _) => {
+      val hconf = t.spark.sparkContext.hadoopConfiguration
+      val mv = graft.lake.TableDescriptor.load(t.config.root, hconf)
+        .flatMap(d => Option(d.matView))
+        .getOrElse(throw new IllegalArgumentException(
+          s"${t.config.root} is not a materialized view"))
+      val srcDesc = graft.lake.TableDescriptor.load(mv.source, hconf)
+        .getOrElse(throw new IllegalStateException(
+          s"materialized-view source vanished: ${mv.source}"))
+      val source = LakeTable(t.spark, srcDesc.config(mv.source))
+      new graft.lake.MaterializedAgg(t.spark, source, t.config.root,
+        mv.dims, mv.sums, mv.mins, mv.maxs,
+        Option(mv.countCol).getOrElse("n_rows"))
+        .refresh().getOrElse(-1L)
+    }))
 
   def names: Seq[String] = procs.keys.toSeq.sorted
 

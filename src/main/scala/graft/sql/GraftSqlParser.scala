@@ -1,0 +1,87 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Parser hook carrying view DDL on graft catalogs. Spark 4.1 parses
+  * `CREATE/DROP/ALTER VIEW` and `SHOW VIEWS` into v2 logical plans but
+  * its ResolveSessionCatalog analyzer rule unconditionally throws
+  * MISSING_CATALOG_ABILITY for any non-session catalog BEFORE injected
+  * resolution rules run (verified against the 4.1.2 bytecode: the
+  * CreateView case has no ViewCatalog branch) — so the interception has
+  * to happen at parse time, the integration point Iceberg's view support
+  * used for the same reason. Statements whose identifier does not
+  * resolve to a [[GraftCatalog]] pass through byte-identical.
+  *
+  * Everything except `parsePlan` delegates untouched; `parsePlan`
+  * delegates and then pattern-rewrites exactly four node types, so the
+  * per-statement overhead for non-view SQL is one instanceof chain.
+  */
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private def session = SparkSession.active
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(delegate.parsePlan(sqlText))
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case cv @ CreateView(UnresolvedIdentifier(parts, _), cols, comment,
+        _, props, originalText, query, allowExisting, replace, _) =>
+      ViewResolution.resolve(session, parts) match {
+        case Some((cat, ns, name)) =>
+          GraftCreateViewCommand(cat.name, ns, name, cols.map(_._1),
+            comment, props, originalText, query, allowExisting, replace)
+        case None => cv
+      }
+    case dv @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
+      ViewResolution.resolve(session, parts) match {
+        case Some((cat, ns, name)) =>
+          GraftDropViewCommand(cat.name, ns, name, ifExists)
+        case None => dv
+      }
+    case av @ AlterViewAs(UnresolvedView(parts, _, _, _), originalText, query) =>
+      ViewResolution.resolve(session, parts) match {
+        case Some((cat, ns, name)) =>
+          GraftAlterViewAsCommand(cat.name, ns, name, Some(originalText), query)
+        case None => av
+      }
+    case sv @ ShowViews(UnresolvedNamespace(parts, _), pattern, output) =>
+      // SHOW VIEWS names a NAMESPACE, not a view: parts are the full
+      // namespace. Resolve its catalog head the same way.
+      val resolved = parts match {
+        case head +: rest if ViewResolution.graftCatalog(session, head).isDefined =>
+          Some((ViewResolution.graftCatalog(session, head).get, rest))
+        case _ => session.sessionState.catalogManager.currentCatalog match {
+          case g: GraftCatalog =>
+            Some((g, if (parts.nonEmpty) parts
+              else session.sessionState.catalogManager.currentNamespace.toSeq))
+          case _ => None
+        }
+      }
+      resolved match {
+        case Some((cat, ns)) => GraftShowViewsCommand(cat.name, ns, pattern, output)
+        case None => sv
+      }
+    case other => other
+  }
+
+  // ---- pure delegation --------------------------------------------------
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -59,6 +59,15 @@ final class GraftTableV2(
 
   private[sql] lazy val lake: LakeTable = LakeTable(spark, desc.config(root))
 
+  // introspection for the MV rewrite rule ([[GraftMvRewrite]]): which
+  // physical table this relation reads, at which pin, and its
+  // catalog-load-time descriptor (fresh per statement — loadTable runs
+  // per query, so registered-MV lists are as fresh as any catalog read)
+  private[sql] def tableRoot: String = root
+  private[sql] def pinnedAsOf: Option[Long] = asOf
+  private[sql] def isReadOptimized: Boolean = readOptimized
+  private[sql] def descriptor: TableDescriptor = desc
+
   private val metaCols =
     Set("_commit_id", "_record_key", LakeTable.BucketCol, "_seq", "_deleted")
 

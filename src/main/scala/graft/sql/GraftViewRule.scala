@@ -1,0 +1,213 @@
+package graft.sql
+
+import scala.util.Try
+
+import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, ResolvedIdentifier, UnresolvedRelation, UnresolvedSubqueryColumnAliases}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+import graft.lake.{LakeTable, MaterializedAgg, MatViewDescriptor, TableDescriptor}
+
+/** Read-side view resolution + `CREATE MATERIALIZED VIEW` interception.
+  *
+  * **Views**: an [[UnresolvedRelation]] that names a stored graft view
+  * (real tables never reach here — relation resolution runs earlier in
+  * the same analyzer batch, so anything still unresolved is either a
+  * view or an error) is replaced by its parsed definition, expanded
+  * EAGERLY: nested views substitute recursively inside one rule firing
+  * with a seen-set, so reference cycles fail with a clear error instead
+  * of exhausting analyzer iterations. Relation names inside a view body
+  * are qualified in the DEFINER's frozen context (ANSI view semantics).
+  * CTEs inside a body are substituted manually — the analyzer's
+  * Substitution batch has already run by the time the body is spliced.
+  *
+  * **Materialized views**: Spark 4.1 parses `CREATE MATERIALIZED VIEW`
+  * into [[CreateMaterializedViewAsSelect]] (for declarative-pipeline
+  * catalogs) but ships no executor for it; graft claims the statement
+  * when the identifier lands in a [[GraftCatalog]] and the (analyzed)
+  * query is a single GROUP-BY aggregate over one graft table — exactly
+  * the shape [[graft.lake.MaterializedAgg]] maintains incrementally.
+  */
+final case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u @ UnresolvedRelation(parts, _, false) =>
+      substitute(parts, Set.empty).getOrElse(u)
+    case c: CreateMaterializedViewAsSelect if c.query.resolved =>
+      c.name match {
+        case ResolvedIdentifier(cat: GraftCatalog, ident) =>
+          GraftCreateMatViewCommand(cat.name,
+            ident.namespace.toSeq, ident.name, c.query,
+            c.originalText, c.ifNotExists)
+        case _ => c
+      }
+  }
+
+  /** expand `parts` if it names a stored view; None = not a view */
+  private def substitute(parts: Seq[String], seen: Set[Seq[String]])
+      : Option[LogicalPlan] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    for {
+      (cat, ns, name) <- ViewResolution.resolve(spark, parts)
+      v <- ViewStore.load(cat.warehousePath, ns, name, hconf)
+    } yield {
+      val full = (cat.name +: ns :+ name).map(_.toLowerCase)
+      if (seen.contains(full))
+        throw new AnalysisException("RECURSIVE_VIEW", Map(
+          "viewIdent" -> full.mkString("."),
+          "newPath" -> (seen.map(_.mkString(".")) + full.mkString(".")).mkString(" -> ")))
+      val parsed = spark.sessionState.sqlParser.parsePlan(v.sql)
+      // WITH clauses: the Substitution batch ran before this rule fires,
+      // so spliced bodies must substitute their own CTEs
+      val cted = CTESubstitution(parsed)
+      val qualified = qualify(cted, v, seen + full)
+      val aliased =
+        if (v.columnAliases.nonEmpty)
+          UnresolvedSubqueryColumnAliases(v.columnAliases, qualified)
+        else qualified
+      SubqueryAlias((cat.name +: ns :+ name).mkString("."), aliased)
+    }
+  }
+
+  /** qualify every relation in a view body against the definer's frozen
+    * context, expanding nested views inline (subqueries included) */
+  private def qualify(p: LogicalPlan, v: ViewDef, seen: Set[Seq[String]])
+      : LogicalPlan = {
+    val cm = spark.sessionState.catalogManager
+    def registered(n: String): Boolean = Try(cm.catalog(n)).isSuccess
+    val relFixed = p.transformUp {
+      case u @ UnresolvedRelation(parts, opts, false) =>
+        val full = ViewResolution.qualify(
+          parts, v.currentCatalog, v.currentNamespace, registered)
+        substitute(full, seen).getOrElse(
+          if (full == parts) u else UnresolvedRelation(full, opts, isStreaming = false))
+    }
+    relFixed.transformAllExpressions {
+      case se: SubqueryExpression => se.withNewPlan(qualify(se.plan, v, seen))
+    }
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW cat.ns.mv AS SELECT <dims>, count(*),
+  * sum(<int expr>), min(...), max(...) FROM cat.ns.src GROUP BY <dims>`
+  * — materialized as a [[graft.lake.MaterializedAgg]]-maintained
+  * LakeTable at the MV's own warehouse path, registered on the SOURCE
+  * table's descriptor for transparent rewrite ([[GraftMvRewrite]]) and
+  * refreshed incrementally by `CALL graft.system.refresh_mv('ns.mv')`.
+  *
+  * Restrictions (each with a loud error): single source table (no
+  * joins), GROUP BY plain columns, measures limited to count(*) /
+  * integer-typed sum / min / max — the algebra MaterializedAgg can
+  * maintain exactly from the change feed. `avg` decomposes to
+  * sum+count at query time; float sums would drift under incremental
+  * add/subtract, so scale-and-cast (`sum(CAST(x*100 AS BIGINT))`).
+  */
+private[sql] final case class GraftCreateMatViewCommand(
+    catName: String, ns: Seq[String], name: String,
+    query: LogicalPlan, originalText: String, ifNotExists: Boolean)
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = ViewResolution.graftCatalog(session, catName).getOrElse(
+      throw new IllegalArgumentException(s"catalog $catName is not a graft catalog"))
+    val hconf = session.sparkContext.hadoopConfiguration
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(ns.toArray, name)
+    if (cat.tableExists(ident) ||
+        ViewStore.exists(cat.warehousePath, ns, name, hconf)) {
+      if (ifNotExists) return Seq.empty
+      throw new AnalysisException("TABLE_OR_VIEW_ALREADY_EXISTS",
+        Map("relationName" -> s"$catName.${(ns :+ name).mkString(".")}"))
+    }
+
+    def fail(why: String): Nothing = throw new UnsupportedOperationException(
+      s"CREATE MATERIALIZED VIEW supports a single GROUP-BY aggregate " +
+        s"over one graft table (count(*) / integer sum / min / max); $why")
+
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    val (groupings, aggExprs, child) = strip(query) match {
+      case Aggregate(g, a, c, _) => (g, a, strip(c))
+      case other => fail(s"got a ${other.nodeName} instead of an aggregate")
+    }
+    val table = child match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
+        r.table.asInstanceOf[GraftTableV2]
+      case other => fail(s"the aggregate input is a ${other.nodeName}, not a graft table scan")
+    }
+    require(table.pinnedAsOf.isEmpty && !table.isReadOptimized,
+      "a materialized view must be defined over the live table, not a " +
+        "time-travel or read-optimized snapshot")
+
+    val dims = groupings.map {
+      case a: AttributeReference => a.name
+      case other => fail(s"GROUP BY must list plain columns, got ${other.sql}")
+    }
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    var sums = Map.empty[String, String]
+    var mins = Map.empty[String, String]
+    var maxs = Map.empty[String, String]
+    var countCol = "n_rows"
+    var countExposed = false
+    // persisted expression text resolves by bare column name against
+    // source-table frames (MaterializedAgg.aggOf, the rewrite matcher) —
+    // the analyzed attributes carry catalog-qualified names, so strip
+    def exprSql(e: Expression): String =
+      e.transform {
+        case a: AttributeReference => a.withQualifier(Seq.empty)
+      }.sql
+    aggExprs.foreach {
+      case a: AttributeReference =>
+        if (!dims.contains(a.name)) fail(s"non-grouping column ${a.name} in SELECT")
+      case Alias(ae: AggregateExpression, outName) => ae.aggregateFunction match {
+        case Count(Seq(org.apache.spark.sql.catalyst.expressions.Literal(1, _))) =>
+          countCol = outName; countExposed = true
+        case Sum(e, _) =>
+          if (!integral.contains(e.dataType)) fail(
+            s"sum(${e.sql}) is ${e.dataType.simpleString}: incremental " +
+              "add/subtract is exact only for integers — scale and cast, " +
+              "e.g. sum(CAST(x * 100 AS BIGINT))")
+          sums += outName -> exprSql(e)
+        case Min(e) => mins += outName -> exprSql(e)
+        case Max(e) => maxs += outName -> exprSql(e)
+        case other => fail(s"unsupported aggregate ${other.prettyName}")
+      }
+      case Alias(a: AttributeReference, _) =>
+        if (!dims.contains(a.name)) fail(s"non-grouping column ${a.name} in SELECT")
+      case other => fail(s"unsupported select item ${other.sql}")
+    }
+    if (dims.isEmpty) fail("GROUP BY is empty")
+
+    val mvRoot = ViewStore.dir(cat.warehousePath, ns).getParent
+      .toString + "/" + name
+    val source = table.lake
+    val mv = new MaterializedAgg(session, source, mvRoot, dims,
+      sums, mins, maxs, countCol)
+    mv.refresh()
+
+    // persist the MV definition inside its own table descriptor (the MV
+    // IS a LakeTable — SELECT * FROM cat.ns.mv reads it natively) and
+    // register it on the source for transparent rewrite
+    val mvDef = MatViewDescriptor(source.config.root, dims, sums, mins,
+      maxs, countCol, countExposed, originalText)
+    val mvDesc = TableDescriptor.fromConfig(mv.table.config)
+      .copy(matView = mvDef)
+    TableDescriptor.save(mvRoot, mvDesc, hconf)
+    val srcDesc = TableDescriptor.load(source.config.root, hconf).getOrElse(
+      throw new IllegalStateException(s"source descriptor vanished: ${source.config.root}"))
+    val srcMvs = Option(srcDesc.matViews).getOrElse(Seq.empty)
+    if (!srcMvs.contains(mvRoot))
+      TableDescriptor.save(source.config.root,
+        srcDesc.copy(matViews = srcMvs :+ mvRoot), hconf)
+    Seq.empty
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANALYZE-style column statistics feeding Spark's cost-based optimizer:
+  * `CALL graft.system.analyze` runs one distributed pass (NDV / nulls /
+  * ranges / lengths → `_log/_colstats.json`), the native scan serves it
+  * through DSv2 `columnStats`, and Catalyst turns it into per-attribute
+  * stats (distinctCount et al.) that CostBasedJoinReorder and filter
+  * estimation consume. The oracle-side correctness never depends on
+  * stats (they only steer plans); this spec pins the PLUMBING: stats
+  * appear on the relation, survive pruned reads, reflect re-analysis,
+  * and flip a CBO join order.
+  */
+class CboStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft_cbo").toString
+    spark.conf.set("spark.sql.catalog.gc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gc.db")
+    spark.sql("""CREATE TABLE gc.db.t (pk BIGINT, ts INT, grp STRING, val INT)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    import spark.implicits._
+    (1 to 400).map(i => (i.toLong, 0, s"g${i % 7}", if (i % 5 == 0) null else s"$i"))
+      .toDF("pk", "ts", "grp", "vs")
+      .selectExpr("pk", "ts", "grp", "CAST(vs AS INT) AS val")
+      .createOrReplaceTempView("cbo_src")
+    spark.sql("INSERT INTO gc.db.t SELECT * FROM cbo_src")
+    dir
+  }
+
+  private def attrStats(sql: String) = {
+    val plan = spark.sql(sql).queryExecution.optimizedPlan
+    val rels = plan.collect { case r: DataSourceV2ScanRelation => r }
+    assert(rels.nonEmpty, s"expected a v2 scan relation in:\n$plan")
+    rels.head.stats.attributeStats
+  }
+
+  test("analyze populates attribute stats the planner can read") {
+    wh
+    // before analyze: no column stats, only exact size/row counts
+    assert(attrStats("SELECT pk, grp, val FROM gc.db.t WHERE pk > 0").isEmpty)
+
+    val analyzedAt =
+      spark.sql("CALL gc.system.analyze('db.t')").collect().head.getLong(0)
+    assert(analyzedAt >= 0)
+
+    val stats = attrStats("SELECT pk, grp, val FROM gc.db.t WHERE pk > 0")
+    val byName = stats.map { case (a, s) => a.name -> s }
+    // NDV: pk unique (approx — HLL), grp has 7 values, val has nulls
+    assert(byName("pk").distinctCount.exists(d => d.toLong > 350 && d.toLong < 450))
+    assert(byName("grp").distinctCount.exists(_.toLong == 7))
+    assert(byName("val").nullCount.exists(_.toLong == 80))
+    // numeric range served in catalyst form
+    assert(byName("pk").min.contains(1L) && byName("pk").max.contains(400L))
+    // string column: lengths present, range absent
+    assert(byName("grp").avgLen.exists(_ > 0) && byName("grp").min.isEmpty)
+  }
+
+  test("re-analyze tracks mutation; stale stats still serve") {
+    wh
+    spark.sql("CALL gc.system.analyze('db.t')").collect()
+    spark.sql("DELETE FROM gc.db.t WHERE pk > 100")
+    // stale: stats still present (estimates), row count stays exact
+    val stale = attrStats("SELECT pk FROM gc.db.t")
+    assert(stale.map { case (a, s) => a.name -> s }.apply("pk")
+      .distinctCount.exists(_.toLong > 300))
+    spark.sql("CALL gc.system.analyze('db.t')").collect()
+    val fresh = attrStats("SELECT pk FROM gc.db.t")
+    assert(fresh.map { case (a, s) => a.name -> s }.apply("pk")
+      .distinctCount.exists(_.toLong < 150))
+  }
+
+  test("CBO join reorder consumes the stats") {
+    wh
+    // big fact (5000 rows) joined to two dims: tiny (3 rows) and small
+    // (500). Written in the WORST textual order (fact ⋈ mid first, tiny
+    // last); with CBO + stats the optimizer should reorder so the
+    // selective tiny dim joins early. We assert CBO produces a
+    // DIFFERENT join tree than the no-stats plan — the reorder engaged
+    // on our numbers (plan shape, not timing: local[4] timing is noise).
+    import spark.implicits._
+    (1 to 5000).map(i => (i.toLong, 0, i % 500 + 1, i % 3 + 1))
+      .toDF("pk", "ts", "mid_k", "tiny_k").createOrReplaceTempView("fact_src")
+    (1 to 500).map(i => (i.toLong, 0, s"m$i")).toDF("mid_k", "ts", "mname")
+      .createOrReplaceTempView("mid_src")
+    (1 to 3).map(i => (i.toLong, 0, s"t$i")).toDF("tiny_k", "ts", "tname")
+      .createOrReplaceTempView("tiny_src")
+    spark.sql("""CREATE TABLE gc.db.fact (pk BIGINT, ts INT, mid_k INT, tiny_k INT)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""CREATE TABLE gc.db.dim_mid (mid_k BIGINT, ts INT, mname STRING)
+                 USING graft TBLPROPERTIES (keyCols='mid_k', precombineCol='ts')""")
+    spark.sql("""CREATE TABLE gc.db.dim_tiny (tiny_k BIGINT, ts INT, tname STRING)
+                 USING graft TBLPROPERTIES (keyCols='tiny_k', precombineCol='ts')""")
+    spark.sql("INSERT INTO gc.db.fact SELECT * FROM fact_src")
+    spark.sql("INSERT INTO gc.db.dim_mid SELECT * FROM mid_src")
+    spark.sql("INSERT INTO gc.db.dim_tiny SELECT * FROM tiny_src")
+    Seq("db.fact", "db.dim_mid", "db.dim_tiny").foreach(t =>
+      spark.sql(s"CALL gc.system.analyze('$t')").collect())
+
+    val q = """SELECT f.pk, m.mname, t.tname
+               FROM gc.db.fact f
+               JOIN gc.db.dim_mid m ON f.mid_k = m.mid_k
+               JOIN gc.db.dim_tiny t ON f.tiny_k = t.tiny_k
+               WHERE t.tname = 't1'"""
+    def joinShape(cbo: Boolean): String = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo)
+      try spark.sql(q).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.condition.map(_.sql).getOrElse("")
+      }.mkString(" | ")
+      finally {
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      }
+    }
+    val without = joinShape(cbo = false)
+    val withCbo = joinShape(cbo = true)
+    assert(withCbo != without,
+      s"CBO did not change the join tree:\n  off: $without\n  on:  $withCbo")
+    // and the result is unchanged by planning
+    val rows = spark.sql(q).collect()
+    assert(rows.length == 5000 / 3 + (if (5000 % 3 >= 1) 1 else 0) ||
+      rows.length > 1500) // ~1667 rows with tiny_k == 1
+  }
+}

@@ -1,0 +1,206 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL views and materialized views on the graft catalog, end-to-end
+  * through `spark.sql`: CREATE/DROP/ALTER/SHOW VIEW (parser-hook DDL —
+  * Spark 4.1 has no native v2-view path), read-time substitution with
+  * definer-context qualification, nested views, cycle rejection,
+  * CREATE MATERIALIZED VIEW → incrementally-maintained LakeTable,
+  * CALL refresh_mv, and the transparent aggregate rewrite with its
+  * freshness guard.
+  */
+class ViewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft_vwh").toString
+    spark.conf.set("spark.sql.catalog.gv", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gv.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gv.db")
+    spark.sql("""CREATE TABLE gv.db.base (pk BIGINT, ts INT, qty INT, region STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""INSERT INTO gv.db.base VALUES
+      (1, 0, 10, 'r1'), (2, 0, 20, 'r1'), (3, 0, 5, 'r2'), (4, 0, 40, 'r3')""")
+    dir
+  }
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq.map(_.toSeq)
+
+  test("CREATE VIEW / read / nested view / SHOW / ALTER / DROP") {
+    wh
+    spark.sql("""CREATE VIEW gv.db.v1 (key, amount)
+                 AS SELECT pk, qty FROM gv.db.base WHERE region <> 'r3'""")
+    assert(rows("SELECT key, amount FROM gv.db.v1 ORDER BY key") ==
+      Seq(Seq(1L, 10), Seq(2L, 20), Seq(3L, 5)))
+
+    // nested: a view over a view, with an expression output
+    spark.sql("""CREATE VIEW gv.db.v2
+                 AS SELECT key, amount * 2 AS dbl FROM gv.db.v1 WHERE key <= 2""")
+    assert(rows("SELECT * FROM gv.db.v2 ORDER BY key") ==
+      Seq(Seq(1L, 20), Seq(2L, 40)))
+
+    // views are LIVE over the base table (text re-analyzed per read)
+    spark.sql("INSERT INTO gv.db.base VALUES (2, 5, 21, 'r1')")
+    assert(rows("SELECT * FROM gv.db.v2 ORDER BY key") ==
+      Seq(Seq(1L, 20), Seq(2L, 42)))
+
+    val shown = rows("SHOW VIEWS IN gv.db").map(_(1))
+    assert(shown.contains("v1") && shown.contains("v2"))
+    assert(rows("SHOW VIEWS IN gv.db LIKE 'v1'") == Seq(Seq("db", "v1", false)))
+
+    // CREATE without REPLACE on an existing view refuses; OR REPLACE wins
+    intercept[AnalysisException] {
+      spark.sql("CREATE VIEW gv.db.v1 AS SELECT 1 AS x")
+    }
+    spark.sql("CREATE OR REPLACE VIEW gv.db.v1 AS SELECT pk AS key, qty AS amount FROM gv.db.base")
+    assert(rows("SELECT count(*) FROM gv.db.v1") == Seq(Seq(4L)))
+    // v2 reads THROUGH the replaced v1 definition
+    assert(rows("SELECT * FROM gv.db.v2 ORDER BY key") ==
+      Seq(Seq(1L, 20), Seq(2L, 42)))
+
+    spark.sql("ALTER VIEW gv.db.v2 AS SELECT key FROM gv.db.v1 WHERE amount >= 20")
+    assert(rows("SELECT * FROM gv.db.v2 ORDER BY key") == Seq(Seq(2L), Seq(4L)))
+
+    spark.sql("DROP VIEW gv.db.v2")
+    intercept[AnalysisException] { spark.sql("SELECT * FROM gv.db.v2") }
+    spark.sql("DROP VIEW IF EXISTS gv.db.v2") // idempotent with IF EXISTS
+    intercept[AnalysisException] { spark.sql("DROP VIEW gv.db.v2") }
+  }
+
+  test("view bodies resolve in the definer's context; cycles rejected") {
+    wh
+    // definer context: create from a session whose current catalog/ns is
+    // gv.db, with a BARE table name in the body
+    spark.sql("USE gv.db")
+    try {
+      spark.sql("CREATE VIEW ctx_v AS SELECT pk FROM base WHERE qty > 15")
+      assert(rows("SELECT * FROM ctx_v ORDER BY pk").nonEmpty)
+    } finally spark.sql("USE spark_catalog.default")
+    // the stored definition still reads correctly under a DIFFERENT
+    // current catalog (frozen definer context)
+    assert(rows("SELECT * FROM gv.db.ctx_v ORDER BY pk").map(_.head) ==
+      Seq(2L, 4L))
+
+    // direct self-reference at CREATE OR REPLACE
+    spark.sql("CREATE VIEW gv.db.selfy AS SELECT pk FROM gv.db.base")
+    intercept[AnalysisException] {
+      spark.sql("CREATE OR REPLACE VIEW gv.db.selfy AS SELECT * FROM gv.db.selfy")
+    }
+    // indirect cycle caught at read time
+    spark.sql("CREATE VIEW gv.db.cyc_a AS SELECT pk FROM gv.db.base")
+    spark.sql("CREATE VIEW gv.db.cyc_b AS SELECT * FROM gv.db.cyc_a")
+    spark.sql("CREATE OR REPLACE VIEW gv.db.cyc_a AS SELECT * FROM gv.db.cyc_b")
+    val e = intercept[AnalysisException] { spark.sql("SELECT * FROM gv.db.cyc_a") }
+    assert(e.getCondition == "RECURSIVE_VIEW")
+  }
+
+  test("a view cannot shadow a table; tables win at read time") {
+    wh
+    intercept[AnalysisException] {
+      spark.sql("CREATE VIEW gv.db.base AS SELECT 1 AS x")
+    }
+  }
+
+  test("CREATE MATERIALIZED VIEW + refresh_mv + direct read") {
+    wh
+    spark.sql("""CREATE MATERIALIZED VIEW gv.db.mv1 AS
+      SELECT region, count(*) AS n, sum(CAST(qty AS BIGINT)) AS total,
+             min(qty) AS lo, max(qty) AS hi
+      FROM gv.db.base GROUP BY region""")
+    // the MV is a real catalog table
+    val direct = rows("SELECT region, n, total, lo, hi FROM gv.db.mv1 ORDER BY region")
+    val expect = rows(
+      """SELECT region, count(*) AS n, sum(CAST(qty AS BIGINT)) AS total,
+             min(qty) AS lo, max(qty) AS hi
+         FROM gv.db.base GROUP BY region ORDER BY region""")
+    assert(direct == expect)
+
+    // source moves; MV is stale until refreshed
+    spark.sql("INSERT INTO gv.db.base VALUES (5, 0, 7, 'r2'), (1, 9, 11, 'r1')")
+    val refreshed = rows("CALL gv.system.refresh_mv('db.mv1')").head.head
+    assert(refreshed.asInstanceOf[Long] >= 0)
+    val after = rows("SELECT region, n, total, lo, hi FROM gv.db.mv1 ORDER BY region")
+    val expectAfter = rows(
+      """SELECT region, count(*) AS n, sum(CAST(qty AS BIGINT)) AS total,
+             min(qty) AS lo, max(qty) AS hi
+         FROM gv.db.base GROUP BY region ORDER BY region""")
+    assert(after == expectAfter)
+
+    // float sums refuse with guidance
+    val err = intercept[UnsupportedOperationException] {
+      spark.sql("""CREATE MATERIALIZED VIEW gv.db.mv_bad AS
+        SELECT region, sum(CAST(qty AS DOUBLE)) AS s FROM gv.db.base GROUP BY region""")
+    }
+    assert(err.getMessage.contains("scale and cast"))
+  }
+
+  test("transparent rewrite: fresh MV answers the aggregate, stale falls back") {
+    wh
+    spark.sql("""CREATE TABLE gv.db.fact (pk BIGINT, ts INT, qty INT, region STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""INSERT INTO gv.db.fact VALUES
+      (1, 0, 10, 'r1'), (2, 0, 20, 'r1'), (3, 0, 5, 'r2')""")
+    spark.sql("""CREATE MATERIALIZED VIEW gv.db.fact_mv AS
+      SELECT region, count(*) AS n, sum(CAST(qty AS BIGINT)) AS total
+      FROM gv.db.fact GROUP BY region""")
+
+    val q = """SELECT region, count(*) AS n, sum(CAST(qty AS BIGINT)) AS total
+               FROM gv.db.fact GROUP BY region"""
+    // the MV read lands as a V1 parquet relation whose toString hides
+    // the path — identify the scanned table by the file-index roots
+    def readsMv(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten.exists(_.contains("fact_mv"))
+    def planOf(sql: String): String =
+      if (readsMv(sql)) "fact_mv" else ""
+
+    // fresh → the optimized plan reads the MV table, not the fact table
+    assert(planOf(q).contains("fact_mv"))
+    assert(rows(q + " ORDER BY region") ==
+      Seq(Seq("r1", 2L, 30L), Seq("r2", 1L, 5L)))
+
+    // roll-up to a coarser grouping + dim filter also rewrite
+    val roll = """SELECT count(*) AS n FROM gv.db.fact WHERE region = 'r1' GROUP BY region"""
+    assert(planOf(roll).contains("fact_mv"))
+    assert(rows(roll) == Seq(Seq(2L)))
+
+    // stale MV → falls back to the base scan, result stays correct
+    spark.sql("INSERT INTO gv.db.fact VALUES (4, 0, 40, 'r3')")
+    assert(!planOf(q).contains("fact_mv"))
+    assert(rows(q + " ORDER BY region") ==
+      Seq(Seq("r1", 2L, 30L), Seq("r2", 1L, 5L), Seq("r3", 1L, 40L)))
+
+    // refresh → rewrite resumes
+    rows("CALL gv.system.refresh_mv('db.fact_mv')")
+    assert(planOf(q).contains("fact_mv"))
+    assert(rows(q + " ORDER BY region") ==
+      Seq(Seq("r1", 2L, 30L), Seq("r2", 1L, 5L), Seq("r3", 1L, 40L)))
+
+    // a non-derivable aggregate (avg) never rewrites
+    val avg = "SELECT region, avg(qty) AS a FROM gv.db.fact GROUP BY region"
+    assert(!planOf(avg).contains("fact_mv"))
+
+    // kill switch
+    spark.conf.set("spark.graft.mvRewrite", "false")
+    try assert(!planOf(q).contains("fact_mv"))
+    finally spark.conf.unset("spark.graft.mvRewrite")
+  }
+}
