@@ -4666,6 +4666,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
           config.keyCols, "left_semi"))
   }
 
+  /** Raw read of an explicit live-file subset (no MoR merge, no DV
+    * filter — callers must have proven the set is all-base and DV-free).
+    * The window-bounded incremental-aggregate refresh uses it to read
+    * exactly the file groups a commit window touched. */
+  private[lake] def readFileSet(
+      files: Seq[FileAdd], asOf: Option[Long]): DataFrame =
+    readOrEmpty(files, asOf)
+
   private def readOrEmpty(
       files: Seq[FileAdd], asOf: Option[Long] = None): DataFrame =
     if (files.nonEmpty) readFiles(files, asOf)

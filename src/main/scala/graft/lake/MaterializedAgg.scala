@@ -126,6 +126,60 @@ final class MaterializedAgg(
           minCols.map(c => min(expr(mins(c))).as(c)) ++
           maxCols.map(c => max(expr(maxs(c))).as(c)): _*)
 
+  /** observability for specs: whether the LAST incremental refresh took
+    * the window-bounded file path (true) or the snapshot-diff fallback
+    * (false). Initial builds and no-op refreshes leave it untouched. */
+  @volatile private[graft] var lastRefreshBounded: Boolean = false
+
+  /** Window-bounded delta extraction — the CoW fast path that makes
+    * refresh O(changed file groups) instead of O(table). On an
+    * all-base, DV-free pair of snapshots, CoW rewrites whole file
+    * groups, so every post-image of the window lives in a file ADDED by
+    * a window commit (filtered to `_commit_id > from` to shed the
+    * carried-over copies) and every pre-image lives in a file REMOVED
+    * by one — a removed file's key either reappears in its group's
+    * replacement (any commit id) or was deleted; no other file can hold
+    * it. Both sides therefore read ONLY the window's touched groups.
+    * Returns None (→ snapshot-diff fallback) when MoR deltas or
+    * deletion vectors are live at either endpoint, a window add is a
+    * delta/DV sidecar, an undecided transaction could hide a commit, or
+    * the window dips below the clean horizon.
+    */
+  private def boundedDelta(from: Long, to: Long, keyed: Seq[String])
+      : Option[(DataFrame, DataFrame)] = {
+    val log = source.log
+    if (from < log.cleanedUpTo) return None
+    if (log.stagedFloor.exists(_ <= to)) return None
+    val cs = log.commits.filter(c => c.id > from && c.id <= to)
+    if (cs.isEmpty) return None
+    if (cs.exists(_.adds.exists(a => Option(a.kind).getOrElse("base") != "base")))
+      return None
+    val liveTo = log.liveFiles(Some(to))
+    val liveFrom = log.liveFiles(Some(from))
+    if ((liveTo ++ liveFrom).exists(_.isDelta)) return None
+    if (log.liveDvs(Some(to)).nonEmpty || log.liveDvs(Some(from)).nonEmpty)
+      return None
+    val liveToPaths = liveTo.map(_.path).toSet
+    val liveFromByPath = liveFrom.map(f => f.path -> f).toMap
+    val addedLive = cs.flatMap(_.adds)
+      .filter(a => liveToPaths.contains(a.path)).distinct
+    val removedOld = cs.flatMap(_.removes).distinct
+      .flatMap(liveFromByPath.get)
+    // a commits-only window with no file churn (schema evolution etc.)
+    // has nothing to read — let the fallback produce its empty delta
+    if (addedLive.isEmpty && removedOld.isEmpty) return None
+    val addedFull = source.readFileSet(addedLive, Some(to))
+    val adds = addedFull.filter(col("_commit_id") > from)
+    val oldTouched = source.readFileSet(removedOld, Some(from))
+    val o = oldTouched.select(keyed.map(col): _*).distinct().as("o")
+    val rep = addedFull.select(keyed.map(col): _*).distinct().as("r")
+    val goneKeys = o.join(rep,
+      keyed.map(c => col(s"o.$c") <=> col(s"r.$c")).reduce(_ && _),
+      "left_anti")
+    val touched = adds.select(keyed.map(col): _*).union(goneKeys).distinct()
+    Some((adds, oldTouched.join(touched, keyed, "left_semi")))
+  }
+
   /** Bring the aggregate up to `upTo` (default: the source head).
     * First call materializes from the snapshot; later calls apply
     * timeline deltas only. Returns the source commit now reflected.
@@ -143,16 +197,22 @@ final class MaterializedAgg(
     }
     val keyed = (source.config.partitionCols ++ source.config.keyCols).distinct
     val newSnap = source.readAsOf(to)
-    val oldSnap = source.readAsOf(from)
-    val adds = newSnap.filter(col("_commit_id") > from)
-    // pre-images to retract: old rows whose key was touched in the
-    // window — rewritten (it appears among adds) or deleted (gone from
-    // the new snapshot). Both key probes are column-pruned.
-    val touchedKeys = adds.select(keyed.map(col): _*)
-      .union(oldSnap.select(keyed.map(col): _*)
-        .except(newSnap.select(keyed.map(col): _*)))
-      .distinct()
-    val subs = oldSnap.join(touchedKeys, keyed, "left_semi")
+    val bounded = boundedDelta(from, to, keyed)
+    lastRefreshBounded = bounded.isDefined
+    val (adds, subs) = bounded.getOrElse {
+      // snapshot-diff fallback (MoR deltas / deletion vectors / gaps):
+      // adds = current rows ingested in the window; pre-images to
+      // retract = old rows whose key was touched — rewritten (appears
+      // among adds) or deleted (gone from the new snapshot). Both key
+      // probes are column-pruned but scan snapshot-wide.
+      val oldSnap = source.readAsOf(from)
+      val a = newSnap.filter(col("_commit_id") > from)
+      val touchedKeys = a.select(keyed.map(col): _*)
+        .union(oldSnap.select(keyed.map(col): _*)
+          .except(newSnap.select(keyed.map(col): _*)))
+        .distinct()
+      (a, oldSnap.join(touchedKeys, keyed, "left_semi"))
+    }
     // delta = add - sub per dimension, via a NULL-SAFE full outer join
     // (a name-equality join would split a null-valued dimension into
     // two half-deltas that later collapse arbitrarily)

@@ -246,4 +246,37 @@ class MaterializedAggSpec extends AnyFunSuite {
     oneShot.refresh()
     assert(gotMM(stepped) == gotMM(oneShot) && gotMM(stepped) == directMM(t))
   }
+
+  test("CoW refresh takes the window-bounded path; MoR falls back — both exact") {
+    // partitioned CoW: the fast path must engage (adds/subs read only
+    // the window's touched file groups) and match the direct aggregate
+    val t = LakeTable(spark, LakeTableConfig(
+      tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts",
+      partitionCols = Seq("dim")))
+    val m = new MaterializedAgg(spark, t, tmp() + "/agg",
+      dims = Seq("dim"), sums = Map("v_sum" -> "v"))
+    t.bulkInsert(df((1L, "a", 10, 0), (2L, "a", 5, 0), (3L, "b", 7, 0)))
+    m.refresh()
+    // update a, insert c, delete ALL of b (partition drop is a
+    // remove-only commit — gone-keys must come from the removed files)
+    t.upsert(df((1L, "a", 20, 1), (4L, "c", 2, 1)))
+    t.delete(df((3L, "b", 7, 0)).select("pk"))
+    m.refresh()
+    assert(m.lastRefreshBounded, "partitioned CoW window must take the bounded path")
+    assert(got(m) == direct(t))
+    assert(!got(m).exists(_._1 == "b"))
+
+    // MoR: delta files in the window → fallback, result still exact
+    val tm = LakeTable(spark, LakeTableConfig(
+      tmp() + "/srcm", keyCols = Seq("pk"), precombineCol = "ts",
+      storageType = "mor"))
+    val mm = new MaterializedAgg(spark, tm, tmp() + "/aggm",
+      dims = Seq("dim"), sums = Map("v_sum" -> "v"))
+    tm.bulkInsert(df((1L, "a", 10, 0), (2L, "b", 5, 0)))
+    mm.refresh()
+    tm.upsert(df((1L, "a", 30, 1), (3L, "b", 4, 1)))
+    mm.refresh()
+    assert(!mm.lastRefreshBounded, "MoR delta window must use the snapshot fallback")
+    assert(got(mm) == direct(tm))
+  }
 }
