@@ -38,7 +38,17 @@ object Maintenance {
       archiveAfter: Int = 0,
       /** CoW: fold deletion vectors back into plain files once a
         * target's DV'd fraction reaches this ratio (0 = off) */
-      dvFoldRatio: Double = 0.0)
+      dvFoldRatio: Double = 0.0,
+      /** refresh each registered materialized view once the source head
+        * is at least N commits past its applied commit (0 = off; 1 =
+        * keep MVs continuously fresh — which is also what keeps the
+        * transparent rewrite eligible) */
+      refreshMvAfter: Int = 0,
+      /** re-run the column-stats ANALYZE pass once the head is at least
+        * N commits past the analyzed commit (0 = off). Only re-analyzes
+        * tables that were analyzed at least once — the first pass is a
+        * deliberate operator decision (it costs a table scan). */
+      analyzeAfter: Int = 0)
 
   /** One evaluation round: fire every action whose trigger holds.
     * Returns (action, result-or-skip) pairs — `("compact", -1)` with
@@ -86,6 +96,37 @@ object Maintenance {
 
     if (p.archiveAfter > 0 && t.log.commits.size > p.archiveAfter)
       fire("archive")(t.archiveTimeline())
+
+    val hconf = t.spark.sparkContext.hadoopConfiguration
+    if (p.refreshMvAfter > 0) {
+      val head = t.log.latestId.getOrElse(-1L)
+      val mvRoots = TableDescriptor.load(t.config.root, hconf)
+        .map(d => Option(d.matViews).getOrElse(Seq.empty)).getOrElse(Seq.empty)
+      mvRoots.foreach { root =>
+        // dropped MVs leave stale registry entries — skip, don't fail
+        for {
+          mvDesc <- TableDescriptor.load(root, hconf)
+          mv <- Option(mvDesc.matView)
+          if mv.source == t.config.root
+        } {
+          val agg = new MaterializedAgg(t.spark, t, root, mv.dims,
+            Option(mv.sums).getOrElse(Map.empty),
+            Option(mv.mins).getOrElse(Map.empty),
+            Option(mv.maxs).getOrElse(Map.empty),
+            Option(mv.countCol).getOrElse("n_rows"))
+          if (head - agg.applied.getOrElse(-1L) >= p.refreshMvAfter)
+            fire(s"refresh_mv:${root.split('/').last}")(agg.refresh())
+        }
+      }
+    }
+
+    if (p.analyzeAfter > 0) {
+      val head = t.log.latestId.getOrElse(-1L)
+      ColStats.load(t.config.root, hconf).foreach { cs =>
+        if (head - cs.commit >= p.analyzeAfter)
+          fire("analyze")(t.analyzeColumns())
+      }
+    }
 
     out.result()
   }

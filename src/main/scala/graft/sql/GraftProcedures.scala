@@ -101,7 +101,13 @@ private[sql] object GraftProcedures {
         retainCommits = in.getInt(1),
         // CoW DV hygiene rides the default policy: fold a file's DVs
         // once a tenth of its rows are position-deleted
-        dvFoldRatio = 0.1))
+        dvFoldRatio = 0.1,
+        // registered materialized views stay continuously fresh (which
+        // also keeps the transparent rewrite eligible); column stats
+        // re-analyze once 10 commits stale — and only on tables an
+        // operator analyzed at least once (the first pass costs a scan)
+        refreshMvAfter = 1,
+        analyzeAfter = 10))
         .count(_._2 != "conflict-skipped").toLong),
     // ANALYZE ... COMPUTE STATISTICS FOR COLUMNS role: one distributed
     // pass collecting per-column NDV / nulls / ranges / lengths, served

@@ -123,4 +123,51 @@ class MaintenanceSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT payload FROM mnt.db.t WHERE pk = 1").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("c"))
   }
+
+  test("MV refresh and stale-ANALYZE ride the maintenance policy") {
+    import graft.lake.{ColStats, MaterializedAgg, TableDescriptor}
+    val root = freshRoot()
+    val t = LakeTable(spark, LakeTableConfig(root,
+      keyCols = Seq("pk"), precombineCol = "ts", partitionCols = Seq("part")))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 2, "b", 0)))
+    // register an MV on the source descriptor the way the SQL DDL does
+    val mvRoot = root + "_mv"
+    val agg = new MaterializedAgg(spark, t, mvRoot,
+      dims = Seq("part"), sums = Map.empty)
+    agg.refresh()
+    TableDescriptor.save(mvRoot,
+      TableDescriptor.fromConfig(agg.table.config).copy(
+        matView = graft.lake.MatViewDescriptor(root, Seq("part"))),
+      spark.sparkContext.hadoopConfiguration)
+    TableDescriptor.save(root,
+      TableDescriptor.fromConfig(t.config).copy(matViews = Seq(mvRoot)),
+      spark.sparkContext.hadoopConfiguration)
+    t.analyzeColumns()
+
+    // source moves 2 commits: MV is stale, stats 2 commits behind
+    t.upsert(df((3L, 1, "c", 1)))
+    t.upsert(df((4L, 2, "d", 1)))
+    val acts = Maintenance.run(t, Maintenance.Policy(
+      refreshMvAfter = 1, analyzeAfter = 2)).toMap
+    assert(acts.keys.exists(_.startsWith("refresh_mv:")), s"got $acts")
+    assert(acts.contains("analyze"), s"got $acts")
+    assert(agg.applied == t.log.latestId)
+    val cs = ColStats.load(root, spark.sparkContext.hadoopConfiguration).get
+    assert(cs.commit == t.log.latestId.get)
+
+    // fresh again: neither trigger holds
+    val quiet = Maintenance.run(t, Maintenance.Policy(
+      refreshMvAfter = 1, analyzeAfter = 2))
+    assert(!quiet.exists(a => a._1.startsWith("refresh_mv") || a._1 == "analyze"),
+      s"got $quiet")
+
+    // an analyzeAfter policy never runs the FIRST analyze (that scan is
+    // an operator decision): a never-analyzed table stays untouched
+    val t2 = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts"))
+    t2.bulkInsert(df((1L, 1, "a", 0)))
+    (1 to 3).foreach(i => t2.upsert(df((1L, 1, s"v$i", i))))
+    assert(!Maintenance.run(t2, Maintenance.Policy(analyzeAfter = 1))
+      .exists(_._1 == "analyze"))
+  }
 }
