@@ -973,6 +973,48 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     }
   }
 
+  // ---- identity-range claims (GENERATED AS IDENTITY allocation) ------
+
+  /** Claim an exclusive allocation range for an identity column:
+    * returns `base` such that [base, base + units) in UNIT space (value
+    * = start + step * unit) belongs to this caller alone. Claims are
+    * marker files `<base>_<units>` under `_log/_ident_<col>/`,
+    * published through the SAME conditional-put [[CommitStore]]
+    * contract as commits — two racing writers can never both claim the
+    * same base, with NO coordination against the commit OCC (ranges
+    * are a separate, append-only resource; the loser simply re-lists
+    * and claims the next base). A claimed-but-crashed batch wastes its
+    * range — identity values may have gaps, the documented contract.
+    */
+  private[lake] def claimIdentityRange(col: String, units: Long): Long = {
+    require(units > 0, s"identity claim needs positive units, got $units")
+    val dir = new Path(logDir, s"_ident_$col")
+    fs.mkdirs(dir)
+    var attempts = 0
+    while (attempts < 64) {
+      val next = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .flatMap { n =>
+          n.split('_') match {
+            case Array(b, w) =>
+              for (bb <- b.toLongOption; ww <- w.toLongOption) yield bb + ww
+            case _ => None
+          }
+        }.maxOption.getOrElse(0L)
+      val name = s"${next}_$units"
+      val tmp = new Path(dir, s".claim-${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(Array.emptyByteArray) finally out.close()
+      val ok =
+        try store.publishAtomic(fs, tmp, new Path(dir, name))
+        finally { scala.util.Try(fs.delete(tmp, false)); () }
+      if (ok) return next
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not claim an identity range for '$col' after 64 attempts " +
+        "(extreme writer contention?)")
+  }
+
   // ---- savepoints (Hudi savepoint/restore: pin a commit against the
   // cleaner so it stays reproducible, restore the timeline back to it)
 

@@ -241,8 +241,41 @@ final case class LakeTableConfig(
       * needle-in-the-JSON predicate must not decode every row's
       * variant. Entries are ALTER-able; files written before an entry
       * existed simply carry no stat and are conservatively kept. */
-    shredPaths: Seq[String] = Seq.empty) {
+    shredPaths: Seq[String] = Seq.empty,
+    /** identity columns (`GENERATED [ALWAYS | BY DEFAULT] AS IDENTITY`):
+      * col → "start:step:allowExplicit". The ENGINE assigns values at
+      * the ingest boundary for rows whose column is NULL — races
+      * between concurrent writers are settled by exclusive range claims
+      * through the CommitStore conditional-put contract, so two writers
+      * can never mint the same value. Values are unique and increase
+      * with allocation order but MAY HAVE GAPS (Delta's identity
+      * contract): ranges are claimed per batch, not per row. ALWAYS
+      * (allowExplicit=false) additionally rejects UPDATE/MERGE
+      * assignments to the column. */
+    identityCols: Map[String, String] = Map.empty,
+    /** generated columns (`GENERATED ALWAYS AS (expr)`): col → SQL
+      * expression over the row's other columns. The engine RECOMPUTES
+      * the expression on every logical write (the column is derived —
+      * the engine owns it; explicit inserted values are ignored), and
+      * rejects direct UPDATE/MERGE assignments. Expressions may not
+      * reference other generated or identity columns. */
+    generatedCols: Map[String, String] = Map.empty) {
   require(occRetries >= 0, s"occRetries must be >= 0, got $occRetries")
+  /** parsed identity specs: col → (start, step, allowExplicitInsert) */
+  val identitySpecs: Map[String, (Long, Long, Boolean)] =
+    Option(identityCols).getOrElse(Map.empty).map { case (c, s) =>
+      s.split(':') match {
+        case Array(st, sp, ae) => c -> (st.toLong, sp.toLong, ae.toBoolean)
+        case _ => throw new IllegalArgumentException(
+          s"identityCols entry must be 'start:step:allowExplicit', got $c -> $s")
+      }
+    }
+  require(identitySpecs.values.forall(_._2 != 0L),
+    "identity step must be non-zero")
+  /** columns whose values the engine derives (assignment-rejected) */
+  def computedCols: Set[String] =
+    Option(generatedCols).getOrElse(Map.empty).keySet ++
+      identitySpecs.collect { case (c, (_, _, false)) => c }
   /** parsed shred entries; fails loud on a malformed entry */
   val shredSpecs: Seq[ShredSpec] = shredPaths.map(ShredSpec.parse)
   require(deleteMode == "rewrite" || deleteMode == "dv",
@@ -683,6 +716,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val bad = sets.keySet & identity
     require(bad.isEmpty,
       s"UPDATE may not assign key/partition columns: ${bad.mkString(",")}")
+    val badDerived = sets.keySet & config.computedCols
+    require(badDerived.isEmpty,
+      s"UPDATE may not assign engine-derived (generated/ALWAYS-identity) " +
+        s"columns: ${badDerived.mkString(",")}")
     val known = tableSchema(None).fieldNames.toSet
     val unknown = sets.keySet -- known
     require(unknown.isEmpty, s"unknown column(s): ${unknown.mkString(",")}")
@@ -1153,7 +1190,51 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * writeCommit stays active as the backstop for rows PRODUCED by
     * transformations (UPDATE/MERGE assignments), which fail loud in
     * both modes. NULL passes everywhere (ANSI). */
-  private def admitBatch(batch0: DataFrame): (DataFrame, Map[String, String]) =
+  /** GENERATED ... AS fill at the INGEST boundary — BEFORE intra-batch
+    * key dedup, which would otherwise collapse every identity-omitted
+    * row onto one NULL key. Identity columns: NULL values get engine-
+    * assigned ids from an exclusively-claimed range (value = start +
+    * step * unit; `monotonically_increasing_id` spreads the batch
+    * inside it, so values are unique and allocation-ordered but may
+    * have gaps — Delta's contract); explicit NON-NULL values are kept
+    * on every path (they ARE the record key: merges and CDC replication
+    * must be able to supply them — a documented deviation from Delta's
+    * insert-time ALWAYS ban; ALWAYS still rejects UPDATE/MERGE
+    * assignments). Generated columns: recomputed unconditionally (the
+    * engine owns derived values; writeCommit re-applies them for
+    * transformation-produced rows too). */
+  private def fillComputed(df: DataFrame): DataFrame = {
+    val withIdent = config.identitySpecs.foldLeft(df) {
+      case (acc, (c, (start, step, _))) if acc.columns.contains(c) =>
+        // limit-1 probe: claim a range only when the batch actually
+        // needs assignment — an all-explicit batch must not burn one
+        if (acc.filter(acc(c).isNull).isEmpty) acc
+        else {
+          val parts = acc.rdd.getNumPartitions
+          val units = (parts.toLong + 1L) << 33
+          val base = log.claimIdentityRange(c, units)
+          val dt = acc.schema(acc.schema.fieldIndex(c)).dataType
+          acc.withColumn(c, coalesce(acc(c),
+            (lit(start) + lit(step) *
+              (lit(base) + monotonically_increasing_id())).cast(dt)))
+        }
+      case (acc, _) => acc
+    }
+    recomputeGenerated(withIdent)
+  }
+
+  /** generated-column recompute — shared by the ingest fill and
+    * writeCommit (rows PRODUCED by merges/updates must re-derive) */
+  private def recomputeGenerated(df: DataFrame): DataFrame =
+    Option(config.generatedCols).getOrElse(Map.empty).foldLeft(df) {
+      case (acc, (c, ex)) if acc.columns.contains(c) =>
+        val dt = acc.schema(acc.schema.fieldIndex(c)).dataType
+        acc.withColumn(c, expr(ex).cast(dt))
+      case (acc, _) => acc
+    }
+
+  private def admitBatch(batch0raw: DataFrame): (DataFrame, Map[String, String]) = {
+    val batch0 = fillComputed(batch0raw)
     if (config.checks.isEmpty ||
         (config.checkMode != "drop" && config.checkMode != "warn"))
       (batch0, Map.empty)
@@ -1180,6 +1261,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       if (config.checkMode == "warn") (batch, meta)
       else (viol.foldLeft(batch) { case (acc, (_, c)) => acc.filter(!c) }, meta)
     }
+  }
 
   /** intra-batch precombine: collapse duplicate dedup keys to the row
     * with the highest (precombine, arrival order) — shared by the
@@ -1285,6 +1367,19 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
           // updates may not move a row's identity (Hudi's rule)
           require(bad.isEmpty,
             s"merge may not assign key/partition columns: ${bad.mkString(",")}")
+      }
+      // engine-derived columns are not assignable: generated columns
+      // re-derive from their expression on every write; ALWAYS identity
+      // columns only ever take engine-minted values
+      val badGen = cl.set.keySet &
+        Option(config.generatedCols).getOrElse(Map.empty).keySet
+      require(badGen.isEmpty,
+        s"merge may not assign generated columns (engine-derived): ${badGen.mkString(",")}")
+      if (cl.kind == MatchedUpdate || cl.kind == BySourceUpdate) {
+        val badIdent = cl.set.keySet &
+          config.identitySpecs.collect { case (c, (_, _, false)) => c }.toSet
+        require(badIdent.isEmpty,
+          s"GENERATED ALWAYS AS IDENTITY columns cannot be updated: ${badIdent.mkString(",")}")
       }
     }
     // partition columns are required even when the identity is key-only
@@ -4801,7 +4896,11 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // too — typed extractions materialized per row, codegen'd, invisible
     // to readers (the recorded commit schema is `evolved`, computed
     // BEFORE the append)
-    val guarded = ShredSpec.appendShadows(withChecks(df), config.shredSpecs)
+    // generated columns re-derive on every written frame (rows PRODUCED
+    // by merges/updates didn't pass the ingest fill); identity columns
+    // are NOT touched here — rows reaching writeCommit carry them
+    val guarded = ShredSpec.appendShadows(
+      withChecks(recomputeGenerated(df)), config.shredSpecs)
     val mat = if (kind == "delta") guarded else guarded.persist()
     // user clusterCols (if configured) override the record key as the
     // intra-partition clustering order — see LakeTableConfig.clusterCols

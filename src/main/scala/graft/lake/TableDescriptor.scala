@@ -71,7 +71,12 @@ final case class TableDescriptor(
     /** roots of materialized views defined over THIS table — consulted
       * by the transparent aggregate-rewrite rule; stale entries (dropped
       * MVs) are skipped there, so this list is advisory, not load-bearing */
-    matViews: Seq[String] = Seq.empty) {
+    matViews: Seq[String] = Seq.empty,
+    /** identity columns ([[LakeTableConfig.identityCols]]); null-safe
+      * via config() for pre-upgrade JSONs */
+    identityCols: Map[String, String] = Map.empty,
+    /** generated columns ([[LakeTableConfig.generatedCols]]) */
+    generatedCols: Map[String, String] = Map.empty) {
 
   def config(root: String): LakeTableConfig = LakeTableConfig(
     root, keyCols, precombineCol, partitionCols, globalIndex, storageType,
@@ -87,7 +92,9 @@ final case class TableDescriptor(
     occRetries = occRetries,
     deleteMode = Option(deleteMode).getOrElse("rewrite"),
     updateMode = Option(updateMode).getOrElse("rewrite"),
-    shredPaths = Option(shredPaths).getOrElse(Seq.empty))
+    shredPaths = Option(shredPaths).getOrElse(Seq.empty),
+    identityCols = Option(identityCols).getOrElse(Map.empty),
+    generatedCols = Option(generatedCols).getOrElse(Map.empty))
 }
 
 /** Materialized-view maintenance recipe, persisted inside the MV's own
@@ -133,7 +140,8 @@ object TableDescriptor {
       cfg.bloomCols, cfg.sumCols, cfg.checks,
       cfg.checkMode, schemaJson, cfg.partitionTransforms, cfg.checkpointEvery,
       cfg.priorPartitionSpecs, cfg.archiveOnClean, cfg.occRetries,
-      cfg.deleteMode, cfg.updateMode, cfg.shredPaths)
+      cfg.deleteMode, cfg.updateMode, cfg.shredPaths,
+      identityCols = cfg.identityCols, generatedCols = cfg.generatedCols)
 
   def exists(root: String, hconf: Configuration): Boolean = {
     val p = file(root)

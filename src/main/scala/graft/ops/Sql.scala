@@ -546,6 +546,29 @@ object Sql {
     })
   }
 
+  /** GENERATED-columns fixture (r14): identity key (engine-assigned ids
+    * from exclusively-claimed ranges) + a derived generated column, two
+    * partial inserts. Ids are allocation-dependent, so the oracle pins
+    * INVARIANTS (start/step congruence, derived values) — and because
+    * the identity IS the record key, any duplicate id would collapse
+    * rows and fail the oracle's row count. */
+  private[graft] def identityFixture(s: SparkSession, d: String): String = {
+    val cat = dmlFixture(s, d)
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:ident", _ => {
+      s.sql(s"""CREATE TABLE $cat.db.nation_id (
+          pk BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 2),
+          n_nationkey INT, n_name STRING,
+          name_tag STRING GENERATED ALWAYS AS (concat(n_name, '!')),
+          update_ts INT)
+        USING graft TBLPROPERTIES (keyCols='pk', precombineCol='update_ts')""")
+      s.sql(s"""INSERT INTO $cat.db.nation_id (n_nationkey, n_name, update_ts)
+        SELECT n_nationkey, n_name, 0 FROM sql_nation_src WHERE n_nationkey < 10""")
+      s.sql(s"""INSERT INTO $cat.db.nation_id (n_nationkey, n_name, update_ts)
+        SELECT n_nationkey, n_name, 0 FROM sql_nation_src WHERE n_nationkey >= 10""")
+      cat
+    })
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     // ---- SQL DEFAULT column values (r14) --------------------------------
@@ -1237,6 +1260,23 @@ object Sql {
           r.r_name
         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         WHERE n.n_nationkey < 20
-        ORDER BY n.n_nationkey"""))
+        ORDER BY n.n_nationkey""")),
+
+    // ---- GENERATED columns (r14) ----------------------------------------
+    // identity ids are allocation-dependent (exclusive ranges, gaps
+    // allowed — Delta's contract), so the oracle checks the START/STEP
+    // congruence per row instead of values; the generated column is
+    // deterministic and compared directly. Full nation row count proves
+    // id uniqueness: pk is the record key, a collision collapses rows.
+    GQuery("lake_sql_identity",
+      (s, d) => {
+        val cat = identityFixture(s, d)
+        s.sql(s"""SELECT n_nationkey, n_name, name_tag,
+            CAST(pk >= 1000 AND (pk - 1000) % 2 = 0 AS INT) AS id_ok
+          FROM $cat.db.nation_id ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name, n_name || '!' AS name_tag,
+          1 AS id_ok
+        FROM nation ORDER BY n_nationkey"""))
   )
 }

@@ -76,7 +76,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * stream surfaces share it), and INSERT analysis fills it forward.
     * Only nested-field defaults and SET DEFAULT refuse. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // generated + identity columns (Delta-parity DDL): Spark
+      // validates the declarations at CREATE and embeds them as field
+      // metadata; FILLING them is the engine's job — GraftDmlRule
+      // rewrites graft-table inserts to compute generated columns and
+      // assign identity values (see GraftFillComputedColumns)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   // path traversal guard: identifiers become directory names. Leading
   // dots are rejected because hidden (dot-prefixed) directories are the
@@ -290,6 +297,64 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTableV2(spark, catalogName, ident.toString, tablePath(ident).toString, desc, None)
   }
 
+  /** GENERATED AS (expr) / AS IDENTITY declarations only travel through
+    * the Column-based create API (the StructType back-compat conversion
+    * drops them), so the TableInfo overload is the one Spark's
+    * CreateTableExec actually calls — extract the declarations here,
+    * persist them as first-class descriptor facts AND as field metadata
+    * in schemaJson (the [[GraftTableV2.schema]] overlay re-exposes them
+    * on every later load for DESCRIBE/analysis). */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val schema = info.schema()
+    val identityCols = info.columns().flatMap { c =>
+      Option(c.identityColumnSpec()).map { s =>
+        require(c.dataType() == org.apache.spark.sql.types.LongType ||
+            c.dataType() == org.apache.spark.sql.types.IntegerType ||
+            c.dataType() == org.apache.spark.sql.types.ShortType,
+          s"identity column '${c.name}' must be integral, got ${c.dataType.simpleString}")
+        c.name -> s"${s.getStart}:${s.getStep}:${s.isAllowExplicitInsert}"
+      }
+    }.toMap
+    val generatedCols = info.columns().flatMap { c =>
+      Option(c.generationExpression()).map(c.name -> _)
+    }.toMap
+    generatedCols.foreach { case (c, ex) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(ex).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last.toLowerCase
+      }.toSet
+      val derived = (generatedCols.keySet ++ identityCols.keySet).map(_.toLowerCase)
+      val badRefs = refs & derived
+      require(badRefs.isEmpty,
+        s"generated column '$c' may not reference other generated/identity " +
+          s"columns: ${badRefs.mkString(",")}")
+    }
+    // re-embed the declarations as field metadata so schemaJson carries
+    // them (the StructType conversion dropped them)
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
+    val schemaWithMeta = StructType(schema.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      identityCols.get(f.name).foreach { s =>
+        val Array(st, sp, ae) = s.split(':')
+        mb.putLong(IdentityColumn.IDENTITY_INFO_START, st.toLong)
+        mb.putLong(IdentityColumn.IDENTITY_INFO_STEP, sp.toLong)
+        mb.putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT, ae.toBoolean)
+      }
+      generatedCols.get(f.name).foreach(ex =>
+        mb.putString(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, ex))
+      f.copy(metadata = mb.build())
+    })
+    val desc = buildDescriptor(schemaWithMeta, info.partitions(), info.properties())
+      .copy(identityCols = identityCols, generatedCols = generatedCols,
+        schemaJson = schemaWithMeta.json)
+    TableDescriptor.save(tablePath(ident).toString, desc, hconf)
+    new GraftTableV2(spark, catalogName, ident.toString,
+      tablePath(ident).toString, desc, None)
+  }
+
   /** validate + assemble the persisted table descriptor from a CREATE's
     * schema/partitioning/properties — shared by [[createTable]] and the
     * staged (CTAS / REPLACE TABLE) creation paths */
@@ -349,7 +414,40 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"declared column '$c' is not in the table schema"))
     val checks = prop("checks").map(parseChecksProp)
       .getOrElse(Map.empty[String, String])
+    // GENERATED ... AS declarations: Spark validated them at CREATE
+    // (capabilities()) and embedded them as field metadata — lift them
+    // into first-class descriptor facts so the WRITE path (LakeTable's
+    // ingest fill) works from the descriptor alone
+    val identityCols = schema.fields.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f)
+        .map { spec =>
+          require(f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.IntegerType ||
+              f.dataType == org.apache.spark.sql.types.ShortType,
+            s"identity column '${f.name}' must be integral, got ${f.dataType.simpleString}")
+          f.name -> s"${spec.getStart}:${spec.getStep}:${spec.isAllowExplicitInsert}"
+        }
+    }.toMap
+    val generatedCols = schema.fields.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map(f.name -> _)
+    }.toMap
+    // a generated expression referencing another engine-derived column
+    // would read its PRE-fill value — reject the ambiguity at CREATE
+    generatedCols.foreach { case (c, ex) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(ex).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last.toLowerCase
+      }.toSet
+      val derived = (generatedCols.keySet ++ identityCols.keySet).map(_.toLowerCase)
+      val badRefs = refs & derived
+      require(badRefs.isEmpty,
+        s"generated column '$c' may not reference other generated/identity " +
+          s"columns: ${badRefs.mkString(",")}")
+    }
     TableDescriptor(
+      identityCols = identityCols,
+      generatedCols = generatedCols,
       keyCols = keyCols,
       precombineCol = precombine,
       partitionCols = partitionCols,

@@ -84,18 +84,28 @@ final class GraftTableV2(
     // the declared schema's default metadata by name — INSERT analysis
     // (ResolveDefaultColumns) reads it off this schema. A renamed column
     // sheds its default (the declaration named the old column).
+    // the same overlay carries the GENERATED AS (expr) / AS IDENTITY
+    // declarations (start/step/allowExplicit are typed metadata), so
+    // DESCRIBE and analysis-time validation see them on every load
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
+    val stringKeys = Seq("CURRENT_DEFAULT", "EXISTS_DEFAULT",
+      GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY)
+    val longKeys = Seq(IdentityColumn.IDENTITY_INFO_START,
+      IdentityColumn.IDENTITY_INFO_STEP)
+    val boolKeys = Seq(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT)
+    val allKeys = stringKeys ++ longKeys ++ boolKeys
     val defaults = Option(desc.schemaJson).filter(_.nonEmpty)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-      .map(_.fields.filter(_.metadata.contains("CURRENT_DEFAULT"))
+      .map(_.fields.filter(f => allKeys.exists(f.metadata.contains))
         .map(f => f.name -> f.metadata).toMap)
       .getOrElse(Map.empty)
     StructType(st.fields.filterNot(f => metaCols.contains(f.name)).map { f =>
       defaults.get(f.name).fold(f) { dm =>
         val mb = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
-        Seq("CURRENT_DEFAULT", "EXISTS_DEFAULT")
-          .filter(dm.contains)
-          .foreach(k => mb.putString(k, dm.getString(k)))
+        stringKeys.filter(dm.contains).foreach(k => mb.putString(k, dm.getString(k)))
+        longKeys.filter(dm.contains).foreach(k => mb.putLong(k, dm.getLong(k)))
+        boolKeys.filter(dm.contains).foreach(k => mb.putBoolean(k, dm.getBoolean(k)))
         f.copy(metadata = mb.build())
       }
     })
