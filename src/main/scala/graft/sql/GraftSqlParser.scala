@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedView}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedTableOrView, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -67,8 +67,40 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case Some((cat, ns)) => GraftShowViewsCommand(cat.name, ns, pattern, output)
         case None => sv
       }
+    // DESCRIBE / SHOW CREATE / RENAME on a STORED VIEW: these parse to
+    // table-or-view nodes whose analysis only knows tables on a v2
+    // catalog — claim them exactly when the name resolves to a stored
+    // graft view (tables pass through untouched; the existence check is
+    // one fs probe and only runs for these three statement shapes)
+    case dr @ DescribeRelation(UnresolvedTableOrView(parts, _, _), _, isExtended, output) =>
+      storedView(parts) match {
+        case Some((cat, ns, name)) =>
+          GraftDescribeViewCommand(cat.name, ns, name, isExtended, output)
+        case None => dr
+      }
+    case sc @ ShowCreateTable(UnresolvedTableOrView(parts, _, _), _, output) =>
+      storedView(parts) match {
+        case Some((cat, ns, name)) =>
+          GraftShowCreateViewCommand(cat.name, ns, name, output)
+        case None => sc
+      }
+    case rt @ RenameTable(UnresolvedTableOrView(parts, _, _), newNameParts, _) =>
+      storedView(parts) match {
+        case Some((cat, ns, name)) =>
+          GraftRenameViewCommand(cat.name, ns, name, newNameParts.last)
+        case None => rt
+      }
     case other => other
   }
+
+  /** resolve + existence-check a stored view, never throwing at parse
+    * time (analysis owns the errors for non-views) */
+  private def storedView(parts: Seq[String])
+      : Option[(GraftCatalog, Seq[String], String)] =
+    scala.util.Try(ViewResolution.resolve(session, parts).filter {
+      case (cat, ns, name) => ViewStore.exists(cat.warehousePath, ns, name,
+        session.sparkContext.hadoopConfiguration)
+    }).toOption.flatten
 
   // ---- pure delegation --------------------------------------------------
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)

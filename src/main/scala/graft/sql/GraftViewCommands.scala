@@ -184,6 +184,77 @@ private[sql] final case class GraftAlterViewAsCommand(
   }
 }
 
+/** `DESCRIBE [EXTENDED] <view>` — answers from the stored definition's
+  * recorded schema (EXTENDED adds the definition text and context). */
+private[sql] final case class GraftDescribeViewCommand(
+    catName: String, ns: Seq[String], name: String, isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = ViewResolution.graftCatalog(session, catName).get
+    val v = ViewStore.load(cat.warehousePath, ns, name,
+      session.sparkContext.hadoopConfiguration).getOrElse(
+      throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map(
+        "relationName" -> s"`$catName`.`${(ns :+ name).mkString("`.`")}`")))
+    val schema = Option(v.schemaJson).filter(_.nonEmpty)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(new org.apache.spark.sql.types.StructType())
+    val cols = schema.fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, null))
+    if (!isExtended) cols
+    else cols ++ Seq(
+      Row("", "", ""),
+      Row("# Detailed View Information", "", ""),
+      Row("Name", (catName +: ns :+ name).mkString("."), ""),
+      Row("Type", "VIEW", ""),
+      Row("View Text", v.sql, ""),
+      Row("View Catalog and Namespace",
+        (v.currentCatalog +: v.currentNamespace).mkString("."), ""),
+      Row("Comment", v.comment, ""))
+  }
+}
+
+/** `SHOW CREATE TABLE <view>` — reconstructs the CREATE VIEW text. */
+private[sql] final case class GraftShowCreateViewCommand(
+    catName: String, ns: Seq[String], name: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = ViewResolution.graftCatalog(session, catName).get
+    val v = ViewStore.load(cat.warehousePath, ns, name,
+      session.sparkContext.hadoopConfiguration).getOrElse(
+      throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map(
+        "relationName" -> s"`$catName`.`${(ns :+ name).mkString("`.`")}`")))
+    val colList =
+      if (v.columnAliases.isEmpty) ""
+      else v.columnAliases.mkString(" (", ", ", ")")
+    Seq(Row(s"CREATE VIEW ${(catName +: ns :+ name).mkString(".")}$colList " +
+      s"AS ${v.sql}"))
+  }
+}
+
+/** `ALTER VIEW v RENAME TO v2` — renames the stored definition within
+  * its namespace (collisions with tables AND views refused). */
+private[sql] final case class GraftRenameViewCommand(
+    catName: String, ns: Seq[String], name: String, newName: String)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = ViewResolution.graftCatalog(session, catName).get
+    val hconf = session.sparkContext.hadoopConfiguration
+    val v = ViewStore.load(cat.warehousePath, ns, name, hconf).getOrElse(
+      throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map(
+        "relationName" -> s"`$catName`.`${(ns :+ name).mkString("`.`")}`")))
+    val target = org.apache.spark.sql.connector.catalog.Identifier
+      .of(ns.toArray, newName)
+    if (cat.tableExists(target) ||
+        ViewStore.exists(cat.warehousePath, ns, newName, hconf))
+      throw new AnalysisException("TABLE_OR_VIEW_ALREADY_EXISTS",
+        Map("relationName" -> s"$catName.${(ns :+ newName).mkString(".")}"))
+    ViewStore.save(cat.warehousePath, ns, newName, v, hconf)
+    ViewStore.drop(cat.warehousePath, ns, name, hconf)
+    Seq.empty
+  }
+}
+
 /** `SHOW VIEWS IN cat.ns [LIKE 'pattern']` — carries the ORIGINAL
   * ShowViews node's output attributes so downstream projections keep
   * resolving against the same ids. */

@@ -79,6 +79,30 @@ class ViewSpec extends AnyFunSuite {
     intercept[AnalysisException] { spark.sql("DROP VIEW gv.db.v2") }
   }
 
+  test("DESCRIBE / SHOW CREATE / RENAME on views") {
+    wh
+    spark.sql("""CREATE VIEW gv.db.meta_v (key, amount)
+                 AS SELECT pk, qty FROM gv.db.base""")
+    val desc = rows("DESCRIBE gv.db.meta_v")
+    assert(desc.map(r => (r(0), r(1))).toSet ==
+      Set(("key", "bigint"), ("amount", "int")))
+    val ext = rows("DESCRIBE EXTENDED gv.db.meta_v").map(_(0))
+    assert(ext.contains("View Text") && ext.contains("# Detailed View Information"))
+    val created = rows("SHOW CREATE TABLE gv.db.meta_v").head.head.toString
+    assert(created.startsWith("CREATE VIEW gv.db.meta_v (key, amount) AS "))
+
+    spark.sql("ALTER VIEW gv.db.meta_v RENAME TO meta_v2")
+    assert(rows("SELECT count(*) FROM gv.db.meta_v2").head.head.asInstanceOf[Long] > 0)
+    intercept[AnalysisException] { spark.sql("SELECT * FROM gv.db.meta_v") }
+    // renaming onto an existing table name refuses
+    spark.sql("CREATE VIEW gv.db.meta_v3 AS SELECT 1 AS one")
+    intercept[AnalysisException] {
+      spark.sql("ALTER VIEW gv.db.meta_v3 RENAME TO base")
+    }
+    // DESCRIBE on a real TABLE still takes Spark's native path
+    assert(rows("DESCRIBE gv.db.base").nonEmpty)
+  }
+
   test("view bodies resolve in the definer's context; cycles rejected") {
     wh
     // definer context: create from a session whose current catalog/ns is
