@@ -943,6 +943,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // dir by a crashed REPLACE is restored first and properly dropped
       if (!tableExists(ident)) false
       else {
+        // dropping a MATERIALIZED VIEW deregisters it from its source's
+        // descriptor (the rewrite rule tolerates stale entries, but a
+        // clean drop keeps the registry honest); best-effort — a failed
+        // deregistration must not block the drop
+        val root = tablePath(ident).toString
+        for {
+          d <- scala.util.Try(TableDescriptor.load(root, hconf)).toOption.flatten
+          mv <- Option(d.matView)
+          src <- scala.util.Try(TableDescriptor.load(mv.source, hconf)).toOption.flatten
+          if Option(src.matViews).exists(_.contains(root))
+        } scala.util.Try(TableDescriptor.save(mv.source,
+          src.copy(matViews = src.matViews.filterNot(_ == root)), hconf))
         val gone = fs.delete(tablePath(ident), true)
         dropTrashOf(ident) // a stale trash must not resurrect the name
         gone

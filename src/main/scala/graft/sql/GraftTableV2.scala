@@ -55,7 +55,16 @@ final class GraftTableV2(
       * state. */
     readOptimized: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with TruncatableTable
   with org.apache.spark.sql.graftbridge.V1FallbackBridge {
+
+  /** `TRUNCATE TABLE` — one predicate-delete commit removing every
+    * row; time travel to pre-truncate commits keeps working (the files
+    * are superseded, not vacuumed). */
+  override def truncateTable(): Boolean = {
+    lake.deleteWhere(org.apache.spark.sql.functions.lit(true))
+    true
+  }
 
   private[sql] lazy val lake: LakeTable = LakeTable(spark, desc.config(root))
 

@@ -103,6 +103,37 @@ class ViewSpec extends AnyFunSuite {
     assert(rows("DESCRIBE gv.db.base").nonEmpty)
   }
 
+  test("TRUNCATE TABLE empties in one commit; time travel still reaches history") {
+    wh
+    spark.sql("""CREATE TABLE gv.db.trunc (pk BIGINT, ts INT, v STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO gv.db.trunc VALUES (1, 0, 'a'), (2, 0, 'b')")
+    spark.sql("TRUNCATE TABLE gv.db.trunc")
+    assert(rows("SELECT count(*) FROM gv.db.trunc") == Seq(Seq(0L)))
+    assert(rows("SELECT count(*) FROM gv.db.trunc VERSION AS OF 0") == Seq(Seq(2L)))
+    // the table stays writable after truncate
+    spark.sql("INSERT INTO gv.db.trunc VALUES (3, 0, 'c')")
+    assert(rows("SELECT v FROM gv.db.trunc") == Seq(Seq("c")))
+  }
+
+  test("DROP TABLE of a materialized view deregisters it from its source") {
+    wh
+    spark.sql("""CREATE TABLE gv.db.src_dereg (pk BIGINT, ts INT, region STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO gv.db.src_dereg VALUES (1, 0, 'r1')")
+    spark.sql("""CREATE MATERIALIZED VIEW gv.db.mv_dereg AS
+      SELECT region, count(*) AS n FROM gv.db.src_dereg GROUP BY region""")
+    val srcRoot = wh + "/db/src_dereg"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def registered: Seq[String] =
+      graft.lake.TableDescriptor.load(srcRoot, hconf)
+        .map(d => Option(d.matViews).getOrElse(Seq.empty)).getOrElse(Seq.empty)
+    assert(registered.exists(_.endsWith("mv_dereg")))
+    spark.sql("DROP TABLE gv.db.mv_dereg")
+    assert(!registered.exists(_.endsWith("mv_dereg")),
+      "dropping the MV must deregister it from the source descriptor")
+  }
+
   test("view bodies resolve in the definer's context; cycles rejected") {
     wh
     // definer context: create from a session whose current catalog/ns is
