@@ -1268,6 +1268,31 @@ object Sql {
     // congruence per row instead of values; the generated column is
     // deterministic and compared directly. Full nation row count proves
     // id uniqueness: pk is the record key, a collision collapses rows.
+    // ---- ANSI constraint DDL (r14) ---------------------------------------
+    // PRIMARY KEY declares the record key (no keyCols property), CHECK
+    // becomes an enforced per-write predicate riding checkMode='drop' —
+    // violating rows are quarantined at the ingest boundary, so the
+    // final state is the filtered seed (deterministic oracle)
+    GQuery("lake_sql_constraints",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:cons", _ => {
+          s.sql(s"""CREATE TABLE $cat.db.nation_cons (
+              n_nationkey INT, n_name STRING, n_regionkey INT, update_ts INT,
+              CONSTRAINT nation_pk PRIMARY KEY (n_nationkey),
+              CONSTRAINT small_key CHECK (n_nationkey < 15))
+            USING graft
+            TBLPROPERTIES (precombineCol='update_ts', checkMode='drop')""")
+          s.sql(s"""INSERT INTO $cat.db.nation_cons
+            SELECT n_nationkey, n_name, n_regionkey, 0 FROM sql_nation_src""")
+          cat
+        })
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+          FROM $cat.db.nation_cons ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+        FROM nation WHERE n_nationkey < 15 ORDER BY n_nationkey""")),
+
     GQuery("lake_sql_identity",
       (s, d) => {
         val cat = identityFixture(s, d)

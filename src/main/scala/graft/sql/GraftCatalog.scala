@@ -83,7 +83,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // rewrites graft-table inserts to compute generated columns and
       // assign identity values (see GraftFillComputedColumns)
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      // ANSI constraint DDL: CHECK constraints map onto the engine's
+      // enforced per-write predicates (TBLPROPERTIES 'checks' parity),
+      // PRIMARY KEY declares the record key (keyCols), both extracted
+      // in createTable(TableInfo); UNIQUE/FOREIGN KEY refuse loudly
+      // (nothing in the engine enforces them — accepting informational
+      // constraints silently would misrepresent the contract)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   // path traversal guard: identifiers become directory names. Leading
   // dots are rejected because hidden (dot-prefixed) directories are the
@@ -347,8 +354,43 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         mb.putString(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, ex))
       f.copy(metadata = mb.build())
     })
-    val desc = buildDescriptor(schemaWithMeta, info.partitions(), info.properties())
+    // ANSI constraints: CHECK → enforced per-write predicate (merged
+    // with the TBLPROPERTIES 'checks' spelling — duplicate names
+    // refuse); PRIMARY KEY → the record key (keyCols), which the engine
+    // genuinely enforces through upsert identity. UNIQUE/FK refuse.
+    val constraintChecks = info.constraints().collect {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        c.name.toLowerCase -> c.predicateSql()
+    }.toMap
+    val pkCols = info.constraints().collect {
+      case pk: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey =>
+        pk.columns().map(_.fieldNames.mkString(".")).toSeq
+    }
+    info.constraints().foreach {
+      case _: org.apache.spark.sql.connector.catalog.constraints.Unique |
+           _: org.apache.spark.sql.connector.catalog.constraints.ForeignKey =>
+        throw new UnsupportedOperationException(
+          "UNIQUE and FOREIGN KEY constraints are not enforced by this " +
+            "engine and are therefore not accepted (PRIMARY KEY and CHECK are)")
+      case _ => ()
+    }
+    require(pkCols.size <= 1, "at most one PRIMARY KEY constraint")
+    // PRIMARY KEY may DECLARE the key (keyCols property then optional);
+    // when both appear they must agree
+    val props = new java.util.HashMap[String, String](info.properties())
+    pkCols.headOption.foreach { pk =>
+      Option(props.get("keyCols")).foreach(kc => require(
+        kc.split(",").map(_.trim).filter(_.nonEmpty).toSeq == pk,
+        s"PRIMARY KEY (${pk.mkString(",")}) and TBLPROPERTIES keyCols='$kc' disagree"))
+      props.put("keyCols", pk.mkString(","))
+    }
+    val desc0 = buildDescriptor(schemaWithMeta, info.partitions(), props)
+    val dup = constraintChecks.keySet & desc0.checks.keySet
+    require(dup.isEmpty,
+      s"CHECK constraint name(s) collide with TBLPROPERTIES checks: ${dup.mkString(",")}")
+    val desc = desc0
       .copy(identityCols = identityCols, generatedCols = generatedCols,
+        checks = desc0.checks ++ constraintChecks,
         schemaJson = schemaWithMeta.json)
     TableDescriptor.save(tablePath(ident).toString, desc, hconf)
     new GraftTableV2(spark, catalogName, ident.toString,

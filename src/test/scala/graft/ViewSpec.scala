@@ -134,6 +134,31 @@ class ViewSpec extends AnyFunSuite {
       "dropping the MV must deregister it from the source descriptor")
   }
 
+  test("ANSI constraints: CHECK enforced, PRIMARY KEY declares the record key") {
+    wh
+    spark.sql("""CREATE TABLE gv.db.cons (pk BIGINT, ts INT, qty INT,
+        CONSTRAINT pk_is_key PRIMARY KEY (pk),
+        CONSTRAINT qty_pos CHECK (qty > 0))
+      USING graft TBLPROPERTIES (precombineCol='ts')""")
+    // PRIMARY KEY defined keyCols: an upsert on the same pk collapses
+    spark.sql("INSERT INTO gv.db.cons VALUES (1, 0, 5)")
+    spark.sql("INSERT INTO gv.db.cons VALUES (1, 1, 9)")
+    assert(rows("SELECT qty FROM gv.db.cons WHERE pk = 1") == Seq(Seq(9)))
+    // CHECK is ENFORCED per write
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gv.db.cons VALUES (2, 0, -3)")
+    }
+    assert(e.getMessage.contains("qty_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("qty_pos")),
+      s"violating row must name the constraint: ${e.getMessage.take(300)}")
+    // unenforceable constraint kinds refuse loudly
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE gv.db.cons_bad (a BIGINT, ts INT,
+          CONSTRAINT u UNIQUE (a))
+        USING graft TBLPROPERTIES (keyCols='a', precombineCol='ts')""")
+    }
+  }
+
   test("view bodies resolve in the definer's context; cycles rejected") {
     wh
     // definer context: create from a session whose current catalog/ns is
