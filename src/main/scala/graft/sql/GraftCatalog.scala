@@ -791,6 +791,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
                 priorPartitionSpecs = saved.priorPartitionSpecs)).getOrElse(d)
             }
         }
+      // ANSI `ALTER TABLE ... ADD/DROP CONSTRAINT`: CHECK constraints
+      // join the engine's enforced per-write predicates (Spark's
+      // AddCheckConstraint exec has already validated EXISTING rows —
+      // its plan carries the NOT(pred) scan — before this call)
+      case (d, a: TableChange.AddConstraint) => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          val n = c.name.toLowerCase
+          require(!Option(d.checks).getOrElse(Map.empty).contains(n),
+            s"constraint '$n' already exists")
+          d.copy(checks = Option(d.checks).getOrElse(Map.empty) +
+            (n -> c.predicateSql()))
+        case other => throw new UnsupportedOperationException(
+          s"only CHECK constraints can be added (got ${other.toDDL}) — " +
+            "UNIQUE/FK are unenforced and therefore not accepted")
+      }
+      case (d, r: TableChange.DropConstraint) =>
+        val n = r.name.toLowerCase
+        val have = Option(d.checks).getOrElse(Map.empty)
+        if (!have.contains(n) && r.ifExists) d
+        else {
+          require(have.contains(n), s"no such constraint '$n'")
+          d.copy(checks = have - n)
+        }
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }
@@ -845,6 +868,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val lake = graft.lake.LakeTable(spark, desc.config(root))
     val (propChanges, colChanges) = changes.partition {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      // constraint changes edit the descriptor's checks map — the same
+      // persistence class as properties (alterProperties handles them)
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
       case _ => false
     }
     if (propChanges.nonEmpty)

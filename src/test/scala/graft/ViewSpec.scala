@@ -157,6 +157,19 @@ class ViewSpec extends AnyFunSuite {
           CONSTRAINT u UNIQUE (a))
         USING graft TBLPROPERTIES (keyCols='a', precombineCol='ts')""")
     }
+
+    // ALTER TABLE ADD CONSTRAINT validates existing rows (Spark's exec
+    // runs the NOT(pred) scan) then enforces going forward; DROP lifts it
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gv.db.cons ADD CONSTRAINT qty_small CHECK (qty < 9)")
+    } // existing row qty=9 violates
+    spark.sql("ALTER TABLE gv.db.cons ADD CONSTRAINT qty_small CHECK (qty < 100)")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gv.db.cons VALUES (3, 0, 500)")
+    }
+    spark.sql("ALTER TABLE gv.db.cons DROP CONSTRAINT qty_small")
+    spark.sql("INSERT INTO gv.db.cons VALUES (3, 0, 500)")
+    assert(rows("SELECT qty FROM gv.db.cons WHERE pk = 3") == Seq(Seq(500)))
   }
 
   test("view bodies resolve in the definer's context; cycles rejected") {
