@@ -903,14 +903,40 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // first-class: identity-carrying rename/widen, fresh-id add,
       // no-resurrect drop — the same laws as the top level.
       import graft.lake.SchemaEvo
+      // columns the engine DERIVES things from are pinned too: a rename
+      // would silently break materialized-view refresh recipes and
+      // generated-column recompute (their expressions resolve by name)
+      def exprRefs(ex: String): Seq[String] =
+        scala.util.Try(spark.sessionState.sqlParser.parseExpression(ex)
+          .collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.head
+          }).getOrElse(Seq.empty)
+      val derivedPinned =
+        Option(descNow.generatedCols).getOrElse(Map.empty).keys.toSeq ++
+        Option(descNow.generatedCols).getOrElse(Map.empty).values.flatMap(exprRefs) ++
+        Option(descNow.identityCols).getOrElse(Map.empty).keys.toSeq ++
+        Option(descNow.matViews).getOrElse(Seq.empty).flatMap { r =>
+          TableDescriptor.load(r, hconf).flatMap(d => Option(d.matView)).toSeq
+            .flatMap { mv =>
+              mv.dims ++
+                (Option(mv.sums).getOrElse(Map.empty) ++
+                  Option(mv.mins).getOrElse(Map.empty) ++
+                  Option(mv.maxs).getOrElse(Map.empty)).values.flatMap(exprRefs)
+            }
+        }
       val pinned = (descNow.keyCols ++ descNow.partitionCols ++
         descNow.statsCols ++ descNow.clusterCols ++
         Option(descNow.shredPaths).getOrElse(Seq.empty)
-          .map(e => graft.lake.ShredSpec.parse(e).column) :+
+          .map(e => graft.lake.ShredSpec.parse(e).column) ++
+        derivedPinned :+
         descNow.precombineCol).toSet
       def guard(path: Seq[String]): Unit = {
         require(!SchemaEvo.isInternal(path.head) && !pinned.contains(path.head),
-          s"column '${path.head}' is pinned by the table configuration")
+          s"column '${path.head}' is pinned by the table configuration " +
+            "(key/partition/stats/cluster/shred/precombine, an identity or " +
+            "generated column or one its expression reads, or a column a " +
+            "registered materialized view derives from)")
       }
       changesSeq.foldLeft(lake.tableSchema()) { (schema, ch) =>
         ch match {

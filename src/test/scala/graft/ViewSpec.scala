@@ -172,6 +172,35 @@ class ViewSpec extends AnyFunSuite {
     assert(rows("SELECT qty FROM gv.db.cons WHERE pk = 3") == Seq(Seq(500)))
   }
 
+  test("columns feeding MVs and generated columns are pinned against rename/drop") {
+    wh
+    spark.sql("""CREATE TABLE gv.db.pin_src (pk BIGINT, ts INT, region STRING,
+        qty INT, q2 INT GENERATED ALWAYS AS (qty + 1))
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO gv.db.pin_src (pk, ts, region, qty) VALUES (1, 0, 'r1', 5)")
+    spark.sql("""CREATE MATERIALIZED VIEW gv.db.pin_mv AS
+      SELECT region, count(*) AS n, sum(CAST(qty AS BIGINT)) AS total
+      FROM gv.db.pin_src GROUP BY region""")
+    // qty feeds both the generated column and the MV sum; region is an
+    // MV dimension — renaming either must refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gv.db.pin_src RENAME COLUMN qty TO amount")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gv.db.pin_src RENAME COLUMN region TO zone")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gv.db.pin_src DROP COLUMN q2")
+    }
+    // dropping the MV unpins its columns (the generated col still pins qty)
+    spark.sql("DROP TABLE gv.db.pin_mv")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gv.db.pin_src RENAME COLUMN qty TO amount")
+    }
+    spark.sql("ALTER TABLE gv.db.pin_src RENAME COLUMN region TO zone")
+    assert(spark.sql("SELECT zone FROM gv.db.pin_src").collect().head.getString(0) == "r1")
+  }
+
   test("view bodies resolve in the definer's context; cycles rejected") {
     wh
     // definer context: create from a session whose current catalog/ns is
