@@ -62,6 +62,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * persistence paths from it */
   private[sql] def warehousePath: String = warehouse
 
+  /** table root path for parser-level commands */
+  private[sql] def tableRoot(ns: Seq[String], name: String): String =
+    tablePath(Identifier.of(ns.toArray, name)).toString
+
   /** SQL DEFAULT column values (`CREATE TABLE t (c INT DEFAULT 5)`):
     * declaring the capability makes Spark validate the expression at
     * CREATE, embed it as field metadata in the schema we persist, and

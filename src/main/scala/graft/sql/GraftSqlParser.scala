@@ -90,8 +90,36 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           GraftRenameViewCommand(cat.name, ns, name, newNameParts.last)
         case None => rt
       }
+    // ANSI `ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]` on a
+    // graft table: FOR COLUMNS runs the engine's one-pass column
+    // analyze (NDV/nulls/ranges/lengths → served to CBO); the bare form
+    // is a successful no-op — row and size statistics are ALWAYS exact
+    // from the commit log, there is nothing to compute
+    case at @ AnalyzeTable(UnresolvedTableOrView(parts, _, _), _, _) =>
+      storedTable(parts) match {
+        case Some((cat, ns, name)) =>
+          GraftAnalyzeCommand(cat.name, ns, name, Seq.empty, columnsPass = false)
+        case None => at
+      }
+    case ac @ AnalyzeColumn(UnresolvedTableOrView(parts, _, _), cols, _) =>
+      storedTable(parts) match {
+        case Some((cat, ns, name)) =>
+          GraftAnalyzeCommand(cat.name, ns, name,
+            cols.getOrElse(Seq.empty), columnsPass = true)
+        case None => ac
+      }
     case other => other
   }
+
+  /** resolve + existence-check a graft TABLE (same never-throw contract
+    * as [[storedView]]) */
+  private def storedTable(parts: Seq[String])
+      : Option[(GraftCatalog, Seq[String], String)] =
+    scala.util.Try(ViewResolution.resolve(session, parts).filter {
+      case (cat, ns, name) =>
+        cat.tableExists(org.apache.spark.sql.connector.catalog.Identifier
+          .of(ns.toArray, name))
+    }).toOption.flatten
 
   /** resolve + existence-check a stored view, never throwing at parse
     * time (analysis owns the errors for non-views) */

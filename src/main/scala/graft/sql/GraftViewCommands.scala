@@ -255,6 +255,27 @@ private[sql] final case class GraftRenameViewCommand(
   }
 }
 
+/** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, ... | FOR ALL
+  * COLUMNS]` — the ANSI spelling of `CALL graft.system.analyze`. The
+  * column pass persists NDV/nulls/ranges/lengths for the CBO
+  * ([[graft.lake.ColStats]]); the bare form is a successful no-op
+  * because row/size statistics are always exact from the commit log. */
+private[sql] final case class GraftAnalyzeCommand(
+    catName: String, ns: Seq[String], name: String,
+    columns: Seq[String], columnsPass: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!columnsPass) return Seq.empty
+    val cat = ViewResolution.graftCatalog(session, catName).get
+    val root = cat.tableRoot(ns, name)
+    val desc = graft.lake.TableDescriptor.load(root,
+      session.sparkContext.hadoopConfiguration).getOrElse(
+      throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map(
+        "relationName" -> s"`$catName`.`${(ns :+ name).mkString("`.`")}`")))
+    graft.lake.LakeTable(session, desc.config(root)).analyzeColumns(columns)
+    Seq.empty
+  }
+}
+
 /** `SHOW VIEWS IN cat.ns [LIKE 'pattern']` — carries the ORIGINAL
   * ShowViews node's output attributes so downstream projections keep
   * resolving against the same ids. */

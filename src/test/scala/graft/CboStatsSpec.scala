@@ -70,6 +70,24 @@ class CboStatsSpec extends AnyFunSuite {
     assert(byName("grp").avgLen.exists(_ > 0) && byName("grp").min.isEmpty)
   }
 
+  test("ANSI ANALYZE TABLE spelling routes to the same column pass") {
+    wh
+    spark.sql("""CREATE TABLE gc.db.ansi (pk BIGINT, ts INT, grp STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    import spark.implicits._
+    (1 to 90).map(i => (i.toLong, 0, s"g${i % 4}")).toDF("pk", "ts", "grp")
+      .createOrReplaceTempView("ansi_src")
+    spark.sql("INSERT INTO gc.db.ansi SELECT * FROM ansi_src")
+    // bare form: successful no-op (counts are commit-log-exact already)
+    spark.sql("ANALYZE TABLE gc.db.ansi COMPUTE STATISTICS")
+    assert(attrStats("SELECT pk FROM gc.db.ansi").isEmpty)
+    spark.sql("ANALYZE TABLE gc.db.ansi COMPUTE STATISTICS FOR ALL COLUMNS")
+    val st = attrStats("SELECT pk, grp FROM gc.db.ansi")
+      .map { case (a, s) => a.name -> s }
+    assert(st("grp").distinctCount.exists(_.toLong == 4))
+    assert(st("pk").distinctCount.exists(_.toLong > 70))
+  }
+
   test("re-analyze tracks mutation; stale stats still serve") {
     wh
     spark.sql("CALL gc.system.analyze('db.t')").collect()
