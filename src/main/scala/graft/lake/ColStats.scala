@@ -107,10 +107,18 @@ object ColStats {
         approx_count_distinct(c).as(s"ndv__${f.name}"),
         count(c).as(s"nn__${f.name}"))
       val range =
-        if (rangeType(f.dataType))
-          Seq(min(c).cast(StringType).as(s"min__${f.name}"),
-            max(c).cast(StringType).as(s"max__${f.name}"))
-        else Seq.empty
+        if (rangeType(f.dataType)) {
+          // TIMESTAMP (zoned) renders via epoch micros, not cast-to-string:
+          // the string form is session-timezone-dependent and the planner
+          // parse-back would skew bounds by the zone offset on non-UTC
+          // sessions. NTZ/date strings are zone-free already.
+          def rendered(e: org.apache.spark.sql.Column) = f.dataType match {
+            case TimestampType => unix_micros(e).cast(StringType)
+            case _ => e.cast(StringType)
+          }
+          Seq(rendered(min(c)).as(s"min__${f.name}"),
+            rendered(max(c)).as(s"max__${f.name}"))
+        } else Seq.empty
       val len = f.dataType match {
         case StringType | BinaryType => Seq(
           avg(octet_length(c.cast(StringType))).as(s"avg__${f.name}"),
@@ -164,10 +172,17 @@ object ColStats {
       case DateType =>
         java.time.LocalDate.parse(s).toEpochDay.toInt
       case TimestampType | TimestampNTZType =>
-        val norm = s.replace(' ', 'T')
-        val ldt = java.time.LocalDateTime.parse(norm)
-        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-          ldt.getNano / 1000L
+        // new artifacts carry zoned timestamps as epoch micros (all
+        // digits); NTZ and pre-upgrade artifacts carry a wall-clock
+        // string, whose UTC interpretation is exact for NTZ (catalyst
+        // NTZ micros ARE the wall clock) and best-effort for legacy
+        if (s.matches("-?\\d+")) s.toLong
+        else {
+          val norm = s.replace(' ', 'T')
+          val ldt = java.time.LocalDateTime.parse(norm)
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L
+        }
       case _ => return None
     }).toOption
   }

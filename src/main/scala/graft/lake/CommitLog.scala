@@ -978,34 +978,59 @@ final class CommitLog(root: String, hadoopConf: Configuration,
   /** Claim an exclusive allocation range for an identity column:
     * returns `base` such that [base, base + units) in UNIT space (value
     * = start + step * unit) belongs to this caller alone. Claims are
-    * marker files `<base>_<units>` under `_log/_ident_<col>/`,
+    * marker files named `<base>` (zero-padded) under
+    * `_log/_ident_<col>/` whose CONTENT carries the claimed unit count,
     * published through the SAME conditional-put [[CommitStore]]
-    * contract as commits — two racing writers can never both claim the
-    * same base, with NO coordination against the commit OCC (ranges
-    * are a separate, append-only resource; the loser simply re-lists
-    * and claims the next base). A claimed-but-crashed batch wastes its
-    * range — identity values may have gaps, the documented contract.
+    * contract as commits. Keying the put on the base ALONE is what
+    * makes the race safe: two writers that compute the same next base
+    * collide on the destination name regardless of how many units each
+    * wants (a `<base>_<units>` name would let different-sized claims
+    * of the same base both land). No coordination against the commit
+    * OCC (ranges are a separate, append-only resource; the loser simply
+    * re-lists and claims the next base). A claimed-but-crashed batch
+    * wastes its range — identity values may have gaps, the documented
+    * contract. Legacy `<base>_<units>` markers from older claims are
+    * still honored when computing the next base.
     */
   private[lake] def claimIdentityRange(col: String, units: Long): Long = {
     require(units > 0, s"identity claim needs positive units, got $units")
     val dir = new Path(logDir, s"_ident_$col")
     fs.mkdirs(dir)
+    def unitsOf(p: Path): Long = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .toLongOption.getOrElse(0L)
+      finally in.close()
+    }
     var attempts = 0
     while (attempts < 64) {
-      val next = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .flatMap { n =>
+      // next base = max over claims of (base + units); only the
+      // max-base claim's units matter, so content is read once per try
+      val claims = fs.listStatus(dir).toSeq
+        .filterNot(_.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          val n = st.getPath.getName
           n.split('_') match {
+            case Array(b) => b.toLongOption.map(bb => (bb, st.getPath, true))
             case Array(b, w) =>
-              for (bb <- b.toLongOption; ww <- w.toLongOption) yield bb + ww
+              for (bb <- b.toLongOption; _ <- w.toLongOption)
+                yield (bb, st.getPath, false)
             case _ => None
           }
-        }.maxOption.getOrElse(0L)
-      val name = s"${next}_$units"
+        }
+      val next = claims.maxByOption(_._1) match {
+        case None => 0L
+        case Some((base, p, contentUnits)) =>
+          val u =
+            if (contentUnits) unitsOf(p)
+            else p.getName.split('_')(1).toLong
+          base + u
+      }
       val tmp = new Path(dir, s".claim-${java.util.UUID.randomUUID}.tmp")
       val out = fs.create(tmp, true)
-      try out.write(Array.emptyByteArray) finally out.close()
+      try out.write(units.toString.getBytes("UTF-8")) finally out.close()
       val ok =
-        try store.publishAtomic(fs, tmp, new Path(dir, name))
+        try store.publishAtomic(fs, tmp, new Path(dir, f"$next%020d"))
         finally { scala.util.Try(fs.delete(tmp, false)); () }
       if (ok) return next
       attempts += 1

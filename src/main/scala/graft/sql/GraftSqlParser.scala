@@ -56,6 +56,11 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val resolved = parts match {
         case head +: rest if ViewResolution.graftCatalog(session, head).isDefined =>
           Some((ViewResolution.graftCatalog(session, head).get, rest))
+        // a head naming a registered NON-graft catalog addresses THAT
+        // catalog — pass through, never list the graft warehouse
+        case head +: _ if scala.util.Try(session.sessionState.catalogManager
+            .catalog(head)).toOption.exists(!_.isInstanceOf[GraftCatalog]) =>
+          None
         case _ => session.sessionState.catalogManager.currentCatalog match {
           case g: GraftCatalog =>
             Some((g, if (parts.nonEmpty) parts

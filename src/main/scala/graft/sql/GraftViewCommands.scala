@@ -27,9 +27,17 @@ private[sql] object ViewResolution {
   def resolve(session: SparkSession, parts: Seq[String])
       : Option[(GraftCatalog, Seq[String], String)] = {
     val cm = session.sessionState.catalogManager
+    // a head that names a registered NON-graft catalog addresses THAT
+    // catalog — fall through to Spark untouched rather than treating
+    // ['spark_catalog','default'] as a namespace inside the current
+    // graft catalog (which would hijack cross-catalog DDL)
+    def isForeignCatalog(head: String): Boolean =
+      Try(cm.catalog(head)).toOption.exists(!_.isInstanceOf[GraftCatalog])
     parts match {
       case head +: rest if rest.nonEmpty && graftCatalog(session, head).isDefined =>
         Some((graftCatalog(session, head).get, rest.init, rest.last))
+      case head +: rest if rest.nonEmpty && isForeignCatalog(head) =>
+        None
       case _ =>
         cm.currentCatalog match {
           case g: GraftCatalog =>
