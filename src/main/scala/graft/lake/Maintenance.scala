@@ -48,7 +48,17 @@ object Maintenance {
         * N commits past the analyzed commit (0 = off). Only re-analyzes
         * tables that were analyzed at least once — the first pass is a
         * deliberate operator decision (it costs a table scan). */
-      analyzeAfter: Int = 0)
+      analyzeAfter: Int = 0,
+      /** rewrite live data back into cluster order once the fraction of
+        * live bytes in cluster-ERODING files crosses this ratio (0 =
+        * off; needs clusterCols). Eroding = delta files plus base files
+        * produced by row-level write ops (upsert / merge / delete /
+        * insert_overwrite / dv_update): each such commit range-orders
+        * only ITS OWN output, so file ranges overlap ACROSS commits and
+        * stats skipping degrades with every write. Globally-ordered
+        * producers (bulk_insert, recluster, compact, dv_fold,
+        * delta_compact) don't erode. */
+      reclusterDriftRatio: Double = 0.0)
 
   /** One evaluation round: fire every action whose trigger holds.
     * Returns (action, result-or-skip) pairs — `("compact", -1)` with
@@ -88,6 +98,40 @@ object Maintenance {
       if (heavy) fire("dv_fold")(t.foldDvs(p.dvFoldRatio))
     }
 
+    if (p.reclusterDriftRatio > 0 && t.config.clusterCols.nonEmpty) {
+      val live = t.log.liveFiles()
+      val total = live.map(_.bytes).sum
+      // total 0 = pre-upgrade commits without recorded sizes: no honest
+      // ratio exists — skip rather than guess
+      if (total > 0) {
+        val clusteredOps =
+          Set("bulk_insert", "recluster", "compact", "dv_fold", "delta_compact")
+        val need = scala.collection.mutable.Map(
+          live.filterNot(_.isDelta).map(f => f.path -> f).toSeq: _*)
+        var eroded = live.filter(_.isDelta).map(_.bytes).sum
+        // resolve each base file's PRODUCING commit op: walk the retained
+        // timeline backwards with early exit (commit JSONs are memoized,
+        // so repeat evaluations cost nothing new). Files whose add aged
+        // past the retained region are treated as clustered —
+        // conservative: drift can only be underestimated, never fires a
+        // table-wide rewrite on stale evidence.
+        var cursor = t.log.latestId.getOrElse(-1L)
+        val floor = t.log.commits.headOption.map(_.id).getOrElse(0L)
+        while (need.nonEmpty && cursor >= floor) {
+          t.log.commitIfExists(cursor).foreach { c =>
+            c.adds.foreach { a =>
+              need.remove(a.path).foreach { f =>
+                if (!clusteredOps.contains(c.op)) eroded += f.bytes
+              }
+            }
+          }
+          cursor -= 1
+        }
+        if (eroded.toDouble / total >= p.reclusterDriftRatio)
+          fire("recluster")(t.recluster())
+      }
+    }
+
     if (p.retainCommits > 0) {
       val travelable = t.log.commits.count(_.id >= t.log.cleanedUpTo)
       if (travelable > p.retainCommits)
@@ -109,11 +153,7 @@ object Maintenance {
           mv <- Option(mvDesc.matView)
           if mv.source == t.config.root
         } {
-          val agg = new MaterializedAgg(t.spark, t, root, mv.dims,
-            Option(mv.sums).getOrElse(Map.empty),
-            Option(mv.mins).getOrElse(Map.empty),
-            Option(mv.maxs).getOrElse(Map.empty),
-            Option(mv.countCol).getOrElse("n_rows"))
+          val agg = MaterializedAgg.fromDescriptor(t.spark, t, root, mv)
           if (head - agg.applied.getOrElse(-1L) >= p.refreshMvAfter)
             fire(s"refresh_mv:${root.split('/').last}")(agg.refresh())
         }

@@ -61,7 +61,14 @@ final class MaterializedAgg(
     /** name of the maintained row-count column (SQL MVs surface the
       * user's `count(*)` alias; the count always exists — it drives the
       * delete-on-zero rule) */
-    countCol: String = "n_rows") {
+    countCol: String = "n_rows",
+    /** optional row predicate from the MV definition's WHERE clause:
+      * the aggregate maintains `agg(filter(source))` — every delta frame
+      * is filtered BEFORE aggregation, so a row whose update moves it
+      * across the predicate boundary retracts/contributes correctly
+      * (its pre-image sits in subs filtered by the OLD values, its
+      * post-image in adds filtered by the NEW ones) */
+    filterSql: Option[String] = None) {
   require(dims.nonEmpty, "need at least one dimension column")
   require((sums.keySet & mins.keySet).isEmpty &&
     (sums.keySet & maxs.keySet).isEmpty && (mins.keySet & maxs.keySet).isEmpty,
@@ -114,15 +121,26 @@ final class MaterializedAgg(
   private def sumCols = sums.keys.toSeq.sorted
   private def minCols = mins.keys.toSeq.sorted
   private def maxCols = maxs.keys.toSeq.sorted
-  /** delta-maintained measures (count + sums) */
-  private def measures = countCol +: sumCols
+  /** per-sum-measure NON-NULL counts, maintained alongside each sum so
+    * `avg(e)` decomposes exactly (`Σ sum / Σ nn` — nn, not n_rows: avg
+    * ignores nulls) and so a group whose values are ALL null keeps a
+    * null sum through incremental updates (nn = 0 ⇒ sum stays null) */
+  private def nnCols = sumCols.map(MaterializedAgg.nnCol)
+  /** delta-maintained measures (count + sums + non-null counts) */
+  private def measures = (countCol +: sumCols) ++ nnCols
   /** recomputed measures (order statistics) */
   private def orderCols = minCols ++ maxCols
+
+  /** MV-definition WHERE predicate, applied to every source-row frame
+    * before aggregation (identity when the MV is unfiltered) */
+  private def filteredSrc(df: DataFrame): DataFrame =
+    filterSql.filter(_.nonEmpty).fold(df)(f => df.filter(expr(f)))
 
   private def aggOf(df: DataFrame): DataFrame =
     df.groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as(countCol),
         sumCols.map(c => sum(expr(sums(c))).as(c)) ++
+          sumCols.map(c => count(expr(sums(c))).as(MaterializedAgg.nnCol(c))) ++
           minCols.map(c => min(expr(mins(c))).as(c)) ++
           maxCols.map(c => max(expr(maxs(c))).as(c)): _*)
 
@@ -190,7 +208,7 @@ final class MaterializedAgg(
     require(to >= from, s"cannot refresh backwards: applied=$from, asked=$to")
     if (to == from) { mark.record(to); return Some(to) }
     if (from < 0) {
-      table.bulkInsert(aggOf(source.readAsOf(to))
+      table.bulkInsert(aggOf(filteredSrc(source.readAsOf(to)))
         .withColumn("_src_commit", lit(to)),
         meta = Map(SrcKey -> to.toString))
       mark.record(to); return Some(to)
@@ -216,9 +234,9 @@ final class MaterializedAgg(
     // delta = add - sub per dimension, via a NULL-SAFE full outer join
     // (a name-equality join would split a null-valued dimension into
     // two half-deltas that later collapse arbitrarily)
-    val a = aggOf(adds).select(
+    val a = aggOf(filteredSrc(adds)).select(
       dims.map(col) ++ measures.map(c => col(c).as(s"_a_$c")): _*)
-    val b = aggOf(subs).select(
+    val b = aggOf(filteredSrc(subs)).select(
       dims.map(col) ++ measures.map(c => col(c).as(s"_s_$c")): _*)
     val cond = dims.map(c => a(c) <=> b(c)).reduce(_ && _)
     val counted = a.join(b, cond, "full_outer")
@@ -241,7 +259,7 @@ final class MaterializedAgg(
     // prune against, never a table-wide re-aggregation
     val delta = if (orderCols.isEmpty) delta0 else {
       val affected = delta0.select(dims.map(col): _*).distinct()
-      val probe = newSnap.as("n").join(
+      val probe = filteredSrc(newSnap).as("n").join(
         broadcast(affected.as("af")),
         dims.map(c => col(s"n.$c") <=> col(s"af.$c")).reduce(_ && _),
         "left_semi")
@@ -261,15 +279,30 @@ final class MaterializedAgg(
     // apply as ONE commit: update/insert/delete in a single merge; the
     // applied source commit travels in the SAME commit (crash-safe even
     // for delete-only windows — see SrcKey)
+    // sum columns need null care: SQL sum over a group of all-null
+    // values is NULL, not 0 — so a sum is written/kept null exactly
+    // while its non-null count is zero, and additions onto a null sum
+    // start from 0 (coalesce) instead of propagating the null
+    val countLike = countCol +: nnCols
+    def updSum(c: String) = {
+      val nn = MaterializedAgg.nnCol(c)
+      when(coalesce(col(s"t.$nn"), lit(0L)) + col(s"s._d_$nn") === 0, lit(null))
+        .otherwise(coalesce(col(s"t.$c"), lit(0L)) + col(s"s._d_$c"))
+    }
+    def insSum(c: String) =
+      when(col(s"s._d_${MaterializedAgg.nnCol(c)}") === 0, lit(null))
+        .otherwise(col(s"s._d_$c"))
     table.merge(payload)
       .withCommitMeta(Map(SrcKey -> to.toString))
       .whenMatchedDelete(Some(col(s"t.$countCol") + col(s"s._d_$countCol") <= 0))
       .whenMatchedUpdate(
-        measures.map(c => c -> (col(s"t.$c") + col(s"s._d_$c"))).toMap ++
+        countLike.map(c => c -> (col(s"t.$c") + col(s"s._d_$c"))).toMap ++
+          sumCols.map(c => c -> updSum(c)).toMap ++
           orderCols.map(c => c -> col(s"s._v_$c")).toMap +
           ("_src_commit" -> col("s._src_commit")))
       .whenNotMatchedInsert(
-        measures.map(c => c -> col(s"s._d_$c")).toMap ++
+        countLike.map(c => c -> col(s"s._d_$c")).toMap ++
+          sumCols.map(c => c -> insSum(c)).toMap ++
           orderCols.map(c => c -> col(s"s._v_$c")).toMap,
         cond = Some(col(s"s._d_$countCol") > 0))
       .execute()
@@ -277,7 +310,27 @@ final class MaterializedAgg(
     Some(to)
   }
 
-  /** current aggregate: (dims..., n_rows, sum columns..., min/max columns...) */
+  /** current aggregate: (dims..., n_rows, sum columns..., min/max
+    * columns...) — the per-sum non-null counts stay engine-internal */
   def read(): DataFrame =
-    table.read().select((dims ++ measures ++ orderCols).map(col): _*)
+    table.read().select((dims ++ (countCol +: sumCols) ++ orderCols).map(col): _*)
+}
+
+object MaterializedAgg {
+  /** maintained non-null count per SUM measure — drives the exact
+    * `avg()` rewrite (avg = Σ sum / Σ nn) and the null-correct sum
+    * update rule; double underscore keeps it out of the user namespace
+    * and the MV's user-visible SQL schema */
+  def nnCol(sumCol: String): String = s"__nn_$sumCol"
+
+  /** reconstruct the maintenance recipe persisted in an MV's descriptor
+    * (shared by refresh procedures, maintenance, and the rewrite rule) */
+  def fromDescriptor(spark: org.apache.spark.sql.SparkSession,
+      source: LakeTable, mvRoot: String, mv: MatViewDescriptor): MaterializedAgg =
+    new MaterializedAgg(spark, source, mvRoot, mv.dims,
+      Option(mv.sums).getOrElse(Map.empty),
+      Option(mv.mins).getOrElse(Map.empty),
+      Option(mv.maxs).getOrElse(Map.empty),
+      Option(mv.countCol).getOrElse("n_rows"),
+      Option(mv.filterSql).filter(_.nonEmpty))
 }

@@ -119,11 +119,17 @@ final case class MatViewDescriptor(
       * count is always maintained — it drives the delete-on-zero rule) */
     countCol: String = "n_rows",
     /** whether the defining query projected the count at all (a MV with
-      * only sum/min/max measures still maintains the count internally,
-      * but the rewrite must not offer it) */
+      * only sum/min/max measures still maintains the count internally —
+      * exact, so the rewrite may still serve a query's count(*) from it
+      * — but the column is hidden from the MV's user-visible schema) */
     countExposed: Boolean = true,
     /** original CREATE MATERIALIZED VIEW ... AS text */
-    sql: String = "")
+    sql: String = "",
+    /** WHERE predicate from the MV definition (SQL text over source
+      * columns; null/empty = unfiltered). Maintenance filters every
+      * delta frame with it; the rewrite requires the query predicate to
+      * contain it conjunct-for-conjunct. */
+    filterSql: String = null)
 
 object TableDescriptor {
   private val mapper = new ObjectMapper()

@@ -5,7 +5,7 @@ import scala.util.Try
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -39,7 +39,8 @@ import graft.lake.{LakeTable, MaterializedAgg, MatViewDescriptor, TableDescripto
   *
   * Disable per session with `spark.graft.mvRewrite=false`.
   */
-final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.mvRewrite", "true").toBoolean) return plan
@@ -85,6 +86,13 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => a
       case _ => return None
     }
+    // a nondeterministic predicate evaluates once per SOURCE row; moved
+    // onto the pre-aggregated MV it would fire once per group and change
+    // counts/sums — and rand() contributes no references, so the
+    // dim-only reference check alone cannot catch it. Subqueries carry
+    // their own plans whose semantics the conjunct matcher can't compare.
+    if (cond.exists(c => !c.deterministic || SubqueryExpression.hasSubquery(c)))
+      return None
     val hconf = spark.sparkContext.hadoopConfiguration
 
     mvRoots.iterator.flatMap { mvRoot =>
@@ -93,8 +101,6 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         mv <- Option(mvDesc.matView)
         if mv.source == table.tableRoot
         if groupCols.forall(g => mv.dims.exists(conf.resolver(_, g.name)))
-        if cond.forall(_.references.forall(a =>
-          mv.dims.exists(conf.resolver(_, a.name))))
         plan <- build(mv, mvRoot, mvDesc, table, rel, groupCols, aggExprs, cond)
       } yield plan).iterator
     }.nextOption()
@@ -121,6 +127,28 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def matching(stored: Map[String, Expression], e: Expression): Option[String] =
       stored.collectFirst { case (c, se) if se.semanticEquals(e) => c }
 
+    // filter containment: every conjunct of the MV's own WHERE must
+    // appear (semantically) among the query's conjuncts — the MV holds
+    // only filtered rows, so a query that doesn't restate the predicate
+    // asks for rows the MV lost. Conjuncts the MV did NOT bake in are
+    // the residual; they can only be applied on the MV when they
+    // reference dimension columns alone (group-constant, so filtering
+    // groups equals filtering rows).
+    val queryConjuncts = cond.toSeq.flatMap(splitConjunctivePredicates)
+    val mvConjuncts = Option(mv.filterSql).filter(_.nonEmpty) match {
+      case Some(f) => resolveStored(f) match {
+        case Some(e) => splitConjunctivePredicates(e)
+        case None => return None
+      }
+      case None => Seq.empty
+    }
+    if (mvConjuncts.exists(m => !queryConjuncts.exists(_.semanticEquals(m))))
+      return None
+    val residual = queryConjuncts
+      .filterNot(q => mvConjuncts.exists(_.semanticEquals(q)))
+    if (!residual.forall(_.references.forall(a =>
+      mv.dims.exists(conf.resolver(_, a.name))))) return None
+
     // classify every output BEFORE touching the MV plan: any
     // unsupported shape disqualifies the whole rewrite
     sealed trait Out
@@ -129,6 +157,7 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case class SumOf(col: String) extends Out
     case class MinOf(col: String) extends Out
     case class MaxOf(col: String) extends Out
+    case class AvgOf(col: String) extends Out
     val outs: Seq[(NamedExpression, Out)] = aggExprs.map {
       case a: AttributeReference if groupCols.exists(_.exprId == a.exprId) =>
         a -> Dim(a.name)
@@ -142,6 +171,23 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case Sum(e, _) => al -> SumOf(matching(storedSums, e).getOrElse(return None))
           case Min(e) => al -> MinOf(matching(storedMins, e).getOrElse(return None))
           case Max(e) => al -> MaxOf(matching(storedMaxs, e).getOrElse(return None))
+          // avg(e) over an integral e decomposes exactly onto the MV:
+          // Σ sum-col / Σ nn-col (the maintained NON-NULL count — avg
+          // ignores nulls, so n_rows would be wrong under null values).
+          // MV sums are declared integer-widened (`sum(CAST(x AS
+          // BIGINT))`), so also match avg(x) through a lossless widening
+          // cast of the query's child — same values, same null mask.
+          case Average(e, _) =>
+            val widened = e.dataType match {
+              case org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType =>
+                matching(storedSums,
+                  Cast(e, org.apache.spark.sql.types.LongType))
+              case _ => None
+            }
+            al -> AvgOf(matching(storedSums, e).orElse(widened)
+              .getOrElse(return None))
           case _ => return None
         }
       case _ => return None
@@ -151,8 +197,7 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // last because it costs metadata IO (marker read + head listing)
     val source = table.lake
     val head = source.log.latestId.getOrElse(return None)
-    val agg = new MaterializedAgg(spark, source, mvRoot, mv.dims,
-      mv.sums, mv.mins, mv.maxs, Option(mv.countCol).getOrElse("n_rows"))
+    val agg = MaterializedAgg.fromDescriptor(spark, source, mvRoot, mv)
     if (!agg.applied.contains(head)) return None
 
     // splice the MV read as an analyzed subtree (aliases stripped — the
@@ -170,8 +215,10 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       mvAttrOpt(Option(mv.countCol).getOrElse("n_rows")).getOrElse(return None)
 
     // dims the query doesn't group by are rolled up; nullability must
-    // not WIDEN versus the original output (parents may rely on it)
-    val filtered = cond match {
+    // not WIDEN versus the original output (parents may rely on it).
+    // Only the RESIDUAL conjuncts apply on the MV — the MV-baked ones
+    // already restricted its rows at maintenance time.
+    val filtered = residual.reduceOption(And) match {
       case Some(c) => Filter(c.transformUp {
         case a: AttributeReference => mvAttrOpt(a.name).getOrElse(return None)
       }, mvScan)
@@ -186,6 +233,19 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case SumOf(c) => Sum(mvAttrOpt(c).getOrElse(return None)).toAggregateExpression()
         case MinOf(c) => Min(mvAttrOpt(c).getOrElse(return None)).toAggregateExpression()
         case MaxOf(c) => Max(mvAttrOpt(c).getOrElse(return None)).toAggregateExpression()
+        case AvgOf(c) =>
+          // Σ sum / Σ nn, null when no non-null values survive (SQL avg
+          // of an empty/all-null group). The nn column only exists on
+          // MVs built with non-null-count maintenance — missing on a
+          // pre-upgrade MV ⇒ bail to the base scan.
+          val sumA = mvAttrOpt(c).getOrElse(return None)
+          val nnA = mvAttrOpt(MaterializedAgg.nnCol(c)).getOrElse(return None)
+          val sumTot = Sum(sumA).toAggregateExpression()
+          val nnTot = Sum(nnA).toAggregateExpression()
+          If(EqualTo(Coalesce(Seq(nnTot, Literal(0L))), Literal(0L)),
+            Literal(null, org.apache.spark.sql.types.DoubleType),
+            Divide(Cast(sumTot, org.apache.spark.sql.types.DoubleType),
+              Cast(nnTot, org.apache.spark.sql.types.DoubleType)))
       }
       if (e.dataType != orig.dataType) return None
       if (e.nullable && !orig.nullable) return None

@@ -130,9 +130,8 @@ private[sql] object GraftProcedures {
         .getOrElse(throw new IllegalStateException(
           s"materialized-view source vanished: ${mv.source}"))
       val source = LakeTable(t.spark, srcDesc.config(mv.source))
-      new graft.lake.MaterializedAgg(t.spark, source, t.config.root,
-        mv.dims, mv.sums, mv.mins, mv.maxs,
-        Option(mv.countCol).getOrElse("n_rows"))
+      graft.lake.MaterializedAgg
+        .fromDescriptor(t.spark, source, t.config.root, mv)
         .refresh().getOrElse(-1L)
     }))
 

@@ -80,6 +80,18 @@ final class GraftTableV2(
   private val metaCols =
     Set("_commit_id", "_record_key", LakeTable.BucketCol, "_seq", "_deleted")
 
+  // materialized-view internals stay engine-side: per-sum non-null
+  // counts always, and the maintained row count when the definition
+  // never projected count(*) — SELECT * must show the DECLARED shape
+  private val mvHidden: Set[String] = Option(desc.matView) match {
+    case Some(mv) =>
+      val nn = Option(mv.sums).getOrElse(Map.empty)
+        .keySet.map(graft.lake.MaterializedAgg.nnCol)
+      if (mv.countExposed) nn
+      else nn + Option(mv.countCol).getOrElse("n_rows")
+    case None => Set.empty
+  }
+
   override def name(): String = ident
 
   override def schema(): StructType = {
@@ -108,7 +120,8 @@ final class GraftTableV2(
       .map(_.fields.filter(f => allKeys.exists(f.metadata.contains))
         .map(f => f.name -> f.metadata).toMap)
       .getOrElse(Map.empty)
-    StructType(st.fields.filterNot(f => metaCols.contains(f.name)).map { f =>
+    StructType(st.fields.filterNot(f =>
+      metaCols.contains(f.name) || mvHidden.contains(f.name)).map { f =>
       defaults.get(f.name).fold(f) { dm =>
         val mb = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
@@ -257,7 +270,7 @@ final class GraftTableV2(
       case (Some(p), v) => lake.read(p, v)
       case (None, Some(v)) => lake.readAsOf(v)
     }
-    base.drop(metaCols.toSeq: _*)
+    base.drop((metaCols ++ mvHidden).toSeq: _*)
   }
 
   /** the file set this table variant scans: base-only under `_ro` */

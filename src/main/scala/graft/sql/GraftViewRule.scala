@@ -104,8 +104,10 @@ final case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * Restrictions (each with a loud error): single source table (no
   * joins), GROUP BY plain columns, measures limited to count(*) /
   * integer-typed sum / min / max — the algebra MaterializedAgg can
-  * maintain exactly from the change feed. `avg` decomposes to
-  * sum+count at query time; float sums would drift under incremental
+  * maintain exactly from the change feed. A WHERE clause is accepted
+  * when deterministic and subquery-free (the MV maintains the filtered
+  * aggregate). `avg` rewrites transparently via the per-sum non-null
+  * counts the MV maintains; float sums would drift under incremental
   * add/subtract, so scale-and-cast (`sum(CAST(x*100 AS BIGINT))`).
   */
 private[sql] final case class GraftCreateMatViewCommand(
@@ -138,7 +140,24 @@ private[sql] final case class GraftCreateMatViewCommand(
       case Aggregate(g, a, c, _) => (g, a, strip(c))
       case other => fail(s"got a ${other.nodeName} instead of an aggregate")
     }
-    val table = child match {
+    // an optional WHERE between the aggregate and the scan: the MV then
+    // maintains agg(filter(source)) — any deterministic, subquery-free
+    // predicate works for maintenance (it filters rows BEFORE
+    // aggregation on every delta), and the rewrite requires query
+    // predicates to contain it conjunct-for-conjunct
+    val (filterCond, base) = child match {
+      case Filter(c, f) => (Some(c), strip(f))
+      case other => (None, other)
+    }
+    filterCond.foreach { c =>
+      if (!c.deterministic)
+        fail(s"the WHERE predicate ${c.sql} is nondeterministic — the MV " +
+          "could never be refreshed to a reproducible state")
+      if (SubqueryExpression.hasSubquery(c))
+        fail(s"the WHERE predicate ${c.sql} contains a subquery — its " +
+          "result changes outside the source's change feed")
+    }
+    val table = base match {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
         r.table.asInstanceOf[GraftTableV2]
       case other => fail(s"the aggregate input is a ${other.nodeName}, not a graft table scan")
@@ -190,15 +209,16 @@ private[sql] final case class GraftCreateMatViewCommand(
     val mvRoot = ViewStore.dir(cat.warehousePath, ns).getParent
       .toString + "/" + name
     val source = table.lake
+    val filterSql = filterCond.map(exprSql)
     val mv = new MaterializedAgg(session, source, mvRoot, dims,
-      sums, mins, maxs, countCol)
+      sums, mins, maxs, countCol, filterSql)
     mv.refresh()
 
     // persist the MV definition inside its own table descriptor (the MV
     // IS a LakeTable — SELECT * FROM cat.ns.mv reads it natively) and
     // register it on the source for transparent rewrite
     val mvDef = MatViewDescriptor(source.config.root, dims, sums, mins,
-      maxs, countCol, countExposed, originalText)
+      maxs, countCol, countExposed, originalText, filterSql.orNull)
     val mvDesc = TableDescriptor.fromConfig(mv.table.config)
       .copy(matView = mvDef)
     TableDescriptor.save(mvRoot, mvDesc, hconf)

@@ -228,6 +228,29 @@ class ViewSpec extends AnyFunSuite {
     assert(e.getCondition == "RECURSIVE_VIEW")
   }
 
+  test("view DDL addressed to another catalog passes through untouched") {
+    wh
+    // with the CURRENT catalog set to graft, a multipart name whose head
+    // names a registered non-graft catalog must reach Spark's own
+    // machinery — not be swallowed as a namespace inside the graft
+    // warehouse (the statement would otherwise silently land in the
+    // wrong catalog and reads/drops against the real one would miss)
+    spark.sql("SET CATALOG gv")
+    try {
+      spark.sql("CREATE VIEW spark_catalog.default.xv AS SELECT 1 AS one")
+      assert(spark.sql("SELECT one FROM spark_catalog.default.xv")
+        .collect().head.getInt(0) == 1)
+      assert(spark.sql("SHOW VIEWS IN spark_catalog.default")
+        .collect().exists(_.getString(1) == "xv"),
+        "the view must live in the session catalog, not the graft warehouse")
+      assert(!spark.sql("SHOW VIEWS IN gv.db")
+        .collect().exists(_.getString(1) == "xv"))
+      spark.sql("DROP VIEW spark_catalog.default.xv")
+      assert(!spark.sql("SHOW VIEWS IN spark_catalog.default")
+        .collect().exists(_.getString(1) == "xv"))
+    } finally spark.sql("SET CATALOG spark_catalog")
+  }
+
   test("a view cannot shadow a table; tables win at read time") {
     wh
     intercept[AnalysisException] {
@@ -316,13 +339,112 @@ class ViewSpec extends AnyFunSuite {
     assert(rows(q + " ORDER BY region") ==
       Seq(Seq("r1", 2L, 30L), Seq("r2", 1L, 5L), Seq("r3", 1L, 40L)))
 
-    // a non-derivable aggregate (avg) never rewrites
+    // avg decomposes onto the MV (Σ sum / Σ non-null count) and matches
+    // the direct aggregate exactly — including through the integer
+    // widening cast the MV declaration requires
     val avg = "SELECT region, avg(qty) AS a FROM gv.db.fact GROUP BY region"
-    assert(!planOf(avg).contains("fact_mv"))
+    assert(planOf(avg).contains("fact_mv"))
+    assert(rows(avg + " ORDER BY region") ==
+      rows("SELECT region, avg(qty) AS a FROM gv.db.fact.ro GROUP BY region ORDER BY region"))
+
+    // a nondeterministic dim-only predicate must NOT transplant onto
+    // the MV (it would fire once per group instead of once per row)
+    val nondet = """SELECT region, count(*) AS n FROM gv.db.fact
+                    WHERE length(region) > rand() * 0.0 GROUP BY region"""
+    assert(!planOf(nondet).contains("fact_mv"))
 
     // kill switch
     spark.conf.set("spark.graft.mvRewrite", "false")
     try assert(!planOf(q).contains("fact_mv"))
     finally spark.conf.unset("spark.graft.mvRewrite")
+  }
+
+  test("filtered MV: WHERE in the definition maintains and rewrites") {
+    wh
+    spark.sql("""CREATE TABLE gv.db.factf (pk BIGINT, ts INT, qty INT, region STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""INSERT INTO gv.db.factf VALUES
+      (1, 0, 10, 'r1'), (2, 0, 20, 'r1'), (3, 0, 5, 'r2'), (4, 0, -3, 'r2')""")
+    spark.sql("""CREATE MATERIALIZED VIEW gv.db.factf_mv AS
+      SELECT region, count(*) AS n, sum(CAST(qty AS BIGINT)) AS total
+      FROM gv.db.factf WHERE qty > 0 GROUP BY region""")
+
+    def readsMv(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten.exists(_.contains("factf_mv"))
+
+    // the MV itself holds the filtered aggregate
+    assert(rows("SELECT region, n, total FROM gv.db.factf_mv ORDER BY region") ==
+      Seq(Seq("r1", 2L, 30L), Seq("r2", 1L, 5L)))
+
+    // a query restating the predicate rewrites; extra dim-only conjuncts
+    // stay as a residual on the MV
+    val q = """SELECT region, count(*) AS n FROM gv.db.factf
+               WHERE qty > 0 GROUP BY region"""
+    assert(readsMv(q))
+    assert(rows(q + " ORDER BY region") == Seq(Seq("r1", 2L), Seq("r2", 1L)))
+    val qr = """SELECT region, count(*) AS n FROM gv.db.factf
+                WHERE qty > 0 AND region = 'r1' GROUP BY region"""
+    assert(readsMv(qr))
+    assert(rows(qr) == Seq(Seq("r1", 2L)))
+
+    // a query NOT implying the MV predicate must fall back (unfiltered,
+    // weaker, or different predicate)
+    val unf = "SELECT region, count(*) AS n FROM gv.db.factf GROUP BY region"
+    assert(!readsMv(unf))
+    assert(rows(unf + " ORDER BY region") == Seq(Seq("r1", 2L), Seq("r2", 2L)))
+    assert(!readsMv("""SELECT region, count(*) AS n FROM gv.db.factf
+                       WHERE qty > 1 GROUP BY region"""))
+
+    // incremental refresh maintains the filtered aggregate: a row moving
+    // ACROSS the predicate boundary retracts, one moving in contributes
+    spark.sql("INSERT INTO gv.db.factf VALUES (2, 1, -20, 'r1'), (4, 1, 8, 'r2')")
+    rows("CALL gv.system.refresh_mv('db.factf_mv')")
+    assert(rows("SELECT region, n, total FROM gv.db.factf_mv ORDER BY region") ==
+      Seq(Seq("r1", 1L, 10L), Seq("r2", 2L, 13L)))
+    assert(readsMv(q))
+    assert(rows(q + " ORDER BY region") == Seq(Seq("r1", 1L), Seq("r2", 2L)))
+
+    // nondeterministic / subquery-bearing definitions refuse loudly
+    intercept[UnsupportedOperationException] {
+      spark.sql("""CREATE MATERIALIZED VIEW gv.db.factf_bad AS
+        SELECT region, count(*) AS n FROM gv.db.factf
+        WHERE qty > rand() * 10 GROUP BY region""")
+    }
+  }
+
+  test("MV schema exposes only declared columns (count hidden when not projected)") {
+    wh
+    spark.sql("""CREATE TABLE gv.db.facth (pk BIGINT, ts INT, qty INT, region STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO gv.db.facth VALUES (1, 0, 10, 'r1'), (2, 0, 5, 'r2')")
+    // definition projects only a sum — the maintained count and the
+    // per-sum non-null count must stay engine-internal
+    spark.sql("""CREATE MATERIALIZED VIEW gv.db.facth_mv AS
+      SELECT region, sum(CAST(qty AS BIGINT)) AS total
+      FROM gv.db.facth GROUP BY region""")
+    val cols = spark.sql("SELECT * FROM gv.db.facth_mv").schema.fieldNames.toSet
+    assert(!cols.contains("n_rows"), s"maintained count leaked: $cols")
+    assert(!cols.exists(_.startsWith("__nn_")), s"nn internals leaked: $cols")
+    assert(cols.contains("region") && cols.contains("total"))
+    // count(*) queries still rewrite onto the hidden maintained count
+    def readsMv(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten.exists(_.contains("facth_mv"))
+    val q = "SELECT region, count(*) AS n FROM gv.db.facth GROUP BY region"
+    assert(readsMv(q))
+    assert(rows(q + " ORDER BY region") == Seq(Seq("r1", 1L), Seq("r2", 1L)))
   }
 }
