@@ -2029,6 +2029,35 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     schemaCommit(StructType(user ++ Array(minted) ++ internal))
   }
 
+  /** `ALTER COLUMN c SET DEFAULT <sql>` / `DROP DEFAULT` (metadata-only
+    * commit): changes what FUTURE inserts fill when the column is
+    * omitted. Existing rows are untouched, and EXISTS_DEFAULT — the
+    * backfill constant for files that PREDATE an added column — is
+    * deliberately preserved: repointing it would rewrite the history
+    * those files read as. Validated now, loudly, like ADD COLUMN. */
+  def setColumnDefault(name: String, defaultSql: Option[String]): Long = {
+    require(exists, s"table ${config.root} does not exist")
+    val s = tableSchema(None)
+    val f = s.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column '$name'"))
+    require(!SchemaEvo.isInternal(name), s"invalid column name '$name'")
+    val md = defaultSql match {
+      case Some(sql) =>
+        val probe = scala.util.Try(
+          spark.sql(s"SELECT CAST(($sql) AS ${f.dataType.sql})").collect())
+        require(probe.isSuccess,
+          s"DEFAULT ($sql) is not a constant ${f.dataType.sql} expression: " +
+            probe.failed.map(_.getMessage).getOrElse(""))
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString("CURRENT_DEFAULT", sql).build()
+      case None =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove("CURRENT_DEFAULT").build()
+    }
+    schemaCommit(StructType(s.fields.map(x =>
+      if (x.name == name) x.copy(metadata = md) else x)))
+  }
+
   /** Widen a column's type without touching data (int→long,
     * float→double, ... — [[SchemaEvo.canWiden]]): old files keep the
     * narrow physical type; reads cast up by column id. */

@@ -466,6 +466,12 @@ object Sql {
       s.sql(s"""INSERT INTO $cat.db.ndef (n_nationkey, n_name)
         SELECT n_nationkey, n_name FROM sql_nation_src
         WHERE n_nationkey >= 15 AND n_nationkey < 20""")
+      // SET DEFAULT (r15): repoints the declaration for FUTURE inserts
+      // only — every row above keeps its stored/backfilled value
+      s.sql(s"ALTER TABLE $cat.db.ndef ALTER COLUMN tier SET DEFAULT 'ext'")
+      s.sql(s"""INSERT INTO $cat.db.ndef (n_nationkey, n_name)
+        SELECT n_nationkey, n_name FROM sql_nation_src
+        WHERE n_nationkey >= 20""")
       cat
     })
   }
@@ -514,7 +520,12 @@ object Sql {
         SELECT l_returnflag, count(*) AS n, sum(qty100) AS sum_qty100,
                min(qty100) AS min_q, max(qty100) AS max_q
         FROM $cat.db.mv_fact GROUP BY l_returnflag""")
-      // c1: upsert every R row +100 — the refresh below must apply the
+      // filtered MV (r15): WHERE in the definition — maintenance filters
+      // every delta frame, the rewrite demands the query restate it
+      s.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_agg_r AS
+        SELECT l_returnflag, count(*) AS n, sum(qty100) AS sum_qty100
+        FROM $cat.db.mv_fact WHERE l_linenumber <= 3 GROUP BY l_returnflag""")
+      // c1: upsert every R row +100 — the refreshes below must apply the
       // DELTA (changed keys only), not rebuild
       s.sql(s"""INSERT INTO $cat.db.mv_fact
         SELECT l_orderkey, l_linenumber, max(l_returnflag),
@@ -522,6 +533,7 @@ object Sql {
         FROM mv_li_src GROUP BY l_orderkey, l_linenumber
         HAVING max(l_returnflag) = 'R'""")
       s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg')").collect()
+      s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg_r')").collect()
       cat
     })
   }
@@ -571,9 +583,12 @@ object Sql {
 
   val queries: Seq[GQuery] = Seq(
 
-    // ---- SQL DEFAULT column values (r14) --------------------------------
-    // two partial INSERTs (the second against a commit-log-resolved
-    // schema) must both fill the declared defaults
+    // ---- SQL DEFAULT column values (r14; SET DEFAULT r15) ---------------
+    // partial INSERTs (later ones against a commit-log-resolved schema)
+    // must fill the declared defaults; ALTER COLUMN SET DEFAULT repoints
+    // the fill for FUTURE inserts (rows >= 20) while earlier rows keep
+    // their stored values — the declaration is prospective, never
+    // retroactive
     GQuery("lake_sql_defaults",
       (s, d) => {
         val cat = defaultsFixture(s, d)
@@ -581,11 +596,11 @@ object Sql {
           FROM $cat.db.ndef ORDER BY n_nationkey""")
       },
       Some("""SELECT n_nationkey, n_name,
-          CASE WHEN n_nationkey BETWEEN 10 AND 14 THEN 'vip' ELSE 'std' END AS tier,
+          CASE WHEN n_nationkey BETWEEN 10 AND 14 THEN 'vip'
+               WHEN n_nationkey >= 20 THEN 'ext' ELSE 'std' END AS tier,
           CAST(7 AS INT) AS score, CAST(0 AS INT) AS update_ts,
           CAST(3 AS INT) AS bonus
-        FROM nation WHERE n_nationkey < 20
-        ORDER BY n_nationkey""")),
+        FROM nation ORDER BY n_nationkey""")),
 
     // ---- CREATE/INSERT/UPDATE/DELETE through spark.sql -----------------
     // ---- SQL DELETE through deletion vectors (deleteMode='dv') --------
@@ -1230,6 +1245,54 @@ object Sql {
           CAST(min(qty100) AS BIGINT) AS min_q,
           CAST(max(qty100) AS BIGINT) AS max_q
         FROM f GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // avg() against the SOURCE, answered from the fresh MV (r15): the
+    // rewrite decomposes Average into Σ sum-col / Σ non-null-count-col
+    // (both maintained) — exact for integer measures, so it hash-matches
+    // the direct aggregate (qty100 sums stay under 2^53: the double
+    // quotient is identical bit-for-bit on every path). ViewSpec pins
+    // that the plan actually reads the MV.
+    GQuery("lake_sql_matview_avg",
+      (s, d) => {
+        val cat = matViewFixture(s, d)
+        s.sql(s"""SELECT l_returnflag, avg(qty100) AS avg_q
+          FROM $cat.db.mv_fact GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""WITH f0 AS (
+          SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+            CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        f AS (
+          SELECT l_returnflag,
+            q + CASE WHEN l_returnflag = 'R' THEN 100 ELSE 0 END AS qty100
+          FROM f0)
+        SELECT l_returnflag, avg(qty100) AS avg_q
+        FROM f GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // filtered MV (r15): the definition carries WHERE l_linenumber <= 3;
+    // maintenance filtered every incremental delta frame (the c1 upsert
+    // refreshed through the filter), and the rewrite fires only when the
+    // query restates the predicate conjunct-for-conjunct. Values must
+    // hash-match the direct filtered aggregate either way.
+    GQuery("lake_sql_matview_filtered",
+      (s, d) => {
+        val cat = matViewFixture(s, d)
+        s.sql(s"""SELECT l_returnflag, count(*) AS n, sum(qty100) AS sum_qty100
+          FROM $cat.db.mv_fact WHERE l_linenumber <= 3
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""WITH f0 AS (
+          SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+            CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        f AS (
+          SELECT l_returnflag, l_linenumber,
+            q + CASE WHEN l_returnflag = 'R' THEN 100 ELSE 0 END AS qty100
+          FROM f0)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(qty100) AS BIGINT) AS sum_qty100
+        FROM f WHERE l_linenumber <= 3
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- ANALYZE + cost-based join (r14) --------------------------------
     // both scans serve analyzed column stats (NDV/nulls/ranges) through

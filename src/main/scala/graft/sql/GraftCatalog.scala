@@ -78,7 +78,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * preserves kept fields' metadata), reads BACKFILL it for files that
     * predate the column (SchemaEvo's exists-default rule — batch and
     * stream surfaces share it), and INSERT analysis fills it forward.
-    * Only nested-field defaults and SET DEFAULT refuse. */
+    * `ALTER COLUMN c SET/DROP DEFAULT` edits the declaration for FUTURE
+    * inserts (existing rows and exists-backfill untouched). Only
+    * nested-field defaults refuse. */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       // generated + identity columns (Delta-parity DDL): Spark
@@ -956,8 +958,42 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case c: TableChange.UpdateColumnType =>
             guard(c.fieldNames.toSeq)
             SchemaEvo.widenAt(schema, c.fieldNames.toSeq, c.newDataType)
+          case c: TableChange.UpdateColumnDefaultValue =>
+            // SET/DROP DEFAULT: metadata-only — validate shape here, the
+            // constant itself is validated by setColumnDefault at apply
+            require(c.fieldNames.length == 1,
+              "SET DEFAULT on a nested field is not supported")
+            require(schema.fieldNames.contains(c.fieldNames.head),
+              s"no column '${c.fieldNames.head}'")
+            schema
           case other => throw new UnsupportedOperationException(
             s"unsupported ALTER TABLE change: $other")
+        }
+      }
+      // SET/DROP DEFAULT must ALSO keep the catalog declaration
+      // (desc.schemaJson) in step: loadTable overlays declared default
+      // metadata onto the commit schema, so a stale declared value
+      // would shadow the new one (and survive a DROP DEFAULT)
+      def syncDeclaredDefault(name: String, sql: Option[String]): Unit = {
+        val dNow = TableDescriptor.load(root, hconf).getOrElse(descNow)
+        Option(dNow.schemaJson).filter(_.nonEmpty).foreach { j =>
+          val st = org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType]
+          if (st.fieldNames.contains(name)) {
+            val upd = StructType(st.fields.map { f =>
+              if (f.name != name) f
+              else {
+                val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                sql match {
+                  case Some(v) => mb.putString("CURRENT_DEFAULT", v)
+                  case None => mb.remove("CURRENT_DEFAULT")
+                }
+                f.copy(metadata = mb.build())
+              }
+            })
+            TableDescriptor.save(root, dNow.copy(schemaJson = upd.json), hconf)
+          }
         }
       }
       changesSeq.foreach {
@@ -969,6 +1005,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         case c: TableChange.DeleteColumn => lake.dropColumn(c.fieldNames.toSeq)
         case c: TableChange.UpdateColumnType =>
           lake.widenColumn(c.fieldNames.toSeq, c.newDataType)
+        case c: TableChange.UpdateColumnDefaultValue =>
+          val sql = Option(c.newDefaultValue()).map(_.trim).filter(_.nonEmpty)
+          lake.setColumnDefault(c.fieldNames.head, sql)
+          syncDeclaredDefault(c.fieldNames.head, sql)
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")
       }
@@ -1007,6 +1047,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
               require(st.fieldNames.contains(n), s"no column '$n'")
               StructType(st.fields.map(f =>
                 if (f.name == n) f.copy(dataType = c.newDataType) else f))
+            })
+          case c: TableChange.UpdateColumnDefaultValue =>
+            // SET/DROP DEFAULT pre-first-commit: pure declaration edit
+            require(c.fieldNames.length == 1,
+              "SET DEFAULT on a nested field is not supported")
+            val n = c.fieldNames.head
+            require(s.fieldNames.contains(n), s"no column '$n'")
+            val sql = Option(c.newDefaultValue()).map(_.trim).filter(_.nonEmpty)
+            StructType(s.fields.map { f =>
+              if (f.name != n) f
+              else {
+                val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                sql match {
+                  case Some(v) => mb.putString("CURRENT_DEFAULT", v)
+                  case None => mb.remove("CURRENT_DEFAULT")
+                }
+                f.copy(metadata = mb.build())
+              }
             })
           case other => throw new UnsupportedOperationException(
             s"unsupported ALTER TABLE change: $other")

@@ -82,4 +82,41 @@ class ColumnDefaultsSpec extends AnyFunSuite {
       "ALTER TABLE dft.db.t2 ADD COLUMN bad INT DEFAULT 'oops'"))
     assert(e.getMessage != null)
   }
+
+  test("ALTER COLUMN SET/DROP DEFAULT: future inserts only, backfill kept") {
+    wh
+    spark.sql("""CREATE TABLE dft.db.t3 (pk BIGINT, ts INT, v STRING DEFAULT 'a')
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO dft.db.t3 (pk, ts) VALUES (1, 0)")
+    // repoint the CREATE-time declared default
+    spark.sql("ALTER TABLE dft.db.t3 ALTER COLUMN v SET DEFAULT 'b'")
+    spark.sql("INSERT INTO dft.db.t3 (pk, ts) VALUES (2, 0)")
+    // existing rows keep their stored values
+    assert(spark.sql("SELECT pk, v FROM dft.db.t3 ORDER BY pk").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // DROP DEFAULT: omitted column goes back to null
+    spark.sql("ALTER TABLE dft.db.t3 ALTER COLUMN v DROP DEFAULT")
+    spark.sql("INSERT INTO dft.db.t3 (pk, ts) VALUES (3, 0)")
+    assert(spark.sql("SELECT v FROM dft.db.t3 WHERE pk = 3")
+      .collect()(0).isNullAt(0))
+
+    // SET DEFAULT on an ADD-COLUMN default repoints CURRENT but must
+    // keep EXISTS backfill: the pre-column row still reads the ORIGINAL
+    // constant (repointing it would rewrite history)
+    spark.sql("ALTER TABLE dft.db.t3 ADD COLUMN c INT DEFAULT 5")
+    spark.sql("ALTER TABLE dft.db.t3 ALTER COLUMN c SET DEFAULT 9")
+    spark.sql("INSERT INTO dft.db.t3 (pk, ts) VALUES (4, 0)")
+    val got = spark.sql("SELECT pk, c FROM dft.db.t3 ORDER BY pk").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1L, 5), (2L, 5), (3L, 5), (4L, 9)),
+      s"pre-column rows backfill 5, post-SET insert fills 9; got ${got.toSeq}")
+
+    // a malformed SET DEFAULT fails loud at ALTER time
+    intercept[Exception](spark.sql(
+      "ALTER TABLE dft.db.t3 ALTER COLUMN c SET DEFAULT 'oops'"))
+    // nested fields refuse
+    intercept[Exception](spark.sql(
+      "ALTER TABLE dft.db.t3 ALTER COLUMN s.f SET DEFAULT 1"))
+  }
 }
