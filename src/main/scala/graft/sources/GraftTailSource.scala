@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.StreamingBridge
@@ -64,7 +65,7 @@ final class GraftTailSource(
       * [[morTypedBatchFrame]]). The schema must then be the table's
       * [[graft.lake.LakeTable.changeFeedSchema]]. */
     changeTypes: Boolean = false)
-  extends Source {
+  extends Source with SupportsTriggerAvailableNow {
 
   /** change-log delta dir component (`LakeTable.dataDir`: `d<%08d id>-<hex
     * nonce>`); matching on the full shape keeps a partition VALUE that
@@ -217,6 +218,61 @@ final class GraftTailSource(
         }
       case _ => ()
     } catch { case _: java.io.IOException => () }
+  }
+
+  // ---- Trigger.AvailableNow + admission control -------------------------
+  // Implementing SupportsAdmissionControl routes the engine through
+  // latestOffset(start, limit) instead of getOffset — with the committed
+  // START offset supplied natively, so even the first post-restart offer
+  // is capped without the metadata-log seeding dance (the log stays: it
+  // still guards truncation detection and direct-construction specs).
+  // SupportsTriggerAvailableNow adds the bounded-backfill contract: the
+  // head commit is PINNED at query start, the stream drains to it in
+  // cap-sized micro-batches (admission limits apply, unlike the
+  // deprecated Trigger.Once), ignores commits landing after the pin, and
+  // terminates — Delta's availableNow behavior on its own log.
+
+  /** head commit pinned by [[prepareForTriggerAvailableNow]]; MinValue
+    * sentinel = the table had no tailable commits at prepare (the run
+    * must drain nothing and stop) */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(table.log.tailableHead.getOrElse(Long.MinValue))
+  }
+
+  /** commits-per-trigger cap, carried as maxFiles (a commit is the tail's
+    * admission unit the way a file is the file source's) */
+  override def getDefaultReadLimit: ReadLimit =
+    maxCommitsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): OffsetV2 =
+    table.log.tailableHead.map(LongOffset(_)).orNull
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val start = Option(startOffset)
+      .map(_.json.trim.toLong).getOrElse(Long.MinValue)
+    val anchor = math.max(highWater, start)
+    val live = table.log.tailableHead
+    // truncation guard — same contract as getOffset: a LIVE head below
+    // what this stream already tailed means REPLACE/restore; idle.
+    if (anchor != Long.MinValue && live.exists(_ < anchor)) return null
+    val head = availableNowCap match {
+      case Some(cap) => live.map(math.min(_, cap))
+      case None => live
+    }
+    head.filter(_ != Long.MinValue) match {
+      case None => if (start != Long.MinValue) LongOffset(start) else null
+      case Some(latest) =>
+        val end = limit match {
+          case f: ReadMaxFiles if anchor != Long.MinValue =>
+            math.min(latest, anchor + f.maxFiles())
+          case _: ReadAllAvailable => latest
+          case _ => latest
+        }
+        LongOffset(if (anchor == Long.MinValue) end else math.max(end, anchor))
+    }
   }
 
   override def getOffset: Option[OffsetV1] =

@@ -445,6 +445,53 @@ class TailSourceSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == (1 to 10).map(100L + _).toSet)
   }
 
+  test("Trigger.AvailableNow: bounded backfill drains capped, then terminates") {
+    val t = build(freshRoot(), 4) // commits 0..4
+    val cap = 2
+    val ckpt = Files.createTempDirectory("avnow_ckpt").toString
+    val out = Files.createTempDirectory("avnow_out").toString
+    def runAvailableNow(): Unit = {
+      val q = t.tailStream(maxCommitsPerTrigger = Some(cap))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow must drain the pinned backlog and STOP on its own")
+    }
+    def batches(): Int =
+      new java.io.File(s"$ckpt/offsets").list()
+        .count(n => scala.util.Try(n.toLong).isSuccess)
+    runAvailableNow()
+    val batchesBefore = batches()
+    assert(spark.read.parquet(out).select("pk").collect()
+      .map(_.getLong(0)).toSet == (1 to 4).map(100L + _).toSet)
+    // a 6-commit backlog accumulates while the stream is down; the next
+    // bounded run drains it in cap-sized batches and terminates again
+    (5 to 10).foreach(i => t.upsert(df((100L + i, 1, s"u$i", i))))
+    runAvailableNow()
+    assert(batches() - batchesBefore == 3,
+      s"expected 3 capped catch-up batches, got ${batches() - batchesBefore}")
+    assert(spark.read.parquet(out).select("pk").collect()
+      .map(_.getLong(0)).toSet == (1 to 10).map(100L + _).toSet,
+      "restart must resume past the drained backlog, exactly-once")
+  }
+
+  test("AvailableNow pins the head at prepare; later commits wait for the next run") {
+    val t = build(freshRoot(), 3)
+    val src = source(t)
+    src.prepareForTriggerAvailableNow()
+    t.upsert(df((200L, 1, "late", 99))) // commit 4: AFTER the pin
+    val end = src.latestOffset(null, src.getDefaultReadLimit)
+    assert(end.asInstanceOf[LongOffset].offset == 3L,
+      "the run must drain to the PINNED head, ignoring post-pin commits")
+    val again = src.latestOffset(LongOffset(3L), src.getDefaultReadLimit)
+    assert(again.asInstanceOf[LongOffset].offset == 3L,
+      "drained to the pin: no further progress may be offered")
+    // the next run (a fresh source, fresh pin) sees the late commit
+    assert(source(t).getOffset.contains(LongOffset(4L)))
+  }
+
   test("CoW tail: per-trigger schema-index fold is O(new commits), not O(timeline)") {
     val t = cowTable(freshRoot())
     t.bulkInsert(df((1L, 1, "a", 0)))                       // commit 0
