@@ -103,6 +103,81 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(ran.nonEmpty, "maintenance never fired during the run")
   }
 
+  test("recluster trigger: upsert-eroded clustering re-prunes after the policy fires") {
+    import org.apache.spark.sql.functions.col
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts",
+      statsCols = Seq("part"), clusterCols = Seq("part"),
+      storageType = "mor"))
+    // clustered seed: one globally range-ordered bulk insert over the
+    // cluster column — a point predicate prunes to ~1 file
+    t.bulkInsert(df((1 to 64).map(i => (i.toLong, i % 8, s"v$i", 0)): _*))
+    // drift: MoR delta commits skip the clustering shuffle BY DESIGN —
+    // each delta spans every part value, so a point predicate reads one
+    // more file per write and stats skipping erodes linearly
+    (1 to 6).foreach(k =>
+      t.upsert(df((1 to 16).map(i => (100L * k + i, i % 8, s"u$k-$i", k)): _*)))
+    val before = t.read(col("part") === 3).inputFiles.length
+    assert(before > 1, s"erosion fixture must defeat pruning, read $before files")
+    // below the drift ratio: nothing fires (the eroded fraction is ~1.0
+    // here, so probe with an impossible ratio first)
+    assert(!Maintenance.run(t, Maintenance.Policy(reclusterDriftRatio = 2.0))
+      .exists(_._1 == "recluster"))
+    val fired = Maintenance.run(t, Maintenance.Policy(reclusterDriftRatio = 0.5))
+    assert(fired.map(_._1).contains("recluster"), fired.toString)
+    val after = t.read(col("part") === 3).inputFiles.length
+    assert(after < before,
+      s"stats skipping must be restored: read $before files before, $after after")
+    // rows unchanged by the physical rewrite
+    assert(t.read().count() == 64 + 6 * 16)
+    assert(t.read().filter(col("pk") === 605L).select("payload")
+      .collect().head.getString(0) == "u6-5")
+    // idempotent-by-need: a reclustered table no longer drifts
+    assert(!Maintenance.run(t, Maintenance.Policy(reclusterDriftRatio = 0.5))
+      .exists(_._1 == "recluster"))
+  }
+
+  test("recluster trigger conflict-skips under a live writer") {
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts",
+      statsCols = Seq("part"), clusterCols = Seq("part")))
+    t.bulkInsert(df((1 to 32).map(i => (i.toLong, i % 4, s"v$i", 0)): _*))
+    (1 to 4).foreach(k =>
+      t.upsert(df((1 to 8).map(i => (100L * k + i, i % 4, s"u$k-$i", k)): _*)))
+    val policy = Maintenance.Policy(reclusterDriftRatio = 0.3)
+    val writerTable = LakeTable(spark, t.config)
+    val maintTable = LakeTable(spark, t.config)
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintainer = new Thread(() => {
+      try while (!stop.get()) {
+        Maintenance.run(maintTable, policy).foreach(actions.add)
+        Thread.sleep(10)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    maintainer.start()
+    val n = 15
+    // the WRITER retries its own OCC losses (ordinary client contract);
+    // the MAINTAINER must only ever skip, never throw
+    try (1 to n).foreach { i =>
+      var done = false
+      var att = 0
+      while (!done && att < 30) {
+        try { writerTable.upsert(df((i.toLong, i % 4, s"w$i", 100 + i))); done = true }
+        catch { case _: graft.lake.CommitConflict => att += 1 }
+      }
+      assert(done, s"writer $i never landed")
+    } finally { stop.set(true); maintainer.join(60000) }
+    assert(errs.isEmpty,
+      s"recluster under a live writer must skip, never throw: ${errs.peek()}")
+    // no lost updates regardless of how many reclusters landed or skipped
+    val rows = t.read().select("pk", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 32 + 4 * 8)
+    (1 to n).foreach(i => assert(rows(i.toLong) == s"w$i", s"pk $i"))
+  }
+
   test("SQL surface: CALL graft.system.maintain") {
     val wh = Files.createTempDirectory("maint_wh").toString
     spark.conf.set("spark.sql.catalog.mnt", "graft.sql.GraftCatalog")
