@@ -11,6 +11,40 @@ import org.apache.spark.sql.SparkSession
   * queries measure snapshot reads, not table construction.
   */
 object Bench {
+
+  /** Load the per-query quiet floors for the drift detector from a
+    * committed detail artifact. A detail whose own `drifted` list is
+    * non-empty was itself taken under contamination for exactly those
+    * queries — using it as the anchor would blind the detector to the
+    * same inflation next round — so it is REFUSED whole and the caller
+    * falls back to the most recent clean snapshot
+    * (`BENCH_DETAIL_CLEAN.json`, written only by drift-free runs).
+    * Floors also only transfer within the same scale factor.
+    */
+  private[graft] def loadRefFloor(path: String, sfDir: String): Map[String, Double] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists()) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(f)
+        val driftedN = node.get("drifted")
+        if (driftedN != null && driftedN.isArray && driftedN.size() > 0)
+          Map.empty
+        else {
+          val q = if (node.get("sf") == null ||
+            node.get("sf").asText() != sfDir) null else node.get("queries")
+          if (q == null) Map.empty
+          else {
+            val b = Map.newBuilder[String, Double]
+            val it = q.fields()
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+            b.result()
+          }
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -158,25 +192,14 @@ object Bench {
     // contended even when every canary was clean — a query whose code
     // legitimately changed this round gets two wasted re-runs, which is
     // the cheap side of that trade.
-    val refFloor: Map[String, Double] = try {
-      val f = new java.io.File("BENCH_DETAIL.json")
-      if (!f.exists()) Map.empty
-      else {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val node = om.readTree(f)
-        // floors only transfer within the same scale factor — a detail
-        // file from a dev run at another sf would flag everything
-        val q = if (node.get("sf") == null ||
-          node.get("sf").asText() != sfDir) null else node.get("queries")
-        if (q == null) Map.empty
-        else {
-          val b = Map.newBuilder[String, Double]
-          val it = q.fields()
-          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-          b.result()
-        }
-      }
-    } catch { case _: Throwable => Map.empty }
+    // a drifted detail is refused whole (see loadRefFloor) — fall back
+    // to the last clean snapshot so the detector never anchors on a
+    // contaminated run's inflated floors
+    val refFloor: Map[String, Double] = {
+      val primary = loadRefFloor("BENCH_DETAIL.json", sfDir)
+      if (primary.nonEmpty) primary
+      else loadRefFloor("BENCH_DETAIL_CLEAN.json", sfDir)
+    }
 
     val canaryMax = scala.collection.mutable.LinkedHashMap[String, Double]()
     val maxTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -247,6 +270,12 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detailLine) finally w.close()
+      // drift-free runs also refresh the clean-anchor snapshot the
+      // floor loader falls back to when the primary detail is drifted
+      if (drifted.isEmpty) {
+        val wc = new java.io.PrintWriter("BENCH_DETAIL_CLEAN.json", "UTF-8")
+        try wc.println(detailLine) finally wc.close()
+      }
     } catch { case _: Throwable => () }
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
