@@ -28,6 +28,9 @@ import org.apache.spark.sql.types._
   * the artifact is O(columns), not O(data), so serving it at plan time
   * is one small JSON read.
   */
+/** one equi-height histogram bucket: value range + distinct count */
+final case class HistBin(lo: Double, hi: Double, ndv: Long)
+
 final case class ColStat(
     ndv: Long,
     nulls: Long,
@@ -38,7 +41,13 @@ final case class ColStat(
     /** average/max byte length (string/binary columns; fixed-width
       * types report their type size) */
     avgLen: Long = 0L,
-    maxLen: Long = 0L)
+    maxLen: Long = 0L,
+    /** equi-height histogram over NUMERIC columns (null = none):
+      * percentile boundaries + per-bin NDVs, the skew-aware selectivity
+      * input range interpolation cannot provide. Served through the
+      * DSv2 `ColumnStatistics.histogram` surface, which Catalyst's
+      * FilterEstimation consumes directly. */
+    hist: Seq[HistBin] = null)
 
 final case class ColStatsFile(
     /** commit the pass ran at — staleness is visible, not hidden */
@@ -82,9 +91,28 @@ object ColStats {
     case _ => false
   }
 
-  /** run the one-pass analyze over `table`'s current snapshot and
-    * persist the artifact; returns the analyzed commit id (None on an
-    * empty table — nothing to serve). */
+  /** columns that get an equi-height histogram (numeric only: the
+    * boundaries ride `percentile_approx` over a double cast, which
+    * dates/timestamps don't ANSI-cast to; their range stats are already
+    * zone-exact) */
+  private[graft] def histType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType => true
+    case _ => false
+  }
+
+  /** equi-height bucket count — Spark's own default is 254; 32 keeps the
+    * per-bin-NDV pass (numericCols x bins conditional sketches in one
+    * aggregation) cheap while still resolving heavy skew */
+  private[graft] val HistBins = 32
+
+  /** run the analyze over `table`'s current snapshot and persist the
+    * artifact; returns the analyzed commit id (None on an empty table —
+    * nothing to serve). Two aggregation passes: the base pass (NDV /
+    * nulls / ranges / lengths, plus histogram BOUNDARIES via
+    * percentile_approx — all map-side combinable), then one more for
+    * per-bin NDVs (conditional approx_count_distinct per bucket), the
+    * same two-job shape as Spark's own histogram ANALYZE. */
   def analyze(table: LakeTable, columns: Seq[String] = Seq.empty): Option[Long] = {
     val head = table.log.latestId.getOrElse(return None)
     val snap = table.read()
@@ -125,10 +153,50 @@ object ColStats {
           max(octet_length(c.cast(StringType))).as(s"maxl__${f.name}"))
         case _ => Seq.empty
       }
-      base ++ range ++ len
+      val pct =
+        if (histType(f.dataType))
+          Seq(percentile_approx(c.cast(DoubleType),
+            array((0 to HistBins).map(i => lit(i.toDouble / HistBins)): _*),
+            lit(10000)).as(s"pct__${f.name}"))
+        else Seq.empty
+      base ++ range ++ len ++ pct
     } :+ count(lit(1)).as("rows__")
     val row = snap.agg(aggs.head, aggs.tail: _*).collect().head
     val rows = row.getAs[Long]("rows__")
+
+    // pass 2: per-bin NDVs for every histogram column in ONE aggregation
+    // (bins x columns conditional sketches); columns with no non-null
+    // values produced null boundaries and are skipped
+    val histCols = fields.filter(f => histType(f.dataType)).flatMap { f =>
+      val i = row.fieldIndex(s"pct__${f.name}")
+      if (row.isNullAt(i)) None
+      else Some(f -> row.getSeq[Double](i))
+    }
+    val binNdvs: Map[String, Seq[Long]] =
+      if (histCols.isEmpty) Map.empty
+      else {
+        val binAggs = histCols.flatMap { case (f, b) =>
+          val c = col(f.name).cast(DoubleType)
+          (0 until HistBins).map { i =>
+            val cond =
+              if (i == 0) c >= b(0) && c <= b(1)
+              else c > b(i) && c <= b(i + 1)
+            approx_count_distinct(when(cond, c)).as(s"bnd__${f.name}__$i")
+          }
+        }
+        val r2 = snap.agg(binAggs.head, binAggs.tail: _*).collect().head
+        histCols.map { case (f, _) =>
+          f.name -> (0 until HistBins)
+            .map(i => r2.getAs[Long](s"bnd__${f.name}__$i"))
+        }.toMap
+      }
+    val histOf: Map[String, Seq[HistBin]] = histCols.map { case (f, b) =>
+      val ndvs = binNdvs(f.name)
+      f.name -> (0 until HistBins).map(i =>
+        // empty duplicate-boundary buckets (constant columns) floor to
+        // ndv 1 — estimation divides by bin NDV and must never see 0
+        HistBin(b(i), b(i + 1), math.max(ndvs(i), 1L)))
+    }.toMap
 
     val cols = fields.map { f =>
       def opt[T](n: String): Option[T] =
@@ -149,7 +217,8 @@ object ColStats {
           case StringType | BinaryType =>
             opt[Any](s"maxl__${f.name}").map(v => v.toString.toLong).getOrElse(0L)
           case _ => fixed
-        })
+        },
+        hist = histOf.get(f.name).orNull)
     }.toMap
     ColStats.save(table.config.root, ColStatsFile(head, rows, cols),
       table.spark.sparkContext.hadoopConfiguration)

@@ -123,6 +123,29 @@ final class GraftBatchScan(
                       case Some(v) => java.util.Optional.of(v.asInstanceOf[Object])
                       case None => java.util.Optional.empty()
                     }
+                  // equi-height histogram (ANALYZE pass 2): Catalyst's
+                  // FilterEstimation consumes this for skew-aware
+                  // selectivity where min/max interpolation misleads
+                  override def histogram(): java.util.Optional[
+                      org.apache.spark.sql.connector.read.colstats.Histogram] =
+                    Option(st.hist).filter(_.nonEmpty) match {
+                      case Some(hbins) =>
+                        val h = new org.apache.spark.sql.connector.read.colstats.Histogram {
+                          override def height(): Double =
+                            math.max(cs.rows - st.nulls, 0L).toDouble / hbins.size
+                          override def bins(): Array[
+                              org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                            hbins.map { b =>
+                              new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                                override def lo(): Double = b.lo
+                                override def hi(): Double = b.hi
+                                override def ndv(): Long = b.ndv
+                              }
+                            }.toArray
+                        }
+                        java.util.Optional.of(h)
+                      case None => java.util.Optional.empty()
+                    }
                 })
             }
           }
@@ -327,12 +350,12 @@ final class GraftBatchScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // Spark requires every partition of one scan to answer columnar
-    // support identically — so ANY live DV in the planned file set makes
-    // the whole scan row-exposed (decode stays vectorized; only the
-    // batch handoff to the consumer is lost). Runtime filters only ever
-    // REMOVE files, so this planning-time decision stays uniform.
-    // Self-healing: rewrites/foldDvs retire DVs and the next scan is
-    // pure columnar again.
+    // support identically. Live DVs used to demote the whole scan to a
+    // row-exposed handoff; now DV'd splits filter their ColumnarBatches
+    // IN PLACE (a zero-copy selection-vector view dropping the dead
+    // positions) so the scan stays columnar end-to-end — clean splits
+    // hand their batches through untouched. The row path below remains
+    // as the fallback when either delegate reports no columnar support.
     val anyDv = files.exists(f => dvsOf(f).nonEmpty)
     new GraftReaderFactory(
       delegate.createReaderFactory(),
@@ -363,7 +386,10 @@ private[graft] final case class GraftDvPartition(
 
 /** Routes partitions to the right delegate: plain splits to the
   * columnar parquet factory untouched; DV'd splits to the row-index
-  * delegate wrapped in the position anti-filter. Unwraps
+  * delegate wrapped in the position anti-filter — COLUMNAR when both
+  * delegates support it (the dead positions drop out through a
+  * zero-copy selection-vector batch view, so a live DV no longer costs
+  * the whole scan its columnar handoff), row-based otherwise. Unwraps
   * [[GraftKeyedPartition]] first (the parquet factories pattern-match
   * on [[FilePartition]]). */
 private final class GraftReaderFactory(
@@ -378,23 +404,35 @@ private final class GraftReaderFactory(
     case other => other
   }
 
+  /** parquet factories answer supportColumnarReads from (conf, read
+    * schema) alone — partition-independent — so one probe settles the
+    * UNIFORM answer Spark requires across the scan's partitions */
+  private lazy val columnarMode: Boolean = {
+    val probe = FilePartition(0, Array.empty[PartitionedFile])
+    plain.supportColumnarReads(probe) && dv.forall(_.supportColumnarReads(probe))
+  }
+
+  private def dvPositions(d: GraftDvPartition): Array[Long] = {
+    // union of the target's sidecars (multiple dv_delete commits can
+    // stack on one file; positions never repeat across them)
+    val positions = d.dvPaths
+      .flatMap(path => graft.lake.DvCodec.read(conf.value, path))
+    java.util.Arrays.sort(positions)
+    positions
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     unwrap(p) match {
       case d: GraftDvPartition =>
         val factory = dv.getOrElse(throw new IllegalStateException(
           "DV partition planned without a DV reader delegate"))
-        // union of the target's sidecars (multiple dv_delete commits can
-        // stack on one file; positions never repeat across them)
-        val positions = d.dvPaths
-          .flatMap(path => graft.lake.DvCodec.read(conf.value, path))
-        java.util.Arrays.sort(positions)
         val inner: PartitionReader[InternalRow] =
           if (factory.supportColumnarReads(d.fp))
             new ColumnarRowsReader(factory.createColumnarReader(d.fp))
           else factory.createReader(d.fp)
-        new DvFilteringReader(inner, positions, required)
+        new DvFilteringReader(inner, dvPositions(d), required)
       case fp: FilePartition if dv.isDefined =>
-        // a DV'd sibling forced the scan row-exposed: clean splits still
+        // non-columnar fallback under live DVs: clean splits still
         // DECODE vectorized, exposed through the batch's row iterator
         if (plain.supportColumnarReads(fp))
           new ColumnarRowsReader(plain.createColumnarReader(fp))
@@ -405,15 +443,129 @@ private final class GraftReaderFactory(
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     unwrap(p) match {
-      case _: GraftDvPartition => throw new UnsupportedOperationException(
-        "DV partitions read row-based (position anti-filter)")
+      case d: GraftDvPartition =>
+        val factory = dv.getOrElse(throw new IllegalStateException(
+          "DV partition planned without a DV reader delegate"))
+        new DvColumnarReader(
+          factory.createColumnarReader(d.fp), dvPositions(d), required.length)
       case other => plain.createColumnarReader(other)
     }
 
-  override def supportColumnarReads(p: InputPartition): Boolean =
-    // must be UNIFORM across the scan's partitions (Spark refuses a
-    // mixed row/columnar scan): any live DV → every partition row-based
-    dv.isEmpty && plain.supportColumnarReads(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean = columnarMode
+}
+
+/** Columnar position anti-filter: drops a DV'd split's dead rows from
+  * each [[org.apache.spark.sql.vectorized.ColumnarBatch]] without
+  * copying values — survivors are exposed through a selection-vector
+  * view over the original vectors, and the appended row-index column is
+  * projected off by simply not including its vector. Batches with no
+  * dead rows (the common case: DVs are sparse) pass through with zero
+  * per-row work beyond the position probe. */
+private final class DvColumnarReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+    positions: Array[Long],
+    nRequired: Int)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private var cur: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val batch = inner.get()
+      val n = batch.numRows()
+      val idxVec = batch.column(nRequired) // generated file row indexes
+      var dead = 0
+      val keep = new Array[Int](n)
+      var kept = 0
+      var i = 0
+      // merge scan: row indexes ascend within a batch, positions are
+      // sorted — one pointer walk instead of a binary search per row
+      // (measured: the per-row search dominated the DV'd read's cost).
+      // A non-monotonic index (never produced by the parquet readers,
+      // guarded anyway) falls back to a binary search for that row.
+      var pp =
+        if (n == 0) 0
+        else {
+          val s = java.util.Arrays.binarySearch(positions, idxVec.getLong(0))
+          if (s < 0) -s - 1 else s
+        }
+      var last = Long.MinValue
+      while (i < n) {
+        val idx = idxVec.getLong(i)
+        val isDead =
+          if (idx < last) java.util.Arrays.binarySearch(positions, idx) >= 0
+          else {
+            while (pp < positions.length && positions(pp) < idx) pp += 1
+            pp < positions.length && positions(pp) == idx
+          }
+        if (isDead) dead += 1
+        else { keep(kept) = i; kept += 1 }
+        last = idx
+        i += 1
+      }
+      if (dead == 0) {
+        val cols = new Array[ColumnVector](nRequired)
+        var j = 0
+        while (j < nRequired) { cols(j) = batch.column(j); j += 1 }
+        cur = new ColumnarBatch(cols, n)
+        return true
+      } else if (kept > 0) {
+        val sel = java.util.Arrays.copyOf(keep, kept)
+        val cols = new Array[ColumnVector](nRequired)
+        var j = 0
+        while (j < nRequired) {
+          cols(j) = new SelectedColumnVector(batch.column(j), sel); j += 1
+        }
+        cur = new ColumnarBatch(cols, kept)
+        return true
+      }
+      // every row dead: skip the batch entirely
+    }
+    false
+  }
+  override def get(): ColumnarBatch = cur
+  override def close(): Unit = inner.close()
+}
+
+/** Zero-copy row-selection view over a [[ColumnVector]]: accessor calls
+  * remap through the selection array; struct children wrap recursively
+  * so nested access remaps too. Never closes the underlying vector —
+  * its lifecycle belongs to the parquet reader that produced it. */
+private final class SelectedColumnVector(
+    inner: org.apache.spark.sql.vectorized.ColumnVector,
+    sel: Array[Int])
+  extends org.apache.spark.sql.vectorized.ColumnVector(inner.dataType()) {
+
+  override def close(): Unit = ()
+  override def hasNull: Boolean = inner.hasNull
+  override def numNulls(): Int = {
+    var n = 0; var i = 0
+    while (i < sel.length) { if (inner.isNullAt(sel(i))) n += 1; i += 1 }
+    n
+  }
+  override def isNullAt(i: Int): Boolean = inner.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = inner.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = inner.getByte(sel(i))
+  override def getShort(i: Int): Short = inner.getShort(sel(i))
+  override def getInt(i: Int): Int = inner.getInt(sel(i))
+  override def getLong(i: Int): Long = inner.getLong(sel(i))
+  override def getFloat(i: Int): Float = inner.getFloat(sel(i))
+  override def getDouble(i: Int): Double = inner.getDouble(sel(i))
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    inner.getArray(sel(i))
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    inner.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    inner.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    inner.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = inner.getBinary(sel(i))
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    inner.getInterval(sel(i))
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    new SelectedColumnVector(inner.getChild(ordinal), sel)
 }
 
 /** Exposes a columnar parquet reader as rows — the vectorized reader is

@@ -155,4 +155,46 @@ class CboStatsSpec extends AnyFunSuite {
     assert(rows.length == 5000 / 3 + (if (5000 % 3 >= 1) 1 else 0) ||
       rows.length > 1500) // ~1667 rows with tiny_k == 1
   }
+
+  test("histograms move a skewed-predicate estimate toward truth") {
+    wh
+    spark.sql("""CREATE TABLE gc.db.skew (pk BIGINT, ts INT, v INT)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    import spark.implicits._
+    // heavy skew: 90% of rows hold v in [0, 10], 10% spread over
+    // (10, 1000] — range interpolation over [0, 1000] estimates a
+    // `v > 900` filter at ~10% of rows; the truth is ~1%
+    val n = 4000
+    (1 to n).map { i =>
+      val v = if (i % 10 == 0) 10 + (i % 100) * 10 else i % 11
+      (i.toLong, 0, v)
+    }.toDF("pk", "ts", "v").createOrReplaceTempView("skew_src")
+    spark.sql("INSERT INTO gc.db.skew SELECT * FROM skew_src")
+    spark.sql("CALL gc.system.analyze('db.skew')").collect()
+
+    // histogram is served on the relation
+    val vStats = attrStats("SELECT pk, v FROM gc.db.skew WHERE pk > 0")
+      .map { case (a, s) => a.name -> s }.apply("v")
+    assert(vStats.histogram.isDefined, "ANALYZE must serve an equi-height histogram")
+
+    val truth = spark.sql("SELECT count(*) FROM gc.db.skew WHERE v > 900")
+      .collect().head.getLong(0)
+    def estimate(): BigInt = {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val plan = spark.sql("SELECT pk FROM gc.db.skew WHERE v > 900")
+          .queryExecution.optimizedPlan
+        plan.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.stats.rowCount.get
+        }.getOrElse(plan.stats.rowCount.get)
+      } finally spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    val est = estimate()
+    // interpolation-only estimate would be ~ (1000-900)/1000 * 4000 = 400
+    // rows against a truth of ~40; the histogram must land much closer
+    val interpOnly = BigInt((n * (1000.0 - 900.0) / 1000.0).toLong)
+    assert((est - BigInt(truth)).abs < (interpOnly - BigInt(truth)).abs / 2,
+      s"histogram estimate $est not closer to truth $truth than interpolation $interpOnly")
+  }
 }

@@ -327,6 +327,51 @@ class NativeScanSpec extends AnyFunSuite {
       "numRows must subtract live DV positions")
   }
 
+  test("live DVs keep the scan COLUMNAR: in-batch position filter, no row handoff") {
+    wh
+    spark.sql("""CREATE TABLE g.db.natdvc (pk BIGINT, ts INT, v STRING, amt DOUBLE)
+                 USING graft
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+                                deleteMode='dv')""")
+    val vals = (1 to 500).map(i => s"($i, 0, 'v$i', ${i}.5)").mkString(", ")
+    spark.sql(s"INSERT INTO g.db.natdvc VALUES $vals")
+    val dead = (1 to 500).filter(_ % 7 == 0)
+    spark.sql(s"DELETE FROM g.db.natdvc WHERE pk IN (${dead.mkString(", ")})")
+
+    def columnarScans(p: SparkPlan): Seq[BatchScanExec] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val buf = scala.collection.mutable.ArrayBuffer.empty[BatchScanExec]
+      def walk(n: SparkPlan): Unit = {
+        n match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case b: BatchScanExec if b.scan.isInstanceOf[GraftBatchScan] => buf += b
+          case _ => ()
+        }
+        n.children.foreach(walk)
+      }
+      walk(p)
+      buf.toSeq
+    }
+    val q = "SELECT pk, v, amt FROM g.db.natdvc ORDER BY pk"
+    val scans = columnarScans(executed(q))
+    assert(scans.nonEmpty, "native scan not planned over the DV'd snapshot")
+    assert(scans.forall(_.supportsColumnar),
+      "a live DV must no longer demote the scan off the columnar handoff")
+
+    val survivors = (1 to 500).filterNot(_ % 7 == 0)
+    assert(rows(q).map(_.head) == survivors.map(_.toLong),
+      "the in-batch selection view must drop exactly the DV'd positions")
+    // values read THROUGH the selection view stay aligned per row
+    assert(rows("SELECT v, amt FROM g.db.natdvc WHERE pk = 10") ==
+      Seq(Seq("v10", 10.5)))
+    assert(rows("SELECT sum(pk) AS s FROM g.db.natdvc") ==
+      Seq(Seq(survivors.map(_.toLong).sum)))
+    // a fully-dead region composes with pushed filters (whole batches skip)
+    assert(rows(s"SELECT count(*) AS n FROM g.db.natdvc WHERE pk IN (${dead.mkString(", ")})") ==
+      Seq(Seq(0L)))
+  }
+
   test("DV'd partitions keep the storage-partitioned (keyed) plan") {
     wh
     spark.sql("""CREATE TABLE g.db.natdvk (pk BIGINT, ts INT, amt INT, region STRING)
