@@ -39,6 +39,13 @@ object Maintenance {
       /** CoW: fold deletion vectors back into plain files once a
         * target's DV'd fraction reaches this ratio (0 = off) */
       dvFoldRatio: Double = 0.0,
+      /** CoW: absolute cap on TOTAL live DV positions (0 = off) — the
+        * backstop the ratio trigger cannot provide: a uniform low-ratio
+        * delete spread across a huge table stays under every per-file
+        * ratio while the V1-fallback read's position broadcast grows
+        * without bound. Crossing the cap folds EVERY DV'd file (ratio
+        * ~0), retiring all live positions in one pass. */
+      dvFoldPositions: Long = 0L,
       /** refresh each registered materialized view once the source head
         * is at least N commits past its applied commit (0 = off; 1 =
         * keep MVs continuously fresh — which is also what keeps the
@@ -87,6 +94,12 @@ object Maintenance {
         .filter(f => f.isDelta && f.bytes > 0 && f.bytes < p.smallFileBytes)
         .groupBy(_.partition).exists(_._2.size > 1)
       if (small) fire("compact_small")(t.compactSmall(p.smallFileBytes))
+    }
+
+    if (p.dvFoldPositions > 0 && !t.config.isMor) {
+      val totalPos = t.log.liveDvs().map(_.rows).sum
+      if (totalPos > p.dvFoldPositions)
+        fire("dv_fold_abs")(t.foldDvs(minRatio = Double.MinPositiveValue))
     }
 
     if (p.dvFoldRatio > 0 && !t.config.isMor) {
@@ -154,7 +167,11 @@ object Maintenance {
           if mv.source == t.config.root
         } {
           val agg = MaterializedAgg.fromDescriptor(t.spark, t, root, mv)
-          if (head - agg.applied.getOrElse(-1L) >= p.refreshMvAfter)
+          // a MOVED DIM (star-schema MVs) needs a refresh regardless of
+          // the fact-lag threshold: the rebuild is what restores rewrite
+          // eligibility, and dim moves are rare by design
+          if (head - agg.applied.getOrElse(-1L) >= p.refreshMvAfter ||
+              !agg.dimsFresh)
             fire(s"refresh_mv:${root.split('/').last}")(agg.refresh())
         }
       }

@@ -178,6 +178,30 @@ class MaintenanceSpec extends AnyFunSuite {
     (1 to n).foreach(i => assert(rows(i.toLong) == s"w$i", s"pk $i"))
   }
 
+  test("absolute DV-position cap folds what the ratio trigger never would") {
+    import org.apache.spark.sql.functions.col
+    val t = LakeTable(spark, LakeTableConfig(freshRoot(),
+      keyCols = Seq("pk"), precombineCol = "ts", deleteMode = "dv"))
+    t.bulkInsert(df((1 to 400).map(i => (i.toLong, i % 4, s"v$i", 0)): _*))
+    // uniform LOW-ratio deletes: a handful of positions per file, far
+    // under any sane per-file ratio — the unbounded-accumulation shape
+    (0 to 4).foreach(k =>
+      t.deleteWhereDv(col("pk").isin((1 to 8).map(i => (k * 8 + i).toLong): _*)))
+    val positions = t.log.liveDvs().map(_.rows).sum
+    assert(positions == 40, s"fixture expects 40 live positions, got $positions")
+    // the ratio trigger (50%) never fires on ~10% DV'd files
+    assert(!Maintenance.run(t, Maintenance.Policy(dvFoldRatio = 0.5))
+      .exists(_._1.startsWith("dv_fold")))
+    // the absolute cap does — and retires every live position
+    val fired = Maintenance.run(t, Maintenance.Policy(dvFoldPositions = 30))
+    assert(fired.map(_._1).contains("dv_fold_abs"), fired.toString)
+    assert(t.log.liveDvs().isEmpty, "fold must retire all live DVs")
+    assert(t.read().count() == 400 - 40)
+    // under the cap: quiet
+    assert(!Maintenance.run(t, Maintenance.Policy(dvFoldPositions = 30))
+      .exists(_._1.startsWith("dv_fold")))
+  }
+
   test("SQL surface: CALL graft.system.maintain") {
     val wh = Files.createTempDirectory("maint_wh").toString
     spark.conf.set("spark.sql.catalog.mnt", "graft.sql.GraftCatalog")
@@ -244,5 +268,44 @@ class MaintenanceSpec extends AnyFunSuite {
     (1 to 3).foreach(i => t2.upsert(df((1L, 1, s"v$i", i))))
     assert(!Maintenance.run(t2, Maintenance.Policy(analyzeAfter = 1))
       .exists(_._1 == "analyze"))
+  }
+
+  test("a moved dim triggers refresh_mv regardless of the fact-lag threshold") {
+    import spark.implicits._
+    import graft.lake.{MaterializedAgg, TableDescriptor}
+    val factRoot = freshRoot()
+    val fact = LakeTable(spark, LakeTableConfig(factRoot,
+      keyCols = Seq("pk"), precombineCol = "ts"))
+    val dimRoot = freshRoot()
+    val dim = LakeTable(spark, LakeTableConfig(dimRoot,
+      keyCols = Seq("k"), precombineCol = "ts"))
+    dim.bulkInsert(Seq((1, "a", 0)).toDF("k", "grp", "ts"))
+    fact.bulkInsert(Seq((1L, 1, 10L, 0)).toDF("pk", "k", "v", "ts"))
+    val mvRoot = factRoot + "_mv"
+    val agg = new MaterializedAgg(spark, fact, mvRoot,
+      dims = Seq("grp"), sums = Map.empty,
+      dimJoins = Seq((dim, Seq("k"))))
+    agg.refresh()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // catalog flows persist descriptors at CREATE; the direct-API
+    // fixture mimics that (fromDescriptor resolves dims through them)
+    TableDescriptor.save(dimRoot, TableDescriptor.fromConfig(dim.config), hconf)
+    TableDescriptor.save(mvRoot,
+      TableDescriptor.fromConfig(agg.table.config).copy(
+        matView = graft.lake.MatViewDescriptor(factRoot, Seq("grp"),
+          dimJoins = Seq(graft.lake.DimJoin(dimRoot, Seq("k"))))), hconf)
+    TableDescriptor.save(factRoot,
+      TableDescriptor.fromConfig(fact.config).copy(matViews = Seq(mvRoot)), hconf)
+
+    val policy = Maintenance.Policy(refreshMvAfter = 5)
+    assert(!Maintenance.run(fact, policy).exists(_._1.startsWith("refresh_mv")),
+      "fresh MV under the lag threshold: nothing fires")
+    // the DIM moves while the fact holds still (lag 0 < threshold 5)
+    dim.upsert(Seq((1, "a2", 1)).toDF("k", "grp", "ts"))
+    val fired = Maintenance.run(fact, policy)
+    assert(fired.exists(_._1.startsWith("refresh_mv")), fired.toString)
+    assert(agg.fresh, "the fired refresh must rebuild to the new dim state")
+    assert(agg.read().select("grp").collect().map(_.getString(0)).toSeq ==
+      Seq("a2"))
   }
 }
