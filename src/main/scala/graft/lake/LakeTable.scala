@@ -1111,7 +1111,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * [[insertOverwrite]], which replaces only touched partitions
     * (dynamic-overwrite semantics). An empty batch truncates.
     */
-  def overwriteAll(batch0: DataFrame): Long = {
+  def overwriteAll(batch0: DataFrame, meta: Map[String, String] = Map.empty): Long = {
     val (batch, dropMeta) = admitBatch(batch0)
     val basedOn = log.latestId.getOrElse(log.EmptyTable)
     val id = log.nextId
@@ -1120,7 +1120,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val live = if (exists) log.liveFiles() else Seq.empty
     writeCommit(dedupWithinBatch(incoming), "insert_overwrite",
       live.map(_.path), Some(id), basedOn = Some(basedOn),
-      commitMeta = dropMeta,
+      commitMeta = dropMeta ++ meta,
       // no old file survives: the batch schema replaces the table schema
       schemaReset = true)
   }

@@ -68,7 +68,18 @@ final class MaterializedAgg(
       * across the predicate boundary retracts/contributes correctly
       * (its pre-image sits in subs filtered by the OLD values, its
       * post-image in adds filtered by the NEW ones) */
-    filterSql: Option[String] = None) {
+    filterSql: Option[String] = None,
+    /** star-schema joins: each dim equi-joins the virtual source on
+      * SAME-NAMED columns (USING semantics; dim meta columns dropped).
+      * Maintenance stays incremental over the FACT's change feed while
+      * every dim head is UNCHANGED since the last refresh — fact deltas
+      * join the same dim rows their originals did, so retraction math
+      * holds. A moved dim invalidates that premise (old contributions
+      * joined old dim rows and cannot be retracted against new ones), so
+      * the refresh detects it via the per-dim commit stamp and runs a
+      * FULL rebuild instead — dims change rarely by design, facts
+      * constantly; the common refresh stays O(changed fact keys). */
+    dimJoins: Seq[(LakeTable, Seq[String])] = Seq.empty) {
   require(dims.nonEmpty, "need at least one dimension column")
   require((sums.keySet & mins.keySet).isEmpty &&
     (sums.keySet & maxs.keySet).isEmpty && (mins.keySet & maxs.keySet).isEmpty,
@@ -135,6 +146,72 @@ final class MaterializedAgg(
     * before aggregation (identity when the MV is unfiltered) */
   private def filteredSrc(df: DataFrame): DataFrame =
     filterSql.filter(_.nonEmpty).fold(df)(f => df.filter(expr(f)))
+
+  /** commit-metadata key stamping each dim's applied head alongside the
+    * fact commit — the full-rebuild detector (see [[dimJoins]]) */
+  private val DimKey = "graft.dim_commits"
+
+  private def dimStamp(heads: Seq[Option[Long]]): String =
+    dimJoins.map(_._1.config.root).zip(heads)
+      .map { case (r, h) => s"$r=${h.getOrElse(-1L)}" }.mkString(";")
+
+  /** the dim stamp recorded by the NEWEST refresh commit (None before
+    * the first build, or on a pre-join aggregate) */
+  private def appliedDimStamp: Option[String] =
+    if (!table.exists) None
+    else table.log.commitsAll.filter(_.metadata.contains(DimKey))
+      .maxByOption(_.id).map(_.metadata(DimKey))
+
+  private def stampMeta(to: Long, stamp: String): Map[String, String] =
+    Map(SrcKey -> to.toString) ++
+      (if (dimJoins.isEmpty) Map.empty else Map(DimKey -> stamp))
+
+  /** column names the recipe actually reads (GROUP BY dims + measure
+    * expression refs + filter refs) — each dim contributes ONLY these
+    * plus its join keys, so housekeeping columns shared with the fact
+    * (precombine timestamps etc.) never collide in the joined frame */
+  private lazy val neededNames: Set[String] = {
+    def refs(sql: String): Seq[String] =
+      scala.util.Try(spark.sessionState.sqlParser.parseExpression(sql)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
+        }).getOrElse(Seq.empty)
+    (dims ++ (sums.values ++ mins.values ++ maxs.values).flatMap(refs) ++
+      filterSql.toSeq.flatMap(refs)).map(_.toLowerCase).toSet
+  }
+
+  /** fact rows joined to every dim AT `heads` — the virtual source.
+    * Each dim is projected to its join keys + referenced columns (meta
+    * and unrelated columns never enter the frame), and each dim read
+    * pins to the head resolved ONCE per refresh so a concurrent dim
+    * writer cannot mix dim versions inside one refresh. */
+  private def joined(fact: DataFrame, heads: Seq[Option[Long]]): DataFrame =
+    dimJoins.zip(heads).foldLeft(fact) { case (acc, ((d, cols), h)) =>
+      val frame = h.fold(d.read())(v => d.readAsOf(v))
+      val meta = Set("_commit_id", "_record_key", "_seq", "_deleted",
+        LakeTable.BucketCol)
+      val lower = cols.map(_.toLowerCase).toSet
+      val keep = cols ++ frame.columns.filter(c =>
+        !meta.contains(c) && !lower.contains(c.toLowerCase) &&
+          neededNames.contains(c.toLowerCase))
+      acc.join(frame.select(keep.distinct.map(col): _*), cols, "inner")
+    }
+
+  /** the complete virtual-source preparation: join, then filter */
+  private def prep(df: DataFrame, heads: Seq[Option[Long]]): DataFrame =
+    filteredSrc(joined(df, heads))
+
+  /** dims unchanged since the last refresh (vacuously true without
+    * joins) — the maintenance policy's dim-move trigger */
+  def dimsFresh: Boolean =
+    dimJoins.isEmpty ||
+      appliedDimStamp.contains(dimStamp(dimJoins.map(_._1.log.latestId)))
+
+  /** true when the aggregate reflects the CURRENT fact head AND every
+    * dim's CURRENT head — the transparent rewrite's eligibility gate */
+  def fresh: Boolean =
+    source.log.latestId.exists(h => applied.contains(h)) && dimsFresh
 
   private def aggOf(df: DataFrame): DataFrame =
     df.groupBy(dims.map(col): _*)
@@ -206,11 +283,23 @@ final class MaterializedAgg(
     val to = upTo.orElse(source.log.latestId).getOrElse(return None)
     val from = applied.getOrElse(-1L)
     require(to >= from, s"cannot refresh backwards: applied=$from, asked=$to")
-    if (to == from) { mark.record(to); return Some(to) }
+    val heads = dimJoins.map(_._1.log.latestId)
+    val stamp = dimStamp(heads)
+    val dimsMoved = dimJoins.nonEmpty && !appliedDimStamp.contains(stamp)
+    if (to == from && !dimsMoved) { mark.record(to); return Some(to) }
     if (from < 0) {
-      table.bulkInsert(aggOf(filteredSrc(source.readAsOf(to)))
+      table.bulkInsert(aggOf(prep(source.readAsOf(to), heads))
         .withColumn("_src_commit", lit(to)),
-        meta = Map(SrcKey -> to.toString))
+        meta = stampMeta(to, stamp))
+      mark.record(to); return Some(to)
+    }
+    // a moved dim breaks fact-delta retraction (old contributions joined
+    // OLD dim rows): full rebuild, one atomic overwrite commit carrying
+    // the new stamps — see [[dimJoins]]
+    if (dimsMoved) {
+      table.overwriteAll(aggOf(prep(source.readAsOf(to), heads))
+        .withColumn("_src_commit", lit(to)),
+        meta = stampMeta(to, stamp))
       mark.record(to); return Some(to)
     }
     val keyed = (source.config.partitionCols ++ source.config.keyCols).distinct
@@ -234,9 +323,9 @@ final class MaterializedAgg(
     // delta = add - sub per dimension, via a NULL-SAFE full outer join
     // (a name-equality join would split a null-valued dimension into
     // two half-deltas that later collapse arbitrarily)
-    val a = aggOf(filteredSrc(adds)).select(
+    val a = aggOf(prep(adds, heads)).select(
       dims.map(col) ++ measures.map(c => col(c).as(s"_a_$c")): _*)
-    val b = aggOf(filteredSrc(subs)).select(
+    val b = aggOf(prep(subs, heads)).select(
       dims.map(col) ++ measures.map(c => col(c).as(s"_s_$c")): _*)
     val cond = dims.map(c => a(c) <=> b(c)).reduce(_ && _)
     val counted = a.join(b, cond, "full_outer")
@@ -259,7 +348,7 @@ final class MaterializedAgg(
     // prune against, never a table-wide re-aggregation
     val delta = if (orderCols.isEmpty) delta0 else {
       val affected = delta0.select(dims.map(col): _*).distinct()
-      val probe = filteredSrc(newSnap).as("n").join(
+      val probe = prep(newSnap, heads).as("n").join(
         broadcast(affected.as("af")),
         dims.map(c => col(s"n.$c") <=> col(s"af.$c")).reduce(_ && _),
         "left_semi")
@@ -293,7 +382,7 @@ final class MaterializedAgg(
       when(col(s"s._d_${MaterializedAgg.nnCol(c)}") === 0, lit(null))
         .otherwise(col(s"s._d_$c"))
     table.merge(payload)
-      .withCommitMeta(Map(SrcKey -> to.toString))
+      .withCommitMeta(stampMeta(to, stamp))
       .whenMatchedDelete(Some(col(s"t.$countCol") + col(s"s._d_$countCol") <= 0))
       .whenMatchedUpdate(
         countLike.map(c => c -> (col(s"t.$c") + col(s"s._d_$c"))).toMap ++
@@ -326,11 +415,20 @@ object MaterializedAgg {
   /** reconstruct the maintenance recipe persisted in an MV's descriptor
     * (shared by refresh procedures, maintenance, and the rewrite rule) */
   def fromDescriptor(spark: org.apache.spark.sql.SparkSession,
-      source: LakeTable, mvRoot: String, mv: MatViewDescriptor): MaterializedAgg =
+      source: LakeTable, mvRoot: String, mv: MatViewDescriptor): MaterializedAgg = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dims = Option(mv.dimJoins).getOrElse(Seq.empty).map { dj =>
+      val d = TableDescriptor.load(dj.root, hconf).getOrElse(
+        throw new IllegalStateException(
+          s"materialized-view dimension table vanished: ${dj.root}"))
+      (LakeTable(spark, d.config(dj.root)), dj.usingCols)
+    }
     new MaterializedAgg(spark, source, mvRoot, mv.dims,
       Option(mv.sums).getOrElse(Map.empty),
       Option(mv.mins).getOrElse(Map.empty),
       Option(mv.maxs).getOrElse(Map.empty),
       Option(mv.countCol).getOrElse("n_rows"),
-      Option(mv.filterSql).filter(_.nonEmpty))
+      Option(mv.filterSql).filter(_.nonEmpty),
+      dims)
+  }
 }

@@ -129,7 +129,16 @@ final case class MatViewDescriptor(
       * columns; null/empty = unfiltered). Maintenance filters every
       * delta frame with it; the rewrite requires the query predicate to
       * contain it conjunct-for-conjunct. */
-    filterSql: String = null)
+    filterSql: String = null,
+    /** star-schema joins from the MV definition (null/empty = single
+      * table): each dim equi-joins the fact on SAME-NAMED columns
+      * (`USING`-style semantics). Maintenance is incremental over the
+      * FACT's change feed while every dim head is unchanged; a moved dim
+      * triggers a full rebuild (see [[MaterializedAgg]]). */
+    dimJoins: Seq[DimJoin] = Seq.empty)
+
+/** one dimension-side join of a star-schema materialized view */
+final case class DimJoin(root: String, usingCols: Seq[String])
 
 object TableDescriptor {
   private val mapper = new ObjectMapper()

@@ -525,6 +525,18 @@ object Sql {
       s.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_agg_r AS
         SELECT l_returnflag, count(*) AS n, sum(qty100) AS sum_qty100
         FROM $cat.db.mv_fact WHERE l_linenumber <= 3 GROUP BY l_returnflag""")
+      // star-schema MV (r15): fact ⋈ dim aggregate grouped by a DIM
+      // column; incremental over the fact while the dim holds still
+      s.sql(s"""CREATE TABLE $cat.db.mv_dim (l_returnflag STRING,
+          flag_name STRING, update_ts INT) USING graft
+        TBLPROPERTIES (keyCols='l_returnflag', precombineCol='update_ts')""")
+      s.sql(s"""INSERT INTO $cat.db.mv_dim VALUES
+        ('A', 'accepted', 0), ('N', 'neutral', 0), ('R', 'returned', 0)""")
+      s.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_agg_j AS
+        SELECT d.flag_name, count(*) AS n, sum(f.qty100) AS sum_qty100
+        FROM $cat.db.mv_fact f JOIN $cat.db.mv_dim d
+          ON f.l_returnflag = d.l_returnflag
+        GROUP BY d.flag_name""")
       // c1: upsert every R row +100 — the refreshes below must apply the
       // DELTA (changed keys only), not rebuild
       s.sql(s"""INSERT INTO $cat.db.mv_fact
@@ -534,6 +546,7 @@ object Sql {
         HAVING max(l_returnflag) = 'R'""")
       s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg')").collect()
       s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg_r')").collect()
+      s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg_j')").collect()
       cat
     })
   }
@@ -1293,6 +1306,35 @@ object Sql {
           CAST(sum(qty100) AS BIGINT) AS sum_qty100
         FROM f WHERE l_linenumber <= 3
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // star-schema MV (r15): the definition carries a fact ⋈ dim join
+    // grouped by a DIM column; the c1 fact upsert refreshed INCREMENTALLY
+    // through the join (the dim held still — a moved dim full-rebuilds,
+    // ViewSpec/MaterializedAggSpec pin that path). The SAME join
+    // aggregate issued against the BASE tables rewrites onto the MV when
+    // fresh (ViewSpec pins the plan); values hash-match either way.
+    GQuery("lake_sql_matview_join",
+      (s, d) => {
+        val cat = matViewFixture(s, d)
+        s.sql(s"""SELECT d.flag_name, count(*) AS n, sum(f.qty100) AS sum_qty100
+          FROM $cat.db.mv_fact f JOIN $cat.db.mv_dim d
+            ON f.l_returnflag = d.l_returnflag
+          GROUP BY d.flag_name ORDER BY d.flag_name""")
+      },
+      Some("""WITH f0 AS (
+          SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+            CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        f AS (
+          SELECT l_returnflag,
+            q + CASE WHEN l_returnflag = 'R' THEN 100 ELSE 0 END AS qty100
+          FROM f0),
+        dim(l_returnflag, flag_name) AS (VALUES
+          ('A', 'accepted'), ('N', 'neutral'), ('R', 'returned'))
+        SELECT d.flag_name, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(f.qty100) AS BIGINT) AS sum_qty100
+        FROM f JOIN dim d ON f.l_returnflag = d.l_returnflag
+        GROUP BY d.flag_name ORDER BY d.flag_name""")),
 
     // ---- ANALYZE + cost-based join (r14) --------------------------------
     // both scans serve analyzed column stats (NDV/nulls/ranges) through

@@ -928,7 +928,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
               mv.dims ++
                 (Option(mv.sums).getOrElse(Map.empty) ++
                   Option(mv.mins).getOrElse(Map.empty) ++
-                  Option(mv.maxs).getOrElse(Map.empty)).values.flatMap(exprRefs)
+                  Option(mv.maxs).getOrElse(Map.empty)).values.flatMap(exprRefs) ++
+                // star-schema recipes also resolve join keys and the
+                // WHERE predicate by bare name — pin those too (dim
+                // descriptors carry the registration, so a dim-side
+                // rename is guarded the same way)
+                Option(mv.dimJoins).getOrElse(Seq.empty).flatMap(_.usingCols) ++
+                Option(mv.filterSql).toSeq.flatMap(exprRefs)
             }
         }
       val pinned = (descNow.keyCols ++ descNow.partitionCols ++

@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -13,15 +14,18 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import graft.lake.{LakeTable, MaterializedAgg, MatViewDescriptor, TableDescriptor}
 
 /** Transparent materialized-view rewrite (the BigQuery/Calcite
-  * aggregate-rewrite role): a GROUP-BY aggregate over a graft table
-  * whose registered MV covers it — dims a superset of the query's
-  * grouping columns, every measure derivable (`count(*)` → Σ count,
-  * `sum(e)` → Σ sum-col, `min`/`max` → min/max over the MV, the classic
-  * rollup algebra) — is answered from the MV instead of the table, but
-  * ONLY when the MV is exactly fresh (its applied source commit IS the
-  * table head). A stale or non-covering MV silently falls through to
-  * the base scan, so the rewrite can never change a result — freshness
-  * is re-checked per statement at optimization time.
+  * aggregate-rewrite role): a GROUP-BY aggregate over a graft table —
+  * or over a star-schema join tree of graft tables matching an MV's
+  * declared fact⋈dims shape — whose registered MV covers it: dims a
+  * superset of the query's grouping columns, every measure derivable
+  * (`count(*)` → Σ count, `sum(e)` → Σ sum-col, `avg(e)` → Σ sum / Σ
+  * non-null count, `min`/`max` → min/max over the MV, the classic
+  * rollup algebra) — is answered from the MV instead of the join/scan,
+  * but ONLY when the MV is exactly fresh (applied fact commit IS the
+  * fact head, every dim head unchanged since the MV's last refresh). A
+  * stale or non-covering MV silently falls through to the base plan, so
+  * the rewrite can never change a result — freshness is re-checked per
+  * statement at optimization time.
   *
   * This is the 100 TB payoff of [[graft.lake.MaterializedAgg]]'s
   * incremental maintenance: the dashboard aggregate that would scan the
@@ -50,31 +54,91 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Aggregate [→ Project(attrs)] [→ Filter] → DataSourceV2Relation */
-  private def unwrap(p: LogicalPlan)
-      : Option[(Option[Expression], GraftTableV2, DataSourceV2Relation)] = p match {
+  /** the matched subtree: filter conjuncts, the FACT relation, the
+    * star-schema joins (dim table, same-named join columns), and the
+    * combined relation outputs stored expressions resolve against */
+  private case class Unwrapped(
+      cond: Option[Expression],
+      fact: GraftTableV2,
+      joins: Seq[(GraftTableV2, Seq[String])],
+      outputs: Seq[Attribute])
+
+  private def asGraft(p: LogicalPlan): Option[(GraftTableV2, Seq[Attribute])] =
+    p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        asGraft(c)
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
+        Some((r.table.asInstanceOf[GraftTableV2], r.output))
+      case _ => None
+    }
+
+  /** extract USING-style columns from an inner equi-join condition —
+    * None when any conjunct isn't a same-named two-sided equality */
+  private def usingColsOf(cond: Option[Expression],
+      l: LogicalPlan, r: LogicalPlan): Option[Seq[String]] =
+    cond.map(splitConjunctivePredicates).flatMap { conjs =>
+      val cols = conjs.map {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          val pair =
+            if (l.outputSet.contains(a) && r.outputSet.contains(b)) Some((a, b))
+            else if (l.outputSet.contains(b) && r.outputSet.contains(a)) Some((b, a))
+            else None
+          pair.filter(p => conf.resolver(p._1.name, p._2.name)).map(_._1.name)
+        case _ => None
+      }
+      if (cols.forall(_.isDefined)) Some(cols.flatten) else None
+    }
+
+  /** Aggregate [→ Project(attrs)] [→ Filter] → left-deep inner
+    * equi-join tree of graft scans (single relation = no joins) */
+  private def unwrap(p: LogicalPlan): Option[Unwrapped] = p match {
     case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       unwrap(c)
     case Filter(cond, c) => unwrap(c) match {
       // two stacked filters fold; a filter above a project still only
       // references live attrs, so unwrapping order doesn't matter
-      case Some((prev, t, r)) =>
-        Some((Some(prev.map(And(_, cond)).getOrElse(cond)), t, r))
+      case Some(u) =>
+        Some(u.copy(cond = Some(u.cond.map(And(_, cond)).getOrElse(cond))))
       case None => None
     }
+    case Join(l, r, Inner, cond, _) =>
+      for {
+        u <- unwrap(l)
+        // a filter BETWEEN joins restricts the join input in ways the
+        // top-level conjunct matcher can't see — bail to the base plan
+        if u.cond.isEmpty
+        (dim, dimOut) <- asGraft(r)
+        cols <- usingColsOf(cond, l, r)
+      } yield u.copy(joins = u.joins :+ ((dim, cols)),
+        outputs = u.outputs ++ dimOut)
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
-      Some((None, r.table.asInstanceOf[GraftTableV2], r))
+      Some(Unwrapped(None, r.table.asInstanceOf[GraftTableV2], Seq.empty, r.output))
     case _ => None
+  }
+
+  /** the query's join set must equal the MV's (root + using columns,
+    * order-free), every dim live (no pin, no `.ro`) */
+  private def joinsMatch(mv: MatViewDescriptor,
+      qjoins: Seq[(GraftTableV2, Seq[String])]): Boolean = {
+    val want = Option(mv.dimJoins).getOrElse(Seq.empty)
+      .map(dj => (dj.root, dj.usingCols.map(_.toLowerCase).toSet))
+      .sortBy(_._1)
+    val got = qjoins
+      .map { case (t, cols) => (t.tableRoot, cols.map(_.toLowerCase).toSet) }
+      .sortBy(_._1)
+    want == got &&
+      qjoins.forall { case (t, _) => t.pinnedAsOf.isEmpty && !t.isReadOptimized }
   }
 
   private def tryRewrite(
       groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    val (cond, table, rel) = unwrap(child) match {
+    val u = unwrap(child) match {
       case Some(x) => x
       case None => return None
     }
+    val (cond, table) = (u.cond, u.fact)
     // only the LIVE table (not time travel / .ro / a branch — branch
     // roots differ from the registered source root, checked below)
     if (table.pinnedAsOf.nonEmpty || table.isReadOptimized) return None
@@ -100,25 +164,28 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         mvDesc <- Try(TableDescriptor.load(mvRoot, hconf)).toOption.flatten
         mv <- Option(mvDesc.matView)
         if mv.source == table.tableRoot
+        if joinsMatch(mv, u.joins)
         if groupCols.forall(g => mv.dims.exists(conf.resolver(_, g.name)))
-        plan <- build(mv, mvRoot, mvDesc, table, rel, groupCols, aggExprs, cond)
+        plan <- build(mv, mvRoot, mvDesc, table, u.outputs, groupCols, aggExprs, cond)
       } yield plan).iterator
     }.nextOption()
   }
 
   private def build(
       mv: MatViewDescriptor, mvRoot: String, mvDesc: TableDescriptor,
-      table: GraftTableV2, rel: DataSourceV2Relation,
+      table: GraftTableV2, relOutputs: Seq[Attribute],
       groupCols: Seq[AttributeReference], aggExprs: Seq[NamedExpression],
       cond: Option[Expression]): Option[LogicalPlan] = {
 
-    // resolve the MV's stored measure expressions against the source
-    // relation's output, so a query aggregate can be matched
-    // SEMANTICALLY (not by SQL-text accident)
+    // resolve the MV's stored measure expressions against the matched
+    // relations' combined output (fact + dims), so a query aggregate can
+    // be matched SEMANTICALLY (not by SQL-text accident). A join key
+    // appears on both sides with equal values under the inner equi-join,
+    // so first-found resolution is value-correct.
     def resolveStored(sqlText: String): Option[Expression] =
       Try(spark.sessionState.sqlParser.parseExpression(sqlText).transformUp {
         case u: UnresolvedAttribute if u.nameParts.length == 1 =>
-          rel.output.find(a => conf.resolver(a.name, u.nameParts.head))
+          relOutputs.find(a => conf.resolver(a.name, u.nameParts.head))
             .getOrElse(return None)
       }).toOption.filter(_.resolved)
     lazy val storedSums = mv.sums.flatMap { case (c, s) => resolveStored(s).map(c -> _) }
@@ -193,12 +260,15 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => return None
     }
 
-    // freshness: the MV must reflect EXACTLY the table head — checked
-    // last because it costs metadata IO (marker read + head listing)
+    // freshness: the MV must reflect EXACTLY the fact head AND every
+    // dim's current head — checked last because it costs metadata IO
+    // (marker read + head listings)
     val source = table.lake
-    val head = source.log.latestId.getOrElse(return None)
-    val agg = MaterializedAgg.fromDescriptor(spark, source, mvRoot, mv)
-    if (!agg.applied.contains(head)) return None
+    if (source.log.latestId.isEmpty) return None
+    // a vanished dim (dropped table) must fall back, not fail the query
+    val agg = Try(MaterializedAgg.fromDescriptor(spark, source, mvRoot, mv))
+      .toOption.getOrElse(return None)
+    if (!agg.fresh) return None
 
     // splice the MV read as an analyzed subtree (aliases stripped — the
     // Finish-Analysis batch already ran) and re-aggregate on it

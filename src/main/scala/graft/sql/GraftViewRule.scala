@@ -4,8 +4,9 @@ import scala.util.Try
 
 import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, ResolvedIdentifier, UnresolvedRelation, UnresolvedSubqueryColumnAliases}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, PredicateHelper, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -95,25 +96,30 @@ final case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 /** `CREATE MATERIALIZED VIEW cat.ns.mv AS SELECT <dims>, count(*),
-  * sum(<int expr>), min(...), max(...) FROM cat.ns.src GROUP BY <dims>`
+  * sum(<int expr>), min(...), max(...) FROM cat.ns.fact [JOIN
+  * cat.ns.dim ON fact.k = dim.k]* [WHERE <pred>] GROUP BY <dims>`
   * — materialized as a [[graft.lake.MaterializedAgg]]-maintained
-  * LakeTable at the MV's own warehouse path, registered on the SOURCE
+  * LakeTable at the MV's own warehouse path, registered on the FACT
   * table's descriptor for transparent rewrite ([[GraftMvRewrite]]) and
   * refreshed incrementally by `CALL graft.system.refresh_mv('ns.mv')`.
   *
-  * Restrictions (each with a loud error): single source table (no
-  * joins), GROUP BY plain columns, measures limited to count(*) /
+  * Restrictions (each with a loud error): a left-deep tree of INNER
+  * equi-joins over graft tables whose join keys share a name (USING
+  * semantics) and whose non-key column names are disjoint; GROUP BY
+  * plain columns (either side); measures limited to count(*) /
   * integer-typed sum / min / max — the algebra MaterializedAgg can
-  * maintain exactly from the change feed. A WHERE clause is accepted
-  * when deterministic and subquery-free (the MV maintains the filtered
-  * aggregate). `avg` rewrites transparently via the per-sum non-null
-  * counts the MV maintains; float sums would drift under incremental
-  * add/subtract, so scale-and-cast (`sum(CAST(x*100 AS BIGINT))`).
+  * maintain exactly from the fact's change feed (a moved DIM triggers a
+  * full rebuild — see [[graft.lake.MaterializedAgg]]). A WHERE clause is
+  * accepted when deterministic and subquery-free (the MV maintains the
+  * filtered aggregate). `avg` rewrites transparently via the per-sum
+  * non-null counts the MV maintains; float sums would drift under
+  * incremental add/subtract, so scale-and-cast
+  * (`sum(CAST(x*100 AS BIGINT))`).
   */
 private[sql] final case class GraftCreateMatViewCommand(
     catName: String, ns: Seq[String], name: String,
     query: LogicalPlan, originalText: String, ifNotExists: Boolean)
-  extends LeafRunnableCommand {
+  extends LeafRunnableCommand with PredicateHelper {
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = ViewResolution.graftCatalog(session, catName).getOrElse(
@@ -129,8 +135,9 @@ private[sql] final case class GraftCreateMatViewCommand(
     }
 
     def fail(why: String): Nothing = throw new UnsupportedOperationException(
-      s"CREATE MATERIALIZED VIEW supports a single GROUP-BY aggregate " +
-        s"over one graft table (count(*) / integer sum / min / max); $why")
+      s"CREATE MATERIALIZED VIEW supports a GROUP-BY aggregate over one " +
+        "graft fact table, optionally inner-equi-joined to graft dimension " +
+        s"tables on same-named keys (count(*) / integer sum / min / max); $why")
 
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, c) => strip(c)
@@ -140,13 +147,21 @@ private[sql] final case class GraftCreateMatViewCommand(
       case Aggregate(g, a, c, _) => (g, a, strip(c))
       case other => fail(s"got a ${other.nodeName} instead of an aggregate")
     }
+    // SubqueryAlias plus the attr-only Projects the analyzer inserts
+    // (USING-join dedup) are transparent for the shape analysis
+    def stripJ(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => stripJ(c)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripJ(c)
+      case other => other
+    }
     // an optional WHERE between the aggregate and the scan: the MV then
     // maintains agg(filter(source)) — any deterministic, subquery-free
     // predicate works for maintenance (it filters rows BEFORE
     // aggregation on every delta), and the rewrite requires query
     // predicates to contain it conjunct-for-conjunct
-    val (filterCond, base) = child match {
-      case Filter(c, f) => (Some(c), strip(f))
+    val (filterCond, base) = stripJ(child) match {
+      case Filter(c, f) => (Some(c), stripJ(f))
       case other => (None, other)
     }
     filterCond.foreach { c =>
@@ -157,14 +172,53 @@ private[sql] final case class GraftCreateMatViewCommand(
         fail(s"the WHERE predicate ${c.sql} contains a subquery — its " +
           "result changes outside the source's change feed")
     }
-    val table = base match {
+    // star-schema shape: a LEFT-DEEP tree of INNER equi-joins whose
+    // leftmost relation is the FACT and every right side a DIM, joined
+    // on SAME-NAMED columns (USING semantics — required so the joined
+    // maintenance frame resolves measures by bare column name)
+    def relOf(p: LogicalPlan): GraftTableV2 = stripJ(p) match {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
         r.table.asInstanceOf[GraftTableV2]
-      case other => fail(s"the aggregate input is a ${other.nodeName}, not a graft table scan")
+      case other =>
+        fail(s"every join input must be a graft table scan, got ${other.nodeName}")
     }
-    require(table.pinnedAsOf.isEmpty && !table.isReadOptimized,
-      "a materialized view must be defined over the live table, not a " +
-        "time-travel or read-optimized snapshot")
+    val resolver = session.sessionState.conf.resolver
+    def usingColsOf(cond: Option[Expression],
+        left: LogicalPlan, right: LogicalPlan): Seq[String] =
+      cond.map(splitConjunctivePredicates).getOrElse(
+        fail("JOIN needs an equi ON/USING condition")).map {
+        case EqualTo(x: AttributeReference, y: AttributeReference) =>
+          val (l, r) =
+            if (left.outputSet.contains(x) && right.outputSet.contains(y)) (x, y)
+            else if (left.outputSet.contains(y) && right.outputSet.contains(x)) (y, x)
+            else fail(s"join condition must compare the two sides: ${x.sql} = ${y.sql}")
+          if (!resolver(l.name, r.name))
+            fail("join keys must share a name (USING semantics), got " +
+              s"${l.name} = ${r.name}")
+          l.name
+        case other =>
+          fail(s"only equi-joins on plain columns are supported, got ${other.sql}")
+      }
+    def flatten(p: LogicalPlan)
+        : (GraftTableV2, Seq[(GraftTableV2, Seq[String], Seq[String])]) =
+      stripJ(p) match {
+        case Join(l, r, Inner, cond, _) =>
+          val (fact, ds) = flatten(l)
+          val dim = relOf(r)
+          val cols = usingColsOf(cond, l, r)
+          (fact, ds :+ ((dim, cols, stripJ(r).output.map(_.name))))
+        case j: Join => fail(s"only INNER joins are supported, got ${j.joinType}")
+        case other => (relOf(other), Seq.empty)
+      }
+    val (table, dimRels) = flatten(base)
+    (table +: dimRels.map(_._1)).foreach(t =>
+      require(t.pinnedAsOf.isEmpty && !t.isReadOptimized,
+        "a materialized view must be defined over live tables, not " +
+          "time-travel or read-optimized snapshots"))
+    def factNames(p: LogicalPlan): Set[String] = stripJ(p) match {
+      case Join(l, _, _, _, _) => factNames(l)
+      case other => other.output.map(_.name.toLowerCase).toSet
+    }
 
     val dims = groupings.map {
       case a: AttributeReference => a.name
@@ -206,28 +260,55 @@ private[sql] final case class GraftCreateMatViewCommand(
     }
     if (dims.isEmpty) fail("GROUP BY is empty")
 
+    // name discipline: a REFERENCED column name (GROUP BY, measure, or
+    // WHERE ref) present on both sides of a join is ambiguous — the
+    // maintenance frame and stored expression text resolve by bare name.
+    // UNREFERENCED shared names (precombine timestamps etc.) are fine:
+    // maintenance projects each dim to its keys + referenced columns.
+    val referenced = (dims ++
+      aggExprs.flatMap(_.references.map(_.name)) ++
+      filterCond.toSeq.flatMap(_.references.map(_.name)))
+      .map(_.toLowerCase).toSet
+    var seenKept = factNames(base)
+    dimRels.foreach { case (_, cols, dimNames) =>
+      val lcCols = cols.map(_.toLowerCase).toSet
+      val ambiguous =
+        (dimNames.map(_.toLowerCase).toSet & seenKept) -- lcCols & referenced
+      if (ambiguous.nonEmpty)
+        fail("referenced column names present on both sides of a join " +
+          s"are ambiguous: ${ambiguous.mkString(", ")} — rename the dim columns")
+      seenKept = seenKept ++ lcCols ++
+        (dimNames.map(_.toLowerCase).toSet & referenced)
+    }
+
     val mvRoot = ViewStore.dir(cat.warehousePath, ns).getParent
       .toString + "/" + name
     val source = table.lake
     val filterSql = filterCond.map(exprSql)
+    val dimJoins = dimRels.map { case (d, cols, _) => (d.lake, cols) }
     val mv = new MaterializedAgg(session, source, mvRoot, dims,
-      sums, mins, maxs, countCol, filterSql)
+      sums, mins, maxs, countCol, filterSql, dimJoins)
     mv.refresh()
 
     // persist the MV definition inside its own table descriptor (the MV
     // IS a LakeTable — SELECT * FROM cat.ns.mv reads it natively) and
-    // register it on the source for transparent rewrite
+    // register it on the source — AND on every dim: the fact entry
+    // drives the transparent rewrite, the dim entries pin the dim
+    // columns the recipe reads against rename/drop and are skipped by
+    // refresh/rewrite (mv.source != dim root)
     val mvDef = MatViewDescriptor(source.config.root, dims, sums, mins,
-      maxs, countCol, countExposed, originalText, filterSql.orNull)
+      maxs, countCol, countExposed, originalText, filterSql.orNull,
+      dimRels.map { case (d, cols, _) => graft.lake.DimJoin(d.tableRoot, cols) })
     val mvDesc = TableDescriptor.fromConfig(mv.table.config)
       .copy(matView = mvDef)
     TableDescriptor.save(mvRoot, mvDesc, hconf)
-    val srcDesc = TableDescriptor.load(source.config.root, hconf).getOrElse(
-      throw new IllegalStateException(s"source descriptor vanished: ${source.config.root}"))
-    val srcMvs = Option(srcDesc.matViews).getOrElse(Seq.empty)
-    if (!srcMvs.contains(mvRoot))
-      TableDescriptor.save(source.config.root,
-        srcDesc.copy(matViews = srcMvs :+ mvRoot), hconf)
+    (source.config.root +: dimRels.map(_._1.tableRoot)).distinct.foreach { root =>
+      val d = TableDescriptor.load(root, hconf).getOrElse(
+        throw new IllegalStateException(s"table descriptor vanished: $root"))
+      val mvs = Option(d.matViews).getOrElse(Seq.empty)
+      if (!mvs.contains(mvRoot))
+        TableDescriptor.save(root, d.copy(matViews = mvs :+ mvRoot), hconf)
+    }
     Seq.empty
   }
 }

@@ -43,6 +43,47 @@ class MaterializedAggSpec extends AnyFunSuite {
     m.read().as[(String, Long, Long)].collect().toSet
   }
 
+  test("dim-join aggregate: fact-incremental refresh equals direct; dim move rebuilds") {
+    import spark.implicits._
+    val fact = LakeTable(spark, LakeTableConfig(
+      tmp() + "/fact", keyCols = Seq("pk"), precombineCol = "ts"))
+    val dim = LakeTable(spark, LakeTableConfig(
+      tmp() + "/dim", keyCols = Seq("k"), precombineCol = "ts"))
+    dim.bulkInsert(Seq((1, "a", 0), (2, "b", 0)).toDF("k", "grp", "ts"))
+    fact.bulkInsert(Seq((1L, 1, 10L, 0), (2L, 1, 5L, 0), (3L, 2, 7L, 0),
+      (4L, 9, 99L, 0)).toDF("pk", "k", "v", "ts")) // k=9: no dim row
+    val m = new MaterializedAgg(spark, fact, tmp() + "/agg",
+      dims = Seq("grp"), sums = Map("v_sum" -> "v"),
+      dimJoins = Seq((dim, Seq("k"))))
+    def directJoin(): Set[(String, Long, Long)] =
+      fact.read().join(dim.read().select("k", "grp"), Seq("k"), "inner")
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n_rows"), sum($"v").as("v_sum"))
+        .as[(String, Long, Long)].collect().toSet
+    m.refresh()
+    assert(got(m) == directJoin() && got(m) == Set(("a", 2L, 15L), ("b", 1L, 7L)))
+    assert(m.fresh)
+
+    // fact-only changes refresh INCREMENTALLY and stay law-equal
+    fact.upsert(Seq((1L, 2, 20L, 1), (5L, 2, 3L, 1)).toDF("pk", "k", "v", "ts"))
+    assert(!m.fresh)
+    m.refresh()
+    assert(got(m) == directJoin() && got(m) == Set(("a", 1L, 5L), ("b", 3L, 30L)))
+    assert(m.fresh)
+
+    // a dim move is detected and triggers a FULL rebuild (values track
+    // the new dim rows; the old contributions are replaced, not patched)
+    dim.upsert(Seq((1, "a2", 1), (9, "c", 1)).toDF("k", "grp", "ts"))
+    assert(!m.fresh, "a moved dim must mark the aggregate stale")
+    m.refresh()
+    assert(got(m) == directJoin() &&
+      got(m) == Set(("a2", 1L, 5L), ("b", 3L, 30L), ("c", 1L, 99L)))
+    assert(m.fresh)
+    // idempotent: nothing moved, refresh is a no-op and stays fresh
+    m.refresh()
+    assert(got(m) == directJoin())
+  }
+
   test("aggregate equals direct recomputation after every refresh step") {
     val t = LakeTable(spark, LakeTableConfig(
       tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))
