@@ -3557,26 +3557,37 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       stampsId = false)
   }
 
-  /** Bin small MoR delta files (Hudi's small-file handling for log
-    * files): streaming upserts append one tiny delta per micro-batch —
-    * by design they skip the clustering shuffle — so heavy write loads
-    * accumulate files whose open/footer overhead eventually dominates
-    * reads. Deltas under `maxBytes` are rewritten, per partition, into
-    * as few delta files as their volume needs. Rows are preserved
-    * verbatim — `_commit_id`, `_seq` and `_deleted` travel as columns,
-    * so merge semantics are untouched and the snapshot is unchanged;
-    * unlike [[compact]] nothing is merged into base files, keeping the
-    * cost proportional to the small files, not the table. Partitions
-    * with a single small delta are left alone.
+  /** Bin small files (the Delta OPTIMIZE bin-packing / Hudi small-file
+    * role): frequent small writes accumulate files whose open/footer
+    * overhead eventually dominates reads.
+    *
+    *   - MoR: DELTA files under `maxBytes` rewrite, per partition, into
+    *     as few delta files as their volume needs — streaming upserts
+    *     append one tiny delta per micro-batch by design. Rows are
+    *     preserved verbatim (`_commit_id`, `_seq`, `_deleted` travel as
+    *     columns), so merge semantics are untouched; unlike [[compact]]
+    *     nothing folds into base files, keeping cost proportional to
+    *     the small files, not the table.
+    *   - CoW: small BASE files rewrite per partition the same way —
+    *     the shape every frequently-fed CoW table grows (one file per
+    *     small commit). Rows keep their provenance stamps, and a
+    *     rewritten file's live deletion vectors retire in the same
+    *     commit (writeCommit's central rule), so the snapshot is
+    *     byte-identical logically.
+    *
+    * Partitions with a single small file are left alone.
     */
   def compactSmall(maxBytes: Long = 64L * 1024 * 1024): Long = {
-    require(config.isMor, "compactSmall() applies to merge-on-read tables")
     val basedOn = log.latestId.getOrElse(log.EmptyTable)
     val live = log.liveFiles()
     def sizeOf(f: FileAdd): Long =
       if (f.bytes > 0) f.bytes
       else new Path(f.path).getFileSystem(hconf).getFileStatus(new Path(f.path)).getLen
-    val victims = live.filter(f => f.isDelta && sizeOf(f) < maxBytes)
+    // MoR bins its change-log deltas (base files belong to compact());
+    // CoW has only base files to bin
+    val victims = live
+      .filter(f => (if (config.isMor) f.isDelta else !f.isDelta && !f.isDv) &&
+        sizeOf(f) < maxBytes)
       .groupBy(_.partition).filter(_._2.size > 1)
       .values.flatten.toSeq
     if (victims.isEmpty) return log.latestId.getOrElse(-1L)
@@ -3585,7 +3596,8 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // files; coalesce merges read partitions without a shuffle
     val nOut = math.max(1L, (victims.map(sizeOf).sum + maxBytes - 1) / maxBytes).toInt
     writeCommit(readFiles(victims).coalesce(nOut), "delta_compact",
-      victims.map(_.path), kind = "delta", basedOn = Some(basedOn),
+      victims.map(_.path), kind = if (config.isMor) "delta" else "base",
+      basedOn = Some(basedOn),
       // verbatim per-partition rewrite of its victims only
       partitionScoped = true, stampsId = false)
   }

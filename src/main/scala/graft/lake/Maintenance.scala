@@ -89,9 +89,13 @@ object Maintenance {
         fire("compact")(t.compact())
     }
 
-    if (p.smallFileBytes > 0 && t.config.isMor) {
+    if (p.smallFileBytes > 0) {
+      // MoR bins its change-log deltas; CoW bins small BASE files (the
+      // shape every frequently-fed CoW table grows) — same criterion
+      // compactSmall itself applies
       val small = t.log.liveFiles()
-        .filter(f => f.isDelta && f.bytes > 0 && f.bytes < p.smallFileBytes)
+        .filter(f => (if (t.config.isMor) f.isDelta else !f.isDelta && !f.isDv) &&
+          f.bytes > 0 && f.bytes < p.smallFileBytes)
         .groupBy(_.partition).exists(_._2.size > 1)
       if (small) fire("compact_small")(t.compactSmall(p.smallFileBytes))
     }

@@ -1336,6 +1336,67 @@ object Sql {
         FROM f JOIN dim d ON f.l_returnflag = d.l_returnflag
         GROUP BY d.flag_name ORDER BY d.flag_name""")),
 
+    // MERGE WITH SCHEMA EVOLUTION (r15): Spark's own
+    // ResolveMergeIntoSchemaEvolution computes the source's new columns
+    // as TableChanges and applies them through the catalog's alterTable
+    // (gated on the AUTOMATIC_SCHEMA_EVOLUTION capability) — merged rows
+    // carry the minted column, pre-merge rows read null
+    GQuery("lake_sql_merge_evolve",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:mergeevo", _ => {
+          s.sql(s"""CREATE TABLE $cat.db.nation_sevo (n_nationkey INT,
+              n_name STRING, update_ts INT) USING graft
+            TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+          s.sql(s"""INSERT INTO $cat.db.nation_sevo
+            SELECT n_nationkey, n_name, 0 FROM sql_nation_src""")
+          s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.nation_sevo t
+            USING (SELECT n_nationkey, n_name, 1 AS update_ts,
+                     n_regionkey AS region_tag
+                   FROM sql_nation_src WHERE n_regionkey = 1) s
+            ON t.n_nationkey = s.n_nationkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+          cat
+        })
+        s.sql(s"""SELECT n_nationkey, n_name, update_ts, region_tag
+          FROM $cat.db.nation_sevo ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name,
+          CAST(CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END AS INT) AS update_ts,
+          CAST(CASE WHEN n_regionkey = 1 THEN n_regionkey END AS INT) AS region_tag
+        FROM nation ORDER BY n_nationkey""")),
+
+    // OPTIMIZE / VACUUM Delta spellings (r15): parser-fallback
+    // statements — OPTIMIZE folds the MoR delta stack into base files,
+    // VACUUM RETAIN 0 HOURS retires pre-head snapshots and sweeps
+    // orphans; the surviving state must equal the logical latest rows
+    // (physical reorganization + retention can never change results)
+    GQuery("lake_sql_optimize",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:optvac", _ => {
+          s.sql(s"""CREATE TABLE $cat.db.nation_opt (n_nationkey INT,
+              n_name STRING, n_regionkey INT, update_ts INT) USING graft
+            TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts',
+              storageType='mor')""")
+          s.sql(s"""INSERT INTO $cat.db.nation_opt
+            SELECT n_nationkey, n_name, n_regionkey, 0 FROM sql_nation_src""")
+          s.sql(s"""INSERT INTO $cat.db.nation_opt
+            SELECT n_nationkey, n_name || '+', n_regionkey, 1
+            FROM sql_nation_src WHERE n_regionkey = 2""")
+          s.sql(s"OPTIMIZE $cat.db.nation_opt").collect()
+          s.sql(s"VACUUM $cat.db.nation_opt RETAIN 0 HOURS").collect()
+          cat
+        })
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+          FROM $cat.db.nation_opt ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey,
+          CASE WHEN n_regionkey = 2 THEN n_name || '+' ELSE n_name END AS n_name,
+          n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
     // ---- ANALYZE + cost-based join (r14) --------------------------------
     // both scans serve analyzed column stats (NDV/nulls/ranges) through
     // DSv2 columnStats; the join plans under spark.sql.cbo.enabled with

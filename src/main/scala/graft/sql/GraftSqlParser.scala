@@ -27,7 +27,47 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def session = SparkSession.active
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+    try rewrite(delegate.parsePlan(sqlText))
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        // OPTIMIZE / VACUUM have no Spark grammar: the mini-parser only
+        // engages AFTER the delegate rejected the text, and only when
+        // the identifier resolves to a graft catalog — everything else
+        // rethrows the ORIGINAL error so ordinary syntax errors stay
+        // Spark's own
+        parseMaintenance(sqlText).getOrElse(throw e)
+    }
+
+  private val OptimizeRe =
+    ("(?is)^\\s*OPTIMIZE\\s+([\\w.`]+)" +
+      "(?:\\s+WHERE\\s+(.+?))?" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+  private val VacuumRe =
+    "(?is)^\\s*VACUUM\\s+([\\w.`]+)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$".r
+  private val RestoreRe =
+    "(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?([\\w.`]+)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$".r
+
+  private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
+    case RestoreRe(ident, version) =>
+      val parts = delegate.parseMultipartIdentifier(ident)
+      ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>
+        GraftRestoreCommand(cat.name, ns, name, version.toLong)
+      }
+    case OptimizeRe(ident, where, zorder) =>
+      val parts = delegate.parseMultipartIdentifier(ident)
+      ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>
+        GraftOptimizeCommand(cat.name, ns, name,
+          Option(where).map(_.trim).filter(_.nonEmpty),
+          Option(zorder).toSeq.flatMap(_.split(','))
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+      }
+    case VacuumRe(ident, hours) =>
+      val parts = delegate.parseMultipartIdentifier(ident)
+      ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>
+        GraftVacuumCommand(cat.name, ns, name, Option(hours).map(_.toLong))
+      }
+    case _ => None
+  }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case cv @ CreateView(UnresolvedIdentifier(parts, _), cols, comment,

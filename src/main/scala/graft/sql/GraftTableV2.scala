@@ -187,8 +187,14 @@ final class GraftTableV2(
     // no OVERWRITE_DYNAMIC here: Spark cannot plan dynamic overwrite
     // through the V1 write fallback (OverwritePartitionsDynamicExec
     // needs a native BatchWrite) — the GraftDmlRule resolution rule
-    // carries it instead, the same shape as UPDATE/MERGE
-    Set(BATCH_READ, V1_BATCH_WRITE, OVERWRITE_BY_FILTER, TRUNCATE).asJava
+    // carries it instead, the same shape as UPDATE/MERGE.
+    // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE INTO t WITH SCHEMA EVOLUTION`
+    // — Spark's ResolveMergeIntoSchemaEvolution computes the source's
+    // new/widened columns as TableChanges and applies them through this
+    // catalog's alterTable (the same fresh-id ADD / widening-lattice
+    // machinery every ALTER rides) before the merge resolves
+    Set(BATCH_READ, V1_BATCH_WRITE, OVERWRITE_BY_FILTER, TRUNCATE,
+      AUTOMATIC_SCHEMA_EVOLUTION).asJava
   }
 
   // ---- streaming (V1 fallback — the Delta integration shape) -----------

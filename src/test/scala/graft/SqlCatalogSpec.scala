@@ -185,6 +185,43 @@ class SqlCatalogSpec extends AnyFunSuite {
       Seq(1L, 1, 111), Seq(2L, 0, 20), Seq(5L, 1, 555)))
   }
 
+  test("MERGE INTO ... WITH SCHEMA EVOLUTION adds the source's new columns") {
+    wh
+    spark.sql("""CREATE TABLE g.db.sevo (pk BIGINT, ts INT, qty INT)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO g.db.sevo VALUES (1,0,10), (2,0,20)")
+    locally {
+      import spark.implicits._
+      Seq((1L, 1, 111, "x"), (5L, 1, 555, "y"))
+        .toDF("pk", "ts", "qty", "tag").createOrReplaceTempView("sevosrc")
+    }
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO g.db.sevo t USING sevosrc s
+      ON t.pk = s.pk
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // the new column exists, merged rows carry it, untouched rows null
+    assert(rows("SELECT pk, ts, qty, tag FROM g.db.sevo ORDER BY pk") == Seq(
+      Seq(1L, 1, 111, "x"), Seq(2L, 0, 20, null), Seq(5L, 1, 555, "y")))
+    // the evolution rides the ordinary ALTER machinery: the commit-log
+    // schema carries the minted column, later plain inserts see it
+    spark.sql("INSERT INTO g.db.sevo VALUES (7, 0, 70, 'z')")
+    assert(rows("SELECT tag FROM g.db.sevo WHERE pk = 7") == Seq(Seq("z")))
+    // WITHOUT the clause, star expansion maps TARGET columns only: the
+    // extra source column is ignored and the schema never changes
+    locally {
+      import spark.implicits._
+      Seq((2L, 2, 222, "w", true)).toDF("pk", "ts", "qty", "tag", "extra")
+        .createOrReplaceTempView("sevosrc2")
+    }
+    spark.sql("""MERGE INTO g.db.sevo t USING sevosrc2 s
+      ON t.pk = s.pk
+      WHEN MATCHED THEN UPDATE SET *""")
+    assert(!spark.table("g.db.sevo").schema.fieldNames.contains("extra"),
+      "no WITH SCHEMA EVOLUTION: the schema must not grow")
+    assert(rows("SELECT qty, tag FROM g.db.sevo WHERE pk = 2") ==
+      Seq(Seq(222, "w")))
+  }
+
   test("VERSION AS OF predicate resolves against the PINNED schema after a rename") {
     wh
     spark.sql("""CREATE TABLE g.db.ren (pk BIGINT, ts INT, v STRING)
