@@ -991,6 +991,16 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     * wastes its range — identity values may have gaps, the documented
     * contract. Legacy `<base>_<units>` markers from older claims are
     * still honored when computing the next base.
+    *
+    * Rolling upgrades: a LEGACY writer publishing `<base>_<units>` and
+    * an upgraded writer publishing `<base>` land on DIFFERENT names, so
+    * the name-collision arbitration cannot see the race. Two defenses:
+    * the next base is computed over EVERY claim at the max base (so a
+    * double-claimed base advances past the larger range), and a new
+    * claimer re-lists after publishing — if a legacy-named marker shares
+    * its base, it RETREATS (leaves its marker as a dead range, never
+    * uses it) and claims again past both. The abandoned range is a gap,
+    * which the identity contract already allows.
     */
   private[lake] def claimIdentityRange(col: String, units: Long): Long = {
     require(units > 0, s"identity claim needs positive units, got $units")
@@ -1002,11 +1012,8 @@ final class CommitLog(root: String, hadoopConf: Configuration,
         .toLongOption.getOrElse(0L)
       finally in.close()
     }
-    var attempts = 0
-    while (attempts < 64) {
-      // next base = max over claims of (base + units); only the
-      // max-base claim's units matter, so content is read once per try
-      val claims = fs.listStatus(dir).toSeq
+    def listClaims(): Seq[(Long, Path, Boolean)] =
+      fs.listStatus(dir).toSeq
         .filterNot(_.getPath.getName.startsWith("."))
         .flatMap { st =>
           val n = st.getPath.getName
@@ -1018,13 +1025,20 @@ final class CommitLog(root: String, hadoopConf: Configuration,
             case _ => None
           }
         }
-      val next = claims.maxByOption(_._1) match {
+    def unitsOfClaim(c: (Long, Path, Boolean)): Long =
+      if (c._3) unitsOf(c._2) else c._2.getName.split('_')(1).toLong
+    var attempts = 0
+    while (attempts < 64) {
+      // next base = max over claims of (base + units). Bases are unique
+      // within one naming scheme, but a mixed-version race can leave TWO
+      // claims of the same base (see Scaladoc) — so every claim AT the
+      // max base contributes, and the largest range wins. Content reads
+      // stay O(claims at max base), normally one.
+      val claims = listClaims()
+      val next = claims.map(_._1).maxOption match {
         case None => 0L
-        case Some((base, p, contentUnits)) =>
-          val u =
-            if (contentUnits) unitsOf(p)
-            else p.getName.split('_')(1).toLong
-          base + u
+        case Some(maxBase) =>
+          maxBase + claims.filter(_._1 == maxBase).map(unitsOfClaim).max
       }
       val tmp = new Path(dir, s".claim-${java.util.UUID.randomUUID}.tmp")
       val out = fs.create(tmp, true)
@@ -1032,7 +1046,15 @@ final class CommitLog(root: String, hadoopConf: Configuration,
       val ok =
         try store.publishAtomic(fs, tmp, new Path(dir, f"$next%020d"))
         finally { scala.util.Try(fs.delete(tmp, false)); () }
-      if (ok) return next
+      if (ok) {
+        // mixed-version guard: a legacy writer may have published
+        // `<next>_<units>` concurrently — a DIFFERENT destination name,
+        // so both claims landed. Re-list and retreat on collision: our
+        // marker stays (a dead range other listers still step over),
+        // the loop claims again past both. One extra listing per claim.
+        val overlapped = listClaims().exists(c => c._1 == next && !c._3)
+        if (!overlapped) return next
+      }
       attempts += 1
     }
     throw new IllegalStateException(
@@ -1173,10 +1195,12 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     * Savepointed snapshots are exempt: any file live at a savepoint stays
     * on disk (and its commit readable) until the savepoint is released.
     */
-  def clean(retain: Int): Unit = {
+  /** returns the number of data files physically deleted — the
+    * observability VACUUM reports (0 = nothing was reclaimable) */
+  def clean(retain: Int): Int = {
     require(retain >= 1, s"must retain at least the latest commit, got $retain")
     val ids = listIds
-    if (ids.size <= retain) return
+    if (ids.size <= retain) return 0
     // oldest id that stays travelable: files superseded at or before it
     // are unreferenced by every retained snapshot. Capped below any
     // staged transaction commit: the clean horizon gates archival and
@@ -1184,12 +1208,12 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     val cutoff0 = ids(ids.size - retain)
     val cutoff = stagedFloor.map(f => math.min(cutoff0, f - 1))
       .getOrElse(cutoff0)
-    if (cutoff < 0 || cutoff < cleanedUpTo) return
+    if (cutoff < 0 || cutoff < cleanedUpTo) return 0
     val pinned: Set[String] = pins.filter(_ <= cutoff)
       .flatMap(s => liveFilesAll(Some(s)).map(_.path)).toSet
     val removedEarly = commits.filter(_.id <= cutoff).flatMap(_.removes)
-    removedEarly.filterNot(pinned).filter(owned)
-      .foreach { p =>
+    val victims = removedEarly.filterNot(pinned).filter(owned)
+    victims.foreach { p =>
         val dp = new Path(p)
         fs.delete(dp, false)
         // retire bloom sidecars with their data file (tiny hidden files
@@ -1201,5 +1225,6 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     val out = fs.create(cleanMarker, true)
     try out.write(mapper.writeValueAsBytes(Map("upTo" -> cutoff)))
     finally out.close()
+    victims.size
   }
 }

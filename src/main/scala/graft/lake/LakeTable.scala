@@ -2014,11 +2014,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     // declaration survives later commits. Validate NOW, loudly — a bad
     // default must not first surface at some future read.
     val minted = defaultSql.fold(minted0) { sql =>
-      val probe = scala.util.Try(
-        spark.sql(s"SELECT CAST(($sql) AS ${dt.sql})").collect())
-      require(probe.isSuccess,
-        s"DEFAULT ($sql) is not a constant ${dt.sql} expression: " +
-          probe.failed.map(_.getMessage).getOrElse(""))
+      validateDefault(name, dt, sql)
       minted0.copy(metadata =
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(minted0.metadata)
@@ -2027,6 +2023,50 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     }
     val (user, internal) = s.fields.partition(x => !SchemaEvo.isInternal(x.name))
     schemaCommit(StructType(user ++ Array(minted) ++ internal))
+  }
+
+  /** The "validated now, loudly" gate for DEFAULT expressions, shared
+    * by ADD COLUMN and SET DEFAULT. Two layers:
+    *   1. Spark's own default-column analyzer ([[org.apache.spark.sql.
+    *      catalyst.util.ResolveDefaultColumns]].analyze) — the SAME code
+    *      INSERT analysis later runs: parses, analyzes, constant-folds
+    *      and requires a literal of the column type, rejecting
+    *      nondeterministic expressions (rand()) and scalar subqueries.
+    *   2. A per-statement-context deny check: Catalyst marks
+    *      current_timestamp/current_date/current_user & co FOLDABLE (a
+    *      per-query substitution folds them), so layer 1 accepts them —
+    *      but as a stored default they would mint a DIFFERENT value on
+    *      every insert. The declared-constant contract refuses them at
+    *      ALTER time instead of varying silently later.
+    */
+  private[graft] def validateDefault(colName: String, dt: DataType,
+      sql: String): Unit = {
+    val probe = scala.util.Try(
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .analyze(colName, dt, sql, "ALTER TABLE ... DEFAULT"))
+    require(probe.isSuccess,
+      s"DEFAULT ($sql) is not a constant ${dt.sql} expression: " +
+        probe.failed.map(_.getMessage).getOrElse(""))
+    val perStatement = Set("current_timestamp", "now", "localtimestamp",
+      "current_date", "curdate", "current_timezone", "current_user",
+      "user", "session_user", "current_database", "current_schema",
+      "current_catalog")
+    val parsed = scala.util.Try(
+      spark.sessionState.sqlParser.parseExpression(sql)).getOrElse(
+      throw new IllegalArgumentException(s"DEFAULT ($sql) does not parse"))
+    val hit = parsed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if perStatement.contains(f.nameParts.last.toLowerCase) =>
+        f.nameParts.last
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 &&
+            perStatement.contains(a.nameParts.head.toLowerCase) =>
+        a.nameParts.head
+    }
+    require(hit.isEmpty,
+      s"DEFAULT ($sql) references the per-statement value '${hit.getOrElse("")}'" +
+        " — it would mint a different value on every insert; store a" +
+        " constant instead")
   }
 
   /** `ALTER COLUMN c SET DEFAULT <sql>` / `DROP DEFAULT` (metadata-only
@@ -2043,11 +2083,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     require(!SchemaEvo.isInternal(name), s"invalid column name '$name'")
     val md = defaultSql match {
       case Some(sql) =>
-        val probe = scala.util.Try(
-          spark.sql(s"SELECT CAST(($sql) AS ${f.dataType.sql})").collect())
-        require(probe.isSuccess,
-          s"DEFAULT ($sql) is not a constant ${f.dataType.sql} expression: " +
-            probe.failed.map(_.getMessage).getOrElse(""))
+        validateDefault(name, f.dataType, sql)
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).putString("CURRENT_DEFAULT", sql).build()
       case None =>
@@ -2691,12 +2727,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * With [[LakeTableConfig.archiveOnClean]] the timeline prefix the
     * clean just made non-travelable is archived in the same call — the
     * Hudi lifecycle pairing. */
-  def clean(retain: Int): Unit = {
-    log.clean(retain)
+  /** returns the number of data files physically deleted */
+  def clean(retain: Int): Int = {
+    val deleted = log.clean(retain)
     if (config.archiveOnClean) { log.archive(); () }
     // exported manifests are point-in-time file lists; the clean may
     // have physically deleted files they reference — drop them all
     dropManifests()
+    deleted
   }
 
   // ---- external-engine manifest export (Delta _symlink_format_manifest
@@ -2921,10 +2959,11 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * old-stamped straggler BETWEEN young commits is kept, never
     * cleaned early.
     */
-  def cleanOlderThan(olderThanMs: Long): Unit = {
+  /** returns the number of data files physically deleted */
+  def cleanOlderThan(olderThanMs: Long): Int = {
     require(olderThanMs >= 0, s"need a non-negative window, got $olderThanMs")
     val cs = log.commits
-    if (cs.size <= 1) return
+    if (cs.size <= 1) return 0
     val horizon = System.currentTimeMillis() - olderThanMs
     val firstYoung = cs.indexWhere(_.tsMillis >= horizon)
     clean(math.max(1, if (firstYoung < 0) 1 else cs.size - firstYoung))

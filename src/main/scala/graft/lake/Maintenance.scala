@@ -170,13 +170,23 @@ object Maintenance {
           mv <- Option(mvDesc.matView)
           if mv.source == t.config.root
         } {
-          val agg = MaterializedAgg.fromDescriptor(t.spark, t, root, mv)
-          // a MOVED DIM (star-schema MVs) needs a refresh regardless of
-          // the fact-lag threshold: the rebuild is what restores rewrite
-          // eligibility, and dim moves are rare by design
-          if (head - agg.applied.getOrElse(-1L) >= p.refreshMvAfter ||
-              !agg.dimsFresh)
-            fire(s"refresh_mv:${root.split('/').last}")(agg.refresh())
+          // a BROKEN MV (e.g. a star-schema dim table dropped from under
+          // it) must not abort the whole maintenance round — skip it,
+          // report it, keep servicing every other MV (the rewrite path
+          // already degrades the same way: Try → fall back)
+          scala.util.Try(
+            MaterializedAgg.fromDescriptor(t.spark, t, root, mv)) match {
+            case scala.util.Success(agg) =>
+              // a MOVED DIM (star-schema MVs) needs a refresh regardless
+              // of the fact-lag threshold: the rebuild is what restores
+              // rewrite eligibility, and dim moves are rare by design
+              if (head - agg.applied.getOrElse(-1L) >= p.refreshMvAfter ||
+                  !agg.dimsFresh)
+                fire(s"refresh_mv:${root.split('/').last}")(agg.refresh())
+            case scala.util.Failure(e) =>
+              out += s"refresh_mv:${root.split('/').last}" ->
+                s"skipped: ${e.getMessage}"
+          }
         }
       }
     }

@@ -69,17 +69,20 @@ final class MaterializedAgg(
       * (its pre-image sits in subs filtered by the OLD values, its
       * post-image in adds filtered by the NEW ones) */
     filterSql: Option[String] = None,
-    /** star-schema joins: each dim equi-joins the virtual source on
-      * SAME-NAMED columns (USING semantics; dim meta columns dropped).
-      * Maintenance stays incremental over the FACT's change feed while
-      * every dim head is UNCHANGED since the last refresh — fact deltas
-      * join the same dim rows their originals did, so retraction math
-      * holds. A moved dim invalidates that premise (old contributions
-      * joined old dim rows and cannot be retracted against new ones), so
-      * the refresh detects it via the per-dim commit stamp and runs a
-      * FULL rebuild instead — dims change rarely by design, facts
+    /** star-schema joins: each dim equi-joins the virtual source —
+      * same-named keys (USING semantics; the key column appears once,
+      * fact-valued) or differently-named `ON f.k = d.id` pairs (the dim
+      * key survives only while referenced), INNER or LEFT OUTER
+      * (null-extended dim columns). Maintenance stays incremental over
+      * the FACT's change feed while every dim head is UNCHANGED since
+      * the last refresh — fact deltas join the same dim rows their
+      * originals did, so retraction math holds for every join type. A
+      * moved dim invalidates that premise (old contributions joined old
+      * dim rows and cannot be retracted against new ones), so the
+      * refresh detects it via the per-dim commit stamp and runs a FULL
+      * rebuild instead — dims change rarely by design, facts
       * constantly; the common refresh stays O(changed fact keys). */
-    dimJoins: Seq[(LakeTable, Seq[String])] = Seq.empty) {
+    dimJoins: Seq[DimSide] = Seq.empty) {
   require(dims.nonEmpty, "need at least one dimension column")
   require((sums.keySet & mins.keySet).isEmpty &&
     (sums.keySet & maxs.keySet).isEmpty && (mins.keySet & maxs.keySet).isEmpty,
@@ -152,7 +155,7 @@ final class MaterializedAgg(
   private val DimKey = "graft.dim_commits"
 
   private def dimStamp(heads: Seq[Option[Long]]): String =
-    dimJoins.map(_._1.config.root).zip(heads)
+    dimJoins.map(_.table.config.root).zip(heads)
       .map { case (r, h) => s"$r=${h.getOrElse(-1L)}" }.mkString(";")
 
   /** the dim stamp recorded by the NEWEST refresh commit (None before
@@ -187,15 +190,34 @@ final class MaterializedAgg(
     * pins to the head resolved ONCE per refresh so a concurrent dim
     * writer cannot mix dim versions inside one refresh. */
   private def joined(fact: DataFrame, heads: Seq[Option[Long]]): DataFrame =
-    dimJoins.zip(heads).foldLeft(fact) { case (acc, ((d, cols), h)) =>
-      val frame = h.fold(d.read())(v => d.readAsOf(v))
+    dimJoins.zip(heads).foldLeft(fact) { case (acc, (ds, h)) =>
+      val frame = h.fold(ds.table.read())(v => ds.table.readAsOf(v))
       val meta = Set("_commit_id", "_record_key", "_seq", "_deleted",
         LakeTable.BucketCol)
-      val lower = cols.map(_.toLowerCase).toSet
-      val keep = cols ++ frame.columns.filter(c =>
-        !meta.contains(c) && !lower.contains(c.toLowerCase) &&
+      val lowerKeys = ds.dimKeys.map(_.toLowerCase).toSet
+      val keep = ds.dimKeys ++ frame.columns.filter(c =>
+        !meta.contains(c) && !lowerKeys.contains(c.toLowerCase) &&
           neededNames.contains(c.toLowerCase))
-      acc.join(frame.select(keep.distinct.map(col): _*), cols, "inner")
+      val jt = if (ds.leftOuter) "left_outer" else "inner"
+      val pruned = frame.select(keep.distinct.map(col): _*)
+      if (ds.sameNamed)
+        // USING semantics: ONE key column survives, fact-valued — which
+        // is also Spark's analyzed semantics for `LEFT JOIN ... USING`
+        acc.join(pruned, ds.factKeys, jt)
+      else {
+        // ON-style differently-named keys: alias both sides so a dim
+        // key sharing a name with some fact column can't ambiguate the
+        // condition; afterwards each UNREFERENCED dim key is dropped
+        // (by attribute, not name — a same-named fact column survives).
+        // Referenced dim keys were name-collision-checked at CREATE.
+        val d = pruned.as("gd")
+        val a = acc.as("gf")
+        val cond = ds.factKeys.zip(ds.dimKeys)
+          .map { case (fk, dk) => col(s"gf.$fk") === col(s"gd.$dk") }
+          .reduce(_ && _)
+        ds.dimKeys.filterNot(k => neededNames.contains(k.toLowerCase))
+          .foldLeft(a.join(d, cond, jt))((f, k) => f.drop(d(k)))
+      }
     }
 
   /** the complete virtual-source preparation: join, then filter */
@@ -206,12 +228,20 @@ final class MaterializedAgg(
     * joins) — the maintenance policy's dim-move trigger */
   def dimsFresh: Boolean =
     dimJoins.isEmpty ||
-      appliedDimStamp.contains(dimStamp(dimJoins.map(_._1.log.latestId)))
+      appliedDimStamp.contains(dimStamp(dimJoins.map(_.table.log.latestId)))
 
   /** true when the aggregate reflects the CURRENT fact head AND every
     * dim's CURRENT head — the transparent rewrite's eligibility gate */
-  def fresh: Boolean =
-    source.log.latestId.exists(h => applied.contains(h)) && dimsFresh
+  def fresh: Boolean = freshWithin(0)
+
+  /** bounded-staleness variant (`maxStaleness` MVs): the aggregate may
+    * lag the fact head by up to `tolerance` commits and still serve —
+    * answers are pinned to the APPLIED snapshot, the declared trade.
+    * Dim movement is never tolerated: a moved dim changes what the
+    * MV's rows MEAN (join semantics), not merely how recent they are. */
+  def freshWithin(tolerance: Int): Boolean =
+    dimsFresh && source.log.latestId.exists(h =>
+      applied.exists(a => h - a <= math.max(0, tolerance).toLong))
 
   private def aggOf(df: DataFrame): DataFrame =
     df.groupBy(dims.map(col): _*)
@@ -283,7 +313,7 @@ final class MaterializedAgg(
     val to = upTo.orElse(source.log.latestId).getOrElse(return None)
     val from = applied.getOrElse(-1L)
     require(to >= from, s"cannot refresh backwards: applied=$from, asked=$to")
-    val heads = dimJoins.map(_._1.log.latestId)
+    val heads = dimJoins.map(_.table.log.latestId)
     val stamp = dimStamp(heads)
     val dimsMoved = dimJoins.nonEmpty && !appliedDimStamp.contains(stamp)
     if (to == from && !dimsMoved) { mark.record(to); return Some(to) }
@@ -295,8 +325,16 @@ final class MaterializedAgg(
     }
     // a moved dim breaks fact-delta retraction (old contributions joined
     // OLD dim rows): full rebuild, one atomic overwrite commit carrying
-    // the new stamps — see [[dimJoins]]
-    if (dimsMoved) {
+    // the new stamps — see [[dimJoins]]. A PRE-UPGRADE aggregate (built
+    // before per-sum non-null counts existed) lacks the __nn_ columns
+    // the incremental merge assigns — mergeOnce would refuse — so it
+    // takes the same full-rebuild path ONCE; the overwrite mints the
+    // columns (schemaReset) and every later refresh is incremental again.
+    val preUpgrade = sumCols.nonEmpty && {
+      val have = table.read().schema.fieldNames.toSet
+      nnCols.exists(!have.contains(_))
+    }
+    if (dimsMoved || preUpgrade) {
       table.overwriteAll(aggOf(prep(source.readAsOf(to), heads))
         .withColumn("_src_commit", lit(to)),
         meta = stampMeta(to, stamp))
@@ -405,6 +443,25 @@ final class MaterializedAgg(
     table.read().select((dims ++ (countCol +: sumCols) ++ orderCols).map(col): _*)
 }
 
+/** One dimension side of a star-schema [[MaterializedAgg]]: the dim
+  * table, the equi-join key pairs (fact side / dim side, positionally
+  * matched), and the join type. Same-named pairs take USING semantics
+  * (one surviving key column, fact-valued); `leftOuter` null-extends
+  * the dim columns for unmatched fact rows. */
+final case class DimSide(table: LakeTable, factKeys: Seq[String],
+    dimKeys: Seq[String], leftOuter: Boolean = false) {
+  require(factKeys.nonEmpty && factKeys.length == dimKeys.length,
+    "join needs at least one fact/dim key pair, positionally matched")
+  def sameNamed: Boolean =
+    factKeys.map(_.toLowerCase) == dimKeys.map(_.toLowerCase)
+}
+
+object DimSide {
+  /** legacy USING-style inner join on same-named columns */
+  def using(t: LakeTable, cols: Seq[String]): DimSide =
+    DimSide(t, cols, cols)
+}
+
 object MaterializedAgg {
   /** maintained non-null count per SUM measure — drives the exact
     * `avg()` rewrite (avg = Σ sum / Σ nn) and the null-correct sum
@@ -421,7 +478,8 @@ object MaterializedAgg {
       val d = TableDescriptor.load(dj.root, hconf).getOrElse(
         throw new IllegalStateException(
           s"materialized-view dimension table vanished: ${dj.root}"))
-      (LakeTable(spark, d.config(dj.root)), dj.usingCols)
+      DimSide(LakeTable(spark, d.config(dj.root)),
+        dj.factKeysN, dj.dimKeysN, dj.leftOuter)
     }
     new MaterializedAgg(spark, source, mvRoot, mv.dims,
       Option(mv.sums).getOrElse(Map.empty),

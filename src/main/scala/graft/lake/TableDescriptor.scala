@@ -135,10 +135,32 @@ final case class MatViewDescriptor(
       * (`USING`-style semantics). Maintenance is incremental over the
       * FACT's change feed while every dim head is unchanged; a moved dim
       * triggers a full rebuild (see [[MaterializedAgg]]). */
-    dimJoins: Seq[DimJoin] = Seq.empty)
+    dimJoins: Seq[DimJoin] = Seq.empty,
+    /** declared bounded staleness (BigQuery `max_staleness` role,
+      * `TBLPROPERTIES (maxStaleness='N')`): the transparent rewrite may
+      * serve this MV while the fact head is at most N commits past the
+      * MV's applied commit — answers are then pinned to the applied
+      * snapshot, the user's declared trade. 0 (default) keeps the exact
+      * gate: rewrite only when applied IS the head. Dim movement is
+      * never tolerated (a moved dim changes join semantics, not just
+      * recency). */
+    maxStalenessCommits: Int = 0)
 
-/** one dimension-side join of a star-schema materialized view */
-final case class DimJoin(root: String, usingCols: Seq[String])
+/** One dimension-side join of a star-schema materialized view.
+  * `usingCols` is the legacy same-named (USING-semantics) form; r16
+  * adds differently-named equi keys (`ON f.cust_id = d.id`) via the
+  * parallel `factKeys`/`dimKeys` lists and LEFT OUTER dims via
+  * `joinType` — old descriptors deserialize with the new fields null
+  * and normalize through the accessors. */
+final case class DimJoin(root: String, usingCols: Seq[String],
+    factKeys: Seq[String] = null, dimKeys: Seq[String] = null,
+    joinType: String = null) {
+  def factKeysN: Seq[String] =
+    Option(factKeys).getOrElse(Option(usingCols).getOrElse(Seq.empty))
+  def dimKeysN: Seq[String] =
+    Option(dimKeys).getOrElse(Option(usingCols).getOrElse(Seq.empty))
+  def leftOuter: Boolean = Option(joinType).exists(_.equalsIgnoreCase("left"))
+}
 
 object TableDescriptor {
   private val mapper = new ObjectMapper()

@@ -537,6 +537,32 @@ object Sql {
         FROM $cat.db.mv_fact f JOIN $cat.db.mv_dim d
           ON f.l_returnflag = d.l_returnflag
         GROUP BY d.flag_name""")
+      // bounded-staleness MV (r16): declared maxStaleness lets the
+      // rewrite serve it while the fact head is ≤ N commits past the
+      // MV's applied commit — this one is created at c0 and DELIBERATELY
+      // never refreshed, so queries covered only by it pin c0 values
+      s.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_agg_s
+        TBLPROPERTIES (maxStaleness='10') AS
+        SELECT l_linenumber, count(*) AS n, sum(qty100) AS sum_qty100
+        FROM $cat.db.mv_fact GROUP BY l_linenumber""")
+      // ON-keyed + LEFT OUTER dims (r16): differently-named equi keys
+      // and null-extended dim columns. mv_dim2 deliberately has NO row
+      // for flag 'N', so the LEFT variant maintains a null dim group.
+      s.sql(s"""CREATE TABLE $cat.db.mv_dim2 (flag_id STRING,
+          flag_label STRING, update_ts INT) USING graft
+        TBLPROPERTIES (keyCols='flag_id', precombineCol='update_ts')""")
+      s.sql(s"""INSERT INTO $cat.db.mv_dim2 VALUES
+        ('A', 'accepted', 0), ('R', 'returned', 0)""")
+      s.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_agg_jo AS
+        SELECT d.flag_label, count(*) AS n, sum(f.qty100) AS sum_qty100
+        FROM $cat.db.mv_fact f JOIN $cat.db.mv_dim2 d
+          ON f.l_returnflag = d.flag_id
+        GROUP BY d.flag_label""")
+      s.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_agg_jl AS
+        SELECT d.flag_label, count(*) AS n, sum(f.qty100) AS sum_qty100
+        FROM $cat.db.mv_fact f LEFT JOIN $cat.db.mv_dim2 d
+          ON f.l_returnflag = d.flag_id
+        GROUP BY d.flag_label""")
       // c1: upsert every R row +100 — the refreshes below must apply the
       // DELTA (changed keys only), not rebuild
       s.sql(s"""INSERT INTO $cat.db.mv_fact
@@ -547,6 +573,8 @@ object Sql {
       s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg')").collect()
       s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg_r')").collect()
       s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg_j')").collect()
+      s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg_jo')").collect()
+      s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg_jl')").collect()
       cat
     })
   }
@@ -1336,6 +1364,84 @@ object Sql {
         FROM f JOIN dim d ON f.l_returnflag = d.l_returnflag
         GROUP BY d.flag_name ORDER BY d.flag_name""")),
 
+    // ON-keyed star-schema MV (r16): the join keys carry DIFFERENT names
+    // (f.l_returnflag = d.flag_id) — the recipe persists the key pairs,
+    // maintenance joins and drops the unreferenced dim key, the rewrite
+    // matches the pairs order-free. Incremental through the c1 upsert;
+    // values hash-match the direct join aggregate either way.
+    GQuery("lake_sql_matview_join_on",
+      (s, d) => {
+        val cat = matViewFixture(s, d)
+        s.sql(s"""SELECT d.flag_label, count(*) AS n, sum(f.qty100) AS sum_qty100
+          FROM $cat.db.mv_fact f JOIN $cat.db.mv_dim2 d
+            ON f.l_returnflag = d.flag_id
+          GROUP BY d.flag_label ORDER BY d.flag_label""")
+      },
+      Some("""WITH f0 AS (
+          SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+            CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        f AS (
+          SELECT l_returnflag,
+            q + CASE WHEN l_returnflag = 'R' THEN 100 ELSE 0 END AS qty100
+          FROM f0),
+        dim(flag_id, flag_label) AS (VALUES
+          ('A', 'accepted'), ('R', 'returned'))
+        SELECT d.flag_label, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(f.qty100) AS BIGINT) AS sum_qty100
+        FROM f JOIN dim d ON f.l_returnflag = d.flag_id
+        GROUP BY d.flag_label ORDER BY d.flag_label""")),
+
+    // LEFT OUTER star-schema MV (r16): flag 'N' has no dim row, so its
+    // fact rows aggregate under a NULL dim label — maintained
+    // incrementally like the inner form (retraction math holds while
+    // the dim is frozen). NULLS FIRST pinned on both engines.
+    GQuery("lake_sql_matview_join_left",
+      (s, d) => {
+        val cat = matViewFixture(s, d)
+        s.sql(s"""SELECT d.flag_label, count(*) AS n, sum(f.qty100) AS sum_qty100
+          FROM $cat.db.mv_fact f LEFT JOIN $cat.db.mv_dim2 d
+            ON f.l_returnflag = d.flag_id
+          GROUP BY d.flag_label ORDER BY d.flag_label NULLS FIRST""")
+      },
+      Some("""WITH f0 AS (
+          SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+            CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        f AS (
+          SELECT l_returnflag,
+            q + CASE WHEN l_returnflag = 'R' THEN 100 ELSE 0 END AS qty100
+          FROM f0),
+        dim(flag_id, flag_label) AS (VALUES
+          ('A', 'accepted'), ('R', 'returned'))
+        SELECT d.flag_label, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(f.qty100) AS BIGINT) AS sum_qty100
+        FROM f LEFT JOIN dim d ON f.l_returnflag = d.flag_id
+        GROUP BY d.flag_label ORDER BY d.flag_label NULLS FIRST""")),
+
+    // bounded-staleness rewrite (r16): the fixture's mv_agg_s (declared
+    // maxStaleness=10) was refreshed at c0 and the fact then moved to c1
+    // (every R row's qty100 +100) WITHOUT a refresh — the rewrite must
+    // still serve the MV, pinning the answer to the APPLIED (c0)
+    // snapshot. The oracle recomputes the c0 state from raw lineitem
+    // (no +100 adjustment): it passes ONLY if the stale MV actually
+    // answered — a fall-through to the base scan would return c1 values
+    // and hash-mismatch. The query groups by l_linenumber, which no
+    // other registered MV covers.
+    GQuery("lake_sql_matview_stale",
+      (s, d) => {
+        val cat = matViewFixture(s, d)
+        s.sql(s"""SELECT l_linenumber, count(*) AS n, sum(qty100) AS sum_qty100
+          FROM $cat.db.mv_fact GROUP BY l_linenumber ORDER BY l_linenumber""")
+      },
+      Some("""WITH f0 AS (
+          SELECT l_orderkey, l_linenumber,
+            CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        SELECT l_linenumber, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(q) AS BIGINT) AS sum_qty100
+        FROM f0 GROUP BY l_linenumber ORDER BY l_linenumber""")),
+
     // MERGE WITH SCHEMA EVOLUTION (r15): Spark's own
     // ResolveMergeIntoSchemaEvolution computes the source's new columns
     // as TableChanges and applies them through the catalog's alterTable
@@ -1396,6 +1502,58 @@ object Sql {
           CASE WHEN n_regionkey = 2 THEN n_name || '+' ELSE n_name END AS n_name,
           n_regionkey
         FROM nation ORDER BY n_nationkey""")),
+
+    // ---- SQL multi-table transaction (r16) -------------------------------
+    // BEGIN/COMMIT/ROLLBACK through the parser fallback: a rolled-back
+    // pair of INSERTs (junk keys) must leave NO trace, a committed pair
+    // becomes visible atomically. The query audits BOTH tables (join
+    // catches junk in txn_a via extra rows; the b_total row catches junk
+    // in txn_b) — it matches the oracle only if ROLLBACK discarded
+    // everything and COMMIT published everything.
+    GQuery("lake_sql_txn",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:sqltxn", _ => {
+          s.sql(s"""CREATE TABLE $cat.db.txn_a (n_nationkey INT,
+              n_name STRING, n_regionkey INT, update_ts INT) USING graft
+            TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+          s.sql(s"""CREATE TABLE $cat.db.txn_b (n_regionkey INT,
+              region_n BIGINT, update_ts INT) USING graft
+            TBLPROPERTIES (keyCols='n_regionkey', precombineCol='update_ts')""")
+          s.sql("BEGIN TRANSACTION").collect()
+          s.sql(s"""INSERT INTO $cat.db.txn_a
+            SELECT n_nationkey + 1000, n_name || '_junk', n_regionkey, 1
+            FROM sql_nation_src""")
+          s.sql(s"""INSERT INTO $cat.db.txn_b
+            SELECT n_regionkey + 100, CAST(999 AS BIGINT), 1
+            FROM sql_nation_src GROUP BY n_regionkey""")
+          s.sql("ROLLBACK").collect()
+          s.sql("BEGIN").collect()
+          s.sql(s"""INSERT INTO $cat.db.txn_a
+            SELECT n_nationkey, n_name, n_regionkey, 2 FROM sql_nation_src""")
+          s.sql(s"""INSERT INTO $cat.db.txn_b
+            SELECT n_regionkey, count(*), 2
+            FROM sql_nation_src GROUP BY n_regionkey""")
+          s.sql("COMMIT").collect()
+          cat
+        })
+        s.sql(s"""SELECT a.n_nationkey AS k, a.n_name AS name,
+            b.region_n AS region_n
+          FROM $cat.db.txn_a a JOIN $cat.db.txn_b b
+            ON a.n_regionkey = b.n_regionkey
+          UNION ALL
+          SELECT -1 AS k, 'b_total' AS name,
+            (SELECT count(*) FROM $cat.db.txn_b) AS region_n
+          ORDER BY k, name""")
+      },
+      Some("""WITH r AS (SELECT n_regionkey, CAST(count(*) AS BIGINT) AS region_n
+          FROM nation GROUP BY n_regionkey)
+        SELECT n.n_nationkey AS k, n.n_name AS name, r.region_n
+        FROM nation n JOIN r ON n.n_regionkey = r.n_regionkey
+        UNION ALL
+        SELECT -1 AS k, 'b_total' AS name,
+          (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM nation) AS region_n
+        ORDER BY k, name""")),
 
     // ---- ANALYZE + cost-based join (r14) --------------------------------
     // both scans serve analyzed column stats (NDV/nulls/ranges) through

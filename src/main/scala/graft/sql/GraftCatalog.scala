@@ -933,7 +933,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
                 // WHERE predicate by bare name — pin those too (dim
                 // descriptors carry the registration, so a dim-side
                 // rename is guarded the same way)
-                Option(mv.dimJoins).getOrElse(Seq.empty).flatMap(_.usingCols) ++
+                Option(mv.dimJoins).getOrElse(Seq.empty)
+                  .flatMap(dj => dj.factKeysN ++ dj.dimKeysN) ++
                 Option(mv.filterSql).toSeq.flatMap(exprRefs)
             }
         }
@@ -1032,6 +1033,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             // files exist to backfill) — store it like CREATE TABLE does
             Option(c.defaultValue()).map(_.getSql)
               .filter(_ => c.fieldNames.length == 1).fold(added) { sql =>
+                lake.validateDefault(c.fieldNames.head, c.dataType, sql)
                 StructType(added.fields.map { f =>
                   if (f.name != c.fieldNames.head) f
                   else f.copy(metadata =
@@ -1061,6 +1063,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             val n = c.fieldNames.head
             require(s.fieldNames.contains(n), s"no column '$n'")
             val sql = Option(c.newDefaultValue()).map(_.trim).filter(_.nonEmpty)
+            // same "validated now, loudly" gate the post-first-commit
+            // path applies via setColumnDefault
+            sql.foreach(lake.validateDefault(n, s(n).dataType, _))
             StructType(s.fields.map { f =>
               if (f.name != n) f
               else {

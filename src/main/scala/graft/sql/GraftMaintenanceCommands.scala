@@ -36,7 +36,11 @@ private[sql] final case class GraftOptimizeCommand(
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType, nullable = false)(),
-    AttributeReference("commit", LongType, nullable = false)())
+    AttributeReference("commit", LongType, nullable = false)(),
+    AttributeReference("files_added", LongType, nullable = false)(),
+    AttributeReference("files_removed", LongType, nullable = false)(),
+    AttributeReference("bytes_added", LongType, nullable = false)(),
+    AttributeReference("bytes_removed", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = ViewResolution.graftCatalog(session, catName).getOrElse(
@@ -48,6 +52,10 @@ private[sql] final case class GraftOptimizeCommand(
         "relationName" -> s"`$catName`.`${(ns :+ name).mkString("`.`")}`")))
     val t = graft.lake.LakeTable(session, desc.config(root))
     val resolver = session.sessionState.conf.resolver
+    // pre-op state for result metrics: removed-file bytes come from the
+    // PRE-op live set (commit removes carry paths only) — metadata-only
+    val before = t.log.latestId.getOrElse(-1L)
+    val bytesByPath = t.log.liveFiles().map(f => f.path -> f.bytes).toMap
     if (zorderCols.nonEmpty) {
       val declared = t.config.clusterCols
       val matches = zorderCols.length == declared.length &&
@@ -76,7 +84,87 @@ private[sql] final case class GraftOptimizeCommand(
             "clustering rewrite's); plain OPTIMIZE bin-packs small files")
         ("compact_small", t.compactSmall())
       }
-    Seq(Row(op, cid))
+    // result metrics (the Delta OPTIMIZE-report role): the physical
+    // reorganization's own commit diff — zero row when nothing to do
+    val (fa, fr, ba, br) =
+      if (cid == before) (0L, 0L, 0L, 0L)
+      else t.log.commitIfExists(cid).map { c =>
+        (c.adds.size.toLong, c.removes.size.toLong,
+          c.adds.map(_.bytes).sum,
+          c.removes.flatMap(bytesByPath.get).sum)
+      }.getOrElse((0L, 0L, 0L, 0L))
+    Seq(Row(op, cid, fa, fr, ba, br))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — one metadata-only row summarizing the table's
+  * physical state (Delta's spelling): layout, live file/byte counts,
+  * deletion-vector load, timeline extent, declared clustering, stats
+  * and materialized-view freshness. Everything comes from the commit
+  * log and descriptors — NO data scan, so it is as cheap on 100 TB as
+  * on 100 rows. */
+private[sql] final case class GraftDescribeDetailCommand(
+    catName: String, ns: Seq[String], name: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("storage_type", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_delta_files", LongType, nullable = false)(),
+    AttributeReference("num_dv_files", LongType, nullable = false)(),
+    AttributeReference("dv_positions", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("head_commit", LongType, nullable = false)(),
+    AttributeReference("num_commits", LongType, nullable = false)(),
+    AttributeReference("cleaned_up_to", LongType, nullable = false)(),
+    AttributeReference("key_cols", StringType, nullable = false)(),
+    AttributeReference("partition_cols", StringType, nullable = false)(),
+    AttributeReference("cluster_cols", StringType, nullable = false)(),
+    AttributeReference("stats_commit", LongType, nullable = true)(),
+    AttributeReference("num_mat_views", LongType, nullable = false)(),
+    AttributeReference("stale_mat_views", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = ViewResolution.graftCatalog(session, catName).getOrElse(
+      throw new IllegalArgumentException(s"catalog $catName is not a graft catalog"))
+    val root = cat.tableRoot(ns, name)
+    val hconf = session.sparkContext.hadoopConfiguration
+    val desc = graft.lake.TableDescriptor.load(root, hconf).getOrElse(
+      throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map(
+        "relationName" -> s"`$catName`.`${(ns :+ name).mkString("`.`")}`")))
+    val t = graft.lake.LakeTable(session, desc.config(root))
+    val live = if (t.exists) t.log.liveFiles() else Seq.empty
+    val dvs = if (t.exists) t.log.liveDvs() else Seq.empty
+    val (base, deltas) = live.partition(!_.isDelta)
+    val head = t.log.latestId.getOrElse(-1L)
+    // exact row count from commit metadata via the strict prover behind
+    // the SQL COUNT pushdown (footer counts minus live DV positions);
+    // -1 when the proof needs a scan (pending MoR deltas, pre-upgrade
+    // footers) — DESCRIBE DETAIL never scans data
+    val rowsExact =
+      if (!t.exists) 0L else t.metadataRowCount().getOrElse(-1L)
+    val mvRoots = Option(desc.matViews).getOrElse(Seq.empty)
+    val mvStates = mvRoots.flatMap { r =>
+      for {
+        d <- graft.lake.TableDescriptor.load(r, hconf)
+        mv <- Option(d.matView)
+        if mv.source == root
+      } yield scala.util.Try(
+        graft.lake.MaterializedAgg.fromDescriptor(session, t, r, mv).fresh)
+        .getOrElse(false)
+    }
+    val stats = graft.lake.ColStats.load(root, hconf)
+    Seq(Row("graft", root, desc.storageType,
+      base.size.toLong, deltas.size.toLong, dvs.size.toLong,
+      dvs.map(_.rows).sum, live.map(_.bytes).sum, rowsExact,
+      head, t.log.commits.size.toLong, t.log.cleanedUpTo,
+      desc.keyCols.mkString(","), desc.partitionCols.mkString(","),
+      Option(desc.clusterCols).getOrElse(Seq.empty).mkString(","),
+      stats.map(s => java.lang.Long.valueOf(s.commit)).orNull,
+      mvStates.size.toLong, mvStates.count(!_).toLong))
   }
 }
 
@@ -111,6 +199,7 @@ private[sql] final case class GraftVacuumCommand(
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("cleaned_up_to", LongType, nullable = false)(),
+    AttributeReference("files_deleted", LongType, nullable = false)(),
     AttributeReference("orphans_removed", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -123,8 +212,8 @@ private[sql] final case class GraftVacuumCommand(
         "relationName" -> s"`$catName`.`${(ns :+ name).mkString("`.`")}`")))
     val t = graft.lake.LakeTable(session, desc.config(root))
     val ms = retainHours.getOrElse(168L) * 3600L * 1000L
-    t.cleanOlderThan(ms)
+    val deleted = t.cleanOlderThan(ms)
     val orphans = t.vacuumOrphans(ms)
-    Seq(Row(t.log.cleanedUpTo, orphans.size.toLong))
+    Seq(Row(t.log.cleanedUpTo, deleted.toLong, orphans.size.toLong))
   }
 }

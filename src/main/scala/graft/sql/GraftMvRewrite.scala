@@ -55,12 +55,12 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** the matched subtree: filter conjuncts, the FACT relation, the
-    * star-schema joins (dim table, same-named join columns), and the
+    * star-schema joins (dim table, fact/dim key pairs, LEFT?), and the
     * combined relation outputs stored expressions resolve against */
   private case class Unwrapped(
       cond: Option[Expression],
       fact: GraftTableV2,
-      joins: Seq[(GraftTableV2, Seq[String])],
+      joins: Seq[(GraftTableV2, Seq[(String, String)], Boolean)],
       outputs: Seq[Attribute])
 
   private def asGraft(p: LogicalPlan): Option[(GraftTableV2, Seq[Attribute])] =
@@ -72,21 +72,22 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => None
     }
 
-  /** extract USING-style columns from an inner equi-join condition —
-    * None when any conjunct isn't a same-named two-sided equality */
-  private def usingColsOf(cond: Option[Expression],
-      l: LogicalPlan, r: LogicalPlan): Option[Seq[String]] =
+  /** extract (fact-side, dim-side) key pairs from an equi-join
+    * condition — None when any conjunct isn't a two-sided equality of
+    * plain columns */
+  private def keyPairsOf(cond: Option[Expression],
+      l: LogicalPlan, r: LogicalPlan): Option[Seq[(String, String)]] =
     cond.map(splitConjunctivePredicates).flatMap { conjs =>
-      val cols = conjs.map {
+      val pairs = conjs.map {
         case EqualTo(a: AttributeReference, b: AttributeReference) =>
-          val pair =
-            if (l.outputSet.contains(a) && r.outputSet.contains(b)) Some((a, b))
-            else if (l.outputSet.contains(b) && r.outputSet.contains(a)) Some((b, a))
-            else None
-          pair.filter(p => conf.resolver(p._1.name, p._2.name)).map(_._1.name)
+          if (l.outputSet.contains(a) && r.outputSet.contains(b))
+            Some((a.name, b.name))
+          else if (l.outputSet.contains(b) && r.outputSet.contains(a))
+            Some((b.name, a.name))
+          else None
         case _ => None
       }
-      if (cols.forall(_.isDefined)) Some(cols.flatten) else None
+      if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
     }
 
   /** Aggregate [→ Project(attrs)] [→ Filter] → left-deep inner
@@ -101,33 +102,37 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         Some(u.copy(cond = Some(u.cond.map(And(_, cond)).getOrElse(cond))))
       case None => None
     }
-    case Join(l, r, Inner, cond, _) =>
+    case Join(l, r, jt, cond, _)
+        if jt == Inner || jt == org.apache.spark.sql.catalyst.plans.LeftOuter =>
       for {
         u <- unwrap(l)
         // a filter BETWEEN joins restricts the join input in ways the
         // top-level conjunct matcher can't see — bail to the base plan
         if u.cond.isEmpty
         (dim, dimOut) <- asGraft(r)
-        cols <- usingColsOf(cond, l, r)
-      } yield u.copy(joins = u.joins :+ ((dim, cols)),
+        pairs <- keyPairsOf(cond, l, r)
+      } yield u.copy(joins = u.joins :+ ((dim, pairs, jt != Inner)),
         outputs = u.outputs ++ dimOut)
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
       Some(Unwrapped(None, r.table.asInstanceOf[GraftTableV2], Seq.empty, r.output))
     case _ => None
   }
 
-  /** the query's join set must equal the MV's (root + using columns,
-    * order-free), every dim live (no pin, no `.ro`) */
+  /** the query's join set must equal the MV's (root + key pairs + join
+    * type, order-free), every dim live (no pin, no `.ro`) */
   private def joinsMatch(mv: MatViewDescriptor,
-      qjoins: Seq[(GraftTableV2, Seq[String])]): Boolean = {
+      qjoins: Seq[(GraftTableV2, Seq[(String, String)], Boolean)]): Boolean = {
     val want = Option(mv.dimJoins).getOrElse(Seq.empty)
-      .map(dj => (dj.root, dj.usingCols.map(_.toLowerCase).toSet))
+      .map(dj => (dj.root,
+        dj.factKeysN.map(_.toLowerCase).zip(dj.dimKeysN.map(_.toLowerCase)).toSet,
+        dj.leftOuter))
       .sortBy(_._1)
     val got = qjoins
-      .map { case (t, cols) => (t.tableRoot, cols.map(_.toLowerCase).toSet) }
+      .map { case (t, pairs, lo) => (t.tableRoot,
+        pairs.map { case (f, d) => (f.toLowerCase, d.toLowerCase) }.toSet, lo) }
       .sortBy(_._1)
     want == got &&
-      qjoins.forall { case (t, _) => t.pinnedAsOf.isEmpty && !t.isReadOptimized }
+      qjoins.forall { case (t, _, _) => t.pinnedAsOf.isEmpty && !t.isReadOptimized }
   }
 
   private def tryRewrite(
@@ -260,15 +265,19 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => return None
     }
 
-    // freshness: the MV must reflect EXACTLY the fact head AND every
-    // dim's current head — checked last because it costs metadata IO
-    // (marker read + head listings)
+    // freshness: the MV must reflect the fact head — exactly by
+    // default, or within its DECLARED staleness bound (`maxStaleness`
+    // MVs serve answers pinned to the applied snapshot while the head
+    // is ≤ N commits past it; a live trickle-written fact then keeps
+    // answering from the MV between maintenance refreshes instead of
+    // silently full-scanning). Dims must be unmoved either way. Checked
+    // last because it costs metadata IO (marker read + head listings).
     val source = table.lake
     if (source.log.latestId.isEmpty) return None
     // a vanished dim (dropped table) must fall back, not fail the query
     val agg = Try(MaterializedAgg.fromDescriptor(spark, source, mvRoot, mv))
       .toOption.getOrElse(return None)
-    if (!agg.fresh) return None
+    if (!agg.freshWithin(mv.maxStalenessCommits)) return None
 
     // splice the MV read as an analyzed subtree (aliases stripped — the
     // Finish-Analysis batch already ran) and re-aggregate on it

@@ -46,8 +46,20 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)^\\s*VACUUM\\s+([\\w.`]+)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$".r
   private val RestoreRe =
     "(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?([\\w.`]+)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$".r
+  // multi-table transactions (lake/Txn.scala) — Spark's grammar has no
+  // BEGIN/COMMIT/ROLLBACK statements (all ParseException), so the
+  // fallback owns the spellings; session-scoped, see GraftTxnCommands
+  private val BeginRe =
+    "(?is)^\\s*BEGIN(?:\\s+TRANSACTION|\\s+TRAN|\\s+WORK)?\\s*;?\\s*$".r
+  private val CommitRe =
+    "(?is)^\\s*COMMIT(?:\\s+TRANSACTION|\\s+TRAN|\\s+WORK)?\\s*;?\\s*$".r
+  private val RollbackRe =
+    "(?is)^\\s*ROLLBACK(?:\\s+TRANSACTION|\\s+TRAN|\\s+WORK)?\\s*;?\\s*$".r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
+    case BeginRe() => Some(GraftBeginTxnCommand())
+    case CommitRe() => Some(GraftCommitTxnCommand())
+    case RollbackRe() => Some(GraftRollbackTxnCommand())
     case RestoreRe(ident, version) =>
       val parts = delegate.parseMultipartIdentifier(ident)
       ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>
@@ -117,6 +129,22 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // catalog — claim them exactly when the name resolves to a stored
     // graft view (tables pass through untouched; the existence check is
     // one fs probe and only runs for these three statement shapes)
+    // `DESCRIBE DETAIL t` has no Spark grammar of its own — it parses
+    // as DescribeColumn(table `detail`, column <t>). Claim that shape
+    // exactly when the "column" resolves to a graft TABLE (a real
+    // `DESCRIBE tbl col` never matches: its table isn't named detail)
+    case dc @ DescribeColumn(UnresolvedTableOrView(Seq(d), _, _), col, _, _)
+        if d.equalsIgnoreCase("detail") =>
+      val parts = col match {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts
+        case _ => Seq.empty
+      }
+      storedTable(parts) match {
+        case Some((cat, ns, name)) =>
+          GraftDescribeDetailCommand(cat.name, ns, name)
+        case None => dc
+      }
     case dr @ DescribeRelation(UnresolvedTableOrView(parts, _, _), _, isExtended, output) =>
       storedView(parts) match {
         case Some((cat, ns, name)) =>

@@ -66,7 +66,19 @@ final class GraftTableV2(
     true
   }
 
-  private[sql] lazy val lake: LakeTable = LakeTable(spark, desc.config(root))
+  /** The engine handle every read/write of this catalog table delegates
+    * to. While the SESSION has an open SQL transaction (`BEGIN` —
+    * [[GraftSessionTxn]]), live-table statements resolve to the
+    * transaction's STAGED handle instead: writes land invisible until
+    * COMMIT, in-session reads fold the transaction's own staged commits
+    * (read-your-writes). Time-travel and `.ro` reads stay unstaged — a
+    * pinned snapshot is published state by definition. */
+  private[sql] lazy val lake: LakeTable =
+    GraftSessionTxn.current(spark) match {
+      case Some(txn) if asOf.isEmpty && !readOptimized =>
+        txn.table(desc.config(root))
+      case _ => LakeTable(spark, desc.config(root))
+    }
 
   // introspection for the MV rewrite rule ([[GraftMvRewrite]]): which
   // physical table this relation reads, at which pin, and its

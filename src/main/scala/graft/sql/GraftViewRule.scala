@@ -45,7 +45,7 @@ final case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case ResolvedIdentifier(cat: GraftCatalog, ident) =>
           GraftCreateMatViewCommand(cat.name,
             ident.namespace.toSeq, ident.name, c.query,
-            c.originalText, c.ifNotExists)
+            c.originalText, c.ifNotExists, c.tableSpec.properties)
         case _ => c
       }
   }
@@ -118,12 +118,23 @@ final case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
   */
 private[sql] final case class GraftCreateMatViewCommand(
     catName: String, ns: Seq[String], name: String,
-    query: LogicalPlan, originalText: String, ifNotExists: Boolean)
+    query: LogicalPlan, originalText: String, ifNotExists: Boolean,
+    properties: Map[String, String] = Map.empty)
   extends LeafRunnableCommand with PredicateHelper {
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = ViewResolution.graftCatalog(session, catName).getOrElse(
       throw new IllegalArgumentException(s"catalog $catName is not a graft catalog"))
+    // TBLPROPERTIES: declared bounded staleness only — an unknown
+    // property must fail loudly, not be silently dropped
+    val maxStaleness = properties.get("maxStaleness").map { v =>
+      v.toIntOption.filter(_ >= 0).getOrElse(throw new IllegalArgumentException(
+        s"maxStaleness must be a non-negative commit count, got '$v'"))
+    }.getOrElse(0)
+    val unknown = properties.keySet - "maxStaleness"
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"unsupported materialized-view TBLPROPERTIES: ${unknown.mkString(", ")}" +
+        " (supported: maxStaleness — rewrite-eligible commit lag)")
     val hconf = session.sparkContext.hadoopConfiguration
     val ident = org.apache.spark.sql.connector.catalog.Identifier
       .of(ns.toArray, name)
@@ -136,8 +147,8 @@ private[sql] final case class GraftCreateMatViewCommand(
 
     def fail(why: String): Nothing = throw new UnsupportedOperationException(
       s"CREATE MATERIALIZED VIEW supports a GROUP-BY aggregate over one " +
-        "graft fact table, optionally inner-equi-joined to graft dimension " +
-        s"tables on same-named keys (count(*) / integer sum / min / max); $why")
+        "graft fact table, optionally equi-joined (INNER or LEFT OUTER) to " +
+        s"graft dimension tables (count(*) / integer sum / min / max); $why")
 
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, c) => strip(c)
@@ -183,8 +194,8 @@ private[sql] final case class GraftCreateMatViewCommand(
         fail(s"every join input must be a graft table scan, got ${other.nodeName}")
     }
     val resolver = session.sessionState.conf.resolver
-    def usingColsOf(cond: Option[Expression],
-        left: LogicalPlan, right: LogicalPlan): Seq[String] =
+    def keyPairsOf(cond: Option[Expression],
+        left: LogicalPlan, right: LogicalPlan): Seq[(String, String)] =
       cond.map(splitConjunctivePredicates).getOrElse(
         fail("JOIN needs an equi ON/USING condition")).map {
         case EqualTo(x: AttributeReference, y: AttributeReference) =>
@@ -192,22 +203,25 @@ private[sql] final case class GraftCreateMatViewCommand(
             if (left.outputSet.contains(x) && right.outputSet.contains(y)) (x, y)
             else if (left.outputSet.contains(y) && right.outputSet.contains(x)) (y, x)
             else fail(s"join condition must compare the two sides: ${x.sql} = ${y.sql}")
-          if (!resolver(l.name, r.name))
-            fail("join keys must share a name (USING semantics), got " +
-              s"${l.name} = ${r.name}")
-          l.name
+          (l.name, r.name)
         case other =>
           fail(s"only equi-joins on plain columns are supported, got ${other.sql}")
       }
-    def flatten(p: LogicalPlan)
-        : (GraftTableV2, Seq[(GraftTableV2, Seq[String], Seq[String])]) =
+    /** per dim: relation, fact-side keys, dim-side keys, LEFT?, dim
+      * output attributes (for side-resolution checks) */
+    def flatten(p: LogicalPlan): (GraftTableV2,
+        Seq[(GraftTableV2, Seq[String], Seq[String], Boolean,
+          Seq[org.apache.spark.sql.catalyst.expressions.Attribute])]) =
       stripJ(p) match {
-        case Join(l, r, Inner, cond, _) =>
+        case Join(l, r, jt, cond, _)
+            if jt == Inner || jt == org.apache.spark.sql.catalyst.plans.LeftOuter =>
           val (fact, ds) = flatten(l)
           val dim = relOf(r)
-          val cols = usingColsOf(cond, l, r)
-          (fact, ds :+ ((dim, cols, stripJ(r).output.map(_.name))))
-        case j: Join => fail(s"only INNER joins are supported, got ${j.joinType}")
+          val pairs = keyPairsOf(cond, l, r)
+          (fact, ds :+ ((dim, pairs.map(_._1), pairs.map(_._2),
+            jt != Inner, stripJ(r).output)))
+        case j: Join =>
+          fail(s"only INNER and LEFT OUTER joins are supported, got ${j.joinType}")
         case other => (relOf(other), Seq.empty)
       }
     val (table, dimRels) = flatten(base)
@@ -265,27 +279,53 @@ private[sql] final case class GraftCreateMatViewCommand(
     // maintenance frame and stored expression text resolve by bare name.
     // UNREFERENCED shared names (precombine timestamps etc.) are fine:
     // maintenance projects each dim to its keys + referenced columns.
+    // Same-named join keys are exempt ONLY under the USING collapse
+    // (one surviving column) — see the LEFT-join guard below.
     val referenced = (dims ++
       aggExprs.flatMap(_.references.map(_.name)) ++
       filterCond.toSeq.flatMap(_.references.map(_.name)))
       .map(_.toLowerCase).toSet
+    val referencedAttrs: Seq[AttributeReference] = (groupings ++
+      aggExprs.flatMap(_.references) ++ filterCond.toSeq.flatMap(_.references))
+      .collect { case a: AttributeReference => a }
     var seenKept = factNames(base)
-    dimRels.foreach { case (_, cols, dimNames) =>
-      val lcCols = cols.map(_.toLowerCase).toSet
+    dimRels.foreach { case (_, fks, dks, leftOuter, dimOut) =>
+      val sameNamed = fks.zip(dks)
+        .filter { case (f, d) => resolver(f, d) }.map(_._2.toLowerCase).toSet
+      val lcDks = dks.map(_.toLowerCase).toSet
+      // under a LEFT join the two sides of a same-named key DIVERGE
+      // (fact value vs null-extension): a reference that resolves to
+      // the DIM side of such a key cannot be expressed by bare name in
+      // the maintenance frame — refuse with guidance. INNER keys are
+      // value-equal, so either side is fine.
+      if (leftOuter) {
+        val dimOutSet = org.apache.spark.sql.catalyst.expressions
+          .AttributeSet(dimOut)
+        val bad = referencedAttrs.filter(a =>
+          dimOutSet.contains(a) && sameNamed.contains(a.name.toLowerCase))
+        if (bad.nonEmpty)
+          fail("a LEFT JOIN's dim-side key shares its name with the fact " +
+            s"key (${bad.map(_.name).distinct.mkString(", ")}); reference " +
+            "the fact-side key instead, or rename the dim key")
+      }
+      // ON-style dim keys that are REFERENCED act like ordinary dim
+      // columns (they survive the join): a same name on the fact side
+      // is ambiguous unless it's a USING-collapsed pair
       val ambiguous =
-        (dimNames.map(_.toLowerCase).toSet & seenKept) -- lcCols & referenced
+        (dimOut.map(_.name.toLowerCase).toSet & seenKept) -- sameNamed & referenced
       if (ambiguous.nonEmpty)
         fail("referenced column names present on both sides of a join " +
           s"are ambiguous: ${ambiguous.mkString(", ")} — rename the dim columns")
-      seenKept = seenKept ++ lcCols ++
-        (dimNames.map(_.toLowerCase).toSet & referenced)
+      seenKept = seenKept ++ lcDks ++
+        (dimOut.map(_.name.toLowerCase).toSet & referenced)
     }
 
     val mvRoot = ViewStore.dir(cat.warehousePath, ns).getParent
       .toString + "/" + name
     val source = table.lake
     val filterSql = filterCond.map(exprSql)
-    val dimJoins = dimRels.map { case (d, cols, _) => (d.lake, cols) }
+    val dimJoins = dimRels.map { case (d, fks, dks, lo, _) =>
+      graft.lake.DimSide(d.lake, fks, dks, lo) }
     val mv = new MaterializedAgg(session, source, mvRoot, dims,
       sums, mins, maxs, countCol, filterSql, dimJoins)
     mv.refresh()
@@ -298,7 +338,17 @@ private[sql] final case class GraftCreateMatViewCommand(
     // refresh/rewrite (mv.source != dim root)
     val mvDef = MatViewDescriptor(source.config.root, dims, sums, mins,
       maxs, countCol, countExposed, originalText, filterSql.orNull,
-      dimRels.map { case (d, cols, _) => graft.lake.DimJoin(d.tableRoot, cols) })
+      dimRels.map { case (d, fks, dks, lo, _) =>
+        // same-named inner pairs keep the legacy usingCols spelling
+        // (older readers still understand the descriptor); anything
+        // else persists the explicit key pairs + join type
+        val sameNamedInner = !lo &&
+          fks.zip(dks).forall { case (f, k) => resolver(f, k) }
+        if (sameNamedInner) graft.lake.DimJoin(d.tableRoot, fks)
+        else graft.lake.DimJoin(d.tableRoot, null, fks, dks,
+          if (lo) "left" else "inner")
+      },
+      maxStalenessCommits = maxStaleness)
     val mvDesc = TableDescriptor.fromConfig(mv.table.config)
       .copy(matView = mvDef)
     TableDescriptor.save(mvRoot, mvDesc, hconf)

@@ -119,4 +119,30 @@ class ColumnDefaultsSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       "ALTER TABLE dft.db.t3 ALTER COLUMN s.f SET DEFAULT 1"))
   }
+
+  test("non-constant defaults are rejected at ALTER time, not insert time") {
+    wh
+    spark.sql("""CREATE TABLE dft.db.t4 (pk BIGINT, ts INT, c DOUBLE)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    // nondeterministic: a CAST-probe would happily evaluate rand() once,
+    // then every INSERT would mint a DIFFERENT value — must refuse now
+    intercept[Exception](spark.sql(
+      "ALTER TABLE dft.db.t4 ALTER COLUMN c SET DEFAULT rand()"))
+    // per-statement value: evaluates, but varies per INSERT — refuse
+    intercept[Exception](spark.sql(
+      "ALTER TABLE dft.db.t4 ALTER COLUMN c SET DEFAULT " +
+        "CAST(unix_timestamp(current_timestamp()) AS DOUBLE)"))
+    // scalar subquery: evaluates at probe time, unresolvable at INSERT
+    // analysis — refuse
+    intercept[Exception](spark.sql(
+      "ALTER TABLE dft.db.t4 ALTER COLUMN c SET DEFAULT (SELECT 1.0)"))
+    // same gate on ADD COLUMN
+    intercept[Exception](spark.sql(
+      "ALTER TABLE dft.db.t4 ADD COLUMN bad DOUBLE DEFAULT rand()"))
+    // constant expressions (including foldable function composition)
+    // still pass
+    spark.sql("ALTER TABLE dft.db.t4 ALTER COLUMN c SET DEFAULT 1.5 + 2.5")
+    spark.sql("INSERT INTO dft.db.t4 (pk, ts) VALUES (1, 0)")
+    assert(spark.sql("SELECT c FROM dft.db.t4").collect()(0).getDouble(0) == 4.0)
+  }
 }

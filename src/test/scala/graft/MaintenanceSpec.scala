@@ -270,6 +270,56 @@ class MaintenanceSpec extends AnyFunSuite {
       .exists(_._1 == "analyze"))
   }
 
+  test("a broken MV (vanished dim descriptor) is skipped, never fatal to the round") {
+    import spark.implicits._
+    import graft.lake.{MaterializedAgg, TableDescriptor}
+    val factRoot = freshRoot()
+    val fact = LakeTable(spark, LakeTableConfig(factRoot,
+      keyCols = Seq("pk"), precombineCol = "ts"))
+    val dimRoot = freshRoot()
+    val dim = LakeTable(spark, LakeTableConfig(dimRoot,
+      keyCols = Seq("k"), precombineCol = "ts"))
+    dim.bulkInsert(Seq((1, "a", 0)).toDF("k", "grp", "ts"))
+    fact.bulkInsert(Seq((1L, 1, 10L, 0)).toDF("pk", "k", "v", "ts"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val mvRoot = factRoot + "_mv"
+    val agg = new MaterializedAgg(spark, fact, mvRoot,
+      dims = Seq("grp"), sums = Map.empty, dimJoins = Seq(graft.lake.DimSide.using(dim, Seq("k"))))
+    agg.refresh()
+    TableDescriptor.save(dimRoot, TableDescriptor.fromConfig(dim.config), hconf)
+    TableDescriptor.save(mvRoot,
+      TableDescriptor.fromConfig(agg.table.config).copy(
+        matView = graft.lake.MatViewDescriptor(factRoot, Seq("grp"),
+          dimJoins = Seq(graft.lake.DimJoin(dimRoot, Seq("k"))))), hconf)
+    // a SECOND, healthy single-table MV on the same fact — the broken
+    // one must not stop it from being serviced
+    val mv2Root = factRoot + "_mv2"
+    val agg2 = new MaterializedAgg(spark, fact, mv2Root,
+      dims = Seq("k"), sums = Map.empty)
+    agg2.refresh()
+    TableDescriptor.save(mv2Root,
+      TableDescriptor.fromConfig(agg2.table.config).copy(
+        matView = graft.lake.MatViewDescriptor(factRoot, Seq("k"))), hconf)
+    TableDescriptor.save(factRoot,
+      TableDescriptor.fromConfig(fact.config)
+        .copy(matViews = Seq(mvRoot, mv2Root)), hconf)
+
+    // the dim table's descriptor vanishes (dropped out-of-band); the
+    // fact moves so both MVs are stale
+    val fs = new org.apache.hadoop.fs.Path(dimRoot).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(dimRoot, "_log/_table.json"), false)
+    fact.upsert(Seq((2L, 1, 5L, 1)).toDF("pk", "k", "v", "ts"))
+
+    val acts = Maintenance.run(fact, Maintenance.Policy(refreshMvAfter = 1))
+    val broken = acts.find(_._1 == s"refresh_mv:${mvRoot.split('/').last}")
+    assert(broken.exists(_._2.startsWith("skipped")),
+      s"the broken MV must be reported as a skip, got $acts")
+    val healthy = acts.find(_._1 == s"refresh_mv:${mv2Root.split('/').last}")
+    assert(healthy.exists(!_._2.startsWith("skipped")),
+      s"the healthy MV must still be serviced, got $acts")
+    assert(agg2.applied == fact.log.latestId)
+  }
+
   test("a moved dim triggers refresh_mv regardless of the fact-lag threshold") {
     import spark.implicits._
     import graft.lake.{MaterializedAgg, TableDescriptor}
@@ -284,7 +334,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val mvRoot = factRoot + "_mv"
     val agg = new MaterializedAgg(spark, fact, mvRoot,
       dims = Seq("grp"), sums = Map.empty,
-      dimJoins = Seq((dim, Seq("k"))))
+      dimJoins = Seq(graft.lake.DimSide.using(dim, Seq("k"))))
     agg.refresh()
     val hconf = spark.sparkContext.hadoopConfiguration
     // catalog flows persist descriptors at CREATE; the direct-API

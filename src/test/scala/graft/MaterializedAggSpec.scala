@@ -54,7 +54,7 @@ class MaterializedAggSpec extends AnyFunSuite {
       (4L, 9, 99L, 0)).toDF("pk", "k", "v", "ts")) // k=9: no dim row
     val m = new MaterializedAgg(spark, fact, tmp() + "/agg",
       dims = Seq("grp"), sums = Map("v_sum" -> "v"),
-      dimJoins = Seq((dim, Seq("k"))))
+      dimJoins = Seq(graft.lake.DimSide.using(dim, Seq("k"))))
     def directJoin(): Set[(String, Long, Long)] =
       fact.read().join(dim.read().select("k", "grp"), Seq("k"), "inner")
         .groupBy($"grp")
@@ -82,6 +82,53 @@ class MaterializedAggSpec extends AnyFunSuite {
     // idempotent: nothing moved, refresh is a no-op and stays fresh
     m.refresh()
     assert(got(m) == directJoin())
+  }
+
+  test("ON-keyed and LEFT OUTER dim joins: incremental equals direct, null-extension kept") {
+    import spark.implicits._
+    val fact = LakeTable(spark, LakeTableConfig(
+      tmp() + "/fact", keyCols = Seq("pk"), precombineCol = "ts"))
+    val dim = LakeTable(spark, LakeTableConfig(
+      tmp() + "/dim", keyCols = Seq("id"), precombineCol = "ts"))
+    dim.bulkInsert(Seq((1, "a", 0), (2, "b", 0)).toDF("id", "grp", "ts"))
+    // k=9 has NO dim row: inner drops it, left null-extends it
+    fact.bulkInsert(Seq((1L, 1, 10L, 0), (2L, 1, 5L, 0), (3L, 2, 7L, 0),
+      (4L, 9, 99L, 0)).toDF("pk", "k", "v", "ts"))
+    def directJoin(jt: String): Set[(String, Long, Long)] =
+      fact.read().as("f")
+        .join(dim.read().select("id", "grp").as("d"), $"f.k" === $"d.id", jt)
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n_rows"), sum($"v").as("v_sum"))
+        .as[(String, Long, Long)].collect().toSet
+    val inner = new MaterializedAgg(spark, fact, tmp() + "/agg_i",
+      dims = Seq("grp"), sums = Map("v_sum" -> "v"),
+      dimJoins = Seq(graft.lake.DimSide(dim, Seq("k"), Seq("id"))))
+    val left = new MaterializedAgg(spark, fact, tmp() + "/agg_l",
+      dims = Seq("grp"), sums = Map("v_sum" -> "v"),
+      dimJoins = Seq(graft.lake.DimSide(dim, Seq("k"), Seq("id"),
+        leftOuter = true)))
+    inner.refresh(); left.refresh()
+    assert(got(inner) == directJoin("inner") &&
+      got(inner) == Set(("a", 2L, 15L), ("b", 1L, 7L)))
+    assert(got(left) == directJoin("left_outer"),
+      "LEFT must null-extend the unmatched fact row")
+    assert(got(left).exists(r => r._1 == null && r._2 == 1L && r._3 == 99L))
+
+    // fact-only movement refreshes INCREMENTALLY through both shapes:
+    // an update that flips a row's dim membership AND a brand-new
+    // unmatched row (exercises null-group retraction/accumulation)
+    fact.upsert(Seq((1L, 2, 20L, 1), (5L, 8, 3L, 1)).toDF("pk", "k", "v", "ts"))
+    inner.refresh(); left.refresh()
+    assert(got(inner) == directJoin("inner"))
+    assert(got(left) == directJoin("left_outer"))
+    assert(inner.fresh && left.fresh)
+
+    // a dim move still forces the full rebuild (same law as USING joins)
+    dim.upsert(Seq((9, "c", 1)).toDF("id", "grp", "ts"))
+    assert(!inner.fresh && !left.fresh)
+    inner.refresh(); left.refresh()
+    assert(got(inner) == directJoin("inner"))
+    assert(got(left) == directJoin("left_outer"))
   }
 
   test("aggregate equals direct recomputation after every refresh step") {
@@ -138,6 +185,39 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(nullRow == Seq((3L, 112L)),
       "null-dim delta must merge into the existing group")
     assert(got(m) == direct(t))
+  }
+
+  test("pre-upgrade aggregate without non-null-count columns rebuilds once, then increments") {
+    import spark.implicits._
+    val t = LakeTable(spark, LakeTableConfig(
+      tmp() + "/src", keyCols = Seq("pk"), precombineCol = "ts"))
+    t.bulkInsert(df((1L, "a", 10, 0), (2L, "a", 5, 0), (3L, "b", 7, 0)))
+    // simulate an MV built BEFORE per-sum non-null counts existed: the
+    // aggregate table carries (dim, n_rows, v_sum, _src_commit) only —
+    // today's incremental merge assigns __nn_v_sum, which mergeOnce
+    // would refuse against this schema
+    val aggRoot = tmp() + "/agg"
+    val legacy = LakeTable(spark, LakeTableConfig(
+      aggRoot, keyCols = Seq("dim"), precombineCol = "_src_commit"))
+    legacy.bulkInsert(t.read().groupBy($"dim")
+      .agg(count(lit(1)).as("n_rows"), sum($"v").as("v_sum"))
+      .withColumn("_src_commit", lit(0L)))
+    val m = new MaterializedAgg(spark, t, aggRoot,
+      dims = Seq("dim"), sums = Map("v_sum" -> "v"))
+    assert(m.applied.contains(0L))
+    // the source moves: refresh must not throw — it detects the missing
+    // columns and full-rebuilds (minting them), instead of failing every
+    // future refresh of a pre-upgrade MV
+    t.upsert(df((1L, "a", 20, 1), (4L, "c", 2, 1)))
+    m.refresh()
+    assert(got(m) == direct(t), "post-upgrade rebuild")
+    assert(m.table.read().columns.contains(MaterializedAgg.nnCol("v_sum")),
+      "the rebuild must mint the non-null-count columns")
+    // and the NEXT refresh takes the ordinary incremental merge
+    t.upsert(df((5L, "b", 3, 2)))
+    m.refresh()
+    assert(got(m) == direct(t), "incremental after upgrade")
+    assert(m.applied.contains(2L))
   }
 
   test("recovery survives a delete-only refresh whose marker write was lost") {

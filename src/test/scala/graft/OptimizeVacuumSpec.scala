@@ -116,7 +116,9 @@ class OptimizeVacuumSpec extends AnyFunSuite {
 
     val out = spark.sql("VACUUM ov.db.v RETAIN 0 HOURS").collect().head
     assert(out.getLong(0) > 0, "retention must advance the clean horizon")
-    assert(out.getLong(1) >= 1, "the planted orphan must be swept")
+    assert(out.getLong(1) >= 1,
+      "superseded data files must be physically deleted and counted")
+    assert(out.getLong(2) >= 1, "the planted orphan must be swept")
     assert(!fs.exists(orphan))
     assert(spark.sql("SELECT v FROM ov.db.v ORDER BY pk").collect()
       .map(_.getString(0)).toSeq == Seq("a2", "b"))
@@ -141,6 +143,76 @@ class OptimizeVacuumSpec extends AnyFunSuite {
     // writes resume past the restore point
     spark.sql("INSERT INTO ov.db.r VALUES (3, 0, 'c')")
     assert(spark.sql("SELECT count(*) FROM ov.db.r").collect().head.getLong(0) == 2)
+  }
+
+  test("OPTIMIZE result metrics match the commit's own history delta") {
+    wh
+    spark.sql("""CREATE TABLE ov.db.met (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+        storageType='mor')""")
+    spark.sql("INSERT INTO ov.db.met VALUES (1, 0, 'a'), (2, 0, 'b')")
+    spark.sql("INSERT INTO ov.db.met VALUES (1, 1, 'a2')")
+    val t = graft.lake.LakeTable(spark, graft.lake.TableDescriptor
+      .load(s"$wh/db/met", spark.sparkContext.hadoopConfiguration).get
+      .config(s"$wh/db/met"))
+    val liveBytes = t.log.liveFiles().map(f => f.path -> f.bytes).toMap
+    val out = spark.sql("OPTIMIZE ov.db.met").collect().head
+    val cid = out.getLong(1)
+    val commit = t.log.commitIfExists(cid).get
+    assert(out.getLong(2) == commit.adds.size.toLong, "files_added")
+    assert(out.getLong(3) == commit.removes.size.toLong, "files_removed")
+    assert(out.getLong(2) > 0 && out.getLong(3) > 0,
+      "a compaction with pending deltas must report work")
+    assert(out.getLong(4) == commit.adds.map(_.bytes).sum, "bytes_added")
+    assert(out.getLong(5) == commit.removes.flatMap(liveBytes.get).sum,
+      "bytes_removed")
+    // a second OPTIMIZE has nothing to do: zero metrics, same head
+    val quiet = spark.sql("OPTIMIZE ov.db.met").collect().head
+    assert(quiet.getLong(1) == t.log.latestId.get)
+    assert((2 to 5).forall(i => quiet.getLong(i) == 0L),
+      s"no-op OPTIMIZE must report zeros, got $quiet")
+  }
+
+  test("DESCRIBE DETAIL summarizes physical state without scanning data") {
+    wh
+    spark.sql("""CREATE TABLE ov.db.dd (pk BIGINT, ts INT, part INT, v STRING)
+      USING graft PARTITIONED BY (part)
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO ov.db.dd VALUES (1, 0, 1, 'a'), (2, 0, 2, 'b')")
+    spark.sql("INSERT INTO ov.db.dd VALUES (3, 0, 1, 'c')")
+    val row = spark.sql("DESCRIBE DETAIL ov.db.dd").collect().head
+    val cols = spark.sql("DESCRIBE DETAIL ov.db.dd").columns.toSeq
+    def f[T](n: String): T =
+      row.get(cols.indexOf(n)).asInstanceOf[T]
+    assert(f[String]("format") == "graft")
+    assert(f[String]("location").endsWith("db/dd"))
+    assert(f[String]("storage_type") == "cow")
+    val t = graft.lake.LakeTable(spark, graft.lake.TableDescriptor
+      .load(s"$wh/db/dd", spark.sparkContext.hadoopConfiguration).get
+      .config(s"$wh/db/dd"))
+    assert(f[Long]("num_files") == t.log.liveFiles().count(!_.isDelta).toLong)
+    assert(f[Long]("size_bytes") == t.log.liveFiles().map(_.bytes).sum)
+    assert(f[Long]("num_rows") == 3L, "metadata-exact row count")
+    assert(f[Long]("head_commit") == t.log.latestId.get)
+    assert(f[String]("key_cols") == "pk")
+    assert(f[String]("partition_cols") == "part")
+    assert(row.isNullAt(cols.indexOf("stats_commit")), "never analyzed")
+    spark.sql("CALL ov.system.analyze('db.dd')").collect()
+    val row2 = spark.sql("DESCRIBE DETAIL ov.db.dd").collect().head
+    assert(row2.getLong(cols.indexOf("stats_commit")) == t.log.latestId.get)
+    // a DV'd table reports its deletion-vector load
+    spark.sql("""CREATE TABLE ov.db.ddv (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+        deleteMode='dv')""")
+    spark.sql("INSERT INTO ov.db.ddv VALUES (1, 0, 'a'), (2, 0, 'b'), (3, 0, 'c')")
+    spark.sql("DELETE FROM ov.db.ddv WHERE pk = 2")
+    val dv = spark.sql("DESCRIBE DETAIL ov.db.ddv").collect().head
+    assert(dv.getLong(cols.indexOf("num_dv_files")) == 1L)
+    assert(dv.getLong(cols.indexOf("dv_positions")) == 1L)
+    assert(dv.getLong(cols.indexOf("num_rows")) == 2L,
+      "exact count must subtract live DV positions")
+    // ordinary DESCRIBE col syntax keeps Spark's behavior
+    assert(spark.sql("DESCRIBE ov.db.dd pk").collect().nonEmpty)
   }
 
   test("non-graft identifiers and plain syntax errors keep Spark's error") {

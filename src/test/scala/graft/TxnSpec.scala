@@ -148,6 +148,53 @@ class TxnSpec extends AnyFunSuite {
     assert(rows(a) == Set((1L, "a"), (2L, "b")))
   }
 
+  test("SQL BEGIN/COMMIT: two INSERTs become visible atomically; read-your-writes") {
+    val dir = freshDir()
+    spark.conf.set("spark.sql.catalog.txnsql", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.txnsql.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS txnsql.db")
+    spark.sql("""CREATE TABLE txnsql.db.ta (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""CREATE TABLE txnsql.db.tb (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO txnsql.db.ta VALUES (1, 0, 'a0')")
+    spark.sql("INSERT INTO txnsql.db.tb VALUES (1, 0, 'b0')")
+
+    // COMMIT/ROLLBACK without BEGIN fail loud
+    intercept[Exception](spark.sql("COMMIT").collect())
+    intercept[Exception](spark.sql("ROLLBACK").collect())
+
+    val txnId = spark.sql("BEGIN TRANSACTION").collect()(0).getString(0)
+    assert(txnId.nonEmpty)
+    // a second BEGIN refuses while one is open
+    intercept[Exception](spark.sql("BEGIN").collect())
+    spark.sql("INSERT INTO txnsql.db.ta VALUES (2, 1, 'a1')")
+    spark.sql("INSERT INTO txnsql.db.tb VALUES (2, 1, 'b1')")
+    // read-your-writes INSIDE the session
+    assert(spark.sql("SELECT count(*) FROM txnsql.db.ta").collect()(0).getLong(0) == 2)
+    // INVISIBLE to an unstaged handle (another engine/session)
+    def outside(t: String): Long =
+      LakeTable(spark, LakeTableConfig(s"$dir/db/$t",
+        keyCols = Seq("pk"), precombineCol = "ts")).read().count()
+    assert(outside("ta") == 1 && outside("tb") == 1,
+      "staged SQL writes must be invisible before COMMIT")
+    val st = spark.sql("COMMIT").collect()(0)
+    assert(st.getString(0) == txnId && st.getString(1) == "committed")
+    assert(outside("ta") == 2 && outside("tb") == 2,
+      "COMMIT must make both tables' writes visible")
+
+    // ROLLBACK discards: both tables stay at their committed state
+    spark.sql("BEGIN")
+    spark.sql("INSERT INTO txnsql.db.ta VALUES (9, 2, 'never')")
+    spark.sql("UPDATE txnsql.db.tb SET v = 'never' WHERE pk = 1")
+    spark.sql("ROLLBACK")
+    assert(outside("ta") == 2)
+    assert(spark.sql("SELECT v FROM txnsql.db.tb WHERE pk = 1")
+      .collect()(0).getString(0) == "b0")
+    assert(spark.sql("SELECT count(*) FROM txnsql.db.ta")
+      .collect()(0).getLong(0) == 2, "post-ROLLBACK reads are unstaged again")
+  }
+
   test("read-your-writes: later txn writes see earlier ones; decide is terminal") {
     val dir = freshDir()
     val a = mk(s"$dir/a")

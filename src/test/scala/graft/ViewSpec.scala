@@ -359,6 +359,64 @@ class ViewSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.mvRewrite")
   }
 
+  test("bounded staleness: maxStaleness MV serves within tolerance, falls back beyond") {
+    wh
+    spark.sql("""CREATE TABLE gv.db.sfact (pk BIGINT, ts INT, qty INT, region STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""INSERT INTO gv.db.sfact VALUES
+      (1, 0, 10, 'r1'), (2, 0, 20, 'r1'), (3, 0, 5, 'r2')""")
+    spark.sql("""CREATE MATERIALIZED VIEW gv.db.sfact_mv
+      TBLPROPERTIES (maxStaleness='2') AS
+      SELECT region, count(*) AS n, sum(CAST(qty AS BIGINT)) AS total
+      FROM gv.db.sfact GROUP BY region""")
+    val q = """SELECT region, count(*) AS n, sum(CAST(qty AS BIGINT)) AS total
+               FROM gv.db.sfact GROUP BY region"""
+    def readsMv: Boolean =
+      spark.sql(q).queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten.exists(_.contains("sfact_mv"))
+    val c0 = Seq(Seq("r1", 2L, 30L), Seq("r2", 1L, 5L))
+    assert(readsMv, "exactly fresh serves")
+
+    // 1 and 2 commits past the applied snapshot: still serves, answers
+    // PINNED to the applied (create-time) snapshot — the declared trade
+    spark.sql("INSERT INTO gv.db.sfact VALUES (4, 0, 40, 'r3')")
+    assert(readsMv, "lag 1 ≤ tolerance 2 must serve")
+    assert(rows(q + " ORDER BY region") == c0,
+      "a stale serve answers from the APPLIED snapshot")
+    spark.sql("INSERT INTO gv.db.sfact VALUES (5, 0, 50, 'r3')")
+    assert(readsMv, "lag 2 ≤ tolerance 2 must serve")
+
+    // 3 commits past: beyond tolerance → base scan, fully fresh values
+    spark.sql("INSERT INTO gv.db.sfact VALUES (6, 0, 60, 'r4')")
+    assert(!readsMv, "lag 3 > tolerance 2 must fall back")
+    assert(rows(q + " ORDER BY region") == Seq(
+      Seq("r1", 2L, 30L), Seq("r2", 1L, 5L), Seq("r3", 2L, 90L),
+      Seq("r4", 1L, 60L)))
+
+    // refresh restores eligibility AND currency
+    rows("CALL gv.system.refresh_mv('db.sfact_mv')")
+    assert(readsMv, "refreshed serves again")
+    assert(rows(q + " ORDER BY region") == Seq(
+      Seq("r1", 2L, 30L), Seq("r2", 1L, 5L), Seq("r3", 2L, 90L),
+      Seq("r4", 1L, 60L)))
+
+    // an unknown property must fail loudly, not be silently dropped
+    val err = intercept[Exception](spark.sql(
+      """CREATE MATERIALIZED VIEW gv.db.sfact_mv2 TBLPROPERTIES (bogus='1')
+         AS SELECT region, count(*) AS n FROM gv.db.sfact GROUP BY region"""))
+    assert(err.getMessage.contains("bogus"))
+    // and a malformed tolerance too
+    intercept[Exception](spark.sql(
+      """CREATE MATERIALIZED VIEW gv.db.sfact_mv3 TBLPROPERTIES (maxStaleness='-1')
+         AS SELECT region, count(*) AS n FROM gv.db.sfact GROUP BY region"""))
+  }
+
   test("filtered MV: WHERE in the definition maintains and rewrites") {
     wh
     spark.sql("""CREATE TABLE gv.db.factf (pk BIGINT, ts INT, qty INT, region STRING)
@@ -417,6 +475,76 @@ class ViewSpec extends AnyFunSuite {
         SELECT region, count(*) AS n FROM gv.db.factf
         WHERE qty > rand() * 10 GROUP BY region""")
     }
+  }
+
+  test("ON-keyed and LEFT OUTER star-schema MVs maintain and rewrite") {
+    wh
+    spark.sql("""CREATE TABLE gv.db.ofact (pk BIGINT, ts INT, qty INT, rk INT)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""CREATE TABLE gv.db.odim (id INT, ts INT, region STRING)
+                 USING graft TBLPROPERTIES (keyCols='id', precombineCol='ts')""")
+    spark.sql("INSERT INTO gv.db.odim VALUES (1, 0, 'r1'), (2, 0, 'r2')")
+    // rk=3 has no dim row: inner drops it, left null-extends it
+    spark.sql("""INSERT INTO gv.db.ofact VALUES
+      (1, 0, 10, 1), (2, 0, 20, 1), (3, 0, 5, 2), (4, 0, 7, 3)""")
+    spark.sql("""CREATE MATERIALIZED VIEW gv.db.omv AS
+      SELECT d.region, count(*) AS n, sum(CAST(f.qty AS BIGINT)) AS total
+      FROM gv.db.ofact f JOIN gv.db.odim d ON f.rk = d.id
+      GROUP BY d.region""")
+    spark.sql("""CREATE MATERIALIZED VIEW gv.db.lmv AS
+      SELECT d.region, count(*) AS n, sum(CAST(f.qty AS BIGINT)) AS total
+      FROM gv.db.ofact f LEFT JOIN gv.db.odim d ON f.rk = d.id
+      GROUP BY d.region""")
+
+    def readsOnly(sql: String, mv: String): Boolean = {
+      val roots = spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      roots.exists(_.contains(mv)) && !roots.exists(_.contains("ofact"))
+    }
+    val qi = """SELECT d.region, count(*) AS n, sum(CAST(f.qty AS BIGINT)) AS total
+                FROM gv.db.ofact f JOIN gv.db.odim d ON f.rk = d.id
+                GROUP BY d.region"""
+    val ql = """SELECT d.region, count(*) AS n, sum(CAST(f.qty AS BIGINT)) AS total
+                FROM gv.db.ofact f LEFT JOIN gv.db.odim d ON f.rk = d.id
+                GROUP BY d.region"""
+    // each query must land on the MV with the MATCHING join type
+    assert(readsOnly(qi, "omv"), "inner query must read the inner MV")
+    assert(readsOnly(ql, "lmv"), "left query must read the LEFT MV")
+    assert(rows(qi + " ORDER BY region") ==
+      Seq(Seq("r1", 2L, 30L), Seq("r2", 1L, 5L)))
+    assert(rows(ql + " ORDER BY region NULLS FIRST") ==
+      Seq(Seq(null, 1L, 7L), Seq("r1", 2L, 30L), Seq("r2", 1L, 5L)))
+
+    // fact moves (one row flips INTO the dim, one new unmatched row):
+    // both MVs refresh incrementally, both rewrites resume
+    spark.sql("INSERT INTO gv.db.ofact VALUES (4, 1, 7, 2), (5, 0, 100, 9)")
+    assert(!readsOnly(qi, "omv") && !readsOnly(ql, "lmv"))
+    rows("CALL gv.system.refresh_mv('db.omv')")
+    rows("CALL gv.system.refresh_mv('db.lmv')")
+    assert(readsOnly(qi, "omv") && readsOnly(ql, "lmv"))
+    assert(rows(qi + " ORDER BY region") ==
+      Seq(Seq("r1", 2L, 30L), Seq("r2", 2L, 12L)))
+    assert(rows(ql + " ORDER BY region NULLS FIRST") ==
+      Seq(Seq(null, 1L, 100L), Seq("r1", 2L, 30L), Seq("r2", 2L, 12L)))
+
+    // a LEFT dim key sharing the fact key's NAME and referenced on the
+    // dim side refuses loudly (fact value vs null-extension diverge)
+    spark.sql("""CREATE TABLE gv.db.odim3 (rk INT, ts INT, region STRING)
+                 USING graft TBLPROPERTIES (keyCols='rk', precombineCol='ts')""")
+    spark.sql("INSERT INTO gv.db.odim3 VALUES (1, 0, 'x')")
+    val err = intercept[UnsupportedOperationException] {
+      spark.sql("""CREATE MATERIALIZED VIEW gv.db.badlmv AS
+        SELECT d.rk, count(*) AS n
+        FROM gv.db.ofact f LEFT JOIN gv.db.odim3 d ON f.rk = d.rk
+        GROUP BY d.rk""")
+    }
+    assert(err.getMessage.contains("LEFT"))
   }
 
   test("star-schema MV: join in the definition maintains and rewrites") {

@@ -64,6 +64,55 @@ class IdentityClaimSpec extends AnyFunSuite {
       "a same-base claim with different units must not displace the winner")
   }
 
+  test("a mixed-version double claim of one base advances past the LARGER range") {
+    val (log, dir) = freshLog()
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    // a rolling-upgrade race left TWO claims of base 0: an upgraded
+    // writer's zero-padded marker (units 10 in content) and a legacy
+    // writer's 0_100 — the next base must clear BOTH ranges, not just
+    // whichever marker the listing happens to sort last
+    val out = fs.create(new Path(dir, f"${0L}%020d"), true)
+    try out.write("10".getBytes("UTF-8")) finally out.close()
+    fs.create(new Path(dir, "0_100"), true).close()
+    assert(log.claimIdentityRange("pk", 3L) == 100L,
+      "next base must be max over ALL claims at the max base of base+units")
+  }
+
+  test("a legacy racer landing between list and publish forces a retreat") {
+    val root = Files.createTempDirectory("idclaim").resolve("t").toString
+    val t = LakeTable(spark, LakeTableConfig(
+      root, keyCols = Seq("pk"), precombineCol = "ts"))
+    import spark.implicits._
+    t.bulkInsert(Seq((1L, 0, 0)).toDF("pk", "v", "ts"))
+    val dir = new Path(root, "_log/_ident_pk")
+    // store seam: just before OUR publish of a claim base lands, a
+    // legacy-version writer publishes `<same base>_50` — a DIFFERENT
+    // destination name, so both creates succeed and the collision
+    // arbitration never fires. The post-publish re-list must detect the
+    // legacy twin and RETREAT: the returned range starts past both.
+    @volatile var injected = false
+    val racing = new CommitStore {
+      override def publishAtomic(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: Path, dst: Path): Boolean = {
+        if (!injected && dst.getName.forall(_.isDigit)) {
+          injected = true
+          fs.create(new Path(dst.getParent, s"${dst.getName.toLong}_50"),
+            true).close()
+        }
+        CommitStore.Filesystem.publishAtomic(fs, tmp, dst)
+      }
+    }
+    val log = new CommitLog(root, spark.sparkContext.hadoopConfiguration,
+      0, racing)
+    val got = log.claimIdentityRange("pk", 4L)
+    assert(got == 50L,
+      s"the claimer must retreat past the legacy racer's [0, 50), got $got")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(dir).map(_.getPath.getName).sorted.toSeq
+    assert(names.contains(f"${50L}%020d"))
+  }
+
   test("legacy <base>_<units> markers still advance the next base") {
     val (log, dir) = freshLog()
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
