@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Which file a finished run's detail line lands in: a contaminated
+    * run (non-empty drifted list) must never overwrite the committed
+    * primary — it writes the quarantine name instead, so the repo's
+    * `BENCH_DETAIL.json` always holds the most recent QUIET run. */
+  private[graft] def detailTarget(driftedNonEmpty: Boolean): String =
+    if (driftedNonEmpty) "BENCH_DETAIL_DIRTY.json" else "BENCH_DETAIL.json"
+
   /** Load the per-query quiet floors for the drift detector from a
     * committed detail artifact. A detail whose own `drifted` list is
     * non-empty was itself taken under contamination for exactly those
@@ -268,10 +275,14 @@ object Bench {
       s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qsFull,"spread":$spreadJson,"canary_cal":$canaryCal,"canary_max":$canaryJson,"drifted":$driftJson,"sf":"$sfDir"}"""
     println(detailLine)
     try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      // commit hygiene: a contaminated run must never OVERWRITE the
+      // primary detail artifact — it lands as BENCH_DETAIL_DIRTY.json
+      // (diagnosis only), leaving the last quiet run as the committed
+      // reference. Only drift-free runs refresh the primary and the
+      // clean-anchor snapshot the floor loader falls back to.
+      val w = new java.io.PrintWriter(
+        Bench.detailTarget(drifted.nonEmpty), "UTF-8")
       try w.println(detailLine) finally w.close()
-      // drift-free runs also refresh the clean-anchor snapshot the
-      // floor loader falls back to when the primary detail is drifted
       if (drifted.isEmpty) {
         val wc = new java.io.PrintWriter("BENCH_DETAIL_CLEAN.json", "UTF-8")
         try wc.println(detailLine) finally wc.close()

@@ -47,7 +47,16 @@ final case class ColStat(
       * input range interpolation cannot provide. Served through the
       * DSv2 `ColumnStatistics.histogram` surface, which Catalyst's
       * FilterEstimation consumes directly. */
-    hist: Seq[HistBin] = null)
+    hist: Seq[HistBin] = null,
+    /** frequent items over CATEGORICAL STRING columns (null = none):
+      * exact top-K value counts, collected only when the column's NDV
+      * is small enough that the group-by collapses map-side
+      * ([[ColStats.FreqNdvCap]]). Catalyst's numeric histograms can't
+      * carry string skew, so these serve the SCAN-level row estimate
+      * for pushed string equality/IN ([[graft.sql.GraftBatchScan]]) —
+      * `status = 'FAILED'` at 0.1% estimates ~truthfully instead of
+      * NDV-uniform. */
+    freq: Map[String, Long] = null)
 
 final case class ColStatsFile(
     /** commit the pass ran at — staleness is visible, not hidden */
@@ -105,6 +114,19 @@ object ColStats {
     * per-bin-NDV pass (numericCols x bins conditional sketches in one
     * aggregation) cheap while still resolving heavy skew */
   private[graft] val HistBins = 32
+
+  /** frequent-items knobs: top-K values kept per CATEGORICAL string
+    * column; only columns whose pass-1 NDV is at or under the cap get
+    * the pass at all — a low-NDV group-by collapses map-side (each task
+    * emits ≤ NDV groups per column), so the extra pass stays one
+    * bounded shuffle at 100 TB, while high-cardinality strings (ids,
+    * bodies) are skipped: their NDV-uniform estimate is already honest
+    * and an exact top-K over them would shuffle the table. Values
+    * longer than FreqMaxLen are skipped (predicates on multi-KB text
+    * equality aren't selectivity-driven). */
+  private[graft] val FreqK = 32
+  private[graft] val FreqNdvCap = 10000L
+  private[graft] val FreqMaxLen = 256
 
   /** run the analyze over `table`'s current snapshot and persist the
     * artifact; returns the analyzed commit id (None on an empty table —
@@ -190,6 +212,29 @@ object ColStats {
             .map(i => r2.getAs[Long](s"bnd__${f.name}__$i"))
         }.toMap
       }
+    // pass 3 (categorical strings only): exact top-K value counts in ONE
+    // group-by over (column-index, value) pairs — map-side combinable
+    // because eligibility is NDV-capped, then a per-column top-K window
+    // over at most NDV x columns counted groups
+    val freqFields = fields.filter(f => f.dataType == StringType &&
+      row.getAs[Long](s"ndv__${f.name}") <= FreqNdvCap)
+    val freqOf: Map[String, Map[String, Long]] =
+      if (freqFields.isEmpty) Map.empty
+      else {
+        val pairs = snap.select(posexplode(
+          array(freqFields.map(f => col(f.name)): _*)).as(Seq("cidx", "v")))
+          .filter(col("v").isNotNull && length(col("v")) <= FreqMaxLen)
+        val counted = pairs.groupBy("cidx", "v").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cidx").orderBy(col("n").desc, col("v"))
+        val top = counted.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= FreqK)
+          .select("cidx", "v", "n").collect()
+        top.groupBy(_.getInt(0)).map { case (i, rs) =>
+          freqFields(i).name -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap
+        }
+      }
+
     val histOf: Map[String, Seq[HistBin]] = histCols.map { case (f, b) =>
       val ndvs = binNdvs(f.name)
       f.name -> (0 until HistBins).map(i =>
@@ -218,12 +263,38 @@ object ColStats {
             opt[Any](s"maxl__${f.name}").map(v => v.toString.toLong).getOrElse(0L)
           case _ => fixed
         },
-        hist = histOf.get(f.name).orNull)
+        hist = histOf.get(f.name).orNull,
+        freq = freqOf.get(f.name).orNull)
     }.toMap
     ColStats.save(table.config.root, ColStatsFile(head, rows, cols),
       table.spark.sparkContext.hadoopConfiguration)
     Some(head)
   }
+
+  /** Estimated row count for `col = value` from the column's
+    * frequent-items stats: EXACT for a kept top-K value; otherwise the
+    * residual mass (rows − nulls − Σ kept counts) spread uniformly over
+    * the unkept distinct values — the honest uniform assumption applied
+    * only AFTER the skew is peeled off. None when the column carries no
+    * frequent-items pass (high-cardinality or pre-upgrade artifact). */
+  private[graft] def equalityEstimate(st: ColStat, rows: Long,
+      value: String): Option[Double] =
+    Option(st.freq).map { fr0 =>
+      // Jackson erases Map[String, Long] values to Integer on read-back,
+      // so the map must be consumed erased — any typed access unboxes
+      val fr = fr0.asInstanceOf[Map[String, Any]]
+      def asLong(v: Any): Long = v match {
+        case n: Number => n.longValue
+        case other => other.toString.toLong
+      }
+      fr.get(value) match {
+        case Some(n) => asLong(n).toDouble
+        case None =>
+          val kept = fr.values.map(asLong).sum
+          val restNdv = math.max(st.ndv - fr.size, 1L)
+          math.max((rows - st.nulls - kept).toDouble, 0.0) / restNdv
+      }
+    }
 
   /** parse a rendered range value back to its CATALYST-internal form
     * for the planner (dates/timestamps are epoch-scaled integers in

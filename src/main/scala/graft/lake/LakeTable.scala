@@ -2134,10 +2134,14 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       defaultSql: Option[String]): Long =
     if (path.lengthCompare(1) == 0) addColumn(path.head, dt, defaultSql)
     else {
-      require(defaultSql.isEmpty,
-        "DEFAULT on a NESTED column is not supported — add the field, " +
-          "then UPDATE")
-      nestedSchemaChange(path)(s => SchemaEvo.addAt(s, path, dt))
+      // nested ADD COLUMN ... DEFAULT: the exists-default backfills the
+      // field for every pre-existing row (SchemaEvo.adapt's nested
+      // rebuild), same contract as a top-level add. Post-add writers
+      // always supply the field — a struct literal's shape is enforced
+      // by analysis — so there is no insert-fill consumer to repoint,
+      // which is also why SET DEFAULT on a nested field stays refused.
+      defaultSql.foreach(validateDefault(path.mkString("."), dt, _))
+      nestedSchemaChange(path)(s => SchemaEvo.addAt(s, path, dt, defaultSql))
     }
 
   def widenColumn(path: Seq[String], dt: DataType): Long =
@@ -3548,7 +3552,13 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * predicate selects — at 100 TB clustering runs incrementally over
     * hot partitions, never as one table-wide rewrite.
     */
-  def recluster(pruneBy: Option[org.apache.spark.sql.Column] = None): Long = {
+  def recluster(pruneBy: Option[org.apache.spark.sql.Column] = None,
+      /** bound each commit to at most N partitions' worth of rewrites
+        * when the rewrite is partition-scoped (0 = one commit; MoR
+        * tables whose dedup groups span partitions always rewrite as
+        * one unit — batching would split a merge group). Same partial-
+        * progress contract as [[compactSmall]]. */
+      maxPartitionsPerCommit: Int = 0): Long = {
     require(config.clusterCols.nonEmpty,
       "recluster() needs clusterCols configured")
     val basedOn = log.latestId.getOrElse(log.EmptyTable)
@@ -3588,12 +3598,25 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
       }
       if (allReclustered) return basedOn
     }
-    val mat =
-      if (scoped.exists(_.isDelta)) morMerge(readFiles(scoped))
-      else readFiles(scoped)
-    writeCommit(mat, "recluster", scoped.map(_.path), basedOn = Some(basedOn),
-      partitionScoped = !config.isMor || groupLocalMergeSafe,
-      stampsId = false)
+    val partScoped = !config.isMor || groupLocalMergeSafe
+    val batches =
+      if (maxPartitionsPerCommit <= 0 || !partScoped)
+        Seq(scoped)
+      else scoped.groupBy(_.partition).toSeq.sortBy(_._1)
+        .grouped(maxPartitionsPerCommit).map(_.flatMap(_._2)).toSeq
+    var last = basedOn
+    batches.foreach { vs =>
+      val mat =
+        if (vs.exists(_.isDelta)) morMerge(readFiles(vs))
+        else readFiles(vs)
+      // basedOn re-resolves per batch: one small OCC window per batch,
+      // partial progress survives a crash or a lost race mid-backlog
+      last = writeCommit(mat, "recluster", vs.map(_.path),
+        basedOn = Some(log.latestId.getOrElse(log.EmptyTable)),
+        partitionScoped = partScoped,
+        stampsId = false)
+    }
+    last
   }
 
   /** Bin small files (the Delta OPTIMIZE bin-packing / Hudi small-file
@@ -3616,29 +3639,51 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     *
     * Partitions with a single small file are left alone.
     */
-  def compactSmall(maxBytes: Long = 64L * 1024 * 1024): Long = {
-    val basedOn = log.latestId.getOrElse(log.EmptyTable)
+  def compactSmall(maxBytes: Long = 64L * 1024 * 1024,
+      /** bound each commit to at most N partitions' worth of rewrites
+        * (0 = the whole backlog in one commit). On a 100 TB table with
+        * a deep small-file backlog this is what keeps OPTIMIZE honest:
+        * every batch is its own SMALL OCC window committed before the
+        * next begins, so a crash or lost race forfeits one batch, not
+        * the night's work — the re-run recomputes the remaining victims
+        * (already-binned partitions no longer qualify) and drains the
+        * rest. Delta batches OPTIMIZE commits the same way. */
+      maxPartitionsPerCommit: Int = 0,
+      /** observation seam (specs): runs after each batch commit —
+        * injecting a failure here IS the crash window between batches */
+      onBatchCommitted: Long => Unit = _ => ()): Long = {
     val live = log.liveFiles()
     def sizeOf(f: FileAdd): Long =
       if (f.bytes > 0) f.bytes
       else new Path(f.path).getFileSystem(hconf).getFileStatus(new Path(f.path)).getLen
     // MoR bins its change-log deltas (base files belong to compact());
     // CoW has only base files to bin
-    val victims = live
+    val byPart = live
       .filter(f => (if (config.isMor) f.isDelta else !f.isDelta && !f.isDv) &&
         sizeOf(f) < maxBytes)
       .groupBy(_.partition).filter(_._2.size > 1)
-      .values.flatten.toSeq
-    if (victims.isEmpty) return log.latestId.getOrElse(-1L)
-    // coalesce to the file count the VOLUME warrants — the scan would
-    // otherwise keep ≥ default-parallelism splits and re-emit many small
-    // files; coalesce merges read partitions without a shuffle
-    val nOut = math.max(1L, (victims.map(sizeOf).sum + maxBytes - 1) / maxBytes).toInt
-    writeCommit(readFiles(victims).coalesce(nOut), "delta_compact",
-      victims.map(_.path), kind = if (config.isMor) "delta" else "base",
-      basedOn = Some(basedOn),
-      // verbatim per-partition rewrite of its victims only
-      partitionScoped = true, stampsId = false)
+      .toSeq.sortBy(_._1)
+    if (byPart.isEmpty) return log.latestId.getOrElse(-1L)
+    val batches =
+      if (maxPartitionsPerCommit <= 0) Seq(byPart)
+      else byPart.grouped(maxPartitionsPerCommit).toSeq
+    var last = log.latestId.getOrElse(log.EmptyTable)
+    batches.foreach { g =>
+      val victims = g.flatMap(_._2)
+      // coalesce to the file count the VOLUME warrants — the scan would
+      // otherwise keep ≥ default-parallelism splits and re-emit many
+      // small files; coalesce merges read partitions without a shuffle
+      val nOut = math.max(1L,
+        (victims.map(sizeOf).sum + maxBytes - 1) / maxBytes).toInt
+      // basedOn re-resolves per batch: each OCC window spans ONE batch
+      last = writeCommit(readFiles(victims).coalesce(nOut), "delta_compact",
+        victims.map(_.path), kind = if (config.isMor) "delta" else "base",
+        basedOn = Some(log.latestId.getOrElse(log.EmptyTable)),
+        // verbatim per-partition rewrite of its victims only
+        partitionScoped = true, stampsId = false)
+      onBatchCommitted(last)
+    }
+    last
   }
 
   /** Inline compaction trigger (reference's max.delta.commits semantics):

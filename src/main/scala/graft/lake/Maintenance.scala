@@ -56,6 +56,11 @@ object Maintenance {
         * tables that were analyzed at least once — the first pass is a
         * deliberate operator decision (it costs a table scan). */
       analyzeAfter: Int = 0,
+      /** bound each compactSmall/recluster fire to at most N partitions
+        * per commit (0 = unbounded): small OCC windows, partial
+        * progress on a deep backlog — the trigger re-fires next round
+        * until drained (see [[LakeTable.compactSmall]]) */
+      maxPartitionsPerCommit: Int = 0,
       /** rewrite live data back into cluster order once the fraction of
         * live bytes in cluster-ERODING files crosses this ratio (0 =
         * off; needs clusterCols). Eroding = delta files plus base files
@@ -97,7 +102,8 @@ object Maintenance {
         .filter(f => (if (t.config.isMor) f.isDelta else !f.isDelta && !f.isDv) &&
           f.bytes > 0 && f.bytes < p.smallFileBytes)
         .groupBy(_.partition).exists(_._2.size > 1)
-      if (small) fire("compact_small")(t.compactSmall(p.smallFileBytes))
+      if (small) fire("compact_small")(t.compactSmall(p.smallFileBytes,
+        maxPartitionsPerCommit = p.maxPartitionsPerCommit))
     }
 
     if (p.dvFoldPositions > 0 && !t.config.isMor) {
@@ -145,7 +151,8 @@ object Maintenance {
           cursor -= 1
         }
         if (eroded.toDouble / total >= p.reclusterDriftRatio)
-          fire("recluster")(t.recluster())
+          fire("recluster")(t.recluster(
+            maxPartitionsPerCommit = p.maxPartitionsPerCommit))
       }
     }
 

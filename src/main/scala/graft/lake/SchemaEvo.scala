@@ -250,7 +250,9 @@ private[graft] object SchemaEvo {
             case Some(sf) =>
               adaptValue(src.getField(sf.name), sf.dataType, tf.dataType)
                 .as(tf.name)
-            case None => lit(null).cast(tf.dataType).as(tf.name)
+            // nested field the file predates: same exists-default
+            // backfill rule as a top-level column (null without one)
+            case None => backfill(tf)
           }
         }
         when(src.isNotNull, struct(parts: _*))
@@ -306,6 +308,34 @@ private[graft] object SchemaEvo {
       }
     }: _*)
   }
+
+  /** Restructure a value of `from` to the NESTED-PRUNED shape `to` —
+    * `to`'s fields are a (recursive) subset of `from`'s, matched by
+    * NAME (both shapes come from the same resolved table schema, so
+    * names are authoritative). A scan that declares Spark's pruned
+    * read schema MUST hand back rows of exactly that shape: struct
+    * fields are consumed POSITIONALLY downstream, so returning the full
+    * struct under a pruned declaration silently serves the WRONG FIELD
+    * (`s.f` reading `s.a`'s bytes). Null parents stay null. */
+  def pruneValue(src: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f, t) if f == t => src
+      case (f: StructType, t: StructType) =>
+        val parts = t.fields.toSeq.map { tf =>
+          val sf = f.fields.find(_.name == tf.name).getOrElse(
+            throw new IllegalStateException(
+              s"pruned field '${tf.name}' missing from the source shape"))
+          pruneValue(src.getField(tf.name), sf.dataType, tf.dataType)
+            .as(tf.name)
+        }
+        when(src.isNotNull, struct(parts: _*))
+      case (f: ArrayType, t: ArrayType) =>
+        transform(src, x => pruneValue(x, f.elementType, t.elementType))
+      case (f: MapType, t: MapType) =>
+        org.apache.spark.sql.functions.transform_values(src,
+          (_, v) => pruneValue(v, f.valueType, t.valueType))
+      case _ => src
+    }
 
   /** Backfill for a column ABSENT from a file: the declared
     * exists-default when the field carries one (`ALTER TABLE ... ADD
@@ -382,14 +412,29 @@ private[graft] object SchemaEvo {
         if (x.name == h) x.copy(dataType = inner) else x))
     }
 
-  def addAt(s: StructType, path: Seq[String], dt: DataType): StructType = {
+  def addAt(s: StructType, path: Seq[String], dt: DataType): StructType =
+    addAt(s, path, dt, None)
+
+  /** nested ADD COLUMN, optionally with a DEFAULT: the constant lands in
+    * the nested field's metadata exactly like a top-level add, and
+    * [[adapt]]'s nested rebuild backfills it for every file that
+    * predates the field (the caller validates the SQL first) */
+  def addAt(s: StructType, path: Seq[String], dt: DataType,
+      defaultSql: Option[String]): StructType = {
     val name = path.last
     require(name.nonEmpty && !isInternal(name), s"invalid column name '$name'")
     transformStructAt(s, path.init, st => {
       require(!st.fieldNames.contains(name),
         s"column '${path.mkString(".")}' already exists")
-      // appended fields null-backfill every pre-existing file — nullable
-      StructType(st.fields :+ mintField(name, dt))
+      val minted0 = mintField(name, dt)
+      val minted = defaultSql.fold(minted0)(sql => minted0.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(minted0.metadata)
+          .putString("CURRENT_DEFAULT", sql)
+          .putString("EXISTS_DEFAULT", sql).build()))
+      // appended fields backfill every pre-existing file — the declared
+      // exists-default when present, else null
+      StructType(st.fields :+ minted)
     })
   }
 

@@ -472,6 +472,13 @@ object Sql {
       s.sql(s"""INSERT INTO $cat.db.ndef (n_nationkey, n_name)
         SELECT n_nationkey, n_name FROM sql_nation_src
         WHERE n_nationkey >= 20""")
+      // nested ADD COLUMN ... DEFAULT (r16): the constant backfills the
+      // new field through the struct rebuild for every pre-existing row
+      // whose PARENT is non-null — null parents stay null
+      s.sql(s"ALTER TABLE $cat.db.ndef ADD COLUMN meta STRUCT<src: STRING>")
+      s.sql(s"""UPDATE $cat.db.ndef SET meta = named_struct('src', 'seed')
+        WHERE n_nationkey < 5""")
+      s.sql(s"ALTER TABLE $cat.db.ndef ADD COLUMN meta.flag INT DEFAULT 4")
       cat
     })
   }
@@ -633,14 +640,16 @@ object Sql {
     GQuery("lake_sql_defaults",
       (s, d) => {
         val cat = defaultsFixture(s, d)
-        s.sql(s"""SELECT n_nationkey, n_name, tier, score, update_ts, bonus
+        s.sql(s"""SELECT n_nationkey, n_name, tier, score, update_ts, bonus,
+            meta.flag AS mflag
           FROM $cat.db.ndef ORDER BY n_nationkey""")
       },
       Some("""SELECT n_nationkey, n_name,
           CASE WHEN n_nationkey BETWEEN 10 AND 14 THEN 'vip'
                WHEN n_nationkey >= 20 THEN 'ext' ELSE 'std' END AS tier,
           CAST(7 AS INT) AS score, CAST(0 AS INT) AS update_ts,
-          CAST(3 AS INT) AS bonus
+          CAST(3 AS INT) AS bonus,
+          CAST(CASE WHEN n_nationkey < 5 THEN 4 END AS INT) AS mflag
         FROM nation ORDER BY n_nationkey""")),
 
     // ---- CREATE/INSERT/UPDATE/DELETE through spark.sql -----------------
@@ -1554,6 +1563,49 @@ object Sql {
         SELECT -1 AS k, 'b_total' AS name,
           (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM nation) AS region_n
         ORDER BY k, name""")),
+
+    // ---- COPY INTO (r16) --------------------------------------------------
+    // idempotent landing-directory loads: two staged files COPY in, a
+    // re-COPY is a no-op, a later arrival COPYs alone — the final state
+    // equals exactly one logical ingest of every staged row
+    GQuery("lake_sql_copy_into",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:copyinto", _ => {
+          val staging = java.nio.file.Files
+            .createTempDirectory("graft_copy_src").toString
+          s.sql("""SELECT n_nationkey, n_name, n_regionkey,
+              CAST(0 AS INT) AS update_ts
+            FROM sql_nation_src WHERE n_nationkey < 12""")
+            .repartition(2).write.mode("overwrite").parquet(staging)
+          s.sql(s"""CREATE TABLE $cat.db.ncopy (n_nationkey INT,
+              n_name STRING, n_regionkey INT, update_ts INT) USING graft
+            TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+          val first = s.sql(
+            s"COPY INTO $cat.db.ncopy FROM '$staging' FILEFORMAT = PARQUET")
+            .collect().head
+          require(first.getLong(0) > 0, s"first COPY must load files: $first")
+          // idempotence: the same directory re-COPYs as a no-op
+          val again = s.sql(s"COPY INTO $cat.db.ncopy FROM '$staging'")
+            .collect().head
+          require(again.getLong(0) == 0 && again.getLong(1) == first.getLong(0),
+            s"re-COPY must skip everything: $again")
+          // a late arrival lands alone
+          s.sql("""SELECT n_nationkey, n_name, n_regionkey,
+              CAST(0 AS INT) AS update_ts
+            FROM sql_nation_src WHERE n_nationkey >= 12""")
+            .coalesce(1).write.mode("append").parquet(staging)
+          val late = s.sql(s"COPY INTO $cat.db.ncopy FROM '$staging'")
+            .collect().head
+          require(late.getLong(0) >= 1 && late.getLong(1) >= first.getLong(0),
+            s"late arrival must load alone: $late")
+          cat
+        })
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+          FROM $cat.db.ncopy ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
 
     // ---- ANALYZE + cost-based join (r14) --------------------------------
     // both scans serve analyzed column stats (NDV/nulls/ranges) through

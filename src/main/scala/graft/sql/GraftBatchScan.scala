@@ -95,6 +95,43 @@ final class GraftBatchScan(
     graft.lake.ColStats.load(table.lake.config.root,
       spark.sparkContext.hadoopConfiguration)
 
+  /** Refine the scan's row estimate with frequent-items stats for
+    * pushed STRING equality/IN predicates. Catalyst's FilterEstimation
+    * is value-blind for strings (no numeric histogram applies, so
+    * `status = 'FAILED'` estimates at 1/NDV no matter how skewed) — the
+    * scan is the one place the QUERIED VALUE is visible, so the skew
+    * correction lands here: selectivity = estimated value count /
+    * analyzed rows, exact for a kept top-K value. Pushed filters are
+    * re-applied row-level above the scan, so this only ever steers the
+    * PLAN (join order, broadcast choice), never results. */
+  private def freqAdjusted(exact: Long): Long = analyzed match {
+    case Some(cs) if cs.rows > 0 =>
+      val sel = pushed.foldLeft(1.0) { (acc, f) =>
+        def est(attr: String, values: Seq[String]): Option[Double] =
+          cs.cols.get(attr).flatMap { st =>
+            val counts = values.flatMap(v =>
+              graft.lake.ColStats.equalityEstimate(st, cs.rows, v))
+            if (counts.size == values.size)
+              Some(math.min(counts.sum / cs.rows, 1.0))
+            else None
+          }
+        f match {
+          case org.apache.spark.sql.sources.EqualTo(a, v: String) =>
+            est(a, Seq(v)).map(acc * _).getOrElse(acc)
+          case org.apache.spark.sql.sources.EqualNullSafe(a, v: String) =>
+            est(a, Seq(v)).map(acc * _).getOrElse(acc)
+          case org.apache.spark.sql.sources.In(a, vs)
+              if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+            est(a, vs.toSeq.map(_.asInstanceOf[String]))
+              .map(acc * _).getOrElse(acc)
+          case _ => acc
+        }
+      }
+      if (sel >= 1.0) exact
+      else math.max(math.round(exact * sel), 1L)
+    case _ => exact
+  }
+
   override def estimateStatistics(): Statistics = {
     val fs = files
     new Statistics {
@@ -158,14 +195,14 @@ final class GraftBatchScan(
       override def sizeInBytes(): OptionalLong =
         OptionalLong.of(math.max(fs.map(_.bytes).sum, 1L))
       override def numRows(): OptionalLong =
-        if (fs.nonEmpty && fs.forall(_.rows > 0L))
+        if (fs.nonEmpty && fs.forall(_.rows > 0L)) {
           // DV'd positions never reach the consuming operator — subtract
           // them so the planner's row estimate stays exact (a DV add's
           // `rows` is its position count; positions are never duplicated
           // across a target's sidecars)
-          OptionalLong.of(
-            fs.map(_.rows).sum - fs.flatMap(dvsOf).map(_.rows).sum)
-        else OptionalLong.empty()
+          val exact = fs.map(_.rows).sum - fs.flatMap(dvsOf).map(_.rows).sum
+          OptionalLong.of(freqAdjusted(exact))
+        } else OptionalLong.empty()
     }
   }
 

@@ -882,16 +882,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (propChanges.nonEmpty)
       alterProperties(root, desc, lake, propChanges)
     if (colChanges.isEmpty) return loadTable(ident)
-    // nested defaults only: a struct-field default has no exists-backfill
-    // story in the nested rebuild — refuse rather than lie
-    colChanges.foreach {
-      case c: TableChange.AddColumn
-          if c.defaultValue() != null && c.fieldNames.length > 1 =>
-        throw new UnsupportedOperationException(
-          "ADD COLUMN with DEFAULT on a nested field is not supported — " +
-            "add the field, then UPDATE")
-      case _ => ()
-    }
+    // nested ADD COLUMN ... DEFAULT is supported since r16: the constant
+    // rides the nested field's metadata and SchemaEvo.adapt's struct
+    // rebuild backfills it for pre-field rows (see LakeTable.addColumn)
     // property changes just rewrote the descriptor — thread the LIVE one
     // through the column path (its pinned set reads statsCols/clusterCols,
     // and the pre-first-commit save would otherwise clobber the props)
@@ -1028,21 +1021,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val next = changesSeq.foldLeft(declared) { (s, ch) =>
         ch match {
           case c: TableChange.AddColumn =>
-            val added = SchemaEvo.addAt(s, c.fieldNames.toSeq, c.dataType)
             // pre-first-commit DEFAULT: only the declaration matters (no
-            // files exist to backfill) — store it like CREATE TABLE does
-            Option(c.defaultValue()).map(_.getSql)
-              .filter(_ => c.fieldNames.length == 1).fold(added) { sql =>
-                lake.validateDefault(c.fieldNames.head, c.dataType, sql)
-                StructType(added.fields.map { f =>
-                  if (f.name != c.fieldNames.head) f
-                  else f.copy(metadata =
-                    new org.apache.spark.sql.types.MetadataBuilder()
-                      .withMetadata(f.metadata)
-                      .putString("CURRENT_DEFAULT", sql)
-                      .putString("EXISTS_DEFAULT", sql).build())
-                })
-              }
+            // files exist to backfill) — store it like CREATE TABLE
+            // does, nested paths included (addAt mints the metadata)
+            val dflt = Option(c.defaultValue()).map(_.getSql)
+            dflt.foreach(sql => lake.validateDefault(
+              c.fieldNames.mkString("."), c.dataType, sql))
+            SchemaEvo.addAt(s, c.fieldNames.toSeq, c.dataType, dflt)
           case c: TableChange.RenameColumn =>
             SchemaEvo.renameAt(s, c.fieldNames.toSeq, c.newName)
           case c: TableChange.DeleteColumn =>

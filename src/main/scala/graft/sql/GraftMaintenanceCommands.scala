@@ -70,7 +70,9 @@ private[sql] final case class GraftOptimizeCommand(
     val pruneBy = whereSql.map(w =>
       org.apache.spark.sql.functions.expr(w))
     val (op, cid) =
-      if (t.config.clusterCols.nonEmpty) ("recluster", t.recluster(pruneBy))
+      if (t.config.clusterCols.nonEmpty)
+        ("recluster", t.recluster(pruneBy,
+          maxPartitionsPerCommit = GraftOptimizeCommand.PartitionsPerCommit))
       else if (t.config.isMor) {
         require(whereSql.isEmpty,
           "OPTIMIZE ... WHERE needs clusterCols (the scope is the " +
@@ -82,19 +84,32 @@ private[sql] final case class GraftOptimizeCommand(
         require(whereSql.isEmpty,
           "OPTIMIZE ... WHERE needs clusterCols (the scope is the " +
             "clustering rewrite's); plain OPTIMIZE bin-packs small files")
-        ("compact_small", t.compactSmall())
+        ("compact_small", t.compactSmall(
+          maxPartitionsPerCommit = GraftOptimizeCommand.PartitionsPerCommit))
       }
-    // result metrics (the Delta OPTIMIZE-report role): the physical
-    // reorganization's own commit diff — zero row when nothing to do
-    val (fa, fr, ba, br) =
-      if (cid == before) (0L, 0L, 0L, 0L)
-      else t.log.commitIfExists(cid).map { c =>
-        (c.adds.size.toLong, c.removes.size.toLong,
-          c.adds.map(_.bytes).sum,
-          c.removes.flatMap(bytesByPath.get).sum)
-      }.getOrElse((0L, 0L, 0L, 0L))
+    // result metrics (the Delta OPTIMIZE-report role): aggregated over
+    // every commit this statement published (bounded batching may emit
+    // several) — zero row when nothing to do
+    val reorgOps = Set("recluster", "delta_compact", "compact")
+    val mine =
+      if (cid == before) Seq.empty
+      else t.log.commits.filter(c => c.id > before && c.id <= cid &&
+        reorgOps.contains(c.op))
+    val (fa, fr, ba, br) = mine.foldLeft((0L, 0L, 0L, 0L)) { (acc, c) =>
+      (acc._1 + c.adds.size, acc._2 + c.removes.size,
+        acc._3 + c.adds.map(_.bytes).sum,
+        acc._4 + c.removes.flatMap(bytesByPath.get).sum)
+    }
     Seq(Row(op, cid, fa, fr, ba, br))
   }
+}
+
+private[sql] object GraftOptimizeCommand {
+  /** partitions rewritten per OPTIMIZE commit — bounds every OCC window
+    * and makes a deep backlog drain with partial progress (a crash
+    * forfeits one batch, never the run); Delta batches its OPTIMIZE
+    * commits for the same reason */
+  val PartitionsPerCommit = 64
 }
 
 /** `DESCRIBE DETAIL t` — one metadata-only row summarizing the table's
@@ -165,6 +180,98 @@ private[sql] final case class GraftDescribeDetailCommand(
       Option(desc.clusterCols).getOrElse(Seq.empty).mkString(","),
       stats.map(s => java.lang.Long.valueOf(s.commit)).orNull,
       mvStates.size.toLong, mvStates.count(!_).toLong))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|JSON|CSV]
+  * [PATTERN = '<glob>']` — Delta's idempotent file-loading spelling.
+  *
+  * Idempotence: every successfully loaded source file leaves a marker
+  * (`_log/_copy/<sha1(path)>`) and is SKIPPED by later COPYs, so a
+  * scheduled re-run over a landing directory ingests only new arrivals.
+  * The marker is written after the load commit publishes; a crash in
+  * between re-loads those files on retry, which is harmless because the
+  * load rides the table's precombine UPSERT — re-ingesting identical
+  * rows is a no-op by the write semantics themselves, so the
+  * marker+upsert pair is exactly-once EFFECTIVE without a transactional
+  * marker. Cost at 100 TB: one marker-dir listing per COPY (O(files
+  * ever loaded), bounded by loads not data) + a scan of only the NEW
+  * files. */
+private[sql] final case class GraftCopyIntoCommand(
+    catName: String, ns: Seq[String], name: String,
+    srcDir: String, fileFormat: String, pattern: Option[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_loaded", LongType, nullable = false)(),
+    AttributeReference("files_skipped", LongType, nullable = false)(),
+    AttributeReference("rows_loaded", LongType, nullable = false)(),
+    AttributeReference("commit", LongType, nullable = false)())
+
+  private def sha1(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = ViewResolution.graftCatalog(session, catName).getOrElse(
+      throw new IllegalArgumentException(s"catalog $catName is not a graft catalog"))
+    val root = cat.tableRoot(ns, name)
+    val hconf = session.sparkContext.hadoopConfiguration
+    val desc = graft.lake.TableDescriptor.load(root, hconf).getOrElse(
+      throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map(
+        "relationName" -> s"`$catName`.`${(ns :+ name).mkString("`.`")}`")))
+    val t = graft.lake.LakeTable(session, desc.config(root))
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(hconf)
+    val candidates = (pattern match {
+      case Some(g) => fs.globStatus(new org.apache.hadoop.fs.Path(src, g))
+      case None if fs.isDirectory(src) => fs.listStatus(src)
+      case None => fs.globStatus(src)
+    }) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case a => a.filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+    }
+    val markerDir = new org.apache.hadoop.fs.Path(root, "_log/_copy")
+    val loaded: Set[String] =
+      if (!fs.exists(markerDir)) Set.empty
+      else fs.listStatus(markerDir).map(_.getPath.getName).toSet
+    val fresh = candidates.filterNot(st =>
+      loaded.contains(sha1(st.getPath.toString)))
+    if (fresh.isEmpty)
+      return Seq(Row(0L, candidates.length.toLong, 0L,
+        t.log.latestId.getOrElse(-1L)))
+    val fmt = Option(fileFormat).map(_.toLowerCase).getOrElse("parquet")
+    require(Set("parquet", "json", "csv").contains(fmt),
+      s"unsupported FILEFORMAT '$fileFormat' (parquet, json, csv)")
+    val reader = session.read.format(fmt)
+    val df0 = (if (fmt == "csv") reader.option("header", "true") else reader)
+      .load(fresh.map(_.getPath.toString).toIndexedSeq: _*)
+    // align by NAME to the table's user schema, loud on a missing column
+    val full = {
+      val s = t.tableSchema()
+      if (s.fields.nonEmpty) s
+      else Option(desc.schemaJson).filter(_.nonEmpty)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(new org.apache.spark.sql.types.StructType())
+    }
+    val userFields = full.fields.toSeq
+      .filterNot(f => graft.lake.SchemaEvo.isInternal(f.name))
+    val df = df0.select(userFields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+    val rows = df.count()
+    val cid = t.upsert(df)
+    fs.mkdirs(markerDir)
+    fresh.foreach { st =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(markerDir,
+        sha1(st.getPath.toString)), true)
+      try out.write(st.getPath.toString.getBytes("UTF-8")) finally out.close()
+    }
+    Seq(Row(fresh.length.toLong, (candidates.length - fresh.length).toLong,
+      rows, cid))
   }
 }
 

@@ -56,7 +56,18 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val RollbackRe =
     "(?is)^\\s*ROLLBACK(?:\\s+TRANSACTION|\\s+TRAN|\\s+WORK)?\\s*;?\\s*$".r
 
+  private val CopyRe =
+    ("(?is)^\\s*COPY\\s+INTO\\s+([\\w.`]+)\\s+FROM\\s+'([^']+)'" +
+      "(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?" +
+      "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*$").r
+
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
+    case CopyRe(ident, src, fmt, pat) =>
+      val parts = delegate.parseMultipartIdentifier(ident)
+      ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>
+        GraftCopyIntoCommand(cat.name, ns, name, src,
+          Option(fmt).getOrElse("parquet"), Option(pat))
+      }
     case BeginRe() => Some(GraftBeginTxnCommand())
     case CommitRe() => Some(GraftCommitTxnCommand())
     case RollbackRe() => Some(GraftRollbackTxnCommand())

@@ -746,7 +746,25 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
                 val df = table.snapshot(pred)
                 val projected =
                   if (required.isEmpty) df
-                  else df.select(required.fieldNames.map(FilterTranslation.qcol): _*)
+                  else {
+                    // NESTED schema pruning: `required` may declare a
+                    // pruned struct shape (s: struct<f> of a struct<a,f>
+                    // column). Rows handed back under that declaration
+                    // are consumed positionally — the full struct would
+                    // silently serve the wrong field — so restructure
+                    // each column to exactly the declared shape.
+                    val srcTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+                    val cols = required.fields.toSeq.map { rf =>
+                      val src = FilterTranslation.qcol(rf.name)
+                      srcTypes.get(rf.name) match {
+                        case Some(st) if st != rf.dataType =>
+                          graft.lake.SchemaEvo.pruneValue(src, st, rf.dataType)
+                            .as(rf.name)
+                        case _ => src
+                      }
+                    }
+                    df.select(cols: _*)
+                  }
                 projected.rdd
               }
             }.asInstanceOf[T]

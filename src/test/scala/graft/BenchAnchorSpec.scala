@@ -35,6 +35,12 @@ class BenchAnchorSpec extends AnyFunSuite {
     assert(Bench.loadRefFloor(legacy, "/data/sf0.1") == Map("q_a" -> 0.7))
   }
 
+  test("a drifted run quarantines its detail instead of overwriting the primary") {
+    assert(Bench.detailTarget(driftedNonEmpty = false) == "BENCH_DETAIL.json")
+    assert(Bench.detailTarget(driftedNonEmpty = true) == "BENCH_DETAIL_DIRTY.json",
+      "a contaminated run must never overwrite the committed quiet detail")
+  }
+
   test("floors only transfer within the same scale factor") {
     val other = write(
       """{"queries":{"q_a":0.5},"drifted":[],"sf":"/data/sf0.01"}""")

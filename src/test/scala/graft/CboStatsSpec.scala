@@ -156,6 +156,49 @@ class CboStatsSpec extends AnyFunSuite {
       rows.length > 1500) // ~1667 rows with tiny_k == 1
   }
 
+  test("frequent items make skewed string equality estimate truthfully") {
+    wh
+    spark.sql("""CREATE TABLE gc.db.status (pk BIGINT, ts INT, status STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    import spark.implicits._
+    // categorical skew: 'FAILED' at 0.1% of rows, 'OK' dominating —
+    // NDV-uniform (1/3) estimates ~1333 rows for either predicate
+    val n = 4000
+    (1 to n).map { i =>
+      val s = if (i % 1000 == 0) "FAILED" else if (i % 10 == 0) "RETRY" else "OK"
+      (i.toLong, 0, s)
+    }.toDF("pk", "ts", "status").createOrReplaceTempView("status_src")
+    spark.sql("INSERT INTO gc.db.status SELECT * FROM status_src")
+    spark.sql("CALL gc.system.analyze('db.status')").collect()
+
+    def scanEstimate(value: String): BigInt = {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val plan = spark.sql(
+          s"SELECT pk FROM gc.db.status WHERE status = '$value'")
+          .queryExecution.optimizedPlan
+        val rel = plan.collect { case r: DataSourceV2ScanRelation => r }
+        assert(rel.nonEmpty, s"expected a v2 scan relation in:\n$plan")
+        rel.head.stats.rowCount.get
+      } finally spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    def truth(value: String): Long = spark.sql(
+      s"SELECT count(*) FROM gc.db.status WHERE status = '$value'")
+      .collect().head.getLong(0)
+
+    // within 2x of truth on BOTH tails of the skew (NDV-uniform would
+    // put each at n/3 ≈ 1333 — 300x off for the rare value)
+    Seq("FAILED", "OK", "RETRY").foreach { v =>
+      val est = scanEstimate(v).toLong
+      val t = truth(v)
+      assert(est <= 2 * t && t <= 2 * est,
+        s"'$v': scan estimate $est vs truth $t must agree within 2x")
+    }
+    // predicates the stats can't speak to keep the exact file count
+    assert(scanEstimate("NEVER_SEEN") <= truth("FAILED") * 2,
+      "an unseen value estimates from the residual mass, never above a rare item")
+  }
+
   test("histograms move a skewed-predicate estimate toward truth") {
     wh
     spark.sql("""CREATE TABLE gc.db.skew (pk BIGINT, ts INT, v INT)

@@ -120,6 +120,32 @@ class ColumnDefaultsSpec extends AnyFunSuite {
       "ALTER TABLE dft.db.t3 ALTER COLUMN s.f SET DEFAULT 1"))
   }
 
+  test("nested ADD COLUMN DEFAULT backfills pre-existing rows through the struct rebuild") {
+    wh
+    spark.sql("""CREATE TABLE dft.db.t5 (pk BIGINT, ts INT,
+        s STRUCT<a: INT>) USING graft
+      TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO dft.db.t5 VALUES (1, 0, named_struct('a', 1))")
+    // a NULL parent struct must stay null through the backfill
+    spark.sql("INSERT INTO dft.db.t5 VALUES (2, 0, NULL)")
+    spark.sql("ALTER TABLE dft.db.t5 ADD COLUMN s.f INT DEFAULT 5")
+    // pre-field rows read the declared constant inside non-null parents
+    val got = spark.sql("SELECT pk, s.f FROM dft.db.t5 ORDER BY pk").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getInt(1)))
+    assert(got.toSeq == Seq((1L, 5), (2L, null)),
+      s"pre-field rows backfill 5 inside non-null structs, got ${got.toSeq}")
+    // post-add writers supply the field explicitly (struct shape is
+    // analysis-enforced) and their value wins
+    spark.sql("INSERT INTO dft.db.t5 VALUES (3, 0, named_struct('a', 2, 'f', 9))")
+    assert(spark.sql("SELECT s.f FROM dft.db.t5 WHERE pk = 3")
+      .collect()(0).getInt(0) == 9)
+    // validation applies at the nested path too
+    intercept[Exception](spark.sql(
+      "ALTER TABLE dft.db.t5 ADD COLUMN s.bad DOUBLE DEFAULT rand()"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE dft.db.t5 ADD COLUMN s.worse INT DEFAULT 'oops'"))
+  }
+
   test("non-constant defaults are rejected at ALTER time, not insert time") {
     wh
     spark.sql("""CREATE TABLE dft.db.t4 (pk BIGINT, ts INT, c DOUBLE)

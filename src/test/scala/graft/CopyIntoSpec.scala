@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `COPY INTO` (Delta's idempotent file-loading spelling) through the
+  * parser fallback: loaded files leave markers and are skipped by later
+  * COPYs; the load itself rides the table's precombine upsert, so a
+  * crash between commit and marker re-ingests idempotently.
+  */
+class CopyIntoSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft_copy_wh").toString
+    spark.conf.set("spark.sql.catalog.cpy", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cpy.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cpy.db")
+    dir
+  }
+
+  private def stage(rows: Seq[(Long, String)], dir: String,
+      nFiles: Int = 1): Unit = {
+    import spark.implicits._
+    rows.toDF("pk", "v").withColumn("ts",
+      org.apache.spark.sql.functions.lit(0))
+      .repartition(nFiles).write.mode("append").parquet(dir)
+  }
+
+  test("idempotent loads: markers skip, late arrivals land alone") {
+    wh
+    val staging = Files.createTempDirectory("copy_stage").toString
+    stage(Seq((1L, "a"), (2L, "b")), staging, nFiles = 2)
+    spark.sql("""CREATE TABLE cpy.db.t (pk BIGINT, v STRING, ts INT)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    val r1 = spark.sql(
+      s"COPY INTO cpy.db.t FROM '$staging' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(r1.getLong(0) == 2 && r1.getLong(1) == 0 && r1.getLong(2) == 2,
+      s"two staged files load on the first COPY, got $r1")
+    val r2 = spark.sql(s"COPY INTO cpy.db.t FROM '$staging'").collect().head
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 2,
+      s"re-COPY must skip both loaded files, got $r2")
+    stage(Seq((3L, "c")), staging)
+    val r3 = spark.sql(s"COPY INTO cpy.db.t FROM '$staging'").collect().head
+    assert(r3.getLong(0) == 1 && r3.getLong(1) == 2 && r3.getLong(2) == 1,
+      s"only the late arrival loads, got $r3")
+    assert(spark.sql("SELECT v FROM cpy.db.t ORDER BY pk").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("PATTERN narrows the candidate set; csv loads through the header") {
+    wh
+    val staging = Files.createTempDirectory("copy_pat").toString
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(name: String, text: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, name), true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+    put("a.csv", "pk,v,ts\n1,x,0\n")
+    put("b.csv", "pk,v,ts\n2,y,0\n")
+    put("junk.txt", "not,data\n")
+    spark.sql("""CREATE TABLE cpy.db.c (pk BIGINT, v STRING, ts INT)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    val r = spark.sql(s"COPY INTO cpy.db.c FROM '$staging' " +
+      "FILEFORMAT = CSV PATTERN = '*.csv'").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(2) == 2, s"got $r")
+    assert(spark.sql("SELECT v FROM cpy.db.c ORDER BY pk").collect()
+      .map(_.getString(0)).toSeq == Seq("x", "y"))
+    // unsupported formats refuse loud
+    intercept[Exception](spark.sql(
+      s"COPY INTO cpy.db.c FROM '$staging' FILEFORMAT = AVRO").collect())
+  }
+
+  test("a staged file missing a table column fails loud, loads nothing") {
+    wh
+    val staging = Files.createTempDirectory("copy_bad").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("pk", "v") // no ts column
+      .write.mode("append").parquet(staging)
+    spark.sql("""CREATE TABLE cpy.db.bad (pk BIGINT, v STRING, ts INT)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    intercept[Exception](spark.sql(
+      s"COPY INTO cpy.db.bad FROM '$staging'").collect())
+    assert(spark.sql("SELECT count(*) FROM cpy.db.bad")
+      .collect().head.getLong(0) == 0)
+    // and the failed files are NOT marked loaded — a corrected re-COPY
+    // after fixing the staging would still see them (markers only
+    // follow a successful commit)
+    val markers = new org.apache.hadoop.fs.Path(s"$wh/db/bad/_log/_copy")
+    val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(markers) || fs.listStatus(markers).isEmpty)
+  }
+}

@@ -215,6 +215,48 @@ class OptimizeVacuumSpec extends AnyFunSuite {
     assert(spark.sql("DESCRIBE ov.db.dd pk").collect().nonEmpty)
   }
 
+  test("bounded compactSmall: a mid-backlog crash keeps committed bins; re-run drains the rest") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("optbatch").resolve("t").toString
+    val t = graft.lake.LakeTable(spark, graft.lake.LakeTableConfig(root,
+      keyCols = Seq("pk"), precombineCol = "ts", partitionCols = Seq("part"),
+      storageType = "mor"))
+    // a deep small-file backlog: a base seed, then 3 micro-batch-style
+    // upserts x 4 partitions = 3 small delta files per partition
+    (0 until 4).foreach { k =>
+      t.upsert((1 to 4).map(p => (k * 10L + p, p, s"v$k-$p", k))
+        .toDF("pk", "part", "v", "ts"))
+    }
+    def fragmented: Set[String] = t.log.liveFiles().filter(_.isDelta)
+      .groupBy(_.partition).filter(_._2.size > 1).keySet
+    assert(fragmented.size == 4, s"fixture wants 4 fragmented partitions, got $fragmented")
+    val preCommits = t.log.commits.size
+
+    // two partitions per commit; the job dies right after the FIRST
+    // batch commit (the crash window between batches)
+    val boom = intercept[RuntimeException] {
+      t.compactSmall(maxBytes = 64L * 1024 * 1024, maxPartitionsPerCommit = 2,
+        onBatchCommitted = _ => throw new RuntimeException("killed mid-backlog"))
+    }
+    assert(boom.getMessage.contains("killed"))
+    // partial progress SURVIVED: one batch committed, two partitions
+    // drained, the other two still fragmented
+    assert(fragmented.size == 2,
+      s"exactly the first batch's partitions must be drained, got $fragmented")
+    assert(t.log.commits.count(_.op == "delta_compact") == 1)
+
+    // the re-run recomputes the remaining victims and finishes the job
+    t.compactSmall(maxBytes = 64L * 1024 * 1024, maxPartitionsPerCommit = 2)
+    assert(fragmented.isEmpty, "re-run must drain the backlog")
+    assert(t.log.commits.count(_.op == "delta_compact") == 2,
+      "one commit per two-partition batch")
+    assert(t.log.commits.size == preCommits + 2)
+    // rows and content unchanged by the physical reorganization
+    assert(t.read().count() == 16)
+    assert(t.read().filter($"pk" === 33L).select("v").collect()
+      .head.getString(0) == "v3-3")
+  }
+
   test("non-graft identifiers and plain syntax errors keep Spark's error") {
     wh
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
