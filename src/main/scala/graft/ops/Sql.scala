@@ -1522,7 +1522,7 @@ object Sql {
     GQuery("lake_sql_txn",
       (s, d) => {
         val cat = dmlFixture(s, d)
-        built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:sqltxn", _ => {
+        built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:sqltxn", _ => try {
           s.sql(s"""CREATE TABLE $cat.db.txn_a (n_nationkey INT,
               n_name STRING, n_regionkey INT, update_ts INT) USING graft
             TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
@@ -1545,6 +1545,11 @@ object Sql {
             FROM sql_nation_src GROUP BY n_regionkey""")
           s.sql("COMMIT").collect()
           cat
+        } catch {
+          // a mid-fixture failure must not leave the SESSION transaction
+          // open (it would silently stage every later fixture's writes)
+          case e: Throwable =>
+            scala.util.Try(s.sql("ROLLBACK").collect()); throw e
         })
         s.sql(s"""SELECT a.n_nationkey AS k, a.n_name AS name,
             b.region_n AS region_n
