@@ -24,9 +24,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("lake_upsert_snapshot")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. A duplicate
+    * name across modules would SILENTLY collapse in the map — one
+    * query's oracle would shadow another's and the gate would count one
+    * fewer check than the catalog declares — so it fails loud here. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names in the catalog: ${dups.mkString(", ")}")
     all.map(q => q.name -> q.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

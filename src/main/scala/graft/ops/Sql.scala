@@ -1569,6 +1569,35 @@ object Sql {
           (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM nation) AS region_n
         ORDER BY k, name""")),
 
+    // ---- CREATE TABLE ... SHALLOW CLONE (r16) -----------------------------
+    // the Delta spelling of CALL graft.system.clone (which lake_sql_clone
+    // covers at head): a zero-copy clone pinned to the PRE-UPDATE
+    // snapshot must read exactly that state while the source moved on;
+    // IF NOT EXISTS re-clone is a no-op
+    GQuery("lake_sql_shallow_clone",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:sqlclone", _ => {
+          s.sql(s"""CREATE TABLE $cat.db.ncl (n_nationkey INT,
+              n_name STRING, update_ts INT) USING graft
+            TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+          s.sql(s"""INSERT INTO $cat.db.ncl
+            SELECT n_nationkey, n_name, 0 FROM sql_nation_src""")
+          s.sql(s"""INSERT INTO $cat.db.ncl
+            SELECT n_nationkey, n_name || '!', 1 FROM sql_nation_src
+            WHERE n_regionkey = 1""")
+          s.sql(s"""CREATE TABLE $cat.db.ncl_v0 SHALLOW CLONE $cat.db.ncl
+            VERSION AS OF 0""").collect()
+          // idempotent spelling: an existing target is a silent no-op
+          s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.db.ncl_v0
+            SHALLOW CLONE $cat.db.ncl""").collect()
+          cat
+        })
+        s.sql(s"""SELECT n_nationkey, n_name
+          FROM $cat.db.ncl_v0 ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""")),
+
     // ---- COPY INTO (r16) --------------------------------------------------
     // idempotent landing-directory loads: two staged files COPY in, a
     // re-COPY is a no-op, a later arrival COPYs alone — the final state

@@ -1152,6 +1152,46 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     graft.lake.LakeTable(spark, desc.config(root))
   }
 
+  /** Zero-copy shallow clone at a snapshot (None = latest), published
+    * with the staged-create choreography: the clone's metadata lands in
+    * a hidden sibling (its commits reference the SOURCE's files by
+    * absolute path, so the rename moves nothing it points at), the
+    * descriptor is saved into the stage, and one atomic rename makes
+    * the table exist. Shared by `CALL graft.system.clone` and the
+    * `CREATE TABLE ... SHALLOW CLONE` spelling. Returns the clone's
+    * head commit id. */
+  private[sql] def cloneTable(srcName: String, dstName: String,
+      asOf: Option[Long]): Long = {
+    val src = lakeFor(srcName)
+    val parts = dstName.split('.')
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"bad clone target '$dstName' (expected [ns.]table)")
+    val tgt = Identifier.of(parts.init, parts.last)
+    val root = tablePath(tgt)
+    val stage = hiddenSibling(tgt, "stage")
+    val clone = src.shallowClone(stage.toString, asOf)
+    val desc = TableDescriptor.load(src.config.root, hconf)
+      .getOrElse(throw new IllegalStateException(
+        s"clone source $srcName has no catalog descriptor"))
+    TableDescriptor.save(stage.toString, desc.copy(
+      schemaJson = clone.log.schemaJsonAsOf(None)
+        .getOrElse(desc.schemaJson)), hconf)
+    // resolve the head BEFORE the publish rename: the handle points at
+    // the STAGE path, which stops existing the moment the rename lands
+    val head = clone.log.latestId.getOrElse(-1L)
+    GraftCatalog.publishLock.synchronized {
+      if (isTableDir(root)) {
+        fs.delete(stage, true)
+        throw new TableAlreadyExistsException(tgt)
+      }
+      if (fs.exists(root)) fs.delete(root, true)
+      fs.mkdirs(root.getParent)
+      require(fs.rename(stage, root),
+        s"failed to publish clone ${tgt}")
+    }
+    head
+  }
+
   override def loadProcedure(ident: Identifier):
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace.sameElements(GraftProcedures.Namespace),
@@ -1189,35 +1229,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         Seq("table" -> org.apache.spark.sql.types.StringType,
           "target" -> org.apache.spark.sql.types.StringType,
           "commit" -> org.apache.spark.sql.types.LongType),
-        in => {
-          val srcName = in.getUTF8String(0).toString
-          val src = lakeFor(srcName)
-          val parts = in.getUTF8String(1).toString.split('.')
-          require(parts.length >= 1 && parts.forall(_.nonEmpty),
-            s"bad clone target '${in.getUTF8String(1)}' (expected [ns.]table)")
-          val tgt = Identifier.of(parts.init, parts.last)
-          val root = tablePath(tgt)
-          val stage = hiddenSibling(tgt, "stage")
-          val asOf = Some(in.getLong(2)).filter(_ >= 0)
-          val clone = src.shallowClone(stage.toString, asOf)
-          val desc = TableDescriptor.load(src.config.root, hconf)
-            .getOrElse(throw new IllegalStateException(
-              s"clone source $srcName has no catalog descriptor"))
-          TableDescriptor.save(stage.toString, desc.copy(
-            schemaJson = clone.log.schemaJsonAsOf(None)
-              .getOrElse(desc.schemaJson)), hconf)
-          GraftCatalog.publishLock.synchronized {
-            if (isTableDir(root)) {
-              fs.delete(stage, true)
-              throw new TableAlreadyExistsException(tgt)
-            }
-            if (fs.exists(root)) fs.delete(root, true)
-            fs.mkdirs(root.getParent)
-            require(fs.rename(stage, root),
-              s"failed to publish clone ${tgt}")
-          }
-          clone.log.latestId.getOrElse(-1L)
-        })
+        in => cloneTable(in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString,
+          Some(in.getLong(2)).filter(_ >= 0)))
     else if (ident.name == "publish")
       // CALL graft.system.publish('db.t', 'db.t_audit') — the publish
       // step of write-audit-publish: the audit table (a shallow clone of

@@ -275,6 +275,38 @@ private[sql] final case class GraftCopyIntoCommand(
   }
 }
 
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` — the Delta
+  * spelling of `CALL graft.system.clone`: a zero-copy metadata clone
+  * (the clone's commits reference the source's files by absolute path;
+  * physical maintenance only ever deletes OWNED files, so neither table
+  * can corrupt the other), optionally pinned to a source snapshot.
+  * Both identifiers must land in the same graft catalog. */
+private[sql] final case class GraftCloneCommand(
+    catName: String, dstNs: Seq[String], dstName: String,
+    srcParts: Seq[String], version: Option[Long], ifNotExists: Boolean)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned_commit", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = ViewResolution.graftCatalog(session, catName).getOrElse(
+      throw new IllegalArgumentException(s"catalog $catName is not a graft catalog"))
+    val src = ViewResolution.resolve(session, srcParts).getOrElse(
+      throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map(
+        "relationName" -> srcParts.mkString("."))))
+    require(src._1.name == catName,
+      s"SHALLOW CLONE source must live in the same graft catalog " +
+        s"($catName), got ${src._1.name}")
+    val dstIdent = org.apache.spark.sql.connector.catalog.Identifier
+      .of(dstNs.toArray, dstName)
+    if (ifNotExists && cat.tableExists(dstIdent)) return Seq(Row(-1L))
+    val cid = cat.cloneTable((src._2 :+ src._3).mkString("."),
+      (dstNs :+ dstName).mkString("."), version)
+    Seq(Row(cid))
+  }
+}
+
 /** `RESTORE TABLE t TO VERSION AS OF n` — the Delta spelling of
   * `CALL graft.system.restore`: roll the timeline back to commit `n`
   * (later commits retire; time travel ABOVE the restore point keeps

@@ -61,7 +61,19 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?" +
       "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*$").r
 
+  private val CloneRe =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)" +
+      "\\s+SHALLOW\\s+CLONE\\s+([\\w.`]+)" +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$").r
+
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
+    case CloneRe(ine, dst, src, ver) =>
+      val dstParts = delegate.parseMultipartIdentifier(dst)
+      val srcParts = delegate.parseMultipartIdentifier(src)
+      ViewResolution.resolve(session, dstParts).map { case (cat, ns, name) =>
+        GraftCloneCommand(cat.name, ns, name, srcParts,
+          Option(ver).map(_.toLong), ifNotExists = ine != null)
+      }
     case CopyRe(ident, src, fmt, pat) =>
       val parts = delegate.parseMultipartIdentifier(ident)
       ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>

@@ -257,6 +257,39 @@ class OptimizeVacuumSpec extends AnyFunSuite {
       .head.getString(0) == "v3-3")
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE pins a snapshot; tables stay independent") {
+    wh
+    spark.sql("""CREATE TABLE ov.db.src (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO ov.db.src VALUES (1, 0, 'a'), (2, 0, 'b')")
+    spark.sql("INSERT INTO ov.db.src VALUES (1, 1, 'a2')")
+    val out = spark.sql(
+      "CREATE TABLE ov.db.cl SHALLOW CLONE ov.db.src VERSION AS OF 0")
+      .collect().head
+    assert(out.getLong(0) >= 0)
+    assert(spark.sql("SELECT v FROM ov.db.cl ORDER BY pk").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"),
+      "the clone must read the PINNED snapshot, not the head")
+    // independence both ways: source writes invisible to the clone,
+    // clone writes invisible to the source
+    spark.sql("INSERT INTO ov.db.src VALUES (3, 0, 'c')")
+    spark.sql("INSERT INTO ov.db.cl VALUES (9, 0, 'z')")
+    assert(spark.sql("SELECT count(*) FROM ov.db.cl").collect().head.getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM ov.db.src").collect().head.getLong(0) == 3)
+    assert(spark.sql("SELECT v FROM ov.db.src WHERE pk = 1")
+      .collect().head.getString(0) == "a2")
+    // IF NOT EXISTS: existing target is a silent no-op
+    assert(spark.sql(
+      "CREATE TABLE IF NOT EXISTS ov.db.cl SHALLOW CLONE ov.db.src")
+      .collect().head.getLong(0) == -1L)
+    // without it, an existing target refuses
+    intercept[Exception](spark.sql(
+      "CREATE TABLE ov.db.cl SHALLOW CLONE ov.db.src").collect())
+    // an ordinary CREATE TABLE still parses through Spark untouched
+    spark.sql("""CREATE TABLE ov.db.plain (pk BIGINT, ts INT)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+  }
+
   test("non-graft identifiers and plain syntax errors keep Spark's error") {
     wh
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
