@@ -56,7 +56,11 @@ final class GraftBatchScan(
     pushed: Array[Filter],
     physicalSchema: StructType,
     initialFiles: Seq[FileAdd],
-    dvByTarget: Map[String, Seq[FileAdd]] = Map.empty)
+    dvByTarget: Map[String, Seq[FileAdd]] = Map.empty,
+    /** the subset of `pushed` the partition prover claimed FULLY
+      * handled — their row selection is already exact in the file
+      * list, so statistics must not re-apply their selectivity */
+    claimedExact: Array[Filter] = Array.empty)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeV2Filtering
   with SupportsReportPartitioning {
@@ -106,7 +110,10 @@ final class GraftBatchScan(
     * PLAN (join order, broadcast choice), never results. */
   private def freqAdjusted(exact: Long): Long = analyzed match {
     case Some(cs) if cs.rows > 0 =>
-      val sel = pushed.foldLeft(1.0) { (acc, f) =>
+      // claimed filters are ALREADY exact in the pruned file list (the
+      // partition prover selected precisely their rows) — applying a
+      // table-level selectivity on top would double-count them
+      val sel = pushed.filterNot(claimedExact.contains).foldLeft(1.0) { (acc, f) =>
         def est(attr: String, values: Seq[String]): Option[Double] =
           cs.cols.get(attr).flatMap { st =>
             val counts = values.flatMap(v =>

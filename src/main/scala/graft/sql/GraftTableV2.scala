@@ -727,7 +727,7 @@ private[sql] final class GraftScanBuilder(table: GraftTableV2)
       (if (nativeOk) table.nativeScanPlan(pred) else None) match {
         case Some((files, physical, dvByTarget)) =>
           new GraftBatchScan(table.spark0, table, required, pushed,
-            physical, files, dvByTarget)
+            physical, files, dvByTarget, claimedExact = claimed)
         case None => new V1Scan {
           override def readSchema(): StructType = required
 

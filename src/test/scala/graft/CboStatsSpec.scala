@@ -199,6 +199,31 @@ class CboStatsSpec extends AnyFunSuite {
       "an unseen value estimates from the residual mass, never above a rare item")
   }
 
+  test("claimed partition filters are never double-counted by frequent items") {
+    wh
+    spark.sql("""CREATE TABLE gc.db.pstat (pk BIGINT, ts INT, status STRING)
+                 USING graft PARTITIONED BY (status)
+                 TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    import spark.implicits._
+    (1 to 1000).map(i => (i.toLong, 0, if (i % 100 == 0) "FAILED" else "OK"))
+      .toDF("pk", "ts", "status").createOrReplaceTempView("pstat_src")
+    spark.sql("INSERT INTO gc.db.pstat SELECT * FROM pstat_src")
+    spark.sql("CALL gc.system.analyze('db.pstat')").collect()
+    // status is a PARTITION column: the equality is claimed (file
+    // pruning IS row selection), so the pruned exact count must come
+    // back UNSCALED — multiplying by the value's share again would
+    // underestimate by that share
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val plan = spark.sql("SELECT pk FROM gc.db.pstat WHERE status = 'OK'")
+        .queryExecution.optimizedPlan
+      val est = plan.collect { case r: DataSourceV2ScanRelation => r }
+        .head.stats.rowCount.get.toLong
+      assert(est == 990L,
+        s"claimed-partition estimate must be the exact pruned count, got $est")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("histograms move a skewed-predicate estimate toward truth") {
     wh
     spark.sql("""CREATE TABLE gc.db.skew (pk BIGINT, ts INT, v INT)
