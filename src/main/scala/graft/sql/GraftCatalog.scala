@@ -719,7 +719,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // NOT layout identity: setting it is partition-spec EVOLUTION
     // (future writes only; per-file spec ids keep old files readable —
     // LakeTable.evolvePartitionSpec), the one sanctioned layout change
-    "partitionTransforms")
+    "partitionTransforms",
+    // materialized views only: retunes the rewrite's staleness budget
+    "maxStaleness")
 
   private def alterProperties(
       root: String, desc: TableDescriptor,
@@ -750,6 +752,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "checkMode" => d.copy(checkMode = s.value)
           case "shredPaths" => d.copy(shredPaths =
             s.value.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
+          case "maxStaleness" =>
+            // materialized views only: retune the transparent rewrite's
+            // staleness budget post-create (0 = back to the exact gate)
+            val mv = Option(d.matView).getOrElse(throw
+              new UnsupportedOperationException(
+                "maxStaleness applies to MATERIALIZED VIEWS only"))
+            val n = s.value.toIntOption.filter(_ >= 0).getOrElse(throw
+              new IllegalArgumentException(
+                s"maxStaleness must be a non-negative commit count, got '${s.value}'"))
+            d.copy(matView = mv.copy(maxStalenessCommits = n))
           case "partitionTransforms" =>
             // spec evolution routes through the engine API (validation,
             // prior-spec bookkeeping, persist); merge ONLY the spec
@@ -779,6 +791,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "checks" => d.copy(checks = Map.empty)
           case "checkMode" => d.copy(checkMode = "fail")
           case "shredPaths" => d.copy(shredPaths = Seq.empty)
+          case "maxStaleness" =>
+            Option(d.matView).fold(d)(mv =>
+              d.copy(matView = mv.copy(maxStalenessCommits = 0)))
           case "partitionTransforms" =>
             // unset = evolve back to the identity spec (future writes).
             // Already-identity specs are a no-op, not an error — every

@@ -406,6 +406,22 @@ class ViewSpec extends AnyFunSuite {
       Seq("r1", 2L, 30L), Seq("r2", 1L, 5L), Seq("r3", 2L, 90L),
       Seq("r4", 1L, 60L)))
 
+    // ALTER retunes the budget post-create: widen it past the lag and
+    // the stale MV serves again; back to exact and it falls back. The
+    // MV stays CURRENT here (just refreshed), so we age it first.
+    spark.sql("INSERT INTO gv.db.sfact VALUES (7, 0, 70, 'r4')")
+    spark.sql("INSERT INTO gv.db.sfact VALUES (8, 0, 80, 'r4')")
+    spark.sql("INSERT INTO gv.db.sfact VALUES (9, 0, 90, 'r4')")
+    assert(!readsMv, "lag 3 > tolerance 2")
+    spark.sql(
+      "ALTER TABLE gv.db.sfact_mv SET TBLPROPERTIES ('maxStaleness'='10')")
+    assert(readsMv, "the widened budget must serve the lagging MV again")
+    spark.sql("ALTER TABLE gv.db.sfact_mv UNSET TBLPROPERTIES ('maxStaleness')")
+    assert(!readsMv, "dropping the budget restores the exact gate")
+    // and on a NON-MV table the property refuses
+    intercept[Exception](spark.sql(
+      "ALTER TABLE gv.db.sfact SET TBLPROPERTIES ('maxStaleness'='5')"))
+
     // an unknown property must fail loudly, not be silently dropped
     val err = intercept[Exception](spark.sql(
       """CREATE MATERIALIZED VIEW gv.db.sfact_mv2 TBLPROPERTIES (bogus='1')
