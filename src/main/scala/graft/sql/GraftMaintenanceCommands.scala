@@ -214,6 +214,14 @@ private[sql] final case class GraftCopyIntoCommand(
   }
 
   override def run(session: SparkSession): Seq[Row] = {
+    // COPY INTO does not enlist in the session transaction (its marker
+    // protocol is its own idempotence mechanism, written after the load
+    // commit publishes) — running it inside one would SILENTLY publish
+    // while the user's other writes stay staged, so refuse loud
+    require(GraftSessionTxn.current(session).isEmpty,
+      "COPY INTO inside an open transaction is not supported — COMMIT or " +
+        "ROLLBACK first (the load is idempotent on its own: re-running " +
+        "skips already-loaded files)")
     val cat = ViewResolution.graftCatalog(session, catName).getOrElse(
       throw new IllegalArgumentException(s"catalog $catName is not a graft catalog"))
     val root = cat.tableRoot(ns, name)

@@ -195,6 +195,44 @@ class TxnSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2, "post-ROLLBACK reads are unstaged again")
   }
 
+  test("SQL txn: MERGE and DELETE stage too; COPY INTO refuses inside one") {
+    val dir = freshDir()
+    spark.conf.set("spark.sql.catalog.txnsq2", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.txnsq2.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS txnsq2.db")
+    spark.sql("""CREATE TABLE txnsq2.db.t (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO txnsq2.db.t VALUES (1, 0, 'a'), (2, 0, 'b'), (3, 0, 'c')")
+    def outside(): Map[Long, String] =
+      LakeTable(spark, LakeTableConfig(s"$dir/db/t",
+        keyCols = Seq("pk"), precombineCol = "ts")).read()
+        .select("pk", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    spark.sql("BEGIN")
+    spark.sql("""MERGE INTO txnsq2.db.t t
+      USING (SELECT 1L AS pk, 1 AS ts, 'a2' AS v) s ON t.pk = s.pk
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql("DELETE FROM txnsq2.db.t WHERE pk = 3")
+    // staged: invisible outside, read-your-writes inside
+    assert(outside() == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(spark.sql("SELECT count(*) FROM txnsq2.db.t")
+      .collect().head.getLong(0) == 2)
+    // COPY INTO refuses inside the transaction, loudly, before loading
+    val staging = freshDir()
+    spark.sql("SELECT 9L AS pk, 0 AS ts, 'z' AS v").write.parquet(s"$staging/p")
+    val e = intercept[Exception](spark.sql(
+      s"COPY INTO txnsq2.db.t FROM '$staging/p'").collect())
+    assert(e.getMessage.contains("transaction"))
+    spark.sql("COMMIT")
+    assert(outside() == Map(1L -> "a2", 2L -> "b"),
+      "MERGE update and DELETE must publish atomically at COMMIT")
+    // and the refused COPY INTO works fine after the decision
+    spark.sql(s"COPY INTO txnsq2.db.t FROM '$staging/p'").collect()
+    assert(outside() == Map(1L -> "a2", 2L -> "b", 9L -> "z"))
+  }
+
   test("read-your-writes: later txn writes see earlier ones; decide is terminal") {
     val dir = freshDir()
     val a = mk(s"$dir/a")
