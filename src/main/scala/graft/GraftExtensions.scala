@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent materialized-view rewrite (fresh MVs answer matching
     // aggregates; disable with spark.graft.mvRewrite=false)
     ext.injectOptimizerRule(spark => sql.GraftMvRewrite(spark))
+    // plan-time skew-join mitigation from ANALYZE frequent-items stats
+    // (broadcast override or hot-key salting; disable with
+    // spark.graft.skewJoin.enabled=false). Pre-CBO: scans are already
+    // pushed-down DSv2 relations with commit-log-exact sizes, and join
+    // reordering sees the re-shaped join.
+    ext.injectPreCBORule(spark => sql.GraftSkewJoinRule(spark))
   }
 }
 

@@ -85,8 +85,18 @@ object ColStats {
     if (!fs.exists(p)) None
     else {
       val in: java.io.InputStream = fs.open(p)
-      try Some(mapper.readValue(in, classOf[ColStatsFile]))
+      val raw = try mapper.readValue(in, classOf[ColStatsFile])
       finally in.close()
+      // Jackson erases Map[String, Long] values to Integer on read-back;
+      // re-materialize real longs ONCE here so every consumer sees the
+      // declared type instead of carrying an erased-map workaround
+      Some(raw.copy(cols = raw.cols.map { case (n, st) =>
+        n -> (if (st.freq == null) st
+        else st.copy(freq = st.freq.asInstanceOf[Map[String, Any]].map {
+          case (k, v: Number) => k -> v.longValue
+          case (k, v) => k -> v.toString.toLong
+        }))
+      }))
     }
   }
 
@@ -279,18 +289,11 @@ object ColStats {
     * frequent-items pass (high-cardinality or pre-upgrade artifact). */
   private[graft] def equalityEstimate(st: ColStat, rows: Long,
       value: String): Option[Double] =
-    Option(st.freq).map { fr0 =>
-      // Jackson erases Map[String, Long] values to Integer on read-back,
-      // so the map must be consumed erased — any typed access unboxes
-      val fr = fr0.asInstanceOf[Map[String, Any]]
-      def asLong(v: Any): Long = v match {
-        case n: Number => n.longValue
-        case other => other.toString.toLong
-      }
+    Option(st.freq).map { fr =>
       fr.get(value) match {
-        case Some(n) => asLong(n).toDouble
+        case Some(n) => n.toDouble
         case None =>
-          val kept = fr.values.map(asLong).sum
+          val kept = fr.values.sum
           val restNdv = math.max(st.ndv - fr.size, 1L)
           math.max((rows - st.nulls - kept).toDouble, 0.0) / restNdv
       }
