@@ -243,6 +243,20 @@ final class MaterializedAgg(
     dimsFresh && source.log.latestId.exists(h =>
       applied.exists(a => h - a <= math.max(0, tolerance).toLong))
 
+  /** wall-clock bounded-staleness variant (`maxStaleness='5m'` MVs):
+    * the MV stopped reflecting reality the moment the FIRST unapplied
+    * source commit published, so the served answer's staleness is the
+    * age of that commit — serve while it is younger than `windowMs`.
+    * An applied head (no unapplied commit) is exact regardless of age.
+    * Dim movement is never tolerated, same as [[freshWithin]]. */
+  def freshWithinMs(windowMs: Long): Boolean =
+    dimsFresh && source.log.latestId.exists { h =>
+      applied.exists { a =>
+        h <= a || source.log.commits.find(_.id > a).forall(c =>
+          System.currentTimeMillis() - c.tsMillis <= windowMs)
+      }
+    }
+
   private def aggOf(df: DataFrame): DataFrame =
     df.groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as(countCol),

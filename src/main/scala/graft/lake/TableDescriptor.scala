@@ -144,7 +144,16 @@ final case class MatViewDescriptor(
       * gate: rewrite only when applied IS the head. Dim movement is
       * never tolerated (a moved dim changes join semantics, not just
       * recency). */
-    maxStalenessCommits: Int = 0)
+    maxStalenessCommits: Int = 0,
+    /** wall-clock staleness budget (`TBLPROPERTIES
+      * (maxStaleness='5m')`): the rewrite may serve while every
+      * UNAPPLIED source commit is younger than this window — users
+      * reason in time, and commit cadence varies wildly, so a commit
+      * budget is the wrong unit on a bursty table. Gated on the commit
+      * wall-clock timestamps already in the log ([[Commit.tsMillis]]).
+      * 0 = no time budget (the commit budget, or the exact gate,
+      * applies). */
+    maxStalenessMs: Long = 0L)
 
 /** One dimension-side join of a star-schema materialized view.
   * `usingCols` is the legacy same-named (USING-semantics) form; r16

@@ -570,6 +570,23 @@ object Sql {
         FROM $cat.db.mv_fact f LEFT JOIN $cat.db.mv_dim2 d
           ON f.l_returnflag = d.flag_id
         GROUP BY d.flag_label""")
+      // WHERE + star-join in ONE definition (r17): the delta-filter and
+      // dim-join maintenance paths compose; refreshed after c1 below
+      s.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_agg_jf AS
+        SELECT d.flag_name, count(*) AS n, sum(f.qty100) AS sum_qty100
+        FROM $cat.db.mv_fact f JOIN $cat.db.mv_dim d
+          ON f.l_returnflag = d.l_returnflag
+        WHERE f.l_linenumber <= 3
+        GROUP BY d.flag_name""")
+      // wall-clock bounded staleness (r17): a DURATION budget — created
+      // at c0, never refreshed; the unapplied c1 commit is seconds old,
+      // far inside '24h', so the rewrite serves the pinned c0 snapshot.
+      // Two dims so only this MV covers the (flag, linenumber) grouping.
+      s.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_agg_st
+        TBLPROPERTIES (maxStaleness='24h') AS
+        SELECT l_returnflag, l_linenumber, count(*) AS n,
+               sum(qty100) AS sum_qty100
+        FROM $cat.db.mv_fact GROUP BY l_returnflag, l_linenumber""")
       // c1: upsert every R row +100 — the refreshes below must apply the
       // DELTA (changed keys only), not rebuild
       s.sql(s"""INSERT INTO $cat.db.mv_fact
@@ -582,6 +599,7 @@ object Sql {
       s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg_j')").collect()
       s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg_jo')").collect()
       s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg_jl')").collect()
+      s.sql(s"CALL $cat.system.refresh_mv('db.mv_agg_jf')").collect()
       cat
     })
   }
@@ -1450,6 +1468,60 @@ object Sql {
         SELECT l_linenumber, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(q) AS BIGINT) AS sum_qty100
         FROM f0 GROUP BY l_linenumber ORDER BY l_linenumber""")),
+
+    // wall-clock bounded staleness (r17): mv_agg_st declares
+    // maxStaleness='24h' and was never refreshed past c0; the unapplied
+    // c1 commit is seconds old — far inside the window — so the rewrite
+    // serves the pinned c0 snapshot. The oracle recomputes c0 (no +100):
+    // it hash-matches ONLY if the time-gated rewrite actually answered;
+    // a base-scan fallback would return c1 values. Only mv_agg_st
+    // covers the two-dimension grouping.
+    GQuery("lake_sql_matview_stale_time",
+      (s, d) => {
+        val cat = matViewFixture(s, d)
+        s.sql(s"""SELECT l_returnflag, l_linenumber, count(*) AS n,
+            sum(qty100) AS sum_qty100
+          FROM $cat.db.mv_fact GROUP BY l_returnflag, l_linenumber
+          ORDER BY l_returnflag, l_linenumber""")
+      },
+      Some("""WITH f0 AS (
+          SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+            CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        SELECT l_returnflag, l_linenumber, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(q) AS BIGINT) AS sum_qty100
+        FROM f0 GROUP BY l_returnflag, l_linenumber
+        ORDER BY l_returnflag, l_linenumber""")),
+
+    // WHERE + star-schema join in ONE MV definition (r17): mv_agg_jf
+    // bakes in `l_linenumber <= 3` AND the dim join; it was refreshed
+    // after c1, so the maintenance composed the delta-filter with the
+    // dim-join path. The query restates the filter conjunct-for-conjunct
+    // (the rewrite's containment rule); values reflect c1 (+100 on R).
+    GQuery("lake_sql_matview_join_filtered",
+      (s, d) => {
+        val cat = matViewFixture(s, d)
+        s.sql(s"""SELECT d.flag_name, count(*) AS n, sum(f.qty100) AS sum_qty100
+          FROM $cat.db.mv_fact f JOIN $cat.db.mv_dim d
+            ON f.l_returnflag = d.l_returnflag
+          WHERE f.l_linenumber <= 3
+          GROUP BY d.flag_name ORDER BY d.flag_name""")
+      },
+      Some("""WITH f0 AS (
+          SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+            CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        f AS (
+          SELECT l_linenumber, l_returnflag,
+            q + CASE WHEN l_returnflag = 'R' THEN 100 ELSE 0 END AS qty100
+          FROM f0),
+        dim(l_returnflag, flag_name) AS (VALUES
+          ('A', 'accepted'), ('N', 'neutral'), ('R', 'returned'))
+        SELECT d.flag_name, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(f.qty100) AS BIGINT) AS sum_qty100
+        FROM f JOIN dim d ON f.l_returnflag = d.l_returnflag
+        WHERE f.l_linenumber <= 3
+        GROUP BY d.flag_name ORDER BY d.flag_name""")),
 
     // MERGE WITH SCHEMA EVOLUTION (r15): Spark's own
     // ResolveMergeIntoSchemaEvolution computes the source's new columns

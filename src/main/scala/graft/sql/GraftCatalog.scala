@@ -754,14 +754,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             s.value.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
           case "maxStaleness" =>
             // materialized views only: retune the transparent rewrite's
-            // staleness budget post-create (0 = back to the exact gate)
+            // staleness budget post-create (0 = back to the exact gate);
+            // an integer is a commit budget, a duration a wall-clock one
             val mv = Option(d.matView).getOrElse(throw
               new UnsupportedOperationException(
                 "maxStaleness applies to MATERIALIZED VIEWS only"))
-            val n = s.value.toIntOption.filter(_ >= 0).getOrElse(throw
-              new IllegalArgumentException(
-                s"maxStaleness must be a non-negative commit count, got '${s.value}'"))
-            d.copy(matView = mv.copy(maxStalenessCommits = n))
+            val (n, ms) = MvStaleness.parse(s.value)
+            d.copy(matView = mv.copy(
+              maxStalenessCommits = n, maxStalenessMs = ms))
           case "partitionTransforms" =>
             // spec evolution routes through the engine API (validation,
             // prior-spec bookkeeping, persist); merge ONLY the spec
@@ -792,8 +792,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "checkMode" => d.copy(checkMode = "fail")
           case "shredPaths" => d.copy(shredPaths = Seq.empty)
           case "maxStaleness" =>
-            Option(d.matView).fold(d)(mv =>
-              d.copy(matView = mv.copy(maxStalenessCommits = 0)))
+            Option(d.matView).fold(d)(mv => d.copy(matView =
+              mv.copy(maxStalenessCommits = 0, maxStalenessMs = 0L)))
           case "partitionTransforms" =>
             // unset = evolve back to the identity spec (future writes).
             // Already-identity specs are a no-op, not an error — every

@@ -106,9 +106,13 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         if jt == Inner || jt == org.apache.spark.sql.catalyst.plans.LeftOuter =>
       for {
         u <- unwrap(l)
-        // a filter BETWEEN joins restricts the join input in ways the
-        // top-level conjunct matcher can't see — bail to the base plan
-        if u.cond.isEmpty
+        // a LEFT-side filter (the optimizer pushes the query's WHERE
+        // below the join before this rule fires) references only the
+        // preserved side, so it COMMUTES with both INNER and LEFT OUTER
+        // joins — fold it into the top-level conjuncts the matcher
+        // compares. A filtered DIM side never matches asGraft and keeps
+        // disqualifying the rewrite (dim filters don't commute under
+        // LEFT OUTER null-extension).
         (dim, dimOut) <- asGraft(r)
         pairs <- keyPairsOf(cond, l, r)
       } yield u.copy(joins = u.joins :+ ((dim, pairs, jt != Inner)),
@@ -277,7 +281,9 @@ final case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // a vanished dim (dropped table) must fall back, not fail the query
     val agg = Try(MaterializedAgg.fromDescriptor(spark, source, mvRoot, mv))
       .toOption.getOrElse(return None)
-    if (!agg.freshWithin(mv.maxStalenessCommits)) return None
+    val freshEnough = agg.freshWithin(mv.maxStalenessCommits) ||
+      (mv.maxStalenessMs > 0 && agg.freshWithinMs(mv.maxStalenessMs))
+    if (!freshEnough) return None
 
     // splice the MV read as an analyzed subtree (aliases stripped — the
     // Finish-Analysis batch already ran) and re-aggregate on it

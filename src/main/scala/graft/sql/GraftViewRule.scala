@@ -127,14 +127,12 @@ private[sql] final case class GraftCreateMatViewCommand(
       throw new IllegalArgumentException(s"catalog $catName is not a graft catalog"))
     // TBLPROPERTIES: declared bounded staleness only — an unknown
     // property must fail loudly, not be silently dropped
-    val maxStaleness = properties.get("maxStaleness").map { v =>
-      v.toIntOption.filter(_ >= 0).getOrElse(throw new IllegalArgumentException(
-        s"maxStaleness must be a non-negative commit count, got '$v'"))
-    }.getOrElse(0)
+    val (maxStaleness, maxStalenessMs) = properties.get("maxStaleness")
+      .map(MvStaleness.parse).getOrElse((0, 0L))
     val unknown = properties.keySet - "maxStaleness"
     if (unknown.nonEmpty) throw new UnsupportedOperationException(
       s"unsupported materialized-view TBLPROPERTIES: ${unknown.mkString(", ")}" +
-        " (supported: maxStaleness — rewrite-eligible commit lag)")
+        " (supported: maxStaleness — rewrite-eligible commit lag or duration)")
     val hconf = session.sparkContext.hadoopConfiguration
     val ident = org.apache.spark.sql.connector.catalog.Identifier
       .of(ns.toArray, name)
@@ -348,7 +346,7 @@ private[sql] final case class GraftCreateMatViewCommand(
         else graft.lake.DimJoin(d.tableRoot, null, fks, dks,
           if (lo) "left" else "inner")
       },
-      maxStalenessCommits = maxStaleness)
+      maxStalenessCommits = maxStaleness, maxStalenessMs = maxStalenessMs)
     val mvDesc = TableDescriptor.fromConfig(mv.table.config)
       .copy(matView = mvDef)
     TableDescriptor.save(mvRoot, mvDesc, hconf)
@@ -360,5 +358,34 @@ private[sql] final case class GraftCreateMatViewCommand(
         TableDescriptor.save(root, d.copy(matViews = mvs :+ mvRoot), hconf)
     }
     Seq.empty
+  }
+}
+
+/** the `maxStaleness` TBLPROPERTY's two spellings (shared by CREATE
+  * MATERIALIZED VIEW and ALTER TABLE SET TBLPROPERTIES): a bare
+  * non-negative integer declares a COMMIT budget; a duration
+  * (`'500ms'`, `'30s'`, `'5m'`, `'2h'`, `'1d'`) declares a WALL-CLOCK
+  * budget gated on the commit timestamps already in the log — users
+  * reason in time, and commit cadence varies wildly, so the commit
+  * form is the wrong unit on a bursty table. */
+private[sql] object MvStaleness {
+  private val Duration = "(\\d+)(ms|s|m|h|d)".r
+
+  /** (commit budget, wall-clock budget ms) — exactly one is non-zero
+    * unless the property is '0' (back to the exact gate) */
+  def parse(v: String): (Int, Long) = v.trim.toLowerCase match {
+    case s if s.matches("\\d+") => (s.toInt, 0L)
+    case Duration(n, unit) =>
+      val ms = unit match {
+        case "ms" => 1L
+        case "s" => 1000L
+        case "m" => 60000L
+        case "h" => 3600000L
+        case "d" => 86400000L
+      }
+      (0, n.toLong * ms)
+    case other => throw new IllegalArgumentException(
+      "maxStaleness must be a non-negative commit count or a duration " +
+        s"('500ms', '30s', '5m', '2h', '1d'), got '$other'")
   }
 }

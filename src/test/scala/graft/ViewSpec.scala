@@ -433,6 +433,106 @@ class ViewSpec extends AnyFunSuite {
          AS SELECT region, count(*) AS n FROM gv.db.sfact GROUP BY region"""))
   }
 
+  test("wall-clock maxStaleness: serves inside the window, falls back beyond") {
+    wh
+    spark.sql("""CREATE TABLE gv.db.tfact (pk BIGINT, ts INT, qty INT, region STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""INSERT INTO gv.db.tfact VALUES
+      (1, 0, 10, 'r1'), (2, 0, 20, 'r1'), (3, 0, 5, 'r2')""")
+    spark.sql("""CREATE MATERIALIZED VIEW gv.db.tfact_mv
+      TBLPROPERTIES (maxStaleness='24h') AS
+      SELECT region, count(*) AS n, sum(CAST(qty AS BIGINT)) AS total
+      FROM gv.db.tfact GROUP BY region""")
+    val q = """SELECT region, count(*) AS n, sum(CAST(qty AS BIGINT)) AS total
+               FROM gv.db.tfact GROUP BY region"""
+    def readsMv: Boolean =
+      spark.sql(q).queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten.exists(_.contains("tfact_mv"))
+    val c0 = Seq(Seq("r1", 2L, 30L), Seq("r2", 1L, 5L))
+    assert(readsMv, "exactly fresh serves")
+
+    // an unapplied commit SECONDS old is far inside the 24h window:
+    // serves, answers pinned to the applied snapshot
+    spark.sql("INSERT INTO gv.db.tfact VALUES (4, 0, 40, 'r3')")
+    assert(readsMv, "seconds-old staleness inside '24h' must serve")
+    assert(rows(q + " ORDER BY region") == c0,
+      "a time-gated stale serve answers from the APPLIED snapshot")
+
+    // shrink the window under the unapplied commit's age → falls back
+    spark.sql("ALTER TABLE gv.db.tfact_mv SET TBLPROPERTIES ('maxStaleness'='1ms')")
+    Thread.sleep(50)
+    assert(!readsMv, "the unapplied commit is older than 1ms — must fall back")
+    assert(rows(q + " ORDER BY region") ==
+      Seq(Seq("r1", 2L, 30L), Seq("r2", 1L, 5L), Seq("r3", 1L, 40L)))
+
+    // widen it back → serves the pinned snapshot again
+    spark.sql("ALTER TABLE gv.db.tfact_mv SET TBLPROPERTIES ('maxStaleness'='2h')")
+    assert(readsMv, "the widened time budget must serve again")
+    assert(rows(q + " ORDER BY region") == c0)
+
+    // refresh → exact currency regardless of the window
+    rows("CALL gv.system.refresh_mv('db.tfact_mv')")
+    assert(readsMv)
+    assert(rows(q + " ORDER BY region") ==
+      Seq(Seq("r1", 2L, 30L), Seq("r2", 1L, 5L), Seq("r3", 1L, 40L)))
+
+    // malformed duration refuses loudly
+    val err = intercept[Exception](spark.sql(
+      "ALTER TABLE gv.db.tfact_mv SET TBLPROPERTIES ('maxStaleness'='5x')"))
+    assert(err.getMessage.contains("maxStaleness"))
+  }
+
+  test("WHERE + star-join in one MV definition maintains and rewrites") {
+    wh
+    spark.sql("""CREATE TABLE gv.db.jffact (pk BIGINT, ts INT, qty INT, rk STRING)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""CREATE TABLE gv.db.jfdim (rk STRING, ts INT, rname STRING)
+                 USING graft TBLPROPERTIES (keyCols='rk', precombineCol='ts')""")
+    spark.sql("""INSERT INTO gv.db.jffact VALUES
+      (1, 0, 10, 'a'), (2, 0, -2, 'a'), (3, 0, 5, 'b'), (4, 0, 7, 'b')""")
+    spark.sql("INSERT INTO gv.db.jfdim VALUES ('a', 0, 'alpha'), ('b', 0, 'beta')")
+    spark.sql("""CREATE MATERIALIZED VIEW gv.db.jf_mv AS
+      SELECT d.rname, count(*) AS n, sum(CAST(f.qty AS BIGINT)) AS total
+      FROM gv.db.jffact f JOIN gv.db.jfdim d ON f.rk = d.rk
+      WHERE f.qty > 0
+      GROUP BY d.rname""")
+    val q = """SELECT d.rname, count(*) AS n, sum(CAST(f.qty AS BIGINT)) AS total
+               FROM gv.db.jffact f JOIN gv.db.jfdim d ON f.rk = d.rk
+               WHERE f.qty > 0 GROUP BY d.rname"""
+    def readsMv: Boolean =
+      spark.sql(q).queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten.exists(_.contains("jf_mv"))
+    assert(readsMv, "fresh filtered star-join MV must serve")
+    assert(rows(q + " ORDER BY d.rname") ==
+      Seq(Seq("alpha", 1L, 10L), Seq("beta", 2L, 12L)))
+    // a query NOT restating the baked-in filter must not read the MV
+    val unfiltered = """SELECT d.rname, count(*) AS n
+      FROM gv.db.jffact f JOIN gv.db.jfdim d ON f.rk = d.rk GROUP BY d.rname"""
+    assert(!spark.sql(unfiltered).queryExecution.optimizedPlan.toString
+      .contains("jf_mv"))
+
+    // fact delta (one row passes the filter, one is filtered out):
+    // stale → falls back; refresh composes delta-filter + dim-join
+    spark.sql("INSERT INTO gv.db.jffact VALUES (5, 0, 100, 'a'), (6, 0, -9, 'b')")
+    assert(!readsMv, "stale filtered star-join MV must fall back")
+    rows("CALL gv.system.refresh_mv('db.jf_mv')")
+    assert(readsMv, "refreshed filtered star-join MV must serve again")
+    assert(rows(q + " ORDER BY d.rname") ==
+      Seq(Seq("alpha", 2L, 110L), Seq("beta", 2L, 12L)))
+  }
+
   test("filtered MV: WHERE in the definition maintains and rewrites") {
     wh
     spark.sql("""CREATE TABLE gv.db.factf (pk BIGINT, ts INT, qty INT, region STRING)
