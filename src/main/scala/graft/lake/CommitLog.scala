@@ -1195,12 +1195,15 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     * Savepointed snapshots are exempt: any file live at a savepoint stays
     * on disk (and its commit readable) until the savepoint is released.
     */
-  /** returns the number of data files physically deleted — the
-    * observability VACUUM reports (0 = nothing was reclaimable) */
-  def clean(retain: Int): Int = {
+  /** What [[clean]] WOULD do at this retain count: the horizon it would
+    * advance to (-1 = nothing reclaimable) and the exact files it would
+    * delete — the DRY RUN surface. Pure compute, nothing touched; the
+    * real clean consumes the same plan, so dry-run and apply can only
+    * diverge by commits landing in between. */
+  def cleanPlan(retain: Int): (Long, Seq[String]) = {
     require(retain >= 1, s"must retain at least the latest commit, got $retain")
     val ids = listIds
-    if (ids.size <= retain) return 0
+    if (ids.size <= retain) return (-1L, Seq.empty)
     // oldest id that stays travelable: files superseded at or before it
     // are unreferenced by every retained snapshot. Capped below any
     // staged transaction commit: the clean horizon gates archival and
@@ -1208,11 +1211,18 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     val cutoff0 = ids(ids.size - retain)
     val cutoff = stagedFloor.map(f => math.min(cutoff0, f - 1))
       .getOrElse(cutoff0)
-    if (cutoff < 0 || cutoff < cleanedUpTo) return 0
+    if (cutoff < 0 || cutoff < cleanedUpTo) return (-1L, Seq.empty)
     val pinned: Set[String] = pins.filter(_ <= cutoff)
       .flatMap(s => liveFilesAll(Some(s)).map(_.path)).toSet
     val removedEarly = commits.filter(_.id <= cutoff).flatMap(_.removes)
-    val victims = removedEarly.filterNot(pinned).filter(owned)
+    (cutoff, removedEarly.filterNot(pinned).filter(owned))
+  }
+
+  /** returns the number of data files physically deleted — the
+    * observability VACUUM reports (0 = nothing was reclaimable) */
+  def clean(retain: Int): Int = {
+    val (cutoff, victims) = cleanPlan(retain)
+    if (cutoff < 0) return 0
     victims.foreach { p =>
         val dp = new Path(p)
         fs.delete(dp, false)

@@ -2964,13 +2964,23 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * cleaned early.
     */
   /** returns the number of data files physically deleted */
-  def cleanOlderThan(olderThanMs: Long): Int = {
+  def cleanOlderThan(olderThanMs: Long): Int =
+    retainOf(olderThanMs).map(clean).getOrElse(0)
+
+  /** the data files [[cleanOlderThan]] WOULD delete — the VACUUM DRY
+    * RUN surface; pure metadata compute, nothing touched */
+  def cleanOlderThanPlan(olderThanMs: Long): Seq[String] =
+    retainOf(olderThanMs).map(r => log.cleanPlan(r)._2).getOrElse(Seq.empty)
+
+  /** the retain COUNT equivalent to the time window (None = timeline
+    * too short to clean anything) */
+  private def retainOf(olderThanMs: Long): Option[Int] = {
     require(olderThanMs >= 0, s"need a non-negative window, got $olderThanMs")
     val cs = log.commits
-    if (cs.size <= 1) return 0
+    if (cs.size <= 1) return None
     val horizon = System.currentTimeMillis() - olderThanMs
     val firstYoung = cs.indexWhere(_.tsMillis >= horizon)
-    clean(math.max(1, if (firstYoung < 0) 1 else cs.size - firstYoung))
+    Some(math.max(1, if (firstYoung < 0) 1 else cs.size - firstYoung))
   }
 
   /** Delete data directories no commit references (Delta VACUUM / Hudi
@@ -2989,7 +2999,10 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
   def analyzeColumns(columns: Seq[String] = Seq.empty): Option[Long] =
     ColStats.analyze(this, columns)
 
-  def vacuumOrphans(olderThanMs: Long = 60L * 60 * 1000): Seq[String] = {
+  /** with `dryRun` the doomed directories are only LISTED (the VACUUM
+    * DRY RUN surface) — nothing is deleted */
+  def vacuumOrphans(olderThanMs: Long = 60L * 60 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
     val dataRoot = new Path(config.root, "data")
     val fs = dataRoot.getFileSystem(hconf)
     if (!fs.exists(dataRoot)) return Seq.empty
@@ -3029,6 +3042,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
         // as NOT old so an in-flight writer is never swept there either
         s.getModificationTime > 0 &&
         s.getModificationTime < cutoff)
+    if (dryRun) return doomed.map(_.getPath.toString)
     // only report what was actually deleted (fs may signal failure via
     // the return value rather than an exception)
     doomed.filter(s => fs.delete(s.getPath, true)).map(_.getPath.toString)

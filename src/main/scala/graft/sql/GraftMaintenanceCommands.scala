@@ -183,8 +183,10 @@ private[sql] final case class GraftDescribeDetailCommand(
   }
 }
 
-/** `COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|JSON|CSV]
-  * [PATTERN = '<glob>']` — Delta's idempotent file-loading spelling.
+/** `COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|JSON|CSV|ORC]
+  * [PATTERN = '<glob>'] [FORMAT_OPTIONS('k' = 'v', ...)]` — Delta's
+  * idempotent file-loading spelling. FORMAT_OPTIONS pass through to the
+  * reader verbatim (delimiter, mergeSchema, timestampFormat, ...).
   *
   * Idempotence: every successfully loaded source file leaves a marker
   * (`_log/_copy/<sha1(path)>`) and is SKIPPED by later COPYs, so a
@@ -194,12 +196,19 @@ private[sql] final case class GraftDescribeDetailCommand(
   * load rides the table's precombine UPSERT — re-ingesting identical
   * rows is a no-op by the write semantics themselves, so the
   * marker+upsert pair is exactly-once EFFECTIVE without a transactional
-  * marker. Cost at 100 TB: one marker-dir listing per COPY (O(files
-  * ever loaded), bounded by loads not data) + a scan of only the NEW
-  * files. */
+  * marker. Past [[GraftCopyIntoCommand.CompactMarkersAt]] markers the
+  * directory folds into ONE manifest file (`_log/_copy/_manifest`, one
+  * hash per line; markers delete only after the manifest persists, and
+  * duplicate entries are harmless set members) — so the per-COPY
+  * listing stays O(1) files at ingest scale instead of one marker per
+  * file ever loaded. Cost at 100 TB: one manifest read + one small
+  * marker listing per COPY + a scan of only the NEW files; `rows_loaded`
+  * comes from the load commit's own add/remove metadata (footer-exact),
+  * never a second scan of the staged files. */
 private[sql] final case class GraftCopyIntoCommand(
     catName: String, ns: Seq[String], name: String,
-    srcDir: String, fileFormat: String, pattern: Option[String])
+    srcDir: String, fileFormat: String, pattern: Option[String],
+    options: Map[String, String] = Map.empty)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -243,19 +252,32 @@ private[sql] final case class GraftCopyIntoCommand(
         !st.getPath.getName.startsWith("_"))
     }
     val markerDir = new org.apache.hadoop.fs.Path(root, "_log/_copy")
+    val manifest = new org.apache.hadoop.fs.Path(markerDir, "_manifest")
+    val markers: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(markerDir)) Seq.empty
+      else fs.listStatus(markerDir).toSeq
+        .filterNot(_.getPath.getName.startsWith("_"))
+    val manifested: Set[String] =
+      if (!fs.exists(manifest)) Set.empty
+      else {
+        val in = fs.open(manifest)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toSet
+        finally in.close()
+      }
     val loaded: Set[String] =
-      if (!fs.exists(markerDir)) Set.empty
-      else fs.listStatus(markerDir).map(_.getPath.getName).toSet
+      manifested ++ markers.map(_.getPath.getName)
     val fresh = candidates.filterNot(st =>
       loaded.contains(sha1(st.getPath.toString)))
     if (fresh.isEmpty)
       return Seq(Row(0L, candidates.length.toLong, 0L,
         t.log.latestId.getOrElse(-1L)))
     val fmt = Option(fileFormat).map(_.toLowerCase).getOrElse("parquet")
-    require(Set("parquet", "json", "csv").contains(fmt),
-      s"unsupported FILEFORMAT '$fileFormat' (parquet, json, csv)")
-    val reader = session.read.format(fmt)
-    val df0 = (if (fmt == "csv") reader.option("header", "true") else reader)
+    require(Set("parquet", "json", "csv", "orc").contains(fmt),
+      s"unsupported FILEFORMAT '$fileFormat' (parquet, json, csv, orc)")
+    val reader = session.read.format(fmt).options(options)
+    val df0 = (if (fmt == "csv" && !options.keys.exists(_.equalsIgnoreCase("header")))
+        reader.option("header", "true") else reader)
       .load(fresh.map(_.getPath.toString).toIndexedSeq: _*)
     // align by NAME to the table's user schema, loud on a missing column
     val full = {
@@ -270,17 +292,49 @@ private[sql] final case class GraftCopyIntoCommand(
       .filterNot(f => graft.lake.SchemaEvo.isInternal(f.name))
     val df = df0.select(userFields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
-    val rows = df.count()
+    // rows_loaded from the load commit's OWN metadata — the staged files
+    // are scanned exactly once (by the upsert itself). Adds carry
+    // footer-exact row counts; on CoW a rewritten file group carries its
+    // surviving old rows too, so subtract the removed files' counts:
+    // the result is the commit's NET row delta (= staged rows for the
+    // canonical fresh-file load; updated-in-place rows count net zero).
+    val preRows =
+      if (t.exists) t.log.liveFiles().map(f => f.path -> f.rows).toMap
+      else Map.empty[String, Long]
     val cid = t.upsert(df)
+    val rows = t.log.commits.filter(_.id == cid).map(c =>
+      c.adds.map(_.rows).sum - c.removes.flatMap(preRows.get).sum).sum
     fs.mkdirs(markerDir)
     fresh.foreach { st =>
       val out = fs.create(new org.apache.hadoop.fs.Path(markerDir,
         sha1(st.getPath.toString)), true)
       try out.write(st.getPath.toString.getBytes("UTF-8")) finally out.close()
     }
+    // marker compaction: past the threshold, fold manifest + markers
+    // into one rewritten manifest (temp + rename), THEN delete markers —
+    // a crash in between leaves both sources listing the same hashes,
+    // which the union read above treats as one set
+    val allMarkers = fs.listStatus(markerDir).toSeq
+      .filterNot(_.getPath.getName.startsWith("_"))
+    if (allMarkers.size > GraftCopyIntoCommand.CompactMarkersAt) {
+      val merged = (manifested ++ allMarkers.map(_.getPath.getName)).toSeq.sorted
+      val tmp = new org.apache.hadoop.fs.Path(markerDir, "_manifest.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(merged.mkString("\n").getBytes("UTF-8")) finally out.close()
+      if (fs.exists(manifest)) fs.delete(manifest, false)
+      fs.rename(tmp, manifest)
+      allMarkers.foreach(st => fs.delete(st.getPath, false))
+    }
     Seq(Row(fresh.length.toLong, (candidates.length - fresh.length).toLong,
       rows, cid))
   }
+}
+
+private[graft] object GraftCopyIntoCommand {
+  /** marker-dir size that triggers folding into the single manifest —
+    * bounds the per-COPY listing at ingest scale (one manifest read +
+    * at most this many marker statuses) */
+  val CompactMarkersAt = 256
 }
 
 /** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` — the Delta
@@ -340,14 +394,24 @@ private[sql] final case class GraftRestoreCommand(
   }
 }
 
+/** `VACUUM t [RETAIN n HOURS] [DRY RUN]` — DRY RUN (Delta's spelling)
+  * LISTS the exact victims (superseded data files + orphaned crash
+  * directories) without touching anything: one row per path. The real
+  * run consumes the same plan ([[graft.lake.CommitLog.cleanPlan]]), so
+  * preview and apply can only diverge by commits landing in between. */
 private[sql] final case class GraftVacuumCommand(
-    catName: String, ns: Seq[String], name: String, retainHours: Option[Long])
+    catName: String, ns: Seq[String], name: String,
+    retainHours: Option[Long], dryRun: Boolean = false)
   extends LeafRunnableCommand {
 
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("cleaned_up_to", LongType, nullable = false)(),
-    AttributeReference("files_deleted", LongType, nullable = false)(),
-    AttributeReference("orphans_removed", LongType, nullable = false)())
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("kind", StringType, nullable = false)())
+    else Seq(
+      AttributeReference("cleaned_up_to", LongType, nullable = false)(),
+      AttributeReference("files_deleted", LongType, nullable = false)(),
+      AttributeReference("orphans_removed", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = ViewResolution.graftCatalog(session, catName).getOrElse(
@@ -359,8 +423,13 @@ private[sql] final case class GraftVacuumCommand(
         "relationName" -> s"`$catName`.`${(ns :+ name).mkString("`.`")}`")))
     val t = graft.lake.LakeTable(session, desc.config(root))
     val ms = retainHours.getOrElse(168L) * 3600L * 1000L
-    val deleted = t.cleanOlderThan(ms)
-    val orphans = t.vacuumOrphans(ms)
-    Seq(Row(t.log.cleanedUpTo, deleted.toLong, orphans.size.toLong))
+    if (dryRun) {
+      t.cleanOlderThanPlan(ms).map(p => Row(p, "superseded")) ++
+        t.vacuumOrphans(ms, dryRun = true).map(p => Row(p, "orphan"))
+    } else {
+      val deleted = t.cleanOlderThan(ms)
+      val orphans = t.vacuumOrphans(ms)
+      Seq(Row(t.log.cleanedUpTo, deleted.toLong, orphans.size.toLong))
+    }
   }
 }

@@ -43,7 +43,8 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
   private val VacuumRe =
-    "(?is)^\\s*VACUUM\\s+([\\w.`]+)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$".r
+    ("(?is)^\\s*VACUUM\\s+([\\w.`]+)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?" +
+      "(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
   private val RestoreRe =
     "(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?([\\w.`]+)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$".r
   // multi-table transactions (lake/Txn.scala) — Spark's grammar has no
@@ -59,7 +60,10 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CopyRe =
     ("(?is)^\\s*COPY\\s+INTO\\s+([\\w.`]+)\\s+FROM\\s+'([^']+)'" +
       "(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?" +
-      "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*$").r
+      "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?" +
+      "(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+  /** `'key' = 'value'` pairs inside FORMAT_OPTIONS(...) */
+  private val CopyOptRe = "'([^']+)'\\s*=\\s*'([^']*)'".r
 
   private val CloneRe =
     ("(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)" +
@@ -74,11 +78,14 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftCloneCommand(cat.name, ns, name, srcParts,
           Option(ver).map(_.toLong), ifNotExists = ine != null)
       }
-    case CopyRe(ident, src, fmt, pat) =>
+    case CopyRe(ident, src, fmt, pat, opts) =>
       val parts = delegate.parseMultipartIdentifier(ident)
+      val options = Option(opts).map(o =>
+        CopyOptRe.findAllMatchIn(o)
+          .map(m => m.group(1) -> m.group(2)).toMap).getOrElse(Map.empty)
       ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>
         GraftCopyIntoCommand(cat.name, ns, name, src,
-          Option(fmt).getOrElse("parquet"), Option(pat))
+          Option(fmt).getOrElse("parquet"), Option(pat), options)
       }
     case BeginRe() => Some(GraftBeginTxnCommand())
     case CommitRe() => Some(GraftCommitTxnCommand())
@@ -96,10 +103,11 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(zorder).toSeq.flatMap(_.split(','))
             .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
       }
-    case VacuumRe(ident, hours) =>
+    case VacuumRe(ident, hours, dry) =>
       val parts = delegate.parseMultipartIdentifier(ident)
       ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>
-        GraftVacuumCommand(cat.name, ns, name, Option(hours).map(_.toLong))
+        GraftVacuumCommand(cat.name, ns, name, Option(hours).map(_.toLong),
+          dryRun = dry != null)
       }
     case _ => None
   }

@@ -82,6 +82,103 @@ class CopyIntoSpec extends AnyFunSuite {
       s"COPY INTO cpy.db.c FROM '$staging' FILEFORMAT = AVRO").collect())
   }
 
+  test("rows_loaded comes from commit metadata — staged files scan once") {
+    wh
+    val staging = Files.createTempDirectory("copy_once").toString
+    stage((1L to 1000L).map(i => (i, s"v$i")), staging, nFiles = 2)
+    spark.sql("""CREATE TABLE cpy.db.once (pk BIGINT, v STRING, ts INT)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(e.taskMetrics).foreach(m =>
+          records.addAndGet(m.inputMetrics.recordsRead))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = spark.sql(s"COPY INTO cpy.db.once FROM '$staging'").collect().head
+      assert(r.getLong(0) == 2 && r.getLong(2) == 1000,
+        s"rows_loaded must be footer-exact from the commit metadata, got $r")
+      // drain the listener bus, then: inputMetrics counts BOTH the one
+      // real parquet pass and the write's re-read of the persisted cache
+      // (~2N total) — the old write-then-count shape added a THIRD full
+      // pass over the staged parquet (~3N). Pin the 2N regime.
+      var last = -1L
+      while (records.get != last) { last = records.get; Thread.sleep(300) }
+      assert(records.get <= 2500,
+        "staged files must be read only by the upsert itself (one parquet " +
+          s"pass + its cached re-read), recordsRead=${records.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("ORC loads; FORMAT_OPTIONS pass through to the reader") {
+    wh
+    val staging = Files.createTempDirectory("copy_orc").toString
+    import spark.implicits._
+    Seq((1L, "a", 0), (2L, "b", 0)).toDF("pk", "v", "ts")
+      .write.mode("append").orc(staging)
+    spark.sql("""CREATE TABLE cpy.db.o (pk BIGINT, v STRING, ts INT)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    val r = spark.sql(
+      s"COPY INTO cpy.db.o FROM '$staging' FILEFORMAT = ORC").collect().head
+    assert(r.getLong(2) == 2, s"got $r")
+    assert(spark.sql("SELECT v FROM cpy.db.o ORDER BY pk").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"))
+
+    // FORMAT_OPTIONS: headerless semicolon-separated csv
+    val staging2 = Files.createTempDirectory("copy_opts").toString
+    val fs = new org.apache.hadoop.fs.Path(staging2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging2, "x.csv"), true)
+    try out.write("pk;v;ts\n3;c;0\n4;d;0\n".getBytes("UTF-8")) finally out.close()
+    spark.sql("""CREATE TABLE cpy.db.sep (pk BIGINT, v STRING, ts INT)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    // a default-separator read would see ONE column and fail the
+    // by-name alignment — the passthrough is what makes this load
+    val r2 = spark.sql(s"COPY INTO cpy.db.sep FROM '$staging2' " +
+      "FILEFORMAT = CSV FORMAT_OPTIONS('header' = 'true', 'sep' = ';')")
+      .collect().head
+    assert(r2.getLong(2) == 2, s"got $r2")
+    assert(spark.sql("SELECT v FROM cpy.db.sep ORDER BY pk").collect()
+      .map(_.getString(0)).toSeq == Seq("c", "d"))
+  }
+
+  test("marker compaction folds the dir into one manifest; idempotence survives") {
+    wh
+    val staging = Files.createTempDirectory("copy_many").toString
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = graft.sql.GraftCopyIntoCommand.CompactMarkersAt + 4
+    (1 to n).foreach { i =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, f"f$i%04d.csv"), true)
+      try out.write(s"pk,v,ts\n$i,x$i,0\n".getBytes("UTF-8")) finally out.close()
+    }
+    spark.sql("""CREATE TABLE cpy.db.many (pk BIGINT, v STRING, ts INT)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    val r = spark.sql(s"COPY INTO cpy.db.many FROM '$staging' FILEFORMAT = CSV")
+      .collect().head
+    assert(r.getLong(0) == n && r.getLong(2) == n, s"got $r")
+    // past the threshold the markers folded into ONE manifest file
+    val markerDir = new org.apache.hadoop.fs.Path(s"$wh/db/many/_log/_copy")
+    val entries = fs.listStatus(markerDir).map(_.getPath.getName)
+    assert(entries.toSeq == Seq("_manifest"),
+      s"expected one manifest, got ${entries.length} entries")
+    // idempotence now reads from the manifest
+    val r2 = spark.sql(s"COPY INTO cpy.db.many FROM '$staging' FILEFORMAT = CSV")
+      .collect().head
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == n,
+      s"re-COPY must skip all manifested files, got $r2")
+    // late arrival: loads alone, marker lands beside the manifest
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, "late.csv"), true)
+    try out.write(s"pk,v,ts\n${n + 1},late,0\n".getBytes("UTF-8")) finally out.close()
+    val r3 = spark.sql(s"COPY INTO cpy.db.many FROM '$staging' FILEFORMAT = CSV")
+      .collect().head
+    assert(r3.getLong(0) == 1 && r3.getLong(1) == n, s"got $r3")
+    assert(spark.sql("SELECT count(*) FROM cpy.db.many")
+      .collect().head.getLong(0) == n + 1)
+  }
+
   test("a staged file missing a table column fails loud, loads nothing") {
     wh
     val staging = Files.createTempDirectory("copy_bad").toString

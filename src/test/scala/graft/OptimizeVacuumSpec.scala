@@ -128,6 +128,45 @@ class OptimizeVacuumSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM ov.db.v").collect().head.getLong(0) == 2)
   }
 
+  test("VACUUM DRY RUN lists exactly what the real run then deletes, touching nothing") {
+    wh
+    spark.sql("""CREATE TABLE ov.db.vd (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO ov.db.vd VALUES (1, 0, 'a')")
+    spark.sql("INSERT INTO ov.db.vd VALUES (1, 1, 'a2')")
+    spark.sql("INSERT INTO ov.db.vd VALUES (2, 0, 'b')")
+    val orphan = new org.apache.hadoop.fs.Path(s"$wh/db/vd/data/b99999999-cafed00d")
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(orphan)
+    fs.create(new org.apache.hadoop.fs.Path(orphan, "part-0.parquet"), true).close()
+
+    val dry = spark.sql("VACUUM ov.db.vd RETAIN 0 HOURS DRY RUN").collect()
+    assert(dry.nonEmpty, "the preview must list victims")
+    val byKind = dry.groupBy(_.getString(1))
+      .map { case (k, rs) => k -> rs.map(_.getString(0)).toSet }
+    assert(byKind.getOrElse("orphan", Set.empty).exists(_.contains("cafed00d")))
+    val superseded = byKind.getOrElse("superseded", Set.empty)
+    assert(superseded.nonEmpty, "the superseded pk=1 file must be listed")
+    // NOTHING was touched: every listed path still exists, state intact
+    dry.foreach(r => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(r.getString(0))),
+      s"dry run must not delete ${r.getString(0)}"))
+    assert(spark.sql("SELECT v FROM ov.db.vd ORDER BY pk").collect()
+      .map(_.getString(0)).toSeq == Seq("a2", "b"))
+
+    // the real run deletes EXACTLY the preview: counts match, listed
+    // paths are gone afterwards
+    val real = spark.sql("VACUUM ov.db.vd RETAIN 0 HOURS").collect().head
+    assert(real.getLong(1) == superseded.size.toLong,
+      s"real run deleted ${real.getLong(1)} files, preview listed ${superseded.size}")
+    assert(real.getLong(2) == byKind.getOrElse("orphan", Set.empty).size.toLong)
+    dry.foreach(r => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(r.getString(0))),
+      s"the real run must delete previewed ${r.getString(0)}"))
+    assert(spark.sql("SELECT v FROM ov.db.vd ORDER BY pk").collect()
+      .map(_.getString(0)).toSeq == Seq("a2", "b"))
+  }
+
   test("RESTORE TABLE ... TO VERSION AS OF rolls the timeline back") {
     wh
     spark.sql("""CREATE TABLE ov.db.r (pk BIGINT, ts INT, v STRING)
