@@ -73,6 +73,13 @@ object Bench {
       try body catch { case t: Throwable =>
         System.err.println(s"[bench] FAILED: ${t.getClass.getName}: ${t.getMessage}")
         return -1.0
+      } finally {
+        // an open txn must never leak into the next timed query — later
+        // catalog reads would silently fold ITS staged commits
+        val leaked = graft.sql.GraftSessionTxn.abortAll()
+        if (leaked.nonEmpty)
+          System.err.println(s"[bench] leaked open txn(s) aborted: " +
+            leaked.mkString(", "))
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -102,11 +109,19 @@ object Bench {
     var buildsWall = 0.0
     if (only.isEmpty) {
       val lanes: Seq[Seq[(String, () => Unit)]] = Seq(
+        // r17 rebalance: this lane WAS cdc+incr_agg+incr_agg_mm = the
+        // 60s critical path of the whole phase (tools/BuildLaneAB: cdc
+        // is 19.4s SOLO, unchanged since r15 — the r16 "regression" to
+        // 35s was purely contention from the heavier sql_dml lane).
+        // incr_agg_mm moved to the short mor/merge lane: it re-derives
+        // the cdc table via the same memoized computeIfAbsent, which
+        // BLOCKS (safely, cross-thread) until this lane's build lands —
+        // by then the mor/merge builds are done and the lane is idle.
         Seq("lake_cdc_build" -> (() => { ops.Lake.cdcTable(spark, sfDir); () }),
-          "incr_agg_build" -> (() => { ops.Lake.incrAgg(spark, sfDir); () }),
-          "incr_agg_mm_build" -> (() => { ops.Lake.incrAggMM(spark, sfDir); () })),
+          "incr_agg_build" -> (() => { ops.Lake.incrAgg(spark, sfDir); () })),
         Seq("lake_mor_build" -> (() => { ops.Lake.morCdcTable(spark, sfDir); () }),
-          "lake_merge_build" -> (() => { ops.Lake.mergeTable(spark, sfDir); () })),
+          "lake_merge_build" -> (() => { ops.Lake.mergeTable(spark, sfDir); () }),
+          "incr_agg_mm_build" -> (() => { ops.Lake.incrAggMM(spark, sfDir); () })),
         Seq("stream_ingest_build" -> (() => { ops.Lake.streamTable(spark, sfDir); () }),
           "stream_sink_build" -> (() => { ops.Lake.sinkStreamTable(spark, sfDir); () }),
           // pre-stage the three stream fixture variants so the timed

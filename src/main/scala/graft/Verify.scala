@@ -36,6 +36,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
+      // a query must never leak an open transaction into the next one —
+      // every later catalog read would silently see ITS staged commits
+      val leaked = graft.sql.GraftSessionTxn.abortAll()
+      if (leaked.nonEmpty)
+        System.err.println(s"[verify] $name leaked open txn(s) " +
+          s"${leaked.mkString(", ")} — aborted")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -31,17 +31,45 @@ import graft.lake.GraftTxn
   * unstaged handles), and time-travel reads (`VERSION AS OF` pins a
   * published snapshot; staged commits are not part of any snapshot).
   */
-private[sql] object GraftSessionTxn {
+private[graft] object GraftSessionTxn {
   private val open = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, GraftTxn]())
 
   def current(s: SparkSession): Option[GraftTxn] = Option(open.get(s))
+
+  /** Abort every open session transaction NOW, returning the aborted
+    * txn ids. Two callers: the application-end listener below (a
+    * session that dies with a txn open must retire its staged commits
+    * DETERMINISTICALLY, not leak them until the `txn_reap` janitor),
+    * and the Verify/Bench harness guard (an open txn must never leak
+    * across catalog queries). Abort is pure metadata IO (one decision
+    * marker), safe while the SparkContext is stopping. */
+  def abortAll(): Seq[String] = {
+    val txns = open.synchronized {
+      val vs = new java.util.ArrayList(open.values())
+      open.clear()
+      scala.jdk.CollectionConverters.ListHasAsScala(vs).asScala.toSeq
+    }
+    txns.flatMap(t => scala.util.Try { t.abort(); t.id }.toOption)
+  }
+
+  private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   def begin(s: SparkSession, txn: GraftTxn): Unit = {
     require(Option(open.get(s)).isEmpty,
       s"a transaction is already open in this session " +
         s"(${open.get(s).id}); COMMIT or ROLLBACK it first")
     open.put(s, txn)
+    // one-time application-end hook: sessions share the context, so one
+    // listener retires every session's open transaction at stop()
+    if (hooked.compareAndSet(false, true)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          abortAll(); ()
+        }
+      })
+    }
     ()
   }
 

@@ -195,6 +195,39 @@ class TxnSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2, "post-ROLLBACK reads are unstaged again")
   }
 
+  test("session close aborts the open SQL txn; staged commits retire immediately") {
+    val dir = freshDir()
+    spark.conf.set("spark.sql.catalog.txcls", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.txcls.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS txcls.db")
+    spark.sql("""CREATE TABLE txcls.db.t (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO txcls.db.t VALUES (1, 0, 'a')")
+    spark.sql("BEGIN TRANSACTION").collect()
+    spark.sql("INSERT INTO txcls.db.t VALUES (2, 1, 'staged')")
+    val t = LakeTable(spark, LakeTableConfig(s"$dir/db/t",
+      keyCols = Seq("pk"), precombineCol = "ts"))
+    assert(t.log.stagedCommits.nonEmpty, "the INSERT must be staged")
+
+    // the application-end listener calls exactly this handler — fire it
+    // directly (stopping the shared spec context would kill every other
+    // suite): the open txn aborts, staged commits retire NOW, not at
+    // the next txn_reap
+    val aborted = graft.sql.GraftSessionTxn.abortAll()
+    assert(aborted.nonEmpty, "the open session txn must be aborted")
+    assert(t.log.stagedCommits.isEmpty,
+      "staged commits must retire with the session, not wait for the reaper")
+    assert(t.read().count() == 1, "the staged write must never publish")
+
+    // the session slot is free again: a new BEGIN works, COMMIT without
+    // one fails loud
+    intercept[Exception](spark.sql("COMMIT").collect())
+    spark.sql("BEGIN").collect()
+    spark.sql("INSERT INTO txcls.db.t VALUES (3, 1, 'kept')")
+    spark.sql("COMMIT").collect()
+    assert(t.read().count() == 2)
+  }
+
   test("SQL txn: MERGE and DELETE stage too; COPY INTO refuses inside one") {
     val dir = freshDir()
     spark.conf.set("spark.sql.catalog.txnsq2", "graft.sql.GraftCatalog")
