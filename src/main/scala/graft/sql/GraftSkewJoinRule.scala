@@ -47,9 +47,11 @@ import org.apache.spark.sql.types._
   *
   * Scope guards (each bails to the untouched join): INNER joins (either
   * side skewed) and LEFT OUTER joins (skewed left/stream side only);
-  * string equi-keys that trace through Project/Filter to a live graft
-  * scan whose ANALYZE artifact carries frequent items; no user join
-  * hints (the user's choice wins); not already salted (idempotence).
+  * string or integral equi-keys that trace through Project/Filter to a
+  * live graft scan whose ANALYZE artifact carries the evidence (string:
+  * frequent items; integral: degenerate equi-height histogram bins); no
+  * user join hints (the user's choice wins); not already salted
+  * (idempotence).
   *
   * Disable per session with `spark.graft.skewJoin.enabled=false`.
   */
@@ -78,8 +80,10 @@ final case class GraftSkewJoinRule(spark: SparkSession)
     }
   }
 
-  /** hot-value evidence for one side's join-key attribute */
-  private case class Skew(rows: Long, hotValues: Seq[String], topCount: Long)
+  /** hot-value evidence for one side's join-key attribute — hot values
+    * carried as TYPED literals (string keys from the frequent-items
+    * stats, numeric keys from the equi-height histogram) */
+  private case class Skew(rows: Long, hotLits: Seq[Literal])
 
   /** trace `attr` through Project/Filter/aliases down to a graft DSv2
     * scan; answer the owning table's root + the physical column name */
@@ -108,21 +112,48 @@ final case class GraftSkewJoinRule(spark: SparkSession)
       case _ => None
     }
 
-  /** the ANALYZE evidence that `attr`'s source column is value-skewed:
-    * frequent items carrying a value ≥ hotFraction of the analyzed rows */
+  /** the ANALYZE evidence that `attr`'s source column is value-skewed.
+    * STRING keys: frequent items carrying a value ≥ hotFraction of the
+    * analyzed rows (exact top-K counts). NUMERIC keys: the equi-height
+    * histogram — every bin holds 1/B of the non-null mass, so a value
+    * owning fraction f of the rows shows up as ~f·B degenerate `[v, v]`
+    * bins; count them (the standard equi-depth hot-value read-out). */
   private def skewOf(attr: Attribute, side: LogicalPlan,
       hotFraction: Double, minRows: Long): Option[Skew] = {
-    if (attr.dataType != StringType) return None
+    val integral = attr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (attr.dataType != StringType && !integral) return None
     originOf(attr, side).flatMap { case (t, colName) =>
       graft.lake.ColStats.load(t.tableRoot,
           spark.sparkContext.hadoopConfiguration)
         .filter(_.rows >= minRows)
         .flatMap { cs =>
-          cs.cols.get(colName).flatMap(st => Option(st.freq)).flatMap { fr =>
-            val floor = math.max(math.ceil(cs.rows * hotFraction).toLong, 1L)
-            val hot = fr.toSeq.filter(_._2 >= floor)
-            if (hot.isEmpty) None
-            else Some(Skew(cs.rows, hot.map(_._1).sorted, hot.map(_._2).max))
+          cs.cols.get(colName).flatMap { st =>
+            if (attr.dataType == StringType) Option(st.freq).flatMap { fr =>
+              val floor = math.max(math.ceil(cs.rows * hotFraction).toLong, 1L)
+              val hot = fr.toSeq.filter(_._2 >= floor).map(_._1).sorted
+              if (hot.isEmpty) None
+              else Some(Skew(cs.rows,
+                hot.map(v => Literal.create(v, StringType))))
+            }
+            else Option(st.hist).filter(_.nonEmpty).flatMap { bins =>
+              val floor = math.max(math.ceil(bins.size * hotFraction).toLong, 2L)
+              val hot = bins.filter(b => b.lo == b.hi)
+                .groupBy(_.lo).toSeq
+                .filter { case (v, bs) =>
+                  bs.size >= floor && v == math.rint(v) }
+                .map(_._1).sorted
+              def lit(v: Double): Literal = attr.dataType match {
+                case ByteType => Literal(v.toByte)
+                case ShortType => Literal(v.toShort)
+                case IntegerType => Literal(v.toInt)
+                case _ => Literal(v.toLong)
+              }
+              if (hot.isEmpty) None
+              else Some(Skew(cs.rows, hot.map(lit)))
+            }
           }
         }
     }
@@ -182,7 +213,11 @@ final case class GraftSkewJoinRule(spark: SparkSession)
       : Option[LogicalPlan] = {
     val (fact, dim) = if (skewOnLeft) (j.left, j.right) else (j.right, j.left)
     val (factKey, dimKey) = if (skewOnLeft) (leftKey, rightKey) else (rightKey, leftKey)
-    val hotLits = skew.hotValues.map(v => Literal.create(v, StringType))
+    val hotLits = skew.hotLits
+    // both key sides must share the literal type exactly (the analyzer
+    // is gone — a type-mismatched In would not be re-coerced)
+    if (hotLits.exists(_.dataType != factKey.dataType) ||
+      dimKey.dataType != factKey.dataType) return None
 
     // deterministic per-row salt: hash of the row's atomic columns — the
     // hot key's rows spread over saltFactor reducers; all other values

@@ -154,6 +154,45 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(got.sameElements(expected))
   }
 
+  test("numeric hot key: the histogram's degenerate bins drive the salt") {
+    wh
+    import spark.implicits._
+    // classic sentinel-id skew: customer 0 owns half the fact
+    spark.sql("""CREATE TABLE gs.db.ifact (pk BIGINT, ts INT, cust BIGINT, v INT)
+                 USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    (1 to 6000).map(i =>
+        (i.toLong, 0, if (i % 2 == 0) 0L else (i % 2000).toLong, i % 100))
+      .toDF("pk", "ts", "cust", "v").createOrReplaceTempView("ifact_src")
+    spark.sql("INSERT INTO gs.db.ifact SELECT * FROM ifact_src")
+    spark.sql("""CREATE TABLE gs.db.idim (cust BIGINT, ts INT, name STRING)
+                 USING graft TBLPROPERTIES (keyCols='cust', precombineCol='ts')""")
+    (0 to 1999).map(i => (i.toLong, 0, s"c$i")).toDF("cust", "ts", "name")
+      .createOrReplaceTempView("idim_src")
+    spark.sql("INSERT INTO gs.db.idim SELECT * FROM idim_src")
+    spark.sql("CALL gs.system.analyze('db.ifact')").collect()
+    val iq = """SELECT f.pk, d.name FROM gs.db.ifact f
+                JOIN gs.db.idim d ON f.cust = d.cust"""
+    def run(off: Boolean): Array[String] = {
+      val confs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.graft.skewJoin.broadcastMax" -> "1") ++
+        (if (off) Seq("spark.graft.skewJoin.enabled" -> "false") else Nil)
+      var out: Array[String] = null
+      withConfs(confs: _*) {
+        val df = spark.sql(iq)
+        val salted = df.queryExecution.optimizedPlan.collect {
+          case g: Generate => g }.nonEmpty
+        assert(salted == !off,
+          s"numeric-skew salting expected=${!off}:\n${df.queryExecution.optimizedPlan}")
+        out = df.collect().map(r => s"${r.getLong(0)}|${r.getString(1)}").sorted
+      }
+      out
+    }
+    val expected = run(off = true)
+    val got = run(off = false)
+    assert(got.length == 6000 && got.sameElements(expected))
+  }
+
   test("no stats / no skew: the join is untouched") {
     wh
     // sdim was never analyzed — a join keyed on ITS skew evidence only
