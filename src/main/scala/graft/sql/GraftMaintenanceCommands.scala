@@ -208,7 +208,12 @@ private[sql] final case class GraftDescribeDetailCommand(
 private[sql] final case class GraftCopyIntoCommand(
     catName: String, ns: Seq[String], name: String,
     srcDir: String, fileFormat: String, pattern: Option[String],
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    /** explicit file list (`FILES = ('a.parquet', ...)`) — names
+      * resolve against the FROM dir unless absolute; mutually
+      * exclusive with PATTERN; a named file that does not exist fails
+      * loud (an explicit list is a manifest, not a glob) */
+    files: Seq[String] = Seq.empty)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -241,16 +246,24 @@ private[sql] final case class GraftCopyIntoCommand(
     val t = graft.lake.LakeTable(session, desc.config(root))
     val src = new org.apache.hadoop.fs.Path(srcDir)
     val fs = src.getFileSystem(hconf)
-    val candidates = (pattern match {
-      case Some(g) => fs.globStatus(new org.apache.hadoop.fs.Path(src, g))
-      case None if fs.isDirectory(src) => fs.listStatus(src)
-      case None => fs.globStatus(src)
-    }) match {
-      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
-      case a => a.filter(st => st.isFile &&
-        !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_"))
-    }
+    val candidates =
+      if (files.nonEmpty) files.toArray.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val full = if (p.isAbsolute) p else new org.apache.hadoop.fs.Path(src, f)
+        require(fs.isFile(full),
+          s"COPY INTO FILES names a missing file: $full")
+        fs.getFileStatus(full)
+      }
+      else (pattern match {
+        case Some(g) => fs.globStatus(new org.apache.hadoop.fs.Path(src, g))
+        case None if fs.isDirectory(src) => fs.listStatus(src)
+        case None => fs.globStatus(src)
+      }) match {
+        case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+        case a => a.filter(st => st.isFile &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+      }
     val markerDir = new org.apache.hadoop.fs.Path(root, "_log/_copy")
     val manifest = new org.apache.hadoop.fs.Path(markerDir, "_manifest")
     val markers: Seq[org.apache.hadoop.fs.FileStatus] =
@@ -369,12 +382,17 @@ private[sql] final case class GraftCloneCommand(
   }
 }
 
-/** `RESTORE TABLE t TO VERSION AS OF n` — the Delta spelling of
-  * `CALL graft.system.restore`: roll the timeline back to commit `n`
-  * (later commits retire; time travel ABOVE the restore point keeps
-  * working until cleaned). */
+/** `RESTORE TABLE t TO VERSION AS OF n` / `... TO TIMESTAMP AS OF
+  * '<ts>'` — the Delta spellings of `CALL graft.system.restore`: roll
+  * the timeline back to commit `n` (later commits retire; time travel
+  * ABOVE the restore point keeps working until cleaned). The timestamp
+  * form resolves to the last commit stamped at or before the given
+  * wall-clock instant (parsed in the SESSION time zone, same as
+  * `TIMESTAMP AS OF` reads) — filter, not takeWhile: per-writer clocks
+  * carry no monotonicity guarantee. */
 private[sql] final case class GraftRestoreCommand(
-    catName: String, ns: Seq[String], name: String, version: Long)
+    catName: String, ns: Seq[String], name: String,
+    version: Option[Long], timestamp: Option[String] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -389,8 +407,21 @@ private[sql] final case class GraftRestoreCommand(
       throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map(
         "relationName" -> s"`$catName`.`${(ns :+ name).mkString("`.`")}`")))
     val t = graft.lake.LakeTable(session, desc.config(root))
-    t.restoreTo(version)
-    Seq(Row(version))
+    val target = version.getOrElse {
+      val ts = timestamp.getOrElse(throw new IllegalArgumentException(
+        "RESTORE needs VERSION AS OF or TIMESTAMP AS OF"))
+      // session-zone parse through Spark's own cast, loud on garbage
+      val millis = Option(session.sql(
+        s"SELECT unix_millis(CAST('${ts.replace("'", "''")}' AS TIMESTAMP))")
+        .collect().head).filterNot(_.isNullAt(0)).map(_.getLong(0))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot parse RESTORE timestamp '$ts'"))
+      t.log.commits.filter(_.tsMillis <= millis).lastOption
+        .map(_.id).getOrElse(throw new IllegalArgumentException(
+          s"no commit at or before '$ts' on $catName.${(ns :+ name).mkString(".")}"))
+    }
+    t.restoreTo(target)
+    Seq(Row(target))
   }
 }
 

@@ -47,6 +47,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
   private val RestoreRe =
     "(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?([\\w.`]+)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$".r
+  private val RestoreTsRe =
+    ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?([\\w.`]+)\\s+TO\\s+TIMESTAMP" +
+      "\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$").r
   // multi-table transactions (lake/Txn.scala) — Spark's grammar has no
   // BEGIN/COMMIT/ROLLBACK statements (all ParseException), so the
   // fallback owns the spellings; session-scoped, see GraftTxnCommands
@@ -60,6 +63,7 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CopyRe =
     ("(?is)^\\s*COPY\\s+INTO\\s+([\\w.`]+)\\s+FROM\\s+'([^']+)'" +
       "(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?" +
+      "(?:\\s+FILES\\s*=\\s*\\(([^)]*)\\))?" +
       "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?" +
       "(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
   /** `'key' = 'value'` pairs inside FORMAT_OPTIONS(...) */
@@ -78,14 +82,19 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftCloneCommand(cat.name, ns, name, srcParts,
           Option(ver).map(_.toLong), ifNotExists = ine != null)
       }
-    case CopyRe(ident, src, fmt, pat, opts) =>
+    case CopyRe(ident, src, fmt, files, pat, opts) =>
       val parts = delegate.parseMultipartIdentifier(ident)
       val options = Option(opts).map(o =>
         CopyOptRe.findAllMatchIn(o)
           .map(m => m.group(1) -> m.group(2)).toMap).getOrElse(Map.empty)
+      val fileList = Option(files).map(f =>
+        "'([^']+)'".r.findAllMatchIn(f).map(_.group(1)).toSeq)
+        .getOrElse(Seq.empty)
+      require(fileList.isEmpty || pat == null,
+        "COPY INTO accepts FILES or PATTERN, not both")
       ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>
         GraftCopyIntoCommand(cat.name, ns, name, src,
-          Option(fmt).getOrElse("parquet"), Option(pat), options)
+          Option(fmt).getOrElse("parquet"), Option(pat), options, fileList)
       }
     case BeginRe() => Some(GraftBeginTxnCommand())
     case CommitRe() => Some(GraftCommitTxnCommand())
@@ -93,7 +102,12 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RestoreRe(ident, version) =>
       val parts = delegate.parseMultipartIdentifier(ident)
       ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>
-        GraftRestoreCommand(cat.name, ns, name, version.toLong)
+        GraftRestoreCommand(cat.name, ns, name, Some(version.toLong))
+      }
+    case RestoreTsRe(ident, ts) =>
+      val parts = delegate.parseMultipartIdentifier(ident)
+      ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>
+        GraftRestoreCommand(cat.name, ns, name, None, Some(ts))
       }
     case OptimizeRe(ident, where, zorder) =>
       val parts = delegate.parseMultipartIdentifier(ident)

@@ -179,6 +179,41 @@ class CopyIntoSpec extends AnyFunSuite {
       .collect().head.getLong(0) == n + 1)
   }
 
+  test("FILES names an explicit manifest; missing entries and PATTERN-mix refuse") {
+    wh
+    val staging = Files.createTempDirectory("copy_files").toString
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(name: String, text: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, name), true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+    put("a.csv", "pk,v,ts\n1,x,0\n")
+    put("b.csv", "pk,v,ts\n2,y,0\n")
+    put("c.csv", "pk,v,ts\n3,z,0\n")
+    spark.sql("""CREATE TABLE cpy.db.fl (pk BIGINT, v STRING, ts INT)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    // only the named files load — c.csv is not touched
+    val r = spark.sql(s"COPY INTO cpy.db.fl FROM '$staging' " +
+      "FILEFORMAT = CSV FILES = ('a.csv', 'b.csv')").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(2) == 2, s"got $r")
+    assert(spark.sql("SELECT v FROM cpy.db.fl ORDER BY pk").collect()
+      .map(_.getString(0)).toSeq == Seq("x", "y"))
+    // an explicit list is a manifest: a missing entry fails loud
+    intercept[Exception](spark.sql(s"COPY INTO cpy.db.fl FROM '$staging' " +
+      "FILEFORMAT = CSV FILES = ('nope.csv')").collect())
+    // FILES and PATTERN together refuse
+    intercept[Exception](spark.sql(s"COPY INTO cpy.db.fl FROM '$staging' " +
+      "FILEFORMAT = CSV FILES = ('c.csv') PATTERN = '*.csv'").collect())
+    // re-COPY of the named files skips via markers, the third file
+    // still loads when finally named
+    val r2 = spark.sql(s"COPY INTO cpy.db.fl FROM '$staging' " +
+      "FILEFORMAT = CSV FILES = ('a.csv', 'c.csv')").collect().head
+    assert(r2.getLong(0) == 1 && r2.getLong(1) == 1, s"got $r2")
+    assert(spark.sql("SELECT count(*) FROM cpy.db.fl")
+      .collect().head.getLong(0) == 3)
+  }
+
   test("a staged file missing a table column fails loud, loads nothing") {
     wh
     val staging = Files.createTempDirectory("copy_bad").toString

@@ -329,6 +329,34 @@ class OptimizeVacuumSpec extends AnyFunSuite {
       USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
   }
 
+  test("RESTORE TO TIMESTAMP AS OF resolves the last commit at or before it") {
+    wh
+    spark.sql("""CREATE TABLE ov.db.rts (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO ov.db.rts VALUES (1, 0, 'a')")
+    val betweenMs = {
+      Thread.sleep(1100) // commit stamps are millis; put a clear gap
+      val t = System.currentTimeMillis(); Thread.sleep(1100); t
+    }
+    spark.sql("INSERT INTO ov.db.rts VALUES (2, 0, 'b')")
+    // a session-zone wall-clock string strictly between the two commits
+    val between = java.time.Instant.ofEpochMilli(betweenMs)
+      .atZone(java.time.ZoneOffset.UTC) // spec session runs UTC
+      .toLocalDateTime.toString.replace('T', ' ')
+    val restored = spark.sql(
+      s"RESTORE TABLE ov.db.rts TO TIMESTAMP AS OF '$between'")
+      .collect().head.getLong(0)
+    assert(restored >= 0)
+    assert(spark.sql("SELECT v FROM ov.db.rts ORDER BY pk").collect()
+      .map(_.getString(0)).toSeq == Seq("a"),
+      "the restore point must exclude the post-timestamp commit")
+    // garbage timestamp and pre-history timestamps refuse loudly
+    intercept[Exception](spark.sql(
+      "RESTORE TABLE ov.db.rts TO TIMESTAMP AS OF 'not a time'").collect())
+    intercept[Exception](spark.sql(
+      "RESTORE TABLE ov.db.rts TO TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+  }
+
   test("non-graft identifiers and plain syntax errors keep Spark's error") {
     wh
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
