@@ -1860,6 +1860,89 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     clone
   }
 
+  /** Physical (DEEP) clone at a snapshot (None = latest): the clone
+    * OWNS independent copies of the data, so the two tables share no
+    * storage fate — the Delta `DEEP CLONE` counterpart to
+    * [[shallowClone]]'s zero-copy borrow.
+    *
+    * Fast path: a clean all-base snapshot (no pending MoR deltas, no
+    * live DVs, uniform recorded schemas — the same strict proof behind
+    * the native scan) BYTE-COPIES each data file and its bloom
+    * sidecars into the clone's own data dir — no decode, no shuffle,
+    * and the commit metadata (partition tuples, key ranges, column
+    * stats, footer counts, bloom flags) carries over verbatim, so the
+    * clone prunes exactly like its source from commit one. Anything
+    * else — pending deltas, live DVs — takes the REWRITE path: one
+    * distributed read of the merged snapshot bulk-inserted into the
+    * clone (the merge is precisely what makes that copy independent).
+    * No history travels either way: a deep clone is a NEW table whose
+    * first commit IS the snapshot.
+    */
+  def deepClone(targetRoot: String, asOf: Option[Long] = None): LakeTable = {
+    val clone = new LakeTable(spark, config.copy(root = targetRoot))
+    require(!clone.exists, s"clone target $targetRoot already exists")
+    val clean = nativeScanFiles(asOf).filter(_ => log.liveDvs(asOf).isEmpty)
+    clean match {
+      case Some(files) =>
+        val schemaJson = log.schemaJsonAsOf(asOf)
+          .getOrElse(new StructType().json)
+        val srcFs = new Path(config.root).getFileSystem(hconf)
+        val dstDir = new Path(targetRoot, "data/c00000000-deepclone")
+        val dstFs = dstDir.getFileSystem(hconf)
+        dstFs.mkdirs(dstDir)
+        val copied = files.zipWithIndex.map { case (f, i) =>
+          val sp = new Path(f.path)
+          // index prefix: basenames are unique per commit dir, not
+          // necessarily across the whole borrowed set
+          val dp = new Path(dstDir, f"$i%05d-${sp.getName}")
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            srcFs, sp, dstFs, dp, false, hconf),
+            s"deep clone failed to copy $sp")
+          Seq(".bf", ".bfm").foreach { ext =>
+            val side = new Path(sp.getParent, "." + sp.getName + ext)
+            if (srcFs.exists(side)) {
+              org.apache.hadoop.fs.FileUtil.copy(srcFs, side, dstFs,
+                new Path(dstDir, "." + dp.getName + ext), false, hconf)
+              ()
+            }
+          }
+          f.copy(path = dstFs.makeQualified(dp).toString)
+        }
+        val jsonOf = pathSchemaJson(asOf)
+        // one commit per distinct source FILE schema (same discipline as
+        // shallowClone: pre-evolution files stay readable through id
+        // adaptation), then a schema commit pinning the table schema
+        val groups = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[FileAdd]]
+        files.zip(copied).foreach { case (orig, c) =>
+          groups.getOrElseUpdate(jsonOf.getOrElse(orig.path, schemaJson),
+            new scala.collection.mutable.ArrayBuffer[FileAdd]) += c
+        }
+        var next = clone.log.nextId
+        groups.foreach { case (j, fs) =>
+          clone.log.append(
+            Commit(next, "deep_clone", System.currentTimeMillis(), j,
+              adds = fs.toSeq, removes = Seq.empty),
+            basedOnLatest = if (next == 0L) clone.log.EmptyTable else next - 1)
+          next += 1
+        }
+        if (groups.isEmpty || groups.keys.last != schemaJson)
+          clone.log.append(
+            Commit(next, "schema", System.currentTimeMillis(), schemaJson,
+              adds = Seq.empty, removes = Seq.empty),
+            basedOnLatest = if (next == 0L) clone.log.EmptyTable else next - 1)
+        clone
+      case None =>
+        // merged-snapshot rewrite: user columns only (engine stamps are
+        // re-minted by the clone's own commit)
+        val snap0 = asOf.map(readAsOf).getOrElse(read())
+        val user = snap0.schema.fieldNames
+          .filterNot(SchemaEvo.isInternal).toSeq
+        clone.bulkInsert(snap0.select(user.map(col): _*))
+        clone
+    }
+  }
+
   /** Write-audit-publish, publish step (Iceberg WAP fast-forward /
     * Delta-style branch promote, expressed on the commit log): `audit`
     * was [[shallowClone]]d from THIS table, audited writes landed on it,

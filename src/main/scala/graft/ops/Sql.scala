@@ -1670,6 +1670,34 @@ object Sql {
       },
       Some("""SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""")),
 
+    // DEEP CLONE (r17): the clone physically OWNS its copy of the
+    // pinned snapshot — proved by destroying the source's data files
+    // (VACUUM RETAIN 0 after a full overwrite retires the snapshot the
+    // clone was taken from) and reading the clone anyway; a SHALLOW
+    // clone's borrowed files would be at the source's mercy
+    GQuery("lake_sql_deep_clone",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:dclone", _ => {
+          s.sql(s"""CREATE TABLE $cat.db.ndc (n_nationkey INT,
+              n_name STRING, update_ts INT) USING graft
+            TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+          s.sql(s"""INSERT INTO $cat.db.ndc
+            SELECT n_nationkey, n_name, 0 FROM sql_nation_src""")
+          s.sql(s"""CREATE TABLE $cat.db.ndc_deep DEEP CLONE $cat.db.ndc""")
+            .collect()
+          // mutate + retire the source's pre-overwrite files entirely:
+          // only an OWNED copy of the original snapshot survives this
+          s.sql(s"""INSERT OVERWRITE $cat.db.ndc
+            SELECT n_nationkey, 'gone', 9 FROM sql_nation_src""")
+          s.sql(s"VACUUM $cat.db.ndc RETAIN 0 HOURS").collect()
+          cat
+        })
+        s.sql(s"""SELECT n_nationkey, n_name
+          FROM $cat.db.ndc_deep ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""")),
+
     // ---- COPY INTO (r16) --------------------------------------------------
     // idempotent landing-directory loads: two staged files COPY in, a
     // re-COPY is a no-op, a later arrival COPYs alone — the final state

@@ -1176,7 +1176,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `CREATE TABLE ... SHALLOW CLONE` spelling. Returns the clone's
     * head commit id. */
   private[sql] def cloneTable(srcName: String, dstName: String,
-      asOf: Option[Long]): Long = {
+      asOf: Option[Long], deep: Boolean = false): Long = {
     val src = lakeFor(srcName)
     val parts = dstName.split('.')
     require(parts.length >= 1 && parts.forall(_.nonEmpty),
@@ -1184,13 +1184,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val tgt = Identifier.of(parts.init, parts.last)
     val root = tablePath(tgt)
     val stage = hiddenSibling(tgt, "stage")
-    val clone = src.shallowClone(stage.toString, asOf)
+    val clone =
+      if (deep) src.deepClone(stage.toString, asOf)
+      else src.shallowClone(stage.toString, asOf)
     val desc = TableDescriptor.load(src.config.root, hconf)
       .getOrElse(throw new IllegalStateException(
         s"clone source $srcName has no catalog descriptor"))
     TableDescriptor.save(stage.toString, desc.copy(
       schemaJson = clone.log.schemaJsonAsOf(None)
         .getOrElse(desc.schemaJson)), hconf)
+    // a DEEP clone's commits reference its OWN files under the stage
+    // path — the publish rename moves them, so ride the relocation-heal
+    // machinery RENAME TABLE already uses (marker first, heal after)
+    if (deep) {
+      val marker = new Path(stage, "_log/_relocate")
+      val out = fs.create(marker, true)
+      try out.write(stage.toString.getBytes("UTF-8")) finally out.close()
+    }
     // resolve the head BEFORE the publish rename: the handle points at
     // the STAGE path, which stops existing the moment the rename lands
     val head = clone.log.latestId.getOrElse(-1L)
@@ -1204,6 +1214,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(fs.rename(stage, root),
         s"failed to publish clone ${tgt}")
     }
+    if (deep) healRelocation(root)
     head
   }
 

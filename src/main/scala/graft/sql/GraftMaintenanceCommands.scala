@@ -350,15 +350,20 @@ private[graft] object GraftCopyIntoCommand {
   val CompactMarkersAt = 256
 }
 
-/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` — the Delta
-  * spelling of `CALL graft.system.clone`: a zero-copy metadata clone
-  * (the clone's commits reference the source's files by absolute path;
-  * physical maintenance only ever deletes OWNED files, so neither table
-  * can corrupt the other), optionally pinned to a source snapshot.
-  * Both identifiers must land in the same graft catalog. */
+/** `CREATE TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF n]` — the
+  * Delta spellings of `CALL graft.system.clone`. SHALLOW is the
+  * zero-copy metadata clone (the clone's commits reference the
+  * source's files by absolute path; physical maintenance only ever
+  * deletes OWNED files, so neither table can corrupt the other). DEEP
+  * physically copies the snapshot into the clone's own storage
+  * ([[graft.lake.LakeTable.deepClone]]: byte-copy fast path on clean
+  * snapshots, merged rewrite under deltas/DVs) — full storage
+  * independence, e.g. before VACUUMing the source to the bone. Both
+  * identifiers must land in the same graft catalog. */
 private[sql] final case class GraftCloneCommand(
     catName: String, dstNs: Seq[String], dstName: String,
-    srcParts: Seq[String], version: Option[Long], ifNotExists: Boolean)
+    srcParts: Seq[String], version: Option[Long], ifNotExists: Boolean,
+    deep: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -377,7 +382,7 @@ private[sql] final case class GraftCloneCommand(
       .of(dstNs.toArray, dstName)
     if (ifNotExists && cat.tableExists(dstIdent)) return Seq(Row(-1L))
     val cid = cat.cloneTable((src._2 :+ src._3).mkString("."),
-      (dstNs :+ dstName).mkString("."), version)
+      (dstNs :+ dstName).mkString("."), version, deep)
     Seq(Row(cid))
   }
 }

@@ -71,16 +71,17 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val CloneRe =
     ("(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)" +
-      "\\s+SHALLOW\\s+CLONE\\s+([\\w.`]+)" +
+      "\\s+(SHALLOW|DEEP)\\s+CLONE\\s+([\\w.`]+)" +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$").r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
-    case CloneRe(ine, dst, src, ver) =>
+    case CloneRe(ine, dst, kind, src, ver) =>
       val dstParts = delegate.parseMultipartIdentifier(dst)
       val srcParts = delegate.parseMultipartIdentifier(src)
       ViewResolution.resolve(session, dstParts).map { case (cat, ns, name) =>
         GraftCloneCommand(cat.name, ns, name, srcParts,
-          Option(ver).map(_.toLong), ifNotExists = ine != null)
+          Option(ver).map(_.toLong), ifNotExists = ine != null,
+          deep = kind.equalsIgnoreCase("deep"))
       }
     case CopyRe(ident, src, fmt, files, pat, opts) =>
       val parts = delegate.parseMultipartIdentifier(ident)

@@ -329,6 +329,53 @@ class OptimizeVacuumSpec extends AnyFunSuite {
       USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
   }
 
+  test("DEEP CLONE copies the snapshot; tables share no storage fate") {
+    wh
+    spark.sql("""CREATE TABLE ov.db.dsrc (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO ov.db.dsrc VALUES (1, 0, 'a'), (2, 0, 'b')")
+    spark.sql("INSERT INTO ov.db.dsrc VALUES (3, 0, 'c')")
+    // byte-copy fast path (clean all-base snapshot), pinned to commit 0
+    spark.sql("CREATE TABLE ov.db.dclone DEEP CLONE ov.db.dsrc VERSION AS OF 0")
+      .collect()
+    assert(spark.sql("SELECT v FROM ov.db.dclone ORDER BY pk").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"),
+      "the deep clone must hold the pinned snapshot")
+    // the clone's files live under ITS root — no borrowed source paths
+    val cloneRoot = s"$wh/db/dclone"
+    val fs = new org.apache.hadoop.fs.Path(cloneRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t = graft.lake.LakeTable(spark, graft.lake.LakeTableConfig(
+      cloneRoot, keyCols = Seq("pk"), precombineCol = "ts"))
+    t.log.liveFiles().foreach(f =>
+      assert(f.path.contains("/dclone/"),
+        s"deep clone must OWN its files, found borrowed ${f.path}"))
+    // storage independence: nuke the source entirely — the clone reads on
+    spark.sql("DROP TABLE ov.db.dsrc")
+    assert(spark.sql("SELECT count(*) FROM ov.db.dclone")
+      .collect().head.getLong(0) == 2,
+      "the clone must survive the source's complete destruction")
+    // and the clone is writable on its own timeline
+    spark.sql("INSERT INTO ov.db.dclone VALUES (9, 0, 'z')")
+    assert(spark.sql("SELECT count(*) FROM ov.db.dclone")
+      .collect().head.getLong(0) == 3)
+
+    // rewrite path: a MoR source with a pending delta stack deep-clones
+    // through the merged snapshot
+    spark.sql("""CREATE TABLE ov.db.dmor (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts',
+        storageType='mor')""")
+    spark.sql("INSERT INTO ov.db.dmor VALUES (1, 0, 'x')")
+    spark.sql("INSERT INTO ov.db.dmor VALUES (1, 1, 'x2'), (2, 0, 'y')")
+    spark.sql("CREATE TABLE ov.db.dmclone DEEP CLONE ov.db.dmor").collect()
+    assert(spark.sql("SELECT v FROM ov.db.dmclone ORDER BY pk").collect()
+      .map(_.getString(0)).toSeq == Seq("x2", "y"),
+      "the rewrite path must clone the MERGED MoR snapshot")
+    spark.sql("DROP TABLE ov.db.dmor")
+    assert(spark.sql("SELECT count(*) FROM ov.db.dmclone")
+      .collect().head.getLong(0) == 2)
+  }
+
   test("RESTORE TO TIMESTAMP AS OF resolves the last commit at or before it") {
     wh
     spark.sql("""CREATE TABLE ov.db.rts (pk BIGINT, ts INT, v STRING)
