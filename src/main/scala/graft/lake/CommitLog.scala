@@ -371,6 +371,45 @@ final class CommitLog(root: String, hadoopConf: Configuration,
     }
   }
 
+  /** ids THIS handle staged, as a set snapshot ([[GraftTxn]] savepoints) */
+  private[graft] def ownStagedIds: Set[Long] = ownStagedSeq.toSet
+
+  /** Retract a subset of this handle's OWN staged (undecided) commits —
+    * the partial-rollback primitive behind transaction savepoints
+    * ([[GraftTxn.rollbackToSavepoint]]). Each id retires exactly like an
+    * aborted staged commit (rolled marker so the id is never reused —
+    * [[nextId]] counts rolled ids — then the staged JSON drops), and its
+    * own data files delete eagerly: nothing else can reference an
+    * UNDECIDED commit's files, so there is no vacuum window to respect.
+    * Only ids this handle staged are accepted; processed descending so a
+    * crash mid-retract leaves a clean staged PREFIX. */
+  private[graft] def retractStaged(ids: Set[Long]): Unit = {
+    require(ids.forall(ownStaged.contains),
+      s"can only retract this transaction's own staged commits, " +
+        s"got ${ids.toSeq.sorted.mkString(", ")}")
+    ids.toSeq.sorted.reverse.foreach { id =>
+      val sp = stagedPath(id)
+      val c = scala.util.Try {
+        val in: java.io.InputStream = fs.open(sp)
+        try mapper.readValue(in, classOf[Commit]) finally in.close()
+      }.toOption
+      if (!fs.exists(commitPath(id)))
+        scala.util.Try(fs.create(
+          new Path(logDir, f"rolled-$id%08d"), false).close())
+      scala.util.Try(fs.delete(sp, false))
+      ownStaged.remove(id)
+      c.foreach(_.adds.filter(a => owned(a.path)).foreach { a =>
+        val dp = new Path(a.path)
+        scala.util.Try(fs.delete(dp, false))
+        scala.util.Try(fs.delete(
+          new Path(dp.getParent, "." + dp.getName + ".bf"), false))
+        scala.util.Try(fs.delete(
+          new Path(dp.getParent, "." + dp.getName + ".bfm"), false))
+        ()
+      })
+    }
+  }
+
   /** decided transactions never change — memoize across the process */
   private val txnDecided =
     scala.collection.concurrent.TrieMap.empty[String, String]

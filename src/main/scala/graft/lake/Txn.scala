@@ -71,6 +71,60 @@ final class GraftTxn private (
 
   def abort(): Unit = decide("abort")
 
+  // ---- savepoints (partial rollback WITHIN the open transaction) ------
+  // A savepoint records, per enlisted table, the staged-commit floor at
+  // that instant; ROLLBACK TO retracts every staged commit ABOVE the
+  // floor (a SUFFIX of each table's staged sequence — staging is
+  // monotone) through the same retire-forever path an aborted txn takes,
+  // so the ids never reuse and read-your-writes immediately reflect the
+  // restored state. Tables enlisted AFTER the savepoint carry an
+  // implicit empty floor: rolling back retracts their staged work
+  // entirely. Savepoints are driver-side session state, like the
+  // transaction handle itself — a crashed session's whole txn is
+  // reaped, savepoints and all.
+
+  private val savepoints = scala.collection.mutable.LinkedHashMap
+    .empty[String, Map[String, Set[Long]]]
+
+  /** record (or re-record — the SQL semantics: the name moves to NOW)
+    * a named savepoint */
+  def savepoint(name: String): Unit = {
+    require(outcome.isEmpty, s"transaction $id already decided: $outcome")
+    require(name.nonEmpty, "savepoint needs a name")
+    savepoints.remove(name)
+    savepoints(name) = enlisted.map { case (root, h) =>
+      root -> h.log.ownStagedIds
+    }.toMap
+    ()
+  }
+
+  /** retract every staged commit made since `name`; savepoints set
+    * AFTER it (now describing retracted state) drop, `name` survives
+    * for repeated rollbacks — standard SQL savepoint semantics */
+  def rollbackToSavepoint(name: String): Unit = {
+    require(outcome.isEmpty, s"transaction $id already decided: $outcome")
+    val floor = savepoints.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no savepoint '$name' in transaction $id"))
+    enlisted.foreach { case (root, h) =>
+      val retract = h.log.ownStagedIds -- floor.getOrElse(root, Set.empty)
+      if (retract.nonEmpty) h.log.retractStaged(retract)
+    }
+    val ks = savepoints.keys.toSeq
+    ks.drop(ks.indexOf(name) + 1).foreach(savepoints.remove)
+    ()
+  }
+
+  /** forget `name` and every later savepoint (SQL RELEASE semantics);
+    * staged work is untouched */
+  def releaseSavepoint(name: String): Unit = {
+    require(savepoints.contains(name),
+      s"no savepoint '$name' in transaction $id")
+    val ks = savepoints.keys.toSeq
+    ks.drop(ks.indexOf(name)).foreach(savepoints.remove)
+    ()
+  }
+
   private def decide(d: String): Unit = {
     require(outcome.isEmpty, s"transaction $id already decided: $outcome")
     val marker = new Path(coordDir, s"$id.decision")

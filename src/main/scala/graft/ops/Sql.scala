@@ -1641,6 +1641,49 @@ object Sql {
           (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM nation) AS region_n
         ORDER BY k, name""")),
 
+    // transaction savepoints (r17): partial rollback INSIDE an open
+    // txn — pre-savepoint staged rows survive ROLLBACK TO SAVEPOINT,
+    // post-savepoint junk (including a junk row that would COLLIDE with
+    // a real key) retracts, post-rollback writes stack on the restored
+    // state, and COMMIT publishes exactly the survivors. The oracle
+    // recomputes the surviving state from raw nation: it hash-matches
+    // ONLY if the retraction removed precisely the junk.
+    GQuery("lake_sql_txn_savepoint",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:sqltxnsp", _ => try {
+          s.sql(s"""CREATE TABLE $cat.db.txn_sp (n_nationkey INT,
+              n_name STRING, update_ts INT) USING graft
+            TBLPROPERTIES (keyCols='n_nationkey', precombineCol='update_ts')""")
+          s.sql("BEGIN TRANSACTION").collect()
+          s.sql(s"""INSERT INTO $cat.db.txn_sp
+            SELECT n_nationkey, n_name, 1 FROM sql_nation_src
+            WHERE n_regionkey <= 1""")
+          s.sql("SAVEPOINT sp1").collect()
+          // junk: new keys AND a colliding upsert over a kept key
+          s.sql(s"""INSERT INTO $cat.db.txn_sp
+            SELECT n_nationkey + 500, n_name || '_junk', 2
+            FROM sql_nation_src""")
+          s.sql(s"""INSERT INTO $cat.db.txn_sp
+            SELECT n_nationkey, '__clobbered__', 3 FROM sql_nation_src
+            WHERE n_regionkey = 1""")
+          s.sql("ROLLBACK TO SAVEPOINT sp1").collect()
+          s.sql(s"""INSERT INTO $cat.db.txn_sp
+            SELECT n_nationkey, n_name, 4 FROM sql_nation_src
+            WHERE n_regionkey = 2""")
+          s.sql("COMMIT").collect()
+          cat
+        } catch {
+          case e: Throwable =>
+            scala.util.Try(s.sql("ROLLBACK").collect()); throw e
+        })
+        s.sql(s"""SELECT n_nationkey, n_name, update_ts
+          FROM $cat.db.txn_sp ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name,
+          CAST(CASE WHEN n_regionkey = 2 THEN 4 ELSE 1 END AS INT) AS update_ts
+        FROM nation WHERE n_regionkey <= 2 ORDER BY n_nationkey""")),
+
     // ---- CREATE TABLE ... SHALLOW CLONE (r16) -----------------------------
     // the Delta spelling of CALL graft.system.clone (which lake_sql_clone
     // covers at head): a zero-copy clone pinned to the PRE-UPDATE

@@ -59,6 +59,13 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     "(?is)^\\s*COMMIT(?:\\s+TRANSACTION|\\s+TRAN|\\s+WORK)?\\s*;?\\s*$".r
   private val RollbackRe =
     "(?is)^\\s*ROLLBACK(?:\\s+TRANSACTION|\\s+TRAN|\\s+WORK)?\\s*;?\\s*$".r
+  // savepoints (partial rollback inside the open session transaction)
+  private val SavepointRe =
+    "(?is)^\\s*SAVEPOINT\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
+  private val RollbackToRe =
+    "(?is)^\\s*ROLLBACK\\s+TO\\s+(?:SAVEPOINT\\s+)?([A-Za-z_]\\w*)\\s*;?\\s*$".r
+  private val ReleaseRe =
+    "(?is)^\\s*RELEASE\\s+(?:SAVEPOINT\\s+)?([A-Za-z_]\\w*)\\s*;?\\s*$".r
 
   private val CopyRe =
     ("(?is)^\\s*COPY\\s+INTO\\s+([\\w.`]+)\\s+FROM\\s+'([^']+)'" +
@@ -100,6 +107,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case BeginRe() => Some(GraftBeginTxnCommand())
     case CommitRe() => Some(GraftCommitTxnCommand())
     case RollbackRe() => Some(GraftRollbackTxnCommand())
+    case SavepointRe(name) => Some(GraftSavepointCommand(name))
+    case RollbackToRe(name) => Some(GraftRollbackToSavepointCommand(name))
+    case ReleaseRe(name) => Some(GraftReleaseSavepointCommand(name))
     case RestoreRe(ident, version) =>
       val parts = delegate.parseMultipartIdentifier(ident)
       ViewResolution.resolve(session, parts).map { case (cat, ns, name) =>

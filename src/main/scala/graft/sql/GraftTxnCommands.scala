@@ -137,3 +137,52 @@ private[sql] final case class GraftRollbackTxnCommand() extends LeafRunnableComm
     Seq(Row(txn.id, "rolled back"))
   }
 }
+
+/** `SAVEPOINT name` / `ROLLBACK TO [SAVEPOINT] name` / `RELEASE
+  * [SAVEPOINT] name` — partial rollback inside the open session
+  * transaction ([[graft.lake.GraftTxn.savepoint]]): ROLLBACK TO
+  * retracts every staged commit made since the savepoint across ALL
+  * enlisted tables while the transaction stays open. */
+private[sql] final case class GraftSavepointCommand(name: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("txn_id", StringType, nullable = false)(),
+      AttributeReference("savepoint", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val txn = GraftSessionTxn.current(session).getOrElse(
+      throw new IllegalStateException("SAVEPOINT without an open transaction"))
+    txn.savepoint(name)
+    Seq(Row(txn.id, name))
+  }
+}
+
+private[sql] final case class GraftRollbackToSavepointCommand(name: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("txn_id", StringType, nullable = false)(),
+      AttributeReference("savepoint", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val txn = GraftSessionTxn.current(session).getOrElse(
+      throw new IllegalStateException(
+        "ROLLBACK TO SAVEPOINT without an open transaction"))
+    txn.rollbackToSavepoint(name)
+    Seq(Row(txn.id, name))
+  }
+}
+
+private[sql] final case class GraftReleaseSavepointCommand(name: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("txn_id", StringType, nullable = false)(),
+      AttributeReference("savepoint", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val txn = GraftSessionTxn.current(session).getOrElse(
+      throw new IllegalStateException(
+        "RELEASE SAVEPOINT without an open transaction"))
+    txn.releaseSavepoint(name)
+    Seq(Row(txn.id, name))
+  }
+}

@@ -195,6 +195,62 @@ class TxnSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2, "post-ROLLBACK reads are unstaged again")
   }
 
+  test("SAVEPOINT / ROLLBACK TO retracts staged work across tables, txn stays open") {
+    val dir = freshDir()
+    spark.conf.set("spark.sql.catalog.txsp", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.txsp.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS txsp.db")
+    spark.sql("""CREATE TABLE txsp.db.a (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("""CREATE TABLE txsp.db.b (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO txsp.db.a VALUES (1, 0, 'a0')")
+
+    // savepoint/rollback-to/release outside a txn fail loud
+    intercept[Exception](spark.sql("SAVEPOINT s1").collect())
+    intercept[Exception](spark.sql("ROLLBACK TO SAVEPOINT s1").collect())
+    intercept[Exception](spark.sql("RELEASE SAVEPOINT s1").collect())
+
+    spark.sql("BEGIN TRANSACTION").collect()
+    spark.sql("INSERT INTO txsp.db.a VALUES (2, 1, 'kept')")
+    spark.sql("SAVEPOINT s1").collect()
+    // staged work AFTER the savepoint, on both tables — b is enlisted
+    // only after s1, so its floor is implicitly empty
+    spark.sql("INSERT INTO txsp.db.a VALUES (3, 1, 'doomed')")
+    spark.sql("INSERT INTO txsp.db.b VALUES (9, 1, 'doomed')")
+    assert(spark.sql("SELECT count(*) FROM txsp.db.a").collect()(0).getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM txsp.db.b").collect()(0).getLong(0) == 1)
+
+    spark.sql("ROLLBACK TO SAVEPOINT s1").collect()
+    // read-your-writes reflects the restored state, txn still open
+    assert(spark.sql("SELECT count(*) FROM txsp.db.a").collect()(0).getLong(0) == 2,
+      "post-savepoint staged work on a must be retracted, pre-savepoint kept")
+    assert(spark.sql("SELECT count(*) FROM txsp.db.b").collect()(0).getLong(0) == 0,
+      "a table enlisted after the savepoint rolls back to empty staged state")
+    // a rolled-back-to savepoint survives for a second use
+    spark.sql("INSERT INTO txsp.db.a VALUES (4, 1, 'doomed2')")
+    spark.sql("ROLLBACK TO SAVEPOINT s1").collect()
+    assert(spark.sql("SELECT count(*) FROM txsp.db.a").collect()(0).getLong(0) == 2)
+
+    // unknown savepoint refuses; RELEASE forgets the name
+    intercept[Exception](spark.sql("ROLLBACK TO SAVEPOINT nope").collect())
+    spark.sql("RELEASE SAVEPOINT s1").collect()
+    intercept[Exception](spark.sql("ROLLBACK TO SAVEPOINT s1").collect())
+
+    // COMMIT publishes exactly the surviving staged work
+    spark.sql("INSERT INTO txsp.db.b VALUES (10, 1, 'final')")
+    spark.sql("COMMIT").collect()
+    def outside(t: String): Seq[(Long, String)] =
+      LakeTable(spark, LakeTableConfig(s"$dir/db/$t",
+        keyCols = Seq("pk"), precombineCol = "ts")).read()
+        .select("pk", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(outside("a") == Seq((1L, "a0"), (2L, "kept")),
+      "only the pre-savepoint staged write publishes on a")
+    assert(outside("b") == Seq((10L, "final")),
+      "only the post-rollback staged write publishes on b")
+  }
+
   test("session close aborts the open SQL txn; staged commits retire immediately") {
     val dir = freshDir()
     spark.conf.set("spark.sql.catalog.txcls", "graft.sql.GraftCatalog")
