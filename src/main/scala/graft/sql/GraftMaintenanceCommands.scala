@@ -183,6 +183,39 @@ private[sql] final case class GraftDescribeDetailCommand(
   }
 }
 
+/** `DESCRIBE HISTORY t` — the Delta spelling of the `.history`
+  * metadata table: one metadata-only row per retained commit, newest
+  * first (Delta's ordering). Commit-log only — no data scan. */
+private[sql] final case class GraftDescribeHistoryCommand(
+    catName: String, ns: Seq[String], name: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp", org.apache.spark.sql.types.TimestampType,
+      nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("n_files_added", LongType, nullable = false)(),
+    AttributeReference("n_files_removed", LongType, nullable = false)(),
+    AttributeReference("bytes_added", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = ViewResolution.graftCatalog(session, catName).getOrElse(
+      throw new IllegalArgumentException(s"catalog $catName is not a graft catalog"))
+    val root = cat.tableRoot(ns, name)
+    val desc = graft.lake.TableDescriptor.load(root,
+      session.sparkContext.hadoopConfiguration).getOrElse(
+      throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map(
+        "relationName" -> s"`$catName`.`${(ns :+ name).mkString("`.`")}`")))
+    val t = graft.lake.LakeTable(session, desc.config(root))
+    if (!t.exists) return Seq.empty
+    t.log.commitsAll.sortBy(-_.id).map(c => Row(c.id,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(c.tsMillis)),
+      c.op, c.adds.size.toLong, c.removes.size.toLong,
+      c.adds.map(_.bytes).sum))
+  }
+}
+
 /** `COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|JSON|CSV|ORC]
   * [PATTERN = '<glob>'] [FORMAT_OPTIONS('k' = 'v', ...)]` — Delta's
   * idempotent file-loading spelling. FORMAT_OPTIONS pass through to the

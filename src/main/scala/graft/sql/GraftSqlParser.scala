@@ -190,15 +190,19 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // exactly when the "column" resolves to a graft TABLE (a real
     // `DESCRIBE tbl col` never matches: its table isn't named detail)
     case dc @ DescribeColumn(UnresolvedTableOrView(Seq(d), _, _), col, _, _)
-        if d.equalsIgnoreCase("detail") =>
+        if d.equalsIgnoreCase("detail") || d.equalsIgnoreCase("history") =>
       val parts = col match {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           a.nameParts
         case _ => Seq.empty
       }
       storedTable(parts) match {
-        case Some((cat, ns, name)) =>
+        case Some((cat, ns, name)) if d.equalsIgnoreCase("detail") =>
           GraftDescribeDetailCommand(cat.name, ns, name)
+        // `DESCRIBE HISTORY t` — the Delta spelling of the `.history`
+        // metadata table / graft_history TVF, same parse shape as DETAIL
+        case Some((cat, ns, name)) =>
+          GraftDescribeHistoryCommand(cat.name, ns, name)
         case None => dc
       }
     case dr @ DescribeRelation(UnresolvedTableOrView(parts, _, _), _, isExtended, output) =>

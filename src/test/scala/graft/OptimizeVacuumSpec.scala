@@ -329,6 +329,23 @@ class OptimizeVacuumSpec extends AnyFunSuite {
       USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
   }
 
+  test("DESCRIBE HISTORY lists retained commits newest-first, no data scan") {
+    wh
+    spark.sql("""CREATE TABLE ov.db.h (pk BIGINT, ts INT, v STRING)
+      USING graft TBLPROPERTIES (keyCols='pk', precombineCol='ts')""")
+    spark.sql("INSERT INTO ov.db.h VALUES (1, 0, 'a')")
+    spark.sql("INSERT INTO ov.db.h VALUES (2, 0, 'b')")
+    spark.sql("DELETE FROM ov.db.h WHERE pk = 1")
+    val rows = spark.sql("DESCRIBE HISTORY ov.db.h").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L),
+      "newest commit first, Delta's ordering")
+    assert(rows.head.getString(2).nonEmpty, "operation column populated")
+    assert(rows.forall(r => !r.isNullAt(1)), "commit timestamps populated")
+    // an ordinary DESCRIBE of a real column is untouched by the claim
+    assert(spark.sql("DESCRIBE ov.db.h v").collect().nonEmpty)
+  }
+
   test("DEEP CLONE copies the snapshot; tables share no storage fate") {
     wh
     spark.sql("""CREATE TABLE ov.db.dsrc (pk BIGINT, ts INT, v STRING)
