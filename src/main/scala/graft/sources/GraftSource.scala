@@ -61,6 +61,26 @@ final class GraftSource extends RelationProvider
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val table = tableFor(ctx, parameters)
+    // Delta's batch change-data-feed spelling:
+    //   spark.read.format("graft").option("readChangeFeed", "true")
+    //     .option("startingVersion", n)[.option("endingVersion", m)]
+    //     [.option("preImages", "true")].load(path)
+    // startingVersion is INCLUSIVE of that commit's own changes (the
+    // Delta contract), so it maps to changesBetween(start-1, end); the
+    // end defaults to the current head. Cleaned windows refuse loudly
+    // through changesBetween's own horizon guard.
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val start = parameters.get("startingVersion").map(_.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          "readChangeFeed requires startingVersion"))
+      val end = parameters.get("endingVersion").map(_.toLong)
+        .orElse(table.log.latestId).getOrElse(
+          throw new IllegalArgumentException(
+            s"readChangeFeed on an empty table: ${table.config.root}"))
+      val pre = parameters.get("preImages").exists(_.toBoolean)
+      return new GraftChangesRelation(ctx,
+        table.changesBetween(start - 1, end, preImages = pre))
+    }
     val asOf = parameters.get("asOf").map(_.toLong)
     new GraftRelation(ctx, table, asOf)
   }
@@ -158,6 +178,16 @@ final class GraftSource extends RelationProvider
   * double evaluation of cheap predicates in exchange for never trusting
   * the pushdown with correctness.
   */
+/** the batch change-data-feed as a relation: a fixed frame computed by
+  * [[graft.lake.LakeTable.changesBetween]] — filters/projections apply
+  * above (CDF consumers read the whole window by design) */
+private[sources] final class GraftChangesRelation(
+    ctx: SQLContext, df: DataFrame) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = df.schema
+  override def buildScan(): RDD[Row] = df.rdd
+}
+
 private[sources] final class GraftRelation(
     ctx: SQLContext, table: LakeTable, asOf: Option[Long])
   extends BaseRelation with PrunedFilteredScan {

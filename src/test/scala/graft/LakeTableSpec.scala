@@ -666,6 +666,35 @@ class LakeTableSpec extends AnyFunSuite {
     assert(mOut == Set((1L, "x2"), (2L, "y")))
   }
 
+  test("graft data source: readChangeFeed serves the batch CDF window") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = LakeTable(spark, LakeTableConfig(root, Seq("pk"), "ts",
+      partitionCols = Seq("vendorid")))
+    t.bulkInsert(df((1L, 1, "a", 0), (2L, 1, "b", 0)))    // c0
+    t.upsert(df((1L, 1, "a2", 1), (3L, 1, "c", 1)))       // c1
+    t.delete(Seq(2L).toDF("pk"))                          // c2
+    def cdf = spark.read.format("graft")
+      .option("keyCols", "pk").option("precombineCol", "ts")
+      .option("partitionCols", "vendorid")
+      .option("readChangeFeed", "true")
+    // startingVersion is INCLUSIVE (the Delta contract): from c1 on
+    val all = cdf.option("startingVersion", "1").load(root)
+      .select($"pk", $"payload", $"_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(all == Set((1L, "a2", "update"), (3L, "c", "insert"),
+      (2L, "b", "delete")))
+    // endingVersion bounds the window; preImages splits updates
+    val w = cdf.option("startingVersion", "1").option("endingVersion", "1")
+      .option("preImages", "true").load(root)
+      .select($"pk", $"payload", $"_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(w == Set((1L, "a2", "update_postimage"), (1L, "a", "update_preimage"),
+      (3L, "c", "insert")))
+    // missing startingVersion refuses loud
+    intercept[Exception](cdf.load(root).collect())
+  }
+
   test("graft data source write: SaveMode maps onto table operations") {
     import spark.implicits._
     val root = freshRoot()
