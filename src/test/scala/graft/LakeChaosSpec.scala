@@ -172,10 +172,16 @@ class LakeChaosSpec extends AnyFunSuite {
     }
   }
 
+  /** default seeds are pinned for CI determinism; widen the sweep with
+    * GRAFT_CHAOS_SEEDS=1,2,3,... for local fuzzing sessions */
+  private val seeds: Seq[Long] = sys.env.get("GRAFT_CHAOS_SEEDS")
+    .map(_.split(',').map(_.trim.toLong).toSeq)
+    .getOrElse(Seq(11L, 42L, 1337L))
+
   for {
     (mode, globalIdx) <- Seq(("cow", false), ("mor", false),
       ("cow", true), ("mor", true))
-    seed <- Seq(11L, 42L, 1337L)
+    seed <- seeds
   } test("chaos sequence holds against the model " +
       s"($mode${if (globalIdx) "+global" else ""}, seed=$seed)") {
     runChaos(mode, globalIdx, seed)
