@@ -1641,6 +1641,73 @@ object Sql {
           (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM nation) AS region_n
         ORDER BY k, name""")),
 
+    // plan-time skew-join salting under the ORACLE gate (r17): the
+    // fact's join key puts half its mass on 'HOT'; with broadcast
+    // fenced the rule must re-shape to the salted join (asserted on the
+    // plan — a silent fall-through to the plain shuffle cannot pass),
+    // and DuckDB pins the salted execution's VALUES. The frame is
+    // materialized inside the builder because the salting confs are
+    // scoped to it.
+    GQuery("lake_sql_skew_join",
+      (s, d) => {
+        val cat = dmlFixture(s, d)
+        built.computeIfAbsent(s"${System.identityHashCode(s)}:$d:skewj", _ => {
+          T.lineitem(s, d).createOrReplaceTempView("skew_li_src")
+          s.sql(s"""CREATE TABLE $cat.db.skew_fact (pk BIGINT, k STRING,
+              qty BIGINT, update_ts INT) USING graft
+            TBLPROPERTIES (keyCols='pk', precombineCol='update_ts')""")
+          // (l_orderkey, l_linenumber) is not unique in the synthetic
+          // lineitem — aggregate per key so pk is well-defined (the
+          // oracle mirrors); 'HOT' owns every even orderkey = half the rows
+          s.sql(s"""INSERT INTO $cat.db.skew_fact
+            SELECT l_orderkey * 10 + l_linenumber AS pk,
+              CASE WHEN l_orderkey % 2 = 0 THEN 'HOT'
+                   ELSE concat('k', l_orderkey % 500) END AS k,
+              max(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty, 0
+            FROM skew_li_src GROUP BY l_orderkey, l_linenumber""")
+          s.sql(s"""CREATE TABLE $cat.db.skew_dim (k STRING, w BIGINT,
+              update_ts INT) USING graft
+            TBLPROPERTIES (keyCols='k', precombineCol='update_ts')""")
+          s.sql(s"""INSERT INTO $cat.db.skew_dim
+            SELECT concat('k', id) AS k, CAST(id % 97 AS BIGINT) AS w, 0
+            FROM range(0, 500)
+            UNION ALL SELECT 'HOT', CAST(7 AS BIGINT), 0""")
+          s.sql(s"CALL $cat.system.analyze('db.skew_fact')").collect()
+          cat
+        })
+        val confs = Seq(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+          "spark.graft.skewJoin.broadcastMax" -> "1",
+          "spark.graft.skewJoin.minRows" -> "100")
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val df = s.sql(s"""SELECT d.k AS k, count(*) AS n,
+              sum(f.qty * d.w) AS total
+            FROM $cat.db.skew_fact f JOIN $cat.db.skew_dim d ON f.k = d.k
+            GROUP BY d.k ORDER BY k""")
+          require(df.queryExecution.optimizedPlan.collect {
+            case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+          }.nonEmpty, "the skewed join must re-plan SALTED for this oracle")
+          val rows = df.collect()
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(rows.toSeq.asJava, df.schema)
+        } finally confs.foreach { case (k, _) => s.conf.unset(k) }
+      },
+      Some("""WITH f AS (
+          SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'HOT'
+                      ELSE 'k' || CAST(l_orderkey % 500 AS VARCHAR) END AS k,
+            CAST(max(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty
+          FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        dim AS (
+          SELECT 'k' || CAST(i AS VARCHAR) AS k, CAST(i % 97 AS BIGINT) AS w
+          FROM range(0, 500) t(i)
+          UNION ALL SELECT 'HOT', CAST(7 AS BIGINT))
+        SELECT d.k AS k, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(f.qty * d.w) AS BIGINT) AS total
+        FROM f JOIN dim d ON f.k = d.k
+        GROUP BY d.k ORDER BY k""")),
+
     // transaction savepoints (r17): partial rollback INSIDE an open
     // txn — pre-savepoint staged rows survive ROLLBACK TO SAVEPOINT,
     // post-savepoint junk (including a junk row that would COLLIDE with
