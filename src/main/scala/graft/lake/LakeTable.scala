@@ -4015,6 +4015,24 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * many files — the 100 TB regime), ONE file read semi-joined down
     * to the touched keys, then the single merge pass — bounded by the
     * commit's touched keys' file groups, never the table. */
+  /** Merge-exchange partition count, derived from the candidate files'
+    * recorded parquet bytes (FileAdd.bytes; pre-upgrade commits recorded
+    * 0 and fall back to the parallelism floor): one partition per
+    * `spark.graft.mergeTargetPartitionBytes` (default 2 MB of compressed
+    * parquet — a window-sort task big enough that scheduling overhead
+    * stops dominating, small enough that the r14 one-giant-task
+    * coalescing regression cannot recur), capped at 4x the cluster's
+    * default parallelism so a huge backlog never explodes the task
+    * count past what the cluster can run concurrently. */
+  private def mergePartitions(candidates: Seq[FileAdd]): Int = {
+    val target = spark.conf.getOption("spark.graft.mergeTargetPartitionBytes")
+      .map(_.toLong).getOrElse(2L << 20)
+    val bytes = candidates.map(_.bytes).sum
+    val cap = 4 * spark.sparkContext.defaultParallelism
+    if (bytes <= 0L) math.min(spark.sparkContext.defaultParallelism, cap)
+    else math.max(1L, math.min((bytes + target - 1) / target, cap.toLong)).toInt
+  }
+
   private[graft] def mergedPrePostPivot(
       files: Seq[FileAdd], keys: DataFrame, commitId: Long,
       payload: DataFrame => org.apache.spark.sql.Column): DataFrame = {
@@ -4030,15 +4048,21 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     }
     val rows = readFiles(candidates)
       .join(probe, Seq("_record_key"), "left_semi")
-      // explicit parallelism floor on the merge exchange: the probe's
-      // shuffle is small (touched keys only), and AQE coalesces a
-      // ~18 MB exchange to ONE partition — putting a multi-second
-      // single-task window sort on the critical path of every commit
-      // (measured, SCALE.md r14). A user repartition pins the partition
-      // count; it hash-partitions by the window's own keys, so the
-      // window chain adds no further exchange.
-      .repartition(spark.sparkContext.defaultParallelism,
-        dedupCols.map(col): _*)
+      // explicit partition count on the merge exchange, derived from the
+      // candidate files' recorded bytes: AQE coalesces a ~18 MB exchange
+      // to ONE partition — putting a multi-second single-task window
+      // sort on the critical path of every commit (measured, SCALE.md
+      // r14) — while a flat defaultParallelism leaves sub-MB tasks whose
+      // scheduling overhead dominates the sort (measured r17: 32
+      // near-empty window tasks per commit cost ~2x the fused merge
+      // itself at fixture scale). Sizing from input bytes scales both
+      // ways: tiny probes get few, usefully-sized tasks; a 100 TB
+      // backlog gets bytes/target partitions, capped at 4x cluster
+      // parallelism so the task count never explodes past what the
+      // cluster can run. A user repartition pins the partition count; it
+      // hash-partitions by the window's own keys, so the window chain
+      // adds no further exchange.
+      .repartition(mergePartitions(candidates), dedupCols.map(col): _*)
     val keyW = Window.partitionBy(dedupCols.map(col): _*)
     val w = keyW.orderBy(col(config.precombineCol).desc,
       col("_commit_id").desc, col("_seq").desc_nulls_last)
@@ -4055,25 +4079,35 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     //   3. whole-frame winner pivot (at most one non-null per side) +
     //      row_number to emit ONE row per key — which removes the
     //      groupBy shuffle a separate per-key pivot paid per commit.
+    // Same-frame window expressions are computed in ONE select per pass:
+    // sequential withColumn calls planned one physical Window operator
+    // EACH (eight per-partition buffer traversals per commit, measured
+    // r17); grouping them collapses the plan to the three Window
+    // operators the data dependencies actually force (row_number shares
+    // pass 2 — rank functions resolve to the same unbounded-preceding /
+    // current-row frame as the running sums).
     val tagged = rows
-      .withColumn("_dcid_post", max(when(deleted, col("_commit_id"))).over(whole))
-      .withColumn("_dcid_pre",
-        max(when(deleted && isPre, col("_commit_id"))).over(whole))
+      .select(col("*"),
+        max(when(deleted, col("_commit_id"))).over(whole).as("_dcid_post"),
+        max(when(deleted && isPre, col("_commit_id"))).over(whole)
+          .as("_dcid_pre"))
       .withColumn("_c_post",
         !deleted && col("_commit_id") > coalesce(col("_dcid_post"), lit(-1L)))
       .withColumn("_c_pre", isPre && !deleted &&
         col("_commit_id") > coalesce(col("_dcid_pre"), lit(-1L)))
-      .withColumn("_win_post", col("_c_post") &&
-        sum(when(col("_c_post"), 1).otherwise(0)).over(upto) === 1)
-      .withColumn("_win_pre", col("_c_pre") &&
-        sum(when(col("_c_pre"), 1).otherwise(0)).over(upto) === 1)
+      .select(col("*"),
+        sum(when(col("_c_post"), 1).otherwise(0)).over(upto).as("_s_post"),
+        sum(when(col("_c_pre"), 1).otherwise(0)).over(upto).as("_s_pre"),
+        row_number().over(w).as("_rn"))
+      .withColumn("_win_post", col("_c_post") && col("_s_post") === 1)
+      .withColumn("_win_pre", col("_c_pre") && col("_s_pre") === 1)
     val pk = payload(tagged)
     tagged
-      .withColumn("_p", max(when(col("_win_post"), pk)).over(whole))
-      .withColumn("_p_cid",
-        max(when(col("_win_post"), col("_commit_id"))).over(whole))
-      .withColumn("_q", max(when(col("_win_pre"), pk)).over(whole))
-      .withColumn("_rn", row_number().over(w))
+      .select(col("*"),
+        max(when(col("_win_post"), pk)).over(whole).as("_p"),
+        max(when(col("_win_post"), col("_commit_id"))).over(whole)
+          .as("_p_cid"),
+        max(when(col("_win_pre"), pk)).over(whole).as("_q"))
       // one row per key; a key with NO winner on either side (e.g. a
       // tombstone for a key that never lived) emits nothing, matching
       // the join/groupBy formulations
