@@ -4033,6 +4033,107 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     else math.max(1L, math.min((bytes + target - 1) / target, cap.toLong)).toInt
   }
 
+  /** Fused MULTI-COMMIT pre/post pivot (r17): one merged probe for a run
+    * of consecutive delta commits, instead of one [[mergedPrePostPivot]]
+    * per commit. Sound only on a removal-free, DV-free run (the caller
+    * segments on that): then live(cᵢ) = live(c_last) restricted to rows
+    * stamped `_commit_id <= cᵢ` — delta commits only ADD files and every
+    * row carries its writing commit's stamp — so ONE scan of
+    * live(c_last), semi-joined to the union of the run's touched keys,
+    * yields every per-commit classification via per-commit predicates in
+    * the same three window passes the single-commit pivot runs. Per-key
+    * rows come back exploded to (key, commit): columns `_record_key`,
+    * `_commit`, `_p` (post winner), `_p_cid`, `_q` (pre winner), for
+    * pairs with a winner on at least one side — exactly the rows the
+    * per-commit pivots would emit (a commit that did not touch a key
+    * classifies to nothing: see the probe note below).
+    *
+    * Why: a catch-up backlog's commits touch overlapping file groups, so
+    * per-commit probes re-read and re-sort the same bytes once per
+    * commit — the fixture's 3-commit feed paid 3 scans + 3 sorts where
+    * one suffices (measured r17: typed batchFrame 4.4 s → fused ~2 s).
+    * Per-commit equivalences: post candidates `cid <= c` (live(c) holds
+    * no later stamp), pre candidates `cid < c` (≡ the single pivot's
+    * `cid != c` over live(c)); tombstone maxes restrict the same way.
+    */
+  private[graft] def mergedPrePostPivotMulti(
+      files: Seq[FileAdd], keys: Seq[(Long, DataFrame)],
+      payload: DataFrame => org.apache.spark.sql.Column): DataFrame = {
+    require(keys.nonEmpty, "fused pivot needs at least one commit")
+    if (keys.size == 1) {
+      val (cid0, k0) = keys.head
+      return mergedPrePostPivot(files, k0, cid0, payload)
+        .select(col("_record_key"), lit(cid0).as("_commit"),
+          col("_p"), col("_p_cid"), col("_q"))
+    }
+    val cids = keys.map(_._1)
+    // ONE union probe for the whole run, duplicate-tolerant (left_semi
+    // dedupes its build side). No per-commit touched-set is tracked: a
+    // commit that did not touch a key classifies to NOTHING anyway —
+    // its pre and post winners are the SAME row (only rows stamped by
+    // the commit, which an untouched key has none of, can differ the
+    // two sides), so the emission's 4-way when falls through on every
+    // (key, untouched-commit) pair without help.
+    val allKeys = keys.map(_._2).reduce(_ unionByName _)
+    val probe = allKeys.select(keyStrExpr.as("_record_key"))
+    val candidates =
+      if (files.size <= 32) files
+      else pruneByKeyRange(allKeys, files)
+    if (candidates.isEmpty) {
+      val empty = readOrEmpty(candidates).drop("_seq", "_deleted")
+        .join(probe, Seq("_record_key"), "left_semi")
+      return empty.select(col("_record_key"), lit(-1L).as("_commit"),
+        payload(empty).as("_p"), col("_commit_id").as("_p_cid"),
+        payload(empty).as("_q")).limit(0)
+    }
+    val rows = readFiles(candidates)
+      .join(probe, Seq("_record_key"), "left_semi")
+      .repartition(mergePartitions(candidates), dedupCols.map(col): _*)
+    val keyW = Window.partitionBy(dedupCols.map(col): _*)
+    val w = keyW.orderBy(col(config.precombineCol).desc,
+      col("_commit_id").desc, col("_seq").desc_nulls_last)
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val upto = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deleted = coalesce(col("_deleted"), lit(false))
+    val cid = col("_commit_id")
+    // the same three window passes as the single-commit pivot, with one
+    // expression set per commit — same frames fuse into ONE physical
+    // Window operator per pass regardless of run length
+    val s1 = rows.select(col("*") +:
+      cids.zipWithIndex.flatMap { case (c, i) => Seq(
+        max(when(deleted && cid <= c, cid)).over(whole).as(s"_dcp_$i"),
+        max(when(deleted && cid < c, cid)).over(whole).as(s"_dcq_$i")) }: _*)
+    val s2 = s1.select(col("*") +:
+      cids.zipWithIndex.flatMap { case (c, i) => Seq(
+        (!deleted && cid <= c && cid > coalesce(col(s"_dcp_$i"), lit(-1L)))
+          .as(s"_cp_$i"),
+        (!deleted && cid < c && cid > coalesce(col(s"_dcq_$i"), lit(-1L)))
+          .as(s"_cq_$i")) }: _*)
+    val s3 = s2.select(col("*") +: (row_number().over(w).as("_rn") +:
+      cids.indices.flatMap(i => Seq(
+        sum(when(col(s"_cp_$i"), 1).otherwise(0)).over(upto).as(s"_sp_$i"),
+        sum(when(col(s"_cq_$i"), 1).otherwise(0)).over(upto).as(s"_sq_$i")))
+        .toSeq): _*)
+    val s4 = s3.select(col("*") +: cids.indices.flatMap(i => Seq(
+        (col(s"_cp_$i") && col(s"_sp_$i") === 1).as(s"_wp_$i"),
+        (col(s"_cq_$i") && col(s"_sq_$i") === 1).as(s"_wq_$i"))).toSeq: _*)
+    val pk = payload(s4)
+    val s5 = s4.select(col("*") +: cids.indices.flatMap(i => Seq(
+        max(when(col(s"_wp_$i"), pk)).over(whole).as(s"_p_$i"),
+        max(when(col(s"_wp_$i"), cid)).over(whole).as(s"_pc_$i"),
+        max(when(col(s"_wq_$i"), pk)).over(whole).as(s"_q_$i"))).toSeq: _*)
+    s5.filter(col("_rn") === 1)
+      .select(col("_record_key"), explode(array(
+        cids.zipWithIndex.map { case (c, i) =>
+          struct(lit(c).as("_commit"),
+            col(s"_p_$i").as("_p"), col(s"_pc_$i").as("_p_cid"),
+            col(s"_q_$i").as("_q")) }: _*)).as("_e"))
+      .filter(col("_e._p").isNotNull || col("_e._q").isNotNull)
+      .select(col("_record_key"), col("_e._commit").as("_commit"),
+        col("_e._p").as("_p"), col("_e._p_cid").as("_p_cid"),
+        col("_e._q").as("_q"))
+  }
+
   private[graft] def mergedPrePostPivot(
       files: Seq[FileAdd], keys: DataFrame, commitId: Long,
       payload: DataFrame => org.apache.spark.sql.Column): DataFrame = {

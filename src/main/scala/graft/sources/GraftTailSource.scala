@@ -564,34 +564,65 @@ final class GraftTailSource(
         else if (f.name == "_change_type") lit(ctype).as(f.name)
         else side.getField(f.name).as(f.name)
       }.toSeq: _*)
-    val frames = table.log.commitsInRange(from, to).flatMap { c =>
+    // classification emission shared by the single-commit and fused
+    // paths: byKey rows carry (_record_key, _commit, _p, _p_cid, _q)
+    def typedChanges(byKey: DataFrame): DataFrame = byKey
+      .select(explode(
+        when(col("_q").isNull,
+          array(unpack(col("_p"), deleted = false, "insert")))
+        .when(col("_p").isNull,
+          array(unpack(col("_q"), deleted = true, "delete")))
+        .when(col("_p_cid") === col("_commit"),
+          array(unpack(col("_q"), deleted = false, "update_preimage"),
+            unpack(col("_p"), deleted = false, "update_postimage")))
+        // stale delta: the table did not change — emit nothing
+        .otherwise(lit(null))).as("_r"))
+      .select(schema.fieldNames.map(n => col("_r.`" + n + "`")).toSeq: _*)
+    def keysOf(c: graft.lake.Commit, deltaPaths: Seq[String]): DataFrame = {
+      val fileSchema = table.parseSchema(c.schemaJson)
+      // no distinct: both consumers (range probe, semi join) tolerate
+      // duplicate keys, and the delta batch is near-unique per key
+      ctx.sparkSession.read.schema(fileSchema)
+        .parquet(deltaPaths: _*)
+        .select(table.config.keyCols.map(n => col("`" + n + "`")): _*)
+    }
+    // Consecutive delta commits FUSE into one merged probe
+    // (LakeTable.mergedPrePostPivotMulti): within a run where no commit
+    // removes files or adds deletion vectors, live(cᵢ) is live(c_last)
+    // restricted to `_commit_id <= cᵢ`, so one scan + one window chain
+    // classifies every commit — a catch-up backlog stops re-reading the
+    // same file groups once per commit. Any removal (compaction,
+    // partition drop, clean sweep) or DV commit in the range breaks the
+    // run; runs cap at 16 commits to bound plan width. A run of one
+    // falls through to the single-commit pivot unchanged.
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val run = scala.collection.mutable.ArrayBuffer
+      .empty[(graft.lake.Commit, Seq[String])]
+    def flushRun(): Unit = {
+      if (run.nonEmpty) {
+        val keysByCommit = run.toSeq.map { case (c, ps) => c.id -> keysOf(c, ps) }
+        val liveAtLast = table.log.liveFiles(Some(run.last._1.id))
+        frames += typedChanges(
+          table.mergedPrePostPivotMulti(liveAtLast, keysByCommit, packed))
+        run.clear()
+      }
+    }
+    table.log.commitsInRange(from, to).foreach { c =>
       val deltaPaths = c.adds
         .filter(a => a.isDelta && ChangeDir.matches(a.path)).map(_.path)
-      if (deltaPaths.nonEmpty) {
-        val fileSchema = table.parseSchema(c.schemaJson)
-        // no distinct: both consumers (range probe, semi join) tolerate
-        // duplicate keys, and the delta batch is near-unique per key
-        val keys = ctx.sparkSession.read.schema(fileSchema)
-          .parquet(deltaPaths: _*)
-          .select(table.config.keyCols.map(n => col("`" + n + "`")): _*)
-        val liveAt = table.log.liveFiles(Some(c.id))
-        // one fused merge pass emitting one (post, pre) row per touched
-        // key — the pivot rides the merge's own window sort instead of
-        // the old full-outer join of two separately merged frames
-        val byKey = table.mergedPrePostPivot(liveAt, keys, c.id, packed)
-        val changes = byKey
-          .select(explode(
-            when(col("_q").isNull,
-              array(unpack(col("_p"), deleted = false, "insert")))
-            .when(col("_p").isNull,
-              array(unpack(col("_q"), deleted = true, "delete")))
-            .when(col("_p_cid") === c.id,
-              array(unpack(col("_q"), deleted = false, "update_preimage"),
-                unpack(col("_p"), deleted = false, "update_postimage")))
-            // stale delta: the table did not change — emit nothing
-            .otherwise(lit(null))).as("_r"))
-          .select(schema.fieldNames.map(n => col("_r.`" + n + "`")).toSeq: _*)
-        Seq(changes)
+      val fuseSafe = c.removes.isEmpty && !c.adds.exists(_.isDv)
+      // ANY removal or DV commit in the range — tailed or not (a
+      // compaction between delta commits rewrites files the earlier
+      // commits' live sets still need) — breaks the current run
+      if (!fuseSafe) flushRun()
+      if (deltaPaths.nonEmpty && fuseSafe) {
+        if (run.size >= 16) flushRun()
+        run += ((c, deltaPaths))
+      } else if (deltaPaths.nonEmpty) {
+        // a delta commit that also removes/DVs: classify alone at ITS
+        // live set (the pre-fusion per-commit shape)
+        run += ((c, deltaPaths))
+        flushRun()
       } else if (c.op == "delete" && c.removes.nonEmpty) {
         // metadata-only partition drop: the same derived tombstones as
         // the untyped tail, typed `delete`
@@ -601,14 +632,15 @@ final class GraftTailSource(
           .distinct :+ "_record_key"
         val keys = table.readTimelineFiles(c.removes, schema, pathSchemaIdx.get)
           .select(idCols.map(n => col("`" + n + "`")): _*).distinct()
-        Seq(keys.select(schema.fields.map { f =>
+        frames += keys.select(schema.fields.map { f =>
           if (f.name == "_deleted") lit(true).as(f.name)
           else if (f.name == "_change_type") lit("delete").as(f.name)
           else if (idCols.contains(f.name)) col("`" + f.name + "`")
           else lit(null).cast(f.dataType).as(f.name)
-        }.toSeq: _*))
-      } else Seq.empty
+        }.toSeq: _*)
+      }
     }
+    flushRun()
     if (frames.isEmpty)
       ctx.sparkSession.createDataFrame(
         ctx.sparkSession.sparkContext.emptyRDD[Row], schema)
