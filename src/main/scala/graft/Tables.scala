@@ -10,6 +10,32 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Targeted scan-split parallelism floor (r17): a compact fixture
+    * table reads as 1–3 parquet splits (one file, one row group), so a
+    * chain whose expensive per-row work sits BEFORE the first exchange
+    * — tokenization, n-gram explode, multi-distinct Expand — runs on
+    * 1–3 of the cluster's cores (`spark.sql.files.minPartitionNum`
+    * cannot help: a single row group is not splittable). This spreads
+    * the frame round-robin to the cluster's parallelism, ONLY when its
+    * current partitioning is below it — a 100 TB table already carries
+    * more splits than cores and gets NO added shuffle.
+    *
+    * Deliberately NOT applied to every fixture read: a blanket spread
+    * was measured (r17) to cost +0.2–0.6 s on scan-light queries (the
+    * extra exchange outweighs parallel scanning when the per-row work
+    * is cheap — q01 0.20→0.49 s, q03 0.86→1.48 s), while the
+    * compute-bound chains won 2–2.5x. Call sites opt in exactly where
+    * the measurement says the scan stage is the bottleneck.
+    * Deterministic under retry (sort-before-repartition is on by
+    * default) and transparent to pushdown (Catalyst moves filters and
+    * pruning through a Repartition node down to the scan). Partition
+    * counts probe via physical planning only — never a job. */
+  private[graft] def spreadSmall(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p)
+    else df
+  }
+
   /** Normalize NTZ-encoded timestamp fixture columns to TimestampType —
     * exact under the pinned-UTC session (Verify/Bench/specs), matching
     * DuckDB's naive-timestamp epoch math. The date-bearing TPC-H columns
