@@ -4017,20 +4017,29 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * commit's touched keys' file groups, never the table. */
   /** Merge-exchange partition count, derived from the candidate files'
     * recorded parquet bytes (FileAdd.bytes; pre-upgrade commits recorded
-    * 0 and fall back to the parallelism floor): one partition per
-    * `spark.graft.mergeTargetPartitionBytes` (default 2 MB of compressed
-    * parquet — a window-sort task big enough that scheduling overhead
-    * stops dominating, small enough that the r14 one-giant-task
-    * coalescing regression cannot recur), capped at 4x the cluster's
-    * default parallelism so a huge backlog never explodes the task
-    * count past what the cluster can run concurrently. */
+    * 0): one partition per `spark.graft.mergeTargetPartitionBytes`
+    * (default 2 MB of compressed parquet — a window-sort task big enough
+    * that scheduling overhead stops dominating, small enough that the
+    * r14 one-giant-task coalescing regression cannot recur), capped at
+    * 4x the cluster's default parallelism so a huge backlog never
+    * explodes the task count past what the cluster can run concurrently.
+    * ANY unrecorded candidate (bytes <= 0) raises the result to the
+    * defaultParallelism floor: a single legacy 1 GB base file among
+    * recorded 1 MB deltas would otherwise plan one window-sort task —
+    * the exact single-task regression the explicit count exists to
+    * prevent. */
   private def mergePartitions(candidates: Seq[FileAdd]): Int = {
     val target = spark.conf.getOption("spark.graft.mergeTargetPartitionBytes")
-      .map(_.toLong).getOrElse(2L << 20)
+      .flatMap(v => scala.util.Try(v.toLong).toOption.filter(_ > 0))
+      .getOrElse(2L << 20)
     val bytes = candidates.map(_.bytes).sum
     val cap = 4 * spark.sparkContext.defaultParallelism
-    if (bytes <= 0L) math.min(spark.sparkContext.defaultParallelism, cap)
-    else math.max(1L, math.min((bytes + target - 1) / target, cap.toLong)).toInt
+    val floor = math.min(spark.sparkContext.defaultParallelism, cap)
+    val fromBytes =
+      if (bytes <= 0L) floor
+      else math.max(1L, math.min((bytes + target - 1) / target, cap.toLong)).toInt
+    if (candidates.exists(_.bytes <= 0L)) math.max(floor, fromBytes)
+    else fromBytes
   }
 
   /** Fused MULTI-COMMIT pre/post pivot (r17): one merged probe for a run

@@ -30,8 +30,11 @@ object ProfileQ {
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("GRAFT_PROF_CONF").foreach(_.split(';').filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => System.err.println(
+            s"[prof] skipping malformed GRAFT_PROF_CONF entry (no '='): $kv")
+        }
       })
     // warmup (the bench's): touch the fact table + codegen once
     try graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
