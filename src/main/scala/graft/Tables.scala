@@ -25,7 +25,10 @@ object Tables {
     * extra exchange outweighs parallel scanning when the per-row work
     * is cheap — q01 0.20→0.49 s, q03 0.86→1.48 s), while the
     * compute-bound chains won 2–2.5x. Call sites opt in exactly where
-    * the measurement says the scan stage is the bottleneck.
+    * the measurement says the scan stage is the bottleneck (r18: the
+    * tokenize/shingle/Expand operators — Text.shingledFrom and the
+    * minhash/curation chains, Hygiene's gram operators,
+    * Extended.profile).
     * Deterministic under retry (sort-before-repartition is on by
     * default) and transparent to pushdown (Catalyst moves filters and
     * pruning through a Repartition node down to the scan). Partition

@@ -83,7 +83,11 @@ final class MinHashDedupIndex(
     * tradeoff, one pass, no transitive closure).
     */
   def ingest(batch: DataFrame): DataFrame = {
-    val b = batch
+    // spreadSmall: the sketch (tokenize → shingle → 16 xxhash64 mins) is
+    // the batch's dominant per-row work and runs BEFORE any exchange; a
+    // compact batch reading as one split would sketch on one core
+    // (no-op for a batch already wider than the cluster)
+    val b = T.spreadSmall(batch)
       .withColumn("tk", Text.toks)
       .select(col("doc_id"), expr(Text.triExpr).as("tri"))
       .withColumn("sig", sigExpr)

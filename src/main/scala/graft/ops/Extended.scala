@@ -72,7 +72,12 @@ object Extended {
     // internal aliases are POSITIONAL (_nn_0, ...), never the user names:
     // a profiled column named `it's` or `a``b` must not be spliced into
     // any parsed expression — the unpivot below is typed, not SQL text
-    val wide = df.agg(
+    //
+    // spreadSmall: the Expand (rows × profiled columns) and the partial
+    // multi-distinct aggregate are the pre-exchange hot stage; a compact
+    // table reading as one split would run them on one core (no-op once
+    // the input carries ≥ cluster-parallelism splits)
+    val wide = graft.Tables.spreadSmall(df).agg(
       count(lit(1)).as("_n"),
       cols.zipWithIndex.flatMap { case (c, i) => Seq(
         count(col(c)).as(s"_nn_$i"),
@@ -402,7 +407,10 @@ object Extended {
     GQuery("ev_variant_extract",
       (s, d) => {
         val stage = s"/tmp/graft_variant/ev_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-        T.events(s, d)
+        // spreadSmall: parse_json over every row is the write job's whole
+        // cost, and a 1-split fixture would encode on one core (no-op on
+        // a many-split table); also parallelizes the read-back
+        graft.Tables.spreadSmall(T.events(s, d))
           .select(col("event_type"), parse_json(col("props")).as("v"))
           .write.mode("overwrite").parquet(stage)
         s.read.parquet(stage)

@@ -23,7 +23,7 @@ object Hygiene {
     * x)` with x <= 0 counts DOWN, it does not return empty.
     */
   private[ops] def docGrams(docs: DataFrame, n: Int): DataFrame =
-    docs
+    T.spreadSmall(docs)
       .withColumn("_tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
       .filter(size(col("_tk")) >= n)
       // zip_with n-gram shape, NOT transform-with-index: see
@@ -55,7 +55,7 @@ object Hygiene {
     * lets the caller pick the threshold.
     */
   def repetition(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
+    T.spreadSmall(docs)
       .withColumn("_tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
       .filter(size(col("_tk")) >= n)
       .select(col("doc_id"), explode(expr(Text.ngramExpr("_tk", n))).as("gram"))
@@ -105,7 +105,7 @@ object Hygiene {
     * shape as TF-IDF/BM25; the corpus never cross-joins.
     */
   def rarityScore(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val tok = T.spreadSmall(docs)
       .withColumn("_tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
       .filter(size(col("_tk")) >= 1)
       .select(col("doc_id"), explode(col("_tk")).as("t"))
@@ -177,6 +177,21 @@ object Hygiene {
     */
   def dsirWeights(docs: DataFrame, targetPred: Column,
                   buckets: Int = 4096): DataFrame = {
+    // ONE tokenize+explode pass, collapsed immediately to per-
+    // (side, doc, bucket) counts. The previous shape derived the target
+    // model (tc), raw model (rc), both totals (tn, rn) and the per-doc
+    // counts (db) as FIVE independent subtrees of the same exploded-gram
+    // plan — five corpus tokenizations per run (Catalyst shares no
+    // subtree without identical exchanges). Here everything downstream
+    // folds from `db0`: the two bucket models roll up in one agg, their
+    // corpus totals attach via a single-partition window over ≤ `buckets`
+    // rows (bounded by construction — never corpus-sized), and the
+    // per-doc side is a filter of the same frame. Two db0 evaluations
+    // remain (model side, per-doc side). Measured sf0.1 (local[32]):
+    // wall-clock is FLAT (the five subtrees ran as concurrent stages, so
+    // the fixture never paid 5x latency) but total work drops 5 → 2
+    // corpus tokenizations — the number that matters when the corpus,
+    // not the cluster, is the big term.
     val g = docs
       .withColumn("_tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
       .filter(size(col("_tk")) >= 2)
@@ -184,24 +199,30 @@ object Hygiene {
         explode(expr(Text.ngramExpr("_tk", 2))).as("bg"))
       .withColumn("b",
         conv(substring(md5(col("bg")), 1, 7), 16, 10).cast("long") % buckets)
-    val tc = g.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
-    val rc = g.filter(!col("is_t")).groupBy("b").agg(count(lit(1)).as("cr"))
-    val tn = tc.agg(sum(col("ct")).as("nt"))
-    val rn = rc.agg(sum(col("cr")).as("nr"))
-    g.filter(!col("is_t")).groupBy(col("doc_id"), col("b"))
+    val db0 = g.groupBy(col("is_t"), col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .join(tc, Seq("b"), "left").na.fill(0L, Seq("ct"))
-      .join(rc, "b") // raw docs' own buckets always have cr >= 1
-      .crossJoin(broadcast(tn)).crossJoin(broadcast(rn))
-      // fail fast on an empty TARGET partition: sum() over zero rows is
-      // NULL, which would silently turn every logw NULL instead of
-      // erroring (ADVICE r10) — no target rows means the importance
-      // model is undefined, not that every weight is unknown. The raw
-      // side needs no guard: every output row descends from a raw-doc
-      // bucket join, so "no raw rows" yields the EMPTY result — which
-      // is the correct answer (there is nothing to weight), not a
-      // silent failure.
-      .withColumn("nt", when(col("nt").isNull, raise_error(lit(
+    // bucket models, both sides in one rollup: ct/cr = per-bucket gram
+    // counts of the target/raw corpus (0 where a side missed the bucket,
+    // matching the old left-join + na.fill contract)
+    val models = db0.groupBy(col("b")).agg(
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), col("c")).otherwise(0L)).as("cr"))
+    // corpus totals ride a whole-frame window over the ≤ `buckets`-row
+    // model table instead of two more full-plan aggregates
+    val tot = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val withTot = models
+      .withColumn("nt", sum(col("ct")).over(tot))
+      .withColumn("nr", sum(col("cr")).over(tot))
+    db0.filter(!col("is_t")).select(col("doc_id"), col("b"), col("c"))
+      .join(withTot, "b") // raw docs' own buckets always have cr >= 1
+      // fail fast on an empty TARGET partition: zero target grams means
+      // the importance model is undefined, not that every weight is
+      // unknown (ADVICE r10). The raw side needs no guard: every output
+      // row descends from a raw-doc bucket join, so "no raw rows" yields
+      // the EMPTY result — the correct answer, not a silent failure.
+      .withColumn("nt", when(col("nt") <= 0L, raise_error(lit(
         "dsirWeights: targetPred matched no rows — importance weights undefined")))
         .otherwise(col("nt")))
       .withColumn("lr",

@@ -63,7 +63,9 @@ object Retrieval {
     })
 
   private def postingsOf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    // spreadSmall: tokenization before the tf/dl aggregates is the build's
+    // per-row hot stage; 1-split corpora otherwise tokenize on one core
+    val toks = T.spreadSmall(docs).select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -95,7 +97,7 @@ object Retrieval {
       precombineCol = "ver", hashBuckets = 16))
 
   private def docRowsOf(docs: DataFrame, ver: Long): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val toks = T.spreadSmall(docs).select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
     val agg = toks.groupBy(col("doc_id"))
       // cast pins the array's element-nullability: collect_set infers

@@ -45,9 +45,13 @@ object Text {
   /** distinct word-trigram shingles (empty set below 3 tokens) */
   private[graft] val triExpr = s"array_distinct(${ngramExpr("tk", 3)})"
 
-  /** (doc_id, shingle) exploded inverted-index input + per-doc set size */
+  /** (doc_id, shingle) exploded inverted-index input + per-doc set size.
+    * The scan spreads to cluster parallelism first (Tables.spreadSmall):
+    * tokenize + shingle explode is the expensive pre-exchange stage, and
+    * a compact corpus reads as 1–3 splits, pinning it to as many cores
+    * (measured r18: doc_ngram_jaccard_pairs 2.99 → 1.56 s at sf0.1). */
   private def shingledFrom(documents: DataFrame): (DataFrame, DataFrame) = {
-    val tri = documents
+    val tri = T.spreadSmall(documents)
       .withColumn("tk", toks)
       .select(col("doc_id"), explode(expr(triExpr)).as("sh"))
     val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -104,7 +108,7 @@ object Text {
     * naive; long-tail vocabulary → prefix.
     */
   def jaccardPairsPrefix(documents: DataFrame, minJ: Double): DataFrame = {
-    val docs = documents.withColumn("tk", toks)
+    val docs = T.spreadSmall(documents).withColumn("tk", toks)
       .select(col("doc_id"), expr(triExpr).as("shs"))
       .withColumn("n", size(col("shs")))
       .filter(col("n") > 0)
@@ -778,7 +782,10 @@ object Text {
     // it finds the same >=0.9 pairs as the exact-Jaccard query.
     GQuery("doc_minhash_pairs",
       (s, d) => {
-        val docs = T.documents(s, d).withColumn("tk", toks)
+        // spread before the shingle/signature stage — same 1-split
+        // pre-exchange hazard as shingledFrom (the sketch explode+md5 is
+        // the dominant per-row work of this query)
+        val docs = T.spreadSmall(T.documents(s, d)).withColumn("tk", toks)
           .select(col("doc_id"), expr(triExpr).as("tri"))
           .filter(size(col("tri")) > 0)
         // Signatures via explode + NumPerm min-aggregates, NOT nested
