@@ -400,57 +400,90 @@ final class GraftTailSource(
         def readOld() = { requireRemovesReadable(c, "rewritten files")
           table.readTimelineFiles(c.removes, schema, pathSchemaIdx.get) }
         val proj = schema.fieldNames.map(n => col("`" + n + "`")).toSeq
+        if (changeTypes && adds.nonEmpty && c.removes.nonEmpty) {
+          // FUSED typed classification (r18): the pre-fusion shape
+          // derived post-side, pre-side and tombstones as three joins
+          // over FIVE separate read legs of the same commit's files
+          // (stamped adds ×3, rewritten olds ×2 — Catalyst shares no
+          // subtree across them). One aggregate over the adds + one
+          // full-outer join against the olds yields every type:
+          //   old row + stamped add     → update_preimage + update_postimage
+          //   no old row + stamped add  → insert
+          //   old row + NO adds row     → delete (delete-capable ops only)
+          //   old row + unstamped add   → nothing (untouched rewrite)
+          // The per-key aggregate is sound on CoW: a commit's rewritten
+          // files hold at most ONE live row per key (the precombine
+          // merge's invariant), so max(when(stamped, payload)) is "the"
+          // stamped row, and count(*) > 0 marks the key as present in
+          // the adds (the tombstone anti-join's old contract, which
+          // deliberately counted UNSTAMPED rewrites as presence).
+          val payloadFields = schema.fields
+            .filterNot(f => f.name == "_deleted" || f.name == "_change_type")
+          def packed(df: DataFrame): org.apache.spark.sql.Column = {
+            val cols = df.columns.toSet
+            org.apache.spark.sql.functions.struct(payloadFields.map { f =>
+              if (cols.contains(f.name)) col("`" + f.name + "`").as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }.toSeq: _*)
+          }
+          def unpack(side: org.apache.spark.sql.Column, deleted: Boolean,
+              ctype: String): org.apache.spark.sql.Column =
+            org.apache.spark.sql.functions.struct(schema.fields.map { f =>
+              if (f.name == "_deleted") lit(deleted).as(f.name)
+              else if (f.name == "_change_type") lit(ctype).as(f.name)
+              else side.getField(f.name).as(f.name)
+            }.toSeq: _*)
+          import org.apache.spark.sql.functions.{array, count, explode, max, when}
+          val addRows = readAdds()
+          val aggAdds = addRows.groupBy(col("_record_key")).agg(
+            max(when(col("_commit_id") === c.id, packed(addRows))).as("_post"),
+            count(lit(1)).as("_n_any"))
+          val olds = readOld()
+          val byKey = olds.select(col("_record_key"), packed(olds).as("_pre"))
+            .join(aggAdds, Seq("_record_key"), "full_outer")
+          val deleteCapable = DeleteCapableOps.contains(c.op)
+          Seq(byKey.select(explode(
+              when(col("_pre").isNull && col("_post").isNotNull,
+                array(unpack(col("_post"), deleted = false, "insert")))
+              .when(col("_pre").isNotNull && col("_post").isNotNull,
+                array(unpack(col("_pre"), deleted = false, "update_preimage"),
+                  unpack(col("_post"), deleted = false, "update_postimage")))
+              .when(col("_pre").isNotNull && col("_n_any").isNull &&
+                  lit(deleteCapable),
+                array(unpack(col("_pre"), deleted = true, "delete")))
+              .otherwise(lit(null))).as("_r"))
+            .select(schema.fieldNames.map(n => col("_r.`" + n + "`")).toSeq: _*))
+        } else {
         val changed =
           if (adds.isEmpty) None
           else if (!changeTypes) Some(readAdds()
             .filter(col("_commit_id") === c.id)
             .withColumn("_deleted", lit(false)))
           else {
-            // typed post-side: a stamped add whose key had a prior row
-            // in the rewritten files is an update, else an insert. One
-            // bounded key join per commit (the keys the commit touched)
+            // typed post-side, removes-free commit: every stamped add is
+            // an insert (no prior rows existed)
             val stamped = readAdds().filter(col("_commit_id") === c.id)
-            val prior =
-              if (c.removes.isEmpty) None
-              else Some(readOld().select("_record_key").distinct()
-                .withColumn("_had_prior", lit(1)))
-            val typed = prior.fold(
-              stamped.withColumn("_change_type", lit("insert"))) { p =>
-              stamped.join(p, Seq("_record_key"), "left_outer")
-                .withColumn("_change_type",
-                  org.apache.spark.sql.functions.when(
-                    col("_had_prior").isNull, lit("insert"))
-                    .otherwise(lit("update_postimage")))
-                .drop("_had_prior")
-            }
-            Some(typed.select(proj: _*).withColumn("_deleted", lit(false)))
-          }
-        // typed pre-side: the rewritten files' rows for exactly the
-        // UPDATED keys (inserts had no prior row; deleted keys become
-        // tombstones below)
-        val preImages =
-          if (!changeTypes || adds.isEmpty || c.removes.isEmpty) None
-          else {
-            val updatedKeys = readAdds()
-              .filter(col("_commit_id") === c.id)
-              .select("_record_key").distinct()
-            Some(readOld().join(updatedKeys, Seq("_record_key"), "left_semi")
-              .select(proj: _*)
-              .withColumn("_deleted", lit(false))
-              .withColumn("_change_type", lit("update_preimage")))
+            Some(stamped.withColumn("_change_type", lit("insert"))
+              .select(proj: _*).withColumn("_deleted", lit(false)))
           }
         val tombstones =
           if (c.removes.isEmpty || !DeleteCapableOps.contains(c.op)) None
           else {
             val oldRows = readOld()
-            val newKeys = readAdds().select("_record_key").distinct()
-            val t = oldRows.join(newKeys, Seq("_record_key"), "left_anti")
+            // adds.isEmpty here whenever changeTypes (the fused branch
+            // owns adds+removes); untyped commits take the anti-join
+            val newKeys =
+              if (adds.isEmpty) None
+              else Some(readAdds().select("_record_key").distinct())
+            val t = newKeys.fold(oldRows)(k =>
+                oldRows.join(k, Seq("_record_key"), "left_anti"))
               .select(proj: _*)
               .withColumn("_deleted", lit(true))
             Some(if (changeTypes)
               t.withColumn("_change_type", lit("delete")) else t)
           }
-        changed.toSeq ++ preImages ++ tombstones
+        changed.toSeq ++ tombstones
+        }
         }
       }
     if (frames.isEmpty)
