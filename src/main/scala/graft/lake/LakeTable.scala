@@ -1596,32 +1596,44 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     val newSnap = readSnapshot(Some(to))
     val oldSnap = readSnapshot(Some(from))
     val keyed = dedupCols
-    // current versions ingested inside the window = inserts + updates
-    val changed = newSnap.filter(col("_commit_id") > from)
-    val oldKeys = oldSnap.select(keyed.map(col): _*).distinct()
-      .withColumn("_existed", lit(1))
-    val joinCond = keyed.map(c => changed(c) <=> oldKeys(c)).reduce(_ && _)
+    // ONE null-safe full-outer join of the two snapshots (r18): the
+    // previous shape derived inserts/updates (changed ⟕ old keys),
+    // deletes (old ▷ new keys) and pre-images (old ⋉ updated keys) as
+    // three separate joins over FIVE snapshot scans — Catalyst shares no
+    // subtree across them. Every change type is now a FILTER over the
+    // same joined frame: the two snapshot exchanges plan once and are
+    // reused across the branches (ReusedExchange), so the scan + shuffle
+    // cost is paid once however many types the caller asks for. Each
+    // snapshot holds at most one live row per key, so the join is
+    // key-to-key. Side presence tests use `_commit_id`, which is
+    // non-null on every materialized row.
+    val o = oldSnap.alias("_gco")
+    val n = newSnap.alias("_gcn")
+    def oc(c: String) = col("_gco.`" + c + "`")
+    def nc(c: String) = col("_gcn.`" + c + "`")
+    val joined = o.join(n, keyed.map(c => oc(c) <=> nc(c)).reduce(_ && _),
+      "full_outer")
+    val oldPresent = oc("_commit_id").isNotNull
+    val newPresent = nc("_commit_id").isNotNull
     val updateTag = if (preImages) "update_postimage" else "update"
-    val upserts = changed.join(oldKeys, joinCond, "left_outer")
-      .select(changed.columns.map(changed(_)) :+ oldKeys("_existed"): _*)
-      .withColumn("_change_type",
-        when(col("_existed").isNull, lit("insert")).otherwise(lit(updateTag)))
-      .drop("_existed")
+    // current versions ingested inside the window = inserts + updates
+    val upserts = joined.filter(newPresent && nc("_commit_id") > from)
+      .select(newSnap.columns.map(c => nc(c).as(c)) :+
+        when(oldPresent, lit(updateTag)).otherwise(lit("insert"))
+          .as("_change_type"): _*)
     // keys present at `from` and gone at `to`
-    val newKeys = newSnap.select(keyed.map(col): _*).distinct()
-    val delCond = keyed.map(c => oldSnap(c) <=> newKeys(c)).reduce(_ && _)
-    val deletes = oldSnap.join(newKeys, delCond, "left_anti")
-      .withColumn("_change_type", lit("delete"))
+    val deletes = joined.filter(oldPresent && !newPresent)
+      .select(oldSnap.columns.map(c => oc(c).as(c)) :+
+        lit("delete").as("_change_type"): _*)
     val base = upserts.unionByName(deletes, allowMissingColumns = true)
     if (!preImages) base
     else {
       // pre-images: the `from` snapshot's rows for exactly the UPDATED
       // keys (inserts had no prior row; deletes already carry theirs)
-      val updKeys = changed.join(oldKeys, joinCond, "left_semi")
-        .select(keyed.map(col): _*).distinct()
-      val preCond = keyed.map(c => oldSnap(c) <=> updKeys(c)).reduce(_ && _)
-      val pres = oldSnap.join(updKeys, preCond, "left_semi")
-        .withColumn("_change_type", lit("update_preimage"))
+      val pres = joined.filter(
+          oldPresent && newPresent && nc("_commit_id") > from)
+        .select(oldSnap.columns.map(c => oc(c).as(c)) :+
+          lit("update_preimage").as("_change_type"): _*)
       base.unionByName(pres, allowMissingColumns = true)
     }
   }

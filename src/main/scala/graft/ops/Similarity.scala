@@ -694,7 +694,10 @@ object Similarity {
     * production path is [[lshNearDupPairs]].
     */
   private[graft] def exactNearDupPairs(c: DataFrame, minSim: Double): DataFrame = {
-    val a = c.select(col("vec_id").as("va"), col("v").as("x"))
+    // spreadSmall on the STREAM side: the cross join is a broadcast
+    // nested loop whose cost is the per-row cosine over N² pairs; a
+    // 1-split corpus runs the whole quadratic verify on one core
+    val a = T.spreadSmall(c).select(col("vec_id").as("va"), col("v").as("x"))
     val b = c.select(col("vec_id").as("vb"), col("v").as("y"))
     a.crossJoin(b).filter(col("va") < col("vb"))
       .withColumn("sim", round(cosine("x", "y"), 4))

@@ -965,6 +965,9 @@ object Text {
     * handling applies); no window, no UDF, all codegen'd.
     */
   private[graft] def termStats(docs: DataFrame): DataFrame = {
+    // (spreadSmall measured here and rejected, r18: tf feeds both the
+    // df rollup and the final join, and the window below re-shuffles by
+    // doc — the extra exchange lost ~0.2 s at fixture scale)
     val words = docs.select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
     val tf = words.groupBy(col("doc_id"), col("term"))

@@ -183,7 +183,11 @@ object Tokenize {
     val s = docs.sparkSession
     import s.implicits._
     val v = vocab(merges).toDF("token", "token_id")
-    docs
+    // spreadSmall: the per-row encode expression is the chain's whole
+    // cost and the vocabulary join broadcasts (no exchange below it), so
+    // a 1-split corpus would encode on one core (no-op when the input
+    // already carries >= cluster-parallelism splits)
+    graft.Tables.spreadSmall(docs)
       .select(col(idCol), posexplode(encodeExpr(textCol, merges)))
       .select(col(idCol), (col("pos") + 1).cast("int").as("pos"), col("col").as("token"))
       .join(broadcast(v), "token")
