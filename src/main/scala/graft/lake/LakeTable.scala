@@ -4040,7 +4040,7 @@ final class LakeTable(val spark: SparkSession, val config: LakeTableConfig) {
     * recorded 1 MB deltas would otherwise plan one window-sort task —
     * the exact single-task regression the explicit count exists to
     * prevent. */
-  private def mergePartitions(candidates: Seq[FileAdd]): Int = {
+  private[graft] def mergePartitions(candidates: Seq[FileAdd]): Int = {
     val target = spark.conf.getOption("spark.graft.mergeTargetPartitionBytes")
       .flatMap(v => scala.util.Try(v.toLong).toOption.filter(_ > 0))
       .getOrElse(2L << 20)

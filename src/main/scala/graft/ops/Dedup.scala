@@ -83,11 +83,11 @@ final class MinHashDedupIndex(
     * tradeoff, one pass, no transitive closure).
     */
   def ingest(batch: DataFrame): DataFrame = {
-    // spreadSmall: the sketch (tokenize → shingle → 16 xxhash64 mins) is
-    // the batch's dominant per-row work and runs BEFORE any exchange; a
-    // compact batch reading as one split would sketch on one core
-    // (no-op for a batch already wider than the cluster)
-    val b = T.spreadSmall(batch)
+    // (Tables.spreadSmall on `batch` was measured r18 and REJECTED:
+    // solo dedup_index_build 29.6 → 44.2 s — the sketch is persisted and
+    // re-consumed by bands/verify/survivor branches, so the spread's
+    // exchange multiplies across consumers instead of amortizing)
+    val b = batch
       .withColumn("tk", Text.toks)
       .select(col("doc_id"), expr(Text.triExpr).as("tri"))
       .withColumn("sig", sigExpr)

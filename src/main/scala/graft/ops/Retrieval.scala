@@ -63,9 +63,10 @@ object Retrieval {
     })
 
   private def postingsOf(docs: DataFrame): DataFrame = {
-    // spreadSmall: tokenization before the tf/dl aggregates is the build's
-    // per-row hot stage; 1-split corpora otherwise tokenize on one core
-    val toks = T.spreadSmall(docs).select(col("doc_id"),
+    // (spreadSmall measured r18 and rejected: tf and dl both consume the
+    // exploded tokens — the concurrent-subtree effect makes the extra
+    // exchange a net loss, solo bm25 builds +10%)
+    val toks = docs.select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -97,7 +98,7 @@ object Retrieval {
       precombineCol = "ver", hashBuckets = 16))
 
   private def docRowsOf(docs: DataFrame, ver: Long): DataFrame = {
-    val toks = T.spreadSmall(docs).select(col("doc_id"),
+    val toks = docs.select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
     val agg = toks.groupBy(col("doc_id"))
       // cast pins the array's element-nullability: collect_set infers

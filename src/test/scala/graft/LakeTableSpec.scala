@@ -41,6 +41,35 @@ class LakeTableSpec extends AnyFunSuite {
       .as[(Long, Int, String, Int)].collect().toSet
   }
 
+  test("mergePartitions: any unrecorded-bytes candidate raises to the parallelism floor") {
+    // ADVICE r17 (medium): one legacy bytes=0 1 GB base file among
+    // recorded 1 MB deltas summed to a >0 total that planned ~1
+    // window-sort task — the r14 single-task regression. Mixed
+    // recorded/unrecorded candidates must never plan BELOW the
+    // defaultParallelism floor; fully-recorded candidates keep the
+    // bytes-derived count; a bytes-derived count above the floor is
+    // never reduced by an unrecorded straggler.
+    val t = LakeTable(spark, cfg(freshRoot()))
+    t.bulkInsert(df((1L, 1, "a", 0)))
+    val p = spark.sparkContext.defaultParallelism
+    def add(bytes: Long) = graft.lake.FileAdd("f", "1", bytes = bytes)
+    val floor = math.min(p, 4 * p)
+    // pure-legacy (all unrecorded) -> floor
+    assert(t.mergePartitions(Seq(add(0), add(0))) == floor)
+    // mixed: recorded bytes would plan 1 partition; the legacy file
+    // raises it to the floor
+    assert(t.mergePartitions(Seq(add(1L << 20), add(0))) == floor)
+    // fully recorded stays bytes-derived (2 MB target -> 5 partitions)
+    assert(t.mergePartitions(Seq(add(10L << 20))) == 5)
+    // recorded count above the floor is not reduced by an unrecorded file
+    val big = Seq.fill(2 * p)(add(2L << 20)) :+ add(0)
+    assert(t.mergePartitions(big) == math.max(floor, 2 * p))
+    // malformed conf falls back to the 2 MB default instead of throwing
+    spark.conf.set("spark.graft.mergeTargetPartitionBytes", "not-a-number")
+    try assert(t.mergePartitions(Seq(add(10L << 20))) == 5)
+    finally spark.conf.unset("spark.graft.mergeTargetPartitionBytes")
+  }
+
   test("check constraints: violating write fails whole commit, table intact") {
     val t = LakeTable(spark, LakeTableConfig(freshRoot(),
       keyCols = Seq("pk"), precombineCol = "ts", partitionCols = Seq("vendorid"),
