@@ -785,9 +785,16 @@ object Text {
         // spread before the shingle/signature stage — same 1-split
         // pre-exchange hazard as shingledFrom (the sketch explode+md5 is
         // the dominant per-row work of this query)
+        // localCheckpoint: the (doc_id, tri) frame feeds THREE consumers
+        // (the signature chain and both verify joins), and each would
+        // re-tokenize + re-shingle the corpus — the pre-explode frame is
+        // the compact thing to materialize (O(corpus shingle sets), never
+        // the exploded postings). Intra-query only: every invocation
+        // recomputes from parquet. Measured r18: 1.89 → 1.40 s at sf0.1.
         val docs = T.spreadSmall(T.documents(s, d)).withColumn("tk", toks)
           .select(col("doc_id"), expr(triExpr).as("tri"))
           .filter(size(col("tri")) > 0)
+          .localCheckpoint()
         // Signatures via explode + NumPerm min-aggregates, NOT nested
         // array HOFs: higher-order lambdas sit outside Spark's common-
         // subexpression elimination, so an array formulation recomputes
